@@ -1,0 +1,446 @@
+"""Context-adaptive binary range coder — host entropy stage.
+
+This is the framework's replacement for the reference's dirac/schroedinger
+arithmetic coder (tmc3/entropydirac.h, dependencies/schroedinger/
+schroarith.c).  The coder itself is a fresh LZMA-style binary range coder
+(11-bit adaptive probabilities, carry-cached renormalisation, bypass by
+range halving).  The API is *batch-first*: the TPU emits whole levels of
+(context-id, symbol) tensors; these are serialised in one native call per
+level (native/entropy.cc).  Context state lives in caller-owned numpy
+uint16 arrays, which makes entropy continuation across slices/frames
+(reference encoder.cpp:1401-1411) a simple array copy, and parallel slice
+streams a simple array-per-slice.
+
+Two interchangeable backends:
+
+* native  — ctypes bindings to libtmc13_entropy.so (production path),
+* python  — a pure-Python mirror used as the executable spec and fallback.
+
+The two are cross-tested bit-identical (tests/test_entropy.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+PROB_BITS = 11
+PROB_INIT = 1 << (PROB_BITS - 1)
+PROB_MOVE_BITS = 5
+_TOP = 1 << 24
+_M32 = 0xFFFFFFFF
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libtmc13_entropy.so"))
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(
+                ["make", "-s"], cwd=os.path.abspath(_NATIVE_DIR), check=True,
+                capture_output=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    c = ctypes
+    u8p, u16p, i32p, u32p = (
+        c.POINTER(c.c_uint8), c.POINTER(c.c_uint16),
+        c.POINTER(c.c_int32), c.POINTER(c.c_uint32),
+    )
+    lib.rce_new.restype = c.c_void_p
+    lib.rce_free.argtypes = [c.c_void_p]
+    lib.rce_size.argtypes = [c.c_void_p]
+    lib.rce_size.restype = c.c_int64
+    lib.rce_copy.argtypes = [c.c_void_p, u8p]
+    lib.rcd_new.argtypes = [u8p, c.c_int64]
+    lib.rcd_new.restype = c.c_void_p
+    lib.rcd_free.argtypes = [c.c_void_p]
+    lib.rcd_pos.argtypes = [c.c_void_p]
+    lib.rcd_pos.restype = c.c_int64
+    lib.ctx_init.argtypes = [u16p, c.c_int64]
+    lib.rce_bits.argtypes = [c.c_void_p, u16p, i32p, u8p, c.c_int64]
+    lib.rcd_bits.argtypes = [c.c_void_p, u16p, i32p, u8p, c.c_int64]
+    lib.rce_bypass.argtypes = [c.c_void_p, u32p, i32p, c.c_int64]
+    lib.rcd_bypass.argtypes = [c.c_void_p, u32p, i32p, c.c_int64]
+    lib.rce_ueg.argtypes = [c.c_void_p, u16p, i32p, u32p, c.c_int64,
+                            c.c_int32, c.c_int32]
+    lib.rcd_ueg.argtypes = [c.c_void_p, u16p, i32p, u32p, c.c_int64,
+                            c.c_int32, c.c_int32]
+    lib.rce_occupancy.argtypes = [c.c_void_p, u16p, i32p, u8p, c.c_int64]
+    lib.rcd_occupancy.argtypes = [c.c_void_p, u16p, i32p, u8p, c.c_int64]
+    lib.rce_residuals.argtypes = [c.c_void_p, u16p, i32p, c.c_int64,
+                                  c.c_int32, c.c_int32]
+    lib.rcd_residuals.argtypes = [c.c_void_p, u16p, i32p, c.c_int64,
+                                  c.c_int32, c.c_int32]
+    return lib
+
+
+_LIB = _load_native()
+
+
+def native_available() -> bool:
+    return _LIB is not None
+
+
+def new_contexts(n: int) -> np.ndarray:
+    """Allocate n adaptive contexts initialised to p=0.5."""
+    return np.full(n, PROB_INIT, dtype=np.uint16)
+
+
+def _as(arr, dtype):
+    a = np.ascontiguousarray(arr, dtype=dtype)
+    return a
+
+
+def _ptr(a, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+# =====================================================================
+# Pure-Python backend (executable spec)
+# =====================================================================
+
+
+class _PyEncoder:
+    def __init__(self):
+        self.out = bytearray()
+        self.low = 0
+        self.range = _M32
+        self.cache = 0
+        self.cache_size = 1
+        self.flushed = False
+
+    def _shift_low(self):
+        if (self.low & _M32) < 0xFF000000 or (self.low >> 32) != 0:
+            carry = self.low >> 32
+            temp = self.cache
+            while True:
+                self.out.append((temp + carry) & 0xFF)
+                temp = 0xFF
+                self.cache_size -= 1
+                if self.cache_size == 0:
+                    break
+            self.cache = (self.low >> 24) & 0xFF
+        self.cache_size += 1
+        self.low = (self.low << 8) & _M32
+
+    def encode_bit(self, ctx, idx, bit):
+        p = int(ctx[idx])
+        bound = (self.range >> PROB_BITS) * p
+        if not bit:
+            self.range = bound
+            ctx[idx] = p + (((1 << PROB_BITS) - p) >> PROB_MOVE_BITS)
+        else:
+            self.low += bound
+            self.range -= bound
+            ctx[idx] = p - (p >> PROB_MOVE_BITS)
+        while self.range < _TOP:
+            self._shift_low()
+            self.range = (self.range << 8) & _M32
+
+    def encode_bypass(self, bit):
+        self.range >>= 1
+        if bit:
+            self.low += self.range
+        while self.range < _TOP:
+            self._shift_low()
+            self.range = (self.range << 8) & _M32
+
+    def encode_bypass_bits(self, v, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.encode_bypass((v >> i) & 1)
+
+    def _enc_ueg(self, ctx, base, v, prefix_max, k):
+        v = int(v)
+        for i in range(prefix_max):
+            more = v > i
+            self.encode_bit(ctx, base + i, more)
+            if not more:
+                return
+        r = v - prefix_max
+        m = (r >> k) + 1
+        nb = m.bit_length() - 1
+        for _ in range(nb):
+            self.encode_bypass(1)
+        self.encode_bypass(0)
+        for j in range(nb - 1, -1, -1):
+            self.encode_bypass((m >> j) & 1)
+        self.encode_bypass_bits(r & ((1 << k) - 1), k)
+
+    def flush(self):
+        if not self.flushed:
+            for _ in range(5):
+                self._shift_low()
+            self.flushed = True
+
+    # batch ops ----------------------------------------------------
+    def bits(self, ctx, ctx_ids, bits):
+        for i, b in zip(ctx_ids, bits):
+            self.encode_bit(ctx, int(i), int(b))
+
+    def bypass(self, vals, nbits):
+        for v, n in zip(vals, nbits):
+            self.encode_bypass_bits(int(v), int(n))
+
+    def ueg(self, ctx, bases, vals, prefix_max, k):
+        for b, v in zip(bases, vals):
+            self._enc_ueg(ctx, int(b), int(v), prefix_max, k)
+
+    def occupancy(self, ctx, base_ctx, occ):
+        for bc, byte in zip(base_ctx, occ):
+            base = int(bc) * 255
+            t = 1
+            byte = int(byte)
+            for j in range(7, -1, -1):
+                bit = (byte >> j) & 1
+                if j == 0 and t == 128:
+                    break
+                self.encode_bit(ctx, base + t - 1, bit)
+                t = (t << 1) | bit
+
+    def residuals(self, ctx, vals, prefix_max, k):
+        prev_nz = 0
+        for v in vals:
+            v = int(v)
+            nz = 1 if v != 0 else 0
+            self.encode_bit(ctx, prev_nz, 0 if nz else 1)
+            if nz:
+                self.encode_bypass(1 if v < 0 else 0)
+                self._enc_ueg(ctx, 2, abs(v) - 1, prefix_max, k)
+            prev_nz = nz
+
+    def get_bytes(self):
+        self.flush()
+        return bytes(self.out)
+
+
+class _PyDecoder:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.range = _M32
+        self.code = 0
+        self._next()  # initial cache byte
+        for _ in range(4):
+            self.code = ((self.code << 8) | self._next()) & _M32
+
+    def _next(self):
+        if self.pos < len(self.data):
+            b = self.data[self.pos]
+            self.pos += 1
+            return b
+        return 0
+
+    def decode_bit(self, ctx, idx):
+        p = int(ctx[idx])
+        bound = (self.range >> PROB_BITS) * p
+        if self.code < bound:
+            self.range = bound
+            ctx[idx] = p + (((1 << PROB_BITS) - p) >> PROB_MOVE_BITS)
+            bit = 0
+        else:
+            self.code -= bound
+            self.range -= bound
+            ctx[idx] = p - (p >> PROB_MOVE_BITS)
+            bit = 1
+        while self.range < _TOP:
+            self.range = (self.range << 8) & _M32
+            self.code = ((self.code << 8) | self._next()) & _M32
+        return bit
+
+    def decode_bypass(self):
+        self.range >>= 1
+        bit = 0
+        if self.code >= self.range:
+            self.code -= self.range
+            bit = 1
+        while self.range < _TOP:
+            self.range = (self.range << 8) & _M32
+            self.code = ((self.code << 8) | self._next()) & _M32
+        return bit
+
+    def decode_bypass_bits(self, nbits):
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.decode_bypass()
+        return v
+
+    def _dec_ueg(self, ctx, base, prefix_max, k):
+        for i in range(prefix_max):
+            if not self.decode_bit(ctx, base + i):
+                return i
+        nb = 0
+        while self.decode_bypass():
+            nb += 1
+        m = 1
+        for _ in range(nb):
+            m = (m << 1) | self.decode_bypass()
+        r = ((m - 1) << k) | self.decode_bypass_bits(k)
+        return prefix_max + r
+
+    # batch ops ----------------------------------------------------
+    def bits(self, ctx, ctx_ids):
+        return np.array(
+            [self.decode_bit(ctx, int(i)) for i in ctx_ids], dtype=np.uint8)
+
+    def bypass(self, nbits):
+        return np.array(
+            [self.decode_bypass_bits(int(n)) for n in nbits], dtype=np.uint32)
+
+    def ueg(self, ctx, bases, prefix_max, k):
+        return np.array(
+            [self._dec_ueg(ctx, int(b), prefix_max, k) for b in bases],
+            dtype=np.uint32)
+
+    def occupancy(self, ctx, base_ctx):
+        out = np.zeros(len(base_ctx), dtype=np.uint8)
+        for n, bc in enumerate(base_ctx):
+            base = int(bc) * 255
+            t = 1
+            for j in range(7, -1, -1):
+                if j == 0 and t == 128:
+                    bit = 1
+                else:
+                    bit = self.decode_bit(ctx, base + t - 1)
+                t = (t << 1) | bit
+            out[n] = t & 0xFF
+        return out
+
+    def residuals(self, ctx, n, prefix_max, k):
+        out = np.zeros(n, dtype=np.int32)
+        prev_nz = 0
+        for i in range(n):
+            zero = self.decode_bit(ctx, prev_nz)
+            if zero:
+                prev_nz = 0
+            else:
+                neg = self.decode_bypass()
+                mag = self._dec_ueg(ctx, 2, prefix_max, k) + 1
+                out[i] = -mag if neg else mag
+                prev_nz = 1
+        return out
+
+
+# =====================================================================
+# Native backend
+# =====================================================================
+
+
+class _NativeEncoder:
+    def __init__(self):
+        self._h = _LIB.rce_new()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            _LIB.rce_free(self._h)
+            self._h = None
+
+    def bits(self, ctx, ctx_ids, bits):
+        ids = _as(ctx_ids, np.int32)
+        bs = _as(bits, np.uint8)
+        _LIB.rce_bits(self._h, _ptr(ctx, ctypes.c_uint16),
+                      _ptr(ids, ctypes.c_int32), _ptr(bs, ctypes.c_uint8),
+                      len(ids))
+
+    def bypass(self, vals, nbits):
+        v = _as(vals, np.uint32)
+        n = _as(nbits, np.int32)
+        _LIB.rce_bypass(self._h, _ptr(v, ctypes.c_uint32),
+                        _ptr(n, ctypes.c_int32), len(v))
+
+    def ueg(self, ctx, bases, vals, prefix_max, k):
+        b = _as(bases, np.int32)
+        v = _as(vals, np.uint32)
+        _LIB.rce_ueg(self._h, _ptr(ctx, ctypes.c_uint16),
+                     _ptr(b, ctypes.c_int32), _ptr(v, ctypes.c_uint32),
+                     len(b), prefix_max, k)
+
+    def occupancy(self, ctx, base_ctx, occ):
+        b = _as(base_ctx, np.int32)
+        o = _as(occ, np.uint8)
+        _LIB.rce_occupancy(self._h, _ptr(ctx, ctypes.c_uint16),
+                           _ptr(b, ctypes.c_int32), _ptr(o, ctypes.c_uint8),
+                           len(b))
+
+    def residuals(self, ctx, vals, prefix_max, k):
+        v = _as(vals, np.int32)
+        _LIB.rce_residuals(self._h, _ptr(ctx, ctypes.c_uint16),
+                           _ptr(v, ctypes.c_int32), len(v), prefix_max, k)
+
+    def get_bytes(self):
+        n = _LIB.rce_size(self._h)
+        out = np.zeros(n, dtype=np.uint8)
+        if n:
+            _LIB.rce_copy(self._h, _ptr(out, ctypes.c_uint8))
+        return out.tobytes()
+
+
+class _NativeDecoder:
+    def __init__(self, data: bytes):
+        self._buf = np.frombuffer(data, dtype=np.uint8).copy()
+        self._h = _LIB.rcd_new(_ptr(self._buf, ctypes.c_uint8),
+                               len(self._buf))
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            _LIB.rcd_free(self._h)
+            self._h = None
+
+    def bits(self, ctx, ctx_ids):
+        ids = _as(ctx_ids, np.int32)
+        out = np.zeros(len(ids), dtype=np.uint8)
+        _LIB.rcd_bits(self._h, _ptr(ctx, ctypes.c_uint16),
+                      _ptr(ids, ctypes.c_int32), _ptr(out, ctypes.c_uint8),
+                      len(ids))
+        return out
+
+    def bypass(self, nbits):
+        n = _as(nbits, np.int32)
+        out = np.zeros(len(n), dtype=np.uint32)
+        _LIB.rcd_bypass(self._h, _ptr(out, ctypes.c_uint32),
+                        _ptr(n, ctypes.c_int32), len(n))
+        return out
+
+    def ueg(self, ctx, bases, prefix_max, k):
+        b = _as(bases, np.int32)
+        out = np.zeros(len(b), dtype=np.uint32)
+        _LIB.rcd_ueg(self._h, _ptr(ctx, ctypes.c_uint16),
+                     _ptr(b, ctypes.c_int32), _ptr(out, ctypes.c_uint32),
+                     len(b), prefix_max, k)
+        return out
+
+    def occupancy(self, ctx, base_ctx):
+        b = _as(base_ctx, np.int32)
+        out = np.zeros(len(b), dtype=np.uint8)
+        _LIB.rcd_occupancy(self._h, _ptr(ctx, ctypes.c_uint16),
+                           _ptr(b, ctypes.c_int32), _ptr(out, ctypes.c_uint8),
+                           len(b))
+        return out
+
+    def residuals(self, ctx, n, prefix_max, k):
+        out = np.zeros(n, dtype=np.int32)
+        _LIB.rcd_residuals(self._h, _ptr(ctx, ctypes.c_uint16),
+                           _ptr(out, ctypes.c_int32), n, prefix_max, k)
+        return out
+
+
+def RangeEncoder(force_python: bool = False):
+    """Factory: native encoder if available, else pure-Python."""
+    if _LIB is not None and not force_python:
+        return _NativeEncoder()
+    return _PyEncoder()
+
+
+def RangeDecoder(data: bytes, force_python: bool = False):
+    if _LIB is not None and not force_python:
+        return _NativeDecoder(data)
+    return _PyDecoder(data)

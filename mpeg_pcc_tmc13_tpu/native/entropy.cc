@@ -1,0 +1,339 @@
+// Native host-side entropy stage for the TPU G-PCC codec.
+//
+// Role (SURVEY.md §7): the TPU computes per-level tensors of syntax-element
+// values and context ids; this C++ stage serialises/deserialises them with a
+// context-adaptive binary range coder.  It replaces the reference's
+// schroedinger/dirac coder (dependencies/schroedinger/schroarith.c,
+// tmc3/entropydirac.h) with a fresh LZMA-style range coder:
+//   - 32-bit range, 64-bit low with carry cache (classic rc_shift_low),
+//   - 11-bit adaptive probabilities, adaptation shift 5,
+//   - bypass bits via range halving (exact, no probability).
+// The batch API is the key design difference from the reference: instead of
+// per-bit virtual calls inside a pointer-chasing tree walk, whole octree
+// levels / coefficient blocks arrive as flat arrays and are coded in tight
+// loops.  Context state lives in caller-owned uint16 arrays so Python/JAX
+// controls allocation, snapshotting (entropy continuation, reference
+// encoder.cpp:1401-1411) and parallel slice streams.
+//
+// Exported C ABI (used via ctypes from bitstream/entropy.py; the pure-Python
+// mirror in that file is the executable spec — the two are cross-tested to be
+// bit-identical).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kTopValue = 1u << 24;
+constexpr uint16_t kProbBits = 11;
+constexpr uint16_t kProbInit = 1 << (kProbBits - 1);  // 1024
+constexpr uint16_t kProbMoveBits = 5;
+
+struct RcEncoder {
+  std::vector<uint8_t> out;
+  uint64_t low = 0;
+  uint32_t range = 0xFFFFFFFFu;
+  uint8_t cache = 0;
+  uint64_t cache_size = 1;
+  bool flushed = false;
+
+  inline void shift_low() {
+    if ((uint32_t)low < 0xFF000000u || (low >> 32) != 0) {
+      uint8_t carry = (uint8_t)(low >> 32);
+      uint8_t temp = cache;
+      do {
+        out.push_back((uint8_t)(temp + carry));
+        temp = 0xFF;
+      } while (--cache_size != 0);
+      cache = (uint8_t)(low >> 24);
+    }
+    cache_size++;
+    low = ((uint32_t)low) << 8;
+  }
+
+  inline void encode_bit(uint16_t* prob, int bit) {
+    uint32_t bound = (range >> kProbBits) * (*prob);
+    if (!bit) {
+      range = bound;
+      *prob = (uint16_t)(*prob + (((1 << kProbBits) - *prob) >> kProbMoveBits));
+    } else {
+      low += bound;
+      range -= bound;
+      *prob = (uint16_t)(*prob - (*prob >> kProbMoveBits));
+    }
+    while (range < kTopValue) {
+      shift_low();
+      range <<= 8;
+    }
+  }
+
+  inline void encode_bypass(int bit) {
+    range >>= 1;
+    if (bit) low += range;
+    while (range < kTopValue) {
+      shift_low();
+      range <<= 8;
+    }
+  }
+
+  inline void encode_bypass_bits(uint32_t v, int nbits) {
+    for (int i = nbits - 1; i >= 0; --i) encode_bypass((v >> i) & 1);
+  }
+
+  void flush() {
+    if (flushed) return;
+    for (int i = 0; i < 5; ++i) shift_low();
+    flushed = true;
+  }
+};
+
+struct RcDecoder {
+  const uint8_t* data;
+  int64_t size;
+  int64_t pos = 0;
+  uint32_t range = 0xFFFFFFFFu;
+  uint32_t code = 0;
+
+  inline uint8_t next_byte() { return pos < size ? data[pos++] : 0; }
+
+  void init() {
+    next_byte();  // first encoder byte is the initial zero cache
+    code = 0;
+    for (int i = 0; i < 4; ++i) code = (code << 8) | next_byte();
+  }
+
+  inline int decode_bit(uint16_t* prob) {
+    uint32_t bound = (range >> kProbBits) * (*prob);
+    int bit;
+    if (code < bound) {
+      range = bound;
+      *prob = (uint16_t)(*prob + (((1 << kProbBits) - *prob) >> kProbMoveBits));
+      bit = 0;
+    } else {
+      code -= bound;
+      range -= bound;
+      *prob = (uint16_t)(*prob - (*prob >> kProbMoveBits));
+      bit = 1;
+    }
+    while (range < kTopValue) {
+      range <<= 8;
+      code = (code << 8) | next_byte();
+    }
+    return bit;
+  }
+
+  inline int decode_bypass() {
+    range >>= 1;
+    int bit = 0;
+    if (code >= range) {
+      code -= range;
+      bit = 1;
+    }
+    while (range < kTopValue) {
+      range <<= 8;
+      code = (code << 8) | next_byte();
+    }
+    return bit;
+  }
+
+  inline uint32_t decode_bypass_bits(int nbits) {
+    uint32_t v = 0;
+    for (int i = 0; i < nbits; ++i) v = (v << 1) | decode_bypass();
+    return v;
+  }
+};
+
+// ---- shared composite codes -------------------------------------------
+
+// Adaptive truncated-unary prefix (contexts ctx[base..base+prefix_max-1])
+// followed by a bypass Exp-Golomb(k) suffix for the remainder.  Used for
+// residual magnitudes, duplicate counts, run lengths.
+inline void enc_ueg(RcEncoder* e, uint16_t* ctx, uint32_t v, int prefix_max,
+                    int k) {
+  int i = 0;
+  for (; i < prefix_max; ++i) {
+    int more = v > (uint32_t)i;
+    e->encode_bit(&ctx[i], more);
+    if (!more) return;
+  }
+  // remainder r = v - prefix_max with Exp-Golomb(k) in bypass
+  uint32_t r = v - prefix_max;
+  uint32_t m = (r >> k) + 1;
+  int nb = 0;
+  while ((m >> nb) > 1) nb++;
+  for (int j = 0; j < nb; ++j) e->encode_bypass(1);
+  e->encode_bypass(0);
+  for (int j = nb - 1; j >= 0; --j) e->encode_bypass((m >> j) & 1);
+  e->encode_bypass_bits(r & ((1u << k) - 1), k);
+}
+
+inline uint32_t dec_ueg(RcDecoder* d, uint16_t* ctx, int prefix_max, int k) {
+  int i = 0;
+  for (; i < prefix_max; ++i) {
+    if (!d->decode_bit(&ctx[i])) return (uint32_t)i;
+  }
+  int nb = 0;
+  while (d->decode_bypass()) nb++;
+  uint32_t m = 1;
+  for (int j = 0; j < nb; ++j) m = (m << 1) | d->decode_bypass();
+  uint32_t r = ((m - 1) << k) | d->decode_bypass_bits(k);
+  return prefix_max + r;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---- lifecycle ---------------------------------------------------------
+
+RcEncoder* rce_new() { return new RcEncoder(); }
+void rce_free(RcEncoder* e) { delete e; }
+
+int64_t rce_size(RcEncoder* e) {
+  e->flush();
+  return (int64_t)e->out.size();
+}
+
+void rce_copy(RcEncoder* e, uint8_t* dst) {
+  e->flush();
+  std::memcpy(dst, e->out.data(), e->out.size());
+}
+
+RcDecoder* rcd_new(const uint8_t* data, int64_t size) {
+  RcDecoder* d = new RcDecoder();
+  d->data = data;
+  d->size = size;
+  d->init();
+  return d;
+}
+void rcd_free(RcDecoder* d) { delete d; }
+int64_t rcd_pos(RcDecoder* d) { return d->pos; }
+
+void ctx_init(uint16_t* ctx, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) ctx[i] = kProbInit;
+}
+
+// ---- generic batches ---------------------------------------------------
+
+void rce_bits(RcEncoder* e, uint16_t* ctx, const int32_t* ctx_ids,
+              const uint8_t* bits, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) e->encode_bit(&ctx[ctx_ids[i]], bits[i]);
+}
+
+void rcd_bits(RcDecoder* d, uint16_t* ctx, const int32_t* ctx_ids,
+              uint8_t* bits, int64_t n) {
+  for (int64_t i = 0; i < n; ++i)
+    bits[i] = (uint8_t)d->decode_bit(&ctx[ctx_ids[i]]);
+}
+
+void rce_bypass(RcEncoder* e, const uint32_t* vals, const int32_t* nbits,
+                int64_t n) {
+  for (int64_t i = 0; i < n; ++i) e->encode_bypass_bits(vals[i], nbits[i]);
+}
+
+void rcd_bypass(RcDecoder* d, uint32_t* vals, const int32_t* nbits,
+                int64_t n) {
+  for (int64_t i = 0; i < n; ++i)
+    vals[i] = d->decode_bypass_bits(nbits[i]);
+}
+
+void rce_ueg(RcEncoder* e, uint16_t* ctx, const int32_t* ctx_bases,
+             const uint32_t* vals, int64_t n, int32_t prefix_max, int32_t k) {
+  for (int64_t i = 0; i < n; ++i)
+    enc_ueg(e, &ctx[ctx_bases[i]], vals[i], prefix_max, k);
+}
+
+void rcd_ueg(RcDecoder* d, uint16_t* ctx, const int32_t* ctx_bases,
+             uint32_t* vals, int64_t n, int32_t prefix_max, int32_t k) {
+  for (int64_t i = 0; i < n; ++i)
+    vals[i] = dec_ueg(d, &ctx[ctx_bases[i]], prefix_max, k);
+}
+
+// ---- octree occupancy batch -------------------------------------------
+//
+// Per node: the 8-bit child-occupancy byte is coded bit-by-bit down a
+// binary context tree (255 internal nodes) selected by the node's
+// device-computed base context (neighbour pattern class).  Context id =
+// base_ctx * 255 + (tree_state - 1).  The all-zero byte is impossible
+// (an octree node exists because it has a point), so when the first 7
+// bits are zero, the last bit is inferred = 1 and not coded — same
+// invariant the reference exploits (occupancy != 0,
+// geometry_octree_encoder.cpp occupancy coding).
+
+void rce_occupancy(RcEncoder* e, uint16_t* ctx, const int32_t* base_ctx,
+                   const uint8_t* occ, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    uint16_t* base = &ctx[(int64_t)base_ctx[i] * 255];
+    uint32_t t = 1;
+    uint8_t b = occ[i];
+    for (int j = 7; j >= 0; --j) {
+      int bit = (b >> j) & 1;
+      if (j == 0 && t == 128) break;  // inferred 1
+      e->encode_bit(&base[t - 1], bit);
+      t = (t << 1) | bit;
+    }
+  }
+}
+
+void rcd_occupancy(RcDecoder* d, uint16_t* ctx, const int32_t* base_ctx,
+                   uint8_t* occ, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    uint16_t* base = &ctx[(int64_t)base_ctx[i] * 255];
+    uint32_t t = 1;
+    for (int j = 7; j >= 0; --j) {
+      int bit;
+      if (j == 0 && t == 128)
+        bit = 1;  // inferred
+      else
+        bit = d->decode_bit(&base[t - 1]);
+      t = (t << 1) | bit;
+    }
+    occ[i] = (uint8_t)(t & 0xFF);
+  }
+}
+
+// ---- attribute residual block -----------------------------------------
+//
+// Codes an array of signed quantised coefficients, one component stream.
+// Per coefficient: zero flag (context conditioned on previous coeff
+// zero-ness), sign (bypass), |v|-1 via adaptive prefix + EG(k).
+// Context layout per stream: [0..1] zero flags, [2..2+prefix_max) magnitude.
+// This mirrors the role of the reference's PCCResidualsEncoder
+// (AttributeEncoder.cpp:57-310) with a level-batch API.
+
+void rce_residuals(RcEncoder* e, uint16_t* ctx, const int32_t* vals,
+                   int64_t n, int32_t prefix_max, int32_t k) {
+  int prev_nz = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t v = vals[i];
+    int nz = v != 0;
+    e->encode_bit(&ctx[prev_nz], !nz);
+    if (nz) {
+      e->encode_bypass(v < 0);
+      uint32_t mag = (uint32_t)(v < 0 ? -(int64_t)v : v);
+      enc_ueg(e, &ctx[2], mag - 1, prefix_max, k);
+    }
+    prev_nz = nz;
+  }
+}
+
+void rcd_residuals(RcDecoder* d, uint16_t* ctx, int32_t* vals, int64_t n,
+                   int32_t prefix_max, int32_t k) {
+  int prev_nz = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int zero = d->decode_bit(&ctx[prev_nz]);
+    if (zero) {
+      vals[i] = 0;
+      prev_nz = 0;
+    } else {
+      int neg = d->decode_bypass();
+      uint32_t mag = dec_ueg(d, &ctx[2], prefix_max, k) + 1;
+      vals[i] = neg ? -(int32_t)mag : (int32_t)mag;
+      prev_nz = 1;
+    }
+  }
+}
+
+}  // extern "C"
