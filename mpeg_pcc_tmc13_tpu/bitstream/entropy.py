@@ -337,11 +337,12 @@ class _PyDecoder:
 
 class _NativeEncoder:
     def __init__(self):
+        self._lib = _LIB  # keep a ref: module globals may be torn down first
         self._h = _LIB.rce_new()
 
     def __del__(self):
-        if getattr(self, "_h", None):
-            _LIB.rce_free(self._h)
+        if getattr(self, "_h", None) and getattr(self, "_lib", None):
+            self._lib.rce_free(self._h)
             self._h = None
 
     def bits(self, ctx, ctx_ids, bits):
@@ -386,13 +387,14 @@ class _NativeEncoder:
 
 class _NativeDecoder:
     def __init__(self, data: bytes):
+        self._lib = _LIB
         self._buf = np.frombuffer(data, dtype=np.uint8).copy()
         self._h = _LIB.rcd_new(_ptr(self._buf, ctypes.c_uint8),
                                len(self._buf))
 
     def __del__(self):
-        if getattr(self, "_h", None):
-            _LIB.rcd_free(self._h)
+        if getattr(self, "_h", None) and getattr(self, "_lib", None):
+            self._lib.rcd_free(self._h)
             self._h = None
 
     def bits(self, ctx, ctx_ids):

@@ -1,0 +1,253 @@
+"""Octree geometry passes over Morton-sorted code tensors.
+
+The reference codes geometry with an explicit breadth-first octree walk
+(`tmc3/geometry_octree_encoder.cpp:1853-2660`: a ring buffer of nodes, a
+per-node counting sort into 8 children, an occupancy atlas for neighbour
+patterns).  Here the octree is *implicit*: the nodes of level ``l`` of a
+depth-``d`` tree are the unique prefixes ``code >> 3*(d-l)`` of the sorted
+leaf Morton codes.  Every per-node quantity becomes a vectorised pass:
+
+* **child occupancy** (reference ``countingSort``,
+  geometry_octree_encoder.cpp:2210): a segmented bit-OR over runs of equal
+  prefixes,
+* **neighbour pattern** (reference ``MortonMap3D`` occupancy atlas,
+  OctreeNeighMap.cpp:171): binary search of the 6 face-neighbour codes in
+  the sorted node-code array,
+* **child expansion** (decoder): bit-unpack of the occupancy byte.
+
+Context causality: the reference conditions a node's occupancy on
+*already-coded same-level nodes* (BFS-causal).  We instead condition only
+on information available once the **previous** level is decoded — the set
+of nodes at this level and each node's position within its parent.  This
+makes every level's context ids computable in one data-parallel pass on
+both encoder and decoder (the decoder's only serial dependency is
+level -> level), which is what lets the whole analysis run as a single
+jitted program on TPU.
+
+Two implementations, tested identical:
+* numpy host path (reference semantics, compaction-friendly),
+* jax device path (static shapes: full-depth encoder analysis in ONE jit,
+  masks instead of compaction).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import morton
+
+# 6 face neighbours, axis-major: -x,+x,-y,+y,-z,+z  (bit i of pattern).
+_FACE_OFFSETS = np.array(
+    [[-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0], [0, 0, -1], [0, 0, 1]],
+    dtype=np.int64,
+)
+
+# Number of occupancy context "bases"; each base owns a 255-context
+# binary tree for one 8-bit occupancy symbol (bitstream/entropy.py).
+# base = 6-bit neighbour pattern | (child_idx_in_parent << 6)  -> 512.
+NUM_OCC_BASES = 64 * 8
+OCC_CTX_SIZE = NUM_OCC_BASES * 255
+
+
+# =====================================================================
+# numpy host path
+# =====================================================================
+
+
+def unique_sorted(codes: np.ndarray) -> np.ndarray:
+    """Unique of an already-sorted int array (keeps order)."""
+    if codes.size == 0:
+        return codes
+    keep = np.empty(codes.shape, dtype=bool)
+    keep[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=keep[1:])
+    return codes[keep]
+
+
+def level_occupancy_np(child_codes: np.ndarray):
+    """Occupancy bytes of the parents of sorted unique child codes.
+
+    Returns (parent_codes, occ_bytes): parents sorted unique, occ byte has
+    bit ``child_code & 7`` set per present child (reference child index
+    convention (x<<2)|(y<<1)|z, geometry_octree.h:88).
+    """
+    parents_all = child_codes >> 3
+    keep = np.empty(parents_all.shape, dtype=bool)
+    keep[0] = True
+    np.not_equal(parents_all[1:], parents_all[:-1], out=keep[1:])
+    parent_codes = parents_all[keep]
+    seg = np.cumsum(keep) - 1
+    bits = (1 << (child_codes & 7)).astype(np.int64)
+    occ = np.zeros(parent_codes.shape[0], dtype=np.int64)
+    # children are unique within a parent => add == or
+    np.add.at(occ, seg, bits)
+    return parent_codes, occ.astype(np.uint8)
+
+
+def neighbor_pattern_np(node_codes: np.ndarray, level_dims: int) -> np.ndarray:
+    """6-bit face-neighbour-existence pattern per node.
+
+    ``node_codes``: sorted unique codes at this level; ``level_dims``:
+    log2 of the level's grid size (node coordinates live in
+    [0, 2**level_dims)).  Replaces the reference's occupancy-atlas lookup
+    (OctreeNeighMap.cpp:171) with binary search over the sorted codes.
+    """
+    n = node_codes.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8)
+    pos = morton.decode(node_codes)  # (N,3)
+    lim = np.int64(1) << np.int64(level_dims)
+    pat = np.zeros(n, dtype=np.uint8)
+    for i, off in enumerate(_FACE_OFFSETS):
+        q = pos + off
+        valid = np.all((q >= 0) & (q < lim), axis=-1)
+        ncode = morton.encode(q)
+        idx = np.searchsorted(node_codes, ncode)
+        idx = np.minimum(idx, n - 1)
+        hit = valid & (node_codes[idx] == ncode)
+        pat |= (hit.astype(np.uint8) << i)
+    return pat
+
+
+def occ_context_base_np(node_codes: np.ndarray, level_dims: int) -> np.ndarray:
+    """Context base per node for occupancy coding.
+
+    base = neighbour pattern (64) | child-in-parent index << 6 (8), i.e.
+    512 bases.  Both are decodable before this level's occupancy is read.
+    """
+    pat = neighbor_pattern_np(node_codes, level_dims).astype(np.int32)
+    child_idx = (node_codes & 7).astype(np.int32)
+    return pat | (child_idx << 6)
+
+
+def expand_level_np(node_codes: np.ndarray, occ: np.ndarray) -> np.ndarray:
+    """Child codes (sorted unique) from node codes + occupancy bytes."""
+    bits = (occ[:, None] >> np.arange(8, dtype=np.uint8)) & 1  # (N,8)
+    child = (node_codes[:, None] << 3) | np.arange(8, dtype=np.int64)
+    return child[bits.astype(bool)]
+
+
+def build_levels_np(leaf_codes_unique: np.ndarray, depth: int):
+    """Encoder-side analysis: per level, (node_codes, occ, ctx_base).
+
+    Level l has grid size 2**l per axis; level `depth` is the leaves.
+    Returns list over l = 0..depth-1 of dicts; entry l describes the
+    nodes at level l and the occupancy bytes that generate level l+1.
+    """
+    codes_by_level = [None] * (depth + 1)
+    codes_by_level[depth] = leaf_codes_unique
+    occs = [None] * depth
+    for l in range(depth - 1, -1, -1):
+        codes_by_level[l], occs[l] = level_occupancy_np(codes_by_level[l + 1])
+    out = []
+    for l in range(depth):
+        out.append({
+            "nodes": codes_by_level[l],
+            "occ": occs[l],
+            "ctx_base": occ_context_base_np(codes_by_level[l], l),
+        })
+    return out
+
+
+# =====================================================================
+# jax device path (static shapes; one jit for full encoder analysis)
+# =====================================================================
+
+
+def _searchsorted_exists(sorted_full: jnp.ndarray, queries: jnp.ndarray,
+                         valid: jnp.ndarray) -> jnp.ndarray:
+    """Existence of `queries` in `sorted_full` (sorted, may contain dups
+    and +inf padding)."""
+    n = sorted_full.shape[0]
+    idx = jnp.searchsorted(sorted_full, queries)
+    idx = jnp.minimum(idx, n - 1)
+    return valid & (sorted_full[idx] == queries)
+
+
+_I64_MAX = np.iinfo(np.int64).max
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def encode_analysis_jax(leaf_codes_sorted: jnp.ndarray, depth: int):
+    """Full-depth encoder analysis in one jitted program.
+
+    Input: (N,) sorted leaf Morton codes (duplicates allowed — they
+    collapse at the leaf level).  Output: dict of stacked per-level
+    tensors, each (depth, N), masked by `node_mask`:
+
+      node_mask[l, i] — True where row i is the first point of a level-l
+                        node (i.e. a real node slot),
+      occ[l, i]       — that node's occupancy byte,
+      ctx_base[l, i]  — its occupancy-context base,
+      node_code[l, i] — its level-l code (garbage where ~mask).
+
+    Host compacts with the mask and feeds the entropy stage level by
+    level; everything here runs on device with static shapes.
+    """
+    c = leaf_codes_sorted
+    n = c.shape[0]
+    occ_all, base_all, mask_all, code_all = [], [], [], []
+    for l in range(depth):
+        shift_node = 3 * (depth - l)
+        cl = c >> shift_node                       # level-l code per point
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), cl[1:] != cl[:-1]])
+        seg = jnp.cumsum(first) - 1                # node id per point
+        child = (c >> (shift_node - 3)) & 7
+        onehot = jax.nn.one_hot(child, 8, dtype=jnp.int32)
+        occ_counts = jax.ops.segment_sum(onehot, seg, num_segments=n)
+        occ = (jnp.sum(
+            jnp.where(occ_counts > 0, 1, 0)
+            * (1 << jnp.arange(8, dtype=jnp.int32))[None, :], axis=-1)
+        ).astype(jnp.int32)                        # dense over node ids
+
+        # neighbour pattern: search the *full* (with dups) sorted level
+        # codes — existence is all we need
+        pos = morton.decode(cl, xp=jnp)
+        lim = jnp.int64(1) << l
+        pat = jnp.zeros(n, dtype=jnp.int32)
+        for i, off in enumerate(_FACE_OFFSETS):
+            q = pos + jnp.asarray(off)[None, :]
+            valid = jnp.all((q >= 0) & (q < lim), axis=-1)
+            ncode = morton.encode(q, xp=jnp)
+            hit = _searchsorted_exists(cl, ncode, valid)
+            pat = pat | (hit.astype(jnp.int32) << i)
+        base = pat | ((cl & 7).astype(jnp.int32) << 6)
+
+        # first-point rows carry their node's data (gather by node id)
+        occ_all.append(jnp.where(first, occ[seg], 0))
+        base_all.append(jnp.where(first, base, 0))
+        mask_all.append(first)
+        code_all.append(cl)
+    return {
+        "occ": jnp.stack(occ_all),
+        "ctx_base": jnp.stack(base_all),
+        "node_mask": jnp.stack(mask_all),
+        "node_code": jnp.stack(code_all),
+    }
+
+
+@partial(jax.jit, static_argnames=("level_dims",))
+def decode_level_jax(node_codes: jnp.ndarray, valid: jnp.ndarray,
+                     level_dims: int):
+    """Decoder-side context pass for one level (padded static shape).
+
+    node_codes: (N,) sorted level codes, padded with INT64_MAX where
+    ~valid.  Returns ctx_base (N,) int32 (garbage where ~valid).
+    """
+    n = node_codes.shape[0]
+    pos = morton.decode(node_codes, xp=jnp)
+    lim = jnp.int64(1) << level_dims
+    pat = jnp.zeros(n, dtype=jnp.int32)
+    for i, off in enumerate(_FACE_OFFSETS):
+        q = pos + jnp.asarray(off)[None, :]
+        ok = valid & jnp.all((q >= 0) & (q < lim), axis=-1)
+        ncode = morton.encode(q, xp=jnp)
+        hit = _searchsorted_exists(node_codes, ncode, ok)
+        pat = pat | (hit.astype(jnp.int32) << i)
+    child_idx = (node_codes & 7).astype(jnp.int32)
+    return pat | (child_idx << 6)

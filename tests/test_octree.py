@@ -1,0 +1,94 @@
+"""Octree geometry codec round-trip tests (numpy + jax device paths)."""
+
+import numpy as np
+import pytest
+
+from mpeg_pcc_tmc13_tpu.bitstream import entropy
+from mpeg_pcc_tmc13_tpu.models import geometry_octree as go
+from mpeg_pcc_tmc13_tpu.ops import octree as ops
+from mpeg_pcc_tmc13_tpu.utils import morton
+
+
+def random_cloud(n, depth, seed=0, dups=False):
+    rng = np.random.default_rng(seed)
+    pos = rng.integers(0, 1 << depth, size=(n, 3), dtype=np.int64)
+    if dups:
+        extra = pos[rng.integers(0, n, size=n // 3)]
+        pos = np.concatenate([pos, extra])
+    return pos
+
+
+def sorted_unique_positions(pos):
+    codes = np.unique(morton.encode(pos))
+    return morton.decode(codes)
+
+
+@pytest.mark.parametrize("depth", [1, 4, 10])
+@pytest.mark.parametrize("n", [1, 100, 5000])
+def test_roundtrip_unique(depth, n):
+    pos = random_cloud(n, depth, seed=depth * 100 + n)
+    enc = entropy.RangeEncoder()
+    ectx = go.OctreeContexts()
+    go.encode(pos, depth, enc, ectx, unique_points=True)
+    data = enc.get_bytes()
+
+    dec = entropy.RangeDecoder(data)
+    dctx = go.OctreeContexts()
+    out = go.decode(len(np.unique(morton.encode(pos))), depth, dec, dctx)
+    np.testing.assert_array_equal(out, sorted_unique_positions(pos))
+
+
+def test_roundtrip_duplicates():
+    depth = 8
+    pos = random_cloud(2000, depth, seed=7, dups=True)
+    enc = entropy.RangeEncoder()
+    go.encode(pos, depth, enc, go.OctreeContexts(), unique_points=False)
+    data = enc.get_bytes()
+    dec = entropy.RangeDecoder(data)
+    out = go.decode(len(pos), depth, dec, go.OctreeContexts(),
+                    unique_points=False)
+    codes = np.sort(morton.encode(pos))
+    np.testing.assert_array_equal(out, morton.decode(codes))
+
+
+def test_device_analysis_matches_numpy():
+    import jax.numpy as jnp
+    depth = 6
+    pos = random_cloud(3000, depth, seed=3)
+    uniq = np.unique(morton.encode(pos))
+    levels = ops.build_levels_np(uniq, depth)
+    res = ops.encode_analysis_jax(jnp.asarray(uniq), depth)
+    occ = np.asarray(res["occ"])
+    base = np.asarray(res["ctx_base"])
+    mask = np.asarray(res["node_mask"])
+    code = np.asarray(res["node_code"])
+    for l in range(depth):
+        m = mask[l]
+        np.testing.assert_array_equal(code[l][m], levels[l]["nodes"])
+        np.testing.assert_array_equal(occ[l][m], levels[l]["occ"])
+        np.testing.assert_array_equal(base[l][m], levels[l]["ctx_base"])
+
+
+def test_device_encode_bitstream_identical():
+    depth = 7
+    pos = random_cloud(4000, depth, seed=11)
+    streams = []
+    for use_device in (False, True):
+        enc = entropy.RangeEncoder()
+        go.encode(pos, depth, enc, go.OctreeContexts(),
+                  use_device=use_device)
+        streams.append(enc.get_bytes())
+    assert streams[0] == streams[1]
+
+
+def test_encode_order_aligns_attributes():
+    depth = 5
+    pos = random_cloud(500, depth, seed=9)
+    enc = entropy.RangeEncoder()
+    order = go.encode(pos, depth, enc, go.OctreeContexts())
+    dec = entropy.RangeDecoder(enc.get_bytes())
+    out = go.decode(len(pos), depth, dec, go.OctreeContexts())
+    # positions reordered by `order` == decoded positions (when unique)
+    uniq_mask = np.concatenate(
+        [[True], np.diff(np.sort(morton.encode(pos))) != 0])
+    np.testing.assert_array_equal(pos[order][uniq_mask], out)
