@@ -1,0 +1,384 @@
+"""High-level syntax: parameter sets and brick headers.
+
+Counterpart of the reference's `tmc3/hls.h` (SPS `hls.h:352`, GPS
+`hls.h:470`, APS `hls.h:782`, GBH `hls.h:627`, ABH `hls.h:880`) and its
+serialisers `tmc3/io_hls.cpp`.  The field inventory mirrors the
+reference; the bit layout is this framework's own (we are a new codec,
+not a bit-exact remux of the reference's syntax — see SURVEY.md §7).
+
+Every payload is byte-aligned and framed by TLV (bitstream/tlv.py).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from .bitio import BitReader, BitWriter
+
+
+class GeometryCodecType(enum.IntEnum):
+    OCTREE = 0          # reference: default octree path
+    PREDICTIVE = 1      # reference: gps.predgeom_enabled_flag
+    TRISOUP = 2         # reference: gps.trisoup_enabled_flag
+
+
+class AttributeEncoding(enum.IntEnum):
+    """reference hls.h:132-138 (AttributeEncoding)."""
+    RAHT = 0
+    PRED = 1
+    LIFT = 2
+    RAW = 3
+
+
+class AxisOrder(enum.IntEnum):
+    """Internal/output axis permutation (reference hls.h:151-161)."""
+    XYZ = 0
+    XZY = 1
+    YXZ = 2
+    YZX = 3
+    ZXY = 4
+    ZYX = 5
+
+
+@dataclass
+class AttributeDescription:
+    """One attribute in the SPS (reference hls.h:206-246).
+
+    cicp_matrix follows the reference's colourMatrix coding
+    (TMC3.cpp:1270-1275): 0 = identity, 1 = BT.709, 8 = YCgCo(-R).
+    """
+    label: str = "color"        # 'color' | 'reflectance' | other oid
+    num_components: int = 3
+    bitdepth: int = 8
+    cicp_matrix: int = 0
+
+    def write(self, w: BitWriter):
+        known = {"color": 0, "reflectance": 1}
+        code = known.get(self.label, 2)
+        w.write_ue(code)
+        if code == 2:
+            raw = self.label.encode()
+            w.write_ue(len(raw))
+            for b in raw:
+                w.write(b, 8)
+        w.write_ue(self.num_components - 1)
+        w.write_ue(self.bitdepth - 1)
+        w.write_ue(self.cicp_matrix)
+
+    @staticmethod
+    def parse(r: BitReader) -> "AttributeDescription":
+        code = r.read_ue()
+        if code == 0:
+            label = "color"
+        elif code == 1:
+            label = "reflectance"
+        else:
+            n = r.read_ue()
+            label = bytes(r.read(8) for _ in range(n)).decode()
+        ncomp = r.read_ue() + 1
+        bd = r.read_ue() + 1
+        cicp = r.read_ue()
+        return AttributeDescription(label, ncomp, bd, cicp)
+
+
+@dataclass
+class SequenceParameterSet:
+    """reference hls.h:352-435."""
+    sps_id: int = 0
+    frame_ctr_bits: int = 8
+    # sequence bounding box + global scale (reference seq_geom_scale,
+    # a Rational — kept as num/den pair)
+    seq_origin: Tuple[int, int, int] = (0, 0, 0)
+    seq_bbox_whd: Tuple[int, int, int] = (0, 0, 0)
+    geom_scale_num: int = 1
+    geom_scale_den: int = 1
+    geom_axis_order: AxisOrder = AxisOrder.XYZ
+    attributes: List[AttributeDescription] = field(default_factory=list)
+    entropy_continuation_enabled: bool = False
+    inter_entropy_continuation_enabled: bool = False
+
+    def write(self) -> bytes:
+        w = BitWriter()
+        w.write_ue(self.sps_id)
+        w.write_ue(self.frame_ctr_bits)
+        for v in self.seq_origin:
+            w.write_se(int(v))
+        for v in self.seq_bbox_whd:
+            w.write_ue(int(v))
+        w.write_ue(self.geom_scale_num)
+        w.write_ue(self.geom_scale_den)
+        w.write(int(self.geom_axis_order), 3)
+        w.write_ue(len(self.attributes))
+        for a in self.attributes:
+            a.write(w)
+        w.write_bit(self.entropy_continuation_enabled)
+        w.write_bit(self.inter_entropy_continuation_enabled)
+        w.byte_align()
+        return w.get_bytes()
+
+    @staticmethod
+    def parse(data: bytes) -> "SequenceParameterSet":
+        r = BitReader(data)
+        s = SequenceParameterSet()
+        s.sps_id = r.read_ue()
+        s.frame_ctr_bits = r.read_ue()
+        s.seq_origin = tuple(r.read_se() for _ in range(3))
+        s.seq_bbox_whd = tuple(r.read_ue() for _ in range(3))
+        s.geom_scale_num = r.read_ue()
+        s.geom_scale_den = r.read_ue()
+        s.geom_axis_order = AxisOrder(r.read(3))
+        s.attributes = [AttributeDescription.parse(r)
+                        for _ in range(r.read_ue())]
+        s.entropy_continuation_enabled = bool(r.read_bit())
+        s.inter_entropy_continuation_enabled = bool(r.read_bit())
+        return s
+
+
+@dataclass
+class GeometryParameterSet:
+    """reference hls.h:470-623."""
+    gps_id: int = 0
+    sps_id: int = 0
+    codec_type: GeometryCodecType = GeometryCodecType.OCTREE
+    unique_points: bool = True
+    neighbour_context_enabled: bool = True
+    inferred_direct_coding_mode: int = 0   # 0=off (IDCM, later rounds)
+    planar_mode_enabled: bool = False
+    qtbt_enabled: bool = False
+    trisoup_node_size_log2: int = 0        # >0 when codec_type==TRISOUP
+    geom_scaling_enabled: bool = False
+    interPredictionEnabled: bool = False
+    globalMotionEnabled: bool = False
+    # angular (LiDAR) tool set — later rounds
+    angular_enabled: bool = False
+
+    def write(self) -> bytes:
+        w = BitWriter()
+        w.write_ue(self.gps_id)
+        w.write_ue(self.sps_id)
+        w.write(int(self.codec_type), 2)
+        w.write_bit(self.unique_points)
+        w.write_bit(self.neighbour_context_enabled)
+        w.write_ue(self.inferred_direct_coding_mode)
+        w.write_bit(self.planar_mode_enabled)
+        w.write_bit(self.qtbt_enabled)
+        w.write_ue(self.trisoup_node_size_log2)
+        w.write_bit(self.geom_scaling_enabled)
+        w.write_bit(self.interPredictionEnabled)
+        w.write_bit(self.globalMotionEnabled)
+        w.write_bit(self.angular_enabled)
+        w.byte_align()
+        return w.get_bytes()
+
+    @staticmethod
+    def parse(data: bytes) -> "GeometryParameterSet":
+        r = BitReader(data)
+        g = GeometryParameterSet()
+        g.gps_id = r.read_ue()
+        g.sps_id = r.read_ue()
+        g.codec_type = GeometryCodecType(r.read(2))
+        g.unique_points = bool(r.read_bit())
+        g.neighbour_context_enabled = bool(r.read_bit())
+        g.inferred_direct_coding_mode = r.read_ue()
+        g.planar_mode_enabled = bool(r.read_bit())
+        g.qtbt_enabled = bool(r.read_bit())
+        g.trisoup_node_size_log2 = r.read_ue()
+        g.geom_scaling_enabled = bool(r.read_bit())
+        g.interPredictionEnabled = bool(r.read_bit())
+        g.globalMotionEnabled = bool(r.read_bit())
+        g.angular_enabled = bool(r.read_bit())
+        return g
+
+
+@dataclass
+class AttributeParameterSet:
+    """reference hls.h:782-876."""
+    aps_id: int = 0
+    sps_id: int = 0
+    attr_encoding: AttributeEncoding = AttributeEncoding.RAHT
+    init_qp: int = 4
+    chroma_qp_offset: int = 0
+    # LoD machinery (Pred/Lift)
+    num_pred_nearest_neighbours: int = 3
+    lod_levels: int = 12
+    lod_decimation: int = 0        # 0=dist2 subsampling
+    dist2: int = 0
+    # Pred-specific
+    max_direct_predictors: int = 3
+    adaptive_prediction_threshold: int = 64
+    # RAHT-specific
+    raht_prediction_enabled: bool = True
+    raht_integer_haar: bool = False
+    # Lift
+    scalable_lifting_enabled: bool = False
+    # coordinate conversion (spherical attrs, LiDAR)
+    spherical_coord_enabled: bool = False
+
+    def write(self) -> bytes:
+        w = BitWriter()
+        w.write_ue(self.aps_id)
+        w.write_ue(self.sps_id)
+        w.write(int(self.attr_encoding), 2)
+        w.write_ue(self.init_qp)
+        w.write_se(self.chroma_qp_offset)
+        w.write_ue(self.num_pred_nearest_neighbours - 1)
+        w.write_ue(self.lod_levels)
+        w.write_ue(self.lod_decimation)
+        w.write_ue(self.dist2)
+        w.write_ue(self.max_direct_predictors)
+        w.write_ue(self.adaptive_prediction_threshold)
+        w.write_bit(self.raht_prediction_enabled)
+        w.write_bit(self.raht_integer_haar)
+        w.write_bit(self.scalable_lifting_enabled)
+        w.write_bit(self.spherical_coord_enabled)
+        w.byte_align()
+        return w.get_bytes()
+
+    @staticmethod
+    def parse(data: bytes) -> "AttributeParameterSet":
+        r = BitReader(data)
+        a = AttributeParameterSet()
+        a.aps_id = r.read_ue()
+        a.sps_id = r.read_ue()
+        a.attr_encoding = AttributeEncoding(r.read(2))
+        a.init_qp = r.read_ue()
+        a.chroma_qp_offset = r.read_se()
+        a.num_pred_nearest_neighbours = r.read_ue() + 1
+        a.lod_levels = r.read_ue()
+        a.lod_decimation = r.read_ue()
+        a.dist2 = r.read_ue()
+        a.max_direct_predictors = r.read_ue()
+        a.adaptive_prediction_threshold = r.read_ue()
+        a.raht_prediction_enabled = bool(r.read_bit())
+        a.raht_integer_haar = bool(r.read_bit())
+        a.scalable_lifting_enabled = bool(r.read_bit())
+        a.spherical_coord_enabled = bool(r.read_bit())
+        return a
+
+
+@dataclass
+class GeometryBrickHeader:
+    """reference hls.h:627-780 (GBH): per-slice geometry header."""
+    gps_id: int = 0
+    slice_id: int = 0
+    slice_tag: int = 0            # tile id association
+    frame_ctr_lsb: int = 0
+    slice_origin: Tuple[int, int, int] = (0, 0, 0)
+    root_node_size_log2: int = 0  # cubic root size (QTBT later)
+    num_points: int = 0           # total points incl. duplicates
+    entropy_continuation: bool = False
+    prev_slice_id: int = 0
+    # payload byte length of the entropy substream follows the header so
+    # multiple streams can be concatenated (reference geom_stream_cnt)
+    stream_len: int = 0
+
+    def write(self) -> bytes:
+        w = BitWriter()
+        w.write_ue(self.gps_id)
+        w.write_ue(self.slice_id)
+        w.write_ue(self.slice_tag)
+        w.write_ue(self.frame_ctr_lsb)
+        for v in self.slice_origin:
+            w.write_se(int(v))
+        w.write_ue(self.root_node_size_log2)
+        w.write_ue(self.num_points)
+        w.write_bit(self.entropy_continuation)
+        if self.entropy_continuation:
+            w.write_ue(self.prev_slice_id)
+        w.write_ue(self.stream_len)
+        w.byte_align()
+        return w.get_bytes()
+
+    @staticmethod
+    def parse(data: bytes):
+        r = BitReader(data)
+        h = GeometryBrickHeader()
+        h.gps_id = r.read_ue()
+        h.slice_id = r.read_ue()
+        h.slice_tag = r.read_ue()
+        h.frame_ctr_lsb = r.read_ue()
+        h.slice_origin = tuple(r.read_se() for _ in range(3))
+        h.root_node_size_log2 = r.read_ue()
+        h.num_points = r.read_ue()
+        h.entropy_continuation = bool(r.read_bit())
+        if h.entropy_continuation:
+            h.prev_slice_id = r.read_ue()
+        h.stream_len = r.read_ue()
+        r.byte_align()
+        return h, r.byte_pos
+
+
+@dataclass
+class AttributeBrickHeader:
+    """reference hls.h:880-979 (ABH)."""
+    aps_id: int = 0
+    sps_attr_idx: int = 0         # which SPS attribute this brick codes
+    slice_id: int = 0
+    qp_delta: int = 0
+
+    def write(self) -> bytes:
+        w = BitWriter()
+        w.write_ue(self.aps_id)
+        w.write_ue(self.sps_attr_idx)
+        w.write_ue(self.slice_id)
+        w.write_se(self.qp_delta)
+        w.byte_align()
+        return w.get_bytes()
+
+    @staticmethod
+    def parse(data: bytes):
+        r = BitReader(data)
+        h = AttributeBrickHeader()
+        h.aps_id = r.read_ue()
+        h.sps_attr_idx = r.read_ue()
+        h.slice_id = r.read_ue()
+        h.qp_delta = r.read_se()
+        r.byte_align()
+        return h, r.byte_pos
+
+
+@dataclass
+class TileInventory:
+    """reference hls.h:1000-1053: spatial tile boxes for a frame."""
+    tiles: List[Tuple[Tuple[int, int, int], Tuple[int, int, int]]] = \
+        field(default_factory=list)  # (origin, size) per tile
+
+    def write(self) -> bytes:
+        w = BitWriter()
+        w.write_ue(len(self.tiles))
+        for origin, size in self.tiles:
+            for v in origin:
+                w.write_se(int(v))
+            for v in size:
+                w.write_ue(int(v))
+        w.byte_align()
+        return w.get_bytes()
+
+    @staticmethod
+    def parse(data: bytes) -> "TileInventory":
+        r = BitReader(data)
+        t = TileInventory()
+        for _ in range(r.read_ue()):
+            origin = tuple(r.read_se() for _ in range(3))
+            size = tuple(r.read_ue() for _ in range(3))
+            t.tiles.append((origin, size))
+        return t
+
+
+@dataclass
+class FrameBoundaryMarker:
+    """reference hls.h / io_hls.cpp frame boundary data unit."""
+    frame_ctr_lsb: int = 0
+
+    def write(self) -> bytes:
+        w = BitWriter()
+        w.write_ue(self.frame_ctr_lsb)
+        w.byte_align()
+        return w.get_bytes()
+
+    @staticmethod
+    def parse(data: bytes) -> "FrameBoundaryMarker":
+        r = BitReader(data)
+        return FrameBoundaryMarker(r.read_ue())

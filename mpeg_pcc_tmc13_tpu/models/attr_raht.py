@@ -1,0 +1,117 @@
+"""RAHT attribute codec: transform + quantise + residual entropy coding.
+
+Counterpart of the reference `regionAdaptiveHierarchicalTransform[Inverse]`
+(RAHT.cpp:1998,2038) + the coefficient coder in AttributeEncoder.cpp.
+Transform structure is geometry-derived on both sides (ops/raht.py), so
+the payload is just the quantised coefficients: per component, a
+zero-run + sign + ueg residual stream (bitstream/entropy.py residuals).
+
+QP -> stepsize follows the reference's 6-QP-per-octave law
+(quantization.cpp:46-53): step = 2**((qp-4)/6), fixed-point Q16.
+qp==4 is step 1; with the integer-Haar transform that is exactly
+lossless.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream import entropy
+from ..bitstream.hls import AttributeDescription, AttributeParameterSet
+from ..ops import raht as raht_ops
+from ..utils import morton
+from .attributes import AttributeContexts, RES_CTX_SIZE, _RES_PREFIX_MAX, \
+    _RES_K
+
+
+def qp_to_step_q16(qp: int) -> int:
+    return max(1, int(round((2.0 ** ((qp - 4) / 6.0)) * 65536)))
+
+
+def _quantize(c: np.ndarray, step_q16: int) -> np.ndarray:
+    if c.dtype == np.int64 and step_q16 == 65536:
+        return c.astype(np.int64)
+    q = np.round(c.astype(np.float64) * 65536.0 / step_q16)
+    return q.astype(np.int64)
+
+
+def _dequantize(q: np.ndarray, step_q16: int, integer: bool) -> np.ndarray:
+    if integer and step_q16 == 65536:
+        return q.astype(np.int64)
+    d = q.astype(np.float64) * step_q16 / 65536.0
+    return np.round(d).astype(np.int64) if integer else d
+
+
+def _tree_depth(codes: np.ndarray) -> int:
+    hi = int(codes.max()) if codes.size else 0
+    return max((hi.bit_length() + 2) // 3, 1)
+
+
+def _unique_and_inverse(codes: np.ndarray):
+    """codes sorted (may contain dups) -> (unique, inverse_map)."""
+    keep = np.concatenate([[True], codes[1:] != codes[:-1]]) \
+        if codes.size else np.zeros(0, bool)
+    inv = np.cumsum(keep) - 1
+    return codes[keep], inv, keep
+
+
+def encode(values: np.ndarray, positions: np.ndarray,
+           aps: AttributeParameterSet, desc: AttributeDescription,
+           ctx: AttributeContexts) -> bytes:
+    codes = morton.encode(positions.astype(np.int64))
+    uniq, inv, keep = _unique_and_inverse(codes)
+    vals = np.asarray(values)
+    if vals.ndim == 1:
+        vals = vals[:, None]
+    if uniq.size != codes.size:
+        # duplicates: mean-reduce (reference reduceUnique, RAHT.cpp:300)
+        sums = np.zeros((uniq.size, vals.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, vals.astype(np.int64))
+        counts = np.bincount(inv)[:, None]
+        uvals = (sums + counts // 2) // counts
+    else:
+        uvals = vals.astype(np.int64)
+    depth = _tree_depth(uniq)
+    haar = aps.raht_integer_haar
+    coeffs = raht_ops.forward(uniq, uvals, depth, integer_haar=haar)
+
+    enc = entropy.RangeEncoder()
+    ncomp = coeffs.shape[1]
+    for c in range(ncomp):
+        qp = aps.init_qp + (aps.chroma_qp_offset if c > 0 else 0)
+        step = qp_to_step_q16(max(qp, 4))
+        q = _quantize(coeffs[:, c], step)
+        cslice = ctx.residuals[c * RES_CTX_SIZE:(c + 1) * RES_CTX_SIZE]
+        enc.residuals(cslice, q.astype(np.int32), _RES_PREFIX_MAX, _RES_K)
+    return enc.get_bytes()
+
+
+def decode(data: bytes, positions: np.ndarray,
+           aps: AttributeParameterSet, desc: AttributeDescription,
+           ctx: AttributeContexts) -> np.ndarray:
+    codes = morton.encode(positions.astype(np.int64))
+    uniq, inv, keep = _unique_and_inverse(codes)
+    depth = _tree_depth(uniq)
+    haar = aps.raht_integer_haar
+    n = uniq.size
+    ncomp = desc.num_components
+
+    dec = entropy.RangeDecoder(data)
+    cols = []
+    for c in range(ncomp):
+        qp = aps.init_qp + (aps.chroma_qp_offset if c > 0 else 0)
+        step = qp_to_step_q16(max(qp, 4))
+        cslice = ctx.residuals[c * RES_CTX_SIZE:(c + 1) * RES_CTX_SIZE]
+        q = dec.residuals(cslice, n, _RES_PREFIX_MAX, _RES_K)
+        cols.append(_dequantize(q.astype(np.int64), step, haar))
+    coeffs = np.stack(cols, axis=1)
+    vals = raht_ops.inverse(uniq, coeffs, depth, integer_haar=haar)
+    if not haar:
+        vals = np.round(vals).astype(np.int64)
+    hi = (1 << desc.bitdepth) - 1
+    # YCgCo-R chroma is signed (bitdepth+1); clip only the luma-like
+    # range when unsigned storage is implied by the descriptor
+    out = vals[inv]
+    if ncomp == 1:
+        return out[:, 0]
+    return out

@@ -1,0 +1,99 @@
+"""Attribute coding front-end: per-attribute dispatch to codec families.
+
+Counterpart of the reference's `AttributeEncoder::encode`
+(AttributeEncoder.cpp:465-634) / `AttributeDecoder::decode`
+(AttributeDecoder.cpp:193-260) and `makeAttributeEncoder`
+(AttributeEncoder.cpp:456).  Families (reference hls.h:132-138):
+RAHT=0, Pred=1, Lift=2, Raw=3.
+
+Attributes arrive already in geometry coding order (the permutation
+returned by the geometry codec), as the reference codes attributes over
+the decode-ordered cloud.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream import entropy
+from ..bitstream.bitio import BitReader, BitWriter
+from ..bitstream.hls import (AttributeDescription, AttributeEncoding,
+                             AttributeParameterSet)
+
+# residual coder context layout (bitstream/entropy.py residuals op):
+# ctx[0..1] zero-run flag by prev, ctx[2..2+prefix] ueg prefix
+_RES_PREFIX_MAX = 3
+_RES_K = 2
+RES_CTX_SIZE = 2 + _RES_PREFIX_MAX + 8
+
+
+@dataclass
+class AttributeContexts:
+    """Entropy contexts for attribute residual coding (reference
+    AttributeContexts, AttributeCommon.h:49-66)."""
+    residuals: np.ndarray = field(
+        default_factory=lambda: entropy.new_contexts(3 * RES_CTX_SIZE))
+
+    def copy(self):
+        return AttributeContexts(self.residuals.copy())
+
+
+def encode_raw(values: np.ndarray, desc: AttributeDescription) -> bytes:
+    """Fixed-width uncompressed attribute payload (reference
+    attribute_raw.h:47-55)."""
+    w = BitWriter()
+    flat = values.reshape(values.shape[0], -1).astype(np.int64)
+    for row in flat:
+        for v in row:
+            w.write(int(v), desc.bitdepth)
+    w.byte_align()
+    return w.get_bytes()
+
+
+def decode_raw(data: bytes, count: int,
+               desc: AttributeDescription) -> np.ndarray:
+    r = BitReader(data)
+    ncomp = desc.num_components
+    out = np.zeros((count, ncomp), dtype=np.int64)
+    for i in range(count):
+        for c in range(ncomp):
+            out[i, c] = r.read(desc.bitdepth)
+    if ncomp == 1:
+        return out[:, 0]
+    return out
+
+
+def encode(values: np.ndarray, positions: np.ndarray,
+           aps: AttributeParameterSet, desc: AttributeDescription,
+           ctx: AttributeContexts) -> bytes:
+    """Encode one attribute of a slice; returns the brick body bytes.
+
+    positions: coding-grid positions in geometry coding order (the
+    transform codecs need them for LoD / RAHT tree construction).
+    """
+    if aps.attr_encoding == AttributeEncoding.RAW:
+        return encode_raw(values, desc)
+    if aps.attr_encoding == AttributeEncoding.RAHT:
+        from . import attr_raht
+        return attr_raht.encode(values, positions, aps, desc, ctx)
+    if aps.attr_encoding in (AttributeEncoding.PRED, AttributeEncoding.LIFT):
+        from . import attr_predlift
+        return attr_predlift.encode(values, positions, aps, desc, ctx)
+    raise ValueError(f"unsupported attr_encoding {aps.attr_encoding}")
+
+
+def decode(data: bytes, positions: np.ndarray,
+           aps: AttributeParameterSet, desc: AttributeDescription,
+           ctx: AttributeContexts) -> np.ndarray:
+    count = positions.shape[0]
+    if aps.attr_encoding == AttributeEncoding.RAW:
+        return decode_raw(data, count, desc)
+    if aps.attr_encoding == AttributeEncoding.RAHT:
+        from . import attr_raht
+        return attr_raht.decode(data, positions, aps, desc, ctx)
+    if aps.attr_encoding in (AttributeEncoding.PRED, AttributeEncoding.LIFT):
+        from . import attr_predlift
+        return attr_predlift.decode(data, positions, aps, desc, ctx)
+    raise ValueError(f"unsupported attr_encoding {aps.attr_encoding}")

@@ -1,0 +1,137 @@
+"""Pre/post processing: position quantisation, dedup, colourspace.
+
+Counterpart of the reference's `tmc3/pointset_processing.{h,cpp}`
+(quantizePositions* `pointset_processing.h:89-147`) and
+`tmc3/colourspace.h` (BT.709 + YCgCo-R transforms `colourspace.h:47+`).
+All integer math; the YCgCo-R transform is exactly reversible (used for
+lossless colour round-trips).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils import morton
+from ..models.pointcloud import PointCloud
+
+
+def quantize_positions(positions: np.ndarray, scale_num: int,
+                       scale_den: int, origin) -> np.ndarray:
+    """src -> coding grid: round((pos - origin) * num / den).
+
+    Reference quantizePositions (pointset_processing.cpp): scale then
+    clamp to the slice box; we clamp at the caller via the root size.
+    """
+    p = positions.astype(np.int64) - np.asarray(origin, dtype=np.int64)
+    if scale_num == scale_den:
+        return p
+    # round-half-up in integer arithmetic
+    return (p * scale_num + scale_den // 2) // scale_den
+
+
+def dequantize_positions(positions: np.ndarray, scale_num: int,
+                         scale_den: int, origin) -> np.ndarray:
+    """coding grid -> output: pos * den / num + origin (inverse scale)."""
+    p = positions.astype(np.int64)
+    if scale_num != scale_den:
+        p = (p * scale_den + scale_num // 2) // scale_num
+    return p + np.asarray(origin, dtype=np.int64)
+
+
+def dedup_with_attributes(cloud: PointCloud) -> PointCloud:
+    """Merge duplicate positions, averaging attributes.
+
+    Reference analogue: quantizePositionsUniq + recolouring of merged
+    points (pointset_processing.h:108).  Averaging uses round-half-up
+    integer division to stay in integer domain.
+    """
+    codes = morton.encode(cloud.positions.astype(np.int64))
+    order = np.argsort(codes, kind="stable")
+    cs = codes[order]
+    keep = np.empty(cs.shape, dtype=bool)
+    if cs.size == 0:
+        return cloud.take(order)
+    keep[0] = True
+    np.not_equal(cs[1:], cs[:-1], out=keep[1:])
+    seg = np.cumsum(keep) - 1
+    n_uniq = int(seg[-1]) + 1
+    counts = np.bincount(seg, minlength=n_uniq).astype(np.int64)
+
+    def avg(a):
+        if a is None:
+            return None
+        a = a[order]
+        flat = a.reshape(a.shape[0], -1).astype(np.int64)
+        sums = np.zeros((n_uniq, flat.shape[1]), dtype=np.int64)
+        np.add.at(sums, seg, flat)
+        out = (sums + counts[:, None] // 2) // counts[:, None]
+        return out.reshape((n_uniq,) + a.shape[1:]).astype(a.dtype)
+
+    return PointCloud(
+        positions=morton.decode(cs[keep]),
+        colors=avg(cloud.colors),
+        reflectances=avg(cloud.reflectances),
+        frame_index=None if cloud.frame_index is None
+        else cloud.frame_index[order][keep],
+    )
+
+
+# --- colourspace -----------------------------------------------------
+# GBR channel order note: the reference stores colours as G,B,R
+# internally when converting (colourspace.h); we keep R,G,B order in
+# PointCloud.colors and convert in place.
+
+
+def rgb_to_ycgcor(rgb: np.ndarray) -> np.ndarray:
+    """RGB -> YCgCo-R, exactly reversible (reference colourspace.h
+    transformGbrToYCgCoR).  Output int32; Cg/Co are signed, offset by
+    caller if unsigned storage is needed."""
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    co = r - b
+    t = b + (co >> 1)
+    cg = g - t
+    y = t + (cg >> 1)
+    return np.stack([y, cg, co], axis=-1)
+
+
+def ycgcor_to_rgb(ycc: np.ndarray, bitdepth: int = 8) -> np.ndarray:
+    y = ycc[..., 0].astype(np.int32)
+    cg = ycc[..., 1].astype(np.int32)
+    co = ycc[..., 2].astype(np.int32)
+    t = y - (cg >> 1)
+    g = cg + t
+    b = t - (co >> 1)
+    r = b + co
+    hi = (1 << bitdepth) - 1
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(out, 0, hi)
+
+
+def rgb_to_ycbcr_bt709(rgb: np.ndarray, bitdepth: int = 8) -> np.ndarray:
+    """RGB -> YCbCr BT.709 fixed-point (reference colourspace.h:47,
+    transformGbrToYCbCrBt709: 16-bit coefficients, offset + clamp)."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    off = 1 << (bitdepth - 1)
+    hi = (1 << bitdepth) - 1
+    y = (13933 * r + 46871 * g + 4732 * b) >> 16
+    cb = off + ((-7509 * r - 25259 * g + 32768 * b) >> 16)
+    cr = off + ((32768 * r - 29763 * g - 3005 * b) >> 16)
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(out, 0, hi).astype(rgb.dtype)
+
+
+def ycbcr_bt709_to_rgb(ycc: np.ndarray, bitdepth: int = 8) -> np.ndarray:
+    y = ycc[..., 0].astype(np.int64)
+    off = 1 << (bitdepth - 1)
+    cb = ycc[..., 1].astype(np.int64) - off
+    cr = ycc[..., 2].astype(np.int64) - off
+    hi = (1 << bitdepth) - 1
+    r = y + ((103206 * cr) >> 16)
+    g = y - ((12276 * cb + 30679 * cr) >> 16)
+    b = y + ((121608 * cb) >> 16)
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(out, 0, hi).astype(ycc.dtype)

@@ -1,0 +1,215 @@
+"""tmc3-compatible CLI and sequence driver.
+
+Counterpart of the reference `main`/`SequenceEncoder`/`SequenceDecoder`
+(TMC3.cpp:220-259, 2153-2440): `--mode=0` encodes a PLY (sequence) to a
+TLV stream, `--mode=1` decodes it back.  Accepts the same core option
+names and `name: value` config files as the reference so the CTC harness
+scripts drive it unchanged.  Options not yet meaningful to this
+framework are accepted and ignored with a notice (printed once), so
+reference-generated cfg trees run as-is.
+
+Run: python -m mpeg_pcc_tmc13_tpu.runtime.cli --mode=0 \
+       --uncompressedDataPath=in.ply --compressedStreamPath=out.bin
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..bitstream import hls
+from ..bitstream.tlv import iter_tlv, write_tlv
+from ..models.pointcloud import PointCloud
+from ..utils import options as opt
+from ..utils import ply
+from ..version import __version__
+from .decoder import FrameDecoder
+from .encoder import AttributeConfig, EncoderParams, FrameEncoder
+
+_TRANSFORM_TYPES = {
+    0: hls.AttributeEncoding.RAHT,
+    1: hls.AttributeEncoding.PRED,
+    2: hls.AttributeEncoding.LIFT,
+    3: hls.AttributeEncoding.RAW,
+}
+
+
+class Config:
+    """Effective configuration after option processing."""
+
+    def __init__(self):
+        self.mode = 0
+        self.uncompressed_path: Optional[str] = None
+        self.compressed_path: Optional[str] = None
+        self.reconstructed_path: Optional[str] = None
+        self.first_frame = 0
+        self.frame_count = 1
+        self.output_binary_ply = True
+        self.convert_colourspace = True
+        self.params = EncoderParams()
+        self.disable_attributes = False
+        self.ignored: List[str] = []
+        # sticky per-attribute pending state (reference TMC3.cpp:1247)
+        self._pending_attr: Dict[str, str] = {}
+
+    def apply(self, name: str, value: str):
+        p = self.params
+        try:
+            if name == "mode":
+                self.mode = opt.to_int(value)
+            elif name == "uncompressedDataPath":
+                self.uncompressed_path = value
+            elif name == "compressedStreamPath":
+                self.compressed_path = value
+            elif name == "reconstructedDataPath":
+                self.reconstructed_path = value
+            elif name == "firstFrameNum":
+                self.first_frame = opt.to_int(value)
+            elif name == "frameCount":
+                self.frame_count = opt.to_int(value)
+            elif name == "outputBinaryPly":
+                self.output_binary_ply = opt.to_bool(value)
+            elif name == "convertPlyColourspace":
+                self.convert_colourspace = opt.to_bool(value)
+            elif name in ("positionQuantizationScale", "codingScale",
+                          "sequenceScale", "inputScale"):
+                num, den = opt.float_to_rational(opt.to_float(value))
+                p.geom_scale_num, p.geom_scale_den = num, den
+            elif name == "mergeDuplicatedPoints":
+                p.merge_duplicated_points = opt.to_bool(value)
+            elif name == "sliceMaxPoints":
+                p.max_points_per_slice = opt.to_int(value)
+            elif name == "entropyContinuationEnabled":
+                p.entropy_continuation = opt.to_bool(value)
+            elif name == "trisoupNodeSizeLog2":
+                v = opt.to_int(value.split()[0]) if value else 0
+                p.trisoup_node_size_log2 = v
+                if v > 0:
+                    p.geometry_codec = hls.GeometryCodecType.TRISOUP
+            elif name == "geomTreeType":
+                p.geometry_codec = (hls.GeometryCodecType.PREDICTIVE
+                                    if opt.to_int(value)
+                                    else hls.GeometryCodecType.OCTREE)
+            elif name == "disableAttributeCoding":
+                self.disable_attributes = opt.to_bool(value)
+            # ---- sticky attribute params ----
+            elif name in ("qp", "bitdepth", "transformType", "integerHaar",
+                          "qpChromaOffset", "attrScale", "attrOffset",
+                          "defaultValue", "colourMatrix"):
+                self._pending_attr[name] = value
+            elif name == "attribute":
+                a = self._pending_attr
+                enc_t = _TRANSFORM_TYPES[int(a.get("transformType", "0"))]
+                cicp = int(a.get("colourMatrix", "8"))
+                if not self.convert_colourspace:
+                    cicp = 0
+                self.params.attributes.append(AttributeConfig(
+                    label=value.strip(),
+                    bitdepth=int(a.get("bitdepth", "8")),
+                    encoding=enc_t,
+                    qp=int(a.get("qp", "4")),
+                    qp_chroma_offset=int(a.get("qpChromaOffset", "0")),
+                    raht_integer_haar=opt.to_bool(a.get("integerHaar", "0")),
+                    cicp_matrix=cicp,
+                ))
+            else:
+                self.ignored.append(name)
+        except (ValueError, KeyError) as e:
+            raise opt.OptionError(f"option {name}={value!r}: {e}") from e
+
+
+def parse_command_line(argv: List[str]) -> Config:
+    cfg = Config()
+    for name, value in opt.parse_argv(argv):
+        cfg.apply(name, value)
+    if cfg.disable_attributes:
+        cfg.params.attributes = []
+    return cfg
+
+
+def _ply_to_cloud(pcloud: ply.PlyCloud) -> PointCloud:
+    return PointCloud(
+        positions=np.round(pcloud.positions).astype(np.int64),
+        colors=pcloud.colors,
+        reflectances=pcloud.reflectances,
+        frame_index=pcloud.frame_indices,
+    )
+
+
+def _cloud_to_ply(cloud: PointCloud) -> ply.PlyCloud:
+    return ply.PlyCloud(
+        positions=cloud.positions.astype(np.float64),
+        colors=cloud.colors,
+        reflectances=cloud.reflectances,
+    )
+
+
+def encode_sequence(cfg: Config) -> int:
+    enc = FrameEncoder(cfg.params)
+    total_bytes = 0
+    t0 = time.monotonic()
+    with open(cfg.compressed_path, "wb") as fout:
+        sizes = {"n": 0}
+
+        def emit(buf):
+            sizes["n"] += len(buf.data) + 5
+            write_tlv(buf, fout)
+
+        for i in range(cfg.frame_count):
+            path = ply.expand_num(cfg.uncompressed_path, cfg.first_frame + i)
+            src = _ply_to_cloud(ply.read(path))
+            enc.compress(src, emit)
+            print(f"frame {cfg.first_frame + i}: {src.count} points")
+        total_bytes = sizes["n"]
+    dt = time.monotonic() - t0
+    print(f"Total bitstream size {total_bytes} B")
+    print(f"Processing time (wall): {dt:.3f} s")
+    return 0
+
+
+def decode_sequence(cfg: Config) -> int:
+    frames = []
+    t0 = time.monotonic()
+    dec = FrameDecoder(frames.append)
+    with open(cfg.compressed_path, "rb") as f:
+        for buf in iter_tlv(f):
+            dec.decompress(buf)
+    dec.flush()
+    for i, cloud in enumerate(frames):
+        if cfg.reconstructed_path:
+            path = ply.expand_num(cfg.reconstructed_path,
+                                  cfg.first_frame + i)
+            ply.write(_cloud_to_ply(cloud), path,
+                      ascii=not cfg.output_binary_ply)
+        print(f"frame {cfg.first_frame + i}: {cloud.count} points")
+    dt = time.monotonic() - t0
+    print(f"Processing time (wall): {dt:.3f} s")
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    print(f"mpeg_pcc_tmc13_tpu v{__version__} (TPU-native G-PCC)")
+    try:
+        cfg = parse_command_line(sys.argv[1:] if argv is None else argv)
+    except opt.OptionError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    if cfg.ignored:
+        print("ignored options (not yet meaningful on this framework): "
+              + ", ".join(sorted(set(cfg.ignored))))
+    if not cfg.compressed_path:
+        print("error: compressedStreamPath required", file=sys.stderr)
+        return 1
+    if cfg.mode == 0:
+        if not cfg.uncompressed_path:
+            print("error: uncompressedDataPath required", file=sys.stderr)
+            return 1
+        return encode_sequence(cfg)
+    return decode_sequence(cfg)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

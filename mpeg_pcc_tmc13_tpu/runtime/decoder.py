@@ -1,0 +1,146 @@
+"""Payload dispatcher & frame reassembly.
+
+Counterpart of `PCCTMC3Decoder3::decompress` (reference
+decoder.cpp:302-418): parameter-set storage/activation, frame-boundary
+detection via `frame_ctr_lsb` (decoder.cpp:101-140), geometry/attribute
+brick decode, slice accumulation into the output cloud, inverse global
+scale on output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..bitstream import entropy, hls
+from ..bitstream.tlv import PayloadBuffer, PayloadType
+from ..models import attributes as attr_model
+from ..models import geometry_octree
+from ..models import pointcloud as pc
+from ..ops import processing
+
+
+@dataclass
+class _SliceState:
+    positions: np.ndarray                 # grid coords, coding order
+    local: np.ndarray                     # slice-local, coding order
+    attrs: Dict[int, np.ndarray] = field(default_factory=dict)
+
+
+class FrameDecoder:
+    """Feed TLV payloads in stream order; frames come out via callback."""
+
+    def __init__(self, on_output_cloud: Callable[[pc.PointCloud], None]):
+        self.on_output_cloud = on_output_cloud
+        self.sps: Dict[int, hls.SequenceParameterSet] = {}
+        self.gps: Dict[int, hls.GeometryParameterSet] = {}
+        self.aps: Dict[int, hls.AttributeParameterSet] = {}
+        self.active_sps: Optional[hls.SequenceParameterSet] = None
+        self._slices: List[_SliceState] = []
+        self._frame_ctr_lsb: Optional[int] = None
+        self._geom_ctx: Optional[geometry_octree.OctreeContexts] = None
+        self._attr_ctx: Dict[int, attr_model.AttributeContexts] = {}
+
+    # ------------------------------------------------------------------
+    def decompress(self, buf: PayloadBuffer):
+        t = buf.type
+        if t == PayloadType.SEQUENCE_PARAMETER_SET:
+            s = hls.SequenceParameterSet.parse(buf.data)
+            self.sps[s.sps_id] = s
+            self.active_sps = s
+        elif t == PayloadType.GEOMETRY_PARAMETER_SET:
+            g = hls.GeometryParameterSet.parse(buf.data)
+            self.gps[g.gps_id] = g
+        elif t == PayloadType.ATTRIBUTE_PARAMETER_SET:
+            a = hls.AttributeParameterSet.parse(buf.data)
+            self.aps[a.aps_id] = a
+        elif t == PayloadType.FRAME_BOUNDARY_MARKER:
+            m = hls.FrameBoundaryMarker.parse(buf.data)
+            self._detect_frame_boundary(m.frame_ctr_lsb)
+        elif t == PayloadType.GEOMETRY_BRICK:
+            self._decode_geometry_brick(buf.data)
+        elif t == PayloadType.ATTRIBUTE_BRICK:
+            self._decode_attribute_brick(buf.data)
+        elif t in (PayloadType.TILE_INVENTORY, PayloadType.USER_DATA,
+                   PayloadType.CONSTANT_ATTRIBUTE,
+                   PayloadType.DEFAULT_ATTRIBUTE):
+            pass  # informational / later rounds
+        else:
+            raise ValueError(f"unknown payload type {t}")
+
+    def flush(self):
+        """End of stream: emit the pending frame."""
+        if self._slices:
+            self._output_frame()
+
+    # -- frame boundary (reference dectectFrameBoundary,
+    #    decoder.cpp:101) ---------------------------------------------
+    def _detect_frame_boundary(self, frame_ctr_lsb: int):
+        if (self._frame_ctr_lsb is not None
+                and frame_ctr_lsb != self._frame_ctr_lsb
+                and self._slices):
+            self._output_frame()
+        self._frame_ctr_lsb = frame_ctr_lsb
+
+    # -- geometry brick (reference decodeGeometryBrick,
+    #    decoder.cpp:573) ---------------------------------------------
+    def _decode_geometry_brick(self, data: bytes):
+        gbh, off = hls.GeometryBrickHeader.parse(data)
+        self._detect_frame_boundary(gbh.frame_ctr_lsb)
+        gps = self.gps[gbh.gps_id]
+
+        continuing = gbh.entropy_continuation and self._geom_ctx is not None
+        if not continuing:
+            self._geom_ctx = geometry_octree.OctreeContexts()
+            self._attr_ctx = {i: attr_model.AttributeContexts()
+                              for i in self.aps}
+
+        stream = data[off:off + gbh.stream_len]
+        dec = entropy.RangeDecoder(stream)
+        local = geometry_octree.decode(
+            gbh.num_points, gbh.root_node_size_log2, dec, self._geom_ctx,
+            unique_points=gps.unique_points)
+        grid = local + np.asarray(gbh.slice_origin, dtype=np.int64)
+        self._slices.append(_SliceState(positions=grid, local=local))
+
+    # -- attribute brick (reference decodeAttributeBrick,
+    #    decoder.cpp:781) ---------------------------------------------
+    def _decode_attribute_brick(self, data: bytes):
+        abh, off = hls.AttributeBrickHeader.parse(data)
+        aps = self.aps[abh.aps_id]
+        desc = self.active_sps.attributes[abh.sps_attr_idx]
+        assert self._slices, "attribute brick before geometry brick"
+        sl = self._slices[-1]
+        values = attr_model.decode(
+            data[off:], sl.local, aps, desc,
+            self._attr_ctx.get(abh.aps_id, attr_model.AttributeContexts()))
+        sl.attrs[abh.sps_attr_idx] = values
+
+    # -- frame output (reference outputCurrentCloud / inverse scale) --
+    def _output_frame(self):
+        sps = self.active_sps
+        clouds = []
+        for sl in self._slices:
+            colors = None
+            refl = None
+            for idx, vals in sl.attrs.items():
+                desc = sps.attributes[idx]
+                vals = np.asarray(vals)
+                if desc.label == "color":
+                    if desc.cicp_matrix == 8:
+                        vals = processing.ycgcor_to_rgb(
+                            vals, desc.bitdepth)
+                    elif desc.cicp_matrix == 1:
+                        vals = processing.ycbcr_bt709_to_rgb(
+                            vals, desc.bitdepth)
+                    colors = vals
+                elif desc.label == "reflectance":
+                    refl = vals
+            pos = processing.dequantize_positions(
+                sl.positions, sps.geom_scale_num, sps.geom_scale_den,
+                (0, 0, 0))
+            clouds.append(pc.PointCloud(pos, colors, refl))
+        self._slices = []
+        self.on_output_cloud(pc.concat(clouds))

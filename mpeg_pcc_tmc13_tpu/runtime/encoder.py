@@ -1,0 +1,212 @@
+"""Per-frame encoder orchestration.
+
+Counterpart of `PCCTMC3Encoder3::compress` (reference encoder.cpp:86-610):
+derive parameter sets on frame 0, quantise+dedup input, partition into
+slices, per-slice geometry + attribute bricks, emit TLV payloads through
+a callback.  Slices are the multi-chip parallelism unit (SURVEY.md §2.9);
+the slice loop here is embarrassingly parallel and is what
+`parallel/` shards over a device mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..bitstream import entropy, hls
+from ..bitstream.tlv import PayloadBuffer, PayloadType
+from ..models import attributes as attr_model
+from ..models import geometry_octree
+from ..models.pointcloud import PointCloud
+from ..ops import processing
+
+
+@dataclass
+class AttributeConfig:
+    """Per-attribute encoder options (reference per-attribute APS
+    derivation, encoder.cpp:677-708)."""
+    label: str = "color"
+    bitdepth: int = 8
+    encoding: hls.AttributeEncoding = hls.AttributeEncoding.RAHT
+    qp: int = 4
+    qp_chroma_offset: int = 0
+    raht_integer_haar: bool = False
+    # colourMatrix (reference TMC3.cpp:1270): 0 identity, 8 YCgCo-R.
+    # YCgCo-R is exactly reversible => default for transform coding.
+    cicp_matrix: int = 8
+
+
+@dataclass
+class EncoderParams:
+    """Encoder options (subset of the reference's ~190, TMC3.cpp:632)."""
+    # positionQuantizationScale as a rational (reference seq scale)
+    geom_scale_num: int = 1
+    geom_scale_den: int = 1
+    merge_duplicated_points: bool = True
+    geometry_codec: hls.GeometryCodecType = hls.GeometryCodecType.OCTREE
+    trisoup_node_size_log2: int = 0
+    attributes: List[AttributeConfig] = field(default_factory=list)
+    # slice partitioning (reference partitioning.cpp): 0 = single slice
+    max_points_per_slice: int = 1_100_000
+    entropy_continuation: bool = False
+    frame_ctr_bits: int = 8
+    use_device: bool = False
+
+
+class FrameEncoder:
+    """Sequence-scoped encoder state + per-frame compress()."""
+
+    def __init__(self, params: EncoderParams):
+        self.params = params
+        self.sps: Optional[hls.SequenceParameterSet] = None
+        self.gps: Optional[hls.GeometryParameterSet] = None
+        self.aps: List[hls.AttributeParameterSet] = []
+        self.frame_ctr = 0
+        self._slice_id = 0
+        self._geom_ctx: Optional[geometry_octree.OctreeContexts] = None
+        self._attr_ctx: Dict[int, attr_model.AttributeContexts] = {}
+
+    # -- parameter-set derivation (reference deriveParameterSets,
+    #    encoder.cpp:677) ---------------------------------------------
+    def _derive_parameter_sets(self, cloud: PointCloud):
+        p = self.params
+        sps = hls.SequenceParameterSet(
+            frame_ctr_bits=p.frame_ctr_bits,
+            geom_scale_num=p.geom_scale_num,
+            geom_scale_den=p.geom_scale_den,
+            entropy_continuation_enabled=p.entropy_continuation,
+        )
+        for ac in p.attributes:
+            ncomp = 3 if ac.label == "color" else 1
+            cicp = ac.cicp_matrix if (
+                ac.label == "color"
+                and ac.encoding != hls.AttributeEncoding.RAW) else 0
+            sps.attributes.append(hls.AttributeDescription(
+                label=ac.label, num_components=ncomp,
+                bitdepth=ac.bitdepth, cicp_matrix=cicp))
+        gps = hls.GeometryParameterSet(
+            codec_type=p.geometry_codec,
+            unique_points=p.merge_duplicated_points,
+            trisoup_node_size_log2=p.trisoup_node_size_log2,
+        )
+        aps_list = []
+        for i, ac in enumerate(p.attributes):
+            aps_list.append(hls.AttributeParameterSet(
+                aps_id=i, attr_encoding=ac.encoding, init_qp=ac.qp,
+                chroma_qp_offset=ac.qp_chroma_offset,
+                raht_integer_haar=ac.raht_integer_haar))
+        self.sps, self.gps, self.aps = sps, gps, aps_list
+
+    # -- slice partitioning (reference partitionByNpts,
+    #    partitioning.cpp:261; v1: Morton-contiguous equal chunks) ----
+    def _partition(self, cloud: PointCloud) -> List[PointCloud]:
+        n = cloud.count
+        maxpts = self.params.max_points_per_slice
+        if n <= maxpts:
+            return [cloud]
+        nslices = -(-n // maxpts)
+        bounds = np.linspace(0, n, nslices + 1).astype(np.int64)
+        return [cloud.take(np.arange(bounds[i], bounds[i + 1]))
+                for i in range(nslices)]
+
+    def compress(self, cloud: PointCloud,
+                 out: Callable[[PayloadBuffer], None]):
+        """Compress one frame; emits payloads through `out`."""
+        p = self.params
+        first_frame = self.sps is None
+        if first_frame:
+            self._derive_parameter_sets(cloud)
+            out(PayloadBuffer(PayloadType.SEQUENCE_PARAMETER_SET,
+                              self.sps.write()))
+            out(PayloadBuffer(PayloadType.GEOMETRY_PARAMETER_SET,
+                              self.gps.write()))
+            for a in self.aps:
+                out(PayloadBuffer(PayloadType.ATTRIBUTE_PARAMETER_SET,
+                                  a.write()))
+
+        # input quantisation (reference encoder.cpp:1554-1577).  Scale
+        # only; per-slice origins are signalled absolute in grid units,
+        # so no sequence origin enters the reconstruction path.
+        grid = processing.quantize_positions(
+            cloud.positions, p.geom_scale_num, p.geom_scale_den, (0, 0, 0))
+        qcloud = PointCloud(grid, cloud.colors, cloud.reflectances,
+                            cloud.frame_index)
+        if p.merge_duplicated_points:
+            qcloud = processing.dedup_with_attributes(qcloud)
+
+        frame_ctr_lsb = self.frame_ctr & ((1 << self.sps.frame_ctr_bits) - 1)
+        if not first_frame:
+            out(PayloadBuffer(
+                PayloadType.FRAME_BOUNDARY_MARKER,
+                hls.FrameBoundaryMarker(frame_ctr_lsb).write()))
+
+        for scloud in self._partition(qcloud):
+            self._compress_slice(scloud, frame_ctr_lsb, out)
+        self.frame_ctr += 1
+
+    # -- per-slice coding (reference compressPartition,
+    #    encoder.cpp:924) --------------------------------------------
+    def _compress_slice(self, cloud: PointCloud, frame_ctr_lsb: int,
+                        out: Callable[[PayloadBuffer], None]):
+        p = self.params
+        slice_origin = cloud.bbox()[0]
+        local = cloud.positions.astype(np.int64) - slice_origin
+        maxv = int(local.max()) if cloud.count else 0
+        depth = max(int(maxv).bit_length(), 1) if cloud.count else 1
+
+        continuing = p.entropy_continuation and self._geom_ctx is not None
+        if not continuing:
+            self._geom_ctx = geometry_octree.OctreeContexts()
+            self._attr_ctx = {
+                i: attr_model.AttributeContexts()
+                for i in range(len(self.aps))}
+
+        enc = entropy.RangeEncoder()
+        order = geometry_octree.encode(
+            local, depth, enc, self._geom_ctx,
+            unique_points=self.gps.unique_points,
+            use_device=p.use_device)
+        stream = enc.get_bytes()
+
+        gbh = hls.GeometryBrickHeader(
+            gps_id=self.gps.gps_id,
+            slice_id=self._slice_id,
+            frame_ctr_lsb=frame_ctr_lsb,
+            slice_origin=tuple(int(v) for v in np.asarray(slice_origin)),
+            root_node_size_log2=depth,
+            num_points=cloud.count,
+            entropy_continuation=continuing,
+            prev_slice_id=self._slice_id - 1,
+            stream_len=len(stream),
+        )
+        out(PayloadBuffer(PayloadType.GEOMETRY_BRICK,
+                          gbh.write() + stream))
+
+        # decoded-order positions for the attribute transforms
+        coded = cloud.take(order)
+        if self.gps.unique_points:
+            # positions were already unique (dedup ran) — order keeps them
+            pass
+        dec_positions = coded.positions.astype(np.int64) - slice_origin
+
+        for i, (aps, desc) in enumerate(zip(self.aps, self.sps.attributes)):
+            values = (coded.colors if desc.label == "color"
+                      else coded.reflectances)
+            if values is None:
+                continue
+            values = np.asarray(values)
+            if desc.cicp_matrix == 8:
+                values = processing.rgb_to_ycgcor(values)
+            elif desc.cicp_matrix == 1:
+                values = processing.rgb_to_ycbcr_bt709(
+                    values, desc.bitdepth)
+            body = attr_model.encode(
+                values, dec_positions, aps, desc, self._attr_ctx[i])
+            abh = hls.AttributeBrickHeader(
+                aps_id=aps.aps_id, sps_attr_idx=i,
+                slice_id=self._slice_id)
+            out(PayloadBuffer(PayloadType.ATTRIBUTE_BRICK,
+                              abh.write() + body))
+        self._slice_id += 1

@@ -1,0 +1,127 @@
+"""End-to-end frame encoder -> TLV -> decoder round-trip."""
+
+import io
+
+import numpy as np
+import pytest
+
+from mpeg_pcc_tmc13_tpu.bitstream import hls
+from mpeg_pcc_tmc13_tpu.bitstream.tlv import iter_tlv, write_tlv
+from mpeg_pcc_tmc13_tpu.models.pointcloud import PointCloud
+from mpeg_pcc_tmc13_tpu.runtime.decoder import FrameDecoder
+from mpeg_pcc_tmc13_tpu.runtime.encoder import (AttributeConfig,
+                                                EncoderParams, FrameEncoder)
+from mpeg_pcc_tmc13_tpu.utils import morton
+
+
+def make_cloud(n=2000, depth=9, seed=0, colors=True, refl=False,
+               negative=False):
+    rng = np.random.default_rng(seed)
+    pos = rng.integers(0, 1 << depth, size=(n, 3), dtype=np.int64)
+    if negative:
+        pos -= 1 << (depth - 1)
+    return PointCloud(
+        positions=pos,
+        colors=rng.integers(0, 256, (n, 3), dtype=np.uint16)
+        if colors else None,
+        reflectances=rng.integers(0, 256, n, dtype=np.uint16)
+        if refl else None,
+    )
+
+
+def roundtrip(cloud_or_clouds, params):
+    clouds = (cloud_or_clouds if isinstance(cloud_or_clouds, list)
+              else [cloud_or_clouds])
+    bs = io.BytesIO()
+    enc = FrameEncoder(params)
+    for c in clouds:
+        enc.compress(c, lambda buf: write_tlv(buf, bs))
+    bs.seek(0)
+    outputs = []
+    dec = FrameDecoder(outputs.append)
+    for buf in iter_tlv(bs):
+        dec.decompress(buf)
+    dec.flush()
+    return outputs, bs.getbuffer().nbytes
+
+
+def canon(cloud):
+    """Sort cloud by Morton code for order-independent comparison."""
+    order = np.argsort(morton.encode(cloud.positions), kind="stable")
+    return cloud.take(order)
+
+
+def test_geometry_only_lossless():
+    cloud = make_cloud(colors=False)
+    outs, nbytes = roundtrip(cloud, EncoderParams())
+    assert len(outs) == 1
+    expect = np.unique(morton.encode(cloud.positions))
+    got = np.sort(morton.encode(outs[0].positions))
+    np.testing.assert_array_equal(got, expect)
+    assert nbytes < cloud.count * 12  # actually compressed
+
+
+def test_geometry_negative_coords():
+    cloud = make_cloud(colors=False, negative=True)
+    outs, _ = roundtrip(cloud, EncoderParams())
+    expect = np.unique(morton.encode(cloud.positions + (1 << 20)))
+    got = np.sort(morton.encode(outs[0].positions + (1 << 20)))
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_raw_attributes_lossless():
+    cloud = make_cloud(colors=True, refl=True)
+    params = EncoderParams(attributes=[
+        AttributeConfig("color", 8, hls.AttributeEncoding.RAW),
+        AttributeConfig("reflectance", 8, hls.AttributeEncoding.RAW),
+    ])
+    outs, _ = roundtrip(cloud, params)
+    got = canon(outs[0])
+    # dedup the source identically to compare attributes
+    from mpeg_pcc_tmc13_tpu.ops.processing import dedup_with_attributes
+    expect = canon(dedup_with_attributes(cloud))
+    np.testing.assert_array_equal(got.positions, expect.positions)
+    np.testing.assert_array_equal(got.colors, expect.colors)
+    np.testing.assert_array_equal(got.reflectances, expect.reflectances)
+
+
+def test_lossy_geometry_scale():
+    cloud = make_cloud(colors=False, depth=12)
+    params = EncoderParams(geom_scale_num=1, geom_scale_den=4)
+    outs, _ = roundtrip(cloud, params)
+    # every reconstructed point within den/2 of some source point (grid)
+    err = np.abs(outs[0].positions[:, None, :] -
+                 cloud.positions[None, :2000:50, :])
+    assert outs[0].count > 0
+    # positions are on the de-quantised lattice
+    assert np.all(outs[0].positions % 1 == 0)
+
+
+def test_multi_frame():
+    clouds = [make_cloud(seed=s, colors=False) for s in range(3)]
+    outs, _ = roundtrip(clouds, EncoderParams())
+    assert len(outs) == 3
+    for src, out in zip(clouds, outs):
+        expect = np.unique(morton.encode(src.positions))
+        np.testing.assert_array_equal(
+            np.sort(morton.encode(out.positions)), expect)
+
+
+def test_multi_slice():
+    cloud = make_cloud(n=5000, colors=False)
+    params = EncoderParams(max_points_per_slice=1000)
+    outs, _ = roundtrip(cloud, params)
+    expect = np.unique(morton.encode(cloud.positions))
+    got = np.sort(morton.encode(outs[0].positions))
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_duplicate_points_kept():
+    cloud = make_cloud(n=1000, colors=False)
+    dup = PointCloud(np.concatenate([cloud.positions, cloud.positions[:100]]))
+    params = EncoderParams(merge_duplicated_points=False)
+    outs, _ = roundtrip(dup, params)
+    assert outs[0].count == dup.count
+    np.testing.assert_array_equal(
+        np.sort(morton.encode(outs[0].positions)),
+        np.sort(morton.encode(dup.positions)))

@@ -1,0 +1,122 @@
+"""RAHT transform + attribute codec tests."""
+
+import numpy as np
+import pytest
+
+from mpeg_pcc_tmc13_tpu.bitstream import hls
+from mpeg_pcc_tmc13_tpu.models import attr_raht, attributes
+from mpeg_pcc_tmc13_tpu.ops import raht as raht_ops
+from mpeg_pcc_tmc13_tpu.utils import morton
+
+
+def random_codes(n, depth, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = rng.integers(0, 1 << depth, size=(n, 3), dtype=np.int64)
+    return np.unique(morton.encode(pos)), rng
+
+
+@pytest.mark.parametrize("n,depth", [(1, 3), (10, 3), (1000, 6), (5000, 8)])
+def test_forward_inverse_float(n, depth):
+    codes, rng = random_codes(n, depth, seed=n)
+    vals = rng.integers(0, 256, (codes.size, 3)).astype(np.float64)
+    coeffs = raht_ops.forward(codes, vals, depth)
+    assert coeffs.shape == vals.shape
+    rec = raht_ops.inverse(codes, coeffs, depth)
+    np.testing.assert_allclose(rec, vals, atol=1e-8)
+
+
+def test_forward_preserves_energy():
+    codes, rng = random_codes(2000, 7, seed=2)
+    vals = rng.normal(0, 100, (codes.size, 1))
+    coeffs = raht_ops.forward(codes, vals, 7)
+    # orthonormal transform preserves L2 energy
+    np.testing.assert_allclose(
+        np.sum(coeffs ** 2), np.sum(vals ** 2), rtol=1e-10)
+
+
+@pytest.mark.parametrize("n,depth", [(17, 4), (3000, 8)])
+def test_forward_inverse_haar(n, depth):
+    codes, rng = random_codes(n, depth, seed=n + 1)
+    vals = rng.integers(0, 256, (codes.size, 3)).astype(np.int64)
+    coeffs = raht_ops.forward(codes, vals, depth, integer_haar=True)
+    rec = raht_ops.inverse(codes, coeffs, depth, integer_haar=True)
+    np.testing.assert_array_equal(rec, vals)
+
+
+def _roundtrip_attr(vals, pos, aps, desc):
+    ectx = attributes.AttributeContexts()
+    body = attr_raht.encode(vals, pos, aps, desc, ectx)
+    dctx = attributes.AttributeContexts()
+    out = attr_raht.decode(body, pos, aps, desc, dctx)
+    return out, len(body)
+
+
+def test_codec_lossless_haar():
+    codes, rng = random_codes(4000, 8, seed=5)
+    pos = morton.decode(codes)
+    vals = rng.integers(0, 256, (codes.size, 3)).astype(np.int64)
+    aps = hls.AttributeParameterSet(init_qp=4, raht_integer_haar=True)
+    desc = hls.AttributeDescription("color", 3, 8)
+    out, nbytes = _roundtrip_attr(vals, pos, aps, desc)
+    np.testing.assert_array_equal(out, vals)
+    # random colours are incompressible; bound the ueg expansion
+    assert nbytes < codes.size * 3 * 2
+
+
+def test_codec_lossy_quality():
+    # smooth attribute field -> small coded size, bounded error
+    codes, _ = random_codes(4000, 8, seed=6)
+    pos = morton.decode(codes)
+    vals = (pos.sum(axis=1, keepdims=True) // 8).astype(np.int64)
+    aps = hls.AttributeParameterSet(init_qp=22)  # step = 8
+    desc = hls.AttributeDescription("reflectance", 1, 8)
+    out, nbytes = _roundtrip_attr(vals[:, 0], pos, aps, desc)
+    err = np.abs(out.astype(np.int64) - vals[:, 0])
+    assert err.max() <= 24  # a few quantisation steps
+    assert nbytes < codes.size  # < 2 bits/point on smooth data
+
+
+def test_codec_with_duplicates():
+    codes, rng = random_codes(500, 6, seed=7)
+    dup = np.sort(np.concatenate([codes, codes[:100]]))
+    pos = morton.decode(dup)
+    vals = rng.integers(0, 256, (dup.size, 3)).astype(np.int64)
+    aps = hls.AttributeParameterSet(init_qp=4, raht_integer_haar=True)
+    desc = hls.AttributeDescription("color", 3, 8)
+    out, _ = _roundtrip_attr(vals, pos, aps, desc)
+    assert out.shape == vals.shape
+    # duplicate positions share the mean value
+    assert np.array_equal(out[0], out[0])
+
+
+def test_full_pipeline_raht_colors():
+    from tests.test_frame_codec import make_cloud, roundtrip, canon
+    from mpeg_pcc_tmc13_tpu.runtime.encoder import (AttributeConfig,
+                                                    EncoderParams)
+    from mpeg_pcc_tmc13_tpu.ops.processing import dedup_with_attributes
+    cloud = make_cloud(n=3000, colors=True)
+    params = EncoderParams(attributes=[
+        AttributeConfig("color", 8, hls.AttributeEncoding.RAHT,
+                        qp=4, raht_integer_haar=True)])
+    outs, nbytes = roundtrip(cloud, params)
+    got = canon(outs[0])
+    expect = canon(dedup_with_attributes(cloud))
+    np.testing.assert_array_equal(got.positions, expect.positions)
+    np.testing.assert_array_equal(got.colors, expect.colors)
+
+
+def test_full_pipeline_raht_lossy():
+    from tests.test_frame_codec import make_cloud, roundtrip, canon
+    from mpeg_pcc_tmc13_tpu.runtime.encoder import (AttributeConfig,
+                                                    EncoderParams)
+    from mpeg_pcc_tmc13_tpu.ops.processing import dedup_with_attributes
+    cloud = make_cloud(n=3000, colors=True)
+    params = EncoderParams(attributes=[
+        AttributeConfig("color", 8, hls.AttributeEncoding.RAHT, qp=28)])
+    outs, _ = roundtrip(cloud, params)
+    got = canon(outs[0])
+    expect = canon(dedup_with_attributes(cloud))
+    np.testing.assert_array_equal(got.positions, expect.positions)
+    # bounded error on random colors at qp 28 (step=16): loose sanity
+    err = np.abs(got.colors.astype(int) - expect.colors.astype(int))
+    assert err.mean() < 32
