@@ -81,6 +81,14 @@ def _load_native() -> Optional[ctypes.CDLL]:
                                   c.c_int32, c.c_int32]
     lib.rcd_residuals.argtypes = [c.c_void_p, u16p, i32p, c.c_int64,
                                   c.c_int32, c.c_int32]
+    i64p = c.POINTER(c.c_int64)
+    lib.oct_encode.argtypes = [c.c_void_p, u16p, i64p, c.c_int64,
+                               c.c_int32, c.c_int32]
+    lib.oct_encode.restype = c.c_int64
+    lib.oct_decode.argtypes = [c.c_void_p, u16p, i64p, c.c_int64,
+                               c.c_int32, c.c_int32]
+    lib.oct_decode.restype = c.c_int64
+    lib.radix_sort64.argtypes = [i64p, i64p, c.c_int64]
     return lib
 
 
@@ -372,6 +380,13 @@ class _NativeEncoder:
                            _ptr(b, ctypes.c_int32), _ptr(o, ctypes.c_uint8),
                            len(b))
 
+    def octree(self, ctx, leaf_codes_sorted, depth, mode):
+        """Full-tree occupancy coding in one native call (octree.cc)."""
+        c = _as(leaf_codes_sorted, np.int64)
+        return int(_LIB.oct_encode(
+            self._h, _ptr(ctx, ctypes.c_uint16),
+            _ptr(c, ctypes.c_int64), len(c), depth, mode))
+
     def residuals(self, ctx, vals, prefix_max, k):
         v = _as(vals, np.int32)
         _LIB.rce_residuals(self._h, _ptr(ctx, ctypes.c_uint16),
@@ -428,11 +443,39 @@ class _NativeDecoder:
                            len(b))
         return out
 
+    def octree(self, ctx, cap, depth, mode):
+        """Full-tree occupancy decode -> sorted unique leaf codes."""
+        out = np.zeros(max(cap, 1), dtype=np.int64)
+        n = int(_LIB.oct_decode(
+            self._h, _ptr(ctx, ctypes.c_uint16),
+            _ptr(out, ctypes.c_int64), len(out), depth, mode))
+        if n < 0:
+            raise ValueError(f"octree decode needs capacity {-n} > {cap}")
+        return out[:n]
+
     def residuals(self, ctx, n, prefix_max, k):
         out = np.zeros(n, dtype=np.int32)
         _LIB.rcd_residuals(self._h, _ptr(ctx, ctypes.c_uint16),
                            _ptr(out, ctypes.c_int32), n, prefix_max, k)
         return out
+
+
+def radix_sort(codes: np.ndarray, return_perm: bool = True):
+    """Native radix sort of int64 Morton codes (octree.cc radix_sort64).
+
+    Returns (sorted_codes, perm) — perm maps sorted order to original
+    indices (same contract as np.argsort).  Falls back to numpy.
+    """
+    if _LIB is None:
+        perm = np.argsort(codes, kind="stable")
+        return codes[perm], (perm if return_perm else None)
+    keys = np.ascontiguousarray(codes, dtype=np.int64).copy()
+    perm = np.zeros(len(keys), dtype=np.int64) if return_perm else None
+    _LIB.radix_sort64(
+        _ptr(keys, ctypes.c_int64),
+        _ptr(perm, ctypes.c_int64) if return_perm else None,
+        len(keys))
+    return keys, perm
 
 
 def RangeEncoder(force_python: bool = False):

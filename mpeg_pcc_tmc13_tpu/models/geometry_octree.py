@@ -2,12 +2,20 @@
 
 TPU-native counterpart of the reference's BFS octree coder
 (`tmc3/geometry_octree_encoder.cpp:1853`, `geometry_octree_decoder.cpp:1559`).
-The encoder derives the whole tree from sorted Morton codes in one
-device pass (ops/octree.encode_analysis_jax, or the numpy mirror), then
-serialises occupancy bytes level-by-level through the batched range coder
-(one native call per level, contexts = 512-base x 255 tree).  The decoder
-alternates: host entropy-decodes a level's occupancy bytes, a vectorised
-pass expands children and computes the next level's context bases.
+The encoder derives the whole tree from sorted Morton codes, then
+serialises occupancy bytes level-by-level through the batched range
+coder; the decoder alternates entropy decode / vectorised expansion.
+
+Three interchangeable engines emit byte-identical streams:
+  "numpy"  — host mirror (executable spec),
+  "native" — one C++ call for the whole tree (native/octree.cc); the
+             fast path on a single host core,
+  "device" — jitted full-depth analysis on the TPU (ops/octree.py),
+             compacted on device so the host link carries only ~4
+             bytes/node; the scale-out path (parallel/slices.py).
+
+Context modes (GPS `neighbour_context_enabled`): see ops/octree.py
+CTX_MODE_NEIGH / CTX_MODE_PARENT.
 
 Duplicate points (when `geom_unique_points` is off) are carried as
 per-leaf counts coded with a context ueg (reference leaf dup-count
@@ -58,8 +66,15 @@ def _dedup_sorted(codes_sorted: np.ndarray):
     return uniq, counts
 
 
+def resolve_engine(engine: str) -> str:
+    if engine != "auto":
+        return engine
+    return "native" if entropy.native_available() else "numpy"
+
+
 def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
-           unique_points: bool = True, use_device: bool = False):
+           unique_points: bool = True, engine: str = "auto",
+           ctx_mode: int = ops.CTX_MODE_NEIGH):
     """Encode integer positions in [0, 2**depth)^3.
 
     Returns the permutation `order` mapping input points to coding
@@ -67,24 +82,35 @@ def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
     decoder's point order matches (reference reorders points into
     decode order, geometry_octree_encoder.cpp:2637-2659).
     """
+    engine = resolve_engine(engine)
     codes = morton.encode(positions.astype(np.int64))
-    order = np.argsort(codes, kind="stable")
-    codes_sorted = codes[order]
+    if engine == "native":
+        codes_sorted, order = entropy.radix_sort(codes)
+    else:
+        order = np.argsort(codes, kind="stable")
+        codes_sorted = codes[order]
     uniq, dup_counts = _dedup_sorted(codes_sorted)
 
     if depth == 0 or uniq.size == 0:
         pass
-    elif use_device:
+    elif engine == "native" and hasattr(enc, "octree"):
+        enc.octree(ctx.occupancy, uniq, depth, ctx_mode)
+    elif engine == "device":
         import jax.numpy as jnp
-        res = ops.encode_analysis_jax(jnp.asarray(uniq), depth)
-        occ_a = np.asarray(res["occ"])
-        base_a = np.asarray(res["ctx_base"])
-        mask_a = np.asarray(res["node_mask"])
+        compact, counts = ops.encode_analysis_packed(
+            jnp.asarray(uniq), depth, ctx_mode)
+        counts = np.asarray(counts)
+        total = int(counts.sum())
+        # single small transfer: 4 bytes per tree node
+        packed = np.asarray(compact[:total])
+        off = 0
         for l in range(depth):
-            m = mask_a[l]
-            enc.occupancy(ctx.occupancy, base_a[l][m], occ_a[l][m])
+            k = int(counts[l])
+            lvl = packed[off:off + k]
+            off += k
+            enc.occupancy(ctx.occupancy, lvl >> 8, lvl & 0xFF)
     else:
-        levels = ops.build_levels_np(uniq, depth)
+        levels = ops.build_levels_np(uniq, depth, ctx_mode)
         for lvl in levels:
             enc.occupancy(ctx.occupancy, lvl["ctx_base"], lvl["occ"])
 
@@ -95,19 +121,31 @@ def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
 
 
 def decode(num_points: int, depth: int, dec, ctx: OctreeContexts,
-           unique_points: bool = True):
+           unique_points: bool = True, engine: str = "auto",
+           ctx_mode: int = ops.CTX_MODE_NEIGH):
     """Decode positions (coding order).
 
     num_points (total, incl. duplicates — signalled in the GBH) only
-    gates the empty-slice case; the tree itself determines the count.
+    gates the empty-slice case and bounds the leaf count.
     """
     if num_points == 0:
         return np.zeros((0, 3), dtype=np.int64)
-    nodes = np.zeros(1, dtype=np.int64)  # root
-    for l in range(depth):
-        base = ops.occ_context_base_np(nodes, l)
-        occ = dec.occupancy(ctx.occupancy, base)
-        nodes = ops.expand_level_np(nodes, occ)
+    engine = resolve_engine(engine)
+    if engine == "native" and hasattr(dec, "octree") and depth > 0:
+        nodes = dec.octree(ctx.occupancy, num_points, depth, ctx_mode)
+    else:
+        nodes = np.zeros(1, dtype=np.int64)  # root
+        parent_occ = np.zeros(1, dtype=np.int32)
+        for l in range(depth):
+            if ctx_mode == ops.CTX_MODE_NEIGH:
+                base = ops.occ_context_base_np(nodes, l)
+            else:
+                base = ((nodes & 7).astype(np.int32) << 8) | parent_occ
+            occ = dec.occupancy(ctx.occupancy, base)
+            nodes = ops.expand_level_np(nodes, occ)
+            if ctx_mode == ops.CTX_MODE_PARENT:
+                parent_occ = np.repeat(
+                    occ.astype(np.int32), ops.popcount8_np(occ))
     if not unique_points:
         dup = dec.ueg(ctx.dups, np.zeros(nodes.size, dtype=np.int32),
                       _DUP_PREFIX_MAX, _DUP_K).astype(np.int64) + 1

@@ -48,8 +48,15 @@ _FACE_OFFSETS = np.array(
 
 # Number of occupancy context "bases"; each base owns a 255-context
 # binary tree for one 8-bit occupancy symbol (bitstream/entropy.py).
-# base = 6-bit neighbour pattern | (child_idx_in_parent << 6)  -> 512.
-NUM_OCC_BASES = 64 * 8
+# Two context modes share one context memory (GPS neighbour flag):
+#   NEIGH  (mode 1): base = 6-bit face pattern | child_idx << 6   (512)
+#   PARENT (mode 0): base = child_idx << 8 | parent_occupancy    (2048)
+# PARENT needs no lookups at all (the parent byte was just decoded) and
+# is the fast/device default; NEIGH compresses ~4% better on sparse
+# clouds at the price of 6 existence probes per node.
+CTX_MODE_PARENT = 0
+CTX_MODE_NEIGH = 1
+NUM_OCC_BASES = 2048
 OCC_CTX_SIZE = NUM_OCC_BASES * 255
 
 
@@ -131,7 +138,13 @@ def expand_level_np(node_codes: np.ndarray, occ: np.ndarray) -> np.ndarray:
     return child[bits.astype(bool)]
 
 
-def build_levels_np(leaf_codes_unique: np.ndarray, depth: int):
+def popcount8_np(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.astype(np.uint8)[:, None],
+                         axis=1).sum(axis=1).astype(np.int64)
+
+
+def build_levels_np(leaf_codes_unique: np.ndarray, depth: int,
+                    mode: int = CTX_MODE_NEIGH):
     """Encoder-side analysis: per level, (node_codes, occ, ctx_base).
 
     Level l has grid size 2**l per axis; level `depth` is the leaves.
@@ -145,11 +158,19 @@ def build_levels_np(leaf_codes_unique: np.ndarray, depth: int):
         codes_by_level[l], occs[l] = level_occupancy_np(codes_by_level[l + 1])
     out = []
     for l in range(depth):
-        out.append({
-            "nodes": codes_by_level[l],
-            "occ": occs[l],
-            "ctx_base": occ_context_base_np(codes_by_level[l], l),
-        })
+        nodes = codes_by_level[l]
+        if mode == CTX_MODE_NEIGH:
+            base = occ_context_base_np(nodes, l)
+        else:
+            child = (nodes & 7).astype(np.int32)
+            if l == 0:
+                parent_occ = np.zeros(1, dtype=np.int32)
+            else:
+                prev = occs[l - 1]
+                parent_occ = np.repeat(
+                    prev.astype(np.int32), popcount8_np(prev))
+            base = (child << 8) | parent_occ
+        out.append({"nodes": nodes, "occ": occs[l], "ctx_base": base})
     return out
 
 
@@ -171,8 +192,9 @@ def _searchsorted_exists(sorted_full: jnp.ndarray, queries: jnp.ndarray,
 _I64_MAX = np.iinfo(np.int64).max
 
 
-@partial(jax.jit, static_argnames=("depth",))
-def encode_analysis_jax(leaf_codes_sorted: jnp.ndarray, depth: int):
+@partial(jax.jit, static_argnames=("depth", "mode"))
+def encode_analysis_jax(leaf_codes_sorted: jnp.ndarray, depth: int,
+                        mode: int = CTX_MODE_NEIGH):
     """Full-depth encoder analysis in one jitted program.
 
     Input: (N,) sorted leaf Morton codes (duplicates allowed — they
@@ -191,6 +213,7 @@ def encode_analysis_jax(leaf_codes_sorted: jnp.ndarray, depth: int):
     c = leaf_codes_sorted
     n = c.shape[0]
     occ_all, base_all, mask_all, code_all = [], [], [], []
+    prev_occ_rows = jnp.zeros(n, jnp.int32)   # parent occ per point
     for l in range(depth):
         shift_node = 3 * (depth - l)
         cl = c >> shift_node                       # level-l code per point
@@ -204,31 +227,65 @@ def encode_analysis_jax(leaf_codes_sorted: jnp.ndarray, depth: int):
             jnp.where(occ_counts > 0, 1, 0)
             * (1 << jnp.arange(8, dtype=jnp.int32))[None, :], axis=-1)
         ).astype(jnp.int32)                        # dense over node ids
+        occ_rows = occ[seg]                        # per-point node occ
 
-        # neighbour pattern: search the *full* (with dups) sorted level
-        # codes — existence is all we need
-        pos = morton.decode(cl, xp=jnp)
-        lim = jnp.int64(1) << l
-        pat = jnp.zeros(n, dtype=jnp.int32)
-        for i, off in enumerate(_FACE_OFFSETS):
-            q = pos + jnp.asarray(off)[None, :]
-            valid = jnp.all((q >= 0) & (q < lim), axis=-1)
-            ncode = morton.encode(q, xp=jnp)
-            hit = _searchsorted_exists(cl, ncode, valid)
-            pat = pat | (hit.astype(jnp.int32) << i)
-        base = pat | ((cl & 7).astype(jnp.int32) << 6)
+        if mode == CTX_MODE_NEIGH:
+            # neighbour pattern: search the *full* (with dups) sorted
+            # level codes — existence is all we need
+            pos = morton.decode(cl, xp=jnp)
+            lim = jnp.int64(1) << l
+            pat = jnp.zeros(n, dtype=jnp.int32)
+            for i, off in enumerate(_FACE_OFFSETS):
+                q = pos + jnp.asarray(off)[None, :]
+                valid = jnp.all((q >= 0) & (q < lim), axis=-1)
+                ncode = morton.encode(q, xp=jnp)
+                hit = _searchsorted_exists(cl, ncode, valid)
+                pat = pat | (hit.astype(jnp.int32) << i)
+            base = pat | ((cl & 7).astype(jnp.int32) << 6)
+        else:
+            base = (((cl & 7).astype(jnp.int32)) << 8) | prev_occ_rows
 
         # first-point rows carry their node's data (gather by node id)
-        occ_all.append(jnp.where(first, occ[seg], 0))
+        occ_all.append(jnp.where(first, occ_rows, 0))
         base_all.append(jnp.where(first, base, 0))
         mask_all.append(first)
         code_all.append(cl)
+        prev_occ_rows = occ_rows
     return {
         "occ": jnp.stack(occ_all),
         "ctx_base": jnp.stack(base_all),
         "node_mask": jnp.stack(mask_all),
         "node_code": jnp.stack(code_all),
     }
+
+
+@partial(jax.jit, static_argnames=("depth", "mode"))
+def encode_analysis_packed(leaf_codes_sorted: jnp.ndarray, depth: int,
+                           mode: int = CTX_MODE_NEIGH):
+    """Full-depth analysis with ON-DEVICE compaction.
+
+    Same math as encode_analysis_jax, but the per-level (ctx_base, occ)
+    pairs are packed into one int32 (base << 8 | occ) and compacted so
+    the host transfers only ~#nodes * 4 bytes instead of O(depth * N)
+    full tensors — the dominant cost when the chip sits behind a
+    narrow host link.  Returns (compact, counts):
+
+      compact : (depth * N,) int32 — valid entries first, in
+                (level, node) order; only the first sum(counts) matter,
+      counts  : (depth,) int32 — number of nodes per level.
+    """
+    res = encode_analysis_jax(leaf_codes_sorted, depth, mode)
+    occ = res["occ"]
+    base = res["ctx_base"]
+    mask = res["node_mask"]
+    packed = (base << 8) | occ                    # <= 19 bits
+    flat = packed.reshape(-1)
+    valid = mask.reshape(-1)
+    # stable sort by ~valid keeps (level, row) order among valid rows
+    perm = jnp.argsort(jnp.logical_not(valid), stable=True)
+    compact = flat[perm].astype(jnp.int32)
+    counts = jnp.sum(mask, axis=1).astype(jnp.int32)
+    return compact, counts
 
 
 @partial(jax.jit, static_argnames=("level_dims",))

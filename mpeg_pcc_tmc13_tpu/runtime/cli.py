@@ -95,6 +95,11 @@ class Config:
                                     else hls.GeometryCodecType.OCTREE)
             elif name == "disableAttributeCoding":
                 self.disable_attributes = opt.to_bool(value)
+            elif name == "neighbourAvailBoundaryLog2":
+                # reference semantics: 0 disables the neighbour atlas
+                p.neighbour_context = opt.to_int(value) > 0
+            elif name == "geomEngine":   # framework-specific
+                p.engine = value.strip()
             # ---- sticky attribute params ----
             elif name in ("qp", "bitdepth", "transformType", "integerHaar",
                           "qpChromaOffset", "attrScale", "attrOffset",

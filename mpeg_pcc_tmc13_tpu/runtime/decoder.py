@@ -97,11 +97,15 @@ class FrameDecoder:
             self._attr_ctx = {i: attr_model.AttributeContexts()
                               for i in self.aps}
 
+        from ..ops import octree as octree_ops
+        ctx_mode = (octree_ops.CTX_MODE_NEIGH
+                    if gps.neighbour_context_enabled
+                    else octree_ops.CTX_MODE_PARENT)
         stream = data[off:off + gbh.stream_len]
         dec = entropy.RangeDecoder(stream)
         local = geometry_octree.decode(
             gbh.num_points, gbh.root_node_size_log2, dec, self._geom_ctx,
-            unique_points=gps.unique_points)
+            unique_points=gps.unique_points, ctx_mode=ctx_mode)
         grid = local + np.asarray(gbh.slice_origin, dtype=np.int64)
         self._slices.append(_SliceState(positions=grid, local=local))
 

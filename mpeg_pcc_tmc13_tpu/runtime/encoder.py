@@ -52,7 +52,11 @@ class EncoderParams:
     max_points_per_slice: int = 1_100_000
     entropy_continuation: bool = False
     frame_ctr_bits: int = 8
-    use_device: bool = False
+    # occupancy context mode (reference neighbourAvailBoundaryLog2>0):
+    # True = 6-neighbour contexts, False = parent-occupancy (fast)
+    neighbour_context: bool = True
+    # geometry engine: auto | numpy | native | device
+    engine: str = "auto"
 
 
 class FrameEncoder:
@@ -89,6 +93,7 @@ class FrameEncoder:
         gps = hls.GeometryParameterSet(
             codec_type=p.geometry_codec,
             unique_points=p.merge_duplicated_points,
+            neighbour_context_enabled=p.neighbour_context,
             trisoup_node_size_log2=p.trisoup_node_size_log2,
         )
         aps_list = []
@@ -163,11 +168,15 @@ class FrameEncoder:
                 i: attr_model.AttributeContexts()
                 for i in range(len(self.aps))}
 
+        from ..ops import octree as octree_ops
+        ctx_mode = (octree_ops.CTX_MODE_NEIGH
+                    if self.gps.neighbour_context_enabled
+                    else octree_ops.CTX_MODE_PARENT)
         enc = entropy.RangeEncoder()
         order = geometry_octree.encode(
             local, depth, enc, self._geom_ctx,
             unique_points=self.gps.unique_points,
-            use_device=p.use_device)
+            engine=p.engine, ctx_mode=ctx_mode)
         stream = enc.get_bytes()
 
         gbh = hls.GeometryBrickHeader(

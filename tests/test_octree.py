@@ -69,16 +69,24 @@ def test_device_analysis_matches_numpy():
         np.testing.assert_array_equal(base[l][m], levels[l]["ctx_base"])
 
 
-def test_device_encode_bitstream_identical():
+@pytest.mark.parametrize("mode", [ops.CTX_MODE_NEIGH, ops.CTX_MODE_PARENT])
+def test_engines_emit_identical_bitstreams(mode):
     depth = 7
     pos = random_cloud(4000, depth, seed=11)
-    streams = []
-    for use_device in (False, True):
+    streams = {}
+    for engine in ("numpy", "native", "device"):
         enc = entropy.RangeEncoder()
         go.encode(pos, depth, enc, go.OctreeContexts(),
-                  use_device=use_device)
-        streams.append(enc.get_bytes())
-    assert streams[0] == streams[1]
+                  engine=engine, ctx_mode=mode)
+        streams[engine] = enc.get_bytes()
+    assert streams["numpy"] == streams["native"] == streams["device"]
+    # native and numpy decoders both recover the cloud from the stream
+    expect = sorted_unique_positions(pos)
+    for engine in ("numpy", "native"):
+        dec = entropy.RangeDecoder(streams["numpy"])
+        out = go.decode(len(pos), depth, dec, go.OctreeContexts(),
+                        engine=engine, ctx_mode=mode)
+        np.testing.assert_array_equal(out, expect)
 
 
 def test_encode_order_aligns_attributes():
