@@ -81,6 +81,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
                                   c.c_int32, c.c_int32]
     lib.rcd_residuals.argtypes = [c.c_void_p, u16p, i32p, c.c_int64,
                                   c.c_int32, c.c_int32]
+    lib.rcd_bits_chain.argtypes = [c.c_void_p, u16p, u8p, c.c_int64]
     i64p = c.POINTER(c.c_int64)
     lib.oct_encode.argtypes = [c.c_void_p, u16p, i64p, c.c_int64,
                                c.c_int32, c.c_int32]
@@ -300,6 +301,14 @@ class _PyDecoder:
         return np.array(
             [self.decode_bit(ctx, int(i)) for i in ctx_ids], dtype=np.uint8)
 
+    def bits_chain(self, ctx, n):
+        out = np.zeros(n, dtype=np.uint8)
+        prev = 0
+        for i in range(n):
+            prev = self.decode_bit(ctx, prev)
+            out[i] = prev
+        return out
+
     def bypass(self, nbits):
         return np.array(
             [self.decode_bypass_bits(int(n)) for n in nbits], dtype=np.uint32)
@@ -418,6 +427,14 @@ class _NativeDecoder:
         _LIB.rcd_bits(self._h, _ptr(ctx, ctypes.c_uint16),
                       _ptr(ids, ctypes.c_int32), _ptr(out, ctypes.c_uint8),
                       len(ids))
+        return out
+
+    def bits_chain(self, ctx, n):
+        """n bits with ctx id = previous decoded bit (ctx size 2)."""
+        out = np.zeros(n, dtype=np.uint8)
+        if n:
+            _LIB.rcd_bits_chain(self._h, _ptr(ctx, ctypes.c_uint16),
+                                _ptr(out, ctypes.c_uint8), n)
         return out
 
     def bypass(self, nbits):

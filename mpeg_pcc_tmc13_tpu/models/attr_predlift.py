@@ -1,0 +1,225 @@
+"""Predicting & lifting attribute transforms over LoD structure.
+
+Counterpart of the reference's predicting transform
+(`encodeColorsPred/encodeReflectancesPred`, AttributeEncoder.cpp:594,515)
+and lifting transform (`PCCLiftPredict/PCCLiftUpdate`,
+PCCTMC3Common.h:718,776; `computeQuantizationWeights` :859).
+
+Structure (all geometry-derived, zero side information):
+  * LoD levels by Morton-rank decimation (ops/lod.py),
+  * per-point <=3 NN predictors with Q16 inverse-d2 weights,
+  * PRED: residual = value - weighted-NN(reconstructed), coded
+    coarse->fine; the coarsest level chains on its own already-coded
+    points (reference intra-LoD prediction),
+  * LIFT: predict step (details) + update step (coarse correction)
+    with popularity-derived quantisation weights; exactly invertible
+    because the update uses only coded details.
+
+qp==4 (step 1) with PRED is exactly lossless.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream import entropy
+from ..bitstream.hls import (AttributeDescription, AttributeEncoding,
+                             AttributeParameterSet)
+from ..ops import lod as lod_ops
+from ..utils import morton
+from .attributes import AttributeContexts, RES_CTX_SIZE, _RES_PREFIX_MAX, \
+    _RES_K
+from .attr_raht import qp_to_step_q16
+
+_LOD_PERIOD = 4
+
+
+def _num_levels(n: int, aps: AttributeParameterSet) -> int:
+    auto = max(1, int(np.ceil(np.log(max(n, 2)) / np.log(_LOD_PERIOD))))
+    return max(1, min(aps.lod_levels or auto, auto))
+
+
+def _quant(res: np.ndarray, step_q16: int, factor_q8=None) -> np.ndarray:
+    r = res.astype(np.float64)
+    if factor_q8 is not None:
+        r = r * (factor_q8[:, None] / 256.0)
+    return np.round(r * 65536.0 / step_q16).astype(np.int64)
+
+
+def _dequant(q: np.ndarray, step_q16: int, factor_q8=None) -> np.ndarray:
+    d = q.astype(np.float64) * (step_q16 / 65536.0)
+    if factor_q8 is not None:
+        d = d / (factor_q8[:, None] / 256.0)
+    return np.round(d).astype(np.int64)
+
+
+def _structure(positions: np.ndarray, aps: AttributeParameterSet):
+    n = positions.shape[0]
+    nl = _num_levels(n, aps)
+    levels = lod_ops.assign_lod_levels(n, nl, _LOD_PERIOD)
+    nbr, wq = lod_ops.knn_predictors(
+        positions, levels, num_neighbors=aps.num_pred_nearest_neighbours)
+    return levels, nbr, wq, nl
+
+
+def _lift_quant_weights(levels: np.ndarray, nbr: np.ndarray) -> np.ndarray:
+    """Popularity-based quantisation weights (reference
+    computeQuantizationWeights PCCTMC3Common.h:859): points referenced
+    by more finer-level predictors get finer quantisation.  Returns a
+    Q8 scale factor sqrt(1 + refs) per point."""
+    n = levels.shape[0]
+    refs = np.zeros(n, dtype=np.int64)
+    valid = nbr >= 0
+    np.add.at(refs, nbr[valid], 1)
+    return np.floor(np.sqrt(1.0 + refs) * 256.0 + 0.5).astype(np.int64)
+
+
+def _steps_for(aps, desc):
+    ncomp = desc.num_components
+    return [qp_to_step_q16(max(aps.init_qp
+                               + (aps.chroma_qp_offset if c > 0 else 0), 4))
+            for c in range(ncomp)]
+
+
+def encode(values: np.ndarray, positions: np.ndarray,
+           aps: AttributeParameterSet, desc: AttributeDescription,
+           ctx: AttributeContexts) -> bytes:
+    vals = np.asarray(values)
+    if vals.ndim == 1:
+        vals = vals[:, None]
+    vals = vals.astype(np.int64)
+    n, ncomp = vals.shape
+    levels, nbr, wq, nl = _structure(positions, aps)
+    steps = _steps_for(aps, desc)
+    lift = aps.attr_encoding == AttributeEncoding.LIFT
+
+    q_out = np.zeros((n, ncomp), dtype=np.int64)  # in Morton order
+
+    if lift:
+        factor = _lift_quant_weights(levels, nbr)
+        work = vals.astype(np.int64).copy()
+        # analysis fine -> coarse: details then update
+        for l in range(nl - 1, 0, -1):
+            sel = levels == l
+            pred = lod_ops.predict_q16(work, nbr[sel], wq[sel])
+            detail = work[sel] - pred
+            # quantise details now (synthesis sees quantised ones)
+            q = np.stack([_quant(detail[:, c:c + 1], steps[c],
+                                 factor[sel])[:, 0]
+                          for c in range(ncomp)], axis=1)
+            dq = np.stack([_dequant(q[:, c:c + 1], steps[c],
+                                    factor[sel])[:, 0]
+                           for c in range(ncomp)], axis=1)
+            q_out[sel] = q
+            work[sel] = dq  # hold dequantised details
+            # update step: redistribute detail energy to predictors
+            upd = np.zeros_like(work)
+            valid = nbr[sel] >= 0
+            idx = np.where(valid, nbr[sel], 0)
+            contrib = (dq[:, None, :] * wq[sel][:, :, None]) >> 18  # /4*Q16
+            flat_idx = idx.reshape(-1)
+            flat_contrib = contrib.reshape(-1, ncomp)
+            flat_valid = valid.reshape(-1)
+            np.add.at(upd, flat_idx[flat_valid],
+                      flat_contrib[flat_valid])
+            work += upd
+        # coarsest level: code values themselves (quantised, no factor)
+        sel0 = levels == 0
+        q0 = np.stack([_quant(work[sel0][:, c:c + 1], steps[c])[:, 0]
+                       for c in range(ncomp)], axis=1)
+        q_out[sel0] = q0
+    else:
+        recon = np.zeros((n, ncomp), dtype=np.int64)
+        # coarsest level: sequential chain over its own points
+        idx0 = np.nonzero(levels == 0)[0]
+        for i in idx0:
+            pred = lod_ops.predict_q16(recon, nbr[i:i + 1], wq[i:i + 1])[0]
+            res = vals[i] - pred
+            q = np.array([_quant(res[c:c + 1][None, :], steps[c])[0, 0]
+                          for c in range(ncomp)])
+            dq = np.array([_dequant(q[c:c + 1][None, :], steps[c])[0, 0]
+                           for c in range(ncomp)])
+            q_out[i] = q
+            recon[i] = pred + dq
+        for l in range(1, nl):
+            sel = levels == l
+            pred = lod_ops.predict_q16(recon, nbr[sel], wq[sel])
+            res = vals[sel] - pred
+            q = np.stack([_quant(res[:, c:c + 1], steps[c])[:, 0]
+                          for c in range(ncomp)], axis=1)
+            dq = np.stack([_dequant(q[:, c:c + 1], steps[c])[:, 0]
+                           for c in range(ncomp)], axis=1)
+            q_out[sel] = q
+            recon[sel] = pred + dq
+
+    # serialise in LoD order (coarse first — scalable)
+    order = lod_ops.lod_order(levels)
+    enc = entropy.RangeEncoder()
+    for c in range(ncomp):
+        cslice = ctx.residuals[c * RES_CTX_SIZE:(c + 1) * RES_CTX_SIZE]
+        enc.residuals(cslice, q_out[order][:, c].astype(np.int32),
+                      _RES_PREFIX_MAX, _RES_K)
+    return enc.get_bytes()
+
+
+def decode(data: bytes, positions: np.ndarray,
+           aps: AttributeParameterSet, desc: AttributeDescription,
+           ctx: AttributeContexts) -> np.ndarray:
+    n = positions.shape[0]
+    ncomp = desc.num_components
+    levels, nbr, wq, nl = _structure(positions, aps)
+    steps = _steps_for(aps, desc)
+    lift = aps.attr_encoding == AttributeEncoding.LIFT
+
+    order = lod_ops.lod_order(levels)
+    dec = entropy.RangeDecoder(data)
+    q_lod = np.zeros((n, ncomp), dtype=np.int64)
+    for c in range(ncomp):
+        cslice = ctx.residuals[c * RES_CTX_SIZE:(c + 1) * RES_CTX_SIZE]
+        q_lod[:, c] = dec.residuals(cslice, n, _RES_PREFIX_MAX, _RES_K)
+    q = np.zeros((n, ncomp), dtype=np.int64)
+    q[order] = q_lod  # back to Morton order
+
+    if lift:
+        factor = _lift_quant_weights(levels, nbr)
+        work = np.zeros((n, ncomp), dtype=np.int64)
+        sel0 = levels == 0
+        work[sel0] = np.stack(
+            [_dequant(q[sel0][:, c:c + 1], steps[c])[:, 0]
+             for c in range(ncomp)], axis=1)
+        # synthesis coarse -> fine: un-update then un-predict
+        for l in range(1, nl):
+            sel = levels == l
+            dq = np.stack([_dequant(q[sel][:, c:c + 1], steps[c],
+                                    factor[sel])[:, 0]
+                           for c in range(ncomp)], axis=1)
+            upd = np.zeros_like(work)
+            valid = nbr[sel] >= 0
+            idx = np.where(valid, nbr[sel], 0)
+            contrib = (dq[:, None, :] * wq[sel][:, :, None]) >> 18
+            flat_idx = idx.reshape(-1)
+            flat_contrib = contrib.reshape(-1, ncomp)
+            flat_valid = valid.reshape(-1)
+            np.add.at(upd, flat_idx[flat_valid], flat_contrib[flat_valid])
+            work -= upd
+            pred = lod_ops.predict_q16(work, nbr[sel], wq[sel])
+            work[sel] = pred + dq
+        out = work
+    else:
+        recon = np.zeros((n, ncomp), dtype=np.int64)
+        idx0 = np.nonzero(levels == 0)[0]
+        for i in idx0:
+            pred = lod_ops.predict_q16(recon, nbr[i:i + 1], wq[i:i + 1])[0]
+            dq = np.array([_dequant(q[i, c:c + 1][None, :], steps[c])[0, 0]
+                           for c in range(ncomp)])
+            recon[i] = pred + dq
+        for l in range(1, nl):
+            sel = levels == l
+            pred = lod_ops.predict_q16(recon, nbr[sel], wq[sel])
+            dq = np.stack([_dequant(q[sel][:, c:c + 1], steps[c])[:, 0]
+                           for c in range(ncomp)], axis=1)
+            recon[sel] = pred + dq
+        out = recon
+    if ncomp == 1:
+        return out[:, 0]
+    return out

@@ -1,0 +1,97 @@
+"""Trisoup geometry codec: octree-to-node-size + edge-vertex surface.
+
+Counterpart of `encodeGeometryTrisoup` (geometry_trisoup_encoder.cpp:49)
+/ `decodeGeometryTrisoup` (geometry_trisoup_decoder.cpp:124).  The
+octree front-end is the existing octree codec with its depth reduced by
+`trisoup_node_size_log2`; the surface payload is, per unique node edge
+(canonical order, ops/trisoup.py): a presence bit (context chained on
+the previous edge's presence — the Morton-adjacent edge) and a bypass
+position of log2(node size) bits.  Reconstruction (shared by both
+sides, also used for encoder-side recolouring) fans each node's
+vertices into triangles and voxelises them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream import entropy
+from ..ops import octree as octree_ops
+from ..ops import trisoup as trisoup_ops
+from ..utils import morton
+from . import geometry_octree
+
+VTX_CTX_SIZE = 2  # presence chained on previous edge presence
+
+
+@dataclass
+class TrisoupContexts:
+    vertex: np.ndarray = field(
+        default_factory=lambda: entropy.new_contexts(VTX_CTX_SIZE))
+
+    def copy(self):
+        return TrisoupContexts(self.vertex.copy())
+
+
+def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
+           octx: geometry_octree.OctreeContexts, tctx: TrisoupContexts,
+           engine: str = "auto",
+           ctx_mode: int = octree_ops.CTX_MODE_NEIGH):
+    """Encode geometry; returns reconstructed positions (for attribute
+    recolouring) — the decoder reproduces them exactly."""
+    s = min(node_size_log2, depth)
+    octree_depth = depth - s
+    codes = morton.encode(positions.astype(np.int64))
+    codes_sorted = np.sort(codes)
+    node_codes = np.unique(codes_sorted >> (3 * s))
+
+    # octree part over node codes
+    node_pos = morton.decode(node_codes)
+    geometry_octree.encode(node_pos, octree_depth, enc, octx,
+                           unique_points=True, engine=engine,
+                           ctx_mode=ctx_mode)
+
+    # vertex determination over the full-resolution points
+    pts = morton.decode(codes_sorted)
+    point_node = np.searchsorted(node_codes, codes_sorted >> (3 * s))
+    uniq, present, vpos = trisoup_ops.determine_vertices(
+        pts, node_codes, point_node, s)
+
+    # serialise: presence chained, positions bypass
+    pres = present.astype(np.uint8)
+    prev = np.concatenate([[0], pres[:-1]]).astype(np.int32)
+    enc.bits(tctx.vertex, prev, pres)
+    nbits = np.full(int(present.sum()), s, dtype=np.int32)
+    enc.bypass(vpos[present].astype(np.uint32), nbits)
+
+    recon = trisoup_ops.reconstruct(
+        node_codes, uniq, present, vpos, s,
+        bbox_max=(1 << depth) - 1)
+    return recon
+
+
+def decode(depth: int, node_size_log2: int, dec,
+           octx: geometry_octree.OctreeContexts, tctx: TrisoupContexts,
+           max_nodes: int, engine: str = "auto",
+           ctx_mode: int = octree_ops.CTX_MODE_NEIGH):
+    s = min(node_size_log2, depth)
+    octree_depth = depth - s
+    node_pos = geometry_octree.decode(
+        max_nodes, octree_depth, dec, octx, unique_points=True,
+        engine=engine, ctx_mode=ctx_mode)
+    node_codes = morton.encode(node_pos)
+
+    keys, _ = trisoup_ops.edge_keys_for_nodes(node_codes, s)
+    uniq, _ = trisoup_ops.unique_edges(keys)
+    ne = uniq.shape[0]
+    present = dec.bits_chain(tctx.vertex, ne).astype(bool)
+    npres = int(present.sum())
+    vpos = np.zeros(ne, dtype=np.int64)
+    if npres:
+        nbits = np.full(npres, s, dtype=np.int32)
+        vpos[present] = dec.bypass(nbits).astype(np.int64)
+
+    return trisoup_ops.reconstruct(node_codes, uniq, present, vpos, s,
+                                   bbox_max=(1 << depth) - 1)

@@ -228,6 +228,16 @@ void rcd_bits(RcDecoder* d, uint16_t* ctx, const int32_t* ctx_ids,
     bits[i] = (uint8_t)d->decode_bit(&ctx[ctx_ids[i]]);
 }
 
+// Bits with the context chained on the previously coded bit (used for
+// trisoup vertex presence flags and similar 1st-order binary streams).
+void rcd_bits_chain(RcDecoder* d, uint16_t* ctx, uint8_t* bits, int64_t n) {
+  int prev = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    prev = d->decode_bit(&ctx[prev]);
+    bits[i] = (uint8_t)prev;
+  }
+}
+
 void rce_bypass(RcEncoder* e, const uint32_t* vals, const int32_t* nbits,
                 int64_t n) {
   for (int64_t i = 0; i < n; ++i) e->encode_bypass_bits(vals[i], nbits[i]);

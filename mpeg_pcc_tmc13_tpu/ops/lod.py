@@ -1,0 +1,148 @@
+"""Level-of-detail construction + nearest-neighbour prediction search.
+
+Counterpart of the reference's LoD machinery (`AttributeLods::generate`
+AttributeCommon.cpp:46, subsampling dispatch PCCTMC3Common.h:2223-2252,
+3-NN search `computeNearestNeighbors` PCCTMC3Common.h:1148-1955).
+
+TPU-first redesign:
+* LoD assignment is **periodic decimation in Morton order** (the
+  reference's `lodSamplingPeriod` scheme, PCCTMC3Common.h:2223): level
+  membership is a pure function of the point's rank in Morton order, so
+  encoder and decoder derive it with zero signalling.
+* The 3-NN search replaces the reference's 27-cell Morton atlas +
+  BoxHierarchy pruning with a **Morton-window candidate search**: the
+  W predecessors/successors of the query's insertion point in the
+  sorted reference set are the candidates; the 3 closest by true
+  squared distance win (ties -> lower Morton rank).  This is a gather
+  of a fixed window per point — fully vectorisable.
+* Prediction weights are fixed-point Q16 inverse-squared-distance
+  (reference PCCPredictor weight derivation, PCCTMC3Common.h:521-634),
+  making encoder/decoder prediction bit-identical on any backend.
+
+All functions are deterministic functions of (positions in coding
+order) only — both codec sides call them identically.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from ..utils import morton
+
+W_FRAC_BITS = 16
+W_ONE = 1 << W_FRAC_BITS
+
+
+def assign_lod_levels(n: int, num_levels: int, period: int = 4):
+    """Level id per Morton-ranked point (0 = coarsest).
+
+    Point with rank divisible by period**k (k maximal) sits k levels
+    above the finest; capped at num_levels-1.
+    """
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    ranks = np.arange(n, dtype=np.int64)
+    level = np.full(n, num_levels - 1, dtype=np.int32)
+    step = period
+    for k in range(1, num_levels):
+        level[ranks % step == 0] = num_levels - 1 - k
+        step *= period
+    return level
+
+
+def lod_order(levels: np.ndarray) -> np.ndarray:
+    """Coding order of attributes: coarsest level first, Morton order
+    within a level.  Returns indices into the Morton-ordered arrays."""
+    return np.argsort(levels, kind="stable")
+
+
+def knn_predictors(positions: np.ndarray, levels: np.ndarray,
+                   num_neighbors: int = 3, window: int = 8):
+    """Per point: up to 3 neighbour indices + Q16 weights.
+
+    positions: (N,3) int, Morton coding order. levels: (N,) LoD ids.
+    Neighbour candidates for a point at level l are points of levels
+    < l (for l > 0) or preceding points of level 0 (intra-coarsest,
+    reference intra-LoD prediction).  Returns (nbr_idx (N,3) int64
+    [-1 = unused], weights_q16 (N,3) int64) with indices into the
+    Morton-order arrays.
+    """
+    n = positions.shape[0]
+    k = num_neighbors
+    nbr = np.full((n, k), -1, dtype=np.int64)
+    wq = np.zeros((n, k), dtype=np.int64)
+    if n == 0:
+        return nbr, wq
+    codes = morton.encode(positions.astype(np.int64))
+    num_levels = int(levels.max()) + 1 if n else 0
+
+    for l in range(num_levels):
+        q_idx = np.nonzero(levels == l)[0]
+        if l == 0:
+            # intra-level: predict from preceding level-0 points
+            r_idx = q_idx
+            intra = True
+        else:
+            r_idx = np.nonzero(levels < l)[0]
+            intra = False
+        if q_idx.size == 0 or r_idx.size == 0:
+            continue
+        r_codes = codes[r_idx]
+        pos_r = positions[r_idx].astype(np.int64)
+        ins = np.searchsorted(r_codes, codes[q_idx])
+        # window of candidate ranks around the insertion point
+        # (ascending within each row, so a stable sort on distance
+        # breaks ties toward the lower Morton rank)
+        offs = np.arange(-window, window, dtype=np.int64)
+        cand = ins[:, None] + offs[None, :]
+        np.clip(cand, 0, r_idx.size - 1, out=cand)
+        # clip repeats edge ranks; mark duplicates (adjacent compare)
+        dup = np.concatenate(
+            [np.zeros((cand.shape[0], 1), bool),
+             cand[:, 1:] == cand[:, :-1]], axis=1)
+        if intra:
+            # only strictly-preceding points are decodable predictors
+            own_rank = np.searchsorted(r_idx, q_idx)
+            valid = (cand < own_rank[:, None]) & ~dup
+        else:
+            valid = ~dup
+        d = pos_r[cand] - positions[q_idx][:, None, :]
+        d2 = np.sum(d * d, axis=-1)
+        big = np.int64(1) << 60
+        d2 = np.where(valid, d2, big)
+
+        top = np.argsort(d2, kind="stable", axis=1)[:, :k]
+        top_d2 = np.take_along_axis(d2, top, axis=1)
+        top_cand = np.take_along_axis(cand, top, axis=1)
+        ok = top_d2 < big
+        nbr_l = np.where(ok, r_idx[top_cand], -1)
+        # Q16 inverse-d2 weights, normalised over valid neighbours
+        inv = np.where(ok, 1.0 / np.maximum(top_d2, 1).astype(np.float64),
+                       0.0)
+        s = inv.sum(axis=1, keepdims=True)
+        s[s == 0] = 1.0
+        w = np.floor(inv / s * W_ONE + 0.5).astype(np.int64)
+        nbr[q_idx] = nbr_l
+        wq[q_idx] = w
+    return nbr, wq
+
+
+def predict_q16(values: np.ndarray, nbr: np.ndarray,
+                wq: np.ndarray) -> np.ndarray:
+    """Weighted prediction round((sum w*a) / 2^16) per point, integer.
+
+    values (N,C) int64 — the *reconstructed* attribute values of
+    neighbour points must already be final when a point is predicted
+    (callers process in LoD order).
+    """
+    m, c = nbr.shape[0], values.shape[1]
+    pred = np.zeros((m, c), dtype=np.int64)
+    mask = nbr >= 0
+    idx = np.where(mask, nbr, 0)
+    vals = values[idx]                       # (N,k,C)
+    acc = np.sum(vals * wq[:, :, None], axis=1)
+    has = mask.any(axis=1)
+    pred[has] = (acc[has] + (W_ONE // 2)) >> W_FRAC_BITS
+    return pred

@@ -17,7 +17,7 @@ import numpy as np
 from ..bitstream import entropy, hls
 from ..bitstream.tlv import PayloadBuffer, PayloadType
 from ..models import attributes as attr_model
-from ..models import geometry_octree
+from ..models import geometry_octree, geometry_trisoup
 from ..models import pointcloud as pc
 from ..ops import processing
 
@@ -41,6 +41,7 @@ class FrameDecoder:
         self._slices: List[_SliceState] = []
         self._frame_ctr_lsb: Optional[int] = None
         self._geom_ctx: Optional[geometry_octree.OctreeContexts] = None
+        self._trisoup_ctx: Optional[geometry_trisoup.TrisoupContexts] = None
         self._attr_ctx: Dict[int, attr_model.AttributeContexts] = {}
 
     # ------------------------------------------------------------------
@@ -94,6 +95,7 @@ class FrameDecoder:
         continuing = gbh.entropy_continuation and self._geom_ctx is not None
         if not continuing:
             self._geom_ctx = geometry_octree.OctreeContexts()
+            self._trisoup_ctx = geometry_trisoup.TrisoupContexts()
             self._attr_ctx = {i: attr_model.AttributeContexts()
                               for i in self.aps}
 
@@ -103,9 +105,17 @@ class FrameDecoder:
                     else octree_ops.CTX_MODE_PARENT)
         stream = data[off:off + gbh.stream_len]
         dec = entropy.RangeDecoder(stream)
-        local = geometry_octree.decode(
-            gbh.num_points, gbh.root_node_size_log2, dec, self._geom_ctx,
-            unique_points=gps.unique_points, ctx_mode=ctx_mode)
+        if (gps.codec_type == hls.GeometryCodecType.TRISOUP
+                and gps.trisoup_node_size_log2 > 0):
+            local = geometry_trisoup.decode(
+                gbh.root_node_size_log2, gps.trisoup_node_size_log2, dec,
+                self._geom_ctx, self._trisoup_ctx,
+                max_nodes=gbh.num_points, ctx_mode=ctx_mode)
+        else:
+            local = geometry_octree.decode(
+                gbh.num_points, gbh.root_node_size_log2, dec,
+                self._geom_ctx, unique_points=gps.unique_points,
+                ctx_mode=ctx_mode)
         grid = local + np.asarray(gbh.slice_origin, dtype=np.int64)
         self._slices.append(_SliceState(positions=grid, local=local))
 

@@ -18,7 +18,7 @@ import numpy as np
 from ..bitstream import entropy, hls
 from ..bitstream.tlv import PayloadBuffer, PayloadType
 from ..models import attributes as attr_model
-from ..models import geometry_octree
+from ..models import geometry_octree, geometry_trisoup
 from ..models.pointcloud import PointCloud
 from ..ops import processing
 
@@ -70,6 +70,7 @@ class FrameEncoder:
         self.frame_ctr = 0
         self._slice_id = 0
         self._geom_ctx: Optional[geometry_octree.OctreeContexts] = None
+        self._trisoup_ctx: Optional[geometry_trisoup.TrisoupContexts] = None
         self._attr_ctx: Dict[int, attr_model.AttributeContexts] = {}
 
     # -- parameter-set derivation (reference deriveParameterSets,
@@ -164,6 +165,7 @@ class FrameEncoder:
         continuing = p.entropy_continuation and self._geom_ctx is not None
         if not continuing:
             self._geom_ctx = geometry_octree.OctreeContexts()
+            self._trisoup_ctx = geometry_trisoup.TrisoupContexts()
             self._attr_ctx = {
                 i: attr_model.AttributeContexts()
                 for i in range(len(self.aps))}
@@ -173,19 +175,31 @@ class FrameEncoder:
                     if self.gps.neighbour_context_enabled
                     else octree_ops.CTX_MODE_PARENT)
         enc = entropy.RangeEncoder()
-        order = geometry_octree.encode(
-            local, depth, enc, self._geom_ctx,
-            unique_points=self.gps.unique_points,
-            engine=p.engine, ctx_mode=ctx_mode)
+        trisoup = (self.gps.codec_type == hls.GeometryCodecType.TRISOUP
+                   and self.gps.trisoup_node_size_log2 > 0)
+        if trisoup:
+            recon_local = geometry_trisoup.encode(
+                local, depth, self.gps.trisoup_node_size_log2, enc,
+                self._geom_ctx, self._trisoup_ctx,
+                engine=p.engine, ctx_mode=ctx_mode)
+            order = None
+        else:
+            order = geometry_octree.encode(
+                local, depth, enc, self._geom_ctx,
+                unique_points=self.gps.unique_points,
+                engine=p.engine, ctx_mode=ctx_mode)
+            recon_local = None
         stream = enc.get_bytes()
 
+        num_points = (int(recon_local.shape[0]) if trisoup
+                      else cloud.count)
         gbh = hls.GeometryBrickHeader(
             gps_id=self.gps.gps_id,
             slice_id=self._slice_id,
             frame_ctr_lsb=frame_ctr_lsb,
             slice_origin=tuple(int(v) for v in np.asarray(slice_origin)),
             root_node_size_log2=depth,
-            num_points=cloud.count,
+            num_points=num_points,
             entropy_continuation=continuing,
             prev_slice_id=self._slice_id - 1,
             stream_len=len(stream),
@@ -193,12 +207,17 @@ class FrameEncoder:
         out(PayloadBuffer(PayloadType.GEOMETRY_BRICK,
                           gbh.write() + stream))
 
-        # decoded-order positions for the attribute transforms
-        coded = cloud.take(order)
-        if self.gps.unique_points:
-            # positions were already unique (dedup ran) — order keeps them
-            pass
-        dec_positions = coded.positions.astype(np.int64) - slice_origin
+        if trisoup:
+            # geometry changed: transfer attributes onto the decoded
+            # positions (reference recolour, encoder.cpp:1031-1037)
+            from ..ops import recolour as recolour_ops
+            src = PointCloud(local, cloud.colors, cloud.reflectances)
+            coded = recolour_ops.recolour(src, recon_local)
+            dec_positions = recon_local
+        else:
+            # decoded-order positions for the attribute transforms
+            coded = cloud.take(order)
+            dec_positions = coded.positions.astype(np.int64) - slice_origin
 
         for i, (aps, desc) in enumerate(zip(self.aps, self.sps.attributes)):
             values = (coded.colors if desc.label == "color"

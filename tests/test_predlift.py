@@ -1,0 +1,136 @@
+"""LoD + predicting/lifting attribute codec tests."""
+
+import numpy as np
+import pytest
+
+from mpeg_pcc_tmc13_tpu.bitstream import hls
+from mpeg_pcc_tmc13_tpu.models import attr_predlift, attributes
+from mpeg_pcc_tmc13_tpu.ops import lod as lod_ops
+from mpeg_pcc_tmc13_tpu.utils import morton
+
+
+def make_positions(n, depth, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = rng.integers(0, 1 << depth, size=(n, 3), dtype=np.int64)
+    codes = np.unique(morton.encode(pos))
+    return morton.decode(codes), rng
+
+
+def test_lod_assignment_deterministic():
+    lv = lod_ops.assign_lod_levels(64, 4, period=4)
+    assert lv[0] == 0          # rank 0 -> coarsest
+    assert lv[1] == 3          # finest
+    assert lv[4] == 2
+    assert lv[16] == 1
+    assert (np.sort(np.unique(lv)) == [0, 1, 2, 3]).all()
+
+
+def test_knn_returns_decodable_predictors():
+    pos, _ = make_positions(2000, 8, seed=1)
+    lv = lod_ops.assign_lod_levels(len(pos), 5)
+    nbr, wq = lod_ops.knn_predictors(pos, lv)
+    # every neighbour must be in a strictly coarser level, or an
+    # earlier point within level 0
+    for i in range(len(pos)):
+        for j, nb in enumerate(nbr[i]):
+            if nb < 0:
+                continue
+            if lv[i] == 0:
+                assert nb < i and lv[nb] == 0
+            else:
+                assert lv[nb] < lv[i]
+    # weights normalised to Q16 (within rounding)
+    valid = nbr >= 0
+    sums = np.where(valid, wq, 0).sum(axis=1)
+    has = valid.any(axis=1)
+    assert np.all(np.abs(sums[has] - 65536) <= 3)
+
+
+def _roundtrip(vals, pos, aps, desc):
+    ectx = attributes.AttributeContexts()
+    body = attr_predlift.encode(vals, pos, aps, desc, ectx)
+    dctx = attributes.AttributeContexts()
+    out = attr_predlift.decode(body, pos, aps, desc, dctx)
+    return out, len(body)
+
+
+def test_pred_lossless_qp4():
+    pos, rng = make_positions(3000, 8, seed=2)
+    vals = rng.integers(0, 256, (len(pos), 3)).astype(np.int64)
+    aps = hls.AttributeParameterSet(
+        attr_encoding=hls.AttributeEncoding.PRED, init_qp=4)
+    desc = hls.AttributeDescription("color", 3, 8)
+    out, nbytes = _roundtrip(vals, pos, aps, desc)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_pred_reflectance_lossless():
+    pos, rng = make_positions(1000, 7, seed=3)
+    vals = rng.integers(0, 65536, len(pos)).astype(np.int64)
+    aps = hls.AttributeParameterSet(
+        attr_encoding=hls.AttributeEncoding.PRED, init_qp=4)
+    desc = hls.AttributeDescription("reflectance", 1, 16)
+    out, _ = _roundtrip(vals, pos, aps, desc)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_pred_smooth_field_compresses():
+    pos, _ = make_positions(4000, 8, seed=4)
+    vals = (pos.sum(axis=1) // 4).astype(np.int64)[:, None]
+    aps = hls.AttributeParameterSet(
+        attr_encoding=hls.AttributeEncoding.PRED, init_qp=4)
+    desc = hls.AttributeDescription("reflectance", 1, 8)
+    out, nbytes = _roundtrip(vals[:, 0], pos, aps, desc)
+    np.testing.assert_array_equal(out, vals[:, 0])
+    # smooth field predicts well: far below 8 bits/point
+    assert nbytes * 8 < 6 * len(pos)
+
+
+def test_pred_lossy_bounded_error():
+    pos, rng = make_positions(2000, 8, seed=5)
+    vals = (pos.sum(axis=1) // 4).astype(np.int64)
+    aps = hls.AttributeParameterSet(
+        attr_encoding=hls.AttributeEncoding.PRED, init_qp=22)  # step 8
+    desc = hls.AttributeDescription("reflectance", 1, 8)
+    out, _ = _roundtrip(vals, pos, aps, desc)
+    assert np.abs(out - vals).max() <= 8
+
+
+def test_lift_roundtrip_qp4_near_lossless():
+    pos, rng = make_positions(2000, 8, seed=6)
+    vals = rng.integers(0, 256, (len(pos), 3)).astype(np.int64)
+    aps = hls.AttributeParameterSet(
+        attr_encoding=hls.AttributeEncoding.LIFT, init_qp=4)
+    desc = hls.AttributeDescription("color", 3, 8)
+    out, _ = _roundtrip(vals, pos, aps, desc)
+    # lifting with step-1 quantisation is exactly invertible
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_lift_lossy():
+    pos, _ = make_positions(3000, 8, seed=7)
+    vals = (pos // 2).astype(np.int64)  # smooth 3-component field
+    aps = hls.AttributeParameterSet(
+        attr_encoding=hls.AttributeEncoding.LIFT, init_qp=28)
+    desc = hls.AttributeDescription("color", 3, 8)
+    out, nbytes = _roundtrip(vals, pos, aps, desc)
+    err = np.abs(out - vals)
+    assert err.mean() < 16
+
+
+def test_full_pipeline_predlift():
+    from tests.test_frame_codec import make_cloud, roundtrip, canon
+    from mpeg_pcc_tmc13_tpu.runtime.encoder import (AttributeConfig,
+                                                    EncoderParams)
+    from mpeg_pcc_tmc13_tpu.ops.processing import dedup_with_attributes
+    cloud = make_cloud(n=2000, colors=True, refl=True)
+    params = EncoderParams(attributes=[
+        AttributeConfig("color", 8, hls.AttributeEncoding.PRED, qp=4),
+        AttributeConfig("reflectance", 8, hls.AttributeEncoding.LIFT, qp=4),
+    ])
+    outs, _ = roundtrip(cloud, params)
+    got = canon(outs[0])
+    expect = canon(dedup_with_attributes(cloud))
+    np.testing.assert_array_equal(got.positions, expect.positions)
+    np.testing.assert_array_equal(got.colors, expect.colors)
+    np.testing.assert_array_equal(got.reflectances, expect.reflectances)
