@@ -82,6 +82,9 @@ def _load_native() -> Optional[ctypes.CDLL]:
     lib.rcd_residuals.argtypes = [c.c_void_p, u16p, i32p, c.c_int64,
                                   c.c_int32, c.c_int32]
     lib.rcd_bits_chain.argtypes = [c.c_void_p, u16p, u8p, c.c_int64]
+    lib.rcd_mode_chain.argtypes = [c.c_void_p, u16p, u8p, c.c_int64]
+    lib.rce_resbl.argtypes = [c.c_void_p, u16p, i32p, c.c_int64]
+    lib.rcd_resbl.argtypes = [c.c_void_p, u16p, i32p, c.c_int64]
     i64p = c.POINTER(c.c_int64)
     lib.oct_encode.argtypes = [c.c_void_p, u16p, i64p, c.c_int64,
                                c.c_int32, c.c_int32]
@@ -227,6 +230,24 @@ class _PyEncoder:
                 self._enc_ueg(ctx, 2, abs(v) - 1, prefix_max, k)
             prev_nz = nz
 
+    def resbl(self, ctx, vals):
+        prev_nz = 0
+        for v in vals:
+            v = int(v)
+            nz = 1 if v != 0 else 0
+            self.encode_bit(ctx, prev_nz, 0 if nz else 1)
+            if nz:
+                self.encode_bypass(1 if v < 0 else 0)
+                mag = abs(v)
+                nb = mag.bit_length() - 1
+                for j in range(nb):
+                    self.encode_bit(ctx, 2 + j, 1)
+                if nb < 23:
+                    self.encode_bit(ctx, 2 + nb, 0)
+                if nb > 0:
+                    self.encode_bypass_bits(mag & ((1 << nb) - 1), nb)
+            prev_nz = nz
+
     def get_bytes(self):
         self.flush()
         return bytes(self.out)
@@ -309,6 +330,16 @@ class _PyDecoder:
             out[i] = prev
         return out
 
+    def mode_chain(self, ctx, n):
+        out = np.zeros(n, dtype=np.uint8)
+        prev = 0
+        for i in range(n):
+            hi = self.decode_bit(ctx, prev * 2)
+            lo = self.decode_bit(ctx, prev * 2 + 1)
+            prev = (hi << 1) | lo
+            out[i] = prev
+        return out
+
     def bypass(self, nbits):
         return np.array(
             [self.decode_bypass_bits(int(n)) for n in nbits], dtype=np.uint32)
@@ -342,6 +373,25 @@ class _PyDecoder:
             else:
                 neg = self.decode_bypass()
                 mag = self._dec_ueg(ctx, 2, prefix_max, k) + 1
+                out[i] = -mag if neg else mag
+                prev_nz = 1
+        return out
+
+    def resbl(self, ctx, n):
+        out = np.zeros(n, dtype=np.int32)
+        prev_nz = 0
+        for i in range(n):
+            zero = self.decode_bit(ctx, prev_nz)
+            if zero:
+                prev_nz = 0
+            else:
+                neg = self.decode_bypass()
+                nb = 0
+                while nb < 23 and self.decode_bit(ctx, 2 + nb):
+                    nb += 1
+                mag = 1
+                if nb > 0:
+                    mag = (1 << nb) | self.decode_bypass_bits(nb)
                 out[i] = -mag if neg else mag
                 prev_nz = 1
         return out
@@ -401,6 +451,11 @@ class _NativeEncoder:
         _LIB.rce_residuals(self._h, _ptr(ctx, ctypes.c_uint16),
                            _ptr(v, ctypes.c_int32), len(v), prefix_max, k)
 
+    def resbl(self, ctx, vals):
+        v = _as(vals, np.int32)
+        _LIB.rce_resbl(self._h, _ptr(ctx, ctypes.c_uint16),
+                       _ptr(v, ctypes.c_int32), len(v))
+
     def get_bytes(self):
         n = _LIB.rce_size(self._h)
         out = np.zeros(n, dtype=np.uint8)
@@ -434,6 +489,14 @@ class _NativeDecoder:
         out = np.zeros(n, dtype=np.uint8)
         if n:
             _LIB.rcd_bits_chain(self._h, _ptr(ctx, ctypes.c_uint16),
+                                _ptr(out, ctypes.c_uint8), n)
+        return out
+
+    def mode_chain(self, ctx, n):
+        """n 2-bit symbols, ctx chained on previous symbol (size 8)."""
+        out = np.zeros(n, dtype=np.uint8)
+        if n:
+            _LIB.rcd_mode_chain(self._h, _ptr(ctx, ctypes.c_uint16),
                                 _ptr(out, ctypes.c_uint8), n)
         return out
 
@@ -474,6 +537,12 @@ class _NativeDecoder:
         out = np.zeros(n, dtype=np.int32)
         _LIB.rcd_residuals(self._h, _ptr(ctx, ctypes.c_uint16),
                            _ptr(out, ctypes.c_int32), n, prefix_max, k)
+        return out
+
+    def resbl(self, ctx, n):
+        out = np.zeros(n, dtype=np.int32)
+        _LIB.rcd_resbl(self._h, _ptr(ctx, ctypes.c_uint16),
+                       _ptr(out, ctypes.c_int32), n)
         return out
 
 

@@ -65,6 +65,15 @@ def decode_raw(data: bytes, count: int,
     return out
 
 
+def _morton_perm(positions: np.ndarray):
+    """Transform codecs operate in Morton order; geometry coding order
+    is already Morton for the octree codec (perm = identity there) but
+    not for the predictive-tree chain order."""
+    from ..utils import morton
+    return np.argsort(morton.encode(positions.astype(np.int64)),
+                      kind="stable")
+
+
 def encode(values: np.ndarray, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
            ctx: AttributeContexts) -> bytes:
@@ -75,6 +84,9 @@ def encode(values: np.ndarray, positions: np.ndarray,
     """
     if aps.attr_encoding == AttributeEncoding.RAW:
         return encode_raw(values, desc)
+    perm = _morton_perm(positions)
+    values = np.asarray(values)[perm]
+    positions = positions[perm]
     if aps.attr_encoding == AttributeEncoding.RAHT:
         from . import attr_raht
         return attr_raht.encode(values, positions, aps, desc, ctx)
@@ -90,10 +102,16 @@ def decode(data: bytes, positions: np.ndarray,
     count = positions.shape[0]
     if aps.attr_encoding == AttributeEncoding.RAW:
         return decode_raw(data, count, desc)
+    perm = _morton_perm(positions)
     if aps.attr_encoding == AttributeEncoding.RAHT:
         from . import attr_raht
-        return attr_raht.decode(data, positions, aps, desc, ctx)
-    if aps.attr_encoding in (AttributeEncoding.PRED, AttributeEncoding.LIFT):
+        vals = attr_raht.decode(data, positions[perm], aps, desc, ctx)
+    elif aps.attr_encoding in (AttributeEncoding.PRED,
+                               AttributeEncoding.LIFT):
         from . import attr_predlift
-        return attr_predlift.decode(data, positions, aps, desc, ctx)
-    raise ValueError(f"unsupported attr_encoding {aps.attr_encoding}")
+        vals = attr_predlift.decode(data, positions[perm], aps, desc, ctx)
+    else:
+        raise ValueError(f"unsupported attr_encoding {aps.attr_encoding}")
+    out = np.empty_like(np.asarray(vals))
+    out[perm] = vals
+    return out

@@ -228,6 +228,18 @@ void rcd_bits(RcDecoder* d, uint16_t* ctx, const int32_t* ctx_ids,
     bits[i] = (uint8_t)d->decode_bit(&ctx[ctx_ids[i]]);
 }
 
+// 2-bit symbols with contexts chained on the previous symbol (used by
+// the predictive-geometry mode stream).
+void rcd_mode_chain(RcDecoder* d, uint16_t* ctx, uint8_t* modes, int64_t n) {
+  int prev = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int hi = d->decode_bit(&ctx[prev * 2]);
+    int lo = d->decode_bit(&ctx[prev * 2 + 1]);
+    prev = (hi << 1) | lo;
+    modes[i] = (uint8_t)prev;
+  }
+}
+
 // Bits with the context chained on the previously coded bit (used for
 // trisoup vertex presence flags and similar 1st-order binary streams).
 void rcd_bits_chain(RcDecoder* d, uint16_t* ctx, uint8_t* bits, int64_t n) {
@@ -340,6 +352,53 @@ void rcd_residuals(RcDecoder* d, uint16_t* ctx, int32_t* vals, int64_t n,
     } else {
       int neg = d->decode_bypass();
       uint32_t mag = dec_ueg(d, &ctx[2], prefix_max, k) + 1;
+      vals[i] = neg ? -(int32_t)mag : (int32_t)mag;
+      prev_nz = 1;
+    }
+  }
+}
+
+// ---- bit-length residual block ------------------------------------
+//
+// For large-dynamic-range residuals (predictive geometry deltas): per
+// value a zero flag (chained ctx), bypass sign, then the magnitude as
+// an adaptive truncated-unary bit-length (contexts ctx[2..2+24)) plus
+// bypass mantissa.  The length alphabet is small and peaky, which the
+// adaptive prefix models well — unlike a fixed Exp-Golomb suffix.
+
+void rce_resbl(RcEncoder* e, uint16_t* ctx, const int32_t* vals,
+               int64_t n) {
+  int prev_nz = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t v = vals[i];
+    int nz = v != 0;
+    e->encode_bit(&ctx[prev_nz], !nz);
+    if (nz) {
+      e->encode_bypass(v < 0);
+      uint32_t mag = (uint32_t)(v < 0 ? -(int64_t)v : v);
+      int nb = 0;
+      while ((mag >> nb) > 1) nb++;      // nb = bit_length - 1
+      for (int j = 0; j < nb; ++j) e->encode_bit(&ctx[2 + j], 1);
+      if (nb < 23) e->encode_bit(&ctx[2 + nb], 0);
+      if (nb > 0) e->encode_bypass_bits(mag & ((1u << nb) - 1), nb);
+    }
+    prev_nz = nz;
+  }
+}
+
+void rcd_resbl(RcDecoder* d, uint16_t* ctx, int32_t* vals, int64_t n) {
+  int prev_nz = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int zero = d->decode_bit(&ctx[prev_nz]);
+    if (zero) {
+      vals[i] = 0;
+      prev_nz = 0;
+    } else {
+      int neg = d->decode_bypass();
+      int nb = 0;
+      while (nb < 23 && d->decode_bit(&ctx[2 + nb])) nb++;
+      uint32_t mag = 1;
+      if (nb > 0) mag = (1u << nb) | d->decode_bypass_bits(nb);
       vals[i] = neg ? -(int32_t)mag : (int32_t)mag;
       prev_nz = 1;
     }

@@ -17,7 +17,7 @@ import numpy as np
 from ..bitstream import entropy, hls
 from ..bitstream.tlv import PayloadBuffer, PayloadType
 from ..models import attributes as attr_model
-from ..models import geometry_octree, geometry_trisoup
+from ..models import geometry_octree, geometry_predictive, geometry_trisoup
 from ..models import pointcloud as pc
 from ..ops import processing
 
@@ -42,6 +42,8 @@ class FrameDecoder:
         self._frame_ctr_lsb: Optional[int] = None
         self._geom_ctx: Optional[geometry_octree.OctreeContexts] = None
         self._trisoup_ctx: Optional[geometry_trisoup.TrisoupContexts] = None
+        self._predgeom_ctx: Optional[
+            geometry_predictive.PredGeomContexts] = None
         self._attr_ctx: Dict[int, attr_model.AttributeContexts] = {}
 
     # ------------------------------------------------------------------
@@ -96,6 +98,7 @@ class FrameDecoder:
         if not continuing:
             self._geom_ctx = geometry_octree.OctreeContexts()
             self._trisoup_ctx = geometry_trisoup.TrisoupContexts()
+            self._predgeom_ctx = geometry_predictive.PredGeomContexts()
             self._attr_ctx = {i: attr_model.AttributeContexts()
                               for i in self.aps}
 
@@ -111,6 +114,9 @@ class FrameDecoder:
                 gbh.root_node_size_log2, gps.trisoup_node_size_log2, dec,
                 self._geom_ctx, self._trisoup_ctx,
                 max_nodes=gbh.num_points, ctx_mode=ctx_mode)
+        elif gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
+            local = geometry_predictive.decode(
+                gbh.num_points, dec, self._predgeom_ctx)
         else:
             local = geometry_octree.decode(
                 gbh.num_points, gbh.root_node_size_log2, dec,

@@ -18,7 +18,7 @@ import numpy as np
 from ..bitstream import entropy, hls
 from ..bitstream.tlv import PayloadBuffer, PayloadType
 from ..models import attributes as attr_model
-from ..models import geometry_octree, geometry_trisoup
+from ..models import geometry_octree, geometry_predictive, geometry_trisoup
 from ..models.pointcloud import PointCloud
 from ..ops import processing
 
@@ -57,6 +57,12 @@ class EncoderParams:
     neighbour_context: bool = True
     # geometry engine: auto | numpy | native | device
     engine: str = "auto"
+    # predictive-geometry input ordering (reference predGeomSort)
+    predgeom_sort_mode: "geometry_predictive.SortMode" = None
+
+    def __post_init__(self):
+        if self.predgeom_sort_mode is None:
+            self.predgeom_sort_mode = geometry_predictive.SortMode.MORTON
 
 
 class FrameEncoder:
@@ -166,6 +172,7 @@ class FrameEncoder:
         if not continuing:
             self._geom_ctx = geometry_octree.OctreeContexts()
             self._trisoup_ctx = geometry_trisoup.TrisoupContexts()
+            self._predgeom_ctx = geometry_predictive.PredGeomContexts()
             self._attr_ctx = {
                 i: attr_model.AttributeContexts()
                 for i in range(len(self.aps))}
@@ -183,6 +190,11 @@ class FrameEncoder:
                 self._geom_ctx, self._trisoup_ctx,
                 engine=p.engine, ctx_mode=ctx_mode)
             order = None
+        elif self.gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
+            order = geometry_predictive.encode(
+                local, enc, self._predgeom_ctx,
+                sort_mode=p.predgeom_sort_mode)
+            recon_local = None
         else:
             order = geometry_octree.encode(
                 local, depth, enc, self._geom_ctx,
