@@ -270,6 +270,10 @@ class GeometryBrickHeader:
     num_points: int = 0           # total points incl. duplicates
     entropy_continuation: bool = False
     prev_slice_id: int = 0
+    # inter prediction (reference GBH gm_matrix/gm_trans, hls.h:627-780)
+    is_inter: bool = False
+    gm_matrix: Tuple[int, ...] = (65536, 0, 0, 0, 65536, 0, 0, 0, 65536)
+    gm_trans: Tuple[int, int, int] = (0, 0, 0)
     # payload byte length of the entropy substream follows the header so
     # multiple streams can be concatenated (reference geom_stream_cnt)
     stream_len: int = 0
@@ -287,6 +291,12 @@ class GeometryBrickHeader:
         w.write_bit(self.entropy_continuation)
         if self.entropy_continuation:
             w.write_ue(self.prev_slice_id)
+        w.write_bit(self.is_inter)
+        if self.is_inter:
+            for v in self.gm_matrix:
+                w.write_se(int(v))
+            for v in self.gm_trans:
+                w.write_se(int(v))
         w.write_ue(self.stream_len)
         w.byte_align()
         return w.get_bytes()
@@ -305,6 +315,10 @@ class GeometryBrickHeader:
         h.entropy_continuation = bool(r.read_bit())
         if h.entropy_continuation:
             h.prev_slice_id = r.read_ue()
+        h.is_inter = bool(r.read_bit())
+        if h.is_inter:
+            h.gm_matrix = tuple(r.read_se() for _ in range(9))
+            h.gm_trans = tuple(r.read_se() for _ in range(3))
         h.stream_len = r.read_ue()
         r.byte_align()
         return h, r.byte_pos

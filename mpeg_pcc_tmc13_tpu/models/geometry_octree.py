@@ -49,9 +49,13 @@ class OctreeContexts:
         default_factory=lambda: entropy.new_contexts(ops.OCC_CTX_SIZE))
     dups: np.ndarray = field(
         default_factory=lambda: entropy.new_contexts(DUP_CTX_SIZE))
+    # inter bricks: base = child_idx << 8 | reference pred-occupancy
+    occupancy_inter: np.ndarray = field(
+        default_factory=lambda: entropy.new_contexts(ops.OCC_CTX_SIZE))
 
     def copy(self) -> "OctreeContexts":
-        return OctreeContexts(self.occupancy.copy(), self.dups.copy())
+        return OctreeContexts(self.occupancy.copy(), self.dups.copy(),
+                              self.occupancy_inter.copy())
 
 
 def _dedup_sorted(codes_sorted: np.ndarray):
@@ -74,8 +78,12 @@ def resolve_engine(engine: str) -> str:
 
 def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
            unique_points: bool = True, engine: str = "auto",
-           ctx_mode: int = ops.CTX_MODE_NEIGH):
+           ctx_mode: int = ops.CTX_MODE_NEIGH,
+           ref_codes: np.ndarray = None):
     """Encode integer positions in [0, 2**depth)^3.
+
+    ref_codes: sorted unique Morton codes of the motion-compensated
+    reference frame (slice-local) — enables inter occupancy contexts.
 
     Returns the permutation `order` mapping input points to coding
     (Morton+dup) order — attributes must be coded in this order so the
@@ -93,6 +101,14 @@ def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
 
     if depth == 0 or uniq.size == 0:
         pass
+    elif ref_codes is not None and ref_codes.size:
+        # inter brick (numpy path; contexts keyed by reference occ)
+        levels = ops.build_levels_np(uniq, depth, ops.CTX_MODE_PARENT)
+        for l, lvl in enumerate(levels):
+            ref_l1 = np.unique(ref_codes >> (3 * (depth - l - 1)))
+            pred = ops.pred_occupancy_np(lvl["nodes"], ref_l1)
+            base = ((lvl["nodes"] & 7).astype(np.int32) << 8) | pred
+            enc.occupancy(ctx.occupancy_inter, base, lvl["occ"])
     elif engine == "native" and hasattr(enc, "octree"):
         enc.octree(ctx.occupancy, uniq, depth, ctx_mode)
     elif engine == "device":
@@ -122,7 +138,8 @@ def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
 
 def decode(num_points: int, depth: int, dec, ctx: OctreeContexts,
            unique_points: bool = True, engine: str = "auto",
-           ctx_mode: int = ops.CTX_MODE_NEIGH):
+           ctx_mode: int = ops.CTX_MODE_NEIGH,
+           ref_codes: np.ndarray = None):
     """Decode positions (coding order).
 
     num_points (total, incl. duplicates — signalled in the GBH) only
@@ -131,7 +148,15 @@ def decode(num_points: int, depth: int, dec, ctx: OctreeContexts,
     if num_points == 0:
         return np.zeros((0, 3), dtype=np.int64)
     engine = resolve_engine(engine)
-    if engine == "native" and hasattr(dec, "octree") and depth > 0:
+    if ref_codes is not None and ref_codes.size:
+        nodes = np.zeros(1, dtype=np.int64)  # root
+        for l in range(depth):
+            ref_l1 = np.unique(ref_codes >> (3 * (depth - l - 1)))
+            pred = ops.pred_occupancy_np(nodes, ref_l1)
+            base = ((nodes & 7).astype(np.int32) << 8) | pred
+            occ = dec.occupancy(ctx.occupancy_inter, base)
+            nodes = ops.expand_level_np(nodes, occ)
+    elif engine == "native" and hasattr(dec, "octree") and depth > 0:
         nodes = dec.octree(ctx.occupancy, num_points, depth, ctx_mode)
     else:
         nodes = np.zeros(1, dtype=np.int64)  # root

@@ -138,6 +138,28 @@ def expand_level_np(node_codes: np.ndarray, occ: np.ndarray) -> np.ndarray:
     return child[bits.astype(bool)]
 
 
+def pred_occupancy_np(node_codes: np.ndarray, ref_child_codes: np.ndarray
+                      ) -> np.ndarray:
+    """Inter prediction: occupancy byte of each node in the
+    motion-compensated reference frame (reference predOccupancy
+    contextualisation, geometry_octree_encoder.cpp:1875-1918).
+
+    node_codes: level-l nodes; ref_child_codes: sorted unique reference
+    codes at level l+1.  pred bit j set iff the reference occupies
+    child j of the node.
+    """
+    m = node_codes.shape[0]
+    if m == 0 or ref_child_codes.size == 0:
+        return np.zeros(m, dtype=np.int32)
+    queries = (node_codes[:, None] << 3) | np.arange(8, dtype=np.int64)
+    idx = np.searchsorted(ref_child_codes, queries)
+    idx = np.minimum(idx, ref_child_codes.size - 1)
+    hit = ref_child_codes[idx] == queries
+    return np.sum(
+        hit.astype(np.int32) << np.arange(8, dtype=np.int32)[None, :],
+        axis=1)
+
+
 def popcount8_np(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.astype(np.uint8)[:, None],
                          axis=1).sum(axis=1).astype(np.int64)

@@ -82,6 +82,15 @@ class Config:
                 p.merge_duplicated_points = opt.to_bool(value)
             elif name == "sliceMaxPoints":
                 p.max_points_per_slice = opt.to_int(value)
+            elif name == "sliceMinPoints":
+                p.min_points_per_slice = opt.to_int(value)
+            elif name == "partitionMethod":
+                from ..ops.partition import PartitionMethod
+                p.partition_method = PartitionMethod(opt.to_int(value))
+            elif name == "partitionOctreeDepth":
+                p.partition_octree_depth = opt.to_int(value)
+            elif name == "tileSize":
+                p.tile_size = opt.to_int(value)
             elif name == "entropyContinuationEnabled":
                 p.entropy_continuation = opt.to_bool(value)
             elif name == "trisoupNodeSizeLog2":
@@ -100,6 +109,14 @@ class Config:
                 p.neighbour_context = opt.to_int(value) > 0
             elif name == "geomEngine":   # framework-specific
                 p.engine = value.strip()
+            elif name == "interPredictionEnabled":
+                p.inter_prediction = opt.to_bool(value)
+            elif name == "randomAccessPeriod":
+                p.random_access_period = opt.to_int(value)
+            elif name == "globalMotionEnabled":
+                p.global_motion = opt.to_bool(value)
+            elif name == "motionVectorPath":
+                p.motion_file = value.strip()
             # ---- sticky attribute params ----
             elif name in ("qp", "bitdepth", "transformType", "integerHaar",
                           "qpChromaOffset", "attrScale", "attrOffset",

@@ -45,6 +45,9 @@ class FrameDecoder:
         self._predgeom_ctx: Optional[
             geometry_predictive.PredGeomContexts] = None
         self._attr_ctx: Dict[int, attr_model.AttributeContexts] = {}
+        # previous frame's grid positions (reference storeCurrentCloudAsRef,
+        # decoder.cpp:165)
+        self._ref_frame: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
     def decompress(self, buf: PayloadBuffer):
@@ -118,10 +121,23 @@ class FrameDecoder:
             local = geometry_predictive.decode(
                 gbh.num_points, dec, self._predgeom_ctx)
         else:
+            ref_codes = None
+            if gbh.is_inter and self._ref_frame is not None:
+                from ..ops import motion as motion_ops
+                from ..utils import morton as morton_mod
+                mat = np.asarray(gbh.gm_matrix,
+                                 dtype=np.int64).reshape(3, 3)
+                trans = np.asarray(gbh.gm_trans, dtype=np.int64)
+                comp = motion_ops.apply_global_motion(
+                    self._ref_frame, mat, trans) \
+                    - np.asarray(gbh.slice_origin, dtype=np.int64)
+                depth = gbh.root_node_size_log2
+                inb = np.all((comp >= 0) & (comp < (1 << depth)), axis=1)
+                ref_codes = np.unique(morton_mod.encode(comp[inb]))
             local = geometry_octree.decode(
                 gbh.num_points, gbh.root_node_size_log2, dec,
                 self._geom_ctx, unique_points=gps.unique_points,
-                ctx_mode=ctx_mode)
+                ctx_mode=ctx_mode, ref_codes=ref_codes)
         grid = local + np.asarray(gbh.slice_origin, dtype=np.int64)
         self._slices.append(_SliceState(positions=grid, local=local))
 
@@ -162,5 +178,9 @@ class FrameDecoder:
                 sl.positions, sps.geom_scale_num, sps.geom_scale_den,
                 (0, 0, 0))
             clouds.append(pc.PointCloud(pos, colors, refl))
+        # reference frame for inter prediction: grid coordinates
+        if self._slices:
+            self._ref_frame = np.concatenate(
+                [sl.positions for sl in self._slices])
         self._slices = []
         self.on_output_cloud(pc.concat(clouds))

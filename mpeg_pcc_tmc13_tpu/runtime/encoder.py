@@ -20,6 +20,8 @@ from ..bitstream.tlv import PayloadBuffer, PayloadType
 from ..models import attributes as attr_model
 from ..models import geometry_octree, geometry_predictive, geometry_trisoup
 from ..models.pointcloud import PointCloud
+from ..ops import motion as motion_ops
+from ..ops import partition as partition_ops
 from ..ops import processing
 
 
@@ -48,10 +50,20 @@ class EncoderParams:
     geometry_codec: hls.GeometryCodecType = hls.GeometryCodecType.OCTREE
     trisoup_node_size_log2: int = 0
     attributes: List[AttributeConfig] = field(default_factory=list)
-    # slice partitioning (reference partitioning.cpp): 0 = single slice
+    # slice/tile partitioning (reference partitioning.cpp; CLI
+    # partitionMethod TMC3.cpp:781)
+    partition_method: "partition_ops.PartitionMethod" = None
     max_points_per_slice: int = 1_100_000
+    min_points_per_slice: int = 0
+    partition_octree_depth: int = 1
+    tile_size: int = 0
     entropy_continuation: bool = False
     frame_ctr_bits: int = 8
+    # inter prediction (reference TMC3.cpp:1113-1151)
+    inter_prediction: bool = False
+    random_access_period: int = 1     # 1 = all-intra
+    global_motion: bool = False
+    motion_file: Optional[str] = None
     # occupancy context mode (reference neighbourAvailBoundaryLog2>0):
     # True = 6-neighbour contexts, False = parent-occupancy (fast)
     neighbour_context: bool = True
@@ -63,6 +75,8 @@ class EncoderParams:
     def __post_init__(self):
         if self.predgeom_sort_mode is None:
             self.predgeom_sort_mode = geometry_predictive.SortMode.MORTON
+        if self.partition_method is None:
+            self.partition_method = partition_ops.PartitionMethod.NPTS
 
 
 class FrameEncoder:
@@ -78,6 +92,10 @@ class FrameEncoder:
         self._geom_ctx: Optional[geometry_octree.OctreeContexts] = None
         self._trisoup_ctx: Optional[geometry_trisoup.TrisoupContexts] = None
         self._attr_ctx: Dict[int, attr_model.AttributeContexts] = {}
+        # inter state (reference refFrame bookkeeping, encoder.cpp:502)
+        self._ref_frame: Optional[np.ndarray] = None   # grid positions
+        self._motion_params = (motion_ops.MotionParameters.parse_file(
+            params.motion_file) if params.motion_file else None)
 
     # -- parameter-set derivation (reference deriveParameterSets,
     #    encoder.cpp:677) ---------------------------------------------
@@ -102,6 +120,8 @@ class FrameEncoder:
             unique_points=p.merge_duplicated_points,
             neighbour_context_enabled=p.neighbour_context,
             trisoup_node_size_log2=p.trisoup_node_size_log2,
+            interPredictionEnabled=p.inter_prediction,
+            globalMotionEnabled=p.global_motion,
         )
         aps_list = []
         for i, ac in enumerate(p.attributes):
@@ -111,17 +131,29 @@ class FrameEncoder:
                 raht_integer_haar=ac.raht_integer_haar))
         self.sps, self.gps, self.aps = sps, gps, aps_list
 
-    # -- slice partitioning (reference partitionByNpts,
-    #    partitioning.cpp:261; v1: Morton-contiguous equal chunks) ----
-    def _partition(self, cloud: PointCloud) -> List[PointCloud]:
-        n = cloud.count
-        maxpts = self.params.max_points_per_slice
-        if n <= maxpts:
-            return [cloud]
-        nslices = -(-n // maxpts)
-        bounds = np.linspace(0, n, nslices + 1).astype(np.int64)
-        return [cloud.take(np.arange(bounds[i], bounds[i + 1]))
-                for i in range(nslices)]
+    # -- tile + slice partitioning (reference encoder.cpp:340-473) ----
+    def _partition(self, cloud: PointCloud,
+                   out: Callable[[PayloadBuffer], None]
+                   ) -> List[PointCloud]:
+        p = self.params
+        if p.tile_size > 0:
+            tiles, inventory = partition_ops.tile_partition(
+                cloud.positions, p.tile_size)
+            out(PayloadBuffer(
+                PayloadType.TILE_INVENTORY,
+                hls.TileInventory(tiles=inventory).write()))
+        else:
+            tiles = [np.arange(cloud.count)]
+        result = []
+        for tidx in tiles:
+            tcloud = cloud.take(tidx)
+            for sidx in partition_ops.partition_slices(
+                    tcloud.positions, p.partition_method,
+                    max_points=p.max_points_per_slice,
+                    min_points=p.min_points_per_slice,
+                    octree_depth=p.partition_octree_depth):
+                result.append(tcloud.take(sidx))
+        return result
 
     def compress(self, cloud: PointCloud,
                  out: Callable[[PayloadBuffer], None]):
@@ -154,14 +186,34 @@ class FrameEncoder:
                 PayloadType.FRAME_BOUNDARY_MARKER,
                 hls.FrameBoundaryMarker(frame_ctr_lsb).write()))
 
-        for scloud in self._partition(qcloud):
-            self._compress_slice(scloud, frame_ctr_lsb, out)
+        # frame type: I every random_access_period frames (reference
+        # SequenceEncoder RA periods, TMC3.cpp:2162-2183); inter only
+        # for the octree codec in this round
+        rap = max(p.random_access_period, 1)
+        is_inter = (p.inter_prediction
+                    and self._ref_frame is not None
+                    and self.frame_ctr % rap != 0
+                    and p.geometry_codec == hls.GeometryCodecType.OCTREE)
+        gm = None
+        if is_inter:
+            if self._motion_params is not None:
+                gm = self._motion_params.for_frame(self.frame_ctr)
+            elif p.global_motion:
+                gm = motion_ops.estimate_global_motion(
+                    self._ref_frame, qcloud.positions)
+            else:
+                gm = motion_ops.identity_motion()
+
+        for scloud in self._partition(qcloud, out):
+            self._compress_slice(scloud, frame_ctr_lsb, out,
+                                 gm=gm if is_inter else None)
+        self._ref_frame = qcloud.positions.astype(np.int64)
         self.frame_ctr += 1
 
     # -- per-slice coding (reference compressPartition,
     #    encoder.cpp:924) --------------------------------------------
     def _compress_slice(self, cloud: PointCloud, frame_ctr_lsb: int,
-                        out: Callable[[PayloadBuffer], None]):
+                        out: Callable[[PayloadBuffer], None], gm=None):
         p = self.params
         slice_origin = cloud.bbox()[0]
         local = cloud.positions.astype(np.int64) - slice_origin
@@ -196,16 +248,32 @@ class FrameEncoder:
                 sort_mode=p.predgeom_sort_mode)
             recon_local = None
         else:
+            ref_codes = None
+            if gm is not None:
+                from ..utils import morton as morton_mod
+                comp = motion_ops.apply_global_motion(
+                    self._ref_frame, gm[0], gm[1]) - slice_origin
+                inb = np.all((comp >= 0) & (comp < (1 << depth)), axis=1)
+                ref_codes = np.unique(morton_mod.encode(comp[inb]))
             order = geometry_octree.encode(
                 local, depth, enc, self._geom_ctx,
                 unique_points=self.gps.unique_points,
-                engine=p.engine, ctx_mode=ctx_mode)
+                engine=p.engine, ctx_mode=ctx_mode, ref_codes=ref_codes)
             recon_local = None
         stream = enc.get_bytes()
 
         num_points = (int(recon_local.shape[0]) if trisoup
                       else cloud.count)
+        if gm is not None:
+            gm_mat = tuple(int(v) for v in gm[0].reshape(-1))
+            gm_trans = tuple(int(v) for v in gm[1])
+        else:
+            gm_mat, gm_trans = (65536, 0, 0, 0, 65536, 0, 0, 0, 65536), \
+                (0, 0, 0)
         gbh = hls.GeometryBrickHeader(
+            is_inter=gm is not None,
+            gm_matrix=gm_mat,
+            gm_trans=gm_trans,
             gps_id=self.gps.gps_id,
             slice_id=self._slice_id,
             frame_ctr_lsb=frame_ctr_lsb,

@@ -1,0 +1,95 @@
+"""Inter prediction + global motion tests."""
+
+import io
+
+import numpy as np
+import pytest
+
+from mpeg_pcc_tmc13_tpu.bitstream import hls
+from mpeg_pcc_tmc13_tpu.bitstream.tlv import iter_tlv, write_tlv
+from mpeg_pcc_tmc13_tpu.models.pointcloud import PointCloud
+from mpeg_pcc_tmc13_tpu.ops import motion as motion_ops
+from mpeg_pcc_tmc13_tpu.runtime.decoder import FrameDecoder
+from mpeg_pcc_tmc13_tpu.runtime.encoder import EncoderParams, FrameEncoder
+from mpeg_pcc_tmc13_tpu.utils import morton
+
+
+def moving_sequence(n=4000, depth=9, frames=4, shift=(3, 1, 0), seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(16, (1 << depth) - 64, size=(n, 3), dtype=np.int64)
+    seq = []
+    for f in range(frames):
+        jitter = rng.integers(-1, 2, size=(n, 3))
+        seq.append(PointCloud(base + np.asarray(shift) * f + jitter))
+    return seq
+
+
+def test_gm_identity_roundtrip():
+    mat, trans = motion_ops.identity_motion()
+    p = np.array([[5, 7, 9], [100, 200, 300]], dtype=np.int64)
+    np.testing.assert_array_equal(
+        motion_ops.apply_global_motion(p, mat, trans), p)
+
+
+def test_gm_estimation_recovers_translation():
+    rng = np.random.default_rng(1)
+    ref = rng.integers(0, 512, (3000, 3), dtype=np.int64)
+    cur = ref + np.array([7, -3, 2])
+    mat, trans = motion_ops.estimate_global_motion(ref, cur)
+    comp = motion_ops.apply_global_motion(ref, mat, trans)
+    err = np.abs(comp - cur)
+    assert np.median(err) <= 1
+
+
+def roundtrip_sequence(seq, params):
+    bs = io.BytesIO()
+    enc = FrameEncoder(params)
+    for c in seq:
+        enc.compress(c, lambda b: write_tlv(b, bs))
+    bs.seek(0)
+    outs = []
+    dec = FrameDecoder(outs.append)
+    for b in iter_tlv(bs):
+        dec.decompress(b)
+    dec.flush()
+    return outs, bs.getbuffer().nbytes
+
+
+def test_inter_sequence_lossless_and_smaller():
+    seq = moving_sequence()
+    intra_params = EncoderParams()
+    inter_params = EncoderParams(inter_prediction=True,
+                                 random_access_period=8,
+                                 global_motion=True)
+    outs_a, size_a = roundtrip_sequence(seq, intra_params)
+    outs_b, size_b = roundtrip_sequence(seq, inter_params)
+    assert len(outs_b) == len(seq)
+    for src, out in zip(seq, outs_b):
+        np.testing.assert_array_equal(
+            np.sort(morton.encode(out.positions)),
+            np.unique(morton.encode(src.positions)))
+    # inter coding beats all-intra on a coherent moving sequence
+    assert size_b < size_a
+
+
+def test_inter_survives_random_access():
+    seq = moving_sequence(frames=5)
+    params = EncoderParams(inter_prediction=True, random_access_period=2,
+                           global_motion=False)
+    outs, _ = roundtrip_sequence(seq, params)
+    assert len(outs) == 5
+    for src, out in zip(seq, outs):
+        np.testing.assert_array_equal(
+            np.sort(morton.encode(out.positions)),
+            np.unique(morton.encode(src.positions)))
+
+
+def test_gbh_inter_fields_roundtrip():
+    h = hls.GeometryBrickHeader(
+        is_inter=True,
+        gm_matrix=(65536, 10, -20, 0, 65000, 5, 1, 2, 66000),
+        gm_trans=(-5, 9, 0), num_points=42, stream_len=7)
+    data = h.write()
+    h2, off = hls.GeometryBrickHeader.parse(data)
+    assert h2.is_inter and h2.gm_matrix == h.gm_matrix
+    assert h2.gm_trans == h.gm_trans
