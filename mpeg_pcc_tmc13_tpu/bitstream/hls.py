@@ -274,9 +274,11 @@ class GeometryBrickHeader:
     is_inter: bool = False
     gm_matrix: Tuple[int, ...] = (65536, 0, 0, 0, 65536, 0, 0, 0, 65536)
     gm_trans: Tuple[int, int, int] = (0, 0, 0)
-    # payload byte length of the entropy substream follows the header so
-    # multiple streams can be concatenated (reference geom_stream_cnt)
-    stream_len: int = 0
+    # entropy substream byte lengths (reference geom_stream_cnt_minus1 +
+    # per-stream lengths, §2.9.3): stream 0 carries the shared-context
+    # coarse levels; streams 1..N-1 carry one deep level each and are
+    # independently decodable from the stream-0 context snapshot.
+    stream_lens: List[int] = field(default_factory=lambda: [0])
 
     def write(self) -> bytes:
         w = BitWriter()
@@ -297,7 +299,9 @@ class GeometryBrickHeader:
                 w.write_se(int(v))
             for v in self.gm_trans:
                 w.write_se(int(v))
-        w.write_ue(self.stream_len)
+        w.write_ue(len(self.stream_lens) - 1)
+        for v in self.stream_lens:
+            w.write_ue(int(v))
         w.byte_align()
         return w.get_bytes()
 
@@ -319,7 +323,8 @@ class GeometryBrickHeader:
         if h.is_inter:
             h.gm_matrix = tuple(r.read_se() for _ in range(9))
             h.gm_trans = tuple(r.read_se() for _ in range(3))
-        h.stream_len = r.read_ue()
+        nstreams = r.read_ue() + 1
+        h.stream_lens = [r.read_ue() for _ in range(nstreams)]
         r.byte_align()
         return h, r.byte_pos
 

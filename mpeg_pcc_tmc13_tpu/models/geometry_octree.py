@@ -136,18 +136,119 @@ def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
     return order
 
 
+def encode_multistream(positions: np.ndarray, depth: int,
+                       ctx: OctreeContexts, num_streams: int,
+                       ctx_mode: int = ops.CTX_MODE_NEIGH):
+    """Encode with the last num_streams-1 levels in separate entropy
+    streams so they decode independently (reference multiple octree
+    entropy streams, §2.9.3: shared context state saved at the split,
+    geometry_octree_encoder.cpp:2133-2142).
+
+    Returns (streams: list[bytes], order).  Requires unique points.
+    """
+    codes = morton.encode(positions.astype(np.int64))
+    order = np.argsort(codes, kind="stable")
+    uniq, _ = _dedup_sorted(codes[order])
+    num_streams = max(1, min(num_streams, depth))
+    split = depth - (num_streams - 1)
+    levels = ops.build_levels_np(uniq, depth, ctx_mode)
+
+    enc0 = entropy.RangeEncoder()
+    for lvl in levels[:split]:
+        enc0.occupancy(ctx.occupancy, lvl["ctx_base"], lvl["occ"])
+    streams = [enc0.get_bytes()]
+    snapshot = ctx.occupancy.copy()
+    for lvl in levels[split:]:
+        enc_l = entropy.RangeEncoder()
+        ctx_l = snapshot.copy()
+        enc_l.occupancy(ctx_l, lvl["ctx_base"], lvl["occ"])
+        streams.append(enc_l.get_bytes())
+    return streams, order
+
+
+def decode_multistream(num_points: int, depth: int, streams,
+                       ctx: OctreeContexts,
+                       ctx_mode: int = ops.CTX_MODE_NEIGH):
+    """Mirror of encode_multistream.  Deep-level streams share the
+    stream-0 context snapshot, so they could run concurrently; here
+    they run in order but with independent decoders."""
+    if num_points == 0:
+        return np.zeros((0, 3), dtype=np.int64)
+    num_streams = len(streams)
+    split = depth - (num_streams - 1)
+    dec0 = entropy.RangeDecoder(streams[0])
+    nodes = np.zeros(1, dtype=np.int64)
+    parent_occ = np.zeros(1, dtype=np.int32)
+
+    def level_base(nodes, parent_occ, l):
+        if ctx_mode == ops.CTX_MODE_NEIGH:
+            return ops.occ_context_base_np(nodes, l)
+        return ((nodes & 7).astype(np.int32) << 8) | parent_occ
+
+    for l in range(split):
+        base = level_base(nodes, parent_occ, l)
+        occ = dec0.occupancy(ctx.occupancy, base)
+        if ctx_mode == ops.CTX_MODE_PARENT:
+            parent_occ = np.repeat(
+                occ.astype(np.int32), ops.popcount8_np(occ))
+        nodes = ops.expand_level_np(nodes, occ)
+    snapshot = ctx.occupancy.copy()
+    for k, l in enumerate(range(split, depth)):
+        dec_l = entropy.RangeDecoder(streams[1 + k])
+        ctx_l = snapshot.copy()
+        base = level_base(nodes, parent_occ, l)
+        occ = dec_l.occupancy(ctx_l, base)
+        if ctx_mode == ops.CTX_MODE_PARENT:
+            parent_occ = np.repeat(
+                occ.astype(np.int32), ops.popcount8_np(occ))
+        nodes = ops.expand_level_np(nodes, occ)
+    return morton.decode(nodes)
+
+
 def decode(num_points: int, depth: int, dec, ctx: OctreeContexts,
            unique_points: bool = True, engine: str = "auto",
            ctx_mode: int = ops.CTX_MODE_NEIGH,
-           ref_codes: np.ndarray = None):
+           ref_codes: np.ndarray = None,
+           skip_layers: int = 0, max_points: int = 0):
     """Decode positions (coding order).
 
     num_points (total, incl. duplicates — signalled in the GBH) only
     gates the empty-slice case and bounds the leaf count.
+
+    skip_layers > 0 enables scalable partial decode (reference
+    decodeGeometryOctreeScalable, geometry_octree_decoder.cpp:2244 and
+    skipOctreeLayers, decoder.cpp:698-710): the last `skip_layers`
+    octree levels are not decoded; node centres at the truncated level
+    are returned, scaled back to full resolution.  max_points > 0
+    additionally stops descending once a level has that many nodes.
     """
     if num_points == 0:
         return np.zeros((0, 3), dtype=np.int64)
     engine = resolve_engine(engine)
+    if skip_layers > 0 or max_points > 0:
+        stop_at = depth - min(skip_layers, depth)
+        nodes = np.zeros(1, dtype=np.int64)
+        parent_occ = np.zeros(1, dtype=np.int32)
+        lvl = 0
+        for l in range(stop_at):
+            if max_points and nodes.size >= max_points:
+                break
+            if ctx_mode == ops.CTX_MODE_NEIGH:
+                base = ops.occ_context_base_np(nodes, l)
+            else:
+                base = ((nodes & 7).astype(np.int32) << 8) | parent_occ
+            occ = dec.occupancy(ctx.occupancy, base)
+            nodes = ops.expand_level_np(nodes, occ)
+            if ctx_mode == ops.CTX_MODE_PARENT:
+                parent_occ = np.repeat(
+                    occ.astype(np.int32), ops.popcount8_np(occ))
+            lvl = l + 1
+        # emit node centres at full-resolution scale
+        shift = depth - lvl
+        pos = morton.decode(nodes) << shift
+        if shift > 0:
+            pos += (1 << shift) >> 1
+        return pos
     if ref_codes is not None and ref_codes.size:
         nodes = np.zeros(1, dtype=np.int64)  # root
         for l in range(depth):

@@ -42,6 +42,8 @@ class Config:
 
     def __init__(self):
         self.mode = 0
+        self.skip_octree_layers = 0
+        self.decode_max_points = 0
         self.uncompressed_path: Optional[str] = None
         self.compressed_path: Optional[str] = None
         self.reconstructed_path: Optional[str] = None
@@ -93,6 +95,8 @@ class Config:
                 p.tile_size = opt.to_int(value)
             elif name == "entropyContinuationEnabled":
                 p.entropy_continuation = opt.to_bool(value)
+            elif name == "numOctreeEntropyStreams":
+                p.num_entropy_streams = max(opt.to_int(value), 1)
             elif name == "trisoupNodeSizeLog2":
                 v = opt.to_int(value.split()[0]) if value else 0
                 p.trisoup_node_size_log2 = v
@@ -117,6 +121,10 @@ class Config:
                 p.global_motion = opt.to_bool(value)
             elif name == "motionVectorPath":
                 p.motion_file = value.strip()
+            elif name == "skipOctreeLayers":
+                self.skip_octree_layers = opt.to_int(value)
+            elif name == "decodeMaxPoints":
+                self.decode_max_points = opt.to_int(value)
             # ---- sticky attribute params ----
             elif name in ("qp", "bitdepth", "transformType", "integerHaar",
                           "qpChromaOffset", "attrScale", "attrOffset",
@@ -170,32 +178,55 @@ def _cloud_to_ply(cloud: PointCloud) -> ply.PlyCloud:
 
 
 def encode_sequence(cfg: Config) -> int:
+    from ..bitstream.tlv import PayloadType
+    from ..utils.timing import Stopwatch
     enc = FrameEncoder(cfg.params)
-    total_bytes = 0
-    t0 = time.monotonic()
+    sw = Stopwatch().start()
     with open(cfg.compressed_path, "wb") as fout:
-        sizes = {"n": 0}
+        sizes = {"total": 0, "geom": 0, "npts": 0}
+        attr_sizes: dict = {}
 
         def emit(buf):
-            sizes["n"] += len(buf.data) + 5
+            sizes["total"] += len(buf.data) + 5
+            if buf.type == PayloadType.GEOMETRY_BRICK:
+                sizes["geom"] += len(buf.data)
+            elif buf.type == PayloadType.ATTRIBUTE_BRICK:
+                # first ue in the ABH is the aps id -> attribute label
+                from ..bitstream.hls import AttributeBrickHeader
+                abh, _ = AttributeBrickHeader.parse(buf.data)
+                label = (enc.sps.attributes[abh.sps_attr_idx].label
+                         if enc.sps else str(abh.sps_attr_idx))
+                attr_sizes[label] = attr_sizes.get(label, 0) \
+                    + len(buf.data)
             write_tlv(buf, fout)
 
         for i in range(cfg.frame_count):
             path = ply.expand_num(cfg.uncompressed_path, cfg.first_frame + i)
             src = _ply_to_cloud(ply.read(path))
+            sizes["npts"] += src.count
             enc.compress(src, emit)
             print(f"frame {cfg.first_frame + i}: {src.count} points")
-        total_bytes = sizes["n"]
-    dt = time.monotonic() - t0
-    print(f"Total bitstream size {total_bytes} B")
-    print(f"Processing time (wall): {dt:.3f} s")
+    sw.stop()
+    n = max(sizes["npts"], 1)
+    # per-payload stats in the reference's log shape (encoder.cpp:1009)
+    print(f"positions bitstream size {sizes['geom']} B "
+          f"({8 * sizes['geom'] / n:.3f} bpp)")
+    for label, nbytes in attr_sizes.items():
+        print(f"{label}s bitstream size {nbytes} B "
+              f"({8 * nbytes / n:.3f} bpp)")
+    print(f"Total bitstream size {sizes['total']} B")
+    print(f"Processing time (user): {sw.user:.3f} s")
+    print(f"Processing time (wall): {sw.wall:.3f} s")
     return 0
 
 
 def decode_sequence(cfg: Config) -> int:
+    from ..utils.timing import Stopwatch
     frames = []
-    t0 = time.monotonic()
-    dec = FrameDecoder(frames.append)
+    sw = Stopwatch().start()
+    dec = FrameDecoder(frames.append,
+                       skip_layers=cfg.skip_octree_layers,
+                       max_points=cfg.decode_max_points)
     with open(cfg.compressed_path, "rb") as f:
         for buf in iter_tlv(f):
             dec.decompress(buf)
@@ -207,8 +238,9 @@ def decode_sequence(cfg: Config) -> int:
             ply.write(_cloud_to_ply(cloud), path,
                       ascii=not cfg.output_binary_ply)
         print(f"frame {cfg.first_frame + i}: {cloud.count} points")
-    dt = time.monotonic() - t0
-    print(f"Processing time (wall): {dt:.3f} s")
+    sw.stop()
+    print(f"Processing time (user): {sw.user:.3f} s")
+    print(f"Processing time (wall): {sw.wall:.3f} s")
     return 0
 
 

@@ -30,9 +30,16 @@ class _SliceState:
 
 
 class FrameDecoder:
-    """Feed TLV payloads in stream order; frames come out via callback."""
+    """Feed TLV payloads in stream order; frames come out via callback.
 
-    def __init__(self, on_output_cloud: Callable[[pc.PointCloud], None]):
+    skip_layers / max_points: scalable partial decode (reference
+    skipOctreeLayers / decodeMaxPoints, decoder.cpp:698-710).
+    """
+
+    def __init__(self, on_output_cloud: Callable[[pc.PointCloud], None],
+                 skip_layers: int = 0, max_points: int = 0):
+        self.skip_layers = skip_layers
+        self.max_points = max_points
         self.on_output_cloud = on_output_cloud
         self.sps: Dict[int, hls.SequenceParameterSet] = {}
         self.gps: Dict[int, hls.GeometryParameterSet] = {}
@@ -109,7 +116,21 @@ class FrameDecoder:
         ctx_mode = (octree_ops.CTX_MODE_NEIGH
                     if gps.neighbour_context_enabled
                     else octree_ops.CTX_MODE_PARENT)
-        stream = data[off:off + gbh.stream_len]
+        streams = []
+        pos = off
+        for ln in gbh.stream_lens:
+            streams.append(data[pos:pos + ln])
+            pos += ln
+        if (len(streams) > 1
+                and gps.codec_type == hls.GeometryCodecType.OCTREE
+                and self.skip_layers == 0 and self.max_points == 0):
+            local = geometry_octree.decode_multistream(
+                gbh.num_points, gbh.root_node_size_log2, streams,
+                self._geom_ctx, ctx_mode=ctx_mode)
+            grid = local + np.asarray(gbh.slice_origin, dtype=np.int64)
+            self._slices.append(_SliceState(positions=grid, local=local))
+            return
+        stream = streams[0]
         dec = entropy.RangeDecoder(stream)
         if (gps.codec_type == hls.GeometryCodecType.TRISOUP
                 and gps.trisoup_node_size_log2 > 0):
@@ -137,13 +158,20 @@ class FrameDecoder:
             local = geometry_octree.decode(
                 gbh.num_points, gbh.root_node_size_log2, dec,
                 self._geom_ctx, unique_points=gps.unique_points,
-                ctx_mode=ctx_mode, ref_codes=ref_codes)
+                ctx_mode=ctx_mode, ref_codes=ref_codes,
+                skip_layers=self.skip_layers,
+                max_points=self.max_points)
         grid = local + np.asarray(gbh.slice_origin, dtype=np.int64)
         self._slices.append(_SliceState(positions=grid, local=local))
 
     # -- attribute brick (reference decodeAttributeBrick,
     #    decoder.cpp:781) ---------------------------------------------
     def _decode_attribute_brick(self, data: bytes):
+        if self.skip_layers > 0 or self.max_points > 0:
+            # partial geometry decode: attribute streams describe the
+            # full-resolution cloud — geometry-only output (scalable
+            # attribute decode needs scalable lifting, later round)
+            return
         abh, off = hls.AttributeBrickHeader.parse(data)
         aps = self.aps[abh.aps_id]
         desc = self.active_sps.attributes[abh.sps_attr_idx]

@@ -57,6 +57,9 @@ class EncoderParams:
     min_points_per_slice: int = 0
     partition_octree_depth: int = 1
     tile_size: int = 0
+    # reference numOctreeEntropyStreams (TMC3.cpp:861): last N-1 octree
+    # levels in separate, independently-decodable entropy streams
+    num_entropy_streams: int = 1
     entropy_continuation: bool = False
     frame_ctr_bits: int = 8
     # inter prediction (reference TMC3.cpp:1113-1151)
@@ -236,17 +239,25 @@ class FrameEncoder:
         enc = entropy.RangeEncoder()
         trisoup = (self.gps.codec_type == hls.GeometryCodecType.TRISOUP
                    and self.gps.trisoup_node_size_log2 > 0)
+        multistream = (p.num_entropy_streams > 1 and gm is None
+                       and self.gps.unique_points and not trisoup
+                       and self.gps.codec_type
+                       == hls.GeometryCodecType.OCTREE)
+        recon_local = None
+        order = None
         if trisoup:
             recon_local = geometry_trisoup.encode(
                 local, depth, self.gps.trisoup_node_size_log2, enc,
                 self._geom_ctx, self._trisoup_ctx,
                 engine=p.engine, ctx_mode=ctx_mode)
-            order = None
         elif self.gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
             order = geometry_predictive.encode(
                 local, enc, self._predgeom_ctx,
                 sort_mode=p.predgeom_sort_mode)
-            recon_local = None
+        elif multistream:
+            streams, order = geometry_octree.encode_multistream(
+                local, depth, self._geom_ctx, p.num_entropy_streams,
+                ctx_mode=ctx_mode)
         else:
             ref_codes = None
             if gm is not None:
@@ -259,8 +270,8 @@ class FrameEncoder:
                 local, depth, enc, self._geom_ctx,
                 unique_points=self.gps.unique_points,
                 engine=p.engine, ctx_mode=ctx_mode, ref_codes=ref_codes)
-            recon_local = None
-        stream = enc.get_bytes()
+        if not multistream:
+            streams = [enc.get_bytes()]
 
         num_points = (int(recon_local.shape[0]) if trisoup
                       else cloud.count)
@@ -282,10 +293,10 @@ class FrameEncoder:
             num_points=num_points,
             entropy_continuation=continuing,
             prev_slice_id=self._slice_id - 1,
-            stream_len=len(stream),
+            stream_lens=[len(s) for s in streams],
         )
         out(PayloadBuffer(PayloadType.GEOMETRY_BRICK,
-                          gbh.write() + stream))
+                          gbh.write() + b"".join(streams)))
 
         if trisoup:
             # geometry changed: transfer attributes onto the decoded

@@ -88,8 +88,31 @@ def test_gbh_inter_fields_roundtrip():
     h = hls.GeometryBrickHeader(
         is_inter=True,
         gm_matrix=(65536, 10, -20, 0, 65000, 5, 1, 2, 66000),
-        gm_trans=(-5, 9, 0), num_points=42, stream_len=7)
+        gm_trans=(-5, 9, 0), num_points=42, stream_lens=[7, 3])
     data = h.write()
     h2, off = hls.GeometryBrickHeader.parse(data)
     assert h2.is_inter and h2.gm_matrix == h.gm_matrix
     assert h2.gm_trans == h.gm_trans
+
+
+def test_multistream_roundtrip():
+    seq = moving_sequence(frames=1)
+    params = EncoderParams(num_entropy_streams=4)
+    outs, _ = roundtrip_sequence(seq, params)
+    np.testing.assert_array_equal(
+        np.sort(morton.encode(outs[0].positions)),
+        np.unique(morton.encode(seq[0].positions)))
+
+
+def test_multistream_stream_lengths_in_gbh():
+    import io as _io
+    seq = moving_sequence(frames=1)
+    bs = _io.BytesIO()
+    FrameEncoder(EncoderParams(num_entropy_streams=3)).compress(
+        seq[0], lambda b: write_tlv(b, bs))
+    bs.seek(0)
+    for buf in iter_tlv(bs):
+        if buf.type.name == "GEOMETRY_BRICK":
+            h, off = hls.GeometryBrickHeader.parse(buf.data)
+            assert len(h.stream_lens) == 3
+            assert sum(h.stream_lens) == len(buf.data) - off
