@@ -35,7 +35,8 @@ from ..utils import morton
 _AXIS_CTX = 2 + 24
 # mode bits: 2 bits x 4 previous-mode contexts
 MODE_CTX_SIZE = 4 * 2
-PRED_CTX_SIZE = MODE_CTX_SIZE + 3 * _AXIS_CTX
+# angular mode adds 2 secondary cartesian residual streams (x, y)
+PRED_CTX_SIZE = MODE_CTX_SIZE + 5 * _AXIS_CTX
 
 
 class SortMode(enum.IntEnum):
@@ -85,13 +86,40 @@ def _predictions(p: np.ndarray):
 
 
 def encode(positions: np.ndarray, enc, ctx: PredGeomContexts,
-           sort_mode: SortMode = SortMode.MORTON):
-    """Encode positions losslessly; returns chain-order permutation."""
+           sort_mode: SortMode = SortMode.MORTON,
+           angular: bool = False):
+    """Encode positions losslessly; returns chain-order permutation.
+
+    angular=True codes in the spherical domain (r, phi, z) with a
+    secondary cartesian residual (reference angular predictive
+    geometry, generateGeomPredictionTreeAngular
+    geometry_predictive_encoder.cpp:1287; GPS angular_enabled).
+    """
+    if angular:
+        from ..ops import coords
+        order = sort_points(positions, SortMode.AZIMUTH if
+                            sort_mode == SortMode.MORTON else sort_mode)
+        pc = positions.astype(np.int64)[order]
+        sph = coords.xyz_to_spherical(pc)
+        _chain_encode(sph, enc, ctx)
+        # secondary residual: xyz - inverse(sph), z exact by design
+        approx = coords.spherical_to_xyz(sph)
+        sec = pc - approx                        # (N,3), z column == 0
+        for c in range(2):
+            off = MODE_CTX_SIZE + (3 + c) * _AXIS_CTX
+            cslice = ctx.ctx[off:off + _AXIS_CTX]
+            enc.resbl(cslice, sec[:, c].astype(np.int32))
+        return order
     order = sort_points(positions, sort_mode)
     p = positions.astype(np.int64)[order]
+    _chain_encode(p, enc, ctx)
+    return order
+
+
+def _chain_encode(p: np.ndarray, enc, ctx: PredGeomContexts):
     n = p.shape[0]
     if n == 0:
-        return order
+        return
     pred = _predictions(p)
     # mode eligibility: point i can use mode m only if i >= m
     idx = np.arange(n)[:, None]
@@ -120,13 +148,26 @@ def encode(positions: np.ndarray, enc, ctx: PredGeomContexts,
         off = MODE_CTX_SIZE + c * _AXIS_CTX
         cslice = ctx.ctx[off:off + _AXIS_CTX]
         enc.resbl(cslice, res[:, c].astype(np.int32))
-    return order
 
 
-def decode(num_points: int, dec, ctx: PredGeomContexts) -> np.ndarray:
+def decode(num_points: int, dec, ctx: PredGeomContexts,
+           angular: bool = False) -> np.ndarray:
     n = num_points
     if n == 0:
         return np.zeros((0, 3), dtype=np.int64)
+    if angular:
+        from ..ops import coords
+        sph = _chain_decode(n, dec, ctx)
+        sec = np.zeros((n, 3), dtype=np.int64)
+        for c in range(2):
+            off = MODE_CTX_SIZE + (3 + c) * _AXIS_CTX
+            cslice = ctx.ctx[off:off + _AXIS_CTX]
+            sec[:, c] = dec.resbl(cslice, n)
+        return coords.spherical_to_xyz(sph) + sec
+    return _chain_decode(n, dec, ctx)
+
+
+def _chain_decode(n: int, dec, ctx: PredGeomContexts) -> np.ndarray:
     # mode bits chain on the previous decoded mode (native loop)
     modes = dec.mode_chain(ctx.ctx, n)
     res = np.zeros((n, 3), dtype=np.int64)

@@ -106,6 +106,8 @@ class Config:
                 p.geometry_codec = (hls.GeometryCodecType.PREDICTIVE
                                     if opt.to_int(value)
                                     else hls.GeometryCodecType.OCTREE)
+            elif name == "angularEnabled":
+                p.angular_enabled = opt.to_bool(value)
             elif name == "disableAttributeCoding":
                 self.disable_attributes = opt.to_bool(value)
             elif name == "neighbourAvailBoundaryLog2":

@@ -140,7 +140,8 @@ class FrameDecoder:
                 max_nodes=gbh.num_points, ctx_mode=ctx_mode)
         elif gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
             local = geometry_predictive.decode(
-                gbh.num_points, dec, self._predgeom_ctx)
+                gbh.num_points, dec, self._predgeom_ctx,
+                angular=gps.angular_enabled)
         else:
             ref_codes = None
             if gbh.is_inter and self._ref_frame is not None:

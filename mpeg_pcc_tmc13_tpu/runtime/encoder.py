@@ -74,6 +74,9 @@ class EncoderParams:
     engine: str = "auto"
     # predictive-geometry input ordering (reference predGeomSort)
     predgeom_sort_mode: "geometry_predictive.SortMode" = None
+    # angular (spherical-domain) coding for LiDAR (reference
+    # angularEnabled, TMC3.cpp cfg: angular tool set)
+    angular_enabled: bool = False
 
     def __post_init__(self):
         if self.predgeom_sort_mode is None:
@@ -125,6 +128,7 @@ class FrameEncoder:
             trisoup_node_size_log2=p.trisoup_node_size_log2,
             interPredictionEnabled=p.inter_prediction,
             globalMotionEnabled=p.global_motion,
+            angular_enabled=p.angular_enabled,
         )
         aps_list = []
         for i, ac in enumerate(p.attributes):
@@ -253,7 +257,8 @@ class FrameEncoder:
         elif self.gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
             order = geometry_predictive.encode(
                 local, enc, self._predgeom_ctx,
-                sort_mode=p.predgeom_sort_mode)
+                sort_mode=p.predgeom_sort_mode,
+                angular=self.gps.angular_enabled)
         elif multistream:
             streams, order = geometry_octree.encode_multistream(
                 local, depth, self._geom_ctx, p.num_entropy_streams,

@@ -92,3 +92,51 @@ def test_full_pipeline_predictive():
         return np.sort(k + r.astype(np.int64))
     np.testing.assert_array_equal(
         key(out.positions, out.reflectances), key(pos, refl))
+
+
+def test_angular_roundtrip_lossless():
+    pos = lidar_like_cloud(5000, seed=6)
+    enc = entropy.RangeEncoder()
+    ectx = gp.PredGeomContexts()
+    order = gp.encode(pos, enc, ectx, angular=True)
+    data = enc.get_bytes()
+    dec = entropy.RangeDecoder(data)
+    out = gp.decode(len(pos), dec, gp.PredGeomContexts(), angular=True)
+    np.testing.assert_array_equal(out, pos[order])
+
+
+def test_angular_beats_cartesian_on_lidar():
+    pos = lidar_like_cloud(10000, seed=7)
+    sizes = {}
+    for angular in (False, True):
+        enc = entropy.RangeEncoder()
+        gp.encode(pos, enc, gp.PredGeomContexts(),
+                  sort_mode=gp.SortMode.AZIMUTH, angular=angular)
+        sizes[angular] = len(enc.get_bytes())
+    # spherical-domain coding should win on sweep-structured data
+    assert sizes[True] < sizes[False] * 1.05  # at worst ~par
+
+
+def test_full_pipeline_angular():
+    import io as _io
+    from mpeg_pcc_tmc13_tpu.bitstream.tlv import iter_tlv, write_tlv
+    from mpeg_pcc_tmc13_tpu.models.pointcloud import PointCloud
+    from mpeg_pcc_tmc13_tpu.runtime.decoder import FrameDecoder
+    from mpeg_pcc_tmc13_tpu.runtime.encoder import (EncoderParams,
+                                                    FrameEncoder)
+    pos = lidar_like_cloud(2000, seed=8)
+    params = EncoderParams(
+        geometry_codec=hls.GeometryCodecType.PREDICTIVE,
+        angular_enabled=True, merge_duplicated_points=False)
+    bs = _io.BytesIO()
+    FrameEncoder(params).compress(PointCloud(pos),
+                                  lambda b: write_tlv(b, bs))
+    bs.seek(0)
+    outs = []
+    dec = FrameDecoder(outs.append)
+    for b in iter_tlv(bs):
+        dec.decompress(b)
+    dec.flush()
+    np.testing.assert_array_equal(
+        np.sort(morton.encode(outs[0].positions)),
+        np.sort(morton.encode(pos)))
