@@ -37,6 +37,15 @@ _DUP_PREFIX_MAX = 2
 _DUP_K = 0
 DUP_CTX_SIZE = _DUP_PREFIX_MAX + 8
 
+# IDCM (inferred direct coding mode, reference encodeDirectPosition
+# geometry_octree_encoder.cpp:1577, mkIdcmEnableMask geometry_octree.cpp:
+# 264): an *only-child* node at level >= 2 holding <= 2 unique points
+# codes their remaining coordinate bits directly and leaves the tree.
+# ctx layout: [0] idcm flag, [1] point-count bit.
+IDCM_CTX_SIZE = 2
+IDCM_MIN_LEVEL = 2
+IDCM_MAX_POINTS = 2
+
 
 @dataclass
 class OctreeContexts:
@@ -52,10 +61,13 @@ class OctreeContexts:
     # inter bricks: base = child_idx << 8 | reference pred-occupancy
     occupancy_inter: np.ndarray = field(
         default_factory=lambda: entropy.new_contexts(ops.OCC_CTX_SIZE))
+    idcm: np.ndarray = field(
+        default_factory=lambda: entropy.new_contexts(IDCM_CTX_SIZE))
 
     def copy(self) -> "OctreeContexts":
         return OctreeContexts(self.occupancy.copy(), self.dups.copy(),
-                              self.occupancy_inter.copy())
+                              self.occupancy_inter.copy(),
+                              self.idcm.copy())
 
 
 def _dedup_sorted(codes_sorted: np.ndarray):
@@ -79,7 +91,7 @@ def resolve_engine(engine: str) -> str:
 def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
            unique_points: bool = True, engine: str = "auto",
            ctx_mode: int = ops.CTX_MODE_NEIGH,
-           ref_codes: np.ndarray = None):
+           ref_codes: np.ndarray = None, idcm: bool = False):
     """Encode integer positions in [0, 2**depth)^3.
 
     ref_codes: sorted unique Morton codes of the motion-compensated
@@ -101,6 +113,8 @@ def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
 
     if depth == 0 or uniq.size == 0:
         pass
+    elif idcm and unique_points and ref_codes is None:
+        encode_idcm_np(uniq, depth, enc, ctx, ctx_mode)
     elif ref_codes is not None and ref_codes.size:
         # inter brick (numpy path; contexts keyed by reference occ)
         levels = ops.build_levels_np(uniq, depth, ops.CTX_MODE_PARENT)
@@ -134,6 +148,123 @@ def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
         enc.ueg(ctx.dups, np.zeros(dup_counts.size, dtype=np.int32),
                 (dup_counts - 1).astype(np.uint32), _DUP_PREFIX_MAX, _DUP_K)
     return order
+
+
+def _level_base_np(nodes: np.ndarray, parent_occ: np.ndarray, l: int,
+                   ctx_mode: int) -> np.ndarray:
+    if ctx_mode == ops.CTX_MODE_NEIGH:
+        return ops.occ_context_base_np(nodes, l)
+    return ((nodes & 7).astype(np.int32) << 8) | parent_occ
+
+
+def encode_idcm_np(uniq: np.ndarray, depth: int, enc,
+                   ctx: OctreeContexts, ctx_mode: int):
+    """Octree encode with inferred direct coding mode.
+
+    Per level, in this stream order: (1) IDCM flags of eligible nodes
+    (only children at level >= IDCM_MIN_LEVEL), (2) per-IDCM-node
+    point-count bit + direct x,y,z coordinate bits, (3) the occupancy
+    batch of the surviving nodes.  IDCM subtrees leave the wavefront —
+    the tree never descends into them (reference early-exit,
+    geometry_octree_encoder.cpp:2400-2446).
+    """
+    alive = np.zeros(1, dtype=np.int64)
+    parent_occ = np.zeros(1, dtype=np.int32)
+    for l in range(depth):
+        r = depth - l
+        # child boundaries via one batched search: (M,9)
+        q = ((alive[:, None] << 3)
+             + np.arange(9, dtype=np.int64)) << (3 * (r - 1))
+        bounds = np.searchsorted(uniq, q)
+        has = bounds[:, 1:] > bounds[:, :-1]
+        occ = np.sum(has.astype(np.int32)
+                     << np.arange(8, dtype=np.int32)[None, :], axis=1)
+
+        elig = (np.asarray(ops.popcount8_np(
+            parent_occ.astype(np.uint8)) == 1)
+            if l >= IDCM_MIN_LEVEL else np.zeros(alive.size, bool))
+        cnt = bounds[:, 8] - bounds[:, 0]
+        use = elig & (cnt <= IDCM_MAX_POINTS)
+        if elig.any():
+            enc.bits(ctx.idcm, np.zeros(int(elig.sum()), dtype=np.int32),
+                     use[elig].astype(np.uint8))
+        if use.any():
+            enc.bits(ctx.idcm,
+                     np.ones(int(use.sum()), dtype=np.int32),
+                     (cnt[use] - 1).astype(np.uint8))
+            # direct coordinates: node order, point order, x,y,z
+            # (ragged gather over the [lo, lo+cnt) subtree ranges)
+            sel = np.nonzero(use)[0]
+            cnts = cnt[sel]
+            total = int(cnts.sum())
+            prefix = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+            offs = np.arange(total) - np.repeat(prefix, cnts)
+            idxs = np.repeat(bounds[sel, 0], cnts) + offs
+            node_rep = np.repeat(sel, cnts)
+            pts = uniq[idxs] - (alive[node_rep] << (3 * r))
+            xyz = morton.decode(pts)
+            enc.bypass(xyz.reshape(-1).astype(np.uint32),
+                       np.full(3 * total, r, dtype=np.int32))
+        surv = ~use
+        base = _level_base_np(alive, parent_occ, l, ctx_mode)
+        enc.occupancy(ctx.occupancy, base[surv], occ[surv])
+        # expand survivors
+        s_occ = occ[surv].astype(np.uint8)
+        alive = ops.expand_level_np(alive[surv], s_occ)
+        parent_occ = np.repeat(s_occ.astype(np.int32),
+                               ops.popcount8_np(s_occ))
+
+
+def decode_idcm_np(depth: int, dec, ctx: OctreeContexts, ctx_mode: int,
+                   skip_layers: int = 0, max_points: int = 0):
+    """Mirror of encode_idcm_np; supports scalable truncation (IDCM
+    points are exact even when the tree is truncated)."""
+    alive = np.zeros(1, dtype=np.int64)
+    parent_occ = np.zeros(1, dtype=np.int32)
+    finals = []          # full-resolution leaf codes from IDCM
+    stop_at = depth - min(skip_layers, depth)
+    lvl = 0
+    for l in range(depth):
+        if l >= stop_at or (max_points and alive.size >= max_points):
+            break
+        r = depth - l
+        elig = (np.asarray(ops.popcount8_np(
+            parent_occ.astype(np.uint8)) == 1)
+            if l >= IDCM_MIN_LEVEL else np.zeros(alive.size, bool))
+        use = np.zeros(alive.size, dtype=bool)
+        if elig.any():
+            flags = dec.bits(ctx.idcm,
+                             np.zeros(int(elig.sum()), dtype=np.int32))
+            use[np.nonzero(elig)[0]] = flags.astype(bool)
+        if use.any():
+            cnts = dec.bits(ctx.idcm,
+                            np.ones(int(use.sum()), dtype=np.int32)
+                            ).astype(np.int64) + 1
+            total = int(cnts.sum())
+            nbits = np.full(3 * total, r, dtype=np.int32)
+            coords = dec.bypass(nbits).astype(np.int64).reshape(-1, 3)
+            codes = morton.encode(coords)
+            node_of_pt = np.repeat(np.nonzero(use)[0], cnts)
+            finals.append((alive[node_of_pt] << (3 * r)) + codes)
+        surv = ~use
+        base = _level_base_np(alive, parent_occ, l, ctx_mode)
+        occ = dec.occupancy(ctx.occupancy, base[surv])
+        alive = ops.expand_level_np(alive[surv], occ)
+        parent_occ = np.repeat(occ.astype(np.int32),
+                               ops.popcount8_np(occ))
+        lvl = l + 1
+    shift = depth - lvl
+    nodes = alive << (3 * 0)
+    if shift > 0:
+        # truncated: scale tree nodes to centres; IDCM points are exact
+        pos = morton.decode(nodes) << shift
+        pos += (1 << shift) >> 1
+        tree_codes = morton.encode(pos)
+    else:
+        tree_codes = nodes
+    all_codes = np.concatenate([tree_codes] + finals) if finals else \
+        tree_codes
+    return morton.decode(np.sort(all_codes))
 
 
 def encode_multistream(positions: np.ndarray, depth: int,
@@ -208,7 +339,7 @@ def decode_multistream(num_points: int, depth: int, streams,
 def decode(num_points: int, depth: int, dec, ctx: OctreeContexts,
            unique_points: bool = True, engine: str = "auto",
            ctx_mode: int = ops.CTX_MODE_NEIGH,
-           ref_codes: np.ndarray = None,
+           ref_codes: np.ndarray = None, idcm: bool = False,
            skip_layers: int = 0, max_points: int = 0):
     """Decode positions (coding order).
 
@@ -225,6 +356,10 @@ def decode(num_points: int, depth: int, dec, ctx: OctreeContexts,
     if num_points == 0:
         return np.zeros((0, 3), dtype=np.int64)
     engine = resolve_engine(engine)
+    if idcm and unique_points and ref_codes is None:
+        return decode_idcm_np(depth, dec, ctx, ctx_mode,
+                              skip_layers=skip_layers,
+                              max_points=max_points)
     if skip_layers > 0 or max_points > 0:
         stop_at = depth - min(skip_layers, depth)
         nodes = np.zeros(1, dtype=np.int64)

@@ -230,54 +230,68 @@ def encode_analysis_jax(leaf_codes_sorted: jnp.ndarray, depth: int,
       node_code[l, i] — its level-l code (garbage where ~mask).
 
     Host compacts with the mask and feeds the entropy stage level by
-    level; everything here runs on device with static shapes.
+    level.  The level loop is a lax.fori_loop — one compiled body for
+    all levels (unrolling depth x ~40 ops bloats compile time and the
+    kernel count, which dominates when the chip is dispatch-latency
+    bound).
     """
     c = leaf_codes_sorted
     n = c.shape[0]
-    occ_all, base_all, mask_all, code_all = [], [], [], []
-    prev_occ_rows = jnp.zeros(n, jnp.int32)   # parent occ per point
-    for l in range(depth):
-        shift_node = 3 * (depth - l)
-        cl = c >> shift_node                       # level-l code per point
+    depth_i = jnp.int64(depth)
+    offsets = jnp.asarray(_FACE_OFFSETS)          # (6,3)
+
+    def body(l, carry):
+        occ_out, base_out, mask_out, code_out, prev_occ_rows = carry
+        shift_node = 3 * (depth_i - l)
+        cl = c >> shift_node                      # level-l code per point
         first = jnp.concatenate(
             [jnp.ones((1,), bool), cl[1:] != cl[:-1]])
-        seg = jnp.cumsum(first) - 1                # node id per point
+        seg = jnp.cumsum(first) - 1               # node id per point
         child = (c >> (shift_node - 3)) & 7
         onehot = jax.nn.one_hot(child, 8, dtype=jnp.int32)
         occ_counts = jax.ops.segment_sum(onehot, seg, num_segments=n)
         occ = (jnp.sum(
             jnp.where(occ_counts > 0, 1, 0)
             * (1 << jnp.arange(8, dtype=jnp.int32))[None, :], axis=-1)
-        ).astype(jnp.int32)                        # dense over node ids
-        occ_rows = occ[seg]                        # per-point node occ
+        ).astype(jnp.int32)                       # dense over node ids
+        occ_rows = occ[seg]                       # per-point node occ
 
         if mode == CTX_MODE_NEIGH:
-            # neighbour pattern: search the *full* (with dups) sorted
-            # level codes — existence is all we need
-            pos = morton.decode(cl, xp=jnp)
+            pos = morton.decode(cl, xp=jnp)       # (N,3)
             lim = jnp.int64(1) << l
-            pat = jnp.zeros(n, dtype=jnp.int32)
-            for i, off in enumerate(_FACE_OFFSETS):
-                q = pos + jnp.asarray(off)[None, :]
-                valid = jnp.all((q >= 0) & (q < lim), axis=-1)
-                ncode = morton.encode(q, xp=jnp)
-                hit = _searchsorted_exists(cl, ncode, valid)
-                pat = pat | (hit.astype(jnp.int32) << i)
-            base = pat | ((cl & 7).astype(jnp.int32) << 6)
+            q = pos[:, None, :] + offsets[None, :, :]      # (N,6,3)
+            valid = jnp.all((q >= 0) & (q < lim), axis=-1)  # (N,6)
+            ncode = morton.encode(q, xp=jnp)                # (N,6)
+            idx = jnp.searchsorted(cl, ncode.reshape(-1))
+            idx = jnp.minimum(idx, n - 1).reshape(n, 6)
+            hit = valid & (cl[idx] == ncode)
+            pat = jnp.sum(
+                hit.astype(jnp.int32)
+                * (1 << jnp.arange(6, dtype=jnp.int32))[None, :], axis=1)
+            base = (pat | ((cl & 7).astype(jnp.int32) << 6)
+                    ).astype(jnp.int32)
         else:
-            base = (((cl & 7).astype(jnp.int32)) << 8) | prev_occ_rows
+            base = ((((cl & 7).astype(jnp.int32)) << 8)
+                    | prev_occ_rows).astype(jnp.int32)
 
-        # first-point rows carry their node's data (gather by node id)
-        occ_all.append(jnp.where(first, occ_rows, 0))
-        base_all.append(jnp.where(first, base, 0))
-        mask_all.append(first)
-        code_all.append(cl)
-        prev_occ_rows = occ_rows
+        occ_out = occ_out.at[l].set(jnp.where(first, occ_rows, 0))
+        base_out = base_out.at[l].set(jnp.where(first, base, 0))
+        mask_out = mask_out.at[l].set(first)
+        code_out = code_out.at[l].set(cl)
+        return (occ_out, base_out, mask_out, code_out, occ_rows)
+
+    init = (jnp.zeros((depth, n), jnp.int32),
+            jnp.zeros((depth, n), jnp.int32),
+            jnp.zeros((depth, n), bool),
+            jnp.zeros((depth, n), jnp.int64),
+            jnp.zeros(n, jnp.int32))
+    occ_out, base_out, mask_out, code_out, _ = jax.lax.fori_loop(
+        0, depth, body, init)
     return {
-        "occ": jnp.stack(occ_all),
-        "ctx_base": jnp.stack(base_all),
-        "node_mask": jnp.stack(mask_all),
-        "node_code": jnp.stack(code_all),
+        "occ": occ_out,
+        "ctx_base": base_out,
+        "node_mask": mask_out,
+        "node_code": code_out,
     }
 
 

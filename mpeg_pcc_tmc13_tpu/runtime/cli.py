@@ -108,6 +108,8 @@ class Config:
                                     else hls.GeometryCodecType.OCTREE)
             elif name == "angularEnabled":
                 p.angular_enabled = opt.to_bool(value)
+            elif name == "inferredDirectCodingMode":
+                p.idcm = opt.to_int(value) > 0
             elif name == "disableAttributeCoding":
                 self.disable_attributes = opt.to_bool(value)
             elif name == "neighbourAvailBoundaryLog2":

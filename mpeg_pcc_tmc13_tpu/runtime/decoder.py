@@ -160,6 +160,7 @@ class FrameDecoder:
                 gbh.num_points, gbh.root_node_size_log2, dec,
                 self._geom_ctx, unique_points=gps.unique_points,
                 ctx_mode=ctx_mode, ref_codes=ref_codes,
+                idcm=gps.inferred_direct_coding_mode > 0,
                 skip_layers=self.skip_layers,
                 max_points=self.max_points)
         grid = local + np.asarray(gbh.slice_origin, dtype=np.int64)

@@ -62,6 +62,11 @@ class EncoderParams:
     num_entropy_streams: int = 1
     entropy_continuation: bool = False
     frame_ctr_bits: int = 8
+    # IDCM (reference inferredDirectCodingMode, TMC3.cpp).  Off by
+    # default: with this framework's adaptive chain contexts, isolated
+    # branches already cost ~1-2 bits/level, so direct coding only
+    # saves ~3% on very sparse content while forcing the numpy engine.
+    idcm: bool = False
     # inter prediction (reference TMC3.cpp:1113-1151)
     inter_prediction: bool = False
     random_access_period: int = 1     # 1 = all-intra
@@ -125,6 +130,8 @@ class FrameEncoder:
             codec_type=p.geometry_codec,
             unique_points=p.merge_duplicated_points,
             neighbour_context_enabled=p.neighbour_context,
+            inferred_direct_coding_mode=1 if (
+                p.idcm and p.merge_duplicated_points) else 0,
             trisoup_node_size_log2=p.trisoup_node_size_log2,
             interPredictionEnabled=p.inter_prediction,
             globalMotionEnabled=p.global_motion,
@@ -274,7 +281,8 @@ class FrameEncoder:
             order = geometry_octree.encode(
                 local, depth, enc, self._geom_ctx,
                 unique_points=self.gps.unique_points,
-                engine=p.engine, ctx_mode=ctx_mode, ref_codes=ref_codes)
+                engine=p.engine, ctx_mode=ctx_mode, ref_codes=ref_codes,
+                idcm=self.gps.inferred_direct_coding_mode > 0)
         if not multistream:
             streams = [enc.get_bytes()]
 
