@@ -59,7 +59,8 @@ def main():
         ctx = go.OctreeContexts()
         t0 = time.perf_counter()
         go.encode(pos, depth, enc, ctx, engine="auto",
-                  ctx_mode=octree_ops.CTX_MODE_PARENT)
+                  ctx_mode=octree_ops.CTX_MODE_PARENT,
+                  need_order=False)
         data = enc.get_bytes()
         dt = time.perf_counter() - t0
         best = max(best, n / dt / 1e6)

@@ -93,6 +93,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
                                c.c_int32, c.c_int32]
     lib.oct_decode.restype = c.c_int64
     lib.radix_sort64.argtypes = [i64p, i64p, c.c_int64]
+    lib.morton_sort.argtypes = [i64p, c.c_int64, i64p, i64p]
     return lib
 
 
@@ -562,6 +563,29 @@ def radix_sort(codes: np.ndarray, return_perm: bool = True):
         _ptr(perm, ctypes.c_int64) if return_perm else None,
         len(keys))
     return keys, perm
+
+
+def morton_sort(positions: np.ndarray, return_perm: bool = True):
+    """Fused native Morton encode + radix sort of (N,3) int positions.
+
+    Returns (sorted_codes, perm|None).  Falls back to numpy.
+    """
+    n = positions.shape[0]
+    if _LIB is None or n == 0:
+        from ..utils import morton as _m
+        codes = _m.encode(positions.astype(np.int64))
+        if return_perm:
+            perm = np.argsort(codes, kind="stable")
+            return codes[perm], perm
+        return np.sort(codes), None
+    xyz = np.ascontiguousarray(positions, dtype=np.int64)
+    codes = np.empty(n, dtype=np.int64)
+    perm = np.empty(n, dtype=np.int64) if return_perm else None
+    _LIB.morton_sort(
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        _ptr(codes, ctypes.c_int64),
+        _ptr(perm, ctypes.c_int64) if return_perm else None)
+    return codes, perm
 
 
 def RangeEncoder(force_python: bool = False):

@@ -91,11 +91,13 @@ def resolve_engine(engine: str) -> str:
 def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
            unique_points: bool = True, engine: str = "auto",
            ctx_mode: int = ops.CTX_MODE_NEIGH,
-           ref_codes: np.ndarray = None, idcm: bool = False):
+           ref_codes: np.ndarray = None, idcm: bool = False,
+           need_order: bool = True):
     """Encode integer positions in [0, 2**depth)^3.
 
     ref_codes: sorted unique Morton codes of the motion-compensated
     reference frame (slice-local) — enables inter occupancy contexts.
+    need_order=False skips the sort permutation (geometry-only slices).
 
     Returns the permutation `order` mapping input points to coding
     (Morton+dup) order — attributes must be coded in this order so the
@@ -103,10 +105,11 @@ def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
     decode order, geometry_octree_encoder.cpp:2637-2659).
     """
     engine = resolve_engine(engine)
-    codes = morton.encode(positions.astype(np.int64))
     if engine == "native":
-        codes_sorted, order = entropy.radix_sort(codes)
+        codes_sorted, order = entropy.morton_sort(
+            positions, return_perm=need_order)
     else:
+        codes = morton.encode(positions.astype(np.int64))
         order = np.argsort(codes, kind="stable")
         codes_sorted = codes[order]
     uniq, dup_counts = _dedup_sorted(codes_sorted)

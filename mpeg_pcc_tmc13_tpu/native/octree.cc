@@ -236,6 +236,20 @@ int64_t oct_decode(RcDecoder* d, uint16_t* ctx, int64_t* codes_out,
   return n;
 }
 
+// Fused Morton encode + radix sort: xyz (n,3) int64 -> sorted codes
+// (+ optional permutation).  One pass over the hot path that Python
+// would otherwise do in three (morton, argsort, gather).
+void morton_sort(const int64_t* xyz, int64_t n, int64_t* codes_out,
+                 int64_t* perm_out);
+
+void morton_encode64(const int64_t* xyz, int64_t n, int64_t* codes_out) {
+  for (int64_t i = 0; i < n; ++i) {
+    codes_out[i] = (int64_t)((part1by2((uint64_t)xyz[i * 3 + 0]) << 2)
+                             | (part1by2((uint64_t)xyz[i * 3 + 1]) << 1)
+                             | part1by2((uint64_t)xyz[i * 3 + 2]));
+  }
+}
+
 // Radix sort of int64 Morton codes (6 passes of 11 bits), optionally
 // returning the sorting permutation for attribute alignment.  Replaces
 // np.argsort on the host hot path.
@@ -281,6 +295,12 @@ void radix_sort64(int64_t* keys, int64_t* perm_out, int64_t n) {
   if (src_k != keys) std::memcpy(keys, src_k, n * sizeof(int64_t));
   if (want_perm && src_p != perm_out)
     std::memcpy(perm_out, src_p, n * sizeof(int64_t));
+}
+
+void morton_sort(const int64_t* xyz, int64_t n, int64_t* codes_out,
+                 int64_t* perm_out) {
+  morton_encode64(xyz, n, codes_out);
+  radix_sort64(codes_out, perm_out, n);
 }
 
 }  // extern "C"

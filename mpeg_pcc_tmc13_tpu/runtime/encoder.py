@@ -282,7 +282,8 @@ class FrameEncoder:
                 local, depth, enc, self._geom_ctx,
                 unique_points=self.gps.unique_points,
                 engine=p.engine, ctx_mode=ctx_mode, ref_codes=ref_codes,
-                idcm=self.gps.inferred_direct_coding_mode > 0)
+                idcm=self.gps.inferred_direct_coding_mode > 0,
+                need_order=bool(self.aps))
         if not multistream:
             streams = [enc.get_bytes()]
 
@@ -311,7 +312,10 @@ class FrameEncoder:
         out(PayloadBuffer(PayloadType.GEOMETRY_BRICK,
                           gbh.write() + b"".join(streams)))
 
-        if trisoup:
+        if not self.aps:
+            coded = None
+            dec_positions = None
+        elif trisoup:
             # geometry changed: transfer attributes onto the decoded
             # positions (reference recolour, encoder.cpp:1031-1037)
             from ..ops import recolour as recolour_ops
