@@ -55,6 +55,12 @@ def _unique_and_inverse(codes: np.ndarray):
     return codes[keep], inv, keep
 
 
+def _steps(aps, ncomp):
+    return [qp_to_step_q16(max(aps.init_qp
+                               + (aps.chroma_qp_offset if c > 0 else 0),
+                               4)) for c in range(ncomp)]
+
+
 def encode(values: np.ndarray, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
            ctx: AttributeContexts) -> bytes:
@@ -73,14 +79,32 @@ def encode(values: np.ndarray, positions: np.ndarray,
         uvals = vals.astype(np.int64)
     depth = _tree_depth(uniq)
     haar = aps.raht_integer_haar
-    coeffs = raht_ops.forward(uniq, uvals, depth, integer_haar=haar)
-
+    ncomp = uvals.shape[1]
+    steps = _steps(aps, ncomp)
     enc = entropy.RangeEncoder()
-    ncomp = coeffs.shape[1]
+
+    if aps.raht_prediction_enabled and uniq.size > 1:
+        def quant(arr, tag):
+            q = np.stack([_quantize(arr[:, c], steps[c])
+                          for c in range(ncomp)], axis=1)
+            for c in range(ncomp):
+                cs = ctx.residuals[c * RES_CTX_SIZE:
+                                   (c + 1) * RES_CTX_SIZE]
+                enc.residuals(cs, q[:, c].astype(np.int32),
+                              _RES_PREFIX_MAX, _RES_K)
+            return q
+
+        def dequant(q, tag):
+            return np.stack([_dequantize(q[:, c], steps[c], haar)
+                             for c in range(ncomp)], axis=1)
+
+        raht_ops.forward_predicted(uniq, uvals, depth, quant, dequant,
+                                   integer_haar=haar)
+        return enc.get_bytes()
+
+    coeffs = raht_ops.forward(uniq, uvals, depth, integer_haar=haar)
     for c in range(ncomp):
-        qp = aps.init_qp + (aps.chroma_qp_offset if c > 0 else 0)
-        step = qp_to_step_q16(max(qp, 4))
-        q = _quantize(coeffs[:, c], step)
+        q = _quantize(coeffs[:, c], steps[c])
         cslice = ctx.residuals[c * RES_CTX_SIZE:(c + 1) * RES_CTX_SIZE]
         enc.residuals(cslice, q.astype(np.int32), _RES_PREFIX_MAX, _RES_K)
     return enc.get_bytes()
@@ -95,15 +119,35 @@ def decode(data: bytes, positions: np.ndarray,
     haar = aps.raht_integer_haar
     n = uniq.size
     ncomp = desc.num_components
-
+    steps = _steps(aps, ncomp)
     dec = entropy.RangeDecoder(data)
+
+    if aps.raht_prediction_enabled and n > 1:
+        def read_q(count, tag):
+            cols = []
+            for c in range(ncomp):
+                cs = ctx.residuals[c * RES_CTX_SIZE:
+                                   (c + 1) * RES_CTX_SIZE]
+                cols.append(dec.residuals(cs, count,
+                                          _RES_PREFIX_MAX, _RES_K))
+            return np.stack(cols, axis=1).astype(np.int64)
+
+        def dequant(q, tag):
+            return np.stack([_dequantize(q[:, c], steps[c], haar)
+                             for c in range(ncomp)], axis=1)
+
+        vals = raht_ops.inverse_predicted(uniq, depth, read_q, dequant,
+                                          ncomp, integer_haar=haar)
+        if not haar:
+            vals = np.round(vals).astype(np.int64)
+        out = vals[inv]
+        return out[:, 0] if ncomp == 1 else out
+
     cols = []
     for c in range(ncomp):
-        qp = aps.init_qp + (aps.chroma_qp_offset if c > 0 else 0)
-        step = qp_to_step_q16(max(qp, 4))
         cslice = ctx.residuals[c * RES_CTX_SIZE:(c + 1) * RES_CTX_SIZE]
         q = dec.residuals(cslice, n, _RES_PREFIX_MAX, _RES_K)
-        cols.append(_dequantize(q.astype(np.int64), step, haar))
+        cols.append(_dequantize(q.astype(np.int64), steps[c], haar))
     coeffs = np.stack(cols, axis=1)
     vals = raht_ops.inverse(uniq, coeffs, depth, integer_haar=haar)
     if not haar:

@@ -103,6 +103,229 @@ def forward(leaf_codes: np.ndarray, values: np.ndarray, depth: int,
     return np.concatenate(out, axis=0)
 
 
+# ---- transform-domain (intra DC) prediction -------------------------
+#
+# Reference intraDcPred (RAHT.cpp:423, weights hls.h:439-466): child
+# DCs are predicted from the reconstructed DCs of the parent
+# neighbourhood before transforming; only the prediction residual's
+# ACs are coded.  Here: pred(child) = (4*dc(parent) + sum over the <=3
+# face-neighbour parents the child touches) / weight-sum, computed
+# from *reconstructed* parent DCs (closed loop), then pushed through
+# the same three dyadic sweeps so ac_pred aligns with the coded ACs.
+
+_W_SELF = 4
+_W_FACE = 1
+
+
+def _face_neighbor_dcs(parent_codes: np.ndarray, parent_dc: np.ndarray,
+                       level_dims: int):
+    """For each parent and each of 6 directions: neighbour DC + exists."""
+    from ..utils import morton as _m
+    m = parent_codes.shape[0]
+    c = parent_dc.shape[1]
+    pos = _m.decode(parent_codes)
+    lim = np.int64(1) << np.int64(max(level_dims, 0))
+    out_dc = np.zeros((m, 6, c), dtype=parent_dc.dtype)
+    out_ok = np.zeros((m, 6), dtype=bool)
+    offs = np.array([[-1, 0, 0], [1, 0, 0], [0, -1, 0],
+                     [0, 1, 0], [0, 0, -1], [0, 0, 1]], dtype=np.int64)
+    for d in range(6):
+        q = pos + offs[d]
+        valid = np.all((q >= 0) & (q < lim), axis=1)
+        ncode = _m.encode(q)
+        idx = np.searchsorted(parent_codes, ncode)
+        idx = np.minimum(idx, m - 1)
+        hit = valid & (parent_codes[idx] == ncode)
+        out_ok[:, d] = hit
+        out_dc[hit, d] = parent_dc[idx[hit]]
+    return out_dc, out_ok
+
+
+def predict_children(parent_codes: np.ndarray, parent_dc: np.ndarray,
+                     child_codes: np.ndarray, level_dims: int,
+                     integer: bool, parent_w: np.ndarray = None,
+                     child_w: np.ndarray = None):
+    """Prediction value per child node from parent-level recon DCs.
+
+    Orthonormal-path DCs scale with sqrt(subtree weight), so the
+    prediction is formed in the MEAN domain (dc / sqrt(w), the
+    reference's upconverted-attribute domain) and rescaled to the
+    child's sqrt weight.  The integer-Haar DC is already a mean.
+    """
+    if not integer and parent_w is not None:
+        parent_dc = parent_dc / np.sqrt(
+            parent_w.astype(np.float64))[:, None]
+    nbr_dc, nbr_ok = _face_neighbor_dcs(parent_codes, parent_dc,
+                                        level_dims)
+    parent_of_child = child_codes >> 3
+    pidx = np.searchsorted(parent_codes, parent_of_child)
+    cidx = (child_codes & 7).astype(np.int64)
+    # which faces the child touches: x bit -> +x (d=1) else -x (d=0)...
+    cx, cy, cz = (cidx >> 2) & 1, (cidx >> 1) & 1, cidx & 1
+    touch = np.stack([cx == 0, cx == 1, cy == 0, cy == 1,
+                      cz == 0, cz == 1], axis=1)            # (N,6)
+    w = touch & nbr_ok[pidx]
+    acc = parent_dc[pidx] * float(_W_SELF) if not integer else \
+        parent_dc[pidx] * _W_SELF
+    wsum = np.full(child_codes.shape[0], _W_SELF, dtype=np.int64)
+    for d in range(6):
+        sel = w[:, d]
+        acc[sel] = acc[sel] + nbr_dc[pidx[sel], d] * _W_FACE
+        wsum[sel] += _W_FACE
+    if integer:
+        half = wsum[:, None] // 2
+        return (acc + half) // wsum[:, None]
+    pred_mean = acc / wsum[:, None].astype(np.float64)
+    if child_w is not None:
+        pred_mean = pred_mean * np.sqrt(
+            child_w.astype(np.float64))[:, None]
+    return pred_mean
+
+
+def _group_sweep_forward(sweeps, g_lo, g_hi, vals, integer_haar):
+    """Run sweeps [g_lo, g_hi) forward on vals; returns per-sweep ACs
+    and the coarse-side values."""
+    acs = []
+    for s in range(g_lo, g_hi):
+        sw = sweeps[s]
+        first, second, keep = sw["first"], sw["second"], sw["keep"]
+        v1, v2 = vals[first], vals[second]
+        if integer_haar:
+            ac = v1 - v2
+            dc = v2 + (ac >> 1)
+        else:
+            w1 = sw["w"][first].astype(np.float64)[:, None]
+            w2 = sw["w"][second].astype(np.float64)[:, None]
+            rs = np.sqrt(w1 + w2)
+            a, b = np.sqrt(w1) / rs, np.sqrt(w2) / rs
+            dc = a * v1 + b * v2
+            ac = -b * v1 + a * v2
+        nv = vals.copy()
+        nv[first] = dc
+        vals = nv[keep]
+        acs.append(ac)
+    return acs, vals
+
+
+def _group_sweep_inverse(sweeps, g_lo, g_hi, coarse_vals, acs,
+                         integer_haar):
+    """Inverse of _group_sweep_forward: coarse values + ACs -> fine."""
+    vals = coarse_vals
+    for s in range(g_hi - 1, g_lo - 1, -1):
+        sw = sweeps[s]
+        first, second, keep = sw["first"], sw["second"], sw["keep"]
+        ac = acs[s - g_lo]
+        expanded = np.zeros((sw["codes"].shape[0], vals.shape[1]),
+                            dtype=vals.dtype)
+        expanded[keep] = vals
+        dc = expanded[first]
+        if integer_haar:
+            v2 = dc - (ac >> 1)
+            v1 = ac + v2
+        else:
+            w1 = sw["w"][first].astype(np.float64)[:, None]
+            w2 = sw["w"][second].astype(np.float64)[:, None]
+            rs = np.sqrt(w1 + w2)
+            a, b = np.sqrt(w1) / rs, np.sqrt(w2) / rs
+            v1 = a * dc - b * ac
+            v2 = b * dc + a * ac
+        expanded[first] = v1
+        expanded[second] = v2
+        vals = expanded
+    return vals
+
+
+def forward_predicted(leaf_codes: np.ndarray, values: np.ndarray,
+                      depth: int, quant, dequant,
+                      integer_haar: bool = False):
+    """Closed-loop RAHT with transform-domain prediction.
+
+    quant/dequant: callables (array (M,C), level_tag) -> array, applied
+    to AC residuals per group and to the root DC (level_tag = -1).
+    Returns quantised coefficients in coded order.
+    """
+    sweeps = merge_structure(leaf_codes, depth)
+    vals = values.astype(np.int64 if integer_haar else np.float64)
+    if vals.ndim == 1:
+        vals = vals[:, None]
+
+    # bottom-up: true ACs per sweep + true node values entering each
+    # group's fine side (codes arrays come from sweeps)
+    acs_true, root = _group_sweep_forward(
+        sweeps, 0, len(sweeps), vals, integer_haar)
+
+    n_sweeps = len(sweeps)
+    q_root = quant(root, -1)
+    out = [q_root]
+    recon = dequant(q_root, -1)
+    # top-down by octree level groups of 3 sweeps
+    for g in range(depth):
+        g_hi = n_sweeps - 3 * g          # exclusive
+        g_lo = g_hi - 3
+        child_codes = sweeps[g_lo]["codes"]  # group's fine-side nodes
+        parent_codes = (sweeps[g_hi]["codes"] if g_hi < n_sweeps
+                        else np.zeros(1, dtype=np.int64))
+        # prediction from recon parent DCs; parents live at octree
+        # level g (grid size 2**g per axis)
+        parent_w = (sweeps[g_hi]["w"] if g_hi < n_sweeps
+                    else np.array([leaf_codes.shape[0]], dtype=np.int64))
+        pred = predict_children(parent_codes, recon, child_codes, g,
+                                integer_haar,
+                                parent_w=parent_w,
+                                child_w=sweeps[g_lo]["w"])
+        acs_pred, _ = _group_sweep_forward(
+            sweeps, g_lo, g_hi, pred, integer_haar)
+        acs_rec = []
+        for s in range(3):
+            res = acs_true[g_lo + s] - acs_pred[s]
+            q = quant(res, g)
+            out.append(q)
+            acs_rec.append(acs_pred[s] + dequant(q, g))
+        recon = _group_sweep_inverse(sweeps, g_lo, g_hi, recon, acs_rec,
+                                     integer_haar)
+    # coded order: root, then coarse -> fine groups, sweeps fine-first
+    # within each group?  No: we appended group ACs in s order =
+    # fine-to-coarse inside the group; decoder mirrors this exact order.
+    return np.concatenate(out, axis=0)
+
+
+def inverse_predicted(leaf_codes: np.ndarray, depth: int, read_q,
+                      dequant, ncomp: int, integer_haar: bool = False):
+    """Decoder mirror of forward_predicted.
+
+    read_q(count, level_tag) -> (count, ncomp) quantised values, called
+    in the same order the encoder emitted them.
+    """
+    sweeps = merge_structure(leaf_codes, depth)
+    n_sweeps = len(sweeps)
+    n_roots = int(sweeps[-1]["keep"].sum()) if sweeps else \
+        leaf_codes.shape[0]
+    q_root = read_q(n_roots, -1)
+    recon = dequant(q_root, -1)
+    for g in range(depth):
+        g_hi = n_sweeps - 3 * g
+        g_lo = g_hi - 3
+        child_codes = sweeps[g_lo]["codes"]
+        parent_codes = (sweeps[g_hi]["codes"] if g_hi < n_sweeps
+                        else np.zeros(1, dtype=np.int64))
+        parent_w = (sweeps[g_hi]["w"] if g_hi < n_sweeps
+                    else np.array([leaf_codes.shape[0]], dtype=np.int64))
+        pred = predict_children(parent_codes, recon, child_codes, g,
+                                integer_haar,
+                                parent_w=parent_w,
+                                child_w=sweeps[g_lo]["w"])
+        acs_pred, _ = _group_sweep_forward(
+            sweeps, g_lo, g_hi, pred, integer_haar)
+        acs_rec = []
+        for s in range(3):
+            n_ac = int(sweeps[g_lo + s]["first"].sum())
+            q = read_q(n_ac, g)
+            acs_rec.append(acs_pred[s] + dequant(q, g))
+        recon = _group_sweep_inverse(sweeps, g_lo, g_hi, recon, acs_rec,
+                                     integer_haar)
+    return recon
+
+
 def inverse(leaf_codes: np.ndarray, coeffs: np.ndarray, depth: int,
             integer_haar: bool = False):
     """Inverse transform: coefficients (coded order) -> values (N, C)."""
