@@ -387,6 +387,37 @@ class TileInventory:
 
 
 @dataclass
+class ConstantAttribute:
+    """Constant-attribute data unit (reference decodeConstantAttribute,
+    decoder.cpp:994): one value for the whole slice instead of a brick."""
+    aps_id: int = 0
+    sps_attr_idx: int = 0
+    slice_id: int = 0
+    values: Tuple[int, ...] = (0,)
+
+    def write(self) -> bytes:
+        w = BitWriter()
+        w.write_ue(self.aps_id)
+        w.write_ue(self.sps_attr_idx)
+        w.write_ue(self.slice_id)
+        w.write_ue(len(self.values))
+        for v in self.values:
+            w.write_ue(int(v))
+        w.byte_align()
+        return w.get_bytes()
+
+    @staticmethod
+    def parse(data: bytes) -> "ConstantAttribute":
+        r = BitReader(data)
+        c = ConstantAttribute()
+        c.aps_id = r.read_ue()
+        c.sps_attr_idx = r.read_ue()
+        c.slice_id = r.read_ue()
+        c.values = tuple(r.read_ue() for _ in range(r.read_ue()))
+        return c
+
+
+@dataclass
 class FrameBoundaryMarker:
     """reference hls.h / io_hls.cpp frame boundary data unit."""
     frame_ctr_lsb: int = 0

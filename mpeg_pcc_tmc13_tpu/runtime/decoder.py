@@ -76,10 +76,20 @@ class FrameDecoder:
             self._decode_geometry_brick(buf.data)
         elif t == PayloadType.ATTRIBUTE_BRICK:
             self._decode_attribute_brick(buf.data)
+        elif t == PayloadType.CONSTANT_ATTRIBUTE:
+            c = hls.ConstantAttribute.parse(buf.data)
+            if self._slices:
+                sl = self._slices[-1]
+                n = sl.positions.shape[0]
+                desc = self.active_sps.attributes[c.sps_attr_idx]
+                bias = 1 << (desc.bitdepth + 1)
+                vals = np.asarray(c.values, dtype=np.int64) - bias
+                sl.attrs[c.sps_attr_idx] = (
+                    np.full(n, vals[0], dtype=np.int64) if vals.size == 1
+                    else np.tile(vals, (n, 1)))
         elif t in (PayloadType.TILE_INVENTORY, PayloadType.USER_DATA,
-                   PayloadType.CONSTANT_ATTRIBUTE,
                    PayloadType.DEFAULT_ATTRIBUTE):
-            pass  # informational / later rounds
+            pass  # informational
         else:
             raise ValueError(f"unknown payload type {t}")
 
@@ -191,6 +201,18 @@ class FrameDecoder:
         for sl in self._slices:
             colors = None
             refl = None
+            # loss resilience: a lost attribute brick still yields a
+            # valid cloud with default values (reference decoder.cpp:
+            # 665-694)
+            for idx, desc in enumerate(sps.attributes):
+                if idx not in sl.attrs:
+                    n = sl.positions.shape[0]
+                    mid = 1 << (desc.bitdepth - 1)
+                    sl.attrs[idx] = (
+                        np.full((n, desc.num_components), mid,
+                                dtype=np.int64)
+                        if desc.num_components > 1
+                        else np.full(n, mid, dtype=np.int64))
             for idx, vals in sl.attrs.items():
                 desc = sps.attributes[idx]
                 vals = np.asarray(vals)

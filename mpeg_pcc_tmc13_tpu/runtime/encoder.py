@@ -338,6 +338,21 @@ class FrameEncoder:
             elif desc.cicp_matrix == 1:
                 values = processing.rgb_to_ycbcr_bt709(
                     values, desc.bitdepth)
+            # constant attribute shortcut (reference constant-attribute
+            # data unit, decoder.cpp:994); values are in the coded
+            # colourspace so the decoder's inverse applies uniformly.
+            # ue(v) coding needs non-negative: bias by bitdepth+1 range.
+            flat = values.reshape(values.shape[0], -1)
+            if flat.size and np.all(flat == flat[0]):
+                bias = 1 << (desc.bitdepth + 1)
+                out(PayloadBuffer(
+                    PayloadType.CONSTANT_ATTRIBUTE,
+                    hls.ConstantAttribute(
+                        aps_id=aps.aps_id, sps_attr_idx=i,
+                        slice_id=self._slice_id,
+                        values=tuple(int(v) + bias
+                                     for v in flat[0])).write()))
+                continue
             body = attr_model.encode(
                 values, dec_positions, aps, desc, self._attr_ctx[i])
             abh = hls.AttributeBrickHeader(

@@ -1,0 +1,99 @@
+"""Constant attributes, loss resilience, entropy continuation tests."""
+
+import io
+
+import numpy as np
+import pytest
+
+from mpeg_pcc_tmc13_tpu.bitstream import hls
+from mpeg_pcc_tmc13_tpu.bitstream.tlv import (PayloadType, iter_tlv,
+                                              write_tlv)
+from mpeg_pcc_tmc13_tpu.models.pointcloud import PointCloud
+from mpeg_pcc_tmc13_tpu.runtime.decoder import FrameDecoder
+from mpeg_pcc_tmc13_tpu.runtime.encoder import (AttributeConfig,
+                                                EncoderParams, FrameEncoder)
+from mpeg_pcc_tmc13_tpu.utils import morton
+
+
+def cloud(n=2000, depth=9, seed=0, const_color=None, refl=False):
+    rng = np.random.default_rng(seed)
+    pos = rng.integers(0, 1 << depth, size=(n, 3), dtype=np.int64)
+    colors = (np.tile(np.asarray(const_color, dtype=np.uint16), (n, 1))
+              if const_color is not None else None)
+    r = rng.integers(0, 256, n).astype(np.uint16) if refl else None
+    return PointCloud(pos, colors, r)
+
+
+def encode_payloads(c, params):
+    bufs = []
+    FrameEncoder(params).compress(c, bufs.append)
+    return bufs
+
+
+def decode_payloads(bufs, **kw):
+    outs = []
+    dec = FrameDecoder(outs.append, **kw)
+    for b in bufs:
+        dec.decompress(b)
+    dec.flush()
+    return outs
+
+
+def test_constant_attribute_payload():
+    c = cloud(const_color=(77, 128, 200))
+    params = EncoderParams(attributes=[
+        AttributeConfig("color", 8, hls.AttributeEncoding.RAHT,
+                        qp=4, raht_integer_haar=True)])
+    bufs = encode_payloads(c, params)
+    types = [b.type for b in bufs]
+    assert PayloadType.CONSTANT_ATTRIBUTE in types
+    assert PayloadType.ATTRIBUTE_BRICK not in types
+    outs = decode_payloads(bufs)
+    assert np.all(outs[0].colors == np.array([77, 128, 200]))
+
+
+def test_lost_attribute_brick_yields_defaults():
+    c = cloud(refl=True)
+    params = EncoderParams(attributes=[
+        AttributeConfig("reflectance", 8, hls.AttributeEncoding.PRED,
+                        qp=4)])
+    bufs = encode_payloads(c, params)
+    # drop the attribute brick (simulated loss)
+    bufs = [b for b in bufs if b.type != PayloadType.ATTRIBUTE_BRICK]
+    outs = decode_payloads(bufs)
+    assert outs[0].count > 0
+    assert outs[0].reflectances is not None
+    assert np.all(outs[0].reflectances == 128)  # mid-range default
+
+
+def test_entropy_continuation_across_slices():
+    c = cloud(n=6000)
+    base = dict(max_points_per_slice=1500)
+    sizes = {}
+    for cont in (False, True):
+        params = EncoderParams(entropy_continuation=cont, **base)
+        bufs = encode_payloads(c, params)
+        sizes[cont] = sum(len(b.data) for b in bufs)
+        outs = decode_payloads(bufs)
+        np.testing.assert_array_equal(
+            np.sort(morton.encode(outs[0].positions)),
+            np.unique(morton.encode(c.positions)))
+    # continuation shares adapted contexts -> smaller stream
+    assert sizes[True] < sizes[False]
+
+
+def test_truncated_stream_does_not_crash():
+    c = cloud()
+    bufs = encode_payloads(c, EncoderParams())
+    bs = io.BytesIO()
+    for b in bufs:
+        write_tlv(b, bs)
+    data = bs.getvalue()[: len(bs.getvalue()) // 2]
+    outs = []
+    dec = FrameDecoder(outs.append)
+    try:
+        for b in iter_tlv(io.BytesIO(data)):
+            dec.decompress(b)
+    except (EOFError, ValueError):
+        pass
+    dec.flush()  # must not raise
