@@ -33,13 +33,28 @@ class AttributeEncoding(enum.IntEnum):
 
 
 class AxisOrder(enum.IntEnum):
-    """Internal/output axis permutation (reference hls.h:151-161)."""
+    """Internal/output axis permutation (reference hls.h:151-161,
+    toXyz/fromXyz hls.h:164-195)."""
     XYZ = 0
     XZY = 1
     YXZ = 2
     YZX = 3
     ZXY = 4
     ZYX = 5
+
+    @property
+    def perm(self):
+        """xyz -> internal (stv) column permutation."""
+        return {0: (0, 1, 2), 1: (0, 2, 1), 2: (1, 0, 2),
+                3: (1, 2, 0), 4: (2, 0, 1), 5: (2, 1, 0)}[int(self)]
+
+    @property
+    def inv_perm(self):
+        p = self.perm
+        inv = [0, 0, 0]
+        for i, a in enumerate(p):
+            inv[a] = i
+        return tuple(inv)
 
 
 @dataclass

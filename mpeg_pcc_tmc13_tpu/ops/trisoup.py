@@ -126,19 +126,35 @@ def _fan_triangles(verts: np.ndarray):
 
 
 def _sample_triangles(tris: np.ndarray, samples: int):
-    """Barycentric SxS sampling of triangles -> voxel coords (P,3)."""
+    """Barycentric SxS sampling of triangles -> voxel coords (T,S',3).
+
+    float32 math, keeps the (T, S', 3) shape so callers can clip per
+    triangle; S' = number of in-triangle barycentric samples.
+    """
     s = samples
-    a = np.linspace(0.0, 1.0, s)
+    a = np.linspace(0.0, 1.0, s, dtype=np.float32)
     u, v = np.meshgrid(a, a)
     mask = (u + v) <= 1.0
     u = u[mask]
     v = v[mask]
     w = 1.0 - u - v
-    # (T,3,3) x (S,) -> (T,S,3)
-    pts = (tris[:, None, 0, :] * u[None, :, None]
-           + tris[:, None, 1, :] * v[None, :, None]
-           + tris[:, None, 2, :] * w[None, :, None])
-    return np.round(pts.reshape(-1, 3)).astype(np.int64)
+    t32 = tris.astype(np.float32)
+    pts = (t32[:, None, 0, :] * u[None, :, None]
+           + t32[:, None, 1, :] * v[None, :, None]
+           + t32[:, None, 2, :] * w[None, :, None])
+    return np.round(pts).astype(np.int64)
+
+
+def _unique_codes(pts: np.ndarray) -> np.ndarray:
+    """Sorted unique Morton codes of (P,3) voxels (native fast path)."""
+    if pts.shape[0] == 0:
+        return np.zeros(0, dtype=np.int64)
+    from ..bitstream import entropy
+    codes, _ = entropy.morton_sort(pts, return_perm=False)
+    keep = np.empty(codes.shape, dtype=bool)
+    keep[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=keep[1:])
+    return codes[keep]
 
 
 def reconstruct(node_codes: np.ndarray, edge_uniq: np.ndarray,
@@ -146,46 +162,79 @@ def reconstruct(node_codes: np.ndarray, edge_uniq: np.ndarray,
                 bbox_max=None):
     """Shared encoder/decoder reconstruction: vertices -> voxels.
 
-    Returns sorted unique (P,3) voxel positions.
+    Vectorised: nodes are grouped by (vertex count, dominant axis) and
+    each group's angle sort, triangle fan, and barycentric sampling run
+    as one batch.  Returns sorted unique (P,3) voxel positions.
     """
     w = 1 << log2_size
     keys, origin = edge_keys_for_nodes(node_codes, log2_size)
     _, inv = unique_edges(keys)
-    out = []
-    samples = 2 * w + 1
     m = node_codes.shape[0]
-    # vertex world position per (node, edge)
-    for n in range(m):
-        vs = []
-        for e in range(12):
-            ui = inv[n, e]
-            if not present[ui]:
+    samples = 2 * w + 1
+
+    # per (node, edge): presence + world vertex position
+    pres = present[inv]                              # (M,12)
+    vw = np.zeros((m, 12, 3), dtype=np.float64)
+    for e in range(12):
+        ax = _EDGE_AXIS[e]
+        p1, p2 = _PERP[ax]
+        vw[:, e, :] = origin
+        vw[:, e, p1] += _EDGE_C1[e] * (w - 1)
+        vw[:, e, p2] += _EDGE_C2[e] * (w - 1)
+        vw[:, e, ax] += vpos[inv[:, e]]
+    counts = pres.sum(axis=1)
+
+    out = []
+    # 1-2 vertices: emit the vertex voxels directly
+    few = (counts >= 1) & (counts < 3)
+    if few.any():
+        sel = pres & few[:, None]
+        out.append(_unique_codes(np.round(vw[sel]).astype(np.int64)))
+
+    # >=3 vertices: group by count k, sub-group by dominant axis
+    for k in range(3, 13):
+        nk = np.nonzero(counts == k)[0]
+        if nk.size == 0:
+            continue
+        # gather each node's k vertices in edge order: (Nk, k, 3)
+        rows = pres[nk]
+        verts = vw[nk][rows].reshape(nk.size, k, 3)
+        cent = verts.mean(axis=1)                    # (Nk,3)
+        spread = verts.max(axis=1) - verts.min(axis=1)
+        dom = np.argmin(spread, axis=1)              # (Nk,)
+        for ax in range(3):
+            ga = np.nonzero(dom == ax)[0]
+            if ga.size == 0:
                 continue
-            ax = _EDGE_AXIS[e]
-            p1, p2 = _PERP[ax]
-            p = origin[n].astype(np.float64).copy()
-            p[p1] += _EDGE_C1[e] * (w - 1)
-            p[p2] += _EDGE_C2[e] * (w - 1)
-            p[ax] += float(vpos[ui])
-            vs.append(p)
-        if not vs:
-            continue
-        vs = np.asarray(vs)
-        if vs.shape[0] < 3:
-            out.append(np.round(vs).astype(np.int64))
-            continue
-        tris = _fan_triangles(vs)
-        vox = _sample_triangles(tris, samples)
-        # clip to node bounds
-        lo = origin[n]
-        hi = origin[n] + (w - 1)
-        keep = np.all((vox >= lo) & (vox <= hi), axis=1)
-        out.append(vox[keep])
+            v = verts[ga]                            # (G,k,3)
+            c = cent[ga]
+            a1, a2 = [a for a in range(3) if a != ax]
+            ang = np.arctan2(v[:, :, a2] - c[:, None, a2],
+                             v[:, :, a1] - c[:, None, a1])
+            order = np.argsort(ang, kind="stable", axis=1)
+            vs = np.take_along_axis(v, order[:, :, None], axis=1)
+            nxt = np.roll(vs, -1, axis=1)
+            # triangles (G, k, 3 verts, 3): (v_i, v_{i+1}, centroid)
+            tris = np.stack(
+                [vs, nxt, np.broadcast_to(c[:, None, :], vs.shape)],
+                axis=2).reshape(-1, 3, 3)
+            node_ids = nk[ga]
+            per_tri = np.repeat(node_ids, k)
+            # chunk to bound peak memory (S' samples per triangle)
+            chunk = max((1 << 22) // max(samples * samples, 1), 1024)
+            for c0 in range(0, tris.shape[0], chunk):
+                spt = _sample_triangles(tris[c0:c0 + chunk], samples)
+                ids = per_tri[c0:c0 + chunk]
+                lo = origin[ids][:, None, :]
+                hi = lo + (w - 1)
+                keep = np.all((spt >= lo) & (spt <= hi), axis=2)
+                # dedup within the chunk (17x oversampling otherwise)
+                out.append(_unique_codes(spt[keep]))
     if not out:
         return np.zeros((0, 3), dtype=np.int64)
-    pts = np.concatenate(out, axis=0)
+    codes = np.unique(np.concatenate(out))
+    pts = morton.decode(codes)
     if bbox_max is not None:
         keep = np.all((pts >= 0) & (pts <= np.asarray(bbox_max)), axis=1)
         pts = pts[keep]
-    codes = np.unique(morton.encode(pts))
-    return morton.decode(codes)
+    return pts

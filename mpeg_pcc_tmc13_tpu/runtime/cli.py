@@ -97,6 +97,8 @@ class Config:
                 p.entropy_continuation = opt.to_bool(value)
             elif name == "numOctreeEntropyStreams":
                 p.num_entropy_streams = max(opt.to_int(value), 1)
+            elif name == "InterEntropyContinuationEnabled":
+                p.inter_entropy_continuation = opt.to_bool(value)
             elif name == "trisoupNodeSizeLog2":
                 v = opt.to_int(value.split()[0]) if value else 0
                 p.trisoup_node_size_log2 = v
@@ -110,6 +112,8 @@ class Config:
                 p.angular_enabled = opt.to_bool(value)
             elif name == "inferredDirectCodingMode":
                 p.idcm = opt.to_int(value) > 0
+            elif name == "geometry_axis_order":
+                p.axis_order = hls.AxisOrder(opt.to_int(value))
             elif name == "disableAttributeCoding":
                 self.disable_attributes = opt.to_bool(value)
             elif name == "neighbourAvailBoundaryLog2":

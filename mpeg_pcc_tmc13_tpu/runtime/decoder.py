@@ -229,6 +229,8 @@ class FrameDecoder:
             pos = processing.dequantize_positions(
                 sl.positions, sps.geom_scale_num, sps.geom_scale_den,
                 (0, 0, 0))
+            # stv -> xyz output order (reference toXyz, hls.h:164)
+            pos = pos[:, sps.geom_axis_order.inv_perm]
             clouds.append(pc.PointCloud(pos, colors, refl))
         # reference frame for inter prediction: grid coordinates
         if self._slices:

@@ -61,6 +61,9 @@ class EncoderParams:
     # levels in separate, independently-decodable entropy streams
     num_entropy_streams: int = 1
     entropy_continuation: bool = False
+    # carry adapted contexts into inter frames (reference
+    # InterEntropyContinuationEnabled, TMC3.cpp)
+    inter_entropy_continuation: bool = False
     frame_ctr_bits: int = 8
     # IDCM (reference inferredDirectCodingMode, TMC3.cpp).  Off by
     # default: with this framework's adaptive chain contexts, isolated
@@ -82,6 +85,9 @@ class EncoderParams:
     # angular (spherical-domain) coding for LiDAR (reference
     # angularEnabled, TMC3.cpp cfg: angular tool set)
     angular_enabled: bool = False
+    # internal axis permutation (reference geometry_axis_order,
+    # TMC3.cpp:750)
+    axis_order: hls.AxisOrder = hls.AxisOrder.XYZ
 
     def __post_init__(self):
         if self.predgeom_sort_mode is None:
@@ -116,7 +122,9 @@ class FrameEncoder:
             frame_ctr_bits=p.frame_ctr_bits,
             geom_scale_num=p.geom_scale_num,
             geom_scale_den=p.geom_scale_den,
+            geom_axis_order=p.axis_order,
             entropy_continuation_enabled=p.entropy_continuation,
+            inter_entropy_continuation_enabled=p.inter_entropy_continuation,
         )
         for ac in p.attributes:
             ncomp = 3 if ac.label == "color" else 1
@@ -184,11 +192,14 @@ class FrameEncoder:
                 out(PayloadBuffer(PayloadType.ATTRIBUTE_PARAMETER_SET,
                                   a.write()))
 
+        # axis permutation into internal stv order (reference
+        # convertXyzToStv, decoder.cpp:347-369)
+        positions = cloud.positions[:, self.sps.geom_axis_order.perm]
         # input quantisation (reference encoder.cpp:1554-1577).  Scale
         # only; per-slice origins are signalled absolute in grid units,
         # so no sequence origin enters the reconstruction path.
         grid = processing.quantize_positions(
-            cloud.positions, p.geom_scale_num, p.geom_scale_den, (0, 0, 0))
+            positions, p.geom_scale_num, p.geom_scale_den, (0, 0, 0))
         qcloud = PointCloud(grid, cloud.colors, cloud.reflectances,
                             cloud.frame_index)
         if p.merge_duplicated_points:
@@ -218,23 +229,29 @@ class FrameEncoder:
             else:
                 gm = motion_ops.identity_motion()
 
+        keep_ctx = is_inter and p.inter_entropy_continuation
         for scloud in self._partition(qcloud, out):
             self._compress_slice(scloud, frame_ctr_lsb, out,
-                                 gm=gm if is_inter else None)
+                                 gm=gm if is_inter else None,
+                                 keep_ctx=keep_ctx)
+            keep_ctx = p.entropy_continuation
         self._ref_frame = qcloud.positions.astype(np.int64)
         self.frame_ctr += 1
 
     # -- per-slice coding (reference compressPartition,
     #    encoder.cpp:924) --------------------------------------------
     def _compress_slice(self, cloud: PointCloud, frame_ctr_lsb: int,
-                        out: Callable[[PayloadBuffer], None], gm=None):
+                        out: Callable[[PayloadBuffer], None], gm=None,
+                        keep_ctx: Optional[bool] = None):
         p = self.params
         slice_origin = cloud.bbox()[0]
         local = cloud.positions.astype(np.int64) - slice_origin
         maxv = int(local.max()) if cloud.count else 0
         depth = max(int(maxv).bit_length(), 1) if cloud.count else 1
 
-        continuing = p.entropy_continuation and self._geom_ctx is not None
+        if keep_ctx is None:
+            keep_ctx = p.entropy_continuation
+        continuing = keep_ctx and self._geom_ctx is not None
         if not continuing:
             self._geom_ctx = geometry_octree.OctreeContexts()
             self._trisoup_ctx = geometry_trisoup.TrisoupContexts()

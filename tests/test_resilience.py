@@ -97,3 +97,31 @@ def test_truncated_stream_does_not_crash():
     except (EOFError, ValueError):
         pass
     dec.flush()  # must not raise
+
+
+def test_inter_entropy_continuation_shrinks():
+    from tests.test_inter import moving_sequence, roundtrip_sequence
+    seq = moving_sequence(frames=4)
+    sizes = {}
+    for cont in (False, True):
+        params = EncoderParams(inter_prediction=True,
+                               random_access_period=8,
+                               inter_entropy_continuation=cont)
+        outs, sizes[cont] = roundtrip_sequence(seq, params)
+        assert len(outs) == 4
+        for src, out in zip(seq, outs):
+            np.testing.assert_array_equal(
+                np.sort(morton.encode(out.positions)),
+                np.unique(morton.encode(src.positions)))
+    assert sizes[True] < sizes[False]
+
+
+def test_axis_order_roundtrip():
+    c = cloud(n=1500, seed=8)
+    for order in hls.AxisOrder:
+        params = EncoderParams(axis_order=order)
+        bufs = encode_payloads(c, params)
+        outs = decode_payloads(bufs)
+        np.testing.assert_array_equal(
+            np.sort(morton.encode(outs[0].positions)),
+            np.unique(morton.encode(c.positions)))
