@@ -68,6 +68,10 @@ class AttributeDescription:
     num_components: int = 3
     bitdepth: int = 8
     cicp_matrix: int = 0
+    # coded-value interpretation (reference attr_scale_minus1 /
+    # attr_offset, TMC3.cpp:1253-1259): output = coded*scale + offset
+    attr_scale: int = 1
+    attr_offset: int = 0
 
     def write(self, w: BitWriter):
         known = {"color": 0, "reflectance": 1}
@@ -81,6 +85,8 @@ class AttributeDescription:
         w.write_ue(self.num_components - 1)
         w.write_ue(self.bitdepth - 1)
         w.write_ue(self.cicp_matrix)
+        w.write_ue(self.attr_scale - 1)
+        w.write_se(self.attr_offset)
 
     @staticmethod
     def parse(r: BitReader) -> "AttributeDescription":
@@ -95,7 +101,9 @@ class AttributeDescription:
         ncomp = r.read_ue() + 1
         bd = r.read_ue() + 1
         cicp = r.read_ue()
-        return AttributeDescription(label, ncomp, bd, cicp)
+        scale = r.read_ue() + 1
+        off = r.read_se()
+        return AttributeDescription(label, ncomp, bd, cicp, scale, off)
 
 
 @dataclass

@@ -152,6 +152,8 @@ class Config:
                     qp_chroma_offset=int(a.get("qpChromaOffset", "0")),
                     raht_integer_haar=opt.to_bool(a.get("integerHaar", "0")),
                     cicp_matrix=cicp,
+                    attr_scale=int(a.get("attrScale", "1")),
+                    attr_offset=int(a.get("attrOffset", "0")),
                 ))
             else:
                 self.ignored.append(name)

@@ -216,6 +216,9 @@ class FrameDecoder:
             for idx, vals in sl.attrs.items():
                 desc = sps.attributes[idx]
                 vals = np.asarray(vals)
+                if desc.attr_scale != 1 or desc.attr_offset != 0:
+                    vals = (vals.astype(np.int64) * desc.attr_scale
+                            + desc.attr_offset)
                 if desc.label == "color":
                     if desc.cicp_matrix == 8:
                         vals = processing.ycgcor_to_rgb(

@@ -38,6 +38,9 @@ class AttributeConfig:
     # colourMatrix (reference TMC3.cpp:1270): 0 identity, 8 YCgCo-R.
     # YCgCo-R is exactly reversible => default for transform coding.
     cicp_matrix: int = 8
+    # coded-value interpretation (reference attrScale/attrOffset)
+    attr_scale: int = 1
+    attr_offset: int = 0
 
 
 @dataclass
@@ -133,7 +136,8 @@ class FrameEncoder:
                 and ac.encoding != hls.AttributeEncoding.RAW) else 0
             sps.attributes.append(hls.AttributeDescription(
                 label=ac.label, num_components=ncomp,
-                bitdepth=ac.bitdepth, cicp_matrix=cicp))
+                bitdepth=ac.bitdepth, cicp_matrix=cicp,
+                attr_scale=ac.attr_scale, attr_offset=ac.attr_offset))
         gps = hls.GeometryParameterSet(
             codec_type=p.geometry_codec,
             unique_points=p.merge_duplicated_points,
@@ -350,6 +354,10 @@ class FrameEncoder:
             if values is None:
                 continue
             values = np.asarray(values)
+            if desc.attr_scale != 1 or desc.attr_offset != 0:
+                # scaleAttributesForInput (reference TMC3.cpp:2233-2236)
+                values = (values.astype(np.int64) - desc.attr_offset
+                          + desc.attr_scale // 2) // desc.attr_scale
             if desc.cicp_matrix == 8:
                 values = processing.rgb_to_ycgcor(values)
             elif desc.cicp_matrix == 1:

@@ -125,3 +125,18 @@ def test_axis_order_roundtrip():
         np.testing.assert_array_equal(
             np.sort(morton.encode(outs[0].positions)),
             np.unique(morton.encode(c.positions)))
+
+
+def test_attr_scale_offset():
+    rng = np.random.default_rng(11)
+    pos = rng.integers(0, 512, (800, 3), dtype=np.int64)
+    # 16-bit reflectance quantised to 8 bits via attrScale=256
+    refl = (rng.integers(0, 256, 800) * 256).astype(np.uint16)
+    c = PointCloud(pos, reflectances=refl)
+    params = EncoderParams(attributes=[
+        AttributeConfig("reflectance", 8, hls.AttributeEncoding.PRED,
+                        qp=4, attr_scale=256)])
+    bufs = encode_payloads(c, params)
+    outs = decode_payloads(bufs)
+    got = np.sort(outs[0].reflectances)
+    np.testing.assert_array_equal(got, np.sort(refl))
