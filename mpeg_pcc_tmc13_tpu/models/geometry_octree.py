@@ -363,55 +363,54 @@ def decode(num_points: int, depth: int, dec, ctx: OctreeContexts,
         return decode_idcm_np(depth, dec, ctx, ctx_mode,
                               skip_layers=skip_layers,
                               max_points=max_points)
-    if skip_layers > 0 or max_points > 0:
-        stop_at = depth - min(skip_layers, depth)
-        nodes = np.zeros(1, dtype=np.int64)
-        parent_occ = np.zeros(1, dtype=np.int32)
-        lvl = 0
-        for l in range(stop_at):
-            if max_points and nodes.size >= max_points:
-                break
-            if ctx_mode == ops.CTX_MODE_NEIGH:
-                base = ops.occ_context_base_np(nodes, l)
-            else:
-                base = ((nodes & 7).astype(np.int32) << 8) | parent_occ
-            occ = dec.occupancy(ctx.occupancy, base)
-            nodes = ops.expand_level_np(nodes, occ)
-            if ctx_mode == ops.CTX_MODE_PARENT:
-                parent_occ = np.repeat(
-                    occ.astype(np.int32), ops.popcount8_np(occ))
-            lvl = l + 1
-        # emit node centres at full-resolution scale
-        shift = depth - lvl
-        pos = morton.decode(nodes) << shift
-        if shift > 0:
-            pos += (1 << shift) >> 1
-        return pos
-    if ref_codes is not None and ref_codes.size:
-        nodes = np.zeros(1, dtype=np.int64)  # root
-        for l in range(depth):
-            ref_l1 = np.unique(ref_codes >> (3 * (depth - l - 1)))
-            pred = ops.pred_occupancy_np(nodes, ref_l1)
-            base = ((nodes & 7).astype(np.int32) << 8) | pred
-            occ = dec.occupancy(ctx.occupancy_inter, base)
-            nodes = ops.expand_level_np(nodes, occ)
-    elif engine == "native" and hasattr(dec, "octree") and depth > 0:
+    truncated = skip_layers > 0 or max_points > 0
+    inter = ref_codes is not None and ref_codes.size > 0
+    if not truncated and not inter and engine == "native" \
+            and hasattr(dec, "octree") and depth > 0:
         nodes = dec.octree(ctx.occupancy, num_points, depth, ctx_mode)
     else:
-        nodes = np.zeros(1, dtype=np.int64)  # root
-        parent_occ = np.zeros(1, dtype=np.int32)
-        for l in range(depth):
-            if ctx_mode == ops.CTX_MODE_NEIGH:
-                base = ops.occ_context_base_np(nodes, l)
-            else:
-                base = ((nodes & 7).astype(np.int32) << 8) | parent_occ
-            occ = dec.occupancy(ctx.occupancy, base)
-            nodes = ops.expand_level_np(nodes, occ)
-            if ctx_mode == ops.CTX_MODE_PARENT:
-                parent_occ = np.repeat(
-                    occ.astype(np.int32), ops.popcount8_np(occ))
+        nodes, lvl = _walk_levels_np(
+            depth, dec, ctx, ctx_mode, ref_codes=ref_codes,
+            stop_at=depth - min(skip_layers, depth),
+            max_points=max_points)
+        if lvl < depth:
+            # truncated: emit node centres at full-resolution scale
+            shift = depth - lvl
+            pos = morton.decode(nodes) << shift
+            pos += (1 << shift) >> 1
+            return pos
     if not unique_points:
         dup = dec.ueg(ctx.dups, np.zeros(nodes.size, dtype=np.int32),
                       _DUP_PREFIX_MAX, _DUP_K).astype(np.int64) + 1
         nodes = np.repeat(nodes, dup)
     return morton.decode(nodes)
+
+
+def _walk_levels_np(depth: int, dec, ctx: OctreeContexts, ctx_mode: int,
+                    ref_codes=None, stop_at: int = None,
+                    max_points: int = 0):
+    """The single numpy level walker behind every decode variant:
+    intra (both context modes), inter (reference-keyed contexts), and
+    scalable truncation.  Returns (nodes, levels_decoded)."""
+    inter = ref_codes is not None and getattr(ref_codes, "size", 0) > 0
+    nodes = np.zeros(1, dtype=np.int64)  # root
+    parent_occ = np.zeros(1, dtype=np.int32)
+    stop = depth if stop_at is None else stop_at
+    lvl = 0
+    for l in range(stop):
+        if max_points and nodes.size >= max_points:
+            break
+        if inter:
+            ref_l1 = np.unique(ref_codes >> (3 * (depth - l - 1)))
+            pred = ops.pred_occupancy_np(nodes, ref_l1)
+            base = ((nodes & 7).astype(np.int32) << 8) | pred
+            occ = dec.occupancy(ctx.occupancy_inter, base)
+        else:
+            base = _level_base_np(nodes, parent_occ, l, ctx_mode)
+            occ = dec.occupancy(ctx.occupancy, base)
+        nodes = ops.expand_level_np(nodes, occ)
+        if not inter and ctx_mode == ops.CTX_MODE_PARENT:
+            parent_occ = np.repeat(
+                occ.astype(np.int32), ops.popcount8_np(occ))
+        lvl = l + 1
+    return nodes, lvl
