@@ -81,6 +81,32 @@ def _steps_for(aps, desc):
             for c in range(ncomp)]
 
 
+def _mode_eligible(recon, nbr, wq, threshold):
+    """Per-point explicit-mode eligibility (reference predModeEligible,
+    AttributeCommon.h:112-126): >=2 valid neighbours whose
+    reconstructed values differ by more than the adaptive threshold.
+    Both sides compute this from reconstructed values only."""
+    valid = nbr >= 0
+    nvalid = valid.sum(axis=1)
+    idx = np.where(valid, nbr, 0)
+    nv = recon[idx]                                  # (M,k,C)
+    big = np.int64(1) << 40
+    vmax = np.where(valid[:, :, None], nv, -big).max(axis=1)
+    vmin = np.where(valid[:, :, None], nv, big).min(axis=1)
+    maxdiff = (vmax - vmin).sum(axis=1)
+    return (nvalid >= 2) & (maxdiff > threshold)
+
+
+def _predict_with_modes(recon, nbr, wq, modes):
+    """mode 0 = Q16 weighted average; mode j>0 = neighbour j-1."""
+    pred = lod_ops.predict_q16(recon, nbr, wq)
+    for j in range(nbr.shape[1]):
+        sel = modes == (j + 1)
+        if sel.any():
+            pred[sel] = recon[np.maximum(nbr[sel, j], 0)]
+    return pred
+
+
 def encode(values: np.ndarray, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
            ctx: AttributeContexts) -> bytes:
@@ -129,30 +155,71 @@ def encode(values: np.ndarray, positions: np.ndarray,
                        for c in range(ncomp)], axis=1)
         q_out[sel0] = q0
     else:
+        # predicting transform: per-level chunks so explicit per-point
+        # prediction modes (reference decidePredModeRefl,
+        # AttributeEncoder.cpp:663) interleave with the residuals
+        enc = entropy.RangeEncoder()
+
+        def code_chunk(q):
+            for c in range(ncomp):
+                cs = ctx.residuals[c * RES_CTX_SIZE:
+                                   (c + 1) * RES_CTX_SIZE]
+                enc.residuals(cs, q[:, c].astype(np.int32),
+                              _RES_PREFIX_MAX, _RES_K)
+
         recon = np.zeros((n, ncomp), dtype=np.int64)
         # coarsest level: sequential chain over its own points
         idx0 = np.nonzero(levels == 0)[0]
-        for i in idx0:
+        q0 = np.zeros((idx0.size, ncomp), dtype=np.int64)
+        for j, i in enumerate(idx0):
             pred = lod_ops.predict_q16(recon, nbr[i:i + 1], wq[i:i + 1])[0]
             res = vals[i] - pred
             q = np.array([_quant(res[c:c + 1][None, :], steps[c])[0, 0]
                           for c in range(ncomp)])
             dq = np.array([_dequant(q[c:c + 1][None, :], steps[c])[0, 0]
                            for c in range(ncomp)])
-            q_out[i] = q
+            q0[j] = q
             recon[i] = pred + dq
+        code_chunk(q0)
+        thr = aps.adaptive_prediction_threshold
+        use_modes = aps.max_direct_predictors > 0
         for l in range(1, nl):
-            sel = levels == l
-            pred = lod_ops.predict_q16(recon, nbr[sel], wq[sel])
+            sel = np.nonzero(levels == l)[0]
+            modes = np.zeros(sel.size, dtype=np.int64)
+            if use_modes:
+                elig = _mode_eligible(recon, nbr[sel], wq[sel], thr)
+                if elig.any():
+                    e = sel[elig]
+                    # candidate costs from TRUE values (encoder only)
+                    cands = [lod_ops.predict_q16(recon, nbr[e], wq[e])]
+                    for j in range(nbr.shape[1]):
+                        cands.append(recon[np.maximum(nbr[e, j], 0)])
+                    costs = np.stack(
+                        [np.abs(vals[e] - cd).sum(axis=1)
+                         for cd in cands], axis=1)
+                    valid = np.concatenate(
+                        [np.ones((e.size, 1), bool), nbr[e] >= 0], axis=1)
+                    costs = np.where(valid, costs, np.int64(1) << 50)
+                    m = np.argmin(costs, axis=1)
+                    modes[elig] = m
+                    ids = np.empty(2 * e.size, dtype=np.int32)
+                    bits = np.empty(2 * e.size, dtype=np.uint8)
+                    ids[0::2] = 0
+                    ids[1::2] = 1
+                    bits[0::2] = (m >> 1) & 1
+                    bits[1::2] = m & 1
+                    enc.bits(ctx.pred_modes, ids, bits)
+            pred = _predict_with_modes(recon, nbr[sel], wq[sel], modes)
             res = vals[sel] - pred
             q = np.stack([_quant(res[:, c:c + 1], steps[c])[:, 0]
                           for c in range(ncomp)], axis=1)
             dq = np.stack([_dequant(q[:, c:c + 1], steps[c])[:, 0]
                            for c in range(ncomp)], axis=1)
-            q_out[sel] = q
+            code_chunk(q)
             recon[sel] = pred + dq
+        return enc.get_bytes()
 
-    # serialise in LoD order (coarse first — scalable)
+    # lifting: serialise in LoD order (coarse first — scalable)
     order = lod_ops.lod_order(levels)
     enc = entropy.RangeEncoder()
     for c in range(ncomp):
@@ -171,8 +238,53 @@ def decode(data: bytes, positions: np.ndarray,
     steps = _steps_for(aps, desc)
     lift = aps.attr_encoding == AttributeEncoding.LIFT
 
-    order = lod_ops.lod_order(levels)
     dec = entropy.RangeDecoder(data)
+
+    if not lift:
+        def read_chunk(count):
+            cols = []
+            for c in range(ncomp):
+                cs = ctx.residuals[c * RES_CTX_SIZE:
+                                   (c + 1) * RES_CTX_SIZE]
+                cols.append(dec.residuals(cs, count,
+                                          _RES_PREFIX_MAX, _RES_K))
+            return np.stack(cols, axis=1).astype(np.int64)
+
+        recon = np.zeros((n, ncomp), dtype=np.int64)
+        idx0 = np.nonzero(levels == 0)[0]
+        q0 = read_chunk(idx0.size)
+        for j, i in enumerate(idx0):
+            pred = lod_ops.predict_q16(recon, nbr[i:i + 1], wq[i:i + 1])[0]
+            dq = np.array([_dequant(q0[j, c:c + 1][None, :],
+                                    steps[c])[0, 0]
+                           for c in range(ncomp)])
+            recon[i] = pred + dq
+        thr = aps.adaptive_prediction_threshold
+        use_modes = aps.max_direct_predictors > 0
+        for l in range(1, nl):
+            sel = np.nonzero(levels == l)[0]
+            modes = np.zeros(sel.size, dtype=np.int64)
+            if use_modes:
+                elig = _mode_eligible(recon, nbr[sel], wq[sel], thr)
+                ne = int(elig.sum())
+                if ne:
+                    ids = np.empty(2 * ne, dtype=np.int32)
+                    ids[0::2] = 0
+                    ids[1::2] = 1
+                    bits = dec.bits(ctx.pred_modes, ids)
+                    modes[elig] = (bits[0::2].astype(np.int64) << 1) \
+                        | bits[1::2]
+            q = read_chunk(sel.size)
+            pred = _predict_with_modes(recon, nbr[sel], wq[sel], modes)
+            dq = np.stack([_dequant(q[:, c:c + 1], steps[c])[:, 0]
+                           for c in range(ncomp)], axis=1)
+            recon[sel] = pred + dq
+        out = recon
+        if ncomp == 1:
+            return out[:, 0]
+        return out
+
+    order = lod_ops.lod_order(levels)
     q_lod = np.zeros((n, ncomp), dtype=np.int64)
     for c in range(ncomp):
         cslice = ctx.residuals[c * RES_CTX_SIZE:(c + 1) * RES_CTX_SIZE]

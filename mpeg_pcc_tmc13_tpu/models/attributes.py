@@ -35,9 +35,13 @@ class AttributeContexts:
     AttributeContexts, AttributeCommon.h:49-66)."""
     residuals: np.ndarray = field(
         default_factory=lambda: entropy.new_contexts(3 * RES_CTX_SIZE))
+    # per-point prediction mode bits (reference predMode coding)
+    pred_modes: np.ndarray = field(
+        default_factory=lambda: entropy.new_contexts(2))
 
     def copy(self):
-        return AttributeContexts(self.residuals.copy())
+        return AttributeContexts(self.residuals.copy(),
+                                 self.pred_modes.copy())
 
 
 def encode_raw(values: np.ndarray, desc: AttributeDescription) -> bytes:
