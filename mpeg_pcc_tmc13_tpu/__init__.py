@@ -35,6 +35,9 @@ Subpackages
                attributes: RAHT/predicting/lifting/raw) + point-set model.
 ``runtime``    L6/L7: frame codec orchestration, sequence driver, CLI.
 ``parallel``   slice-parallel sharding over a device mesh.
+``native``     C++ host runtime: range coder, octree builder, radix
+               sort, chain reconstruction (built on first import).
+``tools``      out-of-codec utilities (ply-merge).
 """
 
 from __future__ import annotations
