@@ -293,10 +293,16 @@ class GeometryBrickHeader:
     num_points: int = 0           # total points incl. duplicates
     entropy_continuation: bool = False
     prev_slice_id: int = 0
-    # inter prediction (reference GBH gm_matrix/gm_trans, hls.h:627-780)
+    # inter prediction (reference GBH gm_matrix/gm_trans, hls.h:627-780;
+    # bi-prediction ref management PCCTMC3Common.h:304-399)
     is_inter: bool = False
+    ref0_delta: int = 1           # frame_ctr distance to reference 0
     gm_matrix: Tuple[int, ...] = (65536, 0, 0, 0, 65536, 0, 0, 0, 65536)
     gm_trans: Tuple[int, int, int] = (0, 0, 0)
+    is_bi: bool = False
+    ref1_delta: int = 1           # distance to reference 1 (future)
+    gm_matrix1: Tuple[int, ...] = (65536, 0, 0, 0, 65536, 0, 0, 0, 65536)
+    gm_trans1: Tuple[int, int, int] = (0, 0, 0)
     # entropy substream byte lengths (reference geom_stream_cnt_minus1 +
     # per-stream lengths, §2.9.3): stream 0 carries the shared-context
     # coarse levels; streams 1..N-1 carry one deep level each and are
@@ -318,10 +324,18 @@ class GeometryBrickHeader:
             w.write_ue(self.prev_slice_id)
         w.write_bit(self.is_inter)
         if self.is_inter:
+            w.write_ue(self.ref0_delta - 1)
             for v in self.gm_matrix:
                 w.write_se(int(v))
             for v in self.gm_trans:
                 w.write_se(int(v))
+            w.write_bit(self.is_bi)
+            if self.is_bi:
+                w.write_ue(self.ref1_delta - 1)
+                for v in self.gm_matrix1:
+                    w.write_se(int(v))
+                for v in self.gm_trans1:
+                    w.write_se(int(v))
         w.write_ue(len(self.stream_lens) - 1)
         for v in self.stream_lens:
             w.write_ue(int(v))
@@ -344,8 +358,14 @@ class GeometryBrickHeader:
             h.prev_slice_id = r.read_ue()
         h.is_inter = bool(r.read_bit())
         if h.is_inter:
+            h.ref0_delta = r.read_ue() + 1
             h.gm_matrix = tuple(r.read_se() for _ in range(9))
             h.gm_trans = tuple(r.read_se() for _ in range(3))
+            h.is_bi = bool(r.read_bit())
+            if h.is_bi:
+                h.ref1_delta = r.read_ue() + 1
+                h.gm_matrix1 = tuple(r.read_se() for _ in range(9))
+                h.gm_trans1 = tuple(r.read_se() for _ in range(3))
         nstreams = r.read_ue() + 1
         h.stream_lens = [r.read_ue() for _ in range(nstreams)]
         r.byte_align()

@@ -127,6 +127,10 @@ class Config:
                 p.random_access_period = opt.to_int(value)
             elif name == "globalMotionEnabled":
                 p.global_motion = opt.to_bool(value)
+            elif name == "biPredictionEnabled":
+                p.bi_prediction = opt.to_int(value) > 0
+            elif name == "biPredictionPeriod":
+                p.bi_period = opt.to_int(value)
             elif name == "motionVectorPath":
                 p.motion_file = value.strip()
             elif name == "skipOctreeLayers":
@@ -216,6 +220,7 @@ def encode_sequence(cfg: Config) -> int:
             sizes["npts"] += src.count
             enc.compress(src, emit)
             print(f"frame {cfg.first_frame + i}: {src.count} points")
+        enc.flush(emit)
     sw.stop()
     n = max(sizes["npts"], 1)
     # per-payload stats in the reference's log shape (encoder.cpp:1009)

@@ -52,9 +52,13 @@ class FrameDecoder:
         self._predgeom_ctx: Optional[
             geometry_predictive.PredGeomContexts] = None
         self._attr_ctx: Dict[int, attr_model.AttributeContexts] = {}
-        # previous frame's grid positions (reference storeCurrentCloudAsRef,
-        # decoder.cpp:165)
-        self._ref_frame: Optional[np.ndarray] = None
+        # decoded frames' grid positions by frame_ctr_lsb (reference
+        # storeCurrentCloudAsRef decoder.cpp:165; bi-pred ref lists
+        # PCCTMC3Common.h:345) + display-order reorder buffer
+        # (processHierarchicalGOF, decoder.cpp:500-557)
+        self._frames: Dict[int, np.ndarray] = {}
+        self._pending: Dict[int, pc.PointCloud] = {}
+        self._next_out: Optional[int] = None
 
     # ------------------------------------------------------------------
     def decompress(self, buf: PayloadBuffer):
@@ -94,9 +98,11 @@ class FrameDecoder:
             raise ValueError(f"unknown payload type {t}")
 
     def flush(self):
-        """End of stream: emit the pending frame."""
+        """End of stream: emit pending frames (display order)."""
         if self._slices:
             self._output_frame()
+        for ctr in sorted(self._pending):
+            self.on_output_cloud(self._pending.pop(ctr))
 
     # -- frame boundary (reference dectectFrameBoundary,
     #    decoder.cpp:101) ---------------------------------------------
@@ -154,18 +160,31 @@ class FrameDecoder:
                 angular=gps.angular_enabled)
         else:
             ref_codes = None
-            if gbh.is_inter and self._ref_frame is not None:
+            if gbh.is_inter:
                 from ..ops import motion as motion_ops
                 from ..utils import morton as morton_mod
-                mat = np.asarray(gbh.gm_matrix,
-                                 dtype=np.int64).reshape(3, 3)
-                trans = np.asarray(gbh.gm_trans, dtype=np.int64)
-                comp = motion_ops.apply_global_motion(
-                    self._ref_frame, mat, trans) \
-                    - np.asarray(gbh.slice_origin, dtype=np.int64)
                 depth = gbh.root_node_size_log2
-                inb = np.all((comp >= 0) & (comp < (1 << depth)), axis=1)
-                ref_codes = np.unique(morton_mod.encode(comp[inb]))
+                origin = np.asarray(gbh.slice_origin, dtype=np.int64)
+                refs = [((gbh.frame_ctr_lsb - gbh.ref0_delta) & 0xFF,
+                         gbh.gm_matrix, gbh.gm_trans)]
+                if gbh.is_bi:
+                    refs.append(
+                        ((gbh.frame_ctr_lsb + gbh.ref1_delta) & 0xFF,
+                         gbh.gm_matrix1, gbh.gm_trans1))
+                parts = []
+                for rc, mat, trans in refs:
+                    grid = self._frames.get(rc)
+                    if grid is None:
+                        continue
+                    comp = motion_ops.apply_global_motion(
+                        grid,
+                        np.asarray(mat, dtype=np.int64).reshape(3, 3),
+                        np.asarray(trans, dtype=np.int64)) - origin
+                    inb = np.all((comp >= 0) & (comp < (1 << depth)),
+                                 axis=1)
+                    parts.append(morton_mod.encode(comp[inb]))
+                if parts:
+                    ref_codes = np.unique(np.concatenate(parts))
             local = geometry_octree.decode(
                 gbh.num_points, gbh.root_node_size_log2, dec,
                 self._geom_ctx, unique_points=gps.unique_points,
@@ -235,9 +254,20 @@ class FrameDecoder:
             # stv -> xyz output order (reference toXyz, hls.h:164)
             pos = pos[:, sps.geom_axis_order.inv_perm]
             clouds.append(pc.PointCloud(pos, colors, refl))
+        ctr = self._frame_ctr_lsb if self._frame_ctr_lsb is not None \
+            else 0
         # reference frame for inter prediction: grid coordinates
         if self._slices:
-            self._ref_frame = np.concatenate(
+            self._frames[ctr] = np.concatenate(
                 [sl.positions for sl in self._slices])
+            if len(self._frames) > 32:
+                for k in sorted(self._frames)[:16]:
+                    self._frames.pop(k, None)
         self._slices = []
-        self.on_output_cloud(pc.concat(clouds))
+        # display-order emission (hierarchical GOF reorder)
+        self._pending[ctr] = pc.concat(clouds)
+        if self._next_out is None:
+            self._next_out = ctr
+        while self._next_out in self._pending:
+            self.on_output_cloud(self._pending.pop(self._next_out))
+            self._next_out = (self._next_out + 1) & 0xFF

@@ -78,6 +78,11 @@ class EncoderParams:
     random_access_period: int = 1     # 1 = all-intra
     global_motion: bool = False
     motion_file: Optional[str] = None
+    # bi-directional prediction (reference biPredictionEnabled /
+    # biPredictionPeriod, TMC3.cpp:1126-1139): hierarchical GOF of
+    # bi_period frames, B frames referencing both coded neighbours
+    bi_prediction: bool = False
+    bi_period: int = 8
     # occupancy context mode (reference neighbourAvailBoundaryLog2>0):
     # True = 6-neighbour contexts, False = parent-occupancy (fast)
     neighbour_context: bool = True
@@ -112,8 +117,11 @@ class FrameEncoder:
         self._geom_ctx: Optional[geometry_octree.OctreeContexts] = None
         self._trisoup_ctx: Optional[geometry_trisoup.TrisoupContexts] = None
         self._attr_ctx: Dict[int, attr_model.AttributeContexts] = {}
-        # inter state (reference refFrame bookkeeping, encoder.cpp:502)
-        self._ref_frame: Optional[np.ndarray] = None   # grid positions
+        # inter state (reference refFrame bookkeeping, encoder.cpp:502;
+        # bi-pred frame store + GOF buffer, PCCTMC3Common.h:304-399)
+        self._frames: Dict[int, np.ndarray] = {}   # ctr_lsb -> grid
+        self._gof: List = []                       # buffered (ctr, cloud)
+        self._anchor_ctr: Optional[int] = None
         self._motion_params = (motion_ops.MotionParameters.parse_file(
             params.motion_file) if params.motion_file else None)
 
@@ -183,10 +191,14 @@ class FrameEncoder:
 
     def compress(self, cloud: PointCloud,
                  out: Callable[[PayloadBuffer], None]):
-        """Compress one frame; emits payloads through `out`."""
+        """Compress one display-order frame; emits payloads via `out`.
+
+        With bi_prediction, frames buffer until a GOF completes
+        (reference compressOneGOF, TMC3.cpp:2267); call flush() after
+        the last frame.
+        """
         p = self.params
-        first_frame = self.sps is None
-        if first_frame:
+        if self.sps is None:
             self._derive_parameter_sets(cloud)
             out(PayloadBuffer(PayloadType.SEQUENCE_PARAMETER_SET,
                               self.sps.write()))
@@ -195,7 +207,33 @@ class FrameEncoder:
             for a in self.aps:
                 out(PayloadBuffer(PayloadType.ATTRIBUTE_PARAMETER_SET,
                                   a.write()))
+        qcloud = self._prepare_frame(cloud)
+        ctr = self.frame_ctr
+        self.frame_ctr += 1
+        bi = (p.bi_prediction and p.inter_prediction
+              and p.geometry_codec == hls.GeometryCodecType.OCTREE)
+        if not bi:
+            refs = self._choose_refs(ctr, qcloud)
+            self._code_frame(qcloud, ctr, out, refs)
+            return
+        # hierarchical GOF buffering
+        if self._anchor_ctr is None:
+            self._code_frame(qcloud, ctr, out, [])     # first anchor: I
+            self._anchor_ctr = ctr
+            return
+        self._gof.append((ctr, qcloud))
+        if len(self._gof) >= max(p.bi_period, 1):
+            self._code_gof(out)
 
+    def flush(self, out: Callable[[PayloadBuffer], None]):
+        """Code any buffered GOF tail (P-chain)."""
+        for ctr, qcloud in self._gof:
+            refs = self._choose_refs(ctr, qcloud, forced_ref=True)
+            self._code_frame(qcloud, ctr, out, refs)
+        self._gof = []
+
+    def _prepare_frame(self, cloud: PointCloud) -> PointCloud:
+        p = self.params
         # axis permutation into internal stv order (reference
         # convertXyzToStv, decoder.cpp:347-369)
         positions = cloud.positions[:, self.sps.geom_axis_order.perm]
@@ -208,46 +246,85 @@ class FrameEncoder:
                             cloud.frame_index)
         if p.merge_duplicated_points:
             qcloud = processing.dedup_with_attributes(qcloud)
+        return qcloud
 
-        frame_ctr_lsb = self.frame_ctr & ((1 << self.sps.frame_ctr_bits) - 1)
-        if not first_frame:
+    def _gm_for(self, ref_grid, qcloud, ctr):
+        p = self.params
+        if self._motion_params is not None:
+            return self._motion_params.for_frame(ctr)
+        if p.global_motion:
+            return motion_ops.estimate_global_motion(
+                ref_grid, qcloud.positions)
+        return motion_ops.identity_motion()
+
+    def _choose_refs(self, ctr, qcloud, forced_ref=False):
+        """Sequential (non-GOF) reference selection: previous frame."""
+        p = self.params
+        rap = max(p.random_access_period, 1)
+        prev = (ctr - 1) & 0xFF
+        is_inter = (p.inter_prediction and prev in self._frames
+                    and (forced_ref or ctr % rap != 0)
+                    and p.geometry_codec == hls.GeometryCodecType.OCTREE)
+        if not is_inter:
+            return []
+        gm = self._gm_for(self._frames[prev], qcloud, ctr)
+        return [(prev, gm)]
+
+    def _code_gof(self, out):
+        """Code the buffered GOF hierarchically: P anchor first, then
+        midpoint B frames (reference processHierarchicalGOF order)."""
+        gof = {ctr: c for ctr, c in self._gof}
+        self._gof = []
+        lo = self._anchor_ctr
+        hi = max(gof)
+        # trailing anchor as P(lo)
+        qhi = gof.pop(hi)
+        self._code_frame(qhi, hi, out,
+                         [(lo, self._gm_for(self._frames[lo & 0xFF],
+                                            qhi, hi))])
+
+        def recurse(a, b):
+            mids = [c for c in sorted(gof) if a < c < b]
+            if not mids:
+                return
+            mid = mids[len(mids) // 2]
+            qc = gof.pop(mid)
+            refs = [(a, self._gm_for(self._frames[a & 0xFF], qc, mid)),
+                    (b, self._gm_for(self._frames[b & 0xFF], qc, mid))]
+            self._code_frame(qc, mid, out, refs)
+            recurse(a, mid)
+            recurse(mid, b)
+
+        recurse(lo, hi)
+        self._anchor_ctr = hi
+
+    def _code_frame(self, qcloud: PointCloud, ctr: int, out, refs):
+        """Code one frame with 0 (intra), 1 (P) or 2 (B) references."""
+        p = self.params
+        frame_ctr_lsb = ctr & ((1 << self.sps.frame_ctr_bits) - 1)
+        if ctr != 0:
             out(PayloadBuffer(
                 PayloadType.FRAME_BOUNDARY_MARKER,
                 hls.FrameBoundaryMarker(frame_ctr_lsb).write()))
-
-        # frame type: I every random_access_period frames (reference
-        # SequenceEncoder RA periods, TMC3.cpp:2162-2183); inter only
-        # for the octree codec in this round
-        rap = max(p.random_access_period, 1)
-        is_inter = (p.inter_prediction
-                    and self._ref_frame is not None
-                    and self.frame_ctr % rap != 0
-                    and p.geometry_codec == hls.GeometryCodecType.OCTREE)
-        gm = None
-        if is_inter:
-            if self._motion_params is not None:
-                gm = self._motion_params.for_frame(self.frame_ctr)
-            elif p.global_motion:
-                gm = motion_ops.estimate_global_motion(
-                    self._ref_frame, qcloud.positions)
-            else:
-                gm = motion_ops.identity_motion()
-
-        keep_ctx = is_inter and p.inter_entropy_continuation
+        keep_ctx = bool(refs) and p.inter_entropy_continuation
         for scloud in self._partition(qcloud, out):
             self._compress_slice(scloud, frame_ctr_lsb, out,
-                                 gm=gm if is_inter else None,
-                                 keep_ctx=keep_ctx)
+                                 ctr=ctr, refs=refs, keep_ctx=keep_ctx)
             keep_ctx = p.entropy_continuation
-        self._ref_frame = qcloud.positions.astype(np.int64)
-        self.frame_ctr += 1
+        self._frames[frame_ctr_lsb] = qcloud.positions.astype(np.int64)
+        if len(self._frames) > 3 * max(p.bi_period, 4):
+            for k in sorted(self._frames)[:len(self._frames) // 2]:
+                if k != (self._anchor_ctr or 0) & 0xFF:
+                    self._frames.pop(k, None)
 
     # -- per-slice coding (reference compressPartition,
     #    encoder.cpp:924) --------------------------------------------
     def _compress_slice(self, cloud: PointCloud, frame_ctr_lsb: int,
-                        out: Callable[[PayloadBuffer], None], gm=None,
-                        keep_ctx: Optional[bool] = None):
+                        out: Callable[[PayloadBuffer], None], ctr: int = 0,
+                        refs=(), keep_ctx: Optional[bool] = None):
         p = self.params
+        refs = list(refs)
+        gm = refs[0][1] if refs else None   # primary-ref motion
         slice_origin = cloud.bbox()[0]
         local = cloud.positions.astype(np.int64) - slice_origin
         maxv = int(local.max()) if cloud.count else 0
@@ -293,12 +370,17 @@ class FrameEncoder:
                 ctx_mode=ctx_mode)
         else:
             ref_codes = None
-            if gm is not None:
+            if refs:
                 from ..utils import morton as morton_mod
-                comp = motion_ops.apply_global_motion(
-                    self._ref_frame, gm[0], gm[1]) - slice_origin
-                inb = np.all((comp >= 0) & (comp < (1 << depth)), axis=1)
-                ref_codes = np.unique(morton_mod.encode(comp[inb]))
+                parts = []
+                for ref_ctr, ref_gm in refs:
+                    ref_grid = self._frames[ref_ctr & 0xFF]
+                    comp = motion_ops.apply_global_motion(
+                        ref_grid, ref_gm[0], ref_gm[1]) - slice_origin
+                    inb = np.all((comp >= 0) & (comp < (1 << depth)),
+                                 axis=1)
+                    parts.append(morton_mod.encode(comp[inb]))
+                ref_codes = np.unique(np.concatenate(parts))
             order = geometry_octree.encode(
                 local, depth, enc, self._geom_ctx,
                 unique_points=self.gps.unique_points,
@@ -310,16 +392,24 @@ class FrameEncoder:
 
         num_points = (int(recon_local.shape[0]) if trisoup
                       else cloud.count)
-        if gm is not None:
-            gm_mat = tuple(int(v) for v in gm[0].reshape(-1))
-            gm_trans = tuple(int(v) for v in gm[1])
-        else:
-            gm_mat, gm_trans = (65536, 0, 0, 0, 65536, 0, 0, 0, 65536), \
-                (0, 0, 0)
+        ident = ((65536, 0, 0, 0, 65536, 0, 0, 0, 65536), (0, 0, 0))
+
+        def gm_tuple(g):
+            return (tuple(int(v) for v in g[0].reshape(-1)),
+                    tuple(int(v) for v in g[1]))
+        gm_mat, gm_trans = gm_tuple(refs[0][1]) if refs else ident
+        gm_mat1, gm_trans1 = gm_tuple(refs[1][1]) if len(refs) > 1 \
+            else ident
         gbh = hls.GeometryBrickHeader(
-            is_inter=gm is not None,
+            is_inter=bool(refs),
+            ref0_delta=max((ctr - refs[0][0]) & 0xFF, 1) if refs else 1,
             gm_matrix=gm_mat,
             gm_trans=gm_trans,
+            is_bi=len(refs) > 1,
+            ref1_delta=max((refs[1][0] - ctr) & 0xFF, 1)
+            if len(refs) > 1 else 1,
+            gm_matrix1=gm_mat1,
+            gm_trans1=gm_trans1,
             gps_id=self.gps.gps_id,
             slice_id=self._slice_id,
             frame_ctr_lsb=frame_ctr_lsb,

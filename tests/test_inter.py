@@ -116,3 +116,50 @@ def test_multistream_stream_lengths_in_gbh():
             h, off = hls.GeometryBrickHeader.parse(buf.data)
             assert len(h.stream_lens) == 3
             assert sum(h.stream_lens) == len(buf.data) - off
+
+
+def roundtrip_sequence_flush(seq, params):
+    bs = io.BytesIO()
+    enc = FrameEncoder(params)
+    for c in seq:
+        enc.compress(c, lambda b: write_tlv(b, bs))
+    enc.flush(lambda b: write_tlv(b, bs))
+    bs.seek(0)
+    outs = []
+    from mpeg_pcc_tmc13_tpu.runtime.decoder import FrameDecoder as FD
+    dec = FD(outs.append)
+    for b in iter_tlv(bs):
+        dec.decompress(b)
+    dec.flush()
+    return outs, bs.getbuffer().nbytes
+
+
+def test_bi_prediction_hierarchical_gof():
+    seq = moving_sequence(frames=9)  # I + one full GOF of 8
+    params = EncoderParams(inter_prediction=True, bi_prediction=True,
+                           bi_period=8, global_motion=True,
+                           random_access_period=64)
+    outs, size_bi = roundtrip_sequence_flush(seq, params)
+    assert len(outs) == 9
+    # display order preserved, every frame lossless
+    for src, out in zip(seq, outs):
+        np.testing.assert_array_equal(
+            np.sort(morton.encode(out.positions)),
+            np.unique(morton.encode(src.positions)))
+    # B frames with two refs should not be larger than P-only coding
+    params_p = EncoderParams(inter_prediction=True, global_motion=True,
+                             random_access_period=64)
+    _, size_p = roundtrip_sequence_flush(seq, params_p)
+    assert size_bi < size_p * 1.1
+
+
+def test_bi_prediction_partial_gof_flush():
+    seq = moving_sequence(frames=5)  # I + 4 buffered (incomplete GOF)
+    params = EncoderParams(inter_prediction=True, bi_prediction=True,
+                           bi_period=8, random_access_period=64)
+    outs, _ = roundtrip_sequence_flush(seq, params)
+    assert len(outs) == 5
+    for src, out in zip(seq, outs):
+        np.testing.assert_array_equal(
+            np.sort(morton.encode(out.positions)),
+            np.unique(morton.encode(src.positions)))
