@@ -94,6 +94,9 @@ def _load_native() -> Optional[ctypes.CDLL]:
     lib.oct_decode.restype = c.c_int64
     lib.radix_sort64.argtypes = [i64p, i64p, c.c_int64]
     lib.morton_sort.argtypes = [i64p, c.c_int64, i64p, i64p]
+    lib.lod_assign_dist2.argtypes = [i64p, c.c_int64, c.c_int64,
+                                     c.c_int32, u8p]
+    lib.lod_assign_dist2.restype = c.c_int32
     return lib
 
 

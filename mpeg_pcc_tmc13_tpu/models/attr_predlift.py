@@ -56,7 +56,10 @@ def _dequant(q: np.ndarray, step_q16: int, factor_q8=None) -> np.ndarray:
 def _structure(positions: np.ndarray, aps: AttributeParameterSet):
     n = positions.shape[0]
     nl = _num_levels(n, aps)
-    levels = lod_ops.assign_lod_levels(n, nl, _LOD_PERIOD)
+    if aps.dist2 > 0 and aps.lod_decimation == 0:
+        levels = lod_ops.assign_lod_levels_dist2(positions, nl, aps.dist2)
+    else:
+        levels = lod_ops.assign_lod_levels(n, nl, _LOD_PERIOD)
     nbr, wq = lod_ops.knn_predictors(
         positions, levels, num_neighbors=aps.num_pred_nearest_neighbours)
     return levels, nbr, wq, nl

@@ -1,0 +1,110 @@
+// Distance-based LoD assignment (reference subsampleByDistance,
+// PCCTMC3Common.h:2223-2252 subsample dispatch).
+//
+// Points (Morton order) are greedily retained into levels of detail:
+// level l keeps a point iff no already-retained point of levels <= l
+// lies within dist2_l = dist2_base >> (2*l).  Decoder-derivable: both
+// sides run this identical serial walk over the decoded positions.
+// A power-of-two hash grid with cell ~= sqrt(dist2) makes each check
+// a 27-cell probe.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+namespace {
+
+struct Grid {
+  // open addressing: key = cell hash -> linked list head into `next`
+  std::vector<int64_t> heads;
+  std::vector<int64_t> next;
+  uint64_t mask = 0;
+  int shift = 0;  // cell size = 1 << shift
+
+  void init(int64_t capacity, int cell_shift) {
+    uint64_t cap = 64;
+    while (cap < (uint64_t)capacity * 2) cap <<= 1;
+    heads.assign(cap, -1);
+    next.clear();
+    mask = cap - 1;
+    shift = cell_shift;
+  }
+
+  inline uint64_t slot(int64_t cx, int64_t cy, int64_t cz) const {
+    uint64_t h = (uint64_t)cx * 0x8DA6B343u + (uint64_t)cy * 0xD8163841u
+                 + (uint64_t)cz * 0xCB1AB31Fu;
+    return (h * 0x9E3779B97F4A7C15ull >> 13) & mask;
+  }
+
+  // any stored point within dist2 of p?  `pts` is the flat (n,3) array
+  inline bool near(const int64_t* pts, const int64_t* p,
+                   int64_t dist2) const {
+    int64_t cx = p[0] >> shift, cy = p[1] >> shift, cz = p[2] >> shift;
+    for (int dx = -1; dx <= 1; ++dx)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dz = -1; dz <= 1; ++dz) {
+          uint64_t s = slot(cx + dx, cy + dy, cz + dz);
+          for (int64_t i = heads[s]; i >= 0; i = next[i]) {
+            // note: hash collisions may chain foreign cells; the
+            // distance test keeps the result exact
+            int64_t ddx = pts[i * 3] - p[0];
+            int64_t ddy = pts[i * 3 + 1] - p[1];
+            int64_t ddz = pts[i * 3 + 2] - p[2];
+            if (ddx * ddx + ddy * ddy + ddz * ddz < dist2) return true;
+          }
+        }
+    return false;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// xyz: (n,3) int64 in Morton order; levels_out: (n,) uint8.
+// dist2_base: squared retain distance of the COARSEST level;
+// each finer level quarters it.  Returns number of levels used.
+int32_t lod_assign_dist2(const int64_t* xyz, int64_t n,
+                         int64_t dist2_base, int32_t num_levels,
+                         uint8_t* levels_out) {
+  if (n == 0) return 0;
+  std::memset(levels_out, 0xFF, (size_t)n);  // 0xFF = unassigned
+  // retained points across levels share one array of indices; each
+  // level gets a fresh grid sized to its cell width
+  std::vector<int64_t> retained;
+  retained.reserve(n);
+
+  int64_t d2 = dist2_base;
+  for (int32_t l = 0; l + 1 < num_levels && d2 > 0; ++l, d2 >>= 2) {
+    int cell_shift = 0;
+    while (((int64_t)1 << (2 * cell_shift)) < d2) cell_shift++;
+    Grid grid;
+    grid.init(n, cell_shift);
+    grid.next.assign(n, -1);   // chain storage indexed by point id
+    auto ins = [&](int64_t idx) {
+      const int64_t* p = &xyz[idx * 3];
+      uint64_t s = grid.slot(p[0] >> grid.shift, p[1] >> grid.shift,
+                             p[2] >> grid.shift);
+      grid.next[idx] = grid.heads[s];
+      grid.heads[s] = idx;
+    };
+    // coarser retained points seed every finer grid
+    for (int64_t idx : retained) ins(idx);
+    for (int64_t i = 0; i < n; ++i) {
+      if (levels_out[i] != 0xFF) continue;
+      if (!grid.near(xyz, &xyz[i * 3], d2)) {
+        levels_out[i] = (uint8_t)l;
+        retained.push_back(i);
+        ins(i);
+      }
+    }
+
+  }
+  // everything unassigned lands in the finest level
+  for (int64_t i = 0; i < n; ++i)
+    if (levels_out[i] == 0xFF) levels_out[i] = (uint8_t)(num_levels - 1);
+  return num_levels;
+}
+
+}  // extern "C"

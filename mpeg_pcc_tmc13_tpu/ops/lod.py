@@ -35,6 +35,51 @@ W_FRAC_BITS = 16
 W_ONE = 1 << W_FRAC_BITS
 
 
+def assign_lod_levels_dist2(positions: np.ndarray, num_levels: int,
+                            dist2_base: int) -> np.ndarray:
+    """Distance-based LoD (reference subsampleByDistance): greedy
+    retain-if-isolated walk in Morton order with dist2 quartering per
+    level.  Native serial pass (lod.cc); falls back to a pure-python
+    walk for small inputs."""
+    from ..bitstream import entropy
+    n = positions.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    if entropy._LIB is not None:
+        import ctypes
+        xyz = np.ascontiguousarray(positions, dtype=np.int64)
+        out = np.zeros(n, dtype=np.uint8)
+        entropy._LIB.lod_assign_dist2(
+            xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            int(dist2_base), int(num_levels),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out.astype(np.int32)
+    # python fallback (exact mirror)
+    levels = np.full(n, num_levels - 1, dtype=np.int32)
+    assigned = np.zeros(n, dtype=bool)
+    retained: list = []
+    d2 = dist2_base
+    p = positions.astype(np.int64)
+    for l in range(num_levels - 1):
+        if d2 <= 0:
+            break
+        for i in range(n):
+            if assigned[i]:
+                continue
+            ok = True
+            for j in retained:
+                d = p[i] - p[j]
+                if int(d @ d) < d2:
+                    ok = False
+                    break
+            if ok:
+                levels[i] = l
+                assigned[i] = True
+                retained.append(i)
+        d2 >>= 2
+    return levels
+
+
 def assign_lod_levels(n: int, num_levels: int, period: int = 4):
     """Level id per Morton-ranked point (0 = coarsest).
 

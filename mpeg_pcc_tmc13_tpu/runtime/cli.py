@@ -140,7 +140,7 @@ class Config:
             # ---- sticky attribute params ----
             elif name in ("qp", "bitdepth", "transformType", "integerHaar",
                           "qpChromaOffset", "attrScale", "attrOffset",
-                          "defaultValue", "colourMatrix"):
+                          "defaultValue", "colourMatrix", "dist2"):
                 self._pending_attr[name] = value
             elif name == "attribute":
                 a = self._pending_attr
@@ -158,6 +158,8 @@ class Config:
                     cicp_matrix=cicp,
                     attr_scale=int(a.get("attrScale", "1")),
                     attr_offset=int(a.get("attrOffset", "0")),
+                    dist2=int(float(a.get("dist2", "0").split()[0]))
+                    if a.get("dist2") else 0,
                 ))
             else:
                 self.ignored.append(name)

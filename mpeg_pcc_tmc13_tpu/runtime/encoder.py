@@ -41,6 +41,9 @@ class AttributeConfig:
     # coded-value interpretation (reference attrScale/attrOffset)
     attr_scale: int = 1
     attr_offset: int = 0
+    # LoD construction (reference dist2 / lodDecimator): dist2 > 0
+    # selects distance subsampling, else Morton-periodic decimation
+    dist2: int = 0
 
 
 @dataclass
@@ -162,7 +165,8 @@ class FrameEncoder:
             aps_list.append(hls.AttributeParameterSet(
                 aps_id=i, attr_encoding=ac.encoding, init_qp=ac.qp,
                 chroma_qp_offset=ac.qp_chroma_offset,
-                raht_integer_haar=ac.raht_integer_haar))
+                raht_integer_haar=ac.raht_integer_haar,
+                dist2=ac.dist2))
         self.sps, self.gps, self.aps = sps, gps, aps_list
 
     # -- tile + slice partitioning (reference encoder.cpp:340-473) ----

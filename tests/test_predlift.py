@@ -134,3 +134,43 @@ def test_full_pipeline_predlift():
     np.testing.assert_array_equal(got.positions, expect.positions)
     np.testing.assert_array_equal(got.colors, expect.colors)
     np.testing.assert_array_equal(got.reflectances, expect.reflectances)
+
+
+def test_dist2_lod_assignment():
+    pos, _ = make_positions(3000, 9, seed=10)
+    lv = lod_ops.assign_lod_levels_dist2(pos, 6, dist2_base=64 ** 2)
+    assert lv.shape == (len(pos),)
+    assert lv.min() == 0
+    # the coarsest level is a strict subsample
+    counts = np.bincount(lv, minlength=6)
+    assert 0 < counts[0] < len(pos)
+    # level-0 points pairwise distance >= dist2_base
+    sel = pos[lv == 0]
+    if len(sel) > 1:
+        d = sel[:, None, :] - sel[None, :, :]
+        d2 = (d * d).sum(-1) + np.eye(len(sel), dtype=np.int64) * (1 << 40)
+        assert d2.min() >= 64 ** 2
+
+
+def test_dist2_native_matches_python_fallback():
+    from mpeg_pcc_tmc13_tpu.bitstream import entropy as _e
+    pos, _ = make_positions(300, 7, seed=11)
+    native = lod_ops.assign_lod_levels_dist2(pos, 4, 32 ** 2)
+    lib = _e._LIB
+    _e._LIB = None
+    try:
+        py = lod_ops.assign_lod_levels_dist2(pos, 4, 32 ** 2)
+    finally:
+        _e._LIB = lib
+    np.testing.assert_array_equal(native, py)
+
+
+def test_pred_lossless_with_dist2_lod():
+    pos, rng = make_positions(2000, 8, seed=12)
+    vals = rng.integers(0, 256, (len(pos), 3)).astype(np.int64)
+    aps = hls.AttributeParameterSet(
+        attr_encoding=hls.AttributeEncoding.PRED, init_qp=4,
+        dist2=16 ** 2)
+    desc = hls.AttributeDescription("color", 3, 8)
+    out, _ = _roundtrip(vals, pos, aps, desc)
+    np.testing.assert_array_equal(out, vals)
