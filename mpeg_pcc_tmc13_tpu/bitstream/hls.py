@@ -238,6 +238,10 @@ class AttributeParameterSet:
     scalable_lifting_enabled: bool = False
     # coordinate conversion (spherical attrs, LiDAR)
     spherical_coord_enabled: bool = False
+    # inter attribute prediction (reference AttributeInterPredParams,
+    # PCCTMC3Common.h:276-302): reference-frame points join the LoD
+    # predictor pool on inter slices
+    inter_prediction_enabled: bool = False
 
     def write(self) -> bytes:
         w = BitWriter()
@@ -256,6 +260,7 @@ class AttributeParameterSet:
         w.write_bit(self.raht_integer_haar)
         w.write_bit(self.scalable_lifting_enabled)
         w.write_bit(self.spherical_coord_enabled)
+        w.write_bit(self.inter_prediction_enabled)
         w.byte_align()
         return w.get_bytes()
 
@@ -278,6 +283,7 @@ class AttributeParameterSet:
         a.raht_integer_haar = bool(r.read_bit())
         a.scalable_lifting_enabled = bool(r.read_bit())
         a.spherical_coord_enabled = bool(r.read_bit())
+        a.inter_prediction_enabled = bool(r.read_bit())
         return a
 
 

@@ -53,7 +53,8 @@ def _dequant(q: np.ndarray, step_q16: int, factor_q8=None) -> np.ndarray:
     return np.round(d).astype(np.int64)
 
 
-def _structure(positions: np.ndarray, aps: AttributeParameterSet):
+def _structure(positions: np.ndarray, aps: AttributeParameterSet,
+               ref_positions: np.ndarray = None):
     n = positions.shape[0]
     nl = _num_levels(n, aps)
     if aps.dist2 > 0 and aps.lod_decimation == 0:
@@ -61,7 +62,8 @@ def _structure(positions: np.ndarray, aps: AttributeParameterSet):
     else:
         levels = lod_ops.assign_lod_levels(n, nl, _LOD_PERIOD)
     nbr, wq = lod_ops.knn_predictors(
-        positions, levels, num_neighbors=aps.num_pred_nearest_neighbours)
+        positions, levels, num_neighbors=aps.num_pred_nearest_neighbours,
+        ref_positions=ref_positions)
     return levels, nbr, wq, nl
 
 
@@ -112,15 +114,23 @@ def _predict_with_modes(recon, nbr, wq, modes):
 
 def encode(values: np.ndarray, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
-           ctx: AttributeContexts) -> bytes:
+           ctx: AttributeContexts, ref=None) -> bytes:
+    """ref: optional (ref_positions (M,3), ref_values (M,C)) —
+    motion-compensated reference-frame points in slice-local coords
+    with their decoded attribute values (inter attribute prediction);
+    PRED only, LIFT ignores it."""
     vals = np.asarray(values)
     if vals.ndim == 1:
         vals = vals[:, None]
     vals = vals.astype(np.int64)
     n, ncomp = vals.shape
-    levels, nbr, wq, nl = _structure(positions, aps)
-    steps = _steps_for(aps, desc)
     lift = aps.attr_encoding == AttributeEncoding.LIFT
+    if lift or not aps.inter_prediction_enabled:
+        ref = None
+    ref_pos = ref[0] if ref is not None and len(ref[0]) else None
+    m = 0 if ref_pos is None else ref_pos.shape[0]
+    levels, nbr, wq, nl = _structure(positions, aps, ref_pos)
+    steps = _steps_for(aps, desc)
 
     q_out = np.zeros((n, ncomp), dtype=np.int64)  # in Morton order
 
@@ -170,23 +180,33 @@ def encode(values: np.ndarray, positions: np.ndarray,
                 enc.residuals(cs, q[:, c].astype(np.int32),
                               _RES_PREFIX_MAX, _RES_K)
 
-        recon = np.zeros((n, ncomp), dtype=np.int64)
-        # coarsest level: sequential chain over its own points
+        # recon lives in augmented space: rows [0, m) are the fixed
+        # reference attributes, rows [m, m+n) the current slice
+        recon = np.zeros((m + n, ncomp), dtype=np.int64)
+        if m:
+            recon[:m] = np.asarray(ref[1], dtype=np.int64).reshape(m, -1)
+        # coarsest level: sequential chain unless reference points
+        # already provide predictors (then it vectorises like the rest)
         idx0 = np.nonzero(levels == 0)[0]
-        q0 = np.zeros((idx0.size, ncomp), dtype=np.int64)
-        for j, i in enumerate(idx0):
-            pred = lod_ops.predict_q16(recon, nbr[i:i + 1], wq[i:i + 1])[0]
-            res = vals[i] - pred
-            q = np.array([_quant(res[c:c + 1][None, :], steps[c])[0, 0]
-                          for c in range(ncomp)])
-            dq = np.array([_dequant(q[c:c + 1][None, :], steps[c])[0, 0]
-                           for c in range(ncomp)])
-            q0[j] = q
-            recon[i] = pred + dq
-        code_chunk(q0)
+        start_level = 0 if m else 1
+        if not m:
+            q0 = np.zeros((idx0.size, ncomp), dtype=np.int64)
+            for j, i in enumerate(idx0):
+                pred = lod_ops.predict_q16(
+                    recon, nbr[i:i + 1], wq[i:i + 1])[0]
+                res = vals[i] - pred
+                q = np.array([_quant(res[c:c + 1][None, :],
+                                     steps[c])[0, 0]
+                              for c in range(ncomp)])
+                dq = np.array([_dequant(q[c:c + 1][None, :],
+                                        steps[c])[0, 0]
+                               for c in range(ncomp)])
+                q0[j] = q
+                recon[m + i] = pred + dq
+            code_chunk(q0)
         thr = aps.adaptive_prediction_threshold
         use_modes = aps.max_direct_predictors > 0
-        for l in range(1, nl):
+        for l in range(start_level, nl):
             sel = np.nonzero(levels == l)[0]
             modes = np.zeros(sel.size, dtype=np.int64)
             if use_modes:
@@ -203,14 +223,14 @@ def encode(values: np.ndarray, positions: np.ndarray,
                     valid = np.concatenate(
                         [np.ones((e.size, 1), bool), nbr[e] >= 0], axis=1)
                     costs = np.where(valid, costs, np.int64(1) << 50)
-                    m = np.argmin(costs, axis=1)
-                    modes[elig] = m
+                    mm = np.argmin(costs, axis=1)
+                    modes[elig] = mm
                     ids = np.empty(2 * e.size, dtype=np.int32)
                     bits = np.empty(2 * e.size, dtype=np.uint8)
                     ids[0::2] = 0
                     ids[1::2] = 1
-                    bits[0::2] = (m >> 1) & 1
-                    bits[1::2] = m & 1
+                    bits[0::2] = (mm >> 1) & 1
+                    bits[1::2] = mm & 1
                     enc.bits(ctx.pred_modes, ids, bits)
             pred = _predict_with_modes(recon, nbr[sel], wq[sel], modes)
             res = vals[sel] - pred
@@ -219,7 +239,7 @@ def encode(values: np.ndarray, positions: np.ndarray,
             dq = np.stack([_dequant(q[:, c:c + 1], steps[c])[:, 0]
                            for c in range(ncomp)], axis=1)
             code_chunk(q)
-            recon[sel] = pred + dq
+            recon[m + sel] = pred + dq
         return enc.get_bytes()
 
     # lifting: serialise in LoD order (coarse first — scalable)
@@ -234,12 +254,16 @@ def encode(values: np.ndarray, positions: np.ndarray,
 
 def decode(data: bytes, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
-           ctx: AttributeContexts) -> np.ndarray:
+           ctx: AttributeContexts, ref=None) -> np.ndarray:
     n = positions.shape[0]
     ncomp = desc.num_components
-    levels, nbr, wq, nl = _structure(positions, aps)
-    steps = _steps_for(aps, desc)
     lift = aps.attr_encoding == AttributeEncoding.LIFT
+    if lift or not aps.inter_prediction_enabled:
+        ref = None
+    ref_pos = ref[0] if ref is not None and len(ref[0]) else None
+    m = 0 if ref_pos is None else ref_pos.shape[0]
+    levels, nbr, wq, nl = _structure(positions, aps, ref_pos)
+    steps = _steps_for(aps, desc)
 
     dec = entropy.RangeDecoder(data)
 
@@ -253,18 +277,23 @@ def decode(data: bytes, positions: np.ndarray,
                                           _RES_PREFIX_MAX, _RES_K))
             return np.stack(cols, axis=1).astype(np.int64)
 
-        recon = np.zeros((n, ncomp), dtype=np.int64)
+        recon = np.zeros((m + n, ncomp), dtype=np.int64)
+        if m:
+            recon[:m] = np.asarray(ref[1], dtype=np.int64).reshape(m, -1)
         idx0 = np.nonzero(levels == 0)[0]
-        q0 = read_chunk(idx0.size)
-        for j, i in enumerate(idx0):
-            pred = lod_ops.predict_q16(recon, nbr[i:i + 1], wq[i:i + 1])[0]
-            dq = np.array([_dequant(q0[j, c:c + 1][None, :],
-                                    steps[c])[0, 0]
-                           for c in range(ncomp)])
-            recon[i] = pred + dq
+        start_level = 0 if m else 1
+        if not m:
+            q0 = read_chunk(idx0.size)
+            for j, i in enumerate(idx0):
+                pred = lod_ops.predict_q16(
+                    recon, nbr[i:i + 1], wq[i:i + 1])[0]
+                dq = np.array([_dequant(q0[j, c:c + 1][None, :],
+                                        steps[c])[0, 0]
+                               for c in range(ncomp)])
+                recon[m + i] = pred + dq
         thr = aps.adaptive_prediction_threshold
         use_modes = aps.max_direct_predictors > 0
-        for l in range(1, nl):
+        for l in range(start_level, nl):
             sel = np.nonzero(levels == l)[0]
             modes = np.zeros(sel.size, dtype=np.int64)
             if use_modes:
@@ -281,8 +310,8 @@ def decode(data: bytes, positions: np.ndarray,
             pred = _predict_with_modes(recon, nbr[sel], wq[sel], modes)
             dq = np.stack([_dequant(q[:, c:c + 1], steps[c])[:, 0]
                            for c in range(ncomp)], axis=1)
-            recon[sel] = pred + dq
-        out = recon
+            recon[m + sel] = pred + dq
+        out = recon[m:]
         if ncomp == 1:
             return out[:, 0]
         return out

@@ -80,11 +80,13 @@ def _morton_perm(positions: np.ndarray):
 
 def encode(values: np.ndarray, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
-           ctx: AttributeContexts) -> bytes:
+           ctx: AttributeContexts, ref=None) -> bytes:
     """Encode one attribute of a slice; returns the brick body bytes.
 
     positions: coding-grid positions in geometry coding order (the
     transform codecs need them for LoD / RAHT tree construction).
+    ref: optional (ref_positions, ref_values) for inter attribute
+    prediction (slice-local compensated reference points).
     """
     if aps.attr_encoding == AttributeEncoding.RAW:
         return encode_raw(values, desc)
@@ -96,13 +98,14 @@ def encode(values: np.ndarray, positions: np.ndarray,
         return attr_raht.encode(values, positions, aps, desc, ctx)
     if aps.attr_encoding in (AttributeEncoding.PRED, AttributeEncoding.LIFT):
         from . import attr_predlift
-        return attr_predlift.encode(values, positions, aps, desc, ctx)
+        return attr_predlift.encode(values, positions, aps, desc, ctx,
+                                    ref=ref)
     raise ValueError(f"unsupported attr_encoding {aps.attr_encoding}")
 
 
 def decode(data: bytes, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
-           ctx: AttributeContexts) -> np.ndarray:
+           ctx: AttributeContexts, ref=None) -> np.ndarray:
     count = positions.shape[0]
     if aps.attr_encoding == AttributeEncoding.RAW:
         return decode_raw(data, count, desc)
@@ -113,7 +116,8 @@ def decode(data: bytes, positions: np.ndarray,
     elif aps.attr_encoding in (AttributeEncoding.PRED,
                                AttributeEncoding.LIFT):
         from . import attr_predlift
-        vals = attr_predlift.decode(data, positions[perm], aps, desc, ctx)
+        vals = attr_predlift.decode(data, positions[perm], aps, desc,
+                                    ctx, ref=ref)
     else:
         raise ValueError(f"unsupported attr_encoding {aps.attr_encoding}")
     out = np.empty_like(np.asarray(vals))

@@ -316,6 +316,94 @@ void rcd_occupancy(RcDecoder* d, uint16_t* ctx, const int32_t* base_ctx,
   }
 }
 
+// ---- mixed-context occupancy (OBUF-flavoured) ---------------------------
+//
+// Each occupancy bit is coded with the AVERAGE of two adaptive
+// probabilities: a coarse context (few, fast-adapting) and a fine
+// context (many, slow but specific); both update toward the coded bit.
+// This is the context-mixing counterpart of the reference's OBUF
+// bounded-probability scheme (entropydirac.h:229-253): the coarse
+// model bounds how far a rarely-visited fine context can mislead.
+
+static inline void enc_bit_mix(RcEncoder* e, uint16_t* p1, uint16_t* p2,
+                               int bit) {
+  uint32_t p = ((uint32_t)*p1 + (uint32_t)*p2) >> 1;
+  uint32_t bound = (e->range >> kProbBits) * p;
+  if (!bit) {
+    e->range = bound;
+    *p1 = (uint16_t)(*p1 + (((1 << kProbBits) - *p1) >> kProbMoveBits));
+    *p2 = (uint16_t)(*p2 + (((1 << kProbBits) - *p2) >> kProbMoveBits));
+  } else {
+    e->low += bound;
+    e->range -= bound;
+    *p1 = (uint16_t)(*p1 - (*p1 >> kProbMoveBits));
+    *p2 = (uint16_t)(*p2 - (*p2 >> kProbMoveBits));
+  }
+  while (e->range < kTopValue) {
+    e->shift_low();
+    e->range <<= 8;
+  }
+}
+
+static inline int dec_bit_mix(RcDecoder* d, uint16_t* p1, uint16_t* p2) {
+  uint32_t p = ((uint32_t)*p1 + (uint32_t)*p2) >> 1;
+  uint32_t bound = (d->range >> kProbBits) * p;
+  int bit;
+  if (d->code < bound) {
+    d->range = bound;
+    *p1 = (uint16_t)(*p1 + (((1 << kProbBits) - *p1) >> kProbMoveBits));
+    *p2 = (uint16_t)(*p2 + (((1 << kProbBits) - *p2) >> kProbMoveBits));
+    bit = 0;
+  } else {
+    d->code -= bound;
+    d->range -= bound;
+    *p1 = (uint16_t)(*p1 - (*p1 >> kProbMoveBits));
+    *p2 = (uint16_t)(*p2 - (*p2 >> kProbMoveBits));
+    bit = 1;
+  }
+  while (d->range < kTopValue) {
+    d->range <<= 8;
+    d->code = (d->code << 8) | d->next_byte();
+  }
+  return bit;
+}
+
+void rce_occupancy_mix(RcEncoder* e, uint16_t* ctx, uint16_t* ctx_fine,
+                       const int32_t* base_ctx, const int32_t* fine_ctx,
+                       const uint8_t* occ, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    uint16_t* b1 = &ctx[(int64_t)base_ctx[i] * 255];
+    uint16_t* b2 = &ctx_fine[(int64_t)fine_ctx[i] * 255];
+    uint32_t t = 1;
+    uint8_t b = occ[i];
+    for (int j = 7; j >= 0; --j) {
+      int bit = (b >> j) & 1;
+      if (j == 0 && t == 128) break;
+      enc_bit_mix(e, &b1[t - 1], &b2[t - 1], bit);
+      t = (t << 1) | bit;
+    }
+  }
+}
+
+void rcd_occupancy_mix(RcDecoder* d, uint16_t* ctx, uint16_t* ctx_fine,
+                       const int32_t* base_ctx, const int32_t* fine_ctx,
+                       uint8_t* occ, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    uint16_t* b1 = &ctx[(int64_t)base_ctx[i] * 255];
+    uint16_t* b2 = &ctx_fine[(int64_t)fine_ctx[i] * 255];
+    uint32_t t = 1;
+    for (int j = 7; j >= 0; --j) {
+      int bit;
+      if (j == 0 && t == 128)
+        bit = 1;
+      else
+        bit = dec_bit_mix(d, &b1[t - 1], &b2[t - 1]);
+      t = (t << 1) | bit;
+    }
+    occ[i] = (uint8_t)(t & 0xFF);
+  }
+}
+
 // ---- attribute residual block -----------------------------------------
 //
 // Codes an array of signed quantised coefficients, one component stream.

@@ -104,15 +104,23 @@ def lod_order(levels: np.ndarray) -> np.ndarray:
 
 
 def knn_predictors(positions: np.ndarray, levels: np.ndarray,
-                   num_neighbors: int = 3, window: int = 8):
+                   num_neighbors: int = 3, window: int = 8,
+                   ref_positions: np.ndarray = None):
     """Per point: up to 3 neighbour indices + Q16 weights.
 
     positions: (N,3) int, Morton coding order. levels: (N,) LoD ids.
     Neighbour candidates for a point at level l are points of levels
     < l (for l > 0) or preceding points of level 0 (intra-coarsest,
-    reference intra-LoD prediction).  Returns (nbr_idx (N,3) int64
-    [-1 = unused], weights_q16 (N,3) int64) with indices into the
-    Morton-order arrays.
+    reference intra-LoD prediction).
+
+    ref_positions: optional (M,3) motion-compensated reference-frame
+    points (inter attribute prediction, reference
+    AttributeInterPredParams): they join every level's candidate set
+    (including level 0, whose intra chain is then dropped).  Returned
+    neighbour indices are then into the AUGMENTED array
+    [ref_positions; positions] — i.e. index < M means reference row.
+
+    Returns (nbr_idx (N,k) int64 [-1 = unused], weights_q16 (N,k)).
     """
     n = positions.shape[0]
     k = num_neighbors
@@ -120,17 +128,32 @@ def knn_predictors(positions: np.ndarray, levels: np.ndarray,
     wq = np.zeros((n, k), dtype=np.int64)
     if n == 0:
         return nbr, wq
-    codes = morton.encode(positions.astype(np.int64))
+    m = 0 if ref_positions is None else ref_positions.shape[0]
+    if m:
+        # reference rows act as a permanent coarsest level (-1)
+        aug_pos = np.concatenate(
+            [ref_positions.astype(np.int64), positions.astype(np.int64)])
+        aug_levels = np.concatenate(
+            [np.full(m, -1, dtype=levels.dtype), levels])
+        codes = morton.encode(aug_pos)
+        positions = aug_pos
+    else:
+        aug_levels = levels
+        codes = morton.encode(positions.astype(np.int64))
+        positions = positions.astype(np.int64)
     num_levels = int(levels.max()) + 1 if n else 0
 
     for l in range(num_levels):
-        q_idx = np.nonzero(levels == l)[0]
-        if l == 0:
+        q_idx = m + np.nonzero(levels == l)[0]
+        if l == 0 and not m:
             # intra-level: predict from preceding level-0 points
             r_idx = q_idx
             intra = True
         else:
-            r_idx = np.nonzero(levels < l)[0]
+            r_rows = np.nonzero(aug_levels < l)[0]
+            # candidate codes must be sorted for the window search;
+            # ref and current rows interleave, so order by code
+            r_idx = r_rows[np.argsort(codes[r_rows], kind="stable")]
             intra = False
         if q_idx.size == 0 or r_idx.size == 0:
             continue
@@ -163,14 +186,16 @@ def knn_predictors(positions: np.ndarray, levels: np.ndarray,
         top_cand = np.take_along_axis(cand, top, axis=1)
         ok = top_d2 < big
         nbr_l = np.where(ok, r_idx[top_cand], -1)
-        # Q16 inverse-d2 weights, normalised over valid neighbours
-        inv = np.where(ok, 1.0 / np.maximum(top_d2, 1).astype(np.float64),
-                       0.0)
+        # Q16 inverse-d2 weights, normalised over valid neighbours;
+        # an exact positional match (d2 == 0, only possible for
+        # reference-frame candidates) dominates at 4x the d2=1 weight
+        inv = np.where(
+            ok, 1.0 / np.maximum(top_d2.astype(np.float64), 0.25), 0.0)
         s = inv.sum(axis=1, keepdims=True)
         s[s == 0] = 1.0
         w = np.floor(inv / s * W_ONE + 0.5).astype(np.int64)
-        nbr[q_idx] = nbr_l
-        wq[q_idx] = w
+        nbr[q_idx - m] = nbr_l
+        wq[q_idx - m] = w
     return nbr, wq
 
 

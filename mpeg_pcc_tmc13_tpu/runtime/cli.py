@@ -140,7 +140,8 @@ class Config:
             # ---- sticky attribute params ----
             elif name in ("qp", "bitdepth", "transformType", "integerHaar",
                           "qpChromaOffset", "attrScale", "attrOffset",
-                          "defaultValue", "colourMatrix", "dist2"):
+                          "defaultValue", "colourMatrix", "dist2",
+                          "attrInterPredictionEnabled"):
                 self._pending_attr[name] = value
             elif name == "attribute":
                 a = self._pending_attr
@@ -160,6 +161,8 @@ class Config:
                     attr_offset=int(a.get("attrOffset", "0")),
                     dist2=int(float(a.get("dist2", "0").split()[0]))
                     if a.get("dist2") else 0,
+                    inter_pred=opt.to_bool(
+                        a.get("attrInterPredictionEnabled", "0")),
                 ))
             else:
                 self.ignored.append(name)

@@ -27,6 +27,7 @@ class _SliceState:
     positions: np.ndarray                 # grid coords, coding order
     local: np.ndarray                     # slice-local, coding order
     attrs: Dict[int, np.ndarray] = field(default_factory=dict)
+    gbh: Optional[hls.GeometryBrickHeader] = None
 
 
 class FrameDecoder:
@@ -57,6 +58,9 @@ class FrameDecoder:
         # PCCTMC3Common.h:345) + display-order reorder buffer
         # (processHierarchicalGOF, decoder.cpp:500-557)
         self._frames: Dict[int, np.ndarray] = {}
+        # ctr -> {attr_idx: (grid positions, coded-space values)} for
+        # inter attribute prediction
+        self._frame_attrs: Dict[int, dict] = {}
         self._pending: Dict[int, pc.PointCloud] = {}
         self._next_out: Optional[int] = None
 
@@ -144,7 +148,7 @@ class FrameDecoder:
                 gbh.num_points, gbh.root_node_size_log2, streams,
                 self._geom_ctx, ctx_mode=ctx_mode)
             grid = local + np.asarray(gbh.slice_origin, dtype=np.int64)
-            self._slices.append(_SliceState(positions=grid, local=local))
+            self._slices.append(_SliceState(positions=grid, local=local, gbh=gbh))
             return
         stream = streams[0]
         dec = entropy.RangeDecoder(stream)
@@ -193,7 +197,7 @@ class FrameDecoder:
                 skip_layers=self.skip_layers,
                 max_points=self.max_points)
         grid = local + np.asarray(gbh.slice_origin, dtype=np.int64)
-        self._slices.append(_SliceState(positions=grid, local=local))
+        self._slices.append(_SliceState(positions=grid, local=local, gbh=gbh))
 
     # -- attribute brick (reference decodeAttributeBrick,
     #    decoder.cpp:781) ---------------------------------------------
@@ -208,9 +212,30 @@ class FrameDecoder:
         desc = self.active_sps.attributes[abh.sps_attr_idx]
         assert self._slices, "attribute brick before geometry brick"
         sl = self._slices[-1]
+        # inter attribute prediction (mirrors the encoder exactly)
+        ref = None
+        gbh = sl.gbh
+        if (aps.inter_prediction_enabled and gbh is not None
+                and gbh.is_inter):
+            from ..ops import motion as motion_ops
+            stored = self._frame_attrs.get(
+                (gbh.frame_ctr_lsb - gbh.ref0_delta) & 0xFF, {})
+            if abh.sps_attr_idx in stored:
+                rp, rv = stored[abh.sps_attr_idx]
+                mat = np.asarray(gbh.gm_matrix,
+                                 dtype=np.int64).reshape(3, 3)
+                trans = np.asarray(gbh.gm_trans, dtype=np.int64)
+                comp = motion_ops.apply_global_motion(rp, mat, trans) \
+                    - np.asarray(gbh.slice_origin, dtype=np.int64)
+                depth = gbh.root_node_size_log2
+                inb = np.all((comp >= 0) & (comp < (1 << depth)),
+                             axis=1)
+                if inb.any():
+                    ref = (comp[inb], np.asarray(rv)[inb])
         values = attr_model.decode(
             data[off:], sl.local, aps, desc,
-            self._attr_ctx.get(abh.aps_id, attr_model.AttributeContexts()))
+            self._attr_ctx.get(abh.aps_id, attr_model.AttributeContexts()),
+            ref=ref)
         sl.attrs[abh.sps_attr_idx] = values
 
     # -- frame output (reference outputCurrentCloud / inverse scale) --
@@ -260,9 +285,23 @@ class FrameDecoder:
         if self._slices:
             self._frames[ctr] = np.concatenate(
                 [sl.positions for sl in self._slices])
+            # coded-space attribute store for inter attr prediction
+            per_idx: Dict[int, list] = {}
+            for sl in self._slices:
+                for idx, vals in sl.attrs.items():
+                    a = self.aps.get(idx)
+                    if a is not None and a.inter_prediction_enabled:
+                        per_idx.setdefault(idx, []).append(
+                            (sl.positions, np.asarray(vals)))
+            if per_idx:
+                self._frame_attrs[ctr] = {
+                    idx: (np.concatenate([p for p, _ in prs]),
+                          np.concatenate([v for _, v in prs]))
+                    for idx, prs in per_idx.items()}
             if len(self._frames) > 32:
                 for k in sorted(self._frames)[:16]:
                     self._frames.pop(k, None)
+                    self._frame_attrs.pop(k, None)
         self._slices = []
         # display-order emission (hierarchical GOF reorder)
         self._pending[ctr] = pc.concat(clouds)

@@ -44,6 +44,8 @@ class AttributeConfig:
     # LoD construction (reference dist2 / lodDecimator): dist2 > 0
     # selects distance subsampling, else Morton-periodic decimation
     dist2: int = 0
+    # inter attribute prediction (reference AttributeInterPredParams)
+    inter_pred: bool = False
 
 
 @dataclass
@@ -123,6 +125,10 @@ class FrameEncoder:
         # inter state (reference refFrame bookkeeping, encoder.cpp:502;
         # bi-pred frame store + GOF buffer, PCCTMC3Common.h:304-399)
         self._frames: Dict[int, np.ndarray] = {}   # ctr_lsb -> grid
+        # ctr_lsb -> (grid positions, {attr_idx: decoded coded-space
+        # values}) for inter attribute prediction
+        self._frame_attrs: Dict[int, tuple] = {}
+        self._attr_acc: List = []
         self._gof: List = []                       # buffered (ctr, cloud)
         self._anchor_ctr: Optional[int] = None
         self._motion_params = (motion_ops.MotionParameters.parse_file(
@@ -166,7 +172,9 @@ class FrameEncoder:
                 aps_id=i, attr_encoding=ac.encoding, init_qp=ac.qp,
                 chroma_qp_offset=ac.qp_chroma_offset,
                 raht_integer_haar=ac.raht_integer_haar,
-                dist2=ac.dist2))
+                dist2=ac.dist2,
+                inter_prediction_enabled=(
+                    ac.inter_pred and p.inter_prediction)))
         self.sps, self.gps, self.aps = sps, gps, aps_list
 
     # -- tile + slice partitioning (reference encoder.cpp:340-473) ----
@@ -311,11 +319,27 @@ class FrameEncoder:
                 PayloadType.FRAME_BOUNDARY_MARKER,
                 hls.FrameBoundaryMarker(frame_ctr_lsb).write()))
         keep_ctx = bool(refs) and p.inter_entropy_continuation
+        self._attr_acc = []
         for scloud in self._partition(qcloud, out):
             self._compress_slice(scloud, frame_ctr_lsb, out,
                                  ctr=ctr, refs=refs, keep_ctx=keep_ctx)
             keep_ctx = p.entropy_continuation
         self._frames[frame_ctr_lsb] = qcloud.positions.astype(np.int64)
+        if self._attr_acc:
+            # kept per attribute as (positions, values) pairs so an
+            # attribute skipped in some slice (e.g. constant-coded)
+            # stays aligned with its own positions
+            per_idx: Dict[int, list] = {}
+            for pos, vals_map in self._attr_acc:
+                for i, v in vals_map.items():
+                    per_idx.setdefault(i, []).append((pos, v))
+            self._frame_attrs[frame_ctr_lsb] = {
+                i: (np.concatenate([p for p, _ in pairs]),
+                    np.concatenate([v for _, v in pairs]))
+                for i, pairs in per_idx.items()}
+            for k in list(self._frame_attrs):
+                if k not in self._frames:
+                    self._frame_attrs.pop(k, None)
         if len(self._frames) > 3 * max(p.bi_period, 4):
             for k in sorted(self._frames)[:len(self._frames) // 2]:
                 if k != (self._anchor_ctr or 0) & 0xFF:
@@ -471,9 +495,37 @@ class FrameEncoder:
                         slice_id=self._slice_id,
                         values=tuple(int(v) + bias
                                      for v in flat[0])).write()))
+                if aps.inter_prediction_enabled:
+                    # keep the reference pool identical to the decoder's
+                    self._attr_acc.append(
+                        (dec_positions + slice_origin,
+                         {i: values.astype(np.int64)}))
                 continue
+            # inter attribute prediction: compensated reference points
+            # + their decoded values join the predictor pool
+            ref = None
+            if aps.inter_prediction_enabled and refs:
+                stored = self._frame_attrs.get(refs[0][0] & 0xFF, {})
+                if i in stored:
+                    rp, rv = stored[i]
+                    g = refs[0][1]
+                    comp = motion_ops.apply_global_motion(
+                        rp, g[0], g[1]) - slice_origin
+                    inb = np.all((comp >= 0) & (comp < (1 << depth)),
+                                 axis=1)
+                    if inb.any():
+                        ref = (comp[inb], np.asarray(rv)[inb])
+            need_recon = aps.inter_prediction_enabled
+            ctx_copy = self._attr_ctx[i].copy() if need_recon else None
             body = attr_model.encode(
-                values, dec_positions, aps, desc, self._attr_ctx[i])
+                values, dec_positions, aps, desc, self._attr_ctx[i],
+                ref=ref)
+            if need_recon:
+                recon = attr_model.decode(
+                    body, dec_positions, aps, desc, ctx_copy, ref=ref)
+                self._attr_acc.append(
+                    (dec_positions + slice_origin,
+                     {i: np.asarray(recon)}))
             abh = hls.AttributeBrickHeader(
                 aps_id=aps.aps_id, sps_attr_idx=i,
                 slice_id=self._slice_id)

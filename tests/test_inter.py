@@ -163,3 +163,31 @@ def test_bi_prediction_partial_gof_flush():
         np.testing.assert_array_equal(
             np.sort(morton.encode(out.positions)),
             np.unique(morton.encode(src.positions)))
+
+
+def test_attr_inter_prediction_end_to_end():
+    from mpeg_pcc_tmc13_tpu.runtime.encoder import AttributeConfig
+    rng = np.random.default_rng(21)
+    n, depth = 4000, 9
+    base = rng.integers(16, (1 << depth) - 16, size=(n, 3), dtype=np.int64)
+    refl = rng.integers(0, 256, n).astype(np.uint16)
+    seq = [PointCloud(base + np.array([2, 1, 0]) * f, reflectances=refl)
+           for f in range(3)]   # moving geometry, STATIC attributes
+    common = dict(inter_prediction=True, global_motion=True,
+                  random_access_period=16)
+    attr = lambda ip: [AttributeConfig(
+        "reflectance", 8, hls.AttributeEncoding.PRED, qp=4, inter_pred=ip)]
+    sizes = {}
+    for ip in (False, True):
+        params = EncoderParams(attributes=attr(ip), **common)
+        outs, sizes[ip] = roundtrip_sequence_flush(seq, params)
+        for src, out in zip(seq, outs):
+            # attributes lossless: compare (position, value) multisets
+            ka = np.argsort(morton.encode(src.positions), kind="stable")
+            kb = np.argsort(morton.encode(out.positions), kind="stable")
+            np.testing.assert_array_equal(
+                src.reflectances[ka], out.reflectances[kb])
+    # static attributes over moving geometry: the stream includes the
+    # (identical) geometry payloads, so the total shrinks ~25%; the
+    # attribute payloads themselves collapse by ~4x
+    assert sizes[True] < sizes[False] * 0.78
