@@ -299,6 +299,10 @@ class GeometryBrickHeader:
     num_points: int = 0           # total points incl. duplicates
     entropy_continuation: bool = False
     prev_slice_id: int = 0
+    # in-tree geometry quantisation (reference positionBaseQp /
+    # positionSliceQpOffset, geometry_params.h:347): slice positions
+    # are coded at a 2**geom_qp_shift coarser grid
+    geom_qp_shift: int = 0
     # inter prediction (reference GBH gm_matrix/gm_trans, hls.h:627-780;
     # bi-prediction ref management PCCTMC3Common.h:304-399)
     is_inter: bool = False
@@ -328,6 +332,7 @@ class GeometryBrickHeader:
         w.write_bit(self.entropy_continuation)
         if self.entropy_continuation:
             w.write_ue(self.prev_slice_id)
+        w.write_ue(self.geom_qp_shift)
         w.write_bit(self.is_inter)
         if self.is_inter:
             w.write_ue(self.ref0_delta - 1)
@@ -362,6 +367,7 @@ class GeometryBrickHeader:
         h.entropy_continuation = bool(r.read_bit())
         if h.entropy_continuation:
             h.prev_slice_id = r.read_ue()
+        h.geom_qp_shift = r.read_ue()
         h.is_inter = bool(r.read_bit())
         if h.is_inter:
             h.ref0_delta = r.read_ue() + 1

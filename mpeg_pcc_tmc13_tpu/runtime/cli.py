@@ -114,6 +114,9 @@ class Config:
                 p.idcm = opt.to_int(value) > 0
             elif name == "geometry_axis_order":
                 p.axis_order = hls.AxisOrder(opt.to_int(value))
+            elif name == "positionBaseQp":
+                # one octave per 6 QP (reference QP->stepsize law)
+                p.geom_qp_shift = max(opt.to_int(value), 0) // 6
             elif name == "disableAttributeCoding":
                 self.disable_attributes = opt.to_bool(value)
             elif name == "neighbourAvailBoundaryLog2":

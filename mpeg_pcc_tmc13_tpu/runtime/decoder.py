@@ -22,6 +22,16 @@ from ..models import pointcloud as pc
 from ..ops import processing
 
 
+def _grid_positions(local: np.ndarray,
+                    gbh: "hls.GeometryBrickHeader") -> np.ndarray:
+    """Slice-local coded positions -> frame grid (undo in-tree
+    quantisation to voxel centres, add the slice origin)."""
+    if gbh.geom_qp_shift:
+        local = ((local << gbh.geom_qp_shift)
+                 + (1 << (gbh.geom_qp_shift - 1)))
+    return local + np.asarray(gbh.slice_origin, dtype=np.int64)
+
+
 @dataclass
 class _SliceState:
     positions: np.ndarray                 # grid coords, coding order
@@ -147,8 +157,9 @@ class FrameDecoder:
             local = geometry_octree.decode_multistream(
                 gbh.num_points, gbh.root_node_size_log2, streams,
                 self._geom_ctx, ctx_mode=ctx_mode)
-            grid = local + np.asarray(gbh.slice_origin, dtype=np.int64)
-            self._slices.append(_SliceState(positions=grid, local=local, gbh=gbh))
+            grid = _grid_positions(local, gbh)
+            self._slices.append(
+                _SliceState(positions=grid, local=local, gbh=gbh))
             return
         stream = streams[0]
         dec = entropy.RangeDecoder(stream)
@@ -196,8 +207,9 @@ class FrameDecoder:
                 idcm=gps.inferred_direct_coding_mode > 0,
                 skip_layers=self.skip_layers,
                 max_points=self.max_points)
-        grid = local + np.asarray(gbh.slice_origin, dtype=np.int64)
-        self._slices.append(_SliceState(positions=grid, local=local, gbh=gbh))
+        grid = _grid_positions(local, gbh)
+        self._slices.append(_SliceState(positions=grid, local=local,
+                                        gbh=gbh))
 
     # -- attribute brick (reference decodeAttributeBrick,
     #    decoder.cpp:781) ---------------------------------------------

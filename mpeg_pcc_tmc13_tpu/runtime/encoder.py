@@ -73,6 +73,10 @@ class EncoderParams:
     # InterEntropyContinuationEnabled, TMC3.cpp)
     inter_entropy_continuation: bool = False
     frame_ctr_bits: int = 8
+    # in-tree geometry quantisation: slice positions coded on a
+    # 2**geom_qp_shift coarser grid (reference positionBaseQp; our
+    # shift = qp // 6, one octave per 6 QP)
+    geom_qp_shift: int = 0
     # IDCM (reference inferredDirectCodingMode, TMC3.cpp).  Off by
     # default: with this framework's adaptive chain contexts, isolated
     # branches already cost ~1-2 bits/level, so direct coding only
@@ -129,6 +133,7 @@ class FrameEncoder:
         # values}) for inter attribute prediction
         self._frame_attrs: Dict[int, tuple] = {}
         self._attr_acc: List = []
+        self._geom_acc: List = []
         self._gof: List = []                       # buffered (ctr, cloud)
         self._anchor_ctr: Optional[int] = None
         self._motion_params = (motion_ops.MotionParameters.parse_file(
@@ -320,11 +325,16 @@ class FrameEncoder:
                 hls.FrameBoundaryMarker(frame_ctr_lsb).write()))
         keep_ctx = bool(refs) and p.inter_entropy_continuation
         self._attr_acc = []
+        self._geom_acc = []
         for scloud in self._partition(qcloud, out):
             self._compress_slice(scloud, frame_ctr_lsb, out,
                                  ctr=ctr, refs=refs, keep_ctx=keep_ctx)
             keep_ctx = p.entropy_continuation
-        self._frames[frame_ctr_lsb] = qcloud.positions.astype(np.int64)
+        # reference store = what the DECODER reconstructs (matters for
+        # in-tree quantisation / trisoup where they differ from input)
+        self._frames[frame_ctr_lsb] = (
+            np.concatenate(self._geom_acc) if self._geom_acc
+            else qcloud.positions.astype(np.int64))
         if self._attr_acc:
             # kept per attribute as (positions, values) pairs so an
             # attribute skipped in some slice (e.g. constant-coded)
@@ -355,6 +365,11 @@ class FrameEncoder:
         gm = refs[0][1] if refs else None   # primary-ref motion
         slice_origin = cloud.bbox()[0]
         local = cloud.positions.astype(np.int64) - slice_origin
+        qshift = max(p.geom_qp_shift, 0)
+        if qshift:
+            # in-tree quantisation: floor to the coarse cell (the
+            # decoder reconstructs at cell centres, so |err| <= half)
+            local = local >> qshift
         maxv = int(local.max()) if cloud.count else 0
         depth = max(int(maxv).bit_length(), 1) if cloud.count else 1
 
@@ -429,6 +444,7 @@ class FrameEncoder:
         gm_mat1, gm_trans1 = gm_tuple(refs[1][1]) if len(refs) > 1 \
             else ident
         gbh = hls.GeometryBrickHeader(
+            geom_qp_shift=qshift,
             is_inter=bool(refs),
             ref0_delta=max((ctr - refs[0][0]) & 0xFF, 1) if refs else 1,
             gm_matrix=gm_mat,
@@ -451,16 +467,43 @@ class FrameEncoder:
         out(PayloadBuffer(PayloadType.GEOMETRY_BRICK,
                           gbh.write() + b"".join(streams)))
 
+        # decoder-equivalent reconstructed grid positions of this slice
+        from ..utils import morton as morton_mod
+        if trisoup:
+            rec = recon_local
+        elif self.gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
+            rec = local
+        elif self.gps.unique_points:
+            rec = morton_mod.decode(np.unique(morton_mod.encode(local)))
+        else:
+            rec = morton_mod.decode(
+                np.sort(morton_mod.encode(local)))
+        if qshift:
+            rec = (rec << qshift) + (1 << (qshift - 1))
+        self._geom_acc.append(rec + np.asarray(slice_origin,
+                                               dtype=np.int64))
+
         if not self.aps:
             coded = None
             dec_positions = None
-        elif trisoup:
+        elif trisoup or qshift:
             # geometry changed: transfer attributes onto the decoded
             # positions (reference recolour, encoder.cpp:1031-1037)
             from ..ops import recolour as recolour_ops
-            src = PointCloud(local, cloud.colors, cloud.reflectances)
-            coded = recolour_ops.recolour(src, recon_local)
-            dec_positions = recon_local
+            from ..utils import morton as morton_mod
+            if trisoup:
+                src = PointCloud(local, cloud.colors, cloud.reflectances)
+                coded = recolour_ops.recolour(src, recon_local)
+                dec_positions = recon_local
+            else:
+                dec_positions = morton_mod.decode(
+                    np.unique(morton_mod.encode(local)))
+                src = PointCloud(
+                    cloud.positions.astype(np.int64) - slice_origin,
+                    cloud.colors, cloud.reflectances)
+                coded = recolour_ops.recolour(
+                    src, dec_positions, source_scale_num=1,
+                    source_scale_den=1 << qshift)
         else:
             # decoded-order positions for the attribute transforms
             coded = cloud.take(order)

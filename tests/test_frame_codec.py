@@ -125,3 +125,27 @@ def test_duplicate_points_kept():
     np.testing.assert_array_equal(
         np.sort(morton.encode(outs[0].positions)),
         np.sort(morton.encode(dup.positions)))
+
+
+def test_in_tree_geometry_quantisation():
+    cloud = make_cloud(n=4000, depth=11, colors=True)
+    params = EncoderParams(
+        geom_qp_shift=2,
+        attributes=[AttributeConfig("color", 8,
+                                    hls.AttributeEncoding.RAHT, qp=16)])
+    outs, nbytes_q = roundtrip(cloud, params)
+    out = outs[0]
+    assert out.count > 0
+    # reconstructed points sit at coarse-grid voxel centres
+    assert np.all((out.positions - 2) % 4 == 0)
+    # every recon point within the quantisation cell of some source pt
+    # (check a sample)
+    src = cloud.positions
+    sample = out.positions[:: max(1, out.count // 200)]
+    d = np.abs(sample[:, None, :] - src[None, :, :]).max(axis=2).min(axis=1)
+    assert d.max() <= 2
+    # smaller than unquantised
+    _, nbytes_full = roundtrip(cloud, EncoderParams(attributes=[
+        AttributeConfig("color", 8, hls.AttributeEncoding.RAHT, qp=16)]))
+    assert nbytes_q < nbytes_full
+    assert out.colors is not None and out.colors.shape[0] == out.count
