@@ -97,6 +97,12 @@ def _load_native() -> Optional[ctypes.CDLL]:
     lib.lod_assign_dist2.argtypes = [i64p, c.c_int64, c.c_int64,
                                      c.c_int32, u8p]
     lib.lod_assign_dist2.restype = c.c_int32
+    lib.oct_encode_inter.argtypes = [c.c_void_p, u16p, i64p, c.c_int64,
+                                     c.c_int32, i64p, c.c_int64]
+    lib.oct_encode_inter.restype = c.c_int64
+    lib.oct_decode_inter.argtypes = [c.c_void_p, u16p, i64p, c.c_int64,
+                                     c.c_int32, i64p, c.c_int64]
+    lib.oct_decode_inter.restype = c.c_int64
     return lib
 
 
@@ -450,6 +456,14 @@ class _NativeEncoder:
             self._h, _ptr(ctx, ctypes.c_uint16),
             _ptr(c, ctypes.c_int64), len(c), depth, mode))
 
+    def octree_inter(self, ctx, leaf_codes_sorted, depth, ref_codes):
+        c = _as(leaf_codes_sorted, np.int64)
+        r = _as(ref_codes, np.int64)
+        return int(_LIB.oct_encode_inter(
+            self._h, _ptr(ctx, ctypes.c_uint16),
+            _ptr(c, ctypes.c_int64), len(c), depth,
+            _ptr(r, ctypes.c_int64), len(r)))
+
     def residuals(self, ctx, vals, prefix_max, k):
         v = _as(vals, np.int32)
         _LIB.rce_residuals(self._h, _ptr(ctx, ctypes.c_uint16),
@@ -533,6 +547,17 @@ class _NativeDecoder:
         n = int(_LIB.oct_decode(
             self._h, _ptr(ctx, ctypes.c_uint16),
             _ptr(out, ctypes.c_int64), len(out), depth, mode))
+        if n < 0:
+            raise ValueError(f"octree decode needs capacity {-n} > {cap}")
+        return out[:n]
+
+    def octree_inter(self, ctx, cap, depth, ref_codes):
+        out = np.zeros(max(cap, 1), dtype=np.int64)
+        r = _as(ref_codes, np.int64)
+        n = int(_LIB.oct_decode_inter(
+            self._h, _ptr(ctx, ctypes.c_uint16),
+            _ptr(out, ctypes.c_int64), len(out), depth,
+            _ptr(r, ctypes.c_int64), len(r)))
         if n < 0:
             raise ValueError(f"octree decode needs capacity {-n} > {cap}")
         return out[:n]

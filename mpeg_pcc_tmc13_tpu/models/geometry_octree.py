@@ -119,13 +119,17 @@ def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
     elif idcm and unique_points and ref_codes is None:
         encode_idcm_np(uniq, depth, enc, ctx, ctx_mode)
     elif ref_codes is not None and ref_codes.size:
-        # inter brick (numpy path; contexts keyed by reference occ)
-        levels = ops.build_levels_np(uniq, depth, ops.CTX_MODE_PARENT)
-        for l, lvl in enumerate(levels):
-            ref_l1 = np.unique(ref_codes >> (3 * (depth - l - 1)))
-            pred = ops.pred_occupancy_np(lvl["nodes"], ref_l1)
-            base = ((lvl["nodes"] & 7).astype(np.int32) << 8) | pred
-            enc.occupancy(ctx.occupancy_inter, base, lvl["occ"])
+        # inter brick: contexts keyed by reference occupancy
+        if engine == "native" and hasattr(enc, "octree_inter"):
+            enc.octree_inter(ctx.occupancy_inter, uniq, depth, ref_codes)
+        else:
+            levels = ops.build_levels_np(uniq, depth,
+                                         ops.CTX_MODE_PARENT)
+            for l, lvl in enumerate(levels):
+                ref_l1 = np.unique(ref_codes >> (3 * (depth - l - 1)))
+                pred = ops.pred_occupancy_np(lvl["nodes"], ref_l1)
+                base = ((lvl["nodes"] & 7).astype(np.int32) << 8) | pred
+                enc.occupancy(ctx.occupancy_inter, base, lvl["occ"])
     elif engine == "native" and hasattr(enc, "octree"):
         enc.octree(ctx.occupancy, uniq, depth, ctx_mode)
     elif engine == "device":
@@ -365,7 +369,11 @@ def decode(num_points: int, depth: int, dec, ctx: OctreeContexts,
                               max_points=max_points)
     truncated = skip_layers > 0 or max_points > 0
     inter = ref_codes is not None and ref_codes.size > 0
-    if not truncated and not inter and engine == "native" \
+    if not truncated and inter and engine == "native" \
+            and hasattr(dec, "octree_inter") and depth > 0:
+        nodes = dec.octree_inter(ctx.occupancy_inter, num_points, depth,
+                                 ref_codes)
+    elif not truncated and not inter and engine == "native" \
             and hasattr(dec, "octree") and depth > 0:
         nodes = dec.octree(ctx.occupancy, num_points, depth, ctx_mode)
     else:

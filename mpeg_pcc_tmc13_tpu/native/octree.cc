@@ -236,6 +236,113 @@ int64_t oct_decode(RcDecoder* d, uint16_t* ctx, int64_t* codes_out,
   return n;
 }
 
+// ---- inter-coded octree (reference-keyed occupancy contexts) ----------
+//
+// Contexts: base = child_idx << 8 | pred_occupancy, where
+// pred_occupancy is the motion-compensated reference frame's occupancy
+// byte for the node (reference predOccupancy contextualisation,
+// geometry_octree_encoder.cpp:1875-1918).  ref_codes: sorted unique
+// slice-local Morton codes of the compensated reference cloud.
+
+namespace {
+
+inline uint8_t pred_occ_for(const int64_t* ref, int64_t rn, int64_t node,
+                            int shift_child) {
+  // bits j set iff ref contains a code with prefix ((node<<3)|j) at
+  // the child level; ref child prefixes = ref >> shift_child
+  uint8_t occ = 0;
+  for (int j = 0; j < 8; ++j) {
+    int64_t target = (node << 3) | j;
+    // binary search for any ref code whose >>shift_child == target
+    int64_t lo = 0, hi = rn;
+    int64_t lo_code = target << shift_child;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if (ref[mid] < lo_code) lo = mid + 1; else hi = mid;
+    }
+    if (lo < rn && (ref[lo] >> shift_child) == target)
+      occ |= (uint8_t)(1u << j);
+  }
+  return occ;
+}
+
+}  // namespace
+
+int64_t oct_encode_inter(RcEncoder* e, uint16_t* ctx,
+                         const int64_t* codes, int64_t n, int32_t depth,
+                         const int64_t* ref, int64_t rn) {
+  if (n == 0 || depth == 0) return 0;
+  std::vector<Level> levels(depth);
+  {
+    std::vector<int64_t> cur(codes, codes + n);
+    for (int l = depth - 1; l >= 0; --l) {
+      Level& lv = levels[l];
+      lv.codes.reserve(cur.size());
+      lv.occ.reserve(cur.size());
+      int64_t m = (int64_t)cur.size();
+      for (int64_t i = 0; i < m;) {
+        int64_t parent = cur[i] >> 3;
+        uint8_t o = 0;
+        do {
+          o |= (uint8_t)(1u << (cur[i] & 7));
+          ++i;
+        } while (i < m && (cur[i] >> 3) == parent);
+        lv.codes.push_back(parent);
+        lv.occ.push_back(o);
+      }
+      cur = lv.codes;
+    }
+  }
+  std::vector<int32_t> bases;
+  int64_t total = 0;
+  for (int l = 0; l < depth; ++l) {
+    Level& lv = levels[l];
+    int64_t m = (int64_t)lv.codes.size();
+    total += m;
+    bases.resize(m);
+    int shift_child = 3 * (depth - l - 1);
+    for (int64_t i = 0; i < m; ++i) {
+      int32_t child = (int32_t)(lv.codes[i] & 7);
+      bases[i] = (child << 8)
+                 | pred_occ_for(ref, rn, lv.codes[i], shift_child);
+    }
+    rce_occupancy(e, ctx, bases.data(), lv.occ.data(), m);
+  }
+  return total;
+}
+
+int64_t oct_decode_inter(RcDecoder* d, uint16_t* ctx, int64_t* codes_out,
+                         int64_t cap, int32_t depth,
+                         const int64_t* ref, int64_t rn) {
+  std::vector<int64_t> cur = {0};
+  std::vector<uint8_t> occ;
+  std::vector<int32_t> bases;
+  std::vector<int64_t> next;
+  for (int l = 0; l < depth; ++l) {
+    int64_t m = (int64_t)cur.size();
+    bases.resize(m);
+    int shift_child = 3 * (depth - l - 1);
+    for (int64_t i = 0; i < m; ++i) {
+      int32_t child = (int32_t)(cur[i] & 7);
+      bases[i] = (child << 8)
+                 | pred_occ_for(ref, rn, cur[i], shift_child);
+    }
+    occ.resize(m);
+    rcd_occupancy(d, ctx, bases.data(), occ.data(), m);
+    next.clear();
+    for (int64_t i = 0; i < m; ++i) {
+      uint8_t o = occ[i];
+      for (int j = 0; j < 8; ++j)
+        if (o & (1u << j)) next.push_back((cur[i] << 3) | j);
+    }
+    cur.swap(next);
+  }
+  int64_t n = (int64_t)cur.size();
+  if (n > cap) return -n;
+  std::memcpy(codes_out, cur.data(), n * sizeof(int64_t));
+  return n;
+}
+
 // Fused Morton encode + radix sort: xyz (n,3) int64 -> sorted codes
 // (+ optional permutation).  One pass over the hot path that Python
 // would otherwise do in three (morton, argsort, gather).
