@@ -23,16 +23,19 @@ from ..ops import trisoup as trisoup_ops
 from ..utils import morton
 from . import geometry_octree
 
-VTX_CTX_SIZE = 2  # presence chained on previous edge presence
+VTX_CTX_SIZE = 2   # presence chained on previous edge presence
+_CENT_AXIS_CTX = 26  # resbl layout per axis
 
 
 @dataclass
 class TrisoupContexts:
     vertex: np.ndarray = field(
         default_factory=lambda: entropy.new_contexts(VTX_CTX_SIZE))
+    centroid: np.ndarray = field(
+        default_factory=lambda: entropy.new_contexts(3 * _CENT_AXIS_CTX))
 
     def copy(self):
-        return TrisoupContexts(self.vertex.copy())
+        return TrisoupContexts(self.vertex.copy(), self.centroid.copy())
 
 
 def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
@@ -66,9 +69,19 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
     nbits = np.full(int(present.sum()), s, dtype=np.int32)
     enc.bypass(vpos[present].astype(np.uint32), nbits)
 
+    # centroid vertex residuals for >=3-vertex nodes (reference
+    # determineTrisoupCentroids + residual coding)
+    resid = trisoup_ops.true_centroid_residuals(
+        pts, node_codes, point_node, uniq, present, vpos, s)
+    counts = trisoup_ops.vertex_counts(node_codes, uniq, present, s)
+    sel = counts >= 3
+    for c in range(3):
+        cs = tctx.centroid[c * _CENT_AXIS_CTX:(c + 1) * _CENT_AXIS_CTX]
+        enc.resbl(cs, resid[sel][:, c].astype(np.int32))
+
     recon = trisoup_ops.reconstruct(
         node_codes, uniq, present, vpos, s,
-        bbox_max=(1 << depth) - 1)
+        bbox_max=(1 << depth) - 1, centroid_resid=resid)
     return recon
 
 
@@ -93,5 +106,14 @@ def decode(depth: int, node_size_log2: int, dec,
         nbits = np.full(npres, s, dtype=np.int32)
         vpos[present] = dec.bypass(nbits).astype(np.int64)
 
+    counts = trisoup_ops.vertex_counts(node_codes, uniq, present, s)
+    sel = counts >= 3
+    resid = np.zeros((node_codes.shape[0], 3), dtype=np.int64)
+    nsel = int(sel.sum())
+    for c in range(3):
+        cs = tctx.centroid[c * _CENT_AXIS_CTX:(c + 1) * _CENT_AXIS_CTX]
+        resid[sel, c] = dec.resbl(cs, nsel)
+
     return trisoup_ops.reconstruct(node_codes, uniq, present, vpos, s,
-                                   bbox_max=(1 << depth) - 1)
+                                   bbox_max=(1 << depth) - 1,
+                                   centroid_resid=resid)

@@ -157,14 +157,61 @@ def _unique_codes(pts: np.ndarray) -> np.ndarray:
     return codes[keep]
 
 
+def vertex_counts(node_codes: np.ndarray, edge_uniq: np.ndarray,
+                  present: np.ndarray, log2_size: int) -> np.ndarray:
+    """Number of present vertices per node (decoder-derivable)."""
+    keys, _ = edge_keys_for_nodes(node_codes, log2_size)
+    _, inv = unique_edges(keys)
+    return present[inv].sum(axis=1)
+
+
+def true_centroid_residuals(points: np.ndarray, node_codes: np.ndarray,
+                            point_node_idx: np.ndarray,
+                            edge_uniq: np.ndarray, present: np.ndarray,
+                            vpos: np.ndarray, log2_size: int):
+    """Encoder: per >=3-vertex node, the residual between the node's
+    true point centroid and the vertex-mean centroid (reference
+    determineTrisoupCentroids, geometry_trisoup_encoder.cpp:800).
+    Returns (M,3) int residuals (zero where <3 vertices)."""
+    w = 1 << log2_size
+    m = node_codes.shape[0]
+    keys, origin = edge_keys_for_nodes(node_codes, log2_size)
+    _, inv = unique_edges(keys)
+    pres = present[inv]
+    # vertex-mean centroid per node (world coords)
+    vw = np.zeros((m, 12, 3), dtype=np.float64)
+    for e in range(12):
+        ax = _EDGE_AXIS[e]
+        p1, p2 = _PERP[ax]
+        vw[:, e, :] = origin
+        vw[:, e, p1] += _EDGE_C1[e] * (w - 1)
+        vw[:, e, p2] += _EDGE_C2[e] * (w - 1)
+        vw[:, e, ax] += vpos[inv[:, e]]
+    counts = pres.sum(axis=1)
+    vsum = np.where(pres[:, :, None], vw, 0.0).sum(axis=1)
+    cent_v = vsum / np.maximum(counts, 1)[:, None]
+    # true point centroid per node
+    psum = np.zeros((m, 3), dtype=np.int64)
+    np.add.at(psum, point_node_idx, points.astype(np.int64))
+    pcnt = np.bincount(point_node_idx, minlength=m)
+    cent_p = psum / np.maximum(pcnt, 1)[:, None]
+    resid = np.round(cent_p - cent_v).astype(np.int64)
+    half = w  # clamp to one node width
+    np.clip(resid, -half, half, out=resid)
+    resid[counts < 3] = 0
+    return resid
+
+
 def reconstruct(node_codes: np.ndarray, edge_uniq: np.ndarray,
                 present: np.ndarray, vpos: np.ndarray, log2_size: int,
-                bbox_max=None):
+                bbox_max=None, centroid_resid: np.ndarray = None):
     """Shared encoder/decoder reconstruction: vertices -> voxels.
 
     Vectorised: nodes are grouped by (vertex count, dominant axis) and
     each group's angle sort, triangle fan, and barycentric sampling run
-    as one batch.  Returns sorted unique (P,3) voxel positions.
+    as one batch.  centroid_resid (M,3) shifts each node's fan centroid
+    (reference centroid vertex residual).  Returns sorted unique (P,3)
+    voxel positions.
     """
     w = 1 << log2_size
     keys, origin = edge_keys_for_nodes(node_codes, log2_size)
@@ -200,6 +247,8 @@ def reconstruct(node_codes: np.ndarray, edge_uniq: np.ndarray,
         rows = pres[nk]
         verts = vw[nk][rows].reshape(nk.size, k, 3)
         cent = verts.mean(axis=1)                    # (Nk,3)
+        if centroid_resid is not None:
+            cent = cent + centroid_resid[nk]
         spread = verts.max(axis=1) - verts.min(axis=1)
         dom = np.argmin(spread, axis=1)              # (Nk,)
         for ax in range(3):

@@ -355,6 +355,21 @@ class FrameEncoder:
                 if k != (self._anchor_ctr or 0) & 0xFF:
                     self._frames.pop(k, None)
 
+    def _ref_codes_for_slice(self, refs, slice_origin, depth):
+        """Union of the compensated reference frames' slice-local
+        Morton codes (None when intra)."""
+        if not refs:
+            return None
+        from ..utils import morton as morton_mod
+        parts = []
+        for ref_ctr, ref_gm in refs:
+            ref_grid = self._frames[ref_ctr & 0xFF]
+            comp = motion_ops.apply_global_motion(
+                ref_grid, ref_gm[0], ref_gm[1]) - slice_origin
+            inb = np.all((comp >= 0) & (comp < (1 << depth)), axis=1)
+            parts.append(morton_mod.encode(comp[inb]))
+        return np.unique(np.concatenate(parts))
+
     # -- per-slice coding (reference compressPartition,
     #    encoder.cpp:924) --------------------------------------------
     def _compress_slice(self, cloud: PointCloud, frame_ctr_lsb: int,
@@ -412,18 +427,8 @@ class FrameEncoder:
                 local, depth, self._geom_ctx, p.num_entropy_streams,
                 ctx_mode=ctx_mode)
         else:
-            ref_codes = None
-            if refs:
-                from ..utils import morton as morton_mod
-                parts = []
-                for ref_ctr, ref_gm in refs:
-                    ref_grid = self._frames[ref_ctr & 0xFF]
-                    comp = motion_ops.apply_global_motion(
-                        ref_grid, ref_gm[0], ref_gm[1]) - slice_origin
-                    inb = np.all((comp >= 0) & (comp < (1 << depth)),
-                                 axis=1)
-                    parts.append(morton_mod.encode(comp[inb]))
-                ref_codes = np.unique(np.concatenate(parts))
+            ref_codes = self._ref_codes_for_slice(refs, slice_origin,
+                                                  depth)
             order = geometry_octree.encode(
                 local, depth, enc, self._geom_ctx,
                 unique_points=self.gps.unique_points,
