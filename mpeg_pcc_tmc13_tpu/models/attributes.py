@@ -46,24 +46,24 @@ class AttributeContexts:
 
 def encode_raw(values: np.ndarray, desc: AttributeDescription) -> bytes:
     """Fixed-width uncompressed attribute payload (reference
-    attribute_raw.h:47-55)."""
-    w = BitWriter()
-    flat = values.reshape(values.shape[0], -1).astype(np.int64)
-    for row in flat:
-        for v in row:
-            w.write(int(v), desc.bitdepth)
-    w.byte_align()
-    return w.get_bytes()
+    attribute_raw.h:47-55).  Vectorised MSB-first bit packing."""
+    flat = values.reshape(values.shape[0], -1).astype(np.int64).ravel()
+    bd = desc.bitdepth
+    shifts = np.arange(bd - 1, -1, -1, dtype=np.int64)
+    bits = ((flat[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
 
 
 def decode_raw(data: bytes, count: int,
                desc: AttributeDescription) -> np.ndarray:
-    r = BitReader(data)
     ncomp = desc.num_components
-    out = np.zeros((count, ncomp), dtype=np.int64)
-    for i in range(count):
-        for c in range(ncomp):
-            out[i, c] = r.read(desc.bitdepth)
+    bd = desc.bitdepth
+    total = count * ncomp
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8),
+                         count=total * bd)
+    weights = (np.int64(1) << np.arange(bd - 1, -1, -1)).astype(np.int64)
+    vals = bits.reshape(total, bd).astype(np.int64) @ weights
+    out = vals.reshape(count, ncomp)
     if ncomp == 1:
         return out[:, 0]
     return out

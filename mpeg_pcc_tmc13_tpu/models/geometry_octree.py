@@ -380,7 +380,7 @@ def decode(num_points: int, depth: int, dec, ctx: OctreeContexts,
         nodes, lvl = _walk_levels_np(
             depth, dec, ctx, ctx_mode, ref_codes=ref_codes,
             stop_at=depth - min(skip_layers, depth),
-            max_points=max_points)
+            max_points=max_points, sanity_cap=max(num_points, 1) * 64)
         if lvl < depth:
             # truncated: emit node centres at full-resolution scale
             shift = depth - lvl
@@ -396,10 +396,13 @@ def decode(num_points: int, depth: int, dec, ctx: OctreeContexts,
 
 def _walk_levels_np(depth: int, dec, ctx: OctreeContexts, ctx_mode: int,
                     ref_codes=None, stop_at: int = None,
-                    max_points: int = 0):
+                    max_points: int = 0, sanity_cap: int = 0):
     """The single numpy level walker behind every decode variant:
     intra (both context modes), inter (reference-keyed contexts), and
-    scalable truncation.  Returns (nodes, levels_decoded)."""
+    scalable truncation.  Returns (nodes, levels_decoded).
+
+    sanity_cap bounds node growth against corrupt streams (the GBH
+    point count is trusted only as an order of magnitude)."""
     inter = ref_codes is not None and getattr(ref_codes, "size", 0) > 0
     nodes = np.zeros(1, dtype=np.int64)  # root
     parent_occ = np.zeros(1, dtype=np.int32)
@@ -408,6 +411,9 @@ def _walk_levels_np(depth: int, dec, ctx: OctreeContexts, ctx_mode: int,
     for l in range(stop):
         if max_points and nodes.size >= max_points:
             break
+        if sanity_cap and nodes.size > sanity_cap:
+            raise ValueError("corrupt geometry stream: node count "
+                             f"{nodes.size} exceeds sanity cap")
         if inter:
             ref_l1 = np.unique(ref_codes >> (3 * (depth - l - 1)))
             pred = ops.pred_occupancy_np(nodes, ref_l1)
