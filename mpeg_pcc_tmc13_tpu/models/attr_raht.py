@@ -61,9 +61,19 @@ def _steps(aps, ncomp):
                                4)) for c in range(ncomp)]
 
 
+def _ref_pyramid(ref, aps, depth, haar):
+    if ref is None or not aps.inter_prediction_enabled \
+            or not aps.raht_prediction_enabled or not len(ref[0]):
+        return None
+    from ..ops.raht import ref_mean_pyramid
+    return ref_mean_pyramid(
+        morton.encode(np.asarray(ref[0], dtype=np.int64)),
+        ref[1], depth, haar)
+
+
 def encode(values: np.ndarray, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
-           ctx: AttributeContexts) -> bytes:
+           ctx: AttributeContexts, ref=None) -> bytes:
     codes = morton.encode(positions.astype(np.int64))
     uniq, inv, keep = _unique_and_inverse(codes)
     vals = np.asarray(values)
@@ -99,7 +109,9 @@ def encode(values: np.ndarray, positions: np.ndarray,
                              for c in range(ncomp)], axis=1)
 
         raht_ops.forward_predicted(uniq, uvals, depth, quant, dequant,
-                                   integer_haar=haar)
+                                   integer_haar=haar,
+                                   ref_pyramid=_ref_pyramid(
+                                       ref, aps, depth, haar))
         return enc.get_bytes()
 
     coeffs = raht_ops.forward(uniq, uvals, depth, integer_haar=haar)
@@ -112,7 +124,7 @@ def encode(values: np.ndarray, positions: np.ndarray,
 
 def decode(data: bytes, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
-           ctx: AttributeContexts) -> np.ndarray:
+           ctx: AttributeContexts, ref=None) -> np.ndarray:
     codes = morton.encode(positions.astype(np.int64))
     uniq, inv, keep = _unique_and_inverse(codes)
     depth = _tree_depth(uniq)
@@ -137,7 +149,9 @@ def decode(data: bytes, positions: np.ndarray,
                              for c in range(ncomp)], axis=1)
 
         vals = raht_ops.inverse_predicted(uniq, depth, read_q, dequant,
-                                          ncomp, integer_haar=haar)
+                                          ncomp, integer_haar=haar,
+                                          ref_pyramid=_ref_pyramid(
+                                              ref, aps, depth, haar))
         if not haar:
             vals = np.round(vals).astype(np.int64)
         out = vals[inv]

@@ -95,7 +95,8 @@ def encode(values: np.ndarray, positions: np.ndarray,
     positions = positions[perm]
     if aps.attr_encoding == AttributeEncoding.RAHT:
         from . import attr_raht
-        return attr_raht.encode(values, positions, aps, desc, ctx)
+        return attr_raht.encode(values, positions, aps, desc, ctx,
+                                ref=ref)
     if aps.attr_encoding in (AttributeEncoding.PRED, AttributeEncoding.LIFT):
         from . import attr_predlift
         return attr_predlift.encode(values, positions, aps, desc, ctx,
@@ -112,7 +113,8 @@ def decode(data: bytes, positions: np.ndarray,
     perm = _morton_perm(positions)
     if aps.attr_encoding == AttributeEncoding.RAHT:
         from . import attr_raht
-        vals = attr_raht.decode(data, positions[perm], aps, desc, ctx)
+        vals = attr_raht.decode(data, positions[perm], aps, desc, ctx,
+                                ref=ref)
     elif aps.attr_encoding in (AttributeEncoding.PRED,
                                AttributeEncoding.LIFT):
         from . import attr_predlift

@@ -182,6 +182,58 @@ def predict_children(parent_codes: np.ndarray, parent_dc: np.ndarray,
     return pred_mean
 
 
+def ref_mean_pyramid(ref_codes: np.ndarray, ref_values: np.ndarray,
+                     depth: int, integer: bool):
+    """Reference-frame mean-attribute pyramid for RAHT inter
+    prediction (reference inter prediction from the ref RAHT tree,
+    RAHT.cpp:805+ filter taps; we predict in the mean domain).
+
+    ref_codes: Morton codes (any order, dups ok) of the compensated
+    reference points; ref_values (M, C).  Returns list over octree
+    levels l = 0..depth of (sorted node codes, mean values)."""
+    order = np.argsort(ref_codes, kind="stable")
+    codes = ref_codes[order]
+    vals = np.asarray(ref_values, dtype=np.float64)[order]
+    if vals.ndim == 1:
+        vals = vals[:, None]
+    out = []
+    for l in range(depth + 1):
+        shift = 3 * (depth - l)
+        cl = codes >> shift
+        keep = np.concatenate([[True], cl[1:] != cl[:-1]]) \
+            if cl.size else np.zeros(0, bool)
+        seg = np.cumsum(keep) - 1
+        n = int(seg[-1]) + 1 if cl.size else 0
+        sums = np.zeros((n, vals.shape[1]), dtype=np.float64)
+        np.add.at(sums, seg, vals)
+        cnt = np.bincount(seg, minlength=n)[:, None]
+        mean = sums / np.maximum(cnt, 1)
+        if integer:
+            mean = np.round(mean).astype(np.int64)
+        out.append((cl[keep], mean))
+    return out
+
+
+def _apply_ref_pred(pred, child_codes, ref_level, integer,
+                    child_w=None):
+    """Replace intra predictions with reference means where the ref
+    frame occupies the same cell."""
+    ref_codes, ref_mean = ref_level
+    if ref_codes.size == 0:
+        return pred
+    idx = np.searchsorted(ref_codes, child_codes)
+    idx = np.minimum(idx, ref_codes.size - 1)
+    hit = ref_codes[idx] == child_codes
+    if not hit.any():
+        return pred
+    rv = ref_mean[idx[hit]]
+    if not integer and child_w is not None:
+        rv = rv * np.sqrt(child_w[hit].astype(np.float64))[:, None]
+    pred = pred.copy()
+    pred[hit] = rv
+    return pred
+
+
 def _group_sweep_forward(sweeps, g_lo, g_hi, vals, integer_haar):
     """Run sweeps [g_lo, g_hi) forward on vals; returns per-sweep ACs
     and the coarse-side values."""
@@ -237,12 +289,14 @@ def _group_sweep_inverse(sweeps, g_lo, g_hi, coarse_vals, acs,
 
 def forward_predicted(leaf_codes: np.ndarray, values: np.ndarray,
                       depth: int, quant, dequant,
-                      integer_haar: bool = False):
+                      integer_haar: bool = False, ref_pyramid=None):
     """Closed-loop RAHT with transform-domain prediction.
 
     quant/dequant: callables (array (M,C), level_tag) -> array, applied
     to AC residuals per group and to the root DC (level_tag = -1).
-    Returns quantised coefficients in coded order.
+    ref_pyramid (from ref_mean_pyramid): inter prediction — reference
+    means replace the intra upconverted prediction where the reference
+    occupies the cell.  Returns quantised coefficients in coded order.
     """
     sweeps = merge_structure(leaf_codes, depth)
     vals = values.astype(np.int64 if integer_haar else np.float64)
@@ -273,6 +327,10 @@ def forward_predicted(leaf_codes: np.ndarray, values: np.ndarray,
                                 integer_haar,
                                 parent_w=parent_w,
                                 child_w=sweeps[g_lo]["w"])
+        if ref_pyramid is not None:
+            pred = _apply_ref_pred(pred, child_codes,
+                                   ref_pyramid[g + 1], integer_haar,
+                                   child_w=sweeps[g_lo]["w"])
         acs_pred, _ = _group_sweep_forward(
             sweeps, g_lo, g_hi, pred, integer_haar)
         acs_rec = []
@@ -290,7 +348,8 @@ def forward_predicted(leaf_codes: np.ndarray, values: np.ndarray,
 
 
 def inverse_predicted(leaf_codes: np.ndarray, depth: int, read_q,
-                      dequant, ncomp: int, integer_haar: bool = False):
+                      dequant, ncomp: int, integer_haar: bool = False,
+                      ref_pyramid=None):
     """Decoder mirror of forward_predicted.
 
     read_q(count, level_tag) -> (count, ncomp) quantised values, called
@@ -314,6 +373,10 @@ def inverse_predicted(leaf_codes: np.ndarray, depth: int, read_q,
                                 integer_haar,
                                 parent_w=parent_w,
                                 child_w=sweeps[g_lo]["w"])
+        if ref_pyramid is not None:
+            pred = _apply_ref_pred(pred, child_codes,
+                                   ref_pyramid[g + 1], integer_haar,
+                                   child_w=sweeps[g_lo]["w"])
         acs_pred, _ = _group_sweep_forward(
             sweeps, g_lo, g_hi, pred, integer_haar)
         acs_rec = []

@@ -191,3 +191,28 @@ def test_attr_inter_prediction_end_to_end():
     # (identical) geometry payloads, so the total shrinks ~25%; the
     # attribute payloads themselves collapse by ~4x
     assert sizes[True] < sizes[False] * 0.78
+
+
+def test_raht_inter_prediction_end_to_end():
+    from mpeg_pcc_tmc13_tpu.runtime.encoder import AttributeConfig
+    rng = np.random.default_rng(31)
+    n, depth = 3000, 9
+    base = rng.integers(16, (1 << depth) - 16, size=(n, 3), dtype=np.int64)
+    colors = np.stack([(base[:, 0] // 2) % 256, (base[:, 1] // 3) % 256,
+                       (base.sum(axis=1) // 4) % 256],
+                      axis=1).astype(np.uint16)
+    seq = [PointCloud(base + np.array([1, 2, 0]) * f, colors=colors)
+           for f in range(3)]
+    common = dict(inter_prediction=True, global_motion=True,
+                  random_access_period=16)
+    sizes = {}
+    for ip in (False, True):
+        params = EncoderParams(attributes=[AttributeConfig(
+            "color", 8, hls.AttributeEncoding.RAHT, qp=4,
+            raht_integer_haar=True, inter_pred=ip)], **common)
+        outs, sizes[ip] = roundtrip_sequence_flush(seq, params)
+        for src, out in zip(seq, outs):
+            ka = np.argsort(morton.encode(src.positions), kind="stable")
+            kb = np.argsort(morton.encode(out.positions), kind="stable")
+            np.testing.assert_array_equal(src.colors[ka], out.colors[kb])
+    assert sizes[True] < sizes[False]
