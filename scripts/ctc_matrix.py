@@ -60,6 +60,13 @@ CONFIGS = {
         lossless=False,
         args=["--partitionMethod=4", "--sliceMaxPoints=4000",
               "--tileSize=512", "--positionBaseQp=12"]),
+    "bipred-attr-inter": dict(
+        lossless=True,
+        args=["--interPredictionEnabled=1", "--globalMotionEnabled=1",
+              "--biPredictionEnabled=2", "--biPredictionPeriod=4",
+              "--randomAccessPeriod=64", "--transformType=0",
+              "--integerHaar=1", "--qp=4",
+              "--attrInterPredictionEnabled=1", "--attribute=color"]),
 }
 
 
