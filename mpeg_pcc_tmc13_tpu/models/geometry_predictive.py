@@ -35,8 +35,11 @@ from ..utils import morton
 _AXIS_CTX = 2 + 24
 # mode bits: 2 bits x 4 previous-mode contexts
 MODE_CTX_SIZE = 4 * 2
-# angular mode adds 2 secondary cartesian residual streams (x, y)
-PRED_CTX_SIZE = MODE_CTX_SIZE + 5 * _AXIS_CTX
+# angular mode adds 2 secondary cartesian residual streams (x, y);
+# inter adds a chained per-point inter flag (2 contexts)
+_INTER_FLAG_OFF = MODE_CTX_SIZE + 5 * _AXIS_CTX
+PRED_CTX_SIZE = _INTER_FLAG_OFF + 2
+_NN_WINDOW = 8
 
 
 class SortMode(enum.IntEnum):
@@ -58,16 +61,23 @@ class PredGeomContexts:
 
 
 def sort_points(positions: np.ndarray, mode: SortMode) -> np.ndarray:
-    """Traversal order (permutation into the chain order)."""
+    """Traversal order (permutation into the chain order).
+
+    Azimuth/radius keys are taken around the cloud's xy centroid (the
+    sensor origin for a LiDAR sweep is rarely the coordinate origin
+    after slice-local translation).  Encoder-side only: the decoder
+    simply follows the coded chain order.
+    """
     p = positions.astype(np.int64)
     if mode == SortMode.MORTON:
         return np.argsort(morton.encode(p), kind="stable")
-    if mode == SortMode.AZIMUTH:
-        key = np.arctan2(p[:, 1].astype(np.float64),
-                         p[:, 0].astype(np.float64))
-        return np.argsort(key, kind="stable")
-    if mode == SortMode.RADIUS:
-        key = (p[:, 0] ** 2 + p[:, 1] ** 2).astype(np.float64)
+    if mode in (SortMode.AZIMUTH, SortMode.RADIUS):
+        cx = p[:, 0].mean()
+        cy = p[:, 1].mean()
+        dx = p[:, 0].astype(np.float64) - cx
+        dy = p[:, 1].astype(np.float64) - cy
+        key = (np.arctan2(dy, dx) if mode == SortMode.AZIMUTH
+               else dx * dx + dy * dy)
         return np.argsort(key, kind="stable")
     return np.arange(p.shape[0])
 
@@ -85,26 +95,46 @@ def _predictions(p: np.ndarray):
     return pred
 
 
+def _sorted_ref(ref_positions: np.ndarray):
+    """Canonical Morton-sorted reference arrays shared by both sides."""
+    p = np.clip(ref_positions.astype(np.int64), 0, (1 << 21) - 1)
+    codes = morton.encode(p)
+    order = np.argsort(codes, kind="stable")
+    return codes[order], p[order]
+
+
 def encode(positions: np.ndarray, enc, ctx: PredGeomContexts,
            sort_mode: SortMode = SortMode.MORTON,
-           angular: bool = False):
+           angular: bool = False, ref_positions: np.ndarray = None):
     """Encode positions losslessly; returns chain-order permutation.
 
     angular=True codes in the spherical domain (r, phi, z) with a
     secondary cartesian residual (reference angular predictive
     geometry, generateGeomPredictionTreeAngular
     geometry_predictive_encoder.cpp:1287; GPS angular_enabled).
+
+    ref_positions: compensated reference-frame points (cartesian mode
+    only): points may flag inter prediction from the reference's
+    nearest neighbour of the extrapolated position (reference predgeom
+    inter flag + ref node, geometry_predictive.h:84-137).
     """
     if angular:
         from ..ops import coords
         order = sort_points(positions, SortMode.AZIMUTH if
                             sort_mode == SortMode.MORTON else sort_mode)
         pc = positions.astype(np.int64)[order]
-        sph = coords.xyz_to_spherical(pc)
+        # signalled sweep centre: LiDAR azimuth/radius live around the
+        # sensor origin, not the slice corner
+        cx = int(np.round(pc[:, 0].mean())) if pc.size else 0
+        cy = int(np.round(pc[:, 1].mean())) if pc.size else 0
+        enc.bypass(np.array([cx, cy], dtype=np.uint32),
+                   np.array([21, 21], dtype=np.int32))
+        centred = pc - np.array([cx, cy, 0], dtype=np.int64)
+        sph = coords.xyz_to_spherical(centred)
         _chain_encode(sph, enc, ctx)
         # secondary residual: xyz - inverse(sph), z exact by design
         approx = coords.spherical_to_xyz(sph)
-        sec = pc - approx                        # (N,3), z column == 0
+        sec = centred - approx                   # (N,3), z column == 0
         for c in range(2):
             off = MODE_CTX_SIZE + (3 + c) * _AXIS_CTX
             cslice = ctx.ctx[off:off + _AXIS_CTX]
@@ -112,11 +142,12 @@ def encode(positions: np.ndarray, enc, ctx: PredGeomContexts,
         return order
     order = sort_points(positions, sort_mode)
     p = positions.astype(np.int64)[order]
-    _chain_encode(p, enc, ctx)
+    _chain_encode(p, enc, ctx, ref_positions=ref_positions)
     return order
 
 
-def _chain_encode(p: np.ndarray, enc, ctx: PredGeomContexts):
+def _chain_encode(p: np.ndarray, enc, ctx: PredGeomContexts,
+                  ref_positions: np.ndarray = None):
     n = p.shape[0]
     if n == 0:
         return
@@ -133,15 +164,44 @@ def _chain_encode(p: np.ndarray, enc, ctx: PredGeomContexts):
     res = np.take_along_axis(
         res_all, modes[:, None, None].astype(np.int64), axis=1)[:, 0, :]
 
-    # mode bits: ctx = prev_mode * 2 + bit_index, hi/lo interleaved
-    # per point (must match the decoder's per-point order)
-    prev_modes = np.concatenate([[0], modes[:-1]]).astype(np.int32)
-    ids = np.empty(2 * n, dtype=np.int32)
-    bits = np.empty(2 * n, dtype=np.uint8)
+    use_inter = ref_positions is not None and len(ref_positions) > 0
+    inter = np.zeros(n, dtype=np.uint8)
+    if use_inter:
+        from ..ops import recolour as recolour_ops
+        ref_codes, ref_xyz = _sorted_ref(ref_positions)
+        # extrapolated query position per point (lossless chain: the
+        # true previous points equal the decoded ones)
+        e = np.zeros((n, 3), dtype=np.int64)
+        e[2:] = np.clip(2 * p[1:-1] - p[:-2], 0, (1 << 21) - 1)
+        nn_idx, _ = recolour_ops.knn(ref_xyz, e, k=1,
+                                     window=_NN_WINDOW)
+        cand = ref_xyz[nn_idx[:, 0]]
+        res_inter = p - cand
+        cost_inter = np.sum(
+            np.ceil(np.log2(np.abs(res_inter) + 1.0)) + 1.0, axis=1)
+        best_intra = np.min(cost, axis=1)
+        inter[2:] = (cost_inter < best_intra)[2:].astype(np.uint8)
+        sel = inter.astype(bool)
+        res[sel] = res_inter[sel]
+        # chained inter flags for every point
+        prev = np.concatenate([[0], inter[:-1]]).astype(np.int32)
+        fslice = ctx.ctx[_INTER_FLAG_OFF:_INTER_FLAG_OFF + 2]
+        enc.bits(fslice, prev, inter)
+        intra_rows = ~sel
+    else:
+        intra_rows = np.ones(n, dtype=bool)
+
+    # mode bits for intra points only: ctx = prev_mode * 2 + bit_index,
+    # hi/lo interleaved per point (matches the decoder's order)
+    m_in = modes[intra_rows]
+    ni = m_in.shape[0]
+    prev_modes = np.concatenate([[0], m_in[:-1]]).astype(np.int32)
+    ids = np.empty(2 * ni, dtype=np.int32)
+    bits = np.empty(2 * ni, dtype=np.uint8)
     ids[0::2] = prev_modes * 2
     ids[1::2] = prev_modes * 2 + 1
-    bits[0::2] = (modes >> 1)
-    bits[1::2] = (modes & 1)
+    bits[0::2] = (m_in >> 1)
+    bits[1::2] = (m_in & 1)
     enc.bits(ctx.ctx, ids, bits)
     # residual streams per axis
     for c in range(3):
@@ -151,25 +211,39 @@ def _chain_encode(p: np.ndarray, enc, ctx: PredGeomContexts):
 
 
 def decode(num_points: int, dec, ctx: PredGeomContexts,
-           angular: bool = False) -> np.ndarray:
+           angular: bool = False,
+           ref_positions: np.ndarray = None) -> np.ndarray:
     n = num_points
     if n == 0:
         return np.zeros((0, 3), dtype=np.int64)
     if angular:
         from ..ops import coords
+        centre = dec.bypass(np.array([21, 21], dtype=np.int32))
         sph = _chain_decode(n, dec, ctx)
         sec = np.zeros((n, 3), dtype=np.int64)
         for c in range(2):
             off = MODE_CTX_SIZE + (3 + c) * _AXIS_CTX
             cslice = ctx.ctx[off:off + _AXIS_CTX]
             sec[:, c] = dec.resbl(cslice, n)
-        return coords.spherical_to_xyz(sph) + sec
-    return _chain_decode(n, dec, ctx)
+        out = coords.spherical_to_xyz(sph) + sec
+        out[:, 0] += int(centre[0])
+        out[:, 1] += int(centre[1])
+        return out
+    return _chain_decode(n, dec, ctx, ref_positions=ref_positions)
 
 
-def _chain_decode(n: int, dec, ctx: PredGeomContexts) -> np.ndarray:
-    # mode bits chain on the previous decoded mode (native loop)
-    modes = dec.mode_chain(ctx.ctx, n)
+def _chain_decode(n: int, dec, ctx: PredGeomContexts,
+                  ref_positions: np.ndarray = None) -> np.ndarray:
+    use_inter = ref_positions is not None and len(ref_positions) > 0
+    inter = np.zeros(n, dtype=np.uint8)
+    if use_inter:
+        fslice = ctx.ctx[_INTER_FLAG_OFF:_INTER_FLAG_OFF + 2]
+        inter = dec.bits_chain(fslice, n)
+    ni = n - int(inter.sum())
+    # mode bits chain on the previous decoded mode (intra points only)
+    modes = np.zeros(n, dtype=np.uint8)
+    m_in = dec.mode_chain(ctx.ctx, ni)
+    modes[inter == 0] = m_in
     res = np.zeros((n, 3), dtype=np.int64)
     for c in range(3):
         off = MODE_CTX_SIZE + c * _AXIS_CTX
@@ -177,31 +251,53 @@ def _chain_decode(n: int, dec, ctx: PredGeomContexts) -> np.ndarray:
         res[:, c] = dec.resbl(cslice, n)
 
     out = np.zeros((n, 3), dtype=np.int64)
+    if use_inter:
+        ref_codes, ref_xyz = _sorted_ref(ref_positions)
     if entropy.native_available():
         import ctypes
         lib = entropy._LIB
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
         if not hasattr(lib, "_predchain_set"):
-            lib.predchain_recon.argtypes = [
-                ctypes.POINTER(ctypes.c_int64),
-                ctypes.POINTER(ctypes.c_uint8),
-                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+            lib.predchain_recon.argtypes = [i64p, u8p, i64p,
+                                            ctypes.c_int64]
+            lib.predchain_recon_inter.argtypes = [
+                i64p, u8p, u8p, i64p, ctypes.c_int64, i64p, i64p,
+                ctypes.c_int64, ctypes.c_int32]
             lib._predchain_set = True
         r = np.ascontiguousarray(res, dtype=np.int64)
         m = np.ascontiguousarray(modes, dtype=np.uint8)
-        lib.predchain_recon(
-            r.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n)
+        if use_inter:
+            rc = np.ascontiguousarray(ref_codes, dtype=np.int64)
+            rx = np.ascontiguousarray(ref_xyz, dtype=np.int64)
+            fl = np.ascontiguousarray(inter, dtype=np.uint8)
+            lib.predchain_recon_inter(
+                r.ctypes.data_as(i64p), m.ctypes.data_as(u8p),
+                fl.ctypes.data_as(u8p), out.ctypes.data_as(i64p), n,
+                rc.ctypes.data_as(i64p), rx.ctypes.data_as(i64p),
+                len(rc), _NN_WINDOW)
+        else:
+            lib.predchain_recon(
+                r.ctypes.data_as(i64p), m.ctypes.data_as(u8p),
+                out.ctypes.data_as(i64p), n)
     else:
+        from ..ops import recolour as recolour_ops
         for i in range(n):
-            m = modes[i]
-            if m == 0:
-                p = np.zeros(3, dtype=np.int64)
-            elif m == 1:
-                p = out[i - 1]
-            elif m == 2:
-                p = 2 * out[i - 1] - out[i - 2]
+            if use_inter and inter[i] and i >= 2:
+                e = np.clip(2 * out[i - 1] - out[i - 2], 0,
+                            (1 << 21) - 1)[None, :]
+                idx, _ = recolour_ops.knn(ref_xyz, e, k=1,
+                                          window=_NN_WINDOW)
+                p = ref_xyz[idx[0, 0]]
             else:
-                p = out[i - 1] + out[i - 2] - out[i - 3]
+                m = modes[i]
+                if m == 0:
+                    p = np.zeros(3, dtype=np.int64)
+                elif m == 1:
+                    p = out[i - 1]
+                elif m == 2:
+                    p = 2 * out[i - 1] - out[i - 2]
+                else:
+                    p = out[i - 1] + out[i - 2] - out[i - 3]
             out[i] = p + res[i]
     return out

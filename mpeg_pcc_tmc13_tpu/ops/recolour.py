@@ -21,16 +21,17 @@ from ..utils import morton
 from ..models.pointcloud import PointCloud
 
 
-def nearest_neighbor(src_pos: np.ndarray, query_pos: np.ndarray,
-                     window: int = 8) -> np.ndarray:
-    """Index of (approximately) nearest src point per query point.
-
-    Candidates = +-window around the Morton insertion position; exact
-    within the window, deterministic ties (lowest Morton rank).
-    """
+def knn(src_pos: np.ndarray, query_pos: np.ndarray, k: int = 1,
+        window: int = 8):
+    """k (approximately) nearest src indices + squared distances per
+    query point.  Candidates = +-window around the Morton insertion
+    position; exact within the window, deterministic ties (lowest
+    Morton rank).  Returns (idx (Q,k), d2 (Q,k))."""
+    nq = query_pos.shape[0]
     ns = src_pos.shape[0]
-    if ns == 0 or query_pos.shape[0] == 0:
-        return np.zeros(query_pos.shape[0], dtype=np.int64)
+    if ns == 0 or nq == 0:
+        return (np.zeros((nq, k), dtype=np.int64),
+                np.zeros((nq, k), dtype=np.int64))
     s_codes = morton.encode(src_pos.astype(np.int64))
     order = np.argsort(s_codes, kind="stable")
     s_sorted = s_codes[order]
@@ -42,8 +43,16 @@ def nearest_neighbor(src_pos: np.ndarray, query_pos: np.ndarray,
     cand = np.clip(ins[:, None] + offs[None, :], 0, ns - 1)
     d = pos_sorted[cand] - query_pos[:, None, :].astype(np.int64)
     d2 = np.sum(d * d, axis=-1)
-    best = np.argmin(d2, axis=1)
-    return order[np.take_along_axis(cand, best[:, None], axis=1)[:, 0]]
+    top = np.argsort(d2, kind="stable", axis=1)[:, :k]
+    idx = order[np.take_along_axis(cand, top, axis=1)]
+    return idx, np.take_along_axis(d2, top, axis=1)
+
+
+def nearest_neighbor(src_pos: np.ndarray, query_pos: np.ndarray,
+                     window: int = 8) -> np.ndarray:
+    """Index of (approximately) nearest src point per query point."""
+    idx, _ = knn(src_pos, query_pos, k=1, window=window)
+    return idx[:, 0]
 
 
 def recolour(source: PointCloud, target_positions: np.ndarray,
@@ -61,8 +70,17 @@ def recolour(source: PointCloud, target_positions: np.ndarray,
         src_grid = src_grid * (source_scale_num / source_scale_den)
     src_grid = np.round(src_grid).astype(np.int64)
 
-    # forward: nearest source per target (Ψ₁)
-    fwd = nearest_neighbor(src_grid, target_positions, window)
+    # forward: distance-weighted k-NN sources per target (Ψ₁; the
+    # reference blends the forward set with inverse-distance weights)
+    fwd_idx, fwd_d2 = knn(src_grid, target_positions, k=3,
+                          window=window)
+    inv = 1.0 / np.maximum(fwd_d2.astype(np.float64), 0.25)
+    wsum = inv.sum(axis=1, keepdims=True)
+    fwd_w = inv / wsum
+    # exact positional match: take that source verbatim
+    exact = fwd_d2[:, 0] == 0
+    fwd_w[exact] = 0.0
+    fwd_w[exact, 0] = 1.0
     # backward: nearest target per source, grouped by target (Ψ₂)
     bwd = nearest_neighbor(target_positions, src_grid, window)
 
@@ -72,7 +90,9 @@ def recolour(source: PointCloud, target_positions: np.ndarray,
         a = np.asarray(attr)
         flat = a.reshape(a.shape[0], -1).astype(np.int64)
         c = flat.shape[1]
-        fwd_val = flat[fwd]                              # (nt, c)
+        fwd_val = np.floor(
+            (flat[fwd_idx].astype(np.float64)
+             * fwd_w[:, :, None]).sum(axis=1) + 0.5).astype(np.int64)
         sums = np.zeros((nt, c), dtype=np.int64)
         cnts = np.zeros(nt, dtype=np.int64)
         np.add.at(sums, bwd, flat)

@@ -170,36 +170,19 @@ class FrameDecoder:
                 self._geom_ctx, self._trisoup_ctx,
                 max_nodes=gbh.num_points, ctx_mode=ctx_mode)
         elif gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
+            ref_pos = None
+            if gbh.is_inter:
+                ref_pos = self._ref_points_for_gbh(gbh)
             local = geometry_predictive.decode(
                 gbh.num_points, dec, self._predgeom_ctx,
-                angular=gps.angular_enabled)
+                angular=gps.angular_enabled, ref_positions=ref_pos)
         else:
             ref_codes = None
             if gbh.is_inter:
-                from ..ops import motion as motion_ops
                 from ..utils import morton as morton_mod
-                depth = gbh.root_node_size_log2
-                origin = np.asarray(gbh.slice_origin, dtype=np.int64)
-                refs = [((gbh.frame_ctr_lsb - gbh.ref0_delta) & 0xFF,
-                         gbh.gm_matrix, gbh.gm_trans)]
-                if gbh.is_bi:
-                    refs.append(
-                        ((gbh.frame_ctr_lsb + gbh.ref1_delta) & 0xFF,
-                         gbh.gm_matrix1, gbh.gm_trans1))
-                parts = []
-                for rc, mat, trans in refs:
-                    grid = self._frames.get(rc)
-                    if grid is None:
-                        continue
-                    comp = motion_ops.apply_global_motion(
-                        grid,
-                        np.asarray(mat, dtype=np.int64).reshape(3, 3),
-                        np.asarray(trans, dtype=np.int64)) - origin
-                    inb = np.all((comp >= 0) & (comp < (1 << depth)),
-                                 axis=1)
-                    parts.append(morton_mod.encode(comp[inb]))
-                if parts:
-                    ref_codes = np.unique(np.concatenate(parts))
+                pts = self._ref_points_for_gbh(gbh)
+                if pts is not None and len(pts):
+                    ref_codes = np.unique(morton_mod.encode(pts))
             local = geometry_octree.decode(
                 gbh.num_points, gbh.root_node_size_log2, dec,
                 self._geom_ctx, unique_points=gps.unique_points,
@@ -210,6 +193,29 @@ class FrameDecoder:
         grid = _grid_positions(local, gbh)
         self._slices.append(_SliceState(positions=grid, local=local,
                                         gbh=gbh))
+
+    def _ref_points_for_gbh(self, gbh):
+        """Compensated in-bounds reference points for an inter brick
+        (mirrors FrameEncoder._ref_points_for_slice exactly)."""
+        from ..ops import motion as motion_ops
+        depth = gbh.root_node_size_log2
+        origin = np.asarray(gbh.slice_origin, dtype=np.int64)
+        refs = [((gbh.frame_ctr_lsb - gbh.ref0_delta) & 0xFF,
+                 gbh.gm_matrix, gbh.gm_trans)]
+        if gbh.is_bi:
+            refs.append(((gbh.frame_ctr_lsb + gbh.ref1_delta) & 0xFF,
+                         gbh.gm_matrix1, gbh.gm_trans1))
+        parts = []
+        for rc, mat, trans in refs:
+            grid = self._frames.get(rc)
+            if grid is None:
+                continue
+            comp = motion_ops.apply_global_motion(
+                grid, np.asarray(mat, dtype=np.int64).reshape(3, 3),
+                np.asarray(trans, dtype=np.int64)) - origin
+            inb = np.all((comp >= 0) & (comp < (1 << depth)), axis=1)
+            parts.append(comp[inb])
+        return np.concatenate(parts) if parts else None
 
     # -- attribute brick (reference decodeAttributeBrick,
     #    decoder.cpp:781) ---------------------------------------------

@@ -281,7 +281,9 @@ class FrameEncoder:
         prev = (ctr - 1) & 0xFF
         is_inter = (p.inter_prediction and prev in self._frames
                     and (forced_ref or ctr % rap != 0)
-                    and p.geometry_codec == hls.GeometryCodecType.OCTREE)
+                    and p.geometry_codec in (
+                        hls.GeometryCodecType.OCTREE,
+                        hls.GeometryCodecType.PREDICTIVE))
         if not is_inter:
             return []
         gm = self._gm_for(self._frames[prev], qcloud, ctr)
@@ -355,20 +357,28 @@ class FrameEncoder:
                 if k != (self._anchor_ctr or 0) & 0xFF:
                     self._frames.pop(k, None)
 
-    def _ref_codes_for_slice(self, refs, slice_origin, depth):
-        """Union of the compensated reference frames' slice-local
-        Morton codes (None when intra)."""
+    def _ref_points_for_slice(self, refs, slice_origin, depth):
+        """Compensated in-bounds reference points, slice-local
+        (None when intra)."""
         if not refs:
             return None
-        from ..utils import morton as morton_mod
         parts = []
         for ref_ctr, ref_gm in refs:
             ref_grid = self._frames[ref_ctr & 0xFF]
             comp = motion_ops.apply_global_motion(
                 ref_grid, ref_gm[0], ref_gm[1]) - slice_origin
             inb = np.all((comp >= 0) & (comp < (1 << depth)), axis=1)
-            parts.append(morton_mod.encode(comp[inb]))
-        return np.unique(np.concatenate(parts))
+            parts.append(comp[inb])
+        return np.concatenate(parts)
+
+    def _ref_codes_for_slice(self, refs, slice_origin, depth):
+        """Union of the compensated reference frames' slice-local
+        Morton codes (None when intra)."""
+        pts = self._ref_points_for_slice(refs, slice_origin, depth)
+        if pts is None:
+            return None
+        from ..utils import morton as morton_mod
+        return np.unique(morton_mod.encode(pts))
 
     # -- per-slice coding (reference compressPartition,
     #    encoder.cpp:924) --------------------------------------------
@@ -418,10 +428,13 @@ class FrameEncoder:
                 self._geom_ctx, self._trisoup_ctx,
                 engine=p.engine, ctx_mode=ctx_mode)
         elif self.gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
+            ref_pos = self._ref_points_for_slice(refs, slice_origin,
+                                                 depth)
             order = geometry_predictive.encode(
                 local, enc, self._predgeom_ctx,
                 sort_mode=p.predgeom_sort_mode,
-                angular=self.gps.angular_enabled)
+                angular=self.gps.angular_enabled,
+                ref_positions=ref_pos)
         elif multistream:
             streams, order = geometry_octree.encode_multistream(
                 local, depth, self._geom_ctx, p.num_entropy_streams,
