@@ -124,12 +124,20 @@ def main():
         rec = ply.read(rec_path)
         rcodes = np.sort(morton.encode(rec.positions.astype(np.int64)))
         lossless = bool(np.array_equal(rcodes, src_codes))
+
+        def user_time(stdout):
+            for line in stdout.splitlines():
+                if line.startswith("Processing time (user)"):
+                    return float(line.split(":")[1].split()[0])
+            return None
         entry = {
             "bytes": os.path.getsize(bin_path),
             "bpp": round(8 * os.path.getsize(bin_path)
                          / max(len(src_codes), 1), 3),
             "points_out": int(rec.count),
             "geom_lossless": lossless,
+            "encode_s": user_time(r.stdout),
+            "decode_s": user_time(r2.stdout),
             "stream_md5": md5(bin_path),
             "decoded_md5": md5(rec_path),
         }
