@@ -254,7 +254,12 @@ def encode(values: np.ndarray, positions: np.ndarray,
 
 def decode(data: bytes, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
-           ctx: AttributeContexts, ref=None) -> np.ndarray:
+           ctx: AttributeContexts, ref=None,
+           max_levels: int = 0) -> np.ndarray:
+    """max_levels > 0: progressive decode — only the first max_levels
+    LoD chunks are entropy-decoded; finer points reconstruct as pure
+    predictions (residual 0), degrading gracefully (the scalable-decode
+    analogue of the reference's LoD truncation, PRED path only)."""
     n = positions.shape[0]
     ncomp = desc.num_components
     lift = aps.attr_encoding == AttributeEncoding.LIFT
@@ -295,8 +300,9 @@ def decode(data: bytes, positions: np.ndarray,
         use_modes = aps.max_direct_predictors > 0
         for l in range(start_level, nl):
             sel = np.nonzero(levels == l)[0]
+            truncated = max_levels > 0 and l >= max_levels
             modes = np.zeros(sel.size, dtype=np.int64)
-            if use_modes:
+            if use_modes and not truncated:
                 elig = _mode_eligible(recon, nbr[sel], wq[sel], thr)
                 ne = int(elig.sum())
                 if ne:
@@ -306,8 +312,11 @@ def decode(data: bytes, positions: np.ndarray,
                     bits = dec.bits(ctx.pred_modes, ids)
                     modes[elig] = (bits[0::2].astype(np.int64) << 1) \
                         | bits[1::2]
-            q = read_chunk(sel.size)
             pred = _predict_with_modes(recon, nbr[sel], wq[sel], modes)
+            if truncated:
+                recon[m + sel] = pred
+                continue
+            q = read_chunk(sel.size)
             dq = np.stack([_dequant(q[:, c:c + 1], steps[c])[:, 0]
                            for c in range(ncomp)], axis=1)
             recon[m + sel] = pred + dq

@@ -106,7 +106,8 @@ def encode(values: np.ndarray, positions: np.ndarray,
 
 def decode(data: bytes, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
-           ctx: AttributeContexts, ref=None) -> np.ndarray:
+           ctx: AttributeContexts, ref=None,
+           max_lod_levels: int = 0) -> np.ndarray:
     count = positions.shape[0]
     if aps.attr_encoding == AttributeEncoding.RAW:
         return decode_raw(data, count, desc)
@@ -119,7 +120,8 @@ def decode(data: bytes, positions: np.ndarray,
                                AttributeEncoding.LIFT):
         from . import attr_predlift
         vals = attr_predlift.decode(data, positions[perm], aps, desc,
-                                    ctx, ref=ref)
+                                    ctx, ref=ref,
+                                    max_levels=max_lod_levels)
     else:
         raise ValueError(f"unsupported attr_encoding {aps.attr_encoding}")
     out = np.empty_like(np.asarray(vals))

@@ -44,6 +44,7 @@ class Config:
         self.mode = 0
         self.skip_octree_layers = 0
         self.decode_max_points = 0
+        self.max_lod_levels = 0
         self.uncompressed_path: Optional[str] = None
         self.compressed_path: Optional[str] = None
         self.reconstructed_path: Optional[str] = None
@@ -140,6 +141,8 @@ class Config:
                 self.skip_octree_layers = opt.to_int(value)
             elif name == "decodeMaxPoints":
                 self.decode_max_points = opt.to_int(value)
+            elif name == "maxLodLevels":   # framework-specific
+                self.max_lod_levels = opt.to_int(value)
             # ---- sticky attribute params ----
             elif name in ("qp", "bitdepth", "transformType", "integerHaar",
                           "qpChromaOffset", "attrScale", "attrOffset",
@@ -249,7 +252,8 @@ def decode_sequence(cfg: Config) -> int:
     sw = Stopwatch().start()
     dec = FrameDecoder(frames.append,
                        skip_layers=cfg.skip_octree_layers,
-                       max_points=cfg.decode_max_points)
+                       max_points=cfg.decode_max_points,
+                       max_lod_levels=cfg.max_lod_levels)
     with open(cfg.compressed_path, "rb") as f:
         for buf in iter_tlv(f):
             dec.decompress(buf)

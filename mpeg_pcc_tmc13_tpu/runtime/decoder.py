@@ -48,9 +48,13 @@ class FrameDecoder:
     """
 
     def __init__(self, on_output_cloud: Callable[[pc.PointCloud], None],
-                 skip_layers: int = 0, max_points: int = 0):
+                 skip_layers: int = 0, max_points: int = 0,
+                 max_lod_levels: int = 0):
         self.skip_layers = skip_layers
         self.max_points = max_points
+        # progressive attribute decode (PRED transform): only the first
+        # N LoD chunks are entropy-decoded, finer points predict-only
+        self.max_lod_levels = max_lod_levels
         self.on_output_cloud = on_output_cloud
         self.sps: Dict[int, hls.SequenceParameterSet] = {}
         self.gps: Dict[int, hls.GeometryParameterSet] = {}
@@ -253,7 +257,7 @@ class FrameDecoder:
         values = attr_model.decode(
             data[off:], sl.local, aps, desc,
             self._attr_ctx.get(abh.aps_id, attr_model.AttributeContexts()),
-            ref=ref)
+            ref=ref, max_lod_levels=self.max_lod_levels)
         sl.attrs[abh.sps_attr_idx] = values
 
     # -- frame output (reference outputCurrentCloud / inverse scale) --

@@ -174,3 +174,27 @@ def test_pred_lossless_with_dist2_lod():
     desc = hls.AttributeDescription("color", 3, 8)
     out, _ = _roundtrip(vals, pos, aps, desc)
     np.testing.assert_array_equal(out, vals)
+
+
+def test_progressive_attribute_decode():
+    """Truncated LoD decode: coarse chunks exact, fine levels predicted."""
+    pos, _ = make_positions(3000, 8, seed=20)
+    vals = (pos.sum(axis=1) // 3).astype(np.int64)  # smooth field
+    aps = hls.AttributeParameterSet(
+        attr_encoding=hls.AttributeEncoding.PRED, init_qp=4)
+    desc = hls.AttributeDescription("reflectance", 1, 8)
+    ectx = attributes.AttributeContexts()
+    body = attr_predlift.encode(vals, pos, aps, desc, ectx)
+    full = attr_predlift.decode(body, pos, aps, desc,
+                                attributes.AttributeContexts())
+    np.testing.assert_array_equal(full, vals)
+    prev_err = None
+    for k in (2, 4, 6):
+        out = attr_predlift.decode(body, pos, aps, desc,
+                                   attributes.AttributeContexts(),
+                                   max_levels=k)
+        err = float(np.abs(out - vals).mean())
+        if prev_err is not None:
+            assert err <= prev_err + 1e-9  # more levels -> better
+        prev_err = err
+    assert prev_err < 3  # smooth field predicts well even truncated
