@@ -147,7 +147,11 @@ class Config:
             elif name in ("qp", "bitdepth", "transformType", "integerHaar",
                           "qpChromaOffset", "attrScale", "attrOffset",
                           "defaultValue", "colourMatrix", "dist2",
-                          "attrInterPredictionEnabled"):
+                          "attrInterPredictionEnabled",
+                          "rahtPredictionEnabled", "levelOfDetailCount",
+                          "numberOfNearestNeighborsInPrediction",
+                          "maxNumDirectPredictors",
+                          "adaptivePredictionThreshold"):
                 self._pending_attr[name] = value
             elif name == "attribute":
                 a = self._pending_attr
@@ -169,6 +173,16 @@ class Config:
                     if a.get("dist2") else 0,
                     inter_pred=opt.to_bool(
                         a.get("attrInterPredictionEnabled", "0")),
+                    raht_prediction=opt.to_bool(
+                        a.get("rahtPredictionEnabled", "1")),
+                    lod_levels=int(a.get("levelOfDetailCount", "12")),
+                    num_pred_nearest_neighbours=min(int(
+                        a.get("numberOfNearestNeighborsInPrediction",
+                              "3")), 3),
+                    max_direct_predictors=min(int(
+                        a.get("maxNumDirectPredictors", "3")), 3),
+                    adaptive_prediction_threshold=int(
+                        a.get("adaptivePredictionThreshold", "64")),
                 ))
             else:
                 self.ignored.append(name)

@@ -46,6 +46,12 @@ class AttributeConfig:
     dist2: int = 0
     # inter attribute prediction (reference AttributeInterPredParams)
     inter_pred: bool = False
+    # further APS knobs (reference per-attribute options)
+    raht_prediction: bool = True
+    lod_levels: int = 12
+    num_pred_nearest_neighbours: int = 3
+    max_direct_predictors: int = 3
+    adaptive_prediction_threshold: int = 64
 
 
 @dataclass
@@ -177,7 +183,14 @@ class FrameEncoder:
                 aps_id=i, attr_encoding=ac.encoding, init_qp=ac.qp,
                 chroma_qp_offset=ac.qp_chroma_offset,
                 raht_integer_haar=ac.raht_integer_haar,
+                raht_prediction_enabled=ac.raht_prediction,
                 dist2=ac.dist2,
+                lod_levels=ac.lod_levels,
+                num_pred_nearest_neighbours=(
+                    ac.num_pred_nearest_neighbours),
+                max_direct_predictors=ac.max_direct_predictors,
+                adaptive_prediction_threshold=(
+                    ac.adaptive_prediction_threshold),
                 inter_prediction_enabled=(
                     ac.inter_pred and p.inter_prediction)))
         self.sps, self.gps, self.aps = sps, gps, aps_list

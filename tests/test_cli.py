@@ -77,3 +77,38 @@ def test_lossy_scale_cli(tmp_path, sample_ply):
     codes = set(map(tuple, q))
     got = set(map(tuple, rec.positions.astype(np.int64)))
     assert got == codes
+
+
+def test_attribute_aps_knobs_flow_through(tmp_path, sample_ply):
+    """Sticky reference option names land in the coded APS."""
+    in_ply, _, _ = sample_ply
+    out_bin = tmp_path / "k.bin"
+    assert cli.main([
+        "--mode=0", f"--uncompressedDataPath={in_ply}",
+        f"--compressedStreamPath={out_bin}",
+        "--transformType=1", "--qp=10",
+        "--levelOfDetailCount=7",
+        "--numberOfNearestNeighborsInPrediction=2",
+        "--maxNumDirectPredictors=2",
+        "--adaptivePredictionThreshold=32",
+        "--rahtPredictionEnabled=0",
+        "--attribute=color"]) == 0
+    from mpeg_pcc_tmc13_tpu.bitstream import hls as _hls
+    from mpeg_pcc_tmc13_tpu.bitstream.tlv import PayloadType, iter_tlv
+    with open(out_bin, "rb") as f:
+        for buf in iter_tlv(f):
+            if buf.type == PayloadType.ATTRIBUTE_PARAMETER_SET:
+                a = _hls.AttributeParameterSet.parse(buf.data)
+                assert a.init_qp == 10
+                assert a.lod_levels == 7
+                assert a.num_pred_nearest_neighbours == 2
+                assert a.max_direct_predictors == 2
+                assert a.adaptive_prediction_threshold == 32
+                assert a.raht_prediction_enabled is False
+                break
+        else:
+            raise AssertionError("no APS in stream")
+    # stream still decodes
+    rec = tmp_path / "k.ply"
+    assert cli.main(["--mode=1", f"--compressedStreamPath={out_bin}",
+                     f"--reconstructedDataPath={rec}"]) == 0
