@@ -33,15 +33,19 @@ class TrisoupContexts:
         default_factory=lambda: entropy.new_contexts(VTX_CTX_SIZE))
     centroid: np.ndarray = field(
         default_factory=lambda: entropy.new_contexts(3 * _CENT_AXIS_CTX))
+    face: np.ndarray = field(
+        default_factory=lambda: entropy.new_contexts(VTX_CTX_SIZE))
 
     def copy(self):
-        return TrisoupContexts(self.vertex.copy(), self.centroid.copy())
+        return TrisoupContexts(self.vertex.copy(), self.centroid.copy(),
+                               self.face.copy())
 
 
 def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
            octx: geometry_octree.OctreeContexts, tctx: TrisoupContexts,
            engine: str = "auto",
-           ctx_mode: int = octree_ops.CTX_MODE_NEIGH):
+           ctx_mode: int = octree_ops.CTX_MODE_NEIGH,
+           face_vertices: bool = False):
     """Encode geometry; returns reconstructed positions (for attribute
     recolouring) — the decoder reproduces them exactly."""
     s = min(node_size_log2, depth)
@@ -69,11 +73,29 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
     nbits = np.full(int(present.sum()), s, dtype=np.int32)
     enc.bypass(vpos[present].astype(np.uint32), nbits)
 
+    # face vertices (reference encodeTrisoupFaceList,
+    # geometry_trisoup_encoder.cpp:1062): presence chained, two
+    # bypass in-plane coordinates each
+    faces = None
+    if face_vertices:
+        _, fpres, fpos = trisoup_ops.determine_face_vertices(
+            pts, node_codes, point_node, s)
+        fp = fpres.astype(np.uint8)
+        fprev = np.concatenate([[0], fp[:-1]]).astype(np.int32)
+        enc.bits(tctx.face, fprev, fp)
+        nfp = int(fpres.sum())
+        if nfp:
+            fb = np.full(2 * nfp, s, dtype=np.int32)
+            enc.bypass(fpos[fpres].reshape(-1).astype(np.uint32), fb)
+        faces = (fpres, fpos)
+
     # centroid vertex residuals for >=3-vertex nodes (reference
     # determineTrisoupCentroids + residual coding)
     resid = trisoup_ops.true_centroid_residuals(
-        pts, node_codes, point_node, uniq, present, vpos, s)
-    counts = trisoup_ops.vertex_counts(node_codes, uniq, present, s)
+        pts, node_codes, point_node, uniq, present, vpos, s,
+        faces=faces)
+    counts = trisoup_ops.vertex_counts(node_codes, uniq, present, s,
+                                       faces=faces)
     sel = counts >= 3
     for c in range(3):
         cs = tctx.centroid[c * _CENT_AXIS_CTX:(c + 1) * _CENT_AXIS_CTX]
@@ -81,14 +103,15 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
 
     recon = trisoup_ops.reconstruct(
         node_codes, uniq, present, vpos, s,
-        bbox_max=(1 << depth) - 1, centroid_resid=resid)
+        bbox_max=(1 << depth) - 1, centroid_resid=resid, faces=faces)
     return recon
 
 
 def decode(depth: int, node_size_log2: int, dec,
            octx: geometry_octree.OctreeContexts, tctx: TrisoupContexts,
            max_nodes: int, engine: str = "auto",
-           ctx_mode: int = octree_ops.CTX_MODE_NEIGH):
+           ctx_mode: int = octree_ops.CTX_MODE_NEIGH,
+           face_vertices: bool = False):
     s = min(node_size_log2, depth)
     octree_depth = depth - s
     node_pos = geometry_octree.decode(
@@ -106,7 +129,20 @@ def decode(depth: int, node_size_log2: int, dec,
         nbits = np.full(npres, s, dtype=np.int32)
         vpos[present] = dec.bypass(nbits).astype(np.int64)
 
-    counts = trisoup_ops.vertex_counts(node_codes, uniq, present, s)
+    faces = None
+    if face_vertices:
+        fkeys, _ = trisoup_ops.face_keys_for_nodes(node_codes, s)
+        nf = np.unique(fkeys.reshape(-1)).shape[0]
+        fpres = dec.bits_chain(tctx.face, nf).astype(bool)
+        fpos = np.zeros((nf, 2), dtype=np.int64)
+        nfp = int(fpres.sum())
+        if nfp:
+            fb = np.full(2 * nfp, s, dtype=np.int32)
+            fpos[fpres] = dec.bypass(fb).astype(np.int64).reshape(-1, 2)
+        faces = (fpres, fpos)
+
+    counts = trisoup_ops.vertex_counts(node_codes, uniq, present, s,
+                                       faces=faces)
     sel = counts >= 3
     resid = np.zeros((node_codes.shape[0], 3), dtype=np.int64)
     nsel = int(sel.sum())
@@ -116,4 +152,4 @@ def decode(depth: int, node_size_log2: int, dec,
 
     return trisoup_ops.reconstruct(node_codes, uniq, present, vpos, s,
                                    bbox_max=(1 << depth) - 1,
-                                   centroid_resid=resid)
+                                   centroid_resid=resid, faces=faces)

@@ -64,6 +64,60 @@ def unique_edges(keys: np.ndarray):
     return uniq, inv.reshape(keys.shape)
 
 
+# faces: index f = axis*2 + side; plane at origin[axis] + side*size
+def face_keys_for_nodes(node_codes: np.ndarray, log2_size: int):
+    """(M,6) canonical face keys — coincident faces of neighbouring
+    nodes collide (axis tag 4+a keeps them clear of edge keys)."""
+    w = 1 << log2_size
+    origin = morton.decode(node_codes) * w
+    m = node_codes.shape[0]
+    keys = np.zeros((m, 6), dtype=np.int64)
+    for f in range(6):
+        a, side = f // 2, f % 2
+        corner = origin.copy()
+        corner[:, a] += side * w
+        keys[:, f] = morton.encode(corner) \
+            + np.int64(4 + a) * (np.int64(1) << 60)
+    return keys, origin
+
+
+def determine_face_vertices(points: np.ndarray, node_codes: np.ndarray,
+                            point_node_idx: np.ndarray, log2_size: int):
+    """Encoder: per unique node face, an interior surface vertex
+    (reference face vertices, encodeTrisoupFaceList
+    geometry_trisoup_encoder.cpp:1062): present when points hug the
+    face plane away from its edges; position = mean in-plane coords.
+
+    Returns (face_keys_unique, present (F,), fpos (F,2))."""
+    w = 1 << log2_size
+    keys, origin = face_keys_for_nodes(node_codes, log2_size)
+    uniq, inv = np.unique(keys.reshape(-1), return_inverse=True)
+    inv = inv.reshape(keys.shape)
+    nf = uniq.shape[0]
+    counts = np.zeros(nf, dtype=np.int64)
+    sums = np.zeros((nf, 2), dtype=np.int64)
+    local = points.astype(np.int64) - origin[point_node_idx]
+    for f in range(6):
+        a, side = f // 2, f % 2
+        p1, p2 = _PERP[a]
+        plane = side * (w - 1)
+        near = np.abs(local[:, a] - plane) <= 1
+        # interior: clear of the face's own edges (those voxels feed
+        # the edge vertices already)
+        near &= (local[:, p1] >= 2) & (local[:, p1] <= w - 3)
+        near &= (local[:, p2] >= 2) & (local[:, p2] <= w - 3)
+        fidx = inv[point_node_idx, f]
+        np.add.at(counts, fidx[near], 1)
+        np.add.at(sums, fidx[near],
+                  np.stack([local[near, p1], local[near, p2]], axis=1))
+    present = counts > 0
+    fpos = np.zeros((nf, 2), dtype=np.int64)
+    fpos[present] = ((sums[present] + counts[present, None] // 2)
+                     // counts[present, None])
+    np.clip(fpos, 0, w - 1, out=fpos)
+    return uniq, present, fpos
+
+
 def determine_vertices(points: np.ndarray, node_codes: np.ndarray,
                        point_node_idx: np.ndarray, log2_size: int):
     """Encoder: per unique edge, presence + quantised position.
@@ -157,29 +211,19 @@ def _unique_codes(pts: np.ndarray) -> np.ndarray:
     return codes[keep]
 
 
-def vertex_counts(node_codes: np.ndarray, edge_uniq: np.ndarray,
-                  present: np.ndarray, log2_size: int) -> np.ndarray:
-    """Number of present vertices per node (decoder-derivable)."""
-    keys, _ = edge_keys_for_nodes(node_codes, log2_size)
-    _, inv = unique_edges(keys)
-    return present[inv].sum(axis=1)
+def _node_vertices(node_codes, present, vpos, log2_size,
+                   faces=None):
+    """Combined per-node vertex table: 12 edge slots + 6 face slots.
 
-
-def true_centroid_residuals(points: np.ndarray, node_codes: np.ndarray,
-                            point_node_idx: np.ndarray,
-                            edge_uniq: np.ndarray, present: np.ndarray,
-                            vpos: np.ndarray, log2_size: int):
-    """Encoder: per >=3-vertex node, the residual between the node's
-    true point centroid and the vertex-mean centroid (reference
-    determineTrisoupCentroids, geometry_trisoup_encoder.cpp:800).
-    Returns (M,3) int residuals (zero where <3 vertices)."""
+    faces: optional (face_present (F,), fpos (F,2)).  Returns
+    (vw (M,18,3) float64 world positions, pres (M,18) bool)."""
     w = 1 << log2_size
-    m = node_codes.shape[0]
     keys, origin = edge_keys_for_nodes(node_codes, log2_size)
     _, inv = unique_edges(keys)
-    pres = present[inv]
-    # vertex-mean centroid per node (world coords)
-    vw = np.zeros((m, 12, 3), dtype=np.float64)
+    m = node_codes.shape[0]
+    vw = np.zeros((m, 18, 3), dtype=np.float64)
+    pres = np.zeros((m, 18), dtype=bool)
+    pres[:, :12] = present[inv]
     for e in range(12):
         ax = _EDGE_AXIS[e]
         p1, p2 = _PERP[ax]
@@ -187,6 +231,47 @@ def true_centroid_residuals(points: np.ndarray, node_codes: np.ndarray,
         vw[:, e, p1] += _EDGE_C1[e] * (w - 1)
         vw[:, e, p2] += _EDGE_C2[e] * (w - 1)
         vw[:, e, ax] += vpos[inv[:, e]]
+    if faces is not None:
+        f_present, fpos = faces
+        fkeys, _ = face_keys_for_nodes(node_codes, log2_size)
+        _, finv = np.unique(fkeys.reshape(-1), return_inverse=True)
+        finv = finv.reshape(fkeys.shape)
+        pres[:, 12:] = f_present[finv]
+        for f in range(6):
+            a, side = f // 2, f % 2
+            p1, p2 = _PERP[a]
+            s = 12 + f
+            vw[:, s, :] = origin
+            vw[:, s, a] += side * (w - 1)
+            vw[:, s, p1] += fpos[finv[:, f], 0]
+            vw[:, s, p2] += fpos[finv[:, f], 1]
+    return vw, pres
+
+
+def vertex_counts(node_codes: np.ndarray, edge_uniq: np.ndarray,
+                  present: np.ndarray, log2_size: int,
+                  faces=None) -> np.ndarray:
+    """Number of present vertices per node (decoder-derivable)."""
+    zeros = np.zeros(present.shape[0], dtype=np.int64)
+    _, pres = _node_vertices(node_codes, present, zeros, log2_size,
+                             faces=faces)
+    return pres.sum(axis=1)
+
+
+def true_centroid_residuals(points: np.ndarray, node_codes: np.ndarray,
+                            point_node_idx: np.ndarray,
+                            edge_uniq: np.ndarray, present: np.ndarray,
+                            vpos: np.ndarray, log2_size: int,
+                            faces=None):
+    """Encoder: per >=3-vertex node, the residual between the node's
+    true point centroid and the vertex-mean centroid (reference
+    determineTrisoupCentroids, geometry_trisoup_encoder.cpp:800).
+    Returns (M,3) int residuals (zero where <3 vertices)."""
+    w = 1 << log2_size
+    m = node_codes.shape[0]
+    _, origin = edge_keys_for_nodes(node_codes, log2_size)
+    vw, pres = _node_vertices(node_codes, present, vpos, log2_size,
+                              faces=faces)
     counts = pres.sum(axis=1)
     vsum = np.where(pres[:, :, None], vw, 0.0).sum(axis=1)
     cent_v = vsum / np.maximum(counts, 1)[:, None]
@@ -204,31 +289,23 @@ def true_centroid_residuals(points: np.ndarray, node_codes: np.ndarray,
 
 def reconstruct(node_codes: np.ndarray, edge_uniq: np.ndarray,
                 present: np.ndarray, vpos: np.ndarray, log2_size: int,
-                bbox_max=None, centroid_resid: np.ndarray = None):
+                bbox_max=None, centroid_resid: np.ndarray = None,
+                faces=None):
     """Shared encoder/decoder reconstruction: vertices -> voxels.
 
     Vectorised: nodes are grouped by (vertex count, dominant axis) and
     each group's angle sort, triangle fan, and barycentric sampling run
     as one batch.  centroid_resid (M,3) shifts each node's fan centroid
-    (reference centroid vertex residual).  Returns sorted unique (P,3)
-    voxel positions.
+    (reference centroid vertex residual); faces adds interior face
+    vertices to the fans.  Returns sorted unique (P,3) voxel positions.
     """
     w = 1 << log2_size
-    keys, origin = edge_keys_for_nodes(node_codes, log2_size)
-    _, inv = unique_edges(keys)
+    _, origin = edge_keys_for_nodes(node_codes, log2_size)
     m = node_codes.shape[0]
     samples = 2 * w + 1
 
-    # per (node, edge): presence + world vertex position
-    pres = present[inv]                              # (M,12)
-    vw = np.zeros((m, 12, 3), dtype=np.float64)
-    for e in range(12):
-        ax = _EDGE_AXIS[e]
-        p1, p2 = _PERP[ax]
-        vw[:, e, :] = origin
-        vw[:, e, p1] += _EDGE_C1[e] * (w - 1)
-        vw[:, e, p2] += _EDGE_C2[e] * (w - 1)
-        vw[:, e, ax] += vpos[inv[:, e]]
+    vw, pres = _node_vertices(node_codes, present, vpos, log2_size,
+                              faces=faces)
     counts = pres.sum(axis=1)
 
     out = []
@@ -239,7 +316,7 @@ def reconstruct(node_codes: np.ndarray, edge_uniq: np.ndarray,
         out.append(_unique_codes(np.round(vw[sel]).astype(np.int64)))
 
     # >=3 vertices: group by count k, sub-group by dominant axis
-    for k in range(3, 13):
+    for k in range(3, 19):
         nk = np.nonzero(counts == k)[0]
         if nk.size == 0:
             continue

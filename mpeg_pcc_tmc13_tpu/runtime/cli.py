@@ -105,6 +105,8 @@ class Config:
                 p.trisoup_node_size_log2 = v
                 if v > 0:
                     p.geometry_codec = hls.GeometryCodecType.TRISOUP
+            elif name == "trisoupFaceVertexEnabled":
+                p.trisoup_face_vertex_enabled = opt.to_bool(value)
             elif name == "geomTreeType":
                 p.geometry_codec = (hls.GeometryCodecType.PREDICTIVE
                                     if opt.to_int(value)

@@ -63,6 +63,7 @@ class EncoderParams:
     merge_duplicated_points: bool = True
     geometry_codec: hls.GeometryCodecType = hls.GeometryCodecType.OCTREE
     trisoup_node_size_log2: int = 0
+    trisoup_face_vertex_enabled: bool = False
     attributes: List[AttributeConfig] = field(default_factory=list)
     # slice/tile partitioning (reference partitioning.cpp; CLI
     # partitionMethod TMC3.cpp:781)
@@ -173,6 +174,7 @@ class FrameEncoder:
             inferred_direct_coding_mode=1 if (
                 p.idcm and p.merge_duplicated_points) else 0,
             trisoup_node_size_log2=p.trisoup_node_size_log2,
+            trisoup_face_vertex_enabled=p.trisoup_face_vertex_enabled,
             interPredictionEnabled=p.inter_prediction,
             globalMotionEnabled=p.global_motion,
             angular_enabled=p.angular_enabled,
@@ -439,7 +441,8 @@ class FrameEncoder:
             recon_local = geometry_trisoup.encode(
                 local, depth, self.gps.trisoup_node_size_log2, enc,
                 self._geom_ctx, self._trisoup_ctx,
-                engine=p.engine, ctx_mode=ctx_mode)
+                engine=p.engine, ctx_mode=ctx_mode,
+                face_vertices=self.gps.trisoup_face_vertex_enabled)
         elif self.gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
             ref_pos = self._ref_points_for_slice(refs, slice_origin,
                                                  depth)

@@ -93,6 +93,65 @@ def test_trisoup_full_pipeline_with_attrs():
     assert chamfer_1way(pos, out.positions) <= 8
 
 
+def test_trisoup_face_vertices_roundtrip():
+    """Face vertices on: stream decodes bit-exactly and distortion does
+    not regress vs the node-size bound."""
+    depth, s = 7, 3
+    pos = surface_cloud(4000, depth, seed=6)
+    enc = entropy.RangeEncoder()
+    recon_enc = geometry_trisoup.encode(
+        pos, depth, s, enc, geometry_octree.OctreeContexts(),
+        geometry_trisoup.TrisoupContexts(), face_vertices=True)
+    data = enc.get_bytes()
+
+    dec = entropy.RangeDecoder(data)
+    recon_dec = geometry_trisoup.decode(
+        depth, s, dec, geometry_octree.OctreeContexts(),
+        geometry_trisoup.TrisoupContexts(), max_nodes=len(pos),
+        face_vertices=True)
+    np.testing.assert_array_equal(recon_enc, recon_dec)
+    assert chamfer_1way(pos, recon_dec) <= (1 << s) * 2
+
+    # the flag changes the stream: plain decode must not be used
+    enc2 = entropy.RangeEncoder()
+    geometry_trisoup.encode(
+        pos, depth, s, enc2, geometry_octree.OctreeContexts(),
+        geometry_trisoup.TrisoupContexts(), face_vertices=False)
+    assert enc2.get_bytes() != data
+
+
+def test_trisoup_face_vertex_cli_flag(tmp_path):
+    from mpeg_pcc_tmc13_tpu.runtime import cli
+    from mpeg_pcc_tmc13_tpu.utils import ply
+    pos = surface_cloud(2500, 7, seed=7).astype(np.float64)
+    in_ply = tmp_path / "in.ply"
+    ply.write(ply.PlyCloud(positions=pos), str(in_ply),
+              position_is_float=False)
+    out_bin = tmp_path / "o.bin"
+    rec_ply = tmp_path / "r.ply"
+    assert cli.main([f"--uncompressedDataPath={in_ply}",
+                     f"--compressedStreamPath={out_bin}", "--mode=0",
+                     "--trisoupNodeSizeLog2=3",
+                     "--trisoupFaceVertexEnabled=1",
+                     "--disableAttributeCoding=1"]) == 0
+    # flag must land in the GPS
+    from mpeg_pcc_tmc13_tpu.bitstream.tlv import PayloadType, iter_tlv
+    with open(out_bin, "rb") as f:
+        for buf in iter_tlv(f):
+            if buf.type == PayloadType.GEOMETRY_PARAMETER_SET:
+                g = hls.GeometryParameterSet.parse(buf.data)
+                assert g.trisoup_face_vertex_enabled is True
+                break
+        else:
+            raise AssertionError("no GPS in stream")
+    assert cli.main(["--mode=1", f"--compressedStreamPath={out_bin}",
+                     f"--reconstructedDataPath={rec_ply}"]) == 0
+    rec = ply.read(str(rec_ply))
+    assert rec.count > 0
+    assert chamfer_1way(pos.astype(np.int64),
+                        rec.positions.astype(np.int64)) <= 16
+
+
 def test_recolour_exact_on_identical_positions():
     rng = np.random.default_rng(4)
     pos = morton.decode(np.unique(morton.encode(
