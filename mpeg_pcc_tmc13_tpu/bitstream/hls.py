@@ -389,11 +389,17 @@ class GeometryBrickHeader:
 
 @dataclass
 class AttributeBrickHeader:
-    """reference hls.h:880-979 (ABH)."""
+    """reference hls.h:880-979 (ABH): slice QP deltas plus optional
+    per-layer QP offsets (abh_attr_layer_qp_delta_luma/chroma,
+    hls.h:921-933).  A "layer" is a RAHT sweep group or an LoD level;
+    offsets beyond the signalled list repeat the last entry."""
     aps_id: int = 0
     sps_attr_idx: int = 0         # which SPS attribute this brick codes
     slice_id: int = 0
-    qp_delta: int = 0
+    qp_delta: int = 0             # luma slice delta
+    qp_delta_chroma: int = 0
+    layer_qp_deltas_luma: List[int] = field(default_factory=list)
+    layer_qp_deltas_chroma: List[int] = field(default_factory=list)
 
     def write(self) -> bytes:
         w = BitWriter()
@@ -401,6 +407,13 @@ class AttributeBrickHeader:
         w.write_ue(self.sps_attr_idx)
         w.write_ue(self.slice_id)
         w.write_se(self.qp_delta)
+        w.write_se(self.qp_delta_chroma)
+        w.write_ue(len(self.layer_qp_deltas_luma))
+        for i, d in enumerate(self.layer_qp_deltas_luma):
+            w.write_se(d)
+            cd = (self.layer_qp_deltas_chroma[i]
+                  if i < len(self.layer_qp_deltas_chroma) else 0)
+            w.write_se(cd)
         w.byte_align()
         return w.get_bytes()
 
@@ -412,8 +425,23 @@ class AttributeBrickHeader:
         h.sps_attr_idx = r.read_ue()
         h.slice_id = r.read_ue()
         h.qp_delta = r.read_se()
+        h.qp_delta_chroma = r.read_se()
+        nl = r.read_ue()
+        for _ in range(nl):
+            h.layer_qp_deltas_luma.append(r.read_se())
+            h.layer_qp_deltas_chroma.append(r.read_se())
         r.byte_align()
         return h, r.byte_pos
+
+    def layer_qp_offset(self, comp: int, layer: int) -> int:
+        """Total ABH QP offset for component `comp` at `layer`
+        (layer < 0 = the DC/root coefficient -> layer 0)."""
+        off = self.qp_delta if comp == 0 else self.qp_delta_chroma
+        lst = (self.layer_qp_deltas_luma if comp == 0
+               else self.layer_qp_deltas_chroma)
+        if lst:
+            off += lst[min(max(layer, 0), len(lst) - 1)]
+        return off
 
 
 @dataclass

@@ -29,7 +29,7 @@ from ..ops import lod as lod_ops
 from ..utils import morton
 from .attributes import AttributeContexts, RES_CTX_SIZE, _RES_PREFIX_MAX, \
     _RES_K
-from .attr_raht import qp_to_step_q16
+from .attr_raht import _step_fn
 
 _LOD_PERIOD = 4
 
@@ -79,13 +79,6 @@ def _lift_quant_weights(levels: np.ndarray, nbr: np.ndarray) -> np.ndarray:
     return np.floor(np.sqrt(1.0 + refs) * 256.0 + 0.5).astype(np.int64)
 
 
-def _steps_for(aps, desc):
-    ncomp = desc.num_components
-    return [qp_to_step_q16(max(aps.init_qp
-                               + (aps.chroma_qp_offset if c > 0 else 0), 4))
-            for c in range(ncomp)]
-
-
 def _mode_eligible(recon, nbr, wq, threshold):
     """Per-point explicit-mode eligibility (reference predModeEligible,
     AttributeCommon.h:112-126): >=2 valid neighbours whose
@@ -114,7 +107,7 @@ def _predict_with_modes(recon, nbr, wq, modes):
 
 def encode(values: np.ndarray, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
-           ctx: AttributeContexts, ref=None) -> bytes:
+           ctx: AttributeContexts, ref=None, abh=None) -> bytes:
     """ref: optional (ref_positions (M,3), ref_values (M,C)) —
     motion-compensated reference-frame points in slice-local coords
     with their decoded attribute values (inter attribute prediction);
@@ -130,7 +123,7 @@ def encode(values: np.ndarray, positions: np.ndarray,
     ref_pos = ref[0] if ref is not None and len(ref[0]) else None
     m = 0 if ref_pos is None else ref_pos.shape[0]
     levels, nbr, wq, nl = _structure(positions, aps, ref_pos)
-    steps = _steps_for(aps, desc)
+    step_at = _step_fn(aps, abh)   # (component, LoD level) -> step
 
     q_out = np.zeros((n, ncomp), dtype=np.int64)  # in Morton order
 
@@ -143,10 +136,10 @@ def encode(values: np.ndarray, positions: np.ndarray,
             pred = lod_ops.predict_q16(work, nbr[sel], wq[sel])
             detail = work[sel] - pred
             # quantise details now (synthesis sees quantised ones)
-            q = np.stack([_quant(detail[:, c:c + 1], steps[c],
+            q = np.stack([_quant(detail[:, c:c + 1], step_at(c, l),
                                  factor[sel])[:, 0]
                           for c in range(ncomp)], axis=1)
-            dq = np.stack([_dequant(q[:, c:c + 1], steps[c],
+            dq = np.stack([_dequant(q[:, c:c + 1], step_at(c, l),
                                     factor[sel])[:, 0]
                            for c in range(ncomp)], axis=1)
             q_out[sel] = q
@@ -164,7 +157,8 @@ def encode(values: np.ndarray, positions: np.ndarray,
             work += upd
         # coarsest level: code values themselves (quantised, no factor)
         sel0 = levels == 0
-        q0 = np.stack([_quant(work[sel0][:, c:c + 1], steps[c])[:, 0]
+        q0 = np.stack([_quant(work[sel0][:, c:c + 1],
+                              step_at(c, 0))[:, 0]
                        for c in range(ncomp)], axis=1)
         q_out[sel0] = q0
     else:
@@ -196,10 +190,10 @@ def encode(values: np.ndarray, positions: np.ndarray,
                     recon, nbr[i:i + 1], wq[i:i + 1])[0]
                 res = vals[i] - pred
                 q = np.array([_quant(res[c:c + 1][None, :],
-                                     steps[c])[0, 0]
+                                     step_at(c, 0))[0, 0]
                               for c in range(ncomp)])
                 dq = np.array([_dequant(q[c:c + 1][None, :],
-                                        steps[c])[0, 0]
+                                        step_at(c, 0))[0, 0]
                                for c in range(ncomp)])
                 q0[j] = q
                 recon[m + i] = pred + dq
@@ -234,9 +228,11 @@ def encode(values: np.ndarray, positions: np.ndarray,
                     enc.bits(ctx.pred_modes, ids, bits)
             pred = _predict_with_modes(recon, nbr[sel], wq[sel], modes)
             res = vals[sel] - pred
-            q = np.stack([_quant(res[:, c:c + 1], steps[c])[:, 0]
+            q = np.stack([_quant(res[:, c:c + 1],
+                                 step_at(c, l))[:, 0]
                           for c in range(ncomp)], axis=1)
-            dq = np.stack([_dequant(q[:, c:c + 1], steps[c])[:, 0]
+            dq = np.stack([_dequant(q[:, c:c + 1],
+                                    step_at(c, l))[:, 0]
                            for c in range(ncomp)], axis=1)
             code_chunk(q)
             recon[m + sel] = pred + dq
@@ -255,7 +251,7 @@ def encode(values: np.ndarray, positions: np.ndarray,
 def decode(data: bytes, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
            ctx: AttributeContexts, ref=None,
-           max_levels: int = 0) -> np.ndarray:
+           max_levels: int = 0, abh=None) -> np.ndarray:
     """max_levels > 0: progressive decode — only the first max_levels
     LoD chunks are entropy-decoded; finer points reconstruct as pure
     predictions (residual 0), degrading gracefully (the scalable-decode
@@ -268,7 +264,7 @@ def decode(data: bytes, positions: np.ndarray,
     ref_pos = ref[0] if ref is not None and len(ref[0]) else None
     m = 0 if ref_pos is None else ref_pos.shape[0]
     levels, nbr, wq, nl = _structure(positions, aps, ref_pos)
-    steps = _steps_for(aps, desc)
+    step_at = _step_fn(aps, abh)   # (component, LoD level) -> step
 
     dec = entropy.RangeDecoder(data)
 
@@ -293,7 +289,7 @@ def decode(data: bytes, positions: np.ndarray,
                 pred = lod_ops.predict_q16(
                     recon, nbr[i:i + 1], wq[i:i + 1])[0]
                 dq = np.array([_dequant(q0[j, c:c + 1][None, :],
-                                        steps[c])[0, 0]
+                                        step_at(c, 0))[0, 0]
                                for c in range(ncomp)])
                 recon[m + i] = pred + dq
         thr = aps.adaptive_prediction_threshold
@@ -317,7 +313,8 @@ def decode(data: bytes, positions: np.ndarray,
                 recon[m + sel] = pred
                 continue
             q = read_chunk(sel.size)
-            dq = np.stack([_dequant(q[:, c:c + 1], steps[c])[:, 0]
+            dq = np.stack([_dequant(q[:, c:c + 1],
+                                    step_at(c, l))[:, 0]
                            for c in range(ncomp)], axis=1)
             recon[m + sel] = pred + dq
         out = recon[m:]
@@ -338,13 +335,13 @@ def decode(data: bytes, positions: np.ndarray,
         work = np.zeros((n, ncomp), dtype=np.int64)
         sel0 = levels == 0
         work[sel0] = np.stack(
-            [_dequant(q[sel0][:, c:c + 1], steps[c])[:, 0]
+            [_dequant(q[sel0][:, c:c + 1], step_at(c, 0))[:, 0]
              for c in range(ncomp)], axis=1)
         # synthesis coarse -> fine: un-update then un-predict
         for l in range(1, nl):
             sel = levels == l
-            dq = np.stack([_dequant(q[sel][:, c:c + 1], steps[c],
-                                    factor[sel])[:, 0]
+            dq = np.stack([_dequant(q[sel][:, c:c + 1],
+                                    step_at(c, l), factor[sel])[:, 0]
                            for c in range(ncomp)], axis=1)
             upd = np.zeros_like(work)
             valid = nbr[sel] >= 0
@@ -363,13 +360,15 @@ def decode(data: bytes, positions: np.ndarray,
         idx0 = np.nonzero(levels == 0)[0]
         for i in idx0:
             pred = lod_ops.predict_q16(recon, nbr[i:i + 1], wq[i:i + 1])[0]
-            dq = np.array([_dequant(q[i, c:c + 1][None, :], steps[c])[0, 0]
+            dq = np.array([_dequant(q[i, c:c + 1][None, :],
+                                    step_at(c, 0))[0, 0]
                            for c in range(ncomp)])
             recon[i] = pred + dq
         for l in range(1, nl):
             sel = levels == l
             pred = lod_ops.predict_q16(recon, nbr[sel], wq[sel])
-            dq = np.stack([_dequant(q[sel][:, c:c + 1], steps[c])[:, 0]
+            dq = np.stack([_dequant(q[sel][:, c:c + 1],
+                                    step_at(c, l))[:, 0]
                            for c in range(ncomp)], axis=1)
             recon[sel] = pred + dq
         out = recon

@@ -55,10 +55,26 @@ def _unique_and_inverse(codes: np.ndarray):
     return codes[keep], inv, keep
 
 
-def _steps(aps, ncomp):
+def _steps(aps, ncomp, abh=None):
     return [qp_to_step_q16(max(aps.init_qp
-                               + (aps.chroma_qp_offset if c > 0 else 0),
+                               + (aps.chroma_qp_offset if c > 0 else 0)
+                               + (abh.layer_qp_offset(c, 0)
+                                  if abh is not None else 0),
                                4)) for c in range(ncomp)]
+
+
+def _step_fn(aps, abh):
+    """(component, layer) -> step_q16 with ABH slice/layer QP deltas
+    (reference deriveQps, AttributeCommon.cpp)."""
+    base = [aps.init_qp + (aps.chroma_qp_offset if c > 0 else 0)
+            for c in range(3)]
+
+    def fn(c, layer):
+        qp = base[min(c, 2)]
+        if abh is not None:
+            qp += abh.layer_qp_offset(c, layer)
+        return qp_to_step_q16(max(qp, 4))
+    return fn
 
 
 def _ref_pyramid(ref, aps, depth, haar):
@@ -73,7 +89,7 @@ def _ref_pyramid(ref, aps, depth, haar):
 
 def encode(values: np.ndarray, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
-           ctx: AttributeContexts, ref=None) -> bytes:
+           ctx: AttributeContexts, ref=None, abh=None) -> bytes:
     codes = morton.encode(positions.astype(np.int64))
     uniq, inv, keep = _unique_and_inverse(codes)
     vals = np.asarray(values)
@@ -90,12 +106,13 @@ def encode(values: np.ndarray, positions: np.ndarray,
     depth = _tree_depth(uniq)
     haar = aps.raht_integer_haar
     ncomp = uvals.shape[1]
-    steps = _steps(aps, ncomp)
+    steps = _steps(aps, ncomp, abh)
+    step_at = _step_fn(aps, abh)
     enc = entropy.RangeEncoder()
 
     if aps.raht_prediction_enabled and uniq.size > 1:
         def quant(arr, tag):
-            q = np.stack([_quantize(arr[:, c], steps[c])
+            q = np.stack([_quantize(arr[:, c], step_at(c, tag))
                           for c in range(ncomp)], axis=1)
             for c in range(ncomp):
                 cs = ctx.residuals[c * RES_CTX_SIZE:
@@ -105,7 +122,8 @@ def encode(values: np.ndarray, positions: np.ndarray,
             return q
 
         def dequant(q, tag):
-            return np.stack([_dequantize(q[:, c], steps[c], haar)
+            return np.stack([_dequantize(q[:, c], step_at(c, tag),
+                                         haar)
                              for c in range(ncomp)], axis=1)
 
         raht_ops.forward_predicted(uniq, uvals, depth, quant, dequant,
@@ -124,14 +142,15 @@ def encode(values: np.ndarray, positions: np.ndarray,
 
 def decode(data: bytes, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
-           ctx: AttributeContexts, ref=None) -> np.ndarray:
+           ctx: AttributeContexts, ref=None, abh=None) -> np.ndarray:
     codes = morton.encode(positions.astype(np.int64))
     uniq, inv, keep = _unique_and_inverse(codes)
     depth = _tree_depth(uniq)
     haar = aps.raht_integer_haar
     n = uniq.size
     ncomp = desc.num_components
-    steps = _steps(aps, ncomp)
+    steps = _steps(aps, ncomp, abh)
+    step_at = _step_fn(aps, abh)
     dec = entropy.RangeDecoder(data)
 
     if aps.raht_prediction_enabled and n > 1:
@@ -145,7 +164,8 @@ def decode(data: bytes, positions: np.ndarray,
             return np.stack(cols, axis=1).astype(np.int64)
 
         def dequant(q, tag):
-            return np.stack([_dequantize(q[:, c], steps[c], haar)
+            return np.stack([_dequantize(q[:, c], step_at(c, tag),
+                                         haar)
                              for c in range(ncomp)], axis=1)
 
         vals = raht_ops.inverse_predicted(uniq, depth, read_q, dequant,

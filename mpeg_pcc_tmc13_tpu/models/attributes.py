@@ -80,13 +80,14 @@ def _morton_perm(positions: np.ndarray):
 
 def encode(values: np.ndarray, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
-           ctx: AttributeContexts, ref=None) -> bytes:
+           ctx: AttributeContexts, ref=None, abh=None) -> bytes:
     """Encode one attribute of a slice; returns the brick body bytes.
 
     positions: coding-grid positions in geometry coding order (the
     transform codecs need them for LoD / RAHT tree construction).
     ref: optional (ref_positions, ref_values) for inter attribute
     prediction (slice-local compensated reference points).
+    abh: the brick header carrying slice/per-layer QP deltas.
     """
     if aps.attr_encoding == AttributeEncoding.RAW:
         return encode_raw(values, desc)
@@ -96,18 +97,18 @@ def encode(values: np.ndarray, positions: np.ndarray,
     if aps.attr_encoding == AttributeEncoding.RAHT:
         from . import attr_raht
         return attr_raht.encode(values, positions, aps, desc, ctx,
-                                ref=ref)
+                                ref=ref, abh=abh)
     if aps.attr_encoding in (AttributeEncoding.PRED, AttributeEncoding.LIFT):
         from . import attr_predlift
         return attr_predlift.encode(values, positions, aps, desc, ctx,
-                                    ref=ref)
+                                    ref=ref, abh=abh)
     raise ValueError(f"unsupported attr_encoding {aps.attr_encoding}")
 
 
 def decode(data: bytes, positions: np.ndarray,
            aps: AttributeParameterSet, desc: AttributeDescription,
            ctx: AttributeContexts, ref=None,
-           max_lod_levels: int = 0) -> np.ndarray:
+           max_lod_levels: int = 0, abh=None) -> np.ndarray:
     count = positions.shape[0]
     if aps.attr_encoding == AttributeEncoding.RAW:
         return decode_raw(data, count, desc)
@@ -115,13 +116,13 @@ def decode(data: bytes, positions: np.ndarray,
     if aps.attr_encoding == AttributeEncoding.RAHT:
         from . import attr_raht
         vals = attr_raht.decode(data, positions[perm], aps, desc, ctx,
-                                ref=ref)
+                                ref=ref, abh=abh)
     elif aps.attr_encoding in (AttributeEncoding.PRED,
                                AttributeEncoding.LIFT):
         from . import attr_predlift
         vals = attr_predlift.decode(data, positions[perm], aps, desc,
                                     ctx, ref=ref,
-                                    max_levels=max_lod_levels)
+                                    max_levels=max_lod_levels, abh=abh)
     else:
         raise ValueError(f"unsupported attr_encoding {aps.attr_encoding}")
     out = np.empty_like(np.asarray(vals))

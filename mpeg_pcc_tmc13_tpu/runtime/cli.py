@@ -153,7 +153,9 @@ class Config:
                           "rahtPredictionEnabled", "levelOfDetailCount",
                           "numberOfNearestNeighborsInPrediction",
                           "maxNumDirectPredictors",
-                          "adaptivePredictionThreshold"):
+                          "adaptivePredictionThreshold",
+                          "qpLayerOffsetsLuma",
+                          "qpLayerOffsetsChroma"):
                 self._pending_attr[name] = value
             elif name == "attribute":
                 a = self._pending_attr
@@ -185,11 +187,20 @@ class Config:
                         a.get("maxNumDirectPredictors", "3")), 3),
                     adaptive_prediction_threshold=int(
                         a.get("adaptivePredictionThreshold", "64")),
+                    layer_qp_offsets_luma=_int_list(
+                        a.get("qpLayerOffsetsLuma", "")),
+                    layer_qp_offsets_chroma=_int_list(
+                        a.get("qpLayerOffsetsChroma", "")),
                 ))
             else:
                 self.ignored.append(name)
         except (ValueError, KeyError) as e:
             raise opt.OptionError(f"option {name}={value!r}: {e}") from e
+
+
+def _int_list(v: str) -> List[int]:
+    """Reference list syntax: comma- or space-separated ints."""
+    return [int(t) for t in v.replace(',', ' ').split()]
 
 
 def parse_command_line(argv: List[str]) -> Config:

@@ -258,7 +258,7 @@ class FrameDecoder:
         values = attr_model.decode(
             data[off:], sl.local, aps, desc,
             self._attr_ctx.get(abh.aps_id, attr_model.AttributeContexts()),
-            ref=ref, max_lod_levels=self.max_lod_levels)
+            ref=ref, max_lod_levels=self.max_lod_levels, abh=abh)
         sl.attrs[abh.sps_attr_idx] = values
 
     # -- frame output (reference outputCurrentCloud / inverse scale) --

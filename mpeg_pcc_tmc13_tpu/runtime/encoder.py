@@ -52,6 +52,11 @@ class AttributeConfig:
     num_pred_nearest_neighbours: int = 3
     max_direct_predictors: int = 3
     adaptive_prediction_threshold: int = 64
+    # per-layer QP offsets (reference qpLayerOffsetsLuma/Chroma,
+    # TMC3.cpp:1447-1453): layer = RAHT sweep group or LoD level;
+    # entries past the end repeat the last value
+    layer_qp_offsets_luma: List[int] = field(default_factory=list)
+    layer_qp_offsets_chroma: List[int] = field(default_factory=list)
 
 
 @dataclass
@@ -592,20 +597,25 @@ class FrameEncoder:
                                  axis=1)
                     if inb.any():
                         ref = (comp[inb], np.asarray(rv)[inb])
+            acfg = p.attributes[i]
+            abh = hls.AttributeBrickHeader(
+                aps_id=aps.aps_id, sps_attr_idx=i,
+                slice_id=self._slice_id,
+                layer_qp_deltas_luma=list(acfg.layer_qp_offsets_luma),
+                layer_qp_deltas_chroma=list(
+                    acfg.layer_qp_offsets_chroma))
             need_recon = aps.inter_prediction_enabled
             ctx_copy = self._attr_ctx[i].copy() if need_recon else None
             body = attr_model.encode(
                 values, dec_positions, aps, desc, self._attr_ctx[i],
-                ref=ref)
+                ref=ref, abh=abh)
             if need_recon:
                 recon = attr_model.decode(
-                    body, dec_positions, aps, desc, ctx_copy, ref=ref)
+                    body, dec_positions, aps, desc, ctx_copy, ref=ref,
+                    abh=abh)
                 self._attr_acc.append(
                     (dec_positions + slice_origin,
                      {i: np.asarray(recon)}))
-            abh = hls.AttributeBrickHeader(
-                aps_id=aps.aps_id, sps_attr_idx=i,
-                slice_id=self._slice_id)
             out(PayloadBuffer(PayloadType.ATTRIBUTE_BRICK,
                               abh.write() + body))
         self._slice_id += 1

@@ -112,3 +112,34 @@ def test_attribute_aps_knobs_flow_through(tmp_path, sample_ply):
     rec = tmp_path / "k.ply"
     assert cli.main(["--mode=1", f"--compressedStreamPath={out_bin}",
                      f"--reconstructedDataPath={rec}"]) == 0
+
+
+def test_layer_qp_offsets_cli(tmp_path, sample_ply):
+    """qpLayerOffsetsLuma/Chroma (reference TMC3.cpp:1447-1453) land in
+    the ABH and reduce the attribute rate at matched settings."""
+    in_ply, _, _ = sample_ply
+    sizes = {}
+    for tag, extra in (("flat", []),
+                       ("layered", ["--qpLayerOffsetsLuma=0,6,12,18,24",
+                                    "--qpLayerOffsetsChroma=0,6,12,18,24"])):
+        out_bin = tmp_path / f"{tag}.bin"
+        assert cli.main(
+            ["--mode=0", f"--uncompressedDataPath={in_ply}",
+             f"--compressedStreamPath={out_bin}", "--qp=16"]
+            + extra + ["--attribute=color"]) == 0
+        rec = tmp_path / f"{tag}.ply"
+        assert cli.main(["--mode=1", f"--compressedStreamPath={out_bin}",
+                         f"--reconstructedDataPath={rec}"]) == 0
+        sizes[tag] = out_bin.stat().st_size
+    assert sizes["layered"] < sizes["flat"]
+    from mpeg_pcc_tmc13_tpu.bitstream import hls as _hls
+    from mpeg_pcc_tmc13_tpu.bitstream.tlv import PayloadType, iter_tlv
+    with open(tmp_path / "layered.bin", "rb") as f:
+        for buf in iter_tlv(f):
+            if buf.type == PayloadType.ATTRIBUTE_BRICK:
+                abh, _ = _hls.AttributeBrickHeader.parse(buf.data)
+                assert abh.layer_qp_deltas_luma == [0, 6, 12, 18, 24]
+                assert abh.layer_qp_deltas_chroma == [0, 6, 12, 18, 24]
+                break
+        else:
+            raise AssertionError("no attribute brick")

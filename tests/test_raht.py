@@ -120,3 +120,60 @@ def test_full_pipeline_raht_lossy():
     # bounded error on random colors at qp 28 (step=16): loose sanity
     err = np.abs(got.colors.astype(int) - expect.colors.astype(int))
     assert err.mean() < 32
+
+
+def rough_surface(n=4000, depth=8, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = morton.decode(np.unique(morton.encode(
+        rng.integers(0, 1 << depth, (n, 3), dtype=np.int64))))
+    vals = (pos.sum(axis=1) // 3 % 256).astype(np.int64)[:, None] \
+        + rng.integers(0, 8, (len(pos), 1))
+    return pos, vals
+
+
+@pytest.mark.parametrize("enc_t", [hls.AttributeEncoding.RAHT,
+                                   hls.AttributeEncoding.PRED,
+                                   hls.AttributeEncoding.LIFT])
+def test_layer_qp_offsets(enc_t):
+    """ABH per-layer QP deltas (reference qpLayerOffsetsLuma,
+    hls.h:921): coarser fine layers trade rate for distortion; the
+    decoder must mirror the encoder's per-layer steps exactly."""
+    pos, vals = rough_surface(seed=10)
+    desc = hls.AttributeDescription(label="reflectance",
+                                    num_components=1, bitdepth=8)
+    sizes = {}
+    for lqp in (None, [0, 6, 12, 18]):
+        aps = hls.AttributeParameterSet(aps_id=0, attr_encoding=enc_t,
+                                        init_qp=10)
+        abh = hls.AttributeBrickHeader(
+            layer_qp_deltas_luma=list(lqp or []),
+            layer_qp_deltas_chroma=list(lqp or []))
+        abh2, _ = hls.AttributeBrickHeader.parse(abh.write())
+        body = attributes.encode(vals, pos, aps, desc,
+                                 attributes.AttributeContexts(), abh=abh)
+        out = attributes.decode(body, pos, aps, desc,
+                                attributes.AttributeContexts(), abh=abh2)
+        err = np.abs(np.asarray(out).reshape(-1) - vals.reshape(-1))
+        sizes[bool(lqp)] = (len(body), err.max())
+    assert sizes[True][0] < sizes[False][0]       # cheaper stream
+    assert sizes[False][1] <= sizes[True][1]      # uniform QP sharper
+    assert sizes[True][1] < 40                    # still bounded
+
+
+def test_abh_slice_qp_delta_applied():
+    """abh_attr_qp_delta shifts every layer's step."""
+    pos, vals = rough_surface(seed=11)
+    desc = hls.AttributeDescription(label="reflectance",
+                                    num_components=1, bitdepth=8)
+    aps = hls.AttributeParameterSet(
+        aps_id=0, attr_encoding=hls.AttributeEncoding.RAHT, init_qp=4)
+    abh = hls.AttributeBrickHeader(qp_delta=24)
+    body = attributes.encode(vals, pos, aps, desc,
+                             attributes.AttributeContexts(), abh=abh)
+    base = attributes.encode(vals, pos, aps, desc,
+                             attributes.AttributeContexts())
+    assert len(body) < len(base)    # qp 4+24 is much coarser than 4
+    out = attributes.decode(body, pos, aps, desc,
+                            attributes.AttributeContexts(), abh=abh)
+    err = np.abs(np.asarray(out).reshape(-1) - vals.reshape(-1))
+    assert 0 < err.max() < 64
