@@ -473,6 +473,31 @@ class TileInventory:
 
 
 @dataclass
+class UserData:
+    """User-data unit (reference hls.h:1041-1044): an OID naming the
+    data type followed by opaque payload bytes.  Decoders that don't
+    recognise the OID skip the unit."""
+    oid: Tuple[int, ...] = (1, 2)
+    payload: bytes = b""
+
+    def write(self) -> bytes:
+        w = BitWriter()
+        w.write_ue(len(self.oid))
+        for arc in self.oid:
+            w.write_ue(int(arc))
+        w.byte_align()
+        return w.get_bytes() + self.payload
+
+    @staticmethod
+    def parse(data: bytes):
+        r = BitReader(data)
+        n = r.read_ue()
+        oid = tuple(r.read_ue() for _ in range(n))
+        r.byte_align()
+        return UserData(oid=oid, payload=data[r.byte_pos:])
+
+
+@dataclass
 class ConstantAttribute:
     """Constant-attribute data unit (reference decodeConstantAttribute,
     decoder.cpp:994): one value for the whole slice instead of a brick."""

@@ -59,6 +59,8 @@ class FrameDecoder:
         self.sps: Dict[int, hls.SequenceParameterSet] = {}
         self.gps: Dict[int, hls.GeometryParameterSet] = {}
         self.aps: Dict[int, hls.AttributeParameterSet] = {}
+        # received user-data units (opaque; surfaced to the application)
+        self.user_data: List[hls.UserData] = []
         self.active_sps: Optional[hls.SequenceParameterSet] = None
         self._slices: List[_SliceState] = []
         self._frame_ctr_lsb: Optional[int] = None
@@ -109,7 +111,9 @@ class FrameDecoder:
                 sl.attrs[c.sps_attr_idx] = (
                     np.full(n, vals[0], dtype=np.int64) if vals.size == 1
                     else np.tile(vals, (n, 1)))
-        elif t in (PayloadType.TILE_INVENTORY, PayloadType.USER_DATA,
+        elif t == PayloadType.USER_DATA:
+            self.user_data.append(hls.UserData.parse(buf.data))
+        elif t in (PayloadType.TILE_INVENTORY,
                    PayloadType.DEFAULT_ATTRIBUTE):
             pass  # informational
         else:

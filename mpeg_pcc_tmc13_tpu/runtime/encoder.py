@@ -69,6 +69,9 @@ class EncoderParams:
     geometry_codec: hls.GeometryCodecType = hls.GeometryCodecType.OCTREE
     trisoup_node_size_log2: int = 0
     trisoup_face_vertex_enabled: bool = False
+    # opaque user data emitted once with the parameter sets
+    # (reference UserData, hls.h:1041)
+    user_data: Optional["hls.UserData"] = None
     attributes: List[AttributeConfig] = field(default_factory=list)
     # slice/tile partitioning (reference partitioning.cpp; CLI
     # partitionMethod TMC3.cpp:781)
@@ -244,6 +247,9 @@ class FrameEncoder:
             for a in self.aps:
                 out(PayloadBuffer(PayloadType.ATTRIBUTE_PARAMETER_SET,
                                   a.write()))
+            if p.user_data is not None:
+                out(PayloadBuffer(PayloadType.USER_DATA,
+                                  p.user_data.write()))
         qcloud = self._prepare_frame(cloud)
         ctr = self.frame_ctr
         self.frame_ctr += 1
