@@ -143,3 +143,35 @@ def test_layer_qp_offsets_cli(tmp_path, sample_ply):
                 break
         else:
             raise AssertionError("no attribute brick")
+
+
+def test_ctc_cfg_generator(tmp_path, sample_ply):
+    """scripts/gen_ctc_cfg.py trees are directly consumable by the CLI
+    (reference gen-cfg.sh + cfg/*.yaml equivalent)."""
+    import json
+    import subprocess
+    import sys
+    in_ply, _, _ = sample_ply
+    seqs = tmp_path / "seqs.json"
+    seqs.write_text(json.dumps([{
+        "name": "t", "src": str(in_ply), "gp": 9,
+        "attrs": ["color"], "frames": 1}]))
+    out = tmp_path / "cfg"
+    r = subprocess.run(
+        [sys.executable, "scripts/gen_ctc_cfg.py", "--out", str(out),
+         "--seq-json", str(seqs), "--geom", "octree",
+         "--attr", "raht"], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    # C1 6 rates + C2 6 rates + CW 1 = 13 dirs
+    cfgs = sorted(out.rglob("encoder.cfg"))
+    assert len(cfgs) == 13
+    # run the lossless point end-to-end
+    d = out / "octree-raht-ctc-lossless-geom-lossless-attrs" / "t" / "r01"
+    bs, rec = tmp_path / "o.bin", tmp_path / "r.ply"
+    assert cli.main(["-c", str(d / "encoder.cfg"),
+                     f"--compressedStreamPath={bs}"]) == 0
+    assert cli.main(["-c", str(d / "decoder.cfg"),
+                     f"--compressedStreamPath={bs}",
+                     f"--reconstructedDataPath={rec}"]) == 0
+    from mpeg_pcc_tmc13_tpu.utils import ply as _ply
+    assert _ply.read(str(rec)).count > 0
