@@ -245,6 +245,11 @@ class AttributeParameterSet:
     # PCCTMC3Common.h:276-302): reference-frame points join the LoD
     # predictor pool on inter slices
     inter_prediction_enabled: bool = False
+    # last-component prediction (reference hls.h
+    # last_component_prediction_enabled_flag): the third component's
+    # residual is predicted from the second's reconstruction with a
+    # per-layer Q2 coefficient carried in the ABH
+    last_component_prediction_enabled: bool = False
 
     def write(self) -> bytes:
         w = BitWriter()
@@ -264,6 +269,7 @@ class AttributeParameterSet:
         w.write_bit(self.scalable_lifting_enabled)
         w.write_bit(self.spherical_coord_enabled)
         w.write_bit(self.inter_prediction_enabled)
+        w.write_bit(self.last_component_prediction_enabled)
         w.byte_align()
         return w.get_bytes()
 
@@ -287,6 +293,7 @@ class AttributeParameterSet:
         a.scalable_lifting_enabled = bool(r.read_bit())
         a.spherical_coord_enabled = bool(r.read_bit())
         a.inter_prediction_enabled = bool(r.read_bit())
+        a.last_component_prediction_enabled = bool(r.read_bit())
         return a
 
 
@@ -400,6 +407,10 @@ class AttributeBrickHeader:
     qp_delta_chroma: int = 0
     layer_qp_deltas_luma: List[int] = field(default_factory=list)
     layer_qp_deltas_chroma: List[int] = field(default_factory=list)
+    # last-component prediction coefficients, one per layer in the
+    # codec's chunk order (reference attrLcpCoeffs, hls.h:887;
+    # se-diff coded, range [-8, 8], Q2 fixed point)
+    lcp_coeffs: List[int] = field(default_factory=list)
 
     def write(self) -> bytes:
         w = BitWriter()
@@ -414,6 +425,11 @@ class AttributeBrickHeader:
             cd = (self.layer_qp_deltas_chroma[i]
                   if i < len(self.layer_qp_deltas_chroma) else 0)
             w.write_se(cd)
+        w.write_ue(len(self.lcp_coeffs))
+        pred = 0
+        for c in self.lcp_coeffs:
+            w.write_se(int(c) - pred)
+            pred = int(c)
         w.byte_align()
         return w.get_bytes()
 
@@ -430,6 +446,11 @@ class AttributeBrickHeader:
         for _ in range(nl):
             h.layer_qp_deltas_luma.append(r.read_se())
             h.layer_qp_deltas_chroma.append(r.read_se())
+        nc = r.read_ue()
+        pred = 0
+        for _ in range(nc):
+            pred += r.read_se()
+            h.lcp_coeffs.append(pred)
         r.byte_align()
         return h, r.byte_pos
 

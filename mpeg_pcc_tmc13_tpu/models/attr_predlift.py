@@ -29,7 +29,7 @@ from ..ops import lod as lod_ops
 from ..utils import morton
 from .attributes import AttributeContexts, RES_CTX_SIZE, _RES_PREFIX_MAX, \
     _RES_K
-from .attr_raht import _step_fn
+from .attr_raht import _lcp_estimate, _lcp_pred, _step_fn
 
 _LOD_PERIOD = 4
 
@@ -126,6 +126,12 @@ def encode(values: np.ndarray, positions: np.ndarray,
     step_at = _step_fn(aps, abh)   # (component, LoD level) -> step
 
     q_out = np.zeros((n, ncomp), dtype=np.int64)  # in Morton order
+    # last-component prediction: LIFT only (reference applies it in
+    # the lifting colour path, AttributeEncoder.cpp:1420); one Q2
+    # coefficient per LoD level in the ABH
+    lcp_on = (aps.last_component_prediction_enabled and ncomp == 3
+              and lift and abh is not None)
+    lift_lcp = np.zeros(nl, dtype=np.int64)
 
     if lift:
         factor = _lift_quant_weights(levels, nbr)
@@ -142,6 +148,14 @@ def encode(values: np.ndarray, positions: np.ndarray,
             dq = np.stack([_dequant(q[:, c:c + 1], step_at(c, l),
                                     factor[sel])[:, 0]
                            for c in range(ncomp)], axis=1)
+            if lcp_on:
+                k = _lcp_estimate(detail[:, 1], detail[:, 2])
+                lift_lcp[l] = k
+                pred2 = _lcp_pred(k, dq[:, 1], True)
+                q[:, 2] = _quant((detail[:, 2] - pred2)[:, None],
+                                 step_at(2, l), factor[sel])[:, 0]
+                dq[:, 2] = _dequant(q[:, 2:3], step_at(2, l),
+                                    factor[sel])[:, 0] + pred2
             q_out[sel] = q
             work[sel] = dq  # hold dequantised details
             # update step: redistribute detail energy to predictors
@@ -160,7 +174,17 @@ def encode(values: np.ndarray, positions: np.ndarray,
         q0 = np.stack([_quant(work[sel0][:, c:c + 1],
                               step_at(c, 0))[:, 0]
                        for c in range(ncomp)], axis=1)
+        if lcp_on:
+            v0 = work[sel0]
+            k = _lcp_estimate(v0[:, 1], v0[:, 2])
+            lift_lcp[0] = k
+            dq1 = _dequant(q0[:, 1:2], step_at(1, 0))[:, 0]
+            pred2 = _lcp_pred(k, dq1, True)
+            q0[:, 2] = _quant((v0[:, 2] - pred2)[:, None],
+                              step_at(2, 0))[:, 0]
         q_out[sel0] = q0
+        if lcp_on:
+            abh.lcp_coeffs.extend(int(v) for v in lift_lcp)
     else:
         # predicting transform: per-level chunks so explicit per-point
         # prediction modes (reference decidePredModeRefl,
@@ -265,6 +289,12 @@ def decode(data: bytes, positions: np.ndarray,
     m = 0 if ref_pos is None else ref_pos.shape[0]
     levels, nbr, wq, nl = _structure(positions, aps, ref_pos)
     step_at = _step_fn(aps, abh)   # (component, LoD level) -> step
+    lcp_on = (aps.last_component_prediction_enabled and ncomp == 3
+              and lift and abh is not None
+              and len(abh.lcp_coeffs) > 0)
+
+    def lcp_k(l):
+        return abh.lcp_coeffs[min(l, len(abh.lcp_coeffs) - 1)]
 
     dec = entropy.RangeDecoder(data)
 
@@ -337,12 +367,16 @@ def decode(data: bytes, positions: np.ndarray,
         work[sel0] = np.stack(
             [_dequant(q[sel0][:, c:c + 1], step_at(c, 0))[:, 0]
              for c in range(ncomp)], axis=1)
+        if lcp_on:
+            work[sel0, 2] += _lcp_pred(lcp_k(0), work[sel0, 1], True)
         # synthesis coarse -> fine: un-update then un-predict
         for l in range(1, nl):
             sel = levels == l
             dq = np.stack([_dequant(q[sel][:, c:c + 1],
                                     step_at(c, l), factor[sel])[:, 0]
                            for c in range(ncomp)], axis=1)
+            if lcp_on:
+                dq[:, 2] += _lcp_pred(lcp_k(l), dq[:, 1], True)
             upd = np.zeros_like(work)
             valid = nbr[sel] >= 0
             idx = np.where(valid, nbr[sel], 0)

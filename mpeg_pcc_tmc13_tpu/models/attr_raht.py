@@ -77,6 +77,23 @@ def _step_fn(aps, abh):
     return fn
 
 
+def _lcp_estimate(c1: np.ndarray, c2: np.ndarray) -> int:
+    """Per-layer last-component prediction coefficient (reference
+    computeLastComponentPredictionCoeff, AttributeEncoder.cpp:1499):
+    least-squares c2 ~ (k/4) * c1, k clipped to [-8, 8]."""
+    s11 = float(np.dot(c1.astype(np.float64), c1.astype(np.float64)))
+    if s11 <= 0.0:
+        return 0
+    s12 = float(np.dot(c1.astype(np.float64), c2.astype(np.float64)))
+    return int(np.clip(round(4.0 * s12 / s11), -8, 8))
+
+
+def _lcp_pred(k: int, dq1: np.ndarray, integer: bool) -> np.ndarray:
+    if integer:
+        return (np.int64(k) * dq1.astype(np.int64)) >> 2
+    return k * dq1 / 4.0
+
+
 def _ref_pyramid(ref, aps, depth, haar):
     if ref is None or not aps.inter_prediction_enabled \
             or not aps.raht_prediction_enabled or not len(ref[0]):
@@ -110,10 +127,23 @@ def encode(values: np.ndarray, positions: np.ndarray,
     step_at = _step_fn(aps, abh)
     enc = entropy.RangeEncoder()
 
+    lcp_on = (aps.last_component_prediction_enabled and ncomp == 3
+              and abh is not None)
+
     if aps.raht_prediction_enabled and uniq.size > 1:
         def quant(arr, tag):
-            q = np.stack([_quantize(arr[:, c], step_at(c, tag))
-                          for c in range(ncomp)], axis=1)
+            cols = [_quantize(arr[:, c], step_at(c, tag))
+                    for c in range(ncomp)]
+            if lcp_on:
+                # chunk-order coefficient: subtract the predicted
+                # part of comp 2 before quantising
+                dq1 = _dequantize(cols[1], step_at(1, tag), haar)
+                k = _lcp_estimate(arr[:, 1], arr[:, 2])
+                abh.lcp_coeffs.append(k)
+                cols[2] = _quantize(
+                    arr[:, 2] - _lcp_pred(k, dq1, haar),
+                    step_at(2, tag))
+            q = np.stack(cols, axis=1)
             for c in range(ncomp):
                 cs = ctx.residuals[c * RES_CTX_SIZE:
                                    (c + 1) * RES_CTX_SIZE]
@@ -122,9 +152,12 @@ def encode(values: np.ndarray, positions: np.ndarray,
             return q
 
         def dequant(q, tag):
-            return np.stack([_dequantize(q[:, c], step_at(c, tag),
-                                         haar)
-                             for c in range(ncomp)], axis=1)
+            cols = [_dequantize(q[:, c], step_at(c, tag), haar)
+                    for c in range(ncomp)]
+            if lcp_on:
+                cols[2] = cols[2] + _lcp_pred(abh.lcp_coeffs[-1],
+                                              cols[1], haar)
+            return np.stack(cols, axis=1)
 
         raht_ops.forward_predicted(uniq, uvals, depth, quant, dequant,
                                    integer_haar=haar,
@@ -153,6 +186,10 @@ def decode(data: bytes, positions: np.ndarray,
     step_at = _step_fn(aps, abh)
     dec = entropy.RangeDecoder(data)
 
+    lcp_on = (aps.last_component_prediction_enabled and ncomp == 3
+              and abh is not None and len(abh.lcp_coeffs) > 0)
+    lcp_idx = [0]
+
     if aps.raht_prediction_enabled and n > 1:
         def read_q(count, tag):
             cols = []
@@ -164,9 +201,14 @@ def decode(data: bytes, positions: np.ndarray,
             return np.stack(cols, axis=1).astype(np.int64)
 
         def dequant(q, tag):
-            return np.stack([_dequantize(q[:, c], step_at(c, tag),
-                                         haar)
-                             for c in range(ncomp)], axis=1)
+            cols = [_dequantize(q[:, c], step_at(c, tag), haar)
+                    for c in range(ncomp)]
+            if lcp_on:
+                i = min(lcp_idx[0], len(abh.lcp_coeffs) - 1)
+                lcp_idx[0] += 1
+                cols[2] = cols[2] + _lcp_pred(abh.lcp_coeffs[i],
+                                              cols[1], haar)
+            return np.stack(cols, axis=1)
 
         vals = raht_ops.inverse_predicted(uniq, depth, read_q, dequant,
                                           ncomp, integer_haar=haar,

@@ -155,7 +155,8 @@ class Config:
                           "maxNumDirectPredictors",
                           "adaptivePredictionThreshold",
                           "qpLayerOffsetsLuma",
-                          "qpLayerOffsetsChroma"):
+                          "qpLayerOffsetsChroma",
+                          "lastComponentPredictionEnabled"):
                 self._pending_attr[name] = value
             elif name == "attribute":
                 a = self._pending_attr
@@ -191,6 +192,8 @@ class Config:
                         a.get("qpLayerOffsetsLuma", "")),
                     layer_qp_offsets_chroma=_int_list(
                         a.get("qpLayerOffsetsChroma", "")),
+                    last_component_prediction=opt.to_bool(
+                        a.get("lastComponentPredictionEnabled", "0")),
                 ))
             else:
                 self.ignored.append(name)

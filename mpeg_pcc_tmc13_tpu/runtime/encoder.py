@@ -57,6 +57,9 @@ class AttributeConfig:
     # entries past the end repeat the last value
     layer_qp_offsets_luma: List[int] = field(default_factory=list)
     layer_qp_offsets_chroma: List[int] = field(default_factory=list)
+    # last-component (chroma-from-chroma) prediction (reference
+    # lastComponentPredictionEnabled, TMC3.cpp:1404)
+    last_component_prediction: bool = False
 
 
 @dataclass
@@ -202,7 +205,9 @@ class FrameEncoder:
                 adaptive_prediction_threshold=(
                     ac.adaptive_prediction_threshold),
                 inter_prediction_enabled=(
-                    ac.inter_pred and p.inter_prediction)))
+                    ac.inter_pred and p.inter_prediction),
+                last_component_prediction_enabled=(
+                    ac.last_component_prediction)))
         self.sps, self.gps, self.aps = sps, gps, aps_list
 
     # -- tile + slice partitioning (reference encoder.cpp:340-473) ----

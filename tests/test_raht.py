@@ -177,3 +177,69 @@ def test_abh_slice_qp_delta_applied():
                             attributes.AttributeContexts(), abh=abh)
     err = np.abs(np.asarray(out).reshape(-1) - vals.reshape(-1))
     assert 0 < err.max() < 64
+
+
+@pytest.mark.parametrize("enc_t", [hls.AttributeEncoding.RAHT,
+                                   hls.AttributeEncoding.LIFT])
+def test_last_component_prediction(enc_t):
+    """LCP (reference attrLcpCoeffs, hls.h:887): with correlated
+    chroma, predicting comp 2 from comp 1 shrinks the stream at equal
+    distortion; the coefficients travel in the ABH."""
+    rng = np.random.default_rng(12)
+    pos = morton.decode(np.unique(morton.encode(
+        rng.integers(0, 256, (5000, 3), dtype=np.int64))))
+    n = len(pos)
+    base = (pos[:, 0] // 2 % 200).astype(np.int64)
+    vals = np.stack([rng.integers(0, 256, n),
+                     base + rng.integers(-10, 11, n),
+                     (base * 7) // 10 + rng.integers(-5, 6, n)], axis=1)
+    desc = hls.AttributeDescription(label="color", num_components=3,
+                                    bitdepth=8)
+    res = {}
+    for lcp in (False, True):
+        aps = hls.AttributeParameterSet(
+            aps_id=0, attr_encoding=enc_t, init_qp=16,
+            last_component_prediction_enabled=lcp)
+        abh = hls.AttributeBrickHeader()
+        body = attributes.encode(vals, pos, aps, desc,
+                                 attributes.AttributeContexts(), abh=abh)
+        abh2, _ = hls.AttributeBrickHeader.parse(abh.write())
+        out = attributes.decode(body, pos, aps, desc,
+                                attributes.AttributeContexts(), abh=abh2)
+        err = np.abs(np.asarray(out) - vals)
+        res[lcp] = (len(body), err.max())
+        if lcp:
+            assert abh.lcp_coeffs and max(abh.lcp_coeffs) > 0
+        else:
+            assert not abh.lcp_coeffs
+    assert res[True][0] < res[False][0]
+    assert res[True][1] <= res[False][1] + 2
+
+
+def test_lcp_cli_flag(tmp_path):
+    from mpeg_pcc_tmc13_tpu.runtime import cli
+    from mpeg_pcc_tmc13_tpu.utils import ply
+    rng = np.random.default_rng(13)
+    pos = morton.decode(np.unique(morton.encode(
+        rng.integers(0, 512, (4000, 3), dtype=np.int64)))
+    ).astype(np.float64)
+    base = (pos[:, 0].astype(np.int64) % 200)
+    colors = np.stack([base + 30, base // 2 + 60,
+                       (base * 3) // 4 + 20], axis=1).astype(np.uint16)
+    in_ply = tmp_path / "in.ply"
+    ply.write(ply.PlyCloud(positions=pos, colors=colors), str(in_ply),
+              position_is_float=False)
+    sizes = {}
+    for tag, flag in (("off", "0"), ("on", "1")):
+        bs = tmp_path / f"{tag}.bin"
+        assert cli.main([
+            "--mode=0", f"--uncompressedDataPath={in_ply}",
+            f"--compressedStreamPath={bs}", "--qp=22",
+            f"--lastComponentPredictionEnabled={flag}",
+            "--attribute=color"]) == 0
+        rec = tmp_path / f"{tag}.ply"
+        assert cli.main(["--mode=1", f"--compressedStreamPath={bs}",
+                         f"--reconstructedDataPath={rec}"]) == 0
+        assert ply.read(str(rec)).count > 0
+        sizes[tag] = bs.stat().st_size
+    assert sizes["on"] <= sizes["off"]
