@@ -262,9 +262,22 @@ def encode(values: np.ndarray, positions: np.ndarray,
             recon[m + sel] = pred + dq
         return enc.get_bytes()
 
-    # lifting: serialise in LoD order (coarse first — scalable)
-    order = lod_ops.lod_order(levels)
     enc = entropy.RangeEncoder()
+    if aps.scalable_lifting_enabled:
+        # scalable lifting (reference aps_scalable_enable_flag):
+        # independent per-level chunks so a decoder can stop after
+        # any LoD level and synthesise with zero finer details
+        for l in range(nl):
+            sel = levels == l
+            for c in range(ncomp):
+                cslice = ctx.residuals[c * RES_CTX_SIZE:
+                                       (c + 1) * RES_CTX_SIZE]
+                enc.residuals(cslice,
+                              q_out[sel][:, c].astype(np.int32),
+                              _RES_PREFIX_MAX, _RES_K)
+        return enc.get_bytes()
+    # non-scalable: one stream in LoD order (coarse first)
+    order = lod_ops.lod_order(levels)
     for c in range(ncomp):
         cslice = ctx.residuals[c * RES_CTX_SIZE:(c + 1) * RES_CTX_SIZE]
         enc.residuals(cslice, q_out[order][:, c].astype(np.int32),
@@ -352,13 +365,27 @@ def decode(data: bytes, positions: np.ndarray,
             return out[:, 0]
         return out
 
-    order = lod_ops.lod_order(levels)
-    q_lod = np.zeros((n, ncomp), dtype=np.int64)
-    for c in range(ncomp):
-        cslice = ctx.residuals[c * RES_CTX_SIZE:(c + 1) * RES_CTX_SIZE]
-        q_lod[:, c] = dec.residuals(cslice, n, _RES_PREFIX_MAX, _RES_K)
     q = np.zeros((n, ncomp), dtype=np.int64)
-    q[order] = q_lod  # back to Morton order
+    if aps.scalable_lifting_enabled:
+        # per-level chunks; max_levels truncates (zero details)
+        for l in range(nl):
+            if max_levels > 0 and l >= max_levels:
+                break
+            idx = np.nonzero(levels == l)[0]
+            for c in range(ncomp):
+                cslice = ctx.residuals[c * RES_CTX_SIZE:
+                                       (c + 1) * RES_CTX_SIZE]
+                q[idx, c] = dec.residuals(cslice, idx.size,
+                                          _RES_PREFIX_MAX, _RES_K)
+    else:
+        order = lod_ops.lod_order(levels)
+        q_lod = np.zeros((n, ncomp), dtype=np.int64)
+        for c in range(ncomp):
+            cslice = ctx.residuals[c * RES_CTX_SIZE:
+                                   (c + 1) * RES_CTX_SIZE]
+            q_lod[:, c] = dec.residuals(cslice, n, _RES_PREFIX_MAX,
+                                        _RES_K)
+        q[order] = q_lod  # back to Morton order
 
     if lift:
         factor = _lift_quant_weights(levels, nbr)

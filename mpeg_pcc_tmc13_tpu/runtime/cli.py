@@ -156,7 +156,8 @@ class Config:
                           "adaptivePredictionThreshold",
                           "qpLayerOffsetsLuma",
                           "qpLayerOffsetsChroma",
-                          "lastComponentPredictionEnabled"):
+                          "lastComponentPredictionEnabled",
+                          "aps_scalable_enable_flag"):
                 self._pending_attr[name] = value
             elif name == "attribute":
                 a = self._pending_attr
@@ -194,6 +195,8 @@ class Config:
                         a.get("qpLayerOffsetsChroma", "")),
                     last_component_prediction=opt.to_bool(
                         a.get("lastComponentPredictionEnabled", "0")),
+                    scalable_lifting=opt.to_bool(
+                        a.get("aps_scalable_enable_flag", "0")),
                 ))
             else:
                 self.ignored.append(name)

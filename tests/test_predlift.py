@@ -198,3 +198,39 @@ def test_progressive_attribute_decode():
             assert err <= prev_err + 1e-9  # more levels -> better
         prev_err = err
     assert prev_err < 3  # smooth field predicts well even truncated
+
+
+def test_scalable_lifting_truncated_decode():
+    """Scalable lifting (reference aps_scalable_enable_flag): the
+    stream is chunked per LoD level; decoding only the first k chunks
+    yields a coarse-but-valid reconstruction, and the full decode is
+    identical to the non-scalable result."""
+    rng = np.random.default_rng(21)
+    pos = morton.decode(np.unique(morton.encode(
+        rng.integers(0, 512, (6000, 3), dtype=np.int64))))
+    vals = (pos[:, 0] // 4 + pos[:, 1] // 8).astype(np.int64)[:, None]
+    desc = hls.AttributeDescription(label="reflectance",
+                                    num_components=1, bitdepth=8)
+    aps = hls.AttributeParameterSet(
+        aps_id=0, attr_encoding=hls.AttributeEncoding.LIFT, init_qp=10,
+        scalable_lifting_enabled=True)
+    body = attributes.encode(vals, pos, aps, desc,
+                             attributes.AttributeContexts())
+    full = np.asarray(attributes.decode(
+        body, pos, aps, desc, attributes.AttributeContexts()))
+    errs = []
+    for ml in (1, 3, 0):
+        out = np.asarray(attributes.decode(
+            body, pos, aps, desc, attributes.AttributeContexts(),
+            max_lod_levels=ml))
+        errs.append(np.abs(out.reshape(-1) - vals.reshape(-1)).mean())
+    # more levels -> strictly better; ml=0 (all) == full decode
+    assert errs[1] < errs[0]
+    assert errs[2] == np.abs(full.reshape(-1) - vals.reshape(-1)).mean()
+    assert errs[2] <= 1.0
+    # rate overhead of chunking is small
+    aps_ns = hls.AttributeParameterSet(
+        aps_id=0, attr_encoding=hls.AttributeEncoding.LIFT, init_qp=10)
+    body_ns = attributes.encode(vals, pos, aps_ns, desc,
+                                attributes.AttributeContexts())
+    assert len(body) < len(body_ns) * 1.1
