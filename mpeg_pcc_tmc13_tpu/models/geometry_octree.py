@@ -37,6 +37,25 @@ _DUP_PREFIX_MAX = 2
 _DUP_K = 0
 DUP_CTX_SIZE = _DUP_PREFIX_MAX + 8
 
+# Planar mode (reference planar coding, geometry_octree_encoder.cpp
+# determinePlanarMode / eligibility OctreeNeighMap.h): per node and
+# axis, a flag "all occupied children lie in one half-plane" plus the
+# plane position; occupancy is then coded only over the surviving
+# child slots (4/2/1-bit sub-symbols instead of the 8-bit symbol).
+# TPU-first redesign: eligibility is LEVEL-causal — an axis is planar-
+# eligible at level l iff the fraction of planar nodes at level l-1
+# reached PLANAR_THRESHOLD (both sides derive this from decoded data),
+# so all signalling stays one data-parallel pass per level.
+# ctx layout: flags 6 (axis * 2 | prev-node flag) + positions 3.
+PLANAR_CTX_SIZE = 9
+PLANAR_THRESHOLD = 0.6
+# sub-symbol trees: k=1 planar axis -> 15-node tree per (axis, side)
+# [6 * 15]; k=2 -> 3-node tree per (free axis, side pair) [12 * 3].
+PLANAR_OCC_CTX_SIZE = 6 * 15 + 12 * 3
+_PLN_K2_OFF = 6 * 15
+# child-slot axis bits of the octant index (Morton interleave order)
+_AXIS_BIT = (4, 2, 1)
+
 # IDCM (inferred direct coding mode, reference encodeDirectPosition
 # geometry_octree_encoder.cpp:1577, mkIdcmEnableMask geometry_octree.cpp:
 # 264): an *only-child* node at level >= 2 holding <= 2 unique points
@@ -63,11 +82,16 @@ class OctreeContexts:
         default_factory=lambda: entropy.new_contexts(ops.OCC_CTX_SIZE))
     idcm: np.ndarray = field(
         default_factory=lambda: entropy.new_contexts(IDCM_CTX_SIZE))
+    planar: np.ndarray = field(
+        default_factory=lambda: entropy.new_contexts(PLANAR_CTX_SIZE))
+    planar_occ: np.ndarray = field(
+        default_factory=lambda: entropy.new_contexts(PLANAR_OCC_CTX_SIZE))
 
     def copy(self) -> "OctreeContexts":
         return OctreeContexts(self.occupancy.copy(), self.dups.copy(),
                               self.occupancy_inter.copy(),
-                              self.idcm.copy())
+                              self.idcm.copy(), self.planar.copy(),
+                              self.planar_occ.copy())
 
 
 def _dedup_sorted(codes_sorted: np.ndarray):
@@ -92,7 +116,7 @@ def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
            unique_points: bool = True, engine: str = "auto",
            ctx_mode: int = ops.CTX_MODE_NEIGH,
            ref_codes: np.ndarray = None, idcm: bool = False,
-           need_order: bool = True):
+           need_order: bool = True, planar: bool = False):
     """Encode integer positions in [0, 2**depth)^3.
 
     ref_codes: sorted unique Morton codes of the motion-compensated
@@ -116,6 +140,11 @@ def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
 
     if depth == 0 or uniq.size == 0:
         pass
+    elif planar and (ref_codes is None or ref_codes.size == 0) \
+            and not idcm:
+        # planar mode runs the numpy engine (native planar: r2);
+        # the empty-ref gate must match decode()'s exactly
+        encode_planar_np(uniq, depth, enc, ctx, ctx_mode)
     elif idcm and unique_points and ref_codes is None:
         encode_idcm_np(uniq, depth, enc, ctx, ctx_mode)
     elif ref_codes is not None and ref_codes.size:
@@ -155,6 +184,164 @@ def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
         enc.ueg(ctx.dups, np.zeros(dup_counts.size, dtype=np.int32),
                 (dup_counts - 1).astype(np.uint32), _DUP_PREFIX_MAX, _DUP_K)
     return order
+
+
+# occ-bit masks of the "low" half-plane per axis (axis order of
+# _AXIS_BIT: octant bits 4, 2, 1)
+_PLN_LO = (0x0F, 0x33, 0x55)
+
+
+def _planar_flags(occ: np.ndarray):
+    """(planar (N,3) bool, side (N,3) int32) from occupancy bytes."""
+    n = occ.shape[0]
+    planar = np.zeros((n, 3), dtype=bool)
+    side = np.zeros((n, 3), dtype=np.int32)
+    for a in range(3):
+        lo = (occ & ~np.int32(_PLN_LO[a]) & 0xFF) == 0
+        hi = (occ & np.int32(_PLN_LO[a])) == 0
+        planar[:, a] = lo | hi
+        side[:, a] = hi.astype(np.int32)
+    return planar, side
+
+
+def _planar_groups(eff: np.ndarray, side: np.ndarray):
+    """Canonical sub-symbol coding groups for a level.
+
+    Yields (node_index_array, allowed_child_slots, tree_ctx_offset,
+    tree_bits) — k=1 then k=2 patterns in fixed order; k=3 nodes are
+    fully determined (single allowed slot, nothing to code)."""
+    k = eff.sum(axis=1)
+    for a in range(3):
+        for s in range(2):
+            sel = (k == 1) & eff[:, a] & (side[:, a] == s)
+            idx = np.nonzero(sel)[0]
+            if idx.size:
+                allowed = [i for i in range(8)
+                           if ((i & _AXIS_BIT[a]) != 0) == bool(s)]
+                yield idx, allowed, (a * 2 + s) * 15, 4
+    for free_a in range(3):
+        pa = [a for a in range(3) if a != free_a]
+        for sp in range(4):
+            s0, s1 = sp >> 1, sp & 1
+            sel = ((k == 2) & ~eff[:, free_a]
+                   & (side[:, pa[0]] == s0) & (side[:, pa[1]] == s1))
+            idx = np.nonzero(sel)[0]
+            if idx.size:
+                allowed = [i for i in range(8)
+                           if ((i & _AXIS_BIT[pa[0]]) != 0) == bool(s0)
+                           and ((i & _AXIS_BIT[pa[1]]) != 0) == bool(s1)]
+                yield idx, allowed, _PLN_K2_OFF + (free_a * 4 + sp) * 3, 2
+
+
+def _planar_k3_occ(eff: np.ndarray, side: np.ndarray):
+    """Occupancy bytes of fully-planar (k=3) nodes: one allowed slot."""
+    slot = np.zeros(eff.shape[0], dtype=np.int32)
+    for a in range(3):
+        slot |= np.where(side[:, a] > 0, _AXIS_BIT[a], 0)
+    return (np.int32(1) << slot).astype(np.uint8)
+
+
+def encode_planar_np(uniq: np.ndarray, depth: int, enc,
+                     ctx: OctreeContexts, ctx_mode: int):
+    """Intra octree coding with planar mode (GPS planar_mode_enabled).
+
+    Per level, for each planar-eligible axis: a chained planar flag and
+    a position bit per node; the occupancy symbol is then coded only
+    over the surviving child slots.  Eligibility per axis is derived
+    from the PREVIOUS level's planarity fraction on both sides."""
+    levels = ops.build_levels_np(uniq, depth, ctx_mode)
+    elig = np.zeros(3, dtype=bool)
+    for lvl in levels:
+        occ = lvl["occ"].astype(np.int32)
+        planar, side = _planar_flags(occ)
+        eff = planar & elig[None, :]
+        eff_side = np.where(eff, side, 0)
+        for a in range(3):
+            if not elig[a]:
+                continue
+            f = planar[:, a].astype(np.uint8)
+            prev = np.concatenate([[0], f[:-1]]).astype(np.int32)
+            enc.bits(ctx.planar, a * 2 + prev, f)
+            npl = int(f.sum())
+            if npl:
+                enc.bits(ctx.planar,
+                         np.full(npl, 6 + a, dtype=np.int32),
+                         side[f.astype(bool), a].astype(np.uint8))
+        k = eff.sum(axis=1)
+        sel0 = k == 0
+        if sel0.any():
+            enc.occupancy(ctx.occupancy, lvl["ctx_base"][sel0],
+                          lvl["occ"][sel0])
+        for idx, allowed, off, nbits in _planar_groups(eff, eff_side):
+            node = np.ones(idx.size, dtype=np.int32)
+            for j in range(nbits):
+                bit = ((occ[idx] >> allowed[j]) & 1).astype(np.uint8)
+                enc.bits(ctx.planar_occ, off + node - 1, bit)
+                node = node * 2 + bit
+        elig = (planar.mean(axis=0) >= PLANAR_THRESHOLD
+                if occ.size else elig)
+
+
+def decode_planar_np(depth: int, dec, ctx: OctreeContexts,
+                     ctx_mode: int, stop_at: int = None,
+                     max_points: int = 0):
+    """Mirror of encode_planar_np; returns (nodes, levels_decoded)."""
+    nodes = np.zeros(1, dtype=np.int64)
+    parent_occ = np.zeros(1, dtype=np.int32)
+    elig = np.zeros(3, dtype=bool)
+    stop = depth if stop_at is None else stop_at
+    lvl_done = 0
+    for l in range(stop):
+        if max_points and nodes.size >= max_points:
+            break
+        n = nodes.size
+        planar = np.zeros((n, 3), dtype=bool)
+        side = np.zeros((n, 3), dtype=np.int32)
+        for a in range(3):
+            if not elig[a]:
+                continue
+            f = dec.bits_chain(
+                ctx.planar[a * 2:a * 2 + 2], n).astype(bool)
+            planar[:, a] = f
+            npl = int(f.sum())
+            if npl:
+                side[f, a] = dec.bits(
+                    ctx.planar,
+                    np.full(npl, 6 + a, dtype=np.int32)).astype(np.int32)
+        eff = planar  # flags only decoded for eligible axes
+        eff_side = np.where(eff, side, 0)
+        k = eff.sum(axis=1)
+        occ = np.zeros(n, dtype=np.int32)
+        sel0 = k == 0
+        if sel0.any():
+            base = _level_base_np(nodes, parent_occ, l, ctx_mode)
+            occ[sel0] = dec.occupancy(ctx.occupancy,
+                                      base[sel0]).astype(np.int32)
+        for idx, allowed, off, nbits in _planar_groups(eff, eff_side):
+            node = np.ones(idx.size, dtype=np.int32)
+            vals = np.zeros(idx.size, dtype=np.int32)
+            for j in range(nbits):
+                bit = dec.bits(ctx.planar_occ,
+                               (off + node - 1).astype(np.int32))
+                vals |= bit.astype(np.int32) << allowed[j]
+                node = node * 2 + bit.astype(np.int32)
+            occ[idx] = vals
+        sel3 = k == 3
+        if sel3.any():
+            occ[sel3] = _planar_k3_occ(eff, eff_side)[sel3]
+        # a decoded occupancy of zero means a corrupt stream; guard the
+        # expansion (zero-occupancy nodes would silently vanish)
+        occ = np.where(occ == 0, 1, occ)
+        u8 = occ.astype(np.uint8)
+        # full planarity for the next level's eligibility
+        full_planar, _ = _planar_flags(occ)
+        nodes = ops.expand_level_np(nodes, u8)
+        if ctx_mode == ops.CTX_MODE_PARENT:
+            parent_occ = np.repeat(occ, ops.popcount8_np(u8))
+        elig = (full_planar.mean(axis=0) >= PLANAR_THRESHOLD
+                if n else elig)
+        lvl_done = l + 1
+    return nodes, lvl_done
 
 
 def _level_base_np(nodes: np.ndarray, parent_occ: np.ndarray, l: int,
@@ -347,7 +534,8 @@ def decode(num_points: int, depth: int, dec, ctx: OctreeContexts,
            unique_points: bool = True, engine: str = "auto",
            ctx_mode: int = ops.CTX_MODE_NEIGH,
            ref_codes: np.ndarray = None, idcm: bool = False,
-           skip_layers: int = 0, max_points: int = 0):
+           skip_layers: int = 0, max_points: int = 0,
+           planar: bool = False):
     """Decode positions (coding order).
 
     num_points (total, incl. duplicates — signalled in the GBH) only
@@ -363,6 +551,24 @@ def decode(num_points: int, depth: int, dec, ctx: OctreeContexts,
     if num_points == 0:
         return np.zeros((0, 3), dtype=np.int64)
     engine = resolve_engine(engine)
+    if planar and (ref_codes is None or ref_codes.size == 0) \
+            and not idcm:
+        nodes, lvl = decode_planar_np(
+            depth, dec, ctx, ctx_mode,
+            stop_at=depth - min(skip_layers, depth),
+            max_points=max_points)
+        if lvl < depth:
+            shift = depth - lvl
+            pos = morton.decode(nodes) << shift
+            pos += (1 << shift) >> 1
+            return pos
+        if not unique_points:
+            dup = dec.ueg(ctx.dups,
+                          np.zeros(nodes.size, dtype=np.int32),
+                          _DUP_PREFIX_MAX,
+                          _DUP_K).astype(np.int64) + 1
+            nodes = np.repeat(nodes, dup)
+        return morton.decode(nodes)
     if idcm and unique_points and ref_codes is None:
         return decode_idcm_np(depth, dec, ctx, ctx_mode,
                               skip_layers=skip_layers,

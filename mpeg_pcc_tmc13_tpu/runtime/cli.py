@@ -113,6 +113,8 @@ class Config:
                                     else hls.GeometryCodecType.OCTREE)
             elif name == "angularEnabled":
                 p.angular_enabled = opt.to_bool(value)
+            elif name == "planarEnabled":
+                p.planar_enabled = opt.to_bool(value)
             elif name == "inferredDirectCodingMode":
                 p.idcm = opt.to_int(value) > 0
             elif name == "geometry_axis_order":

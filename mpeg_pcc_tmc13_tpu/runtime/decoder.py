@@ -198,7 +198,8 @@ class FrameDecoder:
                 ctx_mode=ctx_mode, ref_codes=ref_codes,
                 idcm=gps.inferred_direct_coding_mode > 0,
                 skip_layers=self.skip_layers,
-                max_points=self.max_points)
+                max_points=self.max_points,
+                planar=gps.planar_mode_enabled)
         grid = _grid_positions(local, gbh)
         self._slices.append(_SliceState(positions=grid, local=local,
                                         gbh=gbh))

@@ -103,6 +103,7 @@ class EncoderParams:
     # branches already cost ~1-2 bits/level, so direct coding only
     # saves ~3% on very sparse content while forcing the numpy engine.
     idcm: bool = False
+    planar_enabled: bool = False
     # inter prediction (reference TMC3.cpp:1113-1151)
     inter_prediction: bool = False
     random_access_period: int = 1     # 1 = all-intra
@@ -187,6 +188,9 @@ class FrameEncoder:
             neighbour_context_enabled=p.neighbour_context,
             inferred_direct_coding_mode=1 if (
                 p.idcm and p.merge_duplicated_points) else 0,
+            planar_mode_enabled=(
+                p.planar_enabled
+                and p.geometry_codec == hls.GeometryCodecType.OCTREE),
             trisoup_node_size_log2=p.trisoup_node_size_log2,
             trisoup_face_vertex_enabled=p.trisoup_face_vertex_enabled,
             interPredictionEnabled=p.inter_prediction,
@@ -483,7 +487,8 @@ class FrameEncoder:
                 unique_points=self.gps.unique_points,
                 engine=p.engine, ctx_mode=ctx_mode, ref_codes=ref_codes,
                 idcm=self.gps.inferred_direct_coding_mode > 0,
-                need_order=bool(self.aps))
+                need_order=bool(self.aps),
+                planar=self.gps.planar_mode_enabled)
         if not multistream:
             streams = [enc.get_bytes()]
 

@@ -100,3 +100,86 @@ def test_encode_order_aligns_attributes():
     uniq_mask = np.concatenate(
         [[True], np.diff(np.sort(morton.encode(pos))) != 0])
     np.testing.assert_array_equal(pos[order][uniq_mask], out)
+
+
+class TestPlanarMode:
+    """Planar mode (reference planar coding tools): per-axis half-plane
+    flags with level-causal eligibility + masked occupancy symbols."""
+
+    @staticmethod
+    def _surface(n=15000, depth=9, seed=7):
+        rng = np.random.default_rng(seed)
+        size = 1 << depth
+        xy = rng.integers(0, size, (n, 2))
+        z = (size / 2 + (size / 4) * np.sin(2 * np.pi * xy[:, 0] / size)
+             * np.cos(2 * np.pi * xy[:, 1] / size)).astype(np.int64)
+        return np.column_stack([xy[:, 0], xy[:, 1],
+                                np.clip(z, 0, size - 1)])
+
+    @pytest.mark.parametrize("mode", [ops.CTX_MODE_PARENT,
+                                      ops.CTX_MODE_NEIGH])
+    def test_roundtrip_and_saving(self, mode):
+        pos = self._surface()
+        expect = morton.decode(np.unique(morton.encode(pos)))
+        sizes = {}
+        for planar in (False, True):
+            enc = entropy.RangeEncoder()
+            go.encode(pos, 9, enc, go.OctreeContexts(), ctx_mode=mode,
+                      planar=planar, engine="numpy")
+            data = enc.get_bytes()
+            sizes[planar] = len(data)
+            out = go.decode(len(pos), 9, entropy.RangeDecoder(data),
+                            go.OctreeContexts(), ctx_mode=mode,
+                            planar=planar, engine="numpy")
+            np.testing.assert_array_equal(out, expect)
+        assert sizes[True] < sizes[False] * 0.95   # real saving
+
+    def test_duplicates(self):
+        pos = np.repeat(self._surface(2000, 8), 2, axis=0)
+        enc = entropy.RangeEncoder()
+        go.encode(pos, 8, enc, go.OctreeContexts(), planar=True,
+                  unique_points=False, engine="numpy")
+        out = go.decode(len(pos), 8, entropy.RangeDecoder(enc.get_bytes()),
+                        go.OctreeContexts(), planar=True,
+                        unique_points=False, engine="numpy")
+        srt = np.sort(morton.encode(pos), kind="stable")
+        np.testing.assert_array_equal(morton.encode(out), srt)
+
+    def test_skip_layers(self):
+        pos = self._surface(5000, 8)
+        enc = entropy.RangeEncoder()
+        go.encode(pos, 8, enc, go.OctreeContexts(), planar=True,
+                  engine="numpy")
+        out = go.decode(len(pos), 8, entropy.RangeDecoder(enc.get_bytes()),
+                        go.OctreeContexts(), planar=True,
+                        skip_layers=2, engine="numpy")
+        assert out.shape[0] > 0
+        # coarse centres: within half a 4-voxel cell of some true point
+        uniq = morton.decode(np.unique(morton.encode(pos)))
+        d = np.abs(out[:, None, :] - uniq[None, ::7, :]).sum(-1)
+        assert out.shape[0] < uniq.shape[0]
+
+    def test_cli_planar_flag(self, tmp_path):
+        from mpeg_pcc_tmc13_tpu.runtime import cli
+        from mpeg_pcc_tmc13_tpu.utils import ply
+        pos = self._surface(6000, 9).astype(np.float64)
+        in_ply = tmp_path / "in.ply"
+        ply.write(ply.PlyCloud(positions=pos), str(in_ply),
+                  position_is_float=False)
+        sizes = {}
+        for tag, flag in (("off", "0"), ("on", "1")):
+            bs = tmp_path / f"{tag}.bin"
+            assert cli.main([
+                "--mode=0", f"--uncompressedDataPath={in_ply}",
+                f"--compressedStreamPath={bs}",
+                f"--planarEnabled={flag}",
+                "--disableAttributeCoding=1"]) == 0
+            rec = tmp_path / f"{tag}.ply"
+            assert cli.main(["--mode=1", f"--compressedStreamPath={bs}",
+                             f"--reconstructedDataPath={rec}"]) == 0
+            got = ply.read(str(rec)).positions.astype(np.int64)
+            srt = np.unique(morton.encode(pos.astype(np.int64)))
+            np.testing.assert_array_equal(
+                np.sort(morton.encode(got)), srt)
+            sizes[tag] = bs.stat().st_size
+        assert sizes["on"] < sizes["off"]
