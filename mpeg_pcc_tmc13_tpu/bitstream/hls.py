@@ -175,6 +175,9 @@ class GeometryParameterSet:
     geom_scaling_enabled: bool = False
     interPredictionEnabled: bool = False
     globalMotionEnabled: bool = False
+    # cuboid LPU local motion refinement (reference lpuType=1)
+    lpu_motion_enabled: bool = False
+    lpu_size_log2: int = 6
     # angular (LiDAR) tool set — later rounds
     angular_enabled: bool = False
 
@@ -193,6 +196,8 @@ class GeometryParameterSet:
         w.write_bit(self.geom_scaling_enabled)
         w.write_bit(self.interPredictionEnabled)
         w.write_bit(self.globalMotionEnabled)
+        w.write_bit(self.lpu_motion_enabled)
+        w.write_ue(self.lpu_size_log2)
         w.write_bit(self.angular_enabled)
         w.byte_align()
         return w.get_bytes()
@@ -214,6 +219,8 @@ class GeometryParameterSet:
         g.geom_scaling_enabled = bool(r.read_bit())
         g.interPredictionEnabled = bool(r.read_bit())
         g.globalMotionEnabled = bool(r.read_bit())
+        g.lpu_motion_enabled = bool(r.read_bit())
+        g.lpu_size_log2 = r.read_ue()
         g.angular_enabled = bool(r.read_bit())
         return g
 

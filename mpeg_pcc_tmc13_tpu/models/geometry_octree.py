@@ -30,6 +30,7 @@ import numpy as np
 
 from ..bitstream import entropy
 from ..ops import octree as ops
+from ..ops.motion import LPU_CTX_SIZE as _LPU_CTX
 from ..utils import morton
 
 # dup-count ueg: 2 prefix contexts + escape; see entropy ueg layout
@@ -86,12 +87,15 @@ class OctreeContexts:
         default_factory=lambda: entropy.new_contexts(PLANAR_CTX_SIZE))
     planar_occ: np.ndarray = field(
         default_factory=lambda: entropy.new_contexts(PLANAR_OCC_CTX_SIZE))
+    lpu: np.ndarray = field(
+        default_factory=lambda: entropy.new_contexts(_LPU_CTX))
 
     def copy(self) -> "OctreeContexts":
         return OctreeContexts(self.occupancy.copy(), self.dups.copy(),
                               self.occupancy_inter.copy(),
                               self.idcm.copy(), self.planar.copy(),
-                              self.planar_occ.copy())
+                              self.planar_occ.copy(),
+                              self.lpu.copy())
 
 
 def _dedup_sorted(codes_sorted: np.ndarray):

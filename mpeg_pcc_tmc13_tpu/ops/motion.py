@@ -101,3 +101,120 @@ class MotionParameters:
             return identity_motion()
         mat, trans, _ = self.entries[min(idx, len(self.entries) - 1)]
         return mat, trans
+
+
+# =====================================================================
+# Cuboid LPU local motion (reference lpuType=1 cuboid partition,
+# geometry inter: per-LPU motion refinement on top of global motion)
+# =====================================================================
+
+# ctx layout: [0..1] per-LPU flag chained on previous LPU's flag,
+# [2..] 3 x 26 resbl trees for the MV components.
+LPU_FLAG = 0
+_LPU_AXIS_CTX = 26
+LPU_CTX_SIZE = 2 + 3 * _LPU_AXIS_CTX
+
+
+def _lpu_cells(points: np.ndarray, lpu_log2: int) -> np.ndarray:
+    from ..utils import morton
+    return morton.encode(points.astype(np.int64) >> lpu_log2)
+
+
+def estimate_lpu_motion(ref_points: np.ndarray, cur_points: np.ndarray,
+                        lpu_log2: int, depth: int):
+    """Encoder-side search: per LPU (2**lpu_log2 cuboid grid over the
+    compensated reference), a refinement MV = rounded mean displacement
+    of the current points in the cell, kept only when it strictly
+    increases exact-voxel hits.  Returns (cells, flags, mvs (L,3))."""
+    from ..utils import morton
+    rc = _lpu_cells(ref_points, lpu_log2)
+    cells, inv = np.unique(rc, return_inverse=True)
+    nl = cells.shape[0]
+    cur_codes = np.unique(morton.encode(cur_points.astype(np.int64)))
+    cc = _lpu_cells(cur_points, lpu_log2)
+    # candidate MV per cell = rounded mean NN displacement of the
+    # current points (NN in the full reference, so cell-boundary
+    # migration doesn't bias the estimate like a cell-mean would)
+    from .recolour import nearest_neighbor
+    nn = nearest_neighbor(ref_points, cur_points, window=16)
+    disp = cur_points.astype(np.int64) - ref_points[nn].astype(np.int64)
+    cur_sum = np.zeros((nl, 3), dtype=np.int64)
+    cur_cnt = np.zeros(nl, dtype=np.int64)
+    pos_in_cells = np.searchsorted(cells, cc)
+    ok = (pos_in_cells < nl)
+    ok &= cells[np.minimum(pos_in_cells, nl - 1)] == cc
+    np.add.at(cur_sum, pos_in_cells[ok], disp[ok])
+    np.add.at(cur_cnt, pos_in_cells[ok], 1)
+    have = cur_cnt > 0
+    mvs = np.zeros((nl, 3), dtype=np.int64)
+    cand = np.round(cur_sum[have] / cur_cnt[have, None]).astype(np.int64)
+    lim = np.int64(1) << lpu_log2
+    mvs[have] = np.clip(cand, -lim, lim)
+    # hit counts with and without the refinement
+    ref_codes = np.unique(morton.encode(ref_points.astype(np.int64)))
+    shifted = np.clip(ref_points.astype(np.int64) + mvs[inv], 0,
+                      (np.int64(1) << depth) - 1)
+    shift_codes = np.unique(morton.encode(shifted))
+
+    def hits_per_cell(codes):
+        m = np.isin(cur_codes, codes, assume_unique=False)
+        h = np.zeros(nl, dtype=np.int64)
+        hit_cells = _lpu_cells(morton.decode(cur_codes[m]), lpu_log2)
+        p = np.searchsorted(cells, hit_cells)
+        okh = (p < nl)
+        okh &= cells[np.minimum(p, nl - 1)] == hit_cells
+        np.add.at(h, p[okh], 1)
+        return h
+
+    base_hits = hits_per_cell(ref_codes)
+    mv_hits = hits_per_cell(shift_codes)
+    flags = (mvs != 0).any(axis=1) & (mv_hits > base_hits)
+    mvs[~flags] = 0
+    return cells, flags, mvs
+
+
+def apply_lpu_motion(ref_points: np.ndarray, cells: np.ndarray,
+                     flags: np.ndarray, mvs: np.ndarray,
+                     lpu_log2: int, depth: int) -> np.ndarray:
+    """Shift each reference point by its LPU's MV (identity where the
+    flag is off); shared by encoder and decoder."""
+    rc = _lpu_cells(ref_points, lpu_log2)
+    idx = np.searchsorted(cells, rc)
+    out = ref_points.astype(np.int64) + mvs[idx]
+    return np.clip(out, 0, (np.int64(1) << depth) - 1)
+
+
+def encode_lpu_motion(enc, ctx: np.ndarray, ref_points: np.ndarray,
+                      cur_points: np.ndarray, lpu_log2: int,
+                      depth: int) -> np.ndarray:
+    """Search, signal, and apply LPU motion; returns refined reference
+    points.  Stream: per-LPU flags (chained contexts) then one resbl
+    stream per MV axis over the flagged LPUs."""
+    cells, flags, mvs = estimate_lpu_motion(ref_points, cur_points,
+                                            lpu_log2, depth)
+    f = flags.astype(np.uint8)
+    prev = np.concatenate([[0], f[:-1]]).astype(np.int32)
+    enc.bits(ctx, LPU_FLAG + prev, f)
+    sel = np.nonzero(flags)[0]
+    for a in range(3):
+        cs = ctx[2 + a * _LPU_AXIS_CTX:2 + (a + 1) * _LPU_AXIS_CTX]
+        enc.resbl(cs, mvs[sel, a].astype(np.int32))
+    return apply_lpu_motion(ref_points, cells, flags, mvs, lpu_log2,
+                            depth)
+
+
+def decode_lpu_motion(dec, ctx: np.ndarray, ref_points: np.ndarray,
+                      lpu_log2: int, depth: int) -> np.ndarray:
+    """Mirror of encode_lpu_motion (cells derive from the compensated
+    reference, which both sides share)."""
+    cells = np.unique(_lpu_cells(ref_points, lpu_log2))
+    nl = cells.shape[0]
+    flags = dec.bits_chain(ctx[0:2], nl).astype(bool)
+    mvs = np.zeros((nl, 3), dtype=np.int64)
+    sel = np.nonzero(flags)[0]
+    for a in range(3):
+        cs = ctx[2 + a * _LPU_AXIS_CTX:2 + (a + 1) * _LPU_AXIS_CTX]
+        if sel.size:
+            mvs[sel, a] = dec.resbl(cs, sel.size)
+    return apply_lpu_motion(ref_points, cells, flags, mvs, lpu_log2,
+                            depth)

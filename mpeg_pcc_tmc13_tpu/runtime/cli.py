@@ -139,6 +139,10 @@ class Config:
                 p.bi_prediction = opt.to_int(value) > 0
             elif name == "biPredictionPeriod":
                 p.bi_period = opt.to_int(value)
+            elif name == "lpuType":
+                p.lpu_motion = True   # 0/1 both -> cuboid LPU
+            elif name == "lpuSizeLog2":   # framework-specific
+                p.lpu_size_log2 = max(opt.to_int(value), 2)
             elif name == "motionVectorPath":
                 p.motion_file = value.strip()
             elif name == "skipOctreeLayers":

@@ -188,8 +188,14 @@ class FrameDecoder:
         else:
             ref_codes = None
             if gbh.is_inter:
+                from ..ops import motion as motion_ops
                 from ..utils import morton as morton_mod
                 pts = self._ref_points_for_gbh(gbh)
+                if (pts is not None and len(pts)
+                        and gps.lpu_motion_enabled):
+                    pts = motion_ops.decode_lpu_motion(
+                        dec, self._geom_ctx.lpu, pts,
+                        gps.lpu_size_log2, gbh.root_node_size_log2)
                 if pts is not None and len(pts):
                     ref_codes = np.unique(morton_mod.encode(pts))
             local = geometry_octree.decode(

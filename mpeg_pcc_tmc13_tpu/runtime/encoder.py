@@ -104,6 +104,10 @@ class EncoderParams:
     # saves ~3% on very sparse content while forcing the numpy engine.
     idcm: bool = False
     planar_enabled: bool = False
+    # cuboid LPU local motion (reference lpuType=1): per-2^m-cell
+    # refinement MV on top of global motion
+    lpu_motion: bool = False
+    lpu_size_log2: int = 6
     # inter prediction (reference TMC3.cpp:1113-1151)
     inter_prediction: bool = False
     random_access_period: int = 1     # 1 = all-intra
@@ -195,6 +199,8 @@ class FrameEncoder:
             trisoup_face_vertex_enabled=p.trisoup_face_vertex_enabled,
             interPredictionEnabled=p.inter_prediction,
             globalMotionEnabled=p.global_motion,
+            lpu_motion_enabled=p.lpu_motion and p.inter_prediction,
+            lpu_size_log2=p.lpu_size_log2,
             angular_enabled=p.angular_enabled,
         )
         aps_list = []
@@ -480,8 +486,18 @@ class FrameEncoder:
                 local, depth, self._geom_ctx, p.num_entropy_streams,
                 ctx_mode=ctx_mode)
         else:
-            ref_codes = self._ref_codes_for_slice(refs, slice_origin,
-                                                  depth)
+            ref_pts = self._ref_points_for_slice(refs, slice_origin,
+                                                 depth)
+            if (ref_pts is not None and len(ref_pts)
+                    and self.gps.lpu_motion_enabled):
+                # LPU refinement table heads the geometry stream
+                ref_pts = motion_ops.encode_lpu_motion(
+                    enc, self._geom_ctx.lpu, ref_pts, local,
+                    self.gps.lpu_size_log2, depth)
+            ref_codes = None
+            if ref_pts is not None and len(ref_pts):
+                from ..utils import morton as morton_mod
+                ref_codes = np.unique(morton_mod.encode(ref_pts))
             order = geometry_octree.encode(
                 local, depth, enc, self._geom_ctx,
                 unique_points=self.gps.unique_points,

@@ -216,3 +216,60 @@ def test_raht_inter_prediction_end_to_end():
             kb = np.argsort(morton.encode(out.positions), kind="stable")
             np.testing.assert_array_equal(src.colors[ka], out.colors[kb])
     assert sizes[True] < sizes[False]
+
+
+def locally_moving_sequence(n=6000, depth=9, frames=3, seed=9):
+    """Two halves moving in opposite directions — global motion can't
+    fit both, local (LPU) motion can."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(32, (1 << depth) - 64, size=(n, 3),
+                        dtype=np.int64)
+    left = base[:, 0] < (1 << depth) // 2
+    seq = []
+    for f in range(frames):
+        pos = base.copy()
+        pos[left] += np.asarray([5, 0, 0]) * f
+        pos[~left] += np.asarray([-4, 2, 0]) * f
+        seq.append(PointCloud(np.clip(pos, 0, (1 << depth) - 1)))
+    return seq
+
+
+def test_lpu_motion_ops_roundtrip():
+    from mpeg_pcc_tmc13_tpu.bitstream import entropy
+    rng = np.random.default_rng(10)
+    ref = rng.integers(0, 512, (8000, 3), dtype=np.int64)
+    cur = ref.copy()
+    half = ref[:, 0] < 256
+    cur[half] += np.array([5, 0, 0])
+    cur = np.clip(cur, 0, 511)
+    enc = entropy.RangeEncoder()
+    ctx = entropy.new_contexts(motion_ops.LPU_CTX_SIZE)
+    refined = motion_ops.encode_lpu_motion(enc, ctx, ref, cur, 6, 9)
+    dec = entropy.RangeDecoder(enc.get_bytes())
+    ctx2 = entropy.new_contexts(motion_ops.LPU_CTX_SIZE)
+    refined2 = motion_ops.decode_lpu_motion(dec, ctx2, ref, 6, 9)
+    np.testing.assert_array_equal(refined, refined2)
+    cc = np.unique(morton.encode(cur))
+    before = np.isin(cc, np.unique(morton.encode(ref))).sum()
+    after = np.isin(cc, np.unique(morton.encode(refined))).sum()
+    assert after > before * 1.2
+
+
+def test_lpu_motion_codec_gain():
+    """Opposite-moving halves: LPU refinement shrinks inter geometry
+    where global motion alone cannot."""
+    seq = locally_moving_sequence()
+    expect = [np.unique(morton.encode(c.positions)) for c in seq]
+    sizes = {}
+    for lpu in (False, True):
+        params = EncoderParams(inter_prediction=True,
+                               random_access_period=8,
+                               lpu_motion=lpu)
+        outs, total = roundtrip_sequence(seq, params)
+        assert len(outs) == len(seq)
+        for out, exp in zip(outs, expect):
+            np.testing.assert_array_equal(
+                np.sort(morton.encode(out.positions.astype(np.int64))),
+                exp)
+        sizes[lpu] = total
+    assert sizes[True] < sizes[False]
