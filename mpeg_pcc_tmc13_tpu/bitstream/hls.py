@@ -418,6 +418,13 @@ class AttributeBrickHeader:
     # codec's chunk order (reference attrLcpCoeffs, hls.h:887;
     # se-diff coded, range [-8, 8], Q2 fixed point)
     lcp_coeffs: List[int] = field(default_factory=list)
+    # region QPs (reference QpRegion, hls.h:953-963): slice-local
+    # boxes with (luma, chroma) QP offsets; first matching box wins.
+    # Applied per point in the PRED/LIFT transforms.
+    qp_regions: List[Tuple[Tuple[int, int, int],
+                           Tuple[int, int, int],
+                           Tuple[int, int]]] = field(
+        default_factory=list)
 
     def write(self) -> bytes:
         w = BitWriter()
@@ -437,6 +444,14 @@ class AttributeBrickHeader:
         for c in self.lcp_coeffs:
             w.write_se(int(c) - pred)
             pred = int(c)
+        w.write_ue(len(self.qp_regions))
+        for origin, size, offs in self.qp_regions:
+            for v in origin:
+                w.write_se(int(v))
+            for v in size:
+                w.write_ue(int(v))
+            w.write_se(int(offs[0]))
+            w.write_se(int(offs[1]))
         w.byte_align()
         return w.get_bytes()
 
@@ -458,6 +473,12 @@ class AttributeBrickHeader:
         for _ in range(nc):
             pred += r.read_se()
             h.lcp_coeffs.append(pred)
+        nr = r.read_ue()
+        for _ in range(nr):
+            origin = tuple(r.read_se() for _ in range(3))
+            size = tuple(r.read_ue() for _ in range(3))
+            offs = (r.read_se(), r.read_se())
+            h.qp_regions.append((origin, size, offs))
         r.byte_align()
         return h, r.byte_pos
 

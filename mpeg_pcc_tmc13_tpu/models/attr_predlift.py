@@ -29,7 +29,8 @@ from ..ops import lod as lod_ops
 from ..utils import morton
 from .attributes import AttributeContexts, RES_CTX_SIZE, _RES_PREFIX_MAX, \
     _RES_K
-from .attr_raht import _lcp_estimate, _lcp_pred, _step_fn
+from .attr_raht import (_lcp_estimate, _lcp_pred, _step_fn,
+                        step_q16_vec)
 
 _LOD_PERIOD = 4
 
@@ -79,6 +80,25 @@ def _lift_quant_weights(levels: np.ndarray, nbr: np.ndarray) -> np.ndarray:
     return np.floor(np.sqrt(1.0 + refs) * 256.0 + 0.5).astype(np.int64)
 
 
+def _region_offsets(positions, abh):
+    """(n,2) per-point (luma, chroma) QP offsets from the ABH's region
+    boxes (reference QpRegion, hls.h:953); first matching box wins.
+    None when no regions are signalled."""
+    if abh is None or not getattr(abh, "qp_regions", None):
+        return None
+    n = positions.shape[0]
+    off = np.zeros((n, 2), dtype=np.int64)
+    unset = np.ones(n, dtype=bool)
+    p = positions.astype(np.int64)
+    for origin, size, offs in abh.qp_regions:
+        o = np.asarray(origin, dtype=np.int64)
+        sz = np.asarray(size, dtype=np.int64)
+        inside = np.all((p >= o) & (p < o + sz), axis=1) & unset
+        off[inside] = offs
+        unset &= ~inside
+    return off
+
+
 def _mode_eligible(recon, nbr, wq, threshold):
     """Per-point explicit-mode eligibility (reference predModeEligible,
     AttributeCommon.h:112-126): >=2 valid neighbours whose
@@ -124,6 +144,15 @@ def encode(values: np.ndarray, positions: np.ndarray,
     m = 0 if ref_pos is None else ref_pos.shape[0]
     levels, nbr, wq, nl = _structure(positions, aps, ref_pos)
     step_at = _step_fn(aps, abh)   # (component, LoD level) -> step
+    reg = _region_offsets(positions, abh)
+
+    def stepf(c, lvl_i, idx):
+        """Step for component c at level lvl_i for point rows idx —
+        scalar without regions, (len(idx),1) with per-point offsets."""
+        if reg is None:
+            return step_at(c, lvl_i)
+        q = step_at.qp(c, lvl_i) + reg[idx, 1 if c > 0 else 0]
+        return step_q16_vec(q)[:, None]
 
     q_out = np.zeros((n, ncomp), dtype=np.int64)  # in Morton order
     # last-component prediction: LIFT only (reference applies it in
@@ -139,13 +168,14 @@ def encode(values: np.ndarray, positions: np.ndarray,
         # analysis fine -> coarse: details then update
         for l in range(nl - 1, 0, -1):
             sel = levels == l
+            si = np.nonzero(sel)[0]
             pred = lod_ops.predict_q16(work, nbr[sel], wq[sel])
             detail = work[sel] - pred
             # quantise details now (synthesis sees quantised ones)
-            q = np.stack([_quant(detail[:, c:c + 1], step_at(c, l),
+            q = np.stack([_quant(detail[:, c:c + 1], stepf(c, l, si),
                                  factor[sel])[:, 0]
                           for c in range(ncomp)], axis=1)
-            dq = np.stack([_dequant(q[:, c:c + 1], step_at(c, l),
+            dq = np.stack([_dequant(q[:, c:c + 1], stepf(c, l, si),
                                     factor[sel])[:, 0]
                            for c in range(ncomp)], axis=1)
             if lcp_on:
@@ -153,8 +183,8 @@ def encode(values: np.ndarray, positions: np.ndarray,
                 lift_lcp[l] = k
                 pred2 = _lcp_pred(k, dq[:, 1], True)
                 q[:, 2] = _quant((detail[:, 2] - pred2)[:, None],
-                                 step_at(2, l), factor[sel])[:, 0]
-                dq[:, 2] = _dequant(q[:, 2:3], step_at(2, l),
+                                 stepf(2, l, si), factor[sel])[:, 0]
+                dq[:, 2] = _dequant(q[:, 2:3], stepf(2, l, si),
                                     factor[sel])[:, 0] + pred2
             q_out[sel] = q
             work[sel] = dq  # hold dequantised details
@@ -171,17 +201,18 @@ def encode(values: np.ndarray, positions: np.ndarray,
             work += upd
         # coarsest level: code values themselves (quantised, no factor)
         sel0 = levels == 0
+        si0 = np.nonzero(sel0)[0]
         q0 = np.stack([_quant(work[sel0][:, c:c + 1],
-                              step_at(c, 0))[:, 0]
+                              stepf(c, 0, si0))[:, 0]
                        for c in range(ncomp)], axis=1)
         if lcp_on:
             v0 = work[sel0]
             k = _lcp_estimate(v0[:, 1], v0[:, 2])
             lift_lcp[0] = k
-            dq1 = _dequant(q0[:, 1:2], step_at(1, 0))[:, 0]
+            dq1 = _dequant(q0[:, 1:2], stepf(1, 0, si0))[:, 0]
             pred2 = _lcp_pred(k, dq1, True)
             q0[:, 2] = _quant((v0[:, 2] - pred2)[:, None],
-                              step_at(2, 0))[:, 0]
+                              stepf(2, 0, si0))[:, 0]
         q_out[sel0] = q0
         if lcp_on:
             abh.lcp_coeffs.extend(int(v) for v in lift_lcp)
@@ -213,11 +244,12 @@ def encode(values: np.ndarray, positions: np.ndarray,
                 pred = lod_ops.predict_q16(
                     recon, nbr[i:i + 1], wq[i:i + 1])[0]
                 res = vals[i] - pred
+                ii = np.array([i])
                 q = np.array([_quant(res[c:c + 1][None, :],
-                                     step_at(c, 0))[0, 0]
+                                     stepf(c, 0, ii))[0, 0]
                               for c in range(ncomp)])
                 dq = np.array([_dequant(q[c:c + 1][None, :],
-                                        step_at(c, 0))[0, 0]
+                                        stepf(c, 0, ii))[0, 0]
                                for c in range(ncomp)])
                 q0[j] = q
                 recon[m + i] = pred + dq
@@ -253,10 +285,10 @@ def encode(values: np.ndarray, positions: np.ndarray,
             pred = _predict_with_modes(recon, nbr[sel], wq[sel], modes)
             res = vals[sel] - pred
             q = np.stack([_quant(res[:, c:c + 1],
-                                 step_at(c, l))[:, 0]
+                                 stepf(c, l, sel))[:, 0]
                           for c in range(ncomp)], axis=1)
             dq = np.stack([_dequant(q[:, c:c + 1],
-                                    step_at(c, l))[:, 0]
+                                    stepf(c, l, sel))[:, 0]
                            for c in range(ncomp)], axis=1)
             code_chunk(q)
             recon[m + sel] = pred + dq
@@ -302,6 +334,15 @@ def decode(data: bytes, positions: np.ndarray,
     m = 0 if ref_pos is None else ref_pos.shape[0]
     levels, nbr, wq, nl = _structure(positions, aps, ref_pos)
     step_at = _step_fn(aps, abh)   # (component, LoD level) -> step
+    reg = _region_offsets(positions, abh)
+
+    def stepf(c, lvl_i, idx):
+        """Step for component c at level lvl_i for point rows idx —
+        scalar without regions, (len(idx),1) with per-point offsets."""
+        if reg is None:
+            return step_at(c, lvl_i)
+        q = step_at.qp(c, lvl_i) + reg[idx, 1 if c > 0 else 0]
+        return step_q16_vec(q)[:, None]
     lcp_on = (aps.last_component_prediction_enabled and ncomp == 3
               and lift and abh is not None
               and len(abh.lcp_coeffs) > 0)
@@ -331,8 +372,9 @@ def decode(data: bytes, positions: np.ndarray,
             for j, i in enumerate(idx0):
                 pred = lod_ops.predict_q16(
                     recon, nbr[i:i + 1], wq[i:i + 1])[0]
+                ii = np.array([i])
                 dq = np.array([_dequant(q0[j, c:c + 1][None, :],
-                                        step_at(c, 0))[0, 0]
+                                        stepf(c, 0, ii))[0, 0]
                                for c in range(ncomp)])
                 recon[m + i] = pred + dq
         thr = aps.adaptive_prediction_threshold
@@ -357,7 +399,7 @@ def decode(data: bytes, positions: np.ndarray,
                 continue
             q = read_chunk(sel.size)
             dq = np.stack([_dequant(q[:, c:c + 1],
-                                    step_at(c, l))[:, 0]
+                                    stepf(c, l, sel))[:, 0]
                            for c in range(ncomp)], axis=1)
             recon[m + sel] = pred + dq
         out = recon[m:]
@@ -391,16 +433,19 @@ def decode(data: bytes, positions: np.ndarray,
         factor = _lift_quant_weights(levels, nbr)
         work = np.zeros((n, ncomp), dtype=np.int64)
         sel0 = levels == 0
+        si0 = np.nonzero(sel0)[0]
         work[sel0] = np.stack(
-            [_dequant(q[sel0][:, c:c + 1], step_at(c, 0))[:, 0]
+            [_dequant(q[sel0][:, c:c + 1], stepf(c, 0, si0))[:, 0]
              for c in range(ncomp)], axis=1)
         if lcp_on:
             work[sel0, 2] += _lcp_pred(lcp_k(0), work[sel0, 1], True)
         # synthesis coarse -> fine: un-update then un-predict
         for l in range(1, nl):
             sel = levels == l
+            si = np.nonzero(sel)[0]
             dq = np.stack([_dequant(q[sel][:, c:c + 1],
-                                    step_at(c, l), factor[sel])[:, 0]
+                                    stepf(c, l, si),
+                                    factor[sel])[:, 0]
                            for c in range(ncomp)], axis=1)
             if lcp_on:
                 dq[:, 2] += _lcp_pred(lcp_k(l), dq[:, 1], True)
@@ -422,14 +467,14 @@ def decode(data: bytes, positions: np.ndarray,
         for i in idx0:
             pred = lod_ops.predict_q16(recon, nbr[i:i + 1], wq[i:i + 1])[0]
             dq = np.array([_dequant(q[i, c:c + 1][None, :],
-                                    step_at(c, 0))[0, 0]
+                                    stepf(c, 0, np.array([i])))[0, 0]
                            for c in range(ncomp)])
             recon[i] = pred + dq
         for l in range(1, nl):
             sel = levels == l
             pred = lod_ops.predict_q16(recon, nbr[sel], wq[sel])
             dq = np.stack([_dequant(q[sel][:, c:c + 1],
-                                    step_at(c, l))[:, 0]
+                                    stepf(c, l, np.nonzero(sel)[0]))[:, 0]
                            for c in range(ncomp)], axis=1)
             recon[sel] = pred + dq
         out = recon

@@ -63,17 +63,29 @@ def _steps(aps, ncomp, abh=None):
                                4)) for c in range(ncomp)]
 
 
+def step_q16_vec(qp: np.ndarray) -> np.ndarray:
+    """Vectorised QP -> Q16 stepsize (per-point region QPs)."""
+    q = np.maximum(np.asarray(qp, dtype=np.float64), 4.0)
+    return np.maximum(
+        1, np.round((2.0 ** ((q - 4.0) / 6.0)) * 65536.0)).astype(np.int64)
+
+
 def _step_fn(aps, abh):
     """(component, layer) -> step_q16 with ABH slice/layer QP deltas
-    (reference deriveQps, AttributeCommon.cpp)."""
+    (reference deriveQps, AttributeCommon.cpp).  fn.qp exposes the QP
+    itself for per-point region offsets."""
     base = [aps.init_qp + (aps.chroma_qp_offset if c > 0 else 0)
             for c in range(3)]
 
-    def fn(c, layer):
-        qp = base[min(c, 2)]
+    def qp(c, layer):
+        q = base[min(c, 2)]
         if abh is not None:
-            qp += abh.layer_qp_offset(c, layer)
-        return qp_to_step_q16(max(qp, 4))
+            q += abh.layer_qp_offset(c, layer)
+        return q
+
+    def fn(c, layer):
+        return qp_to_step_q16(max(qp(c, layer), 4))
+    fn.qp = qp
     return fn
 
 

@@ -63,6 +63,10 @@ class AttributeConfig:
     # scalable lifting (reference aps_scalable_enable_flag):
     # per-LoD-level chunks, truncatable at decode
     scalable_lifting: bool = False
+    # region QPs (reference QpRegion): [(origin, size, (dL, dC))]
+    # in GLOBAL grid coords; rebased per slice into the ABH.
+    # Applied per point by the PRED/LIFT transforms.
+    qp_regions: List[tuple] = field(default_factory=list)
 
 
 @dataclass
@@ -634,12 +638,21 @@ class FrameEncoder:
                     if inb.any():
                         ref = (comp[inb], np.asarray(rv)[inb])
             acfg = p.attributes[i]
+            regions = []
+            for origin, size, offs in acfg.qp_regions:
+                o = ((np.asarray(origin, dtype=np.int64)
+                      - slice_origin) >> qshift)
+                sz = np.asarray(size, dtype=np.int64) >> qshift
+                regions.append((tuple(int(v) for v in o),
+                                tuple(int(v) for v in sz),
+                                (int(offs[0]), int(offs[1]))))
             abh = hls.AttributeBrickHeader(
                 aps_id=aps.aps_id, sps_attr_idx=i,
                 slice_id=self._slice_id,
                 layer_qp_deltas_luma=list(acfg.layer_qp_offsets_luma),
                 layer_qp_deltas_chroma=list(
-                    acfg.layer_qp_offsets_chroma))
+                    acfg.layer_qp_offsets_chroma),
+                qp_regions=regions)
             need_recon = aps.inter_prediction_enabled
             ctx_copy = self._attr_ctx[i].copy() if need_recon else None
             body = attr_model.encode(
