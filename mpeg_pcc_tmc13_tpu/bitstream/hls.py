@@ -172,6 +172,7 @@ class GeometryParameterSet:
     qtbt_enabled: bool = False
     trisoup_node_size_log2: int = 0        # >0 when codec_type==TRISOUP
     trisoup_face_vertex_enabled: bool = False
+    trisoup_halo_enabled: bool = False
     geom_scaling_enabled: bool = False
     interPredictionEnabled: bool = False
     globalMotionEnabled: bool = False
@@ -193,6 +194,7 @@ class GeometryParameterSet:
         w.write_bit(self.qtbt_enabled)
         w.write_ue(self.trisoup_node_size_log2)
         w.write_bit(self.trisoup_face_vertex_enabled)
+        w.write_bit(self.trisoup_halo_enabled)
         w.write_bit(self.geom_scaling_enabled)
         w.write_bit(self.interPredictionEnabled)
         w.write_bit(self.globalMotionEnabled)
@@ -216,6 +218,7 @@ class GeometryParameterSet:
         g.qtbt_enabled = bool(r.read_bit())
         g.trisoup_node_size_log2 = r.read_ue()
         g.trisoup_face_vertex_enabled = bool(r.read_bit())
+        g.trisoup_halo_enabled = bool(r.read_bit())
         g.geom_scaling_enabled = bool(r.read_bit())
         g.interPredictionEnabled = bool(r.read_bit())
         g.globalMotionEnabled = bool(r.read_bit())

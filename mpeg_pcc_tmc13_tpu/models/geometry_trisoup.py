@@ -45,7 +45,7 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
            octx: geometry_octree.OctreeContexts, tctx: TrisoupContexts,
            engine: str = "auto",
            ctx_mode: int = octree_ops.CTX_MODE_NEIGH,
-           face_vertices: bool = False):
+           face_vertices: bool = False, halo: bool = False):
     """Encode geometry; returns reconstructed positions (for attribute
     recolouring) — the decoder reproduces them exactly."""
     s = min(node_size_log2, depth)
@@ -103,7 +103,8 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
 
     recon = trisoup_ops.reconstruct(
         node_codes, uniq, present, vpos, s,
-        bbox_max=(1 << depth) - 1, centroid_resid=resid, faces=faces)
+        bbox_max=(1 << depth) - 1, centroid_resid=resid, faces=faces,
+        halo=halo)
     return recon
 
 
@@ -111,7 +112,7 @@ def decode(depth: int, node_size_log2: int, dec,
            octx: geometry_octree.OctreeContexts, tctx: TrisoupContexts,
            max_nodes: int, engine: str = "auto",
            ctx_mode: int = octree_ops.CTX_MODE_NEIGH,
-           face_vertices: bool = False):
+           face_vertices: bool = False, halo: bool = False):
     s = min(node_size_log2, depth)
     octree_depth = depth - s
     node_pos = geometry_octree.decode(
@@ -152,4 +153,5 @@ def decode(depth: int, node_size_log2: int, dec,
 
     return trisoup_ops.reconstruct(node_codes, uniq, present, vpos, s,
                                    bbox_max=(1 << depth) - 1,
-                                   centroid_resid=resid, faces=faces)
+                                   centroid_resid=resid, faces=faces,
+                                   halo=halo)

@@ -290,7 +290,7 @@ def true_centroid_residuals(points: np.ndarray, node_codes: np.ndarray,
 def reconstruct(node_codes: np.ndarray, edge_uniq: np.ndarray,
                 present: np.ndarray, vpos: np.ndarray, log2_size: int,
                 bbox_max=None, centroid_resid: np.ndarray = None,
-                faces=None):
+                faces=None, halo: bool = False):
     """Shared encoder/decoder reconstruction: vertices -> voxels.
 
     Vectorised: nodes are grouped by (vertex count, dominant axis) and
@@ -328,6 +328,16 @@ def reconstruct(node_codes: np.ndarray, edge_uniq: np.ndarray,
             cent = cent + centroid_resid[nk]
         spread = verts.max(axis=1) - verts.min(axis=1)
         dom = np.argmin(spread, axis=1)              # (Nk,)
+        if halo:
+            # thicken triangles (reference trisoup_halo_flag,
+            # rayTracingAlongdirection haloTriangle margin): expand
+            # the fan 0.75 voxels outward from its centroid so
+            # voxelised triangles of adjacent nodes seal together
+            d = np.abs(verts - cent[:, None, :]).max(axis=(1, 2))
+            scale = np.minimum(1.0 + 0.75 / np.maximum(d, 1.0),
+                               1.5)[:, None, None]
+            verts = cent[:, None, :] + (verts - cent[:, None, :]) \
+                * scale
         for ax in range(3):
             ga = np.nonzero(dom == ax)[0]
             if ga.size == 0:

@@ -107,6 +107,8 @@ class Config:
                     p.geometry_codec = hls.GeometryCodecType.TRISOUP
             elif name == "trisoupFaceVertexEnabled":
                 p.trisoup_face_vertex_enabled = opt.to_bool(value)
+            elif name == "trisoupHaloEnabled":
+                p.trisoup_halo_enabled = opt.to_bool(value)
             elif name == "geomTreeType":
                 p.geometry_codec = (hls.GeometryCodecType.PREDICTIVE
                                     if opt.to_int(value)

@@ -177,7 +177,8 @@ class FrameDecoder:
                 gbh.root_node_size_log2, gps.trisoup_node_size_log2, dec,
                 self._geom_ctx, self._trisoup_ctx,
                 max_nodes=gbh.num_points, ctx_mode=ctx_mode,
-                face_vertices=gps.trisoup_face_vertex_enabled)
+                face_vertices=gps.trisoup_face_vertex_enabled,
+                halo=gps.trisoup_halo_enabled)
         elif gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
             ref_pos = None
             if gbh.is_inter:

@@ -79,6 +79,7 @@ class EncoderParams:
     geometry_codec: hls.GeometryCodecType = hls.GeometryCodecType.OCTREE
     trisoup_node_size_log2: int = 0
     trisoup_face_vertex_enabled: bool = False
+    trisoup_halo_enabled: bool = False
     # opaque user data emitted once with the parameter sets
     # (reference UserData, hls.h:1041)
     user_data: Optional["hls.UserData"] = None
@@ -201,6 +202,7 @@ class FrameEncoder:
                 and p.geometry_codec == hls.GeometryCodecType.OCTREE),
             trisoup_node_size_log2=p.trisoup_node_size_log2,
             trisoup_face_vertex_enabled=p.trisoup_face_vertex_enabled,
+            trisoup_halo_enabled=p.trisoup_halo_enabled,
             interPredictionEnabled=p.inter_prediction,
             globalMotionEnabled=p.global_motion,
             lpu_motion_enabled=p.lpu_motion and p.inter_prediction,
@@ -476,7 +478,8 @@ class FrameEncoder:
                 local, depth, self.gps.trisoup_node_size_log2, enc,
                 self._geom_ctx, self._trisoup_ctx,
                 engine=p.engine, ctx_mode=ctx_mode,
-                face_vertices=self.gps.trisoup_face_vertex_enabled)
+                face_vertices=self.gps.trisoup_face_vertex_enabled,
+                halo=self.gps.trisoup_halo_enabled)
         elif self.gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
             ref_pos = self._ref_points_for_slice(refs, slice_origin,
                                                  depth)

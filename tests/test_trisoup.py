@@ -172,3 +172,26 @@ def test_recolour_nearest_on_shifted_positions():
     out = recolour_ops.recolour(src, pos + np.array([1, 0, 0]))
     err = np.abs(out.reflectances.astype(int) - refl.astype(int))
     assert np.median(err) <= 6
+
+
+def test_trisoup_halo():
+    """Halo (reference trisoup_halo_flag): thickens voxelised
+    triangles so adjacent-node fans seal; decoder matches encoder
+    exactly and the reconstruction gets denser."""
+    depth, s = 7, 3
+    pos = surface_cloud(4000, depth, seed=8)
+    recs = {}
+    for halo in (False, True):
+        enc = entropy.RangeEncoder()
+        rec = geometry_trisoup.encode(
+            pos, depth, s, enc, geometry_octree.OctreeContexts(),
+            geometry_trisoup.TrisoupContexts(), halo=halo)
+        dec = entropy.RangeDecoder(enc.get_bytes())
+        rec2 = geometry_trisoup.decode(
+            depth, s, dec, geometry_octree.OctreeContexts(),
+            geometry_trisoup.TrisoupContexts(), max_nodes=len(pos),
+            halo=halo)
+        np.testing.assert_array_equal(rec, rec2)
+        recs[halo] = rec
+    assert len(recs[True]) > len(recs[False])
+    assert chamfer_1way(pos, recs[True]) <= chamfer_1way(pos, recs[False])
