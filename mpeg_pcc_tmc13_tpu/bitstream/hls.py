@@ -179,8 +179,13 @@ class GeometryParameterSet:
     # cuboid LPU local motion refinement (reference lpuType=1)
     lpu_motion_enabled: bool = False
     lpu_size_log2: int = 6
-    # angular (LiDAR) tool set — later rounds
+    # angular (LiDAR) tool set; calibrated laser tables (reference
+    # numLasers/lasersTheta/lasersZ/lasersNumPhiPerTurn): tan(theta)
+    # in Q18, z offset, azimuth steps per turn, one entry per laser
     angular_enabled: bool = False
+    laser_theta_q: List[int] = field(default_factory=list)
+    laser_z: List[int] = field(default_factory=list)
+    laser_npt: List[int] = field(default_factory=list)
 
     def write(self) -> bytes:
         w = BitWriter()
@@ -201,6 +206,14 @@ class GeometryParameterSet:
         w.write_bit(self.lpu_motion_enabled)
         w.write_ue(self.lpu_size_log2)
         w.write_bit(self.angular_enabled)
+        w.write_ue(len(self.laser_theta_q))
+        pt = pz = 0
+        for i in range(len(self.laser_theta_q)):
+            w.write_se(self.laser_theta_q[i] - pt)
+            pt = self.laser_theta_q[i]
+            w.write_se(self.laser_z[i] - pz)
+            pz = self.laser_z[i]
+            w.write_ue(self.laser_npt[i])
         w.byte_align()
         return w.get_bytes()
 
@@ -225,6 +238,14 @@ class GeometryParameterSet:
         g.lpu_motion_enabled = bool(r.read_bit())
         g.lpu_size_log2 = r.read_ue()
         g.angular_enabled = bool(r.read_bit())
+        nlas = r.read_ue()
+        pt = pz = 0
+        for _ in range(nlas):
+            pt += r.read_se()
+            g.laser_theta_q.append(pt)
+            pz += r.read_se()
+            g.laser_z.append(pz)
+            g.laser_npt.append(r.read_ue())
         return g
 
 

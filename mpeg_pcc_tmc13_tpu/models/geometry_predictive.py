@@ -35,9 +35,10 @@ from ..utils import morton
 _AXIS_CTX = 2 + 24
 # mode bits: 2 bits x 4 previous-mode contexts
 MODE_CTX_SIZE = 4 * 2
-# angular mode adds 2 secondary cartesian residual streams (x, y);
-# inter adds a chained per-point inter flag (2 contexts)
-_INTER_FLAG_OFF = MODE_CTX_SIZE + 5 * _AXIS_CTX
+# angular mode adds 2 secondary cartesian residual streams (x, y) —
+# 3 (x, y, z) with calibrated laser tables; inter adds a chained
+# per-point inter flag (2 contexts)
+_INTER_FLAG_OFF = MODE_CTX_SIZE + 6 * _AXIS_CTX
 PRED_CTX_SIZE = _INTER_FLAG_OFF + 2
 _NN_WINDOW = 8
 
@@ -105,7 +106,8 @@ def _sorted_ref(ref_positions: np.ndarray):
 
 def encode(positions: np.ndarray, enc, ctx: PredGeomContexts,
            sort_mode: SortMode = SortMode.MORTON,
-           angular: bool = False, ref_positions: np.ndarray = None):
+           angular: bool = False, ref_positions: np.ndarray = None,
+           lasers=None):
     """Encode positions losslessly; returns chain-order permutation.
 
     angular=True codes in the spherical domain (r, phi, z) with a
@@ -130,12 +132,30 @@ def encode(positions: np.ndarray, enc, ctx: PredGeomContexts,
         enc.bypass(np.array([cx, cy], dtype=np.uint32),
                    np.array([21, 21], dtype=np.int32))
         centred = pc - np.array([cx, cy, 0], dtype=np.int64)
-        sph = coords.xyz_to_spherical(centred)
-        _chain_encode(sph, enc, ctx)
-        # secondary residual: xyz - inverse(sph), z exact by design
-        approx = coords.spherical_to_xyz(sph)
-        sec = centred - approx                   # (N,3), z column == 0
-        for c in range(2):
+        if lasers is not None:
+            # calibrated per-laser form: code (r, phi, laser index),
+            # z reconstructs from the GPS laser tables + residual.
+            # Scan order = (laser, azimuth): the laser column is
+            # then piecewise constant and phi monotone per laser
+            # (reference per-laser prediction threads)
+            theta_q, zoff, npt = lasers
+            rpl = coords.xyz_to_rpl(centred, theta_q, zoff, npt)
+            ord2 = np.lexsort((rpl[:, 1], rpl[:, 2]))
+            rpl = rpl[ord2]
+            centred = centred[ord2]
+            order = order[ord2]
+            _chain_encode(rpl, enc, ctx)
+            approx = coords.rpl_to_xyz(rpl, theta_q, zoff, npt)
+            sec = centred - approx               # (N,3), small z too
+            ncomp_sec = 3
+        else:
+            sph = coords.xyz_to_spherical(centred)
+            _chain_encode(sph, enc, ctx)
+            # secondary residual: xyz - inverse(sph), z exact by design
+            approx = coords.spherical_to_xyz(sph)
+            sec = centred - approx               # (N,3), z column == 0
+            ncomp_sec = 2
+        for c in range(ncomp_sec):
             off = MODE_CTX_SIZE + (3 + c) * _AXIS_CTX
             cslice = ctx.ctx[off:off + _AXIS_CTX]
             enc.resbl(cslice, sec[:, c].astype(np.int32))
@@ -212,7 +232,8 @@ def _chain_encode(p: np.ndarray, enc, ctx: PredGeomContexts,
 
 def decode(num_points: int, dec, ctx: PredGeomContexts,
            angular: bool = False,
-           ref_positions: np.ndarray = None) -> np.ndarray:
+           ref_positions: np.ndarray = None,
+           lasers=None) -> np.ndarray:
     n = num_points
     if n == 0:
         return np.zeros((0, 3), dtype=np.int64)
@@ -221,11 +242,16 @@ def decode(num_points: int, dec, ctx: PredGeomContexts,
         centre = dec.bypass(np.array([21, 21], dtype=np.int32))
         sph = _chain_decode(n, dec, ctx)
         sec = np.zeros((n, 3), dtype=np.int64)
-        for c in range(2):
+        ncomp_sec = 3 if lasers is not None else 2
+        for c in range(ncomp_sec):
             off = MODE_CTX_SIZE + (3 + c) * _AXIS_CTX
             cslice = ctx.ctx[off:off + _AXIS_CTX]
             sec[:, c] = dec.resbl(cslice, n)
-        out = coords.spherical_to_xyz(sph) + sec
+        if lasers is not None:
+            theta_q, zoff, npt = lasers
+            out = coords.rpl_to_xyz(sph, theta_q, zoff, npt) + sec
+        else:
+            out = coords.spherical_to_xyz(sph) + sec
         out[:, 0] += int(centre[0])
         out[:, 1] += int(centre[1])
         return out

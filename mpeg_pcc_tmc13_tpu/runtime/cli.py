@@ -115,6 +115,17 @@ class Config:
                                     else hls.GeometryCodecType.OCTREE)
             elif name == "angularEnabled":
                 p.angular_enabled = opt.to_bool(value)
+            elif name == "numLasers":
+                pass   # implied by the table lengths
+            elif name == "lasersTheta":
+                p.laser_theta = [float(t) for t in
+                                 value.replace(",", " ").split()]
+            elif name == "lasersZ":
+                p.laser_z = [int(float(t)) for t in
+                             value.replace(",", " ").split()]
+            elif name == "lasersNumPhiPerTurn":
+                p.laser_npt = [int(t) for t in
+                               value.replace(",", " ").split()]
             elif name == "planarEnabled":
                 p.planar_enabled = opt.to_bool(value)
             elif name == "inferredDirectCodingMode":

@@ -183,9 +183,17 @@ class FrameDecoder:
             ref_pos = None
             if gbh.is_inter:
                 ref_pos = self._ref_points_for_gbh(gbh)
+            lasers = None
+            if gps.angular_enabled and gps.laser_theta_q:
+                lasers = (np.asarray(gps.laser_theta_q,
+                                     dtype=np.int64),
+                          np.asarray(gps.laser_z, dtype=np.int64),
+                          np.asarray(gps.laser_npt,
+                                     dtype=np.int64))
             local = geometry_predictive.decode(
                 gbh.num_points, dec, self._predgeom_ctx,
-                angular=gps.angular_enabled, ref_positions=ref_pos)
+                angular=gps.angular_enabled, ref_positions=ref_pos,
+                lasers=lasers)
         else:
             ref_codes = None
             if gbh.is_inter:

@@ -113,6 +113,10 @@ class EncoderParams:
     # refinement MV on top of global motion
     lpu_motion: bool = False
     lpu_size_log2: int = 6
+    # calibrated laser tables (angular predictive geometry)
+    laser_theta: List[float] = field(default_factory=list)
+    laser_z: List[int] = field(default_factory=list)
+    laser_npt: List[int] = field(default_factory=list)
     # inter prediction (reference TMC3.cpp:1113-1151)
     inter_prediction: bool = False
     random_access_period: int = 1     # 1 = all-intra
@@ -208,6 +212,13 @@ class FrameEncoder:
             lpu_motion_enabled=p.lpu_motion and p.inter_prediction,
             lpu_size_log2=p.lpu_size_log2,
             angular_enabled=p.angular_enabled,
+            laser_theta_q=[int(round(t * (1 << 18)))
+                           for t in p.laser_theta],
+            laser_z=[int(p.laser_z[i]) if i < len(p.laser_z) else 0
+                     for i in range(len(p.laser_theta))],
+            laser_npt=[int(p.laser_npt[i]) if i < len(p.laser_npt)
+                       else 1024
+                       for i in range(len(p.laser_theta))],
         )
         aps_list = []
         for i, ac in enumerate(p.attributes):
@@ -483,11 +494,19 @@ class FrameEncoder:
         elif self.gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
             ref_pos = self._ref_points_for_slice(refs, slice_origin,
                                                  depth)
+            lasers = None
+            if self.gps.angular_enabled and self.gps.laser_theta_q:
+                lasers = (np.asarray(self.gps.laser_theta_q,
+                                     dtype=np.int64),
+                          np.asarray(self.gps.laser_z,
+                                     dtype=np.int64),
+                          np.asarray(self.gps.laser_npt,
+                                     dtype=np.int64))
             order = geometry_predictive.encode(
                 local, enc, self._predgeom_ctx,
                 sort_mode=p.predgeom_sort_mode,
                 angular=self.gps.angular_enabled,
-                ref_positions=ref_pos)
+                ref_positions=ref_pos, lasers=lasers)
         elif multistream:
             streams, order = geometry_octree.encode_multistream(
                 local, depth, self._geom_ctx, p.num_entropy_streams,

@@ -210,3 +210,73 @@ def test_predictive_inter_end_to_end():
         np.testing.assert_array_equal(
             np.sort(morton.encode(out.positions)),
             np.sort(morton.encode(src.positions)))
+
+
+def lidar_grid_cloud(num_lasers=16, npt=1024, every=8, seed=0):
+    """On-grid rotating-LiDAR sweep + its calibration tables."""
+    from mpeg_pcc_tmc13_tpu.ops import coords
+    rng = np.random.default_rng(seed)
+    theta = np.round(np.tan(np.linspace(-0.4, 0.1, num_lasers))
+                     * (1 << 18)).astype(np.int64)
+    zoff = np.full(num_lasers, 400, dtype=np.int64)
+    nptv = np.full(num_lasers, npt, dtype=np.int64)
+    steps = np.arange(0, npt, every)
+    phi = steps * 2 * np.pi / npt
+    prof = (2000 + 1500 * np.sin(3 * phi)).astype(np.int64)
+    parts = []
+    for li in range(num_lasers):
+        r = prof + rng.integers(-5, 6, len(steps))
+        x = np.round(r * np.cos(phi)).astype(np.int64) + 5000
+        y = np.round(r * np.sin(phi)).astype(np.int64) + 5000
+        rr = np.round(np.sqrt((x - 5000).astype(float) ** 2
+                              + (y - 5000).astype(float) ** 2)
+                      ).astype(np.int64)
+        z = np.maximum(coords.laser_z_pred(
+            rr, np.full(len(steps), li), theta, zoff), 0)
+        parts.append(np.column_stack([x, y, z]))
+    return np.concatenate(parts), (theta, zoff, nptv)
+
+
+def test_laser_tables_lossless_and_smaller():
+    """Calibrated laser tables (reference numLasers/lasersTheta/
+    lasersZ/lasersNumPhiPerTurn): (r, phi-step, laser) coding beats
+    the virtual-uniform spherical form on on-grid sweeps."""
+    pos, lasers = lidar_grid_cloud()
+    n = len(pos)
+    sizes = {}
+    for las in (None, lasers):
+        enc = entropy.RangeEncoder()
+        order = gp.encode(pos, enc, gp.PredGeomContexts(),
+                          angular=True, lasers=las)
+        data = enc.get_bytes()
+        out = gp.decode(n, entropy.RangeDecoder(data),
+                        gp.PredGeomContexts(), angular=True, lasers=las)
+        np.testing.assert_array_equal(out, pos[order])
+        sizes[las is not None] = len(data)
+    assert sizes[True] < sizes[False] * 0.75
+
+
+def test_laser_tables_cli(tmp_path):
+    from mpeg_pcc_tmc13_tpu.runtime import cli
+    from mpeg_pcc_tmc13_tpu.utils import ply
+    pos, (theta, zoff, nptv) = lidar_grid_cloud(num_lasers=8)
+    in_ply = tmp_path / "in.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)),
+              str(in_ply), position_is_float=False)
+    out_bin = tmp_path / "o.bin"
+    rec_ply = tmp_path / "r.ply"
+    thetas = ",".join(f"{t / (1 << 18):.6f}" for t in theta)
+    assert cli.main([
+        "--mode=0", f"--uncompressedDataPath={in_ply}",
+        f"--compressedStreamPath={out_bin}", "--geomTreeType=1",
+        "--angularEnabled=1", f"--numLasers={len(theta)}",
+        f"--lasersTheta={thetas}",
+        f"--lasersZ={','.join(str(v) for v in zoff)}",
+        f"--lasersNumPhiPerTurn={','.join(str(v) for v in nptv)}",
+        "--disableAttributeCoding=1"]) == 0
+    assert cli.main(["--mode=1", f"--compressedStreamPath={out_bin}",
+                     f"--reconstructedDataPath={rec_ply}"]) == 0
+    rec = ply.read(str(rec_ply))
+    np.testing.assert_array_equal(
+        np.sort(morton.encode(rec.positions.astype(np.int64))),
+        np.unique(morton.encode(pos)))
