@@ -365,7 +365,7 @@ void radix_sort64(int64_t* keys, int64_t* perm_out, int64_t n) {
     if (perm_out && n == 1) perm_out[0] = 0;
     return;
   }
-  constexpr int kBits = 11;
+  constexpr int kBits = 16;   // 4 passes over 63-bit keys
   constexpr int kBuckets = 1 << kBits;
   bool want_perm = perm_out != nullptr;
   std::vector<int64_t> buf_k(n), buf_p;
@@ -378,7 +378,7 @@ void radix_sort64(int64_t* keys, int64_t* perm_out, int64_t n) {
   int64_t* src_p = perm_out;
   int64_t* dst_p = buf_p.data();
   static int64_t count[kBuckets];
-  for (int pass = 0; pass < 6; ++pass) {
+  for (int pass = 0; pass < 4; ++pass) {
     int shift = pass * kBits;
     std::memset(count, 0, sizeof(count));
     for (int64_t i = 0; i < n; ++i)
@@ -398,7 +398,7 @@ void radix_sort64(int64_t* keys, int64_t* perm_out, int64_t n) {
     std::swap(src_k, dst_k);
     if (want_perm) std::swap(src_p, dst_p);
   }
-  // 6 passes (even count): data ended back in the caller's arrays
+  // even pass count: data ended back in the caller's arrays
   if (src_k != keys) std::memcpy(keys, src_k, n * sizeof(int64_t));
   if (want_perm && src_p != perm_out)
     std::memcpy(perm_out, src_p, n * sizeof(int64_t));
