@@ -77,6 +77,9 @@ def _load_native() -> Optional[ctypes.CDLL]:
                             c.c_int32, c.c_int32]
     lib.rce_occupancy.argtypes = [c.c_void_p, u16p, i32p, u8p, c.c_int64]
     lib.rcd_occupancy.argtypes = [c.c_void_p, u16p, i32p, u8p, c.c_int64]
+    lib.rce_occ_sym.argtypes = [c.c_void_p, u16p, i32p, u8p, c.c_int64]
+    lib.rcd_occ_sym.argtypes = [c.c_void_p, u16p, i32p, u8p, c.c_int64]
+    lib.sym_contexts_init.argtypes = [u16p, c.c_int64]
     lib.rce_residuals.argtypes = [c.c_void_p, u16p, i32p, c.c_int64,
                                   c.c_int32, c.c_int32]
     lib.rcd_residuals.argtypes = [c.c_void_p, u16p, i32p, c.c_int64,
@@ -87,10 +90,10 @@ def _load_native() -> Optional[ctypes.CDLL]:
     lib.rcd_resbl.argtypes = [c.c_void_p, u16p, i32p, c.c_int64]
     i64p = c.POINTER(c.c_int64)
     lib.oct_encode.argtypes = [c.c_void_p, u16p, i64p, c.c_int64,
-                               c.c_int32, c.c_int32]
+                               c.c_int32, c.c_int32, c.c_int32]
     lib.oct_encode.restype = c.c_int64
     lib.oct_decode.argtypes = [c.c_void_p, u16p, i64p, c.c_int64,
-                               c.c_int32, c.c_int32]
+                               c.c_int32, c.c_int32, c.c_int32]
     lib.oct_decode.restype = c.c_int64
     lib.radix_sort64.argtypes = [i64p, i64p, c.c_int64]
     lib.morton_sort.argtypes = [i64p, c.c_int64, i64p, i64p]
@@ -98,10 +101,12 @@ def _load_native() -> Optional[ctypes.CDLL]:
                                      c.c_int32, u8p]
     lib.lod_assign_dist2.restype = c.c_int32
     lib.oct_encode_inter.argtypes = [c.c_void_p, u16p, i64p, c.c_int64,
-                                     c.c_int32, i64p, c.c_int64]
+                                     c.c_int32, i64p, c.c_int64,
+                                     c.c_int32]
     lib.oct_encode_inter.restype = c.c_int64
     lib.oct_decode_inter.argtypes = [c.c_void_p, u16p, i64p, c.c_int64,
-                                     c.c_int32, i64p, c.c_int64]
+                                     c.c_int32, i64p, c.c_int64,
+                                     c.c_int32]
     lib.oct_decode_inter.restype = c.c_int64
     return lib
 
@@ -116,6 +121,67 @@ def native_available() -> bool:
 def new_contexts(n: int) -> np.ndarray:
     """Allocate n adaptive contexts initialised to p=0.5."""
     return np.full(n, PROB_INIT, dtype=np.uint16)
+
+
+# ---- bytewise occupancy model (Fenwick 256-symbol trees) -------------
+SYM_N = 256
+_SYM_INC = 24
+_SYM_LIMIT = 1 << 13
+
+
+def new_sym_contexts(num_bases: int) -> np.ndarray:
+    """Per base: adaptive 256-symbol frequency table as a Fenwick tree
+    (uint16[256]; all frequencies start at 1, total in slot 255)."""
+    t = np.array([i & -i for i in range(1, SYM_N + 1)], dtype=np.uint16)
+    return np.tile(t, num_bases)
+
+
+def _fen_prefix(t, base, i):
+    s = 0
+    while i > 0:
+        s += int(t[base + i - 1])
+        i -= i & -i
+    return s
+
+
+def _fen_add(t, base, sym, d):
+    j = sym + 1
+    while j <= SYM_N:
+        t[base + j - 1] = np.uint16((int(t[base + j - 1]) + d) & 0xFFFF)
+        j += j & -j
+
+
+def _fen_find(t, base, dv):
+    pos, cum, b = 0, 0, SYM_N >> 1
+    while b:
+        nxt = pos + b
+        if nxt <= SYM_N and cum + int(t[base + nxt - 1]) <= dv:
+            pos, cum = nxt, cum + int(t[base + nxt - 1])
+        b >>= 1
+    if pos >= SYM_N:
+        pos = SYM_N - 1
+    return pos, cum
+
+
+def _sym_rescale(t, base):
+    prev = 0
+    f = np.zeros(SYM_N, dtype=np.uint16)
+    for i in range(SYM_N):
+        cur = _fen_prefix(t, base, i + 1)
+        f[i] = ((cur - prev) + 1) >> 1
+        prev = cur
+    t[base:base + SYM_N] = f
+    for i in range(1, SYM_N + 1):
+        j = i + (i & -i)
+        if j <= SYM_N:
+            t[base + j - 1] = np.uint16(int(t[base + j - 1])
+                                        + int(t[base + i - 1]))
+
+
+def _sym_adapt(t, base, sym, total):
+    _fen_add(t, base, sym, _SYM_INC)
+    if total + _SYM_INC >= _SYM_LIMIT:
+        _sym_rescale(t, base)
 
 
 def _as(arr, dtype):
@@ -228,6 +294,21 @@ class _PyEncoder:
                     break
                 self.encode_bit(ctx, base + t - 1, bit)
                 t = (t << 1) | bit
+
+    def occupancy_sym(self, ctx, base_ctx, occ):
+        for bc, sym in zip(base_ctx, occ):
+            base = int(bc) * SYM_N
+            sym = int(sym)
+            total = int(ctx[base + SYM_N - 1])
+            cum = _fen_prefix(ctx, base, sym)
+            f = _fen_prefix(ctx, base, sym + 1) - cum
+            r = self.range // total
+            self.low += r * cum
+            self.range = r * f
+            while self.range < _TOP:
+                self._shift_low()
+                self.range = (self.range << 8) & _M32
+            _sym_adapt(ctx, base, sym, total)
 
     def residuals(self, ctx, vals, prefix_max, k):
         prev_nz = 0
@@ -373,6 +454,26 @@ class _PyDecoder:
             out[n] = t & 0xFF
         return out
 
+    def occupancy_sym(self, ctx, base_ctx):
+        out = np.zeros(len(base_ctx), dtype=np.uint8)
+        for n, bc in enumerate(base_ctx):
+            base = int(bc) * SYM_N
+            total = int(ctx[base + SYM_N - 1])
+            r = self.range // total
+            dv = self.code // r
+            if dv >= total:
+                dv = total - 1
+            sym, cum = _fen_find(ctx, base, dv)
+            f = _fen_prefix(ctx, base, sym + 1) - cum
+            self.code -= r * cum
+            self.range = r * f
+            while self.range < _TOP:
+                self.range = (self.range << 8) & _M32
+                self.code = ((self.code << 8) | self._next()) & _M32
+            out[n] = sym
+            _sym_adapt(ctx, base, sym, total)
+        return out
+
     def residuals(self, ctx, n, prefix_max, k):
         out = np.zeros(n, dtype=np.int32)
         prev_nz = 0
@@ -449,20 +550,31 @@ class _NativeEncoder:
                            _ptr(b, ctypes.c_int32), _ptr(o, ctypes.c_uint8),
                            len(b))
 
-    def octree(self, ctx, leaf_codes_sorted, depth, mode):
-        """Full-tree occupancy coding in one native call (octree.cc)."""
+    def occupancy_sym(self, ctx, base_ctx, occ):
+        b = _as(base_ctx, np.int32)
+        o = _as(occ, np.uint8)
+        _LIB.rce_occ_sym(self._h, _ptr(ctx, ctypes.c_uint16),
+                         _ptr(b, ctypes.c_int32), _ptr(o, ctypes.c_uint8),
+                         len(b))
+
+    def octree(self, ctx, leaf_codes_sorted, depth, mode,
+               use_sym=False):
+        """Full-tree occupancy coding in one native call (octree.cc).
+        use_sym: ctx is bytewise Fenwick memory (new_sym_contexts)."""
         c = _as(leaf_codes_sorted, np.int64)
         return int(_LIB.oct_encode(
             self._h, _ptr(ctx, ctypes.c_uint16),
-            _ptr(c, ctypes.c_int64), len(c), depth, mode))
+            _ptr(c, ctypes.c_int64), len(c), depth, mode,
+            1 if use_sym else 0))
 
-    def octree_inter(self, ctx, leaf_codes_sorted, depth, ref_codes):
+    def octree_inter(self, ctx, leaf_codes_sorted, depth, ref_codes,
+                     use_sym=False):
         c = _as(leaf_codes_sorted, np.int64)
         r = _as(ref_codes, np.int64)
         return int(_LIB.oct_encode_inter(
             self._h, _ptr(ctx, ctypes.c_uint16),
             _ptr(c, ctypes.c_int64), len(c), depth,
-            _ptr(r, ctypes.c_int64), len(r)))
+            _ptr(r, ctypes.c_int64), len(r), 1 if use_sym else 0))
 
     def residuals(self, ctx, vals, prefix_max, k):
         v = _as(vals, np.int32)
@@ -541,23 +653,33 @@ class _NativeDecoder:
                            len(b))
         return out
 
-    def octree(self, ctx, cap, depth, mode):
+    def occupancy_sym(self, ctx, base_ctx):
+        b = _as(base_ctx, np.int32)
+        out = np.zeros(len(b), dtype=np.uint8)
+        _LIB.rcd_occ_sym(self._h, _ptr(ctx, ctypes.c_uint16),
+                         _ptr(b, ctypes.c_int32), _ptr(out, ctypes.c_uint8),
+                         len(b))
+        return out
+
+    def octree(self, ctx, cap, depth, mode, use_sym=False):
         """Full-tree occupancy decode -> sorted unique leaf codes."""
         out = np.zeros(max(cap, 1), dtype=np.int64)
         n = int(_LIB.oct_decode(
             self._h, _ptr(ctx, ctypes.c_uint16),
-            _ptr(out, ctypes.c_int64), len(out), depth, mode))
+            _ptr(out, ctypes.c_int64), len(out), depth, mode,
+            1 if use_sym else 0))
         if n < 0:
             raise ValueError(f"octree decode needs capacity {-n} > {cap}")
         return out[:n]
 
-    def octree_inter(self, ctx, cap, depth, ref_codes):
+    def octree_inter(self, ctx, cap, depth, ref_codes,
+                 use_sym=False):
         out = np.zeros(max(cap, 1), dtype=np.int64)
         r = _as(ref_codes, np.int64)
         n = int(_LIB.oct_decode_inter(
             self._h, _ptr(ctx, ctypes.c_uint16),
             _ptr(out, ctypes.c_int64), len(out), depth,
-            _ptr(r, ctypes.c_int64), len(r)))
+            _ptr(r, ctypes.c_int64), len(r), 1 if use_sym else 0))
         if n < 0:
             raise ValueError(f"octree decode needs capacity {-n} > {cap}")
         return out[:n]

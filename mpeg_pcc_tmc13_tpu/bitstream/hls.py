@@ -167,6 +167,9 @@ class GeometryParameterSet:
     codec_type: GeometryCodecType = GeometryCodecType.OCTREE
     unique_points: bool = True
     neighbour_context_enabled: bool = True
+    # occupancy symbol coder: bytewise Fenwick model (default; one
+    # multisymbol range op per node) vs binary context tree
+    bytewise_occupancy: bool = True
     inferred_direct_coding_mode: int = 0   # 0=off (IDCM, later rounds)
     planar_mode_enabled: bool = False
     qtbt_enabled: bool = False
@@ -194,6 +197,7 @@ class GeometryParameterSet:
         w.write(int(self.codec_type), 2)
         w.write_bit(self.unique_points)
         w.write_bit(self.neighbour_context_enabled)
+        w.write_bit(self.bytewise_occupancy)
         w.write_ue(self.inferred_direct_coding_mode)
         w.write_bit(self.planar_mode_enabled)
         w.write_bit(self.qtbt_enabled)
@@ -226,6 +230,7 @@ class GeometryParameterSet:
         g.codec_type = GeometryCodecType(r.read(2))
         g.unique_points = bool(r.read_bit())
         g.neighbour_context_enabled = bool(r.read_bit())
+        g.bytewise_occupancy = bool(r.read_bit())
         g.inferred_direct_coding_mode = r.read_ue()
         g.planar_mode_enabled = bool(r.read_bit())
         g.qtbt_enabled = bool(r.read_bit())

@@ -494,3 +494,117 @@ void rcd_resbl(RcDecoder* d, uint16_t* ctx, int32_t* vals, int64_t n) {
 }
 
 }  // extern "C"
+
+// ---- bytewise adaptive occupancy (reference dual-LUT counterpart) ------
+//
+// One 256-symbol range-coder operation per occupancy byte instead of 8
+// binary ones.  Per context base: an adaptive frequency table kept as a
+// Fenwick tree (uint16[256], 1-indexed nodes stored at t[i-1]; freq of
+// every symbol starts at 1, so t[i-1] = i & -i initially and the total
+// lives in t[255]).  Rescale halves frequencies (min 1 preserved by
+// (f+1)>>1) when the total reaches 2^13, keeping range/total division
+// safe after every 8-bit renormalisation.
+
+namespace {
+
+constexpr int kSymN = 256;
+constexpr int kSymInc = 24;
+constexpr uint32_t kSymLimit = 1u << 13;
+
+inline uint32_t fen_prefix(const uint16_t* t, int i) {
+  uint32_t s = 0;
+  for (; i > 0; i -= i & -i) s += t[i - 1];
+  return s;
+}
+
+inline void fen_add(uint16_t* t, int sym, int d) {
+  for (int j = sym + 1; j <= kSymN; j += j & -j)
+    t[j - 1] = (uint16_t)(t[j - 1] + d);
+}
+
+// largest symbol s with prefix(s) <= dv; sets *cum_out = prefix(s)
+inline int fen_find(const uint16_t* t, uint32_t dv, uint32_t* cum_out) {
+  int pos = 0;
+  uint32_t cum = 0;
+  for (int b = kSymN >> 1; b; b >>= 1) {
+    int nxt = pos + b;
+    if (nxt <= kSymN && cum + t[nxt - 1] <= dv) {
+      pos = nxt;
+      cum += t[nxt - 1];
+    }
+  }
+  if (pos >= kSymN) pos = kSymN - 1;  // safety (cannot trigger: freqs>=1)
+  *cum_out = cum;
+  return pos;
+}
+
+inline void sym_rescale(uint16_t* t) {
+  uint16_t f[kSymN];
+  uint32_t prev = 0;
+  for (int i = 0; i < kSymN; ++i) {
+    uint32_t cur = fen_prefix(t, i + 1);
+    f[i] = (uint16_t)(((cur - prev) + 1) >> 1);
+    prev = cur;
+  }
+  for (int i = 0; i < kSymN; ++i) t[i] = f[i];
+  for (int i = 1; i <= kSymN; ++i) {
+    int j = i + (i & -i);
+    if (j <= kSymN) t[j - 1] = (uint16_t)(t[j - 1] + t[i - 1]);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void sym_contexts_init(uint16_t* ctx, int64_t num_bases) {
+  for (int64_t b = 0; b < num_bases; ++b) {
+    uint16_t* t = &ctx[b * kSymN];
+    for (int i = 1; i <= kSymN; ++i) t[i - 1] = (uint16_t)(i & -i);
+  }
+}
+
+void rce_occ_sym(RcEncoder* e, uint16_t* ctx, const int32_t* base_ctx,
+                 const uint8_t* occ, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    uint16_t* t = &ctx[(int64_t)base_ctx[i] * kSymN];
+    int s = occ[i];
+    uint32_t total = t[kSymN - 1];
+    uint32_t cum = fen_prefix(t, s);
+    uint32_t f = fen_prefix(t, s + 1) - cum;
+    uint32_t r = e->range / total;
+    e->low += (uint64_t)r * cum;
+    e->range = r * f;
+    while (e->range < kTopValue) {
+      e->shift_low();
+      e->range <<= 8;
+    }
+    fen_add(t, s, kSymInc);
+    if (total + kSymInc >= kSymLimit) sym_rescale(t);
+  }
+}
+
+void rcd_occ_sym(RcDecoder* d, uint16_t* ctx, const int32_t* base_ctx,
+                 uint8_t* occ, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    uint16_t* t = &ctx[(int64_t)base_ctx[i] * kSymN];
+    uint32_t total = t[kSymN - 1];
+    uint32_t r = d->range / total;
+    uint32_t dv = d->code / r;
+    if (dv >= total) dv = total - 1;
+    uint32_t cum;
+    int s = fen_find(t, dv, &cum);
+    uint32_t f = fen_prefix(t, s + 1) - cum;
+    d->code -= r * cum;
+    d->range = r * f;
+    while (d->range < kTopValue) {
+      d->range <<= 8;
+      d->code = (d->code << 8) | d->next_byte();
+    }
+    occ[i] = (uint8_t)s;
+    fen_add(t, s, kSymInc);
+    if (total + kSymInc >= kSymLimit) sym_rescale(t);
+  }
+}
+
+}  // extern "C"

@@ -120,12 +120,20 @@ struct Level {
 }  // namespace
 
 extern "C" {
+void rce_occ_sym(RcEncoder*, uint16_t*, const int32_t*,
+                 const uint8_t*, int64_t);
+void rcd_occ_sym(RcDecoder*, uint16_t*, const int32_t*,
+                 uint8_t*, int64_t);
+}
+
+extern "C" {
 
 // Encode the octree of `n` sorted unique leaf codes at `depth` levels.
 // Streams all occupancy bytes (top-down) through the encoder.  Returns
 // the total number of coded tree nodes.
 int64_t oct_encode(RcEncoder* e, uint16_t* ctx, const int64_t* codes,
-                   int64_t n, int32_t depth, int32_t mode) {
+                   int64_t n, int32_t depth, int32_t mode,
+                   int32_t use_sym) {
   if (n == 0 || depth == 0) return 0;
   // bottom-up: collapse sorted child codes into parents + occupancy
   std::vector<Level> levels(depth);  // levels[l]: nodes at level l
@@ -173,7 +181,10 @@ int64_t oct_encode(RcEncoder* e, uint16_t* ctx, const int64_t* codes,
         bases[i] = (child << 8) | parent_occ[i];
       }
     }
-    rce_occupancy(e, ctx, bases.data(), lv.occ.data(), m);
+    if (use_sym)
+      rce_occ_sym(e, ctx, bases.data(), lv.occ.data(), m);
+    else
+      rce_occupancy(e, ctx, bases.data(), lv.occ.data(), m);
     if (mode == 0 && l + 1 < depth) {
       parent_occ_next.clear();
       parent_occ_next.reserve(levels[l + 1].codes.size());
@@ -191,7 +202,8 @@ int64_t oct_encode(RcEncoder* e, uint16_t* ctx, const int64_t* codes,
 // Decode the octree: writes up to `cap` sorted unique leaf codes into
 // codes_out; returns the number written (or -needed if cap too small).
 int64_t oct_decode(RcDecoder* d, uint16_t* ctx, int64_t* codes_out,
-                   int64_t cap, int32_t depth, int32_t mode) {
+                   int64_t cap, int32_t depth, int32_t mode,
+                   int32_t use_sym) {
   std::vector<int64_t> cur = {0};          // root
   std::vector<int32_t> parent_occ = {0};
   std::vector<uint8_t> occ;
@@ -215,7 +227,10 @@ int64_t oct_decode(RcDecoder* d, uint16_t* ctx, int64_t* codes_out,
       }
     }
     occ.resize(m);
-    rcd_occupancy(d, ctx, bases.data(), occ.data(), m);
+    if (use_sym)
+      rcd_occ_sym(d, ctx, bases.data(), occ.data(), m);
+    else
+      rcd_occupancy(d, ctx, bases.data(), occ.data(), m);
     next.clear();
     next_parent_occ.clear();
     for (int64_t i = 0; i < m; ++i) {
@@ -270,7 +285,8 @@ inline uint8_t pred_occ_for(const int64_t* ref, int64_t rn, int64_t node,
 
 int64_t oct_encode_inter(RcEncoder* e, uint16_t* ctx,
                          const int64_t* codes, int64_t n, int32_t depth,
-                         const int64_t* ref, int64_t rn) {
+                         const int64_t* ref, int64_t rn,
+                         int32_t use_sym) {
   if (n == 0 || depth == 0) return 0;
   std::vector<Level> levels(depth);
   {
@@ -306,14 +322,18 @@ int64_t oct_encode_inter(RcEncoder* e, uint16_t* ctx,
       bases[i] = (child << 8)
                  | pred_occ_for(ref, rn, lv.codes[i], shift_child);
     }
-    rce_occupancy(e, ctx, bases.data(), lv.occ.data(), m);
+    if (use_sym)
+      rce_occ_sym(e, ctx, bases.data(), lv.occ.data(), m);
+    else
+      rce_occupancy(e, ctx, bases.data(), lv.occ.data(), m);
   }
   return total;
 }
 
 int64_t oct_decode_inter(RcDecoder* d, uint16_t* ctx, int64_t* codes_out,
                          int64_t cap, int32_t depth,
-                         const int64_t* ref, int64_t rn) {
+                         const int64_t* ref, int64_t rn,
+                         int32_t use_sym) {
   std::vector<int64_t> cur = {0};
   std::vector<uint8_t> occ;
   std::vector<int32_t> bases;
@@ -328,7 +348,10 @@ int64_t oct_decode_inter(RcDecoder* d, uint16_t* ctx, int64_t* codes_out,
                  | pred_occ_for(ref, rn, cur[i], shift_child);
     }
     occ.resize(m);
-    rcd_occupancy(d, ctx, bases.data(), occ.data(), m);
+    if (use_sym)
+      rcd_occ_sym(d, ctx, bases.data(), occ.data(), m);
+    else
+      rcd_occupancy(d, ctx, bases.data(), occ.data(), m);
     next.clear();
     for (int64_t i = 0; i < m; ++i) {
       uint8_t o = occ[i];

@@ -140,6 +140,8 @@ class Config:
             elif name == "neighbourAvailBoundaryLog2":
                 # reference semantics: 0 disables the neighbour atlas
                 p.neighbour_context = opt.to_int(value) > 0
+            elif name == "bytewiseOccupancyCoder":  # framework-specific
+                p.bytewise_occupancy = opt.to_bool(value)
             elif name == "geomEngine":   # framework-specific
                 p.engine = value.strip()
             elif name == "interPredictionEnabled":

@@ -164,7 +164,8 @@ class FrameDecoder:
                 and self.skip_layers == 0 and self.max_points == 0):
             local = geometry_octree.decode_multistream(
                 gbh.num_points, gbh.root_node_size_log2, streams,
-                self._geom_ctx, ctx_mode=ctx_mode)
+                self._geom_ctx, ctx_mode=ctx_mode,
+                bytewise=gps.bytewise_occupancy)
             grid = _grid_positions(local, gbh)
             self._slices.append(
                 _SliceState(positions=grid, local=local, gbh=gbh))
@@ -214,7 +215,8 @@ class FrameDecoder:
                 idcm=gps.inferred_direct_coding_mode > 0,
                 skip_layers=self.skip_layers,
                 max_points=self.max_points,
-                planar=gps.planar_mode_enabled)
+                planar=gps.planar_mode_enabled,
+                bytewise=gps.bytewise_occupancy)
         grid = _grid_positions(local, gbh)
         self._slices.append(_SliceState(positions=grid, local=local,
                                         gbh=gbh))

@@ -109,6 +109,7 @@ class EncoderParams:
     # saves ~3% on very sparse content while forcing the numpy engine.
     idcm: bool = False
     planar_enabled: bool = False
+    bytewise_occupancy: bool = True
     # cuboid LPU local motion (reference lpuType=1): per-2^m-cell
     # refinement MV on top of global motion
     lpu_motion: bool = False
@@ -199,6 +200,7 @@ class FrameEncoder:
             codec_type=p.geometry_codec,
             unique_points=p.merge_duplicated_points,
             neighbour_context_enabled=p.neighbour_context,
+            bytewise_occupancy=p.bytewise_occupancy,
             inferred_direct_coding_mode=1 if (
                 p.idcm and p.merge_duplicated_points) else 0,
             planar_mode_enabled=(
@@ -510,7 +512,8 @@ class FrameEncoder:
         elif multistream:
             streams, order = geometry_octree.encode_multistream(
                 local, depth, self._geom_ctx, p.num_entropy_streams,
-                ctx_mode=ctx_mode)
+                ctx_mode=ctx_mode,
+                bytewise=self.gps.bytewise_occupancy)
         else:
             ref_pts = self._ref_points_for_slice(refs, slice_origin,
                                                  depth)
@@ -530,7 +533,8 @@ class FrameEncoder:
                 engine=p.engine, ctx_mode=ctx_mode, ref_codes=ref_codes,
                 idcm=self.gps.inferred_direct_coding_mode > 0,
                 need_order=bool(self.aps),
-                planar=self.gps.planar_mode_enabled)
+                planar=self.gps.planar_mode_enabled,
+                bytewise=self.gps.bytewise_occupancy)
         if not multistream:
             streams = [enc.get_bytes()]
 
