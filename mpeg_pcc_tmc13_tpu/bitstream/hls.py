@@ -341,7 +341,12 @@ class GeometryBrickHeader:
     slice_tag: int = 0            # tile id association
     frame_ctr_lsb: int = 0
     slice_origin: Tuple[int, int, int] = (0, 0, 0)
-    root_node_size_log2: int = 0  # cubic root size (QTBT later)
+    root_node_size_log2: int = 0  # cubic (max-axis) root size
+    # per-axis root sizes (reference implicit QT/BT partitions,
+    # hls.h gbh qtbt fields): axes whose size is below the cubic
+    # depth are 'exhausted' at the top levels and their child slots
+    # are skipped by the coder with no signalling
+    axis_bits: Tuple[int, int, int] = (0, 0, 0)
     num_points: int = 0           # total points incl. duplicates
     entropy_continuation: bool = False
     prev_slice_id: int = 0
@@ -374,6 +379,9 @@ class GeometryBrickHeader:
         for v in self.slice_origin:
             w.write_se(int(v))
         w.write_ue(self.root_node_size_log2)
+        for i in range(3):
+            ab = self.axis_bits[i] or self.root_node_size_log2
+            w.write_ue(self.root_node_size_log2 - ab)
         w.write_ue(self.num_points)
         w.write_bit(self.entropy_continuation)
         if self.entropy_continuation:
@@ -409,6 +417,8 @@ class GeometryBrickHeader:
         h.frame_ctr_lsb = r.read_ue()
         h.slice_origin = tuple(r.read_se() for _ in range(3))
         h.root_node_size_log2 = r.read_ue()
+        h.axis_bits = tuple(h.root_node_size_log2 - r.read_ue()
+                            for _ in range(3))
         h.num_points = r.read_ue()
         h.entropy_continuation = bool(r.read_bit())
         if h.entropy_continuation:

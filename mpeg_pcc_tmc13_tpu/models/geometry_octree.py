@@ -133,7 +133,7 @@ def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
            ctx_mode: int = ops.CTX_MODE_NEIGH,
            ref_codes: np.ndarray = None, idcm: bool = False,
            need_order: bool = True, planar: bool = False,
-           bytewise: bool = True):
+           bytewise: bool = True, axis_bits=None):
     """Encode integer positions in [0, 2**depth)^3.
 
     ref_codes: sorted unique Morton codes of the motion-compensated
@@ -155,8 +155,15 @@ def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
         codes_sorted = codes[order]
     uniq, dup_counts = _dedup_sorted(codes_sorted)
 
+    qtbt = (axis_bits is not None
+            and tuple(axis_bits) != (depth,) * 3
+            and (ref_codes is None or ref_codes.size == 0)
+            and not idcm and not planar)
     if depth == 0 or uniq.size == 0:
         pass
+    elif qtbt:
+        encode_qtbt_np(uniq, depth, enc, ctx, ctx_mode, axis_bits,
+                       bytewise=bytewise)
     elif planar and (ref_codes is None or ref_codes.size == 0) \
             and not idcm:
         # planar mode runs the numpy engine (native planar: r2);
@@ -387,6 +394,79 @@ def decode_planar_np(depth: int, dec, ctx: OctreeContexts,
     return nodes, lvl_done
 
 
+def encode_qtbt_np(uniq: np.ndarray, depth: int, enc,
+                   ctx: OctreeContexts, ctx_mode: int, axis_bits,
+                   bytewise: bool = True):
+    """Implicit QT/BT for non-cubic bounding boxes (reference implicit
+    geometry partitions): at levels where an axis is exhausted
+    (level < depth - axis_bits[a], i.e. every point's bit is zero) the
+    axis is treated as a FORCED planar-low axis with no signalling —
+    occupancy codes over the surviving 4/2 child slots only.  Both
+    sides derive the forced set from the GBH per-axis root sizes."""
+    levels = ops.build_levels_np(uniq, depth, ctx_mode)
+    for l, lvl in enumerate(levels):
+        forced = np.array([l < depth - axis_bits[a] for a in range(3)])
+        occ32 = lvl["occ"].astype(np.int32)
+        n = occ32.size
+        if not forced.any():
+            if bytewise:
+                enc.occupancy_sym(ctx.occupancy_sym, lvl["ctx_base"],
+                                  lvl["occ"])
+            else:
+                enc.occupancy(ctx.occupancy, lvl["ctx_base"],
+                              lvl["occ"])
+            continue
+        eff = np.broadcast_to(forced, (n, 3))
+        side = np.zeros((n, 3), dtype=np.int32)
+        for idx, allowed, off, nbits in _planar_groups(eff, side):
+            node = np.ones(idx.size, dtype=np.int32)
+            for j in range(nbits):
+                bit = ((occ32[idx] >> allowed[j]) & 1).astype(np.uint8)
+                enc.bits(ctx.planar_occ, off + node - 1, bit)
+                node = node * 2 + bit
+
+
+def decode_qtbt_np(depth: int, dec, ctx: OctreeContexts, ctx_mode: int,
+                   axis_bits, bytewise: bool = True,
+                   stop_at: int = None, max_points: int = 0):
+    """Mirror of encode_qtbt_np; returns (nodes, levels_decoded)."""
+    nodes = np.zeros(1, dtype=np.int64)
+    parent_occ = np.zeros(1, dtype=np.int32)
+    stop = depth if stop_at is None else stop_at
+    lvl_done = 0
+    for l in range(stop):
+        if max_points and nodes.size >= max_points:
+            break
+        n = nodes.size
+        forced = np.array([l < depth - axis_bits[a] for a in range(3)])
+        if not forced.any():
+            base = _level_base_np(nodes, parent_occ, l, ctx_mode)
+            occ = (dec.occupancy_sym(ctx.occupancy_sym, base)
+                   if bytewise
+                   else dec.occupancy(ctx.occupancy,
+                                      base)).astype(np.int32)
+        else:
+            eff = np.broadcast_to(forced, (n, 3))
+            side = np.zeros((n, 3), dtype=np.int32)
+            occ = np.zeros(n, dtype=np.int32)
+            for idx, allowed, off, nbits in _planar_groups(eff, side):
+                node = np.ones(idx.size, dtype=np.int32)
+                vals = np.zeros(idx.size, dtype=np.int32)
+                for j in range(nbits):
+                    bit = dec.bits(ctx.planar_occ,
+                                   (off + node - 1).astype(np.int32))
+                    vals |= bit.astype(np.int32) << allowed[j]
+                    node = node * 2 + bit.astype(np.int32)
+                occ[idx] = vals
+        occ = np.where(occ == 0, 1, occ)   # corrupt-stream guard
+        u8 = occ.astype(np.uint8)
+        nodes = ops.expand_level_np(nodes, u8)
+        if ctx_mode == ops.CTX_MODE_PARENT:
+            parent_occ = np.repeat(occ, ops.popcount8_np(u8))
+        lvl_done = l + 1
+    return nodes, lvl_done
+
+
 def _level_base_np(nodes: np.ndarray, parent_occ: np.ndarray, l: int,
                    ctx_mode: int) -> np.ndarray:
     if ctx_mode == ops.CTX_MODE_NEIGH:
@@ -594,7 +674,8 @@ def decode(num_points: int, depth: int, dec, ctx: OctreeContexts,
            ctx_mode: int = ops.CTX_MODE_NEIGH,
            ref_codes: np.ndarray = None, idcm: bool = False,
            skip_layers: int = 0, max_points: int = 0,
-           planar: bool = False, bytewise: bool = True):
+           planar: bool = False, bytewise: bool = True,
+           axis_bits=None):
     """Decode positions (coding order).
 
     num_points (total, incl. duplicates — signalled in the GBH) only
@@ -610,6 +691,27 @@ def decode(num_points: int, depth: int, dec, ctx: OctreeContexts,
     if num_points == 0:
         return np.zeros((0, 3), dtype=np.int64)
     engine = resolve_engine(engine)
+    qtbt = (axis_bits is not None
+            and tuple(axis_bits) != (depth,) * 3
+            and (ref_codes is None or ref_codes.size == 0)
+            and not idcm and not planar)
+    if qtbt:
+        nodes, lvl = decode_qtbt_np(
+            depth, dec, ctx, ctx_mode, axis_bits, bytewise=bytewise,
+            stop_at=depth - min(skip_layers, depth),
+            max_points=max_points)
+        if lvl < depth:
+            shift = depth - lvl
+            pos = morton.decode(nodes) << shift
+            pos += (1 << shift) >> 1
+            return pos
+        if not unique_points:
+            dup = dec.ueg(ctx.dups,
+                          np.zeros(nodes.size, dtype=np.int32),
+                          _DUP_PREFIX_MAX,
+                          _DUP_K).astype(np.int64) + 1
+            nodes = np.repeat(nodes, dup)
+        return morton.decode(nodes)
     if planar and (ref_codes is None or ref_codes.size == 0) \
             and not idcm:
         nodes, lvl = decode_planar_np(

@@ -216,7 +216,8 @@ class FrameDecoder:
                 skip_layers=self.skip_layers,
                 max_points=self.max_points,
                 planar=gps.planar_mode_enabled,
-                bytewise=gps.bytewise_occupancy)
+                bytewise=gps.bytewise_occupancy,
+                axis_bits=gbh.axis_bits)
         grid = _grid_positions(local, gbh)
         self._slices.append(_SliceState(positions=grid, local=local,
                                         gbh=gbh))

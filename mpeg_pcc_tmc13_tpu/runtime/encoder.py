@@ -461,6 +461,10 @@ class FrameEncoder:
             local = local >> qshift
         maxv = int(local.max()) if cloud.count else 0
         depth = max(int(maxv).bit_length(), 1) if cloud.count else 1
+        # per-axis root sizes: exhausted axes drive implicit QT/BT
+        axis_bits = (tuple(
+            max(int(local[:, a].max()).bit_length(), 1)
+            for a in range(3)) if cloud.count else (1, 1, 1))
 
         if keep_ctx is None:
             keep_ctx = p.entropy_continuation
@@ -534,7 +538,8 @@ class FrameEncoder:
                 idcm=self.gps.inferred_direct_coding_mode > 0,
                 need_order=bool(self.aps),
                 planar=self.gps.planar_mode_enabled,
-                bytewise=self.gps.bytewise_occupancy)
+                bytewise=self.gps.bytewise_occupancy,
+                axis_bits=axis_bits)
         if not multistream:
             streams = [enc.get_bytes()]
 
@@ -564,6 +569,7 @@ class FrameEncoder:
             frame_ctr_lsb=frame_ctr_lsb,
             slice_origin=tuple(int(v) for v in np.asarray(slice_origin)),
             root_node_size_log2=depth,
+            axis_bits=axis_bits,
             num_points=num_points,
             entropy_continuation=continuing,
             prev_slice_id=self._slice_id - 1,

@@ -183,3 +183,57 @@ class TestPlanarMode:
                 np.sort(morton.encode(got)), srt)
             sizes[tag] = bs.stat().st_size
         assert sizes["on"] < sizes["off"]
+
+
+class TestImplicitQtbt:
+    """Implicit QT/BT (reference implicit geometry partitions): axes
+    exhausted at the top levels code no child slots, derived from the
+    GBH per-axis root sizes with zero signalling."""
+
+    def test_roundtrip_and_saving(self):
+        rng = np.random.default_rng(18)
+        pos = np.column_stack([
+            rng.integers(0, 1024, 20000), rng.integers(0, 1024, 20000),
+            rng.integers(0, 16, 20000)]).astype(np.int64)
+        expect = morton.decode(np.unique(morton.encode(pos)))
+        sizes = {}
+        for ab in (None, (10, 10, 4)):
+            enc = entropy.RangeEncoder()
+            go.encode(pos, 10, enc, go.OctreeContexts(), engine="numpy",
+                      ctx_mode=ops.CTX_MODE_PARENT, axis_bits=ab)
+            data = enc.get_bytes()
+            sizes[ab is not None] = len(data)
+            out = go.decode(len(pos), 10, entropy.RangeDecoder(data),
+                            go.OctreeContexts(), engine="numpy",
+                            ctx_mode=ops.CTX_MODE_PARENT, axis_bits=ab)
+            np.testing.assert_array_equal(out, expect)
+        assert sizes[True] < sizes[False]
+
+    def test_codec_level_flat_cloud(self, tmp_path):
+        from mpeg_pcc_tmc13_tpu.runtime import cli
+        from mpeg_pcc_tmc13_tpu.utils import ply
+        rng = np.random.default_rng(19)
+        pos = np.column_stack([
+            rng.integers(0, 512, 5000), rng.integers(0, 512, 5000),
+            rng.integers(0, 8, 5000)]).astype(np.float64)
+        in_ply = tmp_path / "in.ply"
+        ply.write(ply.PlyCloud(positions=pos), str(in_ply),
+                  position_is_float=False)
+        bs, rec = tmp_path / "o.bin", tmp_path / "r.ply"
+        assert cli.main(["--mode=0", f"--uncompressedDataPath={in_ply}",
+                         f"--compressedStreamPath={bs}",
+                         "--disableAttributeCoding=1"]) == 0
+        assert cli.main(["--mode=1", f"--compressedStreamPath={bs}",
+                         f"--reconstructedDataPath={rec}"]) == 0
+        got = ply.read(str(rec)).positions.astype(np.int64)
+        np.testing.assert_array_equal(
+            np.sort(morton.encode(got)),
+            np.unique(morton.encode(pos.astype(np.int64))))
+        # the GBH carries the non-cubic axis sizes
+        from mpeg_pcc_tmc13_tpu.bitstream import hls as _h
+        from mpeg_pcc_tmc13_tpu.bitstream.tlv import PayloadType, iter_tlv
+        for buf in iter_tlv(open(bs, "rb")):
+            if buf.type == PayloadType.GEOMETRY_BRICK:
+                gbh, _ = _h.GeometryBrickHeader.parse(buf.data)
+                assert gbh.axis_bits[2] < gbh.axis_bits[0]
+                break
