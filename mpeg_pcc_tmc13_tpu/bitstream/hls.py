@@ -561,6 +561,55 @@ class TileInventory:
 
 
 @dataclass
+class AttributeParamInventory:
+    """Per-frame attribute parameter updates (reference
+    AttributeParamInventory, hls.h:303-318): overrides the SPS
+    attribute's cicp matrix, scale/offset interpretation, and/or the
+    soft default values from the signalled frame onward."""
+    sps_attr_idx: int = 0
+    frame_ctr_lsb: int = 0
+    cicp_matrix: Optional[int] = None
+    attr_scale: Optional[int] = None
+    attr_offset: int = 0
+    default_value: Optional[Tuple[int, ...]] = None
+
+    def write(self) -> bytes:
+        w = BitWriter()
+        w.write_ue(self.sps_attr_idx)
+        w.write(self.frame_ctr_lsb, 8)
+        w.write_bit(self.cicp_matrix is not None)
+        if self.cicp_matrix is not None:
+            w.write_ue(self.cicp_matrix)
+        w.write_bit(self.attr_scale is not None)
+        if self.attr_scale is not None:
+            w.write_ue(self.attr_scale - 1)
+            w.write_se(self.attr_offset)
+        w.write_bit(self.default_value is not None)
+        if self.default_value is not None:
+            w.write_ue(len(self.default_value))
+            for v in self.default_value:
+                w.write_se(int(v))
+        w.byte_align()
+        return w.get_bytes()
+
+    @staticmethod
+    def parse(data: bytes) -> "AttributeParamInventory":
+        r = BitReader(data)
+        inv = AttributeParamInventory()
+        inv.sps_attr_idx = r.read_ue()
+        inv.frame_ctr_lsb = r.read(8)
+        if r.read_bit():
+            inv.cicp_matrix = r.read_ue()
+        if r.read_bit():
+            inv.attr_scale = r.read_ue() + 1
+            inv.attr_offset = r.read_se()
+        if r.read_bit():
+            inv.default_value = tuple(
+                r.read_se() for _ in range(r.read_ue()))
+        return inv
+
+
+@dataclass
 class UserData:
     """User-data unit (reference hls.h:1041-1044): an OID naming the
     data type followed by opaque payload bytes.  Decoders that don't

@@ -22,6 +22,7 @@ class PayloadType(enum.IntEnum):
     CONSTANT_ATTRIBUTE = 7
     USER_DATA = 8
     DEFAULT_ATTRIBUTE = 9
+    ATTR_PARAM_INVENTORY = 10
 
 
 class PayloadBuffer:

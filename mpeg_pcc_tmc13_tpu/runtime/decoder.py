@@ -61,6 +61,8 @@ class FrameDecoder:
         self.aps: Dict[int, hls.AttributeParameterSet] = {}
         # received user-data units (opaque; surfaced to the application)
         self.user_data: List[hls.UserData] = []
+        # soft default attribute values from param inventories
+        self._attr_defaults: Dict[int, tuple] = {}
         self.active_sps: Optional[hls.SequenceParameterSet] = None
         self._slices: List[_SliceState] = []
         self._frame_ctr_lsb: Optional[int] = None
@@ -111,6 +113,23 @@ class FrameDecoder:
                 sl.attrs[c.sps_attr_idx] = (
                     np.full(n, vals[0], dtype=np.int64) if vals.size == 1
                     else np.tile(vals, (n, 1)))
+        elif t == PayloadType.ATTR_PARAM_INVENTORY:
+            inv = hls.AttributeParamInventory.parse(buf.data)
+            # parameters apply from inv.frame_ctr_lsb on: flush any
+            # buffered earlier frame under the OLD parameters first
+            self._detect_frame_boundary(inv.frame_ctr_lsb)
+            if (self.active_sps is not None
+                    and inv.sps_attr_idx
+                    < len(self.active_sps.attributes)):
+                desc = self.active_sps.attributes[inv.sps_attr_idx]
+                if inv.cicp_matrix is not None:
+                    desc.cicp_matrix = inv.cicp_matrix
+                if inv.attr_scale is not None:
+                    desc.attr_scale = inv.attr_scale
+                    desc.attr_offset = inv.attr_offset
+                if inv.default_value is not None:
+                    self._attr_defaults[inv.sps_attr_idx] = \
+                        inv.default_value
         elif t == PayloadType.USER_DATA:
             self.user_data.append(hls.UserData.parse(buf.data))
         elif t in (PayloadType.TILE_INVENTORY,
@@ -297,12 +316,20 @@ class FrameDecoder:
             for idx, desc in enumerate(sps.attributes):
                 if idx not in sl.attrs:
                     n = sl.positions.shape[0]
-                    mid = 1 << (desc.bitdepth - 1)
-                    sl.attrs[idx] = (
-                        np.full((n, desc.num_components), mid,
-                                dtype=np.int64)
-                        if desc.num_components > 1
-                        else np.full(n, mid, dtype=np.int64))
+                    dflt = self._attr_defaults.get(idx)
+                    if dflt is not None and desc.num_components > 1:
+                        sl.attrs[idx] = np.tile(
+                            np.asarray(dflt, dtype=np.int64), (n, 1))
+                    elif dflt is not None:
+                        sl.attrs[idx] = np.full(
+                            n, int(dflt[0]), dtype=np.int64)
+                    else:
+                        mid = 1 << (desc.bitdepth - 1)
+                        sl.attrs[idx] = (
+                            np.full((n, desc.num_components), mid,
+                                    dtype=np.int64)
+                            if desc.num_components > 1
+                            else np.full(n, mid, dtype=np.int64))
             for idx, vals in sl.attrs.items():
                 desc = sps.attributes[idx]
                 vals = np.asarray(vals)

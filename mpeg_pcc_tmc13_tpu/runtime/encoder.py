@@ -161,6 +161,8 @@ class FrameEncoder:
         self._slice_id = 0
         self._geom_ctx: Optional[geometry_octree.OctreeContexts] = None
         self._trisoup_ctx: Optional[geometry_trisoup.TrisoupContexts] = None
+        self._pending_param_updates: List[
+            hls.AttributeParamInventory] = []
         self._attr_ctx: Dict[int, attr_model.AttributeContexts] = {}
         # inter state (reference refFrame bookkeeping, encoder.cpp:502;
         # bi-pred frame store + GOF buffer, PCCTMC3Common.h:304-399)
@@ -288,6 +290,11 @@ class FrameEncoder:
             if p.user_data is not None:
                 out(PayloadBuffer(PayloadType.USER_DATA,
                                   p.user_data.write()))
+        for inv in self._pending_param_updates:
+            inv.frame_ctr_lsb = self.frame_ctr & 0xFF
+            out(PayloadBuffer(PayloadType.ATTR_PARAM_INVENTORY,
+                              inv.write()))
+        self._pending_param_updates = []
         qcloud = self._prepare_frame(cloud)
         ctr = self.frame_ctr
         self.frame_ctr += 1
@@ -305,6 +312,28 @@ class FrameEncoder:
         self._gof.append((ctr, qcloud))
         if len(self._gof) >= max(p.bi_period, 1):
             self._code_gof(out)
+
+    def update_attribute_params(self, sps_attr_idx: int,
+                                cicp_matrix: int = None,
+                                attr_scale: int = None,
+                                attr_offset: int = 0,
+                                default_value=None):
+        """Queue an attribute parameter inventory (reference
+        AttributeParamInventory): emitted with the next frame and
+        applied to this encoder's SPS copy so coded-space
+        conversions stay consistent."""
+        desc = self.sps.attributes[sps_attr_idx]
+        if cicp_matrix is not None:
+            desc.cicp_matrix = cicp_matrix
+        if attr_scale is not None:
+            desc.attr_scale = attr_scale
+            desc.attr_offset = attr_offset
+        self._pending_param_updates.append(
+            hls.AttributeParamInventory(
+                sps_attr_idx=sps_attr_idx, cicp_matrix=cicp_matrix,
+                attr_scale=attr_scale, attr_offset=attr_offset,
+                default_value=tuple(default_value)
+                if default_value is not None else None))
 
     def flush(self, out: Callable[[PayloadBuffer], None]):
         """Code any buffered GOF tail (P-chain)."""

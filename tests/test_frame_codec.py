@@ -149,3 +149,46 @@ def test_in_tree_geometry_quantisation():
         AttributeConfig("color", 8, hls.AttributeEncoding.RAHT, qp=16)]))
     assert nbytes_q < nbytes_full
     assert out.colors is not None and out.colors.shape[0] == out.count
+
+
+def test_attr_param_inventory_updates_scale_and_defaults():
+    """AttributeParamInventory (reference hls.h:303): mid-sequence
+    scale/offset updates apply from the signalled frame on, and soft
+    default values replace the mid-range fill for lost bricks."""
+    import io
+
+    from mpeg_pcc_tmc13_tpu.bitstream.tlv import (PayloadType, iter_tlv,
+                                                  write_tlv)
+    rng = np.random.default_rng(40)
+    pos = rng.integers(0, 128, (800, 3), dtype=np.int64)
+    refl = np.full(800, 7, dtype=np.uint16)
+    params = EncoderParams(attributes=[AttributeConfig(
+        "reflectance", 16, hls.AttributeEncoding.PRED, qp=4)])
+    enc = FrameEncoder(params)
+    bs = io.BytesIO()
+    enc.compress(PointCloud(pos, reflectances=refl),
+                 lambda b: write_tlv(b, bs))
+    # frame 2: values now stored at half scale -> scale 2 inventory
+    enc.update_attribute_params(0, attr_scale=2, attr_offset=1,
+                                default_value=(99,))
+    enc.compress(PointCloud(pos, reflectances=refl),
+                 lambda b: write_tlv(b, bs))
+    bs.seek(0)
+    outs = []
+    dec = FrameDecoder(outs.append)
+    kinds = []
+    for b in iter_tlv(bs):
+        kinds.append(b.type)
+        dec.decompress(b)
+    dec.flush()
+    assert PayloadType.ATTR_PARAM_INVENTORY in kinds
+    assert len(outs) == 2
+    # both frames round-trip (encoder divides by scale, decoder
+    # multiplies back); the decoder's active description now
+    # carries the updated interpretation
+    assert int(np.unique(outs[0].reflectances)[0]) == 7
+    assert int(np.unique(outs[1].reflectances)[0]) == 7
+    assert dec.active_sps.attributes[0].attr_scale == 2
+    assert dec.active_sps.attributes[0].attr_offset == 1
+    # soft default is tracked for loss resilience
+    assert dec._attr_defaults[0] == (99,)
