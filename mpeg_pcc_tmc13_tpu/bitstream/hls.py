@@ -286,6 +286,11 @@ class AttributeParameterSet:
     # residual is predicted from the second's reconstruction with a
     # per-layer Q2 coefficient carried in the ABH
     last_component_prediction_enabled: bool = False
+    # inter-component prediction (reference
+    # inter_component_prediction_enabled_flag): chroma residuals
+    # predicted from the luma residual, per-LoD-level Q2 coeffs in
+    # the ABH (PRED transform)
+    inter_component_prediction_enabled: bool = False
 
     def write(self) -> bytes:
         w = BitWriter()
@@ -306,6 +311,7 @@ class AttributeParameterSet:
         w.write_bit(self.spherical_coord_enabled)
         w.write_bit(self.inter_prediction_enabled)
         w.write_bit(self.last_component_prediction_enabled)
+        w.write_bit(self.inter_component_prediction_enabled)
         w.byte_align()
         return w.get_bytes()
 
@@ -330,6 +336,7 @@ class AttributeParameterSet:
         a.spherical_coord_enabled = bool(r.read_bit())
         a.inter_prediction_enabled = bool(r.read_bit())
         a.last_component_prediction_enabled = bool(r.read_bit())
+        a.inter_component_prediction_enabled = bool(r.read_bit())
         return a
 
 
@@ -457,6 +464,9 @@ class AttributeBrickHeader:
     # codec's chunk order (reference attrLcpCoeffs, hls.h:887;
     # se-diff coded, range [-8, 8], Q2 fixed point)
     lcp_coeffs: List[int] = field(default_factory=list)
+    # inter-component prediction coefficients: (chroma1, chroma2)
+    # pairs per LoD level (reference icpCoeffs, hls.h:903)
+    icp_coeffs: List[int] = field(default_factory=list)
     # region QPs (reference QpRegion, hls.h:953-963): slice-local
     # boxes with (luma, chroma) QP offsets; first matching box wins.
     # Applied per point in the PRED/LIFT transforms.
@@ -481,6 +491,11 @@ class AttributeBrickHeader:
         w.write_ue(len(self.lcp_coeffs))
         pred = 0
         for c in self.lcp_coeffs:
+            w.write_se(int(c) - pred)
+            pred = int(c)
+        w.write_ue(len(self.icp_coeffs))
+        pred = 0
+        for c in self.icp_coeffs:
             w.write_se(int(c) - pred)
             pred = int(c)
         w.write_ue(len(self.qp_regions))
@@ -512,6 +527,11 @@ class AttributeBrickHeader:
         for _ in range(nc):
             pred += r.read_se()
             h.lcp_coeffs.append(pred)
+        ni = r.read_ue()
+        pred = 0
+        for _ in range(ni):
+            pred += r.read_se()
+            h.icp_coeffs.append(pred)
         nr = r.read_ue()
         for _ in range(nr):
             origin = tuple(r.read_se() for _ in range(3))

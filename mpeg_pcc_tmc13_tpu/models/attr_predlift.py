@@ -80,6 +80,11 @@ def _lift_quant_weights(levels: np.ndarray, nbr: np.ndarray) -> np.ndarray:
     return np.floor(np.sqrt(1.0 + refs) * 256.0 + 0.5).astype(np.int64)
 
 
+def _icp_pred(c: int, dq0: np.ndarray) -> np.ndarray:
+    """Reference ICP rounding: (coeff * luma_residual + 2) >> 2."""
+    return (np.int64(c) * dq0.astype(np.int64) + 2) >> 2
+
+
 def _region_offsets(positions, abh):
     """(n,2) per-point (luma, chroma) QP offsets from the ABH's region
     boxes (reference QpRegion, hls.h:953); first matching box wins.
@@ -161,6 +166,9 @@ def encode(values: np.ndarray, positions: np.ndarray,
     lcp_on = (aps.last_component_prediction_enabled and ncomp == 3
               and lift and abh is not None)
     lift_lcp = np.zeros(nl, dtype=np.int64)
+    # inter-component (chroma-from-luma) prediction: PRED only
+    icp_on = (aps.inter_component_prediction_enabled and ncomp == 3
+              and not lift and abh is not None)
 
     if lift:
         factor = _lift_quant_weights(levels, nbr)
@@ -290,6 +298,16 @@ def encode(values: np.ndarray, positions: np.ndarray,
             dq = np.stack([_dequant(q[:, c:c + 1],
                                     stepf(c, l, sel))[:, 0]
                            for c in range(ncomp)], axis=1)
+            if icp_on:
+                dq0 = dq[:, 0]
+                for k in (1, 2):
+                    ck = _lcp_estimate(dq0, res[:, k])
+                    abh.icp_coeffs.append(ck)
+                    pr = _icp_pred(ck, dq0)
+                    q[:, k] = _quant((res[:, k] - pr)[:, None],
+                                     stepf(k, l, sel))[:, 0]
+                    dq[:, k] = _dequant(q[:, k:k + 1],
+                                        stepf(k, l, sel))[:, 0] + pr
             code_chunk(q)
             recon[m + sel] = pred + dq
         return enc.get_bytes()
@@ -346,6 +364,10 @@ def decode(data: bytes, positions: np.ndarray,
     lcp_on = (aps.last_component_prediction_enabled and ncomp == 3
               and lift and abh is not None
               and len(abh.lcp_coeffs) > 0)
+    icp_on = (aps.inter_component_prediction_enabled and ncomp == 3
+              and not lift and abh is not None
+              and len(abh.icp_coeffs) > 0)
+    icp_idx = [0]
 
     def lcp_k(l):
         return abh.lcp_coeffs[min(l, len(abh.lcp_coeffs) - 1)]
@@ -401,6 +423,12 @@ def decode(data: bytes, positions: np.ndarray,
             dq = np.stack([_dequant(q[:, c:c + 1],
                                     stepf(c, l, sel))[:, 0]
                            for c in range(ncomp)], axis=1)
+            if icp_on:
+                dq0 = dq[:, 0]
+                for k in (1, 2):
+                    i = min(icp_idx[0], len(abh.icp_coeffs) - 1)
+                    icp_idx[0] += 1
+                    dq[:, k] += _icp_pred(abh.icp_coeffs[i], dq0)
             recon[m + sel] = pred + dq
         out = recon[m:]
         if ncomp == 1:

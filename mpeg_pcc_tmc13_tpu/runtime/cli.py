@@ -178,6 +178,7 @@ class Config:
                           "qpLayerOffsetsLuma",
                           "qpLayerOffsetsChroma",
                           "lastComponentPredictionEnabled",
+                          "interComponentPredictionEnabled",
                           "aps_scalable_enable_flag"):
                 self._pending_attr[name] = value
             elif name == "attribute":
@@ -216,6 +217,9 @@ class Config:
                         a.get("qpLayerOffsetsChroma", "")),
                     last_component_prediction=opt.to_bool(
                         a.get("lastComponentPredictionEnabled", "0")),
+                    inter_component_prediction=opt.to_bool(
+                        a.get("interComponentPredictionEnabled",
+                              "0")),
                     scalable_lifting=opt.to_bool(
                         a.get("aps_scalable_enable_flag", "0")),
                 ))

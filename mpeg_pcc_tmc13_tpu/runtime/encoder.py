@@ -60,6 +60,7 @@ class AttributeConfig:
     # last-component (chroma-from-chroma) prediction (reference
     # lastComponentPredictionEnabled, TMC3.cpp:1404)
     last_component_prediction: bool = False
+    inter_component_prediction: bool = False
     # scalable lifting (reference aps_scalable_enable_flag):
     # per-LoD-level chunks, truncatable at decode
     scalable_lifting: bool = False
@@ -242,6 +243,8 @@ class FrameEncoder:
                     ac.inter_pred and p.inter_prediction),
                 last_component_prediction_enabled=(
                     ac.last_component_prediction),
+                inter_component_prediction_enabled=(
+                    ac.inter_component_prediction),
                 scalable_lifting_enabled=ac.scalable_lifting))
         self.sps, self.gps, self.aps = sps, gps, aps_list
 

@@ -274,3 +274,36 @@ def test_region_qp_boxes():
                  - refl[a].astype(np.int64))
     inside = pos[a][:, 0] < 128
     assert err[inside].mean() < err[~inside].mean() * 0.5
+
+
+def test_inter_component_prediction():
+    """ICP (reference inter_component_prediction_enabled_flag): chroma
+    residuals predicted from the luma residual with per-level Q2
+    coefficients; cheaper on RGB-correlated content at equal error."""
+    rng = np.random.default_rng(33)
+    pos = morton.decode(np.unique(morton.encode(
+        rng.integers(0, 256, (5000, 3), dtype=np.int64))))
+    n = len(pos)
+    base = (pos[:, 0] // 2 % 200).astype(np.int64)
+    vals = np.stack([base + rng.integers(-8, 9, n),
+                     (base * 8) // 10 + rng.integers(-4, 5, n),
+                     (base * 6) // 10 + rng.integers(-4, 5, n)], axis=1)
+    desc = hls.AttributeDescription(label="color", num_components=3,
+                                    bitdepth=8)
+    res = {}
+    for icp in (False, True):
+        aps = hls.AttributeParameterSet(
+            aps_id=0, attr_encoding=hls.AttributeEncoding.PRED,
+            init_qp=16, inter_component_prediction_enabled=icp)
+        abh = hls.AttributeBrickHeader()
+        body = attributes.encode(vals, pos, aps, desc,
+                                 attributes.AttributeContexts(), abh=abh)
+        abh2, _ = hls.AttributeBrickHeader.parse(abh.write())
+        out = attributes.decode(body, pos, aps, desc,
+                                attributes.AttributeContexts(), abh=abh2)
+        err = np.abs(np.asarray(out) - vals)
+        res[icp] = (len(body), err.max())
+        if icp:
+            assert abh.icp_coeffs and max(abh.icp_coeffs) > 0
+    assert res[True][0] < res[False][0]
+    assert res[True][1] <= res[False][1] + 2
