@@ -144,7 +144,14 @@ def encode(positions: np.ndarray, enc, ctx: PredGeomContexts,
             rpl = rpl[ord2]
             centred = centred[ord2]
             order = order[ord2]
-            _chain_encode(rpl, enc, ctx)
+            if ref_positions is not None and len(ref_positions):
+                ref_rpl = coords.xyz_to_rpl(
+                    np.asarray(ref_positions, dtype=np.int64)
+                    - np.array([cx, cy, 0], dtype=np.int64),
+                    theta_q, zoff, npt)
+                _chain_encode_rpl_inter(rpl, ref_rpl, enc, ctx)
+            else:
+                _chain_encode(rpl, enc, ctx)
             approx = coords.rpl_to_xyz(rpl, theta_q, zoff, npt)
             sec = centred - approx               # (N,3), small z too
             ncomp_sec = 3
@@ -164,6 +171,123 @@ def encode(positions: np.ndarray, enc, ctx: PredGeomContexts,
     p = positions.astype(np.int64)[order]
     _chain_encode(p, enc, ctx, ref_positions=ref_positions)
     return order
+
+
+def _rpl_sorted_ref(ref_rpl: np.ndarray):
+    """Reference sorted by (laser, phi step) + packed search keys —
+    the structural correspondence index for rotating-LiDAR inter."""
+    order = np.lexsort((ref_rpl[:, 0], ref_rpl[:, 1],
+                        ref_rpl[:, 2]))   # fully canonical
+    r = ref_rpl[order]
+    keys = r[:, 2] * (np.int64(1) << 40) + r[:, 1]
+    return r, keys
+
+
+def _rpl_candidates(prev_rpl: np.ndarray, ref_sorted: np.ndarray,
+                    ref_keys: np.ndarray):
+    """Per-row structural predictor: the reference point on the SAME
+    laser as the previous decoded point with the next azimuth step
+    (reference predgeom inter ref-node selection, adapted to the
+    (r, phi, laser) domain).  Returns (cand (K,3), valid (K,))."""
+    big = np.int64(1) << 40
+    want = prev_rpl[:, 2] * big + prev_rpl[:, 1] + 1
+    j = np.searchsorted(ref_keys, want)
+    m = ref_keys.shape[0]
+    jc = np.minimum(j, m - 1)
+    valid = ref_sorted[jc, 2] == prev_rpl[:, 2]
+    # walked past the laser segment: fall back to its last entry
+    back = (~valid) & (jc > 0)
+    jb = np.maximum(jc - 1, 0)
+    use_back = back & (ref_sorted[jb, 2] == prev_rpl[:, 2])
+    jc = np.where(use_back, jb, jc)
+    valid = valid | use_back
+    return ref_sorted[jc], valid
+
+
+def _chain_encode_rpl_inter(p: np.ndarray, ref_rpl: np.ndarray, enc,
+                            ctx: PredGeomContexts):
+    """Chain coding in (r, phi step, laser) with structural temporal
+    prediction: per point, an inter flag selects the reference point
+    that continues the previous point's laser sweep."""
+    n = p.shape[0]
+    if n == 0:
+        return
+    pred = _predictions(p)
+    idx = np.arange(n)[:, None]
+    elig = idx >= np.arange(4)[None, :]
+    res_all = p[:, None, :] - pred
+    cost = np.sum(np.ceil(np.log2(np.abs(res_all) + 1.0)) + 1.0, axis=2)
+    cost = np.where(elig, cost, np.inf)
+    modes = np.argmin(cost, axis=1).astype(np.uint8)
+    res = np.take_along_axis(
+        res_all, modes[:, None, None].astype(np.int64), axis=1)[:, 0, :]
+
+    ref_sorted, ref_keys = _rpl_sorted_ref(ref_rpl)
+    inter = np.zeros(n, dtype=np.uint8)
+    cand = np.zeros((n, 3), dtype=np.int64)
+    valid = np.zeros(n, dtype=bool)
+    if n > 1:
+        cand[1:], valid[1:] = _rpl_candidates(p[:-1], ref_sorted,
+                                              ref_keys)
+    res_inter = p - cand
+    cost_inter = np.where(
+        valid,
+        np.sum(np.ceil(np.log2(np.abs(res_inter) + 1.0)) + 1.0, axis=1),
+        np.inf)
+    best_intra = np.min(cost, axis=1)
+    inter = (cost_inter < best_intra).astype(np.uint8)
+    sel = inter.astype(bool)
+    res[sel] = res_inter[sel]
+    prev = np.concatenate([[0], inter[:-1]]).astype(np.int32)
+    fslice = ctx.ctx[_INTER_FLAG_OFF:_INTER_FLAG_OFF + 2]
+    enc.bits(fslice, prev, inter)
+    m_in = modes[~sel]
+    ni = m_in.shape[0]
+    prev_modes = np.concatenate([[0], m_in[:-1]]).astype(np.int32)
+    ids = np.empty(2 * ni, dtype=np.int32)
+    bits = np.empty(2 * ni, dtype=np.uint8)
+    ids[0::2] = prev_modes * 2
+    ids[1::2] = prev_modes * 2 + 1
+    bits[0::2] = (m_in >> 1)
+    bits[1::2] = (m_in & 1)
+    enc.bits(ctx.ctx, ids, bits)
+    for c in range(3):
+        off = MODE_CTX_SIZE + c * _AXIS_CTX
+        cslice = ctx.ctx[off:off + _AXIS_CTX]
+        enc.resbl(cslice, res[:, c].astype(np.int32))
+
+
+def _chain_decode_rpl_inter(n: int, dec, ctx: PredGeomContexts,
+                            ref_rpl: np.ndarray) -> np.ndarray:
+    """Mirror of _chain_encode_rpl_inter (sequential reconstruction)."""
+    fslice = ctx.ctx[_INTER_FLAG_OFF:_INTER_FLAG_OFF + 2]
+    inter = dec.bits_chain(fslice, n)
+    ni = n - int(inter.sum())
+    modes = np.zeros(n, dtype=np.uint8)
+    modes[inter == 0] = dec.mode_chain(ctx.ctx, ni)
+    res = np.zeros((n, 3), dtype=np.int64)
+    for c in range(3):
+        off = MODE_CTX_SIZE + c * _AXIS_CTX
+        cslice = ctx.ctx[off:off + _AXIS_CTX]
+        res[:, c] = dec.resbl(cslice, n)
+    ref_sorted, ref_keys = _rpl_sorted_ref(ref_rpl)
+    out = np.zeros((n, 3), dtype=np.int64)
+    for i in range(n):
+        if inter[i] and i >= 1:
+            c, v = _rpl_candidates(out[i - 1:i], ref_sorted, ref_keys)
+            base = c[0]
+        else:
+            m = modes[i]
+            if m == 0 or i == 0:
+                base = np.zeros(3, dtype=np.int64)
+            elif m == 1:
+                base = out[i - 1]
+            elif m == 2:
+                base = 2 * out[i - 1] - out[i - 2]
+            else:
+                base = out[i - 1] + out[i - 2] - out[i - 3]
+        out[i] = base + res[i]
+    return out
 
 
 def _chain_encode(p: np.ndarray, enc, ctx: PredGeomContexts,
@@ -240,7 +364,17 @@ def decode(num_points: int, dec, ctx: PredGeomContexts,
     if angular:
         from ..ops import coords
         centre = dec.bypass(np.array([21, 21], dtype=np.int32))
-        sph = _chain_decode(n, dec, ctx)
+        if (lasers is not None and ref_positions is not None
+                and len(ref_positions)):
+            theta_q, zoff, npt = lasers
+            ref_rpl = coords.xyz_to_rpl(
+                np.asarray(ref_positions, dtype=np.int64)
+                - np.array([int(centre[0]), int(centre[1]), 0],
+                           dtype=np.int64),
+                theta_q, zoff, npt)
+            sph = _chain_decode_rpl_inter(n, dec, ctx, ref_rpl)
+        else:
+            sph = _chain_decode(n, dec, ctx)
         sec = np.zeros((n, 3), dtype=np.int64)
         ncomp_sec = 3 if lasers is not None else 2
         for c in range(ncomp_sec):

@@ -280,3 +280,68 @@ def test_laser_tables_cli(tmp_path):
     np.testing.assert_array_equal(
         np.sort(morton.encode(rec.positions.astype(np.int64))),
         np.unique(morton.encode(pos)))
+
+
+def test_structural_laser_inter():
+    """Structural predgeom inter: with laser tables the temporal
+    predictor continues the previous point's laser sweep in the
+    reference frame — effective even on noisy sweeps where
+    NN-of-extrapolation fails (round 1 known limitation)."""
+    pos, lasers = lidar_grid_cloud(num_lasers=16, npt=1024, every=8,
+                                   seed=1)
+    rng = np.random.default_rng(2)
+    cur = pos + np.column_stack([rng.integers(3, 6, len(pos)),
+                                 rng.integers(-1, 2, len(pos)),
+                                 np.zeros(len(pos), dtype=np.int64)])
+    sizes = {}
+    for ref in (None, pos):
+        enc = entropy.RangeEncoder()
+        order = gp.encode(cur, enc, gp.PredGeomContexts(), angular=True,
+                          lasers=lasers, ref_positions=ref)
+        data = enc.get_bytes()
+        out = gp.decode(len(cur), entropy.RangeDecoder(data),
+                        gp.PredGeomContexts(), angular=True,
+                        lasers=lasers, ref_positions=ref)
+        np.testing.assert_array_equal(out, cur[order])
+        sizes[ref is not None] = len(data)
+    assert sizes[True] < sizes[False] * 0.95
+
+
+def test_structural_laser_inter_codec_level():
+    import io
+
+    from mpeg_pcc_tmc13_tpu.bitstream.tlv import iter_tlv, write_tlv
+    from mpeg_pcc_tmc13_tpu.models.pointcloud import PointCloud
+    from mpeg_pcc_tmc13_tpu.runtime.decoder import FrameDecoder
+    from mpeg_pcc_tmc13_tpu.runtime.encoder import (EncoderParams,
+                                                    FrameEncoder)
+    pos, (theta, zoff, nptv) = lidar_grid_cloud(num_lasers=8, seed=3)
+    rng = np.random.default_rng(4)
+    seq = [pos]
+    for _ in range(2):
+        seq.append(np.clip(
+            seq[-1] + np.column_stack([
+                rng.integers(2, 5, len(pos)),
+                rng.integers(-1, 2, len(pos)),
+                np.zeros(len(pos), dtype=np.int64)]), 0, None))
+    expect = [np.unique(morton.encode(c)) for c in seq]
+    params = EncoderParams(
+        geometry_codec=hls.GeometryCodecType.PREDICTIVE,
+        angular_enabled=True, inter_prediction=True,
+        random_access_period=8,
+        laser_theta=[t / (1 << 18) for t in theta],
+        laser_z=list(zoff), laser_npt=list(nptv))
+    bs = io.BytesIO()
+    enc = FrameEncoder(params)
+    for c in seq:
+        enc.compress(PointCloud(c), lambda b: write_tlv(b, bs))
+    bs.seek(0)
+    outs = []
+    dec = FrameDecoder(outs.append)
+    for b in iter_tlv(bs):
+        dec.decompress(b)
+    dec.flush()
+    assert len(outs) == len(seq)
+    for out, exp in zip(outs, expect):
+        np.testing.assert_array_equal(
+            np.sort(morton.encode(out.positions.astype(np.int64))), exp)
