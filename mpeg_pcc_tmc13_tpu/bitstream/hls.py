@@ -361,6 +361,12 @@ class GeometryBrickHeader:
     # positionSliceQpOffset, geometry_params.h:347): slice positions
     # are coded at a 2**geom_qp_shift coarser grid
     geom_qp_shift: int = 0
+    # per-region geometry quantisation (per-node QP, region
+    # granularity): slice-local boxes coded at a 2**shift coarser
+    # grid; the decoder re-centres box points by half a cell
+    geom_qp_boxes: List[Tuple[Tuple[int, int, int],
+                              Tuple[int, int, int], int]] = field(
+        default_factory=list)
     # inter prediction (reference GBH gm_matrix/gm_trans, hls.h:627-780;
     # bi-prediction ref management PCCTMC3Common.h:304-399)
     is_inter: bool = False
@@ -394,6 +400,13 @@ class GeometryBrickHeader:
         if self.entropy_continuation:
             w.write_ue(self.prev_slice_id)
         w.write_ue(self.geom_qp_shift)
+        w.write_ue(len(self.geom_qp_boxes))
+        for origin, size, shift in self.geom_qp_boxes:
+            for v in origin:
+                w.write_se(int(v))
+            for v in size:
+                w.write_ue(int(v))
+            w.write_ue(int(shift))
         w.write_bit(self.is_inter)
         if self.is_inter:
             w.write_ue(self.ref0_delta - 1)
@@ -431,6 +444,10 @@ class GeometryBrickHeader:
         if h.entropy_continuation:
             h.prev_slice_id = r.read_ue()
         h.geom_qp_shift = r.read_ue()
+        for _ in range(r.read_ue()):
+            origin = tuple(r.read_se() for _ in range(3))
+            size = tuple(r.read_ue() for _ in range(3))
+            h.geom_qp_boxes.append((origin, size, r.read_ue()))
         h.is_inter = bool(r.read_bit())
         if h.is_inter:
             h.ref0_delta = r.read_ue() + 1

@@ -26,6 +26,15 @@ def _grid_positions(local: np.ndarray,
                     gbh: "hls.GeometryBrickHeader") -> np.ndarray:
     """Slice-local coded positions -> frame grid (undo in-tree
     quantisation to voxel centres, add the slice origin)."""
+    if gbh.geom_qp_boxes:
+        local = local.copy()
+        for origin, size, shift in gbh.geom_qp_boxes:
+            o = np.asarray(origin, dtype=np.int64)
+            inb = np.all((local >= o)
+                         & (local < o + np.asarray(size,
+                                                   dtype=np.int64)),
+                         axis=1)
+            local[inb] += (1 << shift) >> 1
     if gbh.geom_qp_shift:
         local = ((local << gbh.geom_qp_shift)
                  + (1 << (gbh.geom_qp_shift - 1)))

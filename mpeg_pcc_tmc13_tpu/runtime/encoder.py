@@ -115,6 +115,9 @@ class EncoderParams:
     # refinement MV on top of global motion
     lpu_motion: bool = False
     lpu_size_log2: int = 6
+    # per-region geometry quantisation: [(origin, size, shift)] in
+    # GLOBAL grid coords; box points code on a 2**shift coarser grid
+    geom_qp_regions: List[tuple] = field(default_factory=list)
     # calibrated laser tables (angular predictive geometry)
     laser_theta: List[float] = field(default_factory=list)
     laser_z: List[int] = field(default_factory=list)
@@ -491,6 +494,21 @@ class FrameEncoder:
             # in-tree quantisation: floor to the coarse cell (the
             # decoder reconstructs at cell centres, so |err| <= half)
             local = local >> qshift
+        geom_boxes = []
+        for origin, size, shift in p.geom_qp_regions:
+            sh = int(shift)
+            if sh <= 0:
+                continue
+            o = ((np.asarray(origin, dtype=np.int64) - slice_origin)
+                 >> qshift)
+            sz = np.asarray(size, dtype=np.int64) >> qshift
+            o = (o >> sh) << sh            # align to the box grid
+            sz = ((sz + (1 << sh) - 1) >> sh) << sh
+            inb = np.all((local >= o) & (local < o + sz), axis=1)
+            if inb.any():
+                local[inb] = (local[inb] >> sh) << sh
+            geom_boxes.append((tuple(int(v) for v in o),
+                               tuple(int(v) for v in sz), sh))
         maxv = int(local.max()) if cloud.count else 0
         depth = max(int(maxv).bit_length(), 1) if cloud.count else 1
         # per-axis root sizes: exhausted axes drive implicit QT/BT
@@ -587,6 +605,7 @@ class FrameEncoder:
             else ident
         gbh = hls.GeometryBrickHeader(
             geom_qp_shift=qshift,
+            geom_qp_boxes=geom_boxes,
             is_inter=bool(refs),
             ref0_delta=max((ctr - refs[0][0]) & 0xFF, 1) if refs else 1,
             gm_matrix=gm_mat,
@@ -621,6 +640,15 @@ class FrameEncoder:
         else:
             rec = morton_mod.decode(
                 np.sort(morton_mod.encode(local)))
+        for origin, size, shift in geom_boxes:
+            o = np.asarray(origin, dtype=np.int64)
+            inb = np.all((rec >= o)
+                         & (rec < o + np.asarray(size,
+                                                 dtype=np.int64)),
+                         axis=1)
+            if inb.any():
+                rec = rec.copy()
+                rec[inb] += (1 << shift) >> 1
         if qshift:
             rec = (rec << qshift) + (1 << (qshift - 1))
         self._geom_acc.append(rec + np.asarray(slice_origin,
@@ -629,7 +657,7 @@ class FrameEncoder:
         if not self.aps:
             coded = None
             dec_positions = None
-        elif trisoup or qshift:
+        elif trisoup or qshift or geom_boxes:
             # geometry changed: transfer attributes onto the decoded
             # positions (reference recolour, encoder.cpp:1031-1037)
             from ..ops import recolour as recolour_ops

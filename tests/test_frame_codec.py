@@ -192,3 +192,40 @@ def test_attr_param_inventory_updates_scale_and_defaults():
     assert dec.active_sps.attributes[0].attr_offset == 1
     # soft default is tracked for loss resilience
     assert dec._attr_defaults[0] == (99,)
+
+
+def test_geom_qp_regions():
+    """Per-region geometry quantisation (per-node QP at region
+    granularity): box points code on a coarser grid (bounded error,
+    fewer unique points), outside stays lossless."""
+    import io
+
+    from mpeg_pcc_tmc13_tpu.bitstream.tlv import iter_tlv, write_tlv
+    rng = np.random.default_rng(70)
+    pos = rng.integers(0, 512, (20000, 3), dtype=np.int64)
+    box = ((0, 0, 0), (256, 512, 512), 3)
+    sizes = {}
+    for regions in ([], [box]):
+        params = EncoderParams(geom_qp_regions=list(regions))
+        enc = FrameEncoder(params)
+        bs = io.BytesIO()
+        enc.compress(PointCloud(pos), lambda b: write_tlv(b, bs))
+        bs.seek(0)
+        outs = []
+        dec = FrameDecoder(outs.append)
+        for b in iter_tlv(bs):
+            dec.decompress(b)
+        dec.flush()
+        out = outs[0].positions.astype(np.int64)
+        sizes[bool(regions)] = bs.getbuffer().nbytes
+        inb = pos[:, 0] < 256
+        outb_src = np.unique(morton.encode(pos[~inb]))
+        outb_dec = np.unique(morton.encode(out[out[:, 0] >= 256]))
+        np.testing.assert_array_equal(outb_dec, outb_src)  # lossless
+        if regions:
+            # box points land on cell centres within half a cell
+            got_in = out[out[:, 0] < 256]
+            assert got_in.shape[0] < inb.sum()      # merged
+            d = np.abs(got_in[:, None, :2] - pos[inb][None, ::17, :2])
+            assert ((got_in[:, 0] - 4) % 8 == 0).all()
+    assert sizes[True] < sizes[False] * 0.9
