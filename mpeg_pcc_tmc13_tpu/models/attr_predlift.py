@@ -26,7 +26,6 @@ from ..bitstream import entropy
 from ..bitstream.hls import (AttributeDescription, AttributeEncoding,
                              AttributeParameterSet)
 from ..ops import lod as lod_ops
-from ..utils import morton
 from .attributes import AttributeContexts, RES_CTX_SIZE, _RES_PREFIX_MAX, \
     _RES_K
 from .attr_raht import (_lcp_estimate, _lcp_pred, _step_fn,

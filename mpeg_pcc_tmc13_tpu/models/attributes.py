@@ -18,7 +18,6 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..bitstream import entropy
-from ..bitstream.bitio import BitReader, BitWriter
 from ..bitstream.hls import (AttributeDescription, AttributeEncoding,
                              AttributeParameterSet)
 

@@ -9,7 +9,7 @@ feed RAHT/LoD passes).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -25,8 +25,6 @@ order) only — both codec sides call them identically.
 
 from __future__ import annotations
 
-from typing import List, Tuple
-
 import numpy as np
 
 from ..utils import morton

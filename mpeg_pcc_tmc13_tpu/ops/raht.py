@@ -24,7 +24,7 @@ The decoder knows the whole merge structure from the decoded geometry
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

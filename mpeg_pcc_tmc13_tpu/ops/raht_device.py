@@ -19,7 +19,6 @@ from __future__ import annotations
 from typing import List
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from . import pallas_raht

@@ -20,8 +20,6 @@ TPU-first redesign:
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 from ..utils import morton

@@ -13,8 +13,7 @@ into a pending attribute record which `attribute: <name>` commits.
 
 from __future__ import annotations
 
-import shlex
-from typing import Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 
 class OptionError(ValueError):

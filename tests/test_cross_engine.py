@@ -19,21 +19,23 @@ def cloud(n=3000, depth=9, seed=0):
 
 
 @pytest.mark.parametrize("mode", [ops.CTX_MODE_NEIGH, ops.CTX_MODE_PARENT])
-def test_octree_all_engine_pairs(mode):
+@pytest.mark.parametrize("bytewise", [True, False])
+def test_octree_all_engine_pairs(mode, bytewise):
     pos = cloud(seed=1)
     expect = morton.decode(np.unique(morton.encode(pos)))
     streams = {}
     for eng in ("numpy", "native"):
         enc = entropy.RangeEncoder()
         go.encode(pos, 9, enc, go.OctreeContexts(), engine=eng,
-                  ctx_mode=mode)
+                  ctx_mode=mode, bytewise=bytewise)
         streams[eng] = enc.get_bytes()
     assert streams["numpy"] == streams["native"]
     for eng_enc in ("numpy", "native"):
         for eng_dec in ("numpy", "native"):
             dec = entropy.RangeDecoder(streams[eng_enc])
             out = go.decode(len(pos), 9, dec, go.OctreeContexts(),
-                            engine=eng_dec, ctx_mode=mode)
+                            engine=eng_dec, ctx_mode=mode,
+                            bytewise=bytewise)
             np.testing.assert_array_equal(out, expect)
 
 
@@ -86,6 +88,19 @@ def test_predictive_python_fallback_matches_native():
 
 def test_python_range_coder_decodes_native_octree_stream():
     pos = cloud(n=800, depth=8, seed=6)
+    expect = morton.decode(np.unique(morton.encode(pos)))
+    enc = entropy.RangeEncoder()   # native
+    go.encode(pos, 8, enc, go.OctreeContexts(),
+              ctx_mode=ops.CTX_MODE_PARENT, engine="native")
+    dec = entropy.RangeDecoder(enc.get_bytes(), force_python=True)
+    out = go.decode(len(pos), 8, dec, go.OctreeContexts(),
+                    ctx_mode=ops.CTX_MODE_PARENT, engine="numpy")
+    np.testing.assert_array_equal(out, expect)
+
+def test_python_mirror_decodes_bytewise_stream():
+    """The pure-Python Fenwick mirror is the executable spec of the
+    native bytewise occupancy coder."""
+    pos = cloud(n=1500, depth=8, seed=9)
     expect = morton.decode(np.unique(morton.encode(pos)))
     enc = entropy.RangeEncoder()   # native
     go.encode(pos, 8, enc, go.OctreeContexts(),
