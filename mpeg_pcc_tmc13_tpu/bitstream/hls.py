@@ -373,6 +373,10 @@ class GeometryBrickHeader:
     ref0_delta: int = 1           # frame_ctr distance to reference 0
     gm_matrix: Tuple[int, ...] = (65536, 0, 0, 0, 65536, 0, 0, 0, 65536)
     gm_trans: Tuple[int, int, int] = (0, 0, 0)
+    # road-object LPU split (lpuType=0): ground plane height and
+    # half-thickness; 0 thr = cuboid mode (no split)
+    lpu_ground_z0: int = 0
+    lpu_ground_thr: int = 0
     is_bi: bool = False
     ref1_delta: int = 1           # distance to reference 1 (future)
     gm_matrix1: Tuple[int, ...] = (65536, 0, 0, 0, 65536, 0, 0, 0, 65536)
@@ -414,6 +418,8 @@ class GeometryBrickHeader:
                 w.write_se(int(v))
             for v in self.gm_trans:
                 w.write_se(int(v))
+            w.write_se(self.lpu_ground_z0)
+            w.write_ue(self.lpu_ground_thr)
             w.write_bit(self.is_bi)
             if self.is_bi:
                 w.write_ue(self.ref1_delta - 1)
@@ -453,6 +459,8 @@ class GeometryBrickHeader:
             h.ref0_delta = r.read_ue() + 1
             h.gm_matrix = tuple(r.read_se() for _ in range(9))
             h.gm_trans = tuple(r.read_se() for _ in range(3))
+            h.lpu_ground_z0 = r.read_se()
+            h.lpu_ground_thr = r.read_ue()
             h.is_bi = bool(r.read_bit())
             if h.is_bi:
                 h.ref1_delta = r.read_ue() + 1

@@ -218,3 +218,54 @@ def decode_lpu_motion(dec, ctx: np.ndarray, ref_points: np.ndarray,
             mvs[sel, a] = dec.resbl(cs, sel.size)
     return apply_lpu_motion(ref_points, cells, flags, mvs, lpu_log2,
                             depth)
+
+
+# ---- road/object split (reference lpuType=0) -------------------------
+
+def estimate_ground(ref_points: np.ndarray):
+    """Encoder heuristic: the ground plane height = mode of the z
+    histogram (coarse 4-voxel bins), thickness from the spread of the
+    dominant bin's neighbourhood.  Returns (z0, thr)."""
+    if ref_points.shape[0] == 0:
+        return 0, 0
+    z = ref_points[:, 2].astype(np.int64)
+    hist = np.bincount((z >> 2).clip(0, None).astype(np.int64))
+    peak = int(hist.argmax())
+    z0 = (peak << 2) + 2
+    return int(z0), 6
+
+
+def split_ground(points: np.ndarray, z0: int, thr: int) -> np.ndarray:
+    """Boolean mask of ground points (|z - z0| <= thr); normative —
+    both sides classify the shared compensated reference identically."""
+    return np.abs(points[:, 2].astype(np.int64) - z0) <= thr
+
+
+def encode_lpu_motion_split(enc, ctx: np.ndarray,
+                            ref_points: np.ndarray,
+                            cur_points: np.ndarray, lpu_log2: int,
+                            depth: int, z0: int, thr: int) -> np.ndarray:
+    """Road-object LPU (reference lpuType=0): ground reference points
+    keep global motion; only object points get per-LPU refinement."""
+    ground = split_ground(ref_points, z0, thr)
+    obj = ref_points[~ground]
+    if obj.shape[0] == 0:
+        return ref_points
+    refined = encode_lpu_motion(enc, ctx, obj, cur_points, lpu_log2,
+                                depth)
+    out = ref_points.astype(np.int64).copy()
+    out[~ground] = refined
+    return out
+
+
+def decode_lpu_motion_split(dec, ctx: np.ndarray,
+                            ref_points: np.ndarray, lpu_log2: int,
+                            depth: int, z0: int, thr: int) -> np.ndarray:
+    ground = split_ground(ref_points, z0, thr)
+    obj = ref_points[~ground]
+    if obj.shape[0] == 0:
+        return ref_points
+    refined = decode_lpu_motion(dec, ctx, obj, lpu_log2, depth)
+    out = ref_points.astype(np.int64).copy()
+    out[~ground] = refined
+    return out

@@ -155,7 +155,8 @@ class Config:
             elif name == "biPredictionPeriod":
                 p.bi_period = opt.to_int(value)
             elif name == "lpuType":
-                p.lpu_motion = True   # 0/1 both -> cuboid LPU
+                p.lpu_motion = True
+                p.lpu_type = opt.to_int(value) if value else 1
             elif name == "lpuSizeLog2":   # framework-specific
                 p.lpu_size_log2 = max(opt.to_int(value), 2)
             elif name == "motionVectorPath":

@@ -231,9 +231,17 @@ class FrameDecoder:
                 pts = self._ref_points_for_gbh(gbh)
                 if (pts is not None and len(pts)
                         and gps.lpu_motion_enabled):
-                    pts = motion_ops.decode_lpu_motion(
-                        dec, self._geom_ctx.lpu, pts,
-                        gps.lpu_size_log2, gbh.root_node_size_log2)
+                    if gbh.lpu_ground_thr > 0:
+                        pts = motion_ops.decode_lpu_motion_split(
+                            dec, self._geom_ctx.lpu, pts,
+                            gps.lpu_size_log2,
+                            gbh.root_node_size_log2,
+                            gbh.lpu_ground_z0, gbh.lpu_ground_thr)
+                    else:
+                        pts = motion_ops.decode_lpu_motion(
+                            dec, self._geom_ctx.lpu, pts,
+                            gps.lpu_size_log2,
+                            gbh.root_node_size_log2)
                 if pts is not None and len(pts):
                     ref_codes = np.unique(morton_mod.encode(pts))
             local = geometry_octree.decode(

@@ -115,6 +115,8 @@ class EncoderParams:
     # refinement MV on top of global motion
     lpu_motion: bool = False
     lpu_size_log2: int = 6
+    # 0 = road-object split (ground keeps GM), 1 = cuboid only
+    lpu_type: int = 1
     # per-region geometry quantisation: [(origin, size, shift)] in
     # GLOBAL grid coords; box points code on a 2**shift coarser grid
     geom_qp_regions: List[tuple] = field(default_factory=list)
@@ -540,6 +542,7 @@ class FrameEncoder:
                        == hls.GeometryCodecType.OCTREE)
         recon_local = None
         order = None
+        lpu_z0 = lpu_thr = 0
         if trisoup:
             recon_local = geometry_trisoup.encode(
                 local, depth, self.gps.trisoup_node_size_log2, enc,
@@ -574,9 +577,17 @@ class FrameEncoder:
             if (ref_pts is not None and len(ref_pts)
                     and self.gps.lpu_motion_enabled):
                 # LPU refinement table heads the geometry stream
-                ref_pts = motion_ops.encode_lpu_motion(
-                    enc, self._geom_ctx.lpu, ref_pts, local,
-                    self.gps.lpu_size_log2, depth)
+                if p.lpu_type == 0:
+                    lpu_z0, lpu_thr = motion_ops.estimate_ground(
+                        ref_pts)
+                    ref_pts = motion_ops.encode_lpu_motion_split(
+                        enc, self._geom_ctx.lpu, ref_pts, local,
+                        self.gps.lpu_size_log2, depth, lpu_z0,
+                        lpu_thr)
+                else:
+                    ref_pts = motion_ops.encode_lpu_motion(
+                        enc, self._geom_ctx.lpu, ref_pts, local,
+                        self.gps.lpu_size_log2, depth)
             ref_codes = None
             if ref_pts is not None and len(ref_pts):
                 from ..utils import morton as morton_mod
@@ -606,6 +617,8 @@ class FrameEncoder:
         gbh = hls.GeometryBrickHeader(
             geom_qp_shift=qshift,
             geom_qp_boxes=geom_boxes,
+            lpu_ground_z0=lpu_z0 if not multistream else 0,
+            lpu_ground_thr=lpu_thr if not multistream else 0,
             is_inter=bool(refs),
             ref0_delta=max((ctr - refs[0][0]) & 0xFF, 1) if refs else 1,
             gm_matrix=gm_mat,

@@ -273,3 +273,34 @@ def test_lpu_motion_codec_gain():
                 exp)
         sizes[lpu] = total
     assert sizes[True] < sizes[False]
+
+
+def test_lpu_road_object_split():
+    """Road-object LPU (reference lpuType=0): ground points keep the
+    global motion, objects get per-LPU refinement; classification of
+    the shared compensated reference is normative (GBH z0/thr)."""
+    rng = np.random.default_rng(15)
+    n = 8000
+    # ground plane at z~20 + objects above moving differently
+    ground = np.column_stack([rng.integers(0, 512, n // 2),
+                              rng.integers(0, 512, n // 2),
+                              20 + rng.integers(-2, 3, n // 2)])
+    obj = np.column_stack([rng.integers(100, 400, n // 2),
+                           rng.integers(100, 400, n // 2),
+                           rng.integers(40, 200, n // 2)])
+    f0 = np.concatenate([ground, obj]).astype(np.int64)
+    f1 = f0.copy()
+    f1[n // 2:] += np.array([6, 0, 0])   # objects move, ground static
+    f1 = np.clip(f1, 0, 511)
+    seq = [PointCloud(f0), PointCloud(f1)]
+    expect = [np.unique(morton.encode(c.positions)) for c in seq]
+    for lpu_type in (1, 0):
+        params = EncoderParams(inter_prediction=True,
+                               random_access_period=8,
+                               lpu_motion=True, lpu_type=lpu_type)
+        outs, total = roundtrip_sequence(seq, params)
+        assert len(outs) == 2
+        for out, exp in zip(outs, expect):
+            np.testing.assert_array_equal(
+                np.sort(morton.encode(out.positions.astype(np.int64))),
+                exp)
