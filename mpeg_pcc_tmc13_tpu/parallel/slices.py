@@ -83,3 +83,33 @@ def partition_codes_padded(codes_sorted: np.ndarray, n_slices: int):
         out[s, :chunk.size] = chunk
         out[s, chunk.size:] = chunk[-1]
     return out
+
+
+def sharded_raht_blocks(vals, weights, mesh: Mesh, axis: str = "slices",
+                        interpret: bool = False):
+    """Shard the Pallas RAHT butterfly over the mesh.
+
+    vals (S, B, 8, C) float32 per-slice blocks, weights (S, B, 8):
+    each device runs the fused butterfly kernel on its slices'
+    flattened blocks — geometry analysis + attribute transform are
+    then both mesh-parallel (the slice axis is the standard's
+    parallelism unit).  Returns (coeffs, wout, ac_mask) with the
+    slice axis preserved.
+    """
+    from ..ops import pallas_raht
+
+    s, b, _, c = vals.shape
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None, None, None), P(axis, None, None)),
+             out_specs=(P(axis, None, None, None), P(axis, None, None),
+                        P(axis, None, None)),
+             check_rep=False)
+    def run(v, w):
+        ls = v.shape[0]
+        cv, cw, mask = pallas_raht.fwd_blocks(
+            v.reshape(-1, 8, c), w.reshape(-1, 8), interpret=interpret)
+        return (cv.reshape(ls, b, 8, c), cw.reshape(ls, b, 8),
+                mask.reshape(ls, b, 8))
+
+    return jax.jit(run, static_argnums=())(vals, weights)

@@ -7,9 +7,16 @@ strategy (README), sharding logic is validated on a host-platform mesh with
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Some environments pin jax to a hardware plugin via a startup hook
+# that overrides the env var; force the CPU platform through the
+# config API as well (must happen before any backend is initialised).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
