@@ -138,12 +138,12 @@ int64_t oct_encode(RcEncoder* e, uint16_t* ctx, const int64_t* codes,
   // bottom-up: collapse sorted child codes into parents + occupancy
   std::vector<Level> levels(depth);  // levels[l]: nodes at level l
   {
-    std::vector<int64_t> cur(codes, codes + n);
+    const int64_t* cur = codes;
+    int64_t m = n;
     for (int l = depth - 1; l >= 0; --l) {
       Level& lv = levels[l];
-      lv.codes.reserve(cur.size());
-      lv.occ.reserve(cur.size());
-      int64_t m = (int64_t)cur.size();
+      lv.codes.reserve(m);
+      lv.occ.reserve(m);
       for (int64_t i = 0; i < m;) {
         int64_t parent = cur[i] >> 3;
         uint8_t o = 0;
@@ -154,7 +154,8 @@ int64_t oct_encode(RcEncoder* e, uint16_t* ctx, const int64_t* codes,
         lv.codes.push_back(parent);
         lv.occ.push_back(o);
       }
-      cur = lv.codes;
+      cur = lv.codes.data();  // no copy: read the built level
+      m = (int64_t)lv.codes.size();
     }
   }
 
@@ -290,12 +291,12 @@ int64_t oct_encode_inter(RcEncoder* e, uint16_t* ctx,
   if (n == 0 || depth == 0) return 0;
   std::vector<Level> levels(depth);
   {
-    std::vector<int64_t> cur(codes, codes + n);
+    const int64_t* cur = codes;
+    int64_t m = n;
     for (int l = depth - 1; l >= 0; --l) {
       Level& lv = levels[l];
-      lv.codes.reserve(cur.size());
-      lv.occ.reserve(cur.size());
-      int64_t m = (int64_t)cur.size();
+      lv.codes.reserve(m);
+      lv.occ.reserve(m);
       for (int64_t i = 0; i < m;) {
         int64_t parent = cur[i] >> 3;
         uint8_t o = 0;
@@ -306,7 +307,8 @@ int64_t oct_encode_inter(RcEncoder* e, uint16_t* ctx,
         lv.codes.push_back(parent);
         lv.occ.push_back(o);
       }
-      cur = lv.codes;
+      cur = lv.codes.data();  // no copy: read the built level
+      m = (int64_t)lv.codes.size();
     }
   }
   std::vector<int32_t> bases;
