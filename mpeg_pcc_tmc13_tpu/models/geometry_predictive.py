@@ -272,6 +272,25 @@ def _chain_decode_rpl_inter(n: int, dec, ctx: PredGeomContexts,
         res[:, c] = dec.resbl(cslice, n)
     ref_sorted, ref_keys = _rpl_sorted_ref(ref_rpl)
     out = np.zeros((n, 3), dtype=np.int64)
+    if entropy.native_available():
+        import ctypes
+        lib = entropy._LIB
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        if not hasattr(lib, "_rpl_set"):
+            lib.predchain_recon_rpl_inter.argtypes = [
+                i64p, u8p, u8p, i64p, ctypes.c_int64, i64p,
+                ctypes.c_int64]
+            lib._rpl_set = True
+        r = np.ascontiguousarray(res, dtype=np.int64)
+        mo = np.ascontiguousarray(modes, dtype=np.uint8)
+        fl = np.ascontiguousarray(inter, dtype=np.uint8)
+        rs = np.ascontiguousarray(ref_sorted, dtype=np.int64)
+        lib.predchain_recon_rpl_inter(
+            r.ctypes.data_as(i64p), mo.ctypes.data_as(u8p),
+            fl.ctypes.data_as(u8p), out.ctypes.data_as(i64p), n,
+            rs.ctypes.data_as(i64p), ref_sorted.shape[0])
+        return out
     for i in range(n):
         if inter[i] and i >= 1:
             c, v = _rpl_candidates(out[i - 1:i], ref_sorted, ref_keys)

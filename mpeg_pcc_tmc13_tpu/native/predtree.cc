@@ -7,7 +7,9 @@
 // way, geometry_predictive_decoder.cpp:736) — this native loop runs it
 // at memory speed.
 
+#include <algorithm>
 #include <cstdint>
+#include <vector>
 
 namespace {
 
@@ -103,6 +105,51 @@ void predchain_recon_inter(const int64_t* res, const uint8_t* modes,
     } else {
       for (int c = 0; c < 3; ++c) {
         switch (modes[i]) {
+          case 1: p[c] = out[(i - 1) * 3 + c]; break;
+          case 2:
+            p[c] = 2 * out[(i - 1) * 3 + c] - out[(i - 2) * 3 + c];
+            break;
+          case 3:
+            p[c] = out[(i - 1) * 3 + c] + out[(i - 2) * 3 + c]
+                   - out[(i - 3) * 3 + c];
+            break;
+          default: p[c] = 0; break;
+        }
+      }
+    }
+    for (int c = 0; c < 3; ++c) out[i * 3 + c] = p[c] + res[i * 3 + c];
+  }
+}
+
+// Structural (laser, phi-step) inter chain reconstruction: mirror of
+// geometry_predictive._chain_decode_rpl_inter's python loop.
+// ref (m,3) rows are (r, phi, laser) sorted canonically by
+// (laser, phi, r); keys[j] = laser << 40 | phi precomputed here.
+void predchain_recon_rpl_inter(const int64_t* res, const uint8_t* modes,
+                               const uint8_t* inter, int64_t* out,
+                               int64_t n, const int64_t* ref,
+                               int64_t m) {
+  std::vector<int64_t> keys(m);
+  const int64_t kBig = (int64_t)1 << 40;
+  for (int64_t j = 0; j < m; ++j)
+    keys[j] = ref[j * 3 + 2] * kBig + ref[j * 3 + 1];
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t p[3];
+    if (inter[i] && i >= 1 && m > 0) {
+      int64_t prev_phi = out[(i - 1) * 3 + 1];
+      int64_t prev_laser = out[(i - 1) * 3 + 2];
+      int64_t want = prev_laser * kBig + prev_phi + 1;
+      int64_t j = (int64_t)(std::lower_bound(keys.begin(), keys.end(),
+                                             want) - keys.begin());
+      int64_t jc = j < m ? j : m - 1;
+      bool valid = ref[jc * 3 + 2] == prev_laser;
+      if (!valid && jc > 0 && ref[(jc - 1) * 3 + 2] == prev_laser)
+        jc -= 1;
+      for (int c = 0; c < 3; ++c) p[c] = ref[jc * 3 + c];
+    } else {
+      for (int c = 0; c < 3; ++c) {
+        int mm = (i == 0) ? 0 : modes[i];
+        switch (mm) {
           case 1: p[c] = out[(i - 1) * 3 + c]; break;
           case 2:
             p[c] = 2 * out[(i - 1) * 3 + c] - out[(i - 2) * 3 + c];
