@@ -96,7 +96,11 @@ def test_random_config_roundtrips():
                 qp=int(rng.integers(4, 35)),
                 scalable_lifting=bool(rng.random() < 0.3),
                 last_component_prediction=bool(rng.random() < 0.3)))
+        geom = (hls.GeometryCodecType.PREDICTIVE
+                if rng.random() < 0.25
+                else hls.GeometryCodecType.OCTREE)
         params = EncoderParams(
+            geometry_codec=geom,
             planar_enabled=bool(rng.random() < 0.4),
             idcm=bool(rng.random() < 0.3),
             bytewise_occupancy=bool(rng.random() < 0.7),
