@@ -621,7 +621,9 @@ class AttributeParamInventory:
     def write(self) -> bytes:
         w = BitWriter()
         w.write_ue(self.sps_attr_idx)
-        w.write(self.frame_ctr_lsb, 8)
+        # ue(v): width-independent of sps.frame_ctr_bits, so the
+        # inventory lsb always matches the GBH lsb it gates on
+        w.write_ue(self.frame_ctr_lsb)
         w.write_bit(self.cicp_matrix is not None)
         if self.cicp_matrix is not None:
             w.write_ue(self.cicp_matrix)
@@ -642,7 +644,7 @@ class AttributeParamInventory:
         r = BitReader(data)
         inv = AttributeParamInventory()
         inv.sps_attr_idx = r.read_ue()
-        inv.frame_ctr_lsb = r.read(8)
+        inv.frame_ctr_lsb = r.read_ue()
         if r.read_bit():
             inv.cicp_matrix = r.read_ue()
         if r.read_bit():

@@ -48,6 +48,10 @@ def encode_raw(values: np.ndarray, desc: AttributeDescription) -> bytes:
     attribute_raw.h:47-55).  Vectorised MSB-first bit packing."""
     flat = values.reshape(values.shape[0], -1).astype(np.int64).ravel()
     bd = desc.bitdepth
+    if flat.size and (flat.min() < 0 or flat.max() >= (1 << bd)):
+        raise ValueError(
+            f"RAW attribute value out of range for bitdepth {bd}: "
+            f"[{flat.min()}, {flat.max()}] (check attr_scale/attr_offset)")
     shifts = np.arange(bd - 1, -1, -1, dtype=np.int64)
     bits = ((flat[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
     return np.packbits(bits.ravel()).tobytes()

@@ -26,9 +26,18 @@ from jax.experimental.shard_map import shard_map
 from ..ops import octree as ops
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "slices") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = "slices",
+              backend: str | None = None) -> Mesh:
+    """Build a 1-D slice mesh.  Pass backend="cpu" for hermetic dry
+    runs/tests so an experimental accelerator plugin (whose runtime may
+    not even match) is never grabbed implicitly."""
+    devs = jax.devices(backend) if backend else jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"need {n_devices} {backend or 'default'} devices, "
+                f"have {len(devs)} (set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count=N for cpu)")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

@@ -20,6 +20,7 @@ from ..models import attributes as attr_model
 from ..models import geometry_octree, geometry_predictive, geometry_trisoup
 from ..models import pointcloud as pc
 from ..ops import processing
+from .framestore import FrameStore
 
 
 def _grid_positions(local: np.ndarray,
@@ -83,11 +84,9 @@ class FrameDecoder:
         # decoded frames' grid positions by frame_ctr_lsb (reference
         # storeCurrentCloudAsRef decoder.cpp:165; bi-pred ref lists
         # PCCTMC3Common.h:345) + display-order reorder buffer
-        # (processHierarchicalGOF, decoder.cpp:500-557)
-        self._frames: Dict[int, np.ndarray] = {}
-        # ctr -> {attr_idx: (grid positions, coded-space values)} for
-        # inter attribute prediction
-        self._frame_attrs: Dict[int, dict] = {}
+        # (processHierarchicalGOF, decoder.cpp:500-557); retention
+        # policy shared with the encoder (framestore.py)
+        self._frames = FrameStore()
         self._pending: Dict[int, pc.PointCloud] = {}
         self._next_out: Optional[int] = None
 
@@ -258,22 +257,38 @@ class FrameDecoder:
         self._slices.append(_SliceState(positions=grid, local=local,
                                         gbh=gbh))
 
+    @property
+    def _ctr_mask(self) -> int:
+        """frame_ctr mask from the active SPS (single source of truth
+        with the encoder's sps.frame_ctr_bits)."""
+        bits = self.active_sps.frame_ctr_bits if self.active_sps else 8
+        return (1 << bits) - 1
+
     def _ref_points_for_gbh(self, gbh):
         """Compensated in-bounds reference points for an inter brick
-        (mirrors FrameEncoder._ref_points_for_slice exactly)."""
+        (mirrors FrameEncoder._ref_points_for_slice exactly).
+
+        Raises on a missing reference frame rather than silently
+        decoding an inter-coded stream through intra contexts, which
+        would produce garbage points or a misleading capacity error.
+        """
         from ..ops import motion as motion_ops
+        mask = self._ctr_mask
         depth = gbh.root_node_size_log2
         origin = np.asarray(gbh.slice_origin, dtype=np.int64)
-        refs = [((gbh.frame_ctr_lsb - gbh.ref0_delta) & 0xFF,
+        refs = [((gbh.frame_ctr_lsb - gbh.ref0_delta) & mask,
                  gbh.gm_matrix, gbh.gm_trans)]
         if gbh.is_bi:
-            refs.append(((gbh.frame_ctr_lsb + gbh.ref1_delta) & 0xFF,
+            refs.append(((gbh.frame_ctr_lsb + gbh.ref1_delta) & mask,
                          gbh.gm_matrix1, gbh.gm_trans1))
         parts = []
         for rc, mat, trans in refs:
             grid = self._frames.get(rc)
             if grid is None:
-                continue
+                raise ValueError(
+                    f"inter brick (frame_ctr_lsb={gbh.frame_ctr_lsb}) "
+                    f"references frame {rc} which is not in the "
+                    f"decoded-frame store (lost or evicted)")
             comp = motion_ops.apply_global_motion(
                 grid, np.asarray(mat, dtype=np.int64).reshape(3, 3),
                 np.asarray(trans, dtype=np.int64)) - origin
@@ -300,8 +315,8 @@ class FrameDecoder:
         if (aps.inter_prediction_enabled and gbh is not None
                 and gbh.is_inter):
             from ..ops import motion as motion_ops
-            stored = self._frame_attrs.get(
-                (gbh.frame_ctr_lsb - gbh.ref0_delta) & 0xFF, {})
+            stored = self._frames.attrs(
+                (gbh.frame_ctr_lsb - gbh.ref0_delta) & self._ctr_mask)
             if abh.sps_attr_idx in stored:
                 rp, rv = stored[abh.sps_attr_idx]
                 mat = np.asarray(gbh.gm_matrix,
@@ -373,8 +388,6 @@ class FrameDecoder:
             else 0
         # reference frame for inter prediction: grid coordinates
         if self._slices:
-            self._frames[ctr] = np.concatenate(
-                [sl.positions for sl in self._slices])
             # coded-space attribute store for inter attr prediction
             per_idx: Dict[int, list] = {}
             for sl in self._slices:
@@ -383,15 +396,14 @@ class FrameDecoder:
                     if a is not None and a.inter_prediction_enabled:
                         per_idx.setdefault(idx, []).append(
                             (sl.positions, np.asarray(vals)))
-            if per_idx:
-                self._frame_attrs[ctr] = {
-                    idx: (np.concatenate([p for p, _ in prs]),
-                          np.concatenate([v for _, v in prs]))
-                    for idx, prs in per_idx.items()}
-            if len(self._frames) > 32:
-                for k in sorted(self._frames)[:16]:
-                    self._frames.pop(k, None)
-                    self._frame_attrs.pop(k, None)
+            attrs = {
+                idx: (np.concatenate([p for p, _ in prs]),
+                      np.concatenate([v for _, v in prs]))
+                for idx, prs in per_idx.items()} if per_idx else None
+            self._frames.store(
+                ctr,
+                np.concatenate([sl.positions for sl in self._slices]),
+                attrs)
         self._slices = []
         # display-order emission (hierarchical GOF reorder)
         self._pending[ctr] = pc.concat(clouds)
@@ -399,4 +411,4 @@ class FrameDecoder:
             self._next_out = ctr
         while self._next_out in self._pending:
             self.on_output_cloud(self._pending.pop(self._next_out))
-            self._next_out = (self._next_out + 1) & 0xFF
+            self._next_out = (self._next_out + 1) & self._ctr_mask

@@ -23,6 +23,7 @@ from ..models.pointcloud import PointCloud
 from ..ops import motion as motion_ops
 from ..ops import partition as partition_ops
 from ..ops import processing
+from .framestore import FrameStore
 
 
 @dataclass
@@ -171,11 +172,12 @@ class FrameEncoder:
             hls.AttributeParamInventory] = []
         self._attr_ctx: Dict[int, attr_model.AttributeContexts] = {}
         # inter state (reference refFrame bookkeeping, encoder.cpp:502;
-        # bi-pred frame store + GOF buffer, PCCTMC3Common.h:304-399)
-        self._frames: Dict[int, np.ndarray] = {}   # ctr_lsb -> grid
-        # ctr_lsb -> (grid positions, {attr_idx: decoded coded-space
-        # values}) for inter attribute prediction
-        self._frame_attrs: Dict[int, tuple] = {}
+        # bi-pred frame store + GOF buffer, PCCTMC3Common.h:304-399);
+        # retention policy shared with the decoder (framestore.py)
+        self._frames = FrameStore()                # ctr_lsb -> grid
+        # frame_ctr mask applied to every store key, ref delta and
+        # inventory lsb (one source of truth: sps.frame_ctr_bits)
+        self._ctr_mask = (1 << params.frame_ctr_bits) - 1
         self._attr_acc: List = []
         self._geom_acc: List = []
         self._gof: List = []                       # buffered (ctr, cloud)
@@ -299,7 +301,7 @@ class FrameEncoder:
                 out(PayloadBuffer(PayloadType.USER_DATA,
                                   p.user_data.write()))
         for inv in self._pending_param_updates:
-            inv.frame_ctr_lsb = self.frame_ctr & 0xFF
+            inv.frame_ctr_lsb = self.frame_ctr & self._ctr_mask
             out(PayloadBuffer(PayloadType.ATTR_PARAM_INVENTORY,
                               inv.write()))
         self._pending_param_updates = []
@@ -379,7 +381,7 @@ class FrameEncoder:
         """Sequential (non-GOF) reference selection: previous frame."""
         p = self.params
         rap = max(p.random_access_period, 1)
-        prev = (ctr - 1) & 0xFF
+        prev = (ctr - 1) & self._ctr_mask
         is_inter = (p.inter_prediction and prev in self._frames
                     and (forced_ref or ctr % rap != 0)
                     and p.geometry_codec in (
@@ -399,8 +401,9 @@ class FrameEncoder:
         hi = max(gof)
         # trailing anchor as P(lo)
         qhi = gof.pop(hi)
+        mask = self._ctr_mask
         self._code_frame(qhi, hi, out,
-                         [(lo, self._gm_for(self._frames[lo & 0xFF],
+                         [(lo, self._gm_for(self._frames[lo & mask],
                                             qhi, hi))])
 
         def recurse(a, b):
@@ -409,8 +412,8 @@ class FrameEncoder:
                 return
             mid = mids[len(mids) // 2]
             qc = gof.pop(mid)
-            refs = [(a, self._gm_for(self._frames[a & 0xFF], qc, mid)),
-                    (b, self._gm_for(self._frames[b & 0xFF], qc, mid))]
+            refs = [(a, self._gm_for(self._frames[a & mask], qc, mid)),
+                    (b, self._gm_for(self._frames[b & mask], qc, mid))]
             self._code_frame(qc, mid, out, refs)
             recurse(a, mid)
             recurse(mid, b)
@@ -434,10 +437,9 @@ class FrameEncoder:
                                  ctr=ctr, refs=refs, keep_ctx=keep_ctx)
             keep_ctx = p.entropy_continuation
         # reference store = what the DECODER reconstructs (matters for
-        # in-tree quantisation / trisoup where they differ from input)
-        self._frames[frame_ctr_lsb] = (
-            np.concatenate(self._geom_acc) if self._geom_acc
-            else qcloud.positions.astype(np.int64))
+        # in-tree quantisation / trisoup where they differ from input);
+        # insertion-age eviction shared with the decoder (framestore.py)
+        attrs = None
         if self._attr_acc:
             # kept per attribute as (positions, values) pairs so an
             # attribute skipped in some slice (e.g. constant-coded)
@@ -446,17 +448,15 @@ class FrameEncoder:
             for pos, vals_map in self._attr_acc:
                 for i, v in vals_map.items():
                     per_idx.setdefault(i, []).append((pos, v))
-            self._frame_attrs[frame_ctr_lsb] = {
+            attrs = {
                 i: (np.concatenate([p for p, _ in pairs]),
                     np.concatenate([v for _, v in pairs]))
                 for i, pairs in per_idx.items()}
-            for k in list(self._frame_attrs):
-                if k not in self._frames:
-                    self._frame_attrs.pop(k, None)
-        if len(self._frames) > 3 * max(p.bi_period, 4):
-            for k in sorted(self._frames)[:len(self._frames) // 2]:
-                if k != (self._anchor_ctr or 0) & 0xFF:
-                    self._frames.pop(k, None)
+        self._frames.store(
+            frame_ctr_lsb,
+            np.concatenate(self._geom_acc) if self._geom_acc
+            else qcloud.positions.astype(np.int64),
+            attrs)
 
     def _ref_points_for_slice(self, refs, slice_origin, depth):
         """Compensated in-bounds reference points, slice-local
@@ -465,7 +465,7 @@ class FrameEncoder:
             return None
         parts = []
         for ref_ctr, ref_gm in refs:
-            ref_grid = self._frames[ref_ctr & 0xFF]
+            ref_grid = self._frames[ref_ctr & self._ctr_mask]
             comp = motion_ops.apply_global_motion(
                 ref_grid, ref_gm[0], ref_gm[1]) - slice_origin
             inb = np.all((comp >= 0) & (comp < (1 << depth)), axis=1)
@@ -620,11 +620,12 @@ class FrameEncoder:
             lpu_ground_z0=lpu_z0 if not multistream else 0,
             lpu_ground_thr=lpu_thr if not multistream else 0,
             is_inter=bool(refs),
-            ref0_delta=max((ctr - refs[0][0]) & 0xFF, 1) if refs else 1,
+            ref0_delta=max((ctr - refs[0][0]) & self._ctr_mask, 1)
+            if refs else 1,
             gm_matrix=gm_mat,
             gm_trans=gm_trans,
             is_bi=len(refs) > 1,
-            ref1_delta=max((refs[1][0] - ctr) & 0xFF, 1)
+            ref1_delta=max((refs[1][0] - ctr) & self._ctr_mask, 1)
             if len(refs) > 1 else 1,
             gm_matrix1=gm_mat1,
             gm_trans1=gm_trans1,
@@ -732,7 +733,7 @@ class FrameEncoder:
             # + their decoded values join the predictor pool
             ref = None
             if aps.inter_prediction_enabled and refs:
-                stored = self._frame_attrs.get(refs[0][0] & 0xFF, {})
+                stored = self._frames.attrs(refs[0][0] & self._ctr_mask)
                 if i in stored:
                     rp, rv = stored[i]
                     g = refs[0][1]

@@ -304,3 +304,64 @@ def test_lpu_road_object_split():
             np.testing.assert_array_equal(
                 np.sort(morton.encode(out.positions.astype(np.int64))),
                 exp)
+
+
+def test_long_sequence_frame_ctr_wraparound():
+    """262-frame P-sequence: the just-stored frame (lsb 0 after 8-bit
+    wraparound) must never be evicted ahead of older frames (advisor
+    finding r1: sorted-key eviction desynced encoder and decoder)."""
+    seq = moving_sequence(n=80, depth=7, frames=262, shift=(1, 0, 0))
+    params = EncoderParams(inter_prediction=True,
+                           random_access_period=64,
+                           global_motion=False)
+    outs, _ = roundtrip_sequence(seq, params)
+    assert len(outs) == len(seq)
+    for src, out in zip(seq, outs):
+        np.testing.assert_array_equal(
+            np.sort(morton.encode(out.positions)),
+            np.unique(morton.encode(src.positions)))
+
+
+def test_small_frame_ctr_bits_inter():
+    """frame_ctr_bits=4 with inter prediction: ref deltas, frame-store
+    keys and reorder advance must all honour the signalled mask
+    (advisor finding r1: hard-coded & 0xFF desynced at frame 16)."""
+    seq = moving_sequence(n=80, depth=7, frames=20, shift=(1, 0, 0))
+    params = EncoderParams(inter_prediction=True,
+                           random_access_period=64,
+                           global_motion=False,
+                           frame_ctr_bits=4)
+    outs, _ = roundtrip_sequence(seq, params)
+    assert len(outs) == len(seq)
+    for src, out in zip(seq, outs):
+        np.testing.assert_array_equal(
+            np.sort(morton.encode(out.positions)),
+            np.unique(morton.encode(src.positions)))
+
+
+def test_decoder_missing_reference_raises():
+    """An inter brick whose reference frame is absent must raise a
+    diagnosable error, not silently decode with intra contexts."""
+    seq = moving_sequence(n=80, depth=7, frames=3, shift=(1, 0, 0))
+    bs = io.BytesIO()
+    enc = FrameEncoder(EncoderParams(inter_prediction=True,
+                                     random_access_period=64,
+                                     global_motion=False))
+    for c in seq:
+        enc.compress(c, lambda b: write_tlv(b, bs))
+    bs.seek(0)
+    payloads = list(iter_tlv(bs))
+    dec = FrameDecoder(lambda c: None)
+    # feed parameter sets but skip frame 0's bricks -> frame 1's inter
+    # brick references a frame the decoder never stored
+    from mpeg_pcc_tmc13_tpu.bitstream.tlv import PayloadType
+    skipping_frame0 = True
+    with pytest.raises(ValueError, match="reference"):
+        for b in payloads:
+            if b.type in (PayloadType.GEOMETRY_BRICK,
+                          PayloadType.ATTRIBUTE_BRICK) and skipping_frame0:
+                continue
+            if b.type == PayloadType.FRAME_BOUNDARY_MARKER:
+                skipping_frame0 = False
+            dec.decompress(b)
+        dec.flush()

@@ -140,3 +140,18 @@ def test_attr_scale_offset():
     outs = decode_payloads(bufs)
     got = np.sort(outs[0].reflectances)
     np.testing.assert_array_equal(got, np.sort(refl))
+
+
+def test_raw_attribute_out_of_range_raises():
+    """RAW values outside [0, 2**bitdepth) must raise at encode time
+    instead of silently wrapping (advisor finding r1)."""
+    import numpy as np
+    import pytest
+    from mpeg_pcc_tmc13_tpu.bitstream.hls import AttributeDescription
+    from mpeg_pcc_tmc13_tpu.models.attributes import encode_raw
+    desc = AttributeDescription(label="reflectance", num_components=1,
+                                bitdepth=8)
+    with pytest.raises(ValueError, match="out of range"):
+        encode_raw(np.array([-3, 5]), desc)
+    with pytest.raises(ValueError, match="out of range"):
+        encode_raw(np.array([256]), desc)
