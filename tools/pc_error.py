@@ -6,13 +6,18 @@ Counterpart of the MPEG pc_error tool the reference CTC scripts call
 (point-to-point) and D2 (point-to-plane) geometry PSNRs plus per
 attribute-channel PSNRs between a source and a reconstruction.
 
-Conventions (matching pc_error defaults):
+Conventions (matching the de-facto mpeg-pcc-dmetric tool):
+  * exact 1-nearest-neighbour matching (scipy cKDTree; falls back to
+    the in-repo Morton-window search if scipy is unavailable),
   * symmetric metric: max of the two directional MSEs,
-  * geometry PSNR peak: the signalled resolution (--resolution), else
-    the source bounding-box diagonal,
-  * D2 normals: estimated by local PCA over the k nearest neighbours
-    when the source PLY carries none (pc_error reads them from the
-    file; estimation is this tool's self-contained equivalent).
+  * geometry PSNR peak energy: 3 * resolution^2 (the MSE sums squared
+    error over the three coordinates); resolution from --resolution
+    (CTC: 1023 cat1 voxel grids, 30000 cat3 — sequences-cat3.yaml:19),
+    else the source bounding-box diagonal,
+  * D2 projects the error on the SOURCE cloud's normals in both
+    directions (pc_error reads source normals from the file; here they
+    are estimated by local PCA when absent),
+  * colour PSNR per Y/Cb/Cr (BT.709) channel, peak 255.
 
 Usage:
   python tools/pc_error.py --fileA src.ply --fileB rec.ply \
@@ -29,86 +34,119 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from mpeg_pcc_tmc13_tpu.ops.recolour import knn  # noqa: E402
 from mpeg_pcc_tmc13_tpu.utils import ply  # noqa: E402
 
+try:
+    from scipy.spatial import cKDTree
+except ImportError:                                  # pragma: no cover
+    cKDTree = None
 
-def _nn(a: np.ndarray, b: np.ndarray, k: int = 1, window: int = 32):
-    idx, d2 = knn(b, a, k=k, window=window)
-    return idx, d2.astype(np.float64)
+
+def nn1(query: np.ndarray, pool: np.ndarray):
+    """Exact 1-NN: returns (index into pool, squared distance)."""
+    if cKDTree is not None:
+        d, idx = cKDTree(pool).query(query, k=1, workers=-1)
+        return idx, d * d
+    from mpeg_pcc_tmc13_tpu.ops.recolour import knn
+    idx, d2 = knn(pool.astype(np.int64), query.astype(np.int64),
+                  k=1, window=64)
+    return idx[:, 0], d2[:, 0].astype(np.float64)
 
 
-def estimate_normals(points: np.ndarray, k: int = 9,
-                     window: int = 32) -> np.ndarray:
+def knn_idx(points: np.ndarray, k: int):
+    if cKDTree is not None:
+        _, idx = cKDTree(points).query(points, k=k, workers=-1)
+        return idx
+    from mpeg_pcc_tmc13_tpu.ops.recolour import knn
+    idx, _ = knn(points.astype(np.int64), points.astype(np.int64),
+                 k=k, window=64)
+    return idx
+
+
+def estimate_normals(points: np.ndarray, k: int = 9) -> np.ndarray:
     """Unit normals by local PCA (smallest eigenvector of the k-NN
     scatter)."""
-    idx, _ = _nn(points, points, k=k, window=window)
+    idx = knn_idx(points.astype(np.float64), k)
     nbrs = points[idx].astype(np.float64)          # (N,k,3)
     mean = nbrs.mean(axis=1, keepdims=True)
     d = nbrs - mean
     cov = np.einsum("nki,nkj->nij", d, d) / k
-    # eigh is batched; smallest eigenvalue's vector is the normal
     w, v = np.linalg.eigh(cov)
     n = v[:, :, 0]
     norm = np.linalg.norm(n, axis=1, keepdims=True)
     return n / np.maximum(norm, 1e-12)
 
 
-def directional(a: ply.PlyCloud, b: ply.PlyCloud, normals_a=None,
-                window: int = 32):
-    """a -> b errors: (d1_mse, d2_mse, per-channel attr sse/count)."""
+_YCBCR709 = np.array([[0.2126, 0.7152, 0.0722],
+                      [-0.1146, -0.3854, 0.5000],
+                      [0.5000, -0.4542, -0.0458]])
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    out = rgb.astype(np.float64) @ _YCBCR709.T
+    out[:, 1:] += 128.0
+    return out
+
+
+def directional(a: ply.PlyCloud, b: ply.PlyCloud, src_normals=None,
+                src_is_a: bool = True):
+    """a -> b errors: (d1_mse, d2_mse, per-channel attr mse).
+
+    src_normals are the SOURCE cloud's normals; when the source is b
+    (the reverse direction) the projection uses the normal at the
+    matched source point, as pc_error does.
+    """
     pa = a.positions.astype(np.float64)
     pb = b.positions.astype(np.float64)
-    idx, d2 = _nn(pa.astype(np.int64), pb.astype(np.int64), 1, window)
-    nn_idx = idx[:, 0]
-    diff = pb[nn_idx] - pa
-    d1_mse = float((diff * diff).sum(axis=1).mean())
+    nn, d2pt = nn1(pa, pb)
+    diff = pb[nn] - pa
+    d1_mse = float(d2pt.mean())
     d2_mse = None
-    if normals_a is not None:
-        proj = (diff * normals_a).sum(axis=1)
+    if src_normals is not None:
+        n = src_normals if src_is_a else src_normals[nn]
+        proj = (diff * n).sum(axis=1)
         d2_mse = float((proj * proj).mean())
     attr_mse = {}
     if a.colors is not None and b.colors is not None:
-        ca = a.colors.astype(np.float64)
-        cb = b.colors[nn_idx].astype(np.float64)
-        for ch, name in enumerate(("y", "u", "v")):   # raw channels
+        ca = _rgb_to_ycbcr(a.colors)
+        cb = _rgb_to_ycbcr(b.colors[nn])
+        for ch, name in enumerate(("y", "cb", "cr")):
             e = ca[:, ch] - cb[:, ch]
-            attr_mse[f"c[{ch}]"] = float((e * e).mean())
+            attr_mse[name] = float((e * e).mean())
     if a.reflectances is not None and b.reflectances is not None:
         e = (a.reflectances.astype(np.float64)
-             - b.reflectances[nn_idx].astype(np.float64))
+             - b.reflectances[nn].astype(np.float64))
         attr_mse["reflectance"] = float((e * e).mean())
     return d1_mse, d2_mse, attr_mse
 
 
-def psnr(mse: float, peak: float) -> float:
+def psnr(mse: float, peak_energy: float) -> float:
     if mse <= 0:
         return float("inf")
-    return 10.0 * np.log10(peak * peak / mse)
+    return 10.0 * np.log10(peak_energy / mse)
 
 
 def compute(a: ply.PlyCloud, b: ply.PlyCloud, resolution: float = None,
-            with_d2: bool = True, window: int = 32):
+            with_d2: bool = True, refl_bits: int = 8):
     if resolution is None:
         ext = a.positions.max(axis=0) - a.positions.min(axis=0)
         resolution = float(np.sqrt((ext * ext).sum()))
-    na = estimate_normals(a.positions.astype(np.int64),
-                          window=window) if with_d2 else None
-    nb = estimate_normals(b.positions.astype(np.int64),
-                          window=window) if with_d2 else None
-    d1_ab, d2_ab, attr_ab = directional(a, b, na, window)
-    d1_ba, d2_ba, attr_ba = directional(b, a, nb, window)
+    na = estimate_normals(a.positions) if with_d2 else None
+    d1_ab, d2_ab, attr_ab = directional(a, b, na, src_is_a=True)
+    d1_ba, d2_ba, attr_ba = directional(b, a, na, src_is_a=False)
+    geom_peak = 3.0 * resolution * resolution
     out = {
         "d1_mse": max(d1_ab, d1_ba),
-        "d1_psnr": psnr(max(d1_ab, d1_ba), resolution),
+        "d1_psnr": psnr(max(d1_ab, d1_ba), geom_peak),
     }
     if with_d2:
         out["d2_mse"] = max(d2_ab, d2_ba)
-        out["d2_psnr"] = psnr(max(d2_ab, d2_ba), resolution)
+        out["d2_psnr"] = psnr(max(d2_ab, d2_ba), geom_peak)
     for key in attr_ab:
         m = max(attr_ab[key], attr_ba.get(key, 0.0))
-        peak = 255.0
-        out[f"{key}_psnr"] = psnr(m, peak)
+        peak = float((1 << refl_bits) - 1) if key == "reflectance" \
+            else 255.0
+        out[f"{key}_psnr"] = psnr(m, peak * peak)
     return out
 
 
