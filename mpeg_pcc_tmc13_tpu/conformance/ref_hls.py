@@ -1,0 +1,452 @@
+"""Reference-syntax high-level-syntax parsing (tmc3 interop).
+
+Bit-exact readers for the reference codec's TLV framing and parameter
+sets, matching /root/reference/tmc3/io_tlv.cpp and io_hls.cpp
+(parseSps io_hls.cpp:476, parseGps :769, parseGbh :1482, parseGbf).
+Only the fields needed to drive geometry decoding are retained; every
+field is still consumed so the bit positions stay exact.
+
+Axis-order note: the reference stores positions internally in STV
+order (hls.h:151); origins parsed here are converted from XYZ with
+`from_xyz` exactly as the reference does on parse.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# bit reader with the reference's exact conventions (BitReader.h):
+# MSB-first bits, ue = leading-zeros exp-golomb, se sign bit 1 => +,
+# sn = magnitude then sign (1 => negative)
+# ---------------------------------------------------------------------------
+
+
+class RefBitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.byte = pos
+        self.mask = 0
+        self.buf = 0
+
+    def u1(self) -> int:
+        if self.mask == 0:
+            if self.byte >= len(self.data):
+                return 0
+            self.buf = self.data[self.byte]
+            self.byte += 1
+            self.mask = 0x80
+        v = 1 if (self.buf & self.mask) else 0
+        self.mask >>= 1
+        return v
+
+    def un(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.u1()
+        return v
+
+    def sn(self, n: int) -> int:
+        v = self.un(n)
+        return -v if self.u1() else v
+
+    def ue(self) -> int:
+        length = 0
+        while not self.u1():
+            length += 1
+        return ((1 << length) | self.un(length)) - 1
+
+    def se(self) -> int:
+        v = self.ue()
+        sign = v & 1
+        v = (v + sign) >> 1
+        return v if sign else -v
+
+    def byte_align(self):
+        self.mask = 0
+
+    def tell_bytes(self) -> int:
+        return self.byte
+
+
+# TLV payload types (reference hls.h:49-61)
+T_SPS = 0
+T_GPS = 1
+T_GEOM_BRICK = 2
+T_APS = 3
+T_ATTR_BRICK = 4
+T_TILE_INV = 5
+T_FRAME_BOUNDARY = 6
+
+
+def iter_ref_tlv(data: bytes):
+    """Reference TLV: 1-byte type, 4-byte big-endian length, payload
+    (io_tlv.cpp:45-58)."""
+    pos = 0
+    while pos + 5 <= len(data):
+        t = data[pos]
+        ln = int.from_bytes(data[pos + 1:pos + 5], "big")
+        yield t, data[pos + 5:pos + 5 + ln]
+        pos += 5 + ln
+
+
+def axis_perm(axis_order: int) -> Tuple[int, int, int]:
+    """XYZ -> STV permutation per AxisOrder (reference hls.h:164-195
+    fromXyz): returns indices p with stv[k] = xyz[p[k]]."""
+    return {
+        0: (2, 1, 0),   # kZYX
+        1: (0, 1, 2),   # kXYZ
+        2: (0, 2, 1),   # kXZY
+        3: (1, 2, 0),   # kYZX
+        4: (2, 1, 0),   # kZYX_4
+        5: (2, 0, 1),   # kZXY
+        6: (1, 0, 2),   # kYXZ
+        7: (0, 1, 2),   # kXYZ_7
+    }[axis_order]
+
+
+def from_xyz(axis_order: int, v):
+    p = axis_perm(axis_order)
+    return [v[p[0]], v[p[1]], v[p[2]]]
+
+
+def to_xyz(axis_order: int, v):
+    p = axis_perm(axis_order)
+    out = [0, 0, 0]
+    for k in range(3):
+        out[p[k]] = v[k]
+    return out
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RefSps:
+    main_profile_compat: int = 1
+    slice_reordering_constraint: int = 0
+    unique_point_positions_constraint: int = 0
+    level: int = 0
+    sps_id: int = 0
+    frame_ctr_bits: int = 0
+    slice_tag_bits: int = 0
+    bbox_origin: Tuple[int, int, int] = (0, 0, 0)
+    bbox_size: Tuple[int, int, int] = (0, 0, 0)
+    seq_scale_num: int = 1
+    seq_scale_den: int = 1
+    seq_geom_scale_unit: int = 0
+    global_scale_mul_log2: int = 0
+    global_scale_fp_bits: int = 0
+    global_scale_rem: int = 0
+    num_attrs: int = 0
+    attr_bitdepths: List[int] = field(default_factory=list)
+    attr_labels: List[int] = field(default_factory=list)
+    attr_dims: List[int] = field(default_factory=list)
+    geometry_axis_order: int = 1
+    cabac_bypass_stream_enabled: bool = False
+    entropy_continuation_enabled: bool = False
+    inter_frame_prediction_enabled: bool = False
+    inter_entropy_continuation_enabled: bool = False
+    bypass_bin_coding_without_prob_update: bool = False
+
+
+def parse_sps(data: bytes) -> RefSps:
+    """parseSps, io_hls.cpp:476."""
+    bs = RefBitReader(data)
+    s = RefSps()
+    s.main_profile_compat = bs.un(1)
+    bs.un(21)                       # reserved
+    s.slice_reordering_constraint = bs.un(1)
+    s.unique_point_positions_constraint = bs.un(1)
+    s.level = bs.un(8)
+    s.sps_id = bs.un(4)
+    s.frame_ctr_bits = bs.un(5)
+    s.slice_tag_bits = bs.un(5)
+    origin = [0, 0, 0]
+    origin_bits = bs.ue()
+    if origin_bits:
+        origin = [bs.sn(origin_bits) for _ in range(3)]
+        scale = bs.ue()
+        origin = [o << scale for o in origin]
+    s.bbox_origin = tuple(origin)
+    size = [0, 0, 0]
+    size_bits = bs.ue()
+    if size_bits:
+        size = [bs.un(size_bits) + 1 for _ in range(3)]
+    s.bbox_size = tuple(size)
+    s.seq_scale_num = bs.ue() + 1
+    s.seq_scale_den = bs.ue() + 1
+    s.seq_geom_scale_unit = bs.un(1)
+    s.global_scale_mul_log2 = bs.ue()
+    s.global_scale_fp_bits = bs.ue()
+    s.global_scale_rem = bs.un(s.global_scale_fp_bits)
+    s.num_attrs = bs.ue()
+    for _ in range(s.num_attrs):
+        s.attr_dims.append(bs.ue() + 1)   # attr_num_dimensions_minus1
+        bs.ue()                           # attr_instance_id
+        s.attr_bitdepths.append(bs.ue() + 1)
+        known = bs.u1()
+        if known:
+            s.attr_labels.append(bs.ue())
+        else:
+            raise NotImplementedError("oid attribute labels")
+        n_params = bs.ue()
+        bs.byte_align()
+        if n_params:
+            raise NotImplementedError("attribute parameters")
+    s.geometry_axis_order = bs.un(3)
+    s.cabac_bypass_stream_enabled = bool(bs.u1())
+    s.entropy_continuation_enabled = bool(bs.u1())
+    if bs.u1():                           # sps_extension_flag
+        s.inter_frame_prediction_enabled = bool(bs.u1())
+        if s.inter_frame_prediction_enabled:
+            s.inter_entropy_continuation_enabled = bool(bs.u1())
+        s.bypass_bin_coding_without_prob_update = bool(bs.u1())
+    return s
+
+
+@dataclass
+class RefGps:
+    gps_id: int = 0
+    sps_id: int = 0
+    geom_box_log2_scale_present: bool = False
+    gps_geom_box_log2_scale: int = 0
+    unique_points: bool = True
+    predgeom_enabled: bool = False
+    point_count_list_present: bool = False
+    inferred_direct_coding_mode: int = 0
+    joint_2pt_idcm: bool = False
+    qtbt_enabled: bool = False
+    neighbour_avail_boundary_log2_minus1: int = 0
+    adjacent_child_contextualization: bool = False
+    intra_pred_max_node_size_log2: int = 0
+    bitwise_occupancy: bool = True
+    planar_enabled: bool = False
+    planar_threshold0: int = 0
+    planar_threshold1: int = 0
+    planar_threshold2: int = 0
+    idcm_rate_minus1: int = 0
+    planar_buffer_disabled: bool = False
+    angular_enabled: bool = False
+    slice_angular_origin_present: bool = False
+    angular_origin: Tuple[int, int, int] = (0, 0, 0)
+    angular_theta: List[int] = field(default_factory=list)
+    angular_z: List[int] = field(default_factory=list)
+    angular_num_phi: List[int] = field(default_factory=list)
+    z_compensation: bool = False
+    inter_idcm: bool = False
+    one_point_alone_laser_beam: bool = False
+    scaling_enabled: bool = False
+    base_qp: int = 0
+    qp_multiplier_log2: int = 0
+    idcm_qp_offset: int = 0
+    trisoup_enabled: bool = False
+    inter_prediction: bool = False
+    global_motion: bool = False
+    bi_prediction: bool = False
+    frame_merge: bool = False
+    planar_disabled_idcm_angular: bool = False
+    octree_angular_extension: bool = False
+    depth_planar_eligibility: bool = False
+    planar_dynamic_obuf_eligibility: bool = False
+    multiple_planar: bool = False
+
+
+def parse_gps(data: bytes) -> RefGps:
+    """parseGps, io_hls.cpp:769 (octree fields; angular predgeom
+    extras consumed for bit-exact positions)."""
+    bs = RefBitReader(data)
+    g = RefGps()
+    g.gps_id = bs.un(4)
+    g.sps_id = bs.un(4)
+    g.geom_box_log2_scale_present = bool(bs.u1())
+    if not g.geom_box_log2_scale_present:
+        g.gps_geom_box_log2_scale = bs.ue()
+    g.unique_points = bool(bs.u1())
+    g.predgeom_enabled = bool(bs.u1())
+    if not g.predgeom_enabled:
+        g.point_count_list_present = bool(bs.u1())
+        g.inferred_direct_coding_mode = bs.un(2)
+        if g.inferred_direct_coding_mode:
+            g.joint_2pt_idcm = bool(bs.u1())
+        g.qtbt_enabled = bool(bs.u1())
+        g.neighbour_avail_boundary_log2_minus1 = bs.un(3)
+        if g.neighbour_avail_boundary_log2_minus1 > 0:
+            g.adjacent_child_contextualization = bool(bs.u1())
+            g.intra_pred_max_node_size_log2 = bs.ue()
+        g.bitwise_occupancy = bool(bs.u1())
+        g.planar_enabled = bool(bs.u1())
+        if g.planar_enabled:
+            g.planar_threshold0 = bs.ue()
+            g.planar_threshold1 = bs.ue()
+            g.planar_threshold2 = bs.ue()
+            if g.inferred_direct_coding_mode == 1:
+                g.idcm_rate_minus1 = bs.un(5)
+    g.angular_enabled = bool(bs.u1())
+    if g.angular_enabled:
+        g.slice_angular_origin_present = bool(bs.u1())
+        if not g.slice_angular_origin_present:
+            nb = bs.ue() + 1
+            g.angular_origin = tuple(bs.sn(nb) for _ in range(3))
+        if g.predgeom_enabled:
+            bs.ue()     # azimuth scale log2 minus11
+            bs.ue()     # azimuth speed minus1
+            bs.ue()     # radius inv scale log2
+        n_lasers = bs.ue() + 1
+        theta = [bs.se()]
+        z = [bs.se()]
+        nphi = []
+        if not g.predgeom_enabled:
+            nphi.append(bs.ue() + 1)
+            g.z_compensation = bool(bs.u1())
+        for i in range(1, n_lasers):
+            dt = bs.se()
+            dz = bs.se()
+            # theta prediction: theta[i-1] + (theta[i-1]-theta[i-2])
+            pred = theta[i - 1] if i == 1 else \
+                theta[i - 1] * 2 - theta[i - 2]
+            theta.append(pred + dt)
+            z.append(z[i - 1] + dz)
+            if not g.predgeom_enabled:
+                nphi.append(nphi[i - 1] + bs.se())
+        g.angular_theta, g.angular_z, g.angular_num_phi = theta, z, nphi
+        if g.planar_enabled:
+            g.planar_buffer_disabled = bool(bs.u1())
+        g.inter_idcm = bool(bs.u1())
+        if g.inter_idcm:
+            g.one_point_alone_laser_beam = bool(bs.u1())
+    g.scaling_enabled = bool(bs.u1())
+    if g.scaling_enabled:
+        g.base_qp = bs.ue()
+        g.qp_multiplier_log2 = bs.un(2)
+        if g.predgeom_enabled:
+            bs.ue()     # qp offset interval log2
+        elif g.inferred_direct_coding_mode:
+            g.idcm_qp_offset = bs.se()
+    if bs.u1():                           # gps_extension_flag
+        if not g.predgeom_enabled:
+            g.trisoup_enabled = bool(bs.u1())
+        if g.trisoup_enabled:
+            bs.u1()     # non_cubic_node_start_edge
+            bs.u1()     # non_cubic_node_end_edge
+        if (g.planar_enabled and g.angular_enabled
+                and g.inferred_direct_coding_mode):
+            g.planar_disabled_idcm_angular = bool(bs.u1())
+        if not g.predgeom_enabled or g.angular_enabled:
+            g.inter_prediction = bool(bs.u1())
+        if g.inter_prediction:
+            g.global_motion = bool(bs.u1())
+            if g.predgeom_enabled:
+                bs.ue()
+                bs.u1()
+            g.bi_prediction = bool(bs.ue())
+            if g.bi_prediction:
+                g.frame_merge = bool(bs.u1())
+        if g.predgeom_enabled and g.angular_enabled:
+            raise NotImplementedError("angular predgeom extension")
+        if not g.predgeom_enabled and g.angular_enabled:
+            g.octree_angular_extension = bool(bs.u1())
+        if g.planar_enabled:
+            g.depth_planar_eligibility = bool(bs.u1())
+        if g.planar_enabled and not g.angular_enabled:
+            g.planar_dynamic_obuf_eligibility = bool(bs.u1())
+        if not g.predgeom_enabled and g.planar_enabled:
+            g.multiple_planar = bool(bs.u1())
+    return g
+
+
+@dataclass
+class RefGbh:
+    gps_id: int = 0
+    slice_id: int = 0
+    slice_tag: int = 0
+    frame_ctr_lsb: int = 0
+    entropy_continuation: bool = False
+    prev_slice_id: int = 0
+    geom_box_log2_scale: int = 0
+    box_origin_stv: Tuple[int, int, int] = (0, 0, 0)
+    angular_origin_stv: Tuple[int, int, int] = (0, 0, 0)
+    tree_lvl_coded_axis_list: List[int] = field(default_factory=list)
+    geom_stream_cnt_minus1: int = 0
+    slice_qp_offset: int = 0
+    inter_prediction: bool = False
+    bi_prediction: bool = False
+    num_points: int = 0
+    lvl_num_points: List[int] = field(default_factory=list)
+    header_bytes: int = 0
+    footer_bytes: int = 0
+    # entropy stream lengths when geom_stream_cnt_minus1 > 0
+    stream_lens: List[int] = field(default_factory=list)
+
+
+def parse_gbh(sps: RefSps, gps: RefGps, data: bytes) -> RefGbh:
+    """parseGbh + parseGbf, io_hls.cpp:1482 (octree intra subset;
+    raises on tools outside the conformance beachhead)."""
+    bs = RefBitReader(data)
+    h = RefGbh()
+    h.gps_id = bs.un(4)
+    bs.un(3)                              # reserved
+    h.slice_id = bs.ue()
+    h.slice_tag = bs.un(sps.slice_tag_bits)
+    h.frame_ctr_lsb = bs.un(sps.frame_ctr_bits)
+    if sps.entropy_continuation_enabled:
+        h.entropy_continuation = bool(bs.u1())
+        if h.entropy_continuation:
+            h.prev_slice_id = bs.ue()
+    if gps.geom_box_log2_scale_present:
+        h.geom_box_log2_scale = bs.ue()
+    else:
+        h.geom_box_log2_scale = gps.gps_geom_box_log2_scale
+    origin_bits = bs.ue() + 1
+    origin_xyz = [bs.un(origin_bits) for _ in range(3)]
+    h.box_origin_stv = tuple(
+        v << h.geom_box_log2_scale
+        for v in from_xyz(sps.geometry_axis_order, origin_xyz))
+    if gps.slice_angular_origin_present:
+        nb = bs.ue() + 1
+        ang = [bs.sn(nb) for _ in range(3)]
+        h.angular_origin_stv = tuple(
+            from_xyz(sps.geometry_axis_order, ang))
+    if not gps.predgeom_enabled:
+        if not gps.trisoup_enabled:
+            tree_depth_minus1 = bs.ue()
+        else:
+            tree_depth_minus1 = bs.ue() - 1
+        h.tree_lvl_coded_axis_list = [7] * (tree_depth_minus1 + 1)
+        if gps.qtbt_enabled:
+            for i in range(tree_depth_minus1 + 1):
+                h.tree_lvl_coded_axis_list[i] = bs.un(3)
+        h.geom_stream_cnt_minus1 = bs.ue()
+    else:
+        raise NotImplementedError("predgeom brick")
+    if gps.scaling_enabled:
+        h.slice_qp_offset = bs.se()
+    if gps.trisoup_enabled:
+        raise NotImplementedError("trisoup brick")
+    if gps.inter_prediction:
+        h.inter_prediction = bool(bs.u1())
+    if gps.bi_prediction:
+        h.bi_prediction = bool(bs.u1())
+    if h.inter_prediction and gps.global_motion:
+        raise NotImplementedError("global motion fields")
+    bs.byte_align()
+    h.header_bytes = bs.tell_bytes()
+
+    # footer (parseGbf): fixed 24-bit fields at the end of the payload
+    foot = 3
+    if gps.point_count_list_present:
+        foot += 3 * tree_depth_minus1
+    h.footer_bytes = foot
+    fr = RefBitReader(data, len(data) - foot)
+    if gps.point_count_list_present:
+        h.lvl_num_points = [fr.un(24) + 1
+                            for _ in range(tree_depth_minus1)]
+    h.num_points = fr.un(24) + 1
+
+    # multi-stream lengths precede the entropy streams
+    # (written by writeGeometryStreamCnt/lengths — see encoder.cpp:1503)
+    if h.geom_stream_cnt_minus1:
+        raise NotImplementedError("multiple entropy streams")
+    h.stream_lens = [len(data) - h.header_bytes - foot]
+    return h

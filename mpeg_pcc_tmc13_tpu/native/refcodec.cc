@@ -1,0 +1,1475 @@
+// Bit-exact reference-conformant G-PCC octree geometry decoder.
+//
+// This is the conformance engine of the framework: it decodes geometry
+// bricks produced by the MPEG reference codec (tmc3) to the identical
+// point set.  Unlike the rest of this repository -- which is a
+// TPU-first redesign -- this file intentionally reproduces, operation
+// for operation, the *normative* decoding semantics of the reference:
+//   * the dirac/schroedinger binary arithmetic decoder
+//     (/root/reference/dependencies/schroedinger/schroarith.{h,c})
+//   * the OBUF bounded-probability context layer and dynamic context
+//     maps (/root/reference/tmc3/entropydirac.h:229-253,
+//      geometry_octree.h:328-613)
+//   * the occupancy-atlas neighbour machinery and the eight per-bit
+//     context derivations (/root/reference/tmc3/OctreeNeighMap.cpp)
+//   * the BFS octree decode loop
+//     (/root/reference/tmc3/geometry_octree_decoder.cpp:1559-2242)
+// Constant tables are normative and therefore numerically identical to
+// the reference (diraclut window-16 adaptation LUT, OBUF bounds and
+// deltas); everything re-derivable (interleaved decode LUT, Morton
+// byte-index spread) is generated at runtime.
+//
+// Scope (round 2 conformance beachhead): octree geometry, intra,
+// planar off, IDCM off, angular off, no in-tree scaling, single
+// entropy stream, bitwise occupancy, arbitrary QTBT coded-axis lists,
+// unique or duplicate points.  Unsupported tool combinations return an
+// error code rather than mis-decoding.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// dirac adaptation LUT (window = 16 @ p0=0.5 & 256 @ p=1.0) -- normative
+// table shared by encoder and decoder (schroarith.c:10, entropydirac.h:53)
+// ---------------------------------------------------------------------------
+static const uint16_t kDiracLut[256] = {
+  0,    2,    5,    8,    11,   15,   20,   24,   29,   35,   41,   47,
+  53,   60,   67,   74,   82,   89,   97,   106,  114,  123,  132,  141,
+  150,  160,  170,  180,  190,  201,  211,  222,  233,  244,  256,  267,
+  279,  291,  303,  315,  327,  340,  353,  366,  379,  392,  405,  419,
+  433,  447,  461,  475,  489,  504,  518,  533,  548,  563,  578,  593,
+  609,  624,  640,  656,  672,  688,  705,  721,  738,  754,  771,  788,
+  805,  822,  840,  857,  875,  892,  910,  928,  946,  964,  983,  1001,
+  1020, 1038, 1057, 1076, 1095, 1114, 1133, 1153, 1172, 1192, 1211, 1231,
+  1251, 1271, 1291, 1311, 1332, 1352, 1373, 1393, 1414, 1435, 1456, 1477,
+  1498, 1520, 1541, 1562, 1584, 1606, 1628, 1649, 1671, 1694, 1716, 1738,
+  1760, 1783, 1806, 1828, 1851, 1874, 1897, 1920, 1935, 1942, 1949, 1955,
+  1961, 1968, 1974, 1980, 1985, 1991, 1996, 2001, 2006, 2011, 2016, 2021,
+  2025, 2029, 2033, 2037, 2040, 2044, 2047, 2050, 2053, 2056, 2058, 2061,
+  2063, 2065, 2066, 2068, 2069, 2070, 2071, 2072, 2072, 2072, 2072, 2072,
+  2072, 2071, 2070, 2069, 2068, 2066, 2065, 2063, 2060, 2058, 2055, 2052,
+  2049, 2045, 2042, 2038, 2033, 2029, 2024, 2019, 2013, 2008, 2002, 1996,
+  1989, 1982, 1975, 1968, 1960, 1952, 1943, 1934, 1925, 1916, 1906, 1896,
+  1885, 1874, 1863, 1851, 1839, 1827, 1814, 1800, 1786, 1772, 1757, 1742,
+  1727, 1710, 1694, 1676, 1659, 1640, 1622, 1602, 1582, 1561, 1540, 1518,
+  1495, 1471, 1447, 1422, 1396, 1369, 1341, 1312, 1282, 1251, 1219, 1186,
+  1151, 1114, 1077, 1037, 995,  952,  906,  857,  805,  750,  690,  625,
+  553,  471,  376,  255};
+
+// OBUF probability bounds origin (tables.cpp:99) -- normative
+static const uint16_t kObufBoundOrigin[33] = {
+  65535, 65388, 64933, 64169, 63105, 61747, 60112, 58214, 56069, 53699,
+  51128, 48379, 45480, 42458, 39340, 36160, 32946, 29730, 26541, 23413,
+  20374, 17454, 14681, 12083, 9684,  7509,  5575,  3905,  2515,  1419,
+  627,   150,   0};
+
+// initial probabilities of the 32 shared OBUF bit models
+// (geometry_octree.cpp:256) -- normative
+static const int kObufInitProb[32] = {
+  65461, 65160, 64551, 63637, 62426, 60929, 59163, 57141, 54884, 52413,
+  49753, 46929, 43969, 40899, 37750, 34553, 31338, 28135, 24977, 21893,
+  18914, 16067, 13382, 10883, 8596,  6542,  4740,  3210,  1967,  1023,
+  388,   75};
+
+// coder-index evolution steps (tables.cpp:302) -- normative
+static const uint8_t kObufDelta[16] = {
+  0, 1, 1, 2, 4, 7, 9, 11, 14, 16, 19, 23, 22, 22, 20, 15};
+
+// initial coded-0 counters per planar mask configuration
+// (geometry_octree_decoder.cpp LUTinitCoded0) -- normative
+static const int kInitCoded0[27][6] = {
+  {0, 0, 0, 0, 0, 0}, {4, 0, 2, 2, 2, 2}, {0, 4, 2, 2, 2, 2},
+  {2, 2, 4, 0, 2, 2}, {4, 2, 4, 2, 3, 3}, {2, 4, 4, 2, 3, 3},
+  {2, 2, 0, 4, 2, 2}, {4, 2, 2, 4, 3, 3}, {2, 4, 2, 4, 3, 3},
+  {2, 2, 2, 2, 4, 0}, {4, 2, 3, 3, 4, 2}, {2, 4, 3, 3, 4, 2},
+  {3, 3, 4, 2, 4, 2}, {4, 3, 4, 3, 4, 3}, {3, 4, 4, 3, 4, 3},
+  {3, 3, 2, 4, 4, 2}, {4, 3, 3, 4, 4, 3}, {3, 4, 3, 4, 4, 3},
+  {2, 2, 2, 2, 0, 4}, {4, 2, 3, 3, 2, 4}, {2, 4, 3, 3, 2, 4},
+  {3, 3, 4, 2, 2, 4}, {4, 3, 4, 3, 3, 4}, {3, 4, 4, 3, 3, 4},
+  {3, 3, 2, 4, 2, 4}, {4, 3, 3, 4, 3, 4}, {3, 4, 3, 4, 3, 4}};
+
+// ---------------------------------------------------------------------------
+// arithmetic decoder (schroarith decode side; schroarith.h:50-85, .c init)
+// ---------------------------------------------------------------------------
+
+struct ArithDec {
+  const uint8_t* buf;
+  size_t len, pos;
+  uint32_t range;           // range[1] of the reference
+  uint32_t code;            // code-minus-low
+  int cntr;
+  int16_t lut[512];         // interleaved adaptation LUT
+
+  uint8_t next_byte() {
+    if (pos >= len) return 0xff;      // readByteCallback past-end value
+    return buf[pos++];
+  }
+
+  void init(const uint8_t* b, size_t n) {
+    buf = b; len = n; pos = 0;
+    range = 0xffff0000u;
+    cntr = 1;
+    code = uint32_t(next_byte()) << 24;
+    code |= uint32_t(next_byte()) << 16;
+    // interleaved LUT: [2k] = lut[255-k] (bit=0 step), [2k+1] = -lut[k]
+    for (int k = 0; k < 256; k++) {
+      lut[2 * k] = int16_t(kDiracLut[255 - k]);
+      lut[2 * k + 1] = int16_t(-int(kDiracLut[k]));
+    }
+  }
+
+  int bit(uint16_t* prob) {
+    while (range <= 0x40000000u) {
+      if (!--cntr) {
+        code |= uint32_t(next_byte()) << 8;
+        cntr = 8;
+      }
+      range <<= 1;
+      code <<= 1;
+    }
+    uint32_t rxp = ((range >> 16) * (*prob)) & 0xFFFF0000u;
+    unsigned lutIdx = ((*prob) >> 7) & ~1u;
+    unsigned value = code >= rxp;
+    *prob = uint16_t(*prob + lut[lutIdx | value]);
+    if (value) {
+      code -= rxp;
+      range -= rxp;
+    } else {
+      range = rxp;
+    }
+    return int(value);
+  }
+
+  int bypass() {
+    // p=0.5 with a fresh context, as used when
+    // bypass_bin_coding_without_prob_update = 0 (entropydirac.h:199)
+    uint16_t p = 0x8000;
+    return bit(&p);
+  }
+
+  // OBUF bounded decode (entropydirac.h:229-253 decode(offset, model,
+  // bounds)): clamp the model probability into the evolving band.
+  int bit_bounded(uint16_t* prob, int offset, uint16_t* bound) {
+    uint16_t& lowTh = bound[offset + 1];
+    uint16_t& highTh = bound[offset];
+    if (*prob > highTh) {
+      *prob = highTh;
+      highTh += kDiracLut[255 - (highTh >> 8)] >> 2;
+      if (offset > 0 && highTh > bound[offset - 1])
+        highTh = bound[offset - 1];
+    } else if (*prob < lowTh) {
+      *prob = lowTh;
+      lowTh -= kDiracLut[lowTh >> 8] >> 2;
+      if (offset < 31 && lowTh < bound[offset + 2])
+        lowTh = bound[offset + 2];
+    }
+    return bit(prob);
+  }
+
+  // decodeExpGolomb(0, ctx) (entropyutils.h:189-207)
+  unsigned exp_golomb(int k, uint16_t* prefixCtx) {
+    unsigned l;
+    int symbol = 0;
+    int binary = 0;
+    do {
+      l = bit(prefixCtx);
+      if (l == 1) {
+        symbol += (1 << k);
+        k++;
+      }
+    } while (l != 0);
+    while (k--)
+      if (bypass() == 1)
+        binary |= 1 << k;
+    return unsigned(symbol + binary);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// shared OBUF bit models + bounds (CtxModelDynamicOBUF, geometry_octree.h:304)
+// ---------------------------------------------------------------------------
+
+struct ObufModel {
+  uint16_t prob[32];
+  uint16_t bound[33];
+  void init() {
+    for (int i = 0; i < 32; i++) prob[i] = uint16_t(kObufInitProb[i]);
+    for (int i = 0; i < 33; i++) bound[i] = kObufBoundOrigin[i];
+  }
+};
+
+// dynamic context map (CtxMapDynamicOBUF, geometry_octree.h:328-613)
+struct CtxMapOBUF {
+  static const int kLeafDepth = 4;
+  static const int kLeafBufSize = 20000;
+
+  int S1 = 0, S2 = 0;
+  int maxTreeDepth = 0;
+  std::vector<uint8_t> ctxIdx;   // tree coder indices / leaf ptr high
+  std::vector<uint8_t> kDown;
+  std::vector<uint8_t> nSeen;    // counters / leaf ptr low
+
+  void reset(int bitsS1, int bitsS2) {
+    S1 = 1 << bitsS1;
+    S2 = 1 << bitsS2;
+    maxTreeDepth = bitsS1 - kLeafDepth;
+    int treeSize = (1 << maxTreeDepth) * S2;
+    kDown.assign(treeSize, uint8_t(bitsS1));
+    nSeen.assign(treeSize, 0);
+    ctxIdx.assign(treeSize, 0);
+    for (int j = 0; j < S2; j++) {
+      nSeen[j] = 0;
+      ctxIdx[j] = 127;
+    }
+  }
+
+  int idx(int i, int j) const { return i * S2 + j; }
+
+  static void evolve(uint8_t* c, int bitv) {
+    if (bitv)
+      *c = uint8_t(*c + kObufDelta[(255 - *c) >> 4]);
+    else
+      *c = uint8_t(*c - kObufDelta[*c >> 4]);
+  }
+
+  void decreaseKdown(int idxTree, int kDownTree) {
+    nSeen[idxTree] = 0;
+    nSeen[idxTree + (S2 << (kDownTree - 1))] = 0;
+    int iEnd = S2 << kDownTree;
+    for (int ii = 0; ii < iEnd; ii += S2)
+      kDown[idxTree + ii]--;
+    uint8_t* p = &ctxIdx[idxTree];
+    p[S2 << (kDownTree - 1)] = *p;
+  }
+
+  bool createLeafElement(int leafPos, uint8_t* leaves, uint8_t ctx) {
+    int first = leafPos * (1 << kLeafDepth);
+    if (!leaves[first]) {
+      std::memset(&leaves[first], ctx, size_t(1) << kLeafDepth);
+      return true;
+    }
+    return false;
+  }
+
+  void createLeaf(int idxTree, int /*kDownTree*/, int* leafNumber,
+                  uint8_t* leaves, int ctx, int i) {
+    bool avail = createLeafElement(*leafNumber, leaves, uint8_t(ctx));
+    if (avail) {
+      nSeen[idxTree] = uint8_t(*leafNumber & 255);
+      ctxIdx[idxTree] = uint8_t(*leafNumber >> 8);
+      *leafNumber += 1;
+    } else {
+      int dmin = 256;
+      int bmin = *leafNumber;
+      const int maskI = (1 << kLeafDepth) - 1;
+      for (int b = *leafNumber; b < *leafNumber + 20 && b < kLeafBufSize;
+           b++) {
+        int d = std::abs(
+          ctx - int(leaves[b * (1 << kLeafDepth) + (i & maskI)]));
+        if (d < dmin) {
+          dmin = d;
+          bmin = b;
+        }
+      }
+      nSeen[idxTree] = uint8_t(bmin & 255);
+      ctxIdx[idxTree] = uint8_t(bmin >> 8);
+      *leafNumber = bmin + 1;
+    }
+    if (*leafNumber >= kLeafBufSize)
+      *leafNumber = 0;
+    kDown[idxTree]--;
+  }
+
+  int decodeEvolve(ArithDec* aec, ObufModel& model, int i, int j,
+                   int* leafNumber, uint8_t* leaves) {
+    int iTree = i >> kLeafDepth;
+    int kDown0 = kDown[idx(iTree, j)];
+    int bitv;
+    if (kDown0 >= kLeafDepth) {
+      int kDownTree = kDown0 - kLeafDepth;
+      int iP = (iTree >> kDownTree) << kDownTree;
+      int idxTree = idx(iP, j);
+      uint8_t* c = &ctxIdx[idxTree];
+      bitv = aec->bit_bounded(&model.prob[*c >> 3], *c >> 3, model.bound);
+      evolve(c, bitv);
+      int th = 3 + (std::abs(int(*c) - 127) >> 4);
+      if (++nSeen[idxTree] >= th) {
+        if (kDownTree > 0)
+          decreaseKdown(idxTree, kDownTree);
+        else
+          createLeaf(idxTree, kDownTree, leafNumber, leaves, *c, i);
+      }
+    } else {
+      int leafIdx = (int(ctxIdx[idx(iTree, j)]) << 8)
+        + nSeen[idx(iTree, j)];
+      const int maskI = (1 << kLeafDepth) - 1;
+      uint8_t* c = &leaves[leafIdx * (1 << kLeafDepth) + (i & maskI)];
+      bitv = aec->bit_bounded(&model.prob[*c >> 3], *c >> 3, model.bound);
+      evolve(c, bitv);
+    }
+    return bitv;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// occupancy atlas (MortonMap3D, OctreeNeighMap.h:57)
+// ---------------------------------------------------------------------------
+
+static inline uint32_t spread3(uint32_t v, int shift) {
+  // bit b of v lands at position 3*b + shift (kMortonCode256* tables)
+  uint32_t r = 0;
+  for (int b = 0; b < 8; b++)
+    if (v & (1u << b))
+      r |= 1u << (3 * b + shift);
+  return r;
+}
+
+struct Atlas {
+  int cubeSizeLog2 = 0;
+  int cubeSize = 0;
+  std::vector<uint8_t> buffer;
+  std::vector<uint8_t> childOcc;
+  std::vector<uint32_t> updates;
+  uint32_t mortonX[256], mortonY[256], mortonZ[256];
+
+  void resize(bool childEnabled, int log2) {
+    cubeSizeLog2 = log2;
+    cubeSize = 1 << log2;
+    buffer.assign(size_t(1) << (3 * log2), 0);
+    if (childEnabled)
+      childOcc.assign((size_t(1) << (3 * log2)) << 3, 0);
+    for (int v = 0; v < 256; v++) {
+      mortonX[v] = spread3(uint32_t(v), 2);
+      mortonY[v] = spread3(uint32_t(v), 1);
+      mortonZ[v] = spread3(uint32_t(v), 0);
+    }
+    updates.reserve(1 << 16);
+  }
+
+  uint32_t byteIndex(int x, int y, int z) const {
+    return mortonX[x] | mortonY[y] | mortonZ[z];
+  }
+  static int bitIndex(int x, int y, int z) {
+    return (z & 1) + ((y & 1) << 1) + ((x & 1) << 2);
+  }
+
+  void clearUpdates() {
+    for (uint32_t u : updates) buffer[u] = 0;
+    updates.clear();
+  }
+
+  void setByte(int x, int y, int z, uint8_t value) {
+    if (value) {
+      uint32_t bi = byteIndex(x, y, z);
+      buffer[bi] = value;
+      updates.push_back(bi);
+    }
+  }
+
+  uint32_t get(int x, int y, int z, int sx, int sy, int sz) const {
+    return (buffer[byteIndex(x >> sx, y >> sy, z >> sz)]
+            >> bitIndex(sx ? x : 0, sy ? y : 0, sz ? z : 0)) & 1;
+  }
+
+  uint32_t getWithCheck(int x, int y, int z, int sx, int sy,
+                        int sz) const {
+    if (x < 0 || x >= cubeSize || y < 0 || y >= cubeSize || z < 0
+        || z >= cubeSize)
+      return 0;
+    return get(x, y, z, sx, sy, sz);
+  }
+
+  void setChildOcc(int x, int y, int z, uint8_t occ) {
+    childOcc[byteIndex(x, y, z)] = occ;
+  }
+  uint8_t getChildOcc(int x, int y, int z) const {
+    return childOcc[byteIndex(x, y, z)];
+  }
+};
+
+// ---------------------------------------------------------------------------
+// neighbour context preparation (OctreeNeighMap.cpp:137-376)
+// ---------------------------------------------------------------------------
+
+struct NeighPattern {
+  uint8_t pattern = 0;
+  uint8_t adjOcc[7] = {0, 0, 0, 0, 0, 0, 0};
+};
+
+struct NeighInfo {
+  int occLeft = 0, occFront = 0, occBottom = 0;
+  int occL = 0, occF = 0, occB = 0;
+  int occOrLFBfb = 0;
+  int edgeBits = 0;
+  int N3 = 0, N2 = 0;
+  int neighPatternLFB = 0;
+  int neighb20 = 0;
+};
+
+static NeighPattern makeNeighPattern(
+  bool adjChildCtx, const int32_t pos[3], int codedAxesPrevLvl,
+  const Atlas& atlas) {
+  const int mask = atlas.cubeSize - 1;
+  const int x = pos[0] & mask, y = pos[1] & mask, z = pos[2] & mask;
+  const int sx = (codedAxesPrevLvl & 4) ? 1 : 0;
+  const int sy = (codedAxesPrevLvl & 2) ? 1 : 0;
+  const int sz = (codedAxesPrevLvl & 1) ? 1 : 0;
+  NeighPattern gnp;
+  uint8_t p;
+  if (x > 0 && x < mask && y > 0 && y < mask && z > 0 && z < mask) {
+    p = uint8_t(atlas.get(x + 1, y, z, sx, sy, sz));
+    p |= atlas.get(x - 1, y, z, sx, sy, sz) << 1;
+    p |= atlas.get(x, y - 1, z, sx, sy, sz) << 2;
+    p |= atlas.get(x, y + 1, z, sx, sy, sz) << 3;
+    p |= atlas.get(x, y, z - 1, sx, sy, sz) << 4;
+    p |= atlas.get(x, y, z + 1, sx, sy, sz) << 5;
+  } else {
+    p = uint8_t(atlas.getWithCheck(x + 1, y, z, sx, sy, sz));
+    p |= atlas.getWithCheck(x - 1, y, z, sx, sy, sz) << 1;
+    p |= atlas.getWithCheck(x, y - 1, z, sx, sy, sz) << 2;
+    p |= atlas.getWithCheck(x, y + 1, z, sx, sy, sz) << 3;
+    p |= atlas.getWithCheck(x, y, z - 1, sx, sy, sz) << 4;
+    p |= atlas.getWithCheck(x, y, z + 1, sx, sy, sz) << 5;
+  }
+  gnp.pattern = p;
+  // planarEligibleKOctreeDepth is false in the supported tool set
+  if (!gnp.pattern || !adjChildCtx)
+    return gnp;
+  if (gnp.pattern & 2)
+    gnp.adjOcc[0] = atlas.getChildOcc(x - 1, y, z);
+  if (gnp.pattern & 4)
+    gnp.adjOcc[1] = atlas.getChildOcc(x, y - 1, z);
+  if (gnp.pattern & 16)
+    gnp.adjOcc[2] = atlas.getChildOcc(x, y, z - 1);
+  return gnp;
+}
+
+// 20-neighbour probe offsets (OctreeNeighMap.cpp:287-292)
+static const int kDx20[20] =
+  {-1, -1, -1, -1, -1, -1, -1, -1, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1};
+static const int kDy20[20] =
+  {-1, -1, -1, 0, 0, 1, 1, 1, -1, -1, 1, 1, -1, -1, -1, 0, 0, 1, 1, 1};
+static const int kDz20[20] =
+  {-1, 0, 1, -1, 1, -1, 0, 1, -1, 1, -1, 1, -1, 0, 1, -1, 1, -1, 0, 1};
+
+static void prepareNeighInfo(
+  NeighInfo& nf, const NeighPattern& gnp, const int32_t pos[3],
+  int atlasShift, const Atlas& atlas) {
+  const int neighPattern = gnp.pattern;
+  const int mask = atlas.cubeSize - 1;
+  const int x = pos[0] & mask, y = pos[1] & mask, z = pos[2] & mask;
+  const int sx = (atlasShift & 4) ? 1 : 0;
+  const int sy = (atlasShift & 2) ? 1 : 0;
+  const int sz = (atlasShift & 1) ? 1 : 0;
+
+  int n20 = 0;
+  if (x > 0 && x < mask && y > 0 && y < mask && z > 0 && z < mask)
+    for (int n = 0; n < 20; n++)
+      n20 |= atlas.get(x + kDx20[n], y + kDy20[n], z + kDz20[n],
+                       sx, sy, sz) << n;
+  else
+    for (int n = 0; n < 20; n++)
+      n20 |= atlas.getWithCheck(x + kDx20[n], y + kDy20[n],
+                                z + kDz20[n], sx, sy, sz) << n;
+  nf.neighb20 = n20;
+
+  nf.occLeft = gnp.adjOcc[0];
+  nf.occFront = gnp.adjOcc[1];
+  nf.occBottom = gnp.adjOcc[2];
+  nf.occL = nf.occLeft >> 4;
+  nf.occF = ((nf.occFront >> 2) & 3) | ((nf.occFront >> 4) & 12);
+  nf.occB = ((nf.occBottom >> 1) & 1) | ((nf.occBottom >> 2) & 2)
+    | ((nf.occBottom >> 3) & 4) | ((nf.occBottom >> 4) & 8);
+  nf.occOrLFBfb = nf.occLeft | nf.occFront | nf.occBottom;
+
+  nf.edgeBits = 0;
+  if ((n20 >> 3) & 1) {
+    int occLB = atlas.getChildOcc(x - 1, y, z - 1);
+    nf.edgeBits = ((occLB & 32) >> 5) | ((occLB & 128) >> 6);
+  }
+  if ((n20 >> 8) & 1) {
+    int occFB = atlas.getChildOcc(x, y - 1, z - 1);
+    nf.edgeBits |= ((occFB & 8) >> 1) | ((occFB & 128) >> 4);
+  }
+  if ((n20 >> 1) & 1) {
+    int occLF = atlas.getChildOcc(x - 1, y - 1, z);
+    nf.edgeBits |= (occLF & 0xC0) >> 2;
+  }
+
+  nf.N3 = ((neighPattern >> 3) & 4) | ((neighPattern >> 2) & 2)
+    | (neighPattern & 1);
+  nf.N2 = nf.N3 & 3;
+  nf.neighPatternLFB = ((neighPattern & 6) >> 1)
+    | ((neighPattern & 16) >> 2);
+}
+
+// bit helpers (OctreeNeighMap.cpp:380-400)
+static inline int gb(int w, int n) { return (w >> n) & 1; }
+static inline int gb(int w, int n1, int n2) {
+  return ((w >> (n1 - 1)) & 2) | ((w >> n2) & 1);
+}
+static inline int gb(int w, int n1, int n2, int n3) {
+  return ((w >> (n1 - 2)) & 4) | ((w >> (n2 - 1)) & 2) | ((w >> n3) & 1);
+}
+static inline int gb(int w, int n1, int n2, int n3, int n4) {
+  return ((w >> (n1 - 3)) & 8) | ((w >> (n2 - 2)) & 4)
+    | ((w >> (n3 - 1)) & 2) | ((w >> n4) & 1);
+}
+
+static const int kNN4[16] = {0, 1, 1, 2, 1, 2, 2, 3,
+                             1, 2, 2, 3, 2, 3, 3, 4};
+
+// The eight per-occupancy-bit OBUF context derivations.  These are the
+// normative context-selection functions of the reference
+// (makeGeometryAdvancedNeighPattern0..7, OctreeNeighMap.cpp:409-1358);
+// the bit layouts must match exactly for conformance.
+static void ctxBit0(NeighInfo& o, int /*occ*/, int& c1, int& c2,
+                    bool& sparse) {
+  int info = 0;
+  const int N20 = o.neighb20;
+  int NN = kNN4[o.occL] + kNN4[o.occF] + kNN4[o.occB];
+  if (NN > 1) {
+    int NLFB = !!o.occL + !!o.occF + !!o.occB;
+    if (NLFB == 3) {
+      info = 0b100 << 16;
+      info |= (o.occB & 1) << 15;
+      info |= (o.occF & 1) << 14;
+      info |= (o.occL & 1) << 13;
+      info |= (o.occB & 0b110) << (11 - 1);
+      info |= (o.occF & 0b110) << (9 - 1);
+      info |= (o.occL & 0b110) << (7 - 1);
+      info |= o.N3 << 4;
+      info |= gb(N20, 8, 3, 1, 0);
+    } else {
+      if (NLFB == 2) {
+        if (o.occL && o.occB) {
+          info = 0b101 << 16;
+          info |= (o.occB & 1) << 15;
+          info |= (o.occL & 1) << 14;
+          info |= (o.occB & 0b110) << (12 - 1);
+          info |= (o.occL & 0b110) << (10 - 1);
+          info |= !(o.occB & 8) << 9;
+          info |= !(o.occL & 8) << 8;
+          info |= !(o.N3 & 2) << 7;
+        }
+        if (o.occF && o.occB) {
+          info = 0b110 << 16;
+          info |= (o.occB & 1) << 15;
+          info |= (o.occF & 1) << 14;
+          info |= (o.occB & 0b110) << (12 - 1);
+          info |= (o.occF & 0b110) << (10 - 1);
+          info |= !(o.occB & 8) << 9;
+          info |= !(o.occF & 8) << 8;
+          info |= !(o.N3 & 1) << 7;
+        }
+        if (o.occL && o.occF) {
+          info = 0b111 << 16;
+          info |= (o.occF & 1) << 15;
+          info |= (o.occL & 1) << 14;
+          info |= (o.occF & 0b110) << (12 - 1);
+          info |= (o.occL & 0b110) << (10 - 1);
+          info |= !(o.occF & 8) << 9;
+          info |= !(o.occL & 8) << 8;
+          info |= !(o.N3 & 4) << 7;
+        }
+      } else {  // NLFB == 1
+        if (o.occL) {
+          info = 0b000 << 16;
+          info |= (o.occL & 1) << 15;
+          info |= (o.occL & 0b110) << (13 - 1);
+          info |= !(o.occL & 8) << 12;
+          info |= (o.edgeBits & 0b001100) << (10 - 2);
+        } else if (o.occF) {
+          info = 0b001 << 16;
+          info |= (o.occF & 1) << 15;
+          info |= (o.occF & 0b110) << (13 - 1);
+          info |= !(o.occF & 8) << 12;
+          info |= (o.edgeBits & 0b000011) << 10;
+        } else {
+          info = 0b010 << 16;
+          info |= (o.occB & 1) << 15;
+          info |= (o.occB & 0b110) << (13 - 1);
+          info |= !(o.occB & 8) << 12;
+          info |= (o.edgeBits & 0b110000) << (10 - 4);
+        }
+        info |= o.N3 << 7;
+      }
+      info |= gb(N20, 8, 3, 1, 0) << 3;
+      info |= gb(N20, 18, 19, 11);
+    }
+    sparse = false;
+    c1 = info >> 13;
+    c2 = info & 0x1FFF;
+  } else {
+    int lfb = o.neighPatternLFB;
+    if (NN) {
+      if (o.occL) {
+        info = 1 << 14;
+        info |= !(o.occL & 1) << 13;
+        info |= !(lfb & 4) << 12;
+        info |= !(lfb & 2) << 11;
+      } else if (o.occF) {
+        info = 2 << 14;
+        info |= !(o.occF & 1) << 13;
+        info |= !(lfb & 4) << 12;
+        info |= !(lfb & 1) << 11;
+      } else {
+        info = 3 << 14;
+        info |= !(o.occB & 1) << 13;
+        info |= !(lfb & 2) << 12;
+        info |= !(lfb & 1) << 11;
+      }
+    } else {
+      info = 0 << 14;
+      info |= lfb << 11;
+    }
+    info |= gb(N20, 1, 3) << 9;
+    info |= gb(N20, 8, 0) << 7;
+    if (lfb) {
+      if (o.occOrLFBfb & 1) {
+        info |= 1 << 6;
+        info |= (o.occBottom & 1) << 5;
+        info |= (o.occFront & 1) << 4;
+        info |= (o.occLeft & 1) << 3;
+      } else {
+        info |= !o.edgeBits << 5;
+        info |= ((o.occLeft & 4) || (o.occFront & 2)
+                 || (o.occBottom & 4)) << 4;
+        info |= ((o.occLeft & 2) || (o.occFront & 16)
+                 || (o.occBottom & 16)) << 3;
+      }
+    } else {
+      info |= !(o.edgeBits & 0b110000) << 6;
+      info |= !(o.edgeBits & 0b001100) << 5;
+      info |= !(o.edgeBits & 0b000011) << 4;
+    }
+    info |= gb(N20, 18, 19, 11);
+    sparse = true;
+    c1 = info >> 12;
+    c2 = info & 0x0FFF;
+  }
+}
+
+static void ctxBit1(NeighInfo& o, int occ, int& c1, int& c2,
+                    bool& sparse) {
+  int info = 0;
+  const int N20 = o.neighb20;
+  if (o.occF) {
+    info = (occ & 1) << 18;
+    info |= !(o.occF & 0b0010) << 17;
+    info |= !o.occL << 16;
+    if (o.occL) {
+      info |= !(o.occL & 0b0010) << 15;
+      info |= !(o.N3 & 4) << 14;
+      info |= !(o.occF & 0b0001) << 13;
+      info |= !(o.occF & 0b1000) << 12;
+      info |= !(o.occL & 0b0001) << 11;
+      info |= !(o.occL & 0b1000) << 10;
+      info |= !(o.occF & 0b0100) << 9;
+      info |= !(o.occL & 0b0100) << 8;
+      info |= (o.N3 & 1) << 7;
+      info |= gb(N20, 9, 4, 1, 2) << 3;
+    } else {
+      info |= !(o.N3 & 4) << 15;
+      info |= !(o.occF & 0b0001) << 14;
+      info |= !(o.occF & 0b1000) << 13;
+      info |= !(o.occF & 0b0100) << 12;
+      info |= gb(N20, 9, 4, 1, 2) << 8;
+      info |= !(o.occBottom & 2) << 7;
+      info |= !(o.occFront & 2) << 6;
+      info |= !(o.occLeft & 2) << 5;
+      info |= (o.N3 & 3) << 3;
+    }
+    info |= gb(N20, 11, 16, 19);
+    sparse = false;
+    c1 = info >> 13;
+    c2 = info & 0x1FFF;
+  } else {
+    info = (occ & 1) << 18;
+    info |= !(o.occL & 0b0010) << 17;
+    info |= !(o.N3 & 4) << 16;
+    info |= !(o.occL & 0b0001) << 15;
+    info |= !(o.occL & 0b1000) << 14;
+    info |= !(o.occL & 0b0100) << 13;
+    info |= (o.N3 & 1) << 12;
+    info |= gb(N20, 1, 4) << 10;
+    info |= gb(N20, 9, 2) << 8;
+    if (o.occOrLFBfb & 2) {
+      info |= 1 << 7;
+      info |= !(o.occBottom & 2) << 6;
+      info |= !(o.occFront & 2) << 5;
+      info |= !(o.occLeft & 2) << 4;
+    } else {
+      info |= !(o.edgeBits & 0b110101) << 6;
+      info |= ((o.occLeft & 8) || (o.occFront & 32)) << 5;
+      info |= ((o.occLeft & 1) || (o.occFront & 1)) << 4;
+    }
+    info |= !o.occB << 3;
+    info |= gb(N20, 11, 16, 19);
+    sparse = true;
+    c1 = info >> 12;
+    c2 = info & 0x0FFF;
+  }
+}
+
+static void ctxBit2(NeighInfo& o, int occ, int& c1, int& c2,
+                    bool& sparse) {
+  int info = 0;
+  const int N20 = o.neighb20;
+  if (o.occB) {
+    info = (occ & 1) << 18;
+    info |= !(o.occB & 0b0010) << 17;
+    info |= !o.occL << 16;
+    if (o.occL) {
+      info |= !(o.occL & 0b0100) << 15;
+      info |= !(o.N3 & 2) << 14;
+      info |= !(occ & 2) << 13;
+      info |= !(o.occB & 0b1000) << 12;
+      info |= !(o.occL & 0b1000) << 11;
+      info |= !(o.occL & 0b0001) << 10;
+      info |= !(o.occB & 0b0001) << 9;
+      info |= gb(N20, 10, 6, 3) << 6;
+      info |= !(o.occB & 0b0100) << 5;
+      info |= !(o.occL & 0b0010) << 4;
+    } else {
+      info |= !(o.N3 & 2) << 15;
+      info |= !(occ & 2) << 14;
+      info |= !(o.occB & 0b0001) << 13;
+      info |= !(o.occB & 0b1000) << 12;
+      info |= !(o.occB & 0b0100) << 11;
+      info |= gb(N20, 10, 6, 3) << 8;
+      info |= !(o.N3 & 4) << 7;
+      info |= !(o.occLeft & 4) << 6;
+      info |= !(o.occBottom & 4) << 5;
+      info |= !(o.occFront & 4) << 4;
+    }
+    info |= gb(N20, 0) << 3;
+    info |= gb(N20, 18, 19, 11);
+    sparse = false;
+    c1 = info >> 13;
+    c2 = info & 0x1FFF;
+  } else {
+    info = (occ & 1) << 18;
+    info |= !(o.occL & 0b0100) << 17;
+    info |= !(o.N3 & 2) << 16;
+    info |= !(occ & 2) << 15;
+    info |= !(o.occL & 0b1000) << 14;
+    info |= !(o.occL & 0b0001) << 13;
+    info |= !(o.occL & 0b0010) << 12;
+    info |= gb(N20, 3, 6, 10, 5) << 8;
+    if (o.occOrLFBfb & 4) {
+      info |= 1 << 7;
+      info |= !(o.occLeft & 4) << 6;
+      info |= !(o.occBottom & 4) << 5;
+      info |= !(o.occFront & 4) << 4;
+    } else {
+      info |= ((o.occLeft & 1) || (o.occBottom & 1)) << 6;
+      info |= ((o.occLeft & 8) || (o.occBottom & 64)) << 5;
+      info |= !(o.edgeBits & 0b000011) << 4;
+    }
+    info |= !o.occF << 3;
+    info |= gb(N20, 18, 19, 11);
+    sparse = true;
+    c1 = info >> 12;
+    c2 = info & 0x0FFF;
+  }
+}
+
+static void ctxBit3(NeighInfo& o, int occ, int& c1, int& c2,
+                    bool& sparse) {
+  int info = 0;
+  const int N20 = o.neighb20;
+  int NN = kNN4[o.occL] + kNN4[occ & 7];
+  if (NN > 1) {
+    info = !(occ & 4) << 16;
+    info |= !(occ & 2) << 15;
+    info |= !(o.occL & 8) << 14;
+    info |= o.N3 << 11;
+    info |= !(occ & 1) << 10;
+    info |= !(o.occL & 4) << 9;
+    info |= !(o.occL & 2) << 8;
+    info |= (o.occL & 1) << 7;
+    info |= gb(N20, 11, 6, 4, 0) << 3;
+    info |= gb(N20, 16, 19, 18);
+    sparse = false;
+    c1 = info >> 11;
+    c2 = info & 0x07FF;
+  } else {
+    int occup = occ & 7;
+    info = !occup << 17;
+    if (occup)
+      info |= (!!occup + !!(occup >> 1) + !!(occup >> 2)) << 15;
+    else
+      info |= (!!(o.occL >> 1) + !!(o.occL >> 2) + !!(o.occL >> 3)) << 15;
+    info |= (o.N3 >> 1) << 13;
+    info |= gb(N20, 4, 6, 11, 7) << 9;
+    if (o.occOrLFBfb & 8) {
+      info |= 1 << 8;
+      info |= !(o.occBottom & 8) << 7;
+      info |= !(o.occFront & 8) << 6;
+      info |= !(o.occLeft & 8) << 5;
+    } else {
+      info |= (o.occLeft & 0b110) << 5;
+      info |= !(o.edgeBits & 0b110010) << 5;
+    }
+    info |= !o.occB << 4;
+    info |= !o.occF << 3;
+    info |= gb(N20, 18, 19, 16);
+    sparse = true;
+    c1 = info >> 12;
+    c2 = info & 0x0FFF;
+  }
+}
+
+static void ctxBit4(NeighInfo& o, int occ, int& c1, int& c2,
+                    bool& sparse) {
+  int info = 0;
+  const int N20 = o.neighb20;
+  const int occL4 = occ & 15;
+  int NN = kNN4[occL4] + kNN4[o.occF] + kNN4[o.occB];
+  if (NN > 1) {
+    int NLFB = !!occL4 + !!o.occF + !!o.occB;
+    if (NLFB == 3) {
+      info = 0b1000 << 15;
+      info |= !(o.occB & 4) << 17;
+      info |= !(o.occF & 4) << 16;
+      info |= (occL4 & 1) << 15;
+      info |= !(o.N3 & 1) << 14;
+      info |= !(o.occB & 1) << 13;
+      info |= !(o.occB & 8) << 12;
+      info |= !(o.occF & 1) << 11;
+      info |= !(o.occF & 8) << 10;
+      info |= !(occL4 & 2) << 9;
+      info |= !(occL4 & 4) << 8;
+      info |= !(o.occB & 2) << 7;
+      info |= !(o.occF & 2) << 6;
+      info |= (o.N3 >> 1) << 4;
+      info |= gb(N20, 15, 13, 8, 12);
+    } else if (NLFB == 2) {
+      if (occL4 && o.occB) {
+        info = 0b0100 << 15;
+        info |= !(o.occB & 4) << 14;
+        info |= !(occL4 & 1) << 13;
+        info |= !(o.N3 & 1) << 12;
+        info |= !(o.occB & 1) << 11;
+        info |= !(o.occB & 8) << 10;
+        info |= !(occL4 & 2) << 9;
+        info |= !(occL4 & 4) << 8;
+        info |= !(o.occB & 2) << 7;
+        info |= !(occL4 & 8) << 6;
+      } else if (o.occF && o.occB) {
+        info = 0b0101 << 15;
+        info |= !(o.occB & 4) << 14;
+        info |= !(o.occF & 4) << 13;
+        info |= !(o.N3 & 1) << 12;
+        info |= !(o.occB & 1) << 11;
+        info |= !(o.occB & 8) << 10;
+        info |= !(o.occF & 1) << 9;
+        info |= !(o.occF & 8) << 8;
+        info |= !(o.occB & 2) << 7;
+        info |= !(o.occF & 2) << 6;
+      } else {
+        info = 0b0110 << 15;
+        info |= !(o.occF & 4) << 14;
+        info |= !(occL4 & 1) << 13;
+        info |= !(o.N3 & 1) << 12;
+        info |= !(o.occF & 1) << 11;
+        info |= !(o.occF & 8) << 10;
+        info |= !(occL4 & 2) << 9;
+        info |= !(occL4 & 4) << 8;
+        info |= !(o.occF & 2) << 7;
+        info |= !(occL4 & 8) << 6;
+      }
+      info |= gb(N20, 15, 13, 8) << 3;
+      info |= gb(N20, 12, 16, 18);
+    } else {  // NLFB == 1
+      if (occL4) {
+        info = 0b0000 << 15;
+        info |= (occL4 & 1) << 14;
+        info |= !(o.N3 & 1) << 13;
+        info |= (occL4 & 0b110) << (11 - 1);
+        info |= !(occL4 & 8) << 10;
+        info |= (o.edgeBits & 0b001100) << (8 - 2);
+      } else if (o.occF) {
+        info = 0b0001 << 15;
+        info |= !(o.occF & 0b0100) << 14;
+        info |= !(o.N3 & 1) << 13;
+        info |= !(o.occF & 0b0001) << 12;
+        info |= !(o.occF & 0b1000) << 11;
+        info |= !(o.occF & 0b0010) << 10;
+        info |= (o.edgeBits & 0b000011) << 8;
+      } else {
+        info = 0b0010 << 15;
+        info |= !(o.occB & 0b0100) << 14;
+        info |= !(o.N3 & 1) << 12;
+        info |= !(o.occB & 0b0001) << 12;
+        info |= !(o.occB & 0b1000) << 11;
+        info |= !(o.occB & 0b0010) << 10;
+        info |= (o.edgeBits & 0b110000) << (8 - 4);
+      }
+      info |= (o.N3 >> 1) << 6;
+      info |= gb(N20, 15, 13, 8) << 3;
+      info |= gb(N20, 12, 16, 18);
+    }
+    sparse = false;
+    c1 = info >> 13;
+    c2 = info & 0x1FFF;
+  } else {
+    int lfb = o.neighPatternLFB;
+    if (NN) {
+      if (occL4) {
+        info = 1 << 14;
+        info |= !(occL4 & 1) << 13;
+        info |= !(lfb & 4) << 12;
+        info |= !(lfb & 2) << 11;
+      } else if (o.occF) {
+        info = 2 << 14;
+        info |= !(o.occF & 1) << 13;
+        info |= !(lfb & 4) << 12;
+        info |= !(lfb & 1) << 11;
+      } else {
+        info = 3 << 14;
+        info |= !(o.occB & 1) << 13;
+        info |= !(lfb & 2) << 12;
+        info |= !(lfb & 1) << 11;
+      }
+    } else {
+      info = 0 << 14;
+      info |= lfb << 11;
+    }
+    info |= gb(N20, 8, 13, 15, 12) << 7;
+    if (lfb) {
+      if (o.occOrLFBfb & 16) {
+        info |= 1 << 6;
+        info |= !(o.occBottom & 16) << 5;
+        info |= !(o.occFront & 16) << 4;
+        info |= !(o.occLeft & 16) << 3;
+      } else {
+        info |= !o.edgeBits << 5;
+        info |= ((o.occLeft & 64) || (o.occFront & 8)
+                 || (o.occBottom & 8)) << 4;
+        info |= ((o.occLeft & 32) || (o.occFront & 64)
+                 || (o.occBottom & 32)) << 3;
+      }
+    } else {
+      info |= !(o.edgeBits & 0b110000) << 6;
+      info |= !(o.edgeBits & 0b001100) << 5;
+      info |= !(o.edgeBits & 0b000011) << 4;
+    }
+    info |= gb(N20, 16, 18, 19);
+    sparse = true;
+    c1 = info >> 12;
+    c2 = info & 0x0FFF;
+  }
+}
+
+static void ctxBit5(NeighInfo& o, int occ, int& c1, int& c2,
+                    bool& sparse) {
+  int info = 0;
+  const int N20 = o.neighb20;
+  const int occL4 = occ & 15;
+  if (o.occF) {
+    info = ((occ >> 4) & 1) << 18;
+    info |= !(o.occF & 0b1000) << 17;
+    info |= !occL4 << 16;
+    if (occL4) {
+      info |= !(occL4 & 0b0010) << 15;
+      info |= !(o.N3 & 4) << 14;
+      info |= !(o.N3 & 1) << 13;
+      info |= !(o.occF & 0b0010) << 12;
+      info |= !(o.occF & 0b0100) << 11;
+      info |= !(occL4 & 0b0001) << 10;
+      info |= !(occL4 & 0b1000) << 9;
+      info |= !(o.occF & 0b0001) << 8;
+      info |= !(occL4 & 0b0100) << 7;
+      info |= gb(N20, 16, 13, 9, 14) << 3;
+    } else {
+      info |= !(o.N3 & 4) << 15;
+      info |= !(o.N3 & 1) << 14;
+      info |= !(o.occF & 0b0010) << 13;
+      info |= !(o.occF & 0b0100) << 12;
+      info |= !(o.occF & 0b0001) << 11;
+      info |= gb(N20, 16, 13, 9, 14) << 7;
+      info |= !(o.occBottom & 32) << 6;
+      info |= !(o.occFront & 32) << 5;
+      info |= !(o.occLeft & 32) << 4;
+      info |= !(o.N3 & 2) << 3;
+    }
+    info |= gb(N20, 18, 19, 11);
+    sparse = false;
+    c1 = info >> 13;
+    c2 = info & 0x1FFF;
+  } else {
+    info = !((occ >> 4) & 1) << 18;
+    info |= !(occL4 & 0b0010) << 17;
+    info |= !(o.N3 & 4) << 16;
+    info |= !(o.N3 & 1) << 15;
+    info |= !(occL4 & 0b0001) << 14;
+    info |= !(occL4 & 0b1000) << 13;
+    info |= !(o.occL & 0b0100) << 12;
+    info |= gb(N20, 9, 13, 16, 14) << 8;
+    if (o.occOrLFBfb & 32) {
+      info |= 1 << 7;
+      info |= !(o.occBottom & 32) << 6;
+      info |= !(o.occFront & 32) << 5;
+      info |= !(o.occLeft & 32) << 4;
+    } else {
+      info |= !(o.edgeBits & 0b111100) << 6;
+      info |= ((o.occLeft & 128) || (o.occFront & 2)) << 5;
+      info |= ((o.occLeft & 16) || (o.occFront & 16)) << 4;
+    }
+    info |= !o.occB << 3;
+    info |= gb(N20, 18, 19, 11);
+    sparse = true;
+    c1 = info >> 12;
+    c2 = info & 0x0FFF;
+  }
+}
+
+static void ctxBit6(NeighInfo& o, int occ, int& c1, int& c2,
+                    bool& sparse) {
+  int info = 0;
+  const int N20 = o.neighb20;
+  const int occL4 = occ & 15;
+  if (o.occB) {
+    info = !((occ >> 4) & 1) << 18;
+    info |= !(o.occB & 0b1000) << 17;
+    info |= !occL4 << 16;
+    if (occL4) {
+      info |= !(occL4 & 0b0100) << 15;
+      info |= !(o.N3 & 1) << 14;
+      info |= !(o.N3 & 2) << 13;
+      info |= !((occ >> 4) & 2) << 12;
+      info |= !(o.occB & 0b0010) << 11;
+      info |= !(occL4 & 0b0001) << 10;
+      info |= !(occL4 & 0b1000) << 9;
+      info |= !(o.occB & 0b0100) << 8;
+      info |= gb(N20, 18, 15, 10) << 5;
+      info |= !(o.occB & 0b0001) << 4;
+      info |= !(occL4 & 0b0010) << 3;
+      info |= gb(N20, 17) << 2;
+      info |= gb(N20, 0) << 1;
+      info |= gb(N20, 11) << 0;
+    } else {
+      info |= !(o.N3 & 2) << 15;
+      info |= !(o.N3 & 1) << 14;
+      info |= !((occ >> 4) & 2) << 13;
+      info |= !(o.occB & 0b0010) << 12;
+      info |= !(o.occB & 0b0100) << 11;
+      info |= !(o.occB & 0b0001) << 10;
+      info |= !(o.occLeft & 64) << 9;
+      info |= !(o.occBottom & 64) << 8;
+      info |= !(o.occFront & 64) << 7;
+      info |= gb(N20, 18, 15, 10, 17) << 3;
+      info |= gb(N20, 0) << 2;
+      info |= gb(N20, 11, 19);
+    }
+    sparse = false;
+    c1 = info >> 13;
+    c2 = info & 0x1FFF;
+  } else {
+    info = !((occ >> 4) & 1) << 18;
+    info |= !(occL4 & 0b0100) << 17;
+    info |= !(o.N3 & 1) << 16;
+    info |= !((occ >> 4) & 2) << 15;
+    info |= !(occL4 & 0b1000) << 14;
+    info |= !(occL4 & 0b0001) << 13;
+    info |= !(occL4 & 0b0010) << 12;
+    info |= gb(N20, 17, 18, 15, 10) << 8;
+    if (o.occOrLFBfb & 64) {
+      info |= 1 << 7;
+      info |= !(o.occLeft & 64) << 6;
+      info |= !(o.occBottom & 64) << 5;
+      info |= !(o.occFront & 64) << 4;
+    } else {
+      info |= ((o.occLeft & 1) || (o.occBottom & 1)) << 6;
+      info |= ((o.occLeft & 8) || (o.occBottom & 64)) << 5;
+      info |= !(o.edgeBits & 0b000011) << 4;
+    }
+    info |= !o.occF << 3;
+    info |= gb(N20, 19, 16, 11);
+    sparse = true;
+    c1 = info >> 12;
+    c2 = info & 0x0FFF;
+  }
+}
+
+static void ctxBit7(NeighInfo& o, int occ, int& c1, int& c2,
+                    bool& sparse) {
+  int info = 0;
+  const int N20 = o.neighb20;
+  const int occL4 = occ & 15;
+  int NN = kNN4[occL4] + kNN4[(occ >> 4) & 7];
+  if (NN > 1) {
+    info = !((occ >> 4) & 4) << 16;
+    info |= !((occ >> 4) & 2) << 15;
+    info |= !(occL4 & 8) << 14;
+    info |= o.N3 << 11;
+    info |= !((occ >> 4) & 1) << 10;
+    info |= gb(N20, 11) << 9;
+    info |= !(occL4 & 4) << 8;
+    info |= gb(N20, 16) << 7;
+    info |= !(occL4 & 2) << 6;
+    info |= gb(N20, 18) << 5;
+    info |= (occL4 & 1) << 4;
+    info |= gb(N20, 19) << 3;
+    info |= gb(N20, 0) << 2;
+    info |= gb(N20, 17, 10);
+    sparse = false;
+    c1 = info >> 11;
+    c2 = info & 0x07FF;
+  } else {
+    int occup = (occ >> 4) & 7;
+    info = !occup << 17;
+    if (occup) {
+      info |= (!!occup + !!(occup >> 1) + !!(occup >> 2)) << 15;
+      info |= !(o.N3 & 2) << 14;
+    } else {
+      info |= (!!(occL4 >> 1) + !!(occL4 >> 2) + !!(occL4 >> 3)) << 15;
+      info |= !(o.N3 & 1) << 14;
+    }
+    info |= !(o.N3 & 4) << 13;
+    info |= gb(N20, 11, 16, 18, 19) << 9;
+    if (o.occOrLFBfb & 128) {
+      info |= 1 << 8;
+      info |= !(o.occLeft & 128) << 7;
+      info |= !(o.occFront & 128) << 6;
+      info |= !(o.occBottom & 128) << 5;
+    } else {
+      info |= (o.occLeft & 0b01100000) << 1;
+      info |= ((o.occF & 0b0011) || (o.occB & 0b0110)) << 5;
+    }
+    info |= !o.occB << 4;
+    info |= !o.occF << 3;
+    info |= gb(N20, 7, 17, 10);
+    sparse = true;
+    c1 = info >> 12;
+    c2 = info & 0x0FFF;
+  }
+}
+
+typedef void (*CtxFn)(NeighInfo&, int, int&, int&, bool&);
+static const CtxFn kCtxFns[8] = {ctxBit0, ctxBit1, ctxBit2, ctxBit3,
+                                 ctxBit4, ctxBit5, ctxBit6, ctxBit7};
+
+// ---------------------------------------------------------------------------
+// decoder context memory (GeometryOctreeContexts subset)
+// ---------------------------------------------------------------------------
+
+struct RefOctreeCtx {
+  uint16_t ctxSingleChild = 0x8000;
+  uint16_t ctxDupPointCntGt0 = 0x8000;
+  uint16_t ctxDupPointCntEgl = 0x8000;
+  ObufModel obufModel;
+  CtxMapOBUF mapOcc[4][8];
+  CtxMapOBUF mapOccSparse[4][8];
+  std::vector<uint8_t> leaves;
+  int leafNumber = 0;
+
+  void resetMaps() {
+    // GeometryOctreeContexts::resetMap (geometry_octree.cpp:877)
+    const int n2 = 6;
+    for (int i = 0; i < 4; i++) {
+      for (int k = 0; k < 8; k++) {
+        int bits1 = (k == 3 || k == 7) ? (4 + n2 + 1) : (6 + n2 + 1);
+        mapOcc[i][k].reset(bits1, 18 - 6 - n2);
+      }
+      static const int sparseBits2[8] = {9 - 5, 12 - 5, 12 - 5, 11 - 5,
+                                         9 - 5, 12 - 5, 12 - 5, 11 - 5};
+      for (int k = 0; k < 8; k++)
+        mapOccSparse[i][k].reset(6 + 5 + 1, sparseBits2[k]);
+    }
+    leaves.assign(size_t(CtxMapOBUF::kLeafBufSize)
+                  << CtxMapOBUF::kLeafDepth, 0);
+    leafNumber = 0;
+    obufModel.init();
+  }
+};
+
+struct Node {
+  int32_t pos[3];
+  uint8_t siblingOccupancy;
+  uint8_t numSiblingsPlus1;
+};
+
+// occupancy decode (decodeOccupancyFullNeihbourgs + NZ,
+// geometry_octree_decoder.cpp:777-982); planar masks are zero in the
+// supported tool set but the mask plumbing is kept for the QTBT case
+// (non-coded axes infer the low plane: maskPlanar,
+// geometry_octree.cpp:541).
+static uint32_t decodeOccupancy(
+  ArithDec& aec, RefOctreeCtx& ctx, const NeighPattern& gnp,
+  int planarMaskX, int planarMaskY, int planarMaskZ,
+  const Atlas& atlas, const int32_t pos[3], int atlasShift) {
+  // single child with known position
+  if (planarMaskX && planarMaskY && planarMaskZ) {
+    uint32_t cnt = planarMaskZ & 1;
+    cnt |= (planarMaskY & 1) << 1;
+    cnt |= (planarMaskX & 1) << 2;
+    return 1u << cnt;
+  }
+
+  bool flagNoSingle = false;
+  if (gnp.pattern == 0) {
+    // predOcc == 0 (intra) and planarPossible == true on all axes
+    bool singleChild = aec.bit(&ctx.ctxSingleChild) == 1;
+    if (singleChild) {
+      uint32_t cnt;
+      cnt = planarMaskZ ? uint32_t(planarMaskZ & 1)
+                        : uint32_t(aec.bypass());
+      cnt |= (planarMaskY ? uint32_t(planarMaskY & 1)
+                          : uint32_t(aec.bypass())) << 1;
+      cnt |= (planarMaskX ? uint32_t(planarMaskX & 1)
+                          : uint32_t(aec.bypass())) << 2;
+      return 1u << cnt;
+    }
+    flagNoSingle = true;
+    if (planarMaskX && planarMaskY) {
+      uint32_t cnt = ((planarMaskX & 1) << 2) | ((planarMaskY & 1) << 1);
+      return (1u << cnt) | (1u << (cnt + 1));
+    }
+    if (planarMaskY && planarMaskZ) {
+      uint32_t cnt = ((planarMaskY & 1) << 1) | (planarMaskZ & 1);
+      return (1u << cnt) | (1u << (cnt + 4));
+    }
+    if (planarMaskX && planarMaskZ) {
+      uint32_t cnt = ((planarMaskX & 1) << 2) | (planarMaskZ & 1);
+      return (1u << cnt) | (1u << (cnt + 2));
+    }
+  }
+
+  // NZ path
+  const bool surePlanarityX = planarMaskX;   // planarPossible == true
+  const bool surePlanarityY = planarMaskY;
+  const bool surePlanarityZ = planarMaskZ;
+  const int maxPerPlaneX = (planarMaskX && flagNoSingle) ? 2 : 3;
+  const int maxPerPlaneY = (planarMaskY && flagNoSingle) ? 2 : 3;
+  const int maxPerPlaneZ = (planarMaskZ && flagNoSingle) ? 2 : 3;
+  const int maxAll = flagNoSingle ? 6 : 7;
+
+  int maskConfig = (!!planarMaskX) * (1 + (planarMaskX != 0x0F));
+  maskConfig += (!!planarMaskY) * 3 * (1 + (planarMaskY != 0x33));
+  maskConfig += (!!planarMaskZ) * 9 * (1 + (planarMaskZ != 0x55));
+
+  int coded0[6] = {0, 0, 0, 0, 0, 0};
+  if (maskConfig)
+    std::memcpy(coded0, kInitCoded0[maskConfig], sizeof coded0);
+
+  NeighInfo nf;
+  prepareNeighInfo(nf, gnp, pos, atlasShift, atlas);
+
+  uint32_t occupancy = 0;
+  int maskedOccupancy = planarMaskX | planarMaskY | planarMaskZ;
+  for (int i = 0; i < 8; i++) {
+    if ((maskedOccupancy >> i) & 1)
+      continue;
+    int mask0X = (0xf0 >> i) & 1;
+    int mask0Y = 2 + ((0xcc >> i) & 1);
+    int mask0Z = 4 + ((0xaa >> i) & 1);
+    bool bitIsOne = (surePlanarityX && coded0[mask0X] >= maxPerPlaneX)
+      || (coded0[0] + coded0[1] >= maxAll)
+      || (surePlanarityY && coded0[mask0Y] >= maxPerPlaneY)
+      || (coded0[2] + coded0[3] >= maxAll)
+      || (surePlanarityZ && coded0[mask0Z] >= maxPerPlaneZ)
+      || (coded0[4] + coded0[5] >= maxAll);
+    if (bitIsOne) {
+      occupancy += 1u << i;
+      continue;
+    }
+    const int interCtx = 0;   // intra
+    int c1, c2;
+    bool sparse;
+    kCtxFns[i](nf, int(occupancy), c1, c2, sparse);
+    int bitv;
+    if (sparse)
+      bitv = ctx.mapOccSparse[interCtx][i].decodeEvolve(
+        &aec, ctx.obufModel, c2, c1, &ctx.leafNumber, ctx.leaves.data());
+    else
+      bitv = ctx.mapOcc[interCtx][i].decodeEvolve(
+        &aec, ctx.obufModel, c2, c1, &ctx.leafNumber, ctx.leaves.data());
+    occupancy += uint32_t(bitv) << i;
+    coded0[mask0X] += !bitv;
+    coded0[mask0Y] += !bitv;
+    coded0[mask0Z] += !bitv;
+  }
+  return occupancy;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// public entry: intra octree geometry brick decode
+// (decodeGeometryOctree, geometry_octree_decoder.cpp:1559-2242, with
+// the unsupported tools compiled out)
+// ---------------------------------------------------------------------------
+
+extern "C" int tmc13ref_decode_octree_intra(
+  const uint8_t* aec_buf, int aec_len,
+  const int32_t* coded_axis_list,  // per level, 3-bit stv split masks
+  int num_levels,
+  int num_points,                  // footer geom_num_points_minus1 + 1
+  int neighbour_avail_boundary_log2,  // minus1 + 1; 0 => unsupported
+  int adjacent_child_ctx,
+  int unique_points,
+  int32_t* out_pos,                // capacity out_cap * 3 (stv order)
+  int out_cap) {
+  if (neighbour_avail_boundary_log2 < 1
+      || neighbour_avail_boundary_log2 > 9)
+    return -2;
+
+  ArithDec aec;
+  aec.init(aec_buf, size_t(aec_len));
+
+  RefOctreeCtx ctx;
+  ctx.resetMaps();
+
+  Atlas atlas;
+  atlas.resize(adjacent_child_ctx != 0, neighbour_avail_boundary_log2);
+
+  // node size per level, smallest first then reversed
+  // (geometry_octree_decoder.cpp:1646-1652)
+  std::vector<int> lvlSize[3];
+  {
+    int size[3] = {0, 0, 0};
+    std::vector<int> acc[3];
+    for (int k = 0; k < 3; k++) acc[k].push_back(0);
+    for (int i = num_levels - 1; i >= 0; i--) {
+      int split = coded_axis_list[i];
+      size[0] += !!(split & 4);
+      size[1] += !!(split & 2);
+      size[2] += !!(split & 1);
+      for (int k = 0; k < 3; k++) acc[k].push_back(size[k]);
+    }
+    for (int k = 0; k < 3; k++) {
+      lvlSize[k].assign(acc[k].rbegin(), acc[k].rend());
+      lvlSize[k].push_back(lvlSize[k].back());
+    }
+  }
+  const int maxDepth = num_levels;
+
+  std::vector<Node> fifo;
+  fifo.reserve(size_t(num_points) + 8);
+  Node root;
+  root.pos[0] = root.pos[1] = root.pos[2] = 0;
+  root.siblingOccupancy = 0;
+  root.numSiblingsPlus1 = 8;
+  fifo.push_back(root);
+  size_t head = 0;
+
+  int processed = 0;
+
+  for (int depth = 0; depth < maxDepth; depth++) {
+    size_t lvlEnd = fifo.size();
+    int32_t atlasOrigin[3] = {-0x7fffffff, -0x7fffffff, -0x7fffffff};
+    int codedAxesPrevLvl = depth ? coded_axis_list[depth - 1] : 7;
+    int codedAxesCurLvl = coded_axis_list[depth];
+    int childSizeLog2[3] = {lvlSize[0][depth + 1], lvlSize[1][depth + 1],
+                            lvlSize[2][depth + 1]};
+    bool childIsLeaf = !childSizeLog2[0] && !childSizeLog2[1]
+      && !childSizeLog2[2];
+
+    for (; head < lvlEnd; head++) {
+      Node node0 = fifo[head];
+
+      // refresh atlas for this node's look-ahead cube
+      // (updateGeometryOccupancyAtlas, OctreeNeighMap.cpp:83)
+      {
+        const int shift = atlas.cubeSizeLog2;
+        const uint32_t mask = (1u << shift) - 1;
+        const int shiftX = (codedAxesPrevLvl & 4) ? 1 : 0;
+        const int shiftY = (codedAxesPrevLvl & 2) ? 1 : 0;
+        const int shiftZ = (codedAxesPrevLvl & 1) ? 1 : 0;
+        int32_t curOrigin[3] = {node0.pos[0] >> shift,
+                                node0.pos[1] >> shift,
+                                node0.pos[2] >> shift};
+        if (curOrigin[0] != atlasOrigin[0]
+            || curOrigin[1] != atlasOrigin[1]
+            || curOrigin[2] != atlasOrigin[2]) {
+          atlasOrigin[0] = curOrigin[0];
+          atlasOrigin[1] = curOrigin[1];
+          atlasOrigin[2] = curOrigin[2];
+          atlas.clearUpdates();
+          for (size_t it = head; it < lvlEnd; ++it) {
+            const Node& n = fifo[it];
+            if (curOrigin[0] != (n.pos[0] >> shift)
+                || curOrigin[1] != (n.pos[1] >> shift)
+                || curOrigin[2] != (n.pos[2] >> shift))
+              break;
+            atlas.setByte(int((n.pos[0] & mask) >> shiftX),
+                          int((n.pos[1] & mask) >> shiftY),
+                          int((n.pos[2] & mask) >> shiftZ),
+                          n.siblingOccupancy);
+          }
+        }
+      }
+
+      NeighPattern gnp = makeNeighPattern(
+        adjacent_child_ctx != 0, node0.pos, codedAxesPrevLvl, atlas);
+
+      // QTBT: non-coded axes mask the low plane (maskPlanar with
+      // planarMode forced on non-coded axes)
+      int planarMask[3] = {0, 0, 0};
+      if (!(codedAxesCurLvl & 4)) planarMask[0] = 0xf0;
+      if (!(codedAxesCurLvl & 2)) planarMask[1] = 0xcc;
+      if (!(codedAxesCurLvl & 1)) planarMask[2] = 0xaa;
+
+      uint32_t occupancy = decodeOccupancy(
+        aec, ctx, gnp, planarMask[0], planarMask[1], planarMask[2],
+        atlas, node0.pos, codedAxesPrevLvl);
+      if (!occupancy)
+        return -3;
+
+      if (adjacent_child_ctx) {
+        const uint32_t mask = (1u << atlas.cubeSizeLog2) - 1;
+        atlas.setChildOcc(int(node0.pos[0] & mask),
+                          int(node0.pos[1] & mask),
+                          int(node0.pos[2] & mask), uint8_t(occupancy));
+      }
+
+      int numOccupied = 0;
+      for (int i = 0; i < 8; i++) numOccupied += (occupancy >> i) & 1;
+
+      for (int i = 0; i < 8; i++) {
+        if (!((occupancy >> i) & 1))
+          continue;
+        int x = !!(i & 4), y = !!(i & 2), z = !!(i & 1);
+        int32_t cpos[3] = {
+          (node0.pos[0] << !!(codedAxesCurLvl & 4)) + x,
+          (node0.pos[1] << !!(codedAxesCurLvl & 2)) + y,
+          (node0.pos[2] << !!(codedAxesCurLvl & 1)) + z};
+        if (childIsLeaf) {
+          int numPts = 1;
+          if (!unique_points) {
+            // decodePositionLeafNumPoints
+            int v = aec.bit(&ctx.ctxDupPointCntGt0);
+            if (v)
+              v += int(aec.exp_golomb(0, &ctx.ctxDupPointCntEgl));
+            numPts = v + 1;
+          }
+          for (int j = 0; j < numPts; j++) {
+            if (processed >= out_cap)
+              return -4;
+            out_pos[processed * 3 + 0] = cpos[0];
+            out_pos[processed * 3 + 1] = cpos[1];
+            out_pos[processed * 3 + 2] = cpos[2];
+            processed++;
+          }
+          continue;
+        }
+        Node child;
+        child.pos[0] = cpos[0];
+        child.pos[1] = cpos[1];
+        child.pos[2] = cpos[2];
+        child.numSiblingsPlus1 = uint8_t(numOccupied);
+        child.siblingOccupancy = uint8_t(occupancy);
+        fifo.push_back(child);
+      }
+    }
+  }
+
+  return processed;
+}

@@ -1,0 +1,88 @@
+"""Conformance: bit-exact decode of real tmc3 bitstreams.
+
+Encodes small clouds with the reference binary (built from
+/root/reference into build_ref/) and checks that the conformance
+decoder reproduces the reference decoder's output positions exactly,
+in decode order.  Skipped when the reference binary is unavailable.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from mpeg_pcc_tmc13_tpu.utils import ply
+
+TMC3 = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "build_ref", "tmc3", "tmc3")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(TMC3), reason="reference tmc3 binary not built")
+
+BASE_OPTS = [
+    "--positionQuantizationScale=1", "--neighbourAvailBoundaryLog2=8",
+    "--planarEnabled=0", "--inferredDirectCodingMode=0",
+    "--disableAttributeCoding=1",
+    "--bypassBinCodingWithoutProbUpdate=0",
+]
+
+
+def roundtrip(tmp_path, name, pos, extra=()):
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    src = tmp_path / f"{name}.ply"
+    bit = tmp_path / f"{name}.bin"
+    dec = tmp_path / f"{name}.dec.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", *BASE_OPTS, *extra],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={dec}", "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    frames = refdec.decode_stream(bit.read_bytes())
+    mine = np.concatenate(frames)
+    ref = ply.read(str(dec)).positions.astype(np.int64)
+    assert ref.shape == mine.shape
+    np.testing.assert_array_equal(mine, ref)
+
+
+def test_random_cloud_bit_exact(tmp_path):
+    rng = np.random.default_rng(3)
+    pos = np.unique(rng.integers(0, 64, size=(500, 3), dtype=np.int64),
+                    axis=0)
+    roundtrip(tmp_path, "rand", pos, ["--mergeDuplicatedPoints=1"])
+
+
+def test_duplicate_points_bit_exact(tmp_path):
+    rng = np.random.default_rng(4)
+    pos = rng.integers(0, 128, size=(3000, 3), dtype=np.int64)
+    pos = np.concatenate([pos, pos[:500]])
+    roundtrip(tmp_path, "dups", pos, ["--mergeDuplicatedPoints=0"])
+
+
+def test_qtbt_bit_exact(tmp_path):
+    rng = np.random.default_rng(5)
+    pos = rng.integers(0, [256, 16, 1024], size=(8000, 3)).astype(
+        np.int64)
+    roundtrip(tmp_path, "qtbt", pos,
+              ["--mergeDuplicatedPoints=1", "--qtbtEnabled=1"])
+
+
+def test_surface_slab_bit_exact(tmp_path):
+    rng = np.random.default_rng(6)
+    pos = rng.integers(0, [512, 512, 8], size=(20000, 3)).astype(
+        np.int64)
+    roundtrip(tmp_path, "slab", pos, ["--mergeDuplicatedPoints=1"])
+
+
+def test_lidar_like_bit_exact(tmp_path):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", ".."))
+    from scripts.gen_clouds import make_lidar_frame
+    pos, _ = make_lidar_frame(0, n_lasers=16, steps=600)
+    pos = np.unique(pos >> 6, axis=0)      # 12-bit grid, keeps sparsity
+    roundtrip(tmp_path, "lidar", pos, ["--mergeDuplicatedPoints=1"])
