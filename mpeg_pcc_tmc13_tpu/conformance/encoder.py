@@ -1,0 +1,106 @@
+"""Encode point clouds into reference (tmc3) bitstreams.
+
+The mirror of conformance/decoder.py: produces TLV streams in the
+reference syntax that the tmc3 binary decodes bit-exactly.  Because it
+replays the identical context machinery (native/refcodec.cc), the AEC
+payload is byte-identical to what tmc3 itself produces for the same
+tool configuration — RD parity with the reference on this tool set is
+by construction, not by tuning.
+
+Scope: octree geometry, intra, planar/IDCM/angular/scaling off, single
+entropy stream, bitwise occupancy, cubic tree (QTBT schedules accepted
+when supplied), unique or duplicated points.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional
+
+import numpy as np
+
+from . import ref_hls
+from .decoder import _load
+
+
+def _encode_brick_native(positions: np.ndarray, axes: np.ndarray,
+                         nabl2: int, adj_child: int,
+                         unique_points: bool) -> bytes:
+    lib = _load()
+    c = ctypes
+    if not hasattr(lib.tmc13ref_encode_octree_intra, "_configured"):
+        lib.tmc13ref_encode_octree_intra.argtypes = [
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.c_int,
+            c.c_int, c.c_int, c.c_int,
+            c.POINTER(c.c_uint8), c.c_int,
+        ]
+        lib.tmc13ref_encode_octree_intra.restype = c.c_int
+        lib.tmc13ref_encode_octree_intra._configured = True
+    pos32 = np.ascontiguousarray(positions, dtype=np.int32)
+    cap = max(int(pos32.shape[0] * 16 + (1 << 16)), 1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.tmc13ref_encode_octree_intra(
+        pos32.ctypes.data_as(c.POINTER(c.c_int32)), pos32.shape[0],
+        axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+        nabl2, adj_child, 1 if unique_points else 0,
+        out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+    if n < 0:
+        raise RuntimeError(f"refcodec encode failed rc={n}")
+    return out[:n].tobytes()
+
+
+def encode_stream(positions: np.ndarray,
+                  unique_points: bool = True,
+                  neighbour_avail_boundary_log2: int = 8,
+                  adjacent_child_contextualization: bool = True,
+                  axis_order: int = 1,
+                  frame_ctr_bits: int = 1) -> bytes:
+    """Encode one frame of non-negative integer XYZ positions into a
+    complete reference-syntax TLV stream (SPS + GPS + geometry brick).
+
+    With unique_points the duplicates are merged exactly as the
+    reference encoder does before coding.
+    """
+    pos = np.asarray(positions, dtype=np.int64)
+    if pos.ndim != 2 or pos.shape[1] != 3:
+        raise ValueError("positions must be (N, 3)")
+    if pos.size and pos.min() < 0:
+        raise ValueError("positions must be non-negative")
+    if unique_points:
+        pos = np.unique(pos, axis=0)
+    # xyz -> stv (identity for axis_order 1)
+    stv = np.stack(ref_hls.from_xyz(
+        axis_order, [pos[:, 0], pos[:, 1], pos[:, 2]]), axis=1)
+    maxv = int(stv.max()) if stv.size else 0
+    depth = max(int(maxv).bit_length(), 1)
+    axes = np.full(depth, 7, dtype=np.int32)
+
+    sps = ref_hls.RefSps(
+        main_profile_compat=0, level=0, sps_id=0,
+        frame_ctr_bits=frame_ctr_bits, slice_tag_bits=0,
+        geometry_axis_order=axis_order)
+    gps = ref_hls.RefGps(
+        gps_id=0, sps_id=0, geom_box_log2_scale_present=True,
+        unique_points=unique_points,
+        neighbour_avail_boundary_log2_minus1=(
+            neighbour_avail_boundary_log2 - 1),
+        adjacent_child_contextualization=(
+            adjacent_child_contextualization),
+        bitwise_occupancy=True)
+
+    aec = _encode_brick_native(
+        stv, axes, neighbour_avail_boundary_log2,
+        1 if adjacent_child_contextualization else 0, unique_points)
+
+    gbh = ref_hls.RefGbh(
+        gps_id=0, slice_id=0, slice_tag=0, frame_ctr_lsb=0,
+        geom_box_log2_scale=0, box_origin_stv=(0, 0, 0),
+        tree_lvl_coded_axis_list=list(axes),
+        num_points=int(pos.shape[0]))
+    brick = ref_hls.write_gbh(sps, gps, gbh, aec)
+
+    return (ref_hls.write_ref_tlv(ref_hls.T_SPS, ref_hls.write_sps(sps))
+            + ref_hls.write_ref_tlv(ref_hls.T_GPS,
+                                    ref_hls.write_gps(gps))
+            + ref_hls.write_ref_tlv(ref_hls.T_GEOM_BRICK, brick))

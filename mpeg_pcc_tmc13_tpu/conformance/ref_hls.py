@@ -450,3 +450,158 @@ def parse_gbh(sps: RefSps, gps: RefGps, data: bytes) -> RefGbh:
         raise NotImplementedError("multiple entropy streams")
     h.stream_lens = [len(data) - h.header_bytes - foot]
     return h
+
+
+# ---------------------------------------------------------------------------
+# bit writer with the reference's exact conventions (BitWriter.h):
+# MSB-first, ue = leading zeros + value+1, byteAlign pads zeros
+# ---------------------------------------------------------------------------
+
+
+class RefBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def u1(self, bit: int):
+        self.buf = (self.buf << 1) | (1 if bit else 0)
+        self.nbits += 1
+        if self.nbits == 8:
+            self.out.append(self.buf)
+            self.buf = 0
+            self.nbits = 0
+
+    def un(self, n: int, v: int):
+        for i in range(n - 1, -1, -1):
+            self.u1((v >> i) & 1)
+
+    def sn(self, n: int, v: int):
+        self.un(n, abs(v))
+        self.u1(1 if v < 0 else 0)
+
+    def ue(self, v: int):
+        v += 1
+        length = v.bit_length() - 1
+        self.un(length, 0)
+        self.un(length + 1, v)
+
+    def se(self, v: int):
+        # mirror of readSe: sign bit 1 => positive
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def byte_align(self):
+        if self.nbits:
+            self.out.append(self.buf << (8 - self.nbits))
+            self.buf = 0
+            self.nbits = 0
+
+    def get_bytes(self) -> bytes:
+        self.byte_align()
+        return bytes(self.out)
+
+
+def write_ref_tlv(t: int, payload: bytes) -> bytes:
+    return bytes([t]) + len(payload).to_bytes(4, "big") + payload
+
+
+def write_sps(s: RefSps) -> bytes:
+    """Mirror of parse_sps (reference write(sps), io_hls.cpp:386);
+    geometry-only subset (no attribute sets)."""
+    w = RefBitWriter()
+    w.un(1, s.main_profile_compat)
+    w.un(21, 0)
+    w.un(1, s.slice_reordering_constraint)
+    w.un(1, s.unique_point_positions_constraint)
+    w.un(8, s.level)
+    w.un(4, s.sps_id)
+    w.un(5, s.frame_ctr_bits)
+    w.un(5, s.slice_tag_bits)
+    w.ue(0)                      # bounding box offset bits (none)
+    w.ue(0)                      # bounding box size bits (none)
+    w.ue(s.seq_scale_num - 1)
+    w.ue(s.seq_scale_den - 1)
+    w.un(1, s.seq_geom_scale_unit)
+    w.ue(s.global_scale_mul_log2)
+    w.ue(s.global_scale_fp_bits)
+    w.un(s.global_scale_fp_bits, s.global_scale_rem)
+    w.ue(0)                      # num_attribute_sets
+    w.un(3, s.geometry_axis_order)
+    w.u1(s.cabac_bypass_stream_enabled)
+    w.u1(s.entropy_continuation_enabled)
+    w.u1(0)                      # sps_extension_flag
+    return w.get_bytes()
+
+
+def write_gps(g: RefGps) -> bytes:
+    """Mirror of parse_gps; octree intra subset."""
+    w = RefBitWriter()
+    w.un(4, g.gps_id)
+    w.un(4, g.sps_id)
+    w.u1(g.geom_box_log2_scale_present)
+    if not g.geom_box_log2_scale_present:
+        w.ue(g.gps_geom_box_log2_scale)
+    w.u1(g.unique_points)
+    w.u1(0)                      # predgeom_enabled
+    w.u1(g.point_count_list_present)
+    w.un(2, g.inferred_direct_coding_mode)
+    if g.inferred_direct_coding_mode:
+        w.u1(g.joint_2pt_idcm)
+    w.u1(g.qtbt_enabled)
+    w.un(3, g.neighbour_avail_boundary_log2_minus1)
+    if g.neighbour_avail_boundary_log2_minus1 > 0:
+        w.u1(g.adjacent_child_contextualization)
+        w.ue(g.intra_pred_max_node_size_log2)
+    w.u1(g.bitwise_occupancy)
+    w.u1(g.planar_enabled)
+    if g.planar_enabled:
+        w.ue(g.planar_threshold0)
+        w.ue(g.planar_threshold1)
+        w.ue(g.planar_threshold2)
+        if g.inferred_direct_coding_mode == 1:
+            w.un(5, g.idcm_rate_minus1)
+    w.u1(0)                      # angular_enabled
+    w.u1(g.scaling_enabled)
+    if g.scaling_enabled:
+        raise NotImplementedError("scaling")
+    w.u1(0)                      # gps_extension_flag
+    return w.get_bytes()
+
+
+def write_gbh(sps: RefSps, gps: RefGps, h: RefGbh,
+              aec_payload: bytes) -> bytes:
+    """Mirror of parse_gbh + footer for the octree intra subset;
+    returns the complete geometry brick payload."""
+    w = RefBitWriter()
+    w.un(4, h.gps_id)
+    w.un(3, 0)
+    w.ue(h.slice_id)
+    w.un(sps.slice_tag_bits, h.slice_tag)
+    w.un(sps.frame_ctr_bits, h.frame_ctr_lsb)
+    if sps.entropy_continuation_enabled:
+        w.u1(h.entropy_continuation)
+        if h.entropy_continuation:
+            w.ue(h.prev_slice_id)
+    if gps.geom_box_log2_scale_present:
+        w.ue(h.geom_box_log2_scale)
+    origin_xyz = to_xyz(sps.geometry_axis_order,
+                        [v >> h.geom_box_log2_scale
+                         for v in h.box_origin_stv])
+    origin_bits = max(max(v.bit_length() for v in origin_xyz), 1)
+    w.ue(origin_bits - 1)
+    for v in origin_xyz:
+        w.un(origin_bits, v)
+    tree_depth_minus1 = len(h.tree_lvl_coded_axis_list) - 1
+    w.ue(tree_depth_minus1)
+    if gps.qtbt_enabled:
+        for a in h.tree_lvl_coded_axis_list:
+            w.un(3, a)
+    w.ue(h.geom_stream_cnt_minus1)
+    head = w.get_bytes()
+
+    foot = RefBitWriter()
+    if gps.point_count_list_present:
+        for n in h.lvl_num_points:
+            foot.un(24, n - 1)
+    foot.un(24, h.num_points - 1)
+    return head + aec_payload + foot.get_bytes()

@@ -190,6 +190,155 @@ struct ArithDec {
 };
 
 // ---------------------------------------------------------------------------
+// arithmetic encoder (schroarith encode side; schroarith.h:88-160,
+// schro_arith_flush schroarith.c:150-196)
+// ---------------------------------------------------------------------------
+
+struct ArithEnc {
+  std::vector<uint8_t> out;
+  uint32_t low;             // range[0]
+  uint32_t range;           // range[1]
+  int cntr;
+  int carry;
+  uint8_t firstByte;
+  uint8_t outputByte;
+
+  void init() {
+    out.clear();
+    low = 0;
+    range = 0xffff;
+    cntr = 0;
+    carry = 0;
+    firstByte = 1;
+    outputByte = 0;
+  }
+
+  void push(uint8_t b) { out.push_back(b); }
+
+  void renorm_byte() {
+    if (low < (1u << 24) && (low + range) >= (1u << 24)) {
+      carry++;
+    } else {
+      if (low >= (1u << 24)) {
+        outputByte++;
+        while (carry) {
+          push(outputByte);
+          outputByte = 0x00;
+          carry--;
+        }
+      } else {
+        while (carry) {
+          push(outputByte);
+          outputByte = 0xff;
+          carry--;
+        }
+      }
+      if (!firstByte)
+        push(outputByte);
+      else
+        firstByte = 0;
+      outputByte = uint8_t(low >> 16);
+    }
+    low &= 0xffff;
+    cntr = 0;
+  }
+
+  void bit(uint16_t* prob, int value) {
+    uint32_t p0 = *prob;
+    uint32_t rxp = (range * p0) >> 16;
+    if (value) {
+      low += rxp;
+      range -= rxp;
+      *prob = uint16_t(*prob - kDiracLut[*prob >> 8]);
+    } else {
+      range = rxp;
+      *prob = uint16_t(*prob + kDiracLut[255 - (*prob >> 8)]);
+    }
+    while (range <= 0x4000) {
+      low <<= 1;
+      range <<= 1;
+      cntr++;
+      if (cntr == 8)
+        renorm_byte();
+    }
+  }
+
+  void bypass(int value) {
+    uint16_t p = 0x8000;
+    bit(&p, value);
+  }
+
+  void bit_bounded(uint16_t* prob, int offset, uint16_t* bound,
+                   int value) {
+    uint16_t& lowTh = bound[offset + 1];
+    uint16_t& highTh = bound[offset];
+    if (*prob > highTh) {
+      *prob = highTh;
+      highTh += kDiracLut[255 - (highTh >> 8)] >> 2;
+      if (offset > 0 && highTh > bound[offset - 1])
+        highTh = bound[offset - 1];
+    } else if (*prob < lowTh) {
+      *prob = lowTh;
+      lowTh -= kDiracLut[lowTh >> 8] >> 2;
+      if (offset < 31 && lowTh < bound[offset + 2])
+        lowTh = bound[offset + 2];
+    }
+    bit(prob, value);
+  }
+
+  void exp_golomb(unsigned symbol, int k, uint16_t* prefixCtx) {
+    while (1) {
+      if (symbol >= (1u << k)) {
+        bit(prefixCtx, 1);
+        symbol -= 1u << k;
+        k++;
+      } else {
+        bit(prefixCtx, 0);
+        while (k--)
+          bypass((symbol >> k) & 1);
+        break;
+      }
+    }
+  }
+
+  void flush() {
+    bool extraByte = cntr > 0;
+    int i;
+    // NB: replicates the reference comparison verbatim
+    // (schroarith.c flush: low|mask vs range-1, not low+range-1)
+    for (i = 0; i < 16; i++)
+      if ((low | ((1u << (i + 1)) - 1)) > range - 1)
+        break;
+    low |= (1u << i) - 1;
+    while (cntr < 8) {
+      low <<= 1;
+      low |= 1;
+      cntr++;
+    }
+    if (low >= (1u << 24)) {
+      outputByte++;
+      if (!firstByte)
+        push(outputByte);
+      while (carry) {
+        push(0x00);
+        carry--;
+      }
+    } else {
+      if (!firstByte)
+        push(outputByte);
+      while (carry) {
+        push(0xff);
+        carry--;
+      }
+    }
+    push(uint8_t(low >> 16));
+    push(uint8_t(low >> 8));
+    if (extraByte)
+      push(uint8_t(low));
+  }
+};
+
+// ---------------------------------------------------------------------------
 // shared OBUF bit models + bounds (CtxModelDynamicOBUF, geometry_octree.h:304)
 // ---------------------------------------------------------------------------
 
@@ -282,6 +431,38 @@ struct CtxMapOBUF {
     if (*leafNumber >= kLeafBufSize)
       *leafNumber = 0;
     kDown[idxTree]--;
+  }
+
+  // encoder-side mirror: returns the coder index BEFORE evolution
+  // (CtxMapDynamicOBUF::getEvolve, geometry_octree.h:521)
+  uint8_t getEvolve(bool bitv, int i, int j, int* leafNumber,
+                    uint8_t* leaves) {
+    int iTree = i >> kLeafDepth;
+    int kDown0 = kDown[idx(iTree, j)];
+    uint8_t outv;
+    if (kDown0 >= kLeafDepth) {
+      int kDownTree = kDown0 - kLeafDepth;
+      int iP = (iTree >> kDownTree) << kDownTree;
+      int idxTree = idx(iP, j);
+      uint8_t* c = &ctxIdx[idxTree];
+      outv = *c;
+      evolve(c, bitv);
+      int th = 3 + (std::abs(int(*c) - 127) >> 4);
+      if (++nSeen[idxTree] >= th) {
+        if (kDownTree > 0)
+          decreaseKdown(idxTree, kDownTree);
+        else
+          createLeaf(idxTree, kDownTree, leafNumber, leaves, *c, i);
+      }
+    } else {
+      int leafIdx = (int(ctxIdx[idx(iTree, j)]) << 8)
+        + nSeen[idx(iTree, j)];
+      const int maskI = (1 << kLeafDepth) - 1;
+      uint8_t* c = &leaves[leafIdx * (1 << kLeafDepth) + (i & maskI)];
+      outv = *c;
+      evolve(c, bitv);
+    }
+    return outv;
   }
 
   int decodeEvolve(ArithDec* aec, ObufModel& model, int i, int j,
@@ -1299,7 +1480,287 @@ static uint32_t decodeOccupancy(
   return occupancy;
 }
 
+// occupancy encode (encodeOccupancyFullNeihbourgs + NZ,
+// geometry_octree_encoder.cpp:815-982)
+static void encodeOccupancy(
+  ArithEnc& aec, RefOctreeCtx& ctx, const NeighPattern& gnp,
+  int occupancy, int planarMaskX, int planarMaskY, int planarMaskZ,
+  const Atlas& atlas, const int32_t pos[3], int atlasShift) {
+  if (planarMaskX && planarMaskY && planarMaskZ)
+    return;
+  bool flagNoSingle = false;
+  if (gnp.pattern == 0) {
+    int pc = occupancy & (occupancy - 1);
+    bool singleChild = pc == 0;
+    aec.bit(&ctx.ctxSingleChild, singleChild);
+    if (singleChild) {
+      if (!planarMaskZ) aec.bypass(!!(occupancy & 0xaa));
+      if (!planarMaskY) aec.bypass(!!(occupancy & 0xcc));
+      if (!planarMaskX) aec.bypass(!!(occupancy & 0xf0));
+      return;
+    }
+    flagNoSingle = true;
+    if (planarMaskX && planarMaskY) return;
+    if (planarMaskY && planarMaskZ) return;
+    if (planarMaskX && planarMaskZ) return;
+  }
+
+  const bool surePlanarityX = planarMaskX;
+  const bool surePlanarityY = planarMaskY;
+  const bool surePlanarityZ = planarMaskZ;
+  const int maxPerPlaneX = (planarMaskX && flagNoSingle) ? 2 : 3;
+  const int maxPerPlaneY = (planarMaskY && flagNoSingle) ? 2 : 3;
+  const int maxPerPlaneZ = (planarMaskZ && flagNoSingle) ? 2 : 3;
+  const int maxAll = flagNoSingle ? 6 : 7;
+
+  int maskConfig = (!!planarMaskX) * (1 + (planarMaskX != 0x0F));
+  maskConfig += (!!planarMaskY) * 3 * (1 + (planarMaskY != 0x33));
+  maskConfig += (!!planarMaskZ) * 9 * (1 + (planarMaskZ != 0x55));
+  int coded0[6] = {0, 0, 0, 0, 0, 0};
+  if (maskConfig)
+    std::memcpy(coded0, kInitCoded0[maskConfig], sizeof coded0);
+
+  NeighInfo nf;
+  prepareNeighInfo(nf, gnp, pos, atlasShift, atlas);
+
+  int maskedOccupancy = planarMaskX | planarMaskY | planarMaskZ;
+  for (int i = 0; i < 8; i++) {
+    if ((maskedOccupancy >> i) & 1)
+      continue;
+    int mask0X = (0xf0 >> i) & 1;
+    int mask0Y = 2 + ((0xcc >> i) & 1);
+    int mask0Z = 4 + ((0xaa >> i) & 1);
+    bool bitIsOne = (surePlanarityX && coded0[mask0X] >= maxPerPlaneX)
+      || (coded0[0] + coded0[1] >= maxAll)
+      || (surePlanarityY && coded0[mask0Y] >= maxPerPlaneY)
+      || (coded0[2] + coded0[3] >= maxAll)
+      || (surePlanarityZ && coded0[mask0Z] >= maxPerPlaneZ)
+      || (coded0[4] + coded0[5] >= maxAll);
+    if (bitIsOne)
+      continue;
+    const int interCtx = 0;
+    int c1, c2;
+    bool sparse;
+    kCtxFns[i](nf, occupancy, c1, c2, sparse);
+    int bitv = (occupancy >> i) & 1;
+    uint8_t obufIdx;
+    if (sparse)
+      obufIdx = ctx.mapOccSparse[interCtx][i].getEvolve(
+        bitv, c2, c1, &ctx.leafNumber, ctx.leaves.data());
+    else
+      obufIdx = ctx.mapOcc[interCtx][i].getEvolve(
+        bitv, c2, c1, &ctx.leafNumber, ctx.leaves.data());
+    aec.bit_bounded(&ctx.obufModel.prob[obufIdx >> 3], obufIdx >> 3,
+                    ctx.obufModel.bound, bitv);
+    coded0[mask0X] += !bitv;
+    coded0[mask0Y] += !bitv;
+    coded0[mask0Z] += !bitv;
+  }
+}
+
 }  // namespace
+
+// ---------------------------------------------------------------------------
+// public entry: intra octree geometry brick encode
+// (encodeGeometryOctree, geometry_octree_encoder.cpp:1853-2660, with
+// the unsupported tools compiled out).  positions: slice-local STV
+// grid coords; out buffer receives the AEC bytes; returns byte count.
+// ---------------------------------------------------------------------------
+
+extern "C" int tmc13ref_encode_octree_intra(
+  const int32_t* positions, int num_points,
+  const int32_t* coded_axis_list, int num_levels,
+  int neighbour_avail_boundary_log2,
+  int adjacent_child_ctx,
+  int unique_points,
+  uint8_t* out_buf, int out_cap) {
+  if (neighbour_avail_boundary_log2 < 1
+      || neighbour_avail_boundary_log2 > 9)
+    return -2;
+
+  ArithEnc aec;
+  aec.init();
+  RefOctreeCtx ctx;
+  ctx.resetMaps();
+  Atlas atlas;
+  atlas.resize(adjacent_child_ctx != 0, neighbour_avail_boundary_log2);
+
+  std::vector<int> lvlSize[3];
+  {
+    int size[3] = {0, 0, 0};
+    std::vector<int> acc[3];
+    for (int k = 0; k < 3; k++) acc[k].push_back(0);
+    for (int i = num_levels - 1; i >= 0; i--) {
+      int split = coded_axis_list[i];
+      size[0] += !!(split & 4);
+      size[1] += !!(split & 2);
+      size[2] += !!(split & 1);
+      for (int k = 0; k < 3; k++) acc[k].push_back(size[k]);
+    }
+    for (int k = 0; k < 3; k++) {
+      lvlSize[k].assign(acc[k].rbegin(), acc[k].rend());
+      lvlSize[k].push_back(lvlSize[k].back());
+    }
+  }
+  const int maxDepth = num_levels;
+
+  // encoder nodes carry their point range [start, end) into a shared
+  // index array, partitioned by counting sort per level
+  // (countingSort, geometry_octree_encoder.cpp:2210)
+  struct ENode {
+    int32_t pos[3];
+    int32_t start, end;
+    uint8_t siblingOccupancy;
+  };
+  std::vector<int32_t> order{};
+  order.resize(size_t(num_points));
+  for (int i = 0; i < num_points; i++) order[size_t(i)] = i;
+  std::vector<int32_t> scratch{};
+  scratch.resize(size_t(num_points));
+
+  std::vector<ENode> fifo;
+  fifo.reserve(size_t(num_points) + 8);
+  ENode root;
+  root.pos[0] = root.pos[1] = root.pos[2] = 0;
+  root.start = 0;
+  root.end = num_points;
+  root.siblingOccupancy = 0;
+  fifo.push_back(root);
+  size_t head = 0;
+
+  for (int depth = 0; depth < maxDepth; depth++) {
+    size_t lvlEnd = fifo.size();
+    int32_t atlasOrigin[3] = {-0x7fffffff, -0x7fffffff, -0x7fffffff};
+    int codedAxesPrevLvl = depth ? coded_axis_list[depth - 1] : 7;
+    int codedAxesCurLvl = coded_axis_list[depth];
+    int childSizeLog2[3] = {lvlSize[0][depth + 1], lvlSize[1][depth + 1],
+                            lvlSize[2][depth + 1]};
+    bool childIsLeaf = !childSizeLog2[0] && !childSizeLog2[1]
+      && !childSizeLog2[2];
+    // child-bit probe masks (qtBtChildSize): 0 when the axis is not
+    // coded at this level
+    int32_t probe[3];
+    for (int k = 0; k < 3; k++)
+      probe[k] = (codedAxesCurLvl & (4 >> k))
+        ? (int32_t(1) << childSizeLog2[k]) : 0;
+
+    for (; head < lvlEnd; head++) {
+      ENode node0 = fifo[head];
+
+      // counting sort of the node's points into 8 child buckets
+      int counts[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+      for (int32_t p = node0.start; p < node0.end; p++) {
+        const int32_t* pt = &positions[order[size_t(p)] * 3];
+        int b = (!!(pt[2] & probe[2])) | (!!(pt[1] & probe[1]) << 1)
+          | (!!(pt[0] & probe[0]) << 2);
+        counts[b]++;
+      }
+      int offs[8];
+      int acc = node0.start;
+      for (int b = 0; b < 8; b++) {
+        offs[b] = acc;
+        acc += counts[b];
+      }
+      {
+        int w[8];
+        std::memcpy(w, offs, sizeof w);
+        for (int32_t p = node0.start; p < node0.end; p++) {
+          const int32_t* pt = &positions[order[size_t(p)] * 3];
+          int b = (!!(pt[2] & probe[2])) | (!!(pt[1] & probe[1]) << 1)
+            | (!!(pt[0] & probe[0]) << 2);
+          scratch[size_t(w[b]++)] = order[size_t(p)];
+        }
+        std::memcpy(&order[size_t(node0.start)],
+                    &scratch[size_t(node0.start)],
+                    sizeof(int32_t) * size_t(node0.end - node0.start));
+      }
+      int occupancy = 0;
+      for (int b = 0; b < 8; b++)
+        if (counts[b]) occupancy |= 1 << b;
+
+      // atlas refresh (mirrors the decoder exactly)
+      {
+        const int shift = atlas.cubeSizeLog2;
+        const uint32_t mask = (1u << shift) - 1;
+        const int shiftX = (codedAxesPrevLvl & 4) ? 1 : 0;
+        const int shiftY = (codedAxesPrevLvl & 2) ? 1 : 0;
+        const int shiftZ = (codedAxesPrevLvl & 1) ? 1 : 0;
+        int32_t curOrigin[3] = {node0.pos[0] >> shift,
+                                node0.pos[1] >> shift,
+                                node0.pos[2] >> shift};
+        if (curOrigin[0] != atlasOrigin[0]
+            || curOrigin[1] != atlasOrigin[1]
+            || curOrigin[2] != atlasOrigin[2]) {
+          atlasOrigin[0] = curOrigin[0];
+          atlasOrigin[1] = curOrigin[1];
+          atlasOrigin[2] = curOrigin[2];
+          atlas.clearUpdates();
+          for (size_t it = head; it < lvlEnd; ++it) {
+            const ENode& n = fifo[it];
+            if (curOrigin[0] != (n.pos[0] >> shift)
+                || curOrigin[1] != (n.pos[1] >> shift)
+                || curOrigin[2] != (n.pos[2] >> shift))
+              break;
+            atlas.setByte(int((n.pos[0] & mask) >> shiftX),
+                          int((n.pos[1] & mask) >> shiftY),
+                          int((n.pos[2] & mask) >> shiftZ),
+                          n.siblingOccupancy);
+          }
+        }
+      }
+
+      NeighPattern gnp = makeNeighPattern(
+        adjacent_child_ctx != 0, node0.pos, codedAxesPrevLvl, atlas);
+
+      int planarMask[3] = {0, 0, 0};
+      if (!(codedAxesCurLvl & 4)) planarMask[0] = 0xf0;
+      if (!(codedAxesCurLvl & 2)) planarMask[1] = 0xcc;
+      if (!(codedAxesCurLvl & 1)) planarMask[2] = 0xaa;
+
+      encodeOccupancy(aec, ctx, gnp, occupancy, planarMask[0],
+                      planarMask[1], planarMask[2], atlas, node0.pos,
+                      codedAxesPrevLvl);
+
+      if (adjacent_child_ctx) {
+        const uint32_t mask = (1u << atlas.cubeSizeLog2) - 1;
+        atlas.setChildOcc(int(node0.pos[0] & mask),
+                          int(node0.pos[1] & mask),
+                          int(node0.pos[2] & mask), uint8_t(occupancy));
+      }
+
+      for (int i = 0; i < 8; i++) {
+        if (!counts[i])
+          continue;
+        int x = !!(i & 4), y = !!(i & 2), z = !!(i & 1);
+        if (childIsLeaf) {
+          if (!unique_points) {
+            // encodePositionLeafNumPoints
+            int dupCnt = counts[i] - 1;
+            aec.bit(&ctx.ctxDupPointCntGt0, dupCnt > 0);
+            if (dupCnt > 0)
+              aec.exp_golomb(unsigned(dupCnt - 1), 0,
+                             &ctx.ctxDupPointCntEgl);
+          }
+          continue;
+        }
+        ENode child;
+        child.pos[0] = (node0.pos[0] << !!(codedAxesCurLvl & 4)) + x;
+        child.pos[1] = (node0.pos[1] << !!(codedAxesCurLvl & 2)) + y;
+        child.pos[2] = (node0.pos[2] << !!(codedAxesCurLvl & 1)) + z;
+        child.start = offs[i];
+        child.end = offs[i] + counts[i];
+        child.siblingOccupancy = uint8_t(occupancy);
+        fifo.push_back(child);
+      }
+    }
+  }
+
+  aec.flush();
+  if (int(aec.out.size()) > out_cap)
+    return -4;
+  std::memcpy(out_buf, aec.out.data(), aec.out.size());
+  return int(aec.out.size());
+}
 
 // ---------------------------------------------------------------------------
 // public entry: intra octree geometry brick decode

@@ -86,3 +86,73 @@ def test_lidar_like_bit_exact(tmp_path):
     pos, _ = make_lidar_frame(0, n_lasers=16, steps=600)
     pos = np.unique(pos >> 6, axis=0)      # 12-bit grid, keeps sparsity
     roundtrip(tmp_path, "lidar", pos, ["--mergeDuplicatedPoints=1"])
+
+
+def encode_and_tmc3_decode(tmp_path, name, pos, unique=True):
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    stream = refenc.encode_stream(pos, unique_points=unique)
+    bit = tmp_path / f"{name}.bin"
+    bit.write_bytes(stream)
+    dec = tmp_path / f"{name}.dec.ply"
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={dec}", "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    got = ply.read(str(dec)).positions.astype(np.int64)
+    mine = np.concatenate(refdec.decode_stream(stream))
+    np.testing.assert_array_equal(got, mine)  # same decode order
+    return got
+
+
+def test_encode_stream_tmc3_decodes_lossless(tmp_path):
+    rng = np.random.default_rng(7)
+    pos = np.unique(rng.integers(0, 512, size=(5000, 3),
+                                 dtype=np.int64), axis=0)
+    got = encode_and_tmc3_decode(tmp_path, "enc", pos)
+    np.testing.assert_array_equal(np.unique(got, axis=0), pos)
+
+
+def test_encode_stream_duplicates(tmp_path):
+    rng = np.random.default_rng(8)
+    pos = rng.integers(0, 64, size=(2000, 3), dtype=np.int64)
+    pos = np.concatenate([pos, pos[:300]])
+    got = encode_and_tmc3_decode(tmp_path, "encdup", pos, unique=False)
+    a = np.lexsort(got.T)
+    b = np.lexsort(pos.T)
+    np.testing.assert_array_equal(got[a], pos[b])
+
+
+def test_encode_byte_identical_to_tmc3(tmp_path):
+    """The AEC payload our conformance encoder emits must be byte-
+    identical to what the reference binary itself produces for the
+    same tool configuration (same contexts, same traversal)."""
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    from mpeg_pcc_tmc13_tpu.conformance import ref_hls
+    rng = np.random.default_rng(9)
+    pos = np.unique(rng.integers(0, 256, size=(6000, 3),
+                                 dtype=np.int64), axis=0)
+    stream = refenc.encode_stream(pos)
+    src = tmp_path / "cmp.ply"
+    bit = tmp_path / "cmp.bin"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", *BASE_OPTS,
+         "--mergeDuplicatedPoints=1"],
+        check=True, capture_output=True)
+
+    def aec_of(data):
+        sps = gps = None
+        for t, payload in ref_hls.iter_ref_tlv(data):
+            if t == ref_hls.T_SPS:
+                sps = ref_hls.parse_sps(payload)
+            elif t == ref_hls.T_GPS:
+                gps = ref_hls.parse_gps(payload)
+            elif t == ref_hls.T_GEOM_BRICK:
+                gbh = ref_hls.parse_gbh(sps, gps, payload)
+                return payload[gbh.header_bytes:
+                               len(payload) - gbh.footer_bytes]
+
+    assert aec_of(bit.read_bytes()) == aec_of(stream)
