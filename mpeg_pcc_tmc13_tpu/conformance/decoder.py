@@ -41,12 +41,31 @@ def _load() -> ctypes.CDLL:
     lib.tmc13ref_decode_octree_intra.argtypes = [
         c.POINTER(c.c_uint8), c.c_int,
         c.POINTER(c.c_int32), c.c_int,
-        c.c_int, c.c_int, c.c_int, c.c_int,
+        c.c_int,
+        c.POINTER(c.c_int32),
         c.POINTER(c.c_int32), c.c_int,
     ]
     lib.tmc13ref_decode_octree_intra.restype = c.c_int
     _lib = lib
     return lib
+
+
+def geom_params_array(gps, bypass_no_update=False) -> "np.ndarray":
+    """Pack the RefGps tool flags into the native GeomParams layout
+    (native/refcodec.cc GeomParams, 12 int32s)."""
+    return np.array([
+        gps.neighbour_avail_boundary_log2_minus1 + 1,
+        1 if gps.adjacent_child_contextualization else 0,
+        1 if gps.unique_points else 0,
+        1 if gps.planar_enabled else 0,
+        0 if gps.planar_buffer_disabled else 1,
+        1 if gps.multiple_planar else 0,
+        1 if gps.depth_planar_eligibility else 0,
+        1 if gps.planar_dynamic_obuf_eligibility else 0,
+        gps.planar_threshold0, gps.planar_threshold1,
+        gps.planar_threshold2,
+        1 if bypass_no_update else 0,
+    ], dtype=np.int32)
 
 
 class UnsupportedTool(NotImplementedError):
@@ -58,14 +77,10 @@ def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
     unsupported = []
     if sps.cabac_bypass_stream_enabled:
         unsupported.append("cabac bypass stream")
-    if sps.bypass_bin_coding_without_prob_update:
-        unsupported.append("bypass bins without prob update")
     if gps.predgeom_enabled:
         unsupported.append("predictive geometry")
     if gps.trisoup_enabled:
         unsupported.append("trisoup")
-    if gps.planar_enabled:
-        unsupported.append("planar mode")
     if gps.inferred_direct_coding_mode:
         unsupported.append("IDCM")
     if gps.angular_enabled:
@@ -96,15 +111,15 @@ def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
     aec = payload[gbh.header_bytes:len(payload) - gbh.footer_bytes]
     aec_arr = np.frombuffer(aec, dtype=np.uint8)
     axes = np.asarray(gbh.tree_lvl_coded_axis_list, dtype=np.int32)
+    gp = geom_params_array(
+        gps, sps.bypass_bin_coding_without_prob_update)
     out = np.empty((gbh.num_points, 3), dtype=np.int32)
     c = ctypes
     n = lib.tmc13ref_decode_octree_intra(
         aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
         axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
         gbh.num_points,
-        gps.neighbour_avail_boundary_log2_minus1 + 1,
-        1 if gps.adjacent_child_contextualization else 0,
-        1 if gps.unique_points else 0,
+        gp.ctypes.data_as(c.POINTER(c.c_int32)),
         out.ctypes.data_as(c.POINTER(c.c_int32)), gbh.num_points)
     if n < 0:
         raise RuntimeError(f"refcodec decode failed rc={n}")

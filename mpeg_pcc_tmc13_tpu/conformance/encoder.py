@@ -20,34 +20,73 @@ from typing import Optional
 import numpy as np
 
 from . import ref_hls
-from .decoder import _load
+from .decoder import _load, geom_params_array
 
 
 def _encode_brick_native(positions: np.ndarray, axes: np.ndarray,
-                         nabl2: int, adj_child: int,
-                         unique_points: bool) -> bytes:
+                         gps: ref_hls.RefGps,
+                         bypass_no_update: bool = False) -> bytes:
     lib = _load()
     c = ctypes
     if not hasattr(lib.tmc13ref_encode_octree_intra, "_configured"):
         lib.tmc13ref_encode_octree_intra.argtypes = [
             c.POINTER(c.c_int32), c.c_int,
             c.POINTER(c.c_int32), c.c_int,
-            c.c_int, c.c_int, c.c_int,
+            c.POINTER(c.c_int32),
             c.POINTER(c.c_uint8), c.c_int,
         ]
         lib.tmc13ref_encode_octree_intra.restype = c.c_int
         lib.tmc13ref_encode_octree_intra._configured = True
     pos32 = np.ascontiguousarray(positions, dtype=np.int32)
+    gp = geom_params_array(gps, bypass_no_update)
     cap = max(int(pos32.shape[0] * 16 + (1 << 16)), 1 << 16)
     out = np.empty(cap, dtype=np.uint8)
     n = lib.tmc13ref_encode_octree_intra(
         pos32.ctypes.data_as(c.POINTER(c.c_int32)), pos32.shape[0],
         axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
-        nabl2, adj_child, 1 if unique_points else 0,
+        gp.ctypes.data_as(c.POINTER(c.c_int32)),
         out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
     if n < 0:
         raise RuntimeError(f"refcodec encode failed rc={n}")
     return out[:n].tobytes()
+
+
+def _ceillog2(x: int) -> int:
+    return max(int(x - 1).bit_length(), 0)
+
+
+def qtbt_axis_list(root_size_log2, qtbt_enabled: bool,
+                   max_num_qtbt_before_ot: int = 4,
+                   min_qtbt_size_log2: int = 0):
+    """Per-level coded-axis masks from the implicit QT/BT schedule
+    (mkQtBtNodeSizeList + oneQtBtDecision + updateQtBtParameters,
+    /root/reference/tmc3/geometry_octree.cpp:51-160; non-angular)."""
+    node = list(root_size_log2)
+    max_q = max_num_qtbt_before_ot
+    min_q = min_qtbt_size_log2
+    maxd, mind = max(node), min(node)
+    max_q = min(max_q, maxd - mind)
+    min_q = min(min_q, mind)
+    if maxd == mind:
+        min_q = 0
+    axes = []
+    while any(v > 0 for v in node):
+        if not qtbt_enabled:
+            nxt = [v - 1 for v in node]
+        elif max_q or min(node) == min_q:
+            m = max(node)
+            nxt = [v - 1 if v == m else v for v in node]
+        else:
+            nxt = [v - 1 for v in node]
+        axes.append((4 if node[0] > nxt[0] else 0)
+                    | (2 if node[1] > nxt[1] else 0)
+                    | (1 if node[2] > nxt[2] else 0))
+        if max_q:
+            max_q -= 1
+        if nxt[0] == min_q and nxt[0] == nxt[1] == nxt[2]:
+            min_q = -1
+        node = nxt
+    return axes
 
 
 def encode_stream(positions: np.ndarray,
@@ -55,7 +94,9 @@ def encode_stream(positions: np.ndarray,
                   neighbour_avail_boundary_log2: int = 8,
                   adjacent_child_contextualization: bool = True,
                   axis_order: int = 1,
-                  frame_ctr_bits: int = 1) -> bytes:
+                  frame_ctr_bits: int = 1,
+                  planar: bool = False,
+                  qtbt: bool = True) -> bytes:
     """Encode one frame of non-negative integer XYZ positions into a
     complete reference-syntax TLV stream (SPS + GPS + geometry brick).
 
@@ -72,9 +113,12 @@ def encode_stream(positions: np.ndarray,
     # xyz -> stv (identity for axis_order 1)
     stv = np.stack(ref_hls.from_xyz(
         axis_order, [pos[:, 0], pos[:, 1], pos[:, 2]]), axis=1)
-    maxv = int(stv.max()) if stv.size else 0
-    depth = max(int(maxv).bit_length(), 1)
-    axes = np.full(depth, 7, dtype=np.int32)
+    # per-axis root sizes (encoder.cpp:1373: ceillog2(max(2, whd)))
+    whd = (stv.max(axis=0) + 1) if stv.size else np.array([1, 1, 1])
+    root = [_ceillog2(max(2, int(v))) for v in whd]
+    if not qtbt:
+        root = [max(root)] * 3
+    axes = np.asarray(qtbt_axis_list(root, qtbt), dtype=np.int32)
 
     sps = ref_hls.RefSps(
         main_profile_compat=0, level=0, sps_id=0,
@@ -82,16 +126,24 @@ def encode_stream(positions: np.ndarray,
         geometry_axis_order=axis_order)
     gps = ref_hls.RefGps(
         gps_id=0, sps_id=0, geom_box_log2_scale_present=True,
+        qtbt_enabled=qtbt,
         unique_points=unique_points,
         neighbour_avail_boundary_log2_minus1=(
             neighbour_avail_boundary_log2 - 1),
         adjacent_child_contextualization=(
             adjacent_child_contextualization),
-        bitwise_occupancy=True)
+        bitwise_occupancy=True,
+        planar_enabled=planar,
+        # CTC planar configuration (thresholds from TMC3.cpp defaults;
+        # depth eligibility + dynamic OBUF + multiple planar as the
+        # reference encoder derives for non-angular content)
+        planar_threshold0=77, planar_threshold1=99,
+        planar_threshold2=113,
+        depth_planar_eligibility=planar,
+        planar_dynamic_obuf_eligibility=planar,
+        multiple_planar=planar)
 
-    aec = _encode_brick_native(
-        stv, axes, neighbour_avail_boundary_log2,
-        1 if adjacent_child_contextualization else 0, unique_points)
+    aec = _encode_brick_native(stv, axes, gps)
 
     gbh = ref_hls.RefGbh(
         gps_id=0, slice_id=0, slice_tag=0, frame_ctr_lsb=0,

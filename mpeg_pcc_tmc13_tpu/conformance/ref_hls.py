@@ -564,7 +564,16 @@ def write_gps(g: RefGps) -> bytes:
     w.u1(g.scaling_enabled)
     if g.scaling_enabled:
         raise NotImplementedError("scaling")
-    w.u1(0)                      # gps_extension_flag
+    ext = (g.depth_planar_eligibility
+           or g.planar_dynamic_obuf_eligibility or g.multiple_planar)
+    w.u1(1 if ext else 0)        # gps_extension_flag
+    if ext:
+        w.u1(0)                  # trisoup_enabled
+        w.u1(0)                  # interPredictionEnabled
+        if g.planar_enabled:
+            w.u1(g.depth_planar_eligibility)
+            w.u1(g.planar_dynamic_obuf_eligibility)   # non-angular
+            w.u1(g.multiple_planar)
     return w.get_bytes()
 
 

@@ -144,9 +144,24 @@ struct ArithDec {
     return int(value);
   }
 
+  // bypass_bin_coding_without_prob_update selects between a fresh
+  // p=0.5 context (0) and the dedicated bypass-bit path (1)
+  // (entropydirac.h:199-212; schroarith.h bypass functions)
+  bool bypassNoUpdate = false;
+
   int bypass() {
-    // p=0.5 with a fresh context, as used when
-    // bypass_bin_coding_without_prob_update = 0 (entropydirac.h:199)
+    if (bypassNoUpdate) {
+      // _schro_arith_decode_bypass_bit (schroarith.h:190-210)
+      if (!--cntr) {
+        code |= uint32_t(next_byte()) << 8;
+        cntr = 8;
+      }
+      code <<= 1;
+      unsigned value = code >= range;
+      if (value)
+        code -= range;
+      return int(value);
+    }
     uint16_t p = 0x8000;
     return bit(&p);
   }
@@ -263,7 +278,19 @@ struct ArithEnc {
     }
   }
 
+  bool bypassNoUpdate = false;
+
   void bypass(int value) {
+    if (bypassNoUpdate) {
+      // _schro_arith_encode_bypass_bit (schroarith.h:213-258)
+      cntr++;
+      low <<= 1;
+      if (value)
+        low += range;
+      if (cntr == 8)
+        renorm_byte();
+      return;
+    }
     uint16_t p = 0x8000;
     bit(&p, value);
   }
@@ -579,6 +606,8 @@ struct Atlas {
 struct NeighPattern {
   uint8_t pattern = 0;
   uint8_t adjOcc[7] = {0, 0, 0, 0, 0, 0, 0};
+  uint32_t neighborOccu = 0;
+  bool neighOccuValid = false;
 };
 
 struct NeighInfo {
@@ -591,9 +620,15 @@ struct NeighInfo {
   int neighb20 = 0;
 };
 
+// linear-neighbour probes for the no-advanced-occupancy fallback
+// (OctreeNeighMap.cpp:168-170)
+static const int kLinDx[9] = {1, 1, 1, 1, 0, 0, 0, -1, -1};
+static const int kLinDy[9] = {1, 0, 0, -1, 1, 1, -1, 1, 0};
+static const int kLinDz[9] = {0, 1, -1, 0, 1, -1, 1, 0, 1};
+
 static NeighPattern makeNeighPattern(
   bool adjChildCtx, const int32_t pos[3], int codedAxesPrevLvl,
-  const Atlas& atlas) {
+  const Atlas& atlas, bool planarEligibleKDepth) {
   const int mask = atlas.cubeSize - 1;
   const int x = pos[0] & mask, y = pos[1] & mask, z = pos[2] & mask;
   const int sx = (codedAxesPrevLvl & 4) ? 1 : 0;
@@ -601,7 +636,9 @@ static NeighPattern makeNeighPattern(
   const int sz = (codedAxesPrevLvl & 1) ? 1 : 0;
   NeighPattern gnp;
   uint8_t p;
-  if (x > 0 && x < mask && y > 0 && y < mask && z > 0 && z < mask) {
+  bool inner = x > 0 && x < mask && y > 0 && y < mask && z > 0
+    && z < mask;
+  if (inner) {
     p = uint8_t(atlas.get(x + 1, y, z, sx, sy, sz));
     p |= atlas.get(x - 1, y, z, sx, sy, sz) << 1;
     p |= atlas.get(x, y - 1, z, sx, sy, sz) << 2;
@@ -617,15 +654,54 @@ static NeighPattern makeNeighPattern(
     p |= atlas.getWithCheck(x, y, z + 1, sx, sy, sz) << 5;
   }
   gnp.pattern = p;
-  // planarEligibleKOctreeDepth is false in the supported tool set
-  if (!gnp.pattern || !adjChildCtx)
+  if ((!gnp.pattern && !planarEligibleKDepth) || !adjChildCtx)
     return gnp;
-  if (gnp.pattern & 2)
-    gnp.adjOcc[0] = atlas.getChildOcc(x - 1, y, z);
-  if (gnp.pattern & 4)
-    gnp.adjOcc[1] = atlas.getChildOcc(x, y - 1, z);
-  if (gnp.pattern & 16)
-    gnp.adjOcc[2] = atlas.getChildOcc(x, y, z - 1);
+  if (gnp.pattern) {
+    if (gnp.pattern & 2)
+      gnp.adjOcc[0] = atlas.getChildOcc(x - 1, y, z);
+    if (gnp.pattern & 4)
+      gnp.adjOcc[1] = atlas.getChildOcc(x, y - 1, z);
+    if (gnp.pattern & 16)
+      gnp.adjOcc[2] = atlas.getChildOcc(x, y, z - 1);
+  }
+  if (planarEligibleKDepth) {
+    if (inner) {
+      if (atlas.get(x - 1, y - 1, z, sx, sy, sz))
+        gnp.adjOcc[3] = atlas.getChildOcc(x - 1, y - 1, z);
+      if (atlas.get(x - 1, y, z - 1, sx, sy, sz))
+        gnp.adjOcc[4] = atlas.getChildOcc(x - 1, y, z - 1);
+      if (atlas.get(x, y - 1, z - 1, sx, sy, sz))
+        gnp.adjOcc[5] = atlas.getChildOcc(x, y - 1, z - 1);
+      if (atlas.get(x - 1, y - 1, z - 1, sx, sy, sz))
+        gnp.adjOcc[6] = atlas.getChildOcc(x - 1, y - 1, z - 1);
+    } else {
+      if (atlas.getWithCheck(x - 1, y - 1, z, sx, sy, sz))
+        gnp.adjOcc[3] = atlas.getChildOcc(x - 1, y - 1, z);
+      if (atlas.getWithCheck(x - 1, y, z - 1, sx, sy, sz))
+        gnp.adjOcc[4] = atlas.getChildOcc(x - 1, y, z - 1);
+      if (atlas.getWithCheck(x, y - 1, z - 1, sx, sy, sz))
+        gnp.adjOcc[5] = atlas.getChildOcc(x, y - 1, z - 1);
+      if (atlas.getWithCheck(x - 1, y - 1, z - 1, sx, sy, sz))
+        gnp.adjOcc[6] = atlas.getChildOcc(x - 1, y - 1, z - 1);
+    }
+    gnp.neighOccuValid = false;
+    for (int idx = 0; idx < 7 && !gnp.neighOccuValid; ++idx)
+      gnp.neighOccuValid |= gnp.adjOcc[idx] != 0;
+    if (!gnp.neighOccuValid) {
+      uint32_t no = (uint32_t(!!(gnp.pattern & 1)) << 11)
+        | (uint32_t(!!(gnp.pattern & 8)) << 10)
+        | (uint32_t(!!(gnp.pattern & 32)) << 9);
+      if (inner)
+        for (int n = 0; n < 9; n++)
+          no |= atlas.get(x + kLinDx[n], y + kLinDy[n], z + kLinDz[n],
+                          sx, sy, sz) << n;
+      else
+        for (int n = 0; n < 9; n++)
+          no |= atlas.getWithCheck(x + kLinDx[n], y + kLinDy[n],
+                                   z + kLinDz[n], sx, sy, sz) << n;
+      gnp.neighborOccu = no;
+    }
+  }
   return gnp;
 }
 
@@ -639,7 +715,7 @@ static const int kDz20[20] =
 
 static void prepareNeighInfo(
   NeighInfo& nf, const NeighPattern& gnp, const int32_t pos[3],
-  int atlasShift, const Atlas& atlas) {
+  int atlasShift, const Atlas& atlas, bool planarEligibleKDepth) {
   const int neighPattern = gnp.pattern;
   const int mask = atlas.cubeSize - 1;
   const int x = pos[0] & mask, y = pos[1] & mask, z = pos[2] & mask;
@@ -669,15 +745,18 @@ static void prepareNeighInfo(
 
   nf.edgeBits = 0;
   if ((n20 >> 3) & 1) {
-    int occLB = atlas.getChildOcc(x - 1, y, z - 1);
+    int occLB = planarEligibleKDepth ? gnp.adjOcc[4]
+                                     : atlas.getChildOcc(x - 1, y, z - 1);
     nf.edgeBits = ((occLB & 32) >> 5) | ((occLB & 128) >> 6);
   }
   if ((n20 >> 8) & 1) {
-    int occFB = atlas.getChildOcc(x, y - 1, z - 1);
+    int occFB = planarEligibleKDepth ? gnp.adjOcc[5]
+                                     : atlas.getChildOcc(x, y - 1, z - 1);
     nf.edgeBits |= ((occFB & 8) >> 1) | ((occFB & 128) >> 4);
   }
   if ((n20 >> 1) & 1) {
-    int occLF = atlas.getChildOcc(x - 1, y - 1, z);
+    int occLF = planarEligibleKDepth ? gnp.adjOcc[3]
+                                     : atlas.getChildOcc(x - 1, y - 1, z);
     nf.edgeBits |= (occLF & 0xC0) >> 2;
   }
 
@@ -1341,6 +1420,123 @@ static const CtxFn kCtxFns[8] = {ctxBit0, ctxBit1, ctxBit2, ctxBit3,
 // decoder context memory (GeometryOctreeContexts subset)
 // ---------------------------------------------------------------------------
 
+// planar mode state (OctreeNodePlanar, geometry_octree.h:131)
+struct NodePlanar {
+  uint8_t planarPossible = 7;
+  uint8_t planePosBits = 0;
+  uint8_t planarMode = 0;
+  bool isPCM = false;
+  bool isSignaled = false;   // decoder's isRead
+  bool allowPCM = false;     // intra: never
+  bool isPreDirMatch = true;
+  int lastDirIdx = 0;
+  bool eligible[3] = {false, false, false};
+  int ctxBufPCM = 0;
+};
+
+// setPlanesFromOccupancy (geometry_octree.cpp:292)
+static void planesFromOccupancy(int occupancy, NodePlanar& planar) {
+  uint8_t plane0 = 0;
+  plane0 |= !!(occupancy & 0x0f) << 0;
+  plane0 |= !!(occupancy & 0x33) << 1;
+  plane0 |= !!(occupancy & 0x55) << 2;
+  uint8_t plane1 = 0;
+  plane1 |= !!(occupancy & 0xf0) << 0;
+  plane1 |= !!(occupancy & 0xcc) << 1;
+  plane1 |= !!(occupancy & 0xaa) << 2;
+  planar.planarMode = plane0 ^ plane1;
+  planar.planePosBits = planar.planarMode & plane1;
+}
+
+// per-axis closest-plane history (OctreePlanarBuffer,
+// geometry_octree.h:725-775): rowSize=1, pos is 5 bits, planeIdx in
+// {-2 unused, -1 not planar, 0, 1}
+struct PlanarBuffer {
+  static const int kNumBitsC = 14;
+  static const int kShiftAb = 3;
+  static const int kMaskAb = ((1 << 5) - 1) << kShiftAb;
+  static const int kMaskC = (1 << kNumBitsC) - 1;
+  struct Elmt {
+    uint8_t pos;
+    int8_t planeIdx;
+  };
+  std::vector<Elmt> buf;
+  int colOff[3] = {0, 0, 0};
+  bool enabled = false;
+
+  void resize(const int depthStv[3]) {
+    int rows[3];
+    for (int k = 0; k < 3; k++) {
+      long n = 1L << std::min(depthStv[k], 24);
+      rows[k] = int(n > kMaskC ? kMaskC + 1 : n);
+    }
+    buf.assign(size_t(rows[0]) + rows[1] + rows[2], Elmt{0, -2});
+    colOff[0] = 0;
+    colOff[1] = rows[0];
+    colOff[2] = rows[0] + rows[1];
+    enabled = true;
+  }
+  Elmt* col(int dim) { return buf.data() + colOff[dim]; }
+};
+
+// planar rate/eligibility state (OctreePlanarState,
+// geometry_octree.h:777-793, geometry_octree.cpp:380-460)
+struct PlanarState {
+  bool bufferEnabled = false;
+  bool multiplePlanar = false;
+  PlanarBuffer buffer;
+  int rate[3] = {128 * 8, 128 * 8, 128 * 8};
+  int localDensity = 1024 * 4;
+  int rateThreshold[3] = {0, 0, 0};
+
+  void initPlanes(const int depthStv[3]) {
+    if (bufferEnabled)
+      buffer.resize(depthStv);
+  }
+  void updateRate(int occupancy, int numSiblings) {
+    bool px = !((occupancy & 0xf0) && (occupancy & 0x0f));
+    bool py = !((occupancy & 0xcc) && (occupancy & 0x33));
+    bool pz = !((occupancy & 0x55) && (occupancy & 0xaa));
+    rate[0] = (255 * rate[0] + (px ? 256 * 8 : 0) + 128) >> 8;
+    rate[1] = (255 * rate[1] + (py ? 256 * 8 : 0) + 128) >> 8;
+    rate[2] = (255 * rate[2] + (pz ? 256 * 8 : 0) + 128) >> 8;
+    localDensity = (255 * localDensity + 1024 * numSiblings) >> 8;
+  }
+  void isEligible(bool eligible[3]) const {
+    eligible[0] = eligible[1] = eligible[2] = false;
+    if (localDensity >= 3 * 1024)
+      return;
+    if (rate[0] >= rate[1] && rate[0] >= rate[2]) {
+      eligible[0] = rate[0] >= rateThreshold[0];
+      if (rate[1] >= rate[2]) {
+        eligible[1] = rate[1] >= rateThreshold[1];
+        eligible[2] = rate[2] >= rateThreshold[2];
+      } else {
+        eligible[2] = rate[2] >= rateThreshold[1];
+        eligible[1] = rate[1] >= rateThreshold[2];
+      }
+    } else if (rate[1] >= rate[0] && rate[1] >= rate[2]) {
+      eligible[1] = rate[1] >= rateThreshold[0];
+      if (rate[0] >= rate[2]) {
+        eligible[0] = rate[0] >= rateThreshold[1];
+        eligible[2] = rate[2] >= rateThreshold[2];
+      } else {
+        eligible[2] = rate[2] >= rateThreshold[1];
+        eligible[0] = rate[0] >= rateThreshold[2];
+      }
+    } else {
+      eligible[2] = rate[2] >= rateThreshold[0];
+      if (rate[0] >= rate[1]) {
+        eligible[0] = rate[0] >= rateThreshold[1];
+        eligible[1] = rate[1] >= rateThreshold[2];
+      } else {
+        eligible[1] = rate[1] >= rateThreshold[1];
+        eligible[0] = rate[0] >= rateThreshold[2];
+      }
+    }
+  }
+};
+
 struct RefOctreeCtx {
   uint16_t ctxSingleChild = 0x8000;
   uint16_t ctxDupPointCntGt0 = 0x8000;
@@ -1351,7 +1547,17 @@ struct RefOctreeCtx {
   std::vector<uint8_t> leaves;
   int leafNumber = 0;
 
-  void resetMaps() {
+  // planar contexts
+  uint16_t ctxPlanarMode[9];
+  uint16_t ctxMultiPlanarMode = 0x8000;
+  uint16_t ctxPlanarPlaneLastIndex[3][3][3][4];
+  uint16_t ctxPlanarPlaneLastIndexZ[9];
+  CtxMapOBUF mapPlanarPos[3][3];      // [refPlane][planeId]
+  ObufModel planarModel[3];           // per planeId
+  std::vector<uint8_t> planarLeaves;
+  int planarLeafNumber = 0;
+
+  void resetMaps(bool enablePlanar) {
     // GeometryOctreeContexts::resetMap (geometry_octree.cpp:877)
     const int n2 = 6;
     for (int i = 0; i < 4; i++) {
@@ -1368,7 +1574,40 @@ struct RefOctreeCtx {
                   << CtxMapOBUF::kLeafDepth, 0);
     leafNumber = 0;
     obufModel.init();
+    for (int i = 0; i < 9; i++) {
+      ctxPlanarMode[i] = 0x8000;
+      ctxPlanarPlaneLastIndexZ[i] = 0x8000;
+    }
+    for (int a = 0; a < 3; a++)
+      for (int b = 0; b < 3; b++)
+        for (int c = 0; c < 3; c++)
+          for (int d = 0; d < 4; d++)
+            ctxPlanarPlaneLastIndex[a][b][c][d] = 0x8000;
+    if (enablePlanar) {
+      for (int k = 0; k < 3; k++) {
+        mapPlanarPos[0][k].reset(10, 8);   // intra: refPlane 0 only
+        planarModel[k].init();
+      }
+      planarLeaves.assign(size_t(CtxMapOBUF::kLeafBufSize)
+                          << CtxMapOBUF::kLeafDepth, 0);
+      planarLeafNumber = 0;
+    }
   }
+};
+
+// tool configuration shared by encode/decode entry points; mirrors the
+// GPS fields (order fixed by the Python glue)
+struct GeomParams {
+  int neighAvailBoundaryLog2;   // minus1 + 1
+  int adjacentChildCtx;
+  int uniquePoints;
+  int planarEnabled;
+  int planarBufferEnabled;
+  int multiplePlanar;
+  int depthPlanarEligibility;
+  int planarDynamicObufEligibility;
+  int planarTh[3];
+  int bypassNoUpdate;           // sps bypass_bin_coding_without_prob_update
 };
 
 struct Node {
@@ -1376,6 +1615,384 @@ struct Node {
   uint8_t siblingOccupancy;
   uint8_t numSiblingsPlus1;
 };
+
+// ---------------------------------------------------------------------------
+// planar mode coding, intra subset (no PCM, no angular, no inter ref)
+// (decodePlanarMode geometry_octree_decoder.cpp:312-497,
+//  encodePlanarMode geometry_octree_encoder.cpp, determinePlanarMode
+//  both files)
+// ---------------------------------------------------------------------------
+
+static const int kAdjPlaneCtx[4] = {0, 1, 2, 0};
+
+// shared context derivation for the plane-position bit under the
+// dynamic-OBUF planar path; fills ctx1/ctx2
+static void planarPosObufCtx(
+  int planeId, int lastIndexPlane2d, int planePosCtx,
+  const NodePlanar adjNeighPlanar[7], bool neighAvai,
+  uint32_t neighOccu, int& c1, int& c2) {
+  const int mask0 = 1 << planeId;
+  if (neighAvai) {
+    int coPlaneBits = (!!(adjNeighPlanar[0].planePosBits & mask0) << 2)
+      | (!!(adjNeighPlanar[1].planePosBits & mask0) << 1)
+      | !!(adjNeighPlanar[2].planePosBits & mask0);
+    int coPlaneMode = (!!(adjNeighPlanar[0].planarMode & mask0) << 2)
+      | (!!(adjNeighPlanar[1].planarMode & mask0) << 1)
+      | !!(adjNeighPlanar[2].planarMode & mask0);
+    int coPlane = (coPlaneBits << 3) | coPlaneMode;
+    int coEdgeBits = (!!(adjNeighPlanar[3].planePosBits & mask0) << 2)
+      | (!!(adjNeighPlanar[4].planePosBits & mask0) << 1)
+      | !!(adjNeighPlanar[5].planePosBits & mask0);
+    int coEdgeMode = (!!(adjNeighPlanar[3].planarMode & mask0) << 2)
+      | (!!(adjNeighPlanar[4].planarMode & mask0) << 1)
+      | !!(adjNeighPlanar[5].planarMode & mask0);
+    int coEdge = (coEdgeBits << 3) | coEdgeMode;
+    int coVertex = (!!(adjNeighPlanar[6].planePosBits & mask0) << 1)
+      | !!(adjNeighPlanar[6].planarMode & mask0);
+    c1 = (lastIndexPlane2d << 6) | coPlane;
+    c2 = (planePosCtx << 8) | (coEdge << 2) | coVertex;
+  } else {
+    c1 = (1 << 7) | (lastIndexPlane2d << 5) | ((planePosCtx & 3) << 3)
+      | ((neighOccu >> 9) & 7);
+    c2 = (1 << 9) | (neighOccu & ((1 << 9) - 1));
+  }
+}
+
+// decode one plane flag/position (intra); returns planeBit or -1
+static int decodePlanarModeIntra(
+  ArithDec& aec, RefOctreeCtx& ctx, bool multiplePlanar, bool dynObuf,
+  NodePlanar& planar, int planeZ, int dist, int adjPlanes, int planeId,
+  const bool* multiPlanarFlag, const bool* multiPlanarEligible,
+  const NodePlanar adjNeighPlanar[7], bool neighAvai,
+  uint32_t neighOccu) {
+  const int mask0 = 1 << planeId;
+  static const int kMask1[3] = {6, 5, 3};
+
+  bool isPlanar;
+  if (multiplePlanar) {
+    static const int planeId2Index[3][3] = {{0, 1, 2}, {0, 1, 3},
+                                            {0, 2, 3}};
+    bool multiPlanarFlagFalse = true;
+    for (int i = 0; i < 3; i++)
+      multiPlanarFlagFalse &= !multiPlanarFlag[
+        planeId2Index[planeId][i]];
+    bool inferredPlanarFalse = multiPlanarFlagFalse;
+    if (multiPlanarFlagFalse) {
+      if (planeId == 2) {
+        if (multiPlanarEligible[0])
+          inferredPlanarFalse =
+            !((planar.planarMode & 2) && (planar.planarMode & 1));
+        else if (multiPlanarEligible[2])
+          inferredPlanarFalse = !(planar.planarMode & 1);
+        else if (multiPlanarEligible[3])
+          inferredPlanarFalse = !(planar.planarMode & 2);
+      } else if (planeId == 1) {
+        if (multiPlanarEligible[1])
+          inferredPlanarFalse = !(planar.planarMode & 1);
+      }
+    }
+    if (inferredPlanarFalse)
+      isPlanar = aec.bit(&ctx.ctxPlanarMode[planeId]) != 0;
+    else if (!multiPlanarFlagFalse)
+      isPlanar = true;
+    else
+      isPlanar = false;
+  } else {
+    isPlanar = aec.bit(&ctx.ctxPlanarMode[planeId]) != 0;
+  }
+
+  planar.planarMode |= isPlanar ? mask0 : 0;
+  if (!isPlanar) {
+    planar.planarPossible &= kMask1[planeId];
+    return -1;
+  }
+
+  int planeBit;
+  int planePosCtx = kAdjPlaneCtx[adjPlanes];
+  if (dynObuf) {
+    int discreteDist;
+    if (planeZ < 0) {
+      discreteDist = 1;
+      planeZ = 0;
+    } else {
+      discreteDist = dist > (8 >> PlanarBuffer::kShiftAb);
+    }
+    int lastIndexPlane2d = planeZ + (discreteDist << 1);
+    int c1, c2;
+    planarPosObufCtx(planeId, lastIndexPlane2d, planePosCtx,
+                     adjNeighPlanar, neighAvai, neighOccu, c1, c2);
+    planeBit = ctx.mapPlanarPos[0][planeId].decodeEvolve(
+      &aec, ctx.planarModel[planeId], c2, c1, &ctx.planarLeafNumber,
+      ctx.planarLeaves.data());
+  } else {
+    if (planeZ < 0) {
+      planeBit = aec.bit(&ctx.ctxPlanarPlaneLastIndexZ[planePosCtx]);
+    } else {
+      int discreteDist = dist > (8 >> PlanarBuffer::kShiftAb);
+      int lastIndexPlane2d = planeZ + (discreteDist << 1);
+      planeBit = aec.bit(
+        &ctx.ctxPlanarPlaneLastIndex[0][planeId][planePosCtx]
+                                    [lastIndexPlane2d]);
+    }
+  }
+  planar.planePosBits |= planeBit << planeId;
+  return planeBit;
+}
+
+// encode mirror of the above; planar bits are already set from the
+// actual occupancy
+static int encodePlanarModeIntra(
+  ArithEnc& aec, RefOctreeCtx& ctx, bool multiplePlanar, bool dynObuf,
+  NodePlanar& planar, int planeZ, int dist, int adjPlanes, int planeId,
+  const bool* multiPlanarFlag, const bool* multiPlanarEligible,
+  const NodePlanar adjNeighPlanar[7], bool neighAvai,
+  uint32_t neighOccu) {
+  const int mask0 = 1 << planeId;
+  static const int kMask1[3] = {6, 5, 3};
+
+  bool isPlanar = planar.planarMode & mask0;
+  int planeBit = (planar.planePosBits & mask0) ? 1 : 0;
+
+  if (multiplePlanar) {
+    static const int planeId2Index[3][3] = {{0, 1, 2}, {0, 1, 3},
+                                            {0, 2, 3}};
+    bool multiPlanarFlagFalse = true;
+    for (int i = 0; i < 3; i++)
+      multiPlanarFlagFalse &= !multiPlanarFlag[
+        planeId2Index[planeId][i]];
+    bool inferredPlanarFalse = multiPlanarFlagFalse;
+    if (multiPlanarFlagFalse) {
+      if (planeId == 2) {
+        if (multiPlanarEligible[0])
+          inferredPlanarFalse =
+            !((planar.planarMode & 2) && (planar.planarMode & 1));
+        else if (multiPlanarEligible[2])
+          inferredPlanarFalse = !(planar.planarMode & 1);
+        else if (multiPlanarEligible[3])
+          inferredPlanarFalse = !(planar.planarMode & 2);
+      } else if (planeId == 1) {
+        if (multiPlanarEligible[1])
+          inferredPlanarFalse = !(planar.planarMode & 1);
+      }
+    }
+    if (inferredPlanarFalse)
+      aec.bit(&ctx.ctxPlanarMode[planeId], isPlanar);
+  } else {
+    aec.bit(&ctx.ctxPlanarMode[planeId], isPlanar);
+  }
+
+  if (!isPlanar) {
+    planar.planarPossible &= kMask1[planeId];
+    return -1;
+  }
+
+  int planePosCtx = kAdjPlaneCtx[adjPlanes];
+  if (dynObuf) {
+    int discreteDist;
+    if (planeZ < 0) {
+      discreteDist = 1;
+      planeZ = 0;
+    } else {
+      discreteDist = dist > (8 >> PlanarBuffer::kShiftAb);
+    }
+    int lastIndexPlane2d = planeZ + (discreteDist << 1);
+    int c1, c2;
+    planarPosObufCtx(planeId, lastIndexPlane2d, planePosCtx,
+                     adjNeighPlanar, neighAvai, neighOccu, c1, c2);
+    uint8_t obufIdx = ctx.mapPlanarPos[0][planeId].getEvolve(
+      planeBit, c2, c1, &ctx.planarLeafNumber,
+      ctx.planarLeaves.data());
+    aec.bit_bounded(&ctx.planarModel[planeId].prob[obufIdx >> 3],
+                    obufIdx >> 3, ctx.planarModel[planeId].bound,
+                    planeBit);
+  } else {
+    if (planeZ < 0) {
+      aec.bit(&ctx.ctxPlanarPlaneLastIndexZ[planePosCtx], planeBit);
+    } else {
+      int discreteDist = dist > (8 >> PlanarBuffer::kShiftAb);
+      int lastIndexPlane2d = planeZ + (discreteDist << 1);
+      aec.bit(&ctx.ctxPlanarPlaneLastIndex[0][planeId][planePosCtx]
+                                          [lastIndexPlane2d],
+              planeBit);
+    }
+  }
+  return planeBit;
+}
+
+// per-plane wrapper: buffer lookup, adjacent-plane context, rate
+// update (determinePlanarMode single-plane overload, decoder :556)
+template<typename CodePlane>
+static void determinePlanarPlane(
+  RefOctreeCtx& ctx, PlanarState& planarState, bool adjChildCtx,
+  int planeId, NodePlanar& planar, PlanarBuffer::Elmt* planeBuffer,
+  int coord1, int coord2, int coord3, int posInParent,
+  const NeighPattern& gnp, uint8_t siblingOccupancy,
+  CodePlane codePlane) {
+  static const int kAdjNeighIdxFromPlanePos[3][2] = {{1, 0}, {2, 3},
+                                                     {4, 5}};
+  const int planeSelector = 1 << planeId;
+  static const uint8_t kAdjNeighIdxMask[3][2] = {{0x0f, 0xf0},
+                                                 {0x33, 0xcc},
+                                                 {0x55, 0xaa}};
+  PlanarBuffer::Elmt* row = nullptr;
+  int closestPlanarFlag;
+  int closestDist;
+  int maxCoord = 0;
+  if (!planeBuffer) {
+    closestPlanarFlag = -1;
+    closestDist = 0;
+  } else {
+    coord1 = (coord1 & PlanarBuffer::kMaskAb) >> PlanarBuffer::kShiftAb;
+    coord2 = (coord2 & PlanarBuffer::kMaskAb) >> PlanarBuffer::kShiftAb;
+    coord3 = coord3 & PlanarBuffer::kMaskC;
+    row = &planeBuffer[coord3];
+    maxCoord = std::max(coord1, coord2);
+    closestDist = std::abs(maxCoord - int(row[0].pos));
+    closestPlanarFlag = row[0].planeIdx;
+  }
+
+  int pos = !(kAdjNeighIdxMask[planeId][0] & (1 << posInParent));
+  bool lowAdj = adjChildCtx
+    ? (kAdjNeighIdxMask[planeId][1] & gnp.adjOcc[planeId]) != 0
+    : ((gnp.pattern >> kAdjNeighIdxFromPlanePos[planeId][0]) & 1) != 0;
+  bool highAdj = !pos
+    ? (kAdjNeighIdxMask[planeId][1] & siblingOccupancy) != 0
+    : ((gnp.pattern >> kAdjNeighIdxFromPlanePos[planeId][1]) & 1) != 0;
+  int adjPlanes = (int(highAdj) << 1) | int(lowAdj);
+
+  int planeBit = codePlane(planar, closestPlanarFlag, closestDist,
+                           adjPlanes, planeId);
+  bool isPlanar = (planar.planarMode & planeSelector) != 0;
+  planarState.rate[planeId] =
+    (255 * planarState.rate[planeId] + (isPlanar ? 256 * 8 : 0) + 128)
+    >> 8;
+  if (planeBuffer)
+    *row = PlanarBuffer::Elmt{uint8_t(maxCoord), int8_t(planeBit)};
+  // intra: no planarRef, isPreDirMatch book-keeping is inert
+}
+
+// 3-plane wrappers (determinePlanarMode, decoder :652 / encoder):
+// the decoder reads the multi-planar flag, the encoder derives it
+// from the occupancy and codes it.
+
+static int kindOfEligible(const bool e[3]) {
+  if (e[2] && e[1] && e[0]) return 0;
+  if (!e[2] && e[1] && e[0]) return 1;
+  if (e[2] && !e[1] && e[0]) return 2;
+  if (e[2] && e[1] && !e[0]) return 3;
+  return -1;
+}
+
+static void determinePlanarIntraDec(
+  ArithDec& aec, RefOctreeCtx& ctx, PlanarState& planarState,
+  const GeomParams& gp, bool dynObuf, const bool planarEligible[3],
+  int posInParent, const NeighPattern& gnp, const int32_t childPos[3],
+  uint8_t siblingOccupancy, NodePlanar& planar) {
+  NodePlanar adjNeighPlanar[7];
+  if (dynObuf && gnp.neighOccuValid)
+    for (int idx = 0; idx < 7; ++idx)
+      if (gnp.adjOcc[idx])
+        planesFromOccupancy(gnp.adjOcc[idx], adjNeighPlanar[idx]);
+
+  bool multiPlanarFlag[4] = {false, false, false, false};
+  bool multiPlanarEligible[4] = {false, false, false, false};
+  if (planarState.multiplePlanar) {
+    int kind = kindOfEligible(planarEligible);
+    if (kind >= 0) {
+      multiPlanarEligible[kind] = true;
+      multiPlanarFlag[kind] = aec.bit(&ctx.ctxMultiPlanarMode) != 0;
+    }
+  }
+
+  struct Dir {
+    int planeId, c1, c2, c3;
+  };
+  const Dir dirs[3] = {{0, childPos[1], childPos[2], childPos[0]},
+                       {1, childPos[0], childPos[2], childPos[1]},
+                       {2, childPos[0], childPos[1], childPos[2]}};
+  for (const Dir& d : dirs) {
+    if (!planarEligible[d.planeId])
+      continue;
+    PlanarBuffer::Elmt* buf = planarState.bufferEnabled
+      ? planarState.buffer.col(d.planeId) : nullptr;
+    determinePlanarPlane(
+      ctx, planarState, gp.adjacentChildCtx != 0, d.planeId, planar,
+      buf, d.c1, d.c2, d.c3, posInParent, gnp, siblingOccupancy,
+      [&](NodePlanar& pl, int planeZ, int dist, int adjPlanes,
+          int planeId) {
+        return decodePlanarModeIntra(
+          aec, ctx, planarState.multiplePlanar, dynObuf, pl, planeZ,
+          dist, adjPlanes, planeId, multiPlanarFlag,
+          multiPlanarEligible, adjNeighPlanar, gnp.neighOccuValid,
+          gnp.neighborOccu);
+      });
+  }
+}
+
+static void determinePlanarIntraEnc(
+  ArithEnc& aec, RefOctreeCtx& ctx, PlanarState& planarState,
+  const GeomParams& gp, bool dynObuf, const bool planarEligible[3],
+  int posInParent, const NeighPattern& gnp, const int32_t childPos[3],
+  uint8_t siblingOccupancy, int occupancy, NodePlanar& planar) {
+  planesFromOccupancy(occupancy, planar);
+
+  NodePlanar adjNeighPlanar[7];
+  if (dynObuf && gnp.neighOccuValid)
+    for (int idx = 0; idx < 7; ++idx)
+      if (gnp.adjOcc[idx])
+        planesFromOccupancy(gnp.adjOcc[idx], adjNeighPlanar[idx]);
+
+  uint8_t mask = 0;
+  mask |= planarEligible[2] << 2;
+  mask |= planarEligible[1] << 1;
+  mask |= planarEligible[0] << 0;
+  planar.planarMode &= mask;
+  planar.planePosBits &= mask;
+
+  bool multiPlanarFlag[4] = {false, false, false, false};
+  bool multiPlanarEligible[4] = {false, false, false, false};
+  if (planarState.multiplePlanar) {
+    int kind = kindOfEligible(planarEligible);
+    if (kind >= 0) {
+      multiPlanarEligible[kind] = true;
+      bool v;
+      if (kind == 0)
+        v = (occupancy & (occupancy - 1)) == 0;
+      else if (kind == 1)
+        v = (planar.planarMode & 1) && (planar.planarMode & 2);
+      else if (kind == 2)
+        v = (planar.planarMode & 1) && (planar.planarMode & 4);
+      else
+        v = (planar.planarMode & 2) && (planar.planarMode & 4);
+      multiPlanarFlag[kind] = v;
+      aec.bit(&ctx.ctxMultiPlanarMode, v);
+    }
+  }
+
+  struct Dir {
+    int planeId, c1, c2, c3;
+  };
+  const Dir dirs[3] = {{0, childPos[1], childPos[2], childPos[0]},
+                       {1, childPos[0], childPos[2], childPos[1]},
+                       {2, childPos[0], childPos[1], childPos[2]}};
+  for (const Dir& d : dirs) {
+    if (!planarEligible[d.planeId])
+      continue;
+    PlanarBuffer::Elmt* buf = planarState.bufferEnabled
+      ? planarState.buffer.col(d.planeId) : nullptr;
+    determinePlanarPlane(
+      ctx, planarState, gp.adjacentChildCtx != 0, d.planeId, planar,
+      buf, d.c1, d.c2, d.c3, posInParent, gnp, siblingOccupancy,
+      [&](NodePlanar& pl, int planeZ, int dist, int adjPlanes,
+          int planeId) {
+        return encodePlanarModeIntra(
+          aec, ctx, planarState.multiplePlanar, dynObuf, pl, planeZ,
+          dist, adjPlanes, planeId, multiPlanarFlag,
+          multiPlanarEligible, adjNeighPlanar, gnp.neighOccuValid,
+          gnp.neighborOccu);
+      });
+  }
+}
 
 // occupancy decode (decodeOccupancyFullNeihbourgs + NZ,
 // geometry_octree_decoder.cpp:777-982); planar masks are zero in the
@@ -1385,7 +2002,9 @@ struct Node {
 static uint32_t decodeOccupancy(
   ArithDec& aec, RefOctreeCtx& ctx, const NeighPattern& gnp,
   int planarMaskX, int planarMaskY, int planarMaskZ,
-  const Atlas& atlas, const int32_t pos[3], int atlasShift) {
+  bool planarPossibleX, bool planarPossibleY, bool planarPossibleZ,
+  const Atlas& atlas, const int32_t pos[3], int atlasShift,
+  bool planarEligibleKDepth) {
   // single child with known position
   if (planarMaskX && planarMaskY && planarMaskZ) {
     uint32_t cnt = planarMaskZ & 1;
@@ -1396,8 +2015,10 @@ static uint32_t decodeOccupancy(
 
   bool flagNoSingle = false;
   if (gnp.pattern == 0) {
-    // predOcc == 0 (intra) and planarPossible == true on all axes
-    bool singleChild = aec.bit(&ctx.ctxSingleChild) == 1;
+    // predOcc == 0 (intra)
+    bool singleChild = false;
+    if (planarPossibleX && planarPossibleY && planarPossibleZ)
+      singleChild = aec.bit(&ctx.ctxSingleChild) == 1;
     if (singleChild) {
       uint32_t cnt;
       cnt = planarMaskZ ? uint32_t(planarMaskZ & 1)
@@ -1424,9 +2045,9 @@ static uint32_t decodeOccupancy(
   }
 
   // NZ path
-  const bool surePlanarityX = planarMaskX;   // planarPossible == true
-  const bool surePlanarityY = planarMaskY;
-  const bool surePlanarityZ = planarMaskZ;
+  const bool surePlanarityX = planarMaskX || !planarPossibleX;
+  const bool surePlanarityY = planarMaskY || !planarPossibleY;
+  const bool surePlanarityZ = planarMaskZ || !planarPossibleZ;
   const int maxPerPlaneX = (planarMaskX && flagNoSingle) ? 2 : 3;
   const int maxPerPlaneY = (planarMaskY && flagNoSingle) ? 2 : 3;
   const int maxPerPlaneZ = (planarMaskZ && flagNoSingle) ? 2 : 3;
@@ -1441,7 +2062,8 @@ static uint32_t decodeOccupancy(
     std::memcpy(coded0, kInitCoded0[maskConfig], sizeof coded0);
 
   NeighInfo nf;
-  prepareNeighInfo(nf, gnp, pos, atlasShift, atlas);
+  prepareNeighInfo(nf, gnp, pos, atlasShift, atlas,
+                   planarEligibleKDepth);
 
   uint32_t occupancy = 0;
   int maskedOccupancy = planarMaskX | planarMaskY | planarMaskZ;
@@ -1485,14 +2107,17 @@ static uint32_t decodeOccupancy(
 static void encodeOccupancy(
   ArithEnc& aec, RefOctreeCtx& ctx, const NeighPattern& gnp,
   int occupancy, int planarMaskX, int planarMaskY, int planarMaskZ,
-  const Atlas& atlas, const int32_t pos[3], int atlasShift) {
+  bool planarPossibleX, bool planarPossibleY, bool planarPossibleZ,
+  const Atlas& atlas, const int32_t pos[3], int atlasShift,
+  bool planarEligibleKDepth) {
   if (planarMaskX && planarMaskY && planarMaskZ)
     return;
   bool flagNoSingle = false;
   if (gnp.pattern == 0) {
     int pc = occupancy & (occupancy - 1);
     bool singleChild = pc == 0;
-    aec.bit(&ctx.ctxSingleChild, singleChild);
+    if (planarPossibleX && planarPossibleY && planarPossibleZ)
+      aec.bit(&ctx.ctxSingleChild, singleChild);
     if (singleChild) {
       if (!planarMaskZ) aec.bypass(!!(occupancy & 0xaa));
       if (!planarMaskY) aec.bypass(!!(occupancy & 0xcc));
@@ -1505,9 +2130,9 @@ static void encodeOccupancy(
     if (planarMaskX && planarMaskZ) return;
   }
 
-  const bool surePlanarityX = planarMaskX;
-  const bool surePlanarityY = planarMaskY;
-  const bool surePlanarityZ = planarMaskZ;
+  const bool surePlanarityX = planarMaskX || !planarPossibleX;
+  const bool surePlanarityY = planarMaskY || !planarPossibleY;
+  const bool surePlanarityZ = planarMaskZ || !planarPossibleZ;
   const int maxPerPlaneX = (planarMaskX && flagNoSingle) ? 2 : 3;
   const int maxPerPlaneY = (planarMaskY && flagNoSingle) ? 2 : 3;
   const int maxPerPlaneZ = (planarMaskZ && flagNoSingle) ? 2 : 3;
@@ -1521,7 +2146,8 @@ static void encodeOccupancy(
     std::memcpy(coded0, kInitCoded0[maskConfig], sizeof coded0);
 
   NeighInfo nf;
-  prepareNeighInfo(nf, gnp, pos, atlasShift, atlas);
+  prepareNeighInfo(nf, gnp, pos, atlasShift, atlas,
+                   planarEligibleKDepth);
 
   int maskedOccupancy = planarMaskX | planarMaskY | planarMaskZ;
   for (int i = 0; i < 8; i++) {
@@ -1570,18 +2196,35 @@ static void encodeOccupancy(
 extern "C" int tmc13ref_encode_octree_intra(
   const int32_t* positions, int num_points,
   const int32_t* coded_axis_list, int num_levels,
-  int neighbour_avail_boundary_log2,
-  int adjacent_child_ctx,
-  int unique_points,
+  const int32_t* gp_arr,           // GeomParams as 12 int32s
   uint8_t* out_buf, int out_cap) {
+  GeomParams gp;
+  std::memcpy(&gp, gp_arr, sizeof gp);
+  const int neighbour_avail_boundary_log2 = gp.neighAvailBoundaryLog2;
+  const int adjacent_child_ctx = gp.adjacentChildCtx;
+  const int unique_points = gp.uniquePoints;
   if (neighbour_avail_boundary_log2 < 1
       || neighbour_avail_boundary_log2 > 9)
     return -2;
 
   ArithEnc aec;
   aec.init();
+  aec.bypassNoUpdate = gp.bypassNoUpdate != 0;
   RefOctreeCtx ctx;
-  ctx.resetMaps();
+  ctx.resetMaps(gp.planarEnabled != 0);
+
+  PlanarState planarState;
+  planarState.bufferEnabled = gp.planarEnabled && gp.planarBufferEnabled;
+  planarState.multiplePlanar = gp.planarEnabled && gp.multiplePlanar;
+  for (int k = 0; k < 3; k++)
+    planarState.rateThreshold[k] = gp.planarTh[k] << 4;
+  const bool dynObuf = gp.planarEnabled
+    && gp.planarDynamicObufEligibility;
+  const bool checkPlanarDepthEligibility = gp.planarEnabled
+    && gp.depthPlanarEligibility;
+  bool planarEligibleKDepth = false;
+  int nodesBeforePlanarUpdate = 1;
+
   Atlas atlas;
   atlas.resize(adjacent_child_ctx != 0, neighbour_avail_boundary_log2);
 
@@ -1611,6 +2254,7 @@ extern "C" int tmc13ref_encode_octree_intra(
     int32_t pos[3];
     int32_t start, end;
     uint8_t siblingOccupancy;
+    uint8_t numSiblingsPlus1;
   };
   std::vector<int32_t> order{};
   order.resize(size_t(num_points));
@@ -1625,6 +2269,7 @@ extern "C" int tmc13ref_encode_octree_intra(
   root.start = 0;
   root.end = num_points;
   root.siblingOccupancy = 0;
+  root.numSiblingsPlus1 = 8;
   fifo.push_back(root);
   size_t head = 0;
 
@@ -1643,6 +2288,14 @@ extern "C" int tmc13ref_encode_octree_intra(
     for (int k = 0; k < 3; k++)
       probe[k] = (codedAxesCurLvl & (4 >> k))
         ? (int32_t(1) << childSizeLog2[k]) : 0;
+    if (gp.planarEnabled) {
+      int planarDepth[3] = {lvlSize[0][0] - lvlSize[0][depth],
+                            lvlSize[1][0] - lvlSize[1][depth],
+                            lvlSize[2][0] - lvlSize[2][depth]};
+      planarState.initPlanes(planarDepth);
+    }
+    const bool dynK = dynObuf && planarEligibleKDepth;
+    long numSubnodes = 0;
 
     for (; head < lvlEnd; head++) {
       ENode node0 = fifo[head];
@@ -1675,8 +2328,13 @@ extern "C" int tmc13ref_encode_octree_intra(
                     sizeof(int32_t) * size_t(node0.end - node0.start));
       }
       int occupancy = 0;
+      int numOccupied = 0;
       for (int b = 0; b < 8; b++)
-        if (counts[b]) occupancy |= 1 << b;
+        if (counts[b]) {
+          occupancy |= 1 << b;
+          numOccupied++;
+        }
+      numSubnodes += numOccupied;
 
       // atlas refresh (mirrors the decoder exactly)
       {
@@ -1710,16 +2368,64 @@ extern "C" int tmc13ref_encode_octree_intra(
       }
 
       NeighPattern gnp = makeNeighPattern(
-        adjacent_child_ctx != 0, node0.pos, codedAxesPrevLvl, atlas);
+        adjacent_child_ctx != 0, node0.pos, codedAxesPrevLvl, atlas,
+        dynK);
 
+      int posInParent = 0;
+      posInParent |= (node0.pos[0] & 1) << 2;
+      posInParent |= (node0.pos[1] & 1) << 1;
+      posInParent |= (node0.pos[2] & 1) << 0;
+      posInParent &= codedAxesPrevLvl;
+
+      if (gp.planarEnabled && !gp.depthPlanarEligibility) {
+        if (!nodesBeforePlanarUpdate--) {
+          planarState.updateRate(node0.siblingOccupancy,
+                                 node0.numSiblingsPlus1);
+          nodesBeforePlanarUpdate = node0.numSiblingsPlus1 - 1;
+        }
+      }
+
+      NodePlanar planar;
+      bool planarEligible[3] = {false, false, false};
+      if (gp.planarEnabled) {
+        if (gp.depthPlanarEligibility) {
+          if (planarEligibleKDepth)
+            planarEligible[0] = planarEligible[1] = planarEligible[2] =
+              true;
+        } else {
+          planarState.isEligible(planarEligible);
+        }
+        for (int k = 0; k < 3; k++)
+          planarEligible[k] =
+            planarEligible[k] && ((codedAxesCurLvl >> (2 - k)) & 1);
+        if (planarEligible[0] || planarEligible[1]
+            || planarEligible[2])
+          determinePlanarIntraEnc(
+            aec, ctx, planarState, gp, dynObuf, planarEligible,
+            posInParent, gnp, node0.pos, node0.siblingOccupancy,
+            occupancy, planar);
+      }
+
+      for (int k = 0; k < 3; k++) {
+        if (!(codedAxesCurLvl & (4 >> k))) {
+          planar.planePosBits &= uint8_t(~(1 << k));
+          planar.planarMode |= uint8_t(1 << k);
+        }
+      }
       int planarMask[3] = {0, 0, 0};
-      if (!(codedAxesCurLvl & 4)) planarMask[0] = 0xf0;
-      if (!(codedAxesCurLvl & 2)) planarMask[1] = 0xcc;
-      if (!(codedAxesCurLvl & 1)) planarMask[2] = 0xaa;
+      if (planar.planarMode & 1)
+        planarMask[0] = (planar.planePosBits & 1) ? 0x0f : 0xf0;
+      if (planar.planarMode & 2)
+        planarMask[1] = (planar.planePosBits & 2) ? 0x33 : 0xcc;
+      if (planar.planarMode & 4)
+        planarMask[2] = (planar.planePosBits & 4) ? 0x55 : 0xaa;
 
       encodeOccupancy(aec, ctx, gnp, occupancy, planarMask[0],
-                      planarMask[1], planarMask[2], atlas, node0.pos,
-                      codedAxesPrevLvl);
+                      planarMask[1], planarMask[2],
+                      planar.planarPossible & 1,
+                      planar.planarPossible & 2,
+                      planar.planarPossible & 4, atlas, node0.pos,
+                      codedAxesPrevLvl, dynK);
 
       if (adjacent_child_ctx) {
         const uint32_t mask = (1u << atlas.cubeSizeLog2) - 1;
@@ -1750,9 +2456,13 @@ extern "C" int tmc13ref_encode_octree_intra(
         child.start = offs[i];
         child.end = offs[i] + counts[i];
         child.siblingOccupancy = uint8_t(occupancy);
+        child.numSiblingsPlus1 = uint8_t(numOccupied);
         fifo.push_back(child);
       }
     }
+    if (checkPlanarDepthEligibility)
+      planarEligibleKDepth =
+        long(num_points) * 10 < numSubnodes * 13;
   }
 
   aec.flush();
@@ -1773,20 +2483,36 @@ extern "C" int tmc13ref_decode_octree_intra(
   const int32_t* coded_axis_list,  // per level, 3-bit stv split masks
   int num_levels,
   int num_points,                  // footer geom_num_points_minus1 + 1
-  int neighbour_avail_boundary_log2,  // minus1 + 1; 0 => unsupported
-  int adjacent_child_ctx,
-  int unique_points,
+  const int32_t* gp_arr,           // GeomParams as 12 int32s
   int32_t* out_pos,                // capacity out_cap * 3 (stv order)
   int out_cap) {
+  GeomParams gp;
+  std::memcpy(&gp, gp_arr, sizeof gp);
+  const int neighbour_avail_boundary_log2 = gp.neighAvailBoundaryLog2;
+  const int adjacent_child_ctx = gp.adjacentChildCtx;
+  const int unique_points = gp.uniquePoints;
   if (neighbour_avail_boundary_log2 < 1
       || neighbour_avail_boundary_log2 > 9)
     return -2;
 
   ArithDec aec;
   aec.init(aec_buf, size_t(aec_len));
+  aec.bypassNoUpdate = gp.bypassNoUpdate != 0;
 
   RefOctreeCtx ctx;
-  ctx.resetMaps();
+  ctx.resetMaps(gp.planarEnabled != 0);
+
+  PlanarState planarState;
+  planarState.bufferEnabled = gp.planarEnabled && gp.planarBufferEnabled;
+  planarState.multiplePlanar = gp.planarEnabled && gp.multiplePlanar;
+  for (int k = 0; k < 3; k++)
+    planarState.rateThreshold[k] = gp.planarTh[k] << 4;
+  const bool dynObuf = gp.planarEnabled
+    && gp.planarDynamicObufEligibility;
+  const bool checkPlanarDepthEligibility = gp.planarEnabled
+    && gp.depthPlanarEligibility;
+  bool planarEligibleKDepth = false;
+  int nodesBeforePlanarUpdate = 1;
 
   Atlas atlas;
   atlas.resize(adjacent_child_ctx != 0, neighbour_avail_boundary_log2);
@@ -1832,6 +2558,16 @@ extern "C" int tmc13ref_decode_octree_intra(
                             lvlSize[2][depth + 1]};
     bool childIsLeaf = !childSizeLog2[0] && !childSizeLog2[1]
       && !childSizeLog2[2];
+    // beginOctreeLevel: planar buffer rows follow the per-axis depth
+    // coded so far (planarDepth = rootSize - nodeSize)
+    if (gp.planarEnabled) {
+      int planarDepth[3] = {lvlSize[0][0] - lvlSize[0][depth],
+                            lvlSize[1][0] - lvlSize[1][depth],
+                            lvlSize[2][0] - lvlSize[2][depth]};
+      planarState.initPlanes(planarDepth);
+    }
+    const bool dynK = dynObuf && planarEligibleKDepth;
+    long numSubnodes = 0;
 
     for (; head < lvlEnd; head++) {
       Node node0 = fifo[head];
@@ -1869,18 +2605,67 @@ extern "C" int tmc13ref_decode_octree_intra(
       }
 
       NeighPattern gnp = makeNeighPattern(
-        adjacent_child_ctx != 0, node0.pos, codedAxesPrevLvl, atlas);
+        adjacent_child_ctx != 0, node0.pos, codedAxesPrevLvl, atlas,
+        dynK);
 
-      // QTBT: non-coded axes mask the low plane (maskPlanar with
-      // planarMode forced on non-coded axes)
+      int posInParent = 0;
+      posInParent |= (node0.pos[0] & 1) << 2;
+      posInParent |= (node0.pos[1] & 1) << 1;
+      posInParent |= (node0.pos[2] & 1) << 0;
+      posInParent &= codedAxesPrevLvl;
+
+      // legacy planar rate update (only without depth eligibility)
+      if (gp.planarEnabled && !gp.depthPlanarEligibility) {
+        if (!nodesBeforePlanarUpdate--) {
+          planarState.updateRate(node0.siblingOccupancy,
+                                 node0.numSiblingsPlus1);
+          nodesBeforePlanarUpdate = node0.numSiblingsPlus1 - 1;
+        }
+      }
+
+      // planar eligibility + mode decode
+      NodePlanar planar;
+      bool planarEligible[3] = {false, false, false};
+      if (gp.planarEnabled) {
+        if (gp.depthPlanarEligibility) {
+          if (planarEligibleKDepth)
+            planarEligible[0] = planarEligible[1] = planarEligible[2] =
+              true;
+        } else {
+          planarState.isEligible(planarEligible);
+        }
+        for (int k = 0; k < 3; k++)
+          planarEligible[k] =
+            planarEligible[k] && ((codedAxesCurLvl >> (2 - k)) & 1);
+        if (planarEligible[0] || planarEligible[1]
+            || planarEligible[2])
+          determinePlanarIntraDec(
+            aec, ctx, planarState, gp, dynObuf, planarEligible,
+            posInParent, gnp, node0.pos, node0.siblingOccupancy,
+            planar);
+      }
+
+      // maskPlanar: QTBT non-coded axes infer the low plane
+      // (geometry_octree.cpp:541)
+      for (int k = 0; k < 3; k++) {
+        if (!(codedAxesCurLvl & (4 >> k))) {
+          planar.planePosBits &= uint8_t(~(1 << k));
+          planar.planarMode |= uint8_t(1 << k);
+        }
+      }
       int planarMask[3] = {0, 0, 0};
-      if (!(codedAxesCurLvl & 4)) planarMask[0] = 0xf0;
-      if (!(codedAxesCurLvl & 2)) planarMask[1] = 0xcc;
-      if (!(codedAxesCurLvl & 1)) planarMask[2] = 0xaa;
+      if (planar.planarMode & 1)
+        planarMask[0] = (planar.planePosBits & 1) ? 0x0f : 0xf0;
+      if (planar.planarMode & 2)
+        planarMask[1] = (planar.planePosBits & 2) ? 0x33 : 0xcc;
+      if (planar.planarMode & 4)
+        planarMask[2] = (planar.planePosBits & 4) ? 0x55 : 0xaa;
 
       uint32_t occupancy = decodeOccupancy(
         aec, ctx, gnp, planarMask[0], planarMask[1], planarMask[2],
-        atlas, node0.pos, codedAxesPrevLvl);
+        planar.planarPossible & 1, planar.planarPossible & 2,
+        planar.planarPossible & 4, atlas, node0.pos, codedAxesPrevLvl,
+        dynK);
       if (!occupancy)
         return -3;
 
@@ -1893,6 +2678,7 @@ extern "C" int tmc13ref_decode_octree_intra(
 
       int numOccupied = 0;
       for (int i = 0; i < 8; i++) numOccupied += (occupancy >> i) & 1;
+      numSubnodes += numOccupied;
 
       for (int i = 0; i < 8; i++) {
         if (!((occupancy >> i) & 1))
@@ -1930,6 +2716,9 @@ extern "C" int tmc13ref_decode_octree_intra(
         fifo.push_back(child);
       }
     }
+    if (checkPlanarDepthEligibility)
+      planarEligibleKDepth =
+        long(num_points) * 10 < numSubnodes * 13;
   }
 
   return processed;

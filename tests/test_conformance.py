@@ -156,3 +156,65 @@ def test_encode_byte_identical_to_tmc3(tmp_path):
                                len(payload) - gbh.footer_bytes]
 
     assert aec_of(bit.read_bytes()) == aec_of(stream)
+
+
+CTC1_OPTS = [
+    "--positionQuantizationScale=1", "--mergeDuplicatedPoints=1",
+    "--neighbourAvailBoundaryLog2=8", "--planarEnabled=1",
+    "--inferredDirectCodingMode=0", "--disableAttributeCoding=1",
+]
+
+
+def test_planar_qtbt_decode_bit_exact(tmp_path):
+    """CTC config-1 tool set (planar + multi-planar + dynamic-OBUF
+    planar + depth eligibility + QTBT), decode side."""
+    rng = np.random.default_rng(13)
+    pos = np.unique(rng.integers(0, [512, 512, 8],
+                                 size=(30000, 3)).astype(np.int64),
+                    axis=0)
+    roundtrip(tmp_path, "planar", pos, [
+        "--planarEnabled=1", "--qtbtEnabled=1"])
+
+
+def test_planar_encode_byte_identical(tmp_path):
+    """Our planar+QTBT encode produces the identical AEC payload to
+    the reference binary."""
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    from mpeg_pcc_tmc13_tpu.conformance import ref_hls
+    rng = np.random.default_rng(14)
+    pos = np.unique(rng.integers(0, [256, 256, 16],
+                                 size=(20000, 3)).astype(np.int64),
+                    axis=0)
+    src = tmp_path / "pl.ply"
+    bit = tmp_path / "pl.bin"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", *CTC1_OPTS],
+        check=True, capture_output=True)
+    stream = refenc.encode_stream(pos, planar=True, qtbt=True)
+
+    def aec_of(data):
+        sps = gps = None
+        for t, payload in ref_hls.iter_ref_tlv(data):
+            if t == ref_hls.T_SPS:
+                sps = ref_hls.parse_sps(payload)
+            elif t == ref_hls.T_GPS:
+                gps = ref_hls.parse_gps(payload)
+            elif t == ref_hls.T_GEOM_BRICK:
+                gbh = ref_hls.parse_gbh(sps, gps, payload)
+                return payload[gbh.header_bytes:
+                               len(payload) - gbh.footer_bytes]
+
+    assert aec_of(bit.read_bytes()) == aec_of(stream)
+    # and tmc3 decodes our stream losslessly
+    ours = tmp_path / "pl_ours.bin"
+    ours.write_bytes(stream)
+    dec = tmp_path / "pl_ours.dec.ply"
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={ours}",
+         f"--reconstructedDataPath={dec}", "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    got = ply.read(str(dec)).positions.astype(np.int64)
+    np.testing.assert_array_equal(np.unique(got, axis=0), pos)
