@@ -78,7 +78,8 @@ def test_pc_error_tool(tmp_path):
     lines = dict(ln.rsplit(":", 1) for ln in
                  r.stdout.strip().splitlines())
     d1 = float(lines["mseF,PSNR (p2point)"])
-    assert 47.0 < d1 < 49.0      # mse=1 at peak 255 -> 48.13 dB
+    # mse=1, peak energy 3*255^2 (dmetric convention) -> 52.90 dB
+    assert 52.0 < d1 < 54.0
     # identity -> inf
     r2 = subprocess.run(
         [sys.executable, "tools/pc_error.py", "--fileA", str(a),
