@@ -156,3 +156,68 @@ def encode_stream(positions: np.ndarray,
             + ref_hls.write_ref_tlv(ref_hls.T_GPS,
                                     ref_hls.write_gps(gps))
             + ref_hls.write_ref_tlv(ref_hls.T_GEOM_BRICK, brick))
+
+
+def encode_frames(frames, unique_points: bool = True,
+                  planar: bool = True, qtbt: bool = True,
+                  max_points_per_slice: int = 1_100_000) -> bytes:
+    """Encode a sequence of XYZ integer clouds into one reference-
+    syntax TLV stream (SPS + GPS once, then per-slice geometry
+    bricks).  Clouds above the slice level limit (reference
+    encoder.cpp:1023, 1.1M points) are split along the Morton order
+    with per-slice origins."""
+    from ..utils import morton as morton_mod
+
+    frame_ctr_bits = max((len(frames) - 1).bit_length(), 1)
+    sps = ref_hls.RefSps(
+        main_profile_compat=0, level=0, sps_id=0,
+        frame_ctr_bits=frame_ctr_bits, slice_tag_bits=0,
+        geometry_axis_order=1)
+    gps = ref_hls.RefGps(
+        gps_id=0, sps_id=0, geom_box_log2_scale_present=True,
+        qtbt_enabled=qtbt, unique_points=unique_points,
+        neighbour_avail_boundary_log2_minus1=7,
+        adjacent_child_contextualization=True,
+        bitwise_occupancy=True,
+        planar_enabled=planar,
+        planar_threshold0=77, planar_threshold1=99,
+        planar_threshold2=113,
+        depth_planar_eligibility=planar,
+        planar_dynamic_obuf_eligibility=planar,
+        multiple_planar=planar)
+    out = [ref_hls.write_ref_tlv(ref_hls.T_SPS, ref_hls.write_sps(sps)),
+           ref_hls.write_ref_tlv(ref_hls.T_GPS, ref_hls.write_gps(gps))]
+    slice_id = 0
+    for ctr, cloud in enumerate(frames):
+        pos = np.asarray(cloud, dtype=np.int64)
+        if unique_points:
+            pos = np.unique(pos, axis=0)
+        order = np.argsort(morton_mod.encode(pos))
+        pos = pos[order]
+        n_slices = -(-pos.shape[0] // max_points_per_slice)
+        per = -(-pos.shape[0] // max(n_slices, 1))
+        for s in range(max(n_slices, 1)):
+            part = pos[s * per:(s + 1) * per]
+            if part.shape[0] == 0:
+                continue
+            origin = part.min(axis=0)
+            local = part - origin
+            whd = local.max(axis=0) + 1
+            root = [_ceillog2(max(2, int(v))) for v in whd]
+            if not qtbt:
+                root = [max(root)] * 3
+            axes = np.asarray(qtbt_axis_list(root, qtbt),
+                              dtype=np.int32)
+            aec = _encode_brick_native(local, axes, gps)
+            gbh = ref_hls.RefGbh(
+                gps_id=0, slice_id=slice_id, slice_tag=0,
+                frame_ctr_lsb=ctr & ((1 << frame_ctr_bits) - 1),
+                geom_box_log2_scale=0,
+                box_origin_stv=tuple(int(v) for v in origin),
+                tree_lvl_coded_axis_list=list(axes),
+                num_points=int(part.shape[0]))
+            out.append(ref_hls.write_ref_tlv(
+                ref_hls.T_GEOM_BRICK,
+                ref_hls.write_gbh(sps, gps, gbh, aec)))
+            slice_id += 1
+    return b"".join(out)

@@ -54,6 +54,9 @@ class Config:
         self.convert_colourspace = True
         self.params = EncoderParams()
         self.disable_attributes = False
+        # reference-syntax (tmc3-interoperable) codec path
+        self.ref_syntax = False
+        self.qtbt_enabled = True
         self.ignored: List[str] = []
         # sticky per-attribute pending state (reference TMC3.cpp:1247)
         self._pending_attr: Dict[str, str] = {}
@@ -128,6 +131,10 @@ class Config:
                                value.replace(",", " ").split()]
             elif name == "planarEnabled":
                 p.planar_enabled = opt.to_bool(value)
+            elif name == "refSyntax":   # framework-specific
+                self.ref_syntax = opt.to_bool(value)
+            elif name == "qtbtEnabled":
+                self.qtbt_enabled = opt.to_bool(value)
             elif name == "inferredDirectCodingMode":
                 p.idcm = opt.to_int(value) > 0
             elif name == "geometry_axis_order":
@@ -261,6 +268,88 @@ def _cloud_to_ply(cloud: PointCloud) -> ply.PlyCloud:
     )
 
 
+def encode_sequence_ref_syntax(cfg: Config) -> int:
+    """Encode to the reference (tmc3-decodable) syntax via the
+    bit-exact conformance engine (geometry only)."""
+    from ..conformance import encoder as refenc
+    from ..conformance import ref_hls
+    from ..utils.timing import Stopwatch
+    p = cfg.params
+    sw = Stopwatch().start()
+    frames = []
+    npts = 0
+    for i in range(cfg.frame_count):
+        path = ply.expand_num(cfg.uncompressed_path, cfg.first_frame + i)
+        pos = np.round(ply.read(path).positions).astype(np.int64)
+        npts += pos.shape[0]
+        if p.geom_scale_num != 1 or p.geom_scale_den != 1:
+            pos = np.floor(pos * p.geom_scale_num / p.geom_scale_den
+                           + 0.5).astype(np.int64)
+        pos -= pos.min(axis=0).clip(max=0)     # keep non-negative
+        frames.append(pos)
+        print(f"frame {cfg.first_frame + i}: {pos.shape[0]} points")
+    stream = refenc.encode_frames(
+        frames, unique_points=p.merge_duplicated_points,
+        planar=p.planar_enabled, qtbt=cfg.qtbt_enabled)
+    # record the coding scale in the SPS-equivalent position: our
+    # decoder descales by sps.seq_scale (tmc3 treats it as seq unit)
+    if p.geom_scale_num != 1 or p.geom_scale_den != 1:
+        # rewrite the SPS with the coding scale
+        parts = []
+        for t, payload in ref_hls.iter_ref_tlv(stream):
+            if t == ref_hls.T_SPS:
+                sps = ref_hls.parse_sps(payload)
+                sps.seq_scale_num = p.geom_scale_num
+                sps.seq_scale_den = p.geom_scale_den
+                payload = ref_hls.write_sps(sps)
+            parts.append(ref_hls.write_ref_tlv(t, payload))
+        stream = b"".join(parts)
+    with open(cfg.compressed_path, "wb") as f:
+        f.write(stream)
+    sw.stop()
+    geom_b = sum(len(pl) for t, pl in ref_hls.iter_ref_tlv(stream)
+                 if t == ref_hls.T_GEOM_BRICK)
+    n = max(npts, 1)
+    print(f"positions bitstream size {geom_b} B "
+          f"({8 * geom_b / n:.3f} bpp)")
+    print(f"Total bitstream size {len(stream)} B")
+    print(f"Processing time (user): {sw.user:.3f} s")
+    print(f"Processing time (wall): {sw.wall:.3f} s")
+    return 0
+
+
+def decode_sequence_ref_syntax(cfg: Config) -> int:
+    """Decode a reference-syntax (tmc3) stream (geometry only)."""
+    from ..conformance import decoder as refdec
+    from ..conformance import ref_hls
+    from ..utils.timing import Stopwatch
+    sw = Stopwatch().start()
+    data = open(cfg.compressed_path, "rb").read()
+    frames = refdec.decode_stream(data)
+    # descale by the signalled sequence scale
+    scale = (1.0, 1.0)
+    for t, payload in ref_hls.iter_ref_tlv(data):
+        if t == ref_hls.T_SPS:
+            sps = ref_hls.parse_sps(payload)
+            scale = (float(sps.seq_scale_num),
+                     float(sps.seq_scale_den))
+            break
+    for i, pos in enumerate(frames):
+        out = pos.astype(np.float64)
+        if scale != (1.0, 1.0):
+            out = out * (scale[1] / scale[0])
+        if cfg.reconstructed_path:
+            path = ply.expand_num(cfg.reconstructed_path,
+                                  cfg.first_frame + i)
+            ply.write(ply.PlyCloud(positions=out), path,
+                      ascii=not cfg.output_binary_ply)
+        print(f"frame {cfg.first_frame + i}: {pos.shape[0]} points")
+    sw.stop()
+    print(f"Processing time (user): {sw.user:.3f} s")
+    print(f"Processing time (wall): {sw.wall:.3f} s")
+    return 0
+
+
 def encode_sequence(cfg: Config) -> int:
     from ..bitstream.tlv import PayloadType
     from ..utils.timing import Stopwatch
@@ -347,7 +436,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         if not cfg.uncompressed_path:
             print("error: uncompressedDataPath required", file=sys.stderr)
             return 1
+        if cfg.ref_syntax:
+            return encode_sequence_ref_syntax(cfg)
         return encode_sequence(cfg)
+    if cfg.ref_syntax:
+        return decode_sequence_ref_syntax(cfg)
     return decode_sequence(cfg)
 
 

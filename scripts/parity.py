@@ -122,7 +122,7 @@ def conditions():
             f"--positionQuantizationScale={ctc_pqs(18, r)}",
             "--mergeDuplicatedPoints=1", "--disableAttributeCoding=1",
             "--interPredictionEnabled=1", "--globalMotionEnabled=1",
-            "--randomAccessPeriod=8"])
+            "--lpuType=1", "--randomAccessPeriod=8"])
     return c
 
 
@@ -130,6 +130,9 @@ def conditions():
 TMC3_EXTRA = ["--neighbourAvailBoundaryLog2=8", "--planarEnabled=1",
               "--convertPlyColourspace=1"]
 OURS_EXTRA = ["--convertPlyColourspace=1"]
+# the reference-syntax conformance path (geometry conditions only):
+# same contexts as tmc3 by construction
+OURS_REF_EXTRA = ["--refSyntax=1", "--planarEnabled=1"]
 
 
 # --------------------------------------------------------------------------
@@ -166,6 +169,14 @@ def codec_cmd(codec, tmc3_path):
     return [sys.executable, "-m", "mpeg_pcc_tmc13_tpu.runtime.cli"]
 
 
+def codec_extra(codec):
+    if codec == "tmc3":
+        return TMC3_EXTRA
+    if codec == "ours-ref":
+        return OURS_REF_EXTRA
+    return OURS_EXTRA
+
+
 def eval_condition(name, cond, codec, rate, workdir, tmc3_path):
     os.makedirs(workdir, exist_ok=True)
     tag = f"{name}.{rate}.{codec}"
@@ -178,7 +189,7 @@ def eval_condition(name, cond, codec, rate, workdir, tmc3_path):
         f"--compressedStreamPath={bin_path}",
         f"--frameCount={frames}",
         *cond["args"](rate),
-        *(TMC3_EXTRA if codec == "tmc3" else OURS_EXTRA),
+        *codec_extra(codec),
     ]
     enc_out, enc_wall = run(enc_cmd, os.path.join(
         workdir, tag + ".enc.log"))
@@ -188,7 +199,8 @@ def eval_condition(name, cond, codec, rate, workdir, tmc3_path):
         f"--compressedStreamPath={bin_path}",
         f"--reconstructedDataPath={rec_path}",
         "--outputBinaryPly=1",
-        *(["--convertPlyColourspace=1"]),
+        "--convertPlyColourspace=1",
+        *(["--refSyntax=1"] if codec == "ours-ref" else []),
     ]
     dec_out, dec_wall = run(dec_cmd, os.path.join(
         workdir, tag + ".dec.log"))
@@ -284,7 +296,7 @@ def write_reports(rows, csv_path, md_path):
         lines.append("|---|---|---|---|---|---|---|---|---|---|")
         for rate in sorted(rates):
             pair = rates[rate]
-            for codec in ("tmc3", "ours"):
+            for codec in ("tmc3", "ours", "ours-ref"):
                 r = pair.get(codec)
                 if not r:
                     continue
