@@ -117,28 +117,48 @@ _W_SELF = 4
 _W_FACE = 1
 
 
+# per-axis Morton bit masks (x at bits 2,5,8..., y at 1,4,7..., z at
+# 0,3,6...): neighbour codes come from masked add/subtract instead of
+# decode+encode round trips
+_MZ = np.int64(0x1249249249249249)
+_MY = np.int64(_MZ << 1)
+_MX = np.int64(_MZ << 2)
+_AXIS_MASK = (_MX, _MY, _MZ)
+_AXIS_UNIT = (np.int64(4), np.int64(2), np.int64(1))
+
+
+def _morton_inc(c, mask, unit):
+    return (((c | ~mask) + unit) & mask) | (c & ~mask)
+
+
+def _morton_dec(c, mask, unit):
+    return (((c & mask) - unit) & mask) | (c & ~mask)
+
+
 def _face_neighbor_dcs(parent_codes: np.ndarray, parent_dc: np.ndarray,
                        level_dims: int):
-    """For each parent and each of 6 directions: neighbour DC + exists."""
-    from ..utils import morton as _m
+    """For each parent and each of 6 directions: neighbour index + hit
+    mask.  Neighbour Morton codes via masked +/- per axis; one batched
+    binary search for all six directions."""
     m = parent_codes.shape[0]
-    c = parent_dc.shape[1]
-    pos = _m.decode(parent_codes)
-    lim = np.int64(1) << np.int64(max(level_dims, 0))
-    out_dc = np.zeros((m, 6, c), dtype=parent_dc.dtype)
-    out_ok = np.zeros((m, 6), dtype=bool)
-    offs = np.array([[-1, 0, 0], [1, 0, 0], [0, -1, 0],
-                     [0, 1, 0], [0, 0, -1], [0, 0, 1]], dtype=np.int64)
-    for d in range(6):
-        q = pos + offs[d]
-        valid = np.all((q >= 0) & (q < lim), axis=1)
-        ncode = _m.encode(q)
-        idx = np.searchsorted(parent_codes, ncode)
-        idx = np.minimum(idx, m - 1)
-        hit = valid & (parent_codes[idx] == ncode)
-        out_ok[:, d] = hit
-        out_dc[hit, d] = parent_dc[idx[hit]]
-    return out_dc, out_ok
+    bits = min(3 * max(level_dims, 0), 62)
+    lvl_mask = np.int64((1 << bits) - 1)
+    ncodes = np.empty((m, 6), dtype=np.int64)
+    valid = np.empty((m, 6), dtype=bool)
+    for a in range(3):  # x, y, z -> directions (2a, 2a+1) = (-, +)
+        mask, unit = _AXIS_MASK[a], _AXIS_UNIT[a]
+        axis_bits = parent_codes & mask
+        dec = _morton_dec(parent_codes, mask, unit)
+        inc = _morton_inc(parent_codes, mask, unit)
+        ncodes[:, 2 * a] = dec
+        ncodes[:, 2 * a + 1] = inc
+        valid[:, 2 * a] = axis_bits != 0              # not at low edge
+        valid[:, 2 * a + 1] = (inc & ~lvl_mask) == 0  # stayed in level
+    flat = ncodes.reshape(-1)
+    idx = np.searchsorted(parent_codes, flat)
+    idx = np.minimum(idx, m - 1)
+    hit = valid.reshape(-1) & (parent_codes[idx] == flat)
+    return idx.reshape(m, 6), hit.reshape(m, 6)
 
 
 def predict_children(parent_codes: np.ndarray, parent_dc: np.ndarray,
@@ -155,8 +175,8 @@ def predict_children(parent_codes: np.ndarray, parent_dc: np.ndarray,
     if not integer and parent_w is not None:
         parent_dc = parent_dc / np.sqrt(
             parent_w.astype(np.float64))[:, None]
-    nbr_dc, nbr_ok = _face_neighbor_dcs(parent_codes, parent_dc,
-                                        level_dims)
+    nbr_idx, nbr_ok = _face_neighbor_dcs(parent_codes, parent_dc,
+                                         level_dims)
     parent_of_child = child_codes >> 3
     pidx = np.searchsorted(parent_codes, parent_of_child)
     cidx = (child_codes & 7).astype(np.int64)
@@ -164,14 +184,12 @@ def predict_children(parent_codes: np.ndarray, parent_dc: np.ndarray,
     cx, cy, cz = (cidx >> 2) & 1, (cidx >> 1) & 1, cidx & 1
     touch = np.stack([cx == 0, cx == 1, cy == 0, cy == 1,
                       cz == 0, cz == 1], axis=1)            # (N,6)
-    w = touch & nbr_ok[pidx]
-    acc = parent_dc[pidx] * float(_W_SELF) if not integer else \
-        parent_dc[pidx] * _W_SELF
-    wsum = np.full(child_codes.shape[0], _W_SELF, dtype=np.int64)
-    for d in range(6):
-        sel = w[:, d]
-        acc[sel] = acc[sel] + nbr_dc[pidx[sel], d] * _W_FACE
-        wsum[sel] += _W_FACE
+    w = touch & nbr_ok[pidx]                                # (N,6)
+    nbr_dc = parent_dc[nbr_idx[pidx].reshape(-1)].reshape(
+        child_codes.shape[0], 6, -1)                        # (N,6,C)
+    acc = parent_dc[pidx] * _W_SELF \
+        + (nbr_dc * w[:, :, None]).sum(axis=1) * _W_FACE
+    wsum = _W_SELF + _W_FACE * w.sum(axis=1).astype(np.int64)
     if integer:
         half = wsum[:, None] // 2
         return (acc + half) // wsum[:, None]
