@@ -82,7 +82,6 @@ def _block_kernel(vals_ref, w_ref, out_v_ref, out_w_ref, mask_ref):
                            if ac_on[j] is not None else zero_m)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
 def fwd_blocks(vals: jnp.ndarray, weights: jnp.ndarray,
                interpret: bool = False):
     """(B,8,C) float32 values + (B,8) float32 weights ->
@@ -90,7 +89,19 @@ def fwd_blocks(vals: jnp.ndarray, weights: jnp.ndarray,
 
     coeffs slot 0 = block DC (weight wout[:,0]); slots with
     ac_mask != 0 hold the block's AC coefficients in dyadic order.
+
+    Traced with x64 disabled: the package enables jax_enable_x64
+    globally (63-bit Morton codes), but 64-bit index types do not lower
+    through the Mosaic TPU compiler; everything in this kernel is
+    32-bit anyway.
     """
+    with jax.enable_x64(False):
+        return _fwd_blocks_jit(vals, weights, interpret)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _fwd_blocks_jit(vals: jnp.ndarray, weights: jnp.ndarray,
+                    interpret: bool = False):
     b, _, c = vals.shape
     pad = (-b) % BLOCK_TILE
     if pad:
