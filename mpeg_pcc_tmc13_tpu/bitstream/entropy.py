@@ -32,6 +32,11 @@ PROB_BITS = 11
 PROB_INIT = 1 << (PROB_BITS - 1)
 PROB_MOVE_BITS = 5
 _TOP = 1 << 24
+
+# zero-run residual layout: ctx[0..ZRUN_PREFIX) run prefix (EG(2)
+# tail), ctx[ZRUN_PREFIX..] magnitude prefix (must match native
+# kZrunPrefix/kZrunK in native/entropy.cc)
+ZRUN_PREFIX = 20
 _M32 = 0xFFFFFFFF
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
@@ -84,6 +89,14 @@ def _load_native() -> Optional[ctypes.CDLL]:
                                   c.c_int32, c.c_int32]
     lib.rcd_residuals.argtypes = [c.c_void_p, u16p, i32p, c.c_int64,
                                   c.c_int32, c.c_int32]
+    lib.rce_zrun.argtypes = [c.c_void_p, u16p, i32p, c.c_int64,
+                             c.c_int32, c.c_int32]
+    lib.rcd_zrun.argtypes = [c.c_void_p, u16p, i32p, c.c_int64,
+                             c.c_int32, c.c_int32]
+    lib.rce_zrow.argtypes = [c.c_void_p, u16p, i32p, c.c_int64,
+                             c.c_int32]
+    lib.rcd_zrow.argtypes = [c.c_void_p, u16p, i32p, c.c_int64,
+                             c.c_int32]
     lib.rcd_bits_chain.argtypes = [c.c_void_p, u16p, u8p, c.c_int64]
     lib.rcd_mode_chain.argtypes = [c.c_void_p, u16p, u8p, c.c_int64]
     lib.rce_resbl.argtypes = [c.c_void_p, u16p, i32p, c.c_int64]
@@ -321,6 +334,89 @@ class _PyEncoder:
                 self._enc_ueg(ctx, 2, abs(v) - 1, prefix_max, k)
             prev_nz = nz
 
+    def zrun_residuals(self, ctx, vals, prefix_max, k):
+        """Sparse variant: zero-RUN length before each nonzero
+        (ctx[0..19] prefix + EG(2)), then sign + magnitude
+        (ctx[20..]).  Mirror of native rce_zrun."""
+        n = len(vals)
+        i = 0
+        while i < n:
+            j = i
+            while j < n and int(vals[j]) == 0:
+                j += 1
+            self._enc_ueg(ctx, 0, j - i, ZRUN_PREFIX, 2)
+            if j >= n:
+                return
+            v = int(vals[j])
+            self.encode_bypass(1 if v < 0 else 0)
+            self._enc_ueg(ctx, ZRUN_PREFIX, abs(v) - 1, prefix_max, k)
+            i = j + 1
+
+    # joint row residual coder (mirror of native rce_zrow; layout in
+    # native/entropy.cc kZrowCtx comment)
+    def _enc_egk_ctx(self, ctx, base, v, k):
+        while v >= (1 << k):
+            self.encode_bit(ctx, base, 1)
+            v -= 1 << k
+            k += 1
+        self.encode_bit(ctx, base, 0)
+        for j in range(k - 1, -1, -1):
+            self.encode_bypass((v >> j) & 1)
+
+    def _enc_zrow_run(self, ctx, run):
+        for i in range(min(run, 3)):
+            self.encode_bit(ctx, i, 1)
+        if run < 3:
+            self.encode_bit(ctx, run, 0)
+            return
+        run -= 3
+        for i in range(min(run >> 1, 4)):
+            self.encode_bit(ctx, 3, 1)
+        if run < 8:
+            self.encode_bit(ctx, 3, 0)
+            self.encode_bypass(run & 1)
+            return
+        self._enc_egk_ctx(ctx, 4, run - 8, 2)
+
+    def _enc_zrow_sym(self, ctx, v, k1, k2, k3):
+        self.encode_bit(ctx, 5 + k1, 1 if v > 0 else 0)
+        if not v:
+            return
+        v -= 1
+        self.encode_bit(ctx, 12 + k2, 1 if v > 0 else 0)
+        if not v:
+            return
+        self._enc_egk_ctx(ctx, 19 + k3, v - 1, 1)
+
+    def zrow_residuals(self, ctx, rows):
+        rows = np.asarray(rows)
+        n, ncomp = rows.shape
+        i = 0
+        nz = np.flatnonzero((rows != 0).any(axis=1))
+        for j in nz:
+            self._enc_zrow_run(ctx, int(j - i))
+            row = [int(v) for v in rows[j]]
+            if ncomp == 1:
+                self._enc_zrow_sym(ctx, abs(row[0]) - 1, 0, 0, 0)
+                self.encode_bypass(1 if row[0] < 0 else 0)
+            else:
+                m0, m1 = abs(row[0]), abs(row[1])
+                m2 = abs(row[2]) if ncomp > 2 else 0
+                b0, b1 = int(m1 == 0), int(m1 <= 1)
+                b2, b3 = int(m2 == 0), int(m2 <= 1)
+                self._enc_zrow_sym(ctx, m1, 0, 0, 1)
+                self._enc_zrow_sym(ctx, m2, 1 + b0, 1 + b1, 1)
+                m0x = m0 - 1 if (b0 and b2) else m0
+                self._enc_zrow_sym(ctx, m0x, 3 + (b0 << 1) + b2,
+                                   3 + (b1 << 1) + b3, 0)
+                for m, v in ((m0, row[0]), (m1, row[1]), (m2, row[2])) \
+                        if ncomp > 2 else ((m0, row[0]), (m1, row[1])):
+                    if m:
+                        self.encode_bypass(1 if v < 0 else 0)
+            i = int(j) + 1
+        if i < n:
+            self._enc_zrow_run(ctx, n - i)
+
     def resbl(self, ctx, vals):
         prev_nz = 0
         for v in vals:
@@ -488,6 +584,78 @@ class _PyDecoder:
                 prev_nz = 1
         return out
 
+    def zrun_residuals(self, ctx, n, prefix_max, k):
+        out = np.zeros(n, dtype=np.int32)
+        i = 0
+        while i < n:
+            run = self._dec_ueg(ctx, 0, ZRUN_PREFIX, 2)
+            i += run
+            if i >= n:
+                return out
+            neg = self.decode_bypass()
+            mag = self._dec_ueg(ctx, ZRUN_PREFIX, prefix_max, k) + 1
+            out[i] = -mag if neg else mag
+            i += 1
+        return out
+
+    def _dec_egk_ctx(self, ctx, base, k):
+        v = 0
+        while self.decode_bit(ctx, base):
+            v += 1 << k
+            k += 1
+        r = 0
+        for _ in range(k):
+            r = (r << 1) | self.decode_bypass()
+        return v + r
+
+    def _dec_zrow_run(self, ctx):
+        u = 0
+        while u < 3 and self.decode_bit(ctx, u):
+            u += 1
+        if u < 3:
+            return u
+        prefix = 0
+        while prefix < 4 and self.decode_bit(ctx, 3):
+            prefix += 1
+        if prefix < 4:
+            return 3 + 2 * prefix + self.decode_bypass()
+        return 11 + self._dec_egk_ctx(ctx, 4, 2)
+
+    def _dec_zrow_sym(self, ctx, k1, k2, k3):
+        if not self.decode_bit(ctx, 5 + k1):
+            return 0
+        if not self.decode_bit(ctx, 12 + k2):
+            return 1
+        return 2 + self._dec_egk_ctx(ctx, 19 + k3, 1)
+
+    def zrow_residuals(self, ctx, n, ncomp):
+        out = np.zeros((n, ncomp), dtype=np.int32)
+        i = 0
+        while i < n:
+            i += self._dec_zrow_run(ctx)
+            if i >= n:
+                return out
+            if ncomp == 1:
+                mag = self._dec_zrow_sym(ctx, 0, 0, 0) + 1
+                out[i, 0] = -mag if self.decode_bypass() else mag
+            else:
+                m1 = self._dec_zrow_sym(ctx, 0, 0, 1)
+                b0, b1 = int(m1 == 0), int(m1 <= 1)
+                m2 = self._dec_zrow_sym(ctx, 1 + b0, 1 + b1, 1)
+                b2, b3 = int(m2 == 0), int(m2 <= 1)
+                m0 = self._dec_zrow_sym(ctx, 3 + (b0 << 1) + b2,
+                                        3 + (b1 << 1) + b3, 0)
+                if b0 and b2:
+                    m0 += 1
+                if m0:
+                    out[i, 0] = -m0 if self.decode_bypass() else m0
+                if m1:
+                    out[i, 1] = -m1 if self.decode_bypass() else m1
+                if ncomp > 2 and m2:
+                    out[i, 2] = -m2 if self.decode_bypass() else m2
+            i += 1
+        return out
+
     def resbl(self, ctx, n):
         out = np.zeros(n, dtype=np.int32)
         prev_nz = 0
@@ -580,6 +748,16 @@ class _NativeEncoder:
         v = _as(vals, np.int32)
         _LIB.rce_residuals(self._h, _ptr(ctx, ctypes.c_uint16),
                            _ptr(v, ctypes.c_int32), len(v), prefix_max, k)
+
+    def zrun_residuals(self, ctx, vals, prefix_max, k):
+        v = _as(vals, np.int32)
+        _LIB.rce_zrun(self._h, _ptr(ctx, ctypes.c_uint16),
+                      _ptr(v, ctypes.c_int32), len(v), prefix_max, k)
+
+    def zrow_residuals(self, ctx, rows):
+        r = np.ascontiguousarray(rows, dtype=np.int32)
+        _LIB.rce_zrow(self._h, _ptr(ctx, ctypes.c_uint16),
+                      _ptr(r, ctypes.c_int32), r.shape[0], r.shape[1])
 
     def resbl(self, ctx, vals):
         v = _as(vals, np.int32)
@@ -688,6 +866,18 @@ class _NativeDecoder:
         out = np.zeros(n, dtype=np.int32)
         _LIB.rcd_residuals(self._h, _ptr(ctx, ctypes.c_uint16),
                            _ptr(out, ctypes.c_int32), n, prefix_max, k)
+        return out
+
+    def zrun_residuals(self, ctx, n, prefix_max, k):
+        out = np.zeros(n, dtype=np.int32)
+        _LIB.rcd_zrun(self._h, _ptr(ctx, ctypes.c_uint16),
+                      _ptr(out, ctypes.c_int32), n, prefix_max, k)
+        return out
+
+    def zrow_residuals(self, ctx, n, ncomp):
+        out = np.zeros((n, ncomp), dtype=np.int32)
+        _LIB.rcd_zrow(self._h, _ptr(ctx, ctypes.c_uint16),
+                      _ptr(out, ctypes.c_int32), n, ncomp)
         return out
 
     def resbl(self, ctx, n):

@@ -20,8 +20,8 @@ from ..bitstream import entropy
 from ..bitstream.hls import AttributeDescription, AttributeParameterSet
 from ..ops import raht as raht_ops
 from ..utils import morton
-from .attributes import AttributeContexts, RES_CTX_SIZE, _RES_PREFIX_MAX, \
-    _RES_K
+from .attributes import AttributeContexts, RES_CTX_SIZE, ZRUN_CTX_SIZE, \
+    _RES_PREFIX_MAX, _RES_K
 
 
 def qp_to_step_q16(qp: int) -> int:
@@ -29,9 +29,14 @@ def qp_to_step_q16(qp: int) -> int:
 
 
 def _quantize(c: np.ndarray, step_q16: int) -> np.ndarray:
+    """Deadzone quantiser: |q| = floor(|c|/step + 1/3), matching the
+    reference's forward offset (quantization.h:80-94) — values under
+    2/3 of a step quantise to zero, which is what keeps near-zero
+    prediction residuals free."""
     if c.dtype == np.int64 and step_q16 == 65536:
         return c.astype(np.int64)
-    q = np.round(c.astype(np.float64) * 65536.0 / step_q16)
+    s = c.astype(np.float64) * 65536.0 / step_q16
+    q = np.sign(s) * np.floor(np.abs(s) + (1.0 / 3.0))
     return q.astype(np.int64)
 
 
@@ -89,6 +94,69 @@ def _step_fn(aps, abh):
     return fn
 
 
+# ---- RDOQ (encoder-side only) ---------------------------------------
+# Reference RAHT.cpp:1560-1663: a coefficient row (all components of
+# one AC position) is zeroed when its rate — estimated from the
+# current zero-run length and a log2 magnitude LUT — costs more than
+# lambda = step_luma^2 * (25|35) buys in distortion.  This is what
+# keeps isolated just-above-deadzone residuals from being coded.
+_LUTLOG = np.array([0, 256, 406, 512, 594, 662, 719, 768, 812, 850,
+                    886, 918, 947, 975, 1000, 1024], dtype=np.int64)
+_LUTBINS = np.array([1, 2, 3, 5, 5, 7, 7, 9, 9, 11, 11], dtype=np.int64)
+
+
+def _rdoq_zero_rows(arr: np.ndarray, steps_q16, train_in: int):
+    """Returns (zero_mask, train_out) for coefficient rows arr (M, C)
+    in sample units.  Mirrors the reference decision with the zero-run
+    (trainZeros) approximated by the runs of naturally-zero rows."""
+    m, ncomp = arr.shape
+    if m == 0:
+        return np.zeros(0, dtype=bool), train_in
+    aq = np.empty((m, ncomp), dtype=np.int64)
+    for c in range(ncomp):
+        s = np.abs(arr[:, c]) * 65536.0 / steps_q16[c]
+        aq[:, c] = np.floor(s + (1.0 / 3.0)).astype(np.int64)
+    sumc = aq.sum(axis=1)
+    dist2 = (arr.astype(np.float64) ** 2).sum(axis=1)
+    ratec = _LUTLOG[np.minimum(aq, 15)].sum(axis=1)
+
+    step_luma = steps_q16[0] / 65536.0
+    mult = 25.0 if ncomp == 1 else 35.0
+    lam = step_luma * step_luma * mult
+    idx = np.arange(m, dtype=np.int64)
+    extra = (ratec + 128) >> 8
+
+    # The reference's trainZeros counts RDOQ-zeroed rows too, so each
+    # zeroing lengthens runs and raises the rate estimate for the next
+    # candidate — a cascade.  Iterate the vectorised decision to its
+    # (monotone) fixpoint.
+    flag = np.zeros(m, dtype=bool)
+    for _ in range(4):
+        z = (sumc == 0) | flag
+        last_nz = np.maximum.accumulate(np.where(~z, idx, np.int64(-1)))
+        last_nz_before = np.concatenate([[-1], last_nz[:-1]])
+        train = idx - 1 - last_nz_before
+        train[last_nz_before == -1] += train_in + 1
+        rate = _LUTBINS[np.minimum(train, 10)].copy()
+        long_run = train > 10
+        if long_run.any():
+            t = (train[long_run] - 10).astype(np.float64)
+            a = np.frexp(t)[1].astype(np.int64)  # bit length
+            rate[long_run] += 2 * a - 1 + 2
+        rate += extra
+        new_flag = (sumc > 0) & (sumc < 3) \
+            & (dist2 * 1024.0 < lam * rate.astype(np.float64))
+        if (new_flag == flag).all():
+            break
+        flag = new_flag
+    zeroed = (sumc == 0) | flag
+    if zeroed.all():
+        train_out = train_in + m
+    else:
+        train_out = m - 1 - int(np.flatnonzero(~zeroed)[-1])
+    return flag, train_out
+
+
 def _lcp_estimate(c1: np.ndarray, c2: np.ndarray) -> int:
     """Per-layer last-component prediction coefficient (reference
     computeLastComponentPredictionCoeff, AttributeEncoder.cpp:1499):
@@ -142,8 +210,22 @@ def encode(values: np.ndarray, positions: np.ndarray,
     lcp_on = (aps.last_component_prediction_enabled and ncomp == 3
               and abh is not None)
 
+    rdoq_state = {"train": 0}
+
+    def _apply_rdoq(arr, tag):
+        if haar or tag < 0:
+            return arr
+        flag, rdoq_state["train"] = _rdoq_zero_rows(
+            arr, [step_at(c, tag) for c in range(ncomp)],
+            rdoq_state["train"])
+        if flag.any():
+            arr = arr.copy()
+            arr[flag] = 0
+        return arr
+
     if aps.raht_prediction_enabled and uniq.size > 1:
         def quant(arr, tag):
+            arr = _apply_rdoq(arr, tag)
             cols = [_quantize(arr[:, c], step_at(c, tag))
                     for c in range(ncomp)]
             if lcp_on:
@@ -156,11 +238,7 @@ def encode(values: np.ndarray, positions: np.ndarray,
                     arr[:, 2] - _lcp_pred(k, dq1, haar),
                     step_at(2, tag))
             q = np.stack(cols, axis=1)
-            for c in range(ncomp):
-                cs = ctx.residuals[c * RES_CTX_SIZE:
-                                   (c + 1) * RES_CTX_SIZE]
-                enc.residuals(cs, q[:, c].astype(np.int32),
-                              _RES_PREFIX_MAX, _RES_K)
+            enc.zrow_residuals(ctx.zrow, q.astype(np.int32))
             return q
 
         def dequant(q, tag):
@@ -178,10 +256,15 @@ def encode(values: np.ndarray, positions: np.ndarray,
         return enc.get_bytes()
 
     coeffs = raht_ops.forward(uniq, uvals, depth, integer_haar=haar)
-    for c in range(ncomp):
-        q = _quantize(coeffs[:, c], steps[c])
-        cslice = ctx.residuals[c * RES_CTX_SIZE:(c + 1) * RES_CTX_SIZE]
-        enc.residuals(cslice, q.astype(np.int32), _RES_PREFIX_MAX, _RES_K)
+    if not haar and coeffs.shape[0] > 1:
+        # RDOQ over the AC rows (the root DC row 0 is always kept)
+        flag, _ = _rdoq_zero_rows(coeffs[1:], steps, 0)
+        if flag.any():
+            coeffs = coeffs.copy()
+            coeffs[1:][flag] = 0
+    q = np.stack([_quantize(coeffs[:, c], steps[c])
+                  for c in range(ncomp)], axis=1)
+    enc.zrow_residuals(ctx.zrow, q.astype(np.int32))
     return enc.get_bytes()
 
 
@@ -204,13 +287,8 @@ def decode(data: bytes, positions: np.ndarray,
 
     if aps.raht_prediction_enabled and n > 1:
         def read_q(count, tag):
-            cols = []
-            for c in range(ncomp):
-                cs = ctx.residuals[c * RES_CTX_SIZE:
-                                   (c + 1) * RES_CTX_SIZE]
-                cols.append(dec.residuals(cs, count,
-                                          _RES_PREFIX_MAX, _RES_K))
-            return np.stack(cols, axis=1).astype(np.int64)
+            return dec.zrow_residuals(ctx.zrow, count,
+                                      ncomp).astype(np.int64)
 
         def dequant(q, tag):
             cols = [_dequantize(q[:, c], step_at(c, tag), haar)
@@ -231,12 +309,9 @@ def decode(data: bytes, positions: np.ndarray,
         out = vals[inv]
         return out[:, 0] if ncomp == 1 else out
 
-    cols = []
-    for c in range(ncomp):
-        cslice = ctx.residuals[c * RES_CTX_SIZE:(c + 1) * RES_CTX_SIZE]
-        q = dec.residuals(cslice, n, _RES_PREFIX_MAX, _RES_K)
-        cols.append(_dequantize(q.astype(np.int64), steps[c], haar))
-    coeffs = np.stack(cols, axis=1)
+    qrows = dec.zrow_residuals(ctx.zrow, n, ncomp).astype(np.int64)
+    coeffs = np.stack([_dequantize(qrows[:, c], steps[c], haar)
+                       for c in range(ncomp)], axis=1)
     vals = raht_ops.inverse(uniq, coeffs, depth, integer_haar=haar)
     if not haar:
         vals = np.round(vals).astype(np.int64)

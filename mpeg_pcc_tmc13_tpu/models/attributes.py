@@ -26,6 +26,11 @@ from ..bitstream.hls import (AttributeDescription, AttributeEncoding,
 _RES_PREFIX_MAX = 3
 _RES_K = 2
 RES_CTX_SIZE = 2 + _RES_PREFIX_MAX + 8
+# zero-run residual layout (entropy.py zrun_residuals): run prefix then
+# magnitude prefix
+ZRUN_CTX_SIZE = entropy.ZRUN_PREFIX + _RES_PREFIX_MAX + 8
+# joint row coder (entropy.py zrow_residuals; native kZrowCtx)
+ZROW_CTX_SIZE = 21
 
 
 @dataclass
@@ -34,12 +39,20 @@ class AttributeContexts:
     AttributeContexts, AttributeCommon.h:49-66)."""
     residuals: np.ndarray = field(
         default_factory=lambda: entropy.new_contexts(3 * RES_CTX_SIZE))
+    # sparse zero-run streams (RAHT coefficients)
+    zrun: np.ndarray = field(
+        default_factory=lambda: entropy.new_contexts(3 * ZRUN_CTX_SIZE))
+    # joint row streams (RAHT coefficient rows)
+    zrow: np.ndarray = field(
+        default_factory=lambda: entropy.new_contexts(ZROW_CTX_SIZE))
     # per-point prediction mode bits (reference predMode coding)
     pred_modes: np.ndarray = field(
         default_factory=lambda: entropy.new_contexts(2))
 
     def copy(self):
         return AttributeContexts(self.residuals.copy(),
+                                 self.zrun.copy(),
+                                 self.zrow.copy(),
                                  self.pred_modes.copy())
 
 

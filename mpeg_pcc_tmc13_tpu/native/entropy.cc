@@ -446,6 +446,201 @@ void rcd_residuals(RcDecoder* d, uint16_t* ctx, int32_t* vals, int64_t n,
   }
 }
 
+// ---- zero-run attribute residual block ---------------------------------
+//
+// For very sparse coefficient streams (RAHT at mid/low rates) a
+// per-coefficient zero flag costs ~0.02 bit per zero even when fully
+// adapted — a hard floor of kilobytes over millions of zeros.  Coding
+// the RUN of zeros before each nonzero (adaptive truncated-unary
+// prefix + EG(2) tail) makes empty regions nearly free; this mirrors
+// the reference's zeroRunLength design (AttributeEncoder.cpp
+// PCCResidualsEncoder::encodeRunLength).
+// Context layout: [0..19] run prefix, [20..20+prefix_max) magnitude.
+
+static const int kZrunPrefix = 20;
+static const int kZrunK = 2;
+
+void rce_zrun(RcEncoder* e, uint16_t* ctx, const int32_t* vals,
+              int64_t n, int32_t prefix_max, int32_t k) {
+  int64_t i = 0;
+  while (i < n) {
+    int64_t j = i;
+    while (j < n && vals[j] == 0) ++j;
+    enc_ueg(e, &ctx[0], (uint32_t)(j - i), kZrunPrefix, kZrunK);
+    if (j >= n) return;
+    int32_t v = vals[j];
+    e->encode_bypass(v < 0);
+    uint32_t mag = (uint32_t)(v < 0 ? -(int64_t)v : v);
+    enc_ueg(e, &ctx[kZrunPrefix], mag - 1, prefix_max, k);
+    i = j + 1;
+  }
+}
+
+void rcd_zrun(RcDecoder* d, uint16_t* ctx, int32_t* vals, int64_t n,
+              int32_t prefix_max, int32_t k) {
+  int64_t i = 0;
+  while (i < n) {
+    uint32_t run = dec_ueg(d, &ctx[0], kZrunPrefix, kZrunK);
+    for (uint32_t r = 0; r < run && i < n; ++r) vals[i++] = 0;
+    if (i >= n) return;
+    int neg = d->decode_bypass();
+    uint32_t mag = dec_ueg(d, &ctx[kZrunPrefix], prefix_max, k) + 1;
+    vals[i++] = neg ? -(int32_t)mag : (int32_t)mag;
+  }
+}
+
+// ---- joint row residual block (RAHT coefficients) -----------------------
+//
+// Codes (M, ncomp) coefficient rows: a zero-run of all-zero rows, then
+// the row's components jointly — chroma magnitudes condition the luma
+// contexts, and when both chromas are zero the luma magnitude is coded
+// minus one (a nonzero row guarantees it).  Run and magnitude
+// escape codes use context-coded Exp-Golomb prefixes, so isolated
+// nonzeros in long zero deserts cost a handful of adaptive bits
+// instead of ~20 bypass bits.  Same role as the reference's
+// PCCResidualsEncoder::encodeRunLength/encode (AttributeEncoder.cpp:
+// 228-299); binarisation matches so the RDOQ rate model stays honest.
+//
+// ctx layout (kZrowCtx = 21 per attribute):
+//   [0..2]  run unary    [3] run prefix4     [4] run EG2 prefix
+//   [5..11] coeff gt0    [12..18] coeff gt1  [19..20] EG1 rem prefix
+
+static const int kZrowCtx = 21;
+
+static inline void enc_egk_ctx(RcEncoder* e, uint32_t v, int k,
+                               uint16_t* ctx_prefix) {
+  while (v >= (1u << k)) {
+    e->encode_bit(ctx_prefix, 1);
+    v -= (1u << k);
+    ++k;
+  }
+  e->encode_bit(ctx_prefix, 0);
+  e->encode_bypass_bits(v, k);
+}
+
+static inline uint32_t dec_egk_ctx(RcDecoder* d, int k,
+                                   uint16_t* ctx_prefix) {
+  uint32_t base = 0;
+  while (d->decode_bit(ctx_prefix)) {
+    base += (1u << k);
+    ++k;
+  }
+  return base + d->decode_bypass_bits(k);
+}
+
+static inline void enc_zrow_run(RcEncoder* e, uint16_t* ctx,
+                                uint32_t run) {
+  uint32_t u = run < 3 ? run : 3;
+  for (uint32_t i = 0; i < u; ++i) e->encode_bit(&ctx[i], 1);
+  if (run < 3) { e->encode_bit(&ctx[run], 0); return; }
+  run -= 3;
+  uint32_t prefix = run >> 1;
+  for (uint32_t i = 0; i < (prefix < 4 ? prefix : 4); ++i)
+    e->encode_bit(&ctx[3], 1);
+  if (run < 8) {
+    e->encode_bit(&ctx[3], 0);
+    e->encode_bypass(run & 1);
+    return;
+  }
+  run -= 8;
+  enc_egk_ctx(e, run, 2, &ctx[4]);
+}
+
+static inline uint32_t dec_zrow_run(RcDecoder* d, uint16_t* ctx) {
+  uint32_t u = 0;
+  while (u < 3 && d->decode_bit(&ctx[u])) ++u;
+  if (u < 3) return u;
+  uint32_t prefix = 0;
+  while (prefix < 4 && d->decode_bit(&ctx[3])) ++prefix;
+  if (prefix < 4) return 3 + 2 * prefix + d->decode_bypass();
+  return 11 + dec_egk_ctx(d, 2, &ctx[4]);
+}
+
+static inline void enc_zrow_sym(RcEncoder* e, uint16_t* ctx, uint32_t v,
+                                int k1, int k2, int k3) {
+  e->encode_bit(&ctx[5 + k1], v > 0);
+  if (!v) return;
+  --v;
+  e->encode_bit(&ctx[12 + k2], v > 0);
+  if (!v) return;
+  enc_egk_ctx(e, v - 1, 1, &ctx[19 + k3]);
+}
+
+static inline uint32_t dec_zrow_sym(RcDecoder* d, uint16_t* ctx,
+                                    int k1, int k2, int k3) {
+  if (!d->decode_bit(&ctx[5 + k1])) return 0;
+  if (!d->decode_bit(&ctx[12 + k2])) return 1;
+  return 2 + dec_egk_ctx(d, 1, &ctx[19 + k3]);
+}
+
+void rce_zrow(RcEncoder* e, uint16_t* ctx, const int32_t* vals,
+              int64_t nrows, int32_t ncomp) {
+  int64_t i = 0;
+  while (i < nrows) {
+    int64_t j = i;
+    while (j < nrows) {
+      bool allz = true;
+      for (int c = 0; c < ncomp; ++c) allz &= vals[j * ncomp + c] == 0;
+      if (!allz) break;
+      ++j;
+    }
+    enc_zrow_run(e, ctx, (uint32_t)(j - i));
+    if (j >= nrows) return;
+    const int32_t* row = &vals[j * ncomp];
+    if (ncomp == 1) {
+      uint32_t mag = (uint32_t)(row[0] < 0 ? -row[0] : row[0]);
+      enc_zrow_sym(e, ctx, mag - 1, 0, 0, 0);
+      e->encode_bypass(row[0] < 0);
+    } else {
+      int32_t v0 = row[0], v1 = row[1], v2 = ncomp > 2 ? row[2] : 0;
+      uint32_t m0 = (uint32_t)(v0 < 0 ? -v0 : v0);
+      uint32_t m1 = (uint32_t)(v1 < 0 ? -v1 : v1);
+      uint32_t m2 = (uint32_t)(v2 < 0 ? -v2 : v2);
+      int b0 = m1 == 0, b1 = m1 <= 1, b2 = m2 == 0, b3 = m2 <= 1;
+      enc_zrow_sym(e, ctx, m1, 0, 0, 1);
+      enc_zrow_sym(e, ctx, m2, 1 + b0, 1 + b1, 1);
+      uint32_t m0x = (b0 && b2) ? m0 - 1 : m0;
+      enc_zrow_sym(e, ctx, m0x, 3 + (b0 << 1) + b2,
+                   3 + (b1 << 1) + b3, 0);
+      if (m0) e->encode_bypass(v0 < 0);
+      if (m1) e->encode_bypass(v1 < 0);
+      if (m2) e->encode_bypass(v2 < 0);
+    }
+    i = j + 1;
+  }
+}
+
+void rcd_zrow(RcDecoder* d, uint16_t* ctx, int32_t* vals, int64_t nrows,
+              int32_t ncomp) {
+  int64_t i = 0;
+  int64_t total = nrows * ncomp;
+  for (int64_t t = 0; t < total; ++t) vals[t] = 0;
+  while (i < nrows) {
+    uint32_t run = dec_zrow_run(d, ctx);
+    i += run;
+    if (i >= nrows) return;
+    int32_t* row = &vals[i * ncomp];
+    if (ncomp == 1) {
+      uint32_t mag = dec_zrow_sym(d, ctx, 0, 0, 0) + 1;
+      row[0] = d->decode_bypass() ? -(int32_t)mag : (int32_t)mag;
+    } else {
+      uint32_t m1 = dec_zrow_sym(d, ctx, 0, 0, 1);
+      int b0 = m1 == 0, b1 = m1 <= 1;
+      uint32_t m2 = dec_zrow_sym(d, ctx, 1 + b0, 1 + b1, 1);
+      int b2 = m2 == 0, b3 = m2 <= 1;
+      uint32_t m0 = dec_zrow_sym(d, ctx, 3 + (b0 << 1) + b2,
+                                 3 + (b1 << 1) + b3, 0);
+      if (b0 && b2) m0 += 1;
+      row[0] = m0 ? (d->decode_bypass() ? -(int32_t)m0 : (int32_t)m0) : 0;
+      row[1] = m1 ? (d->decode_bypass() ? -(int32_t)m1 : (int32_t)m1) : 0;
+      if (ncomp > 2)
+        row[2] = m2 ? (d->decode_bypass() ? -(int32_t)m2 : (int32_t)m2)
+                    : 0;
+    }
+    i += 1;
+  }
+}
+
 // ---- bit-length residual block ------------------------------------
 //
 // For large-dynamic-range residuals (predictive geometry deltas): per

@@ -105,16 +105,25 @@ def forward(leaf_codes: np.ndarray, values: np.ndarray, depth: int,
 
 # ---- transform-domain (intra DC) prediction -------------------------
 #
-# Reference intraDcPred (RAHT.cpp:423, weights hls.h:439-466): child
-# DCs are predicted from the reconstructed DCs of the parent
-# neighbourhood before transforming; only the prediction residual's
-# ACs are coded.  Here: pred(child) = (4*dc(parent) + sum over the <=3
-# face-neighbour parents the child touches) / weight-sum, computed
-# from *reconstructed* parent DCs (closed loop), then pushed through
-# the same three dyadic sweeps so ac_pred aligns with the coded ACs.
+# Reference intraDcPred (RAHT.cpp:423, weights hls.h:439-466): each
+# child of a parent block is predicted from the reconstructed mean
+# attributes of the 19-node parent neighbourhood (the parent itself,
+# its 6 face neighbours and its 12 edge neighbours), each neighbour
+# contributing only to the child slots that touch it.  CTC weights
+# (TMC3.cpp rahtPredictionWeights {9,3,1,5,2} via
+# hls.h setPredictionWeights): self 9, face 3, edge 1.  Neighbours
+# whose luma mean falls outside [parent/5, 2.5*parent) are rejected
+# (RAHT.cpp:487-499), and whole blocks skip prediction when the
+# neighbourhood is too sparse (grandparent count < threshold0, parent
+# count < threshold1; RAHT.cpp:1399-1416).  Prediction runs in the
+# mean domain over *reconstructed* values (closed loop) and the
+# transformed prediction is subtracted from the coded ACs.
 
-_W_SELF = 4
-_W_FACE = 1
+_W_SELF = 9
+_W_FACE = 3
+_W_EDGE = 1
+_PRED_T0 = 2   # raht_prediction_threshold0 (grandparent count)
+_PRED_T1 = 6   # raht_prediction_threshold1 (parent count)
 
 
 # per-axis Morton bit masks (x at bits 2,5,8..., y at 1,4,7..., z at
@@ -135,69 +144,121 @@ def _morton_dec(c, mask, unit):
     return (((c & mask) - unit) & mask) | (c & ~mask)
 
 
-def _face_neighbor_dcs(parent_codes: np.ndarray, parent_dc: np.ndarray,
-                       level_dims: int):
-    """For each parent and each of 6 directions: neighbour index + hit
-    mask.  Neighbour Morton codes via masked +/- per axis; one batched
-    binary search for all six directions."""
+# the 18 face+edge neighbour offsets (reference neighOffset decoded to
+# (dx, dy, dz) deltas; RAHT.cpp:324-326), faces first
+_NBR_OFFSETS = [
+    (+1, 0, 0), (-1, 0, 0), (0, +1, 0), (0, -1, 0), (0, 0, +1),
+    (0, 0, -1),
+    (+1, +1, 0), (+1, -1, 0), (-1, +1, 0), (-1, -1, 0),
+    (+1, 0, +1), (+1, 0, -1), (-1, 0, +1), (-1, 0, -1),
+    (0, +1, +1), (0, +1, -1), (0, -1, +1), (0, -1, -1),
+]
+
+
+def _offset_neighbor_codes(parent_codes: np.ndarray, level_dims: int):
+    """(M, 18) neighbour indices + hit masks for the face+edge
+    offsets, via per-axis masked Morton add/sub and one batched
+    binary search."""
     m = parent_codes.shape[0]
     bits = min(3 * max(level_dims, 0), 62)
     lvl_mask = np.int64((1 << bits) - 1)
-    ncodes = np.empty((m, 6), dtype=np.int64)
-    valid = np.empty((m, 6), dtype=bool)
-    for a in range(3):  # x, y, z -> directions (2a, 2a+1) = (-, +)
-        mask, unit = _AXIS_MASK[a], _AXIS_UNIT[a]
-        axis_bits = parent_codes & mask
-        dec = _morton_dec(parent_codes, mask, unit)
-        inc = _morton_inc(parent_codes, mask, unit)
-        ncodes[:, 2 * a] = dec
-        ncodes[:, 2 * a + 1] = inc
-        valid[:, 2 * a] = axis_bits != 0              # not at low edge
-        valid[:, 2 * a + 1] = (inc & ~lvl_mask) == 0  # stayed in level
+    n_off = len(_NBR_OFFSETS)
+    ncodes = np.empty((m, n_off), dtype=np.int64)
+    valid = np.empty((m, n_off), dtype=bool)
+    for j, (dx, dy, dz) in enumerate(_NBR_OFFSETS):
+        c = parent_codes
+        ok = np.ones(m, dtype=bool)
+        for a, d in enumerate((dx, dy, dz)):
+            if d == 0:
+                continue
+            mask, unit = _AXIS_MASK[a], _AXIS_UNIT[a]
+            if d > 0:
+                c = _morton_inc(c, mask, unit)
+                ok &= (c & ~lvl_mask) == 0   # no carry out of level
+            else:
+                ok &= (c & mask) != 0        # not at low edge
+                c = _morton_dec(c, mask, unit)
+        ncodes[:, j] = c
+        valid[:, j] = ok
     flat = ncodes.reshape(-1)
     idx = np.searchsorted(parent_codes, flat)
     idx = np.minimum(idx, m - 1)
     hit = valid.reshape(-1) & (parent_codes[idx] == flat)
-    return idx.reshape(m, 6), hit.reshape(m, 6)
+    return idx.reshape(m, n_off), hit.reshape(m, n_off)
 
 
 def predict_children(parent_codes: np.ndarray, parent_dc: np.ndarray,
                      child_codes: np.ndarray, level_dims: int,
                      integer: bool, parent_w: np.ndarray = None,
-                     child_w: np.ndarray = None):
+                     child_w: np.ndarray = None,
+                     grand_counts: np.ndarray = None):
     """Prediction value per child node from parent-level recon DCs.
 
     Orthonormal-path DCs scale with sqrt(subtree weight), so the
     prediction is formed in the MEAN domain (dc / sqrt(w), the
     reference's upconverted-attribute domain) and rescaled to the
     child's sqrt weight.  The integer-Haar DC is already a mean.
+
+    Returns (pred, child_counts): child_counts carries each child's
+    parent-neighbourhood size, which becomes the next level's
+    grandparent count for the block-skip rule.
     """
     if not integer and parent_w is not None:
         parent_dc = parent_dc / np.sqrt(
             parent_w.astype(np.float64))[:, None]
-    nbr_idx, nbr_ok = _face_neighbor_dcs(parent_codes, parent_dc,
-                                         level_dims)
+    nbr_idx, nbr_ok = _offset_neighbor_codes(parent_codes, level_dims)
+    m = parent_codes.shape[0]
+    n = child_codes.shape[0]
+
+    # per-parent neighbour counts (self always present)
+    parent_counts = 1 + nbr_ok.sum(axis=1).astype(np.int64)
+    # block-skip rule (RAHT.cpp:1399-1416)
+    enable = parent_counts >= _PRED_T1
+    if grand_counts is not None:
+        enable &= grand_counts >= _PRED_T0
+
+    # value-ratio outlier rejection on the luma mean
+    # (RAHT.cpp:487-499: keep iff limitLow < 10*v < limitHigh)
+    pv = parent_dc[:, 0]
+    nv = parent_dc[nbr_idx, 0]                           # (M,18)
+    keep = nbr_ok & (10 * nv > 2 * pv[:, None]) \
+        & (10 * nv < 25 * pv[:, None])
+
     parent_of_child = child_codes >> 3
     pidx = np.searchsorted(parent_codes, parent_of_child)
     cidx = (child_codes & 7).astype(np.int64)
-    # which faces the child touches: x bit -> +x (d=1) else -x (d=0)...
-    cx, cy, cz = (cidx >> 2) & 1, (cidx >> 1) & 1, cidx & 1
-    touch = np.stack([cx == 0, cx == 1, cy == 0, cy == 1,
-                      cz == 0, cz == 1], axis=1)            # (N,6)
-    w = touch & nbr_ok[pidx]                                # (N,6)
+    cbit = np.stack([(cidx >> 2) & 1, (cidx >> 1) & 1, cidx & 1],
+                    axis=1)                              # (N,3)
+    # child touches the neighbour at offset d iff, on every axis with
+    # d != 0, the child sits on that side of the parent cell
+    touch = np.ones((n, len(_NBR_OFFSETS)), dtype=bool)
+    for j, off in enumerate(_NBR_OFFSETS):
+        for a, d in enumerate(off):
+            if d > 0:
+                touch[:, j] &= cbit[:, a] == 1
+            elif d < 0:
+                touch[:, j] &= cbit[:, a] == 0
+    wvec = np.array([_W_FACE] * 6 + [_W_EDGE] * 12, dtype=np.int64)
+    use = touch & keep[pidx]                             # (N,18)
+    wmat = use * wvec[None, :]                           # (N,18)
     nbr_dc = parent_dc[nbr_idx[pidx].reshape(-1)].reshape(
-        child_codes.shape[0], 6, -1)                        # (N,6,C)
+        n, len(_NBR_OFFSETS), -1)                        # (N,18,C)
     acc = parent_dc[pidx] * _W_SELF \
-        + (nbr_dc * w[:, :, None]).sum(axis=1) * _W_FACE
-    wsum = _W_SELF + _W_FACE * w.sum(axis=1).astype(np.int64)
+        + (nbr_dc * wmat[:, :, None]).sum(axis=1)
+    wsum = _W_SELF + wmat.sum(axis=1)
+    child_counts = parent_counts[pidx]
+    en = enable[pidx]
     if integer:
         half = wsum[:, None] // 2
-        return (acc + half) // wsum[:, None]
+        pred = (acc + half) // wsum[:, None]
+        pred[~en] = 0
+        return pred, child_counts
     pred_mean = acc / wsum[:, None].astype(np.float64)
     if child_w is not None:
         pred_mean = pred_mean * np.sqrt(
             child_w.astype(np.float64))[:, None]
-    return pred_mean
+    pred_mean[~en] = 0.0
+    return pred_mean, child_counts
 
 
 def ref_mean_pyramid(ref_codes: np.ndarray, ref_values: np.ndarray,
@@ -330,6 +391,7 @@ def forward_predicted(leaf_codes: np.ndarray, values: np.ndarray,
     q_root = quant(root, -1)
     out = [q_root]
     recon = dequant(q_root, -1)
+    grand_counts = None
     # top-down by octree level groups of 3 sweeps
     for g in range(depth):
         g_hi = n_sweeps - 3 * g          # exclusive
@@ -341,10 +403,10 @@ def forward_predicted(leaf_codes: np.ndarray, values: np.ndarray,
         # level g (grid size 2**g per axis)
         parent_w = (sweeps[g_hi]["w"] if g_hi < n_sweeps
                     else np.array([leaf_codes.shape[0]], dtype=np.int64))
-        pred = predict_children(parent_codes, recon, child_codes, g,
-                                integer_haar,
-                                parent_w=parent_w,
-                                child_w=sweeps[g_lo]["w"])
+        pred, grand_counts = predict_children(
+            parent_codes, recon, child_codes, g, integer_haar,
+            parent_w=parent_w, child_w=sweeps[g_lo]["w"],
+            grand_counts=grand_counts)
         if ref_pyramid is not None:
             pred = _apply_ref_pred(pred, child_codes,
                                    ref_pyramid[g + 1], integer_haar,
@@ -379,6 +441,7 @@ def inverse_predicted(leaf_codes: np.ndarray, depth: int, read_q,
         leaf_codes.shape[0]
     q_root = read_q(n_roots, -1)
     recon = dequant(q_root, -1)
+    grand_counts = None
     for g in range(depth):
         g_hi = n_sweeps - 3 * g
         g_lo = g_hi - 3
@@ -387,10 +450,10 @@ def inverse_predicted(leaf_codes: np.ndarray, depth: int, read_q,
                         else np.zeros(1, dtype=np.int64))
         parent_w = (sweeps[g_hi]["w"] if g_hi < n_sweeps
                     else np.array([leaf_codes.shape[0]], dtype=np.int64))
-        pred = predict_children(parent_codes, recon, child_codes, g,
-                                integer_haar,
-                                parent_w=parent_w,
-                                child_w=sweeps[g_lo]["w"])
+        pred, grand_counts = predict_children(
+            parent_codes, recon, child_codes, g, integer_haar,
+            parent_w=parent_w, child_w=sweeps[g_lo]["w"],
+            grand_counts=grand_counts)
         if ref_pyramid is not None:
             pred = _apply_ref_pred(pred, child_codes,
                                    ref_pyramid[g + 1], integer_haar,

@@ -144,6 +144,34 @@ class Config:
                 p.geom_qp_shift = max(opt.to_int(value), 0) // 6
             elif name == "disableAttributeCoding":
                 self.disable_attributes = opt.to_bool(value)
+            elif name.startswith("recolour") or name.startswith("recolor"):
+                # the 13 recolour* options (reference TMC3.cpp:1501-1549)
+                key = {
+                    "NumNeighboursFwd": "num_neighbours_fwd",
+                    "NumNeighboursBwd": "num_neighbours_bwd",
+                    "UseDistWeightedAvgFwd": "use_dist_weighted_avg_fwd",
+                    "UseDistWeightedAvgBwd": "use_dist_weighted_avg_bwd",
+                    "SkipAvgIfIdenticalSourcePointPresentFwd":
+                        "skip_avg_if_identical_fwd",
+                    "SkipAvgIfIdenticalSourcePointPresentBwd":
+                        "skip_avg_if_identical_bwd",
+                    "DistOffsetFwd": "dist_offset_fwd",
+                    "DistOffsetBwd": "dist_offset_bwd",
+                    "MaxGeometryDist2Fwd": "max_geometry_dist2_fwd",
+                    "MaxGeometryDist2Bwd": "max_geometry_dist2_bwd",
+                    "MaxAttributeDist2Fwd": "max_attribute_dist2_fwd",
+                    "MaxAttributeDist2Bwd": "max_attribute_dist2_bwd",
+                }.get(name.replace("recolour", "").replace("recolor", ""))
+                if key is None:
+                    self.ignored.append(name)
+                else:
+                    from ..ops import recolour as recolour_ops
+                    if p.recolour_params is None:
+                        p.recolour_params = recolour_ops.RecolourParams()
+                    cur = getattr(p.recolour_params, key)
+                    setattr(p.recolour_params, key,
+                            opt.to_bool(value) if isinstance(cur, bool)
+                            else type(cur)(float(value)))
             elif name == "neighbourAvailBoundaryLog2":
                 # reference semantics: 0 disables the neighbour atlas
                 p.neighbour_context = opt.to_int(value) > 0

@@ -23,6 +23,8 @@ from ..models.pointcloud import PointCloud
 from ..ops import motion as motion_ops
 from ..ops import partition as partition_ops
 from ..ops import processing
+from ..ops import recolour as recolour_ops
+from ..utils import morton as morton_ops
 from .framestore import FrameStore
 
 
@@ -78,6 +80,8 @@ class EncoderParams:
     geom_scale_num: int = 1
     geom_scale_den: int = 1
     merge_duplicated_points: bool = True
+    # the 13 recolour* options (reference TMC3.cpp:1501-1549)
+    recolour_params: "recolour_ops.RecolourParams" = None
     geometry_codec: hls.GeometryCodecType = hls.GeometryCodecType.OCTREE
     trisoup_node_size_log2: int = 0
     trisoup_face_vertex_enabled: bool = False
@@ -364,7 +368,25 @@ class FrameEncoder:
             positions, p.geom_scale_num, p.geom_scale_den, (0, 0, 0))
         qcloud = PointCloud(grid, cloud.colors, cloud.reflectances,
                             cloud.frame_index)
-        if p.merge_duplicated_points:
+        has_attrs = (cloud.colors is not None
+                     or cloud.reflectances is not None)
+        if (p.geom_scale_num != p.geom_scale_den and has_attrs
+                and p.merge_duplicated_points):
+            # geometry changed: reference recolours the original
+            # attributes onto the quantised positions instead of
+            # averaging merged duplicates (encoder.cpp:1031-1037,
+            # pointset_processing.cpp:230+)
+            uniq = morton_ops.decode(
+                np.unique(morton_ops.encode(grid)))
+            src = PointCloud(positions.astype(np.int64),
+                             cloud.colors, cloud.reflectances)
+            rc = recolour_ops.recolour(
+                src, uniq, source_scale_num=p.geom_scale_num,
+                source_scale_den=p.geom_scale_den,
+                params=p.recolour_params)
+            qcloud = PointCloud(uniq, rc.colors, rc.reflectances,
+                                cloud.frame_index)
+        elif p.merge_duplicated_points:
             qcloud = processing.dedup_with_attributes(qcloud)
         return qcloud
 

@@ -88,3 +88,72 @@ def test_empty_stream():
     d = E.RangeDecoder(data)
     assert np.array_equal(d.bits(E.new_contexts(1), np.array([], np.int32)),
                           np.array([], np.uint8))
+
+
+# ---- sparse zero-run and joint row coders ---------------------------
+
+def _sparse_vals(rng, n, density, lo=1, hi=40):
+    v = np.zeros(n, dtype=np.int32)
+    nz = rng.random(n) < density
+    v[nz] = rng.integers(lo, hi, int(nz.sum())) * \
+        rng.choice([-1, 1], int(nz.sum()))
+    return v
+
+
+@pytest.mark.parametrize("density", [0.0, 0.003, 0.2, 1.0])
+def test_zrun_cross_engine(density):
+    rng = np.random.default_rng(int(density * 1000) + 7)
+    vals = _sparse_vals(rng, 5000, density)
+    outs = []
+    for force in (True, False):
+        ctx = E.new_contexts(40)
+        e = E.RangeEncoder(force_python=force)
+        e.zrun_residuals(ctx, vals, 3, 2)
+        outs.append(e.get_bytes())
+    assert outs[0] == outs[1]
+    for force in (True, False):
+        ctx = E.new_contexts(40)
+        d = E.RangeDecoder(outs[0], force_python=force)
+        assert np.array_equal(d.zrun_residuals(ctx, len(vals), 3, 2),
+                              vals)
+
+
+@pytest.mark.parametrize("ncomp", [1, 3])
+@pytest.mark.parametrize("density", [0.0, 0.004, 0.3])
+def test_zrow_cross_engine(ncomp, density):
+    rng = np.random.default_rng(ncomp * 100 + int(density * 1000))
+    rows = np.zeros((4000, ncomp), dtype=np.int32)
+    nz = rng.random(4000) < density
+    k = int(nz.sum())
+    if k:
+        mags = rng.integers(0, 30, (k, ncomp))
+        # guarantee the row is nonzero
+        mags[np.arange(k), rng.integers(0, ncomp, k)] += 1
+        rows[nz] = mags * rng.choice([-1, 1], (k, ncomp))
+    outs = []
+    for force in (True, False):
+        ctx = E.new_contexts(21)
+        e = E.RangeEncoder(force_python=force)
+        e.zrow_residuals(ctx, rows)
+        outs.append(e.get_bytes())
+    assert outs[0] == outs[1]
+    for force in (True, False):
+        ctx = E.new_contexts(21)
+        d = E.RangeDecoder(outs[0], force_python=force)
+        assert np.array_equal(
+            d.zrow_residuals(ctx, rows.shape[0], ncomp), rows)
+
+
+def test_zrow_sparser_beats_flags():
+    """The run coder must make long zero deserts nearly free."""
+    rng = np.random.default_rng(3)
+    vals = _sparse_vals(rng, 200_000, 0.0005)
+    ctx = E.new_contexts(40)
+    e = E.RangeEncoder()
+    e.zrun_residuals(ctx, vals, 3, 2)
+    zrun_bytes = len(e.get_bytes())
+    ctx = E.new_contexts(40)
+    e = E.RangeEncoder()
+    e.residuals(ctx, vals, 3, 2)
+    flag_bytes = len(e.get_bytes())
+    assert zrun_bytes < flag_bytes * 0.75
