@@ -170,6 +170,11 @@ class GeometryParameterSet:
     # occupancy symbol coder: bytewise Fenwick model (default; one
     # multisymbol range op per node) vs binary context tree
     bytewise_occupancy: bool = True
+    # OBUF engine: the brick's octree payload is a dirac-coded stream
+    # from the dynamic-OBUF context machinery (native/refcodec.cc) —
+    # reference-class occupancy compression (geometry_octree.h:328-613
+    # redesign).  Intra, single-stream, unique-point slices only.
+    obuf_engine: bool = False
     inferred_direct_coding_mode: int = 0   # 0=off (IDCM, later rounds)
     planar_mode_enabled: bool = False
     qtbt_enabled: bool = False
@@ -198,6 +203,7 @@ class GeometryParameterSet:
         w.write_bit(self.unique_points)
         w.write_bit(self.neighbour_context_enabled)
         w.write_bit(self.bytewise_occupancy)
+        w.write_bit(self.obuf_engine)
         w.write_ue(self.inferred_direct_coding_mode)
         w.write_bit(self.planar_mode_enabled)
         w.write_bit(self.qtbt_enabled)
@@ -231,6 +237,7 @@ class GeometryParameterSet:
         g.unique_points = bool(r.read_bit())
         g.neighbour_context_enabled = bool(r.read_bit())
         g.bytewise_occupancy = bool(r.read_bit())
+        g.obuf_engine = bool(r.read_bit())
         g.inferred_direct_coding_mode = r.read_ue()
         g.planar_mode_enabled = bool(r.read_bit())
         g.qtbt_enabled = bool(r.read_bit())

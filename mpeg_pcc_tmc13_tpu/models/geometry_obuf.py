@@ -1,0 +1,96 @@
+"""OBUF octree geometry engine for the native syntax.
+
+Wraps the dynamic-OBUF context machinery (native/refcodec.cc — our
+own re-implementation of the reference's strongest occupancy engine,
+geometry_octree.h:328-613 + geometry_octree_encoder.cpp) as a brick
+payload engine for THIS framework's bitstream: the geometry stream of
+a brick is a dirac-coded octree payload instead of a range-coded one.
+The QTBT schedule is derived implicitly from the brick's per-axis root
+sizes on both sides (reference mkQtBtNodeSizeList rule), so only the
+payload bytes travel.
+
+Scope: intra slices, unique points, single entropy stream.  RD on
+these bricks matches the reference encoder by construction.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..conformance import ref_hls
+from ..conformance.decoder import _load, geom_params_array
+from ..conformance.encoder import qtbt_axis_list
+
+
+def _gps_flags(planar: bool) -> ref_hls.RefGps:
+    return ref_hls.RefGps(
+        gps_id=0, sps_id=0, geom_box_log2_scale_present=True,
+        qtbt_enabled=True, unique_points=True,
+        neighbour_avail_boundary_log2_minus1=7,
+        adjacent_child_contextualization=True,
+        bitwise_occupancy=True,
+        planar_enabled=planar,
+        planar_threshold0=77, planar_threshold1=99,
+        planar_threshold2=113,
+        depth_planar_eligibility=planar,
+        planar_dynamic_obuf_eligibility=planar,
+        multiple_planar=planar)
+
+
+def axes_for(axis_bits, depth: int) -> np.ndarray:
+    root = [int(v) if v else depth for v in
+            (axis_bits or (depth, depth, depth))]
+    return np.asarray(qtbt_axis_list(root, True), dtype=np.int32)
+
+
+def encode(local: np.ndarray, depth: int, axis_bits,
+           planar: bool = True) -> bytes:
+    """local: unique non-negative int positions -> dirac payload."""
+    lib = _load()
+    c = ctypes
+    if not hasattr(lib.tmc13ref_encode_octree_intra, "_configured"):
+        lib.tmc13ref_encode_octree_intra.argtypes = [
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32),
+            c.POINTER(c.c_uint8), c.c_int,
+        ]
+        lib.tmc13ref_encode_octree_intra.restype = c.c_int
+        lib.tmc13ref_encode_octree_intra._configured = True
+    pos32 = np.ascontiguousarray(local, dtype=np.int32)
+    axes = axes_for(axis_bits, depth)
+    gp = geom_params_array(_gps_flags(planar))
+    cap = max(int(pos32.shape[0] * 16 + (1 << 16)), 1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.tmc13ref_encode_octree_intra(
+        pos32.ctypes.data_as(c.POINTER(c.c_int32)), pos32.shape[0],
+        axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+        gp.ctypes.data_as(c.POINTER(c.c_int32)),
+        out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+    if n < 0:
+        raise RuntimeError(f"obuf encode failed rc={n}")
+    return out[:n].tobytes()
+
+
+def decode(data: bytes, num_points: int, depth: int, axis_bits,
+           planar: bool = True) -> np.ndarray:
+    """dirac payload -> positions, Morton-sorted."""
+    lib = _load()
+    c = ctypes
+    buf = np.frombuffer(data, dtype=np.uint8)
+    axes = axes_for(axis_bits, depth)
+    gp = geom_params_array(_gps_flags(planar))
+    out = np.empty((max(num_points, 1), 3), dtype=np.int32)
+    n = lib.tmc13ref_decode_octree_intra(
+        buf.ctypes.data_as(c.POINTER(c.c_uint8)), buf.shape[0],
+        axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+        num_points,
+        gp.ctypes.data_as(c.POINTER(c.c_int32)),
+        out.ctypes.data_as(c.POINTER(c.c_int32)), num_points)
+    if n < 0:
+        raise RuntimeError(f"obuf decode failed rc={n}")
+    pos = out[:n].astype(np.int64)
+    from ..utils import morton
+    return pos[np.argsort(morton.encode(pos), kind="stable")]

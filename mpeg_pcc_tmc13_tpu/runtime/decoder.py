@@ -186,6 +186,20 @@ class FrameDecoder:
         for ln in gbh.stream_lens:
             streams.append(data[pos:pos + ln])
             pos += ln
+        if (gps.obuf_engine and not gbh.is_inter
+                and gps.codec_type == hls.GeometryCodecType.OCTREE):
+            if self.skip_layers or self.max_points:
+                raise ValueError(
+                    "scalable decode is not available for obuf-engine "
+                    "bricks")
+            from ..models import geometry_obuf
+            local = geometry_obuf.decode(
+                streams[0], gbh.num_points, gbh.root_node_size_log2,
+                gbh.axis_bits, planar=gps.planar_mode_enabled)
+            grid = _grid_positions(local, gbh)
+            self._slices.append(
+                _SliceState(positions=grid, local=local, gbh=gbh))
+            return
         if (len(streams) > 1
                 and gps.codec_type == hls.GeometryCodecType.OCTREE
                 and self.skip_layers == 0 and self.max_points == 0):

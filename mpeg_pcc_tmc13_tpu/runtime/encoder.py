@@ -215,6 +215,15 @@ class FrameEncoder:
             unique_points=p.merge_duplicated_points,
             neighbour_context_enabled=p.neighbour_context,
             bytewise_occupancy=p.bytewise_occupancy,
+            obuf_engine=(
+                p.engine == "obuf"
+                and p.geometry_codec == hls.GeometryCodecType.OCTREE
+                and p.merge_duplicated_points
+                and not p.inter_prediction
+                and not p.idcm
+                and p.geom_qp_shift == 0
+                and not p.geom_qp_regions
+                and p.num_entropy_streams <= 1),
             inferred_direct_coding_mode=1 if (
                 p.idcm and p.merge_duplicated_points) else 0,
             planar_mode_enabled=(
@@ -556,6 +565,9 @@ class FrameEncoder:
                     if self.gps.neighbour_context_enabled
                     else octree_ops.CTX_MODE_PARENT)
         enc = entropy.RangeEncoder()
+        # 'obuf' is a brick-payload engine; the fallback paths (inter,
+        # trisoup, multistream) use the auto-selected native engine
+        eng = "auto" if p.engine == "obuf" else p.engine
         trisoup = (self.gps.codec_type == hls.GeometryCodecType.TRISOUP
                    and self.gps.trisoup_node_size_log2 > 0)
         multistream = (p.num_entropy_streams > 1 and gm is None
@@ -569,7 +581,7 @@ class FrameEncoder:
             recon_local = geometry_trisoup.encode(
                 local, depth, self.gps.trisoup_node_size_log2, enc,
                 self._geom_ctx, self._trisoup_ctx,
-                engine=p.engine, ctx_mode=ctx_mode,
+                engine=eng, ctx_mode=ctx_mode,
                 face_vertices=self.gps.trisoup_face_vertex_enabled,
                 halo=self.gps.trisoup_halo_enabled)
         elif self.gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
@@ -588,6 +600,14 @@ class FrameEncoder:
                 sort_mode=p.predgeom_sort_mode,
                 angular=self.gps.angular_enabled,
                 ref_positions=ref_pos, lasers=lasers)
+        elif self.gps.obuf_engine and not refs:
+            from ..models import geometry_obuf
+            streams = [geometry_obuf.encode(
+                local, depth, axis_bits,
+                planar=self.gps.planar_mode_enabled)]
+            multistream = True   # streams are final; skip enc flush
+            # obuf decode emits Morton-sorted positions
+            order = np.argsort(morton_ops.encode(local), kind="stable")
         elif multistream:
             streams, order = geometry_octree.encode_multistream(
                 local, depth, self._geom_ctx, p.num_entropy_streams,
@@ -617,7 +637,7 @@ class FrameEncoder:
             order = geometry_octree.encode(
                 local, depth, enc, self._geom_ctx,
                 unique_points=self.gps.unique_points,
-                engine=p.engine, ctx_mode=ctx_mode, ref_codes=ref_codes,
+                engine=eng, ctx_mode=ctx_mode, ref_codes=ref_codes,
                 idcm=self.gps.inferred_direct_coding_mode > 0,
                 need_order=bool(self.aps),
                 planar=self.gps.planar_mode_enabled,

@@ -133,6 +133,10 @@ OURS_EXTRA = ["--convertPlyColourspace=1"]
 # the reference-syntax conformance path (geometry conditions only):
 # same contexts as tmc3 by construction
 OURS_REF_EXTRA = ["--refSyntax=1", "--planarEnabled=1"]
+# native syntax with the OBUF brick engine (reference-class occupancy
+# compression inside our own bitstream)
+OURS_OBUF_EXTRA = ["--geomEngine=obuf", "--planarEnabled=1",
+                   "--convertPlyColourspace=1"]
 
 
 # --------------------------------------------------------------------------
@@ -174,6 +178,8 @@ def codec_extra(codec):
         return TMC3_EXTRA
     if codec == "ours-ref":
         return OURS_REF_EXTRA
+    if codec == "ours-obuf":
+        return OURS_OBUF_EXTRA
     return OURS_EXTRA
 
 
@@ -296,7 +302,7 @@ def write_reports(rows, csv_path, md_path):
         lines.append("|---|---|---|---|---|---|---|---|---|---|")
         for rate in sorted(rates):
             pair = rates[rate]
-            for codec in ("tmc3", "ours", "ours-ref"):
+            for codec in ("tmc3", "ours", "ours-obuf", "ours-ref"):
                 r = pair.get(codec)
                 if not r:
                     continue

@@ -229,3 +229,40 @@ def test_geom_qp_regions():
             d = np.abs(got_in[:, None, :2] - pos[inb][None, ::17, :2])
             assert ((got_in[:, 0] - 4) % 8 == 0).all()
     assert sizes[True] < sizes[False] * 0.9
+
+
+def test_obuf_engine_roundtrip_and_rd():
+    """The OBUF brick engine must round-trip exactly and beat the
+    default occupancy coder on dense surfaces."""
+    rng = np.random.default_rng(11)
+    side = 160
+    xs = rng.integers(0, 512, side * side)
+    ys = rng.integers(0, 512, side * side)
+    zs = ((np.sin(xs / 60.0) + np.cos(ys / 47.0) + 2) * 100).astype(
+        np.int64)
+    pos = np.unique(np.stack([xs, ys, zs], axis=1), axis=0)
+    cloud = PointCloud(pos)
+
+    outs, total_obuf = roundtrip(
+        cloud, EncoderParams(engine="obuf", planar_enabled=True))
+    assert np.array_equal(
+        np.unique(outs[0].positions, axis=0), pos)
+
+    _, total_auto = roundtrip(cloud, EncoderParams())
+    assert total_obuf < total_auto
+
+
+def test_obuf_engine_with_attributes():
+    rng = np.random.default_rng(12)
+    pos = np.unique(rng.integers(0, 256, (5000, 3)), axis=0)
+    colors = (pos * [1, 2, 3] % 256).astype(np.int64)
+    cloud = PointCloud(pos, colors=colors)
+    params = EncoderParams(
+        engine="obuf", planar_enabled=True,
+        attributes=[AttributeConfig(label="color", qp=4,
+                                    raht_integer_haar=True)])
+    outs, _ = roundtrip(cloud, params)
+    got = canon(outs[0])
+    want = canon(cloud)
+    assert np.array_equal(got.positions, want.positions)
+    assert np.array_equal(got.colors, want.colors)
