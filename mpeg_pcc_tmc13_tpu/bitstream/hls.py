@@ -191,6 +191,9 @@ class GeometryParameterSet:
     # numLasers/lasersTheta/lasersZ/lasersNumPhiPerTurn): tan(theta)
     # in Q18, z offset, azimuth steps per turn, one entry per laser
     angular_enabled: bool = False
+    # scanner head position in sequence grid coords (reference
+    # lidarHeadPosition / gpsAngularOrigin, TMC3.cpp:1052)
+    angular_origin: tuple = (0, 0, 0)
     laser_theta_q: List[int] = field(default_factory=list)
     laser_z: List[int] = field(default_factory=list)
     laser_npt: List[int] = field(default_factory=list)
@@ -216,6 +219,9 @@ class GeometryParameterSet:
         w.write_bit(self.lpu_motion_enabled)
         w.write_ue(self.lpu_size_log2)
         w.write_bit(self.angular_enabled)
+        if self.angular_enabled:
+            for v in self.angular_origin:
+                w.write_ue(int(v))
         w.write_ue(len(self.laser_theta_q))
         pt = pz = 0
         for i in range(len(self.laser_theta_q)):
@@ -250,6 +256,8 @@ class GeometryParameterSet:
         g.lpu_motion_enabled = bool(r.read_bit())
         g.lpu_size_log2 = r.read_ue()
         g.angular_enabled = bool(r.read_bit())
+        if g.angular_enabled:
+            g.angular_origin = tuple(r.read_ue() for _ in range(3))
         nlas = r.read_ue()
         pt = pz = 0
         for _ in range(nlas):

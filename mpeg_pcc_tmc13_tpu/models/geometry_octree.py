@@ -87,6 +87,10 @@ class OctreeContexts:
         default_factory=lambda: entropy.new_contexts(PLANAR_CTX_SIZE))
     planar_occ: np.ndarray = field(
         default_factory=lambda: entropy.new_contexts(PLANAR_OCC_CTX_SIZE))
+    # angular planar-side contexts: [0..3] z theta contexts,
+    # [4..11] x phi, [12..19] y phi (ops/angular.py)
+    angular: np.ndarray = field(
+        default_factory=lambda: entropy.new_contexts(20))
     lpu: np.ndarray = field(
         default_factory=lambda: entropy.new_contexts(_LPU_CTX))
     # bytewise (Fenwick 256-symbol) occupancy models — the default
@@ -105,6 +109,7 @@ class OctreeContexts:
                               self.occupancy_inter.copy(),
                               self.idcm.copy(), self.planar.copy(),
                               self.planar_occ.copy(),
+                              self.angular.copy(),
                               self.lpu.copy(),
                               self.occupancy_sym.copy(),
                               self.occupancy_inter_sym.copy())
@@ -133,7 +138,7 @@ def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
            ctx_mode: int = ops.CTX_MODE_NEIGH,
            ref_codes: np.ndarray = None, idcm: bool = False,
            need_order: bool = True, planar: bool = False,
-           bytewise: bool = True, axis_bits=None):
+           bytewise: bool = True, axis_bits=None, angular=None):
     """Encode integer positions in [0, 2**depth)^3.
 
     ref_codes: sorted unique Morton codes of the motion-compensated
@@ -169,7 +174,7 @@ def encode(positions: np.ndarray, depth: int, enc, ctx: OctreeContexts,
         # planar mode runs the numpy engine (native planar: r2);
         # the empty-ref gate must match decode()'s exactly
         encode_planar_np(uniq, depth, enc, ctx, ctx_mode,
-                         bytewise=bytewise)
+                         bytewise=bytewise, angular=angular)
     elif idcm and unique_points and ref_codes is None:
         encode_idcm_np(uniq, depth, enc, ctx, ctx_mode,
                        bytewise=bytewise)
@@ -283,33 +288,81 @@ def _planar_k3_occ(eff: np.ndarray, side: np.ndarray):
     return (np.int32(1) << slot).astype(np.uint8)
 
 
+def _angular_side_ids(a: int, ctx_z, ctx_phi, phi_axis):
+    """Per-node ids into OctreeContexts.angular for axis a's plane
+    position bit; -1 where the node is not angular-eligible."""
+    if a == 2:
+        return np.where(ctx_z >= 0, ctx_z, -1)
+    want = 1 if a == 1 else 0
+    ok = (ctx_phi >= 0) & (phi_axis == want)
+    return np.where(ok, 4 + 8 * a + ctx_phi, -1)
+
+
+def _enc_side_bits(enc, ctx, a, bits, aid):
+    if aid is not None and (aid >= 0).any():
+        use = aid >= 0
+        enc.bits(ctx.angular, aid[use].astype(np.int32), bits[use])
+        rest = ~use
+        if rest.any():
+            enc.bits(ctx.planar,
+                     np.full(int(rest.sum()), 6 + a, dtype=np.int32),
+                     bits[rest])
+    else:
+        enc.bits(ctx.planar,
+                 np.full(bits.size, 6 + a, dtype=np.int32), bits)
+
+
+def _dec_side_bits(dec, ctx, a, n, aid):
+    out = np.zeros(n, dtype=np.int32)
+    if aid is not None and (aid >= 0).any():
+        use = aid >= 0
+        out[use] = dec.bits(ctx.angular, aid[use].astype(np.int32))
+        rest = ~use
+        if rest.any():
+            out[rest] = dec.bits(
+                ctx.planar,
+                np.full(int(rest.sum()), 6 + a, dtype=np.int32))
+    else:
+        out[:] = dec.bits(ctx.planar,
+                          np.full(n, 6 + a, dtype=np.int32))
+    return out
+
+
 def encode_planar_np(uniq: np.ndarray, depth: int, enc,
                      ctx: OctreeContexts, ctx_mode: int,
-                     bytewise: bool = True):
+                     bytewise: bool = True, angular=None):
     """Intra octree coding with planar mode (GPS planar_mode_enabled).
 
     Per level, for each planar-eligible axis: a chained planar flag and
     a position bit per node; the occupancy symbol is then coded only
     over the surviving child slots.  Eligibility per axis is derived
     from the PREVIOUS level's planarity fraction on both sides."""
+    from ..ops import angular as angular_ops
     levels = ops.build_levels_np(uniq, depth, ctx_mode)
     elig = np.zeros(3, dtype=bool)
-    for lvl in levels:
+    for l, lvl in enumerate(levels):
         occ = lvl["occ"].astype(np.int32)
         planar, side = _planar_flags(occ)
         eff = planar & elig[None, :]
         eff_side = np.where(eff, side, 0)
+        ang = None
+        if angular is not None and elig.any():
+            info, origin = angular
+            ang = angular_ops.node_angular_ctx(
+                lvl["nodes"], depth - l, origin, info)
         for a in range(3):
             if not elig[a]:
                 continue
             f = planar[:, a].astype(np.uint8)
             prev = np.concatenate([[0], f[:-1]]).astype(np.int32)
             enc.bits(ctx.planar, a * 2 + prev, f)
-            npl = int(f.sum())
-            if npl:
-                enc.bits(ctx.planar,
-                         np.full(npl, 6 + a, dtype=np.int32),
-                         side[f.astype(bool), a].astype(np.uint8))
+            sel = f.astype(bool)
+            if sel.any():
+                bits = side[sel, a].astype(np.uint8)
+                aid = (_angular_side_ids(a, ang[0][sel], ang[1][sel],
+                                         ang[2][sel])
+                       if ang is not None else None)
+                _enc_side_bits(enc, ctx, a, bits, aid)
         k = eff.sum(axis=1)
         sel0 = k == 0
         if sel0.any():
@@ -332,8 +385,10 @@ def encode_planar_np(uniq: np.ndarray, depth: int, enc,
 
 def decode_planar_np(depth: int, dec, ctx: OctreeContexts,
                      ctx_mode: int, stop_at: int = None,
-                     max_points: int = 0, bytewise: bool = True):
+                     max_points: int = 0, bytewise: bool = True,
+                     angular=None):
     """Mirror of encode_planar_np; returns (nodes, levels_decoded)."""
+    from ..ops import angular as angular_ops
     nodes = np.zeros(1, dtype=np.int64)
     parent_occ = np.zeros(1, dtype=np.int32)
     elig = np.zeros(3, dtype=bool)
@@ -345,6 +400,11 @@ def decode_planar_np(depth: int, dec, ctx: OctreeContexts,
         n = nodes.size
         planar = np.zeros((n, 3), dtype=bool)
         side = np.zeros((n, 3), dtype=np.int32)
+        ang = None
+        if angular is not None and elig.any():
+            info, origin = angular
+            ang = angular_ops.node_angular_ctx(
+                nodes, depth - l, origin, info)
         for a in range(3):
             if not elig[a]:
                 continue
@@ -353,9 +413,10 @@ def decode_planar_np(depth: int, dec, ctx: OctreeContexts,
             planar[:, a] = f
             npl = int(f.sum())
             if npl:
-                side[f, a] = dec.bits(
-                    ctx.planar,
-                    np.full(npl, 6 + a, dtype=np.int32)).astype(np.int32)
+                aid = (_angular_side_ids(a, ang[0][f], ang[1][f],
+                                         ang[2][f])
+                       if ang is not None else None)
+                side[f, a] = _dec_side_bits(dec, ctx, a, npl, aid)
         eff = planar  # flags only decoded for eligible axes
         eff_side = np.where(eff, side, 0)
         k = eff.sum(axis=1)
@@ -675,7 +736,7 @@ def decode(num_points: int, depth: int, dec, ctx: OctreeContexts,
            ref_codes: np.ndarray = None, idcm: bool = False,
            skip_layers: int = 0, max_points: int = 0,
            planar: bool = False, bytewise: bool = True,
-           axis_bits=None):
+           axis_bits=None, angular=None):
     """Decode positions (coding order).
 
     num_points (total, incl. duplicates — signalled in the GBH) only
@@ -717,7 +778,8 @@ def decode(num_points: int, depth: int, dec, ctx: OctreeContexts,
         nodes, lvl = decode_planar_np(
             depth, dec, ctx, ctx_mode,
             stop_at=depth - min(skip_layers, depth),
-            max_points=max_points, bytewise=bytewise)
+            max_points=max_points, bytewise=bytewise,
+            angular=angular)
         if lvl < depth:
             shift = depth - lvl
             pos = morton.decode(nodes) << shift

@@ -118,6 +118,10 @@ class Config:
                                     else hls.GeometryCodecType.OCTREE)
             elif name == "angularEnabled":
                 p.angular_enabled = opt.to_bool(value)
+            elif name == "lidarHeadPosition":
+                p.angular_origin = tuple(
+                    int(float(t)) for t in
+                    value.replace(",", " ").split())
             elif name == "numLasers":
                 pass   # implied by the table lengths
             elif name == "lasersTheta":

@@ -257,6 +257,7 @@ class FrameDecoder:
                             gbh.root_node_size_log2)
                 if pts is not None and len(pts):
                     ref_codes = np.unique(morton_mod.encode(pts))
+            from .encoder import _angular_for
             local = geometry_octree.decode(
                 gbh.num_points, gbh.root_node_size_log2, dec,
                 self._geom_ctx, unique_points=gps.unique_points,
@@ -266,7 +267,8 @@ class FrameDecoder:
                 max_points=self.max_points,
                 planar=gps.planar_mode_enabled,
                 bytewise=gps.bytewise_occupancy,
-                axis_bits=gbh.axis_bits)
+                axis_bits=gbh.axis_bits,
+                angular=_angular_for(gps, gbh.slice_origin))
         grid = _grid_positions(local, gbh)
         self._slices.append(_SliceState(positions=grid, local=local,
                                         gbh=gbh))
@@ -395,6 +397,22 @@ class FrameDecoder:
             pos = processing.dequantize_positions(
                 sl.positions, sps.geom_scale_num, sps.geom_scale_den,
                 (0, 0, 0))
+            gps = self.gps.get(sl.gbh.gps_id)
+            if (gps is not None and gps.angular_enabled
+                    and len(gps.laser_theta_q) > 1
+                    and sps.geom_scale_num != sps.geom_scale_den):
+                # z compensation onto the laser cones (reference
+                # compensateZCoordinate, geometry_octree.cpp:781)
+                from ..ops import angular as angular_ops
+                info = angular_ops.laser_info(
+                    gps.laser_theta_q, gps.laser_z, gps.laser_npt)
+                org = processing.dequantize_positions(
+                    np.asarray([gps.angular_origin], dtype=np.int64),
+                    sps.geom_scale_num, sps.geom_scale_den,
+                    (0, 0, 0))[0]
+                tol = -(-sps.geom_scale_den
+                        // (2 * sps.geom_scale_num))
+                pos = angular_ops.compensate_z(pos, info, org, tol)
             # stv -> xyz output order (reference toXyz, hls.h:164)
             pos = pos[:, sps.geom_axis_order.inv_perm]
             clouds.append(pc.PointCloud(pos, colors, refl))

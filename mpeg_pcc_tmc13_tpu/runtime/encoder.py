@@ -149,6 +149,8 @@ class EncoderParams:
     # angular (spherical-domain) coding for LiDAR (reference
     # angularEnabled, TMC3.cpp cfg: angular tool set)
     angular_enabled: bool = False
+    # scanner head position (reference lidarHeadPosition)
+    angular_origin: tuple = (0, 0, 0)
     # internal axis permutation (reference geometry_axis_order,
     # TMC3.cpp:750)
     axis_order: hls.AxisOrder = hls.AxisOrder.XYZ
@@ -158,6 +160,21 @@ class EncoderParams:
             self.predgeom_sort_mode = geometry_predictive.SortMode.MORTON
         if self.partition_method is None:
             self.partition_method = partition_ops.PartitionMethod.NPTS
+
+
+def _angular_for(gps, slice_origin):
+    """(LaserInfo, slice-local origin) for angular planar contexts,
+    or None when the angular octree tool set is off."""
+    if not (gps.angular_enabled and gps.laser_theta_q
+            and gps.planar_mode_enabled
+            and gps.codec_type == hls.GeometryCodecType.OCTREE):
+        return None
+    from ..ops import angular as angular_ops
+    info = angular_ops.laser_info(gps.laser_theta_q, gps.laser_z,
+                                  gps.laser_npt)
+    org = (np.asarray(gps.angular_origin, dtype=np.int64)
+           - np.asarray(slice_origin, dtype=np.int64))
+    return (info, org)
 
 
 class FrameEncoder:
@@ -237,6 +254,11 @@ class FrameEncoder:
             lpu_motion_enabled=p.lpu_motion and p.inter_prediction,
             lpu_size_log2=p.lpu_size_log2,
             angular_enabled=p.angular_enabled,
+            # lidarHeadPosition is given in input units (reference
+            # TMC3.cpp sanitization); store in coding grid units
+            angular_origin=tuple(
+                int(round(v * p.geom_scale_num / p.geom_scale_den))
+                for v in p.angular_origin),
             laser_theta_q=[int(round(t * (1 << 18)))
                            for t in p.laser_theta],
             laser_z=[int(p.laser_z[i]) if i < len(p.laser_z) else 0
@@ -642,7 +664,8 @@ class FrameEncoder:
                 need_order=bool(self.aps),
                 planar=self.gps.planar_mode_enabled,
                 bytewise=self.gps.bytewise_occupancy,
-                axis_bits=axis_bits)
+                axis_bits=axis_bits,
+                angular=_angular_for(self.gps, slice_origin))
         if not multistream:
             streams = [enc.get_bytes()]
 

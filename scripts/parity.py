@@ -115,6 +115,23 @@ def conditions():
             "--mergeDuplicatedPoints=1",
             f"--trisoupNodeSizeLog2={4 if r == 'r02' else 3}",
             "--transformType=0", *_color_attr(RATE_QP[r])])
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    from gen_clouds import _hdl64_elevations
+    theta = ",".join(f"{t:.6f}" for t in
+                     np.tan(_hdl64_elevations(64)))
+    npt = ",".join(["8000"] * 64)
+    zeros = ",".join(["0"] * 64)
+    head = 1 << 17
+    c["octree-angular"] = dict(
+        input=LIDAR0, frames=1, gp=18, resolution=30000,
+        rates=["r02", "r04", "r06"], lossless=False,
+        args=lambda r: [
+            f"--positionQuantizationScale={ctc_pqs(18, r)}",
+            "--mergeDuplicatedPoints=1", "--disableAttributeCoding=1",
+            "--angularEnabled=1", "--planarEnabled=1",
+            f"--lidarHeadPosition={head},{head},{head}",
+            f"--lasersTheta={theta}", f"--lasersZ={zeros}",
+            f"--lasersNumPhiPerTurn={npt}"])
     c["octree-inter-gm"] = dict(
         input=LIDAR_SEQ, frames=4, gp=18, resolution=30000,
         rates=["r04"], lossless=False,
