@@ -177,10 +177,26 @@ class GeometryParameterSet:
     obuf_engine: bool = False
     inferred_direct_coding_mode: int = 0   # 0=off (IDCM, later rounds)
     planar_mode_enabled: bool = False
+    # OBUF-engine planar configuration (reference planarModeThreshold*,
+    # multiplePlanarEnabled, octreeDepthPlanarEligibilityEnabled,
+    # octreePlanarDynamicOBUFEligibilityEnabled) — normative for
+    # obuf-engine bricks (models/geometry_obuf.py)
+    planar_thresholds: Tuple[int, int, int] = (77, 99, 113)
+    multiple_planar: bool = True
+    depth_planar_eligibility: bool = True
+    planar_dynamic_obuf: bool = True
     qtbt_enabled: bool = False
+    # implicit QTBT schedule knobs (reference maxNumQtBtBeforeOt,
+    # minQtbtSizeLog2; geometry_octree.cpp:51-160) — drive the
+    # obuf-engine coded-axis derivation
+    qtbt_max_before_ot: int = 4
+    qtbt_min_size_log2: int = 0
     trisoup_node_size_log2: int = 0        # >0 when codec_type==TRISOUP
     trisoup_face_vertex_enabled: bool = False
     trisoup_halo_enabled: bool = False
+    # centroid drift residual per >=3-vertex node (reference
+    # trisoupCentroidResidualEnabled)
+    trisoup_centroid_enabled: bool = True
     geom_scaling_enabled: bool = False
     interPredictionEnabled: bool = False
     globalMotionEnabled: bool = False
@@ -191,6 +207,9 @@ class GeometryParameterSet:
     # numLasers/lasersTheta/lasersZ/lasersNumPhiPerTurn): tan(theta)
     # in Q18, z offset, azimuth steps per turn, one entry per laser
     angular_enabled: bool = False
+    # decoder-side z snap onto the laser cones (reference
+    # zCompensationEnabled)
+    z_compensation_enabled: bool = True
     # scanner head position in sequence grid coords (reference
     # lidarHeadPosition / gpsAngularOrigin, TMC3.cpp:1052)
     angular_origin: tuple = (0, 0, 0)
@@ -207,12 +226,21 @@ class GeometryParameterSet:
         w.write_bit(self.neighbour_context_enabled)
         w.write_bit(self.bytewise_occupancy)
         w.write_bit(self.obuf_engine)
+        if self.obuf_engine:
+            for v in self.planar_thresholds:
+                w.write_ue(int(v))
+            w.write_bit(self.multiple_planar)
+            w.write_bit(self.depth_planar_eligibility)
+            w.write_bit(self.planar_dynamic_obuf)
+            w.write_ue(self.qtbt_max_before_ot)
+            w.write_ue(self.qtbt_min_size_log2)
         w.write_ue(self.inferred_direct_coding_mode)
         w.write_bit(self.planar_mode_enabled)
         w.write_bit(self.qtbt_enabled)
         w.write_ue(self.trisoup_node_size_log2)
         w.write_bit(self.trisoup_face_vertex_enabled)
         w.write_bit(self.trisoup_halo_enabled)
+        w.write_bit(self.trisoup_centroid_enabled)
         w.write_bit(self.geom_scaling_enabled)
         w.write_bit(self.interPredictionEnabled)
         w.write_bit(self.globalMotionEnabled)
@@ -220,6 +248,7 @@ class GeometryParameterSet:
         w.write_ue(self.lpu_size_log2)
         w.write_bit(self.angular_enabled)
         if self.angular_enabled:
+            w.write_bit(self.z_compensation_enabled)
             for v in self.angular_origin:
                 w.write_ue(int(v))
         w.write_ue(len(self.laser_theta_q))
@@ -244,12 +273,20 @@ class GeometryParameterSet:
         g.neighbour_context_enabled = bool(r.read_bit())
         g.bytewise_occupancy = bool(r.read_bit())
         g.obuf_engine = bool(r.read_bit())
+        if g.obuf_engine:
+            g.planar_thresholds = tuple(r.read_ue() for _ in range(3))
+            g.multiple_planar = bool(r.read_bit())
+            g.depth_planar_eligibility = bool(r.read_bit())
+            g.planar_dynamic_obuf = bool(r.read_bit())
+            g.qtbt_max_before_ot = r.read_ue()
+            g.qtbt_min_size_log2 = r.read_ue()
         g.inferred_direct_coding_mode = r.read_ue()
         g.planar_mode_enabled = bool(r.read_bit())
         g.qtbt_enabled = bool(r.read_bit())
         g.trisoup_node_size_log2 = r.read_ue()
         g.trisoup_face_vertex_enabled = bool(r.read_bit())
         g.trisoup_halo_enabled = bool(r.read_bit())
+        g.trisoup_centroid_enabled = bool(r.read_bit())
         g.geom_scaling_enabled = bool(r.read_bit())
         g.interPredictionEnabled = bool(r.read_bit())
         g.globalMotionEnabled = bool(r.read_bit())
@@ -257,6 +294,7 @@ class GeometryParameterSet:
         g.lpu_size_log2 = r.read_ue()
         g.angular_enabled = bool(r.read_bit())
         if g.angular_enabled:
+            g.z_compensation_enabled = bool(r.read_bit())
             g.angular_origin = tuple(r.read_ue() for _ in range(3))
         nlas = r.read_ue()
         pt = pz = 0
@@ -288,6 +326,14 @@ class AttributeParameterSet:
     # RAHT-specific
     raht_prediction_enabled: bool = True
     raht_integer_haar: bool = False
+    # transform-domain prediction sparsity thresholds + neighbourhood
+    # weights (reference rahtPredictionThreshold0/1,
+    # rahtPredictionWeights w0..w2 = self/face/edge; TMC3.cpp:1299)
+    raht_pred_threshold0: int = 2
+    raht_pred_threshold1: int = 6
+    raht_pred_weights: Tuple[int, int, int] = (9, 3, 1)
+    # LoD decimation period (reference lodSamplingPeriod)
+    lod_sampling_period: int = 4
     # Lift
     scalable_lifting_enabled: bool = False
     # coordinate conversion (spherical attrs, LiDAR)
@@ -321,6 +367,12 @@ class AttributeParameterSet:
         w.write_ue(self.max_direct_predictors)
         w.write_ue(self.adaptive_prediction_threshold)
         w.write_bit(self.raht_prediction_enabled)
+        if self.raht_prediction_enabled:
+            w.write_ue(self.raht_pred_threshold0)
+            w.write_ue(self.raht_pred_threshold1)
+            for v in self.raht_pred_weights:
+                w.write_ue(int(v))
+        w.write_ue(self.lod_sampling_period - 2)
         w.write_bit(self.raht_integer_haar)
         w.write_bit(self.scalable_lifting_enabled)
         w.write_bit(self.spherical_coord_enabled)
@@ -346,6 +398,11 @@ class AttributeParameterSet:
         a.max_direct_predictors = r.read_ue()
         a.adaptive_prediction_threshold = r.read_ue()
         a.raht_prediction_enabled = bool(r.read_bit())
+        if a.raht_prediction_enabled:
+            a.raht_pred_threshold0 = r.read_ue()
+            a.raht_pred_threshold1 = r.read_ue()
+            a.raht_pred_weights = tuple(r.read_ue() for _ in range(3))
+        a.lod_sampling_period = r.read_ue() + 2
         a.raht_integer_haar = bool(r.read_bit())
         a.scalable_lifting_enabled = bool(r.read_bit())
         a.spherical_coord_enabled = bool(r.read_bit())

@@ -60,7 +60,7 @@ def _structure(positions: np.ndarray, aps: AttributeParameterSet,
     if aps.dist2 > 0 and aps.lod_decimation == 0:
         levels = lod_ops.assign_lod_levels_dist2(positions, nl, aps.dist2)
     else:
-        levels = lod_ops.assign_lod_levels(n, nl, _LOD_PERIOD)
+        levels = lod_ops.assign_lod_levels(n, nl, aps.lod_sampling_period)
     nbr, wq = lod_ops.knn_predictors(
         positions, levels, num_neighbors=aps.num_pred_nearest_neighbours,
         ref_positions=ref_positions)

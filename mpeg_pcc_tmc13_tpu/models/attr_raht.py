@@ -249,10 +249,12 @@ def encode(values: np.ndarray, positions: np.ndarray,
                                               cols[1], haar)
             return np.stack(cols, axis=1)
 
-        raht_ops.forward_predicted(uniq, uvals, depth, quant, dequant,
-                                   integer_haar=haar,
-                                   ref_pyramid=_ref_pyramid(
-                                       ref, aps, depth, haar))
+        raht_ops.forward_predicted(
+            uniq, uvals, depth, quant, dequant, integer_haar=haar,
+            ref_pyramid=_ref_pyramid(ref, aps, depth, haar),
+            thresholds=(aps.raht_pred_threshold0,
+                        aps.raht_pred_threshold1),
+            weights=aps.raht_pred_weights)
         return enc.get_bytes()
 
     coeffs = raht_ops.forward(uniq, uvals, depth, integer_haar=haar)
@@ -300,10 +302,12 @@ def decode(data: bytes, positions: np.ndarray,
                                               cols[1], haar)
             return np.stack(cols, axis=1)
 
-        vals = raht_ops.inverse_predicted(uniq, depth, read_q, dequant,
-                                          ncomp, integer_haar=haar,
-                                          ref_pyramid=_ref_pyramid(
-                                              ref, aps, depth, haar))
+        vals = raht_ops.inverse_predicted(
+            uniq, depth, read_q, dequant, ncomp, integer_haar=haar,
+            ref_pyramid=_ref_pyramid(ref, aps, depth, haar),
+            thresholds=(aps.raht_pred_threshold0,
+                        aps.raht_pred_threshold1),
+            weights=aps.raht_pred_weights)
         if not haar:
             vals = np.round(vals).astype(np.int64)
         out = vals[inv]

@@ -24,7 +24,11 @@ from ..conformance.decoder import _load, geom_params_array
 from ..conformance.encoder import qtbt_axis_list
 
 
-def _gps_flags(planar: bool) -> ref_hls.RefGps:
+def _gps_flags(gps) -> ref_hls.RefGps:
+    """Map this framework's GPS planar/QTBT knobs onto the OBUF
+    engine's parameter block."""
+    planar = bool(gps.planar_mode_enabled)
+    th = gps.planar_thresholds
     return ref_hls.RefGps(
         gps_id=0, sps_id=0, geom_box_log2_scale_present=True,
         qtbt_enabled=True, unique_points=True,
@@ -32,21 +36,26 @@ def _gps_flags(planar: bool) -> ref_hls.RefGps:
         adjacent_child_contextualization=True,
         bitwise_occupancy=True,
         planar_enabled=planar,
-        planar_threshold0=77, planar_threshold1=99,
-        planar_threshold2=113,
-        depth_planar_eligibility=planar,
-        planar_dynamic_obuf_eligibility=planar,
-        multiple_planar=planar)
+        planar_threshold0=int(th[0]), planar_threshold1=int(th[1]),
+        planar_threshold2=int(th[2]),
+        depth_planar_eligibility=(planar
+                                  and gps.depth_planar_eligibility),
+        planar_dynamic_obuf_eligibility=(planar
+                                         and gps.planar_dynamic_obuf),
+        multiple_planar=planar and gps.multiple_planar)
 
 
-def axes_for(axis_bits, depth: int) -> np.ndarray:
+def axes_for(axis_bits, depth: int, max_before_ot: int = 4,
+             min_size_log2: int = 0) -> np.ndarray:
     root = [int(v) if v else depth for v in
             (axis_bits or (depth, depth, depth))]
-    return np.asarray(qtbt_axis_list(root, True), dtype=np.int32)
+    return np.asarray(
+        qtbt_axis_list(root, True, max_num_qtbt_before_ot=max_before_ot,
+                       min_qtbt_size_log2=min_size_log2),
+        dtype=np.int32)
 
 
-def encode(local: np.ndarray, depth: int, axis_bits,
-           planar: bool = True) -> bytes:
+def encode(local: np.ndarray, depth: int, axis_bits, gps) -> bytes:
     """local: unique non-negative int positions -> dirac payload."""
     lib = _load()
     c = ctypes
@@ -60,8 +69,9 @@ def encode(local: np.ndarray, depth: int, axis_bits,
         lib.tmc13ref_encode_octree_intra.restype = c.c_int
         lib.tmc13ref_encode_octree_intra._configured = True
     pos32 = np.ascontiguousarray(local, dtype=np.int32)
-    axes = axes_for(axis_bits, depth)
-    gp = geom_params_array(_gps_flags(planar))
+    axes = axes_for(axis_bits, depth, gps.qtbt_max_before_ot,
+                    gps.qtbt_min_size_log2)
+    gp = geom_params_array(_gps_flags(gps))
     cap = max(int(pos32.shape[0] * 16 + (1 << 16)), 1 << 16)
     out = np.empty(cap, dtype=np.uint8)
     n = lib.tmc13ref_encode_octree_intra(
@@ -75,13 +85,14 @@ def encode(local: np.ndarray, depth: int, axis_bits,
 
 
 def decode(data: bytes, num_points: int, depth: int, axis_bits,
-           planar: bool = True) -> np.ndarray:
+           gps) -> np.ndarray:
     """dirac payload -> positions, Morton-sorted."""
     lib = _load()
     c = ctypes
     buf = np.frombuffer(data, dtype=np.uint8)
-    axes = axes_for(axis_bits, depth)
-    gp = geom_params_array(_gps_flags(planar))
+    axes = axes_for(axis_bits, depth, gps.qtbt_max_before_ot,
+                    gps.qtbt_min_size_log2)
+    gp = geom_params_array(_gps_flags(gps))
     out = np.empty((max(num_points, 1), 3), dtype=np.int32)
     n = lib.tmc13ref_decode_octree_intra(
         buf.ctypes.data_as(c.POINTER(c.c_uint8)), buf.shape[0],

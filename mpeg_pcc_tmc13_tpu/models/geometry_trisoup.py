@@ -45,7 +45,8 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
            octx: geometry_octree.OctreeContexts, tctx: TrisoupContexts,
            engine: str = "auto",
            ctx_mode: int = octree_ops.CTX_MODE_NEIGH,
-           face_vertices: bool = False, halo: bool = False):
+           face_vertices: bool = False, halo: bool = False,
+           centroid: bool = True):
     """Encode geometry; returns reconstructed positions (for attribute
     recolouring) — the decoder reproduces them exactly."""
     s = min(node_size_log2, depth)
@@ -91,15 +92,19 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
 
     # centroid vertex residuals for >=3-vertex nodes (reference
     # determineTrisoupCentroids + residual coding)
-    resid = trisoup_ops.true_centroid_residuals(
-        pts, node_codes, point_node, uniq, present, vpos, s,
-        faces=faces)
-    counts = trisoup_ops.vertex_counts(node_codes, uniq, present, s,
-                                       faces=faces)
-    sel = counts >= 3
-    for c in range(3):
-        cs = tctx.centroid[c * _CENT_AXIS_CTX:(c + 1) * _CENT_AXIS_CTX]
-        enc.resbl(cs, resid[sel][:, c].astype(np.int32))
+    if centroid:
+        resid = trisoup_ops.true_centroid_residuals(
+            pts, node_codes, point_node, uniq, present, vpos, s,
+            faces=faces)
+        counts = trisoup_ops.vertex_counts(node_codes, uniq, present,
+                                           s, faces=faces)
+        sel = counts >= 3
+        for c in range(3):
+            cs = tctx.centroid[c * _CENT_AXIS_CTX:
+                               (c + 1) * _CENT_AXIS_CTX]
+            enc.resbl(cs, resid[sel][:, c].astype(np.int32))
+    else:
+        resid = np.zeros((node_codes.shape[0], 3), dtype=np.int64)
 
     recon = trisoup_ops.reconstruct(
         node_codes, uniq, present, vpos, s,
@@ -112,7 +117,8 @@ def decode(depth: int, node_size_log2: int, dec,
            octx: geometry_octree.OctreeContexts, tctx: TrisoupContexts,
            max_nodes: int, engine: str = "auto",
            ctx_mode: int = octree_ops.CTX_MODE_NEIGH,
-           face_vertices: bool = False, halo: bool = False):
+           face_vertices: bool = False, halo: bool = False,
+           centroid: bool = True):
     s = min(node_size_log2, depth)
     octree_depth = depth - s
     node_pos = geometry_octree.decode(
@@ -142,14 +148,16 @@ def decode(depth: int, node_size_log2: int, dec,
             fpos[fpres] = dec.bypass(fb).astype(np.int64).reshape(-1, 2)
         faces = (fpres, fpos)
 
-    counts = trisoup_ops.vertex_counts(node_codes, uniq, present, s,
-                                       faces=faces)
-    sel = counts >= 3
     resid = np.zeros((node_codes.shape[0], 3), dtype=np.int64)
-    nsel = int(sel.sum())
-    for c in range(3):
-        cs = tctx.centroid[c * _CENT_AXIS_CTX:(c + 1) * _CENT_AXIS_CTX]
-        resid[sel, c] = dec.resbl(cs, nsel)
+    if centroid:
+        counts = trisoup_ops.vertex_counts(node_codes, uniq, present,
+                                           s, faces=faces)
+        sel = counts >= 3
+        nsel = int(sel.sum())
+        for c in range(3):
+            cs = tctx.centroid[c * _CENT_AXIS_CTX:
+                               (c + 1) * _CENT_AXIS_CTX]
+            resid[sel, c] = dec.resbl(cs, nsel)
 
     return trisoup_ops.reconstruct(node_codes, uniq, present, vpos, s,
                                    bbox_max=(1 << depth) - 1,

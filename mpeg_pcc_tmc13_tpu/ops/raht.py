@@ -191,7 +191,9 @@ def predict_children(parent_codes: np.ndarray, parent_dc: np.ndarray,
                      child_codes: np.ndarray, level_dims: int,
                      integer: bool, parent_w: np.ndarray = None,
                      child_w: np.ndarray = None,
-                     grand_counts: np.ndarray = None):
+                     grand_counts: np.ndarray = None,
+                     thresholds=( _PRED_T0, _PRED_T1),
+                     weights=(_W_SELF, _W_FACE, _W_EDGE)):
     """Prediction value per child node from parent-level recon DCs.
 
     Orthonormal-path DCs scale with sqrt(subtree weight), so the
@@ -213,9 +215,9 @@ def predict_children(parent_codes: np.ndarray, parent_dc: np.ndarray,
     # per-parent neighbour counts (self always present)
     parent_counts = 1 + nbr_ok.sum(axis=1).astype(np.int64)
     # block-skip rule (RAHT.cpp:1399-1416)
-    enable = parent_counts >= _PRED_T1
+    enable = parent_counts >= thresholds[1]
     if grand_counts is not None:
-        enable &= grand_counts >= _PRED_T0
+        enable &= grand_counts >= thresholds[0]
 
     # value-ratio outlier rejection on the luma mean
     # (RAHT.cpp:487-499: keep iff limitLow < 10*v < limitHigh)
@@ -238,14 +240,15 @@ def predict_children(parent_codes: np.ndarray, parent_dc: np.ndarray,
                 touch[:, j] &= cbit[:, a] == 1
             elif d < 0:
                 touch[:, j] &= cbit[:, a] == 0
-    wvec = np.array([_W_FACE] * 6 + [_W_EDGE] * 12, dtype=np.int64)
+    w_self, w_face, w_edge = weights
+    wvec = np.array([w_face] * 6 + [w_edge] * 12, dtype=np.int64)
     use = touch & keep[pidx]                             # (N,18)
     wmat = use * wvec[None, :]                           # (N,18)
     nbr_dc = parent_dc[nbr_idx[pidx].reshape(-1)].reshape(
         n, len(_NBR_OFFSETS), -1)                        # (N,18,C)
-    acc = parent_dc[pidx] * _W_SELF \
+    acc = parent_dc[pidx] * w_self \
         + (nbr_dc * wmat[:, :, None]).sum(axis=1)
-    wsum = _W_SELF + wmat.sum(axis=1)
+    wsum = w_self + wmat.sum(axis=1)
     child_counts = parent_counts[pidx]
     en = enable[pidx]
     if integer:
@@ -368,7 +371,9 @@ def _group_sweep_inverse(sweeps, g_lo, g_hi, coarse_vals, acs,
 
 def forward_predicted(leaf_codes: np.ndarray, values: np.ndarray,
                       depth: int, quant, dequant,
-                      integer_haar: bool = False, ref_pyramid=None):
+                      integer_haar: bool = False, ref_pyramid=None,
+                      thresholds=(_PRED_T0, _PRED_T1),
+                      weights=(_W_SELF, _W_FACE, _W_EDGE)):
     """Closed-loop RAHT with transform-domain prediction.
 
     quant/dequant: callables (array (M,C), level_tag) -> array, applied
@@ -406,7 +411,8 @@ def forward_predicted(leaf_codes: np.ndarray, values: np.ndarray,
         pred, grand_counts = predict_children(
             parent_codes, recon, child_codes, g, integer_haar,
             parent_w=parent_w, child_w=sweeps[g_lo]["w"],
-            grand_counts=grand_counts)
+            grand_counts=grand_counts, thresholds=thresholds,
+            weights=weights)
         if ref_pyramid is not None:
             pred = _apply_ref_pred(pred, child_codes,
                                    ref_pyramid[g + 1], integer_haar,
@@ -429,7 +435,9 @@ def forward_predicted(leaf_codes: np.ndarray, values: np.ndarray,
 
 def inverse_predicted(leaf_codes: np.ndarray, depth: int, read_q,
                       dequant, ncomp: int, integer_haar: bool = False,
-                      ref_pyramid=None):
+                      ref_pyramid=None,
+                      thresholds=(_PRED_T0, _PRED_T1),
+                      weights=(_W_SELF, _W_FACE, _W_EDGE)):
     """Decoder mirror of forward_predicted.
 
     read_q(count, level_tag) -> (count, ncomp) quantised values, called
@@ -453,7 +461,8 @@ def inverse_predicted(leaf_codes: np.ndarray, depth: int, read_q,
         pred, grand_counts = predict_children(
             parent_codes, recon, child_codes, g, integer_haar,
             parent_w=parent_w, child_w=sweeps[g_lo]["w"],
-            grand_counts=grand_counts)
+            grand_counts=grand_counts, thresholds=thresholds,
+            weights=weights)
         if ref_pyramid is not None:
             pred = _apply_ref_pred(pred, child_codes,
                                    ref_pyramid[g + 1], integer_haar,

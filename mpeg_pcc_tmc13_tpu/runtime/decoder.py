@@ -195,7 +195,7 @@ class FrameDecoder:
             from ..models import geometry_obuf
             local = geometry_obuf.decode(
                 streams[0], gbh.num_points, gbh.root_node_size_log2,
-                gbh.axis_bits, planar=gps.planar_mode_enabled)
+                gbh.axis_bits, gps)
             grid = _grid_positions(local, gbh)
             self._slices.append(
                 _SliceState(positions=grid, local=local, gbh=gbh))
@@ -220,7 +220,8 @@ class FrameDecoder:
                 self._geom_ctx, self._trisoup_ctx,
                 max_nodes=gbh.num_points, ctx_mode=ctx_mode,
                 face_vertices=gps.trisoup_face_vertex_enabled,
-                halo=gps.trisoup_halo_enabled)
+                halo=gps.trisoup_halo_enabled,
+                centroid=gps.trisoup_centroid_enabled)
         elif gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
             ref_pos = None
             if gbh.is_inter:
@@ -399,6 +400,7 @@ class FrameDecoder:
                 (0, 0, 0))
             gps = self.gps.get(sl.gbh.gps_id)
             if (gps is not None and gps.angular_enabled
+                    and gps.z_compensation_enabled
                     and len(gps.laser_theta_q) > 1
                     and sps.geom_scale_num != sps.geom_scale_den):
                 # z compensation onto the laser cones (reference

@@ -67,6 +67,13 @@ class AttributeConfig:
     # scalable lifting (reference aps_scalable_enable_flag):
     # per-LoD-level chunks, truncatable at decode
     scalable_lifting: bool = False
+    # RAHT transform-domain prediction knobs (reference
+    # rahtPredictionThreshold0/1, rahtPredictionWeights)
+    raht_pred_threshold0: int = 2
+    raht_pred_threshold1: int = 6
+    raht_pred_weights: tuple = (9, 3, 1)
+    # LoD decimation period (reference lodSamplingPeriod)
+    lod_sampling_period: int = 4
     # region QPs (reference QpRegion): [(origin, size, (dL, dC))]
     # in GLOBAL grid coords; rebased per slice into the ABH.
     # Applied per point by the PRED/LIFT transforms.
@@ -82,10 +89,27 @@ class EncoderParams:
     merge_duplicated_points: bool = True
     # the 13 recolour* options (reference TMC3.cpp:1501-1549)
     recolour_params: "recolour_ops.RecolourParams" = None
+    recolour_window: int = 8
+    # sequence bounding box (reference seqOrigin/seqSizeWhd; None =
+    # derived from content, reference autoSeqBbox)
+    seq_origin: tuple = None
+    seq_bbox_whd: tuple = None
     geometry_codec: hls.GeometryCodecType = hls.GeometryCodecType.OCTREE
     trisoup_node_size_log2: int = 0
     trisoup_face_vertex_enabled: bool = False
     trisoup_halo_enabled: bool = False
+    trisoup_centroid_enabled: bool = True
+    # OBUF-engine planar/QTBT knobs (reference planarModeThreshold*,
+    # multiplePlanarEnabled, octree*PlanarEligibility*,
+    # maxNumQtBtBeforeOt, minQtbtSizeLog2)
+    planar_thresholds: tuple = (77, 99, 113)
+    multiple_planar: bool = True
+    depth_planar_eligibility: bool = True
+    planar_dynamic_obuf: bool = True
+    qtbt_max_before_ot: int = 4
+    qtbt_min_size_log2: int = 0
+    # decoder-side laser-cone z snap (reference zCompensationEnabled)
+    z_compensation: bool = True
     # opaque user data emitted once with the parameter sets
     # (reference UserData, hls.h:1041)
     user_data: Optional["hls.UserData"] = None
@@ -212,6 +236,9 @@ class FrameEncoder:
         p = self.params
         sps = hls.SequenceParameterSet(
             frame_ctr_bits=p.frame_ctr_bits,
+            seq_origin=tuple(p.seq_origin) if p.seq_origin else (0, 0, 0),
+            seq_bbox_whd=tuple(p.seq_bbox_whd) if p.seq_bbox_whd
+            else (0, 0, 0),
             geom_scale_num=p.geom_scale_num,
             geom_scale_den=p.geom_scale_den,
             geom_axis_order=p.axis_order,
@@ -249,6 +276,14 @@ class FrameEncoder:
             trisoup_node_size_log2=p.trisoup_node_size_log2,
             trisoup_face_vertex_enabled=p.trisoup_face_vertex_enabled,
             trisoup_halo_enabled=p.trisoup_halo_enabled,
+            trisoup_centroid_enabled=p.trisoup_centroid_enabled,
+            planar_thresholds=p.planar_thresholds,
+            multiple_planar=p.multiple_planar,
+            depth_planar_eligibility=p.depth_planar_eligibility,
+            planar_dynamic_obuf=p.planar_dynamic_obuf,
+            qtbt_max_before_ot=p.qtbt_max_before_ot,
+            qtbt_min_size_log2=p.qtbt_min_size_log2,
+            z_compensation_enabled=p.z_compensation,
             interPredictionEnabled=p.inter_prediction,
             globalMotionEnabled=p.global_motion,
             lpu_motion_enabled=p.lpu_motion and p.inter_prediction,
@@ -287,7 +322,11 @@ class FrameEncoder:
                     ac.last_component_prediction),
                 inter_component_prediction_enabled=(
                     ac.inter_component_prediction),
-                scalable_lifting_enabled=ac.scalable_lifting))
+                scalable_lifting_enabled=ac.scalable_lifting,
+                raht_pred_threshold0=ac.raht_pred_threshold0,
+                raht_pred_threshold1=ac.raht_pred_threshold1,
+                raht_pred_weights=tuple(ac.raht_pred_weights),
+                lod_sampling_period=ac.lod_sampling_period))
         self.sps, self.gps, self.aps = sps, gps, aps_list
 
     # -- tile + slice partitioning (reference encoder.cpp:340-473) ----
@@ -414,6 +453,7 @@ class FrameEncoder:
             rc = recolour_ops.recolour(
                 src, uniq, source_scale_num=p.geom_scale_num,
                 source_scale_den=p.geom_scale_den,
+                window=p.recolour_window,
                 params=p.recolour_params)
             qcloud = PointCloud(uniq, rc.colors, rc.reflectances,
                                 cloud.frame_index)
@@ -605,7 +645,8 @@ class FrameEncoder:
                 self._geom_ctx, self._trisoup_ctx,
                 engine=eng, ctx_mode=ctx_mode,
                 face_vertices=self.gps.trisoup_face_vertex_enabled,
-                halo=self.gps.trisoup_halo_enabled)
+                halo=self.gps.trisoup_halo_enabled,
+                centroid=self.gps.trisoup_centroid_enabled)
         elif self.gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
             ref_pos = self._ref_points_for_slice(refs, slice_origin,
                                                  depth)
@@ -625,8 +666,7 @@ class FrameEncoder:
         elif self.gps.obuf_engine and not refs:
             from ..models import geometry_obuf
             streams = [geometry_obuf.encode(
-                local, depth, axis_bits,
-                planar=self.gps.planar_mode_enabled)]
+                local, depth, axis_bits, self.gps)]
             multistream = True   # streams are final; skip enc flush
             # obuf decode emits Morton-sorted positions
             order = np.argsort(morton_ops.encode(local), kind="stable")
