@@ -420,6 +420,9 @@ class GeometryBrickHeader:
     slice_tag: int = 0            # tile id association
     frame_ctr_lsb: int = 0
     slice_origin: Tuple[int, int, int] = (0, 0, 0)
+    # exact slice extent (whd) for boundary-node clipping (reference
+    # non-cubic nodes, slice_bb_width; 0,0,0 = cubic root box)
+    slice_whd: Tuple[int, int, int] = (0, 0, 0)
     root_node_size_log2: int = 0  # cubic (max-axis) root size
     # per-axis root sizes (reference implicit QT/BT partitions,
     # hls.h gbh qtbt fields): axes whose size is below the cubic
@@ -467,6 +470,8 @@ class GeometryBrickHeader:
         w.write_ue(self.frame_ctr_lsb)
         for v in self.slice_origin:
             w.write_se(int(v))
+        for v in self.slice_whd:
+            w.write_ue(int(v))
         w.write_ue(self.root_node_size_log2)
         for i in range(3):
             ab = self.axis_bits[i] or self.root_node_size_log2
@@ -514,6 +519,7 @@ class GeometryBrickHeader:
         h.slice_tag = r.read_ue()
         h.frame_ctr_lsb = r.read_ue()
         h.slice_origin = tuple(r.read_se() for _ in range(3))
+        h.slice_whd = tuple(r.read_ue() for _ in range(3))
         h.root_node_size_log2 = r.read_ue()
         h.axis_bits = tuple(h.root_node_size_log2 - r.read_ue()
                             for _ in range(3))

@@ -46,9 +46,19 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
            engine: str = "auto",
            ctx_mode: int = octree_ops.CTX_MODE_NEIGH,
            face_vertices: bool = False, halo: bool = False,
-           centroid: bool = True):
+           centroid: bool = True, pad_points: np.ndarray = None,
+           bbox_max=None):
     """Encode geometry; returns reconstructed positions (for attribute
-    recolouring) — the decoder reproduces them exactly."""
+    recolouring) — the decoder reproduces them exactly.
+
+    pad_points: slice-local positions from NEIGHBOURING slices near
+    this slice's boundary (reference sliceCloudPadding,
+    encoder.cpp:550-559).  They join the vertex estimation for nodes
+    they fall into — so the surface crossing a slice border produces
+    the same shared-face vertices on both sides — but create no nodes
+    and are not reconstructed.  bbox_max: per-axis inclusive clip of
+    the reconstruction (reference non-cubic boundary nodes,
+    geometry_trisoup_decoder.cpp:532)."""
     s = min(node_size_log2, depth)
     octree_depth = depth - s
     codes = morton.encode(positions.astype(np.int64))
@@ -61,11 +71,24 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
                            unique_points=True, engine=engine,
                            ctx_mode=ctx_mode)
 
-    # vertex determination over the full-resolution points
+    # vertex determination over the full-resolution points; padding
+    # points from neighbouring slices join existing nodes only
     pts = morton.decode(codes_sorted)
     point_node = np.searchsorted(node_codes, codes_sorted >> (3 * s))
+    vpts, vnode = pts, point_node
+    if pad_points is not None and len(pad_points):
+        pcodes = np.sort(morton.encode(
+            np.asarray(pad_points, dtype=np.int64)))
+        pnode = np.searchsorted(node_codes, pcodes >> (3 * s))
+        pnode = np.minimum(pnode, node_codes.size - 1)
+        hit = node_codes[pnode] == (pcodes >> (3 * s))
+        if hit.any():
+            vpts = np.concatenate([pts, morton.decode(pcodes[hit])])
+            vnode = np.concatenate([point_node, pnode[hit]])
+            order = np.argsort(vnode, kind="stable")
+            vpts, vnode = vpts[order], vnode[order]
     uniq, present, vpos = trisoup_ops.determine_vertices(
-        pts, node_codes, point_node, s)
+        vpts, node_codes, vnode, s)
 
     # serialise: presence chained, positions bypass
     pres = present.astype(np.uint8)
@@ -106,9 +129,10 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
     else:
         resid = np.zeros((node_codes.shape[0], 3), dtype=np.int64)
 
+    bb = (1 << depth) - 1 if bbox_max is None else bbox_max
     recon = trisoup_ops.reconstruct(
         node_codes, uniq, present, vpos, s,
-        bbox_max=(1 << depth) - 1, centroid_resid=resid, faces=faces,
+        bbox_max=bb, centroid_resid=resid, faces=faces,
         halo=halo)
     return recon
 
@@ -118,7 +142,7 @@ def decode(depth: int, node_size_log2: int, dec,
            max_nodes: int, engine: str = "auto",
            ctx_mode: int = octree_ops.CTX_MODE_NEIGH,
            face_vertices: bool = False, halo: bool = False,
-           centroid: bool = True):
+           centroid: bool = True, bbox_max=None):
     s = min(node_size_log2, depth)
     octree_depth = depth - s
     node_pos = geometry_octree.decode(
@@ -159,7 +183,8 @@ def decode(depth: int, node_size_log2: int, dec,
                                (c + 1) * _CENT_AXIS_CTX]
             resid[sel, c] = dec.resbl(cs, nsel)
 
+    bb = (1 << depth) - 1 if bbox_max is None else bbox_max
     return trisoup_ops.reconstruct(node_codes, uniq, present, vpos, s,
-                                   bbox_max=(1 << depth) - 1,
+                                   bbox_max=bb,
                                    centroid_resid=resid, faces=faces,
                                    halo=halo)

@@ -221,7 +221,9 @@ class FrameDecoder:
                 max_nodes=gbh.num_points, ctx_mode=ctx_mode,
                 face_vertices=gps.trisoup_face_vertex_enabled,
                 halo=gps.trisoup_halo_enabled,
-                centroid=gps.trisoup_centroid_enabled)
+                centroid=gps.trisoup_centroid_enabled,
+                bbox_max=(np.asarray(gbh.slice_whd, dtype=np.int64) - 1
+                          if any(gbh.slice_whd) else None))
         elif gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
             ref_pos = None
             if gbh.is_inter:

@@ -525,9 +525,35 @@ class FrameEncoder:
         keep_ctx = bool(refs) and p.inter_entropy_continuation
         self._attr_acc = []
         self._geom_acc = []
-        for scloud in self._partition(qcloud, out):
+        slices = self._partition(qcloud, out)
+        # trisoup slice padding: neighbouring slices' points near each
+        # slice's boundary join its vertex estimation (reference
+        # pointIndexesPadding, encoder.cpp:480-494)
+        pads = [None] * len(slices)
+        if (self.gps.codec_type == hls.GeometryCodecType.TRISOUP
+                and len(slices) > 1):
+            allp = qcloud.positions.astype(np.int64)
+            all_codes = morton_ops.encode(allp)
+            margin = 1 << self.gps.trisoup_node_size_log2
+            for i, sc in enumerate(slices):
+                lo, hi = sc.bbox()
+                lo = np.asarray(lo, dtype=np.int64) - margin
+                hi = np.asarray(hi, dtype=np.int64) + margin
+                inb = np.all((allp >= lo) & (allp <= hi), axis=1)
+                # exclude the slice's own points (true membership,
+                # not bbox: Morton spans interleave spatially)
+                sown = np.sort(morton_ops.encode(
+                    sc.positions.astype(np.int64)))
+                ins = np.searchsorted(sown, all_codes)
+                ins = np.minimum(ins, sown.size - 1)
+                own = sown[ins] == all_codes
+                sel = inb & ~own
+                if sel.any():
+                    pads[i] = allp[sel]
+        for i, scloud in enumerate(slices):
             self._compress_slice(scloud, frame_ctr_lsb, out,
-                                 ctr=ctr, refs=refs, keep_ctx=keep_ctx)
+                                 ctr=ctr, refs=refs, keep_ctx=keep_ctx,
+                                 pad_positions=pads[i])
             keep_ctx = p.entropy_continuation
         # reference store = what the DECODER reconstructs (matters for
         # in-tree quantisation / trisoup where they differ from input);
@@ -578,7 +604,8 @@ class FrameEncoder:
     #    encoder.cpp:924) --------------------------------------------
     def _compress_slice(self, cloud: PointCloud, frame_ctr_lsb: int,
                         out: Callable[[PayloadBuffer], None], ctr: int = 0,
-                        refs=(), keep_ctx: Optional[bool] = None):
+                        refs=(), keep_ctx: Optional[bool] = None,
+                        pad_positions: np.ndarray = None):
         p = self.params
         refs = list(refs)
         gm = refs[0][1] if refs else None   # primary-ref motion
@@ -639,14 +666,21 @@ class FrameEncoder:
         recon_local = None
         order = None
         lpu_z0 = lpu_thr = 0
+        slice_whd = (local.max(axis=0) + 1 if local.size
+                     else np.ones(3, dtype=np.int64))
         if trisoup:
+            pad_local = (np.asarray(pad_positions, dtype=np.int64)
+                         - slice_origin
+                         if pad_positions is not None else None)
             recon_local = geometry_trisoup.encode(
                 local, depth, self.gps.trisoup_node_size_log2, enc,
                 self._geom_ctx, self._trisoup_ctx,
                 engine=eng, ctx_mode=ctx_mode,
                 face_vertices=self.gps.trisoup_face_vertex_enabled,
                 halo=self.gps.trisoup_halo_enabled,
-                centroid=self.gps.trisoup_centroid_enabled)
+                centroid=self.gps.trisoup_centroid_enabled,
+                pad_points=pad_local,
+                bbox_max=np.asarray(slice_whd) - 1)
         elif self.gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
             ref_pos = self._ref_points_for_slice(refs, slice_origin,
                                                  depth)
@@ -738,6 +772,8 @@ class FrameEncoder:
             slice_id=self._slice_id,
             frame_ctr_lsb=frame_ctr_lsb,
             slice_origin=tuple(int(v) for v in np.asarray(slice_origin)),
+            slice_whd=(tuple(int(v) for v in np.asarray(slice_whd))
+                       if trisoup else (0, 0, 0)),
             root_node_size_log2=depth,
             axis_bits=axis_bits,
             num_points=num_points,

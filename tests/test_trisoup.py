@@ -195,3 +195,51 @@ def test_trisoup_halo():
         recs[halo] = rec
     assert len(recs[True]) > len(recs[False])
     assert chamfer_1way(pos, recs[True]) <= chamfer_1way(pos, recs[False])
+
+
+def test_multislice_seam():
+    """Trisoup slice padding (reference pointIndexesPadding,
+    encoder.cpp:480-494) + boundary clipping must keep multi-slice
+    reconstruction quality close to single-slice — no cracks at the
+    slice border."""
+    import io
+
+    from mpeg_pcc_tmc13_tpu.bitstream.tlv import iter_tlv, write_tlv
+    from mpeg_pcc_tmc13_tpu.models.pointcloud import PointCloud
+    from mpeg_pcc_tmc13_tpu.ops.recolour import knn
+    from mpeg_pcc_tmc13_tpu.runtime.decoder import FrameDecoder
+    from mpeg_pcc_tmc13_tpu.runtime.encoder import EncoderParams, \
+        FrameEncoder
+
+    rng = np.random.default_rng(9)
+    side = 220
+    xs = rng.integers(0, 256, side * side)
+    ys = rng.integers(0, 256, side * side)
+    zs = ((np.sin(xs / 40.0) + np.cos(ys / 31.0) + 2.2)
+          * 50).astype(np.int64)
+    pos = np.unique(np.stack([xs, ys, zs], axis=1), axis=0)
+
+    def run(max_pts):
+        params = EncoderParams(trisoup_node_size_log2=3,
+                               geometry_codec=None,
+                               max_points_per_slice=max_pts)
+        params.geometry_codec = \
+            __import__("mpeg_pcc_tmc13_tpu.bitstream.hls",
+                       fromlist=["hls"]).GeometryCodecType.TRISOUP
+        bs = io.BytesIO()
+        enc = FrameEncoder(params)
+        enc.compress(PointCloud(pos.copy()), lambda b: write_tlv(b, bs))
+        outs = []
+        dec = FrameDecoder(outs.append)
+        bs.seek(0)
+        for buf in iter_tlv(bs):
+            dec.decompress(buf)
+        dec.flush()
+        rec = outs[0].positions.astype(np.int64)
+        _, d2 = knn(rec, pos, k=1)
+        return float(d2.mean()), rec
+
+    err_single, _ = run(10_000_000)
+    err_multi, rec = run(pos.shape[0] // 3 + 1)
+    # multi-slice must not crack: mean sq err within 25% of single
+    assert err_multi <= err_single * 1.25 + 0.05
