@@ -442,6 +442,11 @@ class GeometryBrickHeader:
     geom_qp_boxes: List[Tuple[Tuple[int, int, int],
                               Tuple[int, int, int], int]] = field(
         default_factory=list)
+    # per-NODE geometry QP (reference positionQuantisationOctreeDepth,
+    # calculateNodeQps geometry_octree_encoder.cpp:2128): every
+    # occupied node at this octree depth carries its own shift,
+    # entropy-coded after the tree in Morton node order; 0 = off
+    geom_qp_node_depth: int = 0
     # inter prediction (reference GBH gm_matrix/gm_trans, hls.h:627-780;
     # bi-prediction ref management PCCTMC3Common.h:304-399)
     is_inter: bool = False
@@ -481,6 +486,7 @@ class GeometryBrickHeader:
         if self.entropy_continuation:
             w.write_ue(self.prev_slice_id)
         w.write_ue(self.geom_qp_shift)
+        w.write_ue(self.geom_qp_node_depth)
         w.write_ue(len(self.geom_qp_boxes))
         for origin, size, shift in self.geom_qp_boxes:
             for v in origin:
@@ -528,6 +534,7 @@ class GeometryBrickHeader:
         if h.entropy_continuation:
             h.prev_slice_id = r.read_ue()
         h.geom_qp_shift = r.read_ue()
+        h.geom_qp_node_depth = r.read_ue()
         for _ in range(r.read_ue()):
             origin = tuple(r.read_se() for _ in range(3))
             size = tuple(r.read_ue() for _ in range(3))

@@ -93,6 +93,9 @@ class OctreeContexts:
         default_factory=lambda: entropy.new_contexts(20))
     lpu: np.ndarray = field(
         default_factory=lambda: entropy.new_contexts(_LPU_CTX))
+    # per-node geometry QP shifts (GBH geom_qp_node_depth)
+    node_qp: np.ndarray = field(
+        default_factory=lambda: entropy.new_contexts(16))
     # bytewise (Fenwick 256-symbol) occupancy models — the default
     # coder: one multisymbol range op per node, ~1.6x faster and
     # ~3% smaller than the binary context tree (which remains for
@@ -111,6 +114,7 @@ class OctreeContexts:
                               self.planar_occ.copy(),
                               self.angular.copy(),
                               self.lpu.copy(),
+                              self.node_qp.copy(),
                               self.occupancy_sym.copy(),
                               self.occupancy_inter_sym.copy())
 

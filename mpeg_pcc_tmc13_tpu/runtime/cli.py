@@ -65,8 +65,6 @@ _ACCEPTED_REFERENCE_OPTIONS = {
     "pointCountMetadata", "positionAzimuthScaleLog2",
     "positionAzimuthSpeed", "positionBaseQpFreqLog2",
     "positionIdcmQp", "positionQpMultiplierLog2",
-    "positionQuantisationOctreeDepth",
-    "positionQuantisationOctreeSizeLog2",
     "positionQuantizationScaleAdjustsDist2",
     "positionRadiusInvScaleLog2", "positionSliceQpFreqLog2",
     "positionSliceQpOffset", "predGeomAzimuthQuantization",
@@ -242,6 +240,12 @@ class Config:
             elif name == "positionQuantisationEnabled":
                 if not opt.to_bool(value):
                     p.geom_qp_shift = 0
+                    p.geom_qp_octree_depth = 0
+                    p.geom_qp_octree_size_log2 = 0
+            elif name == "positionQuantisationOctreeDepth":
+                p.geom_qp_octree_depth = max(opt.to_int(value), 0)
+            elif name == "positionQuantisationOctreeSizeLog2":
+                p.geom_qp_octree_size_log2 = max(opt.to_int(value), 0)
             elif name == "seqOrigin":
                 self.seq_origin = tuple(
                     int(float(t)) for t in

@@ -272,7 +272,24 @@ class FrameDecoder:
                 bytewise=gps.bytewise_occupancy,
                 axis_bits=gbh.axis_bits,
                 angular=_angular_for(gps, gbh.slice_origin))
-        grid = _grid_positions(local, gbh)
+        loc_grid = local
+        if (gbh.geom_qp_node_depth > 0 and self.skip_layers == 0
+                and not self.max_points):
+            # per-node geometry QP: shifts follow the tree in Morton
+            # node order; recentre each node's points by half a cell
+            from ..utils import morton as morton_mod
+            d = gbh.root_node_size_log2 - gbh.geom_qp_node_depth
+            nid = morton_mod.encode(local) >> np.int64(3 * d)
+            uq = np.unique(nid)
+            sh = dec.ueg(self._geom_ctx.node_qp,
+                         np.zeros(uq.size, dtype=np.int32),
+                         4, 1).astype(np.int64)
+            if sh.any():
+                idx = np.searchsorted(uq, nid)
+                sp = sh[idx]
+                loc_grid = local + (((np.int64(1) << sp) >> 1)
+                                    * (sp > 0))[:, None]
+        grid = _grid_positions(loc_grid, gbh)
         self._slices.append(_SliceState(positions=grid, local=local,
                                         gbh=gbh))
 

@@ -133,6 +133,12 @@ class EncoderParams:
     # 2**geom_qp_shift coarser grid (reference positionBaseQp; our
     # shift = qp // 6, one octave per 6 QP)
     geom_qp_shift: int = 0
+    # per-node geometry QP at an octree depth (reference
+    # positionQuantisationOctreeDepth / ...OctreeSizeLog2,
+    # calculateNodeQps geometry_octree_encoder.cpp:2128): every
+    # occupied node at that depth gets a density-derived shift
+    geom_qp_octree_depth: int = 0
+    geom_qp_octree_size_log2: int = 0
     # IDCM (reference inferredDirectCodingMode, TMC3.cpp).  Off by
     # default: with this framework's adaptive chain contexts, isolated
     # branches already cost ~1-2 bits/level, so direct coding only
@@ -663,6 +669,34 @@ class FrameEncoder:
                        and self.gps.unique_points and not trisoup
                        and self.gps.codec_type
                        == hls.GeometryCodecType.OCTREE)
+        # per-node geometry QP (reference calculateNodeQps): derive a
+        # shift per occupied node at the signalled depth from local
+        # density; quantise the node's points, signal the shifts after
+        # the tree (Morton node order)
+        node_qp_depth = 0
+        node_shifts = None
+        if ((p.geom_qp_octree_depth > 0
+             or p.geom_qp_octree_size_log2 > 0)
+                and self.gps.codec_type == hls.GeometryCodecType.OCTREE
+                and not trisoup and not multistream and not refs
+                and not self.gps.obuf_engine and local.size):
+            d = (p.geom_qp_octree_depth if p.geom_qp_octree_depth > 0
+                 else max(depth - p.geom_qp_octree_size_log2, 1))
+            node_qp_depth = min(d, depth - 1)
+            if node_qp_depth > 0:
+                codes = morton_ops.encode(local)
+                nid = codes >> np.int64(3 * (depth - node_qp_depth))
+                uniq_n, inv, counts = np.unique(
+                    nid, return_inverse=True, return_counts=True)
+                med = max(float(np.median(counts)), 1.0)
+                sh = np.zeros(uniq_n.size, dtype=np.int64)
+                sh[counts > 4 * med] = 1
+                sh[counts > 16 * med] = 2
+                sh = np.minimum(sh, max(depth - node_qp_depth - 1, 0))
+                if sh.any():
+                    sp = sh[inv]
+                    local = (local >> sp[:, None]) << sp[:, None]
+                node_shifts = sh
         recon_local = None
         order = None
         lpu_z0 = lpu_thr = 0
@@ -740,6 +774,10 @@ class FrameEncoder:
                 bytewise=self.gps.bytewise_occupancy,
                 axis_bits=axis_bits,
                 angular=_angular_for(self.gps, slice_origin))
+            if node_shifts is not None:
+                enc.ueg(self._geom_ctx.node_qp,
+                        np.zeros(node_shifts.size, dtype=np.int32),
+                        node_shifts.astype(np.uint32), 4, 1)
         if not multistream:
             streams = [enc.get_bytes()]
 
@@ -755,6 +793,8 @@ class FrameEncoder:
             else ident
         gbh = hls.GeometryBrickHeader(
             geom_qp_shift=qshift,
+            geom_qp_node_depth=node_qp_depth if node_shifts is not None
+            else 0,
             geom_qp_boxes=geom_boxes,
             lpu_ground_z0=lpu_z0 if not multistream else 0,
             lpu_ground_thr=lpu_thr if not multistream else 0,
@@ -795,6 +835,14 @@ class FrameEncoder:
         else:
             rec = morton_mod.decode(
                 np.sort(morton_mod.encode(local)))
+        if node_shifts is not None:
+            nid = (morton_mod.encode(rec)
+                   >> np.int64(3 * (depth - node_qp_depth)))
+            uq = np.unique(nid)
+            idx = np.searchsorted(uq, nid)
+            sp = node_shifts[idx]
+            rec = rec + ((np.int64(1) << sp) >> 1)[:, None] \
+                * (sp > 0)[:, None]
         for origin, size, shift in geom_boxes:
             o = np.asarray(origin, dtype=np.int64)
             inb = np.all((rec >= o)
@@ -812,7 +860,8 @@ class FrameEncoder:
         if not self.aps:
             coded = None
             dec_positions = None
-        elif trisoup or qshift or geom_boxes:
+        elif trisoup or qshift or geom_boxes \
+                or node_shifts is not None:
             # geometry changed: transfer attributes onto the decoded
             # positions (reference recolour, encoder.cpp:1031-1037)
             from ..ops import recolour as recolour_ops

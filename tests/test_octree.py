@@ -237,3 +237,45 @@ class TestImplicitQtbt:
                 gbh, _ = _h.GeometryBrickHeader.parse(buf.data)
                 assert gbh.axis_bits[2] < gbh.axis_bits[0]
                 break
+
+
+def test_per_node_geometry_qp_roundtrip():
+    """Per-node geometry QP at a signalled octree depth (reference
+    positionQuantisationOctreeDepth): dense nodes code on a coarser
+    grid; the decoder recentres them from the signalled shifts."""
+    import io
+
+    from mpeg_pcc_tmc13_tpu.bitstream.tlv import iter_tlv, write_tlv
+    from mpeg_pcc_tmc13_tpu.models.pointcloud import PointCloud
+    from mpeg_pcc_tmc13_tpu.runtime.decoder import FrameDecoder
+    from mpeg_pcc_tmc13_tpu.runtime.encoder import EncoderParams, \
+        FrameEncoder
+
+    rng = np.random.default_rng(17)
+    # a dense clump + sparse field: density-adaptive shifts trigger
+    clump = rng.integers(100, 140, (30000, 3))
+    sparse = rng.integers(0, 512, (4000, 3))
+    pos = np.unique(np.concatenate([clump, sparse]), axis=0)
+
+    def run(depth_opt):
+        params = EncoderParams(geom_qp_octree_depth=depth_opt)
+        bs = io.BytesIO()
+        enc = FrameEncoder(params)
+        enc.compress(PointCloud(pos.copy()), lambda b: write_tlv(b, bs))
+        outs = []
+        dec = FrameDecoder(outs.append)
+        bs.seek(0)
+        for buf in iter_tlv(bs):
+            dec.decompress(buf)
+        dec.flush()
+        return outs[0].positions.astype(np.int64), bs.getbuffer().nbytes
+
+    rec0, size0 = run(0)
+    assert np.array_equal(np.unique(rec0, axis=0), pos)  # lossless
+
+    rec1, size1 = run(3)
+    assert size1 < size0                  # coarser clump -> fewer bits
+    # bounded error: recentred within half of the max shift cell
+    from mpeg_pcc_tmc13_tpu.ops.recolour import knn
+    _, d2 = knn(rec1, pos, k=1)
+    assert float(d2.max()) <= 3 * (2 ** 2) ** 2
