@@ -81,8 +81,17 @@ def main():
         t_dec = min(t_dec, time.perf_counter() - t0)
     assert out.shape[0] == uniq.shape[0]
 
-    # RAHT colour attributes over the decoded geometry
-    colors = rng.integers(0, 256, (uniq.shape[0], 3)).astype(np.int64)
+    # RAHT colour attributes over the decoded geometry: smooth texture
+    # with fine noise, like scanned content (random colours would be
+    # incompressible and exercise nothing the CTC content exercises)
+    p = uniq / float(1 << depth)
+    colors = np.stack([
+        128 + 90 * np.sin(3.1 * p[:, 0] + 1.7 * p[:, 1]),
+        128 + 90 * np.cos(2.3 * p[:, 1] + 0.9 * p[:, 2]),
+        128 + 90 * np.sin(1.3 * p[:, 2] + 2.9 * p[:, 0]),
+    ], axis=1)
+    colors = np.clip(colors + rng.normal(0, 4, colors.shape), 0,
+                     255).astype(np.int64)
     aps = hls.AttributeParameterSet(
         aps_id=0, attr_encoding=hls.AttributeEncoding.RAHT, init_qp=22)
     desc = hls.AttributeDescription(label="color", num_components=3,
@@ -92,6 +101,68 @@ def main():
                                 attr_model.AttributeContexts())
     t_attr = time.perf_counter() - t0
     assert len(payload) > 0
+
+    # OBUF engine (reference-RD path): encode + decode
+    from mpeg_pcc_tmc13_tpu.models import geometry_obuf
+    gps = hls.GeometryParameterSet(planar_mode_enabled=True)
+    t0 = time.perf_counter()
+    obuf_payload = geometry_obuf.encode(uniq, depth, None, gps)
+    t_obuf_enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    obuf_out = geometry_obuf.decode(obuf_payload, uniq.shape[0], depth,
+                                    None, gps)
+    t_obuf_dec = time.perf_counter() - t0
+    assert obuf_out.shape[0] == uniq.shape[0]
+
+    # device (TPU) stages: on-chip compute rates for the jitted
+    # encoder analysis and decoder expansion (the entropy stage is
+    # host-serial by design; SURVEY.md §7 wavefront split).  The
+    # end-to-end device-engine number includes the host link.
+    dev = {}
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from mpeg_pcc_tmc13_tpu.utils import morton
+        codes = np.sort(morton.encode(uniq))
+        cj = jax.device_put(jnp.asarray(codes))
+        jax.block_until_ready(cj)
+        octree_ops_mode = octree_ops.CTX_MODE_PARENT
+        r = octree_ops.encode_analysis_packed(cj, depth,
+                                              octree_ops_mode)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            r = octree_ops.encode_analysis_packed(cj, depth,
+                                                  octree_ops_mode)
+            jax.block_until_ready(r)
+        t_dev_an = (time.perf_counter() - t0) / 3
+
+        levels = octree_ops.build_levels_np(codes, depth,
+                                            octree_ops_mode)
+        nn = codes.size
+        occ_np = np.zeros((depth, nn), dtype=np.int32)
+        cnt_np = np.zeros(depth, dtype=np.int64)
+        for li, lvl in enumerate(levels):
+            k = lvl["occ"].shape[0]
+            occ_np[li, :k] = lvl["occ"]
+            cnt_np[li] = k
+        occ_d = jax.device_put(jnp.asarray(occ_np))
+        cnt_d = jax.device_put(jnp.asarray(cnt_np))
+        r = octree_ops.decode_expand_jax(occ_d, cnt_d, depth)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            r = octree_ops.decode_expand_jax(occ_d, cnt_d, depth)
+            jax.block_until_ready(r)
+        t_dev_ex = (time.perf_counter() - t0) / 3
+        dev = {
+            "device": str(jax.devices()[0]),
+            "device_analysis_mpts": round(nn / t_dev_an / 1e6, 1),
+            "device_expand_mpts": round(nn / t_dev_ex / 1e6, 1),
+        }
+    except Exception as e:          # no usable accelerator
+        dev = {"device_error": str(e)[:80]}
 
     geom_rt = n / (t_enc + t_dec) / 1e6
     baseline_mpts = 1.0  # reference tmc3 ~1 Mpoint/s single-core
@@ -104,6 +175,10 @@ def main():
         "geom_decode_mpts": round(n / t_dec / 1e6, 3),
         "raht_encode_mpts": round(uniq.shape[0] / t_attr / 1e6, 3),
         "geom_bpp": round(8 * len(data) / n, 3),
+        "obuf_encode_mpts": round(uniq.shape[0] / t_obuf_enc / 1e6, 3),
+        "obuf_decode_mpts": round(uniq.shape[0] / t_obuf_dec / 1e6, 3),
+        "obuf_bpp": round(8 * len(obuf_payload) / n, 3),
+        **dev,
     }))
 
 

@@ -344,3 +344,48 @@ def decode_level_jax(node_codes: jnp.ndarray, valid: jnp.ndarray,
         pat = pat | (hit.astype(jnp.int32) << i)
     child_idx = (node_codes & 7).astype(jnp.int32)
     return pat | (child_idx << 6)
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def decode_expand_jax(occ_levels: jnp.ndarray, counts: jnp.ndarray,
+                      depth: int):
+    """Full-depth decoder expansion in one jitted program.
+
+    The TPU-first decode pipeline splits the decoder like the encoder:
+    the (serial) entropy stage runs on the host and produces only the
+    occupancy bytes — ~1 byte per tree node — and this kernel turns
+    them into leaf codes entirely on device, where they can feed the
+    device RAHT stage without ever materialising positions on the
+    host (reference decoder walks a ringbuffer per node,
+    geometry_octree_decoder.cpp).
+
+    occ_levels: (depth, N) int32 occupancy bytes per level, row l
+    padded past counts[l]; N = leaf capacity.  Returns (codes (N,)
+    int64 padded with I64_MAX, leaf_count).
+    """
+    n = occ_levels.shape[1]
+    slots = jnp.arange(8, dtype=jnp.int64)
+    row = jnp.arange(n)
+
+    def body(l, carry):
+        nodes, cnt = carry
+        occ = occ_levels[l].astype(jnp.int64)
+        m = (((occ[:, None] >> slots[None, :]) & 1) > 0) \
+            & (row < cnt)[:, None]
+        child = (nodes[:, None] << 3) | slots[None, :]
+        flat_m = m.reshape(-1)
+        flat_c = child.reshape(-1)
+        pos = jnp.cumsum(flat_m) - 1
+        dest = jnp.where(flat_m, pos, n)     # n = discard slot
+        out = jnp.full(n + 1, _I64_MAX, dtype=jnp.int64)
+        out = out.at[dest].set(flat_c, mode="drop")
+        return out[:n], flat_m.sum()
+
+    # occupancy bit k corresponds to child octant (7 - k)? No: the
+    # encoder's occupancy bit b is set when child (code<<3 | b) exists
+    # (level_occupancy_np), so slots map 1:1.
+    nodes0 = jnp.full(n, _I64_MAX, dtype=jnp.int64)
+    nodes0 = nodes0.at[0].set(0)
+    nodes, cnt = jax.lax.fori_loop(0, depth, body,
+                                   (nodes0, jnp.int64(1)))
+    return nodes, cnt

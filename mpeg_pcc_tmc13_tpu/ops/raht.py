@@ -55,9 +55,16 @@ def merge_structure(leaf_codes: np.ndarray, depth: int):
     sweeps = []
     for s in range(3 * depth):
         first, second, keep = _pair_masks(codes)
+        w1 = w[first].astype(np.float64)
+        w2 = w[second].astype(np.float64)
+        rs = np.sqrt(w1 + w2)
         sweeps.append({
             "codes": codes, "w": w,
             "first": first, "second": second, "keep": keep,
+            # orthonormal butterfly coefficients, cached once (used by
+            # the true pass, the prediction pass and the inverse)
+            "a": (np.sqrt(w1) / rs)[:, None],
+            "b": (np.sqrt(w2) / rs)[:, None],
         })
         nw = w.copy()
         nw[first] += w[second]
@@ -87,10 +94,7 @@ def forward(leaf_codes: np.ndarray, values: np.ndarray, depth: int,
             ac = v1 - v2
             dc = v2 + (ac >> 1)
         else:
-            w1 = sw["w"][first].astype(np.float64)[:, None]
-            w2 = sw["w"][second].astype(np.float64)[:, None]
-            rs = np.sqrt(w1 + w2)
-            a, b = np.sqrt(w1) / rs, np.sqrt(w2) / rs
+            a, b = sw["a"], sw["b"]
             dc = a * v1 + b * v2
             ac = -b * v1 + a * v2
         nv = vals.copy()
@@ -153,6 +157,24 @@ _NBR_OFFSETS = [
     (+1, 0, +1), (+1, 0, -1), (-1, 0, +1), (-1, 0, -1),
     (0, +1, +1), (0, +1, -1), (0, -1, +1), (0, -1, -1),
 ]
+
+
+def _touch_table():
+    """(8, 18) bool: octant o touches neighbour offset j iff on every
+    axis with d != 0 the octant sits on that side of the parent."""
+    t = np.ones((8, len(_NBR_OFFSETS)), dtype=bool)
+    for o in range(8):
+        cb = ((o >> 2) & 1, (o >> 1) & 1, o & 1)
+        for j, off in enumerate(_NBR_OFFSETS):
+            for a, d in enumerate(off):
+                if d > 0 and cb[a] != 1:
+                    t[o, j] = False
+                elif d < 0 and cb[a] != 0:
+                    t[o, j] = False
+    return t
+
+
+_TOUCH_TABLE = _touch_table().astype(np.float64)
 
 
 def _offset_neighbor_codes(parent_codes: np.ndarray, level_dims: int):
@@ -226,34 +248,34 @@ def predict_children(parent_codes: np.ndarray, parent_dc: np.ndarray,
     keep = nbr_ok & (10 * nv > 2 * pv[:, None]) \
         & (10 * nv < 25 * pv[:, None])
 
-    parent_of_child = child_codes >> 3
-    pidx = np.searchsorted(parent_codes, parent_of_child)
+    # children are sorted, so the parent index is a run counter —
+    # O(N) instead of a binary search
+    pc = child_codes >> 3
+    nr = np.concatenate([[0], (pc[1:] != pc[:-1]).astype(np.int64)])
+    pidx = np.cumsum(nr)
     cidx = (child_codes & 7).astype(np.int64)
-    cbit = np.stack([(cidx >> 2) & 1, (cidx >> 1) & 1, cidx & 1],
-                    axis=1)                              # (N,3)
-    # child touches the neighbour at offset d iff, on every axis with
-    # d != 0, the child sits on that side of the parent cell
-    touch = np.ones((n, len(_NBR_OFFSETS)), dtype=bool)
-    for j, off in enumerate(_NBR_OFFSETS):
-        for a, d in enumerate(off):
-            if d > 0:
-                touch[:, j] &= cbit[:, a] == 1
-            elif d < 0:
-                touch[:, j] &= cbit[:, a] == 0
+    # per-PARENT octant sums: S[p, o, c] = sum over neighbours j that
+    # octant o touches of w_j * neighbour mean.  The touch pattern
+    # only depends on the octant, so the 8 sums amortise over a
+    # parent's children instead of a per-child (N, 18, C) gather.
     w_self, w_face, w_edge = weights
-    wvec = np.array([w_face] * 6 + [w_edge] * 12, dtype=np.int64)
-    use = touch & keep[pidx]                             # (N,18)
-    wmat = use * wvec[None, :]                           # (N,18)
-    nbr_dc = parent_dc[nbr_idx[pidx].reshape(-1)].reshape(
-        n, len(_NBR_OFFSETS), -1)                        # (N,18,C)
-    acc = parent_dc[pidx] * w_self \
-        + (nbr_dc * wmat[:, :, None]).sum(axis=1)
-    wsum = w_self + wmat.sum(axis=1)
+    wvec = np.array([w_face] * 6 + [w_edge] * 12, dtype=np.float64)
+    touchw = _TOUCH_TABLE * wvec[None, :]                # (8,18)
+    pf = parent_dc if parent_dc.dtype == np.float64 \
+        else parent_dc.astype(np.float64)
+    nbr_vals = pf[nbr_idx.reshape(-1)].reshape(
+        m, len(_NBR_OFFSETS), -1)                        # (M,18,C)
+    nbr_vals = nbr_vals * keep[:, :, None]
+    # (M,C,8) via BLAS matmul instead of a generic einsum
+    s_oct = np.tensordot(nbr_vals, touchw, axes=([1], [1]))
+    w_oct = keep.astype(np.float64) @ touchw.T           # (M,8)
+    acc = pf[pidx] * w_self + s_oct[pidx, :, cidx]
+    wsum = w_self + w_oct[pidx, cidx]
     child_counts = parent_counts[pidx]
     en = enable[pidx]
     if integer:
-        half = wsum[:, None] // 2
-        pred = (acc + half) // wsum[:, None]
+        wsum_i = np.round(wsum).astype(np.int64)[:, None]
+        pred = (np.round(acc).astype(np.int64) + wsum_i // 2) // wsum_i
         pred[~en] = 0
         return pred, child_counts
     pred_mean = acc / wsum[:, None].astype(np.float64)
@@ -328,10 +350,7 @@ def _group_sweep_forward(sweeps, g_lo, g_hi, vals, integer_haar):
             ac = v1 - v2
             dc = v2 + (ac >> 1)
         else:
-            w1 = sw["w"][first].astype(np.float64)[:, None]
-            w2 = sw["w"][second].astype(np.float64)[:, None]
-            rs = np.sqrt(w1 + w2)
-            a, b = np.sqrt(w1) / rs, np.sqrt(w2) / rs
+            a, b = sw["a"], sw["b"]
             dc = a * v1 + b * v2
             ac = -b * v1 + a * v2
         nv = vals.copy()
@@ -357,10 +376,7 @@ def _group_sweep_inverse(sweeps, g_lo, g_hi, coarse_vals, acs,
             v2 = dc - (ac >> 1)
             v1 = ac + v2
         else:
-            w1 = sw["w"][first].astype(np.float64)[:, None]
-            w2 = sw["w"][second].astype(np.float64)[:, None]
-            rs = np.sqrt(w1 + w2)
-            a, b = np.sqrt(w1) / rs, np.sqrt(w2) / rs
+            a, b = sw["a"], sw["b"]
             v1 = a * dc - b * ac
             v2 = b * dc + a * ac
         expanded[first] = v1
@@ -504,10 +520,7 @@ def inverse(leaf_codes: np.ndarray, coeffs: np.ndarray, depth: int,
             v2 = dc - (ac >> 1)
             v1 = ac + v2
         else:
-            w1 = sw["w"][first].astype(np.float64)[:, None]
-            w2 = sw["w"][second].astype(np.float64)[:, None]
-            rs = np.sqrt(w1 + w2)
-            a, b = np.sqrt(w1) / rs, np.sqrt(w2) / rs
+            a, b = sw["a"], sw["b"]
             v1 = a * dc - b * ac
             v2 = b * dc + a * ac
         expanded[first] = v1
