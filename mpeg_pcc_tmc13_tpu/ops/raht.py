@@ -263,13 +263,25 @@ def predict_children(parent_codes: np.ndarray, parent_dc: np.ndarray,
     touchw = _TOUCH_TABLE * wvec[None, :]                # (8,18)
     pf = parent_dc if parent_dc.dtype == np.float64 \
         else parent_dc.astype(np.float64)
-    nbr_vals = pf[nbr_idx.reshape(-1)].reshape(
-        m, len(_NBR_OFFSETS), -1)                        # (M,18,C)
-    nbr_vals = nbr_vals * keep[:, :, None]
-    # (M,C,8) via BLAS matmul instead of a generic einsum
-    s_oct = np.tensordot(nbr_vals, touchw, axes=([1], [1]))
-    w_oct = keep.astype(np.float64) @ touchw.T           # (M,8)
-    acc = pf[pidx] * w_self + s_oct[pidx, :, cidx]
+    ncomp = pf.shape[1]
+    # accumulate per-parent octant sums offset by offset — peak
+    # temporaries stay at (M, C) instead of a (M, 18, C) gather that
+    # thrashes the cache at millions of parents
+    s_oct = np.zeros((m, 8, ncomp), dtype=np.float64)
+    w_oct = np.zeros((m, 8), dtype=np.float64)
+    for j in range(len(_NBR_OFFSETS)):
+        kj = keep[:, j]
+        if not kj.any():
+            continue
+        vj = pf[nbr_idx[:, j]]
+        vj = vj * kj[:, None]
+        wk = kj.astype(np.float64)
+        for o in range(8):
+            wjo = touchw[o, j]
+            if wjo:
+                s_oct[:, o] += vj * wjo
+                w_oct[:, o] += wk * wjo
+    acc = pf[pidx] * w_self + s_oct[pidx, cidx]
     wsum = w_self + w_oct[pidx, cidx]
     child_counts = parent_counts[pidx]
     en = enable[pidx]
