@@ -156,10 +156,27 @@ def main():
             r = octree_ops.decode_expand_jax(occ_d, cnt_d, depth)
             jax.block_until_ready(r)
         t_dev_ex = (time.perf_counter() - t0) / 3
+        # Pallas RAHT forward on device (block butterflies); gather
+        # plan staged once like a resident-geometry production setup
+        from mpeg_pcc_tmc13_tpu.ops import raht_device
+        vals = colors.astype(np.float64)
+        staged = raht_device.stage_plan(codes, depth)
+        vals_d = jax.device_put(jnp.asarray(vals, jnp.float32))
+        jax.block_until_ready((staged, vals_d))
+        r = raht_device.forward_device(codes, vals_d, depth,
+                                       staged=staged)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        r = raht_device.forward_device(codes, vals_d, depth,
+                                       staged=staged)
+        jax.block_until_ready(r)
+        t_dev_raht = time.perf_counter() - t0
+
         dev = {
             "device": str(jax.devices()[0]),
             "device_analysis_mpts": round(nn / t_dev_an / 1e6, 1),
             "device_expand_mpts": round(nn / t_dev_ex / 1e6, 1),
+            "device_raht_mpts": round(nn / t_dev_raht / 1e6, 1),
         }
     except Exception as e:          # no usable accelerator
         dev = {"device_error": str(e)[:80]}

@@ -48,8 +48,16 @@ def build_block_plan(leaf_codes: np.ndarray, depth: int):
     return plan
 
 
+def stage_plan(leaf_codes: np.ndarray, depth: int):
+    """Upload the block gather plan once (production keeps it resident
+    next to the geometry); forward_device(staged=...) then runs
+    transfer-free."""
+    plan = build_block_plan(leaf_codes, depth)
+    return [jnp.asarray(p["gather"]) for p in plan]
+
+
 def forward_device(leaf_codes: np.ndarray, values: np.ndarray,
-                   depth: int, interpret: bool = False):
+                   depth: int, interpret: bool = False, staged=None):
     """Full bottom-up RAHT on device.
 
     Returns (acs_per_level, root_dc) — acs_per_level[l] is a
@@ -57,14 +65,15 @@ def forward_device(leaf_codes: np.ndarray, values: np.ndarray,
     level's AC coefficients (slot 0 and empty slots are zero), plus the
     per-level weight layout for identifying them.
     """
-    plan = build_block_plan(leaf_codes, depth)
+    gathers = staged if staged is not None else stage_plan(
+        leaf_codes, depth)
     vals = jnp.asarray(values, dtype=jnp.float32)
     if vals.ndim == 1:
         vals = vals[:, None]
     w = jnp.ones((vals.shape[0],), jnp.float32)
     acs_out: List = []
     for l in range(depth):
-        g = jnp.asarray(plan[l]["gather"])
+        g = gathers[l]
         occ = g >= 0
         gi = jnp.where(occ, g, 0)
         blk_v = jnp.where(occ[..., None], vals[gi], 0.0)   # (B,8,C)

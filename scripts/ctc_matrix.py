@@ -67,6 +67,23 @@ CONFIGS = {
               "--randomAccessPeriod=64", "--transformType=0",
               "--integerHaar=1", "--qp=4",
               "--attrInterPredictionEnabled=1", "--attribute=color"]),
+    "obuf-planar": dict(
+        lossless=True,
+        args=["--geomEngine=obuf", "--planarEnabled=1"]),
+    "planar-sparse-deep": dict(
+        lossless=True,
+        args=["--planarEnabled=1", "--inferredDirectCodingMode=0"]),
+    "idcm-deep": dict(
+        lossless=True,
+        args=["--inferredDirectCodingMode=1",
+              "--neighbourAvailBoundaryLog2=0"]),
+    "multislice-trisoup": dict(
+        lossless=False,
+        args=["--trisoupNodeSizeLog2=3", "--sliceMaxPoints=6000",
+              "--transformType=0", "--qp=22", "--attribute=color"]),
+    "pernode-qp": dict(
+        lossless=False,
+        args=["--positionQuantisationOctreeDepth=3"]),
 }
 
 

@@ -129,6 +129,7 @@ def conditions():
             f"--positionQuantizationScale={ctc_pqs(18, r)}",
             "--mergeDuplicatedPoints=1", "--disableAttributeCoding=1",
             "--angularEnabled=1", "--planarEnabled=1",
+            "--numLasers=64",
             f"--lidarHeadPosition={head},{head},{head}",
             f"--lasersTheta={theta}", f"--lasersZ={zeros}",
             f"--lasersNumPhiPerTurn={npt}"])
