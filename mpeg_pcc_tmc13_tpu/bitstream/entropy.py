@@ -121,6 +121,15 @@ def _load_native() -> Optional[ctypes.CDLL]:
                                      c.c_int32, i64p, c.c_int64,
                                      c.c_int32]
     lib.oct_decode_inter.restype = c.c_int64
+    # full predicted-RAHT attribute engine (attr_raht.cc)
+    lib.raht_encode_predicted.argtypes = [
+        c.c_void_p, u16p, i64p, c.c_int64, c.c_int32, i64p, c.c_int32,
+        i32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32, c.c_int32]
+    lib.raht_encode_predicted.restype = c.c_int32
+    lib.raht_decode_predicted.argtypes = [
+        c.c_void_p, u16p, i64p, c.c_int64, c.c_int32, i64p, c.c_int32,
+        i32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32, c.c_int32]
+    lib.raht_decode_predicted.restype = c.c_int32
     return lib
 
 

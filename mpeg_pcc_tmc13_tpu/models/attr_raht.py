@@ -174,6 +174,25 @@ def _lcp_pred(k: int, dq1: np.ndarray, integer: bool) -> np.ndarray:
     return k * dq1 / 4.0
 
 
+def _native_fastpath_ok(coder, aps, abh, haar, ncomp, steps) -> bool:
+    """True when the predicted-RAHT brick can run entirely in
+    native/attr_raht.cc: the common configuration (float transform,
+    prediction on, no LCP, no per-layer QP deltas) with the native
+    range coder.  The numpy path stays the spec for everything else;
+    the native engine emits byte-identical streams (tested)."""
+    if entropy._LIB is None or not hasattr(coder, "_h"):
+        return False
+    if haar or ncomp < 1 or ncomp > 3:
+        return False
+    if aps.last_component_prediction_enabled and ncomp == 3 \
+            and abh is not None:
+        return False
+    if abh is not None and (abh.layer_qp_deltas_luma
+                            or abh.layer_qp_deltas_chroma):
+        return False
+    return all(1 <= s < (1 << 31) for s in steps)
+
+
 def _ref_pyramid(ref, aps, depth, haar):
     if ref is None or not aps.inter_prediction_enabled \
             or not aps.raht_prediction_enabled or not len(ref[0]):
@@ -224,6 +243,24 @@ def encode(values: np.ndarray, positions: np.ndarray,
         return arr
 
     if aps.raht_prediction_enabled and uniq.size > 1:
+        ref_pyr = _ref_pyramid(ref, aps, depth, haar)
+        if ref_pyr is None and _native_fastpath_ok(
+                enc, aps, abh, haar, ncomp, steps):
+            import ctypes as _ct
+            t0, t1 = aps.raht_pred_threshold0, aps.raht_pred_threshold1
+            ws, wf, we = aps.raht_pred_weights
+            codes_c = np.ascontiguousarray(uniq, dtype=np.int64)
+            vals_c = np.ascontiguousarray(uvals, dtype=np.int64)
+            steps_c = np.asarray(steps, dtype=np.int32)
+            rc = entropy._LIB.raht_encode_predicted(
+                enc._h, entropy._ptr(ctx.zrow, _ct.c_uint16),
+                entropy._ptr(codes_c, _ct.c_int64), uniq.size, depth,
+                entropy._ptr(vals_c, _ct.c_int64), ncomp,
+                entropy._ptr(steps_c, _ct.c_int32),
+                t0, t1, ws, wf, we)
+            if rc == 0:
+                return enc.get_bytes()
+
         def quant(arr, tag):
             arr = _apply_rdoq(arr, tag)
             cols = [_quantize(arr[:, c], step_at(c, tag))
@@ -251,7 +288,7 @@ def encode(values: np.ndarray, positions: np.ndarray,
 
         raht_ops.forward_predicted(
             uniq, uvals, depth, quant, dequant, integer_haar=haar,
-            ref_pyramid=_ref_pyramid(ref, aps, depth, haar),
+            ref_pyramid=ref_pyr,
             thresholds=(aps.raht_pred_threshold0,
                         aps.raht_pred_threshold1),
             weights=aps.raht_pred_weights)
@@ -288,6 +325,25 @@ def decode(data: bytes, positions: np.ndarray,
     lcp_idx = [0]
 
     if aps.raht_prediction_enabled and n > 1:
+        ref_pyr = _ref_pyramid(ref, aps, depth, haar)
+        if ref_pyr is None and not lcp_on and _native_fastpath_ok(
+                dec, aps, abh, haar, ncomp, steps):
+            import ctypes as _ct
+            t0, t1 = aps.raht_pred_threshold0, aps.raht_pred_threshold1
+            ws, wf, we = aps.raht_pred_weights
+            codes_c = np.ascontiguousarray(uniq, dtype=np.int64)
+            out_c = np.zeros((n, ncomp), dtype=np.int64)
+            steps_c = np.asarray(steps, dtype=np.int32)
+            rc = entropy._LIB.raht_decode_predicted(
+                dec._h, entropy._ptr(ctx.zrow, _ct.c_uint16),
+                entropy._ptr(codes_c, _ct.c_int64), n, depth,
+                entropy._ptr(out_c, _ct.c_int64), ncomp,
+                entropy._ptr(steps_c, _ct.c_int32),
+                t0, t1, ws, wf, we)
+            if rc == 0:
+                out = out_c[inv]
+                return out[:, 0] if ncomp == 1 else out
+
         def read_q(count, tag):
             return dec.zrow_residuals(ctx.zrow, count,
                                       ncomp).astype(np.int64)
@@ -304,7 +360,7 @@ def decode(data: bytes, positions: np.ndarray,
 
         vals = raht_ops.inverse_predicted(
             uniq, depth, read_q, dequant, ncomp, integer_haar=haar,
-            ref_pyramid=_ref_pyramid(ref, aps, depth, haar),
+            ref_pyramid=ref_pyr,
             thresholds=(aps.raht_pred_threshold0,
                         aps.raht_pred_threshold1),
             weights=aps.raht_pred_weights)
