@@ -101,6 +101,11 @@ def main():
                                 attr_model.AttributeContexts())
     t_attr = time.perf_counter() - t0
     assert len(payload) > 0
+    t0 = time.perf_counter()
+    rec = attr_model.decode(payload, uniq, aps, desc,
+                            attr_model.AttributeContexts())
+    t_attr_dec = time.perf_counter() - t0
+    assert rec.shape[0] == uniq.shape[0]
 
     # OBUF engine (reference-RD path): encode + decode
     from mpeg_pcc_tmc13_tpu.models import geometry_obuf
@@ -191,6 +196,7 @@ def main():
         "geom_encode_mpts": round(n / t_enc / 1e6, 3),
         "geom_decode_mpts": round(n / t_dec / 1e6, 3),
         "raht_encode_mpts": round(uniq.shape[0] / t_attr / 1e6, 3),
+        "raht_decode_mpts": round(uniq.shape[0] / t_attr_dec / 1e6, 3),
         "geom_bpp": round(8 * len(data) / n, 3),
         "obuf_encode_mpts": round(uniq.shape[0] / t_obuf_enc / 1e6, 3),
         "obuf_decode_mpts": round(uniq.shape[0] / t_obuf_dec / 1e6, 3),

@@ -117,9 +117,11 @@ def rgb_to_ycbcr_bt709(rgb: np.ndarray, bitdepth: int = 8) -> np.ndarray:
     b = rgb[..., 2].astype(np.int64)
     off = 1 << (bitdepth - 1)
     hi = (1 << bitdepth) - 1
-    y = (13933 * r + 46871 * g + 4732 * b) >> 16
-    cb = off + ((-7509 * r - 25259 * g + 32768 * b) >> 16)
-    cr = off + ((32768 * r - 29763 * g - 3005 * b) >> 16)
+    # Q16 of the reference's doubles (colourspace.h:53-58) with
+    # round-half-up: +32768 before the shift mirrors std::round
+    y = (13933 * r + 46871 * g + 4732 * b + 32768) >> 16
+    cb = off + ((-7509 * r - 25259 * g + 32768 * b + 32768) >> 16)
+    cr = off + ((32768 * r - 29763 * g - 3005 * b + 32768) >> 16)
     out = np.stack([y, cb, cr], axis=-1)
     return np.clip(out, 0, hi).astype(rgb.dtype)
 
@@ -130,8 +132,10 @@ def ycbcr_bt709_to_rgb(ycc: np.ndarray, bitdepth: int = 8) -> np.ndarray:
     cb = ycc[..., 1].astype(np.int64) - off
     cr = ycc[..., 2].astype(np.int64) - off
     hi = (1 << bitdepth) - 1
-    r = y + ((103206 * cr) >> 16)
-    g = y - ((12276 * cb + 30679 * cr) >> 16)
-    b = y + ((121608 * cb) >> 16)
+    # Q16 of colourspace.h:71-76 (1.57480, 0.18733, 0.46813, 1.85563);
+    # each output is floor(value + 0.5) like the reference's round()
+    r = y + ((103206 * cr + 32768) >> 16)
+    g = ((y << 16) - 12278 * cb - 30680 * cr + 32768) >> 16
+    b = y + ((121619 * cb + 32768) >> 16)
     out = np.stack([r, g, b], axis=-1)
     return np.clip(out, 0, hi).astype(ycc.dtype)

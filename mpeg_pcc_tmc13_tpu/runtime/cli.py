@@ -378,7 +378,13 @@ class Config:
             elif name == "attribute":
                 a = self._pending_attr
                 enc_t = _TRANSFORM_TYPES[int(a.get("transformType", "0"))]
-                cicp = int(a.get("colourMatrix", "8"))
+                # reference default is BT.709 (TMC3.cpp:1270
+                # ColourMatrix::kBt709); the lossless CTC cfgs override
+                # to 8 (YCgCo-R) for reversibility.  Matching the
+                # default matters for RD: YCgCo-R chroma has twice the
+                # amplitude of Cb/Cr, which shifts the lossy-attr
+                # deadzone cliff ~6 QP finer.
+                cicp = int(a.get("colourMatrix", "1"))
                 if not self.convert_colourspace:
                     cicp = 0
                 self.params.attributes.append(AttributeConfig(
