@@ -480,8 +480,10 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
     frames = []
     npts = 0
     for i in range(cfg.frame_count):
+        sw.stop()   # ply read outside the clock (TMC3.cpp:2231)
         path = ply.expand_num(cfg.uncompressed_path, cfg.first_frame + i)
         pos = np.round(ply.read(path).positions).astype(np.int64)
+        sw.start()
         npts += pos.shape[0]
         if p.geom_scale_num != 1 or p.geom_scale_den != 1:
             pos = np.floor(pos * p.geom_scale_num / p.geom_scale_den
@@ -539,11 +541,13 @@ def decode_sequence_ref_syntax(cfg: Config) -> int:
         out = pos.astype(np.float64)
         if scale != (1.0, 1.0):
             out = out * (scale[1] / scale[0])
+        sw.stop()   # ply write outside the clock (TMC3.cpp:2437)
         if cfg.reconstructed_path:
             path = ply.expand_num(cfg.reconstructed_path,
                                   cfg.first_frame + i)
             ply.write(ply.PlyCloud(positions=out), path,
                       ascii=not cfg.output_binary_ply)
+        sw.start()
         print(f"frame {cfg.first_frame + i}: {pos.shape[0]} points")
     sw.stop()
     print(f"Processing time (user): {sw.user:.3f} s")
@@ -575,8 +579,12 @@ def encode_sequence(cfg: Config) -> int:
             write_tlv(buf, fout)
 
         for i in range(cfg.frame_count):
+            # PLY reading sits outside the processing clock, like the
+            # reference (TMC3.cpp:2231 clock->start() after ply::read)
+            sw.stop()
             path = ply.expand_num(cfg.uncompressed_path, cfg.first_frame + i)
             src = _ply_to_cloud(ply.read(path))
+            sw.start()
             sizes["npts"] += src.count
             enc.compress(src, emit)
             print(f"frame {cfg.first_frame + i}: {src.count} points")
@@ -607,6 +615,9 @@ def decode_sequence(cfg: Config) -> int:
         for buf in iter_tlv(f):
             dec.decompress(buf)
     dec.flush()
+    # PLY writing sits outside the processing clock, like the
+    # reference (TMC3.cpp:2437 onOutputCloud pauses the clock)
+    sw.stop()
     for i, cloud in enumerate(frames):
         if cfg.reconstructed_path:
             path = ply.expand_num(cfg.reconstructed_path,
@@ -614,7 +625,6 @@ def decode_sequence(cfg: Config) -> int:
             ply.write(_cloud_to_ply(cloud), path,
                       ascii=not cfg.output_binary_ply)
         print(f"frame {cfg.first_frame + i}: {cloud.count} points")
-    sw.stop()
     print(f"Processing time (user): {sw.user:.3f} s")
     print(f"Processing time (wall): {sw.wall:.3f} s")
     return 0

@@ -418,10 +418,20 @@ class FrameDecoder:
                 sl.positions, sps.geom_scale_num, sps.geom_scale_den,
                 (0, 0, 0))
             gps = self.gps.get(sl.gbh.gps_id)
-            if (gps is not None and gps.angular_enabled
-                    and gps.z_compensation_enabled
-                    and len(gps.laser_theta_q) > 1
-                    and sps.geom_scale_num != sps.geom_scale_den):
+            z_comp = (gps is not None and gps.angular_enabled
+                      and gps.z_compensation_enabled
+                      and len(gps.laser_theta_q) > 1
+                      and sps.geom_scale_num != sps.geom_scale_den)
+            if sps.geom_scale_num != sps.geom_scale_den and not z_comp:
+                # reference output conversion (TMC3.cpp:2505
+                # writeOutputFrame): positions leave as coding-grid
+                # ints times the double plyScale, NOT rounded to the
+                # output grid — rounding costs up to 1.8 dB D1 at
+                # coarse scales.  The angular z-comp path keeps the
+                # integer grid (compensate_z reconstructs sub-grid z).
+                pos = sl.positions.astype(np.float64) * (
+                    sps.geom_scale_den / sps.geom_scale_num)
+            if z_comp:
                 # z compensation onto the laser cones (reference
                 # compensateZCoordinate, geometry_octree.cpp:781)
                 from ..ops import angular as angular_ops
