@@ -442,10 +442,17 @@ class FrameEncoder:
         # so no sequence origin enters the reconstruction path.
         grid = processing.quantize_positions(
             positions, p.geom_scale_num, p.geom_scale_den, (0, 0, 0))
+        if not self.aps:
+            # geometry-only coding: drop attributes up front
+            cloud = PointCloud(cloud.positions, None, None,
+                               cloud.frame_index)
         qcloud = PointCloud(grid, cloud.colors, cloud.reflectances,
                             cloud.frame_index)
-        has_attrs = (cloud.colors is not None
-                     or cloud.reflectances is not None)
+        # only transfer attributes that will actually be coded: with
+        # attribute coding disabled the (expensive) recolouring is
+        # pure waste (reference gates on the attribute set too)
+        has_attrs = bool(self.aps) and (cloud.colors is not None
+                                        or cloud.reflectances is not None)
         if (p.geom_scale_num != p.geom_scale_den and has_attrs
                 and p.merge_duplicated_points):
             # geometry changed: reference recolours the original
