@@ -67,16 +67,70 @@ def _structure(positions: np.ndarray, aps: AttributeParameterSet,
     return levels, nbr, wq, nl
 
 
-def _lift_quant_weights(levels: np.ndarray, nbr: np.ndarray) -> np.ndarray:
-    """Popularity-based quantisation weights (reference
-    computeQuantizationWeights PCCTMC3Common.h:859): points referenced
-    by more finer-level predictors get finer quantisation.  Returns a
-    Q8 scale factor sqrt(1 + refs) per point."""
+def _lift_quant_weights(levels: np.ndarray, nbr: np.ndarray,
+                        wq: np.ndarray, n_ref: int = 0):
+    """Recursive mass-conserving quantisation weights for the lifting
+    transform (reference PCCComputeQuantizationWeights,
+    PCCTMC3Common.h:828): every point starts at Q8 1.0; sweeping
+    finest-to-coarsest, each point distributes its whole weight to its
+    predictors in proportion to the PREDICTION weights.  Coarse points
+    therefore accumulate their entire prediction subtree's mass, and
+    scaling coefficients by sqrt(weight) gives them correspondingly
+    finer effective steps — this is what holds base-layer quality at
+    coarse QPs.  Returns (w_q8, factor_q8 = sqrt-scale)."""
     n = levels.shape[0]
-    refs = np.zeros(n, dtype=np.int64)
-    valid = nbr >= 0
-    np.add.at(refs, nbr[valid], 1)
-    return np.floor(np.sqrt(1.0 + refs) * 256.0 + 0.5).astype(np.int64)
+    w = np.full(n, 256, dtype=np.int64)
+    k = nbr.shape[1]
+    nl = int(levels.max()) + 1 if n else 1
+    # levels > 0: neighbours are strictly coarser, so per-level batches
+    # reproduce the reference's reverse-index sweep exactly
+    for lvl in range(nl - 1, 0, -1):
+        sel = np.flatnonzero(levels == lvl)
+        for j in range(k):
+            t = nbr[sel, j] - n_ref      # inter-reference rows < 0
+            ok = t >= 0
+            if ok.any():
+                contrib = (wq[sel[ok], j] * w[sel[ok]]
+                           + (1 << 15)) >> 16
+                np.add.at(w, t[ok], contrib)
+    # level 0 predicts from preceding level-0 points: sequential
+    # reverse sweep (the coarsest level is small)
+    sel0 = np.flatnonzero(levels == 0)
+    for i in sel0[::-1]:
+        wi = w[i]
+        for j in range(k):
+            t = nbr[i, j] - n_ref
+            if t >= 0:
+                w[t] += (wq[i, j] * wi + (1 << 15)) >> 16
+    factor = np.floor(np.sqrt(w.astype(np.float64) * 256.0)
+                      + 0.5).astype(np.int64)
+    return w, factor
+
+
+def _lift_update(dq: np.ndarray, nbr_sel: np.ndarray,
+                 wq_sel: np.ndarray, qw8_sel: np.ndarray,
+                 shape, ncomp: int) -> np.ndarray:
+    """Lifting update operator (reference PCCLiftUpdate,
+    PCCTMC3Common.h:776): each coarse point receives the weighted MEAN
+    of the details predicting from it, with per-edge weight
+    predWeight·detailQuantWeight — bounded smoothing, unlike a raw
+    accumulation.  dq: (m, C) dequantised details of the current
+    level; qw8_sel: their Q8 quant weights."""
+    num = np.zeros(shape, dtype=np.float64)
+    den = np.zeros(shape[0], dtype=np.float64)
+    valid = nbr_sel >= 0
+    uw = ((wq_sel * qw8_sel[:, None]) + (1 << 15)) >> 16   # Q8
+    uw = np.where(valid, uw, 0).astype(np.float64)
+    idx = np.where(valid, nbr_sel, 0)
+    flat_idx = idx.reshape(-1)
+    flat_uw = uw.reshape(-1)
+    contrib = uw[:, :, None] * dq[:, None, :].astype(np.float64)
+    np.add.at(num, flat_idx, contrib.reshape(-1, ncomp))
+    np.add.at(den, flat_idx, flat_uw)
+    upd = np.zeros(shape, dtype=np.int64)
+    nz = den > 0
+    upd[nz] = np.floor(num[nz] / den[nz, None] + 0.5).astype(np.int64)
+    return upd
 
 
 def _icp_pred(c: int, dq0: np.ndarray) -> np.ndarray:
@@ -170,7 +224,7 @@ def encode(values: np.ndarray, positions: np.ndarray,
               and not lift and abh is not None)
 
     if lift:
-        factor = _lift_quant_weights(levels, nbr)
+        qw8, factor = _lift_quant_weights(levels, nbr, wq)
         work = vals.astype(np.int64).copy()
         # analysis fine -> coarse: details then update
         for l in range(nl - 1, 0, -1):
@@ -195,31 +249,27 @@ def encode(values: np.ndarray, positions: np.ndarray,
                                     factor[sel])[:, 0] + pred2
             q_out[sel] = q
             work[sel] = dq  # hold dequantised details
-            # update step: redistribute detail energy to predictors
-            upd = np.zeros_like(work)
-            valid = nbr[sel] >= 0
-            idx = np.where(valid, nbr[sel], 0)
-            contrib = (dq[:, None, :] * wq[sel][:, :, None]) >> 18  # /4*Q16
-            flat_idx = idx.reshape(-1)
-            flat_contrib = contrib.reshape(-1, ncomp)
-            flat_valid = valid.reshape(-1)
-            np.add.at(upd, flat_idx[flat_valid],
-                      flat_contrib[flat_valid])
-            work += upd
-        # coarsest level: code values themselves (quantised, no factor)
+            work += _lift_update(dq, nbr[sel], wq[sel], qw8[si],
+                                 work.shape, ncomp)
+        # coarsest level: code values themselves.  The quant factor
+        # applies here too (reference AttributeEncoder.cpp:1443 scales
+        # EVERY lifted coefficient): base-layer points carry the whole
+        # pyramid's mass, so their finer effective step is what holds
+        # reconstruction quality at coarse QPs.
         sel0 = levels == 0
         si0 = np.nonzero(sel0)[0]
         q0 = np.stack([_quant(work[sel0][:, c:c + 1],
-                              stepf(c, 0, si0))[:, 0]
+                              stepf(c, 0, si0), factor[sel0])[:, 0]
                        for c in range(ncomp)], axis=1)
         if lcp_on:
             v0 = work[sel0]
             k = _lcp_estimate(v0[:, 1], v0[:, 2])
             lift_lcp[0] = k
-            dq1 = _dequant(q0[:, 1:2], stepf(1, 0, si0))[:, 0]
+            dq1 = _dequant(q0[:, 1:2], stepf(1, 0, si0),
+                           factor[sel0])[:, 0]
             pred2 = _lcp_pred(k, dq1, True)
             q0[:, 2] = _quant((v0[:, 2] - pred2)[:, None],
-                              stepf(2, 0, si0))[:, 0]
+                              stepf(2, 0, si0), factor[sel0])[:, 0]
         q_out[sel0] = q0
         if lcp_on:
             abh.lcp_coeffs.extend(int(v) for v in lift_lcp)
@@ -457,12 +507,13 @@ def decode(data: bytes, positions: np.ndarray,
         q[order] = q_lod  # back to Morton order
 
     if lift:
-        factor = _lift_quant_weights(levels, nbr)
+        qw8, factor = _lift_quant_weights(levels, nbr, wq)
         work = np.zeros((n, ncomp), dtype=np.int64)
         sel0 = levels == 0
         si0 = np.nonzero(sel0)[0]
         work[sel0] = np.stack(
-            [_dequant(q[sel0][:, c:c + 1], stepf(c, 0, si0))[:, 0]
+            [_dequant(q[sel0][:, c:c + 1], stepf(c, 0, si0),
+                      factor[sel0])[:, 0]
              for c in range(ncomp)], axis=1)
         if lcp_on:
             work[sel0, 2] += _lcp_pred(lcp_k(0), work[sel0, 1], True)
@@ -476,15 +527,8 @@ def decode(data: bytes, positions: np.ndarray,
                            for c in range(ncomp)], axis=1)
             if lcp_on:
                 dq[:, 2] += _lcp_pred(lcp_k(l), dq[:, 1], True)
-            upd = np.zeros_like(work)
-            valid = nbr[sel] >= 0
-            idx = np.where(valid, nbr[sel], 0)
-            contrib = (dq[:, None, :] * wq[sel][:, :, None]) >> 18
-            flat_idx = idx.reshape(-1)
-            flat_contrib = contrib.reshape(-1, ncomp)
-            flat_valid = valid.reshape(-1)
-            np.add.at(upd, flat_idx[flat_valid], flat_contrib[flat_valid])
-            work -= upd
+            work -= _lift_update(dq, nbr[sel], wq[sel], qw8[si],
+                                 work.shape, ncomp)
             pred = lod_ops.predict_q16(work, nbr[sel], wq[sel])
             work[sel] = pred + dq
         out = work

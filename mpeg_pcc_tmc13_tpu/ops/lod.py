@@ -33,6 +33,37 @@ W_FRAC_BITS = 16
 W_ONE = 1 << W_FRAC_BITS
 
 
+def estimate_dist2(positions: np.ndarray, sampling_period: int = 100,
+                   search_range: int = 128,
+                   percentile: float = 0.85) -> int:
+    """Slice dist2 estimation (reference estimateDist2,
+    AttributeEncoder.cpp:1685): sample every `sampling_period`-th
+    point, find its min squared distance within +-search_range array
+    positions, take the `percentile` value, and snap up to the
+    3·4^s law.  Returns the squared distance 3 << 2s (the reference
+    signals the shift s; our APS carries the raw value)."""
+    n = positions.shape[0]
+    if n < 2:
+        return 0
+    p = positions.astype(np.int64)
+    idx = np.arange(0, n, sampling_period, dtype=np.int64)
+    offs = np.arange(-search_range, search_range + 1, dtype=np.int64)
+    cand = idx[:, None] + offs[None, :]
+    ok = (cand >= 0) & (cand < n) & (offs[None, :] != 0)
+    cand = np.clip(cand, 0, n - 1)
+    d = p[cand] - p[idx][:, None, :]
+    d2 = np.einsum("ijk,ijk->ij", d, d)
+    d2 = np.where(ok, d2, np.int64(2 ** 62))
+    mins = d2.min(axis=1)
+    k = int(np.floor(mins.shape[0] * percentile))
+    k = min(k, mins.shape[0] - 1)
+    dist2 = int(np.partition(mins, k)[k])
+    s = 0
+    while (3 << (2 * s)) < dist2 and s < 20:
+        s += 1
+    return 3 << (2 * s)
+
+
 def assign_lod_levels_dist2(positions: np.ndarray, num_levels: int,
                             dist2_base: int) -> np.ndarray:
     """Distance-based LoD (reference subsampleByDistance): greedy
@@ -103,13 +134,18 @@ def lod_order(levels: np.ndarray) -> np.ndarray:
 
 def knn_predictors(positions: np.ndarray, levels: np.ndarray,
                    num_neighbors: int = 3, window: int = 8,
-                   ref_positions: np.ndarray = None):
+                   ref_positions: np.ndarray = None,
+                   intra_lod0: bool = False):
     """Per point: up to 3 neighbour indices + Q16 weights.
 
     positions: (N,3) int, Morton coding order. levels: (N,) LoD ids.
     Neighbour candidates for a point at level l are points of levels
-    < l (for l > 0) or preceding points of level 0 (intra-coarsest,
-    reference intra-LoD prediction).
+    < l.  With intra_lod0, level-0 points additionally predict from
+    preceding level-0 points (reference intraLodPredictionSkipLayers;
+    the DEFAULT disables intra-LoD prediction, TMC3.cpp:1394-1397, and
+    the lifting transform forces it off, TMC3.cpp:1878 — an intra
+    chain would cascade the lifting quantisation weights without
+    bound).
 
     ref_positions: optional (M,3) motion-compensated reference-frame
     points (inter attribute prediction, reference
@@ -144,6 +180,8 @@ def knn_predictors(positions: np.ndarray, levels: np.ndarray,
     for l in range(num_levels):
         q_idx = m + np.nonzero(levels == l)[0]
         if l == 0 and not m:
+            if not intra_lod0:
+                continue        # level 0 codes raw (reference default)
             # intra-level: predict from preceding level-0 points
             r_idx = q_idx
             intra = True

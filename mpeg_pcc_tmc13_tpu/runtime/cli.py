@@ -403,7 +403,10 @@ class Config:
                         a.get("attrInterPredictionEnabled", "0")),
                     raht_prediction=opt.to_bool(
                         a.get("rahtPredictionEnabled", "1")),
-                    lod_levels=int(a.get("levelOfDetailCount", "12")),
+                    # reference semantics: the option counts REFINEMENT
+                    # layers (TMC3.cpp:1374 note), default 1 -> two
+                    # total levels with an auto-estimated dist2 base
+                    lod_levels=int(a.get("levelOfDetailCount", "1")) + 1,
                     num_pred_nearest_neighbours=min(int(
                         a.get("numberOfNearestNeighborsInPrediction",
                               "3")), 3),

@@ -368,8 +368,11 @@ class FrameEncoder:
         the last frame.
         """
         p = self.params
+        qcloud = None
         if self.sps is None:
             self._derive_parameter_sets(cloud)
+            qcloud = self._prepare_frame(cloud)
+            self._auto_dist2(qcloud)
             out(PayloadBuffer(PayloadType.SEQUENCE_PARAMETER_SET,
                               self.sps.write()))
             out(PayloadBuffer(PayloadType.GEOMETRY_PARAMETER_SET,
@@ -385,7 +388,8 @@ class FrameEncoder:
             out(PayloadBuffer(PayloadType.ATTR_PARAM_INVENTORY,
                               inv.write()))
         self._pending_param_updates = []
-        qcloud = self._prepare_frame(cloud)
+        if qcloud is None:
+            qcloud = self._prepare_frame(cloud)
         ctr = self.frame_ctr
         self.frame_ctr += 1
         bi = (p.bi_prediction and p.inter_prediction
@@ -431,6 +435,22 @@ class FrameEncoder:
             refs = self._choose_refs(ctr, qcloud, forced_ref=True)
             self._code_frame(qcloud, ctr, out, refs)
         self._gof = []
+
+    def _auto_dist2(self, qcloud: PointCloud) -> None:
+        """Estimate the LoD base distance for distance-subsampled
+        PRED/LIFT attributes when the config leaves dist2 unset
+        (reference encoder.cpp:1199-1205 slice dist2 refinement with
+        estimateDist2).  Runs on the first frame's coding-grid cloud,
+        before the APS is written, so both sides build the same LoD."""
+        from ..ops import lod as lod_ops
+        est = None
+        for a in self.aps:
+            if (a.attr_encoding in (hls.AttributeEncoding.PRED,
+                                    hls.AttributeEncoding.LIFT)
+                    and a.dist2 == 0 and a.lod_decimation == 0):
+                if est is None:
+                    est = lod_ops.estimate_dist2(qcloud.positions)
+                a.dist2 = est
 
     def _prepare_frame(self, cloud: PointCloud) -> PointCloud:
         p = self.params

@@ -100,7 +100,9 @@ def test_attribute_aps_knobs_flow_through(tmp_path, sample_ply):
             if buf.type == PayloadType.ATTRIBUTE_PARAMETER_SET:
                 a = _hls.AttributeParameterSet.parse(buf.data)
                 assert a.init_qp == 10
-                assert a.lod_levels == 7
+                # reference semantics: levelOfDetailCount counts
+                # REFINEMENT layers (TMC3.cpp:1374) -> 7 + base = 8
+                assert a.lod_levels == 8
                 assert a.num_pred_nearest_neighbours == 2
                 assert a.max_direct_predictors == 2
                 assert a.adaptive_prediction_threshold == 32
