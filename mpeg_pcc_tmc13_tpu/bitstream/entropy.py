@@ -130,6 +130,12 @@ def _load_native() -> Optional[ctypes.CDLL]:
         c.c_void_p, u16p, i64p, c.c_int64, c.c_int32, i64p, c.c_int32,
         i32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32, c.c_int32]
     lib.raht_decode_predicted.restype = c.c_int32
+    lib.rce_trisoup_verts.argtypes = [c.c_void_p, u16p, u8p, i32p,
+                                      i32p, i64p, i64p, c.c_int64,
+                                      c.c_int32]
+    lib.rcd_trisoup_verts.argtypes = [c.c_void_p, u16p, u8p, i32p,
+                                      i32p, i64p, i64p, c.c_int64,
+                                      c.c_int32]
     return lib
 
 
@@ -426,6 +432,33 @@ class _PyEncoder:
         if i < n:
             self._enc_zrow_run(ctx, n - i)
 
+    def trisoup_verts(self, ctx, pres, vpos, nadj, prev1, prev2,
+                      nbits):
+        """Trisoup edge-vertex coder spec (mirror of native
+        rce_trisoup_verts; layout documented there)."""
+        prev = 0
+        for i in range(len(pres)):
+            s1 = 0 if prev1[i] < 0 else (2 if pres[prev1[i]] else 1)
+            s2 = 0 if prev2[i] < 0 else (2 if pres[prev2[i]] else 1)
+            na = min(max(int(nadj[i]), 1), 4)
+            cid = ((na - 1) * 2 + prev) * 9 + s1 * 3 + s2
+            self.encode_bit(ctx, cid, int(pres[i]))
+            prev = 1 if pres[i] else 0
+            if not pres[i]:
+                continue
+            cnt, sm = 0, 0
+            if prev1[i] >= 0 and pres[prev1[i]]:
+                sm += int(vpos[prev1[i]]); cnt += 1
+            if prev2[i] >= 0 and pres[prev2[i]]:
+                sm += int(vpos[prev2[i]]); cnt += 1
+            pv = (sm + (cnt >> 1)) // cnt if cnt else -1
+            v = int(vpos[i])
+            for b in range(nbits - 1, -1, -1):
+                bi = nbits - 1 - b
+                bucket = 2 if pv < 0 else ((pv >> b) & 1)
+                self.encode_bit(ctx, 72 + bi * 3 + bucket,
+                                (v >> b) & 1)
+
     def resbl(self, ctx, vals):
         prev_nz = 0
         for v in vals:
@@ -684,6 +717,35 @@ class _PyDecoder:
                 prev_nz = 1
         return out
 
+    def trisoup_verts(self, ctx, nadj, prev1, prev2, ne, nbits):
+        """Decoder mirror of trisoup_verts; returns (pres, vpos)."""
+        pres = np.zeros(ne, dtype=np.uint8)
+        vpos = np.zeros(ne, dtype=np.int32)
+        prev = 0
+        for i in range(ne):
+            s1 = 0 if prev1[i] < 0 else (2 if pres[prev1[i]] else 1)
+            s2 = 0 if prev2[i] < 0 else (2 if pres[prev2[i]] else 1)
+            na = min(max(int(nadj[i]), 1), 4)
+            cid = ((na - 1) * 2 + prev) * 9 + s1 * 3 + s2
+            p = self.decode_bit(ctx, cid)
+            pres[i] = p
+            prev = p
+            if not p:
+                continue
+            cnt, sm = 0, 0
+            if prev1[i] >= 0 and pres[prev1[i]]:
+                sm += int(vpos[prev1[i]]); cnt += 1
+            if prev2[i] >= 0 and pres[prev2[i]]:
+                sm += int(vpos[prev2[i]]); cnt += 1
+            pv = (sm + (cnt >> 1)) // cnt if cnt else -1
+            v = 0
+            for b in range(nbits - 1, -1, -1):
+                bi = nbits - 1 - b
+                bucket = 2 if pv < 0 else ((pv >> b) & 1)
+                v |= self.decode_bit(ctx, 72 + bi * 3 + bucket) << b
+            vpos[i] = v
+        return pres, vpos
+
 
 # =====================================================================
 # Native backend
@@ -772,6 +834,19 @@ class _NativeEncoder:
         v = _as(vals, np.int32)
         _LIB.rce_resbl(self._h, _ptr(ctx, ctypes.c_uint16),
                        _ptr(v, ctypes.c_int32), len(v))
+
+    def trisoup_verts(self, ctx, pres, vpos, nadj, prev1, prev2,
+                      nbits):
+        p = _as(pres, np.uint8)
+        v = _as(vpos, np.int32)
+        na = _as(nadj, np.int32)
+        p1 = _as(prev1, np.int64)
+        p2 = _as(prev2, np.int64)
+        _LIB.rce_trisoup_verts(
+            self._h, _ptr(ctx, ctypes.c_uint16),
+            _ptr(p, ctypes.c_uint8), _ptr(v, ctypes.c_int32),
+            _ptr(na, ctypes.c_int32), _ptr(p1, ctypes.c_int64),
+            _ptr(p2, ctypes.c_int64), len(p), nbits)
 
     def get_bytes(self):
         n = _LIB.rce_size(self._h)
@@ -894,6 +969,19 @@ class _NativeDecoder:
         _LIB.rcd_resbl(self._h, _ptr(ctx, ctypes.c_uint16),
                        _ptr(out, ctypes.c_int32), n)
         return out
+
+    def trisoup_verts(self, ctx, nadj, prev1, prev2, ne, nbits):
+        pres = np.zeros(ne, dtype=np.uint8)
+        vpos = np.zeros(ne, dtype=np.int32)
+        na = _as(nadj, np.int32)
+        p1 = _as(prev1, np.int64)
+        p2 = _as(prev2, np.int64)
+        _LIB.rcd_trisoup_verts(
+            self._h, _ptr(ctx, ctypes.c_uint16),
+            _ptr(pres, ctypes.c_uint8), _ptr(vpos, ctypes.c_int32),
+            _ptr(na, ctypes.c_int32), _ptr(p1, ctypes.c_int64),
+            _ptr(p2, ctypes.c_int64), ne, nbits)
+        return pres, vpos
 
 
 def radix_sort(codes: np.ndarray, return_perm: bool = True):

@@ -23,7 +23,11 @@ from ..ops import trisoup as trisoup_ops
 from ..utils import morton
 from . import geometry_octree
 
-VTX_CTX_SIZE = 2   # presence chained on previous edge presence
+VTX_CTX_SIZE = 120   # trisoup vertex coder (entropy rce_trisoup_verts):
+                     # 72 presence contexts (adjacent-node count x
+                     # previous edge x 2 parallel-predecessor states)
+                     # + 3 per position bit (neighbour-predicted bit)
+FACE_CTX_SIZE = 2    # face presence chained on the previous face
 _CENT_AXIS_CTX = 26  # resbl layout per axis
 
 
@@ -34,7 +38,7 @@ class TrisoupContexts:
     centroid: np.ndarray = field(
         default_factory=lambda: entropy.new_contexts(3 * _CENT_AXIS_CTX))
     face: np.ndarray = field(
-        default_factory=lambda: entropy.new_contexts(VTX_CTX_SIZE))
+        default_factory=lambda: entropy.new_contexts(FACE_CTX_SIZE))
 
     def copy(self):
         return TrisoupContexts(self.vertex.copy(), self.centroid.copy(),
@@ -90,12 +94,13 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
     uniq, present, vpos = trisoup_ops.determine_vertices(
         vpts, node_codes, vnode, s)
 
-    # serialise: presence chained, positions bypass
-    pres = present.astype(np.uint8)
-    prev = np.concatenate([[0], pres[:-1]]).astype(np.int32)
-    enc.bits(tctx.vertex, prev, pres)
-    nbits = np.full(int(present.sum()), s, dtype=np.int32)
-    enc.bypass(vpos[present].astype(np.uint32), nbits)
+    # serialise through the contextual vertex coder (presence
+    # conditioned on edge neighbourhood, position bits on the
+    # parallel-neighbour prediction)
+    nadj, prev1, prev2 = trisoup_ops.edge_neighbor_structure(
+        uniq, s, node_codes)
+    enc.trisoup_verts(tctx.vertex, present.astype(np.uint8),
+                      vpos.astype(np.int32), nadj, prev1, prev2, s)
 
     # face vertices (reference encodeTrisoupFaceList,
     # geometry_trisoup_encoder.cpp:1062): presence chained, two
@@ -113,19 +118,26 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
             enc.bypass(fpos[fpres].reshape(-1).astype(np.uint32), fb)
         faces = (fpres, fpos)
 
-    # centroid vertex residuals for >=3-vertex nodes (reference
-    # determineTrisoupCentroids + residual coding)
+    # centroid drift for >=3-vertex nodes: a single component along
+    # the node's dominant (normal-like) axis, like the reference's
+    # driftQ (geometry_trisoup_encoder.cpp:852) — the tangential
+    # residual moves the centroid along the surface and isn't worth
+    # its bits
     if centroid:
-        resid = trisoup_ops.true_centroid_residuals(
+        resid3 = trisoup_ops.true_centroid_residuals(
             pts, node_codes, point_node, uniq, present, vpos, s,
             faces=faces)
         counts = trisoup_ops.vertex_counts(node_codes, uniq, present,
                                            s, faces=faces)
         sel = counts >= 3
-        for c in range(3):
-            cs = tctx.centroid[c * _CENT_AXIS_CTX:
-                               (c + 1) * _CENT_AXIS_CTX]
-            enc.resbl(cs, resid[sel][:, c].astype(np.int32))
+        dom = trisoup_ops.node_dominant_axis(
+            node_codes, uniq, present, vpos, s, faces=faces)
+        rows = np.nonzero(sel)[0]
+        drift = resid3[rows, dom[rows]]
+        enc.resbl(tctx.centroid[:_CENT_AXIS_CTX],
+                  drift.astype(np.int32))
+        resid = np.zeros((node_codes.shape[0], 3), dtype=np.int64)
+        resid[rows, dom[rows]] = drift
     else:
         resid = np.zeros((node_codes.shape[0], 3), dtype=np.int64)
 
@@ -153,12 +165,12 @@ def decode(depth: int, node_size_log2: int, dec,
     keys, _ = trisoup_ops.edge_keys_for_nodes(node_codes, s)
     uniq, _ = trisoup_ops.unique_edges(keys)
     ne = uniq.shape[0]
-    present = dec.bits_chain(tctx.vertex, ne).astype(bool)
-    npres = int(present.sum())
-    vpos = np.zeros(ne, dtype=np.int64)
-    if npres:
-        nbits = np.full(npres, s, dtype=np.int32)
-        vpos[present] = dec.bypass(nbits).astype(np.int64)
+    nadj, prev1, prev2 = trisoup_ops.edge_neighbor_structure(
+        uniq, s, node_codes)
+    pres8, vpos32 = dec.trisoup_verts(tctx.vertex, nadj, prev1, prev2,
+                                      ne, s)
+    present = pres8.astype(bool)
+    vpos = vpos32.astype(np.int64)
 
     faces = None
     if face_vertices:
@@ -178,10 +190,11 @@ def decode(depth: int, node_size_log2: int, dec,
                                            s, faces=faces)
         sel = counts >= 3
         nsel = int(sel.sum())
-        for c in range(3):
-            cs = tctx.centroid[c * _CENT_AXIS_CTX:
-                               (c + 1) * _CENT_AXIS_CTX]
-            resid[sel, c] = dec.resbl(cs, nsel)
+        dom = trisoup_ops.node_dominant_axis(
+            node_codes, uniq, present, vpos, s, faces=faces)
+        rows = np.nonzero(sel)[0]
+        drift = dec.resbl(tctx.centroid[:_CENT_AXIS_CTX], nsel)
+        resid[rows, dom[rows]] = drift
 
     bb = (1 << depth) - 1 if bbox_max is None else bbox_max
     return trisoup_ops.reconstruct(node_codes, uniq, present, vpos, s,

@@ -688,6 +688,88 @@ void rcd_resbl(RcDecoder* d, uint16_t* ctx, int32_t* vals, int64_t n) {
   }
 }
 
+// ---- trisoup edge-vertex coder -----------------------------------------
+//
+// Counterpart of the reference's OBUF-driven vertex coding
+// (geometry_trisoup_encoder.cpp:1078 encodeTrisoupVertices): the
+// presence flag conditions on the number of occupied nodes sharing
+// the edge, the previous edge's presence, and the states of the two
+// parallel predecessor edges (absent / present-no-vertex /
+// present-with-vertex); position bits condition on the bit index and
+// the matching bit of the neighbour-predicted position.  Sequential
+// because contexts depend on previously-decoded presence/positions —
+// exactly why this lives in the native layer.
+//
+// ctx layout: [0,72): presence = ((nadj-1)*2 + prev)*9 + s1*3 + s2
+//             [72, 72+nbits*3): position bit i, bucket b in
+//                {pred-bit-0, pred-bit-1, no-pred}
+// prev1/prev2: indices (into the same edge array) of the two parallel
+// predecessor edges, -1 when outside; they are strictly earlier in
+// the sorted-key coding order (morton is monotone per coordinate).
+
+static inline int tri_nbr_state(int64_t j, const uint8_t* pres) {
+  if (j < 0) return 0;
+  return pres[j] ? 2 : 1;
+}
+
+void rce_trisoup_verts(RcEncoder* e, uint16_t* ctx,
+                       const uint8_t* pres, const int32_t* vpos,
+                       const int32_t* nadj, const int64_t* prev1,
+                       const int64_t* prev2, int64_t ne, int nbits) {
+  int prev = 0;
+  for (int64_t i = 0; i < ne; ++i) {
+    int s1 = tri_nbr_state(prev1[i], pres);
+    int s2 = tri_nbr_state(prev2[i], pres);
+    int na = nadj[i] < 1 ? 1 : (nadj[i] > 4 ? 4 : nadj[i]);
+    int cid = ((na - 1) * 2 + prev) * 9 + s1 * 3 + s2;
+    e->encode_bit(&ctx[cid], pres[i]);
+    prev = pres[i] ? 1 : 0;
+    if (!pres[i]) continue;
+    // neighbour position prediction: mean of predecessor vertices
+    int pv = -1;
+    int cnt = 0, sum = 0;
+    if (prev1[i] >= 0 && pres[prev1[i]]) { sum += vpos[prev1[i]]; ++cnt; }
+    if (prev2[i] >= 0 && pres[prev2[i]]) { sum += vpos[prev2[i]]; ++cnt; }
+    if (cnt) pv = (sum + (cnt >> 1)) / cnt;
+    int v = vpos[i];
+    for (int b = nbits - 1; b >= 0; --b) {
+      int bi = nbits - 1 - b;                    // 0 = MSB
+      int bucket = pv < 0 ? 2 : ((pv >> b) & 1);
+      e->encode_bit(&ctx[72 + bi * 3 + bucket], (v >> b) & 1);
+    }
+  }
+}
+
+void rcd_trisoup_verts(RcDecoder* d, uint16_t* ctx,
+                       uint8_t* pres, int32_t* vpos,
+                       const int32_t* nadj, const int64_t* prev1,
+                       const int64_t* prev2, int64_t ne, int nbits) {
+  int prev = 0;
+  for (int64_t i = 0; i < ne; ++i) {
+    int s1 = tri_nbr_state(prev1[i], pres);
+    int s2 = tri_nbr_state(prev2[i], pres);
+    int na = nadj[i] < 1 ? 1 : (nadj[i] > 4 ? 4 : nadj[i]);
+    int cid = ((na - 1) * 2 + prev) * 9 + s1 * 3 + s2;
+    int p = d->decode_bit(&ctx[cid]);
+    pres[i] = (uint8_t)p;
+    prev = p;
+    vpos[i] = 0;
+    if (!p) continue;
+    int pv = -1;
+    int cnt = 0, sum = 0;
+    if (prev1[i] >= 0 && pres[prev1[i]]) { sum += vpos[prev1[i]]; ++cnt; }
+    if (prev2[i] >= 0 && pres[prev2[i]]) { sum += vpos[prev2[i]]; ++cnt; }
+    if (cnt) pv = (sum + (cnt >> 1)) / cnt;
+    int v = 0;
+    for (int b = nbits - 1; b >= 0; --b) {
+      int bi = nbits - 1 - b;
+      int bucket = pv < 0 ? 2 : ((pv >> b) & 1);
+      v |= d->decode_bit(&ctx[72 + bi * 3 + bucket]) << b;
+    }
+    vpos[i] = v;
+  }
+}
+
 }  // extern "C"
 
 // ---- bytewise adaptive occupancy (reference dual-LUT counterpart) ------

@@ -62,6 +62,42 @@ def unique_edges(keys: np.ndarray):
     return uniq, inv.reshape(keys.shape)
 
 
+def edge_neighbor_structure(uniq_keys: np.ndarray, log2_size: int,
+                            node_codes: np.ndarray):
+    """Per unique edge: the context inputs for the vertex coder
+    (entropy rce_trisoup_verts; reference neighbNodes/edgePattern,
+    geometry_trisoup_encoder.cpp:1078).
+
+    Returns (nadj, prev1, prev2): the number of occupied nodes sharing
+    each edge (1..4), and the indices of the two parallel predecessor
+    edges — same axis, one node size back along each perpendicular
+    axis (-1 when absent).  Both predecessors sort strictly earlier
+    (morton is monotone per coordinate), so a sequential coder can
+    condition on their decoded presence/positions."""
+    keys, _ = edge_keys_for_nodes(node_codes, log2_size)
+    idx = np.searchsorted(uniq_keys, keys.reshape(-1))
+    nadj = np.bincount(idx, minlength=uniq_keys.size).astype(np.int32)
+
+    w = np.int64(1 << log2_size)
+    tag = uniq_keys >> 60
+    start = morton.decode(uniq_keys & ((np.int64(1) << 60) - 1))
+    p1 = np.array([_PERP[a][0] for a in range(3)])[tag]
+    p2 = np.array([_PERP[a][1] for a in range(3)])[tag]
+    n = uniq_keys.size
+    rows = np.arange(n)
+    out = []
+    for perp in (p1, p2):
+        st = start.copy()
+        st[rows, perp] -= w
+        ok = st[rows, perp] >= 0
+        pk = morton.encode(np.maximum(st, 0)) + (tag << 60)
+        j = np.searchsorted(uniq_keys, pk)
+        j = np.minimum(j, n - 1)
+        hit = ok & (uniq_keys[j] == pk)
+        out.append(np.where(hit, j, -1).astype(np.int64))
+    return nadj, out[0], out[1]
+
+
 # faces: index f = axis*2 + side; plane at origin[axis] + side*size
 def face_keys_for_nodes(node_codes: np.ndarray, log2_size: int):
     """(M,6) canonical face keys — coincident faces of neighbouring
@@ -151,6 +187,21 @@ def determine_vertices(points: np.ndarray, node_codes: np.ndarray,
     vpos[nz] = (sums[nz] + counts[nz] // 2) // counts[nz]
     np.clip(vpos, 0, w - 1, out=vpos)
     return uniq, present, vpos
+
+
+def node_dominant_axis(node_codes: np.ndarray, edge_uniq: np.ndarray,
+                       present: np.ndarray, vpos: np.ndarray,
+                       log2_size: int, faces=None) -> np.ndarray:
+    """Per-node dominant (surface-normal-like) axis: the axis of
+    smallest vertex spread (reference findDominantAxis,
+    geometry_trisoup.h:1301).  Computed from decoded vertices only, so
+    the decoder derives the same axis for the 1-D centroid drift."""
+    vw, pres = _node_vertices(node_codes, present, vpos, log2_size,
+                              faces=faces)
+    big = 1e18
+    hi = np.where(pres[:, :, None], vw, -big).max(axis=1)
+    lo = np.where(pres[:, :, None], vw, big).min(axis=1)
+    return np.argmin(hi - lo, axis=1)
 
 
 def _fan_triangles(verts: np.ndarray):
