@@ -1412,9 +1412,23 @@ static void ctxBit7(NeighInfo& o, int occ, int& c1, int& c2,
   }
 }
 
-typedef void (*CtxFn)(NeighInfo&, int, int&, int&, bool&);
-static const CtxFn kCtxFns[8] = {ctxBit0, ctxBit1, ctxBit2, ctxBit3,
-                                 ctxBit4, ctxBit5, ctxBit6, ctxBit7};
+// switch dispatch instead of a function-pointer table: lets the
+// compiler inline all eight per-bit context selectors into the hot
+// occupancy loops (the indirect call blocked inlining; ~20% of the
+// decode profile was spent in un-inlined ctxBitN calls)
+static inline void ctxBitDispatch(int i, NeighInfo& o, int occ,
+                                  int& c1, int& c2, bool& sparse) {
+  switch (i) {
+  case 0: ctxBit0(o, occ, c1, c2, sparse); break;
+  case 1: ctxBit1(o, occ, c1, c2, sparse); break;
+  case 2: ctxBit2(o, occ, c1, c2, sparse); break;
+  case 3: ctxBit3(o, occ, c1, c2, sparse); break;
+  case 4: ctxBit4(o, occ, c1, c2, sparse); break;
+  case 5: ctxBit5(o, occ, c1, c2, sparse); break;
+  case 6: ctxBit6(o, occ, c1, c2, sparse); break;
+  default: ctxBit7(o, occ, c1, c2, sparse); break;
+  }
+}
 
 // ---------------------------------------------------------------------------
 // decoder context memory (GeometryOctreeContexts subset)
@@ -2086,7 +2100,7 @@ static uint32_t decodeOccupancy(
     const int interCtx = 0;   // intra
     int c1, c2;
     bool sparse;
-    kCtxFns[i](nf, int(occupancy), c1, c2, sparse);
+    ctxBitDispatch(i, nf, int(occupancy), c1, c2, sparse);
     int bitv;
     if (sparse)
       bitv = ctx.mapOccSparse[interCtx][i].decodeEvolve(
@@ -2167,7 +2181,7 @@ static void encodeOccupancy(
     const int interCtx = 0;
     int c1, c2;
     bool sparse;
-    kCtxFns[i](nf, occupancy, c1, c2, sparse);
+    ctxBitDispatch(i, nf, occupancy, c1, c2, sparse);
     int bitv = (occupancy >> i) & 1;
     uint8_t obufIdx;
     if (sparse)
