@@ -370,6 +370,12 @@ def main():
             if rate not in cond["rates"]:
                 continue
             for codec in args.codecs.split(","):
+                # the conformance (refSyntax) engine covers octree
+                # geometry only — trisoup/predgeom conditions through
+                # it would silently fall back to octree and produce
+                # meaningless rows
+                if codec == "ours-ref" and "trisoup" in name:
+                    continue
                 key = (name, rate, codec)
                 rows = [r for r in rows if
                         (r["cond"], r["rate"], r["codec"]) != key]
