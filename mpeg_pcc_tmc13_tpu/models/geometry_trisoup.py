@@ -102,36 +102,19 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
     enc.trisoup_verts(tctx.vertex, present.astype(np.uint8),
                       vpos.astype(np.int32), nadj, prev1, prev2, s)
 
-    # face vertices (reference encodeTrisoupFaceList,
-    # geometry_trisoup_encoder.cpp:1062): presence chained, two
-    # bypass in-plane coordinates each
-    faces = None
-    if face_vertices:
-        _, fpres, fpos = trisoup_ops.determine_face_vertices(
-            pts, node_codes, point_node, s)
-        fp = fpres.astype(np.uint8)
-        fprev = np.concatenate([[0], fp[:-1]]).astype(np.int32)
-        enc.bits(tctx.face, fprev, fp)
-        nfp = int(fpres.sum())
-        if nfp:
-            fb = np.full(2 * nfp, s, dtype=np.int32)
-            enc.bypass(fpos[fpres].reshape(-1).astype(np.uint32), fb)
-        faces = (fpres, fpos)
-
     # centroid drift for >=3-vertex nodes: a single component along
     # the node's dominant (normal-like) axis, like the reference's
     # driftQ (geometry_trisoup_encoder.cpp:852) — the tangential
     # residual moves the centroid along the surface and isn't worth
-    # its bits
+    # its bits.  Estimated from EDGE vertices only (reference order:
+    # eVerts -> cVerts -> face vertices).
     if centroid:
         resid3 = trisoup_ops.true_centroid_residuals(
-            pts, node_codes, point_node, uniq, present, vpos, s,
-            faces=faces)
-        counts = trisoup_ops.vertex_counts(node_codes, uniq, present,
-                                           s, faces=faces)
+            pts, node_codes, point_node, uniq, present, vpos, s)
+        counts = trisoup_ops.vertex_counts(node_codes, uniq, present, s)
         sel = counts >= 3
         dom = trisoup_ops.node_dominant_axis(
-            node_codes, uniq, present, vpos, s, faces=faces)
+            node_codes, uniq, present, vpos, s)
         rows = np.nonzero(sel)[0]
         drift = resid3[rows, dom[rows]]
         enc.resbl(tctx.centroid[:_CENT_AXIS_CTX],
@@ -140,6 +123,23 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
         resid[rows, dom[rows]] = drift
     else:
         resid = np.zeros((node_codes.shape[0], 3), dtype=np.int64)
+
+    # face vertices: candidates + positions DERIVED from the two
+    # adjacent centroids (reference determineTrisoupFaceVertices);
+    # only the connect flag is coded, one adaptive bit per candidate
+    # (encodeTrisoupFaceList, geometry_trisoup_encoder.cpp:1070)
+    faces = None
+    if face_vertices:
+        fuq, cand, fpos = trisoup_ops.derive_face_vertices(
+            node_codes, present, vpos, s, centroid_resid=resid)
+        fpres = trisoup_ops.face_vertex_supported(
+            codes_sorted, fuq, cand, fpos, s)
+        crow = np.flatnonzero(cand)
+        enc.bits(tctx.face, np.zeros(crow.size, dtype=np.int32),
+                 fpres[crow].astype(np.uint8))
+        faces = (fpres, fpos)
+    resid = trisoup_ops.centroid_resid_with_faces(
+        node_codes, present, vpos, s, resid, faces)
 
     bb = (1 << depth) - 1 if bbox_max is None else bbox_max
     recon = trisoup_ops.reconstruct(
@@ -172,29 +172,31 @@ def decode(depth: int, node_size_log2: int, dec,
     present = pres8.astype(bool)
     vpos = vpos32.astype(np.int64)
 
-    faces = None
-    if face_vertices:
-        fkeys, _ = trisoup_ops.face_keys_for_nodes(node_codes, s)
-        nf = np.unique(fkeys.reshape(-1)).shape[0]
-        fpres = dec.bits_chain(tctx.face, nf).astype(bool)
-        fpos = np.zeros((nf, 2), dtype=np.int64)
-        nfp = int(fpres.sum())
-        if nfp:
-            fb = np.full(2 * nfp, s, dtype=np.int32)
-            fpos[fpres] = dec.bypass(fb).astype(np.int64).reshape(-1, 2)
-        faces = (fpres, fpos)
-
+    # centroid drift first (edge-only estimate), then the derived
+    # face-vertex connect flags — mirroring the encoder's order
     resid = np.zeros((node_codes.shape[0], 3), dtype=np.int64)
     if centroid:
-        counts = trisoup_ops.vertex_counts(node_codes, uniq, present,
-                                           s, faces=faces)
+        counts = trisoup_ops.vertex_counts(node_codes, uniq, present, s)
         sel = counts >= 3
         nsel = int(sel.sum())
         dom = trisoup_ops.node_dominant_axis(
-            node_codes, uniq, present, vpos, s, faces=faces)
+            node_codes, uniq, present, vpos, s)
         rows = np.nonzero(sel)[0]
         drift = dec.resbl(tctx.centroid[:_CENT_AXIS_CTX], nsel)
         resid[rows, dom[rows]] = drift
+
+    faces = None
+    if face_vertices:
+        fuq, cand, fpos = trisoup_ops.derive_face_vertices(
+            node_codes, present, vpos, s, centroid_resid=resid)
+        crow = np.flatnonzero(cand)
+        flags = dec.bits(tctx.face,
+                         np.zeros(crow.size, dtype=np.int32))
+        fpres = np.zeros(fuq.shape[0], dtype=bool)
+        fpres[crow] = flags.astype(bool)
+        faces = (fpres, fpos)
+    resid = trisoup_ops.centroid_resid_with_faces(
+        node_codes, present, vpos, s, resid, faces)
 
     bb = (1 << depth) - 1 if bbox_max is None else bbox_max
     return trisoup_ops.reconstruct(node_codes, uniq, present, vpos, s,

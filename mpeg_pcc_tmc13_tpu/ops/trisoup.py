@@ -152,6 +152,134 @@ def determine_face_vertices(points: np.ndarray, node_codes: np.ndarray,
     return uniq, present, fpos
 
 
+def _edge_centroids(node_codes, present, vpos, log2_size,
+                    centroid_resid=None):
+    """Per-node fan centroid from EDGE vertices only (+ drift).
+    Returns (cent (M,3) float, has_c (M,) bool)."""
+    vw, pres = _node_vertices(node_codes, present, vpos, log2_size)
+    counts = pres.sum(axis=1)
+    m = node_codes.shape[0]
+    cent = np.zeros((m, 3), dtype=np.float64)
+    has_c = counts >= 3
+    sums = np.where(pres[:, :, None], vw, 0.0).sum(axis=1)
+    cent[has_c] = sums[has_c] / counts[has_c, None]
+    if centroid_resid is not None:
+        cent[has_c] += centroid_resid[has_c]
+    return cent, has_c
+
+
+def derive_face_vertices(node_codes: np.ndarray, present: np.ndarray,
+                         vpos: np.ndarray, log2_size: int,
+                         centroid_resid: np.ndarray = None):
+    """Candidate face vertices with DERIVED positions (reference
+    determineTrisoupFaceVertices, geometry_trisoup_encoder.cpp:931):
+    where two face-adjacent nodes both have centroids, the candidate
+    face vertex is the intersection of the centroid-connection segment
+    with the shared face plane.  Only a connect flag is coded
+    (encodeTrisoupFaceList codes one adaptive bit per candidate,
+    :1070); the decoder re-derives the same candidates and positions
+    from decoded vertices + drift.
+
+    Returns (face_keys_unique, candidate (F,) bool, fpos (F,2))."""
+    w = 1 << log2_size
+    cent, has_c = _edge_centroids(node_codes, present, vpos,
+                                  log2_size, centroid_resid)
+    fkeys, origin = face_keys_for_nodes(node_codes, log2_size)
+    uniq, inv = np.unique(fkeys.reshape(-1), return_inverse=True)
+    nf = uniq.shape[0]
+    m = node_codes.shape[0]
+    flat_inv = inv
+    node_of = np.repeat(np.arange(m), 6)
+    order = np.argsort(flat_inv, kind="stable")
+    fi = flat_inv[order]
+    ni = node_of[order]
+    dup = np.flatnonzero(np.concatenate([fi[1:] == fi[:-1], [False]]))
+    fid, na_, nb_ = fi[dup], ni[dup], ni[dup + 1]
+    ok = has_c[na_] & has_c[nb_]
+    fid, na_, nb_ = fid[ok], na_[ok], nb_[ok]
+    cand = np.zeros(nf, dtype=bool)
+    fpos = np.zeros((nf, 2), dtype=np.int64)
+    if fid.size == 0:
+        return uniq, cand, fpos
+    axis = ((uniq[fid] >> 60) - 4).astype(np.int64)
+    swap = origin[na_, axis] > origin[nb_, axis]
+    lo = np.where(swap, nb_, na_)
+    hi = np.where(swap, na_, nb_)
+    rows = np.arange(fid.size)
+    plane = origin[hi, axis].astype(np.float64) - 0.5
+    ca, cb = cent[lo], cent[hi]
+    da = cb[rows, axis] - ca[rows, axis]
+    safe = np.where(np.abs(da) > 1e-9, da, 1.0)
+    t = np.clip((plane - ca[rows, axis]) / safe, 0.0, 1.0)
+    pt = ca + t[:, None] * (cb - ca)
+    p1 = np.array([_PERP[a][0] for a in range(3)])[axis]
+    p2 = np.array([_PERP[a][1] for a in range(3)])[axis]
+    c1 = np.clip(np.round(pt[rows, p1] - origin[lo, p1]), 0, w - 1)
+    c2 = np.clip(np.round(pt[rows, p2] - origin[lo, p2]), 0, w - 1)
+    cand[fid] = True
+    fpos[fid, 0] = c1.astype(np.int64)
+    fpos[fid, 1] = c2.astype(np.int64)
+    return uniq, cand, fpos
+
+
+def face_vertex_supported(points_codes_sorted: np.ndarray,
+                          face_uniq: np.ndarray, cand: np.ndarray,
+                          fpos: np.ndarray, log2_size: int):
+    """Encoder presence rule: a candidate face vertex connects when
+    original points sit within a 1-voxel Chebyshev shell of the
+    derived position (the reference checks the original distribution
+    around the temporary vertex, :964-967)."""
+    w = 1 << log2_size
+    nf = face_uniq.shape[0]
+    rows = np.flatnonzero(cand)
+    if rows.size == 0:
+        return np.zeros(nf, dtype=bool)
+    axis = ((face_uniq[rows] >> 60) - 4).astype(np.int64)
+    corner = morton.decode(face_uniq[rows]
+                           & ((np.int64(1) << 60) - 1))
+    p1 = np.array([_PERP[a][0] for a in range(3)])[axis]
+    p2 = np.array([_PERP[a][1] for a in range(3)])[axis]
+    k = rows.size
+    pos = corner.copy()
+    r = np.arange(k)
+    pos[r, p1] += fpos[rows, 0]
+    pos[r, p2] += fpos[rows, 1]
+    hit = np.zeros(k, dtype=bool)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                q = pos + np.array([dx, dy, dz])
+                okq = (q >= 0).all(axis=1)
+                codes = morton.encode(np.maximum(q, 0))
+                j = np.searchsorted(points_codes_sorted, codes)
+                j = np.minimum(j, points_codes_sorted.size - 1)
+                hit |= okq & (points_codes_sorted[j] == codes)
+    out = np.zeros(nf, dtype=bool)
+    out[rows] = hit
+    return out
+
+
+def centroid_resid_with_faces(node_codes, present, vpos, log2_size,
+                              resid, faces):
+    """The drift is estimated against the edge-vertex mean, but the
+    reconstruction fan centres on the with-faces mean; shift the
+    residual so the fan centroid still lands at edge_mean + drift."""
+    if faces is None:
+        return resid
+    vw_f, pres_f = _node_vertices(node_codes, present, vpos,
+                                  log2_size, faces=faces)
+    cnt_f = pres_f.sum(axis=1)
+    sums_f = np.where(pres_f[:, :, None], vw_f, 0.0).sum(axis=1)
+    ce, has_e = _edge_centroids(node_codes, present, vpos, log2_size)
+    out = resid.astype(np.float64).copy()
+    sel = cnt_f >= 3
+    cf = np.zeros_like(ce)
+    cf[sel] = sums_f[sel] / cnt_f[sel, None]
+    adj = has_e & sel
+    out[adj] += ce[adj] - cf[adj]
+    return out
+
+
 def determine_vertices(points: np.ndarray, node_codes: np.ndarray,
                        point_node_idx: np.ndarray, log2_size: int):
     """Encoder: per unique edge, presence + quantised position.

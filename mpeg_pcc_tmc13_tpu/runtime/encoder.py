@@ -96,8 +96,9 @@ class EncoderParams:
     seq_bbox_whd: tuple = None
     geometry_codec: hls.GeometryCodecType = hls.GeometryCodecType.OCTREE
     trisoup_node_size_log2: int = 0
-    trisoup_face_vertex_enabled: bool = False
-    trisoup_halo_enabled: bool = False
+    # reference defaults: halo + face vertices ON (TMC3.cpp:954,984)
+    trisoup_face_vertex_enabled: bool = True
+    trisoup_halo_enabled: bool = True
     trisoup_centroid_enabled: bool = True
     # OBUF-engine planar/QTBT knobs (reference planarModeThreshold*,
     # multiplePlanarEnabled, octree*PlanarEligibility*,
