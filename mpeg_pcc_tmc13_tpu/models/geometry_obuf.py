@@ -55,8 +55,13 @@ def axes_for(axis_bits, depth: int, max_before_ot: int = 4,
         dtype=np.int32)
 
 
-def encode(local: np.ndarray, depth: int, axis_bits, gps) -> bytes:
-    """local: unique non-negative int positions -> dirac payload."""
+def encode(local: np.ndarray, depth: int, axis_bits, gps,
+           ref_local: np.ndarray = None) -> bytes:
+    """local: unique non-negative int positions -> dirac payload.
+
+    ref_local: motion-compensated reference positions (same grid);
+    per-node child occupancy of the reference selects the OBUF map
+    bank per bit (reference inter octree, interCtx = bitPred)."""
     lib = _load()
     c = ctypes
     if not hasattr(lib.tmc13ref_encode_octree_intra, "_configured"):
@@ -67,6 +72,14 @@ def encode(local: np.ndarray, depth: int, axis_bits, gps) -> bytes:
             c.POINTER(c.c_uint8), c.c_int,
         ]
         lib.tmc13ref_encode_octree_intra.restype = c.c_int
+        lib.tmc13ref_encode_octree_inter.argtypes = [
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32),
+            c.POINTER(c.c_uint8), c.c_int,
+        ]
+        lib.tmc13ref_encode_octree_inter.restype = c.c_int
         lib.tmc13ref_encode_octree_intra._configured = True
     pos32 = np.ascontiguousarray(local, dtype=np.int32)
     axes = axes_for(axis_bits, depth, gps.qtbt_max_before_ot,
@@ -74,6 +87,19 @@ def encode(local: np.ndarray, depth: int, axis_bits, gps) -> bytes:
     gp = geom_params_array(_gps_flags(gps))
     cap = max(int(pos32.shape[0] * 16 + (1 << 16)), 1 << 16)
     out = np.empty(cap, dtype=np.uint8)
+    if ref_local is not None and len(ref_local):
+        ref32 = np.ascontiguousarray(ref_local, dtype=np.int32)
+        n = lib.tmc13ref_encode_octree_inter(
+            pos32.ctypes.data_as(c.POINTER(c.c_int32)),
+            pos32.shape[0],
+            ref32.ctypes.data_as(c.POINTER(c.c_int32)),
+            ref32.shape[0],
+            axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+            gp.ctypes.data_as(c.POINTER(c.c_int32)),
+            out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+        if n < 0:
+            raise RuntimeError(f"obuf inter encode failed rc={n}")
+        return out[:n].tobytes()
     n = lib.tmc13ref_encode_octree_intra(
         pos32.ctypes.data_as(c.POINTER(c.c_int32)), pos32.shape[0],
         axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
@@ -85,21 +111,42 @@ def encode(local: np.ndarray, depth: int, axis_bits, gps) -> bytes:
 
 
 def decode(data: bytes, num_points: int, depth: int, axis_bits,
-           gps) -> np.ndarray:
+           gps, ref_local: np.ndarray = None) -> np.ndarray:
     """dirac payload -> positions, Morton-sorted."""
     lib = _load()
     c = ctypes
+    if not hasattr(lib.tmc13ref_decode_octree_inter, "_configured"):
+        lib.tmc13ref_decode_octree_inter.argtypes = [
+            c.POINTER(c.c_uint8), c.c_int,
+            c.POINTER(c.c_int32), c.c_int, c.c_int,
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.c_int,
+        ]
+        lib.tmc13ref_decode_octree_inter.restype = c.c_int
+        lib.tmc13ref_decode_octree_inter._configured = True
     buf = np.frombuffer(data, dtype=np.uint8)
     axes = axes_for(axis_bits, depth, gps.qtbt_max_before_ot,
                     gps.qtbt_min_size_log2)
     gp = geom_params_array(_gps_flags(gps))
     out = np.empty((max(num_points, 1), 3), dtype=np.int32)
-    n = lib.tmc13ref_decode_octree_intra(
-        buf.ctypes.data_as(c.POINTER(c.c_uint8)), buf.shape[0],
-        axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
-        num_points,
-        gp.ctypes.data_as(c.POINTER(c.c_int32)),
-        out.ctypes.data_as(c.POINTER(c.c_int32)), num_points)
+    if ref_local is not None and len(ref_local):
+        ref32 = np.ascontiguousarray(ref_local, dtype=np.int32)
+        n = lib.tmc13ref_decode_octree_inter(
+            buf.ctypes.data_as(c.POINTER(c.c_uint8)), buf.shape[0],
+            axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+            num_points,
+            ref32.ctypes.data_as(c.POINTER(c.c_int32)),
+            ref32.shape[0],
+            gp.ctypes.data_as(c.POINTER(c.c_int32)),
+            out.ctypes.data_as(c.POINTER(c.c_int32)), num_points)
+    else:
+        n = lib.tmc13ref_decode_octree_intra(
+            buf.ctypes.data_as(c.POINTER(c.c_uint8)), buf.shape[0],
+            axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+            num_points,
+            gp.ctypes.data_as(c.POINTER(c.c_int32)),
+            out.ctypes.data_as(c.POINTER(c.c_int32)), num_points)
     if n < 0:
         raise RuntimeError(f"obuf decode failed rc={n}")
     pos = out[:n].astype(np.int64)

@@ -1626,8 +1626,10 @@ struct GeomParams {
 
 struct Node {
   int32_t pos[3];
+  int32_t rstart = 0, rend = 0;  // compensated-reference point range
   uint8_t siblingOccupancy;
   uint8_t numSiblingsPlus1;
+  uint8_t mispred = 0;           // parent's prediction failures
 };
 
 // ---------------------------------------------------------------------------
@@ -2018,7 +2020,7 @@ static uint32_t decodeOccupancy(
   int planarMaskX, int planarMaskY, int planarMaskZ,
   bool planarPossibleX, bool planarPossibleY, bool planarPossibleZ,
   const Atlas& atlas, const int32_t pos[3], int atlasShift,
-  bool planarEligibleKDepth) {
+  bool planarEligibleKDepth, int predOcc = 0) {
   // single child with known position
   if (planarMaskX && planarMaskY && planarMaskZ) {
     uint32_t cnt = planarMaskZ & 1;
@@ -2028,7 +2030,9 @@ static uint32_t decodeOccupancy(
   }
 
   bool flagNoSingle = false;
-  if (gnp.pattern == 0) {
+  if (gnp.pattern == 0
+      && (!predOcc
+          || (planarMaskX | planarMaskY | planarMaskZ))) {
     // predOcc == 0 (intra)
     bool singleChild = false;
     if (planarPossibleX && planarPossibleY && planarPossibleZ)
@@ -2097,7 +2101,7 @@ static uint32_t decodeOccupancy(
       occupancy += 1u << i;
       continue;
     }
-    const int interCtx = 0;   // intra
+    const int interCtx = (predOcc >> i) & 1;
     int c1, c2;
     bool sparse;
     ctxBitDispatch(i, nf, int(occupancy), c1, c2, sparse);
@@ -2123,11 +2127,13 @@ static void encodeOccupancy(
   int occupancy, int planarMaskX, int planarMaskY, int planarMaskZ,
   bool planarPossibleX, bool planarPossibleY, bool planarPossibleZ,
   const Atlas& atlas, const int32_t pos[3], int atlasShift,
-  bool planarEligibleKDepth) {
+  bool planarEligibleKDepth, int predOcc = 0) {
   if (planarMaskX && planarMaskY && planarMaskZ)
     return;
   bool flagNoSingle = false;
-  if (gnp.pattern == 0) {
+  if (gnp.pattern == 0
+      && (!predOcc
+          || (planarMaskX | planarMaskY | planarMaskZ))) {
     int pc = occupancy & (occupancy - 1);
     bool singleChild = pc == 0;
     if (planarPossibleX && planarPossibleY && planarPossibleZ)
@@ -2178,7 +2184,7 @@ static void encodeOccupancy(
       || (coded0[4] + coded0[5] >= maxAll);
     if (bitIsOne)
       continue;
-    const int interCtx = 0;
+    const int interCtx = (predOcc >> i) & 1;
     int c1, c2;
     bool sparse;
     ctxBitDispatch(i, nf, occupancy, c1, c2, sparse);
@@ -2207,8 +2213,9 @@ static void encodeOccupancy(
 // grid coords; out buffer receives the AEC bytes; returns byte count.
 // ---------------------------------------------------------------------------
 
-extern "C" int tmc13ref_encode_octree_intra(
+static int encode_octree_impl(
   const int32_t* positions, int num_points,
+  const int32_t* ref_positions, int num_ref,
   const int32_t* coded_axis_list, int num_levels,
   const int32_t* gp_arr,           // GeomParams as 12 int32s
   uint8_t* out_buf, int out_cap) {
@@ -2267,8 +2274,10 @@ extern "C" int tmc13ref_encode_octree_intra(
   struct ENode {
     int32_t pos[3];
     int32_t start, end;
+    int32_t rstart, rend;        // compensated-reference point range
     uint8_t siblingOccupancy;
     uint8_t numSiblingsPlus1;
+    uint8_t mispred;             // parent's prediction failures
   };
   std::vector<int32_t> order{};
   order.resize(size_t(num_points));
@@ -2276,14 +2285,24 @@ extern "C" int tmc13ref_encode_octree_intra(
   std::vector<int32_t> scratch{};
   scratch.resize(size_t(num_points));
 
+  std::vector<int32_t> rorder, rscratch;
+  if (num_ref > 0) {
+    rorder.resize(size_t(num_ref));
+    for (int i = 0; i < num_ref; i++) rorder[size_t(i)] = i;
+    rscratch.resize(size_t(num_ref));
+  }
+
   std::vector<ENode> fifo;
   fifo.reserve(size_t(num_points) + 8);
   ENode root;
   root.pos[0] = root.pos[1] = root.pos[2] = 0;
   root.start = 0;
   root.end = num_points;
+  root.rstart = 0;
+  root.rend = num_ref;
   root.siblingOccupancy = 0;
   root.numSiblingsPlus1 = 8;
+  root.mispred = 0;
   fifo.push_back(root);
   size_t head = 0;
 
@@ -2349,6 +2368,43 @@ extern "C" int tmc13ref_encode_octree_intra(
           numOccupied++;
         }
       numSubnodes += numOccupied;
+
+      // compensated-reference partition -> child prediction
+      // (reference geometry_octree_encoder.cpp:2253-2291)
+      int rcounts[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+      int roffs[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+      int predOccRaw = 0;
+      int effPredOcc = 0;
+      if (num_ref > 0 && node0.rend > node0.rstart) {
+        for (int32_t p = node0.rstart; p < node0.rend; p++) {
+          const int32_t* pt = &ref_positions[rorder[size_t(p)] * 3];
+          int b = (!!(pt[2] & probe[2])) | (!!(pt[1] & probe[1]) << 1)
+            | (!!(pt[0] & probe[0]) << 2);
+          rcounts[b]++;
+        }
+        int racc = node0.rstart;
+        for (int b = 0; b < 8; b++) {
+          roffs[b] = racc;
+          racc += rcounts[b];
+        }
+        int w[8];
+        std::memcpy(w, roffs, sizeof w);
+        for (int32_t p = node0.rstart; p < node0.rend; p++) {
+          const int32_t* pt = &ref_positions[rorder[size_t(p)] * 3];
+          int b = (!!(pt[2] & probe[2])) | (!!(pt[1] & probe[1]) << 1)
+            | (!!(pt[0] & probe[0]) << 2);
+          rscratch[size_t(w[b]++)] = rorder[size_t(p)];
+        }
+        std::memcpy(&rorder[size_t(node0.rstart)],
+                    &rscratch[size_t(node0.rstart)],
+                    sizeof(int32_t)
+                      * size_t(node0.rend - node0.rstart));
+        for (int b = 0; b < 8; b++)
+          if (rcounts[b]) predOccRaw |= 1 << b;
+        // occupancyIsPredictable gate (:2287)
+        if (predOccRaw && node0.mispred <= 5)
+          effPredOcc = predOccRaw;
+      }
 
       // atlas refresh (mirrors the decoder exactly)
       {
@@ -2439,7 +2495,7 @@ extern "C" int tmc13ref_encode_octree_intra(
                       planar.planarPossible & 1,
                       planar.planarPossible & 2,
                       planar.planarPossible & 4, atlas, node0.pos,
-                      codedAxesPrevLvl, dynK);
+                      codedAxesPrevLvl, dynK, effPredOcc);
 
       if (adjacent_child_ctx) {
         const uint32_t mask = (1u << atlas.cubeSizeLog2) - 1;
@@ -2469,8 +2525,17 @@ extern "C" int tmc13ref_encode_octree_intra(
         child.pos[2] = (node0.pos[2] << !!(codedAxesCurLvl & 1)) + z;
         child.start = offs[i];
         child.end = offs[i] + counts[i];
+        child.rstart = roffs[i];
+        child.rend = roffs[i] + rcounts[i];
         child.siblingOccupancy = uint8_t(occupancy);
         child.numSiblingsPlus1 = uint8_t(numOccupied);
+        {
+          int fail = 0;
+          for (int b = 0; b < 8; b++)
+            fail += (!!(occupancy & (1 << b)))
+              != (!!(predOccRaw & (1 << b)));
+          child.mispred = uint8_t(fail < 255 ? fail : 255);
+        }
         fifo.push_back(child);
       }
     }
@@ -2492,11 +2557,12 @@ extern "C" int tmc13ref_encode_octree_intra(
 // the unsupported tools compiled out)
 // ---------------------------------------------------------------------------
 
-extern "C" int tmc13ref_decode_octree_intra(
+static int decode_octree_impl(
   const uint8_t* aec_buf, int aec_len,
   const int32_t* coded_axis_list,  // per level, 3-bit stv split masks
   int num_levels,
   int num_points,                  // footer geom_num_points_minus1 + 1
+  const int32_t* ref_positions, int num_ref,
   const int32_t* gp_arr,           // GeomParams as 12 int32s
   int32_t* out_pos,                // capacity out_cap * 3 (stv order)
   int out_cap) {
@@ -2552,10 +2618,19 @@ extern "C" int tmc13ref_decode_octree_intra(
   }
   const int maxDepth = num_levels;
 
+  std::vector<int32_t> rorder, rscratch;
+  if (num_ref > 0) {
+    rorder.resize(size_t(num_ref));
+    for (int i = 0; i < num_ref; i++) rorder[size_t(i)] = i;
+    rscratch.resize(size_t(num_ref));
+  }
+
   std::vector<Node> fifo;
   fifo.reserve(size_t(num_points) + 8);
   Node root;
   root.pos[0] = root.pos[1] = root.pos[2] = 0;
+  root.rstart = 0;
+  root.rend = num_ref;
   root.siblingOccupancy = 0;
   root.numSiblingsPlus1 = 8;
   fifo.push_back(root);
@@ -2572,6 +2647,10 @@ extern "C" int tmc13ref_decode_octree_intra(
                             lvlSize[2][depth + 1]};
     bool childIsLeaf = !childSizeLog2[0] && !childSizeLog2[1]
       && !childSizeLog2[2];
+    int32_t probe[3];
+    for (int k = 0; k < 3; k++)
+      probe[k] = (codedAxesCurLvl & (4 >> k))
+        ? (int32_t(1) << childSizeLog2[k]) : 0;
     // beginOctreeLevel: planar buffer rows follow the per-axis depth
     // coded so far (planarDepth = rootSize - nodeSize)
     if (gp.planarEnabled) {
@@ -2675,11 +2754,47 @@ extern "C" int tmc13ref_decode_octree_intra(
       if (planar.planarMode & 4)
         planarMask[2] = (planar.planePosBits & 4) ? 0x55 : 0xaa;
 
+      // compensated-reference partition -> child prediction
+      // (mirrors the encoder; geometry_octree_decoder.cpp inter)
+      int rcounts[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+      int roffs[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+      int predOccRaw = 0;
+      int effPredOcc = 0;
+      if (num_ref > 0 && node0.rend > node0.rstart) {
+        for (int32_t p = node0.rstart; p < node0.rend; p++) {
+          const int32_t* pt = &ref_positions[rorder[size_t(p)] * 3];
+          int b = (!!(pt[2] & probe[2])) | (!!(pt[1] & probe[1]) << 1)
+            | (!!(pt[0] & probe[0]) << 2);
+          rcounts[b]++;
+        }
+        int racc = node0.rstart;
+        for (int b = 0; b < 8; b++) {
+          roffs[b] = racc;
+          racc += rcounts[b];
+        }
+        int w[8];
+        std::memcpy(w, roffs, sizeof w);
+        for (int32_t p = node0.rstart; p < node0.rend; p++) {
+          const int32_t* pt = &ref_positions[rorder[size_t(p)] * 3];
+          int b = (!!(pt[2] & probe[2])) | (!!(pt[1] & probe[1]) << 1)
+            | (!!(pt[0] & probe[0]) << 2);
+          rscratch[size_t(w[b]++)] = rorder[size_t(p)];
+        }
+        std::memcpy(&rorder[size_t(node0.rstart)],
+                    &rscratch[size_t(node0.rstart)],
+                    sizeof(int32_t)
+                      * size_t(node0.rend - node0.rstart));
+        for (int b = 0; b < 8; b++)
+          if (rcounts[b]) predOccRaw |= 1 << b;
+        if (predOccRaw && node0.mispred <= 5)
+          effPredOcc = predOccRaw;
+      }
+
       uint32_t occupancy = decodeOccupancy(
         aec, ctx, gnp, planarMask[0], planarMask[1], planarMask[2],
         planar.planarPossible & 1, planar.planarPossible & 2,
         planar.planarPossible & 4, atlas, node0.pos, codedAxesPrevLvl,
-        dynK);
+        dynK, effPredOcc);
       if (!occupancy)
         return -3;
 
@@ -2725,8 +2840,17 @@ extern "C" int tmc13ref_decode_octree_intra(
         child.pos[0] = cpos[0];
         child.pos[1] = cpos[1];
         child.pos[2] = cpos[2];
+        child.rstart = roffs[i];
+        child.rend = roffs[i] + rcounts[i];
         child.numSiblingsPlus1 = uint8_t(numOccupied);
         child.siblingOccupancy = uint8_t(occupancy);
+        {
+          int fail = 0;
+          for (int b = 0; b < 8; b++)
+            fail += (!!(occupancy & (1u << b)))
+              != (!!(predOccRaw & (1 << b)));
+          child.mispred = uint8_t(fail);
+        }
         fifo.push_back(child);
       }
     }
@@ -2736,4 +2860,51 @@ extern "C" int tmc13ref_decode_octree_intra(
   }
 
   return processed;
+}
+
+// ---------------------------------------------------------------------------
+// public entries.  The *_intra names keep the original ABI; the
+// *_inter variants add a motion-compensated reference cloud whose
+// per-node child occupancy selects the OBUF map bank per occupancy
+// bit (reference interCtx = bitPred, geometry_octree_encoder.cpp:884,
+// with the occupancyIsPredictable gate :2287).  With no reference the
+// inter entries reduce to the intra behaviour bit-for-bit.
+// ---------------------------------------------------------------------------
+
+extern "C" int tmc13ref_encode_octree_intra(
+  const int32_t* positions, int num_points,
+  const int32_t* coded_axis_list, int num_levels,
+  const int32_t* gp_arr, uint8_t* out_buf, int out_cap) {
+  return encode_octree_impl(positions, num_points, nullptr, 0,
+                            coded_axis_list, num_levels, gp_arr,
+                            out_buf, out_cap);
+}
+
+extern "C" int tmc13ref_encode_octree_inter(
+  const int32_t* positions, int num_points,
+  const int32_t* ref_positions, int num_ref,
+  const int32_t* coded_axis_list, int num_levels,
+  const int32_t* gp_arr, uint8_t* out_buf, int out_cap) {
+  return encode_octree_impl(positions, num_points, ref_positions,
+                            num_ref, coded_axis_list, num_levels,
+                            gp_arr, out_buf, out_cap);
+}
+
+extern "C" int tmc13ref_decode_octree_intra(
+  const uint8_t* aec_buf, int aec_len,
+  const int32_t* coded_axis_list, int num_levels, int num_points,
+  const int32_t* gp_arr, int32_t* out_pos, int out_cap) {
+  return decode_octree_impl(aec_buf, aec_len, coded_axis_list,
+                            num_levels, num_points, nullptr, 0,
+                            gp_arr, out_pos, out_cap);
+}
+
+extern "C" int tmc13ref_decode_octree_inter(
+  const uint8_t* aec_buf, int aec_len,
+  const int32_t* coded_axis_list, int num_levels, int num_points,
+  const int32_t* ref_positions, int num_ref,
+  const int32_t* gp_arr, int32_t* out_pos, int out_cap) {
+  return decode_octree_impl(aec_buf, aec_len, coded_axis_list,
+                            num_levels, num_points, ref_positions,
+                            num_ref, gp_arr, out_pos, out_cap);
 }

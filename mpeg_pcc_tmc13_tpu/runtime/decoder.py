@@ -186,16 +186,41 @@ class FrameDecoder:
         for ln in gbh.stream_lens:
             streams.append(data[pos:pos + ln])
             pos += ln
-        if (gps.obuf_engine and not gbh.is_inter
+        if (gps.obuf_engine
                 and gps.codec_type == hls.GeometryCodecType.OCTREE):
             if self.skip_layers or self.max_points:
                 raise ValueError(
                     "scalable decode is not available for obuf-engine "
                     "bricks")
             from ..models import geometry_obuf
+            ref_u = None
+            if gbh.is_inter:
+                from ..ops import motion as motion_ops
+                from ..utils import morton as morton_mod
+                pts = self._ref_points_for_gbh(gbh)
+                if (pts is not None and len(pts)
+                        and gps.lpu_motion_enabled
+                        and len(streams) > 1):
+                    # LPU refinement table leads the brick as its own
+                    # range-coded stream
+                    lpu_dec = entropy.RangeDecoder(streams[0])
+                    if gbh.lpu_ground_thr > 0:
+                        pts = motion_ops.decode_lpu_motion_split(
+                            lpu_dec, self._geom_ctx.lpu, pts,
+                            gps.lpu_size_log2,
+                            gbh.root_node_size_log2,
+                            gbh.lpu_ground_z0, gbh.lpu_ground_thr)
+                    else:
+                        pts = motion_ops.decode_lpu_motion(
+                            lpu_dec, self._geom_ctx.lpu, pts,
+                            gps.lpu_size_log2,
+                            gbh.root_node_size_log2)
+                if pts is not None and len(pts):
+                    ref_u = morton_mod.decode(
+                        np.unique(morton_mod.encode(pts)))
             local = geometry_obuf.decode(
-                streams[0], gbh.num_points, gbh.root_node_size_log2,
-                gbh.axis_bits, gps)
+                streams[-1], gbh.num_points, gbh.root_node_size_log2,
+                gbh.axis_bits, gps, ref_local=ref_u)
             grid = _grid_positions(local, gbh)
             self._slices.append(
                 _SliceState(positions=grid, local=local, gbh=gbh))

@@ -270,7 +270,6 @@ class FrameEncoder:
                 p.engine == "obuf"
                 and p.geometry_codec == hls.GeometryCodecType.OCTREE
                 and p.merge_duplicated_points
-                and not p.inter_prediction
                 and not p.idcm
                 and p.geom_qp_shift == 0
                 and not p.geom_qp_regions
@@ -759,10 +758,39 @@ class FrameEncoder:
                 sort_mode=p.predgeom_sort_mode,
                 angular=self.gps.angular_enabled,
                 ref_positions=ref_pos, lasers=lasers)
-        elif self.gps.obuf_engine and not refs:
+        elif self.gps.obuf_engine:
+            # inter bricks run through the OBUF engine with the
+            # (GM + optional LPU)-compensated reference selecting the
+            # map bank per occupancy bit; an LPU refinement table is
+            # carried as a leading range-coded stream of the brick
             from ..models import geometry_obuf
-            streams = [geometry_obuf.encode(
-                local, depth, axis_bits, self.gps)]
+            ref_u = None
+            lpu_stream = None
+            if refs:
+                ref_pts = self._ref_points_for_slice(
+                    refs, slice_origin, depth)
+                if (ref_pts is not None and len(ref_pts)
+                        and self.gps.lpu_motion_enabled):
+                    if p.lpu_type == 0:
+                        lpu_z0, lpu_thr = motion_ops.estimate_ground(
+                            ref_pts)
+                        ref_pts = motion_ops.encode_lpu_motion_split(
+                            enc, self._geom_ctx.lpu, ref_pts, local,
+                            self.gps.lpu_size_log2, depth, lpu_z0,
+                            lpu_thr)
+                    else:
+                        ref_pts = motion_ops.encode_lpu_motion(
+                            enc, self._geom_ctx.lpu, ref_pts, local,
+                            self.gps.lpu_size_log2, depth)
+                    lpu_stream = enc.get_bytes()
+                if ref_pts is not None and len(ref_pts):
+                    from ..utils import morton as morton_mod
+                    ref_u = morton_mod.decode(
+                        np.unique(morton_mod.encode(ref_pts)))
+            payload = geometry_obuf.encode(
+                local, depth, axis_bits, self.gps, ref_local=ref_u)
+            streams = ([lpu_stream, payload] if lpu_stream is not None
+                       else [payload])
             multistream = True   # streams are final; skip enc flush
             # obuf decode emits Morton-sorted positions
             order = np.argsort(morton_ops.encode(local), kind="stable")
@@ -824,8 +852,8 @@ class FrameEncoder:
             geom_qp_node_depth=node_qp_depth if node_shifts is not None
             else 0,
             geom_qp_boxes=geom_boxes,
-            lpu_ground_z0=lpu_z0 if not multistream else 0,
-            lpu_ground_thr=lpu_thr if not multistream else 0,
+            lpu_ground_z0=lpu_z0,
+            lpu_ground_thr=lpu_thr,
             is_inter=bool(refs),
             ref0_delta=max((ctr - refs[0][0]) & self._ctr_mask, 1)
             if refs else 1,

@@ -365,3 +365,37 @@ def test_decoder_missing_reference_raises():
                 skipping_frame0 = False
             dec.decompress(b)
         dec.flush()
+
+
+def test_inter_obuf_engine_roundtrip_and_gain():
+    """Inter bricks through the OBUF engine: the compensated reference
+    selects the map bank per occupancy bit (refcodec
+    tmc13ref_*_octree_inter).  Lossless round-trip, and inter beats
+    all-intra OBUF on a coherent moving sequence."""
+    seq = moving_sequence()
+    intra = EncoderParams(engine="obuf")
+    inter = EncoderParams(engine="obuf", inter_prediction=True,
+                          random_access_period=8, global_motion=True)
+    outs_a, size_a = roundtrip_sequence(seq, intra)
+    outs_b, size_b = roundtrip_sequence(seq, inter)
+    assert len(outs_b) == len(seq)
+    for src, out in zip(seq, outs_b):
+        np.testing.assert_array_equal(
+            np.sort(morton.encode(out.positions)),
+            np.unique(morton.encode(src.positions)))
+    assert size_b < size_a
+
+
+def test_inter_obuf_engine_with_lpu():
+    """OBUF inter bricks with LPU refinement: the MV table travels as
+    a leading range-coded stream; lossless round-trip."""
+    seq = moving_sequence(shift=(5, 2, 0))
+    params = EncoderParams(engine="obuf", inter_prediction=True,
+                           random_access_period=8, global_motion=True,
+                           lpu_motion=True, lpu_type=1)
+    outs, _ = roundtrip_sequence(seq, params)
+    assert len(outs) == len(seq)
+    for src, out in zip(seq, outs):
+        np.testing.assert_array_equal(
+            np.sort(morton.encode(out.positions)),
+            np.unique(morton.encode(src.positions)))
