@@ -356,6 +356,96 @@ def _fan_triangles(verts: np.ndarray):
     return np.asarray(tris)
 
 
+def _raster_triangles(tris: np.ndarray, eps: float,
+                      max_extent: int = 40):
+    """Axis-aligned ray rasterisation of triangles -> voxel coords.
+
+    Counterpart of the reference's rayTracingAlongdirection
+    (geometry_trisoup_decoder.cpp): for each triangle, integer rays
+    along the axis of largest normal component; the depth comes from
+    the plane equation, so every covered (u,v) column yields exactly
+    one voxel — no over/under-sampling like barycentric grids.  eps:
+    edge tolerance in pixels (the reference's haloTriangle margin).
+
+    Returns (P,3) int voxels with the owning triangle index (P,).
+    """
+    t = tris.astype(np.float64)
+    e1 = t[:, 1] - t[:, 0]
+    e2 = t[:, 2] - t[:, 0]
+    nrm = np.cross(e1, e2)
+    ax = np.argmax(np.abs(nrm), axis=1)
+    out_pts = []
+    out_ids = []
+    for a in range(3):
+        sel = np.flatnonzero(ax == a)
+        if sel.size == 0:
+            continue
+        a1, a2 = [b for b in range(3) if b != a]
+        v2 = t[sel][:, :, [a1, a2]]              # (G,3,2)
+        na = nrm[sel, a]
+        ok = np.abs(na) > 1e-9
+        sel, v2, na = sel[ok], v2[ok], na[ok]
+        if sel.size == 0:
+            continue
+        # plane: nrm . x = nrm . V0
+        n1 = nrm[sel, a1]
+        n2 = nrm[sel, a2]
+        d0 = (nrm[sel] * t[sel, 0]).sum(axis=1)
+        # orient edges consistently (positive area in (a1,a2))
+        area = ((v2[:, 1, 0] - v2[:, 0, 0])
+                * (v2[:, 2, 1] - v2[:, 0, 1])
+                - (v2[:, 1, 1] - v2[:, 0, 1])
+                * (v2[:, 2, 0] - v2[:, 0, 0]))
+        flip = area < 0
+        v2[flip] = v2[flip][:, ::-1, :]
+        bbmin = np.ceil(v2.min(axis=1) - eps).astype(np.int64)
+        bbmax = np.floor(v2.max(axis=1) + eps).astype(np.int64)
+        ext = np.maximum(bbmax - bbmin + 1, 0)
+        np.clip(ext, 0, max_extent, out=ext)
+        max_u = int(ext[:, 0].max()) if ext.size else 0
+        max_v = int(ext[:, 1].max()) if ext.size else 0
+        # per-edge normalised inward distance coefficients
+        ea = np.roll(v2, -1, axis=1) - v2        # (G,3,2)
+        elen = np.maximum(np.hypot(ea[:, :, 0], ea[:, :, 1]), 1e-9)
+        # fully vectorised (triangle, column) grid, chunked over
+        # triangles to bound the (Gc, U*V) temporaries
+        K = max(max_u * max_v, 1)
+        du = (np.arange(K) // max(max_v, 1)).astype(np.int64)
+        dv = (np.arange(K) % max(max_v, 1)).astype(np.int64)
+        gchunk = max((1 << 22) // K, 256)
+        for g0 in range(0, sel.size, gchunk):
+            sl = slice(g0, min(g0 + gchunk, sel.size))
+            pu = bbmin[sl, 0][:, None] + du[None, :]      # (Gc,K)
+            pv = bbmin[sl, 1][:, None] + dv[None, :]
+            inside = (pu <= bbmax[sl, 0][:, None]) \
+                & (pv <= bbmax[sl, 1][:, None])
+            px = pu.astype(np.float64)
+            py = pv.astype(np.float64)
+            for e in range(3):
+                cr = (ea[sl, e, 0][:, None]
+                      * (py - v2[sl, e, 1][:, None])
+                      - ea[sl, e, 1][:, None]
+                      * (px - v2[sl, e, 0][:, None]))
+                inside &= cr >= (-eps) * elen[sl, e][:, None]
+            gi, ki = np.nonzero(inside)
+            if gi.size == 0:
+                continue
+            pxg = px[gi, ki]
+            pyg = py[gi, ki]
+            depth = (d0[sl][gi] - n1[sl][gi] * pxg
+                     - n2[sl][gi] * pyg) / na[sl][gi]
+            pts = np.empty((gi.size, 3), dtype=np.int64)
+            pts[:, a] = np.round(depth).astype(np.int64)
+            pts[:, a1] = pu[gi, ki]
+            pts[:, a2] = pv[gi, ki]
+            out_pts.append(pts)
+            out_ids.append(sel[sl][gi])
+    if not out_pts:
+        return (np.zeros((0, 3), dtype=np.int64),
+                np.zeros(0, dtype=np.int64))
+    return np.concatenate(out_pts), np.concatenate(out_ids)
+
+
 def _sample_triangles(tris: np.ndarray, samples: int):
     """Barycentric SxS sampling of triangles -> voxel coords (T,S',3).
 
@@ -533,16 +623,28 @@ def reconstruct(node_codes: np.ndarray, edge_uniq: np.ndarray,
                 axis=2).reshape(-1, 3, 3)
             node_ids = nk[ga]
             per_tri = np.repeat(node_ids, k)
-            # chunk to bound peak memory (S' samples per triangle)
-            chunk = max((1 << 22) // max(samples * samples, 1), 1024)
+            # axis-aligned ray rasterisation (one voxel per covered
+            # column); halo widens the edge tolerance so triangles of
+            # adjacent nodes seal together
+            eps = 0.75 if halo else 0.4
+            chunk = 1 << 14
             for c0 in range(0, tris.shape[0], chunk):
-                spt = _sample_triangles(tris[c0:c0 + chunk], samples)
-                ids = per_tri[c0:c0 + chunk]
-                lo = origin[ids][:, None, :]
+                spt, tid = _raster_triangles(tris[c0:c0 + chunk], eps)
+                if spt.shape[0] == 0:
+                    continue
+                ids = per_tri[c0:c0 + chunk][tid]
+                lo = origin[ids]
                 hi = lo + (w - 1)
-                keep = np.all((spt >= lo) & (spt <= hi), axis=2)
-                # dedup within the chunk (17x oversampling otherwise)
+                keep = np.all((spt >= lo) & (spt <= hi), axis=1)
                 out.append(_unique_codes(spt[keep]))
+            # vertices themselves always emit (thin-triangle safety,
+            # mirrors the reference's vertex voxel emission), clipped
+            # to their node box
+            vpts = np.round(verts[ga]).astype(np.int64)   # (G,k,3)
+            vlo = origin[nk[ga]][:, None, :]
+            vhi = vlo + (w - 1)
+            vkeep = np.all((vpts >= vlo) & (vpts <= vhi), axis=2)
+            out.append(_unique_codes(vpts[vkeep]))
     if not out:
         return np.zeros((0, 3), dtype=np.int64)
     codes = np.unique(np.concatenate(out))
