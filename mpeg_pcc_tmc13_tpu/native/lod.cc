@@ -108,3 +108,77 @@ int32_t lod_assign_dist2(const int64_t* xyz, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// float-domain Morton-window kNN (recolouring forward/backward search,
+// ops/recolour.py _knn_float): candidates come from a +-window around
+// the query's insertion rank; distances in the true float domain.
+// Tie order matches the numpy stable argsort: among equal distances
+// the lower candidate rank wins (strict < insertion).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void knn_float(const int64_t* sorted_pos,    // (ns,3) in code order
+               const int64_t* sorted_codes,  // (ns)
+               const double* q,              // (nq,3)
+               const int64_t* q_codes,       // morton of clamped round(q)
+               int64_t ns, int64_t nq, int k, int window,
+               int64_t* out_idx,             // (nq,k) ranks in sorted order
+               double* out_d2) {
+  if (ns <= 0 || nq <= 0 || k <= 0) return;
+  std::vector<double> best_d(k);
+  std::vector<int64_t> best_i(k);
+  for (int64_t i = 0; i < nq; ++i) {
+    // lower_bound on codes
+    int64_t lo = 0, hi = ns;
+    const int64_t qc = q_codes[i];
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if (sorted_codes[mid] < qc) lo = mid + 1; else hi = mid;
+    }
+    int64_t c0 = lo - window;
+    int64_t c1 = lo + window;     // exclusive
+    if (c0 < 0) c0 = 0;
+    if (c1 > ns) c1 = ns;
+    if (c1 - c0 < k) {            // widen at the edges like np.clip
+      c0 = lo - window < 0 ? 0 : lo - window;
+      c1 = c0 + 2 * window;
+      if (c1 > ns) { c1 = ns; c0 = c1 - 2 * window; if (c0 < 0) c0 = 0; }
+    }
+    int filled = 0;
+    const double qx = q[i * 3], qy = q[i * 3 + 1], qz = q[i * 3 + 2];
+    for (int64_t c = c0; c < c1; ++c) {
+      double dx = (double)sorted_pos[c * 3] - qx;
+      double dy = (double)sorted_pos[c * 3 + 1] - qy;
+      double dz = (double)sorted_pos[c * 3 + 2] - qz;
+      double d2 = dx * dx + dy * dy + dz * dz;
+      if (filled < k) {
+        int j = filled++;
+        while (j > 0 && best_d[j - 1] > d2) {
+          best_d[j] = best_d[j - 1];
+          best_i[j] = best_i[j - 1];
+          --j;
+        }
+        best_d[j] = d2;
+        best_i[j] = c;
+      } else if (d2 < best_d[k - 1]) {
+        int j = k - 1;
+        while (j > 0 && best_d[j - 1] > d2) {
+          best_d[j] = best_d[j - 1];
+          best_i[j] = best_i[j - 1];
+          --j;
+        }
+        best_d[j] = d2;
+        best_i[j] = c;
+      }
+    }
+    for (int j = 0; j < k; ++j) {
+      int jj = j < filled ? j : (filled ? filled - 1 : 0);
+      out_idx[i * k + j] = filled ? best_i[jj] : 0;
+      out_d2[i * k + j] = filled ? best_d[jj] : 0.0;
+    }
+  }
+}
+
+}  // extern "C"

@@ -104,9 +104,35 @@ def _knn_float(sorted_int_pos: np.ndarray, sorted_codes: np.ndarray,
                chunk: int = 1 << 16):
     """k nearest (by float distance) points of an integer-position
     cloud per float query.  Returns (idx into the original order,
-    float d2), both sorted ascending by distance."""
+    float d2), both sorted ascending by distance.  Native fast path
+    (lod.cc knn_float); the numpy fallback differs only in edge-of-
+    cloud candidate duplication (encoder-only, non-normative)."""
     nq = qf.shape[0]
     ns = sorted_int_pos.shape[0]
+    from ..bitstream import entropy as _ent
+    if _ent._LIB is not None and nq and ns:
+        import ctypes as _ct
+        if not hasattr(_ent._LIB.knn_float, "_configured"):
+            _ent._LIB.knn_float.argtypes = [
+                _ct.POINTER(_ct.c_int64), _ct.POINTER(_ct.c_int64),
+                _ct.POINTER(_ct.c_double), _ct.POINTER(_ct.c_int64),
+                _ct.c_int64, _ct.c_int64, _ct.c_int, _ct.c_int,
+                _ct.POINTER(_ct.c_int64), _ct.POINTER(_ct.c_double)]
+            _ent._LIB.knn_float._configured = True
+        sp = np.ascontiguousarray(sorted_int_pos, dtype=np.int64)
+        sc = np.ascontiguousarray(sorted_codes, dtype=np.int64)
+        qfc = np.ascontiguousarray(qf, dtype=np.float64)
+        qi = np.maximum(np.round(qf), 0).astype(np.int64)
+        qc = np.ascontiguousarray(morton.encode(qi), dtype=np.int64)
+        oi = np.empty((nq, k), dtype=np.int64)
+        od = np.empty((nq, k), dtype=np.float64)
+        p = lambda a, t: a.ctypes.data_as(_ct.POINTER(t))
+        _ent._LIB.knn_float(
+            p(sp, _ct.c_int64), p(sc, _ct.c_int64),
+            p(qfc, _ct.c_double), p(qc, _ct.c_int64),
+            ns, nq, k, window, p(oi, _ct.c_int64),
+            p(od, _ct.c_double))
+        return order[oi], od
     idx_out = np.empty((nq, k), dtype=np.int64)
     d2_out = np.empty((nq, k), dtype=np.float64)
     offs = np.arange(-window, window, dtype=np.int64)
