@@ -91,7 +91,9 @@ def conditions():
         args=lambda r: [
             "--positionQuantizationScale=1", "--mergeDuplicatedPoints=1",
             "--transformType=0", "--integerHaar=1",
-            *_color_attr(4)])
+            # the CTC lossless condition codes YCgCo-R (reversible;
+            # cfg/octree-raht-ctc-lossless-geom-lossless-attrs.yaml:88)
+            *_color_attr(4, ("--colourMatrix=8",))])
     c["octree-raht-lossy"] = dict(
         input=SURFACE, frames=1, gp=10, resolution=1023,
         rates=["r01", "r02", "r03", "r04", "r05", "r06"],
