@@ -837,8 +837,17 @@ class FrameEncoder:
         if not multistream:
             streams = [enc.get_bytes()]
 
-        num_points = (int(recon_local.shape[0]) if trisoup
-                      else cloud.count)
+        if trisoup:
+            # num_points sizes the decoder's octree-node capacity for
+            # trisoup bricks; on sparse content the node count can
+            # exceed the surface reconstruction count, so signal
+            # whichever is larger
+            s = min(self.gps.trisoup_node_size_log2, depth)
+            n_nodes = int(np.unique(
+                morton_ops.encode(local) >> (3 * s)).size)
+            num_points = max(int(recon_local.shape[0]), n_nodes)
+        else:
+            num_points = cloud.count
         ident = ((65536, 0, 0, 0, 65536, 0, 0, 0, 65536), (0, 0, 0))
 
         def gm_tuple(g):

@@ -243,3 +243,31 @@ def test_multislice_seam():
     err_multi, rec = run(pos.shape[0] // 3 + 1)
     # multi-slice must not crack: mean sq err within 25% of single
     assert err_multi <= err_single * 1.25 + 0.05
+
+
+def test_trisoup_sparse_random_capacity():
+    """Sparse random content: trisoup node count can exceed the
+    reconstruction count; the signalled capacity must cover the
+    octree decode (regression for the ctc_matrix multislice config)."""
+    import io
+    from mpeg_pcc_tmc13_tpu.bitstream.tlv import iter_tlv, write_tlv
+    from mpeg_pcc_tmc13_tpu.runtime.decoder import FrameDecoder
+    from mpeg_pcc_tmc13_tpu.runtime.encoder import (AttributeConfig,
+                                                    EncoderParams,
+                                                    FrameEncoder)
+    rng = np.random.default_rng(42)
+    pos = rng.integers(0, 1 << 10, (20000, 3)).astype(np.int64)
+    cols = rng.integers(0, 256, (20000, 3)).astype(np.int64)
+    p = EncoderParams(trisoup_node_size_log2=3, max_points_per_slice=6000,
+                      attributes=[AttributeConfig(label="color", qp=22)])
+    bs = io.BytesIO()
+    enc = FrameEncoder(p)
+    enc.compress(PointCloud(pos, cols), lambda b: write_tlv(b, bs))
+    enc.flush(lambda b: write_tlv(b, bs))
+    bs.seek(0)
+    outs = []
+    dec = FrameDecoder(outs.append)
+    for b in iter_tlv(bs):
+        dec.decompress(b)
+    dec.flush()
+    assert outs and outs[0].count > 0
