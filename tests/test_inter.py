@@ -399,3 +399,26 @@ def test_inter_obuf_engine_with_lpu():
         np.testing.assert_array_equal(
             np.sort(morton.encode(out.positions)),
             np.unique(morton.encode(src.positions)))
+
+
+def test_obuf_inter_entry_reduces_to_intra():
+    """With no reference points the inter refcodec entries must emit
+    byte-identical payloads to the intra entries (conformance ABI)."""
+    from mpeg_pcc_tmc13_tpu.bitstream import hls
+    from mpeg_pcc_tmc13_tpu.models import geometry_obuf
+    rng = np.random.default_rng(9)
+    pos = np.unique(rng.integers(0, 256, (5000, 3)).astype(np.int64),
+                    axis=0)
+    gps = hls.GeometryParameterSet(planar_mode_enabled=True)
+    a = geometry_obuf.encode(pos, 8, None, gps)
+    b = geometry_obuf.encode(pos, 8, None, gps,
+                             ref_local=np.zeros((0, 3), np.int64))
+    assert a == b
+    # and a populated reference changes the stream but round-trips
+    ref = pos + rng.integers(-1, 2, pos.shape)
+    c = geometry_obuf.encode(pos, 8, None, gps, ref_local=ref)
+    out = geometry_obuf.decode(c, pos.shape[0], 8, None, gps,
+                               ref_local=ref)
+    from mpeg_pcc_tmc13_tpu.utils import morton
+    np.testing.assert_array_equal(
+        np.sort(morton.encode(out)), np.sort(morton.encode(pos)))
