@@ -724,14 +724,30 @@ static void prepareNeighInfo(
   const int sz = (atlasShift & 1) ? 1 : 0;
 
   int n20 = 0;
-  if (x > 0 && x < mask && y > 0 && y < mask && z > 0 && z < mask)
-    for (int n = 0; n < 20; n++)
-      n20 |= atlas.get(x + kDx20[n], y + kDy20[n], z + kDz20[n],
-                       sx, sy, sz) << n;
-  else
+  if (x > 0 && x < mask && y > 0 && y < mask && z > 0 && z < mask) {
+    // interior fast path: precompute the 3 spread values and bit
+    // slots per axis once instead of 20x3 table lookups
+    uint32_t mx[3], my[3], mz[3];
+    int bx[3], by[3], bz[3];
+    for (int d = -1; d <= 1; d++) {
+      mx[d + 1] = atlas.mortonX[(x + d) >> sx];
+      my[d + 1] = atlas.mortonY[(y + d) >> sy];
+      mz[d + 1] = atlas.mortonZ[(z + d) >> sz];
+      bx[d + 1] = sx ? ((x + d) & 1) : 0;
+      by[d + 1] = sy ? ((y + d) & 1) : 0;
+      bz[d + 1] = sz ? ((z + d) & 1) : 0;
+    }
+    for (int n = 0; n < 20; n++) {
+      int ix = kDx20[n] + 1, iy = kDy20[n] + 1, iz = kDz20[n] + 1;
+      uint32_t byteIdx = mx[ix] | my[iy] | mz[iz];
+      int bit = bz[iz] + (by[iy] << 1) + (bx[ix] << 2);
+      n20 |= int((atlas.buffer[byteIdx] >> bit) & 1) << n;
+    }
+  } else {
     for (int n = 0; n < 20; n++)
       n20 |= atlas.getWithCheck(x + kDx20[n], y + kDy20[n],
                                 z + kDz20[n], sx, sy, sz) << n;
+  }
   nf.neighb20 = n20;
 
   nf.occLeft = gnp.adjOcc[0];
