@@ -135,3 +135,78 @@ def _fwd_blocks_jit(vals: jnp.ndarray, weights: jnp.ndarray,
     wout = jnp.transpose(out_w[:, 0, :], (1, 0))[:b]
     mask = jnp.transpose(ac_mask[:, 0, :], (1, 0))[:b].astype(jnp.int32)
     return coeffs, wout, mask
+
+
+def _inv_block_kernel(vals_ref, w_ref, out_v_ref):
+    """Inverse block butterfly: slot 0 carries the block DC, upper
+    slots the ACs (fwd layout); outputs the child values per slot.
+    The per-stage pair weights replay the forward weight recursion."""
+    v_in = [vals_ref[j] for j in range(8)]
+    w = [w_ref[j] for j in range(8)]
+    snaps = []
+    for pairs in _STAGES:
+        stage = []
+        for lo, hi in pairs:
+            wl, wh = w[lo], w[hi]
+            stage.append((lo, hi, wl, wh))
+            both = (wl > 0.0) & (wh > 0.0)
+            only_hi = (wl <= 0.0) & (wh > 0.0)
+            w[lo] = jnp.where(both, wl + wh,
+                              jnp.where(only_hi, wh, wl))
+        snaps.append(stage)
+    v = [None] * 8
+    v[0] = v_in[0]
+    for stage in reversed(snaps):
+        for lo, hi, wl, wh in stage:
+            both = (wl > 0.0) & (wh > 0.0)
+            only_hi = (wl <= 0.0) & (wh > 0.0)
+            rs = jnp.sqrt(jnp.maximum(wl + wh, 1e-30))
+            a = jnp.sqrt(jnp.maximum(wl, 0.0)) / rs
+            b = jnp.sqrt(jnp.maximum(wh, 0.0)) / rs
+            dc = v[lo]
+            ac = v_in[hi]
+            v1 = a * dc - b * ac
+            v2 = b * dc + a * ac
+            v[lo] = jnp.where(both, v1, dc)
+            v[hi] = jnp.where(both, v2,
+                              jnp.where(only_hi, dc, 0.0))
+    for j in range(8):
+        out_v_ref[j] = v[j]
+
+
+def inv_blocks(coeffs: jnp.ndarray, weights: jnp.ndarray,
+               interpret: bool = False):
+    """Inverse of fwd_blocks: (B,8,C) coeffs (slot 0 DC + ACs) and the
+    ORIGINAL per-slot child weights (B,8) -> (B,8,C) child values."""
+    with jax.enable_x64(False):
+        return _inv_blocks_jit(coeffs, weights, interpret)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _inv_blocks_jit(coeffs: jnp.ndarray, weights: jnp.ndarray,
+                    interpret: bool = False):
+    b, _, c = coeffs.shape
+    pad = (-b) % BLOCK_TILE
+    if pad:
+        coeffs = jnp.pad(coeffs, ((0, pad), (0, 0), (0, 0)))
+        weights = jnp.pad(weights, ((0, pad), (0, 0)))
+    bp = coeffs.shape[0]
+    v_t = jnp.transpose(coeffs, (1, 2, 0))
+    w_t = jnp.transpose(weights, (1, 0))[:, None, :]
+    grid = (bp // BLOCK_TILE,)
+    out_v = pl.pallas_call(
+        _inv_block_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, c, BLOCK_TILE), lambda i: (0, 0, i)),
+            pl.BlockSpec((8, 1, BLOCK_TILE), lambda i: (0, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, c, BLOCK_TILE), lambda i: (0, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, c, bp), coeffs.dtype),
+        ],
+        interpret=interpret,
+    )(v_t, w_t)[0]
+    return jnp.transpose(out_v, (2, 0, 1))[:b]

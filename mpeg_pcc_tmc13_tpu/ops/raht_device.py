@@ -85,3 +85,47 @@ def forward_device(leaf_codes: np.ndarray, values: np.ndarray,
         vals = coeffs[:, 0, :]
         w = wout[:, 0]
     return acs_out, vals
+
+
+def inverse_device(leaf_codes: np.ndarray, acs_per_level,
+                   root_vals, depth: int, interpret: bool = False,
+                   staged=None):
+    """Device-side inverse RAHT: top-down block un-butterflies.
+
+    acs_per_level: forward_device's per-level (coeffs, ac_mask) —
+    slot 0 of each block may be overridden by the running
+    reconstruction (closed-loop decode: pass dequantised ACs in the
+    same layout).  Returns the (N, C) leaf values.
+    """
+    gathers = staged if staged is not None else stage_plan(
+        leaf_codes, depth)
+    # upward weight pass (geometry-derived; cheap elementwise)
+    n = leaf_codes.shape[0]
+    w = jnp.ones((n,), jnp.float32)
+    blk_ws: List = []
+    for l in range(depth):
+        g = gathers[l]
+        occ = g >= 0
+        gi = jnp.where(occ, g, 0)
+        blk_w = jnp.where(occ, w[gi], 0.0)
+        blk_ws.append(blk_w)
+        w = blk_w.sum(axis=1)
+    vals = jnp.asarray(root_vals, dtype=jnp.float32)
+    if vals.ndim == 1:
+        vals = vals[:, None]
+    for l in range(depth - 1, -1, -1):
+        coeffs = acs_per_level[l][0]
+        blk = coeffs.at[:, 0, :].set(vals)
+        child = pallas_raht.inv_blocks(blk, blk_ws[l],
+                                       interpret=interpret)
+        g = gathers[l]
+        occ = g >= 0
+        gi = jnp.where(occ, g, 0)
+        nl = int(g.max()) + 1 if g.size else 0
+        flat = jnp.zeros((nl, child.shape[-1]), jnp.float32)
+        # scatter-add: empty slots contribute zero to row 0 instead of
+        # clobbering a real row
+        flat = flat.at[jnp.where(occ, g, 0)].add(
+            jnp.where(occ[..., None], child, 0.0))
+        vals = flat
+    return vals

@@ -102,3 +102,19 @@ def test_kernel_padding_past_tile():
     acs_dev, root = raht_device.forward_device(
         codes, vals, 4, interpret=True)
     assert np.asarray(root).shape[0] == 1
+
+
+def test_inverse_device_roundtrip():
+    """Device inverse RAHT (inv_blocks + top-down driver) reconstructs
+    forward_device's input exactly (float32)."""
+    rng = np.random.default_rng(3)
+    pos = np.unique(rng.integers(0, 16, (400, 3)).astype(np.int64),
+                    axis=0)
+    codes = np.sort(morton.encode(pos))
+    vals = rng.normal(100, 30, (codes.size, 3)).astype(np.float32)
+    depth = 4
+    acs, root = raht_device.forward_device(codes, vals, depth,
+                                           interpret=True)
+    rec = raht_device.inverse_device(codes, acs, root, depth,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(rec), vals, atol=2e-3)
