@@ -281,20 +281,23 @@ struct PredParams {
 // replaces per-offset binary searches: 18 O(1) probes per parent
 // instead of 18 log2(mp)-probe searches.
 struct CodeMap {
-  std::vector<int64_t> key;
-  std::vector<int32_t> val;
+  // packed (key, idx) entries: one cache-line touch per probe
+  struct Entry {
+    int64_t key;
+    int64_t val;
+  };
+  std::vector<Entry> tab;
   uint64_t mask;
   void build(const std::vector<int64_t>& codes) {
     uint64_t cap = 16;
     while (cap < codes.size() * 2) cap <<= 1;
     mask = cap - 1;
-    key.assign(cap, -1);
-    val.assign(cap, 0);
+    tab.assign(cap, Entry{-1, 0});
     for (int64_t i = 0; i < (int64_t)codes.size(); ++i) {
       uint64_t h = hash(codes[i]);
-      while (key[h] >= 0) h = (h + 1) & mask;
-      key[h] = codes[i];
-      val[h] = (int32_t)i;
+      while (tab[h].key >= 0) h = (h + 1) & mask;
+      tab[h].key = codes[i];
+      tab[h].val = i;
     }
   }
   inline uint64_t hash(int64_t c) const {
@@ -304,8 +307,8 @@ struct CodeMap {
   // -1 if absent
   inline int32_t find(int64_t c) const {
     uint64_t h = hash(c);
-    while (key[h] >= 0) {
-      if (key[h] == c) return val[h];
+    while (tab[h].key >= 0) {
+      if (tab[h].key == c) return (int32_t)tab[h].val;
       h = (h + 1) & mask;
     }
     return -1;
