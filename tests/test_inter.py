@@ -422,3 +422,18 @@ def test_obuf_inter_entry_reduces_to_intra():
     from mpeg_pcc_tmc13_tpu.utils import morton
     np.testing.assert_array_equal(
         np.sort(morton.encode(out)), np.sort(morton.encode(pos)))
+
+
+def test_inter_obuf_engine_with_split_lpu():
+    """OBUF inter + road-object split LPU (lpuType=0): the ground
+    plane keeps GM, objects get cuboid refinement; MV table rides the
+    leading stream.  Lossless round-trip."""
+    seq = moving_sequence(shift=(4, 0, 1), seed=3)
+    params = EncoderParams(engine="obuf", inter_prediction=True,
+                           random_access_period=8, global_motion=True,
+                           lpu_motion=True, lpu_type=0)
+    outs, _ = roundtrip_sequence(seq, params)
+    for src, out in zip(seq, outs):
+        np.testing.assert_array_equal(
+            np.sort(morton.encode(out.positions)),
+            np.unique(morton.encode(src.positions)))
