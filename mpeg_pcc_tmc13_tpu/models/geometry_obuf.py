@@ -111,8 +111,13 @@ def encode(local: np.ndarray, depth: int, axis_bits, gps,
 
 
 def decode(data: bytes, num_points: int, depth: int, axis_bits,
-           gps, ref_local: np.ndarray = None) -> np.ndarray:
-    """dirac payload -> positions, Morton-sorted."""
+           gps, ref_local: np.ndarray = None,
+           skip_layers: int = 0) -> np.ndarray:
+    """dirac payload -> positions, Morton-sorted.
+
+    skip_layers > 0: scalable truncation — the last layers are not
+    decoded and node centres come back at full resolution (reference
+    decodeGeometryOctreeScalable)."""
     lib = _load()
     c = ctypes
     if not hasattr(lib.tmc13ref_decode_octree_inter, "_configured"):
@@ -124,13 +129,33 @@ def decode(data: bytes, num_points: int, depth: int, axis_bits,
             c.POINTER(c.c_int32), c.c_int,
         ]
         lib.tmc13ref_decode_octree_inter.restype = c.c_int
+        lib.tmc13ref_decode_octree_scalable.argtypes = [
+            c.POINTER(c.c_uint8), c.c_int,
+            c.POINTER(c.c_int32), c.c_int, c.c_int, c.c_int,
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.c_int,
+        ]
+        lib.tmc13ref_decode_octree_scalable.restype = c.c_int
         lib.tmc13ref_decode_octree_inter._configured = True
     buf = np.frombuffer(data, dtype=np.uint8)
     axes = axes_for(axis_bits, depth, gps.qtbt_max_before_ot,
                     gps.qtbt_min_size_log2)
     gp = geom_params_array(_gps_flags(gps))
     out = np.empty((max(num_points, 1), 3), dtype=np.int32)
-    if ref_local is not None and len(ref_local):
+    if skip_layers > 0:
+        ref32 = (np.ascontiguousarray(ref_local, dtype=np.int32)
+                 if ref_local is not None and len(ref_local)
+                 else np.zeros((0, 3), dtype=np.int32))
+        n = lib.tmc13ref_decode_octree_scalable(
+            buf.ctypes.data_as(c.POINTER(c.c_uint8)), buf.shape[0],
+            axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+            num_points, int(skip_layers),
+            ref32.ctypes.data_as(c.POINTER(c.c_int32)),
+            ref32.shape[0],
+            gp.ctypes.data_as(c.POINTER(c.c_int32)),
+            out.ctypes.data_as(c.POINTER(c.c_int32)), num_points)
+    elif ref_local is not None and len(ref_local):
         ref32 = np.ascontiguousarray(ref_local, dtype=np.int32)
         n = lib.tmc13ref_decode_octree_inter(
             buf.ctypes.data_as(c.POINTER(c.c_uint8)), buf.shape[0],

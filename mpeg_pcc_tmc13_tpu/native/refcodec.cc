@@ -2581,7 +2581,8 @@ static int decode_octree_impl(
   const int32_t* ref_positions, int num_ref,
   const int32_t* gp_arr,           // GeomParams as 12 int32s
   int32_t* out_pos,                // capacity out_cap * 3 (stv order)
-  int out_cap) {
+  int out_cap,
+  int skip_levels = 0) {           // scalable truncation
   GeomParams gp;
   std::memcpy(&gp, gp_arr, sizeof gp);
   const int neighbour_avail_boundary_log2 = gp.neighAvailBoundaryLog2;
@@ -2632,7 +2633,9 @@ static int decode_octree_impl(
       lvlSize[k].push_back(lvlSize[k].back());
     }
   }
-  const int maxDepth = num_levels;
+  int skipc = skip_levels < 0 ? 0
+    : (skip_levels > num_levels ? num_levels : skip_levels);
+  const int maxDepth = num_levels - skipc;
 
   std::vector<int32_t> rorder, rscratch;
   if (num_ref > 0) {
@@ -2875,6 +2878,25 @@ static int decode_octree_impl(
         long(num_points) * 10 < numSubnodes * 13;
   }
 
+  if (skipc > 0) {
+    // scalable truncation: emit node centres at the stop level,
+    // scaled to full resolution (reference
+    // decodeGeometryOctreeScalable, geometry_octree_decoder.cpp:2244)
+    int rem[3] = {lvlSize[0][maxDepth], lvlSize[1][maxDepth],
+                  lvlSize[2][maxDepth]};
+    for (size_t it = head; it < fifo.size(); ++it) {
+      if (processed >= out_cap)
+        return -(int)(processed + (fifo.size() - it));
+      const Node& nd = fifo[it];
+      for (int k = 0; k < 3; ++k) {
+        int32_t v = nd.pos[k] << rem[k];
+        if (rem[k] > 0) v |= int32_t(1) << (rem[k] - 1);
+        out_pos[processed * 3 + k] = v;
+      }
+      processed++;
+    }
+  }
+
   return processed;
 }
 
@@ -2923,4 +2945,16 @@ extern "C" int tmc13ref_decode_octree_inter(
   return decode_octree_impl(aec_buf, aec_len, coded_axis_list,
                             num_levels, num_points, ref_positions,
                             num_ref, gp_arr, out_pos, out_cap);
+}
+
+extern "C" int tmc13ref_decode_octree_scalable(
+  const uint8_t* aec_buf, int aec_len,
+  const int32_t* coded_axis_list, int num_levels, int num_points,
+  int skip_levels,
+  const int32_t* ref_positions, int num_ref,
+  const int32_t* gp_arr, int32_t* out_pos, int out_cap) {
+  return decode_octree_impl(aec_buf, aec_len, coded_axis_list,
+                            num_levels, num_points, ref_positions,
+                            num_ref, gp_arr, out_pos, out_cap,
+                            skip_levels);
 }

@@ -188,10 +188,10 @@ class FrameDecoder:
             pos += ln
         if (gps.obuf_engine
                 and gps.codec_type == hls.GeometryCodecType.OCTREE):
-            if self.skip_layers or self.max_points:
+            if self.max_points:
                 raise ValueError(
-                    "scalable decode is not available for obuf-engine "
-                    "bricks")
+                    "decodeMaxPoints is not available for obuf-engine "
+                    "bricks (use skipOctreeLayers)")
             from ..models import geometry_obuf
             ref_u = None
             if gbh.is_inter:
@@ -220,7 +220,8 @@ class FrameDecoder:
                         np.unique(morton_mod.encode(pts)))
             local = geometry_obuf.decode(
                 streams[-1], gbh.num_points, gbh.root_node_size_log2,
-                gbh.axis_bits, gps, ref_local=ref_u)
+                gbh.axis_bits, gps, ref_local=ref_u,
+                skip_layers=self.skip_layers)
             grid = _grid_positions(local, gbh)
             self._slices.append(
                 _SliceState(positions=grid, local=local, gbh=gbh))

@@ -279,3 +279,22 @@ def test_per_node_geometry_qp_roundtrip():
     from mpeg_pcc_tmc13_tpu.ops.recolour import knn
     _, d2 = knn(rec1, pos, k=1)
     assert float(d2.max()) <= 3 * (2 ** 2) ** 2
+
+
+def test_obuf_scalable_skip_layers():
+    """OBUF bricks support scalable truncation: the last layers are
+    not decoded and node centres come back at full resolution
+    (refcodec tmc13ref_decode_octree_scalable)."""
+    from mpeg_pcc_tmc13_tpu.bitstream import hls
+    from mpeg_pcc_tmc13_tpu.models import geometry_obuf
+    rng = np.random.default_rng(5)
+    pos = np.unique(rng.integers(0, 256, (6000, 3)).astype(np.int64),
+                    axis=0)
+    gps = hls.GeometryParameterSet(planar_mode_enabled=True)
+    payload = geometry_obuf.encode(pos, 8, None, gps)
+    for skip in (1, 3):
+        part = geometry_obuf.decode(payload, pos.shape[0], 8, None,
+                                    gps, skip_layers=skip)
+        got = np.unique(morton.encode(part) >> (3 * skip))
+        want = np.unique(morton.encode(pos) >> (3 * skip))
+        np.testing.assert_array_equal(got, want)
