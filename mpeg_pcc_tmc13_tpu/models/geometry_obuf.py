@@ -112,7 +112,7 @@ def encode(local: np.ndarray, depth: int, axis_bits, gps,
 
 def decode(data: bytes, num_points: int, depth: int, axis_bits,
            gps, ref_local: np.ndarray = None,
-           skip_layers: int = 0) -> np.ndarray:
+           skip_layers: int = 0, max_points: int = 0) -> np.ndarray:
     """dirac payload -> positions, Morton-sorted.
 
     skip_layers > 0: scalable truncation — the last layers are not
@@ -131,7 +131,7 @@ def decode(data: bytes, num_points: int, depth: int, axis_bits,
         lib.tmc13ref_decode_octree_inter.restype = c.c_int
         lib.tmc13ref_decode_octree_scalable.argtypes = [
             c.POINTER(c.c_uint8), c.c_int,
-            c.POINTER(c.c_int32), c.c_int, c.c_int, c.c_int,
+            c.POINTER(c.c_int32), c.c_int, c.c_int, c.c_int, c.c_int,
             c.POINTER(c.c_int32), c.c_int,
             c.POINTER(c.c_int32),
             c.POINTER(c.c_int32), c.c_int,
@@ -143,14 +143,14 @@ def decode(data: bytes, num_points: int, depth: int, axis_bits,
                     gps.qtbt_min_size_log2)
     gp = geom_params_array(_gps_flags(gps))
     out = np.empty((max(num_points, 1), 3), dtype=np.int32)
-    if skip_layers > 0:
+    if skip_layers > 0 or max_points > 0:
         ref32 = (np.ascontiguousarray(ref_local, dtype=np.int32)
                  if ref_local is not None and len(ref_local)
                  else np.zeros((0, 3), dtype=np.int32))
         n = lib.tmc13ref_decode_octree_scalable(
             buf.ctypes.data_as(c.POINTER(c.c_uint8)), buf.shape[0],
             axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
-            num_points, int(skip_layers),
+            num_points, int(skip_layers), int(max_points),
             ref32.ctypes.data_as(c.POINTER(c.c_int32)),
             ref32.shape[0],
             gp.ctypes.data_as(c.POINTER(c.c_int32)),

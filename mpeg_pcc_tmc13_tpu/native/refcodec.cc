@@ -2582,7 +2582,8 @@ static int decode_octree_impl(
   const int32_t* gp_arr,           // GeomParams as 12 int32s
   int32_t* out_pos,                // capacity out_cap * 3 (stv order)
   int out_cap,
-  int skip_levels = 0) {           // scalable truncation
+  int skip_levels = 0,             // scalable truncation
+  int max_nodes_stop = 0) {        // stop descending at this count
   GeomParams gp;
   std::memcpy(&gp, gp_arr, sizeof gp);
   const int neighbour_avail_boundary_log2 = gp.neighAvailBoundaryLog2;
@@ -2635,7 +2636,7 @@ static int decode_octree_impl(
   }
   int skipc = skip_levels < 0 ? 0
     : (skip_levels > num_levels ? num_levels : skip_levels);
-  const int maxDepth = num_levels - skipc;
+  int maxDepth = num_levels - skipc;
 
   std::vector<int32_t> rorder, rscratch;
   if (num_ref > 0) {
@@ -2659,6 +2660,14 @@ static int decode_octree_impl(
 
   for (int depth = 0; depth < maxDepth; depth++) {
     size_t lvlEnd = fifo.size();
+    if (max_nodes_stop > 0 && depth < num_levels
+        && (int64_t)(lvlEnd - head) >= max_nodes_stop) {
+      // decodeMaxPoints-style truncation: this level already has
+      // enough nodes; emit centres here
+      skipc = num_levels - depth;
+      maxDepth = depth;
+      break;
+    }
     int32_t atlasOrigin[3] = {-0x7fffffff, -0x7fffffff, -0x7fffffff};
     int codedAxesPrevLvl = depth ? coded_axis_list[depth - 1] : 7;
     int codedAxesCurLvl = coded_axis_list[depth];
@@ -2950,11 +2959,11 @@ extern "C" int tmc13ref_decode_octree_inter(
 extern "C" int tmc13ref_decode_octree_scalable(
   const uint8_t* aec_buf, int aec_len,
   const int32_t* coded_axis_list, int num_levels, int num_points,
-  int skip_levels,
+  int skip_levels, int max_nodes_stop,
   const int32_t* ref_positions, int num_ref,
   const int32_t* gp_arr, int32_t* out_pos, int out_cap) {
   return decode_octree_impl(aec_buf, aec_len, coded_axis_list,
                             num_levels, num_points, ref_positions,
                             num_ref, gp_arr, out_pos, out_cap,
-                            skip_levels);
+                            skip_levels, max_nodes_stop);
 }

@@ -188,10 +188,6 @@ class FrameDecoder:
             pos += ln
         if (gps.obuf_engine
                 and gps.codec_type == hls.GeometryCodecType.OCTREE):
-            if self.max_points:
-                raise ValueError(
-                    "decodeMaxPoints is not available for obuf-engine "
-                    "bricks (use skipOctreeLayers)")
             from ..models import geometry_obuf
             ref_u = None
             if gbh.is_inter:
@@ -221,7 +217,8 @@ class FrameDecoder:
             local = geometry_obuf.decode(
                 streams[-1], gbh.num_points, gbh.root_node_size_log2,
                 gbh.axis_bits, gps, ref_local=ref_u,
-                skip_layers=self.skip_layers)
+                skip_layers=self.skip_layers,
+                max_points=self.max_points)
             grid = _grid_positions(local, gbh)
             self._slices.append(
                 _SliceState(positions=grid, local=local, gbh=gbh))
