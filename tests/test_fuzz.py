@@ -101,6 +101,7 @@ def test_random_config_roundtrips():
                 else hls.GeometryCodecType.OCTREE)
         params = EncoderParams(
             geometry_codec=geom,
+            engine=("obuf" if rng.random() < 0.3 else "auto"),
             planar_enabled=bool(rng.random() < 0.4),
             idcm=bool(rng.random() < 0.3),
             bytewise_occupancy=bool(rng.random() < 0.7),
