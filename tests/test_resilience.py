@@ -155,3 +155,22 @@ def test_raw_attribute_out_of_range_raises():
         encode_raw(np.array([-3, 5]), desc)
     with pytest.raises(ValueError, match="out of range"):
         encode_raw(np.array([256]), desc)
+
+
+def test_obuf_truncated_stream_no_crash():
+    """Truncated OBUF payloads must fail cleanly (capacity error) or
+    produce a bounded point set — never crash or overrun."""
+    from mpeg_pcc_tmc13_tpu.bitstream import hls
+    from mpeg_pcc_tmc13_tpu.models import geometry_obuf
+    rng = np.random.default_rng(1)
+    pos = np.unique(rng.integers(0, 128, (3000, 3)).astype(np.int64),
+                    axis=0)
+    gps = hls.GeometryParameterSet(planar_mode_enabled=True)
+    payload = geometry_obuf.encode(pos, 7, None, gps)
+    for frac in (0.75, 0.5, 0.25, 0.05):
+        cut = payload[:int(len(payload) * frac)]
+        try:
+            out = geometry_obuf.decode(cut, pos.shape[0], 7, None, gps)
+            assert out.shape[0] <= pos.shape[0]
+        except RuntimeError:
+            pass   # clean capacity/desync error
