@@ -206,10 +206,11 @@ PARITY_SUMMARY = """
 * **RAHT attributes**: bpp parity at r01–r04; r05/r06 within 2x on
   knife-edge noisy content at equal-or-higher PSNR; lossless within
   3.4%.
-* **Throughput**: decode beats tmc3 at most octree rate points;
-  encode at parity or better on LiDAR content (r03–r06), 0.5–1x on
-  dense surfaces.  The fast native engine (default) runs 8–9 Mpts/s
-  geometry encode at ~1.5–1.8x tmc3's bpp.
+* **Throughput**: the OBUF engine encodes ~2x faster than the tmc3
+  binary on identical work (0.59s vs 1.28s @1.2M points) and decodes
+  at its level; table speed ratios run 0.5–6.7x by rate point, above
+  1x at most.  The fast native engine (default) runs ~9 Mpts/s
+  geometry encode / ~6 decode at ~1.5–1.8x tmc3's bpp.
 """
 
 
