@@ -201,6 +201,7 @@ struct ArithEnc {
   int carry;
   uint8_t firstByte;
   uint8_t outputByte;
+  int16_t ilut[512];        // interleaved adaptation LUT (as ArithDec)
 
   void init() {
     out.clear();
@@ -210,6 +211,10 @@ struct ArithEnc {
     carry = 0;
     firstByte = 1;
     outputByte = 0;
+    for (int k = 0; k < 256; k++) {
+      ilut[2 * k] = int16_t(kDiracLut[255 - k]);
+      ilut[2 * k + 1] = int16_t(-kDiracLut[k]);
+    }
   }
 
   void push(uint8_t b) { out.push_back(b); }
@@ -242,23 +247,33 @@ struct ArithEnc {
     cntr = 0;
   }
 
+  // branchless formulation of the normative bit step: the value
+  // branch becomes mask selects, the adaptation uses the interleaved
+  // LUT (identical to the decoder's), and renormalisation shifts in
+  // bulk while still emitting bytes at exactly the same cntr==8
+  // boundaries.  Bit-for-bit the same output as the branchy form
+  // (schroarith.h:88-130).
   void bit(uint16_t* prob, int value) {
     uint32_t p0 = *prob;
     uint32_t rxp = (range * p0) >> 16;
-    if (value) {
-      low += rxp;
-      range -= rxp;
-      *prob = uint16_t(*prob - kDiracLut[*prob >> 8]);
-    } else {
-      range = rxp;
-      *prob = uint16_t(*prob + kDiracLut[255 - (*prob >> 8)]);
-    }
-    while (range <= 0x4000) {
-      low <<= 1;
-      range <<= 1;
-      cntr++;
-      if (cntr == 8)
-        renorm_byte();
+    uint32_t m = uint32_t(-int32_t(value != 0));
+    low += rxp & m;
+    range = (rxp & ~m) | ((range - rxp) & m);
+    unsigned lutIdx = ((p0 >> 7) & ~1u) | unsigned(value != 0);
+    *prob = uint16_t(p0 + uint32_t(int32_t(ilut[lutIdx])));
+    if (range <= 0x4000) {
+      int s = __builtin_clz(range) - 17;   // align MSB to bit 14
+      s += (range << s) <= 0x4000;         // exact-0x4000 case
+      do {
+        int step = 8 - cntr;
+        if (step > s) step = s;
+        low <<= step;
+        range <<= step;
+        cntr += step;
+        s -= step;
+        if (cntr == 8)
+          renorm_byte();
+      } while (s);
     }
   }
 
@@ -390,10 +405,12 @@ struct CtxMapOBUF {
   int idx(int i, int j) const { return i * S2 + j; }
 
   static void evolve(uint8_t* c, int bitv) {
-    if (bitv)
-      *c = uint8_t(*c + kObufDelta[(255 - *c) >> 4]);
-    else
-      *c = uint8_t(*c - kObufDelta[*c >> 4]);
+    // branchless: delta = bitv ? +kObufDelta[15-(c>>4)] : -kObufDelta[c>>4]
+    static const int8_t kEvolveLut[32] = {
+      -0,  15, -1,  20, -1,  22, -2,  22, -4,  23, -7,  19, -9,  16,
+      -11, 14, -14, 11, -16, 9,  -19, 7,  -23, 4,  -22, 2,  -22, 1,
+      -20, 1,  -15, 0};
+    *c = uint8_t(*c + kEvolveLut[((*c >> 4) << 1) | (bitv != 0)]);
   }
 
   void decreaseKdown(int idxTree, int kDownTree) {
@@ -406,7 +423,7 @@ struct CtxMapOBUF {
     p[S2 << (kDownTree - 1)] = *p;
   }
 
-  bool createLeafElement(int leafPos, uint8_t* leaves, uint8_t ctx) {
+  static bool createLeafElement(int leafPos, uint8_t* leaves, uint8_t ctx) {
     int first = leafPos * (1 << kLeafDepth);
     if (!leaves[first]) {
       std::memset(&leaves[first], ctx, size_t(1) << kLeafDepth);
@@ -2009,6 +2026,142 @@ static void determinePlanarIntraEnc(
       });
   }
 }
+
+// ---------------------------------------------------------------------------
+// cacheline-packed dynamic context map.  Semantically identical to
+// CtxMapOBUF above (same values, same evolution, same leaf policy);
+// the three per-entry bytes (coder index / kDown / seen counter) live
+// in one 4-byte struct so a context probe touches one cache line
+// instead of three.  Used by the level-sweep engine's thin bit loop.
+// ---------------------------------------------------------------------------
+struct CtxMapOBUFPk {
+  static const int kLeafDepth = CtxMapOBUF::kLeafDepth;
+  static const int kLeafBufSize = CtxMapOBUF::kLeafBufSize;
+
+  struct Ent {
+    uint8_t ctxIdx;
+    uint8_t kDown;
+    uint8_t nSeen;
+    uint8_t pad;
+  };
+
+  int S1 = 0, S2 = 0;
+  int maxTreeDepth = 0;
+  std::vector<Ent> t;
+
+  void reset(int bitsS1, int bitsS2) {
+    S1 = 1 << bitsS1;
+    S2 = 1 << bitsS2;
+    maxTreeDepth = bitsS1 - kLeafDepth;
+    int treeSize = (1 << maxTreeDepth) * S2;
+    t.assign(treeSize, Ent{0, uint8_t(bitsS1), 0, 0});
+    for (int j = 0; j < S2; j++) {
+      t[j].nSeen = 0;
+      t[j].ctxIdx = 127;
+    }
+  }
+
+  int idx(int i, int j) const { return i * S2 + j; }
+
+  void decreaseKdown(int idxTree, int kDownTree) {
+    t[idxTree].nSeen = 0;
+    t[idxTree + (S2 << (kDownTree - 1))].nSeen = 0;
+    int iEnd = S2 << kDownTree;
+    for (int ii = 0; ii < iEnd; ii += S2)
+      t[idxTree + ii].kDown--;
+    t[idxTree + (S2 << (kDownTree - 1))].ctxIdx = t[idxTree].ctxIdx;
+  }
+
+  void createLeaf(int idxTree, int* leafNumber, uint8_t* leaves,
+                  int ctx, int i) {
+    bool avail = CtxMapOBUF::createLeafElement(*leafNumber, leaves,
+                                               uint8_t(ctx));
+    if (avail) {
+      t[idxTree].nSeen = uint8_t(*leafNumber & 255);
+      t[idxTree].ctxIdx = uint8_t(*leafNumber >> 8);
+      *leafNumber += 1;
+    } else {
+      int dmin = 256;
+      int bmin = *leafNumber;
+      const int maskI = (1 << kLeafDepth) - 1;
+      for (int b = *leafNumber; b < *leafNumber + 20 && b < kLeafBufSize;
+           b++) {
+        int d = std::abs(
+          ctx - int(leaves[b * (1 << kLeafDepth) + (i & maskI)]));
+        if (d < dmin) {
+          dmin = d;
+          bmin = b;
+        }
+      }
+      t[idxTree].nSeen = uint8_t(bmin & 255);
+      t[idxTree].ctxIdx = uint8_t(bmin >> 8);
+      *leafNumber = bmin + 1;
+    }
+    if (*leafNumber >= kLeafBufSize)
+      *leafNumber = 0;
+    t[idxTree].kDown--;
+  }
+
+  uint8_t getEvolve(bool bitv, int i, int j, int* leafNumber,
+                    uint8_t* leaves) {
+    int iTree = i >> kLeafDepth;
+    int kDown0 = t[idx(iTree, j)].kDown;
+    uint8_t outv;
+    if (kDown0 >= kLeafDepth) {
+      int kDownTree = kDown0 - kLeafDepth;
+      int iP = (iTree >> kDownTree) << kDownTree;
+      int idxTree = idx(iP, j);
+      uint8_t* c = &t[idxTree].ctxIdx;
+      outv = *c;
+      CtxMapOBUF::evolve(c, bitv);
+      int th = 3 + (std::abs(int(*c) - 127) >> 4);
+      if (++t[idxTree].nSeen >= th) {
+        if (kDownTree > 0)
+          decreaseKdown(idxTree, kDownTree);
+        else
+          createLeaf(idxTree, leafNumber, leaves, *c, i);
+      }
+    } else {
+      int leafIdx = (int(t[idx(iTree, j)].ctxIdx) << 8)
+        + t[idx(iTree, j)].nSeen;
+      const int maskI = (1 << kLeafDepth) - 1;
+      uint8_t* c = &leaves[leafIdx * (1 << kLeafDepth) + (i & maskI)];
+      outv = *c;
+      CtxMapOBUF::evolve(c, bitv);
+    }
+    return outv;
+  }
+
+  int decodeEvolve(ArithDec* aec, ObufModel& model, int i, int j,
+                   int* leafNumber, uint8_t* leaves) {
+    int iTree = i >> kLeafDepth;
+    int kDown0 = t[idx(iTree, j)].kDown;
+    int bitv;
+    if (kDown0 >= kLeafDepth) {
+      int kDownTree = kDown0 - kLeafDepth;
+      int iP = (iTree >> kDownTree) << kDownTree;
+      int idxTree = idx(iP, j);
+      uint8_t* c = &t[idxTree].ctxIdx;
+      bitv = aec->bit_bounded(&model.prob[*c >> 3], *c >> 3, model.bound);
+      CtxMapOBUF::evolve(c, bitv);
+      int th = 3 + (std::abs(int(*c) - 127) >> 4);
+      if (++t[idxTree].nSeen >= th) {
+        if (kDownTree > 0)
+          decreaseKdown(idxTree, kDownTree);
+        else
+          createLeaf(idxTree, leafNumber, leaves, *c, i);
+      }
+    } else {
+      int leafIdx = (int(t[idx(iTree, j)].ctxIdx) << 8)
+        + t[idx(iTree, j)].nSeen;
+      const int maskI = (1 << kLeafDepth) - 1;
+      uint8_t* c = &leaves[leafIdx * (1 << kLeafDepth) + (i & maskI)];
+      bitv = aec->bit_bounded(&model.prob[*c >> 3], *c >> 3, model.bound);
+      CtxMapOBUF::evolve(c, bitv);
+    }
+    return bitv;
+  }
+};
 
 }  // namespace obufcore
 

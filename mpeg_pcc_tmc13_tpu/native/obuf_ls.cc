@@ -1,0 +1,904 @@
+// Level-sweep OBUF octree geometry encoder.
+//
+// The TPU-first restructuring of the reference's octree geometry
+// engine (SURVEY.md §7 step 3): instead of the reference's per-node
+// BFS with interleaved entropy coding
+// (/root/reference/tmc3/geometry_octree_encoder.cpp:1853-2660), the
+// whole tree is processed level-by-level in struct-of-arrays form:
+//
+//   1. points are key-sorted ONCE by the QTBT-generalised Morton code
+//      (replaces the per-node counting sort,
+//       geometry_octree_encoder.cpp:2210-2218);
+//   2. per level, a BATCHED analysis pass computes every context
+//      input for every node: occupancy words (segmented scan over the
+//      sorted keys), neighbour patterns and adjacency words (gathers
+//      from a cube atlas that is filled UP FRONT for the whole level
+//      -- legal at encode time because every gated neighbour read
+//      targets a lower-Morton in-cube node, cf. OctreeNeighMap.cpp),
+//      inter predOcc (segmented scan over reference keys), planar
+//      decisions, and the per-bit OBUF context indices
+//      (makeGeometryAdvancedNeighPattern0..7);
+//   3. the analysis pass emits a flat TOKEN STREAM; a thin serial
+//      loop then replays only the normative context evolution
+//      (CtxMapDynamicOBUF, geometry_octree.h:328-613) and arithmetic
+//      coding -- nothing else is sequential.
+//
+// The emitted bytes are BYTE-IDENTICAL to the conformance oracle
+// (refcodec.cc) and therefore to the reference encoder on the shared
+// tool set; tests/test_obuf_ls.py asserts this.  The batched analysis
+// is the part that maps onto the TPU (ops/octree_obuf.py mirrors it
+// with array ops and is tested equal); the token loop is the thin
+// host stage of SURVEY.md §7's two-phase entropy pipeline.
+
+#include "obuf_core.h"
+
+#include <algorithm>
+
+namespace {
+
+using namespace obufcore;
+
+// ---------------------------------------------------------------------------
+// token stream: one u32 per coded bin, produced by the batched
+// analysis, consumed by the thin coding loop.
+//   kind(3) | sel(5) | c1(8) | c2(13) | bit(1)
+// ---------------------------------------------------------------------------
+enum TokKind {
+  kTokAdapt = 0,    // adaptive bit: c1 = flat context index
+  kTokBypass = 1,   // bypass bit
+  kTokOcc = 2,      // OBUF occupancy bit: sel = interCtx<<4|sparse<<3|i
+  kTokPlanar = 3,   // OBUF planar-position bit: sel = planeId
+  kTokEg = 4,       // exp-golomb(k=0) on the dup-count context;
+                    //   value taken from the side queue
+};
+
+static inline uint32_t mkTok(int kind, int sel, int c1, int c2,
+                             int bit) {
+  return uint32_t(kind) << 29 | uint32_t(sel) << 24
+    | uint32_t(c1) << 16 | uint32_t(c2) << 1 | uint32_t(bit);
+}
+
+// flat adaptive-context indices (the uint16 contexts of RefOctreeCtx)
+enum FlatCtx {
+  kCtxSingleChild = 0,
+  kCtxDupGt0 = 1,
+  kCtxDupEgl = 2,
+  kCtxMultiPlanar = 3,
+  kCtxPlanarMode0 = 4,                  // +planeId (3)
+  kCtxPlaneLastIndexZ0 = 7,             // +planePosCtx (9)
+  kCtxPlaneLastIndex0 = 16,             // +pid*12+ppc*4+lip (108)
+  kNumFlatCtx = 124,
+};
+
+struct TokenSink {
+  std::vector<uint32_t> tokBuf;
+  uint32_t* tp = nullptr;
+  uint32_t* tpBase = nullptr;
+  std::vector<uint32_t> egVals;
+
+  void reserve(size_t cap) {
+    if (tokBuf.size() < cap)
+      tokBuf.resize(cap);
+    tpBase = tp = tokBuf.data();
+  }
+  void clear() {
+    tp = tpBase = tokBuf.data();
+    egVals.clear();
+  }
+  size_t size() const { return size_t(tp - tpBase); }
+  void adapt(int flatIdx, int bit) {
+    *tp++ = mkTok(kTokAdapt, 0, flatIdx, 0, bit);
+  }
+  void bypass(int bit) { *tp++ = mkTok(kTokBypass, 0, 0, 0, bit); }
+  void occ(int interCtx, int sparse, int i, int c1, int c2, int bit) {
+    *tp++ = mkTok(kTokOcc, interCtx << 4 | sparse << 3 | i, c1, c2,
+                  bit);
+  }
+  void planarPos(int planeId, int c1, int c2, int bit) {
+    *tp++ = mkTok(kTokPlanar, planeId, c1, c2, bit);
+  }
+  void eg(uint32_t value) {
+    *tp++ = mkTok(kTokEg, 0, 0, 0, 0);
+    egVals.push_back(value);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// coding state for the thin loop: packed OBUF maps + flat contexts
+// ---------------------------------------------------------------------------
+struct LsCtx {
+  uint16_t flat[kNumFlatCtx];
+  ObufModel obufModel;
+  CtxMapOBUFPk mapOcc[2][8];        // [interCtx][bit]
+  CtxMapOBUFPk mapOccSparse[2][8];
+  std::vector<uint8_t> leaves;
+  int leafNumber = 0;
+
+  CtxMapOBUFPk mapPlanarPos[3];     // intra: refPlane 0 only
+  ObufModel planarModel[3];
+  std::vector<uint8_t> planarLeaves;
+  int planarLeafNumber = 0;
+
+  void reset(bool enablePlanar) {
+    for (int i = 0; i < kNumFlatCtx; i++) flat[i] = 0x8000;
+    // GeometryOctreeContexts::resetMap (geometry_octree.cpp:877)
+    const int n2 = 6;
+    for (int i = 0; i < 2; i++) {
+      for (int k = 0; k < 8; k++) {
+        int bits1 = (k == 3 || k == 7) ? (4 + n2 + 1) : (6 + n2 + 1);
+        mapOcc[i][k].reset(bits1, 18 - 6 - n2);
+      }
+      static const int sparseBits2[8] = {9 - 5, 12 - 5, 12 - 5, 11 - 5,
+                                         9 - 5, 12 - 5, 12 - 5, 11 - 5};
+      for (int k = 0; k < 8; k++)
+        mapOccSparse[i][k].reset(6 + 5 + 1, sparseBits2[k]);
+    }
+    leaves.assign(size_t(CtxMapOBUFPk::kLeafBufSize)
+                    << CtxMapOBUFPk::kLeafDepth, 0);
+    leafNumber = 0;
+    obufModel.init();
+    if (enablePlanar) {
+      for (int k = 0; k < 3; k++) {
+        mapPlanarPos[k].reset(10, 8);
+        planarModel[k].init();
+      }
+      planarLeaves.assign(size_t(CtxMapOBUFPk::kLeafBufSize)
+                            << CtxMapOBUFPk::kLeafDepth, 0);
+      planarLeafNumber = 0;
+    }
+  }
+};
+
+// thin coding loop: the ONLY serial stage.  Dispatches the token
+// stream into context evolution + arithmetic coding.
+static void codeTokens(ArithEnc& aec, LsCtx& ctx, TokenSink& tk) {
+  const uint32_t* t = tk.tpBase;
+  const size_t n = tk.size();
+  size_t egPos = 0;
+  for (size_t k = 0; k < n; k++) {
+    uint32_t v = t[k];
+    int kind = v >> 29;
+    int bit = v & 1;
+    if (__builtin_expect(kind == kTokOcc, 1)) {
+      int sel = (v >> 24) & 31;
+      int c1 = (v >> 16) & 255, c2 = (v >> 1) & 0x1FFF;
+      CtxMapOBUFPk& m = (sel & 8)
+        ? ctx.mapOccSparse[(sel >> 4) & 1][sel & 7]
+        : ctx.mapOcc[(sel >> 4) & 1][sel & 7];
+      uint8_t obufIdx = m.getEvolve(bit, c2, c1, &ctx.leafNumber,
+                                    ctx.leaves.data());
+      aec.bit_bounded(&ctx.obufModel.prob[obufIdx >> 3], obufIdx >> 3,
+                      ctx.obufModel.bound, bit);
+    } else if (kind == kTokAdapt) {
+      aec.bit(&ctx.flat[(v >> 16) & 255], bit);
+    } else if (kind == kTokBypass) {
+      aec.bypass(bit);
+    } else if (kind == kTokPlanar) {
+      int pid = (v >> 24) & 31;
+      int c1 = (v >> 16) & 255, c2 = (v >> 1) & 0x1FFF;
+      uint8_t obufIdx = ctx.mapPlanarPos[pid].getEvolve(
+        bit, c2, c1, &ctx.planarLeafNumber, ctx.planarLeaves.data());
+      aec.bit_bounded(&ctx.planarModel[pid].prob[obufIdx >> 3],
+                      obufIdx >> 3, ctx.planarModel[pid].bound, bit);
+    } else {
+      aec.exp_golomb(tk.egVals[egPos++], 0, &ctx.flat[kCtxDupEgl]);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// batched analysis: planar-mode token emission.  Mirrors
+// determinePlanarIntraEnc / determinePlanarPlane /
+// encodePlanarModeIntra (refcodec.cc, from
+// geometry_octree_encoder.cpp) with tokens in place of coder calls.
+// All decisions are occupancy-deterministic at encode time.
+// ---------------------------------------------------------------------------
+
+static void emitPlanarModeIntra(
+  TokenSink& tk, bool multiplePlanar, bool dynObuf, NodePlanar& planar,
+  int planeZ, int dist, int adjPlanes, int planeId,
+  const bool* multiPlanarFlag, const bool* multiPlanarEligible,
+  const NodePlanar adjNeighPlanar[7], bool neighAvai,
+  uint32_t neighOccu, int& planeBitOut) {
+  const int mask0 = 1 << planeId;
+  static const int kMask1[3] = {6, 5, 3};
+
+  bool isPlanar = planar.planarMode & mask0;
+  int planeBit = (planar.planePosBits & mask0) ? 1 : 0;
+
+  if (multiplePlanar) {
+    static const int planeId2Index[3][3] = {{0, 1, 2}, {0, 1, 3},
+                                            {0, 2, 3}};
+    bool multiPlanarFlagFalse = true;
+    for (int i = 0; i < 3; i++)
+      multiPlanarFlagFalse &= !multiPlanarFlag[
+        planeId2Index[planeId][i]];
+    bool inferredPlanarFalse = multiPlanarFlagFalse;
+    if (multiPlanarFlagFalse) {
+      if (planeId == 2) {
+        if (multiPlanarEligible[0])
+          inferredPlanarFalse =
+            !((planar.planarMode & 2) && (planar.planarMode & 1));
+        else if (multiPlanarEligible[2])
+          inferredPlanarFalse = !(planar.planarMode & 1);
+        else if (multiPlanarEligible[3])
+          inferredPlanarFalse = !(planar.planarMode & 2);
+      } else if (planeId == 1) {
+        if (multiPlanarEligible[1])
+          inferredPlanarFalse = !(planar.planarMode & 1);
+      }
+    }
+    if (inferredPlanarFalse)
+      tk.adapt(kCtxPlanarMode0 + planeId, isPlanar);
+  } else {
+    tk.adapt(kCtxPlanarMode0 + planeId, isPlanar);
+  }
+
+  if (!isPlanar) {
+    planar.planarPossible &= kMask1[planeId];
+    planeBitOut = -1;
+    return;
+  }
+
+  int planePosCtx = kAdjPlaneCtx[adjPlanes];
+  if (dynObuf) {
+    int discreteDist;
+    if (planeZ < 0) {
+      discreteDist = 1;
+      planeZ = 0;
+    } else {
+      discreteDist = dist > (8 >> PlanarBuffer::kShiftAb);
+    }
+    int lastIndexPlane2d = planeZ + (discreteDist << 1);
+    int c1, c2;
+    planarPosObufCtx(planeId, lastIndexPlane2d, planePosCtx,
+                     adjNeighPlanar, neighAvai, neighOccu, c1, c2);
+    tk.planarPos(planeId, c1, c2, planeBit);
+  } else {
+    if (planeZ < 0) {
+      tk.adapt(kCtxPlaneLastIndexZ0 + planePosCtx, planeBit);
+    } else {
+      int discreteDist = dist > (8 >> PlanarBuffer::kShiftAb);
+      int lastIndexPlane2d = planeZ + (discreteDist << 1);
+      tk.adapt(kCtxPlaneLastIndex0 + planeId * 12 + planePosCtx * 4
+                 + lastIndexPlane2d, planeBit);
+    }
+  }
+  planeBitOut = planeBit;
+}
+
+static void emitPlanarIntra(
+  TokenSink& tk, PlanarState& planarState, const GeomParams& gp,
+  bool dynObuf, const bool planarEligible[3], int posInParent,
+  const NeighPattern& gnp, const int32_t childPos[3],
+  uint8_t siblingOccupancy, int occupancy, NodePlanar& planar) {
+  planesFromOccupancy(occupancy, planar);
+
+  NodePlanar adjNeighPlanar[7];
+  if (dynObuf && gnp.neighOccuValid)
+    for (int idx = 0; idx < 7; ++idx)
+      if (gnp.adjOcc[idx])
+        planesFromOccupancy(gnp.adjOcc[idx], adjNeighPlanar[idx]);
+
+  uint8_t mask = 0;
+  mask |= planarEligible[2] << 2;
+  mask |= planarEligible[1] << 1;
+  mask |= planarEligible[0] << 0;
+  planar.planarMode &= mask;
+  planar.planePosBits &= mask;
+
+  bool multiPlanarFlag[4] = {false, false, false, false};
+  bool multiPlanarEligible[4] = {false, false, false, false};
+  if (planarState.multiplePlanar) {
+    int kind = kindOfEligible(planarEligible);
+    if (kind >= 0) {
+      multiPlanarEligible[kind] = true;
+      bool v;
+      if (kind == 0)
+        v = (occupancy & (occupancy - 1)) == 0;
+      else if (kind == 1)
+        v = (planar.planarMode & 1) && (planar.planarMode & 2);
+      else if (kind == 2)
+        v = (planar.planarMode & 1) && (planar.planarMode & 4);
+      else
+        v = (planar.planarMode & 2) && (planar.planarMode & 4);
+      multiPlanarFlag[kind] = v;
+      tk.adapt(kCtxMultiPlanar, v);
+    }
+  }
+
+  struct Dir {
+    int planeId, c1, c2, c3;
+  };
+  const Dir dirs[3] = {{0, childPos[1], childPos[2], childPos[0]},
+                       {1, childPos[0], childPos[2], childPos[1]},
+                       {2, childPos[0], childPos[1], childPos[2]}};
+  static const int kAdjNeighIdxFromPlanePos[3][2] = {{1, 0}, {2, 3},
+                                                     {4, 5}};
+  static const uint8_t kAdjNeighIdxMask[3][2] = {{0x0f, 0xf0},
+                                                 {0x33, 0xcc},
+                                                 {0x55, 0xaa}};
+  for (const Dir& d : dirs) {
+    if (!planarEligible[d.planeId])
+      continue;
+    const int planeId = d.planeId;
+    PlanarBuffer::Elmt* planeBuffer = planarState.bufferEnabled
+      ? planarState.buffer.col(planeId) : nullptr;
+    // determinePlanarPlane (refcodec.cc; decoder :556)
+    PlanarBuffer::Elmt* row = nullptr;
+    int closestPlanarFlag;
+    int closestDist;
+    int maxCoord = 0;
+    int coord1 = d.c1, coord2 = d.c2, coord3 = d.c3;
+    if (!planeBuffer) {
+      closestPlanarFlag = -1;
+      closestDist = 0;
+    } else {
+      coord1 =
+        (coord1 & PlanarBuffer::kMaskAb) >> PlanarBuffer::kShiftAb;
+      coord2 =
+        (coord2 & PlanarBuffer::kMaskAb) >> PlanarBuffer::kShiftAb;
+      coord3 = coord3 & PlanarBuffer::kMaskC;
+      row = &planeBuffer[coord3];
+      maxCoord = std::max(coord1, coord2);
+      closestDist = std::abs(maxCoord - int(row[0].pos));
+      closestPlanarFlag = row[0].planeIdx;
+    }
+
+    int pos = !(kAdjNeighIdxMask[planeId][0] & (1 << posInParent));
+    bool lowAdj = gp.adjacentChildCtx != 0
+      ? (kAdjNeighIdxMask[planeId][1] & gnp.adjOcc[planeId]) != 0
+      : ((gnp.pattern >> kAdjNeighIdxFromPlanePos[planeId][0]) & 1)
+        != 0;
+    bool highAdj = !pos
+      ? (kAdjNeighIdxMask[planeId][1] & siblingOccupancy) != 0
+      : ((gnp.pattern >> kAdjNeighIdxFromPlanePos[planeId][1]) & 1)
+        != 0;
+    int adjPlanes = (int(highAdj) << 1) | int(lowAdj);
+
+    int planeBit;
+    emitPlanarModeIntra(tk, planarState.multiplePlanar, dynObuf,
+                        planar, closestPlanarFlag, closestDist,
+                        adjPlanes, planeId, multiPlanarFlag,
+                        multiPlanarEligible, adjNeighPlanar,
+                        gnp.neighOccuValid, gnp.neighborOccu,
+                        planeBit);
+    bool isPlanar = (planar.planarMode & (1 << planeId)) != 0;
+    planarState.rate[planeId] =
+      (255 * planarState.rate[planeId] + (isPlanar ? 256 * 8 : 0)
+       + 128) >> 8;
+    if (planeBuffer)
+      *row = PlanarBuffer::Elmt{uint8_t(maxCoord), int8_t(planeBit)};
+  }
+}
+
+// ---------------------------------------------------------------------------
+// batched analysis: occupancy token emission.  Mirrors
+// encodeOccupancy (refcodec.cc; geometry_octree_encoder.cpp:815-982)
+// with tokens in place of coder calls; NeighInfo comes precomputed
+// from the level pass.
+// ---------------------------------------------------------------------------
+static void emitOccupancy(
+  TokenSink& tk, const NeighPattern& gnp, NeighInfo& nf, int occupancy,
+  int planarMaskX, int planarMaskY, int planarMaskZ,
+  bool planarPossibleX, bool planarPossibleY, bool planarPossibleZ,
+  int predOcc) {
+  if (planarMaskX && planarMaskY && planarMaskZ)
+    return;
+  bool flagNoSingle = false;
+  if (gnp.pattern == 0
+      && (!predOcc || (planarMaskX | planarMaskY | planarMaskZ))) {
+    int pc = occupancy & (occupancy - 1);
+    bool singleChild = pc == 0;
+    if (planarPossibleX && planarPossibleY && planarPossibleZ)
+      tk.adapt(kCtxSingleChild, singleChild);
+    if (singleChild) {
+      if (!planarMaskZ) tk.bypass(!!(occupancy & 0xaa));
+      if (!planarMaskY) tk.bypass(!!(occupancy & 0xcc));
+      if (!planarMaskX) tk.bypass(!!(occupancy & 0xf0));
+      return;
+    }
+    flagNoSingle = true;
+    if (planarMaskX && planarMaskY) return;
+    if (planarMaskY && planarMaskZ) return;
+    if (planarMaskX && planarMaskZ) return;
+  }
+
+  const bool surePlanarityX = planarMaskX || !planarPossibleX;
+  const bool surePlanarityY = planarMaskY || !planarPossibleY;
+  const bool surePlanarityZ = planarMaskZ || !planarPossibleZ;
+  const int maxPerPlaneX = (planarMaskX && flagNoSingle) ? 2 : 3;
+  const int maxPerPlaneY = (planarMaskY && flagNoSingle) ? 2 : 3;
+  const int maxPerPlaneZ = (planarMaskZ && flagNoSingle) ? 2 : 3;
+  const int maxAll = flagNoSingle ? 6 : 7;
+
+  int maskConfig = (!!planarMaskX) * (1 + (planarMaskX != 0x0F));
+  maskConfig += (!!planarMaskY) * 3 * (1 + (planarMaskY != 0x33));
+  maskConfig += (!!planarMaskZ) * 9 * (1 + (planarMaskZ != 0x55));
+  int coded0[6] = {0, 0, 0, 0, 0, 0};
+  if (maskConfig)
+    std::memcpy(coded0, kInitCoded0[maskConfig], sizeof coded0);
+
+  int maskedOccupancy = planarMaskX | planarMaskY | planarMaskZ;
+  for (int i = 0; i < 8; i++) {
+    if ((maskedOccupancy >> i) & 1)
+      continue;
+    int mask0X = (0xf0 >> i) & 1;
+    int mask0Y = 2 + ((0xcc >> i) & 1);
+    int mask0Z = 4 + ((0xaa >> i) & 1);
+    bool bitIsOne = (surePlanarityX && coded0[mask0X] >= maxPerPlaneX)
+      || (coded0[0] + coded0[1] >= maxAll)
+      || (surePlanarityY && coded0[mask0Y] >= maxPerPlaneY)
+      || (coded0[2] + coded0[3] >= maxAll)
+      || (surePlanarityZ && coded0[mask0Z] >= maxPerPlaneZ)
+      || (coded0[4] + coded0[5] >= maxAll);
+    if (bitIsOne)
+      continue;
+    const int interCtx = (predOcc >> i) & 1;
+    int c1, c2;
+    bool sparse;
+    ctxBitDispatch(i, nf, occupancy, c1, c2, sparse);
+    int bitv = (occupancy >> i) & 1;
+    tk.occ(interCtx, sparse ? 1 : 0, i, c1, c2, bitv);
+    coded0[mask0X] += !bitv;
+    coded0[mask0Y] += !bitv;
+    coded0[mask0Z] += !bitv;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// level-sweep encoder
+// ---------------------------------------------------------------------------
+
+// LSD radix sort of raw 64-bit keys over the low `bits` bits
+static void radixSortKeys(std::vector<uint64_t>& keys, int bits) {
+  const int kDigit = 11;
+  const int kRadix = 1 << kDigit;
+  std::vector<uint64_t> tmp(keys.size());
+  static size_t hist[kRadix];
+  for (int sh = 0; sh < bits; sh += kDigit) {
+    std::memset(hist, 0, sizeof hist);
+    for (uint64_t k : keys) hist[(k >> sh) & (kRadix - 1)]++;
+    size_t acc = 0;
+    for (int d = 0; d < kRadix; d++) {
+      size_t c = hist[d];
+      hist[d] = acc;
+      acc += c;
+    }
+    for (uint64_t k : keys) tmp[hist[(k >> sh) & (kRadix - 1)]++] = k;
+    keys.swap(tmp);
+  }
+}
+
+// per-level node metadata for the top-down sweep (node keys and
+// occupancies come precomputed from the bottom-up construction)
+struct Level {
+  std::vector<int32_t> px, py, pz;
+  std::vector<uint8_t> sibOcc, numSib, mispred;
+  void resize(size_t m) {
+    px.resize(m); py.resize(m); pz.resize(m);
+    sibOcc.resize(m); numSib.resize(m); mispred.resize(m);
+  }
+};
+
+static int obufls_encode_impl(
+  const int32_t* positions, int num_points,
+  const int32_t* ref_positions, int num_ref,
+  const int32_t* coded_axis_list, int num_levels,
+  const int32_t* gp_arr, uint8_t* out_buf, int out_cap) {
+  GeomParams gp;
+  std::memcpy(&gp, gp_arr, sizeof gp);
+  if (gp.neighAvailBoundaryLog2 < 1 || gp.neighAvailBoundaryLog2 > 9)
+    return -2;
+  if (num_levels > 21 || num_levels < 1)
+    return -3;  // key would not fit 64 bits; caller falls back
+
+  // per-level child size log2s (mirrors refcodec lvlSize derivation)
+  std::vector<int> lvlSize[3];
+  {
+    int size[3] = {0, 0, 0};
+    std::vector<int> acc[3];
+    for (int k = 0; k < 3; k++) acc[k].push_back(0);
+    for (int i = num_levels - 1; i >= 0; i--) {
+      int split = coded_axis_list[i];
+      size[0] += !!(split & 4);
+      size[1] += !!(split & 2);
+      size[2] += !!(split & 1);
+      for (int k = 0; k < 3; k++) acc[k].push_back(size[k]);
+    }
+    for (int k = 0; k < 3; k++) {
+      lvlSize[k].assign(acc[k].rbegin(), acc[k].rend());
+      lvlSize[k].push_back(lvlSize[k].back());
+    }
+  }
+  const int L = num_levels;
+
+  // generalised Morton keys: 3 bits per level in coding order; the
+  // bucket of a point at level d is the key field at shift 3*(L-1-d)
+  int32_t probeXs[24], probeYs[24], probeZs[24];
+  for (int d = 0; d < L; d++) {
+    int coded = coded_axis_list[d];
+    probeXs[d] =
+      (coded & 4) ? (int32_t(1) << lvlSize[0][d + 1]) : 0;
+    probeYs[d] =
+      (coded & 2) ? (int32_t(1) << lvlSize[1][d + 1]) : 0;
+    probeZs[d] =
+      (coded & 1) ? (int32_t(1) << lvlSize[2][d + 1]) : 0;
+  }
+  auto buildKeys = [&](const int32_t* pts, int n,
+                       std::vector<uint64_t>& keys) {
+    keys.resize(size_t(n));
+    for (int p = 0; p < n; p++) {
+      const int32_t x = pts[size_t(p) * 3], y = pts[size_t(p) * 3 + 1],
+        z = pts[size_t(p) * 3 + 2];
+      uint64_t key = 0;
+      for (int d = 0; d < L; d++) {
+        int b = (!!(z & probeZs[d])) | (!!(y & probeYs[d]) << 1)
+          | (!!(x & probeXs[d]) << 2);
+        key = (key << 3) | uint64_t(b);
+      }
+      keys[size_t(p)] = key;
+    }
+  };
+
+  std::vector<uint64_t> keys, rkeys;
+  buildKeys(positions, num_points, keys);
+  radixSortKeys(keys, 3 * L);
+  if (num_ref > 0) {
+    buildKeys(ref_positions, num_ref, rkeys);
+    radixSortKeys(rkeys, 3 * L);
+  }
+
+  // ---- bottom-up linear-octree construction -----------------------
+  // lvlKey[d] holds the sorted node keys (3*d-bit prefixes) of level
+  // d; lvlOcc[d] the child-occupancy words.  One O(nodes) pass per
+  // level replaces the reference's per-node counting sort over points
+  // (geometry_octree_encoder.cpp:2210).
+  std::vector<std::vector<uint64_t>> lvlKey((size_t)L + 1);
+  std::vector<std::vector<uint8_t>> lvlOcc((size_t)L);
+  std::vector<int32_t> leafCnt;       // points per unique leaf key
+  {
+    std::vector<uint64_t>& lk = lvlKey[size_t(L)];
+    lk.reserve(size_t(num_points));
+    leafCnt.reserve(size_t(num_points));
+    for (int p = 0; p < num_points;) {
+      uint64_t k = keys[size_t(p)];
+      int q = p + 1;
+      while (q < num_points && keys[size_t(q)] == k)
+        q++;
+      lk.push_back(k);
+      leafCnt.push_back(q - p);
+      p = q;
+    }
+  }
+  for (int d = L - 1; d >= 0; d--) {
+    const std::vector<uint64_t>& ck = lvlKey[size_t(d) + 1];
+    std::vector<uint64_t>& pk = lvlKey[size_t(d)];
+    std::vector<uint8_t>& po = lvlOcc[size_t(d)];
+    pk.reserve(ck.size());
+    po.reserve(ck.size());
+    size_t i = 0;
+    while (i < ck.size()) {
+      uint64_t parent = ck[i] >> 3;
+      int occ = 0;
+      do {
+        occ |= 1 << int(ck[i] & 7);
+        i++;
+      } while (i < ck.size() && (ck[i] >> 3) == parent);
+      pk.push_back(parent);
+      po.push_back(uint8_t(occ));
+    }
+  }
+  std::vector<std::vector<uint64_t>> refKey;
+  std::vector<std::vector<uint8_t>> refOcc;
+  if (num_ref > 0) {
+    refKey.resize(size_t(L) + 1);
+    refOcc.resize(size_t(L));
+    std::vector<uint64_t>& lk = refKey[size_t(L)];
+    lk.reserve(size_t(num_ref));
+    for (int p = 0; p < num_ref;) {
+      uint64_t k = rkeys[size_t(p)];
+      int q = p + 1;
+      while (q < num_ref && rkeys[size_t(q)] == k)
+        q++;
+      lk.push_back(k);
+      p = q;
+    }
+    for (int d = L - 1; d >= 0; d--) {
+      const std::vector<uint64_t>& ck = refKey[size_t(d) + 1];
+      std::vector<uint64_t>& pk = refKey[size_t(d)];
+      std::vector<uint8_t>& po = refOcc[size_t(d)];
+      pk.reserve(ck.size());
+      po.reserve(ck.size());
+      size_t i = 0;
+      while (i < ck.size()) {
+        uint64_t parent = ck[i] >> 3;
+        int occ = 0;
+        do {
+          occ |= 1 << int(ck[i] & 7);
+          i++;
+        } while (i < ck.size() && (ck[i] >> 3) == parent);
+        pk.push_back(parent);
+        po.push_back(uint8_t(occ));
+      }
+    }
+  }
+
+  ArithEnc aec;
+  aec.init();
+  aec.out.reserve(size_t(num_points) * 2 + 1024);
+  aec.bypassNoUpdate = gp.bypassNoUpdate != 0;
+  LsCtx ctx;
+  ctx.reset(gp.planarEnabled != 0);
+
+  PlanarState planarState;
+  planarState.bufferEnabled =
+    gp.planarEnabled && gp.planarBufferEnabled;
+  planarState.multiplePlanar = gp.planarEnabled && gp.multiplePlanar;
+  for (int k = 0; k < 3; k++)
+    planarState.rateThreshold[k] = gp.planarTh[k] << 4;
+  const bool dynObuf =
+    gp.planarEnabled && gp.planarDynamicObufEligibility;
+  const bool checkPlanarDepthEligibility =
+    gp.planarEnabled && gp.depthPlanarEligibility;
+  bool planarEligibleKDepth = false;
+  int nodesBeforePlanarUpdate = 1;
+
+  Atlas atlas;
+  atlas.resize(gp.adjacentChildCtx != 0, gp.neighAvailBoundaryLog2);
+
+  Level cur, nxt;
+  cur.resize(1);
+  cur.px[0] = cur.py[0] = cur.pz[0] = 0;
+  cur.sibOcc[0] = 0;
+  cur.numSib[0] = 8;
+  cur.mispred[0] = 0;
+
+  // per-level analysis buffers
+  std::vector<uint8_t> predEffA;
+  std::vector<NeighPattern> gnpA;
+  std::vector<NeighInfo> nfA;
+  TokenSink tk;
+
+  for (int depth = 0; depth < L; depth++) {
+    const std::vector<uint64_t>& ndKey = lvlKey[size_t(depth)];
+    const std::vector<uint8_t>& ndOcc = lvlOcc[size_t(depth)];
+    const std::vector<uint64_t>& chKey = lvlKey[size_t(depth) + 1];
+    const size_t N = ndKey.size();
+    int codedAxesPrevLvl = depth ? coded_axis_list[depth - 1] : 7;
+    int codedAxesCurLvl = coded_axis_list[depth];
+    int childSizeLog2[3] = {lvlSize[0][depth + 1],
+                            lvlSize[1][depth + 1],
+                            lvlSize[2][depth + 1]};
+    bool childIsLeaf = !childSizeLog2[0] && !childSizeLog2[1]
+      && !childSizeLog2[2];
+    const int cx = !!(codedAxesCurLvl & 4);
+    const int cy = !!(codedAxesCurLvl & 2);
+    const int cz = !!(codedAxesCurLvl & 1);
+    if (gp.planarEnabled) {
+      int planarDepth[3] = {lvlSize[0][0] - lvlSize[0][depth],
+                            lvlSize[1][0] - lvlSize[1][depth],
+                            lvlSize[2][0] - lvlSize[2][depth]};
+      planarState.initPlanes(planarDepth);
+    }
+    const bool dynK = dynObuf && planarEligibleKDepth;
+    const long numSubnodes = long(chKey.size());
+
+    // --- phase 1: inter predOcc via sorted-key merge ---------------
+    // a node's subtree holds reference points iff its key appears in
+    // the reference level array; effPredOcc additionally applies the
+    // mispred<=5 gate (occupancyIsPredictable,
+    // geometry_octree_encoder.cpp:2287)
+    predEffA.assign(N, 0);
+    if (num_ref > 0) {
+      const std::vector<uint64_t>& rk = refKey[size_t(depth)];
+      const std::vector<uint8_t>& ro = refOcc[size_t(depth)];
+      size_t rp = 0;
+      for (size_t n = 0; n < N; n++) {
+        while (rp < rk.size() && rk[rp] < ndKey[n])
+          rp++;
+        if (rp < rk.size() && rk[rp] == ndKey[n]
+            && cur.mispred[n] <= 5)
+          predEffA[n] = ro[rp];
+      }
+    }
+
+    // --- phase 2: atlas fill + neighbour gathers (batched) ---------
+    gnpA.resize(N);
+    nfA.resize(N);
+    {
+      const int shift = atlas.cubeSizeLog2;
+      const uint32_t mask = (1u << shift) - 1;
+      const int shiftX = (codedAxesPrevLvl & 4) ? 1 : 0;
+      const int shiftY = (codedAxesPrevLvl & 2) ? 1 : 0;
+      const int shiftZ = (codedAxesPrevLvl & 1) ? 1 : 0;
+      size_t g0 = 0;
+      while (g0 < N) {
+        int32_t ox = cur.px[g0] >> shift, oy = cur.py[g0] >> shift,
+          oz = cur.pz[g0] >> shift;
+        size_t g1 = g0 + 1;
+        while (g1 < N && (cur.px[g1] >> shift) == ox
+               && (cur.py[g1] >> shift) == oy
+               && (cur.pz[g1] >> shift) == oz)
+          g1++;
+        atlas.clearUpdates();
+        for (size_t n = g0; n < g1; n++) {
+          atlas.setByte(int((cur.px[n] & mask) >> shiftX),
+                        int((cur.py[n] & mask) >> shiftY),
+                        int((cur.pz[n] & mask) >> shiftZ),
+                        cur.sibOcc[n]);
+        }
+        if (gp.adjacentChildCtx) {
+          // upfront child-occupancy fill: every gated read in the
+          // context derivations targets a lower-Morton in-cube node,
+          // so pre-filling the whole cube is bit-identical to the
+          // reference's write-as-you-code order
+          for (size_t n = g0; n < g1; n++)
+            atlas.setChildOcc(int(cur.px[n] & mask),
+                              int(cur.py[n] & mask),
+                              int(cur.pz[n] & mask), ndOcc[n]);
+        }
+        for (size_t n = g0; n < g1; n++) {
+          int32_t pos3[3] = {cur.px[n], cur.py[n], cur.pz[n]};
+          gnpA[n] = makeNeighPattern(gp.adjacentChildCtx != 0, pos3,
+                                     codedAxesPrevLvl, atlas, dynK);
+          prepareNeighInfo(nfA[n], gnpA[n], pos3, codedAxesPrevLvl,
+                           atlas, dynK);
+        }
+        g0 = g1;
+      }
+    }
+
+    // --- phase 3: planar decisions + token emission + child fill ---
+    tk.reserve(N * 24 + 8);
+    tk.clear();
+    if (!childIsLeaf)
+      nxt.resize(chKey.size());
+    size_t cptr = 0;      // running child index into lvl[depth+1]
+    size_t lptr = 0;      // running leaf-run index (leaf level)
+    for (size_t n = 0; n < N; n++) {
+      const int occupancy = ndOcc[n];
+      const int numOccupied = __builtin_popcount(unsigned(occupancy));
+
+      int posInParent = 0;
+      posInParent |= (cur.px[n] & 1) << 2;
+      posInParent |= (cur.py[n] & 1) << 1;
+      posInParent |= (cur.pz[n] & 1) << 0;
+      posInParent &= codedAxesPrevLvl;
+
+      if (gp.planarEnabled && !gp.depthPlanarEligibility) {
+        if (!nodesBeforePlanarUpdate--) {
+          planarState.updateRate(cur.sibOcc[n], cur.numSib[n]);
+          nodesBeforePlanarUpdate = cur.numSib[n] - 1;
+        }
+      }
+
+      NodePlanar planar;
+      bool planarEligible[3] = {false, false, false};
+      if (gp.planarEnabled) {
+        if (gp.depthPlanarEligibility) {
+          if (planarEligibleKDepth)
+            planarEligible[0] = planarEligible[1] =
+              planarEligible[2] = true;
+        } else {
+          planarState.isEligible(planarEligible);
+        }
+        for (int k = 0; k < 3; k++)
+          planarEligible[k] =
+            planarEligible[k] && ((codedAxesCurLvl >> (2 - k)) & 1);
+        if (planarEligible[0] || planarEligible[1]
+            || planarEligible[2]) {
+          int32_t pos3[3] = {cur.px[n], cur.py[n], cur.pz[n]};
+          emitPlanarIntra(tk, planarState, gp, dynObuf,
+                          planarEligible, posInParent, gnpA[n], pos3,
+                          cur.sibOcc[n], occupancy, planar);
+        }
+      }
+
+      for (int k = 0; k < 3; k++) {
+        if (!(codedAxesCurLvl & (4 >> k))) {
+          planar.planePosBits &= uint8_t(~(1 << k));
+          planar.planarMode |= uint8_t(1 << k);
+        }
+      }
+      int planarMask[3] = {0, 0, 0};
+      if (planar.planarMode & 1)
+        planarMask[0] = (planar.planePosBits & 1) ? 0x0f : 0xf0;
+      if (planar.planarMode & 2)
+        planarMask[1] = (planar.planePosBits & 2) ? 0x33 : 0xcc;
+      if (planar.planarMode & 4)
+        planarMask[2] = (planar.planePosBits & 4) ? 0x55 : 0xaa;
+
+      emitOccupancy(tk, gnpA[n], nfA[n], occupancy, planarMask[0],
+                    planarMask[1], planarMask[2],
+                    planar.planarPossible & 1,
+                    planar.planarPossible & 2,
+                    planar.planarPossible & 4, predEffA[n]);
+
+      if (childIsLeaf) {
+        if (!gp.uniquePoints) {
+          for (int ci = 0; ci < numOccupied; ci++) {
+            int dupCnt = leafCnt[lptr + size_t(ci)] - 1;
+            tk.adapt(kCtxDupGt0, dupCnt > 0);
+            if (dupCnt > 0)
+              tk.eg(unsigned(dupCnt - 1));
+          }
+        }
+        lptr += size_t(numOccupied);
+        continue;
+      }
+
+      // child metadata (mispred: occupancy-vs-prediction failures,
+      // geometry_octree_encoder.cpp:2548)
+      int predOccRaw = 0;
+      if (num_ref > 0) {
+        const std::vector<uint64_t>& rk = refKey[size_t(depth)];
+        // predEffA only carries the gated word; re-derive the raw one
+        // for mispred via a cheap local search when gating differs
+        (void)rk;
+      }
+      // raw prediction for mispred: match at this level regardless of
+      // the mispred gate
+      predOccRaw = 0;
+      if (num_ref > 0) {
+        const std::vector<uint64_t>& rk = refKey[size_t(depth)];
+        const std::vector<uint8_t>& ro = refOcc[size_t(depth)];
+        size_t lo = 0, hi = rk.size();
+        while (lo < hi) {
+          size_t mid = (lo + hi) / 2;
+          if (rk[mid] < ndKey[n])
+            lo = mid + 1;
+          else
+            hi = mid;
+        }
+        if (lo < rk.size() && rk[lo] == ndKey[n])
+          predOccRaw = ro[lo];
+      }
+      int mispredC;
+      {
+        int fail = 0;
+        for (int b = 0; b < 8; b++)
+          fail +=
+            (!!(occupancy & (1 << b))) != (!!(predOccRaw & (1 << b)));
+        mispredC = fail < 255 ? fail : 255;
+      }
+      for (int ci = 0; ci < numOccupied; ci++) {
+        size_t c = cptr + size_t(ci);
+        int b = int(chKey[c] & 7);
+        nxt.px[c] = (cur.px[n] << cx) + (!!(b & 4));
+        nxt.py[c] = (cur.py[n] << cy) + (!!(b & 2));
+        nxt.pz[c] = (cur.pz[n] << cz) + (!!(b & 1));
+        nxt.sibOcc[c] = uint8_t(occupancy);
+        nxt.numSib[c] = uint8_t(numOccupied);
+        nxt.mispred[c] = uint8_t(mispredC);
+      }
+      cptr += size_t(numOccupied);
+    }
+
+    // --- phase 4: thin serial coding loop --------------------------
+    codeTokens(aec, ctx, tk);
+
+    if (checkPlanarDepthEligibility)
+      planarEligibleKDepth = long(num_points) * 10 < numSubnodes * 13;
+
+    std::swap(cur, nxt);
+  }
+
+  aec.flush();
+  if (int(aec.out.size()) > out_cap)
+    return -4;
+  std::memcpy(out_buf, aec.out.data(), aec.out.size());
+  return int(aec.out.size());
+}
+
+}  // namespace
+
+extern "C" int obufls_encode_octree(
+  const int32_t* positions, int num_points,
+  const int32_t* ref_positions, int num_ref,
+  const int32_t* coded_axis_list, int num_levels,
+  const int32_t* gp_arr, uint8_t* out_buf, int out_cap) {
+  return obufls_encode_impl(positions, num_points, ref_positions,
+                            num_ref, coded_axis_list, num_levels,
+                            gp_arr, out_buf, out_cap);
+}
