@@ -549,8 +549,10 @@ struct Atlas {
     cubeSizeLog2 = log2;
     cubeSize = 1 << log2;
     buffer.assign(size_t(1) << (3 * log2), 0);
+    // byteIndex() interleaves three log2-bit coords, so indices are
+    // < 1<<(3*log2); the reference allocates 8x that, needlessly
     if (childEnabled)
-      childOcc.assign((size_t(1) << (3 * log2)) << 3, 0);
+      childOcc.assign(size_t(1) << (3 * log2), 0);
     for (int v = 0; v < 256; v++) {
       mortonX[v] = spread3(uint32_t(v), 2);
       mortonY[v] = spread3(uint32_t(v), 1);

@@ -151,7 +151,7 @@ struct LsCtx {
 
 // thin coding loop: the ONLY serial stage.  Dispatches the token
 // stream into context evolution + arithmetic coding.
-static void codeTokens(ArithEnc& aec, LsCtx& ctx, TokenSink& tk) {
+__attribute__((flatten)) static void codeTokens(ArithEnc& aec, LsCtx& ctx, TokenSink& tk) {
   const uint32_t* t = tk.tpBase;
   const size_t n = tk.size();
   size_t egPos = 0;
@@ -267,7 +267,7 @@ static void emitPlanarModeIntra(
   planeBitOut = planeBit;
 }
 
-static void emitPlanarIntra(
+__attribute__((flatten)) static void emitPlanarIntra(
   TokenSink& tk, PlanarState& planarState, const GeomParams& gp,
   bool dynObuf, const bool planarEligible[3], int posInParent,
   const NeighPattern& gnp, const int32_t childPos[3],
@@ -378,7 +378,7 @@ static void emitPlanarIntra(
 // with tokens in place of coder calls; NeighInfo comes precomputed
 // from the level pass.
 // ---------------------------------------------------------------------------
-static void emitOccupancy(
+__attribute__((flatten)) static void emitOccupancy(
   TokenSink& tk, const NeighPattern& gnp, NeighInfo& nf, int occupancy,
   int planarMaskX, int planarMaskY, int planarMaskZ,
   bool planarPossibleX, bool planarPossibleY, bool planarPossibleZ,
@@ -480,6 +480,20 @@ struct Level {
     sibOcc.resize(m); numSib.resize(m); mispred.resize(m);
   }
 };
+
+__attribute__((flatten)) static void analyzeNeighRange(
+  NeighPattern* gnpA, NeighInfo* nfA, const Level& cur, size_t g0,
+  size_t g1, bool adjChildCtx, int codedAxesPrevLvl,
+  const Atlas& atlas, bool dynK) {
+  for (size_t n = g0; n < g1; n++) {
+    int32_t pos3[3] = {cur.px[n], cur.py[n], cur.pz[n]};
+    gnpA[n] = makeNeighPattern(adjChildCtx, pos3, codedAxesPrevLvl,
+                               atlas, dynK);
+    prepareNeighInfo(nfA[n], gnpA[n], pos3, codedAxesPrevLvl, atlas,
+                     dynK);
+  }
+}
+
 
 static int obufls_encode_impl(
   const int32_t* positions, int num_points,
@@ -738,13 +752,9 @@ static int obufls_encode_impl(
                               int(cur.py[n] & mask),
                               int(cur.pz[n] & mask), ndOcc[n]);
         }
-        for (size_t n = g0; n < g1; n++) {
-          int32_t pos3[3] = {cur.px[n], cur.py[n], cur.pz[n]};
-          gnpA[n] = makeNeighPattern(gp.adjacentChildCtx != 0, pos3,
-                                     codedAxesPrevLvl, atlas, dynK);
-          prepareNeighInfo(nfA[n], gnpA[n], pos3, codedAxesPrevLvl,
-                           atlas, dynK);
-        }
+        analyzeNeighRange(gnpA.data(), nfA.data(), cur, g0, g1,
+                          gp.adjacentChildCtx != 0, codedAxesPrevLvl,
+                          atlas, dynK);
         g0 = g1;
       }
     }
