@@ -87,8 +87,36 @@ def encode(local: np.ndarray, depth: int, axis_bits, gps,
     gp = geom_params_array(_gps_flags(gps))
     cap = max(int(pos32.shape[0] * 16 + (1 << 16)), 1 << 16)
     out = np.empty(cap, dtype=np.uint8)
-    if ref_local is not None and len(ref_local):
-        ref32 = np.ascontiguousarray(ref_local, dtype=np.int32)
+    has_ref = ref_local is not None and len(ref_local)
+    ref32 = (np.ascontiguousarray(ref_local, dtype=np.int32)
+             if has_ref else np.zeros(3, dtype=np.int32))
+
+    # production path: the level-sweep engine (native/obuf_ls.cc) --
+    # batched per-level analysis + thin token loop, byte-identical to
+    # the BFS oracle and ~3x the reference encoder's speed
+    if not hasattr(lib.obufls_encode_octree, "_configured"):
+        lib.obufls_encode_octree.argtypes = [
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.POINTER(c.c_uint8), c.c_int]
+        lib.obufls_encode_octree.restype = c.c_int
+        lib.obufls_encode_octree._configured = True
+    n = lib.obufls_encode_octree(
+        pos32.ctypes.data_as(c.POINTER(c.c_int32)), pos32.shape[0],
+        ref32.ctypes.data_as(c.POINTER(c.c_int32)),
+        ref32.shape[0] if has_ref else 0,
+        axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+        gp.ctypes.data_as(c.POINTER(c.c_int32)),
+        out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+    if n > 0:
+        return out[:n].tobytes()
+    if n != -3:
+        raise RuntimeError(f"obuf level-sweep encode failed rc={n}")
+
+    # >21 levels: the 64-bit level key does not fit; fall back to the
+    # BFS oracle
+    if has_ref:
         n = lib.tmc13ref_encode_octree_inter(
             pos32.ctypes.data_as(c.POINTER(c.c_int32)),
             pos32.shape[0],
@@ -97,14 +125,13 @@ def encode(local: np.ndarray, depth: int, axis_bits, gps,
             axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
             gp.ctypes.data_as(c.POINTER(c.c_int32)),
             out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
-        if n < 0:
-            raise RuntimeError(f"obuf inter encode failed rc={n}")
-        return out[:n].tobytes()
-    n = lib.tmc13ref_encode_octree_intra(
-        pos32.ctypes.data_as(c.POINTER(c.c_int32)), pos32.shape[0],
-        axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
-        gp.ctypes.data_as(c.POINTER(c.c_int32)),
-        out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+    else:
+        n = lib.tmc13ref_encode_octree_intra(
+            pos32.ctypes.data_as(c.POINTER(c.c_int32)),
+            pos32.shape[0],
+            axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+            gp.ctypes.data_as(c.POINTER(c.c_int32)),
+            out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
     if n < 0:
         raise RuntimeError(f"obuf encode failed rc={n}")
     return out[:n].tobytes()

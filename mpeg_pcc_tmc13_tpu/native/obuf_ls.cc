@@ -499,7 +499,10 @@ static int obufls_encode_impl(
   const int32_t* positions, int num_points,
   const int32_t* ref_positions, int num_ref,
   const int32_t* coded_axis_list, int num_levels,
-  const int32_t* gp_arr, uint8_t* out_buf, int out_cap) {
+  const int32_t* gp_arr, uint8_t* out_buf, int out_cap,
+  uint32_t* dbg_toks = nullptr, int dbg_cap = 0,
+  int32_t* dbg_lvl_counts = nullptr) {
+  long dbgPos = 0;
   GeomParams gp;
   std::memcpy(&gp, gp_arr, sizeof gp);
   if (gp.neighAvailBoundaryLog2 < 1 || gp.neighAvailBoundaryLog2 > 9)
@@ -885,6 +888,18 @@ static int obufls_encode_impl(
       cptr += size_t(numOccupied);
     }
 
+    if (dbg_toks) {
+      // debug export: the raw token stream per level, for the numpy
+      // mirror of the batched analysis (tests/test_obuf_mirror.py)
+      long cnt = long(tk.size());
+      if (dbgPos + cnt <= dbg_cap)
+        std::memcpy(dbg_toks + dbgPos, tk.tpBase,
+                    size_t(cnt) * sizeof(uint32_t));
+      dbgPos += cnt;
+      if (dbg_lvl_counts)
+        dbg_lvl_counts[depth] = int32_t(cnt);
+    }
+
     // --- phase 4: thin serial coding loop --------------------------
     codeTokens(aec, ctx, tk);
 
@@ -911,4 +926,19 @@ extern "C" int obufls_encode_octree(
   return obufls_encode_impl(positions, num_points, ref_positions,
                             num_ref, coded_axis_list, num_levels,
                             gp_arr, out_buf, out_cap);
+}
+
+// debug variant: additionally dumps the per-level token stream (the
+// complete product of the batched analysis) so the array-op mirror of
+// the analysis can be tested equal (ops/octree_obuf.py)
+extern "C" int obufls_encode_octree_dbg(
+  const int32_t* positions, int num_points,
+  const int32_t* ref_positions, int num_ref,
+  const int32_t* coded_axis_list, int num_levels,
+  const int32_t* gp_arr, uint8_t* out_buf, int out_cap,
+  uint32_t* dbg_toks, int dbg_cap, int32_t* dbg_lvl_counts) {
+  return obufls_encode_impl(positions, num_points, ref_positions,
+                            num_ref, coded_axis_list, num_levels,
+                            gp_arr, out_buf, out_cap, dbg_toks,
+                            dbg_cap, dbg_lvl_counts);
 }
