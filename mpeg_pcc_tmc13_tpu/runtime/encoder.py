@@ -838,14 +838,14 @@ class FrameEncoder:
             streams = [enc.get_bytes()]
 
         if trisoup:
-            # num_points sizes the decoder's octree-node capacity for
-            # trisoup bricks; on sparse content the node count can
-            # exceed the surface reconstruction count, so signal
-            # whichever is larger
+            # num_points doubles as the decoder's octree-node capacity
+            # AND the sampling-loop point budget of the v2 surface
+            # model (reference geom_num_points, used by the automatic
+            # sub-sampling loop, geometry_trisoup_encoder.cpp:210-237)
             s = min(self.gps.trisoup_node_size_log2, depth)
-            n_nodes = int(np.unique(
-                morton_ops.encode(local) >> (3 * s)).size)
-            num_points = max(int(recon_local.shape[0]), n_nodes)
+            codes_u = np.unique(morton_ops.encode(local))
+            n_nodes = int(np.unique(codes_u >> (3 * s)).size)
+            num_points = max(int(codes_u.size), n_nodes)
         else:
             num_points = cloud.count
         ident = ((65536, 0, 0, 0, 65536, 0, 0, 0, 65536), (0, 0, 0))
