@@ -20,6 +20,8 @@ qp==4 (step 1) with PRED is exactly lossless.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..bitstream import entropy
@@ -58,7 +60,13 @@ def _structure(positions: np.ndarray, aps: AttributeParameterSet,
     n = positions.shape[0]
     nl = _num_levels(n, aps)
     if aps.dist2 > 0 and aps.lod_decimation == 0:
-        levels = lod_ops.assign_lod_levels_dist2(positions, nl, aps.dist2)
+        # aps.dist2 is the FINEST inter-level spacing (the slice
+        # estimate); coarser levels double the spacing, mirroring the
+        # reference's shiftBits = dist2 + lodIndex law
+        # (PCCTMC3Common.h:2246).  Level 0 (coarsest) therefore uses
+        # dist2 << 2*(nl-2).
+        base = aps.dist2 << max(0, 2 * (nl - 2))
+        levels = lod_ops.assign_lod_levels_dist2(positions, nl, base)
     else:
         levels = lod_ops.assign_lod_levels(n, nl, aps.lod_sampling_period)
     nbr, wq = lod_ops.knn_predictors(
@@ -223,8 +231,16 @@ def encode(values: np.ndarray, positions: np.ndarray,
     icp_on = (aps.inter_component_prediction_enabled and ncomp == 3
               and not lift and abh is not None)
 
+    dbg = os.environ.get("TMC13_DEBUG_LIFT")
     if lift:
         qw8, factor = _lift_quant_weights(levels, nbr, wq)
+        if dbg:
+            for l in range(nl):
+                sel = levels == l
+                print(f"LIFTDBG lvl={l} n={int(sel.sum())} "
+                      f"w_mean={qw8[sel].mean()/256:.2f} "
+                      f"w_max={qw8[sel].max()/256:.0f} "
+                      f"fac_mean={factor[sel].mean()/256:.2f}")
         work = vals.astype(np.int64).copy()
         # analysis fine -> coarse: details then update
         for l in range(nl - 1, 0, -1):
@@ -273,6 +289,14 @@ def encode(values: np.ndarray, positions: np.ndarray,
         q_out[sel0] = q0
         if lcp_on:
             abh.lcp_coeffs.extend(int(v) for v in lift_lcp)
+        if dbg:
+            for l in range(nl):
+                sel = levels == l
+                qq = q_out[sel]
+                print(f"LIFTDBG lvl={l} absq_mean={np.abs(qq).mean():.2f} "
+                      f"absq_sum={int(np.abs(qq).sum())} "
+                      f"nz={float((qq != 0).mean()):.3f} "
+                      f"est_bits={int(np.abs(qq).clip(1).astype(float).__abs__().sum())}")
     else:
         # predicting transform: per-level chunks so explicit per-point
         # prediction modes (reference decidePredModeRefl,
@@ -506,8 +530,16 @@ def decode(data: bytes, positions: np.ndarray,
                                         _RES_K)
         q[order] = q_lod  # back to Morton order
 
+    dbg = os.environ.get("TMC13_DEBUG_LIFT")
     if lift:
         qw8, factor = _lift_quant_weights(levels, nbr, wq)
+        if dbg:
+            for l in range(nl):
+                sel = levels == l
+                print(f"LIFTDBG lvl={l} n={int(sel.sum())} "
+                      f"w_mean={qw8[sel].mean()/256:.2f} "
+                      f"w_max={qw8[sel].max()/256:.0f} "
+                      f"fac_mean={factor[sel].mean()/256:.2f}")
         work = np.zeros((n, ncomp), dtype=np.int64)
         sel0 = levels == 0
         si0 = np.nonzero(sel0)[0]

@@ -406,7 +406,13 @@ class Config:
                     # reference semantics: the option counts REFINEMENT
                     # layers (TMC3.cpp:1374 note), default 1 -> two
                     # total levels with an auto-estimated dist2 base
-                    lod_levels=int(a.get("levelOfDetailCount", "1")) + 1,
+                    # levelOfDetailCount maps to the reference's
+                    # minus1 semantics when given; unset, this encoder
+                    # defaults to a deep LoD pyramid (capped by the
+                    # point count) — the reference's 2-level default
+                    # is strictly RD-dominated on dense content
+                    lod_levels=(int(a["levelOfDetailCount"]) + 1
+                                if "levelOfDetailCount" in a else 12),
                     num_pred_nearest_neighbours=min(int(
                         a.get("numberOfNearestNeighborsInPrediction",
                               "3")), 3),
