@@ -135,6 +135,17 @@ def conditions():
             f"--lidarHeadPosition={head},{head},{head}",
             f"--lasersTheta={theta}", f"--lasersZ={zeros}",
             f"--lasersNumPhiPerTurn={npt}"])
+    c["predgeom-angular"] = dict(
+        input=LIDAR0, frames=1, gp=18, resolution=30000,
+        rates=["r02", "r04", "r06"], lossless=False,
+        args=lambda r: [
+            f"--positionQuantizationScale={ctc_pqs(18, r)}",
+            "--mergeDuplicatedPoints=1", "--disableAttributeCoding=1",
+            "--geomTreeType=1", "--angularEnabled=1",
+            "--numLasers=64",
+            f"--lidarHeadPosition={head},{head},{head}",
+            f"--lasersTheta={theta}", f"--lasersZ={zeros}",
+            f"--lasersNumPhiPerTurn={npt}"])
     c["octree-inter-gm"] = dict(
         input=LIDAR_SEQ, frames=4, gp=18, resolution=30000,
         rates=["r04"], lossless=False,
@@ -403,6 +414,9 @@ def main():
                 # geometry only — trisoup/predgeom conditions through
                 # it would silently fall back to octree and produce
                 # meaningless rows
+                if (codec in ("ours-ref", "ours-obuf")
+                        and ("trisoup" in name or "predgeom" in name)):
+                    continue
                 if codec == "ours-ref" and "trisoup" in name:
                     continue
                 key = (name, rate, codec)
