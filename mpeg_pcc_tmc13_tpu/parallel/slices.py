@@ -122,3 +122,70 @@ def sharded_raht_blocks(vals, weights, mesh: Mesh, axis: str = "slices",
                 mask.reshape(ls, b, 8))
 
     return jax.jit(run, static_argnums=())(vals, weights)
+
+
+def sharded_slice_codec_roundtrip(codes_sorted: np.ndarray, depth: int,
+                                  mesh: Mesh, n_slices: int,
+                                  axis: str = "slices"):
+    """Full sharded codec round-trip: device-sharded per-slice
+    analysis -> host entropy per slice -> per-slice payload bytes ->
+    single-device decode -> equality with the input cloud.
+
+    This is the end-to-end form of the framework's multi-chip layout
+    (slices = the standard's parallelism unit, partitioning.cpp:120):
+    every context input is computed on the mesh; the host stage only
+    replays entropy coding per slice and concatenates the payloads in
+    slice order, exactly as the reference concatenates per-slice
+    bricks (encoder.cpp:1503-1529).  Returns the payload list.
+    """
+    from ..bitstream import entropy as ent
+    from ..models import geometry_octree as go
+    from ..utils import morton
+
+    uniq = np.unique(codes_sorted)
+    blocks = partition_codes_padded(uniq, n_slices)
+    res, _hist = sharded_encode_analysis(blocks, depth, mesh)
+    occ = np.asarray(res["occ"])
+    base = np.asarray(res["ctx_base"])
+    mask = np.asarray(res["node_mask"])
+
+    per = blocks.shape[1]
+    payloads = []
+    slice_uniq = []
+    for s in range(n_slices):
+        su = np.unique(blocks[s])
+        slice_uniq.append(su)
+        enc = ent.RangeEncoder()
+        ctx = go.OctreeContexts()
+        for l in range(occ.shape[1]):
+            m = mask[s, l]
+            if not m.any():
+                continue
+            enc.occupancy_sym(ctx.occupancy_sym,
+                              base[s, l][m].astype(np.int32),
+                              occ[s, l][m].astype(np.uint8))
+        payloads.append(enc.get_bytes())
+
+    # the device-analysis stream must equal the host engine's bytes
+    # for the same slice (identical contexts by construction)
+    for s in range(n_slices):
+        enc = ent.RangeEncoder()
+        go.encode(morton.decode(slice_uniq[s]), depth, enc,
+                  go.OctreeContexts(), unique_points=True,
+                  engine="numpy", need_order=False)
+        if enc.get_bytes() != payloads[s]:
+            raise AssertionError(f"slice {s}: device-analysis bytes "
+                                 "differ from host engine")
+
+    # single-device decode of the concatenated per-slice payloads
+    got = []
+    for s in range(n_slices):
+        dec = ent.RangeDecoder(payloads[s])
+        pts = go.decode(int(slice_uniq[s].size), depth, dec,
+                        go.OctreeContexts(), unique_points=True,
+                        engine="numpy")
+        got.append(morton.encode(pts))
+    got = np.unique(np.concatenate(got))
+    if not np.array_equal(got, uniq):
+        raise AssertionError("sharded codec round-trip mismatch")
+    return payloads
