@@ -195,6 +195,9 @@ def main():
             blk_np[si, :chunk.size] = chunk
             blk_np[si, chunk.size:] = chunk[-1]
 
+        # reuse the analysis executable compiled above (same shapes
+        # would still recompile for the block length, but not for a
+        # second function)
         def analyse(cj_):
             comp, cnts = octree_ops.encode_analysis_packed(
                 cj_, depth, octree_ops_mode)

@@ -6,7 +6,7 @@ decoder, reproducing the reference decoder's output cloud
 (PCCTMC3Decoder3::decodeGeometryBrick + outputCurrentCloud,
 /root/reference/tmc3/decoder.cpp:573,?).
 
-Supported (round 2 beachhead): octree geometry, intra, planar/IDCM/
+Supported: octree geometry, intra, planar/IDCM (non-angular)/
 angular off, single entropy stream, bitwise occupancy, no in-tree
 scaling; unique or duplicate points; any QTBT coded-axis schedule.
 """
@@ -65,6 +65,9 @@ def geom_params_array(gps, bypass_no_update=False) -> "np.ndarray":
         gps.planar_threshold0, gps.planar_threshold1,
         gps.planar_threshold2,
         1 if bypass_no_update else 0,
+        gps.inferred_direct_coding_mode,
+        1 if gps.joint_2pt_idcm else 0,
+        gps.idcm_rate_minus1,
     ], dtype=np.int32)
 
 
@@ -81,8 +84,8 @@ def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         unsupported.append("predictive geometry")
     if gps.trisoup_enabled:
         unsupported.append("trisoup")
-    if gps.inferred_direct_coding_mode:
-        unsupported.append("IDCM")
+    if gps.inferred_direct_coding_mode and gps.angular_enabled:
+        unsupported.append("angular IDCM")
     if gps.angular_enabled:
         unsupported.append("angular mode")
     if gps.scaling_enabled:

@@ -32,6 +32,9 @@ def _gps_flags(gps) -> ref_hls.RefGps:
     return ref_hls.RefGps(
         gps_id=0, sps_id=0, geom_box_log2_scale_present=True,
         qtbt_enabled=True, unique_points=True,
+        inferred_direct_coding_mode=gps.inferred_direct_coding_mode,
+        joint_2pt_idcm=bool(gps.inferred_direct_coding_mode),
+        idcm_rate_minus1=31,
         neighbour_avail_boundary_log2_minus1=7,
         adjacent_child_contextualization=True,
         bitwise_occupancy=True,

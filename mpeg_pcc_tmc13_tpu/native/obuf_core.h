@@ -1570,6 +1570,21 @@ struct PlanarState {
   }
 };
 
+// IDCM contexts (GeometryOctreeDecoder _ctxBlockSkipTh etc.)
+struct IdcmContexts {
+  uint16_t blockSkip = 0x8000;
+  uint16_t numPointsGt1 = 0x8000;
+  uint16_t dupGt1 = 0x8000;
+  uint16_t sameBitHi[3][5];
+  void reset() {
+    blockSkip = numPointsGt1 = dupGt1 = 0x8000;
+    for (int a = 0; a < 3; a++)
+      for (int i = 0; i < 5; i++)
+        sameBitHi[a][i] = 0x8000;
+  }
+};
+
+
 struct RefOctreeCtx {
   uint16_t ctxSingleChild = 0x8000;
   uint16_t ctxDupPointCntGt0 = 0x8000;
@@ -1589,6 +1604,7 @@ struct RefOctreeCtx {
   ObufModel planarModel[3];           // per planeId
   std::vector<uint8_t> planarLeaves;
   int planarLeafNumber = 0;
+  IdcmContexts idcm;
 
   void resetMaps(bool enablePlanar) {
     // GeometryOctreeContexts::resetMap (geometry_octree.cpp:877)
@@ -1611,6 +1627,7 @@ struct RefOctreeCtx {
       ctxPlanarMode[i] = 0x8000;
       ctxPlanarPlaneLastIndexZ[i] = 0x8000;
     }
+    idcm.reset();
     for (int a = 0; a < 3; a++)
       for (int b = 0; b < 3; b++)
         for (int c = 0; c < 3; c++)
@@ -1641,11 +1658,123 @@ struct GeomParams {
   int planarDynamicObufEligibility;
   int planarTh[3];
   int bypassNoUpdate;           // sps bypass_bin_coding_without_prob_update
+  int idcmMode;                 // gps inferred_direct_coding_mode (0-3)
+  int jointTwoPointIdcm;        // gps joint_2pt_idcm_enabled_flag
+  int idcmRateMinus1;           // gps geom_idcm_rate_minus1
 };
+
+// mkIdcmEnableMask (geometry_octree.cpp:264)
+static inline uint32_t mkIdcmEnableMask(const GeomParams& gp) {
+  if (!gp.idcmMode)
+    return 0;
+  if (gp.idcmMode != 1)
+    return 0xffffffffu;
+  if (!gp.planarEnabled)
+    return 0xffffffffu;
+  uint32_t mask = 0;
+  int acc = 0;
+  for (int i = 0; i < 32; i++) {
+    acc += gp.idcmRateMinus1 + 1;
+    mask |= uint32_t(acc >= 32) << i;
+    acc &= 0x1f;
+  }
+  return mask;
+}
+
+static inline uint32_t rotr32(uint32_t v, int n) {
+  n &= 31;
+  return n ? ((v >> n) | (v << (32 - n))) : v;
+}
+
+// isDirectModeEligible (geometry_octree.h:177), intra non-angular
+static inline bool idcmEligibleIntra(
+  int intensity, int nodeMaxDimLog2, int nodeNeighPattern,
+  int parentNumSiblings, int childNumSiblings) {
+  if (!intensity)
+    return false;
+  if (intensity == 1)
+    return (nodeMaxDimLog2 >= 2) && (nodeNeighPattern == 0)
+      && (childNumSiblings == 1) && (parentNumSiblings <= 2);
+  if (intensity == 2)
+    return (nodeMaxDimLog2 >= 2) && (nodeNeighPattern == 0);
+  if (intensity == 3)
+    return (nodeMaxDimLog2 >= 2) && (childNumSiblings > 1);
+  return false;
+}
+
+// joint two-point prefix coding (encodeOrdered2ptPrefix,
+// geometry_octree_encoder.cpp:985; decoder :1013); intra: all axes
+// directly coded
+static inline void encodeOrdered2ptPrefixIntra(
+  ArithEnc& aec, IdcmContexts& ic, int32_t pts[2][3],
+  int sizeRem[3]) {
+  for (int k = 0; k < 3; k++) {
+    if (sizeRem[k] < 1)
+      continue;
+    bool samePrev = true;
+    for (int j = 0; j < k; j++)
+      samePrev = samePrev && pts[0][j] == pts[1][j];
+    bool sameBit = true;
+    int ctxIdx = 0;
+    while (sizeRem[k] && sameBit) {
+      sizeRem[k]--;
+      int mask = 1 << sizeRem[k];
+      int bit0 = !!(pts[0][k] & mask);
+      int bit1 = !!(pts[1][k] & mask);
+      sameBit = bit0 == bit1;
+      aec.bit(&ic.sameBitHi[k][ctxIdx], sameBit);
+      ctxIdx = ctxIdx < 4 ? ctxIdx + 1 : 4;
+      if (k == 0) {
+        if (sameBit)
+          aec.bypass(bit0);
+      } else {
+        if (!(samePrev && !sameBit))
+          aec.bypass(bit0);
+      }
+    }
+  }
+}
+
+static inline void decodeOrdered2ptPrefixIntra(
+  ArithDec& aec, IdcmContexts& ic, int32_t pts[2][3],
+  int sizeRem[3]) {
+  for (int k = 0; k < 3; k++) {
+    if (sizeRem[k] < 1)
+      continue;
+    bool samePrev = true;
+    for (int j = 0; j < k; j++)
+      samePrev = samePrev && pts[0][j] == pts[1][j];
+    bool sameBit = true;
+    int ctxIdx = 0;
+    while (sizeRem[k] && sameBit) {
+      pts[0][k] <<= 1;
+      pts[1][k] <<= 1;
+      sizeRem[k]--;
+      sameBit = aec.bit(&ic.sameBitHi[k][ctxIdx]) != 0;
+      ctxIdx = ctxIdx < 4 ? ctxIdx + 1 : 4;
+      if (k == 0) {
+        if (sameBit) {
+          int bit = aec.bypass();
+          pts[0][k] |= bit;
+          pts[1][k] |= bit;
+        } else {
+          pts[1][k] |= 1;
+        }
+      } else {
+        int bit = 0;
+        if (!(samePrev && !sameBit))
+          bit = aec.bypass();
+        pts[0][k] |= bit;
+        pts[1][k] |= sameBit ? bit : !bit;
+      }
+    }
+  }
+}
 
 struct Node {
   int32_t pos[3];
   int32_t rstart = 0, rend = 0;  // compensated-reference point range
+  uint8_t idcmEligible = 0;
   uint8_t siblingOccupancy;
   uint8_t numSiblingsPlus1;
   uint8_t mispred = 0;           // parent's prediction failures

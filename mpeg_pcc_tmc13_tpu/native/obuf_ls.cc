@@ -509,6 +509,8 @@ static int obufls_encode_impl(
     return -2;
   if (num_levels > 21 || num_levels < 1)
     return -3;  // key would not fit 64 bits; caller falls back
+  if (gp.idcmMode)
+    return -3;  // IDCM early termination: BFS oracle handles it
 
   // per-level child size log2s (mirrors refcodec lvlSize derivation)
   std::vector<int> lvlSize[3];

@@ -298,7 +298,10 @@ static int encode_octree_impl(
     uint8_t siblingOccupancy;
     uint8_t numSiblingsPlus1;
     uint8_t mispred;             // parent's prediction failures
+    uint8_t idcmEligible = 0;
   };
+  const uint32_t idcmMaskInit = mkIdcmEnableMask(gp);
+  long numPointsCodedByIdcm = 0;
   std::vector<int32_t> order{};
   order.resize(size_t(num_points));
   for (int i = 0; i < num_points; i++) order[size_t(i)] = i;
@@ -315,6 +318,7 @@ static int encode_octree_impl(
   std::vector<ENode> fifo;
   fifo.reserve(size_t(num_points) + 8);
   ENode root;
+  root.idcmEligible = 0;
   root.pos[0] = root.pos[1] = root.pos[2] = 0;
   root.start = 0;
   root.end = num_points;
@@ -349,6 +353,10 @@ static int encode_octree_impl(
     }
     const bool dynK = dynObuf && planarEligibleKDepth;
     long numSubnodes = 0;
+    uint32_t idcmEnableMask = rotr32(idcmMaskInit, depth);
+    const int nodeMaxDimLog2 = std::max(
+      lvlSize[0][depth], std::max(lvlSize[1][depth],
+                                  lvlSize[2][depth]));
 
     for (; head < lvlEnd; head++) {
       ENode node0 = fifo[head];
@@ -387,7 +395,6 @@ static int encode_octree_impl(
           occupancy |= 1 << b;
           numOccupied++;
         }
-      numSubnodes += numOccupied;
 
       // compensated-reference partition -> child prediction
       // (reference geometry_octree_encoder.cpp:2253-2291)
@@ -496,6 +503,86 @@ static int encode_octree_impl(
             occupancy, planar);
       }
 
+      // inferred direct coding (encodeDirectPosition,
+      // geometry_octree_encoder.cpp:2400-2446); intra, non-angular
+      if (node0.idcmEligible) {
+        int numPts = node0.end - node0.start;
+        // canEncodeDirectPosition (geometry_octree.h:995)
+        int mode = 0;  // 0 unavailable, 1 two-points, 2 all-same
+        if (numPts <= 10) {
+          bool allSame = numPts > 1 && !unique_points;
+          for (int32_t p = node0.start + 1; allSame && p < node0.end;
+               p++)
+            allSame = positions[order[size_t(p)] * 3 + 0]
+                == positions[order[size_t(node0.start)] * 3 + 0]
+              && positions[order[size_t(p)] * 3 + 1]
+                == positions[order[size_t(node0.start)] * 3 + 1]
+              && positions[order[size_t(p)] * 3 + 2]
+                == positions[order[size_t(node0.start)] * 3 + 2];
+          if (allSame)
+            mode = 2;
+          else if (numPts <= 2)
+            mode = 1;
+        }
+        aec.bit(&ctx.idcm.blockSkip, mode != 0);
+        if (mode != 0) {
+          int numCoded = numPts;
+          if (mode == 1) {
+            aec.bit(&ctx.idcm.numPointsGt1, numPts > 1);
+            if (!unique_points && numPts == 1)
+              aec.bit(&ctx.ctxDupPointCntGt0, 0);
+          } else {
+            aec.bit(&ctx.idcm.numPointsGt1, 0);
+            aec.bit(&ctx.ctxDupPointCntGt0, 1);
+            aec.bit(&ctx.idcm.dupGt1, numPts - 1 > 1);
+            if (numPts - 1 > 1)
+              aec.exp_golomb(unsigned(numPts - 3), 0,
+                             &ctx.ctxDupPointCntEgl);
+            numCoded = 1;
+          }
+          int32_t pts[2][3];
+          for (int i = 0; i < numCoded && i < 2; i++)
+            for (int k = 0; k < 3; k++)
+              pts[i][k] =
+                positions[order[size_t(node0.start + i)] * 3 + k];
+          int idcmSize[3] = {lvlSize[0][depth], lvlSize[1][depth],
+                             lvlSize[2][depth]};
+          int sizeRem[3];
+          for (int k = 0; k < 3; k++) {
+            sizeRem[k] = idcmSize[k];
+            if (sizeRem[k] > 0 && (planar.planarMode & (1 << k)))
+              sizeRem[k]--;
+          }
+          if (numCoded == 2 && gp.jointTwoPointIdcm) {
+            // implicit ordering of the two points (all axes direct)
+            bool swap = false;
+            for (int k = 0; k < 3; k++) {
+              if (pts[1][k] != pts[0][k]) {
+                swap = pts[1][k] < pts[0][k];
+                break;
+              }
+            }
+            if (swap)
+              for (int k = 0; k < 3; k++)
+                std::swap(pts[0][k], pts[1][k]);
+            encodeOrdered2ptPrefixIntra(aec, ctx.idcm, pts, sizeRem);
+          }
+          for (int i = 0; i < numCoded; i++)
+            for (int k = 0; k < 3; k++)
+              for (int b = sizeRem[k] - 1; b >= 0; b--)
+                aec.bypass((pts[i][k] >> b) & 1);
+          numPointsCodedByIdcm += numPts;
+          if (adjacent_child_ctx) {
+            const uint32_t cmask = (1u << atlas.cubeSizeLog2) - 1;
+            atlas.setChildOcc(int(node0.pos[0] & cmask),
+                              int(node0.pos[1] & cmask),
+                              int(node0.pos[2] & cmask), 0);
+          }
+          continue;
+        }
+      }
+
+      numSubnodes += numOccupied;
       for (int k = 0; k < 3; k++) {
         if (!(codedAxesCurLvl & (4 >> k))) {
           planar.planePosBits &= uint8_t(~(1 << k));
@@ -556,12 +643,24 @@ static int encode_octree_impl(
               != (!!(predOccRaw & (1 << b)));
           child.mispred = uint8_t(fail < 255 ? fail : 255);
         }
+        child.idcmEligible = 0;
+        if (num_ref == 0) {  // intra eligibility only (scope)
+          bool elig = idcmEligibleIntra(
+            gp.idcmMode, nodeMaxDimLog2, gnp.pattern,
+            node0.numSiblingsPlus1, numOccupied);
+          if (elig) {
+            elig = (idcmEnableMask & 1) != 0;
+            idcmEnableMask = rotr32(idcmEnableMask, 1);
+          }
+          child.idcmEligible = uint8_t(elig);
+        }
         fifo.push_back(child);
       }
     }
     if (checkPlanarDepthEligibility)
       planarEligibleKDepth =
-        long(num_points) * 10 < numSubnodes * 13;
+        (long(num_points) - numPointsCodedByIdcm) * 10
+        < numSubnodes * 13;
   }
 
   aec.flush();
@@ -649,9 +748,13 @@ static int decode_octree_impl(
     rscratch.resize(size_t(num_ref));
   }
 
+  const uint32_t idcmMaskInit = mkIdcmEnableMask(gp);
+  long numPointsCodedByIdcm = 0;
+
   std::vector<Node> fifo;
   fifo.reserve(size_t(num_points) + 8);
   Node root;
+  root.idcmEligible = 0;
   root.pos[0] = root.pos[1] = root.pos[2] = 0;
   root.rstart = 0;
   root.rend = num_ref;
@@ -693,6 +796,10 @@ static int decode_octree_impl(
     }
     const bool dynK = dynObuf && planarEligibleKDepth;
     long numSubnodes = 0;
+    uint32_t idcmEnableMask = rotr32(idcmMaskInit, depth);
+    const int nodeMaxDimLog2 = std::max(
+      lvlSize[0][depth], std::max(lvlSize[1][depth],
+                                  lvlSize[2][depth]));
 
     for (; head < lvlEnd; head++) {
       Node node0 = fifo[head];
@@ -768,6 +875,73 @@ static int decode_octree_impl(
             aec, ctx, planarState, gp, dynObuf, planarEligible,
             posInParent, gnp, node0.pos, node0.siblingOccupancy,
             planar);
+      }
+
+      // inferred direct coding (decodeDirectPosition,
+      // geometry_octree_decoder.cpp:1338-1454); intra, non-angular
+      if (node0.idcmEligible) {
+        bool isDirectMode = aec.bit(&ctx.idcm.blockSkip) != 0;
+        if (isDirectMode) {
+          int numPts = 1 + aec.bit(&ctx.idcm.numPointsGt1);
+          int numDup = 0;
+          if (!unique_points && numPts == 1) {
+            numDup = aec.bit(&ctx.ctxDupPointCntGt0);
+            if (numDup) {
+              numDup += aec.bit(&ctx.idcm.dupGt1);
+              if (numDup == 2)
+                numDup += int(aec.exp_golomb(0,
+                                             &ctx.ctxDupPointCntEgl));
+            }
+          }
+          int idcmSize[3] = {lvlSize[0][depth], lvlSize[1][depth],
+                             lvlSize[2][depth]};
+          int32_t delta[2][3] = {{0, 0, 0}, {0, 0, 0}};
+          int sizeRem[3];
+          for (int k = 0; k < 3; k++) {
+            sizeRem[k] = idcmSize[k];
+            if (sizeRem[k] > 0 && (planar.planarMode & (1 << k))) {
+              int b = (planar.planePosBits & (1 << k)) ? 1 : 0;
+              delta[0][k] = delta[1][k] = b;
+              sizeRem[k]--;
+            }
+          }
+          if (numPts == 2 && gp.jointTwoPointIdcm)
+            decodeOrdered2ptPrefixIntra(aec, ctx.idcm, delta,
+                                        sizeRem);
+          int32_t lastPos[3] = {0, 0, 0};
+          for (int i = 0; i < numPts; i++) {
+            for (int k = 0; k < 3; k++)
+              for (int b = sizeRem[k]; b > 0; b--) {
+                delta[i][k] <<= 1;
+                delta[i][k] |= aec.bypass();
+              }
+            for (int k = 0; k < 3; k++)
+              lastPos[k] = delta[i][k]
+                + (node0.pos[k] << idcmSize[k]);
+            if (processed >= out_cap)
+              return -4;
+            out_pos[processed * 3 + 0] = lastPos[0];
+            out_pos[processed * 3 + 1] = lastPos[1];
+            out_pos[processed * 3 + 2] = lastPos[2];
+            processed++;
+          }
+          for (int j = 0; j < numDup; j++) {
+            if (processed >= out_cap)
+              return -4;
+            out_pos[processed * 3 + 0] = lastPos[0];
+            out_pos[processed * 3 + 1] = lastPos[1];
+            out_pos[processed * 3 + 2] = lastPos[2];
+            processed++;
+          }
+          numPointsCodedByIdcm += numPts + numDup;
+          if (adjacent_child_ctx) {
+            const uint32_t cmask = (1u << atlas.cubeSizeLog2) - 1;
+            atlas.setChildOcc(int(node0.pos[0] & cmask),
+                              int(node0.pos[1] & cmask),
+                              int(node0.pos[2] & cmask), 0);
+          }
+          continue;
+        }
       }
 
       // maskPlanar: QTBT non-coded axes infer the low plane
@@ -883,12 +1057,24 @@ static int decode_octree_impl(
               != (!!(predOccRaw & (1 << b)));
           child.mispred = uint8_t(fail);
         }
+        child.idcmEligible = 0;
+        if (num_ref == 0) {  // intra eligibility only (scope)
+          bool elig = idcmEligibleIntra(
+            gp.idcmMode, nodeMaxDimLog2, gnp.pattern,
+            node0.numSiblingsPlus1, numOccupied);
+          if (elig) {
+            elig = (idcmEnableMask & 1) != 0;
+            idcmEnableMask = rotr32(idcmEnableMask, 1);
+          }
+          child.idcmEligible = uint8_t(elig);
+        }
         fifo.push_back(child);
       }
     }
     if (checkPlanarDepthEligibility)
       planarEligibleKDepth =
-        long(num_points) * 10 < numSubnodes * 13;
+        (long(num_points) - numPointsCodedByIdcm) * 10
+        < numSubnodes * 13;
   }
 
   if (skipc > 0) {

@@ -218,3 +218,48 @@ def test_planar_encode_byte_identical(tmp_path):
         check=True, capture_output=True)
     got = ply.read(str(dec)).positions.astype(np.int64)
     np.testing.assert_array_equal(np.unique(got, axis=0), pos)
+
+
+def test_idcm_bit_exact(tmp_path):
+    """IDCM (inferred direct coding), the reference default tool:
+    planar off -> idcm mode 1 is unconditionally eligible
+    (mkIdcmEnableMask, geometry_octree.cpp:264)."""
+    rng = np.random.default_rng(7)
+    pos = np.unique(
+        rng.integers(0, 512, size=(1200, 3), dtype=np.int64), axis=0)
+    roundtrip(tmp_path, "idcm", pos,
+              ["--mergeDuplicatedPoints=1",
+               "--inferredDirectCodingMode=1"])
+
+
+def test_idcm_planar_bit_exact(tmp_path):
+    """IDCM together with planar (planarModeIdcmUse=32 keeps every
+    eligible node active, the cat3-frame CTC setting)."""
+    rng = np.random.default_rng(8)
+    pos = np.unique(
+        rng.integers(0, 256, size=(2500, 3), dtype=np.int64), axis=0)
+    roundtrip(tmp_path, "idcmp", pos,
+              ["--mergeDuplicatedPoints=1", "--planarEnabled=1",
+               "--inferredDirectCodingMode=1",
+               "--planarModeIdcmUse=32"])
+
+
+def test_idcm_dups_bit_exact(tmp_path):
+    """IDCM kAllPointSame mode: duplicate points terminate early with
+    the dup-count suffix (decodeDirectPosition :1338)."""
+    rng = np.random.default_rng(9)
+    pos = rng.integers(0, 256, size=(1500, 3), dtype=np.int64)
+    pos = np.concatenate([pos, pos[:400], pos[:100]])
+    roundtrip(tmp_path, "idcmd", pos,
+              ["--mergeDuplicatedPoints=0",
+               "--inferredDirectCodingMode=1"])
+
+
+def test_idcm_intensity3_bit_exact(tmp_path):
+    """IDCM mode 3 ('basically unconditionally enabled')."""
+    rng = np.random.default_rng(10)
+    pos = np.unique(
+        rng.integers(0, 1024, size=(900, 3), dtype=np.int64), axis=0)
+    roundtrip(tmp_path, "idcm3", pos,
+              ["--mergeDuplicatedPoints=1",
+               "--inferredDirectCodingMode=3"])
