@@ -96,7 +96,8 @@ def encode_stream(positions: np.ndarray,
                   axis_order: int = 1,
                   frame_ctr_bits: int = 1,
                   planar: bool = False,
-                  qtbt: bool = True) -> bytes:
+                  qtbt: bool = True,
+                  idcm: int = 0) -> bytes:
     """Encode one frame of non-negative integer XYZ positions into a
     complete reference-syntax TLV stream (SPS + GPS + geometry brick).
 
@@ -128,6 +129,9 @@ def encode_stream(positions: np.ndarray,
         gps_id=0, sps_id=0, geom_box_log2_scale_present=True,
         qtbt_enabled=qtbt,
         unique_points=unique_points,
+        inferred_direct_coding_mode=idcm,
+        joint_2pt_idcm=bool(idcm),
+        idcm_rate_minus1=31 if idcm else 0,
         neighbour_avail_boundary_log2_minus1=(
             neighbour_avail_boundary_log2 - 1),
         adjacent_child_contextualization=(

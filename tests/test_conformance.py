@@ -229,7 +229,8 @@ def test_idcm_bit_exact(tmp_path):
         rng.integers(0, 512, size=(1200, 3), dtype=np.int64), axis=0)
     roundtrip(tmp_path, "idcm", pos,
               ["--mergeDuplicatedPoints=1",
-               "--inferredDirectCodingMode=1"])
+               "--inferredDirectCodingMode=1",
+               "--planarModeIdcmUse=32"])
 
 
 def test_idcm_planar_bit_exact(tmp_path):
@@ -252,7 +253,8 @@ def test_idcm_dups_bit_exact(tmp_path):
     pos = np.concatenate([pos, pos[:400], pos[:100]])
     roundtrip(tmp_path, "idcmd", pos,
               ["--mergeDuplicatedPoints=0",
-               "--inferredDirectCodingMode=1"])
+               "--inferredDirectCodingMode=1",
+               "--planarModeIdcmUse=32"])
 
 
 def test_idcm_intensity3_bit_exact(tmp_path):
@@ -263,3 +265,39 @@ def test_idcm_intensity3_bit_exact(tmp_path):
     roundtrip(tmp_path, "idcm3", pos,
               ["--mergeDuplicatedPoints=1",
                "--inferredDirectCodingMode=3"])
+
+
+def test_encode_idcm_byte_identical_to_tmc3(tmp_path):
+    """Reference-syntax emission with IDCM on: our AEC payload must be
+    byte-identical to the tmc3 binary's (planar off -> mode 1 always
+    eligible; jointTwoPointIdcm default on)."""
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    from mpeg_pcc_tmc13_tpu.conformance import ref_hls
+    rng = np.random.default_rng(11)
+    pos = np.unique(rng.integers(0, 512, size=(1500, 3),
+                                 dtype=np.int64), axis=0)
+    stream = refenc.encode_stream(pos, idcm=1)
+    src = tmp_path / "ecmp.ply"
+    bit = tmp_path / "ecmp.bin"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", *BASE_OPTS,
+         "--mergeDuplicatedPoints=1", "--inferredDirectCodingMode=1",
+         "--planarModeIdcmUse=32"],
+        check=True, capture_output=True)
+
+    def aec_of(data):
+        sps = gps = None
+        for t, payload in ref_hls.iter_ref_tlv(data):
+            if t == ref_hls.T_SPS:
+                sps = ref_hls.parse_sps(payload)
+            elif t == ref_hls.T_GPS:
+                gps = ref_hls.parse_gps(payload)
+            elif t == ref_hls.T_GEOM_BRICK:
+                gbh = ref_hls.parse_gbh(sps, gps, payload)
+                return payload[gbh.header_bytes:
+                               len(payload) - gbh.footer_bytes]
+
+    assert aec_of(bit.read_bytes()) == aec_of(stream)
