@@ -130,6 +130,12 @@ def _load_native() -> Optional[ctypes.CDLL]:
         c.c_void_p, u16p, i64p, c.c_int64, c.c_int32, i64p, c.c_int32,
         i32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32, c.c_int32]
     lib.raht_decode_predicted.restype = c.c_int32
+    lib.rce_trisoup_verts2.argtypes = [c.c_void_p, u16p, u8p, i32p,
+                                       i64p, i32p, u16p, u8p, u8p,
+                                       u8p, u8p, c.c_int64, c.c_int]
+    lib.rcd_trisoup_verts2.argtypes = [c.c_void_p, u16p, u8p, i32p,
+                                       i64p, i32p, u16p, u8p, u8p,
+                                       u8p, u8p, c.c_int64, c.c_int]
     lib.rce_trisoup_verts.argtypes = [c.c_void_p, u16p, u8p, i32p,
                                       i32p, i64p, i64p, c.c_int64,
                                       c.c_int32]
@@ -459,6 +465,84 @@ class _PyEncoder:
                 self.encode_bit(ctx, 72 + bi * 3 + bucket,
                                 (v >> b) & 1)
 
+
+    def _tri2_gather(self, pres, vpos, nbr9, orient, nbits):
+        npres = nclose = nclosest = closest_start = missed = 0
+        for j in range(9):
+            idx = int(nbr9[j])
+            if idx < 0:
+                continue
+            if not pres[idx]:
+                if j <= 4:
+                    missed += 1
+                continue
+            npres += 1
+            v2b = (int(vpos[idx]) >> (nbits - 2)) if nbits >= 2 \
+                else int(vpos[idx])
+            v2b = min(v2b, 3)
+            if (orient >> j) & 1:
+                v2b = 3 - v2b
+            if v2b >= 2:
+                nclose += 1
+            if v2b == 3:
+                nclosest += 1
+                if j <= 4:
+                    closest_start = 1
+        return npres, nclose, nclosest, closest_start, missed
+
+    @staticmethod
+    def _tri2_pres_ctx(nclosest, cmult, nafter, npres, dirn):
+        cA = min(nclosest, 2)
+        cB = min(max(cmult - 1, 0), 3)
+        cC = min(nafter, 2)
+        cD = min(npres, 2)
+        return (((cA * 4 + cB) * 3 + cC) * 3 + cD) * 3 + dirn
+
+    def trisoup_verts2(self, ctx, pres, vpos, order, nbr, orient,
+                       cmult, nbefore, nafter, dirn, nbits):
+        """v2 trisoup vertex coder spec (native rce_trisoup_verts2):
+        9-neighbour-edge conditioning, position-major order."""
+        for k in range(len(order)):
+            i = int(order[k])
+            npres, nclose, nclosest, cstart, missed = \
+                self._tri2_gather(pres, vpos, nbr[i], int(orient[i]),
+                                  nbits)
+            cid = self._tri2_pres_ctx(nclosest, int(cmult[i]),
+                                      int(nafter[i]), npres,
+                                      int(dirn[i]))
+            self.encode_bit(ctx, cid, int(pres[i]))
+            if not pres[i]:
+                continue
+            q0 = min(int(nbefore[i]), 2)
+            q1 = min(int(nafter[i]), 2)
+            full = 1 if int(cmult[i]) >= 4 else 0
+            v = int(vpos[i])
+            coded = 0
+            for b in range(nbits - 1, -1, -1):
+                bi = nbits - 1 - b
+                bit = (v >> b) & 1
+                if bi == 0:
+                    f = (q0 * 3 + q1) * 2 + full
+                    self.encode_bit(
+                        ctx,
+                        324 + (f * 2 + (1 if nclosest else 0)) * 2
+                        + cstart, bit)
+                elif bi == 1:
+                    f = (q0 * 3 + q1) * 2 + full
+                    self.encode_bit(
+                        ctx,
+                        396 + (f * 2 + (1 if nclosest else 0)) * 2
+                        + cstart + 72 * coded, bit)
+                elif bi == 2:
+                    m = min(missed, 4)
+                    f2 = (m * 3 + q0) * 2 + full
+                    self.encode_bit(ctx, 540 + f2 * 4 + (coded & 3),
+                                    bit)
+                else:
+                    self.encode_bit(ctx, 660 + bi * 2 + (coded & 1),
+                                    bit)
+                coded = (coded << 1) | bit
+
     def resbl(self, ctx, vals):
         prev_nz = 0
         for v in vals:
@@ -746,6 +830,55 @@ class _PyDecoder:
             vpos[i] = v
         return pres, vpos
 
+    def trisoup_verts2(self, ctx, order, nbr, orient, cmult, nbefore,
+                       nafter, dirn, ne, nbits):
+        """Decoder mirror of trisoup_verts2; returns (pres, vpos)."""
+        pres = np.zeros(ne, dtype=np.uint8)
+        vpos = np.zeros(ne, dtype=np.int32)
+        enc = RangeEncoder  # reuse the static helpers
+        for k in range(len(order)):
+            i = int(order[k])
+            npres, nclose, nclosest, cstart, missed = \
+                RangeEncoder._tri2_gather(
+                    None, pres, vpos, nbr[i], int(orient[i]), nbits)
+            cid = enc._tri2_pres_ctx(nclosest, int(cmult[i]),
+                                     int(nafter[i]), npres,
+                                     int(dirn[i]))
+            p = self.decode_bit(ctx, cid)
+            pres[i] = p
+            if not p:
+                continue
+            q0 = min(int(nbefore[i]), 2)
+            q1 = min(int(nafter[i]), 2)
+            full = 1 if int(cmult[i]) >= 4 else 0
+            v = 0
+            coded = 0
+            for b in range(nbits - 1, -1, -1):
+                bi = nbits - 1 - b
+                if bi == 0:
+                    f = (q0 * 3 + q1) * 2 + full
+                    bit = self.decode_bit(
+                        ctx, 324 + (f * 2 + (1 if nclosest else 0)) * 2
+                        + cstart)
+                elif bi == 1:
+                    f = (q0 * 3 + q1) * 2 + full
+                    bit = self.decode_bit(
+                        ctx, 396 + (f * 2 + (1 if nclosest else 0)) * 2
+                        + cstart + 72 * coded)
+                elif bi == 2:
+                    m = min(missed, 4)
+                    f2 = (m * 3 + q0) * 2 + full
+                    bit = self.decode_bit(ctx,
+                                          540 + f2 * 4 + (coded & 3))
+                else:
+                    bit = self.decode_bit(ctx,
+                                          660 + bi * 2 + (coded & 1))
+                v = (v << 1) | bit
+                coded = (coded << 1) | bit
+            vpos[i] = v
+        return pres, vpos
+
+
 
 # =====================================================================
 # Native backend
@@ -847,6 +980,25 @@ class _NativeEncoder:
             _ptr(p, ctypes.c_uint8), _ptr(v, ctypes.c_int32),
             _ptr(na, ctypes.c_int32), _ptr(p1, ctypes.c_int64),
             _ptr(p2, ctypes.c_int64), len(p), nbits)
+
+    def trisoup_verts2(self, ctx, pres, vpos, order, nbr, orient,
+                       cmult, nbefore, nafter, dirn, nbits):
+        p = _as(pres, np.uint8)
+        v = _as(vpos, np.int32)
+        o = _as(order, np.int64)
+        nb = _as(np.ascontiguousarray(nbr).reshape(-1), np.int32)
+        orc = _as(orient, np.uint16)
+        cm = _as(cmult, np.uint8)
+        nbf = _as(nbefore, np.uint8)
+        naf = _as(nafter, np.uint8)
+        dr = _as(dirn, np.uint8)
+        _LIB.rce_trisoup_verts2(
+            self._h, _ptr(ctx, ctypes.c_uint16),
+            _ptr(p, ctypes.c_uint8), _ptr(v, ctypes.c_int32),
+            _ptr(o, ctypes.c_int64), _ptr(nb, ctypes.c_int32),
+            _ptr(orc, ctypes.c_uint16), _ptr(cm, ctypes.c_uint8),
+            _ptr(nbf, ctypes.c_uint8), _ptr(naf, ctypes.c_uint8),
+            _ptr(dr, ctypes.c_uint8), len(p), nbits)
 
     def get_bytes(self):
         n = _LIB.rce_size(self._h)
@@ -981,6 +1133,26 @@ class _NativeDecoder:
             _ptr(pres, ctypes.c_uint8), _ptr(vpos, ctypes.c_int32),
             _ptr(na, ctypes.c_int32), _ptr(p1, ctypes.c_int64),
             _ptr(p2, ctypes.c_int64), ne, nbits)
+        return pres, vpos
+
+    def trisoup_verts2(self, ctx, order, nbr, orient, cmult, nbefore,
+                       nafter, dirn, ne, nbits):
+        pres = np.zeros(ne, dtype=np.uint8)
+        vpos = np.zeros(ne, dtype=np.int32)
+        o = _as(order, np.int64)
+        nb = _as(np.ascontiguousarray(nbr).reshape(-1), np.int32)
+        orc = _as(orient, np.uint16)
+        cm = _as(cmult, np.uint8)
+        nbf = _as(nbefore, np.uint8)
+        naf = _as(nafter, np.uint8)
+        dr = _as(dirn, np.uint8)
+        _LIB.rcd_trisoup_verts2(
+            self._h, _ptr(ctx, ctypes.c_uint16),
+            _ptr(pres, ctypes.c_uint8), _ptr(vpos, ctypes.c_int32),
+            _ptr(o, ctypes.c_int64), _ptr(nb, ctypes.c_int32),
+            _ptr(orc, ctypes.c_uint16), _ptr(cm, ctypes.c_uint8),
+            _ptr(nbf, ctypes.c_uint8), _ptr(naf, ctypes.c_uint8),
+            _ptr(dr, ctypes.c_uint8), ne, nbits)
         return pres, vpos
 
 

@@ -25,7 +25,10 @@ from ..ops import trisoup2
 from ..utils import morton
 from . import geometry_octree
 
-VTX_CTX_SIZE = 120   # trisoup vertex coder (entropy rce_trisoup_verts)
+VTX_CTX_SIZE = 704   # trisoup v2 vertex coder (rce_trisoup_verts2):
+                     # [0,324) presence (closeness x multiplicity x
+                     # flank x density x direction); [324,660) top-3
+                     # contextual position bits; [660+) tail bits
 FACE_CTX_SIZE = 2    # retained for context-layout compatibility
 _CENT_AXIS_CTX = 26  # resbl layout for the drift components
 
@@ -94,11 +97,13 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
     uniq, present, vpos = trisoup2.determine_vertices(
         vpts, node_codes, vnode, s, dse)
 
-    # serialise through the contextual vertex coder
-    nadj, prev1, prev2 = trisoup_ops.edge_neighbor_structure(
-        uniq, s, node_codes)
-    enc.trisoup_verts(tctx.vertex, present.astype(np.uint8),
-                      vpos.astype(np.int32), nadj, prev1, prev2, s)
+    # serialise through the v2 contextual vertex coder (9-neighbour
+    # edge conditioning, reference decodeTrisoupVerticesSub variables)
+    order, nbr, orient, cmlt, nbef, naft, dirn = \
+        trisoup2.edge_coder_features(node_codes, uniq, s)
+    enc.trisoup_verts2(tctx.vertex, present.astype(np.uint8),
+                       vpos.astype(np.int32), order, nbr, orient,
+                       cmlt, nbef, naft, dirn, s)
 
     # centroid drift along the node normal for >3-vertex nodes
     verts, mask = trisoup2.node_vertices_fp(node_codes, uniq, present,
@@ -136,10 +141,10 @@ def decode(depth: int, node_size_log2: int, dec,
     keys, _ = trisoup_ops.edge_keys_for_nodes(node_codes, s)
     uniq, _ = trisoup_ops.unique_edges(keys)
     ne = uniq.shape[0]
-    nadj, prev1, prev2 = trisoup_ops.edge_neighbor_structure(
-        uniq, s, node_codes)
-    pres8, vpos32 = dec.trisoup_verts(tctx.vertex, nadj, prev1, prev2,
-                                      ne, s)
+    order, nbr, orient, cmlt, nbef, naft, dirn = \
+        trisoup2.edge_coder_features(node_codes, uniq, s)
+    pres8, vpos32 = dec.trisoup_verts2(tctx.vertex, order, nbr, orient,
+                                       cmlt, nbef, naft, dirn, ne, s)
     present = pres8.astype(bool)
     vpos = vpos32.astype(np.int64)
 

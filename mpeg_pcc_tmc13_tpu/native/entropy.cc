@@ -772,6 +772,158 @@ void rcd_trisoup_verts(RcDecoder* d, uint16_t* ctx,
 
 }  // extern "C"
 
+// ---- trisoup edge-vertex coder v2: reference-style conditioning ----
+// Presence and the top position bits are conditioned on the decoded
+// state of up to 9 geometrically-neighbouring edges (the colinear
+// predecessor and the 8 perpendicular edges touching the two end
+// corners), their vertex-closeness classes (2-bit position, oriented
+// toward the shared corner), and the containing/flanking node
+// multiplicities -- the conditioning variables of the reference's
+// decodeTrisoupVerticesSub (geometry_trisoup_decoder.cpp:1080-1260),
+// folded onto this coder's adaptive binary contexts.  Edges are
+// processed in position-major order (the `order` permutation) so all
+// referenced neighbours are already decoded.
+// Context layout: [0,324) presence; [324,396) pos bit0; [396,540)
+// pos bit1; [540,660) pos bit2; [660,660+2*nbits) remaining bits.
+
+static inline int tri2_gather(
+  const uint8_t* pres, const int32_t* vpos, const int32_t* nbr,
+  uint16_t orient, int nbits, int* nclose, int* nclosest,
+  int* closestStart, int* missed) {
+  int npres = 0;
+  *nclose = *nclosest = *closestStart = *missed = 0;
+  for (int j = 0; j < 9; ++j) {
+    int idx = nbr[j];
+    if (idx < 0) continue;
+    if (!pres[idx]) {
+      if (j <= 4) (*missed)++;
+      continue;
+    }
+    npres++;
+    int v2b = nbits >= 2 ? (vpos[idx] >> (nbits - 2)) : vpos[idx];
+    if (v2b > 3) v2b = 3;
+    if ((orient >> j) & 1) v2b = 3 - v2b;
+    if (v2b >= 2) (*nclose)++;
+    if (v2b == 3) {
+      (*nclosest)++;
+      if (j <= 4) *closestStart = 1;
+    }
+  }
+  return npres;
+}
+
+static inline int tri2_pres_ctx(int nclosest, int cmult, int nafter,
+                                int npres, int dir) {
+  int cA = nclosest < 2 ? nclosest : 2;
+  int cB = cmult - 1;
+  if (cB < 0) cB = 0;
+  if (cB > 3) cB = 3;
+  int cC = nafter < 2 ? nafter : 2;
+  int cD = npres < 2 ? npres : 2;
+  return (((cA * 4 + cB) * 3 + cC) * 3 + cD) * 3 + dir;
+}
+
+extern "C" {
+
+void rce_trisoup_verts2(
+  RcEncoder* e, uint16_t* ctx, const uint8_t* pres,
+  const int32_t* vpos, const int64_t* order, const int32_t* nbr,
+  const uint16_t* orient, const uint8_t* cmult,
+  const uint8_t* nbefore, const uint8_t* nafter, const uint8_t* dir,
+  int64_t ne, int nbits) {
+  for (int64_t k = 0; k < ne; ++k) {
+    int64_t i = order[k];
+    int nclose, nclosest, closestStart, missed;
+    int npres = tri2_gather(pres, vpos, &nbr[i * 9], orient[i], nbits,
+                            &nclose, &nclosest, &closestStart,
+                            &missed);
+    int cid = tri2_pres_ctx(nclosest, cmult[i], nafter[i], npres,
+                            dir[i]);
+    e->encode_bit(&ctx[cid], pres[i]);
+    if (!pres[i]) continue;
+    int q0 = nbefore[i] < 2 ? nbefore[i] : 2;
+    int q1 = nafter[i] < 2 ? nafter[i] : 2;
+    int full = cmult[i] >= 4;
+    int v = vpos[i];
+    int coded = 0;
+    for (int b = nbits - 1; b >= 0; --b) {
+      int bi = nbits - 1 - b;
+      int bit = (v >> b) & 1;
+      if (bi == 0) {
+        int f = (q0 * 3 + q1) * 2 + full;
+        e->encode_bit(
+          &ctx[324 + (f * 2 + (nclosest > 0)) * 2 + closestStart],
+          bit);
+      } else if (bi == 1) {
+        int f = (q0 * 3 + q1) * 2 + full;
+        e->encode_bit(
+          &ctx[396
+               + ((f * 2 + (nclosest > 0)) * 2 + closestStart)
+               - 0 + 72 * coded],
+          bit);
+      } else if (bi == 2) {
+        int m = missed < 4 ? missed : 4;
+        int f2 = (m * 3 + q0) * 2 + full;
+        e->encode_bit(&ctx[540 + f2 * 4 + (coded & 3)], bit);
+      } else {
+        e->encode_bit(&ctx[660 + bi * 2 + (coded & 1)], bit);
+      }
+      coded = (coded << 1) | bit;
+    }
+  }
+}
+
+void rcd_trisoup_verts2(
+  RcDecoder* d, uint16_t* ctx, uint8_t* pres, int32_t* vpos,
+  const int64_t* order, const int32_t* nbr, const uint16_t* orient,
+  const uint8_t* cmult, const uint8_t* nbefore,
+  const uint8_t* nafter, const uint8_t* dir, int64_t ne, int nbits) {
+  for (int64_t k = 0; k < ne; ++k) {
+    int64_t i = order[k];
+    int nclose, nclosest, closestStart, missed;
+    int npres = tri2_gather(pres, vpos, &nbr[i * 9], orient[i], nbits,
+                            &nclose, &nclosest, &closestStart,
+                            &missed);
+    int cid = tri2_pres_ctx(nclosest, cmult[i], nafter[i], npres,
+                            dir[i]);
+    int p = d->decode_bit(&ctx[cid]);
+    pres[i] = (uint8_t)p;
+    vpos[i] = 0;
+    if (!p) continue;
+    int q0 = nbefore[i] < 2 ? nbefore[i] : 2;
+    int q1 = nafter[i] < 2 ? nafter[i] : 2;
+    int full = cmult[i] >= 4;
+    int v = 0;
+    int coded = 0;
+    for (int b = nbits - 1; b >= 0; --b) {
+      int bi = nbits - 1 - b;
+      int bit;
+      if (bi == 0) {
+        int f = (q0 * 3 + q1) * 2 + full;
+        bit = d->decode_bit(
+          &ctx[324 + (f * 2 + (nclosest > 0)) * 2 + closestStart]);
+      } else if (bi == 1) {
+        int f = (q0 * 3 + q1) * 2 + full;
+        bit = d->decode_bit(
+          &ctx[396
+               + ((f * 2 + (nclosest > 0)) * 2 + closestStart)
+               - 0 + 72 * coded]);
+      } else if (bi == 2) {
+        int m = missed < 4 ? missed : 4;
+        int f2 = (m * 3 + q0) * 2 + full;
+        bit = d->decode_bit(&ctx[540 + f2 * 4 + (coded & 3)]);
+      } else {
+        bit = d->decode_bit(&ctx[660 + bi * 2 + (coded & 1)]);
+      }
+      v = (v << 1) | bit;
+      coded = (coded << 1) | bit;
+    }
+    vpos[i] = v;
+  }
+}
+
+}  // extern "C"
+
 // ---- bytewise adaptive occupancy (reference dual-LUT counterpart) ------
 //
 // One 256-symbol range-coder operation per occupancy byte instead of 8

@@ -503,3 +503,93 @@ def _reconstruct_at(ns: NodeSurface, verts, mask, origin, log2_size,
     allp = np.concatenate(out)
     codes = np.unique(morton.encode(allp))
     return morton.decode(codes)
+
+
+# ---------------------------------------------------------------------------
+# edge-coder conditioning features (v2 vertex coder).  The conditioning
+# variables mirror the reference's decodeTrisoupVerticesSub
+# (geometry_trisoup_decoder.cpp:1080-1260): 9 geometric neighbour edges
+# (the colinear predecessor + the 8 perpendicular edges touching the
+# two end corners) with vertex-closeness orientation, plus the
+# containing/flanking node multiplicities.  Everything derives from the
+# node set only, so encoder and decoder compute identical features.
+# ---------------------------------------------------------------------------
+
+_P1 = np.array([1, 0, 0])
+_P2 = np.array([2, 2, 1])
+
+
+def edge_coder_features(node_codes: np.ndarray, uniq: np.ndarray,
+                        log2_size: int):
+    """Returns (order, nbr (E,9) int32, orient (E,) u16, cmult,
+    nbefore, nafter, direction) for the v2 vertex coder."""
+    w = 1 << log2_size
+    ne = uniq.shape[0]
+    axis = (uniq >> 60).astype(np.int64)
+    mort = uniq & ((np.int64(1) << 60) - 1)
+    start = morton.decode(mort)
+    order = np.lexsort((axis, mort)).astype(np.int64)
+    rank = np.empty(ne, dtype=np.int64)
+    rank[order] = np.arange(ne)
+
+    from .trisoup import edge_keys_for_nodes
+    keys, _ = edge_keys_for_nodes(node_codes, log2_size)
+    flat = np.sort(keys.reshape(-1))
+
+    def mult_of(karr, valid):
+        lo = np.searchsorted(flat, karr, "left")
+        hi = np.searchsorted(flat, karr, "right")
+        return np.where(valid, hi - lo, 0)
+
+    def key_of(coords, ax):
+        valid = (coords >= 0).all(axis=1)
+        cc = np.maximum(coords, 0)
+        return morton.encode(cc) + (np.asarray(ax, dtype=np.int64)
+                                    << 60), valid
+
+    def lookup(karr, valid, self_rank):
+        idx = np.searchsorted(uniq, karr)
+        idx = np.minimum(idx, ne - 1)
+        found = (uniq[idx] == karr) & valid
+        found &= rank[idx] < self_rank
+        return np.where(found, idx, -1).astype(np.int32)
+
+    e_d = np.zeros((ne, 3), dtype=np.int64)
+    e_d[np.arange(ne), axis] = w
+
+    kb, vb = key_of(start - e_d, axis)
+    ka, va = key_of(start + e_d, axis)
+    cmult = mult_of(uniq, np.ones(ne, bool)).astype(np.uint8)
+    nbefore = mult_of(kb, vb).astype(np.uint8)
+    nafter = mult_of(ka, va).astype(np.uint8)
+
+    nbr = np.full((ne, 9), -1, dtype=np.int32)
+    orient = np.zeros(ne, dtype=np.uint16)
+    nbr[:, 0] = lookup(kb, vb, rank)          # colinear predecessor
+    p1 = _P1[axis]
+    p2 = _P2[axis]
+    slot = 1
+    for corner in (0, 1):
+        cpos = start + corner * e_d
+        for p in (p1, p2):
+            e_p = np.zeros((ne, 3), dtype=np.int64)
+            e_p[np.arange(ne), p] = w
+            # neighbour STARTING at the corner: vertex near the corner
+            # has a small position -> orientation flip
+            ks, vs = key_of(cpos, p)
+            nbr[:, slot] = lookup(ks, vs, rank)
+            orient |= np.uint16(1 << slot)
+            slot += 1
+            # neighbour ENDING at the corner: no flip
+            ke, ve = key_of(cpos - e_p, p)
+            nbr[:, slot] = lookup(ke, ve, rank)
+            slot += 1
+    # the per-edge orientation word is constant by slot layout:
+    # flips at slots 1,3,5,7 (starts-at-corner)
+    orient = np.full(ne, (1 << 1) | (1 << 3) | (1 << 5) | (1 << 7),
+                     dtype=np.uint16)
+    # self-lookups: an edge must not reference itself
+    self_hit = nbr == np.arange(ne, dtype=np.int32)[:, None]
+    nbr[self_hit] = -1
+    return (order, nbr, orient, cmult, nbefore, nafter,
+            axis.astype(np.uint8))

@@ -157,3 +157,47 @@ def test_zrow_sparser_beats_flags():
     e.residuals(ctx, vals, 3, 2)
     flag_bytes = len(e.get_bytes())
     assert zrun_bytes < flag_bytes * 0.75
+
+
+def test_trisoup_verts2_native_matches_spec():
+    """v2 trisoup vertex coder: native C++ and the pure-Python spec
+    must emit identical bytes and decode identically."""
+    import numpy as np
+    from mpeg_pcc_tmc13_tpu.bitstream import entropy
+    if not entropy.native_available():
+        return
+    rng = np.random.default_rng(3)
+    ne, nbits = 400, 4
+    pres = (rng.random(ne) < 0.4).astype(np.uint8)
+    vpos = rng.integers(0, 1 << nbits, ne).astype(np.int32)
+    vpos[pres == 0] = 0
+    order = rng.permutation(ne).astype(np.int64)
+    rank = np.empty(ne, dtype=np.int64)
+    rank[order] = np.arange(ne)
+    nbr = rng.integers(-1, ne, (ne, 9)).astype(np.int32)
+    # only lower-rank neighbours are legal references
+    bad = (nbr >= 0) & (rank[np.maximum(nbr, 0)] >= rank[:, None])
+    nbr[bad] = -1
+    orient = np.full(ne, 0b10101010, dtype=np.uint16)
+    cmult = rng.integers(1, 5, ne).astype(np.uint8)
+    nbef = rng.integers(0, 5, ne).astype(np.uint8)
+    naft = rng.integers(0, 5, ne).astype(np.uint8)
+    dirn = rng.integers(0, 3, ne).astype(np.uint8)
+
+    streams = {}
+    for cls in (entropy.RangeEncoder, entropy._NativeEncoder):
+        ctx = entropy.new_contexts(704)
+        enc = cls() if cls is not entropy.RangeEncoder else cls(
+            force_python=True)
+        enc.trisoup_verts2(ctx, pres, vpos, order, nbr, orient, cmult,
+                           nbef, naft, dirn, nbits)
+        streams[cls.__name__] = enc.get_bytes()
+    vals = list(streams.values())
+    assert vals[0] == vals[1]
+
+    dec = entropy.RangeDecoder(vals[0])
+    ctx = entropy.new_contexts(704)
+    p2, v2 = dec.trisoup_verts2(ctx, order, nbr, orient, cmult, nbef,
+                                naft, dirn, ne, nbits)
+    np.testing.assert_array_equal(p2, pres)
+    np.testing.assert_array_equal(v2, vpos)
