@@ -205,23 +205,29 @@ def codec_cmd(codec, tmc3_path):
 
 
 PARITY_SUMMARY = """
-## Headline (round 2)
+## Headline (round 3)
 
 * **Geometry**: the OBUF engine (`--geomEngine=obuf`) matches tmc3's
   bpp exactly (±1 byte) at every octree rate point — intra, lossy,
-  LiDAR, and inter+GM — at identical D1/D2.  The conformance engine
-  (`--refSyntax=1`) additionally produces byte-identical tmc3
-  bitstreams both directions.
-* **D1/D2 PSNR**: exact parity at every lossy operating point
-  (reference float output conversion).
+  LiDAR, and inter+GM — at identical D1/D2; its encode now runs the
+  level-sweep engine (batched per-level analysis + thin token loop,
+  `native/obuf_ls.cc`): 3.2 Mpts/s single-core on the 1.22M cloud vs
+  the tmc3 binary's 0.89 end-to-end / 1.5 coding-only with matched
+  flags (engine-level numbers; table columns are whole-CLI rates).
+  The conformance engine (`--refSyntax=1`) produces byte-identical
+  tmc3 bitstreams both directions, now including IDCM.
+* **D1/D2 PSNR**: exact parity at every lossy operating point.
+* **Predlift (LIFT)**: the deep LoD pyramid puts our total bpp BELOW
+  tmc3 at every rate point (r04 attr 0.454 vs 2.101 bpp at +1.2 dB;
+  r06 4.691 vs 7.895 at +0.84 dB).
 * **RAHT attributes**: bpp parity at r01–r04; r05/r06 within 2x on
   knife-edge noisy content at equal-or-higher PSNR; lossless within
-  3.4%.
-* **Throughput**: the OBUF engine encodes ~2x faster than the tmc3
-  binary on identical work (0.59s vs 1.28s @1.2M points) and decodes
-  at its level; table speed ratios run 0.5–6.7x by rate point, above
-  1x at most.  The fast native engine (default) runs ~9 Mpts/s
-  geometry encode / ~6 decode at ~1.5–1.8x tmc3's bpp.
+  5%.
+* **Trisoup**: reference surface model + 9-neighbour vertex contexts:
+  D1 within 0.07 dB (r04) / 0.36 dB (r02) of tmc3 at +33%/+23% geom
+  bpp (the remaining bits gap is tmc3's OBUF vertex maps).
+* **Predgeom**: rows published; fewer bits at r02/r04 but lower D1
+  (azimuth quantisation differences), r06 gap quantified.
 """
 
 
