@@ -109,6 +109,8 @@ def _load_native() -> Optional[ctypes.CDLL]:
                                c.c_int32, c.c_int32, c.c_int32]
     lib.oct_decode.restype = c.c_int64
     lib.radix_sort64.argtypes = [i64p, i64p, c.c_int64]
+    lib.morton_encode64.argtypes = [i64p, c.c_int64, i64p]
+    lib.morton_decode64.argtypes = [i64p, c.c_int64, i64p]
     lib.morton_sort.argtypes = [i64p, c.c_int64, i64p, i64p]
     lib.lod_assign_dist2.argtypes = [i64p, c.c_int64, c.c_int64,
                                      c.c_int32, u8p]

@@ -436,3 +436,27 @@ void morton_sort(const int64_t* xyz, int64_t n, int64_t* codes_out,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// flat Morton decode for the Python utils fast path
+// (utils/morton.py); encode64 above already matches the layout.
+void morton_decode64(const int64_t* codes, int64_t n, int64_t* out) {
+  auto compact = [](uint64_t x) {
+    x &= 0x1249249249249249ull;
+    x = (x ^ (x >> 2)) & 0x10C30C30C30C30C3ull;
+    x = (x ^ (x >> 4)) & 0x100F00F00F00F00Full;
+    x = (x ^ (x >> 8)) & 0x1F0000FF0000FFull;
+    x = (x ^ (x >> 16)) & 0x1F00000000FFFFull;
+    x = (x ^ (x >> 32)) & 0x1FFFFFull;
+    return x;
+  };
+  for (int64_t i = 0; i < n; i++) {
+    uint64_t c = uint64_t(codes[i]);
+    out[i * 3] = int64_t(compact(c >> 2));
+    out[i * 3 + 1] = int64_t(compact(c >> 1));
+    out[i * 3 + 2] = int64_t(compact(c));
+  }
+}
+
+}  // extern "C"

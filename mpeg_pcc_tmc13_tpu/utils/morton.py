@@ -51,12 +51,29 @@ def _compact1by2_64(x):
     return x
 
 
+def _native_lib():
+    from ..bitstream import entropy as _ent
+    return _ent._LIB
+
+
 def encode(pos, xp=np):
     """positions (..., 3) int -> Morton codes (...,) int64.
 
     Axis 0 (x) occupies the highest interleaved bit, matching the
     reference child index convention ``(x<<2)|(y<<1)|z``.
     """
+    if xp is np and isinstance(pos, np.ndarray) and pos.ndim == 2 \
+            and pos.shape[1] == 3:
+        lib = _native_lib()
+        if lib is not None:
+            import ctypes
+            p = np.ascontiguousarray(pos, dtype=np.int64)
+            out = np.empty(p.shape[0], dtype=np.int64)
+            lib.morton_encode64(
+                p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                p.shape[0],
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            return out
     p = pos.astype(xp.int64)
     return (
         (_part1by2_64(p[..., 0]) << 2)
@@ -67,6 +84,17 @@ def encode(pos, xp=np):
 
 def decode(code, xp=np):
     """Morton codes (...,) int64 -> positions (..., 3) int64."""
+    if xp is np and isinstance(code, np.ndarray) and code.ndim == 1:
+        lib = _native_lib()
+        if lib is not None:
+            import ctypes
+            cc = np.ascontiguousarray(code, dtype=np.int64)
+            out = np.empty((cc.shape[0], 3), dtype=np.int64)
+            lib.morton_decode64(
+                cc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                cc.shape[0],
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            return out
     c = code.astype(xp.int64)
     x = _compact1by2_64(c >> 2)
     y = _compact1by2_64(c >> 1)
