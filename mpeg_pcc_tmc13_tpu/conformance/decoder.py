@@ -46,6 +46,15 @@ def _load() -> ctypes.CDLL:
         c.POINTER(c.c_int32), c.c_int,
     ]
     lib.tmc13ref_decode_octree_intra.restype = c.c_int
+    lib.tmc13ref_decode_raht_attr.argtypes = [
+        c.POINTER(c.c_uint8), c.c_int,
+        c.POINTER(c.c_int64), c.c_int, c.c_int,
+        c.POINTER(c.c_int32), c.c_int,
+        c.c_int,
+        c.POINTER(c.c_int32),
+        c.POINTER(c.c_int32),
+    ]
+    lib.tmc13ref_decode_raht_attr.restype = c.c_int
     _lib = lib
     return lib
 
@@ -132,21 +141,93 @@ def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
     return out.astype(np.int64)
 
 
-def decode_stream(data: bytes) -> List[np.ndarray]:
-    """Decode a full tmc3 TLV stream (geometry only) to per-frame
-    XYZ integer positions at the sequence scale, mirroring the
-    reference's output conversion for seq scale 1 (decoder.cpp
-    outputCurrentCloud: slice origin add + toXyz)."""
+def decode_attr_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
+                      abh: ref_hls.RefAbh, payload: bytes,
+                      positions_stv: np.ndarray) -> np.ndarray:
+    """Decode one intra RAHT attribute brick against the slice's
+    decoded positions (slice-local STV + slice origin, decode order).
+    Returns attributes aligned with `positions_stv` rows, mirroring
+    AttributeDecoder::decodeColorsRaht / decodeReflectancesRaht
+    (/root/reference/tmc3/AttributeDecoder.cpp:528-674: morton sort,
+    entropy decode, uraht inverse, clip, scatter by packed index)."""
+    if aps.attr_encoding != ref_hls.ATTR_RAHT:
+        raise UnsupportedTool("non-RAHT attribute brick")
+    lib = _load()
+    from ..utils import morton
+
+    dims = sps.attr_dims[abh.sps_attr_idx]
+    bitdepth = sps.attr_bitdepths[abh.sps_attr_idx]
+
+    codes = morton.encode(np.ascontiguousarray(positions_stv,
+                                               dtype=np.int64))
+    order = np.argsort(codes, kind="stable")
+    codes_sorted = np.ascontiguousarray(codes[order])
+
+    layers = ref_hls.derive_layer_qps(aps, abh)
+    qp_arr = np.asarray(layers, dtype=np.int32).reshape(-1)
+
+    params = np.zeros(39, dtype=np.int32)
+    params[0] = 1 if aps.raht_prediction_enabled else 0
+    params[1] = 1 if aps.integer_haar else 0
+    params[2] = aps.raht_prediction_threshold0
+    params[3] = aps.raht_prediction_threshold1
+    params[4] = 1 if aps.raht_subnode_prediction else 0
+    params[5] = aps.raht_prediction_search_range
+    params[6] = 1 if aps.raht_extension else 0
+    params[7] = 1 if sps.bypass_bin_coding_without_prob_update else 0
+    params[8:27] = aps.pred_weight_parent()
+    params[27:39] = aps.pred_weight_child()
+
+    aec = payload[abh.header_bytes:]
+    aec_arr = np.frombuffer(aec, dtype=np.uint8)
+    n = len(codes_sorted)
+    out = np.empty((n, dims), dtype=np.int32)
+    c = ctypes
+    rc = lib.tmc13ref_decode_raht_attr(
+        aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
+        codes_sorted.ctypes.data_as(c.POINTER(c.c_int64)), n, dims,
+        qp_arr.ctypes.data_as(c.POINTER(c.c_int32)), len(layers),
+        bitdepth,
+        params.ctypes.data_as(c.POINTER(c.c_int32)),
+        out.ctypes.data_as(c.POINTER(c.c_int32)))
+    if rc != 0:
+        raise RuntimeError(f"refattr decode failed rc={rc}")
+
+    # scatter back to decode order (packedVoxel[n].index)
+    result = np.empty_like(out)
+    result[order] = out
+    return result
+
+
+def decode_stream(data: bytes, want_attrs: bool = False):
+    """Decode a full tmc3 TLV stream to per-frame XYZ integer
+    positions at the sequence scale, mirroring the reference's output
+    conversion for seq scale 1 (decoder.cpp outputCurrentCloud: slice
+    origin add + toXyz).  With ``want_attrs`` also decodes intra RAHT
+    attribute bricks and returns (frames, attr_frames) where
+    attr_frames[i] is the per-point attribute array (coded colour
+    space) or None."""
     sps: Optional[ref_hls.RefSps] = None
     gps_map = {}
+    aps_map = {}
     frames: List[np.ndarray] = []
+    attr_frames: List[Optional[np.ndarray]] = []
     cur_slices: List[np.ndarray] = []
+    cur_attrs: List[np.ndarray] = []
     cur_ctr: Optional[int] = None
+    # slice-global STV positions of the last geometry brick, for
+    # attribute decode (decoder.cpp:921-922 adds _sliceOrigin)
+    last_slice_pos: Optional[np.ndarray] = None
 
     def flush():
         if cur_slices:
             frames.append(np.concatenate(cur_slices, axis=0))
+            if cur_attrs and len(cur_attrs) == len(cur_slices):
+                attr_frames.append(np.concatenate(cur_attrs, axis=0))
+            else:
+                attr_frames.append(None)
             cur_slices.clear()
+            cur_attrs.clear()
 
     for t, payload in ref_hls.iter_ref_tlv(data):
         if t == ref_hls.T_SPS:
@@ -154,6 +235,9 @@ def decode_stream(data: bytes) -> List[np.ndarray]:
         elif t == ref_hls.T_GPS:
             g = ref_hls.parse_gps(payload)
             gps_map[g.gps_id] = g
+        elif t == ref_hls.T_APS and want_attrs:
+            a = ref_hls.parse_aps(payload)
+            aps_map[a.aps_id] = a
         elif t == ref_hls.T_GEOM_BRICK:
             gbh_ids = ref_hls.parse_gbh(
                 sps, gps_map[payload[0] >> 4], payload)
@@ -164,6 +248,7 @@ def decode_stream(data: bytes) -> List[np.ndarray]:
             local = decode_geometry_brick(sps, gps, gbh_ids, payload)
             pos = local + np.asarray(gbh_ids.box_origin_stv,
                                      dtype=np.int64)
+            last_slice_pos = pos
             xyz = np.stack(
                 ref_hls.to_xyz(sps.geometry_axis_order,
                                [pos[:, 0], pos[:, 1], pos[:, 2]]),
@@ -171,8 +256,17 @@ def decode_stream(data: bytes) -> List[np.ndarray]:
             # sequence bounding box origin offset (output conversion)
             xyz += np.asarray(sps.bbox_origin, dtype=np.int64)
             cur_slices.append(xyz)
+        elif t == ref_hls.T_ATTR_BRICK and want_attrs:
+            abh_ids = ref_hls.parse_abh(
+                sps, aps_map[payload[0] >> 4], payload)
+            aps = aps_map[abh_ids.aps_id]
+            attrs = decode_attr_brick(sps, aps, abh_ids, payload,
+                                      last_slice_pos)
+            cur_attrs.append(attrs)
         elif t == ref_hls.T_FRAME_BOUNDARY:
             flush()
             cur_ctr = None
     flush()
+    if want_attrs:
+        return frames, attr_frames
     return frames

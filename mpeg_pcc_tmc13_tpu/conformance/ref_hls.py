@@ -143,6 +143,9 @@ class RefSps:
     attr_bitdepths: List[int] = field(default_factory=list)
     attr_labels: List[int] = field(default_factory=list)
     attr_dims: List[int] = field(default_factory=list)
+    # cicp_matrix_coefficients_idx per attribute, or None
+    # (ColourMatrix, hls.h; 0=identity, 1=Bt709, 8=YCgCo)
+    attr_cicp_matrix: List[Optional[int]] = field(default_factory=list)
     geometry_axis_order: int = 1
     cabac_bypass_stream_enabled: bool = False
     entropy_continuation_enabled: bool = False
@@ -193,8 +196,34 @@ def parse_sps(data: bytes) -> RefSps:
             raise NotImplementedError("oid attribute labels")
         n_params = bs.ue()
         bs.byte_align()
-        if n_params:
-            raise NotImplementedError("attribute parameters")
+        cicp_matrix = None
+        for _ in range(n_params):
+            # parseAttributeParameter (io_hls.cpp:357-381)
+            ptype = bs.un(8)
+            plen = bs.un(8)
+            if ptype == 2:              # kCicp
+                bs.ue()                 # colour primaries
+                bs.ue()                 # transfer characteristics
+                cicp_matrix = bs.ue()
+                bs.u1()                 # full range flag
+                bs.byte_align()
+            elif ptype == 3:            # kScaling
+                ob = bs.ue()
+                bs.sn(ob)
+                sb = bs.ue()
+                bs.un(sb)
+                bs.ue()
+                bs.byte_align()
+            elif ptype == 4:            # kDefaultValue
+                dims = s.attr_dims[-1]
+                for _k in range(dims):
+                    bs.un(s.attr_bitdepths[-1])
+                bs.byte_align()
+            else:                       # opaque: skip plen bytes
+                bs.byte_align()
+                for _b in range(plen):
+                    bs.un(8)
+        s.attr_cicp_matrix.append(cicp_matrix)
     s.geometry_axis_order = bs.un(3)
     s.cabac_bypass_stream_enabled = bool(bs.u1())
     s.entropy_continuation_enabled = bool(bs.u1())
@@ -614,3 +643,188 @@ def write_gbh(sps: RefSps, gps: RefGps, h: RefGbh,
             foot.un(24, n - 1)
     foot.un(24, h.num_points - 1)
     return head + aec_payload + foot.get_bytes()
+
+
+# ---------------------------------------------------------------------------
+# attribute parameter set + brick header (RAHT interop scope)
+# ---------------------------------------------------------------------------
+
+# AttributeEncoding (reference hls.h:132-138)
+ATTR_RAHT = 0
+ATTR_PRED = 1
+ATTR_LIFT = 2
+ATTR_RAW = 3
+
+
+@dataclass
+class RefAps:
+    """AttributeParameterSet fields needed to drive RAHT decode
+    (parseAps, io_hls.cpp:1126-1290).  Non-RAHT codings are parsed far
+    enough to know they are out of scope and raise."""
+    aps_id: int = 0
+    sps_id: int = 0
+    attr_encoding: int = 0
+    init_qp_minus4: int = 0
+    chroma_qp_offset: int = 0
+    slice_qp_deltas_present: bool = False
+    raht_prediction_enabled: bool = False
+    raht_prediction_threshold0: int = 0
+    raht_prediction_threshold1: int = 0
+    raw_attr_variable_len: bool = False
+    spherical_coord: bool = False
+    integer_haar: bool = False
+    attr_inter_prediction: bool = False
+    raht_extension: bool = False
+    raht_subnode_prediction: bool = False
+    raht_prediction_weights: Optional[List[int]] = None
+    raht_prediction_search_range: int = 0
+
+    def pred_weight_parent(self) -> List[int]:
+        """predWeightParent (hls.h:448-466)."""
+        if self.raht_prediction_weights is None:
+            return [4, 2, 2, 2, 1, 1, 1, 1, 1, 2,
+                    1, 2, 2, 1, 1, 1, 1, 1, 1]
+        w = self.raht_prediction_weights
+        return [w[0], w[1], w[1], w[1], w[2], w[2], w[2],
+                w[2], w[2], w[1], w[2], w[1], w[1], w[2],
+                w[2], w[2], w[2], w[2], w[2]]
+
+    def pred_weight_child(self) -> List[int]:
+        if self.raht_prediction_weights is None:
+            return [0] * 12
+        w = self.raht_prediction_weights
+        return [w[4], w[4], w[3], w[4], w[3], w[3],
+                w[4], w[4], w[4], w[4], w[4], w[4]]
+
+
+def parse_aps(data: bytes) -> RefAps:
+    """parseAps, io_hls.cpp:1126 (RAHT branch complete; LoD branches
+    parsed for bit-position fidelity, then rejected downstream)."""
+    bs = RefBitReader(data)
+    a = RefAps()
+    a.aps_id = bs.un(4)
+    a.sps_id = bs.un(4)
+    a.attr_encoding = bs.ue()
+    a.init_qp_minus4 = bs.ue()
+    a.chroma_qp_offset = bs.se()
+    a.slice_qp_deltas_present = bool(bs.u1())
+
+    scalable_lifting = False
+    num_detail_levels_minus1 = 0
+    if a.attr_encoding in (ATTR_PRED, ATTR_LIFT):
+        # lodParametersPresent (hls.h:787)
+        raise NotImplementedError(
+            "attribute interop: predicting/lifting APS not supported")
+
+    if a.attr_encoding == ATTR_RAHT:
+        a.raht_prediction_enabled = bool(bs.u1())
+        if a.raht_prediction_enabled:
+            a.raht_prediction_threshold0 = bs.ue()
+            a.raht_prediction_threshold1 = bs.ue()
+
+    if a.attr_encoding == ATTR_RAW:
+        a.raw_attr_variable_len = bool(bs.u1())
+
+    if not scalable_lifting:
+        a.spherical_coord = bool(bs.u1())
+    if a.spherical_coord:
+        raise NotImplementedError("attribute interop: spherical coords")
+
+    aps_extension = bool(bs.u1())
+    if aps_extension:
+        if a.attr_encoding == ATTR_RAHT:
+            a.integer_haar = bool(bs.u1())
+        a.attr_inter_prediction = bool(bs.u1())
+        if a.attr_inter_prediction:
+            raise NotImplementedError(
+                "attribute interop: attribute inter prediction")
+        if False and not num_detail_levels_minus1:   # lod-only fields
+            bs.ue()
+        if a.attr_encoding == ATTR_RAHT:
+            a.raht_extension = bool(bs.u1())
+        if a.attr_encoding == ATTR_RAHT and a.raht_prediction_enabled:
+            a.raht_subnode_prediction = bool(bs.u1())
+            if a.raht_subnode_prediction:
+                a.raht_prediction_weights = [bs.ue() for _ in range(5)]
+                a.raht_prediction_search_range = bs.ue()
+    bs.byte_align()
+    return a
+
+
+@dataclass
+class RefAbh:
+    """AttributeBrickHeader (parseAbh, io_hls.cpp:1922-2050), RAHT
+    intra scope: qp deltas, layer QPs; regions and AC-coefficient QP
+    offsets rejected."""
+    aps_id: int = 0
+    sps_attr_idx: int = 0
+    geom_slice_id: int = 0
+    qp_delta_luma: int = 0
+    qp_delta_chroma: int = 0
+    layer_qp_delta_luma: Optional[List[int]] = None
+    layer_qp_delta_chroma: Optional[List[int]] = None
+    header_bytes: int = 0
+
+
+def parse_abh(sps: RefSps, aps: RefAps, data: bytes) -> RefAbh:
+    bs = RefBitReader(data)
+    h = RefAbh()
+    h.aps_id = bs.un(4)
+    bs.un(3)                         # abh_reserved_zero_3bits
+    h.sps_attr_idx = bs.ue()
+    h.geom_slice_id = bs.ue()
+
+    if aps.attr_inter_prediction:
+        bs.se()                      # attr_dist2_delta (also gated on
+                                     # aps_slice_dist2_deltas, LoD-only)
+
+    # lcp/icp: never present for RAHT (hls.h:890-916)
+
+    if aps.slice_qp_deltas_present:
+        h.qp_delta_luma = bs.se()
+        h.qp_delta_chroma = bs.se()
+
+    if bs.u1():                      # attr_layer_qp_present_flag
+        n = bs.ue() + 1
+        h.layer_qp_delta_luma = []
+        h.layer_qp_delta_chroma = []
+        for _ in range(n):
+            h.layer_qp_delta_luma.append(bs.se())
+            h.layer_qp_delta_chroma.append(bs.se())
+
+    num_regions = bs.ue()
+    if num_regions:
+        raise NotImplementedError("attribute interop: region QP boxes")
+
+    if bs.u1():                      # raht_ac_coeff_qp_offset_present
+        raise NotImplementedError(
+            "attribute interop: RAHT AC coefficient QP offsets")
+
+    if aps.attr_inter_prediction:
+        raise NotImplementedError(
+            "attribute interop: attribute inter prediction")
+
+    bs.byte_align()
+    h.header_bytes = bs.tell_bytes()
+    return h
+
+
+def derive_layer_qps(aps: RefAps, abh: RefAbh) -> List[Tuple[int, int]]:
+    """deriveLayerQps (quantization.cpp:80-97): per-layer
+    (lumaQp, chromaOffset) before the +qp0 chroma chaining."""
+    def layer(l: int) -> Tuple[int, int]:
+        luma = aps.init_qp_minus4 + 4
+        chroma = aps.chroma_qp_offset
+        if aps.slice_qp_deltas_present:
+            luma += abh.qp_delta_luma
+            chroma += abh.qp_delta_chroma
+        if abh.layer_qp_delta_luma is not None:
+            luma += abh.layer_qp_delta_luma[l]
+            chroma += abh.layer_qp_delta_chroma[l]
+        return luma, chroma
+
+    layers = [layer(0)]
+    if abh.layer_qp_delta_luma is not None:
+        for l in range(1, len(abh.layer_qp_delta_luma)):
+            layers.append(layer(l))
+    return layers

@@ -127,15 +127,20 @@ def rgb_to_ycbcr_bt709(rgb: np.ndarray, bitdepth: int = 8) -> np.ndarray:
 
 
 def ycbcr_bt709_to_rgb(ycc: np.ndarray, bitdepth: int = 8) -> np.ndarray:
-    y = ycc[..., 0].astype(np.int64)
-    off = 1 << (bitdepth - 1)
-    cb = ycc[..., 1].astype(np.int64) - off
-    cr = ycc[..., 2].astype(np.int64) - off
+    """Exact mirror of the reference's double-precision inverse
+    (colourspace.h:66-78 transformYCbCrBt709ToGbr): float64 products,
+    round-half-away-from-zero, clip."""
+    y = ycc[..., 0].astype(np.float64)
+    off = float(1 << (bitdepth - 1))
+    cb = ycc[..., 1].astype(np.float64) - off
+    cr = ycc[..., 2].astype(np.float64) - off
     hi = (1 << bitdepth) - 1
-    # Q16 of colourspace.h:71-76 (1.57480, 0.18733, 0.46813, 1.85563);
-    # each output is floor(value + 0.5) like the reference's round()
-    r = y + ((103206 * cr + 32768) >> 16)
-    g = ((y << 16) - 12278 * cb - 30680 * cr + 32768) >> 16
-    b = y + ((121619 * cb + 32768) >> 16)
+
+    def c_round(x):
+        return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+    r = c_round(y + 1.57480 * cr)
+    g = c_round(y - 0.18733 * cb - 0.46813 * cr)
+    b = c_round(y + 1.85563 * cb)
     out = np.stack([r, g, b], axis=-1)
     return np.clip(out, 0, hi).astype(ycc.dtype)

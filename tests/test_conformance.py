@@ -301,3 +301,129 @@ def test_encode_idcm_byte_identical_to_tmc3(tmp_path):
                                len(payload) - gbh.footer_bytes]
 
     assert aec_of(bit.read_bytes()) == aec_of(stream)
+
+
+# ---------------------------------------------------------------------------
+# RAHT attribute interop (native/refattr.cc + ref_hls parse_aps/abh)
+# ---------------------------------------------------------------------------
+
+RAHT_BASE = [
+    "--positionQuantizationScale=1", "--neighbourAvailBoundaryLog2=8",
+    "--planarEnabled=0", "--inferredDirectCodingMode=0",
+    "--bypassBinCodingWithoutProbUpdate=0",
+    "--convertPlyColourspace=0",
+]
+
+
+def raht_cloud(seed=11, n=4000, span=256):
+    rng = np.random.default_rng(seed)
+    pos = np.unique(rng.integers(0, span, size=(n, 3), dtype=np.int64),
+                    axis=0)
+    col = ((pos * np.array([2, 1, 3])) % 256
+           + rng.integers(0, 8, size=pos.shape)).clip(0, 255)
+    return pos, col.astype(np.uint16)
+
+
+def raht_roundtrip(tmp_path, name, pos, col=None, refl=None, extra=(),
+                   ycc=False):
+    """tmc3-encode with RAHT attributes, decode with both tmc3 and the
+    conformance decoder, require bit-exact equality."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    from mpeg_pcc_tmc13_tpu.ops import processing
+    src = tmp_path / f"{name}.ply"
+    bit = tmp_path / f"{name}.bin"
+    dec = tmp_path / f"{name}.dec.ply"
+    cloud = ply.PlyCloud(positions=pos.astype(np.float64), colors=col,
+                         reflectances=refl)
+    ply.write(cloud, str(src), ascii=True)
+    base = [o for o in RAHT_BASE
+            if not (ycc and o.startswith("--convertPlyColourspace"))]
+    if ycc:
+        base.append("--convertPlyColourspace=1")
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", *base,
+         "--transformType=0", *extra,
+         "--attribute=" + ("color" if col is not None else "reflectance")],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={dec}", "--outputBinaryPly=0",
+         f"--convertPlyColourspace={1 if ycc else 0}"],
+        check=True, capture_output=True)
+    frames, attrs = refdec.decode_stream(bit.read_bytes(),
+                                         want_attrs=True)
+    ref = ply.read(str(dec))
+    np.testing.assert_array_equal(frames[0],
+                                  ref.positions.astype(np.int64))
+    assert attrs[0] is not None
+    if col is not None:
+        if ycc:
+            rgb = processing.ycbcr_bt709_to_rgb(
+                attrs[0].astype(np.int64), bitdepth=8)
+            np.testing.assert_array_equal(rgb,
+                                          ref.colors.astype(np.int64))
+        else:
+            # internal coding order is GBR (reference PCCPointSet3)
+            np.testing.assert_array_equal(
+                attrs[0][:, [2, 0, 1]], ref.colors.astype(np.int32))
+    else:
+        np.testing.assert_array_equal(
+            attrs[0][:, 0], ref.reflectances.astype(np.int32))
+
+
+def test_raht_attr_lossy_bit_exact(tmp_path):
+    pos, col = raht_cloud()
+    raht_roundtrip(tmp_path, "raht34", pos, col=col,
+                   extra=["--qp=34", "--mergeDuplicatedPoints=1"])
+
+
+def test_raht_attr_lossless_bit_exact(tmp_path):
+    pos, col = raht_cloud(seed=12)
+    raht_roundtrip(tmp_path, "raht4", pos, col=col,
+                   extra=["--qp=4", "--mergeDuplicatedPoints=1"])
+
+
+def test_raht_attr_integer_haar_bit_exact(tmp_path):
+    pos, col = raht_cloud(seed=13)
+    raht_roundtrip(tmp_path, "rahthaar", pos, col=col,
+                   extra=["--qp=4", "--integerHaar=1",
+                          "--mergeDuplicatedPoints=1"])
+
+
+def test_raht_attr_reflectance_bit_exact(tmp_path):
+    pos, col = raht_cloud(seed=14)
+    refl = ((pos.sum(1) * 7) % 256).astype(np.uint16)
+    raht_roundtrip(tmp_path, "rahtrefl", pos, refl=refl,
+                   extra=["--qp=30", "--mergeDuplicatedPoints=1",
+                          "--bitdepth=8"])
+
+
+def test_raht_attr_duplicates_bit_exact(tmp_path):
+    pos, col = raht_cloud(seed=15, n=2000, span=64)
+    pd = np.concatenate([pos, pos[:400]])
+    cd = np.concatenate([col, col[:400]])
+    raht_roundtrip(tmp_path, "rahtdup", pd, col=cd,
+                   extra=["--qp=34", "--mergeDuplicatedPoints=0"])
+
+
+def test_raht_attr_chroma_offset_bit_exact(tmp_path):
+    pos, col = raht_cloud(seed=16)
+    raht_roundtrip(tmp_path, "rahtchroma", pos, col=col,
+                   extra=["--qp=34", "--qpChromaOffset=6",
+                          "--mergeDuplicatedPoints=1"])
+
+
+def test_raht_attr_prediction_off_bit_exact(tmp_path):
+    pos, col = raht_cloud(seed=17)
+    raht_roundtrip(tmp_path, "rahtnopred", pos, col=col,
+                   extra=["--qp=34", "--rahtPredictionEnabled=0",
+                          "--mergeDuplicatedPoints=1"])
+
+
+def test_raht_attr_ycbcr_bit_exact(tmp_path):
+    """Default CTC colour path: coded in YCbCr BT.709, converted back
+    on output (TMC3.cpp:2538, colourspace.h:66-78)."""
+    pos, col = raht_cloud(seed=18)
+    raht_roundtrip(tmp_path, "rahtycc", pos, col=col, ycc=True,
+                   extra=["--qp=34", "--mergeDuplicatedPoints=1"])
