@@ -270,3 +270,32 @@ def decode_stream(data: bytes, want_attrs: bool = False):
     if want_attrs:
         return frames, attr_frames
     return frames
+
+
+def write_tmc3_ply(path: str, positions_xyz: np.ndarray,
+                   colors_gbr: Optional[np.ndarray] = None,
+                   reflectances: Optional[np.ndarray] = None) -> None:
+    """Write a PLY byte-identical to the reference decoder's ascii
+    output (ply.cpp:103-159: header layout, green/blue/red property
+    order, std::fixed 5-decimal positions)."""
+    n = len(positions_xyz)
+    lines = ["ply", "format ascii 1.0", f"element vertex {n}",
+             "property float x", "property float y", "property float z"]
+    if colors_gbr is not None:
+        lines += ["property uchar green", "property uchar blue",
+                  "property uchar red"]
+    if reflectances is not None:
+        lines += ["property uint16 refc"]
+    lines += ["element face 0",
+              "property list uint8 int32 vertex_index", "end_header"]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+        for i in range(n):
+            p = positions_xyz[i]
+            row = f"{p[0]:.5f} {p[1]:.5f} {p[2]:.5f}"
+            if colors_gbr is not None:
+                c = colors_gbr[i]
+                row += f" {int(c[0])} {int(c[1])} {int(c[2])}"
+            if reflectances is not None:
+                row += f" {int(reflectances[i])}"
+            f.write(row + "\n")

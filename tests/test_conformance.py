@@ -427,3 +427,43 @@ def test_raht_attr_ycbcr_bit_exact(tmp_path):
     pos, col = raht_cloud(seed=18)
     raht_roundtrip(tmp_path, "rahtycc", pos, col=col, ycc=True,
                    extra=["--qp=34", "--mergeDuplicatedPoints=1"])
+
+
+def test_raht_default_tools_md5_identical(tmp_path):
+    """BASELINE protocol (a) for a full config: tmc3 encode with
+    default geometry tools (planar, IDCM per sanitizer) + RAHT YCbCr
+    colours; our decode written as a tmc3-format PLY must be
+    md5-identical to the reference decoder's output."""
+    import hashlib
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    from mpeg_pcc_tmc13_tpu.ops import processing
+    pos, col = raht_cloud(seed=21, n=5000)
+    src = tmp_path / "dflt.ply"
+    bit = tmp_path / "dflt.bin"
+    dec = tmp_path / "dflt.dec.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64), colors=col),
+              str(src), ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}",
+         "--positionQuantizationScale=1",
+         "--neighbourAvailBoundaryLog2=8",   # CTC value (atlas-off
+                                             # decode is out of scope)
+         "--planarModeIdcmUse=32",       # actually exercise IDCM
+         "--mergeDuplicatedPoints=1",
+         "--transformType=0", "--qp=34", "--attribute=color"],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={dec}", "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    frames, attrs = refdec.decode_stream(bit.read_bytes(),
+                                         want_attrs=True)
+    rgb = processing.ycbcr_bt709_to_rgb(attrs[0].astype(np.int64),
+                                        bitdepth=8)
+    gbr = rgb[:, [1, 2, 0]]
+    mine = tmp_path / "dflt.mine.ply"
+    refdec.write_tmc3_ply(str(mine), frames[0], colors_gbr=gbr)
+    md5_ref = hashlib.md5(dec.read_bytes()).hexdigest()
+    md5_mine = hashlib.md5(mine.read_bytes()).hexdigest()
+    assert md5_ref == md5_mine
