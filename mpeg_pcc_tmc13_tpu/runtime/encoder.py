@@ -213,6 +213,19 @@ class FrameEncoder:
 
     def __init__(self, params: EncoderParams):
         self.params = params
+        # Angular predictive geometry determines spherical positions
+        # from the input; quantising the input would disturb them.
+        # Like the reference (encoder.cpp:98-110), replace sequence
+        # scaling by input decimation: keep one point per coarse cell,
+        # code at full precision, signal scale 1.
+        self._decimation_scale: Optional[float] = None
+        if (params.geometry_codec == hls.GeometryCodecType.PREDICTIVE
+                and params.angular_enabled
+                and params.geom_scale_num != params.geom_scale_den):
+            self._decimation_scale = (params.geom_scale_num
+                                      / params.geom_scale_den)
+            params.geom_scale_num = 1
+            params.geom_scale_den = 1
         self.sps: Optional[hls.SequenceParameterSet] = None
         self.gps: Optional[hls.GeometryParameterSet] = None
         self.aps: List[hls.AttributeParameterSet] = []
@@ -457,6 +470,25 @@ class FrameEncoder:
         # axis permutation into internal stv order (reference
         # convertXyzToStv, decoder.cpp:347-369)
         positions = cloud.positions[:, self.sps.geom_axis_order.perm]
+        if self._decimation_scale is not None:
+            # angular predgeom: decimate instead of scaling
+            # (samplePositionsUniq, pointset_processing.cpp:114-134 —
+            # keep the first source point per coarse cell, positions
+            # stay at full precision)
+            pos_i = np.round(positions).astype(np.int64)
+            key = np.round(pos_i * self._decimation_scale).astype(
+                np.int64)
+            key -= key.min(axis=0)         # morton needs non-negative
+            kcodes = morton_ops.encode(key)
+            _, first = np.unique(kcodes, return_index=True)
+            first.sort()
+            positions = positions[first]
+            cloud = PointCloud(
+                cloud.positions[first],
+                None if cloud.colors is None else cloud.colors[first],
+                None if cloud.reflectances is None
+                else cloud.reflectances[first],
+                cloud.frame_index)
         # input quantisation (reference encoder.cpp:1554-1577).  Scale
         # only; per-slice origins are signalled absolute in grid units,
         # so no sequence origin enters the reconstruction path.
