@@ -107,13 +107,20 @@ def _sorted_ref(ref_positions: np.ndarray):
 def encode(positions: np.ndarray, enc, ctx: PredGeomContexts,
            sort_mode: SortMode = SortMode.MORTON,
            angular: bool = False, ref_positions: np.ndarray = None,
-           lasers=None):
+           lasers=None, origin=None):
     """Encode positions losslessly; returns chain-order permutation.
 
     angular=True codes in the spherical domain (r, phi, z) with a
     secondary cartesian residual (reference angular predictive
     geometry, generateGeomPredictionTreeAngular
     geometry_predictive_encoder.cpp:1287; GPS angular_enabled).
+
+    origin: slice-local lidar head position (GPS geomAngularOrigin −
+    slice origin, reference gbh.geomAngularOrigin): the spherical
+    conversion is taken about this point, all THREE components —
+    without the z component the laser elevation model is useless and
+    the z residual carries the whole head height.  When None, falls
+    back to the signalled x/y-mean centring (z uncentred).
 
     ref_positions: compensated reference-frame points (cartesian mode
     only): points may flag inter prediction from the reference's
@@ -125,13 +132,17 @@ def encode(positions: np.ndarray, enc, ctx: PredGeomContexts,
         order = sort_points(positions, SortMode.AZIMUTH if
                             sort_mode == SortMode.MORTON else sort_mode)
         pc = positions.astype(np.int64)[order]
-        # signalled sweep centre: LiDAR azimuth/radius live around the
-        # sensor origin, not the slice corner
-        cx = int(np.round(pc[:, 0].mean())) if pc.size else 0
-        cy = int(np.round(pc[:, 1].mean())) if pc.size else 0
-        enc.bypass(np.array([cx, cy], dtype=np.uint32),
-                   np.array([21, 21], dtype=np.int32))
-        centred = pc - np.array([cx, cy, 0], dtype=np.int64)
+        if origin is not None:
+            centre3 = np.asarray(origin, dtype=np.int64)
+        else:
+            # signalled sweep centre: LiDAR azimuth/radius live around
+            # the sensor origin, not the slice corner
+            cx = int(np.round(pc[:, 0].mean())) if pc.size else 0
+            cy = int(np.round(pc[:, 1].mean())) if pc.size else 0
+            enc.bypass(np.array([cx, cy], dtype=np.uint32),
+                       np.array([21, 21], dtype=np.int32))
+            centre3 = np.array([cx, cy, 0], dtype=np.int64)
+        centred = pc - centre3
         if lasers is not None:
             # calibrated per-laser form: code (r, phi, laser index),
             # z reconstructs from the GPS laser tables + residual.
@@ -147,8 +158,7 @@ def encode(positions: np.ndarray, enc, ctx: PredGeomContexts,
             if ref_positions is not None and len(ref_positions):
                 ref_rpl = coords.xyz_to_rpl(
                     np.asarray(ref_positions, dtype=np.int64)
-                    - np.array([cx, cy, 0], dtype=np.int64),
-                    theta_q, zoff, npt)
+                    - centre3, theta_q, zoff, npt)
                 _chain_encode_rpl_inter(rpl, ref_rpl, enc, ctx)
             else:
                 _chain_encode(rpl, enc, ctx)
@@ -376,20 +386,23 @@ def _chain_encode(p: np.ndarray, enc, ctx: PredGeomContexts,
 def decode(num_points: int, dec, ctx: PredGeomContexts,
            angular: bool = False,
            ref_positions: np.ndarray = None,
-           lasers=None) -> np.ndarray:
+           lasers=None, origin=None) -> np.ndarray:
     n = num_points
     if n == 0:
         return np.zeros((0, 3), dtype=np.int64)
     if angular:
         from ..ops import coords
-        centre = dec.bypass(np.array([21, 21], dtype=np.int32))
+        if origin is not None:
+            centre3 = np.asarray(origin, dtype=np.int64)
+        else:
+            centre = dec.bypass(np.array([21, 21], dtype=np.int32))
+            centre3 = np.array([int(centre[0]), int(centre[1]), 0],
+                               dtype=np.int64)
         if (lasers is not None and ref_positions is not None
                 and len(ref_positions)):
             theta_q, zoff, npt = lasers
             ref_rpl = coords.xyz_to_rpl(
-                np.asarray(ref_positions, dtype=np.int64)
-                - np.array([int(centre[0]), int(centre[1]), 0],
-                           dtype=np.int64),
+                np.asarray(ref_positions, dtype=np.int64) - centre3,
                 theta_q, zoff, npt)
             sph = _chain_decode_rpl_inter(n, dec, ctx, ref_rpl)
         else:
@@ -405,8 +418,7 @@ def decode(num_points: int, dec, ctx: PredGeomContexts,
             out = coords.rpl_to_xyz(sph, theta_q, zoff, npt) + sec
         else:
             out = coords.spherical_to_xyz(sph) + sec
-        out[:, 0] += int(centre[0])
-        out[:, 1] += int(centre[1])
+        out += centre3
         return out
     return _chain_decode(n, dec, ctx, ref_positions=ref_positions)
 

@@ -258,10 +258,16 @@ class FrameDecoder:
                           np.asarray(gps.laser_z, dtype=np.int64),
                           np.asarray(gps.laser_npt,
                                      dtype=np.int64))
+            pg_origin = None
+            if gps.angular_enabled:
+                pg_origin = (np.asarray(gps.angular_origin,
+                                        dtype=np.int64)
+                             - np.asarray(gbh.slice_origin,
+                                          dtype=np.int64))
             local = geometry_predictive.decode(
                 gbh.num_points, dec, self._predgeom_ctx,
                 angular=gps.angular_enabled, ref_positions=ref_pos,
-                lasers=lasers)
+                lasers=lasers, origin=pg_origin)
         else:
             ref_codes = None
             if gbh.is_inter:

@@ -476,8 +476,12 @@ class FrameEncoder:
             # keep the first source point per coarse cell, positions
             # stay at full precision)
             pos_i = np.round(positions).astype(np.int64)
-            key = np.round(pos_i * self._decimation_scale).astype(
-                np.int64)
+            # std::round = half away from zero (the reference's key
+            # law); np.round's half-even would merge boundary cells
+            # differently and keep a different point set
+            kf = pos_i * self._decimation_scale
+            key = np.where(kf >= 0, np.floor(kf + 0.5),
+                           np.ceil(kf - 0.5)).astype(np.int64)
             key -= key.min(axis=0)         # morton needs non-negative
             kcodes = morton_ops.encode(key)
             _, first = np.unique(kcodes, return_index=True)
@@ -785,11 +789,19 @@ class FrameEncoder:
                                      dtype=np.int64),
                           np.asarray(self.gps.laser_npt,
                                      dtype=np.int64))
+            pg_origin = None
+            if self.gps.angular_enabled:
+                # slice-local lidar head (gbh.geomAngularOrigin)
+                pg_origin = (np.asarray(self.gps.angular_origin,
+                                        dtype=np.int64)
+                             - np.asarray(slice_origin,
+                                          dtype=np.int64))
             order = geometry_predictive.encode(
                 local, enc, self._predgeom_ctx,
                 sort_mode=p.predgeom_sort_mode,
                 angular=self.gps.angular_enabled,
-                ref_positions=ref_pos, lasers=lasers)
+                ref_positions=ref_pos, lasers=lasers,
+                origin=pg_origin)
         elif self.gps.obuf_engine:
             # inter bricks run through the OBUF engine with the
             # (GM + optional LPU)-compensated reference selecting the
