@@ -401,6 +401,18 @@ class _PyEncoder:
             return
         self._enc_egk_ctx(ctx, 4, run - 8, 2)
 
+    def _enc_egk_rem(self, ctx, pbase, sbase, v, k):
+        # positional prefix + adaptive suffix contexts (native
+        # enc_egk_rem; reference entropyutils.h:210-239)
+        k0 = k
+        while v >= (1 << k):
+            self.encode_bit(ctx, pbase + min(k - k0, 2), 1)
+            v -= 1 << k
+            k += 1
+        self.encode_bit(ctx, pbase + min(k - k0, 2), 0)
+        for j in range(k - 1, -1, -1):
+            self.encode_bit(ctx, sbase + min(j, 2), (v >> j) & 1)
+
     def _enc_zrow_sym(self, ctx, v, k1, k2, k3):
         self.encode_bit(ctx, 5 + k1, 1 if v > 0 else 0)
         if not v:
@@ -409,7 +421,7 @@ class _PyEncoder:
         self.encode_bit(ctx, 12 + k2, 1 if v > 0 else 0)
         if not v:
             return
-        self._enc_egk_ctx(ctx, 19 + k3, v - 1, 1)
+        self._enc_egk_rem(ctx, 19 + 3 * k3, 25 + 3 * k3, v - 1, 1)
 
     def zrow_residuals(self, ctx, rows):
         rows = np.asarray(rows)
@@ -749,12 +761,23 @@ class _PyDecoder:
             return 3 + 2 * prefix + self.decode_bypass()
         return 11 + self._dec_egk_ctx(ctx, 4, 2)
 
+    def _dec_egk_rem(self, ctx, pbase, sbase, k):
+        k0 = k
+        base = 0
+        while self.decode_bit(ctx, pbase + min(k - k0, 2)):
+            base += 1 << k
+            k += 1
+        v = 0
+        for j in range(k - 1, -1, -1):
+            v |= self.decode_bit(ctx, sbase + min(j, 2)) << j
+        return base + v
+
     def _dec_zrow_sym(self, ctx, k1, k2, k3):
         if not self.decode_bit(ctx, 5 + k1):
             return 0
         if not self.decode_bit(ctx, 12 + k2):
             return 1
-        return 2 + self._dec_egk_ctx(ctx, 19 + k3, 1)
+        return 2 + self._dec_egk_rem(ctx, 19 + 3 * k3, 25 + 3 * k3, 1)
 
     def zrow_residuals(self, ctx, n, ncomp):
         out = np.zeros((n, ncomp), dtype=np.int32)

@@ -30,7 +30,7 @@ RES_CTX_SIZE = 2 + _RES_PREFIX_MAX + 8
 # magnitude prefix
 ZRUN_CTX_SIZE = entropy.ZRUN_PREFIX + _RES_PREFIX_MAX + 8
 # joint row coder (entropy.py zrow_residuals; native kZrowCtx)
-ZROW_CTX_SIZE = 21
+ZROW_CTX_SIZE = 31
 
 
 @dataclass

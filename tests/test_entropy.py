@@ -132,13 +132,13 @@ def test_zrow_cross_engine(ncomp, density):
         rows[nz] = mags * rng.choice([-1, 1], (k, ncomp))
     outs = []
     for force in (True, False):
-        ctx = E.new_contexts(21)
+        ctx = E.new_contexts(31)
         e = E.RangeEncoder(force_python=force)
         e.zrow_residuals(ctx, rows)
         outs.append(e.get_bytes())
     assert outs[0] == outs[1]
     for force in (True, False):
-        ctx = E.new_contexts(21)
+        ctx = E.new_contexts(31)
         d = E.RangeDecoder(outs[0], force_python=force)
         assert np.array_equal(
             d.zrow_residuals(ctx, rows.shape[0], ncomp), rows)
