@@ -97,9 +97,21 @@ def encode_stream(positions: np.ndarray,
                   frame_ctr_bits: int = 1,
                   planar: bool = False,
                   qtbt: bool = True,
-                  idcm: int = 0) -> bytes:
+                  idcm: int = 0,
+                  colors: np.ndarray = None,
+                  reflectances: np.ndarray = None,
+                  attr_qp: int = 34,
+                  attr_bitdepth: int = 8,
+                  integer_haar: bool = False) -> bytes:
     """Encode one frame of non-negative integer XYZ positions into a
-    complete reference-syntax TLV stream (SPS + GPS + geometry brick).
+    complete reference-syntax TLV stream (SPS + GPS + geometry brick,
+    plus APS + RAHT attribute brick when colors/reflectances given).
+
+    colors: (N, 3) GBR values in the CODED colour space aligned with
+    `positions` rows (the caller converts colour spaces; the stream's
+    cicp is not written, matching tmc3 --convertPlyColourspace=0).
+    The attribute payload is byte-identical to the reference encoder's
+    for the same configuration (native/refattr.cc encoder).
 
     With unique_points the duplicates are merged exactly as the
     reference encoder does before coding.
@@ -109,8 +121,16 @@ def encode_stream(positions: np.ndarray,
         raise ValueError("positions must be (N, 3)")
     if pos.size and pos.min() < 0:
         raise ValueError("positions must be non-negative")
+    attr_vals = colors if colors is not None else reflectances
     if unique_points:
-        pos = np.unique(pos, axis=0)
+        if attr_vals is not None:
+            codes_in = (pos[:, 0] << 42) | (pos[:, 1] << 21) | pos[:, 2]
+            _, first = np.unique(codes_in, return_index=True)
+            first.sort()
+            pos = pos[first]
+            attr_vals = np.asarray(attr_vals)[first]
+        else:
+            pos = np.unique(pos, axis=0)
     # xyz -> stv (identity for axis_order 1)
     stv = np.stack(ref_hls.from_xyz(
         axis_order, [pos[:, 0], pos[:, 1], pos[:, 2]]), axis=1)
@@ -125,6 +145,14 @@ def encode_stream(positions: np.ndarray,
         main_profile_compat=0, level=0, sps_id=0,
         frame_ctr_bits=frame_ctr_bits, slice_tag_bits=0,
         geometry_axis_order=axis_order)
+    if attr_vals is not None:
+        dims = 3 if colors is not None else 1
+        sps.num_attrs = 1
+        sps.attr_dims = [dims]
+        sps.attr_bitdepths = [attr_bitdepth]
+        # KnownAttributeLabel (hls.h): 0 = colour, 1 = reflectance
+        sps.attr_labels = [0 if colors is not None else 1]
+        sps.attr_cicp_matrix = [None]
     gps = ref_hls.RefGps(
         gps_id=0, sps_id=0, geom_box_log2_scale_present=True,
         qtbt_enabled=qtbt,
@@ -156,10 +184,109 @@ def encode_stream(positions: np.ndarray,
         num_points=int(pos.shape[0]))
     brick = ref_hls.write_gbh(sps, gps, gbh, aec)
 
-    return (ref_hls.write_ref_tlv(ref_hls.T_SPS, ref_hls.write_sps(sps))
-            + ref_hls.write_ref_tlv(ref_hls.T_GPS,
-                                    ref_hls.write_gps(gps))
-            + ref_hls.write_ref_tlv(ref_hls.T_GEOM_BRICK, brick))
+    stream = (ref_hls.write_ref_tlv(ref_hls.T_SPS,
+                                    ref_hls.write_sps(sps))
+              + ref_hls.write_ref_tlv(ref_hls.T_GPS,
+                                      ref_hls.write_gps(gps)))
+
+    if attr_vals is not None:
+        # tmc3 defaults (TMC3.cpp:1290-1319; search range sanitised to
+        # the level limit, encoder.cpp:808)
+        aps = ref_hls.RefAps(
+            aps_id=0, sps_id=0, attr_encoding=ref_hls.ATTR_RAHT,
+            init_qp_minus4=attr_qp - 4,
+            raht_prediction_enabled=True,
+            raht_prediction_threshold0=2, raht_prediction_threshold1=6,
+            integer_haar=integer_haar, raht_extension=True,
+            raht_subnode_prediction=True,
+            raht_prediction_weights=[9, 3, 1, 5, 2],
+            raht_prediction_search_range=1100000)
+        stream += ref_hls.write_ref_tlv(ref_hls.T_APS,
+                                        ref_hls.write_aps(aps))
+
+    stream += ref_hls.write_ref_tlv(ref_hls.T_GEOM_BRICK, brick)
+
+    if attr_vals is not None:
+        # the attribute brick codes against the DECODED positions in
+        # decode order with the slice origin added; re-derive them
+        # (decoder.cpp:921-922) and map src attributes by position
+        from . import decoder as refdec
+        gbh_parsed = ref_hls.parse_gbh(sps, gps, brick)
+        dec_pos = refdec.decode_geometry_brick(sps, gps, gbh_parsed,
+                                               brick)
+        k_dec = ((dec_pos[:, 0] << 42) | (dec_pos[:, 1] << 21)
+                 | dec_pos[:, 2])
+        k_src = (stv[:, 0] << 42) | (stv[:, 1] << 21) | stv[:, 2]
+        os_ = np.argsort(k_src)
+        src_row = os_[np.searchsorted(k_src[os_], k_dec)]
+        av = np.asarray(attr_vals, dtype=np.int32)[src_row]
+        if av.ndim == 1:
+            av = av[:, None]
+        attr_aec, _ = encode_attr_brick_native(
+            sps, aps, dec_pos, av)
+        abrick = ref_hls.write_abh(aps, 0, 0, attr_aec)
+        stream += ref_hls.write_ref_tlv(ref_hls.T_ATTR_BRICK, abrick)
+
+    return stream
+
+
+def encode_attr_brick_native(sps, aps, positions_stv: np.ndarray,
+                             attrs: np.ndarray):
+    """RAHT-encode attributes aligned to decode-order positions.
+    Returns (AEC payload bytes, reconstructed attributes in the same
+    row order)."""
+    from ..utils import morton
+    from .decoder import _load
+
+    lib = _load()
+    c = ctypes
+    if not hasattr(lib.tmc13ref_encode_raht_attr, "_configured"):
+        lib.tmc13ref_encode_raht_attr.argtypes = [
+            c.POINTER(c.c_int64), c.c_int, c.c_int,
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int,
+            c.c_int, c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+            c.POINTER(c.c_uint8), c.c_int]
+        lib.tmc13ref_encode_raht_attr.restype = c.c_int
+        lib.tmc13ref_encode_raht_attr._configured = True
+
+    dims = attrs.shape[1]
+    bitdepth = sps.attr_bitdepths[0]
+    codes = morton.encode(np.ascontiguousarray(positions_stv,
+                                               dtype=np.int64))
+    order = np.argsort(codes, kind="stable")
+    codes_sorted = np.ascontiguousarray(codes[order])
+    attrs_sorted = np.ascontiguousarray(attrs[order], dtype=np.int32)
+
+    layers = [(aps.init_qp_minus4 + 4, aps.chroma_qp_offset)]
+    qp_arr = np.asarray(layers, dtype=np.int32).reshape(-1)
+    params = np.zeros(39, dtype=np.int32)
+    params[0] = 1 if aps.raht_prediction_enabled else 0
+    params[1] = 1 if aps.integer_haar else 0
+    params[2] = aps.raht_prediction_threshold0
+    params[3] = aps.raht_prediction_threshold1
+    params[4] = 1 if aps.raht_subnode_prediction else 0
+    params[5] = aps.raht_prediction_search_range
+    params[6] = 1 if aps.raht_extension else 0
+    params[7] = 1 if sps.bypass_bin_coding_without_prob_update else 0
+    params[8:27] = aps.pred_weight_parent()
+    params[27:39] = aps.pred_weight_child()
+
+    n = len(codes_sorted)
+    rec = np.empty((n, dims), dtype=np.int32)
+    cap = n * dims * 8 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.tmc13ref_encode_raht_attr(
+        codes_sorted.ctypes.data_as(c.POINTER(c.c_int64)), n, dims,
+        attrs_sorted.ctypes.data_as(c.POINTER(c.c_int32)),
+        qp_arr.ctypes.data_as(c.POINTER(c.c_int32)), len(layers),
+        bitdepth, params.ctypes.data_as(c.POINTER(c.c_int32)),
+        rec.ctypes.data_as(c.POINTER(c.c_int32)),
+        out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+    if rc < 0:
+        raise RuntimeError(f"refattr encode failed rc={rc}")
+    rec_out = np.empty_like(rec)
+    rec_out[order] = rec
+    return bytes(out[:rc]), rec_out
 
 
 def encode_frames(frames, unique_points: bool = True,

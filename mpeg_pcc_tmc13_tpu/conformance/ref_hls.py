@@ -554,7 +554,15 @@ def write_sps(s: RefSps) -> bytes:
     w.ue(s.global_scale_mul_log2)
     w.ue(s.global_scale_fp_bits)
     w.un(s.global_scale_fp_bits, s.global_scale_rem)
-    w.ue(0)                      # num_attribute_sets
+    w.ue(s.num_attrs)            # num_attribute_sets
+    for i in range(s.num_attrs):
+        w.ue(s.attr_dims[i] - 1)
+        w.ue(0)                  # attr_instance_id
+        w.ue(s.attr_bitdepths[i] - 1)
+        w.u1(1)                  # known attribute label
+        w.ue(s.attr_labels[i])
+        w.ue(0)                  # num_attribute_parameters
+        w.byte_align()
     w.un(3, s.geometry_axis_order)
     w.u1(s.cabac_bypass_stream_enabled)
     w.u1(s.entropy_continuation_enabled)
@@ -828,3 +836,57 @@ def derive_layer_qps(aps: RefAps, abh: RefAbh) -> List[Tuple[int, int]]:
         for l in range(1, len(abh.layer_qp_delta_luma)):
             layers.append(layer(l))
     return layers
+
+
+def write_aps(a: RefAps) -> bytes:
+    """Mirror of parse_aps for the RAHT intra scope (write(aps),
+    io_hls.cpp:979)."""
+    if a.attr_encoding != ATTR_RAHT:
+        raise NotImplementedError("write_aps: RAHT only")
+    w = RefBitWriter()
+    w.un(4, a.aps_id)
+    w.un(4, a.sps_id)
+    w.ue(a.attr_encoding)
+    w.ue(a.init_qp_minus4)
+    se_w(w, a.chroma_qp_offset)
+    w.u1(a.slice_qp_deltas_present)
+    w.u1(a.raht_prediction_enabled)
+    if a.raht_prediction_enabled:
+        w.ue(a.raht_prediction_threshold0)
+        w.ue(a.raht_prediction_threshold1)
+    w.u1(0)                          # spherical_coord_flag
+    w.u1(1)                          # aps_extension_flag
+    w.u1(a.integer_haar)
+    w.u1(0)                          # attrInterPredictionEnabled
+    w.u1(a.raht_extension)
+    if a.raht_prediction_enabled:
+        w.u1(a.raht_subnode_prediction)
+        if a.raht_subnode_prediction:
+            for v in a.raht_prediction_weights:
+                w.ue(v)
+            w.ue(a.raht_prediction_search_range)
+    return w.get_bytes()
+
+
+def se_w(w: RefBitWriter, v: int):
+    """Signed exp-golomb, mirror of BitReader se(): magnitude-first
+    mapping (positive -> odd codes)."""
+    w.ue(2 * v - 1 if v > 0 else -2 * v)
+
+
+def write_abh(aps: RefAps, sps_attr_idx: int, geom_slice_id: int,
+              aec_payload: bytes) -> bytes:
+    """Attribute brick = ABH (parseAbh mirror, minimal intra scope) +
+    AEC payload."""
+    w = RefBitWriter()
+    w.un(4, aps.aps_id)
+    w.un(3, 0)                       # abh_reserved_zero_3bits
+    w.ue(sps_attr_idx)
+    w.ue(geom_slice_id)
+    if aps.slice_qp_deltas_present:
+        se_w(w, 0)
+        se_w(w, 0)
+    w.u1(0)                          # attr_layer_qp_present_flag
+    w.ue(0)                          # attr_num_regions
+    w.u1(0)                          # raht_ac_coeff_qp_offset_present
+    return w.get_bytes() + aec_payload

@@ -311,6 +311,84 @@ static int32_t decodeScalar(ArithDec& aec, AttrCtx& ctx) {
   return sign ? -mag : mag;
 }
 
+// ---- encode direction (PCCResidualsEncoder,
+//      AttributeEncoder.cpp:228-307; encodeExpGolomb
+//      entropyutils.h:160-183) ------------------------------------------
+
+static void expGolombEncCtx(
+  obufcore::ArithEnc& aec, unsigned symbol, int k, uint16_t* ctxPrefix,
+  int numPrefix, uint16_t* ctxSuffix, int numSuffix) {
+  const int k0 = k;
+  while (symbol >= (1u << k)) {
+    aec.bit(&ctxPrefix[std::min(numPrefix - 1, k - k0)], 1);
+    symbol -= 1u << k;
+    k++;
+  }
+  aec.bit(&ctxPrefix[std::min(numPrefix - 1, k - k0)], 0);
+  while (k--)
+    aec.bit(&ctxSuffix[std::min(numSuffix - 1, k)], (symbol >> k) & 1);
+}
+
+// AttributeEncoder.cpp:228-252
+static void encodeRunLength(obufcore::ArithEnc& aec, AttrCtx& ctx,
+                            int runLength) {
+  uint16_t* c = ctx.runLen;
+  for (int i = 0; i < std::min(3, runLength); i++, c++) aec.bit(c, 1);
+  if (runLength < 3) {
+    aec.bit(c, 0);
+    return;
+  }
+  runLength -= 3;
+  int prefix = runLength >> 1;
+  for (int i = 0; i < std::min(4, prefix); i++) aec.bit(c, 1);
+  if (runLength < 8) {
+    aec.bit(c, 0);
+    aec.bypass(runLength & 1);
+    return;
+  }
+  runLength -= 8;
+  aec.exp_golomb(unsigned(runLength), 2, ++c);
+}
+
+// AttributeEncoder.cpp:257-269
+static void encodeSymbol(obufcore::ArithEnc& aec, AttrCtx& ctx,
+                         uint32_t value, int k1, int k2, int k3) {
+  aec.bit(&ctx.coeffGtN[0][k1], value > 0);
+  if (!value) return;
+  aec.bit(&ctx.coeffGtN[1][k2], --value > 0);
+  if (!value) return;
+  expGolombEncCtx(aec, --value, 1, ctx.remPrefix[k3], 3,
+                  ctx.remSuffix[k3], 3);
+}
+
+// AttributeEncoder.cpp:274-299 (colour triplet)
+static void encodeTriplet(obufcore::ArithEnc& aec, AttrCtx& ctx,
+                          int32_t value0, int32_t value1, int32_t value2) {
+  int mag0 = value0 < 0 ? -value0 : value0;
+  int mag1 = value1 < 0 ? -value1 : value1;
+  int mag2 = value2 < 0 ? -value2 : value2;
+  int b0 = (mag1 == 0);
+  int b1 = (mag1 <= 1);
+  int b2 = (mag2 == 0);
+  int b3 = (mag2 <= 1);
+  encodeSymbol(aec, ctx, mag1, 0, 0, 1);
+  encodeSymbol(aec, ctx, mag2, 1 + b0, 1 + b1, 1);
+  int mag0minusX = (b0 && b2) ? mag0 - 1 : mag0;
+  encodeSymbol(aec, ctx, mag0minusX, 3 + (b0 << 1) + b2,
+               3 + (b1 << 1) + b3, 0);
+  if (mag0) aec.bypass(value0 < 0);
+  if (mag1) aec.bypass(value1 < 0);
+  if (mag2) aec.bypass(value2 < 0);
+}
+
+// AttributeEncoder.cpp:303-307 (scalar)
+static void encodeScalar(obufcore::ArithEnc& aec, AttrCtx& ctx,
+                         int32_t value) {
+  int mag = (value < 0 ? -value : value) - 1;
+  encodeSymbol(aec, ctx, mag, 0, 0, 0);
+  aec.bypass(value < 0);
+}
+
 // ---------------------------------------------------------------------------
 // uraht tree machinery (RAHT.cpp:95-270)
 // ---------------------------------------------------------------------------
@@ -759,13 +837,21 @@ static bool isSibling(int64_t pos0, int64_t pos1, int level) {
 }
 
 // ---------------------------------------------------------------------------
-// inverse uraht (uraht_process<false>, RAHT.cpp:977-1977, intra only)
+// uraht (uraht_process<isEncoder>, RAHT.cpp:977-1977, intra only).
+// Decoder reads quantised coefficients from coeffBuf; encoder
+// quantises (with the RDOQ zero-row decision, RAHT.cpp:1576-1667) and
+// writes them.  Both reconstruct attributes closed-loop.
 // ---------------------------------------------------------------------------
 
-static void urahtDecode(
-  const PredParams& pp, const QpSet& qpset, int numPoints, int numAttrs,
-  const int64_t* positions, int32_t* attributes, const int32_t* coeffBuf) {
-  const int32_t* coeffBufItK[3] = {
+static const int kLUTlog[16] = {0,   256, 406, 512, 594, 662, 719,  768,
+                                812, 850, 886, 918, 947, 975, 1000, 1024};
+static const int kLUTbins[11] = {1, 2, 3, 5, 5, 7, 7, 9, 9, 11, 11};
+
+static void urahtProcess(
+  bool isEncoder, const PredParams& pp, const QpSet& qpset, int numPoints,
+  int numAttrs, const int64_t* positions, int32_t* attributes,
+  int32_t* coeffBuf) {
+  int32_t* coeffBufItK[3] = {
     coeffBuf,
     coeffBuf + numPoints,
     coeffBuf + numPoints * 2,
@@ -777,9 +863,17 @@ static void urahtDecode(
     qpset.quantizers(0, zeroQp, q);
     for (int k = 0; k < numAttrs; k++) {
       const Quant& qq = q[std::min(k, 1)];
-      int64_t coeff = *coeffBufItK[k]++;
-      attributes[k] = int32_t(
-        divExp2RoundHalfUp(qq.scale(coeff), kFixedPointAttributeShift));
+      if (isEncoder) {
+        int64_t coeff = attributes[k];
+        coeff = qq.quantize(coeff << kFixedPointAttributeShift);
+        *coeffBufItK[k]++ = int32_t(coeff);
+        attributes[k] = int32_t(divExp2RoundHalfUp(
+          qq.scale(coeff), kFixedPointAttributeShift));
+      } else {
+        int64_t coeff = *coeffBufItK[k]++;
+        attributes[k] = int32_t(divExp2RoundHalfUp(
+          qq.scale(coeff), kFixedPointAttributeShift));
+      }
     }
     return;
   }
@@ -832,6 +926,7 @@ static void urahtDecode(
   std::vector<int> numParentNeigh(numPoints), numGrandParentNeigh(numPoints);
 
   int qpLayer = 0;
+  int trainZeros = 0;  // RDOQ zero-run state (RAHT.cpp:1160)
 
   // descend
   weightsLf.resize(1);
@@ -903,6 +998,11 @@ static void urahtDecode(
         nodeQp[nodeIdx][1] = weightsLf[iLast].qp[1] >> regionQpShift;
         occupancy |= uint8_t(1 << nodeIdx);
         if (pp.rahtExtension) nodeCnt++;
+        if (isEncoder) {
+          for (int k = 0; k < numAttrs; k++)
+            transformBuf[k][nodeIdx] =
+              FP::fromInt(attrsLf[iLast * numAttrs + k]);
+        }
       }
 
       mkWeightTree(weights);
@@ -955,9 +1055,20 @@ static void urahtDecode(
       }
 
       if (!pp.haar) {
-        // normalise predicted values
+        // normalise summed (encoder) and predicted values
         for (int childIdx = 0; childIdx < 8; childIdx++) {
           if (weights[childIdx] <= 1) continue;
+          if (isEncoder) {
+            FP rsqrtWeight;
+            uint64_t w = uint64_t(weights[childIdx]);
+            int shift = w > 1024 ? ilog2(w - 1) >> 1 : 0;
+            rsqrtWeight.val =
+              int64_t(irsqrt(w) >> (40 - shift - kFracBits));
+            for (int k = 0; k < numAttrs; k++) {
+              transformBuf[k][childIdx].val >>= shift;
+              transformBuf[k][childIdx] *= rsqrtWeight;
+            }
+          }
           FP sqrtWeight;
           if (enablePrediction) {
             sqrtWeight.val = int64_t(
@@ -968,35 +1079,109 @@ static void urahtDecode(
         }
       }
 
-      // transform the prediction (decoder transforms prediction only)
+      // forward transform: encoder transforms sums (and prediction);
+      // decoder transforms prediction only (RAHT.cpp:1500-1549)
       if (pp.haar) {
-        if (enablePrediction)
+        if (isEncoder && enablePrediction)
+          fwdTransformBlock222<HaarKernel>(2 * numAttrs, transformBuf,
+                                           weights);
+        else if (isEncoder)
+          fwdTransformBlock222<HaarKernel>(numAttrs, transformBuf,
+                                           weights);
+        else if (enablePrediction)
           fwdTransformBlock222<HaarKernel>(numAttrs, transformPredBuf,
                                            weights);
       } else {
-        if (enablePrediction)
+        if (isEncoder && enablePrediction)
+          fwdTransformBlock222<RahtKernel>(2 * numAttrs, transformBuf,
+                                           weights);
+        else if (isEncoder)
+          fwdTransformBlock222<RahtKernel>(numAttrs, transformBuf,
+                                           weights);
+        else if (enablePrediction)
           fwdTransformBlock222<RahtKernel>(numAttrs, transformPredBuf,
                                            weights);
       }
 
-      // per-coefficient: read quantised coefficients, inverse quantise,
-      // add transform-domain prediction (scanBlock order,
-      // RAHT.cpp:776-795; coefficient loop RAHT.cpp:1558-1726
-      // decoder branch)
+      // per-coefficient (scanBlock order, RAHT.cpp:776-795):
+      //  - encoder: subtract prediction, RDOQ, quantise, write
+      //  - decoder: read quantised coefficients
+      //  - both: inverse quantise + add transform-domain prediction
       {
         // there is always the DC coefficient
         for (int s = 0; s < 8; s++) {
           int idx = kRahtScanOrder[s];
           if (s > 0 && !weights[24 + idx]) continue;
           if (inheritDc && !idx) continue;
+
+          bool flagRDOQ = false;
+          if (isEncoder) {
+            if (enablePrediction) {
+              for (int k = 0; k < numAttrs; k++)
+                transformBuf[k][idx] -= transformPredBuf[k][idx];
+            }
+            // RDOQ zero-row decision (RAHT.cpp:1576-1667)
+            if (!pp.haar) {
+              int64_t Dist2 = 0;
+              int Ratecoeff = 0;
+              int64_t lambda0 = 0;
+              int64_t sumCoeff = 0;
+              int qoff0[2] = {nodeQp[idx][0], nodeQp[idx][1]};
+              Quant q0[2];
+              qpset.quantizers(qpLayer, qoff0, q0);
+              for (int k = 0; k < numAttrs; k++) {
+                const Quant& qq = q0[std::min(k, 1)];
+                int64_t coeff = transformBuf[k][idx].round();
+                Dist2 += coeff * coeff;
+                int64_t Qcoeff =
+                  qq.quantize(coeff << kFixedPointAttributeShift);
+                int64_t a = Qcoeff < 0 ? -Qcoeff : Qcoeff;
+                sumCoeff += a;
+                Ratecoeff += a < 15 ? kLUTlog[a] : kLUTlog[15];
+                if (!k) lambda0 = qq.scale(1);
+              }
+              const int64_t lambda =
+                lambda0 * lambda0 * (numAttrs == 1 ? 25 : 35);
+              if (sumCoeff < 3) {
+                int Rate = kLUTbins[trainZeros > 10 ? 10 : trainZeros];
+                if (trainZeros > 10) {
+                  int temp = trainZeros - 11;
+                  temp += 1;
+                  int a = 0;
+                  while (temp) {
+                    a++;
+                    temp >>= 1;
+                  }
+                  Rate += 2 * a - 1;
+                  Rate += 2;
+                }
+                Rate += (Ratecoeff + 128) >> 8;
+                flagRDOQ = (Dist2 << 26) < lambda * Rate;
+              }
+              if (flagRDOQ || sumCoeff == 0)
+                trainZeros++;
+              else
+                trainZeros = 0;
+            }
+          }
+
           int qoff[2] = {nodeQp[idx][0], nodeQp[idx][1]};
           Quant q[2];
           qpset.quantizers(qpLayer, qoff, q);
           for (int k = 0; k < numAttrs; k++) {
             const Quant& qq = q[std::min(k, 1)];
-            int64_t coeff = *coeffBufItK[k]++;
-            transformPredBuf[k][idx] += FP::fromInt(divExp2RoundHalfUp(
-              qq.scale(coeff), kFixedPointAttributeShift));
+            if (isEncoder) {
+              if (flagRDOQ) transformBuf[k][idx].val = 0;
+              int64_t coeff = transformBuf[k][idx].round();
+              coeff = qq.quantize(coeff << kFixedPointAttributeShift);
+              *coeffBufItK[k]++ = int32_t(coeff);
+              transformPredBuf[k][idx] += FP::fromInt(divExp2RoundHalfUp(
+                qq.scale(coeff), kFixedPointAttributeShift));
+            } else {
+              int64_t coeff = *coeffBufItK[k]++;
+              transformPredBuf[k][idx] += FP::fromInt(divExp2RoundHalfUp(
+                qq.scale(coeff), kFixedPointAttributeShift));
+            }
           }
         }
       }
@@ -1074,11 +1259,14 @@ static void urahtDecode(
       int nodeQp[2] = {weightsLf[i].qp[0] >> regionQpShift,
                        weightsLf[i].qp[1] >> regionQpShift};
 
+      FP attrSum[3];
       FP attrRecDc[3];
       FP sqrtWeight;
       sqrtWeight.val =
         int64_t(isqrt(uint64_t(weight) << (2 * kFracBits)));
+      int64_t sumCoeff = 0;
       for (int k = 0; k < numAttrs; k++) {
+        if (isEncoder) attrSum[k] = FP::fromInt(attrsLf[i * numAttrs + k]);
         if (pp.rahtExtension)
           attrRecDc[k].val = attrRecParent[attrRecParentIt++];
         else
@@ -1086,17 +1274,53 @@ static void urahtDecode(
         if (!pp.haar) attrRecDc[k] *= sqrtWeight;
       }
 
+      FP rsqrtWeight;
       for (int w = weight - 1; w > 0; w--) {
         RahtKernel kernel(w, 1);
         HaarKernel haarkernel(w, 1);
+        int shift = w > 1024 ? ilog2(uint64_t(w - 1)) >> 1 : 0;
+        if (isEncoder)
+          rsqrtWeight.val =
+            int64_t(irsqrt(uint64_t(w)) >> (40 - shift - kFracBits));
         Quant q[2];
         qpset.quantizers(qpLayer, nodeQp, q);
         for (int k = 0; k < numAttrs; k++) {
           const Quant& qq = q[std::min(k, 1)];
           FP transformBuf[2];
-          int64_t coeff = *coeffBufItK[k]++;
-          transformBuf[1] = FP::fromInt(divExp2RoundHalfUp(
-            qq.scale(coeff), kFixedPointAttributeShift));
+          if (isEncoder) {
+            // invert the initial reduction (RAHT.cpp:1895-1931)
+            transformBuf[1] =
+              FP::fromInt(attrsHf[attrsHfIt + (w - 1) * numAttrs + k]);
+            if (pp.haar) {
+              attrSum[k].val -= transformBuf[1].val >> 1;
+              transformBuf[1].val += attrSum[k].val;
+              transformBuf[0] = attrSum[k];
+            } else {
+              attrSum[k] -= transformBuf[1];
+              transformBuf[0] = attrSum[k];
+              transformBuf[0].val >>= shift;
+              transformBuf[0] *= rsqrtWeight;
+            }
+            if (pp.haar)
+              haarkernel.fwd(transformBuf[0], transformBuf[1],
+                             &transformBuf[0], &transformBuf[1]);
+            else
+              kernel.fwd(transformBuf[0], transformBuf[1],
+                         &transformBuf[0], &transformBuf[1]);
+            int64_t coeff = transformBuf[1].round();
+            coeff = qq.quantize(coeff << kFixedPointAttributeShift);
+            *coeffBufItK[k]++ = int32_t(coeff);
+            transformBuf[1] = FP::fromInt(divExp2RoundHalfUp(
+              qq.scale(coeff), kFixedPointAttributeShift));
+            // NB: the reference re-quantises the already-quantised
+            // coefficient here; reproduced verbatim (RAHT.cpp:1926)
+            int64_t rq = qq.quantize(coeff << kFixedPointAttributeShift);
+            sumCoeff += rq < 0 ? -rq : rq;
+          } else {
+            int64_t coeff = *coeffBufItK[k]++;
+            transformBuf[1] = FP::fromInt(divExp2RoundHalfUp(
+              qq.scale(coeff), kFixedPointAttributeShift));
+          }
           // inherit the DC value
           transformBuf[0] = attrRecDc[k];
           if (pp.haar)
@@ -1111,6 +1335,13 @@ static void urahtDecode(
           if (w == 1)
             attrRec[out + k] =
               pp.rahtExtension ? transformBuf[0].val : transformBuf[0].round();
+        }
+        // Track RL for RDOQ (RAHT.cpp:1955-1961)
+        if (isEncoder) {
+          if (sumCoeff == 0)
+            trainZeros++;
+          else
+            trainZeros = 0;
         }
       }
 
@@ -1208,14 +1439,101 @@ int tmc13ref_decode_raht_attr(
   }
 
   std::vector<int32_t> attributes(size_t(numAttrs) * voxelCount, 0);
-  urahtDecode(pp, qpset, voxelCount, numAttrs, mortonSorted,
-              attributes.data(), coefficients.data());
+  urahtProcess(false, pp, qpset, voxelCount, numAttrs, mortonSorted,
+               attributes.data(), coefficients.data());
 
   const int32_t clipMax = (1 << bitdepth) - 1;
   for (int n = 0; n < voxelCount * numAttrs; n++)
     attrsOut[n] = std::min(std::max(attributes[n], 0), clipMax);
 
   return 0;
+}
+
+// Encode one intra RAHT attribute brick payload (bytes after the ABH),
+// byte-identical to the reference encoder for the same configuration
+// (AttributeEncoder.cpp:1307-1376 encodeColorsTransformRaht /
+// encodeReflectancesTransformRaht + PCCResidualsEncoder:228-307).
+//
+//   attrsIn   voxelCount*numAttrs int32 attributes in morton-sorted
+//             order (coded colour space)
+//   attrsRec  reconstructed attributes out (closed loop), sorted order
+//   payloadOut / payloadCap  output AEC bytes
+// Returns payload byte count, negative on error.
+int tmc13ref_encode_raht_attr(
+  const int64_t* mortonSorted, int voxelCount, int numAttrs,
+  const int32_t* attrsIn, const int32_t* qpLayers, int numQpLayers,
+  int bitdepth, const int32_t* params, int32_t* attrsRec,
+  uint8_t* payloadOut, int payloadCap) {
+  using namespace refattr;
+
+  if (numAttrs != 1 && numAttrs != 3) return -1;
+  if (voxelCount <= 0) return -2;
+
+  PredParams pp;
+  pp.predictionEnabled = params[0] != 0;
+  pp.haar = params[1] != 0;
+  pp.threshold0 = params[2];
+  pp.threshold1 = params[3];
+  pp.subnodePrediction = params[4] != 0;
+  pp.searchRange = params[5];
+  pp.rahtExtension = params[6] != 0;
+  for (int i = 0; i < 19; i++) pp.predWeightParent[i] = params[8 + i];
+  for (int i = 0; i < 12; i++) pp.predWeightChild[i] = params[27 + i];
+
+  QpSet qpset;
+  qpset.maxQp = 51 + 6 * (bitdepth - 8);
+  for (int l = 0; l < numQpLayers; l++)
+    qpset.layers.push_back({qpLayers[2 * l], qpLayers[2 * l + 1]});
+
+  std::vector<int32_t> attributes(attrsIn,
+                                  attrsIn + size_t(numAttrs) * voxelCount);
+  std::vector<int32_t> coefficients(size_t(numAttrs) * voxelCount, 0);
+  urahtProcess(true, pp, qpset, voxelCount, numAttrs, mortonSorted,
+               attributes.data(), coefficients.data());
+
+  // entropy encode (zero-run over rows,
+  // AttributeEncoder.cpp:1346-1362 / :1489-1505)
+  obufcore::ArithEnc aec;
+  aec.init();
+  aec.bypassNoUpdate = params[7] != 0;
+  AttrCtx ctx;
+  ctx.init();
+
+  int zeroRun = 0;
+  for (int n = 0; n < voxelCount; ++n) {
+    if (numAttrs == 1) {
+      int32_t v = coefficients[n];
+      if (!v) {
+        ++zeroRun;
+      } else {
+        encodeRunLength(aec, ctx, zeroRun);
+        encodeScalar(aec, ctx, v);
+        zeroRun = 0;
+      }
+    } else {
+      int32_t v0 = coefficients[n];
+      int32_t v1 = coefficients[voxelCount + n];
+      int32_t v2 = coefficients[2 * voxelCount + n];
+      if (!v0 && !v1 && !v2) {
+        ++zeroRun;
+      } else {
+        encodeRunLength(aec, ctx, zeroRun);
+        encodeTriplet(aec, ctx, v0, v1, v2);
+        zeroRun = 0;
+      }
+    }
+  }
+  if (zeroRun) encodeRunLength(aec, ctx, zeroRun);
+  aec.flush();
+
+  if (int(aec.out.size()) > payloadCap) return -3;
+  std::copy(aec.out.begin(), aec.out.end(), payloadOut);
+
+  const int32_t clipMax = (1 << bitdepth) - 1;
+  for (int n = 0; n < voxelCount * numAttrs; n++)
+    attrsRec[n] = std::min(std::max(attributes[n], 0), clipMax);
+
+  return int(aec.out.size());
 }
 
 }  // extern "C"

@@ -467,3 +467,89 @@ def test_raht_default_tools_md5_identical(tmp_path):
     md5_ref = hashlib.md5(dec.read_bytes()).hexdigest()
     md5_mine = hashlib.md5(mine.read_bytes()).hexdigest()
     assert md5_ref == md5_mine
+
+
+def test_raht_attr_encode_tmc3_decodes(tmp_path):
+    """Encode-direction interop: our reference-syntax streams with
+    RAHT colour bricks decode identically in the tmc3 binary and our
+    own decoder; integer-Haar at qp4 is source-exact."""
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    rng = np.random.default_rng(29)
+    pos = np.unique(rng.integers(0, 128, size=(2500, 3),
+                                 dtype=np.int64), axis=0)
+    gbr = ((pos * np.array([3, 1, 2])) % 256).astype(np.int32)
+    for tag, kw in [("q34", dict(attr_qp=34)),
+                    ("haar", dict(attr_qp=4, integer_haar=True))]:
+        stream = refenc.encode_stream(pos, colors=gbr, **kw)
+        bit = tmp_path / f"ea_{tag}.bin"
+        bit.write_bytes(stream)
+        dec = tmp_path / f"ea_{tag}.dec.ply"
+        subprocess.run(
+            [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+             f"--reconstructedDataPath={dec}", "--outputBinaryPly=0",
+             "--convertPlyColourspace=0"],
+            check=True, capture_output=True)
+        ref = ply.read(str(dec))
+        frames, attrs = refdec.decode_stream(stream, want_attrs=True)
+        np.testing.assert_array_equal(
+            frames[0], ref.positions.astype(np.int64))
+        np.testing.assert_array_equal(
+            attrs[0][:, [2, 0, 1]], ref.colors.astype(np.int32))
+        if tag == "haar":
+            key = lambda a: (a[:, 0] << 42) | (a[:, 1] << 21) | a[:, 2]
+            o1 = np.argsort(key(pos))
+            o2 = np.argsort(key(frames[0]))
+            np.testing.assert_array_equal(gbr[o1], attrs[0][o2])
+
+
+def test_raht_attr_encode_byte_identical_to_tmc3(tmp_path):
+    """Our RAHT attribute AEC payload must equal tmc3's, byte for
+    byte, for the same configuration (same transform, RDOQ, contexts,
+    arithmetic coder)."""
+    from mpeg_pcc_tmc13_tpu.conformance import ref_hls
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    pos, col = raht_cloud(seed=31, n=3000, span=128)
+    src = tmp_path / "bid.ply"
+    bit = tmp_path / "bid.bin"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64), colors=col),
+              str(src), ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", *RAHT_BASE,
+         "--transformType=0", "--qp=34", "--mergeDuplicatedPoints=1",
+         "--attribute=color"],
+        check=True, capture_output=True)
+    data = bit.read_bytes()
+    sps = aps = None
+    gps_map = {}
+    geom = None
+    ref_aec = None
+    for t, p in ref_hls.iter_ref_tlv(data):
+        if t == ref_hls.T_SPS:
+            sps = ref_hls.parse_sps(p)
+        elif t == ref_hls.T_GPS:
+            g = ref_hls.parse_gps(p)
+            gps_map[g.gps_id] = g
+        elif t == ref_hls.T_APS:
+            aps = ref_hls.parse_aps(p)
+        elif t == ref_hls.T_GEOM_BRICK:
+            gbh = ref_hls.parse_gbh(sps, gps_map[p[0] >> 4], p)
+            geom = refdec.decode_geometry_brick(
+                sps, gps_map[gbh.gps_id], gbh, p) \
+                + np.asarray(gbh.box_origin_stv)
+        elif t == ref_hls.T_ATTR_BRICK:
+            abh = ref_hls.parse_abh(sps, aps, p)
+            ref_aec = p[abh.header_bytes:]
+    # map source colours onto decode-order positions
+    gx = np.stack(ref_hls.to_xyz(sps.geometry_axis_order,
+                                 [geom[:, 0], geom[:, 1], geom[:, 2]]),
+                  axis=1)
+    key = lambda a: (a[:, 0] << 42) | (a[:, 1] << 21) | a[:, 2]
+    sk = key(pos)
+    os_ = np.argsort(sk)
+    rows = os_[np.searchsorted(sk[os_], key(gx))]
+    gbr = col[rows].astype(np.int32)[:, [1, 2, 0]]
+    mine, _ = refenc.encode_attr_brick_native(sps, aps, geom, gbr)
+    assert mine == ref_aec
