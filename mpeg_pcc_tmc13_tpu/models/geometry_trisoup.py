@@ -53,7 +53,7 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
            ctx_mode: int = octree_ops.CTX_MODE_NEIGH,
            face_vertices: bool = False, halo: bool = True,
            centroid: bool = True, pad_points: np.ndarray = None,
-           bbox_max=None):
+           bbox_max=None, obuf_gps=None):
     """Encode geometry; returns reconstructed positions (for attribute
     recolouring) — the decoder reproduces them exactly.
 
@@ -68,11 +68,25 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
     codes_sorted = np.sort(codes)
     node_codes = np.unique(codes_sorted >> (3 * s))
 
-    # octree part over node codes
+    # octree part over node codes.  With the OBUF engine the node
+    # octree rides an embedded dirac sub-stream (reference-class
+    # occupancy compression, models/geometry_obuf.py); node count and
+    # byte length are bypass-signalled ahead of it.
     node_pos = morton.decode(node_codes)
-    geometry_octree.encode(node_pos, octree_depth, enc, octx,
-                           unique_points=True, engine=engine,
-                           ctx_mode=ctx_mode)
+    if obuf_gps is not None and octree_depth > 0 and node_pos.size:
+        from . import geometry_obuf
+        payload = geometry_obuf.encode(
+            node_pos, octree_depth, (octree_depth,) * 3, obuf_gps)
+        enc.bypass(np.array([len(node_codes), len(payload)],
+                            dtype=np.uint32),
+                   np.array([32, 32], dtype=np.int32))
+        enc.bypass(np.frombuffer(payload, dtype=np.uint8)
+                   .astype(np.uint32),
+                   np.full(len(payload), 8, dtype=np.int32))
+    else:
+        geometry_octree.encode(node_pos, octree_depth, enc, octx,
+                               unique_points=True, engine=engine,
+                               ctx_mode=ctx_mode)
 
     # vertex voting over the full-resolution points; padding points
     # from neighbouring slices join existing nodes only
@@ -130,12 +144,22 @@ def decode(depth: int, node_size_log2: int, dec,
            max_nodes: int, engine: str = "auto",
            ctx_mode: int = octree_ops.CTX_MODE_NEIGH,
            face_vertices: bool = False, halo: bool = True,
-           centroid: bool = True, bbox_max=None):
+           centroid: bool = True, bbox_max=None, obuf_gps=None):
     s = min(node_size_log2, depth)
     octree_depth = depth - s
-    node_pos = geometry_octree.decode(
-        max_nodes, octree_depth, dec, octx, unique_points=True,
-        engine=engine, ctx_mode=ctx_mode)
+    if obuf_gps is not None and octree_depth > 0:
+        from . import geometry_obuf
+        hdr = dec.bypass(np.array([32, 32], dtype=np.int32))
+        n_nodes, n_bytes = int(hdr[0]), int(hdr[1])
+        raw = dec.bypass(np.full(n_bytes, 8, dtype=np.int32))
+        payload = raw.astype(np.uint8).tobytes()
+        node_pos = geometry_obuf.decode(payload, n_nodes,
+                                        octree_depth,
+                                        (octree_depth,) * 3, obuf_gps)
+    else:
+        node_pos = geometry_octree.decode(
+            max_nodes, octree_depth, dec, octx, unique_points=True,
+            engine=engine, ctx_mode=ctx_mode)
     node_codes = morton.encode(node_pos)
 
     keys, _ = trisoup_ops.edge_keys_for_nodes(node_codes, s)

@@ -246,7 +246,8 @@ class FrameDecoder:
                 halo=gps.trisoup_halo_enabled,
                 centroid=gps.trisoup_centroid_enabled,
                 bbox_max=(np.asarray(gbh.slice_whd, dtype=np.int64) - 1
-                          if any(gbh.slice_whd) else None))
+                          if any(gbh.slice_whd) else None),
+                obuf_gps=(gps if gps.obuf_engine else None))
         elif gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
             ref_pos = None
             if gbh.is_inter:

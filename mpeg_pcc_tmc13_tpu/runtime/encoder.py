@@ -281,7 +281,9 @@ class FrameEncoder:
             bytewise_occupancy=p.bytewise_occupancy,
             obuf_engine=(
                 p.engine == "obuf"
-                and p.geometry_codec == hls.GeometryCodecType.OCTREE
+                and p.geometry_codec in (
+                    hls.GeometryCodecType.OCTREE,
+                    hls.GeometryCodecType.TRISOUP)
                 and p.merge_duplicated_points
                 and not p.idcm
                 and p.geom_qp_shift == 0
@@ -777,7 +779,8 @@ class FrameEncoder:
                 halo=self.gps.trisoup_halo_enabled,
                 centroid=self.gps.trisoup_centroid_enabled,
                 pad_points=pad_local,
-                bbox_max=np.asarray(slice_whd) - 1)
+                bbox_max=np.asarray(slice_whd) - 1,
+                obuf_gps=(self.gps if self.gps.obuf_engine else None))
         elif self.gps.codec_type == hls.GeometryCodecType.PREDICTIVE:
             ref_pos = self._ref_points_for_slice(refs, slice_origin,
                                                  depth)

@@ -417,13 +417,12 @@ def main():
                 continue
             for codec in args.codecs.split(","):
                 # the conformance (refSyntax) engine covers octree
-                # geometry only — trisoup/predgeom conditions through
-                # it would silently fall back to octree and produce
-                # meaningless rows
-                if (codec in ("ours-ref", "ours-obuf")
+                # geometry only; the obuf engine now also serves the
+                # trisoup node octree (embedded dirac sub-stream)
+                if (codec == "ours-ref"
                         and ("trisoup" in name or "predgeom" in name)):
                     continue
-                if codec == "ours-ref" and "trisoup" in name:
+                if codec == "ours-obuf" and "predgeom" in name:
                     continue
                 key = (name, rate, codec)
                 rows = [r for r in rows if
