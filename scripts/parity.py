@@ -220,14 +220,20 @@ PARITY_SUMMARY = """
 * **Predlift (LIFT)**: the deep LoD pyramid puts our total bpp BELOW
   tmc3 at every rate point (r04 attr 0.454 vs 2.101 bpp at +1.2 dB;
   r06 4.691 vs 7.895 at +0.84 dB).
-* **RAHT attributes**: bpp parity at r01–r04; r05/r06 within 2x on
-  knife-edge noisy content at equal-or-higher PSNR; lossless within
-  5%.
-* **Trisoup**: reference surface model + 9-neighbour vertex contexts:
-  D1 within 0.07 dB (r04) / 0.36 dB (r02) of tmc3 at +33%/+23% geom
-  bpp (the remaining bits gap is tmc3's OBUF vertex maps).
-* **Predgeom**: rows published; fewer bits at r02/r04 but lower D1
-  (azimuth quantisation differences), r06 gap quantified.
+* **RAHT attributes**: bpp parity at r01–r05 at equal PSNR; +14% at
+  r06 at +0.3 dB attr PSNR; the lossless CTC condition (YCgCo-R +
+  integer Haar) is BELOW tmc3 — total 16.81 vs 17.15 bpp (attrs 14.64
+  vs 14.97) after the positional-prefix + adaptive-suffix residual
+  contexts.  Both directions also interoperate with the tmc3 binary
+  bit-exactly (conformance/*, native/refattr.cc).
+* **Trisoup**: reference surface model + 9-neighbour vertex contexts;
+  the node octree rides the OBUF engine as an embedded sub-stream:
+  +12% (r02) / +20% (r04) geom bpp at −0.35/−0.08 dB D1 (remaining
+  gap is tmc3's trained dynamic-OBUF vertex maps).
+* **Predgeom angular**: BEATS tmc3 — exact D1/D2 at every rate with
+  22–33% fewer bits (r02 0.923 vs 1.382 bpp, r06 12.19 vs 15.64)
+  after adopting the reference's decimation policy and centring the
+  spherical conversion at the lidar head.
 """
 
 
