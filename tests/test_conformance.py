@@ -553,3 +553,41 @@ def test_raht_attr_encode_byte_identical_to_tmc3(tmp_path):
     gbr = col[rows].astype(np.int32)[:, [1, 2, 0]]
     mine, _ = refenc.encode_attr_brick_native(sps, aps, geom, gbr)
     assert mine == ref_aec
+
+
+def test_raht_attr_multislice_bit_exact(tmp_path):
+    """Multi-slice stream: per-slice fresh attribute contexts
+    (decoder.cpp:653-661), attribute bricks bound to their geometry
+    slices."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    pos, col = raht_cloud(seed=33, n=9000, span=512)
+    src = tmp_path / "ms.ply"
+    bit = tmp_path / "ms.bin"
+    dec = tmp_path / "ms.dec.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64), colors=col),
+              str(src), ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", *RAHT_BASE,
+         "--partitionMethod=2",     # uniform bins -> multiple slices
+         "--sliceMaxPoints=3000", "--sliceMinPoints=1000",
+         "--transformType=0", "--qp=34", "--mergeDuplicatedPoints=1",
+         "--attribute=color"],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={dec}", "--outputBinaryPly=0",
+         "--convertPlyColourspace=0"],
+        check=True, capture_output=True)
+    # require an actual multi-slice stream
+    from mpeg_pcc_tmc13_tpu.conformance import ref_hls
+    n_geom = sum(1 for t, _ in ref_hls.iter_ref_tlv(bit.read_bytes())
+                 if t == ref_hls.T_GEOM_BRICK)
+    assert n_geom >= 2, f"expected multi-slice, got {n_geom}"
+    frames, attrs = refdec.decode_stream(bit.read_bytes(),
+                                         want_attrs=True)
+    ref = ply.read(str(dec))
+    np.testing.assert_array_equal(frames[0],
+                                  ref.positions.astype(np.int64))
+    np.testing.assert_array_equal(attrs[0][:, [2, 0, 1]],
+                                  ref.colors.astype(np.int32))
