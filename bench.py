@@ -236,6 +236,24 @@ def main():
             assert len(enc2.get_bytes()) > 0
         t_dev_e2e = time.perf_counter() - t0
 
+        # real-hardware numerics check (CI runs the Pallas kernels in
+        # interpret mode only; this guards against a TPU-only
+        # regression shipping silently): the RAHT forward is
+        # orthonormal, so total coefficient energy must equal input
+        # energy (Parseval) on the real device too
+        ncheck = 1 << 14
+        sub = codes[:ncheck]
+        sub_vals = vals[:ncheck].astype(np.float32)
+        acs_dev, root_dev = raht_device.forward_device(
+            sub, jnp.asarray(sub_vals), depth)
+        energy = float(np.sum(np.asarray(root_dev) ** 2))
+        for coeffs, mask in acs_dev:
+            sel = np.asarray(mask) > 0
+            energy += float(np.sum(np.asarray(coeffs)[sel] ** 2))
+        rel = abs(energy - float(np.sum(sub_vals ** 2))) \
+            / max(float(np.sum(sub_vals ** 2)), 1.0)
+        device_numerics_ok = bool(rel < 1e-3)
+
         dev = {
             "device": str(jax.devices()[0]),
             "device_analysis_mpts": round(nn / t_dev_an / 1e6, 1),
@@ -243,6 +261,8 @@ def main():
             "device_raht_mpts": round(nn / t_dev_raht / 1e6, 1),
             "device_e2e_mpts": round(nn / t_dev_e2e / 1e6, 3),
             "link_bytes_per_point": round(link_bytes / nn, 2),
+            "device_numerics_ok": device_numerics_ok,
+            "device_raht_max_rel_err": float(round(float(rel), 8)),
         }
     except Exception as e:          # no usable accelerator
         dev = {"device_error": str(e)[:80]}

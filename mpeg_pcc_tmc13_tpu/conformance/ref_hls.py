@@ -271,6 +271,8 @@ class RefGps:
     qp_multiplier_log2: int = 0
     idcm_qp_offset: int = 0
     trisoup_enabled: bool = False
+    non_cubic_node_start_edge: bool = False
+    non_cubic_node_end_edge: bool = False
     inter_prediction: bool = False
     global_motion: bool = False
     bi_prediction: bool = False
@@ -357,8 +359,8 @@ def parse_gps(data: bytes) -> RefGps:
         if not g.predgeom_enabled:
             g.trisoup_enabled = bool(bs.u1())
         if g.trisoup_enabled:
-            bs.u1()     # non_cubic_node_start_edge
-            bs.u1()     # non_cubic_node_end_edge
+            g.non_cubic_node_start_edge = bool(bs.u1())
+            g.non_cubic_node_end_edge = bool(bs.u1())
         if (g.planar_enabled and g.angular_enabled
                 and g.inferred_direct_coding_mode):
             g.planar_disabled_idcm_angular = bool(bs.u1())
@@ -407,6 +409,22 @@ class RefGbh:
     footer_bytes: int = 0
     # entropy stream lengths when geom_stream_cnt_minus1 > 0
     stream_lens: List[int] = field(default_factory=list)
+    # trisoup fields (io_hls.cpp:1560-1580)
+    trisoup_node_size_log2: int = 0
+    trisoup_sampling: int = 1
+    num_unique_segments: int = 0
+    trisoup_vertex_quant_bits: int = 0
+    trisoup_centroid_residual: bool = False
+    trisoup_face_vertex: bool = False
+    trisoup_halo: bool = False
+    trisoup_adaptive_halo: bool = False
+    trisoup_fine_ray: bool = False
+    slice_bb_pos_bits: int = 0
+    slice_bb_pos_log2_scale: int = 0
+    slice_bb_pos: Tuple[int, int, int] = (0, 0, 0)
+    slice_bb_width_bits: int = 0
+    slice_bb_width_log2_scale: int = 0
+    slice_bb_width: Tuple[int, int, int] = (0, 0, 0)
 
 
 def parse_gbh(sps: RefSps, gps: RefGps, data: bytes) -> RefGbh:
@@ -452,7 +470,30 @@ def parse_gbh(sps: RefSps, gps: RefGps, data: bytes) -> RefGbh:
     if gps.scaling_enabled:
         h.slice_qp_offset = bs.se()
     if gps.trisoup_enabled:
-        raise NotImplementedError("trisoup brick")
+        h.trisoup_node_size_log2 = bs.ue() + 2
+        h.trisoup_sampling = bs.ue() + 1
+        seg_bits = bs.ue() + 1
+        h.num_unique_segments = bs.un(seg_bits) + 1
+        h.trisoup_vertex_quant_bits = bs.ue()
+        h.trisoup_centroid_residual = bool(bs.u1())
+        if h.trisoup_centroid_residual:
+            h.trisoup_face_vertex = bool(bs.u1())
+        h.trisoup_halo = bool(bs.u1())
+        if h.trisoup_halo:
+            h.trisoup_adaptive_halo = bool(bs.u1())
+        h.trisoup_fine_ray = bool(bs.u1())
+        if gps.non_cubic_node_start_edge:
+            h.slice_bb_pos_bits = bs.ue()
+            if h.slice_bb_pos_bits > 0:
+                h.slice_bb_pos_log2_scale = bs.ue()
+                h.slice_bb_pos = tuple(
+                    bs.un(h.slice_bb_pos_bits) for _ in range(3))
+        if gps.non_cubic_node_end_edge:
+            h.slice_bb_width_bits = bs.ue()
+            if h.slice_bb_width_bits > 0:
+                h.slice_bb_width_log2_scale = bs.ue()
+                h.slice_bb_width = tuple(
+                    bs.un(h.slice_bb_width_bits) for _ in range(3))
     if gps.inter_prediction:
         h.inter_prediction = bool(bs.u1())
     if gps.bi_prediction:

@@ -404,6 +404,13 @@ struct CtxMapOBUF {
 
   int idx(int i, int j) const { return i * S2 + j; }
 
+  // preset the S2 root contexts (CtxMapDynamicOBUF::init,
+  // geometry_octree.h:401-405)
+  void initFrom(const uint8_t* initValue) {
+    for (int j = 0; j < S2; j++)
+      ctxIdx[j] = initValue[j];
+  }
+
   static void evolve(uint8_t* c, int bitv) {
     // branchless: delta = bitv ? +kObufDelta[15-(c>>4)] : -kObufDelta[c>>4]
     static const int8_t kEvolveLut[32] = {
@@ -525,6 +532,20 @@ struct CtxMapOBUF {
 };
 
 // ---------------------------------------------------------------------------
+// cross-module coder handoff: the octree phase of a trisoup brick and
+// the trisoup phases (vertices/centroids/faces) share one arithmetic
+// coder (reference decodeGeometryTrisoup passes the same
+// EntropyDecoder through all stages).  refcodec.cc exports the live
+// coder in this POD; trisoup_ref.cc resumes from it.
+// ---------------------------------------------------------------------------
+
+struct TsCoderHandle {
+  ArithDec dec;
+  ArithEnc enc;
+  bool isEnc = false;
+};
+
+// ---------------------------------------------------------------------------
 // occupancy atlas (MortonMap3D, OctreeNeighMap.h:57)
 // ---------------------------------------------------------------------------
 
@@ -628,6 +649,16 @@ struct NeighInfo {
 static const int kLinDx[9] = {1, 1, 1, 1, 0, 0, 0, -1, -1};
 static const int kLinDy[9] = {1, 0, 0, -1, 1, 1, -1, 1, 0};
 static const int kLinDz[9] = {0, 1, -1, 0, 1, -1, 1, 0, 1};
+
+// 6-neighbour pattern from the parent's occupancy alone, used when
+// the atlas is disabled (geometry_octree.cpp:171-192)
+static inline int neighPatternFromOccupancy(int pos, int occupancy) {
+  int neighPat = 0;
+  neighPat |= ((occupancy >> (pos ^ 4)) & 1) << (0 + ((pos >> 2) & 1));
+  neighPat |= ((occupancy >> (pos ^ 2)) & 1) << (2 + ((~pos >> 1) & 1));
+  neighPat |= ((occupancy >> (pos ^ 1)) & 1) << (4 + ((~pos >> 0) & 1));
+  return neighPat;
+}
 
 static NeighPattern makeNeighPattern(
   bool adjChildCtx, const int32_t pos[3], int codedAxesPrevLvl,

@@ -266,8 +266,15 @@ static int encode_octree_impl(
   bool planarEligibleKDepth = false;
   int nodesBeforePlanarUpdate = 1;
 
+  // boundary_log2_minus1 == 0 disables the atlas entirely in the
+  // reference (geometry_octree_decoder.cpp:1633,1895): the neighbour
+  // pattern then comes from sibling occupancy only and all adjacency
+  // words read as empty.  A size-1 atlas that is never refreshed
+  // reproduces that (every probe lands on a zero byte).
+  const bool useAtlas = neighbour_avail_boundary_log2 > 1;
   Atlas atlas;
-  atlas.resize(adjacent_child_ctx != 0, neighbour_avail_boundary_log2);
+  atlas.resize(adjacent_child_ctx != 0,
+               useAtlas ? neighbour_avail_boundary_log2 : 0);
 
   std::vector<int> lvlSize[3];
   {
@@ -434,7 +441,7 @@ static int encode_octree_impl(
       }
 
       // atlas refresh (mirrors the decoder exactly)
-      {
+      if (useAtlas) {
         const int shift = atlas.cubeSizeLog2;
         const uint32_t mask = (1u << shift) - 1;
         const int shiftX = (codedAxesPrevLvl & 4) ? 1 : 0;
@@ -464,15 +471,20 @@ static int encode_octree_impl(
         }
       }
 
-      NeighPattern gnp = makeNeighPattern(
-        adjacent_child_ctx != 0, node0.pos, codedAxesPrevLvl, atlas,
-        dynK);
-
       int posInParent = 0;
       posInParent |= (node0.pos[0] & 1) << 2;
       posInParent |= (node0.pos[1] & 1) << 1;
       posInParent |= (node0.pos[2] & 1) << 0;
       posInParent &= codedAxesPrevLvl;
+
+      NeighPattern gnp;
+      if (useAtlas)
+        gnp = makeNeighPattern(
+          adjacent_child_ctx != 0, node0.pos, codedAxesPrevLvl, atlas,
+          dynK);
+      else
+        gnp.pattern = uint8_t(neighPatternFromOccupancy(
+          posInParent, node0.siblingOccupancy));
 
       if (gp.planarEnabled && !gp.depthPlanarEligibility) {
         if (!nodesBeforePlanarUpdate--) {
@@ -686,7 +698,10 @@ static int decode_octree_impl(
   int32_t* out_pos,                // capacity out_cap * 3 (stv order)
   int out_cap,
   int skip_levels = 0,             // scalable truncation
-  int max_nodes_stop = 0) {        // stop descending at this count
+  int max_nodes_stop = 0,          // stop descending at this count
+  int ts_base = 0,                 // trisoup: leaf node size log2
+  std::vector<int32_t>* ts_leaves = nullptr,  // trisoup: origins out
+  void** ts_coder = nullptr) {     // trisoup: live coder handoff
   GeomParams gp;
   std::memcpy(&gp, gp_arr, sizeof gp);
   const int neighbour_avail_boundary_log2 = gp.neighAvailBoundaryLog2;
@@ -715,16 +730,21 @@ static int decode_octree_impl(
   bool planarEligibleKDepth = false;
   int nodesBeforePlanarUpdate = 1;
 
+  // see the encoder-side note: minus1 == 0 means "no atlas" in the
+  // reference; a never-refreshed size-1 atlas reads as all-empty
+  const bool useAtlas = neighbour_avail_boundary_log2 > 1;
   Atlas atlas;
-  atlas.resize(adjacent_child_ctx != 0, neighbour_avail_boundary_log2);
+  atlas.resize(adjacent_child_ctx != 0,
+               useAtlas ? neighbour_avail_boundary_log2 : 0);
 
   // node size per level, smallest first then reversed
-  // (geometry_octree_decoder.cpp:1646-1652)
+  // (geometry_octree_decoder.cpp:1646-1652); for trisoup bricks the
+  // smallest level is the trisoup node size, not 0 (:1647)
   std::vector<int> lvlSize[3];
   {
-    int size[3] = {0, 0, 0};
+    int size[3] = {ts_base, ts_base, ts_base};
     std::vector<int> acc[3];
-    for (int k = 0; k < 3; k++) acc[k].push_back(0);
+    for (int k = 0; k < 3; k++) acc[k].push_back(ts_base);
     for (int i = num_levels - 1; i >= 0; i--) {
       int split = coded_axis_list[i];
       size[0] += !!(split & 4);
@@ -806,7 +826,7 @@ static int decode_octree_impl(
 
       // refresh atlas for this node's look-ahead cube
       // (updateGeometryOccupancyAtlas, OctreeNeighMap.cpp:83)
-      {
+      if (useAtlas) {
         const int shift = atlas.cubeSizeLog2;
         const uint32_t mask = (1u << shift) - 1;
         const int shiftX = (codedAxesPrevLvl & 4) ? 1 : 0;
@@ -836,15 +856,20 @@ static int decode_octree_impl(
         }
       }
 
-      NeighPattern gnp = makeNeighPattern(
-        adjacent_child_ctx != 0, node0.pos, codedAxesPrevLvl, atlas,
-        dynK);
-
       int posInParent = 0;
       posInParent |= (node0.pos[0] & 1) << 2;
       posInParent |= (node0.pos[1] & 1) << 1;
       posInParent |= (node0.pos[2] & 1) << 0;
       posInParent &= codedAxesPrevLvl;
+
+      NeighPattern gnp;
+      if (useAtlas)
+        gnp = makeNeighPattern(
+          adjacent_child_ctx != 0, node0.pos, codedAxesPrevLvl, atlas,
+          dynK);
+      else
+        gnp.pattern = uint8_t(neighPatternFromOccupancy(
+          posInParent, node0.siblingOccupancy));
 
       // legacy planar rate update (only without depth eligibility)
       if (gp.planarEnabled && !gp.depthPlanarEligibility) {
@@ -1077,6 +1102,28 @@ static int decode_octree_impl(
         < numSubnodes * 13;
   }
 
+  if (ts_leaves) {
+    // trisoup bridge: export leaf-node origins at full resolution
+    // (decodeGeometryOctree nodesRemaining path,
+    // geometry_octree_decoder.cpp:2211-2218) and the live arithmetic
+    // decoder for the vertex/centroid/face phases
+    int rem[3] = {lvlSize[0][maxDepth], lvlSize[1][maxDepth],
+                  lvlSize[2][maxDepth]};
+    ts_leaves->reserve((fifo.size() - head) * 3);
+    for (size_t it = head; it < fifo.size(); ++it) {
+      const Node& nd = fifo[it];
+      for (int k = 0; k < 3; ++k)
+        ts_leaves->push_back(nd.pos[k] << rem[k]);
+    }
+    if (ts_coder) {
+      TsCoderHandle* h = new TsCoderHandle();
+      h->dec = aec;
+      h->isEnc = false;
+      *ts_coder = h;
+    }
+    return int(fifo.size() - head);
+  }
+
   if (skipc > 0) {
     // scalable truncation: emit node centres at the stop level,
     // scaled to full resolution (reference
@@ -1144,6 +1191,41 @@ extern "C" int tmc13ref_decode_octree_inter(
   return decode_octree_impl(aec_buf, aec_len, coded_axis_list,
                             num_levels, num_points, ref_positions,
                             num_ref, gp_arr, out_pos, out_cap);
+}
+
+// trisoup brick, phase 1: decode the node octree down to the trisoup
+// node size; returns leaf count, fills out_leaves (x,y,z triplets,
+// full resolution) and hands the live arithmetic decoder to
+// tsref_open (trisoup_ref.cc).  The aec buffer must stay alive until
+// tsref_close.
+extern "C" int tmc13ref_decode_octree_trisoup(
+  const uint8_t* aec_buf, int aec_len,
+  const int32_t* coded_axis_list, int num_levels, int num_points,
+  int ts_node_size_log2,
+  const int32_t* gp_arr, int32_t* out_leaves, int leaves_cap,
+  void** coder_out) {
+  std::vector<int32_t> leaves;
+  // IDCM may legally fire during the octree phase of a trisoup brick;
+  // the reference decodes those points and then discards them when the
+  // reconstructed surface replaces the cloud (decodeGeometryTrisoup
+  // :199-200).  Scratch space absorbs them here.
+  std::vector<int32_t> idcm_scratch(size_t(num_points) * 3);
+  void* coder = nullptr;
+  int n = decode_octree_impl(aec_buf, aec_len, coded_axis_list,
+                             num_levels, num_points, nullptr, 0,
+                             gp_arr, idcm_scratch.data(), num_points,
+                             0, 0,
+                             ts_node_size_log2, &leaves, &coder);
+  if (n < 0)
+    return n;
+  if (n > leaves_cap) {
+    delete static_cast<TsCoderHandle*>(coder);
+    return -5;
+  }
+  std::memcpy(out_leaves, leaves.data(),
+              leaves.size() * sizeof(int32_t));
+  *coder_out = coder;
+  return n;
 }
 
 extern "C" int tmc13ref_decode_octree_scalable(
