@@ -55,6 +55,40 @@ def _load() -> ctypes.CDLL:
         c.POINTER(c.c_int32),
     ]
     lib.tmc13ref_decode_raht_attr.restype = c.c_int
+    lib.tmc13ref_decode_octree_trisoup.argtypes = [
+        c.POINTER(c.c_uint8), c.c_int, c.POINTER(c.c_int32), c.c_int,
+        c.c_int, c.c_int, c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        c.c_int, c.POINTER(c.c_void_p)]
+    lib.tmc13ref_decode_octree_trisoup.restype = c.c_int
+    lib.tsref_open.argtypes = [c.c_void_p]
+    lib.tsref_open.restype = c.c_void_p
+    lib.tsref_close.argtypes = [c.c_void_p]
+    lib.tsref_dec_verts.argtypes = [
+        c.c_void_p, c.POINTER(c.c_uint16), c.POINTER(c.c_int32), c.c_int,
+        c.c_int, c.POINTER(c.c_uint8), c.POINTER(c.c_uint8),
+        c.POINTER(c.c_int32)]
+    lib.tsref_dec_verts.restype = c.c_int
+    lib.tsref_dec_centroids.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int32), c.c_int, c.POINTER(c.c_int32)]
+    lib.tsref_dec_faces.argtypes = [
+        c.c_void_p, c.c_int, c.POINTER(c.c_uint8)]
+    lib.tsgeom_open.argtypes = [
+        c.POINTER(c.c_int32), c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int, c.c_int,
+        c.c_int, c.c_int, c.c_int, c.c_int]
+    lib.tsgeom_open.restype = c.c_void_p
+    lib.tsgeom_close.argtypes = [c.c_void_p]
+    lib.tsgeom_nseg.argtypes = [c.c_void_p]
+    lib.tsgeom_nseg.restype = c.c_int
+    lib.tsgeom_set_verts.argtypes = [c.c_void_p, c.POINTER(c.c_int32)]
+    lib.tsgeom_set_verts.restype = c.c_int
+    lib.tsgeom_get_cctx.argtypes = [c.c_void_p, c.POINTER(c.c_int32)]
+    lib.tsgeom_apply_drifts.argtypes = [c.c_void_p, c.POINTER(c.c_int32)]
+    lib.tsgeom_apply_drifts.restype = c.c_int
+    lib.tsgeom_apply_faces.argtypes = [c.c_void_p, c.POINTER(c.c_uint8)]
+    lib.tsgeom_reconstruct.argtypes = [c.c_void_p]
+    lib.tsgeom_reconstruct.restype = c.c_int
+    lib.tsgeom_get_points.argtypes = [c.c_void_p, c.POINTER(c.c_int32)]
     _lib = lib
     return lib
 
@@ -91,8 +125,6 @@ def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         unsupported.append("cabac bypass stream")
     if gps.predgeom_enabled:
         unsupported.append("predictive geometry")
-    if gps.trisoup_enabled:
-        unsupported.append("trisoup")
     if gps.inferred_direct_coding_mode and gps.angular_enabled:
         unsupported.append("angular IDCM")
     if gps.angular_enabled:
@@ -101,8 +133,6 @@ def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         unsupported.append("in-tree scaling")
     if not gps.bitwise_occupancy:
         unsupported.append("bytewise occupancy coder")
-    if gps.neighbour_avail_boundary_log2_minus1 < 1:
-        unsupported.append("neighbourAvailBoundaryLog2 < 2")
     if gbh.inter_prediction:
         unsupported.append("inter prediction")
     if gbh.geom_stream_cnt_minus1:
@@ -113,12 +143,113 @@ def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         raise UnsupportedTool(", ".join(unsupported))
 
 
+def decode_trisoup_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
+                         gbh: ref_hls.RefGbh,
+                         payload: bytes) -> np.ndarray:
+    """Decode one trisoup geometry brick: octree phase down to the
+    trisoup node size, vertex/centroid/face entropy stages, then the
+    normative ray-traced surface voxelisation
+    (decodeGeometryTrisoup, /root/reference/tmc3/
+    geometry_trisoup_decoder.cpp:125-203).  Returns slice-local STV
+    positions in the reference's reconstruction order."""
+    lib = _load()
+    c = ctypes
+
+    def p32(a):
+        return a.ctypes.data_as(c.POINTER(c.c_int32))
+
+    def pu8(a):
+        return a.ctypes.data_as(c.POINTER(c.c_uint8))
+
+    aec = payload[gbh.header_bytes:len(payload) - gbh.footer_bytes]
+    aec_arr = np.frombuffer(aec, dtype=np.uint8)
+    axes = np.asarray(gbh.tree_lvl_coded_axis_list, dtype=np.int32)
+    gp = geom_params_array(gps, sps.bypass_bin_coding_without_prob_update)
+    # the reference sizes the node fifo at a fixed 1.1M for trisoup
+    # (geometry_octree_decoder.cpp:1587-1588)
+    cap = max(gbh.num_points, 1100000)
+    leaves = np.empty((cap, 3), dtype=np.int32)
+    hnd = c.c_void_p()
+    n = lib.tmc13ref_decode_octree_trisoup(
+        pu8(aec_arr), len(aec), p32(axes), len(axes), cap,
+        gbh.trisoup_node_size_log2, p32(gp), p32(leaves), cap,
+        c.byref(hnd))
+    if n < 0:
+        raise RuntimeError(f"trisoup octree phase failed rc={n}")
+    leaves = np.ascontiguousarray(leaves[:n])
+
+    from ..ops.trisoup_ref import trisoup_neighbours
+    w = 1 << gbh.trisoup_node_size_log2
+    feats = trisoup_neighbours(leaves, w)
+    neighb = np.ascontiguousarray(feats["neighb"])
+    pattern = np.ascontiguousarray(feats["pattern"])
+    nseg = int(neighb.shape[0])
+    if nseg != gbh.num_unique_segments:
+        raise RuntimeError(
+            f"segment count {nseg} != header {gbh.num_unique_segments}")
+
+    maxvq = gbh.trisoup_vertex_quant_bits or gbh.trisoup_node_size_log2
+    bit_dropped = max(0, gbh.trisoup_node_size_log2 - maxvq)
+    nbits = gbh.trisoup_node_size_log2 - bit_dropped
+    segind = np.zeros(nseg, dtype=np.uint8)
+    vert = np.zeros(nseg, dtype=np.uint8)
+    seg2v = np.zeros(nseg, dtype=np.int32)
+    ts = lib.tsref_open(hnd)
+    try:
+        lib.tsref_dec_verts(
+            ts, neighb.ctypes.data_as(c.POINTER(c.c_uint16)), p32(pattern),
+            nseg, nbits, pu8(segind), pu8(vert), p32(seg2v))
+
+        flag_n = int(gps.non_cubic_node_start_edge
+                     and gbh.slice_bb_pos_bits > 0)
+        flag_f = int(gps.non_cubic_node_end_edge
+                     and gbh.slice_bb_width_bits > 0)
+        bb_min = np.asarray(
+            [p << gbh.slice_bb_pos_log2_scale for p in gbh.slice_bb_pos],
+            dtype=np.int32)
+        bb_max = bb_min + np.asarray(
+            [p << gbh.slice_bb_width_log2_scale for p in gbh.slice_bb_width],
+            dtype=np.int32)
+        gh = lib.tsgeom_open(
+            p32(leaves), n, w, bit_dropped, flag_n, flag_f, p32(bb_min),
+            p32(bb_max), gbh.trisoup_sampling, int(gbh.trisoup_halo),
+            int(gbh.trisoup_adaptive_halo), int(gbh.trisoup_fine_ray),
+            int(gbh.trisoup_face_vertex), int(gbh.trisoup_centroid_residual))
+        try:
+            uniq_vert = np.full(nseg, -1, dtype=np.int32)
+            uniq_vert[segind > 0] = vert[segind > 0]
+            nelig = lib.tsgeom_set_verts(gh, p32(uniq_vert))
+            cctx = np.zeros((max(nelig, 1), 5), dtype=np.int32)
+            lib.tsgeom_get_cctx(gh, p32(cctx))
+            driftq = np.zeros(max(nelig, 1), dtype=np.int32)
+            if nelig:
+                lib.tsref_dec_centroids(ts, p32(cctx), nelig, p32(driftq))
+            ncand = lib.tsgeom_apply_drifts(gh, p32(driftq))
+            conn = np.zeros(max(ncand, 1), dtype=np.uint8)
+            if ncand:
+                lib.tsref_dec_faces(ts, ncand, pu8(conn))
+            lib.tsgeom_apply_faces(gh, pu8(conn))
+            npts = lib.tsgeom_reconstruct(gh)
+            out = np.empty((npts, 3), dtype=np.int32)
+            lib.tsgeom_get_points(gh, p32(out))
+        finally:
+            lib.tsgeom_close(gh)
+    finally:
+        lib.tsref_close(ts)
+    if npts != gbh.num_points:
+        raise RuntimeError(
+            f"reconstructed {npts} points, footer says {gbh.num_points}")
+    return out.astype(np.int64)
+
+
 def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
                           gbh: ref_hls.RefGbh,
                           payload: bytes) -> np.ndarray:
     """Decode one octree geometry brick to slice-local STV grid
     positions in the reference's decode order."""
     _check_supported(sps, gps, gbh)
+    if gps.trisoup_enabled:
+        return decode_trisoup_brick(sps, gps, gbh, payload)
     lib = _load()
     aec = payload[gbh.header_bytes:len(payload) - gbh.footer_bytes]
     aec_arr = np.frombuffer(aec, dtype=np.uint8)

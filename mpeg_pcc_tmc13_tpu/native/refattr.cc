@@ -153,6 +153,9 @@ static uint32_t isqrt(uint64_t x) {
   return uint32_t(1 + ((x0 * irsqrt(x0)) >> 32));
 }
 
+// shared with trisoup_geom.cc (same normative isqrt, misc.cpp:193)
+extern "C" uint32_t tmc13ref_isqrt(uint64_t x) { return isqrt(x); }
+
 static int ilog2(uint64_t x) {
   int r = 0;
   while (x > 1) {

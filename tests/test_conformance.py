@@ -591,3 +591,33 @@ def test_raht_attr_multislice_bit_exact(tmp_path):
                                   ref.positions.astype(np.int64))
     np.testing.assert_array_equal(attrs[0][:, [2, 0, 1]],
                                   ref.colors.astype(np.int32))
+
+
+def test_trisoup_bit_exact(tmp_path):
+    """Trisoup brick decode: octree phase, vertex/centroid/face
+    entropy stages and the ray-traced surface reconstruction
+    (geometry_trisoup_decoder.cpp:125-203) reproduce the reference
+    output positions exactly."""
+    xx, yy = np.meshgrid(np.arange(128), np.arange(128))
+    zz = np.rint(40 + 30 * np.sin(xx / 17.0) * np.cos(yy / 23.0))
+    pos = np.stack([xx.ravel(), yy.ravel(), zz.ravel()],
+                   axis=1).astype(np.int64)
+    roundtrip(tmp_path, "trisoup", pos,
+              ["--mergeDuplicatedPoints=1", "--trisoupNodeSizeLog2=4",
+               "--planarEnabled=1"])
+
+
+def test_trisoup_coarse_nodes_bit_exact(tmp_path):
+    """Trisoup at a different node size on a curved shell (exercises
+    centroid drift + face vertices on sparser leaves)."""
+    rng = np.random.default_rng(11)
+    t = rng.uniform(0, np.pi, 30000)
+    p = rng.uniform(0, 2 * np.pi, 30000)
+    r = 100.0
+    pos = np.unique(np.rint(np.stack([
+        128 + r * np.sin(t) * np.cos(p),
+        128 + r * np.sin(t) * np.sin(p),
+        128 + r * np.cos(t)], axis=1)).astype(np.int64), axis=0)
+    roundtrip(tmp_path, "trisoup8", pos,
+              ["--mergeDuplicatedPoints=1", "--trisoupNodeSizeLog2=3",
+               "--planarEnabled=1"])
