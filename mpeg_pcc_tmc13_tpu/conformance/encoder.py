@@ -55,12 +55,219 @@ def _ceillog2(x: int) -> int:
     return max(int(x - 1).bit_length(), 0)
 
 
+def _encode_trisoup_brick_native(stv: np.ndarray, axes: np.ndarray,
+                                 gps: ref_hls.RefGps,
+                                 ts_log2: int,
+                                 slice_max_points: int = 1_100_000,
+                                 improved_vertex: bool = True,
+                                 node_unique_dse: bool = True,
+                                 halo: bool = True,
+                                 adaptive_halo: bool = True,
+                                 fine_ray: bool = True,
+                                 face_vertex: bool = True,
+                                 centroid_residual: bool = True):
+    """Encode one trisoup geometry brick, byte-identical to the
+    reference encoder (encodeGeometryTrisoup,
+    /root/reference/tmc3/geometry_trisoup_encoder.cpp:100-246): octree
+    phase down to the trisoup node size, vertex determination with the
+    improved per-node distance search, vertex/centroid/face entropy
+    stages and the adaptive sampling loop.
+
+    Returns (aec_payload, header_fields, recon_points) where
+    header_fields carries num_unique_segments + the chosen sampling
+    and recon_points is the reconstructed cloud (slice-local STV, in
+    the reference's reconstruction order) whose count goes in the
+    footer."""
+    lib = _load()
+    c = ctypes
+
+    def p32(a):
+        return a.ctypes.data_as(c.POINTER(c.c_int32))
+
+    def pu8(a):
+        return a.ctypes.data_as(c.POINTER(c.c_uint8))
+
+    if not hasattr(lib.tmc13ref_encode_octree_trisoup, "_configured"):
+        lib.tmc13ref_encode_octree_trisoup.argtypes = [
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.c_int,
+            c.c_int, c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.c_int, c.POINTER(c.c_int32),
+            c.POINTER(c.c_void_p)]
+        lib.tmc13ref_encode_octree_trisoup.restype = c.c_int
+        lib.tsgeom_set_points.argtypes = [
+            c.c_void_p, c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32)]
+        lib.tsgeom_set_sampling.argtypes = [c.c_void_p, c.c_int]
+        lib.tsgeom_enc_verts.argtypes = [
+            c.c_void_p, c.c_int, c.c_int, c.c_float,
+            c.POINTER(c.c_uint8), c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32)]
+        lib.tsgeom_enc_verts.restype = c.c_int
+        lib.tsgeom_enc_drifts.argtypes = [c.c_void_p,
+                                          c.POINTER(c.c_int32)]
+        lib.tsgeom_enc_drifts.restype = c.c_int
+        lib.tsgeom_enc_faces.argtypes = [c.c_void_p, c.c_int,
+                                         c.POINTER(c.c_uint8)]
+        lib.tsgeom_enc_faces.restype = c.c_int
+        lib.tsref_enc_verts.argtypes = [
+            c.c_void_p, c.POINTER(c.c_uint16), c.POINTER(c.c_int32),
+            c.c_int, c.c_int, c.POINTER(c.c_uint8),
+            c.POINTER(c.c_uint8), c.POINTER(c.c_int32)]
+        lib.tsref_enc_verts.restype = c.c_int
+        lib.tsref_enc_centroids.argtypes = [
+            c.c_void_p, c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+            c.c_int]
+        lib.tsref_enc_faces.argtypes = [c.c_void_p,
+                                        c.POINTER(c.c_uint8), c.c_int]
+        lib.tsref_enc_finish.argtypes = [c.c_void_p,
+                                         c.POINTER(c.c_uint8), c.c_int]
+        lib.tsref_enc_finish.restype = c.c_int
+        lib.tmc13ref_encode_octree_trisoup._configured = True
+
+    pos32 = np.ascontiguousarray(stv, dtype=np.int32)
+    npts = int(pos32.shape[0])
+    gp = geom_params_array(gps)
+    cap = npts + 16
+    out_leaves = np.empty((cap, 5), dtype=np.int32)
+    out_order = np.empty(npts, dtype=np.int32)
+    hnd = c.c_void_p()
+    n = lib.tmc13ref_encode_octree_trisoup(
+        p32(pos32), npts, p32(axes), len(axes), ts_log2, p32(gp),
+        p32(out_leaves), cap, p32(out_order), c.byref(hnd))
+    if n < 0:
+        raise RuntimeError(f"trisoup octree phase (encode) rc={n}")
+    leaves5 = out_leaves[:n]
+    leaves = np.ascontiguousarray(leaves5[:, :3])
+    leaf_start = np.ascontiguousarray(leaves5[:, 3])
+    leaf_end = np.ascontiguousarray(leaves5[:, 4])
+    order = out_order
+
+    w = 1 << ts_log2
+    # estimatedSampling + distanceSearchEncoder (encoder.cpp ref
+    # geometry_trisoup_encoder.cpp:134-148), float32 arithmetic
+    bit_dropped = 0       # trisoup_vertex_quant_bits=0 -> full bits
+    est = np.float32(1.0)
+    dse = 1
+    if improved_vertex:
+        est = np.sqrt(np.float32(n) / np.float32(npts)) * np.float32(w)
+        est = max(np.float32(1.0), est)
+        v = np.float32(est) + np.float32(0.1)
+        dse = (1 << max(0, bit_dropped - 2)) - 1 + int(np.floor(v + 0.5))
+        dse = max(1, min(8, dse))
+
+    from ..ops.trisoup_ref import trisoup_neighbours
+    feats = trisoup_neighbours(leaves, w)
+    neighb = np.ascontiguousarray(feats["neighb"])
+    pattern = np.ascontiguousarray(feats["pattern"])
+    nseg = int(neighb.shape[0])
+    nbits = ts_log2 - bit_dropped
+
+    # non-cubic boundary nodes: the slice bbox is signalled in the GBH
+    # and clips boundary-node widths (encoder.cpp:966-992; clipping
+    # active only when the respective _bits field is coded,
+    # nonCubicNode geometry_trisoup_decoder.cpp:532-550)
+    mask = w - 1
+    src_min = stv.min(axis=0).astype(np.int64)
+    src_max = stv.max(axis=0).astype(np.int64)
+    sl_pos = np.zeros(3, dtype=np.int64)
+    sl_width = np.zeros(3, dtype=np.int64)
+    pos_bits = width_bits = 0
+    if gps.non_cubic_node_start_edge:
+        sl_pos = src_min
+        if np.any(src_min & mask):
+            pos_bits = max(int(sl_pos.max()).bit_length(), 1)
+    if gps.non_cubic_node_end_edge:
+        sl_width = src_max - sl_pos
+        if np.any(src_max & mask):
+            width_bits = max(int(sl_width.max()).bit_length(), 1)
+    flag_n = int(gps.non_cubic_node_start_edge and pos_bits > 0)
+    flag_f = int(gps.non_cubic_node_end_edge and width_bits > 0)
+    bb_min = sl_pos.astype(np.int32)
+    bb_max = (sl_pos + sl_width).astype(np.int32)
+    gh = lib.tsgeom_open(
+        p32(leaves), n, w, bit_dropped, flag_n, flag_f, p32(bb_min),
+        p32(bb_max), 1, int(halo), int(adaptive_halo), int(fine_ray),
+        int(face_vertex), int(centroid_residual))
+    ts = lib.tsref_open(hnd)
+    try:
+        pts_sorted = np.ascontiguousarray(pos32[order])
+        lib.tsgeom_set_points(gh, p32(pts_sorted), npts,
+                              p32(leaf_start), p32(leaf_end))
+        segind = np.zeros(nseg, dtype=np.uint8)
+        vert32 = np.zeros(nseg, dtype=np.int32)
+        lib.tsgeom_enc_verts(gh, dse, int(node_unique_dse),
+                             c.c_float(float(est)), pu8(segind),
+                             p32(vert32), None)
+        vert = np.clip(vert32, 0, None).astype(np.uint8)
+        seg2v = np.zeros(nseg, dtype=np.int32)
+        lib.tsref_enc_verts(ts, neighb.ctypes.data_as(
+            c.POINTER(c.c_uint16)), p32(pattern), nseg, nbits,
+            pu8(segind), pu8(vert), p32(seg2v))
+
+        uniq_vert = np.where(segind > 0, vert32, -1).astype(np.int32)
+        nelig = lib.tsgeom_set_verts(gh, p32(uniq_vert))
+        cctx = np.zeros((max(nelig, 1), 5), dtype=np.int32)
+        lib.tsgeom_get_cctx(gh, p32(cctx))
+        driftq = np.zeros(max(nelig, 1), dtype=np.int32)
+        if nelig and centroid_residual:
+            lib.tsgeom_enc_drifts(gh, p32(driftq))
+        ncand = lib.tsgeom_apply_drifts(gh, p32(driftq))
+        conn = np.zeros(max(ncand, 1), dtype=np.uint8)
+        if face_vertex and ncand:
+            lib.tsgeom_enc_faces(gh, dse, pu8(conn))
+
+        # adaptive sampling: smallest subsample whose reconstruction
+        # fits the slice point budget (encoder :215-230; the budget is
+        # sliceMaxPointsTrisoup, encoder.cpp:1444)
+        sampling = 1
+        npts_rec = 0
+        for ss in range(1, w + 1):
+            sampling = ss
+            lib.tsgeom_set_sampling(gh, ss)
+            npts_rec = lib.tsgeom_reconstruct(gh)
+            if npts_rec <= slice_max_points:
+                break
+        recon = np.empty((npts_rec, 3), dtype=np.int32)
+        lib.tsgeom_get_points(gh, p32(recon))
+
+        if centroid_residual and nelig:
+            lib.tsref_enc_centroids(ts, p32(cctx), p32(driftq), nelig)
+        if face_vertex and ncand:
+            lib.tsref_enc_faces(ts, pu8(conn), ncand)
+        buf_cap = npts * 16 + (1 << 16)
+        buf = np.empty(buf_cap, dtype=np.uint8)
+        nb = lib.tsref_enc_finish(ts, pu8(buf), buf_cap)
+        if nb < 0:
+            raise RuntimeError("trisoup payload overflow")
+    finally:
+        lib.tsref_close(ts)
+        lib.tsgeom_close(gh)
+
+    fields = dict(num_unique_segments=nseg, trisoup_sampling=sampling,
+                  trisoup_node_size_log2=ts_log2,
+                  trisoup_vertex_quant_bits=0,
+                  trisoup_centroid_residual=centroid_residual,
+                  trisoup_face_vertex=face_vertex,
+                  trisoup_halo=halo,
+                  trisoup_adaptive_halo=adaptive_halo,
+                  trisoup_fine_ray=fine_ray,
+                  slice_bb_pos_bits=pos_bits,
+                  slice_bb_pos=tuple(int(v) for v in sl_pos),
+                  slice_bb_width_bits=width_bits,
+                  slice_bb_width=tuple(int(v) for v in sl_width))
+    return buf[:nb].tobytes(), fields, recon.astype(np.int64)
+
+
 def qtbt_axis_list(root_size_log2, qtbt_enabled: bool,
                    max_num_qtbt_before_ot: int = 4,
-                   min_qtbt_size_log2: int = 0):
+                   min_qtbt_size_log2: int = 0,
+                   stop_log2: int = 0):
     """Per-level coded-axis masks from the implicit QT/BT schedule
     (mkQtBtNodeSizeList + oneQtBtDecision + updateQtBtParameters,
-    /root/reference/tmc3/geometry_octree.cpp:51-160; non-angular)."""
+    /root/reference/tmc3/geometry_octree.cpp:51-160; non-angular).
+    ``stop_log2`` truncates the list at the trisoup node size
+    (geometry_octree_encoder.cpp:1984-1994)."""
     node = list(root_size_log2)
     max_q = max_num_qtbt_before_ot
     min_q = min_qtbt_size_log2
@@ -70,7 +277,7 @@ def qtbt_axis_list(root_size_log2, qtbt_enabled: bool,
     if maxd == mind:
         min_q = 0
     axes = []
-    while any(v > 0 for v in node):
+    while any(v > stop_log2 for v in node):
         if not qtbt_enabled:
             nxt = [v - 1 for v in node]
         elif max_q or min(node) == min_q:
@@ -102,7 +309,8 @@ def encode_stream(positions: np.ndarray,
                   reflectances: np.ndarray = None,
                   attr_qp: int = 34,
                   attr_bitdepth: int = 8,
-                  integer_haar: bool = False) -> bytes:
+                  integer_haar: bool = False,
+                  trisoup_node_size_log2: int = 0) -> bytes:
     """Encode one frame of non-negative integer XYZ positions into a
     complete reference-syntax TLV stream (SPS + GPS + geometry brick,
     plus APS + RAHT attribute brick when colors/reflectances given).
@@ -121,6 +329,12 @@ def encode_stream(positions: np.ndarray,
         raise ValueError("positions must be (N, 3)")
     if pos.size and pos.min() < 0:
         raise ValueError("positions must be non-negative")
+    # sequence bounding box origin: the input bbox min is recorded in
+    # the SPS and subtracted before coding (encoder.cpp:118-156;
+    # autoSeqBbox, seq scale 1, global scale 1)
+    seq_origin = (pos.min(axis=0) if pos.size
+                  else np.zeros(3, dtype=np.int64))
+    pos = pos - seq_origin
     attr_vals = colors if colors is not None else reflectances
     if unique_points:
         if attr_vals is not None:
@@ -136,15 +350,24 @@ def encode_stream(positions: np.ndarray,
         axis_order, [pos[:, 0], pos[:, 1], pos[:, 2]]), axis=1)
     # per-axis root sizes (encoder.cpp:1373: ceillog2(max(2, whd)))
     whd = (stv.max(axis=0) + 1) if stv.size else np.array([1, 1, 1])
-    root = [_ceillog2(max(2, int(v))) for v in whd]
+    ts_log2 = trisoup_node_size_log2
+    root = [max(_ceillog2(max(2, int(v))), ts_log2) for v in whd]
     if not qtbt:
         root = [max(root)] * 3
-    axes = np.asarray(qtbt_axis_list(root, qtbt), dtype=np.int32)
+    if ts_log2:
+        # trisoup: qtbt-first override (geometry_octree.cpp:114-118),
+        # levels truncated at the trisoup node size
+        axes = np.asarray(qtbt_axis_list(
+            root, qtbt, max_num_qtbt_before_ot=max(root) - min(root),
+            min_qtbt_size_log2=0, stop_log2=ts_log2), dtype=np.int32)
+    else:
+        axes = np.asarray(qtbt_axis_list(root, qtbt), dtype=np.int32)
 
     sps = ref_hls.RefSps(
         main_profile_compat=0, level=0, sps_id=0,
         frame_ctr_bits=frame_ctr_bits, slice_tag_bits=0,
-        geometry_axis_order=axis_order)
+        geometry_axis_order=axis_order,
+        bbox_origin=tuple(int(v) for v in seq_origin))
     if attr_vals is not None:
         dims = 3 if colors is not None else 1
         sps.num_attrs = 1
@@ -173,15 +396,30 @@ def encode_stream(positions: np.ndarray,
         planar_threshold2=113,
         depth_planar_eligibility=planar,
         planar_dynamic_obuf_eligibility=planar,
-        multiple_planar=planar)
+        multiple_planar=planar,
+        trisoup_enabled=bool(ts_log2),
+        # tmc3 defaults (TMC3.cpp:977-981): non-cubic boundary nodes
+        # on both slice edges when trisoup is active
+        non_cubic_node_start_edge=bool(ts_log2),
+        non_cubic_node_end_edge=bool(ts_log2))
 
-    aec = _encode_brick_native(stv, axes, gps)
-
-    gbh = ref_hls.RefGbh(
-        gps_id=0, slice_id=0, slice_tag=0, frame_ctr_lsb=0,
-        geom_box_log2_scale=0, box_origin_stv=(0, 0, 0),
-        tree_lvl_coded_axis_list=list(axes),
-        num_points=int(pos.shape[0]))
+    if ts_log2:
+        if attr_vals is not None:
+            raise NotImplementedError("attributes with trisoup bricks")
+        aec, tfields, recon = _encode_trisoup_brick_native(
+            stv, axes, gps, ts_log2)
+        gbh = ref_hls.RefGbh(
+            gps_id=0, slice_id=0, slice_tag=0, frame_ctr_lsb=0,
+            geom_box_log2_scale=0, box_origin_stv=(0, 0, 0),
+            tree_lvl_coded_axis_list=list(axes),
+            num_points=int(recon.shape[0]), **tfields)
+    else:
+        aec = _encode_brick_native(stv, axes, gps)
+        gbh = ref_hls.RefGbh(
+            gps_id=0, slice_id=0, slice_tag=0, frame_ctr_lsb=0,
+            geom_box_log2_scale=0, box_origin_stv=(0, 0, 0),
+            tree_lvl_coded_axis_list=list(axes),
+            num_points=int(pos.shape[0]))
     brick = ref_hls.write_gbh(sps, gps, gbh, aec)
 
     stream = (ref_hls.write_ref_tlv(ref_hls.T_SPS,

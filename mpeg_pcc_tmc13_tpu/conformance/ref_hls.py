@@ -587,7 +587,15 @@ def write_sps(s: RefSps) -> bytes:
     w.un(4, s.sps_id)
     w.un(5, s.frame_ctr_bits)
     w.un(5, s.slice_tag_bits)
-    w.ue(0)                      # bounding box offset bits (none)
+    # sps_bounding_box_offset_bits = numBits(origin.abs().max())
+    # (encoder.cpp:161; numBits(0)=1 so the field is always present);
+    # bbox_origin is kept in xyz, as parsed
+    origin_xyz = list(s.bbox_origin)
+    origin_bits = max(max(abs(v) for v in origin_xyz).bit_length(), 1)
+    w.ue(origin_bits)
+    for v in origin_xyz:
+        w.sn(origin_bits, v)
+    w.ue(0)                      # seq_bounding_box_offset_log2_scale
     w.ue(0)                      # bounding box size bits (none)
     w.ue(s.seq_scale_num - 1)
     w.ue(s.seq_scale_den - 1)
@@ -642,11 +650,14 @@ def write_gps(g: RefGps) -> bytes:
     w.u1(g.scaling_enabled)
     if g.scaling_enabled:
         raise NotImplementedError("scaling")
-    ext = (g.depth_planar_eligibility
+    ext = (g.trisoup_enabled or g.depth_planar_eligibility
            or g.planar_dynamic_obuf_eligibility or g.multiple_planar)
     w.u1(1 if ext else 0)        # gps_extension_flag
     if ext:
-        w.u1(0)                  # trisoup_enabled
+        w.u1(g.trisoup_enabled)
+        if g.trisoup_enabled:
+            w.u1(g.non_cubic_node_start_edge)
+            w.u1(g.non_cubic_node_end_edge)
         w.u1(0)                  # interPredictionEnabled
         if g.planar_enabled:
             w.u1(g.depth_planar_eligibility)
@@ -679,11 +690,40 @@ def write_gbh(sps: RefSps, gps: RefGps, h: RefGbh,
     for v in origin_xyz:
         w.un(origin_bits, v)
     tree_depth_minus1 = len(h.tree_lvl_coded_axis_list) - 1
-    w.ue(tree_depth_minus1)
+    # for trisoup the coded value is the depth itself (parse: ue()-1)
+    w.ue(tree_depth_minus1 + (1 if gps.trisoup_enabled else 0))
     if gps.qtbt_enabled:
         for a in h.tree_lvl_coded_axis_list:
             w.un(3, a)
     w.ue(h.geom_stream_cnt_minus1)
+    if gps.trisoup_enabled:
+        # io_hls.cpp trisoup header fields (mirror of parse_gbh)
+        w.ue(h.trisoup_node_size_log2 - 2)
+        w.ue(h.trisoup_sampling - 1)
+        # numBits(num_unique_segments_minus1), PCCMisc.h numBits(0)=1
+        seg_bits = max(int(h.num_unique_segments - 1).bit_length(), 1)
+        w.ue(seg_bits - 1)
+        w.un(seg_bits, h.num_unique_segments - 1)
+        w.ue(h.trisoup_vertex_quant_bits)
+        w.u1(h.trisoup_centroid_residual)
+        if h.trisoup_centroid_residual:
+            w.u1(h.trisoup_face_vertex)
+        w.u1(h.trisoup_halo)
+        if h.trisoup_halo:
+            w.u1(h.trisoup_adaptive_halo)
+        w.u1(h.trisoup_fine_ray)
+        if gps.non_cubic_node_start_edge:
+            w.ue(h.slice_bb_pos_bits)
+            if h.slice_bb_pos_bits > 0:
+                w.ue(h.slice_bb_pos_log2_scale)
+                for v in h.slice_bb_pos:
+                    w.un(h.slice_bb_pos_bits, v)
+        if gps.non_cubic_node_end_edge:
+            w.ue(h.slice_bb_width_bits)
+            if h.slice_bb_width_bits > 0:
+                w.ue(h.slice_bb_width_log2_scale)
+                for v in h.slice_bb_width:
+                    w.un(h.slice_bb_width_bits, v)
     head = w.get_bytes()
 
     foot = RefBitWriter()

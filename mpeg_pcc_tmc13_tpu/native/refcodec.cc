@@ -238,7 +238,11 @@ static int encode_octree_impl(
   const int32_t* ref_positions, int num_ref,
   const int32_t* coded_axis_list, int num_levels,
   const int32_t* gp_arr,           // GeomParams as 12 int32s
-  uint8_t* out_buf, int out_cap) {
+  uint8_t* out_buf, int out_cap,
+  int ts_base = 0,                 // trisoup: leaf node size log2
+  std::vector<int32_t>* ts_leaves = nullptr,   // origins+ranges out
+  std::vector<int32_t>* ts_order = nullptr,    // point permutation out
+  void** ts_coder = nullptr) {     // trisoup: live coder handoff
   GeomParams gp;
   std::memcpy(&gp, gp_arr, sizeof gp);
   const int neighbour_avail_boundary_log2 = gp.neighAvailBoundaryLog2;
@@ -278,9 +282,11 @@ static int encode_octree_impl(
 
   std::vector<int> lvlSize[3];
   {
-    int size[3] = {0, 0, 0};
+    // for trisoup bricks the smallest level is the trisoup node size,
+    // not 0 (mirrors the decoder, geometry_octree_decoder.cpp:1647)
+    int size[3] = {ts_base, ts_base, ts_base};
     std::vector<int> acc[3];
-    for (int k = 0; k < 3; k++) acc[k].push_back(0);
+    for (int k = 0; k < 3; k++) acc[k].push_back(ts_base);
     for (int i = num_levels - 1; i >= 0; i--) {
       int split = coded_axis_list[i];
       size[0] += !!(split & 4);
@@ -673,6 +679,29 @@ static int encode_octree_impl(
       planarEligibleKDepth =
         (long(num_points) - numPointsCodedByIdcm) * 10
         < numSubnodes * 13;
+  }
+
+  if (ts_leaves) {
+    // trisoup bridge: export leaf origins at full resolution with
+    // their point ranges (encodeGeometryOctree nodesRemaining,
+    // geometry_octree_encoder.cpp:2623-2631), the point permutation,
+    // and the live arithmetic encoder for the trisoup stages
+    int rem[3] = {lvlSize[0][maxDepth], lvlSize[1][maxDepth],
+                  lvlSize[2][maxDepth]};
+    ts_leaves->reserve((fifo.size() - head) * 5);
+    for (size_t it = head; it < fifo.size(); ++it) {
+      const ENode& nd = fifo[it];
+      for (int k = 0; k < 3; ++k)
+        ts_leaves->push_back(nd.pos[k] << rem[k]);
+      ts_leaves->push_back(nd.start);
+      ts_leaves->push_back(nd.end);
+    }
+    *ts_order = order;
+    TsCoderHandle* h = new TsCoderHandle();
+    h->enc = aec;
+    h->isEnc = true;
+    *ts_coder = h;
+    return int(fifo.size() - head);
   }
 
   aec.flush();
@@ -1164,6 +1193,36 @@ extern "C" int tmc13ref_encode_octree_intra(
                             out_buf, out_cap);
 }
 
+// trisoup brick, phase 1 (encode): code the node octree down to the
+// trisoup node size; fills out_leaves with (x, y, z, start, end)
+// 5-tuples per leaf (full-resolution origins, point ranges into the
+// permutation written to out_order, length num_points) and hands the
+// live arithmetic encoder to tsref_open.  Returns the leaf count.
+extern "C" int tmc13ref_encode_octree_trisoup(
+  const int32_t* positions, int num_points,
+  const int32_t* coded_axis_list, int num_levels,
+  int ts_node_size_log2, const int32_t* gp_arr,
+  int32_t* out_leaves, int leaves_cap, int32_t* out_order,
+  void** coder_out) {
+  std::vector<int32_t> leaves;
+  std::vector<int32_t> order;
+  void* coder = nullptr;
+  int n = encode_octree_impl(positions, num_points, nullptr, 0,
+                             coded_axis_list, num_levels, gp_arr,
+                             nullptr, 0,
+                             ts_node_size_log2, &leaves, &order, &coder);
+  if (n < 0)
+    return n;
+  if (n > leaves_cap) {
+    delete static_cast<TsCoderHandle*>(coder);
+    return -5;
+  }
+  std::memcpy(out_leaves, leaves.data(), leaves.size() * sizeof(int32_t));
+  std::memcpy(out_order, order.data(), order.size() * sizeof(int32_t));
+  *coder_out = coder;
+  return n;
+}
+
 extern "C" int tmc13ref_encode_octree_inter(
   const int32_t* positions, int num_points,
   const int32_t* ref_positions, int num_ref,
@@ -1205,16 +1264,22 @@ extern "C" int tmc13ref_decode_octree_trisoup(
   const int32_t* gp_arr, int32_t* out_leaves, int leaves_cap,
   void** coder_out) {
   std::vector<int32_t> leaves;
+  // the reference sizes the trisoup node fifo at a fixed 1.1M
+  // (geometry_octree_decoder.cpp:1587-1588) and that constant feeds
+  // the planar depth-eligibility formula (:2192), so the actual point
+  // count must not be used there
+  const int kRingBufferSize = 1100000;
+  (void)num_points;
   // IDCM may legally fire during the octree phase of a trisoup brick;
   // the reference decodes those points and then discards them when the
   // reconstructed surface replaces the cloud (decodeGeometryTrisoup
   // :199-200).  Scratch space absorbs them here.
-  std::vector<int32_t> idcm_scratch(size_t(num_points) * 3);
+  std::vector<int32_t> idcm_scratch(size_t(kRingBufferSize) * 3);
   void* coder = nullptr;
   int n = decode_octree_impl(aec_buf, aec_len, coded_axis_list,
-                             num_levels, num_points, nullptr, 0,
-                             gp_arr, idcm_scratch.data(), num_points,
-                             0, 0,
+                             num_levels, kRingBufferSize, nullptr, 0,
+                             gp_arr, idcm_scratch.data(),
+                             kRingBufferSize, 0, 0,
                              ts_node_size_log2, &leaves, &coder);
   if (n < 0)
     return n;

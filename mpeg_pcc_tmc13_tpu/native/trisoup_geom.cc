@@ -12,6 +12,7 @@
 // residues, face flags) stay in trisoup_ref.cc.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -148,6 +149,9 @@ struct TsGeom {
   std::vector<int> segPerNodeUniq;  // 12*n -> unique index
   // reconstruction
   std::vector<V3> recon;
+  // encoder side: slice-local points in octree order + leaf ranges
+  std::vector<V3> pts;
+  std::vector<int> leafStart, leafEnd;
 };
 
 // nonCubicNode (decoder :532-561)
@@ -876,4 +880,300 @@ extern "C" void tsgeom_get_points(void* hh, int32_t* out) {
   TsGeom& g = *static_cast<TsGeom*>(hh);
   for (size_t i = 0; i < g.recon.size(); i++)
     for (int k = 0; k < 3; k++) out[i * 3 + size_t(k)] = g.recon[i][k];
+}
+
+// adaptive sampling search re-runs the reconstruction per value
+// (encodeGeometryTrisoup loop, encoder :215-230)
+extern "C" void tsgeom_set_sampling(void* hh, int sampling) {
+  static_cast<TsGeom*>(hh)->sampling = sampling;
+}
+
+// ---------------------------------------------------------------------------
+// encoder side
+// ---------------------------------------------------------------------------
+
+extern "C" void tsgeom_set_points(void* hh, const int32_t* pts, int npts,
+                                  const int32_t* leaf_start,
+                                  const int32_t* leaf_end) {
+  TsGeom& g = *static_cast<TsGeom*>(hh);
+  g.pts.resize(size_t(npts));
+  for (int i = 0; i < npts; i++)
+    g.pts[size_t(i)] = {pts[i * 3], pts[i * 3 + 1], pts[i * 3 + 2]};
+  g.leafStart.assign(leaf_start, leaf_start + g.n);
+  g.leafEnd.assign(leaf_end, leaf_end + g.n);
+}
+
+namespace tsgeom {
+
+// estimatedSampling1/2/3 (encoder :260-343)
+static float estSampling1(const TsGeom& g, int i) {
+  const V3& w = g.nodeW[size_t(i)];
+  int s[3] = {w[0], w[1], w[2]};
+  std::sort(s, s + 3);
+  int cnt = g.leafEnd[size_t(i)] - g.leafStart[size_t(i)];
+  return std::sqrt(float(s[2] * s[1])) / std::sqrt(float(cnt));
+}
+
+static float estSampling2(const TsGeom& g, int i) {
+  int st = g.leafStart[size_t(i)], ed = g.leafEnd[size_t(i)];
+  const V3& lp = g.leaves[size_t(i)];
+  V3 mn = g.pts[size_t(st)] - lp, mx = mn;
+  for (int j = st; j < ed; j++) {
+    V3 cv = g.pts[size_t(j)] - lp;
+    for (int k = 0; k < 3; k++) {
+      mn[k] = std::min(mn[k], cv[k]);
+      mx[k] = std::max(mx[k], cv[k]);
+    }
+  }
+  V3 dim = mx - mn;
+  int s[3] = {dim[0], dim[1], dim[2]};
+  std::sort(s, s + 3);
+  return std::sqrt(float(s[2] * s[1]) / float(ed - st));
+}
+
+static float estSampling3(const TsGeom& g, int i) {
+  int st = g.leafStart[size_t(i)], ed = g.leafEnd[size_t(i)];
+  int cnt = ed - st;
+  std::vector<std::vector<float>> nn{size_t(cnt)};
+  std::vector<int> one(size_t(cnt), 0);
+  const int N = 4;
+  int cnt1 = 0;
+  float es = 0;
+  const V3& lp = g.leaves[size_t(i)];
+  for (int j = st; j < ed; j++) {
+    V3 cur = g.pts[size_t(j)] - lp;
+    int cnt2 = cnt1 + 1;
+    for (int t = st + cnt2; t < ed; t++) {
+      V3 d = cur - (g.pts[size_t(t)] - lp);
+      float distance = std::sqrt(
+        float(int64_t(d[0]) * d[0] + int64_t(d[1]) * d[1]
+              + int64_t(d[2]) * d[2]));
+      if (int(nn[size_t(cnt1)].size()) < N) {
+        nn[size_t(cnt1)].push_back(distance);
+        std::sort(nn[size_t(cnt1)].begin(), nn[size_t(cnt1)].end());
+      } else if (distance < nn[size_t(cnt1)].back()
+                 && one[size_t(cnt1)] < N) {
+        nn[size_t(cnt1)][N - 1] = distance;
+        std::sort(nn[size_t(cnt1)].begin(), nn[size_t(cnt1)].end());
+      }
+      if (int(nn[size_t(cnt2)].size()) < N) {
+        nn[size_t(cnt2)].push_back(distance);
+        std::sort(nn[size_t(cnt2)].begin(), nn[size_t(cnt2)].end());
+      } else if (distance < nn[size_t(cnt2)].back()
+                 && one[size_t(cnt2)] < N) {
+        nn[size_t(cnt2)][N - 1] = distance;
+        std::sort(nn[size_t(cnt2)].begin(), nn[size_t(cnt2)].end());
+      }
+      if (distance <= 1.0f) {
+        ++one[size_t(cnt1)];
+        ++one[size_t(cnt2)];
+      }
+      ++cnt2;
+    }
+    float s = 0;
+    int nsz = int(nn[size_t(cnt1)].size());
+    for (int k = 0; k < nsz; k++) s += nn[size_t(cnt1)][k];
+    es += s / float(nsz);
+    ++cnt1;
+  }
+  return es / float(cnt);
+}
+
+}  // namespace tsgeom
+
+// encoder vertex determination: per-edge voxel votes with the two
+// thresholds, accumulated over the unique-segment groups
+// (determineTrisoupVertices / processTrisoupVertices encoder half,
+// encoder :455-705).  Writes per-unique-segment presence and vertex
+// (-1 when absent) in coding order.  estimated_sampling < 0 disables
+// the improved determination (distance_search falls back to 1).
+extern "C" int tsgeom_enc_verts(
+  void* hh, int distance_search, int node_unique_dse,
+  float estimated_sampling, uint8_t* segind_out, int32_t* vert_out,
+  int32_t* dbg_dse) {
+  TsGeom& g = *static_cast<TsGeom*>(hh);
+  const int tmin = 1;
+  struct Votes {
+    int64_t count = 0, distanceSum = 0, count2 = 0, distanceSum2 = 0;
+  };
+  std::vector<Votes> votes(size_t(g.n) * 12);
+
+  for (int i = 0; i < g.n; i++) {
+    const V3& newp = g.nodePos[size_t(i)];
+    const V3& neww = g.nodeW[size_t(i)];
+    const int tmaxx = neww[0] - tmin - 1;
+    const int tmaxy = neww[1] - tmin - 1;
+    const int tmaxz = neww[2] - tmin - 1;
+
+    int localDse = -1;
+    if (node_unique_dse) {
+      // per-node decision tree (encoder :466-492)
+      float es = estimated_sampling;
+      if (estimated_sampling > 1.0f) {
+        es = estSampling1(g, i);
+        if (std::abs(estimated_sampling - es) > 0.5f) {
+          es = estSampling2(g, i);
+          if (std::abs(estimated_sampling - es) > 0.5f) {
+            if (g.leafEnd[size_t(i)] - g.leafStart[size_t(i)] > 1)
+              es = estSampling3(g, i);
+            else
+              es = estimated_sampling;
+            es = std::min(es, estimated_sampling + 1);
+          }
+        } else {
+          es = estimated_sampling;
+        }
+      }
+      es = std::min(es, float(g.blockWidth / 4));
+      localDse = (1 << std::max(0, g.bitDropped - 2)) - 1;
+      localDse += int(std::round(es + 0.1f));
+      localDse = std::max(1, std::min(8, localDse));
+    }
+    const int tmin2 = node_unique_dse ? localDse : distance_search;
+    if (dbg_dse) dbg_dse[i] = tmin2;
+    const int tmax2x = neww[0] - tmin2 - 1;
+    const int tmax2y = neww[1] - tmin2 - 1;
+    const int tmax2z = neww[2] - tmin2 - 1;
+
+    Votes* v = &votes[size_t(i) * 12];
+    for (int p = g.leafStart[size_t(i)]; p < g.leafEnd[size_t(i)]; p++) {
+      V3 vox = g.pts[size_t(p)] - newp;
+      // threshold 1 (encoder :495-545)
+      if (vox[1] < tmin && vox[2] < tmin) { v[0].count++; v[0].distanceSum += vox[0]; }
+      if (vox[0] < tmin && vox[2] < tmin) { v[1].count++; v[1].distanceSum += vox[1]; }
+      if (vox[1] > tmaxy && vox[2] < tmin) { v[2].count++; v[2].distanceSum += vox[0]; }
+      if (vox[0] > tmaxx && vox[2] < tmin) { v[3].count++; v[3].distanceSum += vox[1]; }
+      if (vox[0] < tmin && vox[1] < tmin) { v[4].count++; v[4].distanceSum += vox[2]; }
+      if (vox[0] < tmin && vox[1] > tmaxy) { v[5].count++; v[5].distanceSum += vox[2]; }
+      if (vox[0] > tmaxx && vox[1] > tmaxy) { v[6].count++; v[6].distanceSum += vox[2]; }
+      if (vox[0] > tmaxx && vox[1] < tmin) { v[7].count++; v[7].distanceSum += vox[2]; }
+      if (vox[1] < tmin && vox[2] > tmaxz) { v[8].count++; v[8].distanceSum += vox[0]; }
+      if (vox[0] < tmin && vox[2] > tmaxz) { v[9].count++; v[9].distanceSum += vox[1]; }
+      if (vox[1] > tmaxy && vox[2] > tmaxz) { v[10].count++; v[10].distanceSum += vox[0]; }
+      if (vox[0] > tmaxx && vox[2] > tmaxz) { v[11].count++; v[11].distanceSum += vox[1]; }
+      // threshold 2 (encoder :547-601)
+      if (vox[1] < tmin2 && vox[2] < tmin2) { v[0].count2++; v[0].distanceSum2 += vox[0]; }
+      if (vox[0] < tmin2 && vox[2] < tmin2) { v[1].count2++; v[1].distanceSum2 += vox[1]; }
+      if (vox[1] > tmax2y && vox[2] < tmin2) { v[2].count2++; v[2].distanceSum2 += vox[0]; }
+      if (vox[0] > tmax2x && vox[2] < tmin2) { v[3].count2++; v[3].distanceSum2 += vox[1]; }
+      if (vox[0] < tmin2 && vox[1] < tmin2) { v[4].count2++; v[4].distanceSum2 += vox[2]; }
+      if (vox[0] < tmin2 && vox[1] > tmax2y) { v[5].count2++; v[5].distanceSum2 += vox[2]; }
+      if (vox[0] > tmax2x && vox[1] > tmax2y) { v[6].count2++; v[6].distanceSum2 += vox[2]; }
+      if (vox[0] > tmax2x && vox[1] < tmin2) { v[7].count2++; v[7].distanceSum2 += vox[2]; }
+      if (vox[1] < tmin2 && vox[2] > tmax2z) { v[8].count2++; v[8].distanceSum2 += vox[0]; }
+      if (vox[0] < tmin2 && vox[2] > tmax2z) { v[9].count2++; v[9].distanceSum2 += vox[1]; }
+      if (vox[1] > tmax2y && vox[2] > tmax2z) { v[10].count2++; v[10].distanceSum2 += vox[0]; }
+      if (vox[0] > tmax2x && vox[2] > tmax2z) { v[11].count2++; v[11].distanceSum2 += vox[1]; }
+    }
+  }
+
+  // accumulate per unique segment and derive presence + position
+  // (encoder :670-705)
+  std::vector<Votes> acc(size_t(g.nseg));
+  for (size_t s = 0; s < votes.size(); s++) {
+    int uq = g.segPerNodeUniq[s];
+    acc[size_t(uq)].count += votes[s].count;
+    acc[size_t(uq)].distanceSum += votes[s].distanceSum;
+    acc[size_t(uq)].count2 += votes[s].count2;
+    acc[size_t(uq)].distanceSum2 += votes[s].distanceSum2;
+  }
+  for (int u = 0; u < g.nseg; u++) {
+    bool present = acc[size_t(u)].count > 0 || acc[size_t(u)].count2 > 1;
+    segind_out[u] = uint8_t(present);
+    if (present) {
+      int64_t temp = ((2 * acc[size_t(u)].distanceSum
+                       + acc[size_t(u)].distanceSum2)
+                      << (10 - g.bitDropped))
+        / (2 * acc[size_t(u)].count + acc[size_t(u)].count2);
+      vert_out[u] = int32_t((temp + (1 << (9 - g.bitDropped))) >> 10);
+    } else {
+      vert_out[u] = -1;
+    }
+  }
+  return g.nseg;
+}
+
+// encoder centroid drift estimation from the actual points
+// (determineTrisoupCentroids, encoder :800-927); call after
+// tsgeom_set_verts, fills driftq in eligible-row order
+extern "C" int tsgeom_enc_drifts(void* hh, int32_t* driftq_out) {
+  TsGeom& g = *static_cast<TsGeom*>(hh);
+  for (size_t r = 0; r < g.eligIdx.size(); r++) {
+    int i = g.eligIdx[r];
+    const V3& nodepos = g.nodePos[size_t(i)];
+    const V3& blockCentroid = g.gravityCenter[size_t(i)];
+    const V3& normalV = g.normV[size_t(i)];
+    const CentroidCtx& c = g.cctx[size_t(i)];
+    int counter = 0;
+    int driftQ = 0, drift = 0;
+    int bitDropped2 = g.bitDropped;
+    int maxD = std::max(3, bitDropped2);
+    for (int p = g.leafStart[size_t(i)]; p < g.leafEnd[size_t(i)]; p++) {
+      V3 point = (g.pts[size_t(p)] - nodepos) << kFpBits;
+      V3 cp32 = cross32(normalV, point - blockCentroid);
+      int64_t CP[3] = {cp32[0] >> kFpBits, cp32[1] >> kFpBits,
+                       cp32[2] >> kFpBits};
+      int64_t dist = tmc13ref_isqrt(
+        uint64_t(CP[0] * CP[0] + CP[1] * CP[1] + CP[2] * CP[2]));
+      dist >>= kFpBits;
+      if ((dist << 10) <= 1774 * maxD) {
+        int32_t w = (1 << 10) + 4 * int32_t(1774 * maxD - ((1 << 10) * dist));
+        counter += w >> 10;
+        drift += (w >> 10)
+          * int32_t(normalV.dot32(point - blockCentroid) >> kFpBits);
+      }
+    }
+    if (counter) drift = (drift >> (kFpBits - 6)) / counter;
+    int half = 1 << (5 + bitDropped2);
+    int DZ = 2 * half / 3;
+    if (std::abs(drift) >= DZ) {
+      driftQ = (std::abs(drift) - DZ + 2 * half + 2 * half / 3)
+        >> (6 + bitDropped2);
+      if (drift < 0) driftQ = -driftQ;
+    }
+    driftQ = std::min(std::max(driftQ, -c.lowBound), c.highBound);
+    driftq_out[r] = driftQ;
+  }
+  return int(g.eligIdx.size());
+}
+
+// encoder face decisions: judge candidates as the decoder does, then
+// connect when original points cluster near the tentative face vertex
+// (determineTrisoupFaceVertices, encoder :935-1046).  Must be called
+// after tsgeom_apply_drifts (which builds the candidate list); fills
+// the per-candidate connect flags and replays the fVert pushes.
+extern "C" int tsgeom_enc_faces(void* hh, int distance_search,
+                                uint8_t* connect_out) {
+  TsGeom& g = *static_cast<TsGeom*>(hh);
+  const int32_t tmin1 = 2 * 4;
+  const int32_t tmin2 = distance_search * 4;
+  for (size_t ci = 0; ci < g.cands.size(); ci++) {
+    const FaceCand& fc = g.cands[ci];
+    const V3& nodepos = g.nodePos[size_t(fc.i)];
+    const V3& nodew = g.nodeW[size_t(fc.i)];
+    int32_t weight1 = 0, weight2 = 0;
+    int st[2] = {g.leafStart[size_t(fc.i)], g.leafStart[size_t(fc.ii)]};
+    int ed[2] = {g.leafEnd[size_t(fc.i)], g.leafEnd[size_t(fc.ii)]};
+    V3 neiOfst[2][3] = {
+      {{{0, 0, 0}}, {{0, 0, 0}}, {{0, 0, 0}}},
+      {{{0, 0, nodew[2]}}, {{0, nodew[1], 0}}, {{nodew[0], 0, 0}}}};
+    const Vert* fv[2] = {&fc.fv0, &fc.fv1};
+    for (int nn = 0; nn < 2; nn++) {
+      for (int k = st[nn]; k < ed[nn]; k++) {
+        V3 dist = fv[nn]->pos
+          - ((g.pts[size_t(k)] - nodepos - neiOfst[nn][fc.nei]) << kFpBits);
+        int32_t mx = std::max(std::abs(dist[0]),
+                              std::max(std::abs(dist[1]),
+                                       std::abs(dist[2])));
+        int32_t d = (mx + kFpHalf) >> kFpBits;
+        if (d < tmin1) weight1++;
+        if (d < tmin2) weight2++;
+      }
+    }
+    bool conn = weight1 > 0 || weight2 > 1;
+    connect_out[ci] = uint8_t(conn);
+  }
+  // replay the pushes in candidate order
+  tsgeom_apply_faces(hh, connect_out);
+  return int(g.cands.size());
 }

@@ -621,3 +621,96 @@ def test_trisoup_coarse_nodes_bit_exact(tmp_path):
     roundtrip(tmp_path, "trisoup8", pos,
               ["--mergeDuplicatedPoints=1", "--trisoupNodeSizeLog2=3",
                "--planarEnabled=1"])
+
+
+def _geom_brick_and_aec(data):
+    """Return (brick payload, aec bytes, parsed gbh) of the first
+    geometry brick in a TLV stream."""
+    from mpeg_pcc_tmc13_tpu.conformance import ref_hls
+    sps = gps = None
+    for t, payload in ref_hls.iter_ref_tlv(data):
+        if t == ref_hls.T_SPS:
+            sps = ref_hls.parse_sps(payload)
+        elif t == ref_hls.T_GPS:
+            gps = ref_hls.parse_gps(payload)
+        elif t == ref_hls.T_GEOM_BRICK:
+            gbh = ref_hls.parse_gbh(sps, gps, payload)
+            return (payload,
+                    payload[gbh.header_bytes:
+                            len(payload) - gbh.footer_bytes], gbh)
+    raise AssertionError("no geometry brick")
+
+
+def test_trisoup_encode_byte_identical_to_tmc3(tmp_path):
+    """Trisoup encode direction: our conformance encoder's trisoup
+    brick (octree phase + vertex determination + centroid drifts +
+    face flags, encodeGeometryTrisoup geometry_trisoup_encoder.cpp:
+    100-246) is byte-identical to the tmc3 binary's."""
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    xx, yy = np.meshgrid(np.arange(128), np.arange(128))
+    zz = np.rint(40 + 30 * np.sin(xx / 17.0) * np.cos(yy / 23.0))
+    pos = np.stack([xx.ravel(), yy.ravel(), zz.ravel()],
+                   axis=1).astype(np.int64)
+    src = tmp_path / "tse.ply"
+    bit = tmp_path / "tse.bin"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", *BASE_OPTS,
+         "--mergeDuplicatedPoints=1", "--trisoupNodeSizeLog2=4",
+         "--planarEnabled=1"],
+        check=True, capture_output=True)
+    stream = refenc.encode_stream(pos, planar=True,
+                                  trisoup_node_size_log2=4)
+    rb, ra, rg = _geom_brick_and_aec(bit.read_bytes())
+    mb, ma, mg = _geom_brick_and_aec(stream)
+    assert (mg.num_unique_segments, mg.trisoup_sampling,
+            mg.num_points) == (rg.num_unique_segments,
+                               rg.trisoup_sampling, rg.num_points)
+    assert ma == ra
+    assert mb == rb
+
+    # the full stream must decode in the reference binary to the same
+    # cloud as its own
+    myb = tmp_path / "tse.mine.bin"
+    myb.write_bytes(stream)
+    d1 = tmp_path / "tse.d1.ply"
+    d2 = tmp_path / "tse.d2.ply"
+    for b, d in ((bit, d1), (myb, d2)):
+        subprocess.run(
+            [TMC3, "--mode=1", f"--compressedStreamPath={b}",
+             f"--reconstructedDataPath={d}", "--outputBinaryPly=0"],
+            check=True, capture_output=True)
+    assert d1.read_bytes() == d2.read_bytes()
+
+
+def test_trisoup_encode_coarse_byte_identical(tmp_path):
+    """Trisoup encode at node size 8 on a curved shell (sparser
+    leaves: exercises the estimated-sampling decision tree and the
+    face-vertex encoder judging)."""
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    rng = np.random.default_rng(11)
+    t = rng.uniform(0, np.pi, 30000)
+    p = rng.uniform(0, 2 * np.pi, 30000)
+    r = 100.0
+    pos = np.unique(np.rint(np.stack([
+        128 + r * np.sin(t) * np.cos(p),
+        128 + r * np.sin(t) * np.sin(p),
+        128 + r * np.cos(t)], axis=1)).astype(np.int64), axis=0)
+    src = tmp_path / "tsc.ply"
+    bit = tmp_path / "tsc.bin"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", *BASE_OPTS,
+         "--mergeDuplicatedPoints=1", "--trisoupNodeSizeLog2=3",
+         "--planarEnabled=1"],
+        check=True, capture_output=True)
+    stream = refenc.encode_stream(pos, planar=True,
+                                  trisoup_node_size_log2=3)
+    rb, ra, rg = _geom_brick_and_aec(bit.read_bytes())
+    mb, ma, mg = _geom_brick_and_aec(stream)
+    assert ma == ra
+    assert mb == rb
