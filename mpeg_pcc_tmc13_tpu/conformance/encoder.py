@@ -529,7 +529,8 @@ def encode_attr_brick_native(sps, aps, positions_stv: np.ndarray,
 
 def encode_frames(frames, unique_points: bool = True,
                   planar: bool = True, qtbt: bool = True,
-                  max_points_per_slice: int = 1_100_000) -> bytes:
+                  max_points_per_slice: int = 1_100_000,
+                  trisoup_node_size_log2: int = 0) -> bytes:
     """Encode a sequence of XYZ integer clouds into one reference-
     syntax TLV stream (SPS + GPS once, then per-slice geometry
     bricks).  Clouds above the slice level limit (reference
@@ -538,10 +539,17 @@ def encode_frames(frames, unique_points: bool = True,
     from ..utils import morton as morton_mod
 
     frame_ctr_bits = max((len(frames) - 1).bit_length(), 1)
+    # sequence bounding box: auto-derived from the first frame and
+    # recorded in the SPS; slice origins are coded relative to it
+    # (encoder.cpp:118-156, autoSeqBbox, global scale 1)
+    seq_origin = (np.asarray(frames[0], dtype=np.int64).min(axis=0)
+                  if len(frames) and np.asarray(frames[0]).size
+                  else np.zeros(3, dtype=np.int64))
     sps = ref_hls.RefSps(
         main_profile_compat=0, level=0, sps_id=0,
         frame_ctr_bits=frame_ctr_bits, slice_tag_bits=0,
-        geometry_axis_order=1)
+        geometry_axis_order=1,
+        bbox_origin=tuple(int(v) for v in seq_origin))
     gps = ref_hls.RefGps(
         gps_id=0, sps_id=0, geom_box_log2_scale_present=True,
         qtbt_enabled=qtbt, unique_points=unique_points,
@@ -553,12 +561,20 @@ def encode_frames(frames, unique_points: bool = True,
         planar_threshold2=113,
         depth_planar_eligibility=planar,
         planar_dynamic_obuf_eligibility=planar,
-        multiple_planar=planar)
+        multiple_planar=planar,
+        trisoup_enabled=bool(trisoup_node_size_log2),
+        non_cubic_node_start_edge=bool(trisoup_node_size_log2),
+        non_cubic_node_end_edge=bool(trisoup_node_size_log2))
+    ts_log2 = trisoup_node_size_log2
     out = [ref_hls.write_ref_tlv(ref_hls.T_SPS, ref_hls.write_sps(sps)),
            ref_hls.write_ref_tlv(ref_hls.T_GPS, ref_hls.write_gps(gps))]
     slice_id = 0
     for ctr, cloud in enumerate(frames):
-        pos = np.asarray(cloud, dtype=np.int64)
+        pos = np.asarray(cloud, dtype=np.int64) - seq_origin
+        if pos.size and pos.min() < 0:
+            # later frames may undershoot the first frame's bbox; the
+            # coded coordinate system must stay non-negative
+            pos = pos - pos.min(axis=0).clip(max=0)
         if unique_points:
             pos = np.unique(pos, axis=0)
         order = np.argsort(morton_mod.encode(pos))
@@ -572,19 +588,34 @@ def encode_frames(frames, unique_points: bool = True,
             origin = part.min(axis=0)
             local = part - origin
             whd = local.max(axis=0) + 1
-            root = [_ceillog2(max(2, int(v))) for v in whd]
+            root = [max(_ceillog2(max(2, int(v))), ts_log2)
+                    for v in whd]
             if not qtbt:
                 root = [max(root)] * 3
-            axes = np.asarray(qtbt_axis_list(root, qtbt),
-                              dtype=np.int32)
-            aec = _encode_brick_native(local, axes, gps)
+            if ts_log2:
+                # trisoup: qtbt-first schedule truncated at the
+                # trisoup node size (geometry_octree.cpp:114-118,
+                # geometry_octree_encoder.cpp:1984-1994)
+                axes = np.asarray(qtbt_axis_list(
+                    root, qtbt,
+                    max_num_qtbt_before_ot=max(root) - min(root),
+                    min_qtbt_size_log2=0, stop_log2=ts_log2),
+                    dtype=np.int32)
+                aec, tfields, recon = _encode_trisoup_brick_native(
+                    local, axes, gps, ts_log2,
+                    slice_max_points=max_points_per_slice)
+                extra = dict(num_points=int(recon.shape[0]), **tfields)
+            else:
+                axes = np.asarray(qtbt_axis_list(root, qtbt),
+                                  dtype=np.int32)
+                aec = _encode_brick_native(local, axes, gps)
+                extra = dict(num_points=int(part.shape[0]))
             gbh = ref_hls.RefGbh(
                 gps_id=0, slice_id=slice_id, slice_tag=0,
                 frame_ctr_lsb=ctr & ((1 << frame_ctr_bits) - 1),
                 geom_box_log2_scale=0,
                 box_origin_stv=tuple(int(v) for v in origin),
-                tree_lvl_coded_axis_list=list(axes),
-                num_points=int(part.shape[0]))
+                tree_lvl_coded_axis_list=list(axes), **extra)
             out.append(ref_hls.write_ref_tlv(
                 ref_hls.T_GEOM_BRICK,
                 ref_hls.write_gbh(sps, gps, gbh, aec)))

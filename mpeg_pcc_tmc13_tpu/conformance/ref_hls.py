@@ -615,7 +615,12 @@ def write_sps(s: RefSps) -> bytes:
     w.un(3, s.geometry_axis_order)
     w.u1(s.cabac_bypass_stream_enabled)
     w.u1(s.entropy_continuation_enabled)
-    w.u1(0)                      # sps_extension_flag
+    # tmc3 always writes the extension block (io_hls.cpp:461-468)
+    w.u1(1)                      # sps_extension_flag
+    w.u1(s.inter_frame_prediction_enabled)
+    if s.inter_frame_prediction_enabled:
+        w.u1(s.inter_entropy_continuation_enabled)
+    w.u1(s.bypass_bin_coding_without_prob_update)
     return w.get_bytes()
 
 

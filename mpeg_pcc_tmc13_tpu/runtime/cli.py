@@ -502,7 +502,12 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
         print(f"frame {cfg.first_frame + i}: {pos.shape[0]} points")
     stream = refenc.encode_frames(
         frames, unique_points=p.merge_duplicated_points,
-        planar=p.planar_enabled, qtbt=cfg.qtbt_enabled)
+        planar=p.planar_enabled, qtbt=cfg.qtbt_enabled,
+        max_points_per_slice=(cfg.slice_max_trisoup
+                              if cfg.slice_max_trisoup
+                              and p.trisoup_node_size_log2
+                              else 1_100_000),
+        trisoup_node_size_log2=p.trisoup_node_size_log2)
     # record the coding scale in the SPS-equivalent position: our
     # decoder descales by sps.seq_scale (tmc3 treats it as seq unit)
     if p.geom_scale_num != 1 or p.geom_scale_den != 1:
