@@ -530,13 +530,28 @@ def encode_attr_brick_native(sps, aps, positions_stv: np.ndarray,
 def encode_frames(frames, unique_points: bool = True,
                   planar: bool = True, qtbt: bool = True,
                   max_points_per_slice: int = 1_100_000,
-                  trisoup_node_size_log2: int = 0) -> bytes:
+                  trisoup_node_size_log2: int = 0,
+                  colors=None, reflectances=None,
+                  attr_qp: int = 34, attr_qp_chroma_offset: int = 0,
+                  attr_bitdepth: int = 8,
+                  integer_haar: bool = False,
+                  attr_cicp_matrix: int = 1) -> bytes:
     """Encode a sequence of XYZ integer clouds into one reference-
     syntax TLV stream (SPS + GPS once, then per-slice geometry
     bricks).  Clouds above the slice level limit (reference
     encoder.cpp:1023, 1.1M points) are split along the Morton order
-    with per-slice origins."""
+    with per-slice origins.
+
+    ``colors``/``reflectances`` are optional per-frame lists of values
+    already in the internal coding representation (GBR order, or
+    YCbCr when the caller converted): each geometry brick is followed
+    by a RAHT attribute brick.  When geometry is lossy (trisoup), the
+    source attributes are recoloured onto the reconstruction first
+    (reference transferAttributes, pointset_processing.cpp:267+)."""
     from ..utils import morton as morton_mod
+
+    attr_frames = colors if colors is not None else reflectances
+    have_attrs = attr_frames is not None
 
     frame_ctr_bits = max((len(frames) - 1).bit_length(), 1)
     # sequence bounding box: auto-derived from the first frame and
@@ -550,6 +565,31 @@ def encode_frames(frames, unique_points: bool = True,
         frame_ctr_bits=frame_ctr_bits, slice_tag_bits=0,
         geometry_axis_order=1,
         bbox_origin=tuple(int(v) for v in seq_origin))
+    aps = None
+    if have_attrs:
+        dims = 3 if colors is not None else 1
+        sps.num_attrs = 1
+        sps.attr_dims = [dims]
+        sps.attr_bitdepths = [attr_bitdepth]
+        # KnownAttributeLabel (hls.h): 0 = colour, 1 = reflectance
+        sps.attr_labels = [0 if colors is not None else 1]
+        # colours always carry a cicp parameter block
+        # (TMC3.cpp:1834-1837); reflectance never does
+        sps.attr_cicp_matrix = [attr_cicp_matrix
+                                if colors is not None else None]
+        # tmc3 APS defaults (TMC3.cpp:1290-1319; search range
+        # sanitised to the level limit, encoder.cpp:808)
+        aps = ref_hls.RefAps(
+            aps_id=0, sps_id=0, attr_encoding=ref_hls.ATTR_RAHT,
+            init_qp_minus4=attr_qp - 4,
+            chroma_qp_offset=attr_qp_chroma_offset,
+            raht_prediction_enabled=True,
+            raht_prediction_threshold0=2,
+            raht_prediction_threshold1=6,
+            integer_haar=integer_haar, raht_extension=True,
+            raht_subnode_prediction=True,
+            raht_prediction_weights=[9, 3, 1, 5, 2],
+            raht_prediction_search_range=1100000)
     gps = ref_hls.RefGps(
         gps_id=0, sps_id=0, geom_box_log2_scale_present=True,
         qtbt_enabled=qtbt, unique_points=unique_points,
@@ -568,6 +608,9 @@ def encode_frames(frames, unique_points: bool = True,
     ts_log2 = trisoup_node_size_log2
     out = [ref_hls.write_ref_tlv(ref_hls.T_SPS, ref_hls.write_sps(sps)),
            ref_hls.write_ref_tlv(ref_hls.T_GPS, ref_hls.write_gps(gps))]
+    if aps is not None:
+        out.append(ref_hls.write_ref_tlv(ref_hls.T_APS,
+                                         ref_hls.write_aps(aps)))
     slice_id = 0
     for ctr, cloud in enumerate(frames):
         pos = np.asarray(cloud, dtype=np.int64) - seq_origin
@@ -575,14 +618,28 @@ def encode_frames(frames, unique_points: bool = True,
             # later frames may undershoot the first frame's bbox; the
             # coded coordinate system must stay non-negative
             pos = pos - pos.min(axis=0).clip(max=0)
+        av = (np.asarray(attr_frames[ctr]) if have_attrs else None)
+        if av is not None and av.ndim == 1:
+            av = av[:, None]
         if unique_points:
-            pos = np.unique(pos, axis=0)
+            if av is not None:
+                codes_in = ((pos[:, 0] << 42) | (pos[:, 1] << 21)
+                            | pos[:, 2])
+                _, first = np.unique(codes_in, return_index=True)
+                first.sort()
+                pos, av = pos[first], av[first]
+            else:
+                pos = np.unique(pos, axis=0)
         order = np.argsort(morton_mod.encode(pos))
         pos = pos[order]
+        if av is not None:
+            av = av[order]
         n_slices = -(-pos.shape[0] // max_points_per_slice)
         per = -(-pos.shape[0] // max(n_slices, 1))
         for s in range(max(n_slices, 1)):
             part = pos[s * per:(s + 1) * per]
+            apart = (av[s * per:(s + 1) * per]
+                     if av is not None else None)
             if part.shape[0] == 0:
                 continue
             origin = part.min(axis=0)
@@ -616,8 +673,49 @@ def encode_frames(frames, unique_points: bool = True,
                 geom_box_log2_scale=0,
                 box_origin_stv=tuple(int(v) for v in origin),
                 tree_lvl_coded_axis_list=list(axes), **extra)
-            out.append(ref_hls.write_ref_tlv(
-                ref_hls.T_GEOM_BRICK,
-                ref_hls.write_gbh(sps, gps, gbh, aec)))
+            brick = ref_hls.write_gbh(sps, gps, gbh, aec)
+            out.append(ref_hls.write_ref_tlv(ref_hls.T_GEOM_BRICK,
+                                             brick))
+            if apart is not None:
+                # attributes follow their geometry slice, coded at
+                # the DECODED positions in decode order
+                # (decoder.cpp:921-922)
+                from . import decoder as refdec
+                gbh_p = ref_hls.parse_gbh(sps, gps, brick)
+                dec_pos = refdec.decode_geometry_brick(
+                    sps, gps, gbh_p, brick)
+                if ts_log2:
+                    # lossy geometry: recolour source attrs onto the
+                    # reconstruction (transferAttributes)
+                    from ..models.pointcloud import PointCloud
+                    from ..ops import recolour as rc
+                    dt = (np.uint8 if attr_bitdepth <= 8
+                          else np.uint16)
+                    src_cloud = PointCloud(
+                        positions=local.astype(np.int64),
+                        colors=(apart.astype(dt)
+                                if apart.shape[1] == 3 else None),
+                        reflectances=(apart[:, 0].astype(dt)
+                                      if apart.shape[1] == 1
+                                      else None))
+                    tgt = rc.recolour(src_cloud,
+                                      dec_pos.astype(np.int64))
+                    aslice = (tgt.colors if apart.shape[1] == 3
+                              else tgt.reflectances[:, None])
+                    aslice = np.asarray(aslice, dtype=np.int32)
+                else:
+                    k_dec = ((dec_pos[:, 0].astype(np.int64) << 42)
+                             | (dec_pos[:, 1].astype(np.int64) << 21)
+                             | dec_pos[:, 2].astype(np.int64))
+                    k_src = ((local[:, 0] << 42) | (local[:, 1] << 21)
+                             | local[:, 2])
+                    os_ = np.argsort(k_src)
+                    src_row = os_[np.searchsorted(k_src[os_], k_dec)]
+                    aslice = apart[src_row].astype(np.int32)
+                attr_aec, _ = encode_attr_brick_native(
+                    sps, aps, dec_pos, aslice)
+                out.append(ref_hls.write_ref_tlv(
+                    ref_hls.T_ATTR_BRICK,
+                    ref_hls.write_abh(aps, 0, slice_id, attr_aec)))
             slice_id += 1
     return b"".join(out)

@@ -610,8 +610,28 @@ def write_sps(s: RefSps) -> bytes:
         w.ue(s.attr_bitdepths[i] - 1)
         w.u1(1)                  # known attribute label
         w.ue(s.attr_labels[i])
-        w.ue(0)                  # num_attribute_parameters
-        w.byte_align()
+        cicp = (s.attr_cicp_matrix[i]
+                if i < len(s.attr_cicp_matrix) else None)
+        if cicp is not None:
+            # one kCicp parameter block (writeAttributeParameters +
+            # writeAttrParamCicp, io_hls.cpp:304-331,160-170):
+            # primaries=2, transfer=2, matrix, full_range=1
+            w.ue(1)              # num_attribute_parameters
+            w.byte_align()
+            pw = RefBitWriter()
+            pw.ue(2)
+            pw.ue(2)
+            pw.ue(cicp)
+            pw.u1(1)
+            pw.byte_align()
+            body = pw.get_bytes()
+            w.un(8, 2)           # AttributeParameterType::kCicp
+            w.un(8, len(body))
+            for bb in body:
+                w.un(8, bb)
+        else:
+            w.ue(0)              # num_attribute_parameters
+            w.byte_align()
     w.un(3, s.geometry_axis_order)
     w.u1(s.cabac_bypass_stream_enabled)
     w.u1(s.entropy_continuation_enabled)

@@ -112,16 +112,21 @@ def ycgcor_to_rgb(ycc: np.ndarray, bitdepth: int = 8) -> np.ndarray:
 def rgb_to_ycbcr_bt709(rgb: np.ndarray, bitdepth: int = 8) -> np.ndarray:
     """RGB -> YCbCr BT.709 fixed-point (reference colourspace.h:47,
     transformGbrToYCbCrBt709: 16-bit coefficients, offset + clamp)."""
-    r = rgb[..., 0].astype(np.int64)
-    g = rgb[..., 1].astype(np.int64)
-    b = rgb[..., 2].astype(np.int64)
-    off = 1 << (bitdepth - 1)
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    off = float(1 << (bitdepth - 1))
     hi = (1 << bitdepth) - 1
-    # Q16 of the reference's doubles (colourspace.h:53-58) with
-    # round-half-up: +32768 before the shift mirrors std::round
-    y = (13933 * r + 46871 * g + 4732 * b + 32768) >> 16
-    cb = off + ((-7509 * r - 25259 * g + 32768 * b + 32768) >> 16)
-    cr = off + ((32768 * r - 29763 * g - 3005 * b + 32768) >> 16)
+
+    # exact mirror of the reference's double arithmetic: the offset
+    # sits INSIDE std::round (half away from zero), which differs
+    # from fixed-point offset-after-round on .5 boundary sums
+    def c_round(x):
+        return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+    y = c_round(0.212600 * r + 0.715200 * g + 0.072200 * b)
+    cb = c_round(-0.114572 * r - 0.385428 * g + 0.5 * b + off)
+    cr = c_round(0.5 * r - 0.454153 * g - 0.045847 * b + off)
     out = np.stack([y, cb, cr], axis=-1)
     return np.clip(out, 0, hi).astype(rgb.dtype)
 

@@ -484,14 +484,24 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
     from ..conformance import encoder as refenc
     from ..conformance import ref_hls
     from ..utils.timing import Stopwatch
+    from ..ops import processing
     p = cfg.params
+    # attribute coding: first configured color/reflectance attribute
+    # rides the conformance RAHT engine (native/refattr.cc)
+    attr_cfg = next(
+        (a for a in p.attributes
+         if a.encoding == hls.AttributeEncoding.RAHT), None)
     sw = Stopwatch().start()
     frames = []
+    colors = [] if (attr_cfg and attr_cfg.label == "color") else None
+    refls = ([] if (attr_cfg and attr_cfg.label != "color"
+                    and colors is None) else None)
     npts = 0
     for i in range(cfg.frame_count):
         sw.stop()   # ply read outside the clock (TMC3.cpp:2231)
         path = ply.expand_num(cfg.uncompressed_path, cfg.first_frame + i)
-        pos = np.round(ply.read(path).positions).astype(np.int64)
+        cloud = ply.read(path)
+        pos = np.round(cloud.positions).astype(np.int64)
         sw.start()
         npts += pos.shape[0]
         if p.geom_scale_num != 1 or p.geom_scale_den != 1:
@@ -499,6 +509,19 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
                            + 0.5).astype(np.int64)
         pos -= pos.min(axis=0).clip(max=0)     # keep non-negative
         frames.append(pos)
+        if colors is not None:
+            rgb = np.asarray(cloud.colors, dtype=np.int64)
+            if cfg.convert_colourspace and attr_cfg.cicp_matrix == 8:
+                colors.append(processing.rgb_to_ycgcor(rgb))
+            elif cfg.convert_colourspace and attr_cfg.cicp_matrix:
+                # BT.709 is the tmc3 default matrix (TMC3.cpp:1270)
+                colors.append(processing.rgb_to_ycbcr_bt709(rgb))
+            else:
+                # internal coding order is GBR (PCCPointSet3)
+                colors.append(rgb[:, [1, 2, 0]])
+        elif refls is not None:
+            refls.append(np.asarray(cloud.reflectances,
+                                    dtype=np.int64))
         print(f"frame {cfg.first_frame + i}: {pos.shape[0]} points")
     stream = refenc.encode_frames(
         frames, unique_points=p.merge_duplicated_points,
@@ -507,7 +530,16 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
                               if cfg.slice_max_trisoup
                               and p.trisoup_node_size_log2
                               else 1_100_000),
-        trisoup_node_size_log2=p.trisoup_node_size_log2)
+        trisoup_node_size_log2=p.trisoup_node_size_log2,
+        colors=colors, reflectances=refls,
+        attr_qp=attr_cfg.qp if attr_cfg else 34,
+        attr_qp_chroma_offset=(attr_cfg.qp_chroma_offset
+                               if attr_cfg else 0),
+        attr_bitdepth=attr_cfg.bitdepth if attr_cfg else 8,
+        integer_haar=(attr_cfg.raht_integer_haar
+                      if attr_cfg else False),
+        attr_cicp_matrix=(attr_cfg.cicp_matrix
+                          if attr_cfg else 1))
     # record the coding scale in the SPS-equivalent position: our
     # decoder descales by sps.seq_scale (tmc3 treats it as seq unit)
     if p.geom_scale_num != 1 or p.geom_scale_den != 1:
@@ -526,9 +558,15 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
     sw.stop()
     geom_b = sum(len(pl) for t, pl in ref_hls.iter_ref_tlv(stream)
                  if t == ref_hls.T_GEOM_BRICK)
+    attr_b = sum(len(pl) for t, pl in ref_hls.iter_ref_tlv(stream)
+                 if t == ref_hls.T_ATTR_BRICK)
     n = max(npts, 1)
     print(f"positions bitstream size {geom_b} B "
           f"({8 * geom_b / n:.3f} bpp)")
+    if attr_b:
+        label = ("colors" if colors is not None else "reflectances")
+        print(f"{label} bitstream size {attr_b} B "
+              f"({8 * attr_b / n:.3f} bpp)")
     print(f"Total bitstream size {len(stream)} B")
     print(f"Processing time (user): {sw.user:.3f} s")
     print(f"Processing time (wall): {sw.wall:.3f} s")
@@ -536,30 +574,54 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
 
 
 def decode_sequence_ref_syntax(cfg: Config) -> int:
-    """Decode a reference-syntax (tmc3) stream (geometry only)."""
+    """Decode a reference-syntax (tmc3) stream (geometry + RAHT
+    attributes)."""
     from ..conformance import decoder as refdec
     from ..conformance import ref_hls
+    from ..ops import processing
     from ..utils.timing import Stopwatch
     sw = Stopwatch().start()
     data = open(cfg.compressed_path, "rb").read()
-    frames = refdec.decode_stream(data)
-    # descale by the signalled sequence scale
+    frames, attrs = refdec.decode_stream(data, want_attrs=True)
+    # descale by the signalled sequence scale; colour handling needs
+    # the attribute label (colour vs reflectance)
     scale = (1.0, 1.0)
+    attr_labels = []
+    cicp = None
     for t, payload in ref_hls.iter_ref_tlv(data):
         if t == ref_hls.T_SPS:
             sps = ref_hls.parse_sps(payload)
             scale = (float(sps.seq_scale_num),
                      float(sps.seq_scale_den))
+            attr_labels = list(sps.attr_labels or [])
+            if sps.attr_cicp_matrix:
+                cicp = sps.attr_cicp_matrix[0]
             break
+    is_colour = bool(attr_labels) and attr_labels[0] == 0
     for i, pos in enumerate(frames):
         out = pos.astype(np.float64)
         if scale != (1.0, 1.0):
             out = out * (scale[1] / scale[0])
+        col = refl = None
+        a = attrs[i] if attrs and i < len(attrs) else None
+        if a is not None and is_colour:
+            if cfg.convert_colourspace and cicp == 8:
+                col = processing.ycgcor_to_rgb(a.astype(np.int64))
+            elif cfg.convert_colourspace and cicp:
+                col = processing.ycbcr_bt709_to_rgb(
+                    a.astype(np.int64), bitdepth=8)
+            else:
+                # internal GBR -> ply RGB
+                col = np.asarray(a)[:, [2, 0, 1]]
+            col = np.asarray(col, dtype=np.uint8)
+        elif a is not None:
+            refl = np.asarray(a[:, 0], dtype=np.uint16)
         sw.stop()   # ply write outside the clock (TMC3.cpp:2437)
         if cfg.reconstructed_path:
             path = ply.expand_num(cfg.reconstructed_path,
                                   cfg.first_frame + i)
-            ply.write(ply.PlyCloud(positions=out), path,
+            ply.write(ply.PlyCloud(positions=out, colors=col,
+                                   reflectances=refl), path,
                       ascii=not cfg.output_binary_ply)
         sw.start()
         print(f"frame {cfg.first_frame + i}: {pos.shape[0]} points")

@@ -422,11 +422,10 @@ def main():
             if rate not in cond["rates"]:
                 continue
             for codec in args.codecs.split(","):
-                # the conformance (refSyntax) engine covers octree
-                # geometry only; the obuf engine now also serves the
-                # trisoup node octree (embedded dirac sub-stream)
-                if (codec == "ours-ref"
-                        and ("trisoup" in name or "predgeom" in name)):
+                # the conformance (refSyntax) engine covers octree and
+                # trisoup geometry (byte-identical emission); predgeom
+                # bricks remain native-syntax only
+                if codec == "ours-ref" and "predgeom" in name:
                     continue
                 if codec == "ours-obuf" and "predgeom" in name:
                     continue

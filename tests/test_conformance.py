@@ -714,3 +714,103 @@ def test_trisoup_encode_coarse_byte_identical(tmp_path):
     mb, ma, mg = _geom_brick_and_aec(stream)
     assert ma == ra
     assert mb == rb
+
+
+def test_cli_refsyntax_color_full_stream_byte_identical(tmp_path):
+    """CLI surface: an octree + RAHT-colour stream under --refSyntax=1
+    is byte-for-byte identical to the tmc3 binary's output — SPS with
+    the cicp attribute parameter block (io_hls.cpp:304-331), APS,
+    geometry brick, attribute brick, and the BT.709 forward conversion
+    with the offset inside std::round (colourspace.h:48-60)."""
+    import sys
+    xx, yy = np.meshgrid(np.arange(96), np.arange(96))
+    zz = np.rint(30 + 20 * np.sin(xx / 11.0) * np.cos(yy / 13.0))
+    pos = np.stack([xx.ravel(), yy.ravel(), zz.ravel()],
+                   axis=1).astype(np.int64)
+    col = ((pos * np.array([2, 1, 3])) % 256).astype(np.uint8)
+    src = tmp_path / "cfa.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64),
+                           colors=col), str(src), ascii=True)
+    ref_bit = tmp_path / "cfa.ref.bin"
+    my_bit = tmp_path / "cfa.mine.bin"
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={ref_bit}",
+         "--positionQuantizationScale=1",
+         "--neighbourAvailBoundaryLog2=8",
+         "--inferredDirectCodingMode=0",
+         "--bypassBinCodingWithoutProbUpdate=0",
+         "--planarEnabled=1", "--mergeDuplicatedPoints=1",
+         "--transformType=0", "--qp=34", "--attribute=color"],
+        check=True, capture_output=True)
+    subprocess.run(
+        [sys.executable, "-m", "mpeg_pcc_tmc13_tpu.runtime.cli",
+         "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={my_bit}", "--refSyntax=1",
+         "--planarEnabled=1", "--mergeDuplicatedPoints=1",
+         "--transformType=0", "--qp=34", "--attribute=color"],
+        check=True, capture_output=True)
+    assert my_bit.read_bytes() == ref_bit.read_bytes()
+
+
+def test_cli_refsyntax_trisoup_color_tmc3_decodes(tmp_path):
+    """Trisoup + recoloured RAHT colours through the CLI: the
+    geometry brick is byte-identical to tmc3's; the attribute brick
+    (coded on the recoloured reconstruction, transferAttributes
+    pointset_processing.cpp:251+) decodes in the tmc3 binary to the
+    same cloud as our own decoder."""
+    import sys
+    xx, yy = np.meshgrid(np.arange(96), np.arange(96))
+    zz = np.rint(30 + 20 * np.sin(xx / 11.0) * np.cos(yy / 13.0))
+    pos = np.stack([xx.ravel(), yy.ravel(), zz.ravel()],
+                   axis=1).astype(np.int64)
+    col = ((pos * np.array([3, 2, 1])) % 256).astype(np.uint8)
+    src = tmp_path / "cft.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64),
+                           colors=col), str(src), ascii=True)
+    ref_bit = tmp_path / "cft.ref.bin"
+    my_bit = tmp_path / "cft.mine.bin"
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={ref_bit}",
+         "--positionQuantizationScale=1",
+         "--neighbourAvailBoundaryLog2=8",
+         "--inferredDirectCodingMode=0",
+         "--bypassBinCodingWithoutProbUpdate=0",
+         "--planarEnabled=1", "--mergeDuplicatedPoints=1",
+         "--trisoupNodeSizeLog2=4",
+         "--transformType=0", "--qp=34", "--attribute=color"],
+        check=True, capture_output=True)
+    subprocess.run(
+        [sys.executable, "-m", "mpeg_pcc_tmc13_tpu.runtime.cli",
+         "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={my_bit}", "--refSyntax=1",
+         "--planarEnabled=1", "--mergeDuplicatedPoints=1",
+         "--trisoupNodeSizeLog2=4",
+         "--transformType=0", "--qp=34", "--attribute=color"],
+        check=True, capture_output=True)
+    from mpeg_pcc_tmc13_tpu.conformance import ref_hls
+    gref = [p for t, p in ref_hls.iter_ref_tlv(ref_bit.read_bytes())
+            if t == ref_hls.T_GEOM_BRICK]
+    gmine = [p for t, p in ref_hls.iter_ref_tlv(my_bit.read_bytes())
+             if t == ref_hls.T_GEOM_BRICK]
+    assert gref == gmine
+    # tmc3 and our decoder agree on our stream (cross-decoder check)
+    d_tmc3 = tmp_path / "cft.tmc3dec.ply"
+    d_ours = tmp_path / "cft.oursdec.ply"
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={my_bit}",
+         f"--reconstructedDataPath={d_tmc3}", "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    subprocess.run(
+        [sys.executable, "-m", "mpeg_pcc_tmc13_tpu.runtime.cli",
+         "--mode=1", "--refSyntax=1",
+         f"--compressedStreamPath={my_bit}",
+         f"--reconstructedDataPath={d_ours}", "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    ra = ply.read(str(d_tmc3))
+    rb = ply.read(str(d_ours))
+    np.testing.assert_array_equal(
+        np.round(ra.positions).astype(np.int64),
+        np.round(rb.positions).astype(np.int64))
+    np.testing.assert_array_equal(ra.colors, rb.colors)
