@@ -512,7 +512,13 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
         if colors is not None:
             rgb = np.asarray(cloud.colors, dtype=np.int64)
             if cfg.convert_colourspace and attr_cfg.cicp_matrix == 8:
-                colors.append(processing.rgb_to_ycgcor(rgb))
+                # YCgCo-R chroma is offset by 1<<bitdepth and coded
+                # one bit wider (colourspace.h:84-99, TMC3.cpp:1846)
+                ycc = processing.rgb_to_ycgcor(rgb)
+                off = 1 << attr_cfg.bitdepth
+                ycc[..., 1] += off
+                ycc[..., 2] += off
+                colors.append(ycc)
             elif cfg.convert_colourspace and attr_cfg.cicp_matrix:
                 # BT.709 is the tmc3 default matrix (TMC3.cpp:1270)
                 colors.append(processing.rgb_to_ycbcr_bt709(rgb))
@@ -535,7 +541,11 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
         attr_qp=attr_cfg.qp if attr_cfg else 34,
         attr_qp_chroma_offset=(attr_cfg.qp_chroma_offset
                                if attr_cfg else 0),
-        attr_bitdepth=attr_cfg.bitdepth if attr_cfg else 8,
+        attr_bitdepth=((attr_cfg.bitdepth + 1)
+                       if (attr_cfg and colors is not None
+                           and cfg.convert_colourspace
+                           and attr_cfg.cicp_matrix == 8)
+                       else attr_cfg.bitdepth if attr_cfg else 8),
         integer_haar=(attr_cfg.raht_integer_haar
                       if attr_cfg else False),
         attr_cicp_matrix=(attr_cfg.cicp_matrix
@@ -606,7 +616,14 @@ def decode_sequence_ref_syntax(cfg: Config) -> int:
         a = attrs[i] if attrs and i < len(attrs) else None
         if a is not None and is_colour:
             if cfg.convert_colourspace and cicp == 8:
-                col = processing.ycgcor_to_rgb(a.astype(np.int64))
+                # signalled bitdepth is chroma width (bitdepth+1);
+                # the offset is 1 << (true bitdepth)
+                bd = (sps.attr_bitdepths[0] - 1
+                      if sps.attr_bitdepths else 8)
+                ycc = a.astype(np.int64)
+                ycc[..., 1] -= 1 << bd
+                ycc[..., 2] -= 1 << bd
+                col = processing.ycgcor_to_rgb(ycc, bitdepth=bd)
             elif cfg.convert_colourspace and cicp:
                 col = processing.ycbcr_bt709_to_rgb(
                     a.astype(np.int64), bitdepth=8)
