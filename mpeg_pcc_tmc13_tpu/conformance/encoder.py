@@ -65,7 +65,8 @@ def _encode_trisoup_brick_native(stv: np.ndarray, axes: np.ndarray,
                                  adaptive_halo: bool = True,
                                  fine_ray: bool = True,
                                  face_vertex: bool = True,
-                                 centroid_residual: bool = True):
+                                 centroid_residual: bool = True,
+                                 bypass_no_update: bool = True):
     """Encode one trisoup geometry brick, byte-identical to the
     reference encoder (encodeGeometryTrisoup,
     /root/reference/tmc3/geometry_trisoup_encoder.cpp:100-246): octree
@@ -127,7 +128,7 @@ def _encode_trisoup_brick_native(stv: np.ndarray, axes: np.ndarray,
 
     pos32 = np.ascontiguousarray(stv, dtype=np.int32)
     npts = int(pos32.shape[0])
-    gp = geom_params_array(gps)
+    gp = geom_params_array(gps, bypass_no_update)
     cap = npts + 16
     out_leaves = np.empty((cap, 5), dtype=np.int32)
     out_order = np.empty(npts, dtype=np.int32)
@@ -310,7 +311,8 @@ def encode_stream(positions: np.ndarray,
                   attr_qp: int = 34,
                   attr_bitdepth: int = 8,
                   integer_haar: bool = False,
-                  trisoup_node_size_log2: int = 0) -> bytes:
+                  trisoup_node_size_log2: int = 0,
+                  bypass_no_update: bool = True) -> bytes:
     """Encode one frame of non-negative integer XYZ positions into a
     complete reference-syntax TLV stream (SPS + GPS + geometry brick,
     plus APS + RAHT attribute brick when colors/reflectances given).
@@ -368,6 +370,9 @@ def encode_stream(positions: np.ndarray,
         frame_ctr_bits=frame_ctr_bits, slice_tag_bits=0,
         geometry_axis_order=axis_order,
         bbox_origin=tuple(int(v) for v in seq_origin))
+    # tmc3 default codes bypass bins without probability update
+    # (TMC3.cpp:824-827)
+    sps.bypass_bin_coding_without_prob_update = bypass_no_update
     if attr_vals is not None:
         dims = 3 if colors is not None else 1
         sps.num_attrs = 1
@@ -407,14 +412,15 @@ def encode_stream(positions: np.ndarray,
         if attr_vals is not None:
             raise NotImplementedError("attributes with trisoup bricks")
         aec, tfields, recon = _encode_trisoup_brick_native(
-            stv, axes, gps, ts_log2)
+            stv, axes, gps, ts_log2, bypass_no_update=bypass_no_update)
         gbh = ref_hls.RefGbh(
             gps_id=0, slice_id=0, slice_tag=0, frame_ctr_lsb=0,
             geom_box_log2_scale=0, box_origin_stv=(0, 0, 0),
             tree_lvl_coded_axis_list=list(axes),
             num_points=int(recon.shape[0]), **tfields)
     else:
-        aec = _encode_brick_native(stv, axes, gps)
+        aec = _encode_brick_native(stv, axes, gps,
+                                   bypass_no_update=bypass_no_update)
         gbh = ref_hls.RefGbh(
             gps_id=0, slice_id=0, slice_tag=0, frame_ctr_lsb=0,
             geom_box_log2_scale=0, box_origin_stv=(0, 0, 0),
@@ -535,7 +541,8 @@ def encode_frames(frames, unique_points: bool = True,
                   attr_qp: int = 34, attr_qp_chroma_offset: int = 0,
                   attr_bitdepth: int = 8,
                   integer_haar: bool = False,
-                  attr_cicp_matrix: int = 1) -> bytes:
+                  attr_cicp_matrix: int = 1,
+                  bypass_no_update: bool = True) -> bytes:
     """Encode a sequence of XYZ integer clouds into one reference-
     syntax TLV stream (SPS + GPS once, then per-slice geometry
     bricks).  Clouds above the slice level limit (reference
@@ -565,6 +572,7 @@ def encode_frames(frames, unique_points: bool = True,
         frame_ctr_bits=frame_ctr_bits, slice_tag_bits=0,
         geometry_axis_order=1,
         bbox_origin=tuple(int(v) for v in seq_origin))
+    sps.bypass_bin_coding_without_prob_update = bypass_no_update
     aps = None
     if have_attrs:
         dims = 3 if colors is not None else 1
@@ -660,12 +668,14 @@ def encode_frames(frames, unique_points: bool = True,
                     dtype=np.int32)
                 aec, tfields, recon = _encode_trisoup_brick_native(
                     local, axes, gps, ts_log2,
-                    slice_max_points=max_points_per_slice)
+                    slice_max_points=max_points_per_slice,
+                    bypass_no_update=bypass_no_update)
                 extra = dict(num_points=int(recon.shape[0]), **tfields)
             else:
                 axes = np.asarray(qtbt_axis_list(root, qtbt),
                                   dtype=np.int32)
-                aec = _encode_brick_native(local, axes, gps)
+                aec = _encode_brick_native(
+                    local, axes, gps, bypass_no_update=bypass_no_update)
                 extra = dict(num_points=int(part.shape[0]))
             gbh = ref_hls.RefGbh(
                 gps_id=0, slice_id=slice_id, slice_tag=0,

@@ -50,7 +50,6 @@ _ACCEPTED_REFERENCE_OPTIONS = {
     "QPShiftStep", "aps_slice_qp_deltas_present_flag",
     "attrInterIntraSliceRDO", "attrInterPredSearchRange",
     "attrInterPredTranslationThresh", "attrSphericalMaxLog2",
-    "bypassBinCodingWithoutProbUpdate",
     "cabac_bypass_stream_enabled_flag", "dist2PercentileEstimate",
     "enableGroundPartition", "externalScale", "frameMergeEnabled",
     "globalMotionBlockSize", "globalMotionSrcType",
@@ -121,6 +120,9 @@ class Config:
         self.frame_count = 1
         self.output_binary_ply = True
         self.convert_colourspace = True
+        # tmc3 default: bypass bins coded without probability update
+        # (TMC3.cpp:824-827); honoured by the refSyntax engine
+        self.bypass_no_update = True
         self.params = EncoderParams()
         self.disable_attributes = False
         # reference-syntax (tmc3-interoperable) codec path
@@ -271,6 +273,8 @@ class Config:
                 raise SystemExit(0)
             elif name == "refSyntax":   # framework-specific
                 self.ref_syntax = opt.to_bool(value)
+            elif name == "bypassBinCodingWithoutProbUpdate":
+                self.bypass_no_update = opt.to_bool(value)
             elif name == "qtbtEnabled":
                 self.qtbt_enabled = opt.to_bool(value)
             elif name == "inferredDirectCodingMode":
@@ -549,7 +553,8 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
         integer_haar=(attr_cfg.raht_integer_haar
                       if attr_cfg else False),
         attr_cicp_matrix=(attr_cfg.cicp_matrix
-                          if attr_cfg else 1))
+                          if attr_cfg else 1),
+        bypass_no_update=cfg.bypass_no_update)
     # record the coding scale in the SPS-equivalent position: our
     # decoder descales by sps.seq_scale (tmc3 treats it as seq unit)
     if p.geom_scale_num != 1 or p.geom_scale_den != 1:

@@ -24,7 +24,6 @@ BASE_OPTS = [
     "--positionQuantizationScale=1", "--neighbourAvailBoundaryLog2=8",
     "--planarEnabled=0", "--inferredDirectCodingMode=0",
     "--disableAttributeCoding=1",
-    "--bypassBinCodingWithoutProbUpdate=0",
 ]
 
 
@@ -310,7 +309,6 @@ def test_encode_idcm_byte_identical_to_tmc3(tmp_path):
 RAHT_BASE = [
     "--positionQuantizationScale=1", "--neighbourAvailBoundaryLog2=8",
     "--planarEnabled=0", "--inferredDirectCodingMode=0",
-    "--bypassBinCodingWithoutProbUpdate=0",
     "--convertPlyColourspace=0",
 ]
 
@@ -739,8 +737,7 @@ def test_cli_refsyntax_color_full_stream_byte_identical(tmp_path):
          "--positionQuantizationScale=1",
          "--neighbourAvailBoundaryLog2=8",
          "--inferredDirectCodingMode=0",
-         "--bypassBinCodingWithoutProbUpdate=0",
-         "--planarEnabled=1", "--mergeDuplicatedPoints=1",
+              "--planarEnabled=1", "--mergeDuplicatedPoints=1",
          "--transformType=0", "--qp=34", "--attribute=color"],
         check=True, capture_output=True)
     subprocess.run(
@@ -776,8 +773,7 @@ def test_cli_refsyntax_trisoup_color_tmc3_decodes(tmp_path):
          "--positionQuantizationScale=1",
          "--neighbourAvailBoundaryLog2=8",
          "--inferredDirectCodingMode=0",
-         "--bypassBinCodingWithoutProbUpdate=0",
-         "--planarEnabled=1", "--mergeDuplicatedPoints=1",
+              "--planarEnabled=1", "--mergeDuplicatedPoints=1",
          "--trisoupNodeSizeLog2=4",
          "--transformType=0", "--qp=34", "--attribute=color"],
         check=True, capture_output=True)
