@@ -272,6 +272,99 @@ def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
     return out.astype(np.int64)
 
 
+def _predlift_params(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
+                     abh: ref_hls.RefAbh, n_layers: int) -> np.ndarray:
+    """Pack the RefAps/RefAbh predlift fields into the native PlParams
+    layout (refpredlift.cc plparams_from)."""
+    dims = sps.attr_dims[abh.sps_attr_idx]
+    bitdepth = sps.attr_bitdepths[abh.sps_attr_idx]
+    qnw = aps.quant_neigh_weight or [0, 0, 0]
+    qnw = (list(qnw) + [0, 0, 0])[:3]
+    p = np.zeros(30, dtype=np.int32)
+    p[0] = dims
+    p[1] = bitdepth
+    p[2] = 1 if aps.attr_encoding == ref_hls.ATTR_PRED else 2
+    p[3] = aps.init_qp_minus4 + 4
+    p[4] = aps.chroma_qp_offset
+    p[5] = aps.num_pred_nearest_neighbours_minus1
+    p[6] = aps.inter_lod_search_range
+    p[7:10] = aps.lod_neigh_bias
+    p[10] = 1 if aps.last_component_prediction else 0
+    p[11] = aps.num_detail_levels_minus1
+    p[12] = 1 if aps.canonical_point_order else 0
+    p[13] = aps.lod_decimation_type
+    p[14] = aps.dist2
+    p[15] = abh.attr_dist2_delta
+    p[16] = aps.max_num_direct_predictors
+    p[17] = aps.adaptive_prediction_threshold
+    p[18] = 1 if aps.direct_avg_predictor_disabled else 0
+    p[19] = min(aps.intra_lod_prediction_skip_layers, 0x7fffffff)
+    p[20] = aps.intra_lod_search_range
+    p[21] = 1 if aps.inter_component_prediction else 0
+    p[22] = 1 if aps.pred_weight_blending else 0
+    p[23:26] = qnw
+    p[26] = aps.max_points_per_sort_log2_plus1
+    p[27] = 1 if aps.prediction_with_distribution else 0
+    p[28] = 1 if sps.bypass_bin_coding_without_prob_update else 0
+    p[29] = n_layers
+    return p
+
+
+def _decode_predlift_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
+                           abh: ref_hls.RefAbh, payload: bytes,
+                           positions_stv: np.ndarray) -> np.ndarray:
+    """Decode one intra predicting/lifting attribute brick, mirroring
+    AttributeDecoder::decode{Reflectances,Colors}{Pred,Lift}
+    (/root/reference/tmc3/AttributeDecoder.cpp:328-861) through the
+    native normative port (native/refpredlift.cc)."""
+    lib = _load()
+    c = ctypes
+    if not hasattr(lib.tmc13ref_decode_predlift, "_configured"):
+        lib.tmc13ref_decode_predlift.argtypes = [
+            c.POINTER(c.c_int32), c.c_int, c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+            c.POINTER(c.c_uint8), c.c_int, c.POINTER(c.c_int32)]
+        lib.tmc13ref_decode_predlift.restype = c.c_int
+        lib.tmc13ref_decode_predlift._configured = True
+
+    dims = sps.attr_dims[abh.sps_attr_idx]
+    layers = ref_hls.derive_layer_qps(aps, abh)
+    qp_arr = np.asarray(layers, dtype=np.int32).reshape(-1)
+    params = _predlift_params(sps, aps, abh, len(layers))
+
+    nper = max(aps.num_detail_levels_minus1, 1)
+    periods = np.zeros(nper, dtype=np.int32)
+    if aps.lod_sampling_periods:
+        periods[:len(aps.lod_sampling_periods)] = aps.lod_sampling_periods
+
+    lcp = np.zeros(aps.num_detail_levels_minus1 + 2, dtype=np.int32)
+    if abh.lcp_coeffs:
+        lcp[:len(abh.lcp_coeffs)] = abh.lcp_coeffs
+    icp = np.zeros(3 * (aps.num_detail_levels_minus1 + 2), dtype=np.int32)
+    if abh.icp_coeffs:
+        flat = [v for t in abh.icp_coeffs for v in t]
+        icp[:len(flat)] = flat
+
+    pos32 = np.ascontiguousarray(positions_stv, dtype=np.int32)
+    n = int(pos32.shape[0])
+    aec = payload[abh.header_bytes:]
+    aec_arr = np.frombuffer(aec, dtype=np.uint8)
+    out = np.empty((n, dims), dtype=np.int32)
+
+    def p32(a):
+        return a.ctypes.data_as(c.POINTER(c.c_int32))
+
+    rc = lib.tmc13ref_decode_predlift(
+        p32(pos32), n, p32(params), p32(periods), p32(qp_arr),
+        p32(lcp), p32(icp),
+        aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
+        p32(out))
+    if rc < 0:
+        raise RuntimeError(f"refpredlift decode failed rc={rc}")
+    return out
+
+
 def decode_attr_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
                       abh: ref_hls.RefAbh, payload: bytes,
                       positions_stv: np.ndarray) -> np.ndarray:
@@ -281,6 +374,9 @@ def decode_attr_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
     AttributeDecoder::decodeColorsRaht / decodeReflectancesRaht
     (/root/reference/tmc3/AttributeDecoder.cpp:528-674: morton sort,
     entropy decode, uraht inverse, clip, scatter by packed index)."""
+    if aps.attr_encoding in (ref_hls.ATTR_PRED, ref_hls.ATTR_LIFT):
+        return _decode_predlift_brick(sps, aps, abh, payload,
+                                      positions_stv)
     if aps.attr_encoding != ref_hls.ATTR_RAHT:
         raise UnsupportedTool("non-RAHT attribute brick")
     lib = _load()

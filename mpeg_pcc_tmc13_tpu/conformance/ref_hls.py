@@ -792,6 +792,28 @@ class RefAps:
     raht_subnode_prediction: bool = False
     raht_prediction_weights: Optional[List[int]] = None
     raht_prediction_search_range: int = 0
+    # predicting / lifting transform fields (io_hls.cpp:1143-1203)
+    num_pred_nearest_neighbours_minus1: int = 2
+    inter_lod_search_range: int = 0
+    lod_neigh_bias: Tuple[int, int, int] = (1, 1, 1)
+    last_component_prediction: bool = False
+    scalable_lifting: bool = False
+    canonical_point_order: bool = False
+    num_detail_levels_minus1: int = 0
+    lod_decimation_type: int = 0
+    lod_sampling_periods: Optional[List[int]] = None
+    dist2: int = 0
+    slice_dist2_deltas_present: bool = False
+    max_num_direct_predictors: int = 0
+    adaptive_prediction_threshold: int = 0
+    direct_avg_predictor_disabled: bool = False
+    intra_lod_prediction_skip_layers: int = 0
+    intra_lod_search_range: int = 0
+    inter_component_prediction: bool = False
+    pred_weight_blending: bool = False
+    quant_neigh_weight: Optional[List[int]] = None
+    max_points_per_sort_log2_plus1: int = 0
+    prediction_with_distribution: bool = False
 
     def pred_weight_parent(self) -> List[int]:
         """predWeightParent (hls.h:448-466)."""
@@ -825,10 +847,48 @@ def parse_aps(data: bytes) -> RefAps:
 
     scalable_lifting = False
     num_detail_levels_minus1 = 0
+    # parse-time presets (parseAps io_hls.cpp:1188-1190): lifting
+    # never uses intra-LoD prediction (kSkipAllLayers)
+    a.intra_lod_prediction_skip_layers = 0x7fffffff
     if a.attr_encoding in (ATTR_PRED, ATTR_LIFT):
-        # lodParametersPresent (hls.h:787)
-        raise NotImplementedError(
-            "attribute interop: predicting/lifting APS not supported")
+        # lodParametersPresent branch (io_hls.cpp:1143-1186)
+        a.num_pred_nearest_neighbours_minus1 = bs.ue()
+        a.inter_lod_search_range = bs.ue()
+        a.lod_neigh_bias = tuple(bs.ue() + 1 for _ in range(3))
+        if a.attr_encoding == ATTR_LIFT:
+            a.last_component_prediction = bool(bs.u1())
+        scalable_lifting = bool(bs.u1())
+        a.scalable_lifting = scalable_lifting
+        if scalable_lifting:
+            raise NotImplementedError(
+                "attribute interop: scalable lifting")
+        a.canonical_point_order = False
+        a.num_detail_levels_minus1 = bs.ue()
+        num_detail_levels_minus1 = a.num_detail_levels_minus1
+        if not a.num_detail_levels_minus1:
+            a.canonical_point_order = bool(bs.u1())
+        else:
+            a.lod_decimation_type = bs.ue()
+            if a.lod_decimation_type != 0:
+                a.lod_sampling_periods = [
+                    bs.ue() + 2
+                    for _ in range(a.num_detail_levels_minus1)]
+            if a.lod_decimation_type != 1:
+                a.dist2 = bs.ue()
+                a.slice_dist2_deltas_present = bool(bs.u1())
+
+    if a.attr_encoding == ATTR_PRED:
+        # predicting-transform fields (io_hls.cpp:1191-1203)
+        a.max_num_direct_predictors = bs.ue()
+        a.adaptive_prediction_threshold = 0
+        a.direct_avg_predictor_disabled = False
+        if a.max_num_direct_predictors:
+            a.adaptive_prediction_threshold = bs.un(8)
+            a.direct_avg_predictor_disabled = bool(bs.u1())
+        a.intra_lod_prediction_skip_layers = bs.ue()
+        a.intra_lod_search_range = bs.ue()
+        a.inter_component_prediction = bool(bs.u1())
+        a.pred_weight_blending = bool(bs.u1())
 
     if a.attr_encoding == ATTR_RAHT:
         a.raht_prediction_enabled = bool(bs.u1())
@@ -848,12 +908,22 @@ def parse_aps(data: bytes) -> RefAps:
     if aps_extension:
         if a.attr_encoding == ATTR_RAHT:
             a.integer_haar = bool(bs.u1())
+        if a.attr_encoding == ATTR_PRED:
+            # per-rank quant neighbour weights (io_hls.cpp:1240-1243)
+            a.quant_neigh_weight = [
+                bs.ue()
+                for _ in range(a.num_pred_nearest_neighbours_minus1 + 1)]
         a.attr_inter_prediction = bool(bs.u1())
         if a.attr_inter_prediction:
             raise NotImplementedError(
                 "attribute interop: attribute inter prediction")
-        if False and not num_detail_levels_minus1:   # lod-only fields
-            bs.ue()
+        if (a.attr_encoding in (ATTR_PRED, ATTR_LIFT)
+                and not scalable_lifting
+                and not num_detail_levels_minus1):
+            a.max_points_per_sort_log2_plus1 = bs.ue()
+        if (a.attr_encoding in (ATTR_PRED, ATTR_LIFT)
+                and a.num_pred_nearest_neighbours_minus1 >= 2):
+            a.prediction_with_distribution = bool(bs.u1())
         if a.attr_encoding == ATTR_RAHT:
             a.raht_extension = bool(bs.u1())
         if a.attr_encoding == ATTR_RAHT and a.raht_prediction_enabled:
@@ -877,6 +947,9 @@ class RefAbh:
     qp_delta_chroma: int = 0
     layer_qp_delta_luma: Optional[List[int]] = None
     layer_qp_delta_chroma: Optional[List[int]] = None
+    attr_dist2_delta: int = 0
+    lcp_coeffs: Optional[List[int]] = None
+    icp_coeffs: Optional[List[Tuple[int, int, int]]] = None
     header_bytes: int = 0
 
 
@@ -888,11 +961,33 @@ def parse_abh(sps: RefSps, aps: RefAps, data: bytes) -> RefAbh:
     h.sps_attr_idx = bs.ue()
     h.geom_slice_id = bs.ue()
 
-    if aps.attr_inter_prediction:
-        bs.se()                      # attr_dist2_delta (also gated on
-                                     # aps_slice_dist2_deltas, LoD-only)
+    h.attr_dist2_delta = 0
+    if aps.slice_dist2_deltas_present or aps.attr_inter_prediction:
+        h.attr_dist2_delta = bs.se()
 
-    # lcp/icp: never present for RAHT (hls.h:890-916)
+    # lifting last-component-prediction coefficients, delta-coded from
+    # pred=4 (parseAbh io_hls.cpp:1944-1955; presence hls.h:890-900)
+    dims = (sps.attr_dims[h.sps_attr_idx]
+            if h.sps_attr_idx < len(sps.attr_dims) else 1)
+    if (aps.attr_encoding == ATTR_LIFT
+            and aps.last_component_prediction and dims == 3):
+        h.lcp_coeffs = []
+        pred = 4
+        for _ in range(aps.num_detail_levels_minus1 + 1):
+            pred += bs.se()
+            h.lcp_coeffs.append(pred)
+
+    # predicting inter-component-prediction coefficients
+    # (io_hls.cpp:1957-1970; presence hls.h:906-916)
+    if (aps.attr_encoding == ATTR_PRED
+            and aps.inter_component_prediction and dims != 1):
+        h.icp_coeffs = []
+        pred = [0, 4, 4]
+        for _ in range(aps.num_detail_levels_minus1 + 1):
+            d1 = bs.se()
+            d2 = bs.se()
+            pred = [0, pred[1] + d1, pred[2] + d2]
+            h.icp_coeffs.append(tuple(pred))
 
     if aps.slice_qp_deltas_present:
         h.qp_delta_luma = bs.se()

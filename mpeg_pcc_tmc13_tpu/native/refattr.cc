@@ -156,6 +156,9 @@ static uint32_t isqrt(uint64_t x) {
 // shared with trisoup_geom.cc (same normative isqrt, misc.cpp:193)
 extern "C" uint32_t tmc13ref_isqrt(uint64_t x) { return isqrt(x); }
 
+// shared with refpredlift.cc (normative irsqrt, misc.cpp:188-230)
+extern "C" uint64_t tmc13ref_irsqrt(uint64_t x) { return irsqrt(x); }
+
 static int ilog2(uint64_t x) {
   int r = 0;
   while (x > 1) {

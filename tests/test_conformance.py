@@ -810,3 +810,112 @@ def test_cli_refsyntax_trisoup_color_tmc3_decodes(tmp_path):
         np.round(ra.positions).astype(np.int64),
         np.round(rb.positions).astype(np.int64))
     np.testing.assert_array_equal(ra.colors, rb.colors)
+
+
+# ---------------------------------------------------------------------------
+# Predicting / lifting attribute interop (native/refpredlift.cc)
+# ---------------------------------------------------------------------------
+
+def _predlift_roundtrip(tmp_path, name, extra, colors=False,
+                        merge="1"):
+    """tmc3-encode with predlift attributes, decode with both tmc3 and
+    the conformance decoder, require bit-exact attribute equality."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    rng = np.random.default_rng(hash(name) % (1 << 32))
+    pos = np.unique(rng.integers(0, 512, size=(6000, 3),
+                                 dtype=np.int64), axis=0)
+    src = tmp_path / f"{name}.ply"
+    bit = tmp_path / f"{name}.bin"
+    dec = tmp_path / f"{name}.dec.ply"
+    if colors:
+        col = ((pos * np.array([2, 1, 3])) % 256
+               + rng.integers(0, 8, pos.shape)).clip(0, 255)
+        ply.write(ply.PlyCloud(positions=pos.astype(np.float64),
+                               colors=col.astype(np.uint8)),
+                  str(src), ascii=True)
+        attr_args = ["--convertPlyColourspace=0", "--qp=34",
+                     *extra, "--attribute=color"]
+    else:
+        refl = ((pos.sum(1) * 7) % 256).astype(np.uint16)
+        ply.write(ply.PlyCloud(positions=pos.astype(np.float64),
+                               reflectances=refl), str(src), ascii=True)
+        attr_args = ["--bitdepth=8", "--qp=34", *extra,
+                     "--attribute=reflectance"]
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}",
+         "--positionQuantizationScale=1",
+         "--neighbourAvailBoundaryLog2=8", "--planarEnabled=0",
+         "--inferredDirectCodingMode=0",
+         f"--mergeDuplicatedPoints={merge}", *attr_args],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={dec}", "--outputBinaryPly=0",
+         "--convertPlyColourspace=0"],
+        check=True, capture_output=True)
+    frames, attrs = refdec.decode_stream(bit.read_bytes(),
+                                         want_attrs=True)
+    ref = ply.read(str(dec))
+    if colors:
+        gbr = ref.colors.astype(np.int32)[:, [1, 2, 0]]
+        np.testing.assert_array_equal(attrs[0], gbr)
+    else:
+        np.testing.assert_array_equal(
+            attrs[0][:, 0], ref.reflectances.astype(np.int32))
+
+
+def test_predlift_refl_pred_bit_exact(tmp_path):
+    """Predicting transform, reflectance (decodeReflectancesPred,
+    AttributeDecoder.cpp:328-392)."""
+    _predlift_roundtrip(tmp_path, "plp", ["--transformType=1"])
+
+
+def test_predlift_refl_lift_bit_exact(tmp_path):
+    """Lifting transform, reflectance (decodeReflectancesLift,
+    AttributeDecoder.cpp:775-861)."""
+    _predlift_roundtrip(tmp_path, "pll", ["--transformType=2"])
+
+
+def test_predlift_color_icp_bit_exact(tmp_path):
+    """Predicting transform, colour, inter-component prediction
+    (decodeColorsPred, AttributeDecoder.cpp:446-527)."""
+    _predlift_roundtrip(
+        tmp_path, "plci",
+        ["--transformType=1", "--interComponentPredictionEnabled=1"],
+        colors=True)
+
+
+def test_predlift_color_lcp_bit_exact(tmp_path):
+    """Lifting transform, colour, last-component prediction
+    (decodeColorsLift, AttributeDecoder.cpp:679-773)."""
+    _predlift_roundtrip(
+        tmp_path, "plcl",
+        ["--transformType=2", "--lastComponentPredictionEnabled=1"],
+        colors=True)
+
+
+def test_predlift_lod_dist2_bit_exact(tmp_path):
+    """Explicit LoD pyramid via distance subsampling
+    (subsampleByDistance, PCCTMC3Common.h:1985-2086)."""
+    _predlift_roundtrip(
+        tmp_path, "pld2",
+        ["--transformType=1", "--levelOfDetailCount=6", "--dist2=4"],
+        colors=True)
+
+
+def test_predlift_lod_decimation_bit_exact(tmp_path):
+    """Periodic LoD decimation (subsampleByDecimation,
+    PCCTMC3Common.h:2200-2216)."""
+    _predlift_roundtrip(
+        tmp_path, "pldec",
+        ["--transformType=1", "--lodDecimator=1",
+         "--levelOfDetailCount=5", "--lodSamplingPeriod=2"],
+        colors=True)
+
+
+def test_predlift_duplicates_bit_exact(tmp_path):
+    """Duplicate points retained (stable Morton sort tie-break by
+    input row, MortonCodeWithIndex::operator<)."""
+    _predlift_roundtrip(tmp_path, "pldup", ["--transformType=2"],
+                        merge="0")
