@@ -542,7 +542,8 @@ def encode_frames(frames, unique_points: bool = True,
                   attr_bitdepth: int = 8,
                   integer_haar: bool = False,
                   attr_cicp_matrix: int = 1,
-                  bypass_no_update: bool = True) -> bytes:
+                  bypass_no_update: bool = True,
+                  attr_aps=None) -> bytes:
     """Encode a sequence of XYZ integer clouds into one reference-
     syntax TLV stream (SPS + GPS once, then per-slice geometry
     bricks).  Clouds above the slice level limit (reference
@@ -587,17 +588,10 @@ def encode_frames(frames, unique_points: bool = True,
                                 if colors is not None else None]
         # tmc3 APS defaults (TMC3.cpp:1290-1319; search range
         # sanitised to the level limit, encoder.cpp:808)
-        aps = ref_hls.RefAps(
-            aps_id=0, sps_id=0, attr_encoding=ref_hls.ATTR_RAHT,
-            init_qp_minus4=attr_qp - 4,
-            chroma_qp_offset=attr_qp_chroma_offset,
-            raht_prediction_enabled=True,
-            raht_prediction_threshold0=2,
-            raht_prediction_threshold1=6,
-            integer_haar=integer_haar, raht_extension=True,
-            raht_subnode_prediction=True,
-            raht_prediction_weights=[9, 3, 1, 5, 2],
-            raht_prediction_search_range=1100000)
+        aps = attr_aps if attr_aps is not None else derive_default_aps(
+            ref_hls.ATTR_RAHT, attr_qp=attr_qp,
+            attr_qp_chroma_offset=attr_qp_chroma_offset,
+            integer_haar=integer_haar)
     gps = ref_hls.RefGps(
         gps_id=0, sps_id=0, geom_box_log2_scale_present=True,
         qtbt_enabled=qtbt, unique_points=unique_points,
@@ -722,10 +716,171 @@ def encode_frames(frames, unique_points: bool = True,
                     os_ = np.argsort(k_src)
                     src_row = os_[np.searchsorted(k_src[os_], k_dec)]
                     aslice = apart[src_row].astype(np.int32)
-                attr_aec, _ = encode_attr_brick_native(
-                    sps, aps, dec_pos, aslice)
-                out.append(ref_hls.write_ref_tlv(
-                    ref_hls.T_ATTR_BRICK,
-                    ref_hls.write_abh(aps, 0, slice_id, attr_aec)))
+                if aps.attr_encoding == ref_hls.ATTR_RAHT:
+                    attr_aec, _ = encode_attr_brick_native(
+                        sps, aps, dec_pos, aslice)
+                    abrick = ref_hls.write_abh(aps, 0, slice_id,
+                                               attr_aec)
+                else:
+                    (attr_aec, lcp, icp, _rec,
+                     d2d) = encode_attr_brick_predlift(
+                        sps, aps, dec_pos, aslice)
+                    dims_ = aslice.shape[1]
+                    abrick = ref_hls.write_abh(
+                        aps, 0, slice_id, attr_aec, dims=dims_,
+                        lcp_coeffs=(lcp if aps.last_component_prediction
+                                    and dims_ == 3 else None),
+                        icp_coeffs=(icp
+                                    if aps.inter_component_prediction
+                                    and dims_ != 1 else None),
+                        dist2_delta=d2d)
+                out.append(ref_hls.write_ref_tlv(ref_hls.T_ATTR_BRICK,
+                                                 abrick))
             slice_id += 1
     return b"".join(out)
+
+
+def derive_default_aps(attr_encoding: int, attr_qp: int = 34,
+                       attr_qp_chroma_offset: int = 0,
+                       integer_haar: bool = False,
+                       num_detail_levels_minus1: int = 1,
+                       lod_decimation_type: int = 0,
+                       lod_sampling_periods=None,
+                       dist2: int = 0,
+                       inter_component_prediction: bool = False,
+                       last_component_prediction: bool = False
+                       ) -> "ref_hls.RefAps":
+    """tmc3-default APS for RAHT/PRED/LIFT (option defaults
+    TMC3.cpp:1290-1400; sanitizer encoder.cpp:765-830, TMC3.cpp:1878)."""
+    if attr_encoding == ref_hls.ATTR_RAHT:
+        return ref_hls.RefAps(
+            aps_id=0, sps_id=0, attr_encoding=ref_hls.ATTR_RAHT,
+            init_qp_minus4=attr_qp - 4,
+            chroma_qp_offset=attr_qp_chroma_offset,
+            raht_prediction_enabled=True,
+            raht_prediction_threshold0=2, raht_prediction_threshold1=6,
+            integer_haar=integer_haar, raht_extension=True,
+            raht_subnode_prediction=True,
+            raht_prediction_weights=[9, 3, 1, 5, 2],
+            raht_prediction_search_range=1100000)
+    pred = attr_encoding == ref_hls.ATTR_PRED
+    ndl = num_detail_levels_minus1
+    max_lvls = ndl + 1
+    # encoder.cpp:779-784: skip layers -1 -> all, clamped to lvls+1
+    skip = max_lvls + 1
+    intra_range = 0 if skip > max_lvls else 1100000
+    inter_range = 0 if max_lvls == 1 else 1100000
+    d2p = (ndl > 0 and lod_decimation_type != 1)
+    if lod_decimation_type == 2:
+        d2p = False
+    periods = None
+    if ndl and lod_decimation_type != 0:
+        base = list(lod_sampling_periods or [2])
+        while len(base) < ndl:
+            base.append(base[-1])
+        periods = base[:ndl]
+    return ref_hls.RefAps(
+        aps_id=0, sps_id=0, attr_encoding=attr_encoding,
+        init_qp_minus4=attr_qp - 4,
+        chroma_qp_offset=attr_qp_chroma_offset,
+        num_pred_nearest_neighbours_minus1=2,
+        inter_lod_search_range=inter_range,
+        lod_neigh_bias=(1, 1, 1),
+        last_component_prediction=(last_component_prediction
+                                   and not pred),
+        num_detail_levels_minus1=ndl,
+        canonical_point_order=False,
+        lod_decimation_type=lod_decimation_type if ndl else 0,
+        lod_sampling_periods=periods,
+        dist2=dist2,
+        slice_dist2_deltas_present=d2p,
+        max_num_direct_predictors=3 if pred else 0,
+        adaptive_prediction_threshold=64 if pred else 0,
+        direct_avg_predictor_disabled=False,
+        intra_lod_prediction_skip_layers=skip,
+        intra_lod_search_range=intra_range if pred else 0,
+        inter_component_prediction=(inter_component_prediction
+                                    and pred),
+        pred_weight_blending=False,
+        quant_neigh_weight=[16, 8, 4] if pred else None,
+        max_points_per_sort_log2_plus1=0,
+        prediction_with_distribution=True)
+
+
+def encode_attr_brick_predlift(sps, aps, positions_stv: np.ndarray,
+                               attrs: np.ndarray):
+    """Predicting/lifting-encode attributes aligned to decode-order
+    positions, byte-identical to the reference encoder
+    (AttributeEncoder.cpp:750-1650).  Returns (AEC payload bytes,
+    lcp_coeffs, icp_coeffs, reconstructed attrs)."""
+    from .decoder import _load, _predlift_params
+    lib = _load()
+    c = ctypes
+    if not hasattr(lib.tmc13ref_encode_predlift, "_configured"):
+        lib.tmc13ref_encode_predlift.argtypes = [
+            c.POINTER(c.c_int32), c.c_int, c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.POINTER(c.c_uint8), c.c_int,
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32)]
+        lib.tmc13ref_encode_predlift.restype = c.c_int
+        lib.tmc13ref_encode_predlift._configured = True
+
+    def p32(a):
+        return a.ctypes.data_as(c.POINTER(c.c_int32))
+
+    abh_stub = ref_hls.RefAbh()
+    if aps.slice_dist2_deltas_present:
+        # per-slice dist2 refinement (estimateDist2,
+        # AttributeEncoder.cpp:1685-1720; call site encoder.cpp:1204
+        # with samplingPeriod 100, searchRange 128, percentile 0.85)
+        pos = np.asarray(positions_stv, dtype=np.int64)
+        n_ = pos.shape[0]
+        if n_ >= 2:
+            dists = []
+            for idx in range(0, n_, 100):
+                k0 = max(0, idx - 128)
+                k1 = min(n_ - 1, idx + 128)
+                w = pos[k0:k1 + 1] - pos[idx]
+                d2 = (w * w).sum(axis=1)
+                d2[idx - k0] = np.iinfo(np.int64).max
+                dists.append(int(d2.min()))
+            dists = np.asarray(dists, dtype=np.int64)
+            p = int(np.floor(len(dists) * 0.85))
+            d2v = int(np.partition(dists, p)[p])
+            shift = 0
+            while (3 << (shift << 1)) < d2v and shift < 20:
+                shift += 1
+            abh_stub.attr_dist2_delta = shift - aps.dist2
+    layers = ref_hls.derive_layer_qps(aps, abh_stub)
+    qp_arr = np.asarray(layers, dtype=np.int32).reshape(-1)
+    from .decoder import _predlift_params as _pp
+    params = _pp(sps, aps, abh_stub, len(layers))
+
+    nper = max(aps.num_detail_levels_minus1, 1)
+    periods = np.zeros(nper, dtype=np.int32)
+    if aps.lod_sampling_periods:
+        periods[:len(aps.lod_sampling_periods)] = aps.lod_sampling_periods
+
+    pos32 = np.ascontiguousarray(positions_stv, dtype=np.int32)
+    n = int(pos32.shape[0])
+    av = np.ascontiguousarray(attrs, dtype=np.int32)
+    dims = av.shape[1] if av.ndim == 2 else 1
+    maxl = aps.num_detail_levels_minus1 + 1
+    out_lcp = np.zeros(maxl + 1, dtype=np.int32)
+    out_icp = np.zeros(3 * (maxl + 1), dtype=np.int32)
+    recon = np.empty_like(av)
+    cap = n * 16 + (1 << 16)
+    buf = np.empty(cap, dtype=np.uint8)
+    nb = lib.tmc13ref_encode_predlift(
+        p32(pos32), n, p32(params), p32(periods), p32(qp_arr),
+        p32(av.reshape(-1)),
+        buf.ctypes.data_as(c.POINTER(c.c_uint8)), cap,
+        p32(out_lcp), p32(out_icp), p32(recon.reshape(-1)))
+    if nb < 0:
+        raise RuntimeError(f"refpredlift encode rc={nb}")
+    lcp = [int(v) for v in out_lcp[:maxl]]
+    icp = [(0, int(out_icp[3 * l + 1]), int(out_icp[3 * l + 2]))
+           for l in range(maxl)]
+    return (buf[:nb].tobytes(), lcp, icp, recon,
+            abh_stub.attr_dist2_delta)

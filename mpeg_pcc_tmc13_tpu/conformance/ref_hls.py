@@ -1040,10 +1040,10 @@ def derive_layer_qps(aps: RefAps, abh: RefAbh) -> List[Tuple[int, int]]:
 
 
 def write_aps(a: RefAps) -> bytes:
-    """Mirror of parse_aps for the RAHT intra scope (write(aps),
-    io_hls.cpp:979)."""
-    if a.attr_encoding != ATTR_RAHT:
-        raise NotImplementedError("write_aps: RAHT only")
+    """Mirror of parse_aps (write(aps), io_hls.cpp:979-1122): RAHT,
+    predicting and lifting intra scopes."""
+    if a.attr_encoding not in (ATTR_RAHT, ATTR_PRED, ATTR_LIFT):
+        raise NotImplementedError("write_aps: RAHT/PRED/LIFT only")
     w = RefBitWriter()
     w.un(4, a.aps_id)
     w.un(4, a.sps_id)
@@ -1051,21 +1051,63 @@ def write_aps(a: RefAps) -> bytes:
     w.ue(a.init_qp_minus4)
     se_w(w, a.chroma_qp_offset)
     w.u1(a.slice_qp_deltas_present)
-    w.u1(a.raht_prediction_enabled)
-    if a.raht_prediction_enabled:
-        w.ue(a.raht_prediction_threshold0)
-        w.ue(a.raht_prediction_threshold1)
+    if a.attr_encoding in (ATTR_PRED, ATTR_LIFT):
+        # lodParametersPresent branch (io_hls.cpp:993-1036)
+        w.ue(a.num_pred_nearest_neighbours_minus1)
+        w.ue(a.inter_lod_search_range)
+        for v in a.lod_neigh_bias:
+            w.ue(v - 1)
+        if a.attr_encoding == ATTR_LIFT:
+            w.u1(a.last_component_prediction)
+        w.u1(0)                      # scalable_lifting_enabled_flag
+        w.ue(a.num_detail_levels_minus1)
+        if not a.num_detail_levels_minus1:
+            w.u1(a.canonical_point_order)
+        else:
+            w.ue(a.lod_decimation_type)
+            if a.lod_decimation_type != 0:
+                for p in (a.lod_sampling_periods or []):
+                    w.ue(p - 2)
+            if a.lod_decimation_type != 1:
+                w.ue(a.dist2)
+                w.u1(a.slice_dist2_deltas_present)
+    if a.attr_encoding == ATTR_PRED:
+        w.ue(a.max_num_direct_predictors)
+        if a.max_num_direct_predictors:
+            w.un(8, a.adaptive_prediction_threshold)
+            w.u1(a.direct_avg_predictor_disabled)
+        w.ue(a.intra_lod_prediction_skip_layers)
+        w.ue(a.intra_lod_search_range)
+        w.u1(a.inter_component_prediction)
+        w.u1(a.pred_weight_blending)
+    if a.attr_encoding == ATTR_RAHT:
+        w.u1(a.raht_prediction_enabled)
+        if a.raht_prediction_enabled:
+            w.ue(a.raht_prediction_threshold0)
+            w.ue(a.raht_prediction_threshold1)
     w.u1(0)                          # spherical_coord_flag
     w.u1(1)                          # aps_extension_flag
-    w.u1(a.integer_haar)
+    if a.attr_encoding == ATTR_RAHT:
+        w.u1(a.integer_haar)
+    if a.attr_encoding == ATTR_PRED:
+        for v in (a.quant_neigh_weight
+                  or [0] * (a.num_pred_nearest_neighbours_minus1 + 1)):
+            w.ue(v)
     w.u1(0)                          # attrInterPredictionEnabled
-    w.u1(a.raht_extension)
-    if a.raht_prediction_enabled:
-        w.u1(a.raht_subnode_prediction)
-        if a.raht_subnode_prediction:
-            for v in a.raht_prediction_weights:
-                w.ue(v)
-            w.ue(a.raht_prediction_search_range)
+    if (a.attr_encoding in (ATTR_PRED, ATTR_LIFT)
+            and not a.num_detail_levels_minus1):
+        w.ue(a.max_points_per_sort_log2_plus1)
+    if (a.attr_encoding in (ATTR_PRED, ATTR_LIFT)
+            and a.num_pred_nearest_neighbours_minus1 >= 2):
+        w.u1(a.prediction_with_distribution)
+    if a.attr_encoding == ATTR_RAHT:
+        w.u1(a.raht_extension)
+        if a.raht_prediction_enabled:
+            w.u1(a.raht_subnode_prediction)
+            if a.raht_subnode_prediction:
+                for v in a.raht_prediction_weights:
+                    w.ue(v)
+                w.ue(a.raht_prediction_search_range)
     return w.get_bytes()
 
 
@@ -1076,14 +1118,32 @@ def se_w(w: RefBitWriter, v: int):
 
 
 def write_abh(aps: RefAps, sps_attr_idx: int, geom_slice_id: int,
-              aec_payload: bytes) -> bytes:
-    """Attribute brick = ABH (parseAbh mirror, minimal intra scope) +
-    AEC payload."""
+              aec_payload: bytes, dims: int = 3,
+              lcp_coeffs=None, icp_coeffs=None,
+              dist2_delta: int = 0) -> bytes:
+    """Attribute brick = ABH (parseAbh mirror, intra scope) + AEC
+    payload.  ``lcp_coeffs``/``icp_coeffs`` are the encoder-derived
+    per-LoD coefficient lists (delta-coded, io_hls.cpp:1780-1810)."""
     w = RefBitWriter()
     w.un(4, aps.aps_id)
     w.un(3, 0)                       # abh_reserved_zero_3bits
     w.ue(sps_attr_idx)
     w.ue(geom_slice_id)
+    if aps.slice_dist2_deltas_present or aps.attr_inter_prediction:
+        se_w(w, dist2_delta)         # attr_dist2_delta
+    if (aps.attr_encoding == ATTR_LIFT
+            and aps.last_component_prediction and dims == 3):
+        pred = 4
+        for v in (lcp_coeffs or []):
+            se_w(w, v - pred)
+            pred = v
+    if (aps.attr_encoding == ATTR_PRED
+            and aps.inter_component_prediction and dims != 1):
+        pred = [0, 4, 4]
+        for t in (icp_coeffs or []):
+            se_w(w, t[1] - pred[1])
+            se_w(w, t[2] - pred[2])
+            pred = [0, t[1], t[2]]
     if aps.slice_qp_deltas_present:
         se_w(w, 0)
         se_w(w, 0)

@@ -1781,3 +1781,664 @@ extern "C" int tmc13ref_decode_predlift(
 
   return -2;
 }
+
+// ---------------------------------------------------------------------------
+// encode direction (PCCResidualsEncoder, AttributeEncoder.cpp:60-307;
+// mode RD :663-992; ICP/LCP derivation :994-1075, 1499-1542)
+// ---------------------------------------------------------------------------
+
+namespace refpl {
+
+static void expGolombEncCtx(ArithEnc& aec, unsigned symbol, int k,
+                            uint16_t* ctxPrefix, int numPrefix,
+                            uint16_t* ctxSuffix, int numSuffix) {
+  const int k0 = k;
+  while (symbol >= (1u << k)) {
+    aec.bit(&ctxPrefix[std::min(numPrefix - 1, k - k0)], 1);
+    symbol -= 1u << k;
+    k++;
+  }
+  aec.bit(&ctxPrefix[std::min(numPrefix - 1, k - k0)], 0);
+  while (k--)
+    aec.bit(&ctxSuffix[std::min(numSuffix - 1, k)], (symbol >> k) & 1);
+}
+
+static void encodeRunLength(ArithEnc& aec, AttrCtx& ctx, int runLength) {
+  uint16_t* c = ctx.runLen;
+  for (int i = 0; i < std::min(3, runLength); i++, c++) aec.bit(c, 1);
+  if (runLength < 3) {
+    aec.bit(c, 0);
+    return;
+  }
+  runLength -= 3;
+  auto prefix = runLength >> 1;
+  for (int i = 0; i < std::min(4, prefix); i++) aec.bit(c, 1);
+  if (runLength < 8) {
+    aec.bit(c, 0);
+    aec.bypass(runLength & 1);
+    return;
+  }
+  runLength -= 8;
+  aec.exp_golomb(unsigned(runLength), 2, ++c);
+}
+
+static void encodeSymbol(ArithEnc& aec, AttrCtx& ctx, uint32_t value,
+                         int k1, int k2, int k3) {
+  aec.bit(&ctx.coeffGtN[0][k1], value > 0);
+  if (!value) return;
+  aec.bit(&ctx.coeffGtN[1][k2], --value > 0);
+  if (!value) return;
+  expGolombEncCtx(aec, --value, 1, ctx.remPrefix[k3], 3,
+                  ctx.remSuffix[k3], 3);
+}
+
+static void encodeTriplet(ArithEnc& aec, AttrCtx& ctx, int32_t value0,
+                          int32_t value1, int32_t value2) {
+  int mag0 = std::abs(value0);
+  int mag1 = std::abs(value1);
+  int mag2 = std::abs(value2);
+  int b0 = (mag1 == 0);
+  int b1 = (mag1 <= 1);
+  int b2 = (mag2 == 0);
+  int b3 = (mag2 <= 1);
+  encodeSymbol(aec, ctx, uint32_t(mag1), 0, 0, 1);
+  encodeSymbol(aec, ctx, uint32_t(mag2), 1 + b0, 1 + b1, 1);
+  auto mag0minusX = (b0 && b2) ? mag0 - 1 : mag0;
+  encodeSymbol(aec, ctx, uint32_t(mag0minusX), 3 + (b0 << 1) + b2,
+               3 + (b1 << 1) + b3, 0);
+  if (mag0) aec.bypass(value0 < 0);
+  if (mag1) aec.bypass(value1 < 0);
+  if (mag2) aec.bypass(value2 < 0);
+}
+
+static void encodeScalar(ArithEnc& aec, AttrCtx& ctx, int32_t value) {
+  encodeSymbol(aec, ctx, uint32_t(std::abs(value) - 1), 0, 0, 0);
+  aec.bypass(value < 0);
+}
+
+// residual-rate statistics (AttributeEncoder.cpp:127-160)
+struct ResStat {
+  static const int scaleRes = 1 << 20;
+  static const int windowLog2 = 6;
+  int probResGt0[3];
+  int probResGt1[3];
+  void reset() {
+    for (int k = 0; k < 3; k++)
+      probResGt0[k] = probResGt1[k] = scaleRes >> 1;
+  }
+  void updateColor(const int32_t v[3]) {
+    for (int k = 0; k < 3; k++) {
+      probResGt0[k] += v[k] ? (scaleRes - probResGt0[k]) >> windowLog2
+                            : -(probResGt0[k] >> windowLog2);
+      if (v[k])
+        probResGt1[k] += std::abs(v[k]) > 1
+          ? (scaleRes - probResGt1[k]) >> windowLog2
+          : -(probResGt1[k] >> windowLog2);
+    }
+  }
+  void updateRefl(int32_t v) {
+    probResGt0[0] += v ? (scaleRes - probResGt0[0]) >> windowLog2
+                       : -(probResGt0[0] >> windowLog2);
+    if (v)
+      probResGt1[0] += std::abs(v) > 1
+        ? (scaleRes - probResGt1[0]) >> windowLog2
+        : -(probResGt1[0] >> windowLog2);
+  }
+  double bitsPtColor(int32_t v0, int32_t v1, int32_t v2, int mode,
+                     int availPredModes) const {
+    int32_t value[3] = {v0, v1, v2};
+    if (availPredModes == 4) {
+      value[1] = 2 * std::abs(value[1]) + (mode >> 1);
+      value[2] = 2 * std::abs(value[2]) + (mode & 1);
+    } else if (availPredModes == 3) {
+      value[1] = 2 * std::abs(value[1]) + (mode > 0);
+      if (mode > 0) value[2] = 2 * std::abs(value[2]) + (mode - 1);
+    } else if (availPredModes == 2) {
+      value[1] = 2 * std::abs(value[1]) + (mode & 1);
+    }
+    const int log2scaleRes = 20;
+    double bits = 0;
+    for (int k = 0; k < 3; k++) {
+      bits += value[k] ? log2scaleRes - std::log2(double(probResGt0[k]))
+                       : log2scaleRes
+                         - std::log2(double(scaleRes - probResGt0[k]));
+      int mag = std::abs(value[k]);
+      if (mag) {
+        bits += mag > 1
+          ? log2scaleRes - std::log2(double(probResGt1[k]))
+          : log2scaleRes - std::log2(double(scaleRes - probResGt1[k]));
+        bits += 1;
+        if (mag > 1) bits += 2.0 * std::log2(double(mag) - 1.0) + 1.0;
+      }
+    }
+    return bits;
+  }
+  double bitsPtRefl(int32_t v, int mode, int availPredModes) const {
+    int32_t value = v;
+    if (availPredModes == 4) {
+      value = (std::abs(value) << 2) + mode;
+    } else if (availPredModes == 3) {
+      if (mode > 0) value = (std::abs(value) << 1) + (mode - 1);
+      value = (std::abs(value) << 1) + (mode > 0);
+    } else if (availPredModes == 2) {
+      value = (std::abs(value) << 1) + (mode & 1);
+    }
+    const int log2scaleRes = 20;
+    double bits = 0;
+    bits += value ? log2scaleRes - std::log2(double(probResGt0[0]))
+                  : log2scaleRes
+                    - std::log2(double(scaleRes - probResGt0[0]));
+    int mag = std::abs(value);
+    if (mag) {
+      bits += mag > 1
+        ? log2scaleRes - std::log2(double(probResGt1[0]))
+        : log2scaleRes - std::log2(double(scaleRes - probResGt1[0]));
+      bits += 1;
+      if (mag > 1) bits += 2.0 * std::log2(double(mag) - 1.0) + 1.0;
+    }
+    return bits;
+  }
+};
+
+// encodePredModeRefl / -Color (AttributeEncoder.cpp:722-760, 952-992)
+static void encodePredModeRefl(const PlParams& pp, int predMode,
+                               int32_t& coeff) {
+  int coeffSign = coeff < 0 ? -1 : 1;
+  int coeffAbs = std::abs(coeff);
+  int mode = predMode - pp.directAvgPredictorDisabled;
+  int maxcand = pp.maxNumDirectPredictors + !pp.directAvgPredictorDisabled;
+  switch (maxcand) {
+  case 4: coeff = coeffSign * ((coeffAbs << 2) + mode); break;
+  case 3:
+    if (mode > 0) coeffAbs = (coeffAbs << 1) + (mode - 1);
+    coeffAbs = (coeffAbs << 1) + (mode > 0);
+    coeff = coeffSign * coeffAbs;
+    break;
+  case 2: coeff = coeffSign * ((coeffAbs << 1) + mode); break;
+  default: break;
+  }
+}
+
+static void encodePredModeColor(const PlParams& pp, int predMode,
+                                int32_t values[3]) {
+  int signk1 = values[1] < 0 ? -1 : 1;
+  int signk2 = values[2] < 0 ? -1 : 1;
+  int coeffAbsk1 = std::abs(values[1]);
+  int coeffAbsk2 = std::abs(values[2]);
+  int mode = predMode - pp.directAvgPredictorDisabled;
+  int maxcand = pp.maxNumDirectPredictors + !pp.directAvgPredictorDisabled;
+  // encodePredModeColor (AttributeEncoder.cpp:952-989)
+  switch (maxcand) {
+  case 4:
+    values[1] = signk1 * ((coeffAbsk1 << 1) + (mode >> 1));
+    values[2] = signk2 * ((coeffAbsk2 << 1) + (mode & 1));
+    break;
+  case 3: {
+    int parityk1 = mode ? 1 : 0;
+    values[1] = signk1 * ((coeffAbsk1 << 1) + parityk1);
+    if (parityk1)
+      values[2] = signk2 * ((coeffAbsk2 << 1) + (mode - parityk1));
+    break;
+  }
+  case 2:
+    values[1] = signk1 * ((coeffAbsk1 << 1) + mode);
+    break;
+  default: break;
+  }
+}
+
+}  // namespace refpl
+
+// ---------------------------------------------------------------------------
+// brick encode entry (AttributeEncoder.cpp:750-1650)
+// ---------------------------------------------------------------------------
+
+static const double kAttrPredLambdaC = 0.14;   // AttributeEncoder.cpp:51
+
+// returns payload length or <0; out_lcp/out_icp receive the derived
+// ABH coefficient lists when applicable, recon_out (optional) the
+// reconstructed attributes in cloud order
+extern "C" int tmc13ref_encode_predlift(
+  const int32_t* positions, int npts, const int32_t* params,
+  const int32_t* sampling_periods, const int32_t* layer_qps,
+  const int32_t* attrs_in, uint8_t* aec_out, int cap,
+  int32_t* out_lcp, int32_t* out_icp, int32_t* recon_out) {
+  PlParams pp;
+  plparams_from(params, pp);
+  const int dims = pp.dims;
+
+  std::vector<V3> positionsV = std::vector<V3>(size_t(npts));
+  for (int i = 0; i < npts; i++)
+    positionsV[size_t(i)] = {{positions[i * 3], positions[i * 3 + 1],
+                              positions[i * 3 + 2]}};
+
+  Lods lods;
+  generateLods(pp, sampling_periods, positionsV, lods);
+
+  QpSet qpSet;
+  qpSet.maxQp = 51 + 6 * (pp.bitdepth - 8);
+  qpSet.fixedPointQpOffset =
+    pp.attrEncoding == 2 ? (kFixedPointWeightShift / 2) * 6 : 0;
+  for (int l = 0; l < pp.qpLayersCount; l++)
+    qpSet.layers.push_back({layer_qps[2 * l], layer_qps[2 * l + 1]});
+
+  ArithEnc aec;
+  aec.init();
+  aec.bypassNoUpdate = pp.bypassNoUpdate != 0;
+  AttrCtx ctx;
+  ctx.init();
+  ResStat rs;
+  rs.reset();
+  const int availPredModes =
+    pp.maxNumDirectPredictors + !pp.directAvgPredictorDisabled;
+
+  const size_t pointCount = size_t(npts);
+  const int64_t clipMax = (1ll << pp.bitdepth) - 1;
+  const auto& numPointsInLod = lods.numPointsInLod;
+  const auto& indexes = lods.indexes;
+  auto& predictors = lods.predictors;
+
+  // working copy of the attributes (cloud order), updated in place to
+  // the reconstruction as the reference does
+  std::vector<int32_t> attrs(attrs_in, attrs_in + pointCount * size_t(dims));
+
+  if (pp.attrEncoding == 1) {
+    std::vector<uint64_t> quantWeights;
+    computeQuantWeightsPred(predictors, pp.quantNeighWeight, quantWeights);
+
+    const bool icpOn = pp.interComponentPrediction && dims == 3;
+    std::vector<std::array<int32_t, 3>> icpCoeffs;
+    if (icpOn) {
+      // computeInterComponentPredictionCoeffs
+      // (AttributeEncoder.cpp:994-1075)
+      const int maxLvls = pp.maxNumDetailLevels();
+      icpCoeffs.assign(size_t(maxLvls), {0, 1, 1});
+      std::vector<std::array<int32_t, 3>> residual(pointCount);
+      for (size_t predIdx = 0; predIdx < pointCount; ++predIdx) {
+        const auto pointIdx = indexes[predIdx];
+        auto& predictor = predictors[predIdx];
+        predictor.predMode = 1;
+        int64_t predAttr[3];
+        predictAttr(predictor, attrs, 3, indexes, predAttr);
+        for (int k = 0; k < 3; k++)
+          residual[predIdx][size_t(k)] = int32_t(
+            attrs[size_t(pointIdx) * 3 + size_t(k)] - predAttr[k]);
+        predictor.predMode = 0;
+      }
+      const int nWeights = 8, nShift = 2;
+      int64_t sumPredCoeff[8][3] = {};
+      int64_t sumOrigCoeff[3] = {};
+      int lod = 0;
+      for (size_t predIdx = 0; predIdx < pointCount; ++predIdx) {
+        const auto& resid = residual[predIdx];
+        for (int w = 0; w < nWeights; w++)
+          for (int k = 1; k < 3; k++)
+            sumPredCoeff[w][k] += std::abs(
+              int64_t(resid[size_t(k)])
+              - int64_t(icpCoeffs[size_t(lod)][size_t(k)])
+                * (((w + 1) * resid[0] + 2) >> nShift));
+        for (int k = 1; k < 3; k++)
+          sumOrigCoeff[k] += std::abs(int64_t(resid[size_t(k)]));
+        if (predIdx != numPointsInLod[size_t(lod)] - 1) continue;
+        for (int k = 1; k < 3; k++) {
+          int best = 0;
+          for (int w = 1; w < nWeights; w++)
+            if (sumPredCoeff[w][k] < sumPredCoeff[best][k]) best = w;
+          int coeff = 1 + best;
+          icpCoeffs[size_t(lod)][size_t(k)] *= coeff;
+          if (sumPredCoeff[best][k] > sumOrigCoeff[k])
+            icpCoeffs[size_t(lod)][size_t(k)] = 0;
+        }
+        for (int w = 0; w < nWeights; w++)
+          sumPredCoeff[w][1] = sumPredCoeff[w][2] = 0;
+        sumOrigCoeff[1] = sumOrigCoeff[2] = 0;
+        lod++;
+      }
+      for (; lod < maxLvls; lod++)
+        icpCoeffs[size_t(lod)] = {0, 0, 0};
+      if (out_icp)
+        for (int l = 0; l < maxLvls; l++)
+          for (int k = 0; k < 3; k++)
+            out_icp[3 * l + k] = icpCoeffs[size_t(l)][size_t(k)];
+    }
+
+    std::vector<int32_t> residual0s(pointCount * size_t(dims));
+    std::vector<int> zerorun;
+    int zeroRunAcc = 0;
+    int quantLayer = 0;
+    int lod = 0;
+    int64_t icp[3] = {0, 0, 0};
+    if (icpOn) for (int k = 0; k < 3; k++) icp[k] = icpCoeffs[0][size_t(k)];
+
+    for (size_t predictorIndex = 0; predictorIndex < pointCount;
+         ++predictorIndex) {
+      if (predictorIndex == numPointsInLod[size_t(quantLayer)])
+        quantLayer = std::min(int(qpSet.layers.size()) - 1, quantLayer + 1);
+      if (icpOn && predictorIndex == numPointsInLod[size_t(lod)]) {
+        ++lod;
+        for (int k = 0; k < 3; k++) icp[k] = icpCoeffs[size_t(lod)][size_t(k)];
+      }
+      const uint32_t pointIndex = indexes[predictorIndex];
+      Quant quant[2];
+      qpSet.quantizers(quantLayer, quant);
+      auto& predictor = predictors[predictorIndex];
+      predictor.predMode = 0;
+
+      const bool eligible =
+        predModeEligible(pp, predictor, attrs, dims, indexes);
+
+      if (dims == 1) {
+        // decidePredModeRefl (AttributeEncoder.cpp:663-718)
+        const int64_t attrValue = attrs[size_t(pointIndex)];
+        if (eligible) {
+          int startpredIndex = pp.directAvgPredictorDisabled;
+          predictor.predMode = int8_t(startpredIndex);
+          int64_t attrPred[3];
+          predictAttr(predictor, attrs, 1, indexes, attrPred);
+          int64_t resQ = quant[0].quantize(
+            (attrValue - attrPred[0]) << kFixedPointAttributeShift);
+          int mode = predictor.predMode - pp.directAvgPredictorDisabled;
+          double best_score =
+            rs.bitsPtRefl(int32_t(resQ), mode, availPredModes);
+          for (int i = startpredIndex;
+               i < int(predictor.neighborCount); i++) {
+            if (i == pp.maxNumDirectPredictors) break;
+            int64_t ap = attrs[size_t(
+              indexes[predictor.neighbors[i].predictorIndex])];
+            resQ = quant[0].quantize(
+              (attrValue - ap) << kFixedPointAttributeShift);
+            mode = i + !pp.directAvgPredictorDisabled;
+            double score =
+              rs.bitsPtRefl(int32_t(resQ), mode, availPredModes);
+            if (score < best_score) {
+              best_score = score;
+              predictor.predMode = int8_t(i + 1);
+            }
+          }
+        }
+        int64_t attrPred[3];
+        predictAttr(predictor, attrs, 1, indexes, attrPred);
+        int64_t qStep = quant[0].stepSize();
+        int64_t weight =
+          std::min(int64_t(quantWeights[predictorIndex]), qStep)
+          >> kFixedPointWeightShift;
+        const int64_t delta = quant[0].quantize(
+          ((attrValue - attrPred[0]) * weight)
+          << kFixedPointAttributeShift);
+        int32_t attValue0 = int32_t(delta);
+        int64_t reconstructedDelta = divExp2RoundHalfUp(
+          quant[0].scale(delta), kFixedPointAttributeShift);
+        reconstructedDelta /= weight;
+        if (eligible)
+          encodePredModeRefl(pp, predictor.predMode, attValue0);
+        const int64_t recon = attrPred[0] + reconstructedDelta;
+        attrs[size_t(pointIndex)] =
+          int32_t(std::min(std::max(recon, int64_t(0)), clipMax));
+        if (!attValue0) ++zeroRunAcc;
+        else { zerorun.push_back(zeroRunAcc); zeroRunAcc = 0; }
+        residual0s[predictorIndex] = attValue0;
+        rs.updateRefl(attValue0);
+      } else {
+        // decidePredModeColor (AttributeEncoder.cpp:897-947)
+        const int32_t* attrValue = &attrs[size_t(pointIndex) * 3];
+        if (eligible) {
+          int startpredIndex = pp.directAvgPredictorDisabled;
+          predictor.predMode = int8_t(startpredIndex);
+          int64_t attrPred[3];
+          predictAttr(predictor, attrs, 3, indexes, attrPred);
+          auto colorResiduals = [&](const int64_t pred[3],
+                                    int64_t resQ[3]) {
+            // computeColorResiduals (AttributeEncoder.cpp:858-894)
+            resQ[0] = quant[0].quantize(
+              (int64_t(attrValue[0]) - pred[0])
+              << kFixedPointAttributeShift);
+            const int64_t res0 = divExp2RoundHalfUp(
+              quant[0].scale(resQ[0]), kFixedPointAttributeShift);
+            for (int k = 1; k < 3; k++) {
+              int64_t err = int64_t(attrValue[k]) - pred[k];
+              if (pp.interComponentPrediction)
+                err -= (icp[k] * res0 + 2) >> 2;
+              resQ[k] = quant[1].quantize(
+                err << kFixedPointAttributeShift);
+            }
+          };
+          auto colorDistortion = [&](const int64_t pred[3]) {
+            // computeColorDistortions (AttributeEncoder.cpp:1653-1680)
+            int64_t distortion = 0;
+            for (int k = 0; k < 3; k++) {
+              const Quant& q = quant[std::min(k, 1)];
+              int64_t residual = int64_t(attrValue[k]) - pred[k];
+              int64_t residualQ = q.quantize(
+                residual << kFixedPointAttributeShift);
+              int64_t residualR = divExp2RoundHalfUp(
+                q.scale(residualQ), kFixedPointAttributeShift);
+              int64_t recon = pred[k] + residualR;
+              recon = std::min(std::max(recon, int64_t(0)), clipMax);
+              distortion += std::abs(int64_t(attrValue[k]) - recon);
+            }
+            return double(distortion);
+          };
+          int64_t resQ[3];
+          colorResiduals(attrPred, resQ);
+          double rate = rs.bitsPtColor(int32_t(resQ[0]), int32_t(resQ[1]),
+                                       int32_t(resQ[2]), 0,
+                                       availPredModes);
+          double best_score = colorDistortion(attrPred)
+            + rate * kAttrPredLambdaC
+              * double(quant[0].stepSize() >> kFixedPointAttributeShift);
+          for (int i = startpredIndex;
+               i < int(predictor.neighborCount); i++) {
+            if (i == pp.maxNumDirectPredictors) break;
+            const uint32_t pi =
+              indexes[predictor.neighbors[i].predictorIndex];
+            int64_t ap[3] = {attrs[size_t(pi) * 3],
+                             attrs[size_t(pi) * 3 + 1],
+                             attrs[size_t(pi) * 3 + 2]};
+            colorResiduals(ap, resQ);
+            int sigIdx = i + !pp.directAvgPredictorDisabled;
+            double r2 = rs.bitsPtColor(int32_t(resQ[0]), int32_t(resQ[1]),
+                                       int32_t(resQ[2]), sigIdx,
+                                       availPredModes);
+            double score = colorDistortion(ap)
+              + r2 * kAttrPredLambdaC
+                * double(quant[0].stepSize() >> kFixedPointAttributeShift);
+            if (score < best_score) {
+              best_score = score;
+              predictor.predMode = int8_t(i + 1);
+            }
+          }
+        }
+        int64_t attrPred[3];
+        predictAttr(predictor, attrs, 3, indexes, attrPred);
+        int32_t values[3];
+        int64_t residual0 = 0;
+        for (int k = 0; k < 3; ++k) {
+          const Quant& q = quant[std::min(k, 1)];
+          int64_t residual = int64_t(attrValue[k]) - attrPred[k];
+          int64_t qStep = q.stepSize();
+          int64_t weight =
+            std::min(int64_t(quantWeights[predictorIndex]), qStep)
+            >> kFixedPointWeightShift;
+          int64_t residualQ = q.quantize(
+            (residual * weight) << kFixedPointAttributeShift);
+          int64_t residualR = divExp2RoundHalfUp(
+            q.scale(residualQ), kFixedPointAttributeShift);
+          residualR /= weight;
+          if (pp.interComponentPrediction && k > 0) {
+            residual = residual - ((icp[k] * residual0 + 2) >> 2);
+            residualQ = q.quantize(
+              (residual * weight) << kFixedPointAttributeShift);
+            residualR = divExp2RoundHalfUp(
+              q.scale(residualQ), kFixedPointAttributeShift);
+            residualR /= weight;
+            residualR += (icp[k] * residual0 + 2) >> 2;
+          }
+          if (k == 0) residual0 = residualR;
+          values[k] = int32_t(residualQ);
+          int64_t recon = attrPred[k] + residualR;
+          attrs[size_t(pointIndex) * 3 + size_t(k)] =
+            int32_t(std::min(std::max(recon, int64_t(0)), clipMax));
+        }
+        if (eligible)
+          encodePredModeColor(pp, predictor.predMode, values);
+        rs.updateColor(values);
+        if (!values[0] && !values[1] && !values[2]) ++zeroRunAcc;
+        else { zerorun.push_back(zeroRunAcc); zeroRunAcc = 0; }
+        for (int k = 0; k < 3; k++)
+          residual0s[predictorIndex * 3 + size_t(k)] = values[k];
+      }
+    }
+    if (zeroRunAcc) zerorun.push_back(zeroRunAcc);
+
+    int runIdx = 0;
+    int zeroRunRem = 0;
+    for (size_t predictorIndex = 0; predictorIndex < pointCount;
+         ++predictorIndex) {
+      if (--zeroRunRem < 0) {
+        zeroRunRem = zerorun[size_t(runIdx++)];
+        encodeRunLength(aec, ctx, zeroRunRem);
+      }
+      if (!zeroRunRem) {
+        if (dims == 1)
+          encodeScalar(aec, ctx, residual0s[predictorIndex]);
+        else
+          encodeTriplet(aec, ctx, residual0s[predictorIndex * 3],
+                        residual0s[predictorIndex * 3 + 1],
+                        residual0s[predictorIndex * 3 + 2]);
+      }
+    }
+  } else if (pp.attrEncoding == 2) {
+    std::vector<uint64_t> weights;
+    computeQuantWeightsLift(predictors, weights);
+    const size_t lodCount = numPointsInLod.size();
+    std::vector<int64_t> vals(pointCount * size_t(dims));
+    for (size_t index = 0; index < pointCount; ++index)
+      for (int k = 0; k < dims; k++)
+        vals[index * size_t(dims) + size_t(k)] =
+          int64_t(attrs[size_t(indexes[index]) * size_t(dims) + size_t(k)])
+          << kFixedPointAttributeShift;
+
+    for (size_t i = 0; i + 1 < lodCount; ++i) {
+      const size_t lodIndex = lodCount - i - 1;
+      const size_t startIndex = numPointsInLod[lodIndex - 1];
+      const size_t endIndex = numPointsInLod[lodIndex];
+      liftPredict(predictors, startIndex, endIndex, true, vals, dims);
+      liftUpdate(predictors, weights, startIndex, endIndex, true, vals,
+                 dims);
+    }
+
+    const bool lcpOn = pp.lastComponentPrediction && dims == 3;
+    std::vector<int32_t> lcpCoeffs;
+    int64_t lastCompPredCoeff = 0;
+    if (lcpOn) {
+      // computeLastComponentPredictionCoeff
+      // (AttributeEncoder.cpp:1499-1542); NB the reference accumulates
+      // the products through int (32-bit) - reproduced bug-compatibly
+      const int maxLvls = pp.maxNumDetailLevels();
+      lcpCoeffs.assign(size_t(maxLvls), 0);
+      int64_t sumk1k2 = 0, sumk1k1 = 0;
+      int lod = 0;
+      for (size_t coeffIdx = 0; coeffIdx < pointCount; ++coeffIdx) {
+        int mult = int(vals[coeffIdx * 3 + 1] * vals[coeffIdx * 3 + 2]);
+        int mult2 = int(vals[coeffIdx * 3 + 1] * vals[coeffIdx * 3 + 1]);
+        sumk1k2 += mult;
+        sumk1k1 += mult2;
+        if (coeffIdx != numPointsInLod[size_t(lod)] - 1) continue;
+        int64_t scale = 0;
+        if (sumk1k2 && sumk1k1) {
+          int sign = ((sumk1k2 < 0) ^ (sumk1k1 < 0)) ? -1 : 1;
+          scale = ((sumk1k2 << 2) + sign * (sumk1k1 >> 1)) / sumk1k1;
+        }
+        sumk1k2 = sumk1k1 = 0;
+        lcpCoeffs[size_t(lod)] =
+          int32_t(std::min(std::max(scale, int64_t(-8)), int64_t(8)));
+        lod++;
+      }
+      for (; lod < maxLvls; lod++)
+        lcpCoeffs[size_t(lod)] = lcpCoeffs[size_t(lod - 1)];
+      if (out_lcp)
+        for (int l = 0; l < maxLvls; l++) out_lcp[l] = lcpCoeffs[size_t(l)];
+      lastCompPredCoeff = lcpCoeffs[0];
+    }
+
+    int zeroRun = 0;
+    int quantLayer = 0;
+    int lod = 0;
+    for (size_t predictorIndex = 0; predictorIndex < pointCount;
+         ++predictorIndex) {
+      if (predictorIndex == numPointsInLod[size_t(quantLayer)])
+        quantLayer = std::min(int(qpSet.layers.size()) - 1, quantLayer + 1);
+      if (predictorIndex == numPointsInLod[size_t(lod)]) {
+        lod++;
+        if (lcpOn) lastCompPredCoeff = lcpCoeffs[size_t(lod)];
+      }
+      Quant quant[2];
+      qpSet.quantizers(quantLayer, quant);
+      const int64_t iQuantWeight =
+        int64_t(tmc13ref_irsqrt(weights[predictorIndex]));
+      const int64_t quantWeight = int64_t(
+        (weights[predictorIndex] * uint64_t(iQuantWeight) + (1ull << 39))
+        >> 40);
+
+      if (dims == 1) {
+        auto& v = vals[predictorIndex];
+        const int64_t delta = quant[0].quantize(v * quantWeight);
+        const int64_t reconstructedDelta = quant[0].scale(delta);
+        v = divExp2RoundHalfInf(reconstructedDelta * iQuantWeight, 40);
+        if (!delta) ++zeroRun;
+        else {
+          encodeRunLength(aec, ctx, zeroRun);
+          encodeScalar(aec, ctx, int32_t(delta));
+          zeroRun = 0;
+        }
+      } else {
+        int64_t* color = &vals[predictorIndex * 3];
+        int32_t values[3];
+        values[0] = int32_t(quant[0].quantize(color[0] * quantWeight));
+        int64_t scaled = quant[0].scale(values[0]);
+        color[0] = divExp2RoundHalfInf(scaled * iQuantWeight, 40);
+        values[1] = int32_t(quant[1].quantize(color[1] * quantWeight));
+        scaled = quant[1].scale(values[1]);
+        color[1] = divExp2RoundHalfInf(scaled * iQuantWeight, 40);
+        color[2] -= (lastCompPredCoeff * color[1]) >> 2;
+        scaled *= lastCompPredCoeff;
+        scaled >>= 2;
+        values[2] = int32_t(quant[1].quantize(color[2] * quantWeight));
+        scaled += quant[1].scale(values[2]);
+        color[2] = divExp2RoundHalfInf(scaled * iQuantWeight, 40);
+        if (!values[0] && !values[1] && !values[2]) ++zeroRun;
+        else {
+          encodeRunLength(aec, ctx, zeroRun);
+          encodeTriplet(aec, ctx, values[0], values[1], values[2]);
+          zeroRun = 0;
+        }
+      }
+    }
+    if (zeroRun) encodeRunLength(aec, ctx, zeroRun);
+
+    // reconstruct (for recon_out)
+    for (size_t lodIndex = 1; lodIndex < lodCount; ++lodIndex) {
+      const size_t startIndex = numPointsInLod[lodIndex - 1];
+      const size_t endIndex = numPointsInLod[lodIndex];
+      liftUpdate(predictors, weights, startIndex, endIndex, false, vals,
+                 dims);
+      liftPredict(predictors, startIndex, endIndex, false, vals, dims);
+    }
+    for (size_t f = 0; f < pointCount; ++f)
+      for (int k = 0; k < dims; k++) {
+        const int64_t v = divExp2RoundHalfInf(
+          vals[f * size_t(dims) + size_t(k)], kFixedPointAttributeShift);
+        attrs[size_t(indexes[f]) * size_t(dims) + size_t(k)] =
+          int32_t(std::min(std::max(v, int64_t(0)), clipMax));
+      }
+  } else {
+    return -2;
+  }
+
+  aec.flush();
+  if (int(aec.out.size()) > cap) return -3;
+  std::copy(aec.out.begin(), aec.out.end(), aec_out);
+  if (recon_out)
+    std::copy(attrs.begin(), attrs.end(), recon_out);
+  return int(aec.out.size());
+}

@@ -417,6 +417,9 @@ class Config:
                     # is strictly RD-dominated on dense content
                     lod_levels=(int(a["levelOfDetailCount"]) + 1
                                 if "levelOfDetailCount" in a else 12),
+                    ref_num_detail_levels_minus1=(
+                        int(a["levelOfDetailCount"])
+                        if "levelOfDetailCount" in a else 1),
                     num_pred_nearest_neighbours=min(int(
                         a.get("numberOfNearestNeighborsInPrediction",
                               "3")), 3),
@@ -428,8 +431,9 @@ class Config:
                         a.get("qpLayerOffsetsLuma", "")),
                     layer_qp_offsets_chroma=_int_list(
                         a.get("qpLayerOffsetsChroma", "")),
+                    # tmc3 default TRUE (TMC3.cpp:1404-1406)
                     last_component_prediction=opt.to_bool(
-                        a.get("lastComponentPredictionEnabled", "0")),
+                        a.get("lastComponentPredictionEnabled", "1")),
                     inter_component_prediction=opt.to_bool(
                         a.get("interComponentPredictionEnabled",
                               "0")),
@@ -494,7 +498,9 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
     # rides the conformance RAHT engine (native/refattr.cc)
     attr_cfg = next(
         (a for a in p.attributes
-         if a.encoding == hls.AttributeEncoding.RAHT), None)
+         if a.encoding in (hls.AttributeEncoding.RAHT,
+                           hls.AttributeEncoding.PRED,
+                           hls.AttributeEncoding.LIFT)), None)
     sw = Stopwatch().start()
     frames = []
     colors = [] if (attr_cfg and attr_cfg.label == "color") else None
@@ -554,7 +560,23 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
                       if attr_cfg else False),
         attr_cicp_matrix=(attr_cfg.cicp_matrix
                           if attr_cfg else 1),
-        bypass_no_update=cfg.bypass_no_update)
+        bypass_no_update=cfg.bypass_no_update,
+        attr_aps=(refenc.derive_default_aps(
+            {hls.AttributeEncoding.RAHT: 0,
+             hls.AttributeEncoding.PRED: 1,
+             hls.AttributeEncoding.LIFT: 2}[attr_cfg.encoding],
+            attr_qp=attr_cfg.qp,
+            attr_qp_chroma_offset=attr_cfg.qp_chroma_offset,
+            integer_haar=attr_cfg.raht_integer_haar,
+            num_detail_levels_minus1=(
+                attr_cfg.ref_num_detail_levels_minus1),
+            lod_decimation_type=0,
+            dist2=attr_cfg.dist2,
+            inter_component_prediction=(
+                attr_cfg.inter_component_prediction),
+            last_component_prediction=(
+                attr_cfg.last_component_prediction))
+                  if attr_cfg else None))
     # record the coding scale in the SPS-equivalent position: our
     # decoder descales by sps.seq_scale (tmc3 treats it as seq unit)
     if p.geom_scale_num != 1 or p.geom_scale_den != 1:

@@ -44,6 +44,9 @@ class AttributeConfig:
     # coded-value interpretation (reference attrScale/attrOffset)
     attr_scale: int = 1
     attr_offset: int = 0
+    # reference-syntax LoD count (raw tmc3 option semantics,
+    # num_detail_levels_minus1; TMC3.cpp:1374 default 1)
+    ref_num_detail_levels_minus1: int = 1
     # LoD construction (reference dist2 / lodDecimator): dist2 > 0
     # selects distance subsampling, else Morton-periodic decimation
     dist2: int = 0

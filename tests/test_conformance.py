@@ -919,3 +919,43 @@ def test_predlift_duplicates_bit_exact(tmp_path):
     input row, MortonCodeWithIndex::operator<)."""
     _predlift_roundtrip(tmp_path, "pldup", ["--transformType=2"],
                         merge="0")
+
+
+def test_cli_refsyntax_predlift_full_stream_byte_identical(tmp_path):
+    """CLI surface: predicting- and lifting-transform colour streams
+    under --refSyntax=1 are byte-for-byte identical to the tmc3
+    binary's output, including the encoder-derived per-slice dist2
+    delta (estimateDist2, AttributeEncoder.cpp:1685), the RD
+    direct-mode decisions (decidePredMode*, :663-947) and the
+    LCP/ICP coefficient derivations (:994-1075, :1499-1542)."""
+    import sys
+    rng = np.random.default_rng(31)
+    pos = np.unique(rng.integers(0, 512, size=(7000, 3),
+                                 dtype=np.int64), axis=0)
+    col = ((pos * np.array([2, 1, 3])) % 256
+           + rng.integers(0, 8, pos.shape)).clip(0, 255)
+    src = tmp_path / "cpl.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64),
+                           colors=col.astype(np.uint8)), str(src),
+              ascii=True)
+    for tt in (1, 2):
+        ref_bit = tmp_path / f"cpl{tt}.ref.bin"
+        my_bit = tmp_path / f"cpl{tt}.mine.bin"
+        subprocess.run(
+            [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+             f"--compressedStreamPath={ref_bit}",
+             "--positionQuantizationScale=1",
+             "--neighbourAvailBoundaryLog2=8",
+             "--inferredDirectCodingMode=0", "--planarEnabled=1",
+             "--mergeDuplicatedPoints=1",
+             f"--transformType={tt}", "--qp=34", "--attribute=color"],
+            check=True, capture_output=True)
+        subprocess.run(
+            [sys.executable, "-m", "mpeg_pcc_tmc13_tpu.runtime.cli",
+             "--mode=0", f"--uncompressedDataPath={src}",
+             f"--compressedStreamPath={my_bit}", "--refSyntax=1",
+             "--planarEnabled=1", "--mergeDuplicatedPoints=1",
+             f"--transformType={tt}", "--qp=34", "--attribute=color"],
+            check=True, capture_output=True)
+        assert my_bit.read_bytes() == ref_bit.read_bytes(), \
+            f"transformType={tt}"
