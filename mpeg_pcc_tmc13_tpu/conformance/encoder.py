@@ -688,6 +688,11 @@ def encode_frames(frames, unique_points: bool = True,
                 gbh_p = ref_hls.parse_gbh(sps, gps, brick)
                 dec_pos = refdec.decode_geometry_brick(
                     sps, gps, gbh_p, brick)
+                # attributes are coded on the slice-origin-ADDED
+                # positions (encoder.cpp:1210 pointCloud += sliceOrigin
+                # before attributeCoding) - the Morton order that
+                # drives RAHT/LoD depends on the absolute coordinates
+                attr_pos = dec_pos.astype(np.int64) + origin
                 if ts_log2:
                     # lossy geometry: recolour source attrs onto the
                     # reconstruction (transferAttributes)
@@ -718,13 +723,13 @@ def encode_frames(frames, unique_points: bool = True,
                     aslice = apart[src_row].astype(np.int32)
                 if aps.attr_encoding == ref_hls.ATTR_RAHT:
                     attr_aec, _ = encode_attr_brick_native(
-                        sps, aps, dec_pos, aslice)
+                        sps, aps, attr_pos, aslice)
                     abrick = ref_hls.write_abh(aps, 0, slice_id,
                                                attr_aec)
                 else:
                     (attr_aec, lcp, icp, _rec,
                      d2d) = encode_attr_brick_predlift(
-                        sps, aps, dec_pos, aslice)
+                        sps, aps, attr_pos, aslice)
                     dims_ = aslice.shape[1]
                     abrick = ref_hls.write_abh(
                         aps, 0, slice_id, attr_aec, dims=dims_,

@@ -959,3 +959,48 @@ def test_cli_refsyntax_predlift_full_stream_byte_identical(tmp_path):
             check=True, capture_output=True)
         assert my_bit.read_bytes() == ref_bit.read_bytes(), \
             f"transformType={tt}"
+
+
+def test_multislice_attr_origin_coding(tmp_path):
+    """Attributes of a non-zero-origin slice are coded on the
+    slice-origin-ADDED positions (encoder.cpp:1210): a 2-slice stream
+    with colours must decode in tmc3 to the same values as our own
+    decoder, with sane per-slice fidelity."""
+    import sys
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    rng = np.random.default_rng(41)
+    pos = np.unique(rng.integers(0, 512, size=(9000, 3),
+                                 dtype=np.int64), axis=0)
+    col = ((pos * np.array([2, 1, 3])) % 256).astype(np.int32)
+    gbr = col[:, [1, 2, 0]]
+    stream = refenc.encode_frames(
+        [pos], planar=True, colors=[gbr], attr_qp=34,
+        max_points_per_slice=4000)
+    nslices = sum(1 for t, _ in __import__(
+        "mpeg_pcc_tmc13_tpu.conformance.ref_hls",
+        fromlist=["x"]).iter_ref_tlv(stream) if t == 2)
+    assert nslices >= 2
+    bit = tmp_path / "ms.bin"
+    bit.write_bytes(stream)
+    dec = tmp_path / "ms.dec.ply"
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={dec}", "--outputBinaryPly=0",
+         "--convertPlyColourspace=0"],
+        check=True, capture_output=True)
+    ref = ply.read(str(dec))
+    frames, attrs = refdec.decode_stream(stream, want_attrs=True)
+    np.testing.assert_array_equal(frames[0],
+                                  ref.positions.astype(np.int64))
+    np.testing.assert_array_equal(attrs[0][:, [2, 0, 1]],
+                                  ref.colors.astype(np.int32))
+    # lossless geometry => exact position match to source; attrs at
+    # qp34 must be close to source everywhere (both slices)
+    k_dec = ((frames[0][:, 0] << 42) | (frames[0][:, 1] << 21)
+             | frames[0][:, 2])
+    k_src = (pos[:, 0] << 42) | (pos[:, 1] << 21) | pos[:, 2]
+    o = np.argsort(k_src)
+    row = o[np.searchsorted(k_src[o], k_dec)]
+    d = attrs[0].astype(np.int64) - gbr[row]
+    assert np.abs(d).mean() < 8.0
