@@ -143,15 +143,25 @@ def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         raise UnsupportedTool(", ".join(unsupported))
 
 
-def decode_trisoup_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
-                         gbh: ref_hls.RefGbh,
-                         payload: bytes) -> np.ndarray:
-    """Decode one trisoup geometry brick: octree phase down to the
-    trisoup node size, vertex/centroid/face entropy stages, then the
-    normative ray-traced surface voxelisation
+def decode_trisoup_payload(aec: bytes, axes: np.ndarray,
+                           gp: np.ndarray, ts_log2: int, *,
+                           cap: int, sampling: int,
+                           halo: bool, adaptive_halo: bool,
+                           fine_ray: bool, face_vertex: bool,
+                           centroid_residual: bool,
+                           vertex_quant_bits: int,
+                           flag_n: int, flag_f: int,
+                           bb_min: np.ndarray, bb_max: np.ndarray,
+                           expected_nseg: int = -1,
+                           expected_points: int = -1) -> np.ndarray:
+    """Decode one reference-syntax trisoup AEC payload: octree phase
+    down to the trisoup node size, vertex/centroid/face entropy
+    stages, then the normative ray-traced surface voxelisation
     (decodeGeometryTrisoup, /root/reference/tmc3/
     geometry_trisoup_decoder.cpp:125-203).  Returns slice-local STV
-    positions in the reference's reconstruction order."""
+    positions in the reference's reconstruction order.  Shared by the
+    tmc3-interop brick decoder and the native-syntax obuf-engine
+    trisoup bricks (which embed the same payload)."""
     lib = _load()
     c = ctypes
 
@@ -161,60 +171,46 @@ def decode_trisoup_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
     def pu8(a):
         return a.ctypes.data_as(c.POINTER(c.c_uint8))
 
-    aec = payload[gbh.header_bytes:len(payload) - gbh.footer_bytes]
     aec_arr = np.frombuffer(aec, dtype=np.uint8)
-    axes = np.asarray(gbh.tree_lvl_coded_axis_list, dtype=np.int32)
-    gp = geom_params_array(gps, sps.bypass_bin_coding_without_prob_update)
-    # the reference sizes the node fifo at a fixed 1.1M for trisoup
-    # (geometry_octree_decoder.cpp:1587-1588)
-    cap = max(gbh.num_points, 1100000)
+    axes = np.ascontiguousarray(axes, dtype=np.int32)
     leaves = np.empty((cap, 3), dtype=np.int32)
     hnd = c.c_void_p()
     n = lib.tmc13ref_decode_octree_trisoup(
         pu8(aec_arr), len(aec), p32(axes), len(axes), cap,
-        gbh.trisoup_node_size_log2, p32(gp), p32(leaves), cap,
-        c.byref(hnd))
+        ts_log2, p32(gp), p32(leaves), cap, c.byref(hnd))
     if n < 0:
         raise RuntimeError(f"trisoup octree phase failed rc={n}")
     leaves = np.ascontiguousarray(leaves[:n])
 
     from ..ops.trisoup_ref import trisoup_neighbours
-    w = 1 << gbh.trisoup_node_size_log2
+    w = 1 << ts_log2
     feats = trisoup_neighbours(leaves, w)
     neighb = np.ascontiguousarray(feats["neighb"])
     pattern = np.ascontiguousarray(feats["pattern"])
     nseg = int(neighb.shape[0])
-    if nseg != gbh.num_unique_segments:
+    if expected_nseg >= 0 and nseg != expected_nseg:
         raise RuntimeError(
-            f"segment count {nseg} != header {gbh.num_unique_segments}")
+            f"segment count {nseg} != header {expected_nseg}")
 
-    maxvq = gbh.trisoup_vertex_quant_bits or gbh.trisoup_node_size_log2
-    bit_dropped = max(0, gbh.trisoup_node_size_log2 - maxvq)
-    nbits = gbh.trisoup_node_size_log2 - bit_dropped
+    maxvq = vertex_quant_bits or ts_log2
+    bit_dropped = max(0, ts_log2 - maxvq)
+    nbits = ts_log2 - bit_dropped
     segind = np.zeros(nseg, dtype=np.uint8)
     vert = np.zeros(nseg, dtype=np.uint8)
     seg2v = np.zeros(nseg, dtype=np.int32)
+    bb_min = np.ascontiguousarray(bb_min, dtype=np.int32)
+    bb_max = np.ascontiguousarray(bb_max, dtype=np.int32)
     ts = lib.tsref_open(hnd)
     try:
         lib.tsref_dec_verts(
             ts, neighb.ctypes.data_as(c.POINTER(c.c_uint16)), p32(pattern),
             nseg, nbits, pu8(segind), pu8(vert), p32(seg2v))
 
-        flag_n = int(gps.non_cubic_node_start_edge
-                     and gbh.slice_bb_pos_bits > 0)
-        flag_f = int(gps.non_cubic_node_end_edge
-                     and gbh.slice_bb_width_bits > 0)
-        bb_min = np.asarray(
-            [p << gbh.slice_bb_pos_log2_scale for p in gbh.slice_bb_pos],
-            dtype=np.int32)
-        bb_max = bb_min + np.asarray(
-            [p << gbh.slice_bb_width_log2_scale for p in gbh.slice_bb_width],
-            dtype=np.int32)
         gh = lib.tsgeom_open(
             p32(leaves), n, w, bit_dropped, flag_n, flag_f, p32(bb_min),
-            p32(bb_max), gbh.trisoup_sampling, int(gbh.trisoup_halo),
-            int(gbh.trisoup_adaptive_halo), int(gbh.trisoup_fine_ray),
-            int(gbh.trisoup_face_vertex), int(gbh.trisoup_centroid_residual))
+            p32(bb_max), sampling, int(halo),
+            int(adaptive_halo), int(fine_ray),
+            int(face_vertex), int(centroid_residual))
         try:
             uniq_vert = np.full(nseg, -1, dtype=np.int32)
             uniq_vert[segind > 0] = vert[segind > 0]
@@ -236,10 +232,45 @@ def decode_trisoup_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
             lib.tsgeom_close(gh)
     finally:
         lib.tsref_close(ts)
-    if npts != gbh.num_points:
+    if expected_points >= 0 and npts != expected_points:
         raise RuntimeError(
-            f"reconstructed {npts} points, footer says {gbh.num_points}")
+            f"reconstructed {npts} points, footer says {expected_points}")
     return out.astype(np.int64)
+
+
+def decode_trisoup_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
+                         gbh: ref_hls.RefGbh,
+                         payload: bytes) -> np.ndarray:
+    """Decode one tmc3 trisoup geometry brick (HLS fields unpacked
+    from the GBH, payload decoded by decode_trisoup_payload)."""
+    aec = payload[gbh.header_bytes:len(payload) - gbh.footer_bytes]
+    axes = np.asarray(gbh.tree_lvl_coded_axis_list, dtype=np.int32)
+    gp = geom_params_array(gps, sps.bypass_bin_coding_without_prob_update)
+    flag_n = int(gps.non_cubic_node_start_edge
+                 and gbh.slice_bb_pos_bits > 0)
+    flag_f = int(gps.non_cubic_node_end_edge
+                 and gbh.slice_bb_width_bits > 0)
+    bb_min = np.asarray(
+        [p << gbh.slice_bb_pos_log2_scale for p in gbh.slice_bb_pos],
+        dtype=np.int32)
+    bb_max = bb_min + np.asarray(
+        [p << gbh.slice_bb_width_log2_scale for p in gbh.slice_bb_width],
+        dtype=np.int32)
+    # the reference sizes the node fifo at a fixed 1.1M for trisoup
+    # (geometry_octree_decoder.cpp:1587-1588)
+    return decode_trisoup_payload(
+        aec, axes, gp, gbh.trisoup_node_size_log2,
+        cap=max(gbh.num_points, 1100000),
+        sampling=gbh.trisoup_sampling,
+        halo=gbh.trisoup_halo,
+        adaptive_halo=gbh.trisoup_adaptive_halo,
+        fine_ray=gbh.trisoup_fine_ray,
+        face_vertex=gbh.trisoup_face_vertex,
+        centroid_residual=gbh.trisoup_centroid_residual,
+        vertex_quant_bits=gbh.trisoup_vertex_quant_bits,
+        flag_n=flag_n, flag_f=flag_f, bb_min=bb_min, bb_max=bb_max,
+        expected_nseg=gbh.num_unique_segments,
+        expected_points=gbh.num_points)
 
 
 def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,

@@ -47,6 +47,84 @@ class TrisoupContexts:
                                self.face.copy())
 
 
+def _ref_gps(gps, depth: int, s: int):
+    """RefGps + QTBT axis list for a reference-exact trisoup brick
+    embedded in a native-syntax slice (geometry_obuf engine).  The
+    trisoup QTBT-first override (geometry_octree.cpp:114-118) with a
+    cubic root degenerates to plain octree levels truncated at the
+    node size."""
+    from ..conformance.encoder import qtbt_axis_list
+    from . import geometry_obuf
+    rg = geometry_obuf._gps_flags(gps)
+    rg.trisoup_enabled = True
+    rg.non_cubic_node_start_edge = True
+    rg.non_cubic_node_end_edge = True
+    axes = np.asarray(
+        qtbt_axis_list([depth] * 3, True, max_num_qtbt_before_ot=0,
+                       min_qtbt_size_log2=0, stop_log2=s),
+        dtype=np.int32)
+    return rg, axes
+
+
+def _encode_ref(local: np.ndarray, depth: int, s: int, enc, gps,
+                halo: bool, centroid: bool, face_vertices: bool):
+    """Reference-exact trisoup brick (native syntax, obuf engine):
+    octree phase + trained dynamic-OBUF vertex coder + centroid/face
+    stages ride ONE embedded dirac payload, byte-identical machinery
+    to the tmc3 interop path — geometry RD equals the reference
+    encoder's (encodeGeometryTrisoup,
+    /root/reference/tmc3/geometry_trisoup_encoder.cpp:100-246).
+    The payload plus a small bypass header (lengths, sampling, slice
+    bbox for non-cubic boundary nodes) is embedded in the native
+    range-coded stream."""
+    from ..conformance.encoder import _encode_trisoup_brick_native
+    rg, axes = _ref_gps(gps, depth, s)
+    stv = np.ascontiguousarray(local, dtype=np.int32)
+    aec, fields, recon = _encode_trisoup_brick_native(
+        stv, axes, rg, s, halo=halo, adaptive_halo=halo,
+        face_vertex=face_vertices, centroid_residual=centroid)
+    bb_pos = fields["slice_bb_pos"]
+    bb_width = fields["slice_bb_width"]
+    hdr = np.array([
+        len(aec), fields["num_unique_segments"],
+        fields["trisoup_sampling"], recon.shape[0],
+        fields["slice_bb_pos_bits"], fields["slice_bb_width_bits"],
+        bb_pos[0], bb_pos[1], bb_pos[2],
+        bb_width[0], bb_width[1], bb_width[2],
+    ], dtype=np.uint32)
+    enc.bypass(hdr, np.full(hdr.size, 32, dtype=np.int32))
+    enc.bypass(np.frombuffer(aec, dtype=np.uint8).astype(np.uint32),
+               np.full(len(aec), 8, dtype=np.int32))
+    return recon.astype(np.int64)
+
+
+def _decode_ref(depth: int, s: int, dec, gps, max_nodes: int,
+                halo: bool, centroid: bool, face_vertices: bool):
+    """Decode mirror of _encode_ref."""
+    from ..conformance.decoder import (decode_trisoup_payload,
+                                       geom_params_array)
+    hdr = dec.bypass(np.full(12, 32, dtype=np.int32))
+    n_bytes, nseg, sampling, recon_cnt = (int(v) for v in hdr[:4])
+    pos_bits, width_bits = int(hdr[4]), int(hdr[5])
+    bb_min = hdr[6:9].astype(np.int32)
+    bb_max = (hdr[6:9].astype(np.int64)
+              + hdr[9:12].astype(np.int64)).astype(np.int32)
+    raw = dec.bypass(np.full(n_bytes, 8, dtype=np.int32))
+    aec = raw.astype(np.uint8).tobytes()
+    rg, axes = _ref_gps(gps, depth, s)
+    gp = geom_params_array(rg, True)
+    out = decode_trisoup_payload(
+        aec, axes, gp, s,
+        cap=max(max_nodes, recon_cnt, 1_100_000),
+        sampling=sampling, halo=halo, adaptive_halo=halo,
+        fine_ray=True, face_vertex=face_vertices,
+        centroid_residual=centroid, vertex_quant_bits=0,
+        flag_n=int(pos_bits > 0), flag_f=int(width_bits > 0),
+        bb_min=bb_min, bb_max=bb_max,
+        expected_nseg=nseg, expected_points=recon_cnt)
+    return out
+
+
 def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
            octx: geometry_octree.OctreeContexts, tctx: TrisoupContexts,
            engine: str = "auto",
@@ -59,34 +137,29 @@ def encode(positions: np.ndarray, depth: int, node_size_log2: int, enc,
 
     pad_points: slice-local positions from NEIGHBOURING slices near
     this slice's boundary (reference sliceCloudPadding,
-    encoder.cpp:550-559); they join the vertex voting only.
-    face_vertices is accepted for option compatibility; the v2 surface
-    model does not code face vertices."""
+    encoder.cpp:550-559); they join the vertex voting only (v2 path).
+    With the OBUF engine the whole brick runs the reference-exact
+    trisoup coder (_encode_ref): face_vertices then selects the
+    reference face-vertex stage; on the v2 path it is accepted for
+    option compatibility only."""
     s = min(node_size_log2, depth)
     octree_depth = depth - s
+
+    # obuf engine: the whole brick (octree phase + trained
+    # dynamic-OBUF vertex maps + centroids + faces) is one embedded
+    # reference-exact dirac payload — geometry RD equals tmc3's
+    if obuf_gps is not None and octree_depth > 0 and len(positions):
+        return _encode_ref(positions, depth, s, enc, obuf_gps,
+                           halo=halo, centroid=centroid,
+                           face_vertices=face_vertices)
+
     codes = morton.encode(positions.astype(np.int64))
     codes_sorted = np.sort(codes)
     node_codes = np.unique(codes_sorted >> (3 * s))
-
-    # octree part over node codes.  With the OBUF engine the node
-    # octree rides an embedded dirac sub-stream (reference-class
-    # occupancy compression, models/geometry_obuf.py); node count and
-    # byte length are bypass-signalled ahead of it.
     node_pos = morton.decode(node_codes)
-    if obuf_gps is not None and octree_depth > 0 and node_pos.size:
-        from . import geometry_obuf
-        payload = geometry_obuf.encode(
-            node_pos, octree_depth, (octree_depth,) * 3, obuf_gps)
-        enc.bypass(np.array([len(node_codes), len(payload)],
-                            dtype=np.uint32),
-                   np.array([32, 32], dtype=np.int32))
-        enc.bypass(np.frombuffer(payload, dtype=np.uint8)
-                   .astype(np.uint32),
-                   np.full(len(payload), 8, dtype=np.int32))
-    else:
-        geometry_octree.encode(node_pos, octree_depth, enc, octx,
-                               unique_points=True, engine=engine,
-                               ctx_mode=ctx_mode)
+    geometry_octree.encode(node_pos, octree_depth, enc, octx,
+                           unique_points=True, engine=engine,
+                           ctx_mode=ctx_mode)
 
     # vertex voting over the full-resolution points; padding points
     # from neighbouring slices join existing nodes only
@@ -148,18 +221,12 @@ def decode(depth: int, node_size_log2: int, dec,
     s = min(node_size_log2, depth)
     octree_depth = depth - s
     if obuf_gps is not None and octree_depth > 0:
-        from . import geometry_obuf
-        hdr = dec.bypass(np.array([32, 32], dtype=np.int32))
-        n_nodes, n_bytes = int(hdr[0]), int(hdr[1])
-        raw = dec.bypass(np.full(n_bytes, 8, dtype=np.int32))
-        payload = raw.astype(np.uint8).tobytes()
-        node_pos = geometry_obuf.decode(payload, n_nodes,
-                                        octree_depth,
-                                        (octree_depth,) * 3, obuf_gps)
-    else:
-        node_pos = geometry_octree.decode(
-            max_nodes, octree_depth, dec, octx, unique_points=True,
-            engine=engine, ctx_mode=ctx_mode)
+        return _decode_ref(depth, s, dec, obuf_gps, max_nodes,
+                           halo=halo, centroid=centroid,
+                           face_vertices=face_vertices)
+    node_pos = geometry_octree.decode(
+        max_nodes, octree_depth, dec, octx, unique_points=True,
+        engine=engine, ctx_mode=ctx_mode)
     node_codes = morton.encode(node_pos)
 
     keys, _ = trisoup_ops.edge_keys_for_nodes(node_codes, s)

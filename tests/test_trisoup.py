@@ -277,3 +277,42 @@ def test_trisoup_sparse_random_capacity():
         dec.decompress(b)
     dec.flush()
     assert outs and outs[0].count > 0
+
+
+def test_trisoup_obuf_reference_exact_brick():
+    """With --geomEngine=obuf the trisoup brick rides the
+    reference-exact coder (octree phase + trained dynamic-OBUF vertex
+    maps + centroid/face stages in one embedded dirac payload,
+    models/geometry_trisoup._encode_ref).  The decoder must reproduce
+    the encoder-side reconstruction exactly, and the trained vertex
+    contexts must beat the v2 coder on surface content."""
+    import io
+    from mpeg_pcc_tmc13_tpu.bitstream.tlv import iter_tlv, write_tlv
+    from mpeg_pcc_tmc13_tpu.runtime.decoder import FrameDecoder
+    from mpeg_pcc_tmc13_tpu.runtime.encoder import (EncoderParams,
+                                                    FrameEncoder)
+    depth = 9
+    pos = surface_cloud(60_000, depth, seed=3)
+
+    def run(params):
+        bs = io.BytesIO()
+        enc = FrameEncoder(params)
+        enc.compress(PointCloud(pos), lambda b: write_tlv(b, bs))
+        bs.seek(0)
+        outs = []
+        dec = FrameDecoder(outs.append)
+        for b in iter_tlv(bs):
+            dec.decompress(b)
+        dec.flush()
+        return outs[0].positions.astype(np.int64), bs.getbuffer().nbytes
+
+    rec_ref, bytes_ref = run(EncoderParams(
+        trisoup_node_size_log2=2, engine="obuf", planar_enabled=True))
+    rec_v2, bytes_v2 = run(EncoderParams(trisoup_node_size_log2=2))
+    # reference path: decoder == encoder recon (already asserted inside
+    # _decode_ref via expected_points; verify surface quality too)
+    assert rec_ref.shape[0] > 0
+    assert chamfer_1way(pos, rec_ref) <= (1 << 2) * 2
+    # trained contexts + reference surface model: fewer bytes than the
+    # v2 path on smooth surfaces
+    assert bytes_ref < bytes_v2
