@@ -187,7 +187,16 @@ def decode(data: bytes, num_points: int, depth: int, axis_bits,
             out.ctypes.data_as(c.POINTER(c.c_int32)), num_points)
     elif ref_local is not None and len(ref_local):
         ref32 = np.ascontiguousarray(ref_local, dtype=np.int32)
-        n = lib.tmc13ref_decode_octree_inter(
+        if not hasattr(lib.obufls_decode_octree, "_configured"):
+            lib.obufls_decode_octree.argtypes = [
+                c.POINTER(c.c_uint8), c.c_int,
+                c.POINTER(c.c_int32), c.c_int, c.c_int,
+                c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32),
+                c.POINTER(c.c_int32), c.c_int]
+            lib.obufls_decode_octree.restype = c.c_int
+            lib.obufls_decode_octree._configured = True
+        n = lib.obufls_decode_octree(
             buf.ctypes.data_as(c.POINTER(c.c_uint8)), buf.shape[0],
             axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
             num_points,
@@ -195,13 +204,42 @@ def decode(data: bytes, num_points: int, depth: int, axis_bits,
             ref32.shape[0],
             gp.ctypes.data_as(c.POINTER(c.c_int32)),
             out.ctypes.data_as(c.POINTER(c.c_int32)), num_points)
+        if n == -3:
+            n = lib.tmc13ref_decode_octree_inter(
+                buf.ctypes.data_as(c.POINTER(c.c_uint8)), buf.shape[0],
+                axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+                num_points,
+                ref32.ctypes.data_as(c.POINTER(c.c_int32)),
+                ref32.shape[0],
+                gp.ctypes.data_as(c.POINTER(c.c_int32)),
+                out.ctypes.data_as(c.POINTER(c.c_int32)), num_points)
     else:
-        n = lib.tmc13ref_decode_octree_intra(
+        # production path: the level-sweep decoder (native/obuf_ls.cc)
+        # — batched parent-level analysis + thin serial loop, output-
+        # identical to the BFS oracle; falls back on unsupported tools
+        # (IDCM, >21 levels) with rc=-3
+        if not hasattr(lib.obufls_decode_octree, "_configured"):
+            lib.obufls_decode_octree.argtypes = [
+                c.POINTER(c.c_uint8), c.c_int,
+                c.POINTER(c.c_int32), c.c_int, c.c_int,
+                c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32),
+                c.POINTER(c.c_int32), c.c_int]
+            lib.obufls_decode_octree.restype = c.c_int
+            lib.obufls_decode_octree._configured = True
+        n = lib.obufls_decode_octree(
             buf.ctypes.data_as(c.POINTER(c.c_uint8)), buf.shape[0],
             axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
-            num_points,
+            num_points, None, 0,
             gp.ctypes.data_as(c.POINTER(c.c_int32)),
             out.ctypes.data_as(c.POINTER(c.c_int32)), num_points)
+        if n == -3:
+            n = lib.tmc13ref_decode_octree_intra(
+                buf.ctypes.data_as(c.POINTER(c.c_uint8)), buf.shape[0],
+                axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+                num_points,
+                gp.ctypes.data_as(c.POINTER(c.c_int32)),
+                out.ctypes.data_as(c.POINTER(c.c_int32)), num_points)
     if n < 0:
         raise RuntimeError(f"obuf decode failed rc={n}")
     pos = out[:n].astype(np.int64)

@@ -131,3 +131,80 @@ def test_ls_matches_oracle(planar, dyn, multi, kdep):
         b = _enc_ls(lib, p32, axes, gp, r32)
         assert a == b, (name, planar, dyn, multi, kdep,
                         len(a), len(b))
+
+
+def _dec_ref(lib, data, n_pts, axes, gp, ref=None):
+    c = ctypes
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty((n_pts, 3), dtype=np.int32)
+    if ref is not None:
+        n = lib.tmc13ref_decode_octree_inter(
+            buf.ctypes.data_as(c.POINTER(c.c_uint8)), buf.shape[0],
+            axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+            n_pts, ref.ctypes.data_as(c.POINTER(c.c_int32)),
+            ref.shape[0], gp.ctypes.data_as(c.POINTER(c.c_int32)),
+            out.ctypes.data_as(c.POINTER(c.c_int32)), n_pts)
+    else:
+        n = lib.tmc13ref_decode_octree_intra(
+            buf.ctypes.data_as(c.POINTER(c.c_uint8)), buf.shape[0],
+            axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+            n_pts, gp.ctypes.data_as(c.POINTER(c.c_int32)),
+            out.ctypes.data_as(c.POINTER(c.c_int32)), n_pts)
+    assert n == n_pts, n
+    return out[:n].copy()
+
+
+def _dec_ls(lib, data, n_pts, axes, gp, ref=None):
+    c = ctypes
+    if not getattr(lib, "_obufls_dec_configured", False):
+        lib.obufls_decode_octree.argtypes = [
+            c.POINTER(c.c_uint8), c.c_int,
+            c.POINTER(c.c_int32), c.c_int, c.c_int,
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.c_int]
+        lib.obufls_decode_octree.restype = c.c_int
+        lib._obufls_dec_configured = True
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty((n_pts, 3), dtype=np.int32)
+    refarr = ref if ref is not None else np.zeros(3, dtype=np.int32)
+    nref = ref.shape[0] if ref is not None else 0
+    n = lib.obufls_decode_octree(
+        buf.ctypes.data_as(c.POINTER(c.c_uint8)), buf.shape[0],
+        axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes), n_pts,
+        refarr.ctypes.data_as(c.POINTER(c.c_int32)), nref,
+        gp.ctypes.data_as(c.POINTER(c.c_int32)),
+        out.ctypes.data_as(c.POINTER(c.c_int32)), n_pts)
+    assert n == n_pts, n
+    return out[:n].copy()
+
+
+@pytest.mark.parametrize("planar,dyn,multi,kdep", [
+    (0, 0, 0, 0), (1, 0, 0, 0), (1, 1, 0, 0), (1, 0, 1, 0),
+    (1, 1, 1, 0), (1, 1, 1, 1), (1, 0, 0, 1), (1, 1, 0, 1)])
+def test_ls_decode_matches_oracle(planar, dyn, multi, kdep):
+    """The level-sweep DECODER (batched parent-level analysis + thin
+    serial loop) must reproduce the BFS oracle's output exactly on the
+    same streams, across the same tool matrix as the encode test."""
+    lib = _load()
+    _configure(lib)
+    for name, cloud, depth, ref, unique in _clouds():
+        axes = (go.axes_for((8, 6, 4), 8) if depth is None
+                else go.axes_for(None, depth))
+        gps = hls.GeometryParameterSet(
+            planar_mode_enabled=bool(planar),
+            multiple_planar=bool(multi),
+            depth_planar_eligibility=bool(kdep),
+            planar_dynamic_obuf=bool(dyn))
+        gp = go.geom_params_array(go._gps_flags(gps))
+        if not unique:
+            gp = gp.copy()
+            gp[2] = 0
+        p32 = np.ascontiguousarray(cloud, dtype=np.int32)
+        r32 = (np.ascontiguousarray(ref, dtype=np.int32)
+               if ref is not None else None)
+        data = _enc_ls(lib, p32, axes, gp, r32)
+        want = _dec_ref(lib, data, p32.shape[0], axes, gp, r32)
+        got = _dec_ls(lib, data, p32.shape[0], axes, gp, r32)
+        assert np.array_equal(got, want), (name, planar, dyn, multi,
+                                           kdep)
