@@ -135,8 +135,6 @@ def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         unsupported.append("bytewise occupancy coder")
     if gbh.inter_prediction:
         unsupported.append("inter prediction")
-    if gbh.geom_stream_cnt_minus1:
-        unsupported.append("multiple entropy streams")
     if gbh.entropy_continuation:
         unsupported.append("entropy continuation")
     if unsupported:
@@ -289,12 +287,30 @@ def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         gps, sps.bypass_bin_coding_without_prob_update)
     out = np.empty((gbh.num_points, 3), dtype=np.int32)
     c = ctypes
-    n = lib.tmc13ref_decode_octree_intra(
-        aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
-        axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
-        gbh.num_points,
-        gp.ctypes.data_as(c.POINTER(c.c_int32)),
-        out.ctypes.data_as(c.POINTER(c.c_int32)), gbh.num_points)
+    if gbh.geom_stream_cnt_minus1:
+        if not hasattr(lib.tmc13ref_decode_octree_intra_ms,
+                       "_configured"):
+            lib.tmc13ref_decode_octree_intra_ms.argtypes = [
+                c.POINTER(c.c_uint8), c.c_int,
+                c.POINTER(c.c_int32), c.c_int, c.c_int,
+                c.POINTER(c.c_int32),
+                c.POINTER(c.c_int32), c.c_int, c.c_int]
+            lib.tmc13ref_decode_octree_intra_ms.restype = c.c_int
+            lib.tmc13ref_decode_octree_intra_ms._configured = True
+        n = lib.tmc13ref_decode_octree_intra_ms(
+            aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
+            axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+            gbh.num_points,
+            gp.ctypes.data_as(c.POINTER(c.c_int32)),
+            out.ctypes.data_as(c.POINTER(c.c_int32)), gbh.num_points,
+            gbh.geom_stream_cnt_minus1)
+    else:
+        n = lib.tmc13ref_decode_octree_intra(
+            aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
+            axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+            gbh.num_points,
+            gp.ctypes.data_as(c.POINTER(c.c_int32)),
+            out.ctypes.data_as(c.POINTER(c.c_int32)), gbh.num_points)
     if n < 0:
         raise RuntimeError(f"refcodec decode failed rc={n}")
     if n != gbh.num_points:

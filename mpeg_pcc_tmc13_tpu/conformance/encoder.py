@@ -25,7 +25,8 @@ from .decoder import _load, geom_params_array
 
 def _encode_brick_native(positions: np.ndarray, axes: np.ndarray,
                          gps: ref_hls.RefGps,
-                         bypass_no_update: bool = False) -> bytes:
+                         bypass_no_update: bool = False,
+                         stream_cnt_minus1: int = 0) -> bytes:
     lib = _load()
     c = ctypes
     if not hasattr(lib.tmc13ref_encode_octree_intra, "_configured"):
@@ -36,16 +37,31 @@ def _encode_brick_native(positions: np.ndarray, axes: np.ndarray,
             c.POINTER(c.c_uint8), c.c_int,
         ]
         lib.tmc13ref_encode_octree_intra.restype = c.c_int
+        lib.tmc13ref_encode_octree_intra_ms.argtypes = [
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32),
+            c.POINTER(c.c_uint8), c.c_int, c.c_int,
+        ]
+        lib.tmc13ref_encode_octree_intra_ms.restype = c.c_int
         lib.tmc13ref_encode_octree_intra._configured = True
     pos32 = np.ascontiguousarray(positions, dtype=np.int32)
     gp = geom_params_array(gps, bypass_no_update)
     cap = max(int(pos32.shape[0] * 16 + (1 << 16)), 1 << 16)
     out = np.empty(cap, dtype=np.uint8)
-    n = lib.tmc13ref_encode_octree_intra(
-        pos32.ctypes.data_as(c.POINTER(c.c_int32)), pos32.shape[0],
-        axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
-        gp.ctypes.data_as(c.POINTER(c.c_int32)),
-        out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+    if stream_cnt_minus1:
+        n = lib.tmc13ref_encode_octree_intra_ms(
+            pos32.ctypes.data_as(c.POINTER(c.c_int32)), pos32.shape[0],
+            axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+            gp.ctypes.data_as(c.POINTER(c.c_int32)),
+            out.ctypes.data_as(c.POINTER(c.c_uint8)), cap,
+            stream_cnt_minus1)
+    else:
+        n = lib.tmc13ref_encode_octree_intra(
+            pos32.ctypes.data_as(c.POINTER(c.c_int32)), pos32.shape[0],
+            axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+            gp.ctypes.data_as(c.POINTER(c.c_int32)),
+            out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
     if n < 0:
         raise RuntimeError(f"refcodec encode failed rc={n}")
     return out[:n].tobytes()
@@ -312,7 +328,8 @@ def encode_stream(positions: np.ndarray,
                   attr_bitdepth: int = 8,
                   integer_haar: bool = False,
                   trisoup_node_size_log2: int = 0,
-                  bypass_no_update: bool = True) -> bytes:
+                  bypass_no_update: bool = True,
+                  num_entropy_streams: int = 1) -> bytes:
     """Encode one frame of non-negative integer XYZ positions into a
     complete reference-syntax TLV stream (SPS + GPS + geometry brick,
     plus APS + RAHT attribute brick when colors/reflectances given).
@@ -419,12 +436,15 @@ def encode_stream(positions: np.ndarray,
             tree_lvl_coded_axis_list=list(axes),
             num_points=int(recon.shape[0]), **tfields)
     else:
+        scm1 = max(0, min(num_entropy_streams, len(axes)) - 1)
         aec = _encode_brick_native(stv, axes, gps,
-                                   bypass_no_update=bypass_no_update)
+                                   bypass_no_update=bypass_no_update,
+                                   stream_cnt_minus1=scm1)
         gbh = ref_hls.RefGbh(
             gps_id=0, slice_id=0, slice_tag=0, frame_ctr_lsb=0,
             geom_box_log2_scale=0, box_origin_stv=(0, 0, 0),
             tree_lvl_coded_axis_list=list(axes),
+            geom_stream_cnt_minus1=scm1,
             num_points=int(pos.shape[0]))
     brick = ref_hls.write_gbh(sps, gps, gbh, aec)
 

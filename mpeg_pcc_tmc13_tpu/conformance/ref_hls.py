@@ -514,10 +514,10 @@ def parse_gbh(sps: RefSps, gps: RefGps, data: bytes) -> RefGbh:
                             for _ in range(tree_depth_minus1)]
     h.num_points = fr.un(24) + 1
 
-    # multi-stream lengths precede the entropy streams
-    # (written by writeGeometryStreamCnt/lengths — see encoder.cpp:1503)
-    if h.geom_stream_cnt_minus1:
-        raise NotImplementedError("multiple entropy streams")
+    # multi-stream payloads carry the sub-streams back-to-back with NO
+    # explicit lengths (encoder.cpp:1503-1511 concatenates the flushed
+    # coder buffers directly); the decoder recovers each boundary via
+    # the flush-and-restart renormalisation (entropydirac.h:335)
     h.stream_lens = [len(data) - h.header_bytes - foot]
     return h
 
@@ -675,19 +675,18 @@ def write_gps(g: RefGps) -> bytes:
     w.u1(g.scaling_enabled)
     if g.scaling_enabled:
         raise NotImplementedError("scaling")
-    ext = (g.trisoup_enabled or g.depth_planar_eligibility
-           or g.planar_dynamic_obuf_eligibility or g.multiple_planar)
-    w.u1(1 if ext else 0)        # gps_extension_flag
-    if ext:
-        w.u1(g.trisoup_enabled)
-        if g.trisoup_enabled:
-            w.u1(g.non_cubic_node_start_edge)
-            w.u1(g.non_cubic_node_end_edge)
-        w.u1(0)                  # interPredictionEnabled
-        if g.planar_enabled:
-            w.u1(g.depth_planar_eligibility)
-            w.u1(g.planar_dynamic_obuf_eligibility)   # non-angular
-            w.u1(g.multiple_planar)
+    # tmc3 always writes the extension block for the draft profile
+    # (io_hls.cpp:712: gps_extension_flag = isDraftProfile())
+    w.u1(1)                      # gps_extension_flag
+    w.u1(g.trisoup_enabled)
+    if g.trisoup_enabled:
+        w.u1(g.non_cubic_node_start_edge)
+        w.u1(g.non_cubic_node_end_edge)
+    w.u1(0)                      # interPredictionEnabled
+    if g.planar_enabled:
+        w.u1(g.depth_planar_eligibility)
+        w.u1(g.planar_dynamic_obuf_eligibility)   # non-angular
+        w.u1(g.multiple_planar)
     return w.get_bytes()
 
 

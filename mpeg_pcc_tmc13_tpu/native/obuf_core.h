@@ -169,6 +169,26 @@ struct ArithDec {
     return bit(prob);
   }
 
+  // terminate the current entropy stream and reinitialise on the next
+  // one, which follows back-to-back in the same buffer (multi-stream
+  // bricks: entropydirac.h:335 flushAndRestart + schroarith.c:159
+  // schro_arith_decode_flush — the extra renormalisation consumes
+  // exactly the bytes the encoder emitted, landing on the next
+  // stream's first byte)
+  void flushRestart() {
+    while (range <= 0x40000000u) {
+      if (!--cntr) {
+        next_byte();          // value discarded (decode_flush)
+        cntr = 8;
+      }
+      range <<= 1;
+    }
+    range = 0xffff0000u;
+    cntr = 1;
+    code = uint32_t(next_byte()) << 24;
+    code |= uint32_t(next_byte()) << 16;
+  }
+
   // decodeExpGolomb(0, ctx) (entropyutils.h:189-207)
   unsigned exp_golomb(int k, uint16_t* prefixCtx) {
     unsigned l;

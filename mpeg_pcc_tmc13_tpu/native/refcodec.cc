@@ -27,6 +27,8 @@
 
 #include "obuf_core.h"
 
+#include <memory>
+
 namespace {
 using namespace obufcore;
 
@@ -242,7 +244,8 @@ static int encode_octree_impl(
   int ts_base = 0,                 // trisoup: leaf node size log2
   std::vector<int32_t>* ts_leaves = nullptr,   // origins+ranges out
   std::vector<int32_t>* ts_order = nullptr,    // point permutation out
-  void** ts_coder = nullptr) {     // trisoup: live coder handoff
+  void** ts_coder = nullptr,       // trisoup: live coder handoff
+  int stream_cnt_minus1 = 0) {     // gbh.geom_stream_cnt_minus1
   GeomParams gp;
   std::memcpy(&gp, gp_arr, sizeof gp);
   const int neighbour_avail_boundary_log2 = gp.neighAvailBoundaryLog2;
@@ -343,7 +346,29 @@ static int encode_octree_impl(
   fifo.push_back(root);
   size_t head = 0;
 
+  // multi-stream bricks: fresh back-to-back coder per deep level,
+  // contexts restored to the state saved before level maxDepth-1-cnt
+  // (geometry_octree_encoder.cpp:2133-2142; streams concatenated as
+  // encoder.cpp:1503-1511 does)
+  std::unique_ptr<RefOctreeCtx> savedCtx;
+  std::unique_ptr<PlanarState> savedPlanar;
+  std::vector<uint8_t> catOut;
+
   for (int depth = 0; depth < maxDepth; depth++) {
+    if (stream_cnt_minus1
+        && depth == maxDepth - 1 - stream_cnt_minus1) {
+      savedCtx.reset(new RefOctreeCtx(ctx));
+      savedPlanar.reset(new PlanarState(planarState));
+    }
+    if (stream_cnt_minus1
+        && depth > maxDepth - 1 - stream_cnt_minus1 && savedCtx) {
+      ctx = *savedCtx;
+      planarState = *savedPlanar;
+      aec.flush();
+      catOut.insert(catOut.end(), aec.out.begin(), aec.out.end());
+      aec.init();
+      aec.bypassNoUpdate = gp.bypassNoUpdate != 0;
+    }
     size_t lvlEnd = fifo.size();
     int32_t atlasOrigin[3] = {-0x7fffffff, -0x7fffffff, -0x7fffffff};
     int codedAxesPrevLvl = depth ? coded_axis_list[depth - 1] : 7;
@@ -705,10 +730,11 @@ static int encode_octree_impl(
   }
 
   aec.flush();
-  if (int(aec.out.size()) > out_cap)
+  catOut.insert(catOut.end(), aec.out.begin(), aec.out.end());
+  if (int(catOut.size()) > out_cap)
     return -4;
-  std::memcpy(out_buf, aec.out.data(), aec.out.size());
-  return int(aec.out.size());
+  std::memcpy(out_buf, catOut.data(), catOut.size());
+  return int(catOut.size());
 }
 
 // ---------------------------------------------------------------------------
@@ -730,7 +756,8 @@ static int decode_octree_impl(
   int max_nodes_stop = 0,          // stop descending at this count
   int ts_base = 0,                 // trisoup: leaf node size log2
   std::vector<int32_t>* ts_leaves = nullptr,  // trisoup: origins out
-  void** ts_coder = nullptr) {     // trisoup: live coder handoff
+  void** ts_coder = nullptr,       // trisoup: live coder handoff
+  int stream_cnt_minus1 = 0) {     // gbh.geom_stream_cnt_minus1
   GeomParams gp;
   std::memcpy(&gp, gp_arr, sizeof gp);
   const int neighbour_avail_boundary_log2 = gp.neighAvailBoundaryLog2;
@@ -814,7 +841,25 @@ static int decode_octree_impl(
 
   int processed = 0;
 
+  // multi-stream bricks: context state saved before level
+  // maxDepth-1-cnt, restored (with a coder restart on the next
+  // back-to-back sub-stream) for each of the last cnt levels
+  // (geometry_octree_decoder.cpp:1782-1790)
+  std::unique_ptr<RefOctreeCtx> savedCtx;
+  std::unique_ptr<PlanarState> savedPlanar;
+
   for (int depth = 0; depth < maxDepth; depth++) {
+    if (stream_cnt_minus1
+        && depth == maxDepth - 1 - stream_cnt_minus1) {
+      savedCtx.reset(new RefOctreeCtx(ctx));
+      savedPlanar.reset(new PlanarState(planarState));
+    }
+    if (stream_cnt_minus1
+        && depth > maxDepth - 1 - stream_cnt_minus1 && savedCtx) {
+      ctx = *savedCtx;
+      planarState = *savedPlanar;
+      aec.flushRestart();
+    }
     size_t lvlEnd = fifo.size();
     if (max_nodes_stop > 0 && depth < num_levels
         && (int64_t)(lvlEnd - head) >= max_nodes_stop) {
@@ -1291,6 +1336,31 @@ extern "C" int tmc13ref_decode_octree_trisoup(
               leaves.size() * sizeof(int32_t));
   *coder_out = coder;
   return n;
+}
+
+// multi-stream brick decode (gbh.geom_stream_cnt_minus1 > 0): the
+// last cnt levels live in back-to-back sub-streams, each decoded from
+// the context state saved before level maxDepth-1-cnt
+extern "C" int tmc13ref_decode_octree_intra_ms(
+  const uint8_t* aec_buf, int aec_len,
+  const int32_t* coded_axis_list, int num_levels, int num_points,
+  const int32_t* gp_arr, int32_t* out_pos, int out_cap,
+  int stream_cnt_minus1) {
+  return decode_octree_impl(aec_buf, aec_len, coded_axis_list,
+                            num_levels, num_points, nullptr, 0,
+                            gp_arr, out_pos, out_cap, 0, 0, 0,
+                            nullptr, nullptr, stream_cnt_minus1);
+}
+
+extern "C" int tmc13ref_encode_octree_intra_ms(
+  const int32_t* positions, int num_points,
+  const int32_t* coded_axis_list, int num_levels,
+  const int32_t* gp_arr, uint8_t* out_buf, int out_cap,
+  int stream_cnt_minus1) {
+  return encode_octree_impl(positions, num_points, nullptr, 0,
+                            coded_axis_list, num_levels, gp_arr,
+                            out_buf, out_cap, 0, nullptr, nullptr,
+                            nullptr, stream_cnt_minus1);
 }
 
 extern "C" int tmc13ref_decode_octree_scalable(

@@ -1004,3 +1004,59 @@ def test_multislice_attr_origin_coding(tmp_path):
     row = o[np.searchsorted(k_src[o], k_dec)]
     d = attrs[0].astype(np.int64) - gbr[row]
     assert np.abs(d).mean() < 8.0
+
+
+def test_multistream_decode_bit_exact(tmp_path):
+    """tmc3 bitstreams with multiple octree entropy streams
+    (numOctreeEntropyStreams > 1, gbh.geom_stream_cnt_minus1) decode
+    bit-exact: the last cnt levels live in back-to-back sub-streams,
+    each decoded from the context state saved before level
+    maxDepth-1-cnt (geometry_octree_decoder.cpp:1782-1790)."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    rng = np.random.default_rng(21)
+    pos = np.unique(rng.integers(0, [256, 256, 16],
+                                 size=(20000, 3)).astype(np.int64),
+                    axis=0)
+    src = tmp_path / "ms.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    for ns in (2, 4):
+        bit = tmp_path / f"ms{ns}.bin"
+        dec = tmp_path / f"ms{ns}.dec.ply"
+        subprocess.run(
+            [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+             f"--compressedStreamPath={bit}", *CTC1_OPTS,
+             f"--numOctreeEntropyStreams={ns}"],
+            check=True, capture_output=True)
+        subprocess.run(
+            [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+             f"--reconstructedDataPath={dec}", "--outputBinaryPly=0"],
+            check=True, capture_output=True)
+        mine = np.concatenate(refdec.decode_stream(bit.read_bytes()))
+        want = ply.read(str(dec)).positions.astype(np.int64)
+        np.testing.assert_array_equal(mine, want)
+
+
+def test_multistream_encode_byte_identical(tmp_path):
+    """Our multi-stream emission (fresh back-to-back coder per deep
+    level, contexts restored from the saved snapshot) is byte-identical
+    to tmc3's full stream, including the GPS draft-profile extension
+    block."""
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    rng = np.random.default_rng(22)
+    pos = np.unique(rng.integers(0, [256, 256, 16],
+                                 size=(20000, 3)).astype(np.int64),
+                    axis=0)
+    src = tmp_path / "mse.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    for ns in (2, 4):
+        bit = tmp_path / f"mse{ns}.bin"
+        subprocess.run(
+            [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+             f"--compressedStreamPath={bit}", *CTC1_OPTS,
+             f"--numOctreeEntropyStreams={ns}"],
+            check=True, capture_output=True)
+        mine = refenc.encode_stream(pos, planar=True, qtbt=True,
+                                    num_entropy_streams=ns)
+        assert mine == bit.read_bytes()
