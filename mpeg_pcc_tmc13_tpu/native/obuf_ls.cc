@@ -455,7 +455,7 @@ static void radixSortKeys(std::vector<uint64_t>& keys, int bits) {
   const int kDigit = 11;
   const int kRadix = 1 << kDigit;
   std::vector<uint64_t> tmp(keys.size());
-  static size_t hist[kRadix];
+  size_t hist[kRadix];  // stack: thread-safe (slice-parallel encode)
   for (int sh = 0; sh < bits; sh += kDigit) {
     std::memset(hist, 0, sizeof hist);
     for (uint64_t k : keys) hist[(k >> sh) & (kRadix - 1)]++;

@@ -402,7 +402,7 @@ void radix_sort64(int64_t* keys, int64_t* perm_out, int64_t n) {
   int64_t* dst_k = buf_k.data();
   int64_t* src_p = perm_out;
   int64_t* dst_p = buf_p.data();
-  static int64_t count[kBuckets];
+  int64_t count[kBuckets];  // stack: thread-safe (slice-parallel encode)
   for (int pass = 0; pass < 4; ++pass) {
     int shift = pass * kBits;
     std::memset(count, 0, sizeof(count));

@@ -183,6 +183,10 @@ class Config:
                 p.entropy_continuation = opt.to_bool(value)
             elif name == "numOctreeEntropyStreams":
                 p.num_entropy_streams = max(opt.to_int(value), 1)
+            elif name == "parallelSlices":
+                # framework extension: host thread-pool over slices
+                # (byte-identical stream; needs continuation off)
+                p.parallel_slices = max(opt.to_int(value), 0)
             elif name == "InterEntropyContinuationEnabled":
                 p.inter_entropy_continuation = opt.to_bool(value)
             elif name == "trisoupNodeSizeLog2":

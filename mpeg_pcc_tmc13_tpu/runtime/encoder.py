@@ -98,6 +98,11 @@ class EncoderParams:
     seq_origin: tuple = None
     seq_bbox_whd: tuple = None
     geometry_codec: hls.GeometryCodecType = hls.GeometryCodecType.OCTREE
+    # encode slices on a host thread pool (framework extension; the
+    # heavy per-slice work is native code that releases the GIL).  The
+    # emitted stream is byte-identical to the sequential encode; only
+    # valid without entropy continuation (slices share no context).
+    parallel_slices: int = 0
     trisoup_node_size_log2: int = 0
     # reference defaults: halo + face vertices ON (TMC3.cpp:954,984)
     trisoup_face_vertex_enabled: bool = True
@@ -624,11 +629,50 @@ class FrameEncoder:
                 sel = inb & ~own
                 if sel.any():
                     pads[i] = allp[sel]
-        for i, scloud in enumerate(slices):
-            self._compress_slice(scloud, frame_ctr_lsb, out,
-                                 ctr=ctr, refs=refs, keep_ctx=keep_ctx,
-                                 pad_positions=pads[i])
-            keep_ctx = p.entropy_continuation
+        use_par = (p.parallel_slices > 1 and len(slices) > 1
+                   and not p.entropy_continuation and not keep_ctx)
+        if use_par:
+            # slice-parallel encode: with fresh contexts per slice the
+            # bricks are independent (the reference's own parallelism
+            # surface, partitioning.cpp:120-497), so each worker codes
+            # one slice on a clone of this encoder (shared read-only
+            # config, private context/accumulator state) and the
+            # buffered payloads are emitted in slice order — the
+            # stream is byte-identical to the sequential encode.  The
+            # hot per-slice work is native code that releases the GIL.
+            import concurrent.futures as cf
+            import copy as _copy
+            base_id = self._slice_id
+
+            def work(i):
+                w = _copy.copy(self)
+                w._geom_ctx = None       # forces fresh contexts
+                w._attr_acc = []
+                w._geom_acc = []
+                w._slice_id = base_id + i
+                bufs = []
+                w._compress_slice(slices[i], frame_ctr_lsb,
+                                  bufs.append, ctr=ctr, refs=refs,
+                                  keep_ctx=False,
+                                  pad_positions=pads[i])
+                return bufs, w._attr_acc, w._geom_acc
+
+            with cf.ThreadPoolExecutor(
+                    max_workers=p.parallel_slices) as ex:
+                results = list(ex.map(work, range(len(slices))))
+            for bufs, aacc, gacc in results:
+                for b in bufs:
+                    out(b)
+                self._attr_acc.extend(aacc)
+                self._geom_acc.extend(gacc)
+            self._slice_id = base_id + len(slices)
+        else:
+            for i, scloud in enumerate(slices):
+                self._compress_slice(scloud, frame_ctr_lsb, out,
+                                     ctr=ctr, refs=refs,
+                                     keep_ctx=keep_ctx,
+                                     pad_positions=pads[i])
+                keep_ctx = p.entropy_continuation
         # reference store = what the DECODER reconstructs (matters for
         # in-tree quantisation / trisoup where they differ from input);
         # insertion-age eviction shared with the decoder (framestore.py)

@@ -266,3 +266,29 @@ def test_obuf_engine_with_attributes():
     want = canon(cloud)
     assert np.array_equal(got.positions, want.positions)
     assert np.array_equal(got.colors, want.colors)
+
+
+def test_parallel_slices_byte_identical():
+    """Slice-parallel encode (host thread pool; framework extension
+    --parallelSlices) must emit a byte-identical stream to the
+    sequential encode — fresh contexts per slice make bricks
+    independent, the reference's own parallelism surface
+    (partitioning.cpp:120-497)."""
+    import io
+    from mpeg_pcc_tmc13_tpu.bitstream.tlv import write_tlv
+    rng = np.random.default_rng(33)
+    pos = np.unique(rng.integers(0, 1024, (60000, 3)).astype(np.int64),
+                    axis=0)
+    colors = (pos * [3, 5, 7] % 256).astype(np.int64)
+    cloud = PointCloud(pos, colors=colors)
+
+    def run(par):
+        bs = io.BytesIO()
+        enc = FrameEncoder(EncoderParams(
+            engine="obuf", planar_enabled=True,
+            max_points_per_slice=15000, parallel_slices=par,
+            attributes=[AttributeConfig(label="color", qp=22)]))
+        enc.compress(cloud, lambda b: write_tlv(b, bs))
+        return bs.getvalue()
+
+    assert run(4) == run(0)
