@@ -125,10 +125,10 @@ def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         unsupported.append("cabac bypass stream")
     if gps.predgeom_enabled:
         unsupported.append("predictive geometry")
-    if gps.inferred_direct_coding_mode and gps.angular_enabled:
-        unsupported.append("angular IDCM")
-    if gps.angular_enabled:
-        unsupported.append("angular mode")
+    if gps.angular_enabled and gps.trisoup_enabled:
+        unsupported.append("angular trisoup")
+    if gps.angular_enabled and gps.z_compensation:
+        unsupported.append("z compensation")
     if gps.scaling_enabled:
         unsupported.append("in-tree scaling")
     if not gps.bitwise_occupancy:
@@ -287,7 +287,44 @@ def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         gps, sps.bypass_bin_coding_without_prob_update)
     out = np.empty((gbh.num_points, 3), dtype=np.int32)
     c = ctypes
-    if gbh.geom_stream_cnt_minus1:
+    if gps.angular_enabled:
+        # slice-local lidar head (gbh.geomAngularOrigin, hls.h:658)
+        if gps.slice_angular_origin_present:
+            origin = np.asarray(gbh.angular_origin_stv, dtype=np.int64)
+        else:
+            origin = (np.asarray(ref_hls.from_xyz(
+                sps.geometry_axis_order, list(gps.angular_origin)),
+                dtype=np.int64)
+                - np.asarray(gbh.box_origin_stv, dtype=np.int64))
+        if not hasattr(lib.tmc13ref_decode_octree_intra_ang,
+                       "_configured"):
+            lib.tmc13ref_decode_octree_intra_ang.argtypes = [
+                c.POINTER(c.c_uint8), c.c_int,
+                c.POINTER(c.c_int32), c.c_int, c.c_int,
+                c.POINTER(c.c_int32),
+                c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+                c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32), c.c_int]
+            lib.tmc13ref_decode_octree_intra_ang.restype = c.c_int
+            lib.tmc13ref_decode_octree_intra_ang._configured = True
+        org = np.ascontiguousarray(origin, dtype=np.int32)
+        th = np.ascontiguousarray(gps.angular_theta, dtype=np.int32)
+        zl = np.ascontiguousarray(gps.angular_z, dtype=np.int32)
+        np_ = np.ascontiguousarray(gps.angular_num_phi, dtype=np.int32)
+        ang_flags = (int(gps.octree_angular_extension)
+                     | (int(gps.planar_disabled_idcm_angular) << 1))
+        n = lib.tmc13ref_decode_octree_intra_ang(
+            aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
+            axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+            gbh.num_points,
+            gp.ctypes.data_as(c.POINTER(c.c_int32)),
+            org.ctypes.data_as(c.POINTER(c.c_int32)), th.shape[0],
+            th.ctypes.data_as(c.POINTER(c.c_int32)),
+            zl.ctypes.data_as(c.POINTER(c.c_int32)),
+            np_.ctypes.data_as(c.POINTER(c.c_int32)), ang_flags,
+            out.ctypes.data_as(c.POINTER(c.c_int32)), gbh.num_points)
+    elif gbh.geom_stream_cnt_minus1:
         if not hasattr(lib.tmc13ref_decode_octree_intra_ms,
                        "_configured"):
             lib.tmc13ref_decode_octree_intra_ms.argtypes = [

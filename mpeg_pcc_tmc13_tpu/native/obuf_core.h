@@ -1627,11 +1627,27 @@ struct IdcmContexts {
   uint16_t numPointsGt1 = 0x8000;
   uint16_t dupGt1 = 0x8000;
   uint16_t sameBitHi[3][5];
+  // angular IDCM residual contexts (_ctxThetaRes/_ctxZRes,
+  // geometry_octree.h:867-874)
+  uint16_t thetaRes[2][3];
+  uint16_t thetaResSign[3];
+  uint16_t thetaResExp = 0x8000;
+  uint16_t zRes[3];
+  uint16_t zResSign = 0x8000;
+  uint16_t zResExp = 0x8000;
   void reset() {
     blockSkip = numPointsGt1 = dupGt1 = 0x8000;
     for (int a = 0; a < 3; a++)
       for (int i = 0; i < 5; i++)
         sameBitHi[a][i] = 0x8000;
+    for (int a = 0; a < 2; a++)
+      for (int i = 0; i < 3; i++)
+        thetaRes[a][i] = 0x8000;
+    for (int i = 0; i < 3; i++) {
+      thetaResSign[i] = 0x8000;
+      zRes[i] = 0x8000;
+    }
+    thetaResExp = zResSign = zResExp = 0x8000;
   }
 };
 
@@ -1651,6 +1667,12 @@ struct RefOctreeCtx {
   uint16_t ctxMultiPlanarMode = 0x8000;
   uint16_t ctxPlanarPlaneLastIndex[3][3][3][4];
   uint16_t ctxPlanarPlaneLastIndexZ[9];
+  // angular planar contexts (intra refPlane 0 only;
+  // _ctxPlanarPlaneLastIndexAngular[Phi], geometry_octree_decoder.cpp)
+  uint16_t ctxPlanarPlaneLastIndexAngular[4];
+  uint16_t ctxPlanarPlaneLastIndexAngularPhi[8];
+  uint16_t ctxPlanarPlaneLastIndexAngularIdcm[4];
+  uint16_t ctxPlanarPlaneLastIndexAngularPhiIdcm[8][3];
   CtxMapOBUF mapPlanarPos[3][3];      // [refPlane][planeId]
   ObufModel planarModel[3];           // per planeId
   std::vector<uint8_t> planarLeaves;
@@ -1677,6 +1699,15 @@ struct RefOctreeCtx {
     for (int i = 0; i < 9; i++) {
       ctxPlanarMode[i] = 0x8000;
       ctxPlanarPlaneLastIndexZ[i] = 0x8000;
+    }
+    for (int i = 0; i < 4; i++) {
+      ctxPlanarPlaneLastIndexAngular[i] = 0x8000;
+      ctxPlanarPlaneLastIndexAngularIdcm[i] = 0x8000;
+    }
+    for (int i = 0; i < 8; i++) {
+      ctxPlanarPlaneLastIndexAngularPhi[i] = 0x8000;
+      for (int j = 0; j < 3; j++)
+        ctxPlanarPlaneLastIndexAngularPhiIdcm[i][j] = 0x8000;
     }
     idcm.reset();
     for (int a = 0; a < 3; a++)
@@ -1829,6 +1860,7 @@ struct Node {
   uint8_t siblingOccupancy;
   uint8_t numSiblingsPlus1;
   uint8_t mispred = 0;           // parent's prediction failures
+  uint8_t laserIndex = 255;      // angular: inherited laser id
 };
 
 // ---------------------------------------------------------------------------
@@ -1873,13 +1905,15 @@ static void planarPosObufCtx(
   }
 }
 
-// decode one plane flag/position (intra); returns planeBit or -1
+// decode one plane flag/position (intra); returns planeBit or -1.
+// contextAngle >= 0 selects the angular context branch
+// (decodePlanarMode, geometry_octree_decoder.cpp:487-497)
 static int decodePlanarModeIntra(
   ArithDec& aec, RefOctreeCtx& ctx, bool multiplePlanar, bool dynObuf,
   NodePlanar& planar, int planeZ, int dist, int adjPlanes, int planeId,
   const bool* multiPlanarFlag, const bool* multiPlanarEligible,
   const NodePlanar adjNeighPlanar[7], bool neighAvai,
-  uint32_t neighOccu) {
+  uint32_t neighOccu, int contextAngle = -1) {
   const int mask0 = 1 << planeId;
   static const int kMask1[3] = {6, 5, 3};
 
@@ -1923,6 +1957,17 @@ static int decodePlanarModeIntra(
   }
 
   int planeBit;
+  if (contextAngle >= 0) {
+    // angular branch (decoder :487-497); intra refPlane == 0
+    if (planeId == 2)
+      planeBit =
+        aec.bit(&ctx.ctxPlanarPlaneLastIndexAngular[contextAngle]);
+    else
+      planeBit =
+        aec.bit(&ctx.ctxPlanarPlaneLastIndexAngularPhi[contextAngle]);
+    planar.planePosBits |= planeBit << planeId;
+    return planeBit;
+  }
   int planePosCtx = kAdjPlaneCtx[adjPlanes];
   if (dynObuf) {
     int discreteDist;
@@ -1961,7 +2006,7 @@ static int encodePlanarModeIntra(
   NodePlanar& planar, int planeZ, int dist, int adjPlanes, int planeId,
   const bool* multiPlanarFlag, const bool* multiPlanarEligible,
   const NodePlanar adjNeighPlanar[7], bool neighAvai,
-  uint32_t neighOccu) {
+  uint32_t neighOccu, int contextAngle = -1) {
   const int mask0 = 1 << planeId;
   static const int kMask1[3] = {6, 5, 3};
 
@@ -2001,6 +2046,15 @@ static int encodePlanarModeIntra(
     return -1;
   }
 
+  if (contextAngle >= 0) {
+    if (planeId == 2)
+      aec.bit(&ctx.ctxPlanarPlaneLastIndexAngular[contextAngle],
+              planeBit);
+    else
+      aec.bit(&ctx.ctxPlanarPlaneLastIndexAngularPhi[contextAngle],
+              planeBit);
+    return planeBit;
+  }
   int planePosCtx = kAdjPlaneCtx[adjPlanes];
   if (dynObuf) {
     int discreteDist;
@@ -2102,7 +2156,9 @@ static void determinePlanarIntraDec(
   ArithDec& aec, RefOctreeCtx& ctx, PlanarState& planarState,
   const GeomParams& gp, bool dynObuf, const bool planarEligible[3],
   int posInParent, const NeighPattern& gnp, const int32_t childPos[3],
-  uint8_t siblingOccupancy, NodePlanar& planar) {
+  uint8_t siblingOccupancy, NodePlanar& planar,
+  int contextAngle = -1, int contextAnglePhiX = -1,
+  int contextAnglePhiY = -1) {
   NodePlanar adjNeighPlanar[7];
   if (dynObuf && gnp.neighOccuValid)
     for (int idx = 0; idx < 7; ++idx)
@@ -2120,11 +2176,12 @@ static void determinePlanarIntraDec(
   }
 
   struct Dir {
-    int planeId, c1, c2, c3;
+    int planeId, c1, c2, c3, ctxAngle;
   };
-  const Dir dirs[3] = {{0, childPos[1], childPos[2], childPos[0]},
-                       {1, childPos[0], childPos[2], childPos[1]},
-                       {2, childPos[0], childPos[1], childPos[2]}};
+  const Dir dirs[3] = {
+    {0, childPos[1], childPos[2], childPos[0], contextAnglePhiX},
+    {1, childPos[0], childPos[2], childPos[1], contextAnglePhiY},
+    {2, childPos[0], childPos[1], childPos[2], contextAngle}};
   for (const Dir& d : dirs) {
     if (!planarEligible[d.planeId])
       continue;
@@ -2139,7 +2196,7 @@ static void determinePlanarIntraDec(
           aec, ctx, planarState.multiplePlanar, dynObuf, pl, planeZ,
           dist, adjPlanes, planeId, multiPlanarFlag,
           multiPlanarEligible, adjNeighPlanar, gnp.neighOccuValid,
-          gnp.neighborOccu);
+          gnp.neighborOccu, d.ctxAngle);
       });
   }
 }
@@ -2148,7 +2205,9 @@ static void determinePlanarIntraEnc(
   ArithEnc& aec, RefOctreeCtx& ctx, PlanarState& planarState,
   const GeomParams& gp, bool dynObuf, const bool planarEligible[3],
   int posInParent, const NeighPattern& gnp, const int32_t childPos[3],
-  uint8_t siblingOccupancy, int occupancy, NodePlanar& planar) {
+  uint8_t siblingOccupancy, int occupancy, NodePlanar& planar,
+  int contextAngle = -1, int contextAnglePhiX = -1,
+  int contextAnglePhiY = -1) {
   planesFromOccupancy(occupancy, planar);
 
   NodePlanar adjNeighPlanar[7];
@@ -2185,11 +2244,12 @@ static void determinePlanarIntraEnc(
   }
 
   struct Dir {
-    int planeId, c1, c2, c3;
+    int planeId, c1, c2, c3, ctxAngle;
   };
-  const Dir dirs[3] = {{0, childPos[1], childPos[2], childPos[0]},
-                       {1, childPos[0], childPos[2], childPos[1]},
-                       {2, childPos[0], childPos[1], childPos[2]}};
+  const Dir dirs[3] = {
+    {0, childPos[1], childPos[2], childPos[0], contextAnglePhiX},
+    {1, childPos[0], childPos[2], childPos[1], contextAnglePhiY},
+    {2, childPos[0], childPos[1], childPos[2], contextAngle}};
   for (const Dir& d : dirs) {
     if (!planarEligible[d.planeId])
       continue;
@@ -2204,7 +2264,7 @@ static void determinePlanarIntraEnc(
           aec, ctx, planarState.multiplePlanar, dynObuf, pl, planeZ,
           dist, adjPlanes, planeId, multiPlanarFlag,
           multiPlanarEligible, adjNeighPlanar, gnp.neighOccuValid,
-          gnp.neighborOccu);
+          gnp.neighborOccu, d.ctxAngle);
       });
   }
 }

@@ -26,11 +26,15 @@
 // error code rather than mis-decoding.
 
 #include "obuf_core.h"
+#include "angular_core.h"
 
+#include <cstdio>
 #include <memory>
 
 namespace {
 using namespace obufcore;
+using angularcore::AngParams;
+using angularcore::contextAngleForPlanar;
 
 // occupancy decode (decodeOccupancyFullNeihbourgs + NZ,
 // geometry_octree_decoder.cpp:777-982); planar masks are zero in the
@@ -226,6 +230,518 @@ static void encodeOccupancy(
   }
 }
 
+// ---------------------------------------------------------------------------
+// angular IDCM (decodeDirectPosition / encodeDirectPosition angular
+// branches, geometry_octree_decoder.cpp:1082-1330 and the encoder
+// mirrors); node qp == 0 scope (position scaling is the identity).
+// ---------------------------------------------------------------------------
+
+static int decodeThetaResRef(ArithDec& aec, IdcmContexts& ic,
+                             int prev) {
+  int c = prev != 0;
+  if (!aec.bit(&ic.thetaRes[c][0]))
+    return 0;
+  int absVal = 1;
+  absVal += aec.bit(&ic.thetaRes[c][1]);
+  if (absVal > 1)
+    absVal += aec.bit(&ic.thetaRes[c][2]);
+  if (absVal == 3)
+    absVal += int(aec.exp_golomb(1, &ic.thetaResExp));
+  int ctxSign = (prev > 0) + 2 * (prev < 0);
+  bool sign = aec.bit(&ic.thetaResSign[ctxSign]) != 0;
+  return sign ? -absVal : absVal;
+}
+
+static void encodeThetaResRef(ArithEnc& aec, IdcmContexts& ic,
+                              int thetaRes, int prev) {
+  int c = prev != 0;
+  aec.bit(&ic.thetaRes[c][0], thetaRes != 0);
+  if (!thetaRes)
+    return;
+  int absVal = std::abs(thetaRes);
+  aec.bit(&ic.thetaRes[c][1], --absVal > 0);
+  if (absVal)
+    aec.bit(&ic.thetaRes[c][2], --absVal > 0);
+  if (absVal)
+    aec.exp_golomb(unsigned(--absVal), 1, &ic.thetaResExp);
+  int ctxSign = (prev > 0) + 2 * (prev < 0);
+  aec.bit(&ic.thetaResSign[ctxSign], thetaRes < 0);
+}
+
+static int decodeZResRef(ArithDec& aec, IdcmContexts& ic) {
+  if (!aec.bit(&ic.zRes[0]))
+    return 0;
+  int absVal = 1;
+  absVal += aec.bit(&ic.zRes[1]);
+  if (absVal > 1)
+    absVal += aec.bit(&ic.zRes[2]);
+  if (absVal == 3)
+    absVal += int(aec.exp_golomb(1, &ic.zResExp));
+  bool sign = aec.bit(&ic.zResSign) != 0;
+  return sign ? -absVal : absVal;
+}
+
+static void encodeZResRef(ArithEnc& aec, IdcmContexts& ic, int zRes) {
+  aec.bit(&ic.zRes[0], zRes != 0);
+  if (!zRes)
+    return;
+  int absVal = std::abs(zRes);
+  aec.bit(&ic.zRes[1], --absVal > 0);
+  if (absVal)
+    aec.bit(&ic.zRes[2], --absVal > 0);
+  if (absVal)
+    aec.exp_golomb(unsigned(--absVal), 1, &ic.zResExp);
+  aec.bit(&ic.zResSign, zRes < 0);
+}
+
+// directIdcm-gated joint two-point prefixes (decodeOrdered2ptPrefix,
+// geometry_octree_decoder.cpp:1013; encoder mirror)
+static void decodeOrdered2ptPrefixDir(
+  ArithDec& aec, IdcmContexts& ic, const bool directIdcm[3],
+  int sizeRem[3], int32_t pts[2][3]) {
+  for (int k = 0; k < 3; k++) {
+    if (sizeRem[k] < 1 || !directIdcm[k])
+      continue;
+    bool samePrev = true;
+    for (int j = 0; j < k; j++)
+      samePrev = samePrev
+        && (!directIdcm[j] || pts[0][j] == pts[1][j]);
+    bool sameBit = true;
+    int ctxIdx = 0;
+    while (sizeRem[k] && sameBit) {
+      pts[0][k] <<= 1;
+      pts[1][k] <<= 1;
+      sizeRem[k]--;
+      sameBit = aec.bit(&ic.sameBitHi[k][ctxIdx]) != 0;
+      ctxIdx = ctxIdx < 4 ? ctxIdx + 1 : 4;
+      if (k == 0) {
+        if (sameBit) {
+          int bit = aec.bypass();
+          pts[0][k] |= bit;
+          pts[1][k] |= bit;
+        } else {
+          pts[1][k] |= 1;
+        }
+      } else {
+        int bit = 0;
+        if (!(samePrev && !sameBit))
+          bit = aec.bypass();
+        pts[0][k] |= bit;
+        pts[1][k] |= sameBit ? bit : !bit;
+      }
+    }
+  }
+}
+
+static void encodeOrdered2ptPrefixDir(
+  ArithEnc& aec, IdcmContexts& ic, const bool directIdcm[3],
+  int sizeRem[3], int32_t pts[2][3]) {
+  for (int k = 0; k < 3; k++) {
+    if (sizeRem[k] < 1 || !directIdcm[k])
+      continue;
+    bool samePrev = true;
+    for (int j = 0; j < k; j++)
+      samePrev = samePrev
+        && (!directIdcm[j] || pts[0][j] == pts[1][j]);
+    bool sameBit = true;
+    int ctxIdx = 0;
+    while (sizeRem[k] && sameBit) {
+      sizeRem[k]--;
+      int mask = 1 << sizeRem[k];
+      int bit0 = !!(pts[0][k] & mask);
+      int bit1 = !!(pts[1][k] & mask);
+      sameBit = bit0 == bit1;
+      aec.bit(&ic.sameBitHi[k][ctxIdx], sameBit);
+      ctxIdx = ctxIdx < 4 ? ctxIdx + 1 : 4;
+      if (k == 0) {
+        if (sameBit)
+          aec.bypass(bit0);
+      } else {
+        if (!(samePrev && !sameBit))
+          aec.bypass(bit0);
+      }
+    }
+  }
+}
+
+// decodePointPositionAngular (decoder :1082-1246); identity position
+// scaling.  delta carries the planar-inferred prefix bits on entry;
+// returns the final per-axis deltas (caller adds nodePosS).
+static void decodePointPositionAngularRef(
+  ArithDec& aec, RefOctreeCtx& ctx, AngParams& ang,
+  const int sizeRem[3], const int32_t nodePosS[3],
+  const int32_t posNodeLidar[3], int nodeLaserIdx, int predLaserIdx,
+  int32_t delta[3]) {
+  using angularcore::iatan2;
+  using angularcore::irsqrt;
+  using angularcore::isqrt;
+  using angularcore::divExp2RoundHalfInf;
+  using angularcore::ctxIndexForAngularPhiIdcm;
+
+  const int directAxis =
+    std::abs(posNodeLidar[0]) <= std::abs(posNodeLidar[1]) ? 1 : 0;
+  for (int i = sizeRem[directAxis]; i > 0; i--) {
+    delta[directAxis] <<= 1;
+    delta[directAxis] |= aec.bypass();
+  }
+
+  int32_t posXyz[3];
+  for (int k = 0; k < 3; k++)
+    posXyz[k] = posNodeLidar[k] + (delta[k] << sizeRem[k]);
+  posXyz[directAxis] =
+    nodePosS[directAxis] + delta[directAxis] - ang.origin[directAxis];
+
+  int resLaser =
+    decodeThetaResRef(aec, ctx.idcm, ang.prevThetaRes[nodeLaserIdx]);
+  int laserIdx = predLaserIdx + resLaser;
+  if (ang.extension)
+    ang.prevThetaRes[nodeLaserIdx] = resLaser;
+  if (laserIdx < 0 || laserIdx >= ang.numLasers)
+    laserIdx = std::min(std::max(laserIdx, 0), ang.numLasers - 1);
+
+  const int thInterp = 1 << 13;
+  int phiNode = iatan2(posXyz[1], posXyz[0]);
+  int phiTop = directAxis
+    ? iatan2(posXyz[1], posXyz[0] + (1 << sizeRem[!directAxis]))
+    : iatan2(posXyz[1] + (1 << sizeRem[!directAxis]), posXyz[0]);
+  int phiMiddle = (phiNode + phiTop) >> 1;
+  if (ang.extension && !(std::abs(phiNode - phiTop) < thInterp))
+    phiMiddle = directAxis
+      ? iatan2(posXyz[1], posXyz[0] + ((1 << sizeRem[!directAxis]) >> 1))
+      : iatan2(posXyz[1] + ((1 << sizeRem[!directAxis]) >> 1),
+               posXyz[0]);
+
+  int predPhi = ang.phiBuffer[size_t(laserIdx)];
+  int phiRef = ang.extension ? phiMiddle : phiNode;
+  if (predPhi == int(0x80000000))
+    predPhi = phiRef;
+  {
+    int nShift = int(
+      ((int64_t(predPhi - phiRef) * ang.phiZi.invDelta[size_t(laserIdx)])
+       + (int64_t(1) << 29)) >> 30);
+    predPhi -= ang.phiZi.delta[size_t(laserIdx)] * nShift;
+  }
+
+  const int phiAxis = !directAxis;
+  for (int mask = (1 << sizeRem[phiAxis]) >> 1,
+           shiftBits = sizeRem[phiAxis];
+       mask; mask >>= 1, shiftBits--) {
+    int scaledMask = mask;
+    int phiL, phiR;
+    if (ang.extension) {
+      const int offset = scaledMask - 1;
+      const int offset2 = shiftBits > 1 ? (shiftBits > 2 ? 0 : 1) : 2;
+      phiL = phiNode
+        + (((offset - offset2) * (phiMiddle - phiNode)) >> shiftBits);
+      phiR = phiMiddle
+        + (((offset + offset2) * (phiMiddle - phiNode)) >> shiftBits);
+    } else {
+      phiL = phiNode;
+      phiR = directAxis ? iatan2(posXyz[1], posXyz[0] + scaledMask)
+                        : iatan2(posXyz[1] + scaledMask, posXyz[0]);
+    }
+
+    int angleL = phiL - predPhi;
+    int angleR = phiR - predPhi;
+    int contextAnglePhi =
+      (angleL >= 0 && angleR >= 0) || (angleL < 0 && angleR < 0) ? 2
+                                                                 : 0;
+    angleL = std::abs(angleL);
+    angleR = std::abs(angleR);
+    if (angleL > angleR) {
+      contextAnglePhi++;
+      std::swap(angleL, angleR);
+    }
+    if (angleR > (angleL << 1))
+      contextAnglePhi += 4;
+
+    int ctxIndex = 0;
+    if (ang.extension)
+      ctxIndex = ctxIndexForAngularPhiIdcm(
+        ang.phiZi.delta[size_t(laserIdx)], std::abs(phiL - phiR));
+    int bit = aec.bit(
+      &ctx.ctxPlanarPlaneLastIndexAngularPhiIdcm[contextAnglePhi]
+                                                [ctxIndex]);
+    delta[phiAxis] <<= 1;
+    if (bit) {
+      delta[phiAxis] |= 1;
+      posXyz[phiAxis] += scaledMask;
+      if (ang.extension) {
+        phiNode = phiMiddle;
+      } else {
+        phiNode = phiR;
+        predPhi = ang.phiBuffer[size_t(laserIdx)];
+        if (predPhi == int(0x80000000))
+          predPhi = phiNode;
+        int nShift = int(
+          ((int64_t(predPhi - phiNode)
+            * ang.phiZi.invDelta[size_t(laserIdx)])
+           + (int64_t(1) << 29)) >> 30);
+        predPhi -= ang.phiZi.delta[size_t(laserIdx)] * nShift;
+      }
+    } else if (ang.extension) {
+      phiTop = phiMiddle;
+    }
+
+    if (ang.extension) {
+      if (std::abs(phiNode - phiTop) < thInterp)
+        phiMiddle = (phiNode + phiTop) >> 1;
+      else
+        phiMiddle = directAxis
+          ? iatan2(posXyz[1], posXyz[0] + (scaledMask >> 1))
+          : iatan2(posXyz[1] + (scaledMask >> 1), posXyz[0]);
+      int nShift = int(
+        ((int64_t(predPhi - phiMiddle)
+          * ang.phiZi.invDelta[size_t(laserIdx)])
+         + (int64_t(1) << 29)) >> 30);
+      predPhi -= ang.phiZi.delta[size_t(laserIdx)] * nShift;
+    }
+  }
+
+  ang.phiBuffer[size_t(laserIdx)] = phiNode;
+
+  // -- THETA --
+  int maskz = (1 << sizeRem[2]) >> 1;
+  if (!maskz)
+    return;
+
+  if (ang.extension) {
+    uint64_t xLidar = uint64_t(int64_t(posXyz[0]) << 8);
+    uint64_t yLidar = uint64_t(int64_t(posXyz[1]) << 8);
+    int64_t r = isqrt(xLidar * xLidar + yLidar * yLidar);
+    int64_t zRec26 = int64_t(ang.thetaLaser[laserIdx]) * r;
+    zRec26 -= int64_t(ang.zLaser[laserIdx]) << 23;
+    int32_t zRec = int32_t(divExp2RoundHalfInf(zRec26, 26));
+    zRec = std::max(zRec, posXyz[2]);
+    zRec = std::min(zRec, posXyz[2] + (2 * maskz - 1));
+    int32_t zRes = decodeZResRef(aec, ctx.idcm);
+    delta[2] = zRes + zRec + ang.origin[2] - nodePosS[2];
+  } else {
+    uint64_t xLidar = uint64_t((int64_t(posXyz[0]) << 8) - 128);
+    uint64_t yLidar = uint64_t((int64_t(posXyz[1]) << 8) - 128);
+    int64_t rInv = int64_t(irsqrt(xLidar * xLidar + yLidar * yLidar));
+    int64_t hr = int64_t(ang.zLaser[laserIdx]) * rInv;
+    int fixedThetaLaser = ang.thetaLaser[laserIdx]
+      + int(hr >= 0 ? -(hr >> 17) : ((-hr) >> 17));
+    int zShift = int((rInv * (1 << sizeRem[2])) >> 18);
+    int deltaZ = delta[2];
+    for (int bitIdxZ = sizeRem[2]; bitIdxZ > 0;
+         bitIdxZ--, maskz >>= 1, zShift >>= 1) {
+      int64_t zLidar = ((int64_t(posXyz[2]) + maskz) << 1) - 1;
+      int64_t theta = zLidar * rInv;
+      int theta32 = int(theta >= 0 ? theta >> 15 : -((-theta) >> 15));
+      int thetaLaserDelta = fixedThetaLaser - theta32;
+      int thetaLaserDeltaBot = thetaLaserDelta + zShift;
+      int thetaLaserDeltaTop = thetaLaserDelta - zShift;
+      int contextAngle = thetaLaserDelta >= 0 ? 0 : 1;
+      if (thetaLaserDeltaTop >= 0)
+        contextAngle += 2;
+      else if (thetaLaserDeltaBot < 0)
+        contextAngle += 2;
+      deltaZ <<= 1;
+      deltaZ |=
+        aec.bit(&ctx.ctxPlanarPlaneLastIndexAngularIdcm[contextAngle]);
+      if (deltaZ & 1)
+        deltaZ += maskz;   // literal mirror of the reference
+                           // (decodePointPositionZAngular :1289)
+    }
+    delta[2] = deltaZ;
+  }
+}
+
+// encode mirror (encodePointPositionAngular,
+// geometry_octree_encoder.cpp:1085-1262)
+static void encodePointPositionAngularRef(
+  ArithEnc& aec, RefOctreeCtx& ctx, AngParams& ang,
+  const NodePlanar& planar, const int sizeRem[3],
+  const int32_t posNodeLidarIn[3], const int32_t pos[3],
+  int nodeLaserIdx) {
+  using angularcore::iatan2;
+  using angularcore::irsqrt;
+  using angularcore::isqrt;
+  using angularcore::divExp2RoundHalfInf;
+  using angularcore::ctxIndexForAngularPhiIdcm;
+  using angularcore::findLaser;
+  using angularcore::findLaserPrecise;
+
+  int32_t posXyz[3] = {posNodeLidarIn[0], posNodeLidarIn[1],
+                       posNodeLidarIn[2]};
+  const int directAxis =
+    std::abs(posXyz[0]) <= std::abs(posXyz[1]) ? 1 : 0;
+
+  for (int mask = (1 << sizeRem[directAxis]) >> 1; mask; mask >>= 1)
+    aec.bypass(!!(pos[directAxis] & mask));
+
+  for (int k = 0; k < 3; k++)
+    if (k != directAxis)
+      if (planar.planePosBits & (1 << k))
+        posXyz[k] += 1 << sizeRem[k];
+  posXyz[directAxis] = pos[directAxis] - ang.origin[directAxis];
+
+  int laserIdx;
+  int predLaserIdx = nodeLaserIdx;
+  {
+    int32_t p3[3] = {pos[0] - ang.origin[0], pos[1] - ang.origin[1],
+                     pos[2] - ang.origin[2]};
+    // NB: findLaser* take origin-relative points
+    if (ang.extension)
+      laserIdx =
+        findLaserPrecise(p3, ang.thetaLaser, ang.zLaser, ang.numLasers);
+    else
+      laserIdx = findLaser(p3, ang.thetaLaser, ang.numLasers);
+  }
+
+  int resLaser = laserIdx - predLaserIdx;
+  encodeThetaResRef(aec, ctx.idcm, resLaser,
+                    ang.prevThetaRes[nodeLaserIdx]);
+  if (ang.extension)
+    ang.prevThetaRes[nodeLaserIdx] = resLaser;
+
+  const int thInterp = 1 << 13;
+  int phiNode = iatan2(posXyz[1], posXyz[0]);
+  int phiTop = directAxis
+    ? iatan2(posXyz[1], posXyz[0] + (1 << sizeRem[!directAxis]))
+    : iatan2(posXyz[1] + (1 << sizeRem[!directAxis]), posXyz[0]);
+  int phiMiddle = (phiNode + phiTop) >> 1;
+  if (ang.extension && !(std::abs(phiNode - phiTop) < thInterp))
+    phiMiddle = directAxis
+      ? iatan2(posXyz[1], posXyz[0] + ((1 << sizeRem[!directAxis]) >> 1))
+      : iatan2(posXyz[1] + ((1 << sizeRem[!directAxis]) >> 1),
+               posXyz[0]);
+
+  int predPhi = ang.phiBuffer[size_t(laserIdx)];
+  int phiRef = ang.extension ? phiMiddle : phiNode;
+  if (predPhi == int(0x80000000))
+    predPhi = phiRef;
+  {
+    int nShift = int(
+      ((int64_t(predPhi - phiRef) * ang.phiZi.invDelta[size_t(laserIdx)])
+       + (int64_t(1) << 29)) >> 30);
+    predPhi -= ang.phiZi.delta[size_t(laserIdx)] * nShift;
+  }
+
+  const int phiAxis = !directAxis;
+  for (int mask = (1 << sizeRem[phiAxis]) >> 1,
+           shiftBits = sizeRem[phiAxis];
+       mask; mask >>= 1, shiftBits--) {
+    int scaledMask = mask;
+    int phiL, phiR;
+    if (ang.extension) {
+      const int offset = scaledMask - 1;
+      const int offset2 = shiftBits > 1 ? (shiftBits > 2 ? 0 : 1) : 2;
+      phiL = phiNode
+        + (((offset - offset2) * (phiMiddle - phiNode)) >> shiftBits);
+      phiR = phiMiddle
+        + (((offset + offset2) * (phiMiddle - phiNode)) >> shiftBits);
+    } else {
+      phiL = phiNode;
+      phiR = directAxis ? iatan2(posXyz[1], posXyz[0] + scaledMask)
+                        : iatan2(posXyz[1] + scaledMask, posXyz[0]);
+    }
+
+    int angleL = phiL - predPhi;
+    int angleR = phiR - predPhi;
+    int contextAnglePhi =
+      (angleL >= 0 && angleR >= 0) || (angleL < 0 && angleR < 0) ? 2
+                                                                 : 0;
+    angleL = std::abs(angleL);
+    angleR = std::abs(angleR);
+    if (angleL > angleR) {
+      contextAnglePhi++;
+      std::swap(angleL, angleR);
+    }
+    if (angleR > (angleL << 1))
+      contextAnglePhi += 4;
+
+    int bit = !!(pos[phiAxis] & mask);
+    int ctxIndex = 0;
+    if (ang.extension)
+      ctxIndex = ctxIndexForAngularPhiIdcm(
+        ang.phiZi.delta[size_t(laserIdx)], std::abs(phiL - phiR));
+    aec.bit(&ctx.ctxPlanarPlaneLastIndexAngularPhiIdcm[contextAnglePhi]
+                                                      [ctxIndex],
+            bit);
+    if (bit) {
+      posXyz[phiAxis] += scaledMask;
+      if (ang.extension) {
+        phiNode = phiMiddle;
+      } else {
+        phiNode = phiR;
+        predPhi = ang.phiBuffer[size_t(laserIdx)];
+        if (predPhi == int(0x80000000))
+          predPhi = phiNode;
+        int nShift = int(
+          ((int64_t(predPhi - phiNode)
+            * ang.phiZi.invDelta[size_t(laserIdx)])
+           + (int64_t(1) << 29)) >> 30);
+        predPhi -= ang.phiZi.delta[size_t(laserIdx)] * nShift;
+      }
+    } else if (ang.extension) {
+      phiTop = phiMiddle;
+    }
+
+    if (ang.extension) {
+      if (std::abs(phiNode - phiTop) < thInterp)
+        phiMiddle = (phiNode + phiTop) >> 1;
+      else
+        phiMiddle = directAxis
+          ? iatan2(posXyz[1], posXyz[0] + (scaledMask >> 1))
+          : iatan2(posXyz[1] + (scaledMask >> 1), posXyz[0]);
+      int nShift = int(
+        ((int64_t(predPhi - phiMiddle)
+          * ang.phiZi.invDelta[size_t(laserIdx)])
+         + (int64_t(1) << 29)) >> 30);
+      predPhi -= ang.phiZi.delta[size_t(laserIdx)] * nShift;
+    }
+  }
+
+  ang.phiBuffer[size_t(laserIdx)] = phiNode;
+
+  // -- THETA --
+  int maskz = (1 << sizeRem[2]) >> 1;
+  if (!maskz)
+    return;
+
+  if (ang.extension) {
+    uint64_t xLidar = uint64_t(int64_t(posXyz[0]) << 8);
+    uint64_t yLidar = uint64_t(int64_t(posXyz[1]) << 8);
+    int64_t r = isqrt(xLidar * xLidar + yLidar * yLidar);
+    int64_t zRec26 = int64_t(ang.thetaLaser[laserIdx]) * r;
+    zRec26 -= int64_t(ang.zLaser[laserIdx]) << 23;
+    int32_t zRec = int32_t(divExp2RoundHalfInf(zRec26, 26));
+    zRec = std::max(zRec, posXyz[2]);
+    zRec = std::min(zRec, posXyz[2] + (2 * maskz - 1));
+    int32_t zRes = (pos[2] - ang.origin[2]) - zRec;
+    encodeZResRef(aec, ctx.idcm, zRes);
+  } else {
+    uint64_t xLidar = uint64_t((int64_t(posXyz[0]) << 8) - 128);
+    uint64_t yLidar = uint64_t((int64_t(posXyz[1]) << 8) - 128);
+    int64_t rInv = int64_t(irsqrt(xLidar * xLidar + yLidar * yLidar));
+    int64_t hr = int64_t(ang.zLaser[laserIdx]) * rInv;
+    int fixedThetaLaser = ang.thetaLaser[laserIdx]
+      + int(hr >= 0 ? -(hr >> 17) : ((-hr) >> 17));
+    int zShift = int((rInv * (1 << sizeRem[2])) >> 18);
+    for (; maskz; maskz >>= 1, zShift >>= 1) {
+      int64_t zLidar = ((int64_t(posXyz[2]) + maskz) << 1) - 1;
+      int64_t theta = zLidar * rInv;
+      int theta32 = int(theta >= 0 ? theta >> 15 : -((-theta) >> 15));
+      int thetaLaserDelta = fixedThetaLaser - theta32;
+      int thetaLaserDeltaBot = thetaLaserDelta + zShift;
+      int thetaLaserDeltaTop = thetaLaserDelta - zShift;
+      int contextAngle = thetaLaserDelta >= 0 ? 0 : 1;
+      if (thetaLaserDeltaTop >= 0)
+        contextAngle += 2;
+      else if (thetaLaserDeltaBot < 0)
+        contextAngle += 2;
+      int bit = !!(pos[2] & maskz);
+      aec.bit(&ctx.ctxPlanarPlaneLastIndexAngularIdcm[contextAngle],
+              bit);
+      if (bit)
+        posXyz[2] += maskz;
+    }
+  }
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -245,7 +761,8 @@ static int encode_octree_impl(
   std::vector<int32_t>* ts_leaves = nullptr,   // origins+ranges out
   std::vector<int32_t>* ts_order = nullptr,    // point permutation out
   void** ts_coder = nullptr,       // trisoup: live coder handoff
-  int stream_cnt_minus1 = 0) {     // gbh.geom_stream_cnt_minus1
+  int stream_cnt_minus1 = 0,       // gbh.geom_stream_cnt_minus1
+  AngParams* ang = nullptr) {      // angular octree mode
   GeomParams gp;
   std::memcpy(&gp, gp_arr, sizeof gp);
   const int neighbour_avail_boundary_log2 = gp.neighAvailBoundaryLog2;
@@ -315,6 +832,7 @@ static int encode_octree_impl(
     uint8_t numSiblingsPlus1;
     uint8_t mispred;             // parent's prediction failures
     uint8_t idcmEligible = 0;
+    uint8_t laserIndex = 255;    // angular: inherited laser id
   };
   const uint32_t idcmMaskInit = mkIdcmEnableMask(gp);
   long numPointsCodedByIdcm = 0;
@@ -399,7 +917,11 @@ static int encode_octree_impl(
     for (; head < lvlEnd; head++) {
       ENode node0 = fifo[head];
 
-      // counting sort of the node's points into 8 child buckets
+      // counting sort of the node's points into 8 child buckets.
+      // In-place cycle-swap form, exactly the reference's countingSort
+      // (PCCMisc.h:271-298): it is NOT stable, and the within-bucket
+      // permutation is normatively visible through the angular IDCM
+      // two-point order (direct-axis ties keep "input" order).
       int counts[8] = {0, 0, 0, 0, 0, 0, 0, 0};
       for (int32_t p = node0.start; p < node0.end; p++) {
         const int32_t* pt = &positions[order[size_t(p)] * 3];
@@ -414,17 +936,21 @@ static int encode_octree_impl(
         acc += counts[b];
       }
       {
-        int w[8];
-        std::memcpy(w, offs, sizeof w);
-        for (int32_t p = node0.start; p < node0.end; p++) {
-          const int32_t* pt = &positions[order[size_t(p)] * 3];
-          int b = (!!(pt[2] & probe[2])) | (!!(pt[1] & probe[1]) << 1)
-            | (!!(pt[0] & probe[0]) << 2);
-          scratch[size_t(w[b]++)] = order[size_t(p)];
+        int ptrs[8];
+        std::memcpy(ptrs, offs, sizeof ptrs);
+        int origLast = node0.start;
+        for (int i = 0; i < 8; i++) {
+          origLast += counts[i];
+          while (ptrs[i] != origLast) {
+            const int32_t* pt = &positions[order[size_t(ptrs[i])] * 3];
+            int radix = (!!(pt[2] & probe[2]))
+              | (!!(pt[1] & probe[1]) << 1)
+              | (!!(pt[0] & probe[0]) << 2);
+            std::swap(order[size_t(ptrs[i])],
+                      order[size_t(ptrs[radix])]);
+            ptrs[radix]++;
+          }
         }
-        std::memcpy(&order[size_t(node0.start)],
-                    &scratch[size_t(node0.start)],
-                    sizeof(int32_t) * size_t(node0.end - node0.start));
       }
       int occupancy = 0;
       int numOccupied = 0;
@@ -517,41 +1043,15 @@ static int encode_octree_impl(
         gnp.pattern = uint8_t(neighPatternFromOccupancy(
           posInParent, node0.siblingOccupancy));
 
-      if (gp.planarEnabled && !gp.depthPlanarEligibility) {
-        if (!nodesBeforePlanarUpdate--) {
-          planarState.updateRate(node0.siblingOccupancy,
-                                 node0.numSiblingsPlus1);
-          nodesBeforePlanarUpdate = node0.numSiblingsPlus1 - 1;
-        }
-      }
-
-      NodePlanar planar;
-      bool planarEligible[3] = {false, false, false};
-      if (gp.planarEnabled) {
-        if (gp.depthPlanarEligibility) {
-          if (planarEligibleKDepth)
-            planarEligible[0] = planarEligible[1] = planarEligible[2] =
-              true;
-        } else {
-          planarState.isEligible(planarEligible);
-        }
-        for (int k = 0; k < 3; k++)
-          planarEligible[k] =
-            planarEligible[k] && ((codedAxesCurLvl >> (2 - k)) & 1);
-        if (planarEligible[0] || planarEligible[1]
-            || planarEligible[2])
-          determinePlanarIntraEnc(
-            aec, ctx, planarState, gp, dynObuf, planarEligible,
-            posInParent, gnp, node0.pos, node0.siblingOccupancy,
-            occupancy, planar);
-      }
-
-      // inferred direct coding (encodeDirectPosition,
-      // geometry_octree_encoder.cpp:2400-2446); intra, non-angular
+      // IDCM mode decision (canEncodeDirectPosition,
+      // geometry_octree.h:995); with planar_disabled_idcm_angular the
+      // flag is coded BEFORE planar and suppresses it
+      // (geometry_octree_encoder.cpp:2305-2330)
+      int idcmMode = 0;  // 0 unavailable, 1 two-points, 2 all-same
+      bool planarEligIdcmAng = true;
+      bool idcmFlagCoded = false;
       if (node0.idcmEligible) {
         int numPts = node0.end - node0.start;
-        // canEncodeDirectPosition (geometry_octree.h:995)
-        int mode = 0;  // 0 unavailable, 1 two-points, 2 all-same
         if (numPts <= 10) {
           bool allSame = numPts > 1 && !unique_points;
           for (int32_t p = node0.start + 1; allSame && p < node0.end;
@@ -563,11 +1063,80 @@ static int encode_octree_impl(
               && positions[order[size_t(p)] * 3 + 2]
                 == positions[order[size_t(node0.start)] * 3 + 2];
           if (allSame)
-            mode = 2;
+            idcmMode = 2;
           else if (numPts <= 2)
-            mode = 1;
+            idcmMode = 1;
         }
-        aec.bit(&ctx.idcm.blockSkip, mode != 0);
+        if (ang && ang->planarDisabledIdcmAngular) {
+          aec.bit(&ctx.idcm.blockSkip, idcmMode != 0);
+          idcmFlagCoded = true;
+          if (idcmMode != 0)
+            planarEligIdcmAng = false;
+        }
+      }
+
+      // angular planar context derivation (contextAngle -1 = off)
+      int contextAngle = -1;
+      int contextAnglePhiX = -1;
+      int contextAnglePhiY = -1;
+      if (ang && planarEligIdcmAng) {
+        int nsz[3] = {lvlSize[0][depth], lvlSize[1][depth],
+                      lvlSize[2][depth]};
+        contextAngle = contextAngleForPlanar(
+          *ang, node0.laserIndex, node0.pos, nsz, &contextAnglePhiX,
+          &contextAnglePhiY);
+      }
+
+      if (gp.planarEnabled && planarEligIdcmAng
+          && !gp.depthPlanarEligibility) {
+        if (!nodesBeforePlanarUpdate--) {
+          planarState.updateRate(node0.siblingOccupancy,
+                                 node0.numSiblingsPlus1);
+          nodesBeforePlanarUpdate = node0.numSiblingsPlus1 - 1;
+        }
+      }
+
+      NodePlanar planar;
+      bool planarEligible[3] = {false, false, false};
+      if (gp.planarEnabled && planarEligIdcmAng) {
+        if (gp.depthPlanarEligibility) {
+          if (ang) {
+            if (contextAngle != -1)
+              planarEligible[2] = true;
+            planarEligible[0] = contextAnglePhiX != -1;
+            planarEligible[1] = contextAnglePhiY != -1;
+          } else if (planarEligibleKDepth) {
+            planarEligible[0] = planarEligible[1] = planarEligible[2] =
+              true;
+          }
+        } else {
+          planarState.isEligible(planarEligible);
+          if (ang) {
+            if (contextAngle != -1)
+              planarEligible[2] = true;
+            planarEligible[0] = contextAnglePhiX != -1;
+            planarEligible[1] = contextAnglePhiY != -1;
+          }
+        }
+        for (int k = 0; k < 3; k++)
+          planarEligible[k] =
+            planarEligible[k] && ((codedAxesCurLvl >> (2 - k)) & 1);
+        if (planarEligible[0] || planarEligible[1]
+            || planarEligible[2])
+          determinePlanarIntraEnc(
+            aec, ctx, planarState, gp, dynObuf, planarEligible,
+            posInParent, gnp, node0.pos, node0.siblingOccupancy,
+            occupancy, planar, contextAngle, contextAnglePhiX,
+            contextAnglePhiY);
+      }
+
+      // inferred direct coding (encodeDirectPosition,
+      // geometry_octree_encoder.cpp:2400-2446)
+      if (node0.idcmEligible) {
+        int numPts = node0.end - node0.start;
+        int mode = idcmMode;
+        if (!idcmFlagCoded)
+          aec.bit(&ctx.idcm.blockSkip, mode != 0);
         if (mode != 0) {
           int numCoded = numPts;
           if (mode == 1) {
@@ -596,6 +1165,46 @@ static int encode_octree_impl(
             if (sizeRem[k] > 0 && (planar.planarMode & (1 << k)))
               sizeRem[k]--;
           }
+          if (ang) {
+            // angular IDCM (encodeDirectPosition angular branch)
+            int32_t nodePosS[3], posNodeLidar[3];
+            for (int k = 0; k < 3; k++) {
+              nodePosS[k] = node0.pos[k] << idcmSize[k];
+              posNodeLidar[k] = nodePosS[k] - ang->origin[k];
+            }
+            const int directAxis =
+              std::abs(posNodeLidar[0]) <= std::abs(posNodeLidar[1])
+              ? 1 : 0;
+            bool directIdcm[3] = {directAxis == 0, directAxis == 1,
+                                  false};
+            if (numCoded == 2 && gp.jointTwoPointIdcm) {
+              // implicit ordering over the direct axis only
+              if (pts[1][directAxis] < pts[0][directAxis])
+                for (int k = 0; k < 3; k++)
+                  std::swap(pts[0][k], pts[1][k]);
+              encodeOrdered2ptPrefixDir(aec, ctx.idcm, directIdcm,
+                                        sizeRem, pts);
+            }
+            // laser estimate from the coded-so-far bits of point 0
+            int32_t probe[3];
+            for (int k = 0; k < 3; k++) {
+              int32_t d = pts[0][k] - nodePosS[k];
+              d = (d >> sizeRem[k]) << sizeRem[k];
+              d += (1 << sizeRem[k]) >> 1;
+              probe[k] = posNodeLidar[k] + d;
+            }
+            int estLaser = ang->extension
+              ? angularcore::findLaserPrecise(
+                  probe, ang->thetaLaser, ang->zLaser, ang->numLasers)
+              : angularcore::findLaser(probe, ang->thetaLaser,
+                                       ang->numLasers);
+            for (int i = 0; i < numCoded; i++) {
+              int32_t p3[3] = {pts[i][0], pts[i][1], pts[i][2]};
+              encodePointPositionAngularRef(
+                aec, ctx, *ang, planar, sizeRem, posNodeLidar, p3,
+                estLaser);
+            }
+          } else {
           if (numCoded == 2 && gp.jointTwoPointIdcm) {
             // implicit ordering of the two points (all axes direct)
             bool swap = false;
@@ -614,6 +1223,7 @@ static int encode_octree_impl(
             for (int k = 0; k < 3; k++)
               for (int b = sizeRem[k] - 1; b >= 0; b--)
                 aec.bypass((pts[i][k] >> b) & 1);
+          }
           numPointsCodedByIdcm += numPts;
           if (adjacent_child_ctx) {
             const uint32_t cmask = (1u << atlas.cubeSizeLog2) - 1;
@@ -679,6 +1289,7 @@ static int encode_octree_impl(
         child.rend = roffs[i] + rcounts[i];
         child.siblingOccupancy = uint8_t(occupancy);
         child.numSiblingsPlus1 = uint8_t(numOccupied);
+        child.laserIndex = node0.laserIndex;
         {
           int fail = 0;
           for (int b = 0; b < 8; b++)
@@ -757,7 +1368,8 @@ static int decode_octree_impl(
   int ts_base = 0,                 // trisoup: leaf node size log2
   std::vector<int32_t>* ts_leaves = nullptr,  // trisoup: origins out
   void** ts_coder = nullptr,       // trisoup: live coder handoff
-  int stream_cnt_minus1 = 0) {     // gbh.geom_stream_cnt_minus1
+  int stream_cnt_minus1 = 0,       // gbh.geom_stream_cnt_minus1
+  AngParams* ang = nullptr) {      // angular octree mode
   GeomParams gp;
   std::memcpy(&gp, gp_arr, sizeof gp);
   const int neighbour_avail_boundary_log2 = gp.neighAvailBoundaryLog2;
@@ -945,8 +1557,35 @@ static int decode_octree_impl(
         gnp.pattern = uint8_t(neighPatternFromOccupancy(
           posInParent, node0.siblingOccupancy));
 
+      // planar_disabled_idcm_angular: the IDCM flag is decoded
+      // BEFORE planar and suppresses it
+      // (geometry_octree_decoder.cpp:1925-1932)
+      bool planarEligIdcmAng = true;
+      bool idcmFlagCoded = false;
+      bool isDirectModeEarly = false;
+      if (node0.idcmEligible && ang
+          && ang->planarDisabledIdcmAngular) {
+        isDirectModeEarly = aec.bit(&ctx.idcm.blockSkip) != 0;
+        idcmFlagCoded = true;
+        if (isDirectModeEarly)
+          planarEligIdcmAng = false;
+      }
+
+      // angular planar context derivation (contextAngle -1 = off)
+      int contextAngle = -1;
+      int contextAnglePhiX = -1;
+      int contextAnglePhiY = -1;
+      if (ang && planarEligIdcmAng) {
+        int nsz[3] = {lvlSize[0][depth], lvlSize[1][depth],
+                      lvlSize[2][depth]};
+        contextAngle = contextAngleForPlanar(
+          *ang, node0.laserIndex, node0.pos, nsz, &contextAnglePhiX,
+          &contextAnglePhiY);
+      }
+
       // legacy planar rate update (only without depth eligibility)
-      if (gp.planarEnabled && !gp.depthPlanarEligibility) {
+      if (gp.planarEnabled && planarEligIdcmAng
+          && !gp.depthPlanarEligibility) {
         if (!nodesBeforePlanarUpdate--) {
           planarState.updateRate(node0.siblingOccupancy,
                                  node0.numSiblingsPlus1);
@@ -954,16 +1593,30 @@ static int decode_octree_impl(
         }
       }
 
-      // planar eligibility + mode decode
+      // planar eligibility + mode decode; with angular the
+      // eligibility comes from the context angles
+      // (geometry_octree_decoder.cpp:1966-1986)
       NodePlanar planar;
       bool planarEligible[3] = {false, false, false};
-      if (gp.planarEnabled) {
+      if (gp.planarEnabled && planarEligIdcmAng) {
         if (gp.depthPlanarEligibility) {
-          if (planarEligibleKDepth)
+          if (ang) {
+            if (contextAngle != -1)
+              planarEligible[2] = true;
+            planarEligible[0] = contextAnglePhiX != -1;
+            planarEligible[1] = contextAnglePhiY != -1;
+          } else if (planarEligibleKDepth) {
             planarEligible[0] = planarEligible[1] = planarEligible[2] =
               true;
+          }
         } else {
           planarState.isEligible(planarEligible);
+          if (ang) {
+            if (contextAngle != -1)
+              planarEligible[2] = true;
+            planarEligible[0] = contextAnglePhiX != -1;
+            planarEligible[1] = contextAnglePhiY != -1;
+          }
         }
         for (int k = 0; k < 3; k++)
           planarEligible[k] =
@@ -973,13 +1626,15 @@ static int decode_octree_impl(
           determinePlanarIntraDec(
             aec, ctx, planarState, gp, dynObuf, planarEligible,
             posInParent, gnp, node0.pos, node0.siblingOccupancy,
-            planar);
+            planar, contextAngle, contextAnglePhiX, contextAnglePhiY);
       }
 
       // inferred direct coding (decodeDirectPosition,
-      // geometry_octree_decoder.cpp:1338-1454); intra, non-angular
+      // geometry_octree_decoder.cpp:1338-1454)
       if (node0.idcmEligible) {
-        bool isDirectMode = aec.bit(&ctx.idcm.blockSkip) != 0;
+        bool isDirectMode = idcmFlagCoded
+          ? isDirectModeEarly
+          : aec.bit(&ctx.idcm.blockSkip) != 0;
         if (isDirectMode) {
           int numPts = 1 + aec.bit(&ctx.idcm.numPointsGt1);
           int numDup = 0;
@@ -1004,10 +1659,49 @@ static int decode_octree_impl(
               sizeRem[k]--;
             }
           }
+          int32_t lastPos[3] = {0, 0, 0};
+          if (ang) {
+            // angular IDCM (decodeDirectPosition angular branch)
+            int32_t nodePosS[3], posNodeLidar[3];
+            for (int k = 0; k < 3; k++) {
+              nodePosS[k] = node0.pos[k] << idcmSize[k];
+              posNodeLidar[k] = nodePosS[k] - ang->origin[k];
+            }
+            const int directAxis =
+              std::abs(posNodeLidar[0]) <= std::abs(posNodeLidar[1])
+              ? 1 : 0;
+            bool directIdcm[3] = {directAxis == 0, directAxis == 1,
+                                  false};
+            if (numPts == 2 && gp.jointTwoPointIdcm)
+              decodeOrdered2ptPrefixDir(aec, ctx.idcm, directIdcm,
+                                        sizeRem, delta);
+            int32_t probe[3];
+            for (int k = 0; k < 3; k++)
+              probe[k] = posNodeLidar[k]
+                + (delta[0][k] << sizeRem[k])
+                + ((1 << sizeRem[k]) >> 1);
+            int laserIdx = ang->extension
+              ? angularcore::findLaserPrecise(
+                  probe, ang->thetaLaser, ang->zLaser, ang->numLasers)
+              : angularcore::findLaser(probe, ang->thetaLaser,
+                                       ang->numLasers);
+            for (int i = 0; i < numPts; i++) {
+              decodePointPositionAngularRef(
+                aec, ctx, *ang, sizeRem, nodePosS, posNodeLidar,
+                laserIdx, laserIdx, delta[i]);
+              for (int k = 0; k < 3; k++)
+                lastPos[k] = delta[i][k] + nodePosS[k];
+              if (processed >= out_cap)
+                return -4;
+              out_pos[processed * 3 + 0] = lastPos[0];
+              out_pos[processed * 3 + 1] = lastPos[1];
+              out_pos[processed * 3 + 2] = lastPos[2];
+              processed++;
+            }
+          } else {
           if (numPts == 2 && gp.jointTwoPointIdcm)
             decodeOrdered2ptPrefixIntra(aec, ctx.idcm, delta,
                                         sizeRem);
-          int32_t lastPos[3] = {0, 0, 0};
           for (int i = 0; i < numPts; i++) {
             for (int k = 0; k < 3; k++)
               for (int b = sizeRem[k]; b > 0; b--) {
@@ -1023,6 +1717,7 @@ static int decode_octree_impl(
             out_pos[processed * 3 + 1] = lastPos[1];
             out_pos[processed * 3 + 2] = lastPos[2];
             processed++;
+          }
           }
           for (int j = 0; j < numDup; j++) {
             if (processed >= out_cap)
@@ -1149,6 +1844,7 @@ static int decode_octree_impl(
         child.rend = roffs[i] + rcounts[i];
         child.numSiblingsPlus1 = uint8_t(numOccupied);
         child.siblingOccupancy = uint8_t(occupancy);
+        child.laserIndex = node0.laserIndex;
         {
           int fail = 0;
           for (int b = 0; b < 8; b++)
@@ -1336,6 +2032,45 @@ extern "C" int tmc13ref_decode_octree_trisoup(
               leaves.size() * sizeof(int32_t));
   *coder_out = coder;
   return n;
+}
+
+// angular octree mode (geom_angular_mode_enabled_flag): intra, IDCM
+// off.  ang_origin is slice-local (gbh.geomAngularOrigin); laser
+// tables are the decoded GPS arrays.
+extern "C" int tmc13ref_decode_octree_intra_ang(
+  const uint8_t* aec_buf, int aec_len,
+  const int32_t* coded_axis_list, int num_levels, int num_points,
+  const int32_t* gp_arr,
+  const int32_t* ang_origin, int num_lasers,
+  const int32_t* theta_laser, const int32_t* z_laser,
+  const int32_t* num_phi, int ang_flags,
+  int32_t* out_pos, int out_cap) {
+  AngParams ang;
+  ang.init(ang_origin, num_lasers, theta_laser, z_laser, num_phi);
+  ang.extension = (ang_flags & 1) != 0;
+  ang.planarDisabledIdcmAngular = (ang_flags & 2) != 0;
+  return decode_octree_impl(aec_buf, aec_len, coded_axis_list,
+                            num_levels, num_points, nullptr, 0,
+                            gp_arr, out_pos, out_cap, 0, 0, 0,
+                            nullptr, nullptr, 0, &ang);
+}
+
+extern "C" int tmc13ref_encode_octree_intra_ang(
+  const int32_t* positions, int num_points,
+  const int32_t* coded_axis_list, int num_levels,
+  const int32_t* gp_arr,
+  const int32_t* ang_origin, int num_lasers,
+  const int32_t* theta_laser, const int32_t* z_laser,
+  const int32_t* num_phi, int ang_flags,
+  uint8_t* out_buf, int out_cap) {
+  AngParams ang;
+  ang.init(ang_origin, num_lasers, theta_laser, z_laser, num_phi);
+  ang.extension = (ang_flags & 1) != 0;
+  ang.planarDisabledIdcmAngular = (ang_flags & 2) != 0;
+  return encode_octree_impl(positions, num_points, nullptr, 0,
+                            coded_axis_list, num_levels, gp_arr,
+                            out_buf, out_cap, 0, nullptr, nullptr,
+                            nullptr, 0, &ang);
 }
 
 // multi-stream brick decode (gbh.geom_stream_cnt_minus1 > 0): the

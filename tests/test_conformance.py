@@ -1060,3 +1060,122 @@ def test_multistream_encode_byte_identical(tmp_path):
         mine = refenc.encode_stream(pos, planar=True, qtbt=True,
                                     num_entropy_streams=ns)
         assert mine == bit.read_bytes()
+
+
+def _lidar_opts(idcm):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", "..",
+                                    "scripts"))
+    from gen_clouds import _hdl64_elevations
+    theta = ",".join(f"{t:.6f}" for t in np.tan(_hdl64_elevations(16)))
+    npt = ",".join(["2000"] * 16)
+    zeros = ",".join(["0"] * 16)
+    head = 1 << 13
+    return ["--positionQuantizationScale=1", "--mergeDuplicatedPoints=1",
+            "--disableAttributeCoding=1", "--angularEnabled=1",
+            "--planarEnabled=1", f"--inferredDirectCodingMode={idcm}",
+            "--neighbourAvailBoundaryLog2=8", "--numLasers=16",
+            f"--lidarHeadPosition={head},{head},{head}",
+            f"--lasersTheta={theta}", f"--lasersZ={zeros}",
+            f"--lasersNumPhiPerTurn={npt}"]
+
+
+def _lidar_cloud():
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", "..",
+                                    "scripts"))
+    from gen_clouds import make_lidar_frame
+    pos, _ = make_lidar_frame(0, n_lasers=16, steps=1500)
+    return np.unique(pos >> 4, axis=0)      # 14-bit grid
+
+
+@pytest.mark.parametrize("idcm", [0, 1, 2, 3])
+def test_angular_octree_decode_bit_exact(tmp_path, idcm):
+    """Angular octree mode (laser-conditioned planar contexts +
+    angular IDCM) decodes tmc3 bitstreams bit-exact for every IDCM
+    intensity (native/refcodec.cc + angular_core.h)."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    pos = _lidar_cloud()
+    src = tmp_path / "ang.ply"
+    bit = tmp_path / f"ang{idcm}.bin"
+    dec = tmp_path / f"ang{idcm}.dec.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", *_lidar_opts(idcm)],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={dec}", "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    mine = np.concatenate(refdec.decode_stream(bit.read_bytes()))
+    want = ply.read(str(dec)).positions.astype(np.int64)
+    np.testing.assert_array_equal(mine, want)
+
+
+@pytest.mark.parametrize("idcm", [0, 2, 3])
+def test_angular_octree_encode_byte_identical(tmp_path, idcm):
+    """Our angular emission (incl. the reference's unstable cycle-swap
+    counting sort, whose within-bucket permutation is visible through
+    the angular IDCM two-point order) is byte-identical to tmc3's AEC
+    payload."""
+    import ctypes as c
+    from mpeg_pcc_tmc13_tpu.conformance import ref_hls
+    from mpeg_pcc_tmc13_tpu.conformance.decoder import (_load,
+                                                        geom_params_array)
+    pos = _lidar_cloud()
+    src = tmp_path / "ange.ply"
+    bit = tmp_path / f"ange{idcm}.bin"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", *_lidar_opts(idcm)],
+        check=True, capture_output=True)
+    data = bit.read_bytes()
+    sps = gps = None
+    for t, payload in ref_hls.iter_ref_tlv(data):
+        if t == ref_hls.T_SPS:
+            sps = ref_hls.parse_sps(payload)
+        elif t == ref_hls.T_GPS:
+            gps = ref_hls.parse_gps(payload)
+        elif t == ref_hls.T_GEOM_BRICK:
+            gbh = ref_hls.parse_gbh(sps, gps, payload)
+            want = payload[gbh.header_bytes:
+                           len(payload) - gbh.footer_bytes]
+            break
+    p = pos - np.asarray(sps.bbox_origin)
+    stv = np.ascontiguousarray(p - np.asarray(gbh.box_origin_stv),
+                               dtype=np.int32)
+    axes = np.asarray(gbh.tree_lvl_coded_axis_list, dtype=np.int32)
+    gp = geom_params_array(gps,
+                           sps.bypass_bin_coding_without_prob_update)
+    origin = (np.asarray(ref_hls.from_xyz(
+        sps.geometry_axis_order, list(gps.angular_origin)),
+        dtype=np.int64) - np.asarray(gbh.box_origin_stv, dtype=np.int64))
+    lib = _load()
+    lib.tmc13ref_encode_octree_intra_ang.argtypes = [
+        c.POINTER(c.c_int32), c.c_int, c.POINTER(c.c_int32), c.c_int,
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int,
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        c.POINTER(c.c_int32), c.c_int, c.POINTER(c.c_uint8), c.c_int]
+    lib.tmc13ref_encode_octree_intra_ang.restype = c.c_int
+    org = np.ascontiguousarray(origin, dtype=np.int32)
+    th = np.ascontiguousarray(gps.angular_theta, dtype=np.int32)
+    zl = np.ascontiguousarray(gps.angular_z, dtype=np.int32)
+    nph = np.ascontiguousarray(gps.angular_num_phi, dtype=np.int32)
+    flags = (int(gps.octree_angular_extension)
+             | (int(gps.planar_disabled_idcm_angular) << 1))
+    cap = stv.shape[0] * 16 + (1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.tmc13ref_encode_octree_intra_ang(
+        stv.ctypes.data_as(c.POINTER(c.c_int32)), stv.shape[0],
+        axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+        gp.ctypes.data_as(c.POINTER(c.c_int32)),
+        org.ctypes.data_as(c.POINTER(c.c_int32)), th.shape[0],
+        th.ctypes.data_as(c.POINTER(c.c_int32)),
+        zl.ctypes.data_as(c.POINTER(c.c_int32)),
+        nph.ctypes.data_as(c.POINTER(c.c_int32)), flags,
+        out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+    assert out[:n].tobytes() == want
