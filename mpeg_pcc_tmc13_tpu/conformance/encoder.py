@@ -67,6 +67,54 @@ def _encode_brick_native(positions: np.ndarray, axes: np.ndarray,
     return out[:n].tobytes()
 
 
+def _encode_brick_native_ang(positions: np.ndarray, axes: np.ndarray,
+                             gps: ref_hls.RefGps,
+                             bypass_no_update: bool = False,
+                             box_origin_stv=(0, 0, 0)) -> bytes:
+    """Angular octree brick (laser-conditioned planar + angular IDCM;
+    native/refcodec.cc tmc13ref_encode_octree_intra_ang)."""
+    import ctypes as c
+    lib = _load()
+    if not hasattr(lib.tmc13ref_encode_octree_intra_ang, "_configured"):
+        lib.tmc13ref_encode_octree_intra_ang.argtypes = [
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_uint8), c.c_int]
+        lib.tmc13ref_encode_octree_intra_ang.restype = c.c_int
+        lib.tmc13ref_encode_octree_intra_ang._configured = True
+    pos32 = np.ascontiguousarray(positions, dtype=np.int32)
+    gp = geom_params_array(gps, bypass_no_update)
+    # slice-local lidar head (gbh.geomAngularOrigin, hls.h:658);
+    # gps.angular_origin is kept in coded xyz order
+    origin = (np.asarray(ref_hls.from_xyz(
+        1, list(gps.angular_origin)), dtype=np.int64)
+        - np.asarray(box_origin_stv, dtype=np.int64))
+    org = np.ascontiguousarray(origin, dtype=np.int32)
+    th = np.ascontiguousarray(gps.angular_theta, dtype=np.int32)
+    zl = np.ascontiguousarray(gps.angular_z, dtype=np.int32)
+    nph = np.ascontiguousarray(gps.angular_num_phi, dtype=np.int32)
+    flags = (int(gps.octree_angular_extension)
+             | (int(gps.planar_disabled_idcm_angular) << 1))
+    cap = max(int(pos32.shape[0] * 16 + (1 << 16)), 1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.tmc13ref_encode_octree_intra_ang(
+        pos32.ctypes.data_as(c.POINTER(c.c_int32)), pos32.shape[0],
+        axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+        gp.ctypes.data_as(c.POINTER(c.c_int32)),
+        org.ctypes.data_as(c.POINTER(c.c_int32)), th.shape[0],
+        th.ctypes.data_as(c.POINTER(c.c_int32)),
+        zl.ctypes.data_as(c.POINTER(c.c_int32)),
+        nph.ctypes.data_as(c.POINTER(c.c_int32)), flags,
+        out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+    if n < 0:
+        raise RuntimeError(f"refcodec angular encode failed rc={n}")
+    return out[:n].tobytes()
+
+
 def _ceillog2(x: int) -> int:
     return max(int(x - 1).bit_length(), 0)
 
@@ -279,12 +327,17 @@ def _encode_trisoup_brick_native(stv: np.ndarray, axes: np.ndarray,
 def qtbt_axis_list(root_size_log2, qtbt_enabled: bool,
                    max_num_qtbt_before_ot: int = 4,
                    min_qtbt_size_log2: int = 0,
-                   stop_log2: int = 0):
+                   stop_log2: int = 0,
+                   angular_tweak: bool = False,
+                   ang_max_v: int = 0,
+                   ang_max_diff_z: int = 0):
     """Per-level coded-axis masks from the implicit QT/BT schedule
     (mkQtBtNodeSizeList + oneQtBtDecision + updateQtBtParameters,
-    /root/reference/tmc3/geometry_octree.cpp:51-160; non-angular).
+    /root/reference/tmc3/geometry_octree.cpp:51-160).
     ``stop_log2`` truncates the list at the trisoup node size
-    (geometry_octree_encoder.cpp:1984-1994)."""
+    (geometry_octree_encoder.cpp:1984-1994).  With ``angular_tweak``
+    the z axis is withheld from splitting per the angular QTBT rule
+    (oneQtBtDecision :68-83; thresholds from TMC3.cpp:1957-1960)."""
     node = list(root_size_log2)
     max_q = max_num_qtbt_before_ot
     min_q = min_qtbt_size_log2
@@ -300,6 +353,19 @@ def qtbt_axis_list(root_size_log2, qtbt_enabled: bool,
         elif max_q or min(node) == min_q:
             m = max(node)
             nxt = [v - 1 if v == m else v for v in node]
+        elif (angular_tweak and min_q >= 0 and node[2] <= ang_max_v
+              and ang_max_v + ang_max_diff_z > 0):
+            # angular: do not split z unless it dominates xy
+            nxt = list(node)
+            xy_max = max(nxt[0], nxt[1])
+            for k in range(2):
+                if nxt[k] == xy_max:
+                    nxt[k] -= 1
+            if ((min(node) <= ang_max_v
+                 and nxt[2] >= xy_max + ang_max_diff_z)
+                    or (xy_max >= ang_max_v + ang_max_diff_z
+                        and nxt[2] >= xy_max)):
+                nxt[2] -= 1
         else:
             nxt = [v - 1 for v in node]
         axes.append((4 if node[0] > nxt[0] else 0)
@@ -329,7 +395,12 @@ def encode_stream(positions: np.ndarray,
                   integer_haar: bool = False,
                   trisoup_node_size_log2: int = 0,
                   bypass_no_update: bool = True,
-                  num_entropy_streams: int = 1) -> bytes:
+                  num_entropy_streams: int = 1,
+                  angular: bool = False,
+                  angular_head=(0, 0, 0),
+                  lasers_theta=None,
+                  lasers_z=None,
+                  lasers_num_phi=None) -> bytes:
     """Encode one frame of non-negative integer XYZ positions into a
     complete reference-syntax TLV stream (SPS + GPS + geometry brick,
     plus APS + RAHT attribute brick when colors/reflectances given).
@@ -356,14 +427,16 @@ def encode_stream(positions: np.ndarray,
     pos = pos - seq_origin
     attr_vals = colors if colors is not None else reflectances
     if unique_points:
+        # dedup preserving FIRST-OCCURRENCE order like the reference
+        # (reducePointSet, pointset_processing.cpp:55): the input order
+        # is normatively visible through the angular IDCM two-point
+        # order (unstable counting sort, PCCMisc.h:271)
+        codes_in = (pos[:, 0] << 42) | (pos[:, 1] << 21) | pos[:, 2]
+        _, first = np.unique(codes_in, return_index=True)
+        first.sort()
+        pos = pos[first]
         if attr_vals is not None:
-            codes_in = (pos[:, 0] << 42) | (pos[:, 1] << 21) | pos[:, 2]
-            _, first = np.unique(codes_in, return_index=True)
-            first.sort()
-            pos = pos[first]
             attr_vals = np.asarray(attr_vals)[first]
-        else:
-            pos = np.unique(pos, axis=0)
     # xyz -> stv (identity for axis_order 1)
     stv = np.stack(ref_hls.from_xyz(
         axis_order, [pos[:, 0], pos[:, 1], pos[:, 2]]), axis=1)
@@ -379,6 +452,12 @@ def encode_stream(positions: np.ndarray,
         axes = np.asarray(qtbt_axis_list(
             root, qtbt, max_num_qtbt_before_ot=max(root) - min(root),
             min_qtbt_size_log2=0, stop_log2=ts_log2), dtype=np.int32)
+    elif angular:
+        # angular QTBT tweak thresholds at coding scale 1
+        # (TMC3.cpp:1957-1960: 8 + log2(scale), 1 + log2(scale))
+        axes = np.asarray(qtbt_axis_list(
+            root, qtbt, angular_tweak=True, ang_max_v=8,
+            ang_max_diff_z=1), dtype=np.int32)
     else:
         axes = np.asarray(qtbt_axis_list(root, qtbt), dtype=np.int32)
 
@@ -425,6 +504,32 @@ def encode_stream(positions: np.ndarray,
         non_cubic_node_start_edge=bool(ts_log2),
         non_cubic_node_end_edge=bool(ts_log2))
 
+    if angular and idcm == 1:
+        # tmc3 sanitizer: rate-limited IDCM is silently disabled with
+        # angular unless planarModeIdcmUse > 0 (TMC3.cpp sanitizer)
+        idcm = 0
+        gps.inferred_direct_coding_mode = 0
+        gps.joint_2pt_idcm = False
+        gps.idcm_rate_minus1 = 0
+        gps.planar_disabled_idcm_angular = False
+    if angular:
+        # tmc3 laser table quantisation at coding scale 1
+        # (TMC3.cpp:1925-1945): theta = round(tan * 2^18),
+        # z = round(z * scale * 2^3); head relative to the sequence
+        # origin (encoder.cpp:168-169)
+        gps.angular_enabled = True
+        gps.angular_origin = tuple(
+            int(v) - int(o) for v, o in zip(angular_head, seq_origin))
+        gps.angular_theta = [int(round(v * (1 << 18)))
+                             for v in lasers_theta]
+        gps.angular_z = [int(round(v * 8)) for v in lasers_z]
+        gps.angular_num_phi = [int(v) for v in lasers_num_phi]
+        gps.octree_angular_extension = True
+        gps.planar_disabled_idcm_angular = bool(planar and idcm)
+        # the sanitizer withholds dynamic-OBUF planar with angular
+        # (flag absent from the syntax, parse default False)
+        gps.planar_dynamic_obuf_eligibility = False
+
     if ts_log2:
         if attr_vals is not None:
             raise NotImplementedError("attributes with trisoup bricks")
@@ -437,9 +542,13 @@ def encode_stream(positions: np.ndarray,
             num_points=int(recon.shape[0]), **tfields)
     else:
         scm1 = max(0, min(num_entropy_streams, len(axes)) - 1)
-        aec = _encode_brick_native(stv, axes, gps,
-                                   bypass_no_update=bypass_no_update,
-                                   stream_cnt_minus1=scm1)
+        if angular:
+            aec = _encode_brick_native_ang(
+                stv, axes, gps, bypass_no_update=bypass_no_update)
+        else:
+            aec = _encode_brick_native(stv, axes, gps,
+                                       bypass_no_update=bypass_no_update,
+                                       stream_cnt_minus1=scm1)
         gbh = ref_hls.RefGbh(
             gps_id=0, slice_id=0, slice_tag=0, frame_ctr_lsb=0,
             geom_box_log2_scale=0, box_origin_stv=(0, 0, 0),
@@ -563,7 +672,13 @@ def encode_frames(frames, unique_points: bool = True,
                   integer_haar: bool = False,
                   attr_cicp_matrix: int = 1,
                   bypass_no_update: bool = True,
-                  attr_aps=None) -> bytes:
+                  attr_aps=None,
+                  idcm: int = 0,
+                  angular: bool = False,
+                  angular_head=(0, 0, 0),
+                  lasers_theta=None,
+                  lasers_z=None,
+                  lasers_num_phi=None) -> bytes:
     """Encode a sequence of XYZ integer clouds into one reference-
     syntax TLV stream (SPS + GPS once, then per-slice geometry
     bricks).  Clouds above the slice level limit (reference
@@ -627,6 +742,26 @@ def encode_frames(frames, unique_points: bool = True,
         trisoup_enabled=bool(trisoup_node_size_log2),
         non_cubic_node_start_edge=bool(trisoup_node_size_log2),
         non_cubic_node_end_edge=bool(trisoup_node_size_log2))
+    if angular and idcm == 1:
+        # tmc3 sanitizer: rate-limited IDCM silently disabled with
+        # angular unless planarModeIdcmUse > 0
+        idcm = 0
+    gps.inferred_direct_coding_mode = idcm
+    gps.joint_2pt_idcm = bool(idcm)
+    gps.idcm_rate_minus1 = 31 if idcm else 0
+    if angular:
+        # laser tables at coding scale 1 (TMC3.cpp:1925-1945); head
+        # relative to the sequence origin (encoder.cpp:168-169)
+        gps.angular_enabled = True
+        gps.angular_origin = tuple(
+            int(v) - int(o) for v, o in zip(angular_head, seq_origin))
+        gps.angular_theta = [int(round(v * (1 << 18)))
+                             for v in lasers_theta]
+        gps.angular_z = [int(round(v * 8)) for v in lasers_z]
+        gps.angular_num_phi = [int(v) for v in lasers_num_phi]
+        gps.octree_angular_extension = True
+        gps.planar_disabled_idcm_angular = bool(planar and idcm)
+        gps.planar_dynamic_obuf_eligibility = False
     ts_log2 = trisoup_node_size_log2
     out = [ref_hls.write_ref_tlv(ref_hls.T_SPS, ref_hls.write_sps(sps)),
            ref_hls.write_ref_tlv(ref_hls.T_GPS, ref_hls.write_gps(gps))]
@@ -644,18 +779,22 @@ def encode_frames(frames, unique_points: bool = True,
         if av is not None and av.ndim == 1:
             av = av[:, None]
         if unique_points:
+            # first-occurrence dedup like the reference
+            # (reducePointSet): input order is normative under
+            # angular IDCM (unstable counting sort)
+            codes_in = ((pos[:, 0] << 42) | (pos[:, 1] << 21)
+                        | pos[:, 2])
+            _, first = np.unique(codes_in, return_index=True)
+            first.sort()
+            pos = pos[first]
             if av is not None:
-                codes_in = ((pos[:, 0] << 42) | (pos[:, 1] << 21)
-                            | pos[:, 2])
-                _, first = np.unique(codes_in, return_index=True)
-                first.sort()
-                pos, av = pos[first], av[first]
-            else:
-                pos = np.unique(pos, axis=0)
-        order = np.argsort(morton_mod.encode(pos))
-        pos = pos[order]
-        if av is not None:
-            av = av[order]
+                av = av[first]
+        if pos.shape[0] > max_points_per_slice:
+            # multi-slice: Morton order drives the slice split
+            order = np.argsort(morton_mod.encode(pos))
+            pos = pos[order]
+            if av is not None:
+                av = av[order]
         n_slices = -(-pos.shape[0] // max_points_per_slice)
         per = -(-pos.shape[0] // max(n_slices, 1))
         for s in range(max(n_slices, 1)):
@@ -685,6 +824,15 @@ def encode_frames(frames, unique_points: bool = True,
                     slice_max_points=max_points_per_slice,
                     bypass_no_update=bypass_no_update)
                 extra = dict(num_points=int(recon.shape[0]), **tfields)
+            elif angular:
+                axes = np.asarray(qtbt_axis_list(
+                    root, qtbt, angular_tweak=True, ang_max_v=8,
+                    ang_max_diff_z=1), dtype=np.int32)
+                aec = _encode_brick_native_ang(
+                    local, axes, gps,
+                    bypass_no_update=bypass_no_update,
+                    box_origin_stv=tuple(int(v) for v in origin))
+                extra = dict(num_points=int(part.shape[0]))
             else:
                 axes = np.asarray(qtbt_axis_list(root, qtbt),
                                   dtype=np.int32)

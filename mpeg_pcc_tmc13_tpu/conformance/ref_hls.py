@@ -671,7 +671,33 @@ def write_gps(g: RefGps) -> bytes:
         w.ue(g.planar_threshold2)
         if g.inferred_direct_coding_mode == 1:
             w.un(5, g.idcm_rate_minus1)
-    w.u1(0)                      # angular_enabled
+    w.u1(g.angular_enabled)
+    if g.angular_enabled:
+        # io_hls.cpp angular block (octree; origin in coded xyz order)
+        w.u1(g.slice_angular_origin_present)
+        if not g.slice_angular_origin_present:
+            nb = max(max(abs(int(v)) for v in g.angular_origin)
+                     .bit_length(), 1)
+            w.ue(nb - 1)
+            for v in g.angular_origin:
+                w.sn(nb, int(v))
+        n_lasers = len(g.angular_theta)
+        w.ue(n_lasers - 1)
+        w.se(g.angular_theta[0])
+        w.se(g.angular_z[0])
+        w.ue(g.angular_num_phi[0] - 1)
+        w.u1(g.z_compensation)
+        for i in range(1, n_lasers):
+            pred = (g.angular_theta[i - 1] if i == 1 else
+                    g.angular_theta[i - 1] * 2 - g.angular_theta[i - 2])
+            w.se(g.angular_theta[i] - pred)
+            w.se(g.angular_z[i] - g.angular_z[i - 1])
+            w.se(g.angular_num_phi[i] - g.angular_num_phi[i - 1])
+        if g.planar_enabled:
+            w.u1(g.planar_buffer_disabled)
+        w.u1(g.inter_idcm)
+        if g.inter_idcm:
+            w.u1(g.one_point_alone_laser_beam)
     w.u1(g.scaling_enabled)
     if g.scaling_enabled:
         raise NotImplementedError("scaling")
@@ -682,10 +708,16 @@ def write_gps(g: RefGps) -> bytes:
     if g.trisoup_enabled:
         w.u1(g.non_cubic_node_start_edge)
         w.u1(g.non_cubic_node_end_edge)
+    if (g.planar_enabled and g.angular_enabled
+            and g.inferred_direct_coding_mode):
+        w.u1(g.planar_disabled_idcm_angular)
     w.u1(0)                      # interPredictionEnabled
+    if g.angular_enabled:
+        w.u1(g.octree_angular_extension)
     if g.planar_enabled:
         w.u1(g.depth_planar_eligibility)
-        w.u1(g.planar_dynamic_obuf_eligibility)   # non-angular
+        if not g.angular_enabled:
+            w.u1(g.planar_dynamic_obuf_eligibility)
         w.u1(g.multiple_planar)
     return w.get_bytes()
 

@@ -283,6 +283,7 @@ class Config:
                 self.qtbt_enabled = opt.to_bool(value)
             elif name == "inferredDirectCodingMode":
                 p.idcm = opt.to_int(value) > 0
+                p.idcm_mode = opt.to_int(value)
             elif name == "geometry_axis_order":
                 p.axis_order = hls.AxisOrder(opt.to_int(value))
             elif name == "positionBaseQp":
@@ -546,6 +547,11 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
     stream = refenc.encode_frames(
         frames, unique_points=p.merge_duplicated_points,
         planar=p.planar_enabled, qtbt=cfg.qtbt_enabled,
+        idcm=p.idcm_mode,
+        angular=bool(p.angular_enabled and p.laser_theta),
+        angular_head=tuple(p.angular_origin or (0, 0, 0)),
+        lasers_theta=p.laser_theta, lasers_z=p.laser_z,
+        lasers_num_phi=p.laser_npt,
         max_points_per_slice=(cfg.slice_max_trisoup
                               if cfg.slice_max_trisoup
                               and p.trisoup_node_size_log2

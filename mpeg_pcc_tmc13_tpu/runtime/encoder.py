@@ -153,6 +153,7 @@ class EncoderParams:
     # branches already cost ~1-2 bits/level, so direct coding only
     # saves ~3% on very sparse content while forcing the numpy engine.
     idcm: bool = False
+    idcm_mode: int = 0          # reference mode 0-3 (refSyntax path)
     planar_enabled: bool = False
     bytewise_occupancy: bool = True
     # cuboid LPU local motion (reference lpuType=1): per-2^m-cell

@@ -429,11 +429,6 @@ def main():
                     continue
                 if codec == "ours-obuf" and "predgeom" in name:
                     continue
-                # angular octree interop is lib-level byte-identical
-                # (tests/test_conformance.py angular tests); the CLI
-                # refSyntax surface does not yet plumb laser tables
-                if codec == "ours-ref" and "angular" in name:
-                    continue
                 key = (name, rate, codec)
                 rows = [r for r in rows if
                         (r["cond"], r["rate"], r["codec"]) != key]

@@ -1179,3 +1179,29 @@ def test_angular_octree_encode_byte_identical(tmp_path, idcm):
         nph.ctypes.data_as(c.POINTER(c.c_int32)), flags,
         out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
     assert out[:n].tobytes() == want
+
+
+def test_angular_cli_full_stream_identity(tmp_path):
+    """--refSyntax=1 with the angular tool set emits a FULL stream
+    (SPS + angular GPS with quantised laser tables + brick) that is
+    byte-for-byte equal to the tmc3 binary's, including the angular
+    QTBT tweak and the IDCM-mode sanitizer derivations."""
+    import sys
+    pos = _lidar_cloud()
+    src = tmp_path / "acli.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    for idcm in (0, 3):
+        bt = tmp_path / f"acli_t{idcm}.bin"
+        bo = tmp_path / f"acli_o{idcm}.bin"
+        common = _lidar_opts(idcm)
+        subprocess.run(
+            [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+             f"--compressedStreamPath={bt}", *common],
+            check=True, capture_output=True)
+        subprocess.run(
+            [sys.executable, "-m", "mpeg_pcc_tmc13_tpu.runtime.cli",
+             "--mode=0", f"--uncompressedDataPath={src}",
+             f"--compressedStreamPath={bo}", "--refSyntax=1", *common],
+            check=True, capture_output=True)
+        assert bt.read_bytes() == bo.read_bytes()
