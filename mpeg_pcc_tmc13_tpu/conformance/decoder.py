@@ -123,8 +123,6 @@ def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
     unsupported = []
     if sps.cabac_bypass_stream_enabled:
         unsupported.append("cabac bypass stream")
-    if gps.predgeom_enabled:
-        unsupported.append("predictive geometry")
     if gps.angular_enabled and gps.trisoup_enabled:
         unsupported.append("angular trisoup")
     if gps.angular_enabled and gps.z_compensation:
@@ -271,12 +269,88 @@ def decode_trisoup_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         expected_points=gbh.num_points)
 
 
+def predgeom_params_array(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
+                          gbh: ref_hls.RefGbh,
+                          origin_stv) -> np.ndarray:
+    """Pack the predictive-geometry GPS/GBH fields into the native
+    PGParams layout (native/refpredgeom.cc PGParams::from)."""
+    return np.array([
+        1 if gps.unique_points else 0,
+        1 if gps.angular_enabled else 0,
+        1 if gps.azimuth_scaling_enabled else 0,
+        1 if gps.residual2_disabled else 0,
+        max(len(gps.angular_theta), 1),
+        int(origin_stv[0]), int(origin_stv[1]), int(origin_stv[2]),
+        gps.azimuth_scale_log2_minus11 + 12,
+        gps.azimuth_speed_minus1 + 1,
+        gps.radius_inv_scale_log2,
+        gps.predgeom_max_pred_index,
+        gps.predgeom_radius_threshold,
+        # tmc3 zeroes the threshold when the present flag is off
+        # (geometry_predictive_encoder.cpp:257-259)
+        gps.resr_qphi_threshold if gps.resr_qphi_threshold_present else 0,
+        gbh.pgeom_resid_abs_log2_bits[0],
+        gbh.pgeom_resid_abs_log2_bits[1],
+        gbh.pgeom_resid_abs_log2_bits[2],
+        gbh.pgeom_min_radius,
+        1 if sps.bypass_bin_coding_without_prob_update else 0,
+        0, 0, 0, 0, 0,                 # encode-only fields
+    ], dtype=np.int32)
+
+
+def decode_predgeom_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
+                          gbh: ref_hls.RefGbh,
+                          payload: bytes) -> np.ndarray:
+    """Decode one tmc3 predictive-geometry brick
+    (decodePredictiveGeometry, /root/reference/tmc3/
+    geometry_predictive_decoder.cpp:735-756) via the native
+    conformance port (native/refpredgeom.cc)."""
+    lib = _load()
+    c = ctypes
+    if not hasattr(lib.tmc13ref_decode_predgeom, "_configured"):
+        lib.tmc13ref_decode_predgeom.argtypes = [
+            c.POINTER(c.c_uint8), c.c_int, c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32)]
+        lib.tmc13ref_decode_predgeom.restype = c.c_int
+        lib.tmc13ref_decode_predgeom._configured = True
+    # slice-local lidar head (gbh.geomAngularOrigin, hls.h:658)
+    if gps.slice_angular_origin_present:
+        origin = np.asarray(gbh.angular_origin_stv, dtype=np.int64)
+    else:
+        origin = (np.asarray(ref_hls.from_xyz(
+            sps.geometry_axis_order, list(gps.angular_origin)),
+            dtype=np.int64)
+            - np.asarray(gbh.box_origin_stv, dtype=np.int64))
+    params = predgeom_params_array(sps, gps, gbh, origin)
+    th = np.ascontiguousarray(gps.angular_theta or [0], dtype=np.int32)
+    zl = np.ascontiguousarray(gps.angular_z or [0], dtype=np.int32)
+    aec = payload[gbh.header_bytes:len(payload) - gbh.footer_bytes]
+    aec_arr = np.frombuffer(aec, dtype=np.uint8)
+    out = np.empty((gbh.num_points, 3), dtype=np.int32)
+
+    def p32(a):
+        return a.ctypes.data_as(c.POINTER(c.c_int32))
+
+    n = lib.tmc13ref_decode_predgeom(
+        aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
+        p32(params), p32(th), p32(zl), gbh.num_points, p32(out))
+    if n < 0:
+        raise RuntimeError(f"refpredgeom decode failed rc={n}")
+    if n != gbh.num_points:
+        raise RuntimeError(
+            f"decoded {n} points, footer says {gbh.num_points}")
+    return out.astype(np.int64)
+
+
 def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
                           gbh: ref_hls.RefGbh,
                           payload: bytes) -> np.ndarray:
     """Decode one octree geometry brick to slice-local STV grid
     positions in the reference's decode order."""
     _check_supported(sps, gps, gbh)
+    if gps.predgeom_enabled:
+        return decode_predgeom_brick(sps, gps, gbh, payload)
     if gps.trisoup_enabled:
         return decode_trisoup_brick(sps, gps, gbh, payload)
     lib = _load()

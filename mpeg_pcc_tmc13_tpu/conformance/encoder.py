@@ -119,6 +119,61 @@ def _ceillog2(x: int) -> int:
     return max(int(x - 1).bit_length(), 0)
 
 
+def _encode_predgeom_brick_native(stv: np.ndarray, gps: ref_hls.RefGps,
+                                  origin_stv, root_log2,
+                                  bypass_no_update: bool = True,
+                                  max_pts_per_tree: int = 1100000):
+    """Angular predictive-geometry brick, byte-identical to tmc3
+    (native/refpredgeom.cc tmc13ref_encode_predgeom).  Returns
+    (aec_bytes, pgeom_resid_abs_log2_bits, pgeom_min_radius)."""
+    import ctypes as c
+    lib = _load()
+    if not hasattr(lib.tmc13ref_encode_predgeom, "_configured"):
+        lib.tmc13ref_encode_predgeom.argtypes = [
+            c.POINTER(c.c_int32), c.c_int, c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+            c.POINTER(c.c_uint8), c.c_int]
+        lib.tmc13ref_encode_predgeom.restype = c.c_int
+        lib.tmc13ref_encode_predgeom._configured = True
+    params = np.array([
+        1 if gps.unique_points else 0,
+        1,                                   # angular
+        1 if gps.azimuth_scaling_enabled else 0,
+        1 if gps.residual2_disabled else 0,
+        len(gps.angular_theta),
+        int(origin_stv[0]), int(origin_stv[1]), int(origin_stv[2]),
+        gps.azimuth_scale_log2_minus11 + 12,
+        gps.azimuth_speed_minus1 + 1,
+        gps.radius_inv_scale_log2,
+        gps.predgeom_max_pred_index,
+        gps.predgeom_radius_threshold,
+        gps.resr_qphi_threshold if gps.resr_qphi_threshold_present else 0,
+        0, 0, 0, 0,
+        1 if bypass_no_update else 0,
+        max_pts_per_tree,
+        # sanitizer: maxPredIdxTested defaults to maxPredIdx
+        # (TMC3.cpp:1975-1979)
+        gps.predgeom_max_pred_index,
+        int(root_log2[0]), int(root_log2[1]), int(root_log2[2]),
+    ], dtype=np.int32)
+    th = np.ascontiguousarray(gps.angular_theta, dtype=np.int32)
+    zl = np.ascontiguousarray(gps.angular_z, dtype=np.int32)
+    pts = np.ascontiguousarray(stv, dtype=np.int32)
+    cap = max(int(pts.shape[0]) * 24 + (1 << 16), 1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+
+    def p32(a):
+        return a.ctypes.data_as(c.POINTER(c.c_int32))
+
+    n = lib.tmc13ref_encode_predgeom(
+        p32(pts), pts.shape[0], p32(params), p32(th), p32(zl),
+        out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+    if n < 0:
+        raise RuntimeError(f"refpredgeom encode failed rc={n}")
+    return (out[:n].tobytes(),
+            tuple(int(v) for v in params[14:17]), int(params[17]))
+
+
 def _encode_trisoup_brick_native(stv: np.ndarray, axes: np.ndarray,
                                  gps: ref_hls.RefGps,
                                  ts_log2: int,
@@ -400,7 +455,8 @@ def encode_stream(positions: np.ndarray,
                   angular_head=(0, 0, 0),
                   lasers_theta=None,
                   lasers_z=None,
-                  lasers_num_phi=None) -> bytes:
+                  lasers_num_phi=None,
+                  predgeom: bool = False) -> bytes:
     """Encode one frame of non-negative integer XYZ positions into a
     complete reference-syntax TLV stream (SPS + GPS + geometry brick,
     plus APS + RAHT attribute brick when colors/reflectances given).
@@ -530,6 +586,28 @@ def encode_stream(positions: np.ndarray,
         # (flag absent from the syntax, parse default False)
         gps.planar_dynamic_obuf_eligibility = False
 
+    if predgeom:
+        # predictive geometry: angular tool set with the tmc3 CLI
+        # defaults (TMC3.cpp:1045-1102,1641 speed decrement; sanitizer
+        # 1970-1979 radius threshold scaling)
+        if not angular:
+            raise NotImplementedError(
+                "refSyntax predgeom requires the angular tool set")
+        if attr_vals is not None:
+            raise NotImplementedError("attributes with predgeom bricks")
+        gps.predgeom_enabled = True
+        gps.planar_enabled = False
+        gps.inferred_direct_coding_mode = 0
+        gps.joint_2pt_idcm = False
+        gps.azimuth_scale_log2_minus11 = 5
+        gps.azimuth_speed_minus1 = 362
+        gps.radius_inv_scale_log2 = 0
+        gps.residual2_disabled = False
+        gps.azimuth_scaling_enabled = True
+        gps.predgeom_max_pred_index = 3
+        gps.predgeom_radius_threshold = 2048 >> gps.radius_inv_scale_log2
+        gps.resr_qphi_threshold_present = False
+
     if ts_log2:
         if attr_vals is not None:
             raise NotImplementedError("attributes with trisoup bricks")
@@ -540,6 +618,21 @@ def encode_stream(positions: np.ndarray,
             geom_box_log2_scale=0, box_origin_stv=(0, 0, 0),
             tree_lvl_coded_axis_list=list(axes),
             num_points=int(recon.shape[0]), **tfields)
+    elif predgeom:
+        # per-axis root sizes regardless of qtbt (encoder.cpp:1386
+        # applies the cubic override only to octree bricks)
+        root_pg = [_ceillog2(max(2, int(v))) for v in whd]
+        origin_stv = ref_hls.from_xyz(axis_order,
+                                      list(gps.angular_origin))
+        aec, residbits, minr = _encode_predgeom_brick_native(
+            stv, gps, origin_stv, root_pg,
+            bypass_no_update=bypass_no_update)
+        gbh = ref_hls.RefGbh(
+            gps_id=0, slice_id=0, slice_tag=0, frame_ctr_lsb=0,
+            geom_box_log2_scale=0, box_origin_stv=(0, 0, 0),
+            pgeom_resid_abs_log2_bits=residbits,
+            pgeom_min_radius=minr,
+            num_points=int(pos.shape[0]))
     else:
         scm1 = max(0, min(num_entropy_streams, len(axes)) - 1)
         if angular:
@@ -678,7 +771,8 @@ def encode_frames(frames, unique_points: bool = True,
                   angular_head=(0, 0, 0),
                   lasers_theta=None,
                   lasers_z=None,
-                  lasers_num_phi=None) -> bytes:
+                  lasers_num_phi=None,
+                  predgeom: bool = False) -> bytes:
     """Encode a sequence of XYZ integer clouds into one reference-
     syntax TLV stream (SPS + GPS once, then per-slice geometry
     bricks).  Clouds above the slice level limit (reference
@@ -762,6 +856,26 @@ def encode_frames(frames, unique_points: bool = True,
         gps.octree_angular_extension = True
         gps.planar_disabled_idcm_angular = bool(planar and idcm)
         gps.planar_dynamic_obuf_eligibility = False
+    if predgeom:
+        # predictive geometry at tmc3 CLI defaults (encode_stream's
+        # predgeom block documents the derivations)
+        if not angular:
+            raise NotImplementedError(
+                "refSyntax predgeom requires the angular tool set")
+        if colors is not None or reflectances is not None:
+            raise NotImplementedError("attributes with predgeom bricks")
+        gps.predgeom_enabled = True
+        gps.planar_enabled = False
+        gps.inferred_direct_coding_mode = 0
+        gps.joint_2pt_idcm = False
+        gps.azimuth_scale_log2_minus11 = 5
+        gps.azimuth_speed_minus1 = 362
+        gps.radius_inv_scale_log2 = 0
+        gps.residual2_disabled = False
+        gps.azimuth_scaling_enabled = True
+        gps.predgeom_max_pred_index = 3
+        gps.predgeom_radius_threshold = 2048 >> gps.radius_inv_scale_log2
+        gps.resr_qphi_threshold_present = False
     ts_log2 = trisoup_node_size_log2
     out = [ref_hls.write_ref_tlv(ref_hls.T_SPS, ref_hls.write_sps(sps)),
            ref_hls.write_ref_tlv(ref_hls.T_GPS, ref_hls.write_gps(gps))]
@@ -824,6 +938,19 @@ def encode_frames(frames, unique_points: bool = True,
                     slice_max_points=max_points_per_slice,
                     bypass_no_update=bypass_no_update)
                 extra = dict(num_points=int(recon.shape[0]), **tfields)
+            elif predgeom:
+                axes = np.zeros(0, dtype=np.int32)
+                root_pg = [_ceillog2(max(2, int(v))) for v in whd]
+                origin_stv = (
+                    np.asarray(ref_hls.from_xyz(
+                        1, list(gps.angular_origin)), dtype=np.int64)
+                    - origin)
+                aec, residbits, minr = _encode_predgeom_brick_native(
+                    local, gps, origin_stv, root_pg,
+                    bypass_no_update=bypass_no_update)
+                extra = dict(num_points=int(part.shape[0]),
+                             pgeom_resid_abs_log2_bits=residbits,
+                             pgeom_min_radius=minr)
             elif angular:
                 axes = np.asarray(qtbt_axis_list(
                     root, qtbt, angular_tweak=True, ang_max_v=8,

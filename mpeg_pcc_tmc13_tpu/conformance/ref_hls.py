@@ -282,6 +282,18 @@ class RefGps:
     depth_planar_eligibility: bool = False
     planar_dynamic_obuf_eligibility: bool = False
     multiple_planar: bool = False
+    # predictive-geometry fields (io_hls.cpp:658-661,739-748)
+    azimuth_scale_log2_minus11: int = 5
+    azimuth_speed_minus1: int = 362
+    radius_inv_scale_log2: int = 0
+    residual2_disabled: bool = False
+    azimuth_scaling_enabled: bool = False
+    predgeom_max_pred_index: int = 0
+    predgeom_radius_threshold: int = 0
+    resr_qphi_threshold_present: bool = False
+    resr_qphi_threshold: int = 0
+    inter_azim_scale_log2: int = 0
+    resampling_enabled: bool = False
 
 
 def parse_gps(data: bytes) -> RefGps:
@@ -321,9 +333,9 @@ def parse_gps(data: bytes) -> RefGps:
             nb = bs.ue() + 1
             g.angular_origin = tuple(bs.sn(nb) for _ in range(3))
         if g.predgeom_enabled:
-            bs.ue()     # azimuth scale log2 minus11
-            bs.ue()     # azimuth speed minus1
-            bs.ue()     # radius inv scale log2
+            g.azimuth_scale_log2_minus11 = bs.ue()
+            g.azimuth_speed_minus1 = bs.ue()
+            g.radius_inv_scale_log2 = bs.ue()
         n_lasers = bs.ue() + 1
         theta = [bs.se()]
         z = [bs.se()]
@@ -369,13 +381,25 @@ def parse_gps(data: bytes) -> RefGps:
         if g.inter_prediction:
             g.global_motion = bool(bs.u1())
             if g.predgeom_enabled:
-                bs.ue()
-                bs.u1()
+                g.inter_azim_scale_log2 = bs.ue()
+                g.resampling_enabled = bool(bs.u1())
             g.bi_prediction = bool(bs.ue())
             if g.bi_prediction:
                 g.frame_merge = bool(bs.u1())
         if g.predgeom_enabled and g.angular_enabled:
-            raise NotImplementedError("angular predgeom extension")
+            # NB: the reference's azimuth-scaling block is missing
+            # braces (io_hls.cpp:937-949): only max_pred_index is
+            # conditional; the threshold and qphi fields always follow
+            g.residual2_disabled = bool(bs.u1())
+            g.azimuth_scaling_enabled = bool(bs.u1())
+            if g.azimuth_scaling_enabled:
+                g.predgeom_max_pred_index = bs.ue()
+            g.predgeom_radius_threshold = bs.ue()
+            g.resr_qphi_threshold_present = bool(bs.u1())
+            if g.resr_qphi_threshold_present:
+                g.resr_qphi_threshold = bs.ue()
+            else:
+                g.resr_qphi_threshold = 0
         if not g.predgeom_enabled and g.angular_enabled:
             g.octree_angular_extension = bool(bs.u1())
         if g.planar_enabled:
@@ -425,6 +449,9 @@ class RefGbh:
     slice_bb_width_bits: int = 0
     slice_bb_width_log2_scale: int = 0
     slice_bb_width: Tuple[int, int, int] = (0, 0, 0)
+    # predictive-geometry fields (io_hls.cpp:1413-1419)
+    pgeom_resid_abs_log2_bits: Tuple[int, int, int] = (0, 0, 0)
+    pgeom_min_radius: int = 0
 
 
 def parse_gbh(sps: RefSps, gps: RefGps, data: bytes) -> RefGbh:
@@ -455,6 +482,7 @@ def parse_gbh(sps: RefSps, gps: RefGps, data: bytes) -> RefGbh:
         ang = [bs.sn(nb) for _ in range(3)]
         h.angular_origin_stv = tuple(
             from_xyz(sps.geometry_axis_order, ang))
+    tree_depth_minus1 = 0
     if not gps.predgeom_enabled:
         if not gps.trisoup_enabled:
             tree_depth_minus1 = bs.ue()
@@ -465,10 +493,10 @@ def parse_gbh(sps: RefSps, gps: RefGps, data: bytes) -> RefGbh:
             for i in range(tree_depth_minus1 + 1):
                 h.tree_lvl_coded_axis_list[i] = bs.un(3)
         h.geom_stream_cnt_minus1 = bs.ue()
-    else:
-        raise NotImplementedError("predgeom brick")
     if gps.scaling_enabled:
         h.slice_qp_offset = bs.se()
+        if gps.predgeom_enabled:
+            bs.ue()              # geom_qp_offset_intvl_log2_delta
     if gps.trisoup_enabled:
         h.trisoup_node_size_log2 = bs.ue() + 2
         h.trisoup_sampling = bs.ue() + 1
@@ -494,6 +522,10 @@ def parse_gbh(sps: RefSps, gps: RefGps, data: bytes) -> RefGbh:
                 h.slice_bb_width_log2_scale = bs.ue()
                 h.slice_bb_width = tuple(
                     bs.un(h.slice_bb_width_bits) for _ in range(3))
+    if gps.predgeom_enabled:
+        h.pgeom_resid_abs_log2_bits = tuple(bs.un(3) for _ in range(3))
+        if gps.angular_enabled:
+            h.pgeom_min_radius = bs.ue()
     if gps.inter_prediction:
         h.inter_prediction = bool(bs.u1())
     if gps.bi_prediction:
@@ -645,7 +677,7 @@ def write_sps(s: RefSps) -> bytes:
 
 
 def write_gps(g: RefGps) -> bytes:
-    """Mirror of parse_gps; octree intra subset."""
+    """Mirror of parse_gps; octree + predictive-geometry intra."""
     w = RefBitWriter()
     w.un(4, g.gps_id)
     w.un(4, g.sps_id)
@@ -653,27 +685,28 @@ def write_gps(g: RefGps) -> bytes:
     if not g.geom_box_log2_scale_present:
         w.ue(g.gps_geom_box_log2_scale)
     w.u1(g.unique_points)
-    w.u1(0)                      # predgeom_enabled
-    w.u1(g.point_count_list_present)
-    w.un(2, g.inferred_direct_coding_mode)
-    if g.inferred_direct_coding_mode:
-        w.u1(g.joint_2pt_idcm)
-    w.u1(g.qtbt_enabled)
-    w.un(3, g.neighbour_avail_boundary_log2_minus1)
-    if g.neighbour_avail_boundary_log2_minus1 > 0:
-        w.u1(g.adjacent_child_contextualization)
-        w.ue(g.intra_pred_max_node_size_log2)
-    w.u1(g.bitwise_occupancy)
-    w.u1(g.planar_enabled)
-    if g.planar_enabled:
-        w.ue(g.planar_threshold0)
-        w.ue(g.planar_threshold1)
-        w.ue(g.planar_threshold2)
-        if g.inferred_direct_coding_mode == 1:
-            w.un(5, g.idcm_rate_minus1)
+    w.u1(g.predgeom_enabled)
+    if not g.predgeom_enabled:
+        w.u1(g.point_count_list_present)
+        w.un(2, g.inferred_direct_coding_mode)
+        if g.inferred_direct_coding_mode:
+            w.u1(g.joint_2pt_idcm)
+        w.u1(g.qtbt_enabled)
+        w.un(3, g.neighbour_avail_boundary_log2_minus1)
+        if g.neighbour_avail_boundary_log2_minus1 > 0:
+            w.u1(g.adjacent_child_contextualization)
+            w.ue(g.intra_pred_max_node_size_log2)
+        w.u1(g.bitwise_occupancy)
+        w.u1(g.planar_enabled)
+        if g.planar_enabled:
+            w.ue(g.planar_threshold0)
+            w.ue(g.planar_threshold1)
+            w.ue(g.planar_threshold2)
+            if g.inferred_direct_coding_mode == 1:
+                w.un(5, g.idcm_rate_minus1)
     w.u1(g.angular_enabled)
     if g.angular_enabled:
-        # io_hls.cpp angular block (octree; origin in coded xyz order)
+        # io_hls.cpp angular block (origin in coded xyz order)
         w.u1(g.slice_angular_origin_present)
         if not g.slice_angular_origin_present:
             nb = max(max(abs(int(v)) for v in g.angular_origin)
@@ -681,18 +714,24 @@ def write_gps(g: RefGps) -> bytes:
             w.ue(nb - 1)
             for v in g.angular_origin:
                 w.sn(nb, int(v))
+        if g.predgeom_enabled:
+            w.ue(g.azimuth_scale_log2_minus11)
+            w.ue(g.azimuth_speed_minus1)
+            w.ue(g.radius_inv_scale_log2)
         n_lasers = len(g.angular_theta)
         w.ue(n_lasers - 1)
         w.se(g.angular_theta[0])
         w.se(g.angular_z[0])
-        w.ue(g.angular_num_phi[0] - 1)
-        w.u1(g.z_compensation)
+        if not g.predgeom_enabled:
+            w.ue(g.angular_num_phi[0] - 1)
+            w.u1(g.z_compensation)
         for i in range(1, n_lasers):
             pred = (g.angular_theta[i - 1] if i == 1 else
                     g.angular_theta[i - 1] * 2 - g.angular_theta[i - 2])
             w.se(g.angular_theta[i] - pred)
             w.se(g.angular_z[i] - g.angular_z[i - 1])
-            w.se(g.angular_num_phi[i] - g.angular_num_phi[i - 1])
+            if not g.predgeom_enabled:
+                w.se(g.angular_num_phi[i] - g.angular_num_phi[i - 1])
         if g.planar_enabled:
             w.u1(g.planar_buffer_disabled)
         w.u1(g.inter_idcm)
@@ -704,15 +743,27 @@ def write_gps(g: RefGps) -> bytes:
     # tmc3 always writes the extension block for the draft profile
     # (io_hls.cpp:712: gps_extension_flag = isDraftProfile())
     w.u1(1)                      # gps_extension_flag
-    w.u1(g.trisoup_enabled)
+    if not g.predgeom_enabled:
+        w.u1(g.trisoup_enabled)
     if g.trisoup_enabled:
         w.u1(g.non_cubic_node_start_edge)
         w.u1(g.non_cubic_node_end_edge)
     if (g.planar_enabled and g.angular_enabled
             and g.inferred_direct_coding_mode):
         w.u1(g.planar_disabled_idcm_angular)
-    w.u1(0)                      # interPredictionEnabled
-    if g.angular_enabled:
+    if not g.predgeom_enabled or g.angular_enabled:
+        w.u1(0)                  # interPredictionEnabled
+    if g.predgeom_enabled and g.angular_enabled:
+        # NB: the reference's missing-brace layout (io_hls.cpp:739-748)
+        w.u1(g.residual2_disabled)
+        w.u1(g.azimuth_scaling_enabled)
+        if g.azimuth_scaling_enabled:
+            w.ue(g.predgeom_max_pred_index)
+        w.ue(g.predgeom_radius_threshold)
+        w.u1(g.resr_qphi_threshold_present)
+        if g.resr_qphi_threshold_present:
+            w.ue(g.resr_qphi_threshold)
+    if not g.predgeom_enabled and g.angular_enabled:
         w.u1(g.octree_angular_extension)
     if g.planar_enabled:
         w.u1(g.depth_planar_eligibility)
@@ -745,13 +796,15 @@ def write_gbh(sps: RefSps, gps: RefGps, h: RefGbh,
     w.ue(origin_bits - 1)
     for v in origin_xyz:
         w.un(origin_bits, v)
-    tree_depth_minus1 = len(h.tree_lvl_coded_axis_list) - 1
-    # for trisoup the coded value is the depth itself (parse: ue()-1)
-    w.ue(tree_depth_minus1 + (1 if gps.trisoup_enabled else 0))
-    if gps.qtbt_enabled:
-        for a in h.tree_lvl_coded_axis_list:
-            w.un(3, a)
-    w.ue(h.geom_stream_cnt_minus1)
+    if not gps.predgeom_enabled:
+        tree_depth_minus1 = len(h.tree_lvl_coded_axis_list) - 1
+        # for trisoup the coded value is the depth itself (parse:
+        # ue()-1)
+        w.ue(tree_depth_minus1 + (1 if gps.trisoup_enabled else 0))
+        if gps.qtbt_enabled:
+            for a in h.tree_lvl_coded_axis_list:
+                w.un(3, a)
+        w.ue(h.geom_stream_cnt_minus1)
     if gps.trisoup_enabled:
         # io_hls.cpp trisoup header fields (mirror of parse_gbh)
         w.ue(h.trisoup_node_size_log2 - 2)
@@ -780,6 +833,11 @@ def write_gbh(sps: RefSps, gps: RefGps, h: RefGbh,
                 w.ue(h.slice_bb_width_log2_scale)
                 for v in h.slice_bb_width:
                     w.un(h.slice_bb_width_bits, v)
+    if gps.predgeom_enabled:
+        for k in range(3):
+            w.un(3, h.pgeom_resid_abs_log2_bits[k])
+        if gps.angular_enabled:
+            w.ue(h.pgeom_min_radius)
     head = w.get_bytes()
 
     foot = RefBitWriter()

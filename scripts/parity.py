@@ -422,9 +422,11 @@ def main():
             if rate not in cond["rates"]:
                 continue
             for codec in args.codecs.split(","):
-                # the conformance (refSyntax) engine covers octree and
-                # trisoup geometry (byte-identical emission); predgeom
-                # bricks remain native-syntax only
+                # the conformance (refSyntax) engine covers octree,
+                # trisoup and predgeom bricks at coding scale 1
+                # (tests/test_conformance.py predgeom identity); the
+                # parity predgeom rows run at decimated scales, which
+                # the refSyntax CLI does not yet plumb
                 if codec == "ours-ref" and "predgeom" in name:
                     continue
                 if codec == "ours-obuf" and "predgeom" in name:

@@ -1205,3 +1205,180 @@ def test_angular_cli_full_stream_identity(tmp_path):
              f"--compressedStreamPath={bo}", "--refSyntax=1", *common],
             check=True, capture_output=True)
         assert bt.read_bytes() == bo.read_bytes()
+
+
+def _predgeom_opts(extra=(), n_lasers=16):
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", "..",
+                                     "scripts"))
+    from gen_clouds import _hdl64_elevations
+    theta = ",".join(
+        f"{t:.6f}" for t in np.tan(_hdl64_elevations(n_lasers)))
+    npt = ",".join(["2000"] * n_lasers)
+    zeros = ",".join(["0"] * n_lasers)
+    head = 1 << 13
+    return ["--positionQuantizationScale=1", "--disableAttributeCoding=1",
+            "--geomTreeType=1", "--angularEnabled=1",
+            f"--numLasers={n_lasers}",
+            f"--lidarHeadPosition={head},{head},{head}",
+            f"--lasersTheta={theta}", f"--lasersZ={zeros}",
+            f"--lasersNumPhiPerTurn={npt}", *extra]
+
+
+def _lidar_cloud64():
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", "..",
+                                     "scripts"))
+    from gen_clouds import make_lidar_frame
+    pos, _ = make_lidar_frame(0, n_lasers=64, steps=900)
+    return np.unique(pos, axis=0)
+
+
+# NB: azimq0 uses the denser 64-laser cloud -- with 16 lasers the tmc3
+# binary itself aborts on this configuration (laser-residual assert)
+@pytest.mark.parametrize("variant,extra", [
+    ("default", ["--mergeDuplicatedPoints=1"]),
+    ("azimq0", ["--mergeDuplicatedPoints=1",
+                "--predGeomAzimuthQuantization=0"]),
+    ("dups", ["--mergeDuplicatedPoints=0"]),
+    ("res2off", ["--mergeDuplicatedPoints=1",
+                 "--secondaryResidualDisabled=1"]),
+])
+def test_predgeom_decode_bit_exact(tmp_path, variant, extra):
+    """tmc3 predictive-geometry bitstreams (angular, azimuth scaling
+    on/off, duplicates, secondary residual off) decode to the exact
+    positions in the exact decode order (native/refpredgeom.cc;
+    reference geometry_predictive_decoder.cpp:496-731)."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    nl = 64 if variant == "azimq0" else 16
+    pos = _lidar_cloud64() if variant == "azimq0" else _lidar_cloud()
+    src = tmp_path / "pg.ply"
+    bit = tmp_path / f"pg_{variant}.bin"
+    ref = tmp_path / f"pg_{variant}_ref.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}",
+         *_predgeom_opts(extra, n_lasers=nl)],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={ref}"],
+        check=True, capture_output=True)
+    mine = refdec.decode_stream(bit.read_bytes())[0]
+    want = ply.read(str(ref)).positions.astype(np.int64)
+    assert np.array_equal(mine, want)
+
+
+def test_predgeom_nonangular_decode_bit_exact(tmp_path):
+    """Non-angular predictive geometry (KD-tree-built trees, 4
+    prediction modes, PCM fallback) decodes bit-exact."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    pos = _lidar_cloud()
+    src = tmp_path / "pgna.ply"
+    bit = tmp_path / "pgna.bin"
+    ref = tmp_path / "pgna_ref.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}",
+         "--positionQuantizationScale=1", "--mergeDuplicatedPoints=1",
+         "--disableAttributeCoding=1", "--geomTreeType=1",
+         "--angularEnabled=0"],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={ref}"],
+        check=True, capture_output=True)
+    mine = refdec.decode_stream(bit.read_bytes())[0]
+    want = ply.read(str(ref)).positions.astype(np.int64)
+    assert np.array_equal(mine, want)
+
+
+def test_predgeom_encode_byte_identical(tmp_path):
+    """Our angular predictive-geometry emission (RD mode decision,
+    Morton presort, per-laser chain trees, residual-bit derivation) is
+    byte-identical to the tmc3 binary's full stream."""
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", "..",
+                                     "scripts"))
+    from gen_clouds import _hdl64_elevations
+    pos = _lidar_cloud()
+    src = tmp_path / "pge.ply"
+    bit = tmp_path / "pge.bin"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}",
+         *_predgeom_opts(["--mergeDuplicatedPoints=1"])],
+        check=True, capture_output=True)
+    theta = [float(f"{t:.6f}") for t in np.tan(_hdl64_elevations(16))]
+    mine = refenc.encode_stream(
+        pos, predgeom=True, angular=True,
+        angular_head=(1 << 13,) * 3, lasers_theta=theta,
+        lasers_z=[0.0] * 16, lasers_num_phi=[2000] * 16)
+    assert mine == bit.read_bytes()
+
+
+def test_predgeom_cli_full_stream_identity(tmp_path):
+    """--refSyntax=1 --geomTreeType=1 emits a full predictive-geometry
+    stream byte-identical to tmc3, and decodes tmc3's stream to the
+    identical reconstruction."""
+    import sys
+    pos = _lidar_cloud()
+    src = tmp_path / "pgc.ply"
+    bt = tmp_path / "pgc_t.bin"
+    bo = tmp_path / "pgc_o.bin"
+    common = _predgeom_opts(["--mergeDuplicatedPoints=1"])
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bt}", *common],
+        check=True, capture_output=True)
+    subprocess.run(
+        [sys.executable, "-m", "mpeg_pcc_tmc13_tpu.runtime.cli",
+         "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bo}", "--refSyntax=1", *common],
+        check=True, capture_output=True)
+    assert bt.read_bytes() == bo.read_bytes()
+    ref = tmp_path / "pgc_ref.ply"
+    ours = tmp_path / "pgc_ours.ply"
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bt}",
+         f"--reconstructedDataPath={ref}"],
+        check=True, capture_output=True)
+    subprocess.run(
+        [sys.executable, "-m", "mpeg_pcc_tmc13_tpu.runtime.cli",
+         "--mode=1", "--refSyntax=1", f"--compressedStreamPath={bt}",
+         f"--reconstructedDataPath={ours}"],
+        check=True, capture_output=True)
+    assert np.array_equal(ply.read(str(ours)).positions,
+                          ply.read(str(ref)).positions)
+
+
+def test_predgeom_truncated_stream_fails_cleanly(tmp_path):
+    """Truncated predictive-geometry payloads raise instead of
+    spinning or overrunning (the k<=30 exp-Golomb guard and node-count
+    cap in native/refpredgeom.cc; the reference itself has no such
+    bound)."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", "..",
+                                     "scripts"))
+    from gen_clouds import _hdl64_elevations
+    pos = _lidar_cloud()
+    theta = [float(f"{t:.6f}") for t in np.tan(_hdl64_elevations(16))]
+    data = refenc.encode_stream(
+        pos, predgeom=True, angular=True, angular_head=(1 << 13,) * 3,
+        lasers_theta=theta, lasers_z=[0.0] * 16,
+        lasers_num_phi=[2000] * 16)
+    for frac in (0.3, 0.6, 0.95):
+        cut = data[:int(len(data) * frac)]
+        with pytest.raises(Exception):
+            refdec.decode_stream(cut)
