@@ -93,9 +93,10 @@ def _load() -> ctypes.CDLL:
     return lib
 
 
-def geom_params_array(gps, bypass_no_update=False) -> "np.ndarray":
+def geom_params_array(gps, bypass_no_update=False,
+                      cabac_bypass=False) -> "np.ndarray":
     """Pack the RefGps tool flags into the native GeomParams layout
-    (native/refcodec.cc GeomParams, 12 int32s)."""
+    (native/obuf_core.h GeomParams)."""
     return np.array([
         gps.neighbour_avail_boundary_log2_minus1 + 1,
         1 if gps.adjacent_child_contextualization else 0,
@@ -111,6 +112,7 @@ def geom_params_array(gps, bypass_no_update=False) -> "np.ndarray":
         gps.inferred_direct_coding_mode,
         1 if gps.joint_2pt_idcm else 0,
         gps.idcm_rate_minus1,
+        1 if cabac_bypass else 0,
     ], dtype=np.int32)
 
 
@@ -121,8 +123,8 @@ class UnsupportedTool(NotImplementedError):
 def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
                      gbh: ref_hls.RefGbh):
     unsupported = []
-    if sps.cabac_bypass_stream_enabled:
-        unsupported.append("cabac bypass stream")
+    if sps.cabac_bypass_stream_enabled and gbh.geom_stream_cnt_minus1:
+        unsupported.append("cabac bypass stream with multiple streams")
     if gps.angular_enabled and gps.trisoup_enabled:
         unsupported.append("angular trisoup")
     if gps.angular_enabled and gps.z_compensation:
@@ -241,7 +243,8 @@ def decode_trisoup_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
     from the GBH, payload decoded by decode_trisoup_payload)."""
     aec = payload[gbh.header_bytes:len(payload) - gbh.footer_bytes]
     axes = np.asarray(gbh.tree_lvl_coded_axis_list, dtype=np.int32)
-    gp = geom_params_array(gps, sps.bypass_bin_coding_without_prob_update)
+    gp = geom_params_array(gps, sps.bypass_bin_coding_without_prob_update,
+                           cabac_bypass=sps.cabac_bypass_stream_enabled)
     flag_n = int(gps.non_cubic_node_start_edge
                  and gbh.slice_bb_pos_bits > 0)
     flag_f = int(gps.non_cubic_node_end_edge
@@ -295,6 +298,7 @@ def predgeom_params_array(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         gbh.pgeom_min_radius,
         1 if sps.bypass_bin_coding_without_prob_update else 0,
         0, 0, 0, 0, 0,                 # encode-only fields
+        1 if sps.cabac_bypass_stream_enabled else 0,
     ], dtype=np.int32)
 
 
@@ -358,7 +362,8 @@ def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
     aec_arr = np.frombuffer(aec, dtype=np.uint8)
     axes = np.asarray(gbh.tree_lvl_coded_axis_list, dtype=np.int32)
     gp = geom_params_array(
-        gps, sps.bypass_bin_coding_without_prob_update)
+        gps, sps.bypass_bin_coding_without_prob_update,
+        cabac_bypass=sps.cabac_bypass_stream_enabled)
     out = np.empty((gbh.num_points, 3), dtype=np.int32)
     c = ctypes
     if gps.angular_enabled:
@@ -438,7 +443,7 @@ def _predlift_params(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
     bitdepth = sps.attr_bitdepths[abh.sps_attr_idx]
     qnw = aps.quant_neigh_weight or [0, 0, 0]
     qnw = (list(qnw) + [0, 0, 0])[:3]
-    p = np.zeros(30, dtype=np.int32)
+    p = np.zeros(31, dtype=np.int32)
     p[0] = dims
     p[1] = bitdepth
     p[2] = 1 if aps.attr_encoding == ref_hls.ATTR_PRED else 2
@@ -465,6 +470,7 @@ def _predlift_params(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
     p[27] = 1 if aps.prediction_with_distribution else 0
     p[28] = 1 if sps.bypass_bin_coding_without_prob_update else 0
     p[29] = n_layers
+    p[30] = 1 if sps.cabac_bypass_stream_enabled else 0
     return p
 
 
@@ -551,7 +557,7 @@ def decode_attr_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
     layers = ref_hls.derive_layer_qps(aps, abh)
     qp_arr = np.asarray(layers, dtype=np.int32).reshape(-1)
 
-    params = np.zeros(39, dtype=np.int32)
+    params = np.zeros(40, dtype=np.int32)
     params[0] = 1 if aps.raht_prediction_enabled else 0
     params[1] = 1 if aps.integer_haar else 0
     params[2] = aps.raht_prediction_threshold0
@@ -562,6 +568,7 @@ def decode_attr_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
     params[7] = 1 if sps.bypass_bin_coding_without_prob_update else 0
     params[8:27] = aps.pred_weight_parent()
     params[27:39] = aps.pred_weight_child()
+    params[39] = 1 if sps.cabac_bypass_stream_enabled else 0
 
     aec = payload[abh.header_bytes:]
     aec_arr = np.frombuffer(aec, dtype=np.uint8)

@@ -26,7 +26,8 @@ from .decoder import _load, geom_params_array
 def _encode_brick_native(positions: np.ndarray, axes: np.ndarray,
                          gps: ref_hls.RefGps,
                          bypass_no_update: bool = False,
-                         stream_cnt_minus1: int = 0) -> bytes:
+                         stream_cnt_minus1: int = 0,
+                         cabac_bypass: bool = False) -> bytes:
     lib = _load()
     c = ctypes
     if not hasattr(lib.tmc13ref_encode_octree_intra, "_configured"):
@@ -46,7 +47,8 @@ def _encode_brick_native(positions: np.ndarray, axes: np.ndarray,
         lib.tmc13ref_encode_octree_intra_ms.restype = c.c_int
         lib.tmc13ref_encode_octree_intra._configured = True
     pos32 = np.ascontiguousarray(positions, dtype=np.int32)
-    gp = geom_params_array(gps, bypass_no_update)
+    gp = geom_params_array(gps, bypass_no_update,
+                           cabac_bypass=cabac_bypass)
     cap = max(int(pos32.shape[0] * 16 + (1 << 16)), 1 << 16)
     out = np.empty(cap, dtype=np.uint8)
     if stream_cnt_minus1:
@@ -70,7 +72,8 @@ def _encode_brick_native(positions: np.ndarray, axes: np.ndarray,
 def _encode_brick_native_ang(positions: np.ndarray, axes: np.ndarray,
                              gps: ref_hls.RefGps,
                              bypass_no_update: bool = False,
-                             box_origin_stv=(0, 0, 0)) -> bytes:
+                             box_origin_stv=(0, 0, 0),
+                             cabac_bypass: bool = False) -> bytes:
     """Angular octree brick (laser-conditioned planar + angular IDCM;
     native/refcodec.cc tmc13ref_encode_octree_intra_ang)."""
     import ctypes as c
@@ -87,7 +90,8 @@ def _encode_brick_native_ang(positions: np.ndarray, axes: np.ndarray,
         lib.tmc13ref_encode_octree_intra_ang.restype = c.c_int
         lib.tmc13ref_encode_octree_intra_ang._configured = True
     pos32 = np.ascontiguousarray(positions, dtype=np.int32)
-    gp = geom_params_array(gps, bypass_no_update)
+    gp = geom_params_array(gps, bypass_no_update,
+                           cabac_bypass=cabac_bypass)
     # slice-local lidar head (gbh.geomAngularOrigin, hls.h:658);
     # gps.angular_origin is kept in coded xyz order
     origin = (np.asarray(ref_hls.from_xyz(
@@ -122,7 +126,8 @@ def _ceillog2(x: int) -> int:
 def _encode_predgeom_brick_native(stv: np.ndarray, gps: ref_hls.RefGps,
                                   origin_stv, root_log2,
                                   bypass_no_update: bool = True,
-                                  max_pts_per_tree: int = 1100000):
+                                  max_pts_per_tree: int = 1100000,
+                                  cabac_bypass: bool = False):
     """Angular predictive-geometry brick, byte-identical to tmc3
     (native/refpredgeom.cc tmc13ref_encode_predgeom).  Returns
     (aec_bytes, pgeom_resid_abs_log2_bits, pgeom_min_radius)."""
@@ -155,6 +160,7 @@ def _encode_predgeom_brick_native(stv: np.ndarray, gps: ref_hls.RefGps,
         # (TMC3.cpp:1975-1979)
         gps.predgeom_max_pred_index,
         int(root_log2[0]), int(root_log2[1]), int(root_log2[2]),
+        1 if cabac_bypass else 0,
     ], dtype=np.int32)
     th = np.ascontiguousarray(gps.angular_theta, dtype=np.int32)
     zl = np.ascontiguousarray(gps.angular_z, dtype=np.int32)
@@ -456,7 +462,8 @@ def encode_stream(positions: np.ndarray,
                   lasers_theta=None,
                   lasers_z=None,
                   lasers_num_phi=None,
-                  predgeom: bool = False) -> bytes:
+                  predgeom: bool = False,
+                  cabac_bypass: bool = False) -> bytes:
     """Encode one frame of non-negative integer XYZ positions into a
     complete reference-syntax TLV stream (SPS + GPS + geometry brick,
     plus APS + RAHT attribute brick when colors/reflectances given).
@@ -517,11 +524,16 @@ def encode_stream(positions: np.ndarray,
     else:
         axes = np.asarray(qtbt_axis_list(root, qtbt), dtype=np.int32)
 
+    # sanitizer: separate bypass-bin coding only without the chunked
+    # bypass stream (TMC3.cpp:2021-2023)
+    if cabac_bypass:
+        bypass_no_update = False
     sps = ref_hls.RefSps(
         main_profile_compat=0, level=0, sps_id=0,
         frame_ctr_bits=frame_ctr_bits, slice_tag_bits=0,
         geometry_axis_order=axis_order,
         bbox_origin=tuple(int(v) for v in seq_origin))
+    sps.cabac_bypass_stream_enabled = cabac_bypass
     # tmc3 default codes bypass bins without probability update
     # (TMC3.cpp:824-827)
     sps.bypass_bin_coding_without_prob_update = bypass_no_update
@@ -626,7 +638,8 @@ def encode_stream(positions: np.ndarray,
                                       list(gps.angular_origin))
         aec, residbits, minr = _encode_predgeom_brick_native(
             stv, gps, origin_stv, root_pg,
-            bypass_no_update=bypass_no_update)
+            bypass_no_update=bypass_no_update,
+            cabac_bypass=cabac_bypass)
         gbh = ref_hls.RefGbh(
             gps_id=0, slice_id=0, slice_tag=0, frame_ctr_lsb=0,
             geom_box_log2_scale=0, box_origin_stv=(0, 0, 0),
@@ -635,13 +648,18 @@ def encode_stream(positions: np.ndarray,
             num_points=int(pos.shape[0]))
     else:
         scm1 = max(0, min(num_entropy_streams, len(axes)) - 1)
+        if cabac_bypass and scm1:
+            raise NotImplementedError(
+                "cabac bypass stream with multiple entropy streams")
         if angular:
             aec = _encode_brick_native_ang(
-                stv, axes, gps, bypass_no_update=bypass_no_update)
+                stv, axes, gps, bypass_no_update=bypass_no_update,
+                cabac_bypass=cabac_bypass)
         else:
             aec = _encode_brick_native(stv, axes, gps,
                                        bypass_no_update=bypass_no_update,
-                                       stream_cnt_minus1=scm1)
+                                       stream_cnt_minus1=scm1,
+                                       cabac_bypass=cabac_bypass)
         gbh = ref_hls.RefGbh(
             gps_id=0, slice_id=0, slice_tag=0, frame_ctr_lsb=0,
             geom_box_log2_scale=0, box_origin_stv=(0, 0, 0),
@@ -725,7 +743,7 @@ def encode_attr_brick_native(sps, aps, positions_stv: np.ndarray,
 
     layers = [(aps.init_qp_minus4 + 4, aps.chroma_qp_offset)]
     qp_arr = np.asarray(layers, dtype=np.int32).reshape(-1)
-    params = np.zeros(39, dtype=np.int32)
+    params = np.zeros(40, dtype=np.int32)
     params[0] = 1 if aps.raht_prediction_enabled else 0
     params[1] = 1 if aps.integer_haar else 0
     params[2] = aps.raht_prediction_threshold0
@@ -736,6 +754,7 @@ def encode_attr_brick_native(sps, aps, positions_stv: np.ndarray,
     params[7] = 1 if sps.bypass_bin_coding_without_prob_update else 0
     params[8:27] = aps.pred_weight_parent()
     params[27:39] = aps.pred_weight_child()
+    params[39] = 1 if sps.cabac_bypass_stream_enabled else 0
 
     n = len(codes_sorted)
     rec = np.empty((n, dims), dtype=np.int32)
@@ -772,7 +791,8 @@ def encode_frames(frames, unique_points: bool = True,
                   lasers_theta=None,
                   lasers_z=None,
                   lasers_num_phi=None,
-                  predgeom: bool = False) -> bytes:
+                  predgeom: bool = False,
+                  cabac_bypass: bool = False) -> bytes:
     """Encode a sequence of XYZ integer clouds into one reference-
     syntax TLV stream (SPS + GPS once, then per-slice geometry
     bricks).  Clouds above the slice level limit (reference
@@ -797,11 +817,15 @@ def encode_frames(frames, unique_points: bool = True,
     seq_origin = (np.asarray(frames[0], dtype=np.int64).min(axis=0)
                   if len(frames) and np.asarray(frames[0]).size
                   else np.zeros(3, dtype=np.int64))
+    if cabac_bypass:
+        # sanitizer TMC3.cpp:2021-2023
+        bypass_no_update = False
     sps = ref_hls.RefSps(
         main_profile_compat=0, level=0, sps_id=0,
         frame_ctr_bits=frame_ctr_bits, slice_tag_bits=0,
         geometry_axis_order=1,
         bbox_origin=tuple(int(v) for v in seq_origin))
+    sps.cabac_bypass_stream_enabled = cabac_bypass
     sps.bypass_bin_coding_without_prob_update = bypass_no_update
     aps = None
     if have_attrs:
@@ -947,7 +971,8 @@ def encode_frames(frames, unique_points: bool = True,
                     - origin)
                 aec, residbits, minr = _encode_predgeom_brick_native(
                     local, gps, origin_stv, root_pg,
-                    bypass_no_update=bypass_no_update)
+                    bypass_no_update=bypass_no_update,
+                    cabac_bypass=cabac_bypass)
                 extra = dict(num_points=int(part.shape[0]),
                              pgeom_resid_abs_log2_bits=residbits,
                              pgeom_min_radius=minr)
@@ -958,13 +983,15 @@ def encode_frames(frames, unique_points: bool = True,
                 aec = _encode_brick_native_ang(
                     local, axes, gps,
                     bypass_no_update=bypass_no_update,
-                    box_origin_stv=tuple(int(v) for v in origin))
+                    box_origin_stv=tuple(int(v) for v in origin),
+                    cabac_bypass=cabac_bypass)
                 extra = dict(num_points=int(part.shape[0]))
             else:
                 axes = np.asarray(qtbt_axis_list(root, qtbt),
                                   dtype=np.int32)
                 aec = _encode_brick_native(
-                    local, axes, gps, bypass_no_update=bypass_no_update)
+                    local, axes, gps, bypass_no_update=bypass_no_update,
+                    cabac_bypass=cabac_bypass)
                 extra = dict(num_points=int(part.shape[0]))
             gbh = ref_hls.RefGbh(
                 gps_id=0, slice_id=slice_id, slice_tag=0,

@@ -77,6 +77,167 @@ static const int kInitCoded0[27][6] = {
   {3, 3, 2, 4, 2, 4}, {4, 3, 3, 4, 3, 4}, {3, 4, 3, 4, 3, 4}};
 
 // ---------------------------------------------------------------------------
+// chunked AEC / bypass-bin sub-stream mux (sps cabac_bypass_stream):
+// 256-byte chunks carry a 1-byte AEC length, AEC bytes growing forward
+// and raw bypass bits growing backward with a 3-bit flushed-bits count
+// (ChunkStreamBuilder / ChunkStreamReader, entropychunk.h:50-455)
+// ---------------------------------------------------------------------------
+
+struct ChunkWriter {
+  static const int kChunkSize = 256;
+  std::vector<uint8_t> buf;
+  size_t outputLength = 0;
+  long chunkBase = 0;
+  int chunkBytesRemaining = 0;
+  long aecIdx = 0;
+  long bypassIdx = 0;
+  int bypassBitIdx = 0;
+  int bypassByteAllocCounter = 0;
+
+  void reset() {
+    buf.clear();
+    outputLength = 0;
+    chunkBase = -kChunkSize;
+    startNextChunk();
+  }
+
+  void startNextChunk() {
+    chunkBytesRemaining = kChunkSize - 1;   // one byte for the aec len
+    chunkBase += kChunkSize;
+    buf.resize(size_t(chunkBase) + kChunkSize, 0);
+    aecIdx = chunkBase + 1;
+    bypassIdx = chunkBase + kChunkSize - 1;
+    bypassBitIdx = 8;
+    bypassByteAllocCounter = -3;
+    outputLength += kChunkSize;
+  }
+
+  void reserveChunkByte() {
+    if (--chunkBytesRemaining >= 0) return;
+    chunkBytesRemaining = 0;
+    finaliseChunk();
+    startNextChunk();
+    chunkBytesRemaining--;
+  }
+
+  void finaliseChunk() {
+    int aecLen = int(aecIdx - chunkBase - 1);
+    int bypassLen = kChunkSize - chunkBytesRemaining - aecLen - 1;
+    if (bypassLen) {
+      int flushedBits = bypassBitIdx - 3;
+      buf[bypassIdx] = uint8_t(buf[bypassIdx] << bypassBitIdx);
+      if (flushedBits < 0) {
+        buf[--bypassIdx] = 0;
+        flushedBits += 8;
+      }
+      buf[bypassIdx] |= uint8_t(flushedBits);
+      if (chunkBytesRemaining)
+        std::memmove(&buf[chunkBase + aecLen + 1], &buf[bypassIdx],
+                     size_t(chunkBase + kChunkSize - bypassIdx));
+    }
+    buf[chunkBase] = uint8_t(aecLen);
+  }
+
+  void writeAecByte(uint8_t byte) {
+    reserveChunkByte();
+    buf[aecIdx++] = byte;
+  }
+
+  void writeBypassBit(int bit) {
+    if (bypassByteAllocCounter < 1) {
+      reserveChunkByte();
+      bypassByteAllocCounter += 8;
+    }
+    bypassByteAllocCounter--;
+    if (--bypassBitIdx < 0) {
+      bypassIdx--;
+      bypassBitIdx = 7;
+    }
+    buf[bypassIdx] = uint8_t((buf[bypassIdx] << 1) | (bit & 1));
+  }
+
+  void flushChunks() {
+    if (chunkBytesRemaining == kChunkSize - 1) {
+      outputLength -= kChunkSize;   // empty chunk: remove it
+      return;
+    }
+    finaliseChunk();
+    outputLength -= size_t(chunkBytesRemaining);  // truncate last chunk
+  }
+};
+
+struct ChunkReader {
+  static const int kChunkSize = 256;
+  const uint8_t* base = nullptr;
+  const uint8_t* end = nullptr;
+  int aecBytesRemaining = 0;
+  const uint8_t* aecByte = nullptr;
+  const uint8_t* aecNextChunk = nullptr;
+  const uint8_t* bypassNextChunk = nullptr;
+  const uint8_t* bypassByte = nullptr;
+  int bypassAccumBitsRemaining = 0;
+  int bypassBitsRemaining = 0;
+  uint8_t bypassAccum = 0;
+
+  void reset(const uint8_t* b, size_t n) {
+    base = b;
+    end = b + n;
+    aecBytesRemaining = 0;
+    aecByte = nullptr;
+    aecNextChunk = b;
+    bypassNextChunk = b;
+    bypassByte = nullptr;
+    bypassAccumBitsRemaining = 0;
+    bypassBitsRemaining = 0;
+  }
+
+  uint8_t readAecByte() {
+    if (aecBytesRemaining-- > 0) return *aecByte++;
+    const uint8_t* ptr = aecNextChunk;
+    int aecLen = 0;
+    while (ptr < end && !(aecLen = *ptr)) ptr += kChunkSize;
+    if (ptr + aecLen >= end) return 0xff;   // past-end (reference: throw)
+    aecNextChunk = ptr + kChunkSize;
+    aecByte = ptr + 1;
+    aecBytesRemaining = aecLen;
+    aecBytesRemaining--;
+    return *aecByte++;
+  }
+
+  int readBypassBit() {
+    if (bypassAccumBitsRemaining-- > 0) {
+      int bit = (bypassAccum & 0x80) != 0;
+      bypassAccum <<= 1;
+      return bit;
+    }
+    bypassBitsRemaining -= 8;
+    if (bypassBitsRemaining > 0) {
+      bypassAccum = *bypassByte--;
+      bypassAccumBitsRemaining = std::min(bypassBitsRemaining, 8);
+      return readBypassBit();
+    }
+    const uint8_t* ptr = bypassNextChunk;
+    int aecLen = 0;
+    while (ptr < end && (aecLen = *ptr) == kChunkSize - 1)
+      ptr += kChunkSize;
+    int chunkSize = kChunkSize;
+    chunkSize = std::max(
+      0, std::min(int(end - ptr), chunkSize));
+    if (ptr + chunkSize - 1 >= end)
+      return 0;                              // past-end (reference: throw)
+    int flushedBits = ptr[aecLen + 1] & 0x7;
+    bypassNextChunk = ptr + kChunkSize;
+    bypassByte = ptr + chunkSize - 1;
+    bypassAccum = *bypassByte--;
+    bypassBitsRemaining =
+      8 * (chunkSize - aecLen) - flushedBits - 11;
+    bypassAccumBitsRemaining = std::min(bypassBitsRemaining, 8);
+    if (bypassAccumBitsRemaining <= 0) return 0;   // corrupt chunk
+    return readBypassBit();
+  }
+};
+
+// ---------------------------------------------------------------------------
 // arithmetic decoder (schroarith decode side; schroarith.h:50-85, .c init)
 // ---------------------------------------------------------------------------
 
@@ -88,13 +249,20 @@ struct ArithDec {
   int cntr;
   int16_t lut[512];         // interleaved adaptation LUT
 
+  // chunked sub-stream mode (sps cabac_bypass_stream): AEC bytes come
+  // from the chunk mux, bypass bins are raw bits (entropydirac.h:354)
+  bool chunked = false;
+  ChunkReader chunkR;
+
   uint8_t next_byte() {
+    if (chunked) return chunkR.readAecByte();
     if (pos >= len) return 0xff;      // readByteCallback past-end value
     return buf[pos++];
   }
 
   void init(const uint8_t* b, size_t n) {
     buf = b; len = n; pos = 0;
+    if (chunked) chunkR.reset(b, n);
     range = 0xffff0000u;
     cntr = 1;
     code = uint32_t(next_byte()) << 24;
@@ -134,6 +302,8 @@ struct ArithDec {
   bool bypassNoUpdate = false;
 
   int bypass() {
+    if (chunked)
+      return chunkR.readBypassBit();
     if (bypassNoUpdate) {
       // _schro_arith_decode_bypass_bit (schroarith.h:190-210)
       if (!--cntr) {
@@ -223,6 +393,12 @@ struct ArithEnc {
   uint8_t outputByte;
   int16_t ilut[512];        // interleaved adaptation LUT (as ArithDec)
 
+  // chunked sub-stream mode (sps cabac_bypass_stream): AEC bytes are
+  // muxed into 256-byte chunks, bypass bins written as raw bits
+  // (entropydirac.h:181-212)
+  bool chunked = false;
+  ChunkWriter chunkW;
+
   void init() {
     out.clear();
     low = 0;
@@ -231,13 +407,19 @@ struct ArithEnc {
     carry = 0;
     firstByte = 1;
     outputByte = 0;
+    if (chunked) chunkW.reset();
     for (int k = 0; k < 256; k++) {
       ilut[2 * k] = int16_t(kDiracLut[255 - k]);
       ilut[2 * k + 1] = int16_t(-kDiracLut[k]);
     }
   }
 
-  void push(uint8_t b) { out.push_back(b); }
+  void push(uint8_t b) {
+    if (chunked)
+      chunkW.writeAecByte(b);
+    else
+      out.push_back(b);
+  }
 
   void renorm_byte() {
     if (low < (1u << 24) && (low + range) >= (1u << 24)) {
@@ -300,6 +482,10 @@ struct ArithEnc {
   bool bypassNoUpdate = false;
 
   void bypass(int value) {
+    if (chunked) {
+      chunkW.writeBypassBit(value);
+      return;
+    }
     if (bypassNoUpdate) {
       // _schro_arith_encode_bypass_bit (schroarith.h:213-258)
       cntr++;
@@ -381,6 +567,12 @@ struct ArithEnc {
     push(uint8_t(low >> 8));
     if (extraByte)
       push(uint8_t(low));
+    if (chunked) {
+      // finalise the chunk mux and surface it as the payload
+      chunkW.flushChunks();
+      out.assign(chunkW.buf.begin(),
+                 chunkW.buf.begin() + long(chunkW.outputLength));
+    }
   }
 };
 
@@ -1743,6 +1935,7 @@ struct GeomParams {
   int idcmMode;                 // gps inferred_direct_coding_mode (0-3)
   int jointTwoPointIdcm;        // gps joint_2pt_idcm_enabled_flag
   int idcmRateMinus1;           // gps geom_idcm_rate_minus1
+  int cabacBypassStream;        // sps cabac_bypass_stream_enabled_flag
 };
 
 // mkIdcmEnableMask (geometry_octree.cpp:264)

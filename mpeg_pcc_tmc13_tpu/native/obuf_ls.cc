@@ -644,6 +644,7 @@ static int obufls_encode_impl(
   }
 
   ArithEnc aec;
+  aec.chunked = gp.cabacBypassStream != 0;
   aec.init();
   aec.out.reserve(size_t(num_points) * 2 + 1024);
   aec.bypassNoUpdate = gp.bypassNoUpdate != 0;
@@ -1466,6 +1467,7 @@ static int obufls_decode_impl(
   }
 
   ArithDec aec;
+  aec.chunked = gp.cabacBypassStream != 0;
   aec.init(aec_buf, size_t(aec_len));
   aec.bypassNoUpdate = gp.bypassNoUpdate != 0;
   LsCtx ctx;

@@ -1424,6 +1424,7 @@ int tmc13ref_decode_raht_attr(
   // entropy decode of the coefficient stream
   // (AttributeDecoder.cpp:554-566 refl / 637-653 colour)
   ArithDec aec;
+  aec.chunked = params[39] != 0;
   aec.init(payload, size_t(payload_len));
   aec.bypassNoUpdate = params[7] != 0;
   AttrCtx ctx;
@@ -1500,6 +1501,7 @@ int tmc13ref_encode_raht_attr(
   // entropy encode (zero-run over rows,
   // AttributeEncoder.cpp:1346-1362 / :1489-1505)
   obufcore::ArithEnc aec;
+  aec.chunked = params[39] != 0;
   aec.init();
   aec.bypassNoUpdate = params[7] != 0;
   AttrCtx ctx;

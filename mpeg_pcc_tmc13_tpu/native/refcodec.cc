@@ -773,6 +773,7 @@ static int encode_octree_impl(
     return -2;
 
   ArithEnc aec;
+  aec.chunked = gp.cabacBypassStream != 0;
   aec.init();
   aec.bypassNoUpdate = gp.bypassNoUpdate != 0;
   RefOctreeCtx ctx;
@@ -1380,6 +1381,7 @@ static int decode_octree_impl(
     return -2;
 
   ArithDec aec;
+  aec.chunked = gp.cabacBypassStream != 0;
   aec.init(aec_buf, size_t(aec_len));
   aec.bypassNoUpdate = gp.bypassNoUpdate != 0;
 

@@ -206,6 +206,7 @@ struct PGParams {
   int maxPtsPerTree;         // encode
   int maxPredIdxTested;      // encode
   int rootLog2[3];           // encode: gbh.rootNodeSizeLog2, stv
+  int chunked;               // sps cabac_bypass_stream_enabled_flag
 
   static PGParams from(const int32_t* p) {
     PGParams g;
@@ -231,6 +232,7 @@ struct PGParams {
     g.rootLog2[0] = p[21];
     g.rootLog2[1] = p[22];
     g.rootLog2[2] = p[23];
+    g.chunked = p[24];
     return g;
   }
 };
@@ -1310,6 +1312,7 @@ int tmc13ref_decode_predgeom(const uint8_t* buf, int len,
   using namespace refpg;
   Decoder d;
   d.g = PGParams::from(params);
+  d.ad.chunked = d.g.chunked != 0;
   d.ad.init(buf, size_t(len));
   d.ad.bypassNoUpdate = d.g.bypassNoUpdate != 0;
   d.s2c = SphToCart{d.g.rInvLog2, d.g.twoPiLog2, theta, zlaser};
@@ -1347,6 +1350,7 @@ int tmc13ref_encode_predgeom(const int32_t* pts, int n, int32_t* params,
   Encoder e;
   e.g = PGParams::from(params);
   if (!e.g.angular) return -10;  // scope: angular encode only
+  e.ae.chunked = e.g.chunked != 0;
   e.ae.init();
   e.ae.bypassNoUpdate = e.g.bypassNoUpdate != 0;
   e.s2c = SphToCart{e.g.rInvLog2, e.g.twoPiLog2, theta, zlaser};

@@ -470,6 +470,7 @@ struct PlParams {
   int predictionWithDistribution = 0;
   int bypassNoUpdate = 0;
   int qpLayersCount = 0;           // layer qps follow in side arrays
+  int chunked = 0;                 // sps cabac_bypass_stream
   int sliceQpDeltaLuma = 0;        // already folded by caller if present
   int sliceQpDeltaChroma = 0;
   int maxNumDetailLevels() const { return numDetailLevelsMinus1 + 1; }
@@ -1587,6 +1588,7 @@ static void plparams_from(const int32_t* p, PlParams& pp) {
   pp.predictionWithDistribution = p[27];
   pp.bypassNoUpdate = p[28];
   pp.qpLayersCount = p[29];
+  pp.chunked = p[30];
 }
 
 // returns number of values written (npts*dims) or <0 on error
@@ -1615,6 +1617,7 @@ extern "C" int tmc13ref_decode_predlift(
     qpSet.layers.push_back({layer_qps[2 * l], layer_qps[2 * l + 1]});
 
   ArithDec aec;
+  aec.chunked = pp.chunked != 0;
   aec.init(aec_buf, size_t(aec_len));
   aec.bypassNoUpdate = pp.bypassNoUpdate != 0;
   AttrCtx ctx;
@@ -2023,6 +2026,7 @@ extern "C" int tmc13ref_encode_predlift(
     qpSet.layers.push_back({layer_qps[2 * l], layer_qps[2 * l + 1]});
 
   ArithEnc aec;
+  aec.chunked = pp.chunked != 0;
   aec.init();
   aec.bypassNoUpdate = pp.bypassNoUpdate != 0;
   AttrCtx ctx;

@@ -50,7 +50,7 @@ _ACCEPTED_REFERENCE_OPTIONS = {
     "QPShiftStep", "aps_slice_qp_deltas_present_flag",
     "attrInterIntraSliceRDO", "attrInterPredSearchRange",
     "attrInterPredTranslationThresh", "attrSphericalMaxLog2",
-    "cabac_bypass_stream_enabled_flag", "dist2PercentileEstimate",
+    "dist2PercentileEstimate",
     "enableGroundPartition", "externalScale", "frameMergeEnabled",
     "globalMotionBlockSize", "globalMotionSrcType",
     "globalMotionWindowSize", "gmThresholdHistScale",
@@ -123,6 +123,7 @@ class Config:
         # tmc3 default: bypass bins coded without probability update
         # (TMC3.cpp:824-827); honoured by the refSyntax engine
         self.bypass_no_update = True
+        self.cabac_bypass = False
         self.params = EncoderParams()
         self.disable_attributes = False
         # reference-syntax (tmc3-interoperable) codec path
@@ -279,6 +280,8 @@ class Config:
                 self.ref_syntax = opt.to_bool(value)
             elif name == "bypassBinCodingWithoutProbUpdate":
                 self.bypass_no_update = opt.to_bool(value)
+            elif name == "cabac_bypass_stream_enabled_flag":
+                self.cabac_bypass = opt.to_bool(value)
             elif name == "qtbtEnabled":
                 self.qtbt_enabled = opt.to_bool(value)
             elif name == "inferredDirectCodingMode":
@@ -572,6 +575,7 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
         attr_cicp_matrix=(attr_cfg.cicp_matrix
                           if attr_cfg else 1),
         bypass_no_update=cfg.bypass_no_update,
+        cabac_bypass=cfg.cabac_bypass,
         attr_aps=(refenc.derive_default_aps(
             {hls.AttributeEncoding.RAHT: 0,
              hls.AttributeEncoding.PRED: 1,

@@ -1382,3 +1382,109 @@ def test_predgeom_truncated_stream_fails_cleanly(tmp_path):
         cut = data[:int(len(data) * frac)]
         with pytest.raises(Exception):
             refdec.decode_stream(cut)
+
+
+@pytest.mark.parametrize("tools", ["plain", "planar-idcm"])
+def test_cabac_bypass_stream_interop(tmp_path, tools):
+    """sps cabac_bypass_stream: the 256-byte chunked AEC/bypass-bin
+    mux (reference entropychunk.h:50-455, ChunkWriter/ChunkReader in
+    native/obuf_core.h) decodes tmc3 streams bit-exact and emits
+    byte-identical streams, for octree with and without planar+IDCM
+    (whose point offsets are raw bypass bins)."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    rng = np.random.default_rng(11)
+    pos = np.unique(rng.integers(0, 1 << 11, size=(30000, 3),
+                                 dtype=np.int64), axis=0)
+    src = tmp_path / "cb.ply"
+    bit = tmp_path / "cb.bin"
+    ref = tmp_path / "cb_ref.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    planar = tools == "planar-idcm"
+    opts = (["--planarEnabled=1", "--inferredDirectCodingMode=3"]
+            if planar else
+            ["--planarEnabled=0", "--inferredDirectCodingMode=0"])
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}",
+         "--positionQuantizationScale=1", "--mergeDuplicatedPoints=1",
+         "--disableAttributeCoding=1", "--neighbourAvailBoundaryLog2=8",
+         "--cabac_bypass_stream_enabled_flag=1", *opts],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={ref}"],
+        check=True, capture_output=True)
+    mine = refdec.decode_stream(bit.read_bytes())[0]
+    want = ply.read(str(ref)).positions.astype(np.int64)
+    assert np.array_equal(mine, want)
+    enc = refenc.encode_stream(pos, planar=planar,
+                               idcm=3 if planar else 0,
+                               qtbt=True, cabac_bypass=True)
+    assert enc == bit.read_bytes()
+
+
+def test_cabac_bypass_attr_and_predgeom(tmp_path):
+    """The chunked bypass stream also covers RAHT attribute bricks and
+    predictive-geometry bricks (both directions, full streams)."""
+    import sys
+    import sys as _sys
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    _sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", "..",
+                                     "scripts"))
+    from gen_clouds import _hdl64_elevations
+    # RAHT colours via the CLI surface
+    rng = np.random.default_rng(5)
+    pos = np.unique(rng.integers(0, 1 << 10, size=(20000, 3),
+                                 dtype=np.int64), axis=0)
+    cols = rng.integers(0, 256, size=(pos.shape[0], 3), dtype=np.int64)
+    src = tmp_path / "cba.ply"
+    bit = tmp_path / "cba.bin"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64),
+                           colors=cols.astype(np.uint8)), str(src),
+              ascii=True)
+    common = ["--positionQuantizationScale=1",
+              "--mergeDuplicatedPoints=1",
+              "--cabac_bypass_stream_enabled_flag=1",
+              "--neighbourAvailBoundaryLog2=8", "--planarEnabled=1",
+              "--inferredDirectCodingMode=3", "--transformType=0",
+              "--qp=34", "--bitdepth=8", "--attribute=color"]
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", *common],
+        check=True, capture_output=True)
+    ours = tmp_path / "cba_ours.bin"
+    subprocess.run(
+        [sys.executable, "-m", "mpeg_pcc_tmc13_tpu.runtime.cli",
+         "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={ours}", "--refSyntax=1", *common],
+        check=True, capture_output=True)
+    assert ours.read_bytes() == bit.read_bytes()
+    # predgeom with chunked bypass, library surface
+    lpos = _lidar_cloud()
+    theta = [float(f"{t:.6f}") for t in np.tan(_hdl64_elevations(16))]
+    pbit = tmp_path / "cbp.bin"
+    lsrc = tmp_path / "cbp.ply"
+    ply.write(ply.PlyCloud(positions=lpos.astype(np.float64)),
+              str(lsrc), ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={lsrc}",
+         f"--compressedStreamPath={pbit}",
+         "--cabac_bypass_stream_enabled_flag=1",
+         *_predgeom_opts(["--mergeDuplicatedPoints=1"])],
+        check=True, capture_output=True)
+    enc = refenc.encode_stream(
+        lpos, predgeom=True, angular=True, cabac_bypass=True,
+        angular_head=(1 << 13,) * 3, lasers_theta=theta,
+        lasers_z=[0.0] * 16, lasers_num_phi=[2000] * 16)
+    assert enc == pbit.read_bytes()
+    pref = tmp_path / "cbp_ref.ply"
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={pbit}",
+         f"--reconstructedDataPath={pref}"],
+        check=True, capture_output=True)
+    mine = refdec.decode_stream(pbit.read_bytes())[0]
+    want = ply.read(str(pref)).positions.astype(np.int64)
+    assert np.array_equal(mine, want)
