@@ -134,11 +134,72 @@ def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
     if not gps.bitwise_occupancy:
         unsupported.append("bytewise occupancy coder")
     if gbh.inter_prediction:
-        unsupported.append("inter prediction")
+        # octree inter with road/object GM is supported; the cuboid
+        # LPU partition codes motion flags in the arithmetic stream
+        # (decodeCuboidGlobalMotion) and stays out of scope, as do
+        # bi-prediction, angular inter and non-octree inter bricks
+        if gps.predgeom_enabled or gps.trisoup_enabled:
+            unsupported.append("non-octree inter brick")
+        if gps.angular_enabled:
+            unsupported.append("angular inter")
+        if gbh.bi_prediction:
+            unsupported.append("bi-prediction")
+        if gbh.geom_stream_cnt_minus1:
+            unsupported.append("inter with multiple entropy streams")
     if gbh.entropy_continuation:
         unsupported.append("entropy continuation")
     if unsupported:
         raise UnsupportedTool(", ".join(unsupported))
+
+
+def _gm_min_pos(sps: ref_hls.RefSps,
+                gbh: ref_hls.RefGbh) -> np.ndarray:
+    if gbh.min_zero_origin:
+        return np.zeros(3, dtype=np.int64)
+    return np.asarray(ref_hls.from_xyz(
+        sps.geometry_axis_order, list(sps.bbox_origin)),
+        dtype=np.int64)
+
+
+def apply_global_motion_q16(points: np.ndarray, gm_matrix, gm_trans,
+                            min_pos: np.ndarray,
+                            sel=None) -> np.ndarray:
+    """Q16 affine with the reference's exact rounding
+    (applyGlobalMotion_with_shift, motionWip.cpp:867-895:
+    divExp2RoundHalfInfPositiveShift at prec 16)."""
+    pts = points.astype(np.int64, copy=True)
+    b = pts + min_pos[None, :]
+    if sel is None:
+        sel = np.ones(len(pts), dtype=bool)
+    mat = np.asarray(gm_matrix, dtype=np.int64).reshape(3, 3)
+    acc = b[sel] @ mat.T
+    pts[sel] = ((acc + (1 << 15)) >> 16) \
+        + np.asarray(gm_trans, dtype=np.int64)[None, :] \
+        - min_pos[None, :]
+    return pts
+
+
+def compensate_predictor(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
+                         gbh: ref_hls.RefGbh,
+                         ref_cloud: np.ndarray) -> np.ndarray:
+    """Build the slice-local motion-compensated predictor cloud from
+    the previous frame's reconstruction (slice-global STV, decode
+    order), mirroring updatePredictorWorld + compensateGlobalMotion
+    with the road/object classification
+    (geometry_octree_decoder.cpp:1673-1691, motionWip.cpp:899-929).
+    Cuboid-partition GM (lpu_type 1) is handled natively because its
+    selection flags ride the arithmetic stream."""
+    pred = ref_cloud.astype(np.int64, copy=True)
+    if gps.global_motion:
+        min_pos = _gm_min_pos(sps, gbh)
+        b = pred + min_pos[None, :]
+        thresh_hi, thresh_lo = gbh.gm_thresh
+        sel = (b[:, 2] < thresh_lo) | (b[:, 2] > thresh_hi)
+        if np.any(sel):
+            pred = apply_global_motion_q16(
+                pred, gbh.gm_matrix, gbh.gm_trans, min_pos, sel)
+    pred -= np.asarray(gbh.box_origin_stv, dtype=np.int64)[None, :]
+    return pred
 
 
 def decode_trisoup_payload(aec: bytes, axes: np.ndarray,
@@ -349,9 +410,13 @@ def decode_predgeom_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
 
 def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
                           gbh: ref_hls.RefGbh,
-                          payload: bytes) -> np.ndarray:
+                          payload: bytes,
+                          ref_cloud: Optional[np.ndarray] = None
+                          ) -> np.ndarray:
     """Decode one octree geometry brick to slice-local STV grid
-    positions in the reference's decode order."""
+    positions in the reference's decode order.  ``ref_cloud`` is the
+    previous frame's reconstruction (slice-global STV, decode order)
+    for inter bricks."""
     _check_supported(sps, gps, gbh)
     if gps.predgeom_enabled:
         return decode_predgeom_brick(sps, gps, gbh, payload)
@@ -366,6 +431,78 @@ def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         cabac_bypass=sps.cabac_bypass_stream_enabled)
     out = np.empty((gbh.num_points, 3), dtype=np.int32)
     c = ctypes
+    if gbh.inter_prediction:
+        if ref_cloud is None:
+            raise RuntimeError(
+                "inter brick without a reference frame")
+        if gps.global_motion and gbh.lpu_type == 1:
+            # cuboid partition: flags ride the AEC, decoded natively
+            vehicle = np.ascontiguousarray(ref_cloud, dtype=np.int32)
+            world = np.ascontiguousarray(
+                apply_global_motion_q16(
+                    ref_cloud, gbh.gm_matrix, gbh.gm_trans,
+                    _gm_min_pos(sps, gbh)), dtype=np.int32)
+            mbs = np.asarray(gbh.motion_block_size, dtype=np.int32)
+            org = np.asarray(gbh.box_origin_stv, dtype=np.int32)
+            if not hasattr(lib.tmc13ref_decode_octree_inter_gm,
+                           "_configured"):
+                lib.tmc13ref_decode_octree_inter_gm.argtypes = [
+                    c.POINTER(c.c_uint8), c.c_int,
+                    c.POINTER(c.c_int32), c.c_int, c.c_int,
+                    c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+                    c.c_int,
+                    c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+                    c.POINTER(c.c_int32),
+                    c.POINTER(c.c_int32), c.c_int]
+                lib.tmc13ref_decode_octree_inter_gm.restype = c.c_int
+                lib.tmc13ref_decode_octree_inter_gm._configured = True
+            n = lib.tmc13ref_decode_octree_inter_gm(
+                aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)),
+                len(aec),
+                axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+                gbh.num_points,
+                vehicle.ctypes.data_as(c.POINTER(c.c_int32)),
+                world.ctypes.data_as(c.POINTER(c.c_int32)),
+                int(vehicle.shape[0]),
+                mbs.ctypes.data_as(c.POINTER(c.c_int32)),
+                org.ctypes.data_as(c.POINTER(c.c_int32)),
+                gp.ctypes.data_as(c.POINTER(c.c_int32)),
+                out.ctypes.data_as(c.POINTER(c.c_int32)),
+                gbh.num_points)
+            if n < 0:
+                raise RuntimeError(
+                    f"refcodec inter-gm decode failed rc={n}")
+            if n != gbh.num_points:
+                raise RuntimeError(
+                    f"decoded {n} points, footer says {gbh.num_points}")
+            return out.astype(np.int64)
+        pred = np.ascontiguousarray(
+            compensate_predictor(sps, gps, gbh, ref_cloud),
+            dtype=np.int32)
+        if not hasattr(lib.tmc13ref_decode_octree_inter,
+                       "_configured"):
+            lib.tmc13ref_decode_octree_inter.argtypes = [
+                c.POINTER(c.c_uint8), c.c_int,
+                c.POINTER(c.c_int32), c.c_int, c.c_int,
+                c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32),
+                c.POINTER(c.c_int32), c.c_int]
+            lib.tmc13ref_decode_octree_inter.restype = c.c_int
+            lib.tmc13ref_decode_octree_inter._configured = True
+        n = lib.tmc13ref_decode_octree_inter(
+            aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
+            axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+            gbh.num_points,
+            pred.ctypes.data_as(c.POINTER(c.c_int32)),
+            int(pred.shape[0]),
+            gp.ctypes.data_as(c.POINTER(c.c_int32)),
+            out.ctypes.data_as(c.POINTER(c.c_int32)), gbh.num_points)
+        if n < 0:
+            raise RuntimeError(f"refcodec inter decode failed rc={n}")
+        if n != gbh.num_points:
+            raise RuntimeError(
+                f"decoded {n} points, footer says {gbh.num_points}")
+        return out.astype(np.int64)
     if gps.angular_enabled:
         # slice-local lidar head (gbh.geomAngularOrigin, hls.h:658)
         if gps.slice_angular_origin_present:
@@ -605,20 +742,29 @@ def decode_stream(data: bytes, want_attrs: bool = False):
     frames: List[np.ndarray] = []
     attr_frames: List[Optional[np.ndarray]] = []
     cur_slices: List[np.ndarray] = []
+    cur_slices_stv: List[np.ndarray] = []
     cur_attrs: List[np.ndarray] = []
     cur_ctr: Optional[int] = None
     # slice-global STV positions of the last geometry brick, for
     # attribute decode (decoder.cpp:921-922 adds _sliceOrigin)
     last_slice_pos: Optional[np.ndarray] = None
+    # previous frame's reconstruction for inter prediction
+    # (storeCurrentCloudAsRef, decoder.cpp:165-172: the accumulated
+    # slice-global STV cloud)
+    ref_cloud: Optional[np.ndarray] = None
 
     def flush():
+        nonlocal ref_cloud
         if cur_slices:
             frames.append(np.concatenate(cur_slices, axis=0))
             if cur_attrs and len(cur_attrs) == len(cur_slices):
                 attr_frames.append(np.concatenate(cur_attrs, axis=0))
             else:
                 attr_frames.append(None)
+            if sps is not None and sps.inter_frame_prediction_enabled:
+                ref_cloud = np.concatenate(cur_slices_stv, axis=0)
             cur_slices.clear()
+            cur_slices_stv.clear()
             cur_attrs.clear()
 
     for t, payload in ref_hls.iter_ref_tlv(data):
@@ -637,9 +783,11 @@ def decode_stream(data: bytes, want_attrs: bool = False):
                 flush()
             cur_ctr = gbh_ids.frame_ctr_lsb
             gps = gps_map[gbh_ids.gps_id]
-            local = decode_geometry_brick(sps, gps, gbh_ids, payload)
+            local = decode_geometry_brick(sps, gps, gbh_ids, payload,
+                                          ref_cloud=ref_cloud)
             pos = local + np.asarray(gbh_ids.box_origin_stv,
                                      dtype=np.int64)
+            cur_slices_stv.append(pos)
             last_slice_pos = pos
             xyz = np.stack(
                 ref_hls.to_xyz(sps.geometry_axis_order,

@@ -427,6 +427,14 @@ class RefGbh:
     slice_qp_offset: int = 0
     inter_prediction: bool = False
     bi_prediction: bool = False
+    # global-motion fields (io_hls.cpp:1430-1476 / 1623-1686)
+    inter_frame_ref_gmc: bool = False
+    gm_matrix: Tuple[int, ...] = (65536, 0, 0, 0, 65536, 0, 0, 0, 65536)
+    gm_trans: Tuple[int, int, int] = (0, 0, 0)
+    gm_thresh: Tuple[int, int] = (0, 0)
+    lpu_type: int = 0
+    min_zero_origin: bool = False
+    motion_block_size: Tuple[int, int, int] = (0, 0, 0)
     num_points: int = 0
     lvl_num_points: List[int] = field(default_factory=list)
     header_bytes: int = 0
@@ -531,7 +539,34 @@ def parse_gbh(sps: RefSps, gps: RefGps, data: bytes) -> RefGbh:
     if gps.bi_prediction:
         h.bi_prediction = bool(bs.u1())
     if h.inter_prediction and gps.global_motion:
-        raise NotImplementedError("global motion fields")
+        # global-motion fields (io_hls.cpp:1632-1686); Q16 matrix with
+        # the diagonal coded as a delta from 65536
+        if gps.predgeom_enabled:
+            h.inter_frame_ref_gmc = bool(bs.u1())
+        if not gps.predgeom_enabled or h.inter_frame_ref_gmc:
+            mat = [65536, 0, 0, 0, 65536, 0, 0, 0, 65536]
+            trans = [0, 0, 0]
+            for i in range(4):
+                for j in range(3):
+                    v = bs.se()
+                    if i == 3:
+                        trans[j] = v
+                    elif i == j:
+                        mat[3 * i + j] = 65536 + v
+                    else:
+                        mat[3 * i + j] = v
+            h.gm_matrix = tuple(mat)
+            h.gm_trans = tuple(trans)
+        if h.bi_prediction:
+            raise NotImplementedError("bi-prediction GM fields")
+        if not gps.predgeom_enabled:
+            h.lpu_type = bs.ue()
+            h.min_zero_origin = bool(bs.u1())
+            if h.lpu_type != 0:
+                h.motion_block_size = tuple(bs.ue() for _ in range(3))
+        if gps.predgeom_enabled or not h.lpu_type:
+            if not gps.predgeom_enabled or h.inter_frame_ref_gmc:
+                h.gm_thresh = (bs.se(), bs.se())
     bs.byte_align()
     h.header_bytes = bs.tell_bytes()
 

@@ -1859,10 +1859,13 @@ struct RefOctreeCtx {
   uint16_t ctxMultiPlanarMode = 0x8000;
   uint16_t ctxPlanarPlaneLastIndex[3][3][3][4];
   uint16_t ctxPlanarPlaneLastIndexZ[9];
-  // angular planar contexts (intra refPlane 0 only;
-  // _ctxPlanarPlaneLastIndexAngular[Phi], geometry_octree_decoder.cpp)
-  uint16_t ctxPlanarPlaneLastIndexAngular[4];
-  uint16_t ctxPlanarPlaneLastIndexAngularPhi[8];
+  // inter planar copy mode (_ctxPlanarCopyMode[16][8],
+  // geometry_octree.h:882)
+  uint16_t ctxPlanarCopyMode[16][8];
+  // angular planar contexts ([refPlane][ctx];
+  // _ctxPlanarPlaneLastIndexAngular[Phi], geometry_octree.h:887-890)
+  uint16_t ctxPlanarPlaneLastIndexAngular[3][4];
+  uint16_t ctxPlanarPlaneLastIndexAngularPhi[3][8];
   uint16_t ctxPlanarPlaneLastIndexAngularIdcm[4];
   uint16_t ctxPlanarPlaneLastIndexAngularPhiIdcm[8][3];
   CtxMapOBUF mapPlanarPos[3][3];      // [refPlane][planeId]
@@ -1893,14 +1896,19 @@ struct RefOctreeCtx {
       ctxPlanarPlaneLastIndexZ[i] = 0x8000;
     }
     for (int i = 0; i < 4; i++) {
-      ctxPlanarPlaneLastIndexAngular[i] = 0x8000;
+      for (int r = 0; r < 3; r++)
+        ctxPlanarPlaneLastIndexAngular[r][i] = 0x8000;
       ctxPlanarPlaneLastIndexAngularIdcm[i] = 0x8000;
     }
     for (int i = 0; i < 8; i++) {
-      ctxPlanarPlaneLastIndexAngularPhi[i] = 0x8000;
+      for (int r = 0; r < 3; r++)
+        ctxPlanarPlaneLastIndexAngularPhi[r][i] = 0x8000;
       for (int j = 0; j < 3; j++)
         ctxPlanarPlaneLastIndexAngularPhiIdcm[i][j] = 0x8000;
     }
+    for (int i = 0; i < 16; i++)
+      for (int j = 0; j < 8; j++)
+        ctxPlanarCopyMode[i][j] = 0x8000;
     idcm.reset();
     for (int a = 0; a < 3; a++)
       for (int b = 0; b < 3; b++)
@@ -1909,7 +1917,8 @@ struct RefOctreeCtx {
             ctxPlanarPlaneLastIndex[a][b][c][d] = 0x8000;
     if (enablePlanar) {
       for (int k = 0; k < 3; k++) {
-        mapPlanarPos[0][k].reset(10, 8);   // intra: refPlane 0 only
+        for (int r = 0; r < 3; r++)
+          mapPlanarPos[r][k].reset(10, 8);
         planarModel[k].init();
       }
       planarLeaves.assign(size_t(CtxMapOBUF::kLeafBufSize)
@@ -1961,11 +1970,14 @@ static inline uint32_t rotr32(uint32_t v, int n) {
   return n ? ((v >> n) | (v << (32 - n))) : v;
 }
 
-// isDirectModeEligible (geometry_octree.h:177), intra non-angular
+// isDirectModeEligible (geometry_octree.h:177)
 static inline bool idcmEligibleIntra(
   int intensity, int nodeMaxDimLog2, int nodeNeighPattern,
-  int parentNumSiblings, int childNumSiblings) {
+  int parentNumSiblings, int childNumSiblings,
+  bool occupancyIsPredictable = false, bool isAngular = false) {
   if (!intensity)
+    return false;
+  if (occupancyIsPredictable && !isAngular)
     return false;
   if (intensity == 1)
     return (nodeMaxDimLog2 >= 2) && (nodeNeighPattern == 0)
@@ -1975,6 +1987,21 @@ static inline bool idcmEligibleIntra(
   if (intensity == 3)
     return (nodeMaxDimLog2 >= 2) && (childNumSiblings > 1);
   return false;
+}
+
+// isDirectModeEligible_Inter (geometry_octree.h:211): the inter
+// (non-angular) eligibility collapses every intensity to the
+// intensity-1 shape and bars predictable nodes
+static inline bool idcmEligibleInter(
+  int intensity, int nodeMaxDimLog2, int nodeNeighPattern,
+  int parentNumSiblings, int childNumSiblings,
+  bool occupancyIsPredictable) {
+  if (!intensity)
+    return false;
+  if (occupancyIsPredictable)
+    return false;
+  return (nodeMaxDimLog2 >= 2) && (nodeNeighPattern == 0)
+    && (childNumSiblings == 1) && (parentNumSiblings <= 2);
 }
 
 // joint two-point prefix coding (encodeOrdered2ptPrefix,
@@ -2098,49 +2125,62 @@ static void planarPosObufCtx(
   }
 }
 
-// decode one plane flag/position (intra); returns planeBit or -1.
-// contextAngle >= 0 selects the angular context branch
-// (decodePlanarMode, geometry_octree_decoder.cpp:487-497)
+// decode one plane flag/position; returns planeBit or -1.
+// contextAngle >= 0 selects the angular context branch.  planarRef
+// carries the inter prediction planes (zeroed NodePlanar for intra,
+// reducing every inter term to the intra behaviour)
+// (decodePlanarMode, geometry_octree_decoder.cpp:313-500)
 static int decodePlanarModeIntra(
   ArithDec& aec, RefOctreeCtx& ctx, bool multiplePlanar, bool dynObuf,
   NodePlanar& planar, int planeZ, int dist, int adjPlanes, int planeId,
   const bool* multiPlanarFlag, const bool* multiPlanarEligible,
   const NodePlanar adjNeighPlanar[7], bool neighAvai,
-  uint32_t neighOccu, int contextAngle = -1) {
+  uint32_t neighOccu, int contextAngle = -1,
+  const NodePlanar* planarRefArg = nullptr) {
   const int mask0 = 1 << planeId;
   static const int kMask1[3] = {6, 5, 3};
+  static const NodePlanar kZeroRef;
+  const NodePlanar& planarRef = planarRefArg ? *planarRefArg : kZeroRef;
 
-  bool isPlanar;
-  if (multiplePlanar) {
-    static const int planeId2Index[3][3] = {{0, 1, 2}, {0, 1, 3},
-                                            {0, 2, 3}};
-    bool multiPlanarFlagFalse = true;
-    for (int i = 0; i < 3; i++)
-      multiPlanarFlagFalse &= !multiPlanarFlag[
-        planeId2Index[planeId][i]];
-    bool inferredPlanarFalse = multiPlanarFlagFalse;
-    if (multiPlanarFlagFalse) {
-      if (planeId == 2) {
-        if (multiPlanarEligible[0])
-          inferredPlanarFalse =
-            !((planar.planarMode & 2) && (planar.planarMode & 1));
-        else if (multiPlanarEligible[2])
-          inferredPlanarFalse = !(planar.planarMode & 1);
-        else if (multiPlanarEligible[3])
-          inferredPlanarFalse = !(planar.planarMode & 2);
-      } else if (planeId == 1) {
-        if (multiPlanarEligible[1])
-          inferredPlanarFalse = !(planar.planarMode & 1);
+  bool isPlanarRef = (planarRef.planarMode & mask0) != 0;
+  int planeBitRef = (planarRef.planePosBits & mask0) ? 1 : 0;
+  int ctxIdxPlanarFlag = planeId;
+  if (isPlanarRef)
+    ctxIdxPlanarFlag += 3 * (planeBitRef + 1);
+
+  bool isPlanar = isPlanarRef;
+  if (!planar.isPCM) {
+    if (multiplePlanar) {
+      static const int planeId2Index[3][3] = {{0, 1, 2}, {0, 1, 3},
+                                              {0, 2, 3}};
+      bool multiPlanarFlagFalse = true;
+      for (int i = 0; i < 3; i++)
+        multiPlanarFlagFalse &= !multiPlanarFlag[
+          planeId2Index[planeId][i]];
+      bool inferredPlanarFalse = multiPlanarFlagFalse;
+      if (multiPlanarFlagFalse) {
+        if (planeId == 2) {
+          if (multiPlanarEligible[0])
+            inferredPlanarFalse =
+              !((planar.planarMode & 2) && (planar.planarMode & 1));
+          else if (multiPlanarEligible[2])
+            inferredPlanarFalse = !(planar.planarMode & 1);
+          else if (multiPlanarEligible[3])
+            inferredPlanarFalse = !(planar.planarMode & 2);
+        } else if (planeId == 1) {
+          if (multiPlanarEligible[1])
+            inferredPlanarFalse = !(planar.planarMode & 1);
+        }
       }
+      if (inferredPlanarFalse)
+        isPlanar = aec.bit(&ctx.ctxPlanarMode[ctxIdxPlanarFlag]) != 0;
+      else if (!multiPlanarFlagFalse)
+        isPlanar = true;
+      else
+        isPlanar = false;
+    } else {
+      isPlanar = aec.bit(&ctx.ctxPlanarMode[ctxIdxPlanarFlag]) != 0;
     }
-    if (inferredPlanarFalse)
-      isPlanar = aec.bit(&ctx.ctxPlanarMode[planeId]) != 0;
-    else if (!multiPlanarFlagFalse)
-      isPlanar = true;
-    else
-      isPlanar = false;
-  } else {
-    isPlanar = aec.bit(&ctx.ctxPlanarMode[planeId]) != 0;
   }
 
   planar.planarMode |= isPlanar ? mask0 : 0;
@@ -2150,14 +2190,29 @@ static int decodePlanarModeIntra(
   }
 
   int planeBit;
+  if (planar.isPCM) {
+    // plane position copied from the reference (decoder :393-397)
+    planeBit = planeBitRef;
+    planar.planePosBits |= planeBit << planeId;
+    return planeBit;
+  }
+  // inferred inverted bit when the PCM copy failed on the last
+  // eligible direction (decoder :399-406)
+  if (planeId == planar.lastDirIdx && planar.isPreDirMatch
+      && planar.allowPCM && isPlanarRef) {
+    planeBit = planeBitRef == 1 ? 0 : 1;
+    planar.planePosBits |= planeBit << planeId;
+    return planeBit;
+  }
+  const int refPlane = isPlanarRef ? 1 + planeBitRef : 0;
   if (contextAngle >= 0) {
-    // angular branch (decoder :487-497); intra refPlane == 0
+    // angular branch (decoder :487-497)
     if (planeId == 2)
-      planeBit =
-        aec.bit(&ctx.ctxPlanarPlaneLastIndexAngular[contextAngle]);
+      planeBit = aec.bit(
+        &ctx.ctxPlanarPlaneLastIndexAngular[refPlane][contextAngle]);
     else
-      planeBit =
-        aec.bit(&ctx.ctxPlanarPlaneLastIndexAngularPhi[contextAngle]);
+      planeBit = aec.bit(
+        &ctx.ctxPlanarPlaneLastIndexAngularPhi[refPlane][contextAngle]);
     planar.planePosBits |= planeBit << planeId;
     return planeBit;
   }
@@ -2174,17 +2229,21 @@ static int decodePlanarModeIntra(
     int c1, c2;
     planarPosObufCtx(planeId, lastIndexPlane2d, planePosCtx,
                      adjNeighPlanar, neighAvai, neighOccu, c1, c2);
-    planeBit = ctx.mapPlanarPos[0][planeId].decodeEvolve(
+    planeBit = ctx.mapPlanarPos[refPlane][planeId].decodeEvolve(
       &aec, ctx.planarModel[planeId], c2, c1, &ctx.planarLeafNumber,
       ctx.planarLeaves.data());
   } else {
     if (planeZ < 0) {
-      planeBit = aec.bit(&ctx.ctxPlanarPlaneLastIndexZ[planePosCtx]);
+      int planePosCtxTmp = planePosCtx;
+      if (isPlanarRef)
+        planePosCtxTmp += 3 * (planeBitRef + 1);
+      planeBit =
+        aec.bit(&ctx.ctxPlanarPlaneLastIndexZ[planePosCtxTmp]);
     } else {
       int discreteDist = dist > (8 >> PlanarBuffer::kShiftAb);
       int lastIndexPlane2d = planeZ + (discreteDist << 1);
       planeBit = aec.bit(
-        &ctx.ctxPlanarPlaneLastIndex[0][planeId][planePosCtx]
+        &ctx.ctxPlanarPlaneLastIndex[refPlane][planeId][planePosCtx]
                                     [lastIndexPlane2d]);
     }
   }
@@ -2199,39 +2258,50 @@ static int encodePlanarModeIntra(
   NodePlanar& planar, int planeZ, int dist, int adjPlanes, int planeId,
   const bool* multiPlanarFlag, const bool* multiPlanarEligible,
   const NodePlanar adjNeighPlanar[7], bool neighAvai,
-  uint32_t neighOccu, int contextAngle = -1) {
+  uint32_t neighOccu, int contextAngle = -1,
+  const NodePlanar* planarRefArg = nullptr) {
   const int mask0 = 1 << planeId;
   static const int kMask1[3] = {6, 5, 3};
+  static const NodePlanar kZeroRef;
+  const NodePlanar& planarRef = planarRefArg ? *planarRefArg : kZeroRef;
 
   bool isPlanar = planar.planarMode & mask0;
   int planeBit = (planar.planePosBits & mask0) ? 1 : 0;
 
-  if (multiplePlanar) {
-    static const int planeId2Index[3][3] = {{0, 1, 2}, {0, 1, 3},
-                                            {0, 2, 3}};
-    bool multiPlanarFlagFalse = true;
-    for (int i = 0; i < 3; i++)
-      multiPlanarFlagFalse &= !multiPlanarFlag[
-        planeId2Index[planeId][i]];
-    bool inferredPlanarFalse = multiPlanarFlagFalse;
-    if (multiPlanarFlagFalse) {
-      if (planeId == 2) {
-        if (multiPlanarEligible[0])
-          inferredPlanarFalse =
-            !((planar.planarMode & 2) && (planar.planarMode & 1));
-        else if (multiPlanarEligible[2])
-          inferredPlanarFalse = !(planar.planarMode & 1);
-        else if (multiPlanarEligible[3])
-          inferredPlanarFalse = !(planar.planarMode & 2);
-      } else if (planeId == 1) {
-        if (multiPlanarEligible[1])
-          inferredPlanarFalse = !(planar.planarMode & 1);
+  bool isPlanarRef = (planarRef.planarMode & mask0) != 0;
+  int planeBitRef = (planarRef.planePosBits & mask0) ? 1 : 0;
+  int ctxIdxPlanarFlag = planeId;
+  if (isPlanarRef)
+    ctxIdxPlanarFlag += 3 * (planeBitRef + 1);
+
+  if (!planar.isPCM) {
+    if (multiplePlanar) {
+      static const int planeId2Index[3][3] = {{0, 1, 2}, {0, 1, 3},
+                                              {0, 2, 3}};
+      bool multiPlanarFlagFalse = true;
+      for (int i = 0; i < 3; i++)
+        multiPlanarFlagFalse &= !multiPlanarFlag[
+          planeId2Index[planeId][i]];
+      bool inferredPlanarFalse = multiPlanarFlagFalse;
+      if (multiPlanarFlagFalse) {
+        if (planeId == 2) {
+          if (multiPlanarEligible[0])
+            inferredPlanarFalse =
+              !((planar.planarMode & 2) && (planar.planarMode & 1));
+          else if (multiPlanarEligible[2])
+            inferredPlanarFalse = !(planar.planarMode & 1);
+          else if (multiPlanarEligible[3])
+            inferredPlanarFalse = !(planar.planarMode & 2);
+        } else if (planeId == 1) {
+          if (multiPlanarEligible[1])
+            inferredPlanarFalse = !(planar.planarMode & 1);
+        }
       }
+      if (inferredPlanarFalse)
+        aec.bit(&ctx.ctxPlanarMode[ctxIdxPlanarFlag], isPlanar);
+    } else {
+      aec.bit(&ctx.ctxPlanarMode[ctxIdxPlanarFlag], isPlanar);
     }
-    if (inferredPlanarFalse)
-      aec.bit(&ctx.ctxPlanarMode[planeId], isPlanar);
-  } else {
-    aec.bit(&ctx.ctxPlanarMode[planeId], isPlanar);
   }
 
   if (!isPlanar) {
@@ -2239,13 +2309,24 @@ static int encodePlanarModeIntra(
     return -1;
   }
 
+  if (planar.isPCM)
+    return planeBit;
+
+  // inferred inverted bit (encoder :390-399)
+  if (planeId == planar.lastDirIdx && planar.isPreDirMatch
+      && planar.allowPCM && isPlanarRef)
+    return planeBit;
+
+  const int refPlane = isPlanarRef ? 1 + planeBitRef : 0;
   if (contextAngle >= 0) {
     if (planeId == 2)
-      aec.bit(&ctx.ctxPlanarPlaneLastIndexAngular[contextAngle],
-              planeBit);
+      aec.bit(
+        &ctx.ctxPlanarPlaneLastIndexAngular[refPlane][contextAngle],
+        planeBit);
     else
-      aec.bit(&ctx.ctxPlanarPlaneLastIndexAngularPhi[contextAngle],
-              planeBit);
+      aec.bit(
+        &ctx.ctxPlanarPlaneLastIndexAngularPhi[refPlane][contextAngle],
+        planeBit);
     return planeBit;
   }
   int planePosCtx = kAdjPlaneCtx[adjPlanes];
@@ -2261,7 +2342,7 @@ static int encodePlanarModeIntra(
     int c1, c2;
     planarPosObufCtx(planeId, lastIndexPlane2d, planePosCtx,
                      adjNeighPlanar, neighAvai, neighOccu, c1, c2);
-    uint8_t obufIdx = ctx.mapPlanarPos[0][planeId].getEvolve(
+    uint8_t obufIdx = ctx.mapPlanarPos[refPlane][planeId].getEvolve(
       planeBit, c2, c1, &ctx.planarLeafNumber,
       ctx.planarLeaves.data());
     aec.bit_bounded(&ctx.planarModel[planeId].prob[obufIdx >> 3],
@@ -2269,11 +2350,15 @@ static int encodePlanarModeIntra(
                     planeBit);
   } else {
     if (planeZ < 0) {
-      aec.bit(&ctx.ctxPlanarPlaneLastIndexZ[planePosCtx], planeBit);
+      int planePosCtxTmp = planePosCtx;
+      if (isPlanarRef)
+        planePosCtxTmp += 3 * (planeBitRef + 1);
+      aec.bit(&ctx.ctxPlanarPlaneLastIndexZ[planePosCtxTmp], planeBit);
     } else {
       int discreteDist = dist > (8 >> PlanarBuffer::kShiftAb);
       int lastIndexPlane2d = planeZ + (discreteDist << 1);
-      aec.bit(&ctx.ctxPlanarPlaneLastIndex[0][planeId][planePosCtx]
+      aec.bit(&ctx.ctxPlanarPlaneLastIndex[refPlane][planeId]
+                                          [planePosCtx]
                                           [lastIndexPlane2d],
               planeBit);
     }
@@ -2289,7 +2374,7 @@ static void determinePlanarPlane(
   int planeId, NodePlanar& planar, PlanarBuffer::Elmt* planeBuffer,
   int coord1, int coord2, int coord3, int posInParent,
   const NeighPattern& gnp, uint8_t siblingOccupancy,
-  CodePlane codePlane) {
+  CodePlane codePlane, const NodePlanar* planarRef = nullptr) {
   static const int kAdjNeighIdxFromPlanePos[3][2] = {{1, 0}, {2, 3},
                                                      {4, 5}};
   const int planeSelector = 1 << planeId;
@@ -2330,7 +2415,44 @@ static void determinePlanarPlane(
     >> 8;
   if (planeBuffer)
     *row = PlanarBuffer::Elmt{uint8_t(maxCoord), int8_t(planeBit)};
-  // intra: no planarRef, isPreDirMatch book-keeping is inert
+  if (planarRef) {
+    // isPreDirMatch book-keeping (decoder :645-651, encoder :641-647)
+    bool isPlanarRef = (planarRef->planarMode & planeSelector) != 0;
+    int planeBitRef =
+      (planarRef->planePosBits & planeSelector) == 0 ? 0 : 1;
+    if (!(isPlanar == isPlanarRef && planeBit == planeBitRef))
+      planar.isPreDirMatch = false;
+  }
+}
+
+// inter PCM context derivation (derivePlanarPCMContextBuffer,
+// geometry_octree_decoder.cpp:505-551 / encoder :508-556): counts how
+// many eligible directions' closest-plane history matches the
+// reference planes
+static void derivePlanarPCMCtxBuf(
+  NodePlanar& planar, NodePlanar& planarRef, PlanarState& planarState,
+  const int32_t pos[3]) {
+  int matchedDir = 0;
+  planarRef.ctxBufPCM = 4
+    * (int(planar.eligible[0]) + int(planar.eligible[1])
+       + int(planar.eligible[2]) - 1);
+  for (int planeId = 0; planeId < 3; planeId++) {
+    if (!planar.eligible[planeId])
+      continue;
+    const int mask0 = 1 << planeId;
+    bool isPlanarRef = (planarRef.planarMode & mask0) != 0;
+    int planeBitRef = (planarRef.planePosBits & mask0) == 0 ? 0 : 1;
+    if (planarState.bufferEnabled) {
+      int coord3 = pos[planeId] & PlanarBuffer::kMaskC;
+      const PlanarBuffer::Elmt& closest =
+        planarState.buffer.col(planeId)[coord3];
+      bool closestPL = closest.planeIdx > -1;
+      int closestPlane = closestPL ? closest.planeIdx : 0;
+      matchedDir +=
+        int(closestPL == isPlanarRef && closestPlane == planeBitRef);
+    }
+  }
+  planarRef.ctxBufPCM += matchedDir;
 }
 
 // 3-plane wrappers (determinePlanarMode, decoder :652 / encoder):
@@ -2351,16 +2473,36 @@ static void determinePlanarIntraDec(
   int posInParent, const NeighPattern& gnp, const int32_t childPos[3],
   uint8_t siblingOccupancy, NodePlanar& planar,
   int contextAngle = -1, int contextAnglePhiX = -1,
-  int contextAnglePhiY = -1) {
+  int contextAnglePhiY = -1, NodePlanar* planarRef = nullptr) {
   NodePlanar adjNeighPlanar[7];
   if (dynObuf && gnp.neighOccuValid)
     for (int idx = 0; idx < 7; ++idx)
       if (gnp.adjOcc[idx])
         planesFromOccupancy(gnp.adjOcc[idx], adjNeighPlanar[idx]);
 
+  if (planarRef) {
+    // inter: mask the reference planes by eligibility, derive the
+    // PCM context and read the copy-mode flag
+    // (determinePlanarMode, geometry_octree_decoder.cpp:679-702)
+    uint8_t mask = 0;
+    mask |= uint8_t(planarEligible[2]) << 2;
+    mask |= uint8_t(planarEligible[1]) << 1;
+    mask |= uint8_t(planarEligible[0]) << 0;
+    planarRef->planarMode &= mask;
+    planarRef->planePosBits &= mask;
+    if (planar.allowPCM)
+      derivePlanarPCMCtxBuf(planar, *planarRef, planarState, childPos);
+    if (!planar.isSignaled && planar.allowPCM) {
+      planar.isPCM =
+        aec.bit(&ctx.ctxPlanarCopyMode[planarRef->ctxBufPCM]
+                                      [planarRef->planarMode]) != 0;
+      planar.isSignaled = true;
+    }
+  }
+
   bool multiPlanarFlag[4] = {false, false, false, false};
   bool multiPlanarEligible[4] = {false, false, false, false};
-  if (planarState.multiplePlanar) {
+  if (planarState.multiplePlanar && !planar.isPCM) {
     int kind = kindOfEligible(planarEligible);
     if (kind >= 0) {
       multiPlanarEligible[kind] = true;
@@ -2389,8 +2531,8 @@ static void determinePlanarIntraDec(
           aec, ctx, planarState.multiplePlanar, dynObuf, pl, planeZ,
           dist, adjPlanes, planeId, multiPlanarFlag,
           multiPlanarEligible, adjNeighPlanar, gnp.neighOccuValid,
-          gnp.neighborOccu, d.ctxAngle);
-      });
+          gnp.neighborOccu, d.ctxAngle, planarRef);
+      }, planarRef);
   }
 }
 
@@ -2400,7 +2542,7 @@ static void determinePlanarIntraEnc(
   int posInParent, const NeighPattern& gnp, const int32_t childPos[3],
   uint8_t siblingOccupancy, int occupancy, NodePlanar& planar,
   int contextAngle = -1, int contextAnglePhiX = -1,
-  int contextAnglePhiY = -1) {
+  int contextAnglePhiY = -1, NodePlanar* planarRef = nullptr) {
   planesFromOccupancy(occupancy, planar);
 
   NodePlanar adjNeighPlanar[7];
@@ -2416,9 +2558,40 @@ static void determinePlanarIntraEnc(
   planar.planarMode &= mask;
   planar.planePosBits &= mask;
 
+  if (planarRef) {
+    // inter: decide + signal the PCM copy mode
+    // (determinePlanarMode, geometry_octree_encoder.cpp:687-725)
+    planarRef->planarMode &= mask;
+    planarRef->planePosBits &= mask;
+    bool matchDir[3];
+    for (int planeId = 0; planeId < 3; planeId++) {
+      const int m0 = 1 << planeId;
+      if (!planarEligible[planeId]) {
+        matchDir[planeId] = true;
+        continue;
+      }
+      bool isPlanar = (planar.planarMode & m0) != 0;
+      int planeBit = (planar.planePosBits & m0) ? 1 : 0;
+      bool isPlanarRef = (planarRef->planarMode & m0) != 0;
+      int planeBitRef = (planarRef->planePosBits & m0) ? 1 : 0;
+      matchDir[planeId] =
+        isPlanar == isPlanarRef && planeBit == planeBitRef;
+    }
+    planar.isPCM = planar.allowPCM && matchDir[0] && matchDir[1]
+      && matchDir[2];
+    if (planar.allowPCM)
+      derivePlanarPCMCtxBuf(planar, *planarRef, planarState, childPos);
+    if (!planar.isSignaled && planar.allowPCM) {
+      aec.bit(&ctx.ctxPlanarCopyMode[planarRef->ctxBufPCM]
+                                    [planarRef->planarMode],
+              planar.isPCM);
+      planar.isSignaled = true;
+    }
+  }
+
   bool multiPlanarFlag[4] = {false, false, false, false};
   bool multiPlanarEligible[4] = {false, false, false, false};
-  if (planarState.multiplePlanar) {
+  if (planarState.multiplePlanar && !planar.isPCM) {
     int kind = kindOfEligible(planarEligible);
     if (kind >= 0) {
       multiPlanarEligible[kind] = true;
@@ -2457,8 +2630,8 @@ static void determinePlanarIntraEnc(
           aec, ctx, planarState.multiplePlanar, dynObuf, pl, planeZ,
           dist, adjPlanes, planeId, multiPlanarFlag,
           multiPlanarEligible, adjNeighPlanar, gnp.neighOccuValid,
-          gnp.neighborOccu, d.ctxAngle);
-      });
+          gnp.neighborOccu, d.ctxAngle, planarRef);
+      }, planarRef);
   }
 }
 

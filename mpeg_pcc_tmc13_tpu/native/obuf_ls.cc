@@ -64,10 +64,11 @@ enum FlatCtx {
   kCtxDupGt0 = 1,
   kCtxDupEgl = 2,
   kCtxMultiPlanar = 3,
-  kCtxPlanarMode0 = 4,                  // +planeId (3)
-  kCtxPlaneLastIndexZ0 = 7,             // +planePosCtx (9)
-  kCtxPlaneLastIndex0 = 16,             // +pid*12+ppc*4+lip (108)
-  kNumFlatCtx = 124,
+  kCtxPlanarMode0 = 4,                  // +ctxIdxPlanarFlag (9)
+  kCtxPlaneLastIndexZ0 = 13,            // +planePosCtx[Tmp] (9)
+  kCtxPlaneLastIndex0 = 22,             // +rp*108+pid*12+ppc*4+lip (324)
+  kCtxPlanarCopyMode0 = 346,            // +ctxBufPCM*8+refMode (128)
+  kNumFlatCtx = 474,
 };
 
 struct TokenSink {
@@ -87,15 +88,17 @@ struct TokenSink {
   }
   size_t size() const { return size_t(tp - tpBase); }
   void adapt(int flatIdx, int bit) {
-    *tp++ = mkTok(kTokAdapt, 0, flatIdx, 0, bit);
+    // the flat index rides the wide c2 field (13 bits) so the
+    // context table can exceed 256 entries
+    *tp++ = mkTok(kTokAdapt, 0, 0, flatIdx, bit);
   }
   void bypass(int bit) { *tp++ = mkTok(kTokBypass, 0, 0, 0, bit); }
   void occ(int interCtx, int sparse, int i, int c1, int c2, int bit) {
     *tp++ = mkTok(kTokOcc, interCtx << 4 | sparse << 3 | i, c1, c2,
                   bit);
   }
-  void planarPos(int planeId, int c1, int c2, int bit) {
-    *tp++ = mkTok(kTokPlanar, planeId, c1, c2, bit);
+  void planarPos(int refPlane, int planeId, int c1, int c2, int bit) {
+    *tp++ = mkTok(kTokPlanar, refPlane * 3 + planeId, c1, c2, bit);
   }
   void eg(uint32_t value) {
     *tp++ = mkTok(kTokEg, 0, 0, 0, 0);
@@ -114,7 +117,7 @@ struct LsCtx {
   std::vector<uint8_t> leaves;
   int leafNumber = 0;
 
-  CtxMapOBUFPk mapPlanarPos[3];     // intra: refPlane 0 only
+  CtxMapOBUFPk mapPlanarPos[3][3];  // [refPlane][planeId]
   ObufModel planarModel[3];
   std::vector<uint8_t> planarLeaves;
   int planarLeafNumber = 0;
@@ -139,7 +142,8 @@ struct LsCtx {
     obufModel.init();
     if (enablePlanar) {
       for (int k = 0; k < 3; k++) {
-        mapPlanarPos[k].reset(10, 8);
+        for (int r = 0; r < 3; r++)
+          mapPlanarPos[r][k].reset(10, 8);
         planarModel[k].init();
       }
       planarLeaves.assign(size_t(CtxMapOBUFPk::kLeafBufSize)
@@ -170,13 +174,14 @@ __attribute__((flatten)) static void codeTokens(ArithEnc& aec, LsCtx& ctx, Token
       aec.bit_bounded(&ctx.obufModel.prob[obufIdx >> 3], obufIdx >> 3,
                       ctx.obufModel.bound, bit);
     } else if (kind == kTokAdapt) {
-      aec.bit(&ctx.flat[(v >> 16) & 255], bit);
+      aec.bit(&ctx.flat[(v >> 1) & 0x1FFF], bit);
     } else if (kind == kTokBypass) {
       aec.bypass(bit);
     } else if (kind == kTokPlanar) {
-      int pid = (v >> 24) & 31;
+      int sel = (v >> 24) & 31;
+      int rp = sel / 3, pid = sel % 3;
       int c1 = (v >> 16) & 255, c2 = (v >> 1) & 0x1FFF;
-      uint8_t obufIdx = ctx.mapPlanarPos[pid].getEvolve(
+      uint8_t obufIdx = ctx.mapPlanarPos[rp][pid].getEvolve(
         bit, c2, c1, &ctx.planarLeafNumber, ctx.planarLeaves.data());
       aec.bit_bounded(&ctx.planarModel[pid].prob[obufIdx >> 3],
                       obufIdx >> 3, ctx.planarModel[pid].bound, bit);
@@ -199,39 +204,50 @@ static void emitPlanarModeIntra(
   int planeZ, int dist, int adjPlanes, int planeId,
   const bool* multiPlanarFlag, const bool* multiPlanarEligible,
   const NodePlanar adjNeighPlanar[7], bool neighAvai,
-  uint32_t neighOccu, int& planeBitOut) {
+  uint32_t neighOccu, int& planeBitOut,
+  const NodePlanar* planarRefArg = nullptr) {
   const int mask0 = 1 << planeId;
   static const int kMask1[3] = {6, 5, 3};
+  static const NodePlanar kZeroRef;
+  const NodePlanar& planarRef = planarRefArg ? *planarRefArg : kZeroRef;
 
   bool isPlanar = planar.planarMode & mask0;
   int planeBit = (planar.planePosBits & mask0) ? 1 : 0;
 
-  if (multiplePlanar) {
-    static const int planeId2Index[3][3] = {{0, 1, 2}, {0, 1, 3},
-                                            {0, 2, 3}};
-    bool multiPlanarFlagFalse = true;
-    for (int i = 0; i < 3; i++)
-      multiPlanarFlagFalse &= !multiPlanarFlag[
-        planeId2Index[planeId][i]];
-    bool inferredPlanarFalse = multiPlanarFlagFalse;
-    if (multiPlanarFlagFalse) {
-      if (planeId == 2) {
-        if (multiPlanarEligible[0])
-          inferredPlanarFalse =
-            !((planar.planarMode & 2) && (planar.planarMode & 1));
-        else if (multiPlanarEligible[2])
-          inferredPlanarFalse = !(planar.planarMode & 1);
-        else if (multiPlanarEligible[3])
-          inferredPlanarFalse = !(planar.planarMode & 2);
-      } else if (planeId == 1) {
-        if (multiPlanarEligible[1])
-          inferredPlanarFalse = !(planar.planarMode & 1);
+  bool isPlanarRef = (planarRef.planarMode & mask0) != 0;
+  int planeBitRef = (planarRef.planePosBits & mask0) ? 1 : 0;
+  int ctxIdxPlanarFlag = planeId;
+  if (isPlanarRef)
+    ctxIdxPlanarFlag += 3 * (planeBitRef + 1);
+
+  if (!planar.isPCM) {
+    if (multiplePlanar) {
+      static const int planeId2Index[3][3] = {{0, 1, 2}, {0, 1, 3},
+                                              {0, 2, 3}};
+      bool multiPlanarFlagFalse = true;
+      for (int i = 0; i < 3; i++)
+        multiPlanarFlagFalse &= !multiPlanarFlag[
+          planeId2Index[planeId][i]];
+      bool inferredPlanarFalse = multiPlanarFlagFalse;
+      if (multiPlanarFlagFalse) {
+        if (planeId == 2) {
+          if (multiPlanarEligible[0])
+            inferredPlanarFalse =
+              !((planar.planarMode & 2) && (planar.planarMode & 1));
+          else if (multiPlanarEligible[2])
+            inferredPlanarFalse = !(planar.planarMode & 1);
+          else if (multiPlanarEligible[3])
+            inferredPlanarFalse = !(planar.planarMode & 2);
+        } else if (planeId == 1) {
+          if (multiPlanarEligible[1])
+            inferredPlanarFalse = !(planar.planarMode & 1);
+        }
       }
+      if (inferredPlanarFalse)
+        tk.adapt(kCtxPlanarMode0 + ctxIdxPlanarFlag, isPlanar);
+    } else {
+      tk.adapt(kCtxPlanarMode0 + ctxIdxPlanarFlag, isPlanar);
     }
-    if (inferredPlanarFalse)
-      tk.adapt(kCtxPlanarMode0 + planeId, isPlanar);
-  } else {
-    tk.adapt(kCtxPlanarMode0 + planeId, isPlanar);
   }
 
   if (!isPlanar) {
@@ -240,6 +256,18 @@ static void emitPlanarModeIntra(
     return;
   }
 
+  if (planar.isPCM) {
+    planeBitOut = planeBit;
+    return;
+  }
+  // inferred inverted bit (encoder :390-399)
+  if (planeId == planar.lastDirIdx && planar.isPreDirMatch
+      && planar.allowPCM && isPlanarRef) {
+    planeBitOut = planeBit;
+    return;
+  }
+
+  const int refPlane = isPlanarRef ? 1 + planeBitRef : 0;
   int planePosCtx = kAdjPlaneCtx[adjPlanes];
   if (dynObuf) {
     int discreteDist;
@@ -253,15 +281,18 @@ static void emitPlanarModeIntra(
     int c1, c2;
     planarPosObufCtx(planeId, lastIndexPlane2d, planePosCtx,
                      adjNeighPlanar, neighAvai, neighOccu, c1, c2);
-    tk.planarPos(planeId, c1, c2, planeBit);
+    tk.planarPos(refPlane, planeId, c1, c2, planeBit);
   } else {
     if (planeZ < 0) {
-      tk.adapt(kCtxPlaneLastIndexZ0 + planePosCtx, planeBit);
+      int planePosCtxTmp = planePosCtx;
+      if (isPlanarRef)
+        planePosCtxTmp += 3 * (planeBitRef + 1);
+      tk.adapt(kCtxPlaneLastIndexZ0 + planePosCtxTmp, planeBit);
     } else {
       int discreteDist = dist > (8 >> PlanarBuffer::kShiftAb);
       int lastIndexPlane2d = planeZ + (discreteDist << 1);
-      tk.adapt(kCtxPlaneLastIndex0 + planeId * 12 + planePosCtx * 4
-                 + lastIndexPlane2d, planeBit);
+      tk.adapt(kCtxPlaneLastIndex0 + refPlane * 108 + planeId * 12
+                 + planePosCtx * 4 + lastIndexPlane2d, planeBit);
     }
   }
   planeBitOut = planeBit;
@@ -271,7 +302,8 @@ __attribute__((flatten)) static void emitPlanarIntra(
   TokenSink& tk, PlanarState& planarState, const GeomParams& gp,
   bool dynObuf, const bool planarEligible[3], int posInParent,
   const NeighPattern& gnp, const int32_t childPos[3],
-  uint8_t siblingOccupancy, int occupancy, NodePlanar& planar) {
+  uint8_t siblingOccupancy, int occupancy, NodePlanar& planar,
+  NodePlanar* planarRef = nullptr) {
   planesFromOccupancy(occupancy, planar);
 
   NodePlanar adjNeighPlanar[7];
@@ -287,9 +319,40 @@ __attribute__((flatten)) static void emitPlanarIntra(
   planar.planarMode &= mask;
   planar.planePosBits &= mask;
 
+  if (planarRef) {
+    // inter: PCM copy-mode decision + flag
+    // (determinePlanarMode, geometry_octree_encoder.cpp:687-725)
+    planarRef->planarMode &= mask;
+    planarRef->planePosBits &= mask;
+    bool matchDir[3];
+    for (int planeId = 0; planeId < 3; planeId++) {
+      const int m0 = 1 << planeId;
+      if (!planarEligible[planeId]) {
+        matchDir[planeId] = true;
+        continue;
+      }
+      bool isPlanar = (planar.planarMode & m0) != 0;
+      int planeBit = (planar.planePosBits & m0) ? 1 : 0;
+      bool isPlanarRef = (planarRef->planarMode & m0) != 0;
+      int planeBitRef = (planarRef->planePosBits & m0) ? 1 : 0;
+      matchDir[planeId] =
+        isPlanar == isPlanarRef && planeBit == planeBitRef;
+    }
+    planar.isPCM = planar.allowPCM && matchDir[0] && matchDir[1]
+      && matchDir[2];
+    if (planar.allowPCM)
+      derivePlanarPCMCtxBuf(planar, *planarRef, planarState, childPos);
+    if (!planar.isSignaled && planar.allowPCM) {
+      tk.adapt(kCtxPlanarCopyMode0 + planarRef->ctxBufPCM * 8
+                 + planarRef->planarMode,
+               planar.isPCM);
+      planar.isSignaled = true;
+    }
+  }
+
   bool multiPlanarFlag[4] = {false, false, false, false};
   bool multiPlanarEligible[4] = {false, false, false, false};
-  if (planarState.multiplePlanar) {
+  if (planarState.multiplePlanar && !planar.isPCM) {
     int kind = kindOfEligible(planarEligible);
     if (kind >= 0) {
       multiPlanarEligible[kind] = true;
@@ -362,13 +425,21 @@ __attribute__((flatten)) static void emitPlanarIntra(
                         adjPlanes, planeId, multiPlanarFlag,
                         multiPlanarEligible, adjNeighPlanar,
                         gnp.neighOccuValid, gnp.neighborOccu,
-                        planeBit);
+                        planeBit, planarRef);
     bool isPlanar = (planar.planarMode & (1 << planeId)) != 0;
     planarState.rate[planeId] =
       (255 * planarState.rate[planeId] + (isPlanar ? 256 * 8 : 0)
        + 128) >> 8;
     if (planeBuffer)
       *row = PlanarBuffer::Elmt{uint8_t(maxCoord), int8_t(planeBit)};
+    if (planarRef) {
+      bool isPlanarRef =
+        (planarRef->planarMode & (1 << planeId)) != 0;
+      int planeBitRef =
+        (planarRef->planePosBits & (1 << planeId)) ? 1 : 0;
+      if (!(isPlanar == isPlanarRef && planeBit == planeBitRef))
+        planar.isPreDirMatch = false;
+    }
   }
 }
 
@@ -802,12 +873,25 @@ static int obufls_encode_impl(
         for (int k = 0; k < 3; k++)
           planarEligible[k] =
             planarEligible[k] && ((codedAxesCurLvl >> (2 - k)) & 1);
+        // inter PCM eligibility (geometry_octree_encoder.cpp:2383)
+        planar.allowPCM = num_ref > 0 && predEffA[n] != 0
+          && (planarEligible[0] || planarEligible[1]
+              || planarEligible[2]);
+        planar.isPreDirMatch = true;
+        for (int k = 0; k < 3; k++)
+          planar.eligible[k] = planarEligible[k];
+        planar.lastDirIdx =
+          planarEligible[2] ? 2 : (planarEligible[1] ? 1 : 0);
         if (planarEligible[0] || planarEligible[1]
             || planarEligible[2]) {
           int32_t pos3[3] = {cur.px[n], cur.py[n], cur.pz[n]};
+          NodePlanar planarRef;
+          if (num_ref > 0)
+            planesFromOccupancy(predEffA[n], planarRef);
           emitPlanarIntra(tk, planarState, gp, dynObuf,
                           planarEligible, posInParent, gnpA[n], pos3,
-                          cur.sibOcc[n], occupancy, planar);
+                          cur.sibOcc[n], occupancy, planar,
+                          num_ref > 0 ? &planarRef : nullptr);
         }
       }
 
@@ -1113,41 +1197,53 @@ static int decodePlanarModeLs(
   NodePlanar& planar, int planeZ, int dist, int adjPlanes, int planeId,
   const bool* multiPlanarFlag, const bool* multiPlanarEligible,
   const NodePlanar adjNeighPlanar[7], bool neighAvai,
-  uint32_t neighOccu) {
+  uint32_t neighOccu, const NodePlanar* planarRefArg = nullptr) {
   const int mask0 = 1 << planeId;
   static const int kMask1[3] = {6, 5, 3};
+  static const NodePlanar kZeroRef;
+  const NodePlanar& planarRef = planarRefArg ? *planarRefArg : kZeroRef;
 
-  bool isPlanar;
-  if (multiplePlanar) {
-    static const int planeId2Index[3][3] = {{0, 1, 2}, {0, 1, 3},
-                                            {0, 2, 3}};
-    bool multiPlanarFlagFalse = true;
-    for (int i = 0; i < 3; i++)
-      multiPlanarFlagFalse &= !multiPlanarFlag[
-        planeId2Index[planeId][i]];
-    bool inferredPlanarFalse = multiPlanarFlagFalse;
-    if (multiPlanarFlagFalse) {
-      if (planeId == 2) {
-        if (multiPlanarEligible[0])
-          inferredPlanarFalse =
-            !((planar.planarMode & 2) && (planar.planarMode & 1));
-        else if (multiPlanarEligible[2])
-          inferredPlanarFalse = !(planar.planarMode & 1);
-        else if (multiPlanarEligible[3])
-          inferredPlanarFalse = !(planar.planarMode & 2);
-      } else if (planeId == 1) {
-        if (multiPlanarEligible[1])
-          inferredPlanarFalse = !(planar.planarMode & 1);
+  bool isPlanarRef = (planarRef.planarMode & mask0) != 0;
+  int planeBitRef = (planarRef.planePosBits & mask0) ? 1 : 0;
+  int ctxIdxPlanarFlag = planeId;
+  if (isPlanarRef)
+    ctxIdxPlanarFlag += 3 * (planeBitRef + 1);
+
+  bool isPlanar = isPlanarRef;
+  if (!planar.isPCM) {
+    if (multiplePlanar) {
+      static const int planeId2Index[3][3] = {{0, 1, 2}, {0, 1, 3},
+                                              {0, 2, 3}};
+      bool multiPlanarFlagFalse = true;
+      for (int i = 0; i < 3; i++)
+        multiPlanarFlagFalse &= !multiPlanarFlag[
+          planeId2Index[planeId][i]];
+      bool inferredPlanarFalse = multiPlanarFlagFalse;
+      if (multiPlanarFlagFalse) {
+        if (planeId == 2) {
+          if (multiPlanarEligible[0])
+            inferredPlanarFalse =
+              !((planar.planarMode & 2) && (planar.planarMode & 1));
+          else if (multiPlanarEligible[2])
+            inferredPlanarFalse = !(planar.planarMode & 1);
+          else if (multiPlanarEligible[3])
+            inferredPlanarFalse = !(planar.planarMode & 2);
+        } else if (planeId == 1) {
+          if (multiPlanarEligible[1])
+            inferredPlanarFalse = !(planar.planarMode & 1);
+        }
       }
+      if (inferredPlanarFalse)
+        isPlanar =
+          aec.bit(&ctx.flat[kCtxPlanarMode0 + ctxIdxPlanarFlag]) != 0;
+      else if (!multiPlanarFlagFalse)
+        isPlanar = true;
+      else
+        isPlanar = false;
+    } else {
+      isPlanar =
+        aec.bit(&ctx.flat[kCtxPlanarMode0 + ctxIdxPlanarFlag]) != 0;
     }
-    if (inferredPlanarFalse)
-      isPlanar = aec.bit(&ctx.flat[kCtxPlanarMode0 + planeId]) != 0;
-    else if (!multiPlanarFlagFalse)
-      isPlanar = true;
-    else
-      isPlanar = false;
-  } else {
-    isPlanar = aec.bit(&ctx.flat[kCtxPlanarMode0 + planeId]) != 0;
   }
 
   planar.planarMode |= isPlanar ? mask0 : 0;
@@ -1157,6 +1253,18 @@ static int decodePlanarModeLs(
   }
 
   int planeBit;
+  if (planar.isPCM) {
+    planeBit = planeBitRef;
+    planar.planePosBits |= uint8_t(planeBit << planeId);
+    return planeBit;
+  }
+  if (planeId == planar.lastDirIdx && planar.isPreDirMatch
+      && planar.allowPCM && isPlanarRef) {
+    planeBit = planeBitRef == 1 ? 0 : 1;
+    planar.planePosBits |= uint8_t(planeBit << planeId);
+    return planeBit;
+  }
+  const int refPlane = isPlanarRef ? 1 + planeBitRef : 0;
   int planePosCtx = kAdjPlaneCtx[adjPlanes];
   if (dynObuf) {
     int discreteDist;
@@ -1170,17 +1278,21 @@ static int decodePlanarModeLs(
     int c1, c2;
     planarPosObufCtx(planeId, lastIndexPlane2d, planePosCtx,
                      adjNeighPlanar, neighAvai, neighOccu, c1, c2);
-    planeBit = ctx.mapPlanarPos[planeId].decodeEvolve(
+    planeBit = ctx.mapPlanarPos[refPlane][planeId].decodeEvolve(
       &aec, ctx.planarModel[planeId], c2, c1, &ctx.planarLeafNumber,
       ctx.planarLeaves.data());
   } else {
     if (planeZ < 0) {
+      int planePosCtxTmp = planePosCtx;
+      if (isPlanarRef)
+        planePosCtxTmp += 3 * (planeBitRef + 1);
       planeBit =
-        aec.bit(&ctx.flat[kCtxPlaneLastIndexZ0 + planePosCtx]);
+        aec.bit(&ctx.flat[kCtxPlaneLastIndexZ0 + planePosCtxTmp]);
     } else {
       int discreteDist = dist > (8 >> PlanarBuffer::kShiftAb);
       int lastIndexPlane2d = planeZ + (discreteDist << 1);
-      planeBit = aec.bit(&ctx.flat[kCtxPlaneLastIndex0 + planeId * 12
+      planeBit = aec.bit(&ctx.flat[kCtxPlaneLastIndex0
+                                   + refPlane * 108 + planeId * 12
                                    + planePosCtx * 4
                                    + lastIndexPlane2d]);
     }
@@ -1194,16 +1306,37 @@ __attribute__((flatten)) static void decodePlanarLs(
   ArithDec& aec, LsCtx& ctx, PlanarState& planarState,
   const GeomParams& gp, bool dynObuf, const bool planarEligible[3],
   int posInParent, const NeighPattern& gnp, const int32_t childPos[3],
-  uint8_t siblingOccupancy, NodePlanar& planar) {
+  uint8_t siblingOccupancy, NodePlanar& planar,
+  NodePlanar* planarRef = nullptr) {
   NodePlanar adjNeighPlanar[7];
   if (dynObuf && gnp.neighOccuValid)
     for (int idx = 0; idx < 7; ++idx)
       if (gnp.adjOcc[idx])
         planesFromOccupancy(gnp.adjOcc[idx], adjNeighPlanar[idx]);
 
+  if (planarRef) {
+    // inter: mask reference planes, read PCM copy-mode flag
+    // (determinePlanarMode, geometry_octree_decoder.cpp:679-702)
+    uint8_t mask = 0;
+    mask |= uint8_t(planarEligible[2]) << 2;
+    mask |= uint8_t(planarEligible[1]) << 1;
+    mask |= uint8_t(planarEligible[0]) << 0;
+    planarRef->planarMode &= mask;
+    planarRef->planePosBits &= mask;
+    if (planar.allowPCM)
+      derivePlanarPCMCtxBuf(planar, *planarRef, planarState, childPos);
+    if (!planar.isSignaled && planar.allowPCM) {
+      planar.isPCM =
+        aec.bit(&ctx.flat[kCtxPlanarCopyMode0
+                          + planarRef->ctxBufPCM * 8
+                          + planarRef->planarMode]) != 0;
+      planar.isSignaled = true;
+    }
+  }
+
   bool multiPlanarFlag[4] = {false, false, false, false};
   bool multiPlanarEligible[4] = {false, false, false, false};
-  if (planarState.multiplePlanar) {
+  if (planarState.multiplePlanar && !planar.isPCM) {
     int kind = kindOfEligible(planarEligible);
     if (kind >= 0) {
       multiPlanarEligible[kind] = true;
@@ -1264,13 +1397,21 @@ __attribute__((flatten)) static void decodePlanarLs(
       aec, ctx, planarState.multiplePlanar, dynObuf, planar,
       closestPlanarFlag, closestDist, adjPlanes, planeId,
       multiPlanarFlag, multiPlanarEligible, adjNeighPlanar,
-      gnp.neighOccuValid, gnp.neighborOccu);
+      gnp.neighOccuValid, gnp.neighborOccu, planarRef);
     bool isPlanar = (planar.planarMode & (1 << planeId)) != 0;
     planarState.rate[planeId] =
       (255 * planarState.rate[planeId] + (isPlanar ? 256 * 8 : 0)
        + 128) >> 8;
     if (planeBuffer)
       *row = PlanarBuffer::Elmt{uint8_t(maxCoord), int8_t(planeBit)};
+    if (planarRef) {
+      bool isPlanarRef =
+        (planarRef->planarMode & (1 << planeId)) != 0;
+      int planeBitRef =
+        (planarRef->planePosBits & (1 << planeId)) ? 1 : 0;
+      if (!(isPlanar == isPlanarRef && planeBit == planeBitRef))
+        planar.isPreDirMatch = false;
+    }
   }
 }
 
@@ -1613,11 +1754,25 @@ static int obufls_decode_impl(
         for (int k = 0; k < 3; k++)
           planarEligible[k] =
             planarEligible[k] && ((codedAxesCurLvl >> (2 - k)) & 1);
+        // inter PCM eligibility (geometry_octree_decoder.cpp:1990)
+        planar.allowPCM = num_ref > 0 && predEffA[n] != 0
+          && (planarEligible[0] || planarEligible[1]
+              || planarEligible[2]);
+        planar.isPreDirMatch = true;
+        for (int k = 0; k < 3; k++)
+          planar.eligible[k] = planarEligible[k];
+        planar.lastDirIdx =
+          planarEligible[2] ? 2 : (planarEligible[1] ? 1 : 0);
         if (planarEligible[0] || planarEligible[1]
-            || planarEligible[2])
+            || planarEligible[2]) {
+          NodePlanar planarRef;
+          if (num_ref > 0)
+            planesFromOccupancy(predEffA[n], planarRef);
           decodePlanarLs(aec, ctx, planarState, gp, dynObuf,
                          planarEligible, posInParent, gnp, pos3,
-                         cur.sibOcc[n], planar);
+                         cur.sibOcc[n], planar,
+                         num_ref > 0 ? &planarRef : nullptr);
+        }
       }
 
       for (int k = 0; k < 3; k++) {

@@ -28,6 +28,7 @@
 #include "obuf_core.h"
 #include "angular_core.h"
 
+#include <cfloat>
 #include <cstdio>
 #include <memory>
 
@@ -742,6 +743,251 @@ static void encodePointPositionAngularRef(
   }
 }
 
+// ---------------------------------------------------------------------------
+// cuboid-partition global motion (gbh.lpu_type == 1): the predictor
+// is split into LPU cuboids and a per-block arithmetic flag selects
+// the GM-compensated ("world") or untouched ("vehicle") window
+// (motionWip.cpp:178-420; the flags ride the geometry brick's own
+// arithmetic stream ahead of the octree payload,
+// geometry_octree_decoder.cpp:1673-1691).
+// ---------------------------------------------------------------------------
+
+struct CuboidGm {
+  const int32_t* vehicle = nullptr;  // predPointCloud, slice-global
+  const int32_t* world = nullptr;    // GM-applied twin, same count
+  int num = 0;
+  int32_t mbs[3] = {0, 0, 0};        // gbh.motion_block_size
+  int32_t boxOrigin[3] = {0, 0, 0};  // gbh.geomBoxOrigin (STV)
+  // encode-only inputs (encodeCuboidGlobalMotion)
+  const int32_t* cur = nullptr;      // current cloud, slice-global
+  int numCur = 0;
+  int windowSize = 0;                // motion_window_size
+};
+
+namespace cuboidgm {
+
+// bbox over the vehicle predictor + LPU grid dims
+// (computeBoundingBox; encode/decodeCuboidGlobalMotion)
+static int lpuGrid(const CuboidGm& gm, int32_t mn[3], int lpuN[3]) {
+  mn[0] = mn[1] = mn[2] = INT32_MAX;
+  int32_t mx[3] = {INT32_MIN, INT32_MIN, INT32_MIN};
+  for (int i = 0; i < gm.num; i++)
+    for (int k = 0; k < 3; k++) {
+      int32_t v = gm.vehicle[i * 3 + k];
+      if (v < mn[k]) mn[k] = v;
+      if (v > mx[k]) mx[k] = v;
+    }
+  if (gm.num == 0)
+    mn[0] = mn[1] = mn[2] = 0, mx[0] = mx[1] = mx[2] = 0;
+  int blockSize = 1;
+  for (int k = 0; k < 3; k++) {
+    lpuN[k] = gm.mbs[k]
+      ? (mx[k] - mn[k] + gm.mbs[k] - 1) / gm.mbs[k] : 1;
+    blockSize *= lpuN[k];
+  }
+  return blockSize;
+}
+
+// per-point LPU block index, or -1 when outside the grid
+// (populateWindowList, motionWip.cpp:178-205; NB C++ trunc division)
+static inline int blockIdx(const int32_t* p, const int32_t mn[3],
+                           const int32_t mbs[3], const int lpuN[3]) {
+  int idx[3];
+  for (int k = 0; k < 3; k++) {
+    idx[k] = mbs[k] ? int((p[k] - mn[k]) / mbs[k]) : 0;
+    if (idx[k] < 0 || idx[k] >= lpuN[k])
+      return -1;
+  }
+  return (idx[0] * lpuN[1] + idx[1]) * lpuN[2] + idx[2];
+}
+
+// concatenate per-block windows, world or vehicle per flag
+// (compensateCuboidGlobalMotion, motionWip.cpp:206-241), then shift
+// to slice-local coords (updatePredictorWorld origin subtraction)
+static void compensate(const CuboidGm& gm,
+                       const std::vector<uint8_t>& isWorld,
+                       const int32_t mn[3], const int lpuN[3],
+                       std::vector<int32_t>& out) {
+  const int blockSize = int(isWorld.size());
+  // bucket both clouds by block (stable, original order kept)
+  std::vector<int> cntW(size_t(blockSize) + 1, 0),
+    cntV(size_t(blockSize) + 1, 0);
+  std::vector<int> idxW(static_cast<size_t>(gm.num));
+  std::vector<int> idxV(static_cast<size_t>(gm.num));
+  for (int i = 0; i < gm.num; i++) {
+    idxW[size_t(i)] = blockIdx(&gm.world[i * 3], mn, gm.mbs, lpuN);
+    if (idxW[size_t(i)] >= 0)
+      cntW[size_t(idxW[size_t(i)]) + 1]++;
+    idxV[size_t(i)] = blockIdx(&gm.vehicle[i * 3], mn, gm.mbs, lpuN);
+    if (idxV[size_t(i)] >= 0)
+      cntV[size_t(idxV[size_t(i)]) + 1]++;
+  }
+  for (int b = 0; b < blockSize; b++) {
+    cntW[size_t(b) + 1] += cntW[size_t(b)];
+    cntV[size_t(b) + 1] += cntV[size_t(b)];
+  }
+  int total = 0;
+  for (int b = 0; b < blockSize; b++)
+    total += isWorld[size_t(b)]
+      ? cntW[size_t(b) + 1] - cntW[size_t(b)]
+      : cntV[size_t(b) + 1] - cntV[size_t(b)];
+  // per-block scatter offsets in the output
+  std::vector<int> outOff(static_cast<size_t>(blockSize));
+  {
+    int acc = 0;
+    for (int b = 0; b < blockSize; b++) {
+      outOff[size_t(b)] = acc;
+      acc += isWorld[size_t(b)]
+        ? cntW[size_t(b) + 1] - cntW[size_t(b)]
+        : cntV[size_t(b) + 1] - cntV[size_t(b)];
+    }
+  }
+  out.assign(size_t(total) * 3, 0);
+  std::vector<int> fill(static_cast<size_t>(blockSize), 0);
+  for (int i = 0; i < gm.num; i++) {
+    int bW = idxW[size_t(i)];
+    if (bW >= 0 && isWorld[size_t(bW)]) {
+      int o = outOff[size_t(bW)] + fill[size_t(bW)]++;
+      for (int k = 0; k < 3; k++)
+        out[size_t(o) * 3 + size_t(k)] =
+          gm.world[i * 3 + k] - gm.boxOrigin[k];
+    }
+    int bV = idxV[size_t(i)];
+    if (bV >= 0 && !isWorld[size_t(bV)]) {
+      int o = outOff[size_t(bV)] + fill[size_t(bV)]++;
+      for (int k = 0; k < 3; k++)
+        out[size_t(o) * 3 + size_t(k)] =
+          gm.vehicle[i * 3 + k] - gm.boxOrigin[k];
+    }
+  }
+}
+
+// plus1log2shifted4 (motionWip.cpp:113-124)
+static const int kLutLog2[64] = {
+  INT32_MIN, 0,  16, 25, 32, 37, 41, 45, 48, 51, 53, 55, 57, 59, 61,
+  63, 64,    65, 67, 68, 69, 70, 71, 72, 73, 74, 75, 76, 77, 78, 79,
+  79, 80,    81, 81, 82, 83, 83, 84, 85, 85, 86, 86, 87, 87, 88, 88,
+  89, 89,    90, 90, 91, 91, 92, 92, 93, 93, 93, 94, 94, 95, 95, 95,
+  96};
+
+static inline int plus1log2shifted4(int x) {
+  x++;
+  int result = 0;
+  while (x >= 64) {
+    x >>= 1;
+    result += 16;
+  }
+  return result + kLutLog2[x];
+}
+
+// calcCostOfGlobalMotion (motionWip.cpp:127-176); the reference's
+// scratch pointer writes are dead stores and omitted
+static double windowCost(const std::vector<int32_t>& window,
+                         const std::vector<int32_t>& block0,
+                         int wSize) {
+  size_t nw = window.size() / 3, nb = block0.size() / 3;
+  if (!nw)
+    return DBL_MAX;
+  const int samples = 4;
+  const int decimate = 6;
+  if (nw > size_t(samples) * size_t(std::max(int(nb), 16)))
+    wSize >>= 1;
+  int maxDistance = wSize << 1;
+  long dist = 0;
+  size_t jumpBlock = 1 + (nb >> decimate);
+  for (size_t ib = 0; ib < nb; ib += jumpBlock) {
+    const int32_t* b = &block0[ib * 3];
+    int min_d = maxDistance;
+    for (size_t iw = 0; iw < nw; iw++) {
+      const int32_t* w = &window[iw * 3];
+      int a0 = std::abs(int(b[0] - w[0]));
+      int a1 = std::abs(int(b[1] - w[1]));
+      int a2 = std::abs(int(b[2] - w[2]));
+      int d = a0 + a1 + a2;
+      if (d < min_d)
+        min_d = d;
+    }
+    dist += plus1log2shifted4(min_d);
+  }
+  return double(jumpBlock) * double(dist);
+}
+
+// populateCuboidBlocks (motionWip.cpp:241-282): stride-4 sampling,
+// each sample contributes once to every block its +/-window-shifted
+// copies land in
+static void populateBlocks(std::vector<std::vector<int32_t>>& blocks,
+                           const int32_t* cloud, int num,
+                           const int32_t mbs[3],
+                           const std::vector<int>& thDists,
+                           const int32_t mn[3], const int lpuN[3]) {
+  const int samples = 4;
+  std::vector<int> seen;
+  for (int i = 0; i < num; i += samples) {
+    const int32_t* p = &cloud[i * 3];
+    seen.clear();
+    for (size_t m = 0; m < thDists.size(); m++) {
+      int xidx = mbs[0]
+        ? int((p[0] + thDists[m] - mn[0]) / mbs[0]) : 0;
+      if (xidx < 0 || xidx >= lpuN[0])
+        continue;
+      for (size_t n = 0; n < thDists.size(); n++) {
+        int yidx = mbs[1]
+          ? int((p[1] + thDists[n] - mn[1]) / mbs[1]) : 0;
+        if (yidx < 0 || yidx >= lpuN[1])
+          continue;
+        for (size_t k = 0; k < thDists.size(); k++) {
+          int zidx = mbs[2]
+            ? int((p[2] + thDists[k] - mn[2]) / mbs[2]) : 0;
+          if (zidx < 0 || zidx >= lpuN[2])
+            continue;
+          int idx = (xidx * lpuN[1] + yidx) * lpuN[2] + zidx;
+          bool dup = false;
+          for (int s : seen)
+            if (s == idx) { dup = true; break; }
+          if (!dup)
+            seen.push_back(idx);
+        }
+      }
+    }
+    for (int idx : seen) {
+      blocks[size_t(idx)].push_back(p[0]);
+      blocks[size_t(idx)].push_back(p[1]);
+      blocks[size_t(idx)].push_back(p[2]);
+    }
+  }
+}
+
+// encoder-side isWorld decision (encodeCuboidGlobalMotion,
+// motionWip.cpp:283-356)
+static void decideIsWorld(const CuboidGm& gm, const int32_t mn[3],
+                          const int lpuN[3], int blockSize,
+                          std::vector<uint8_t>& isWorld) {
+  std::vector<int> thDists;
+  thDists.push_back(gm.windowSize);
+  if (gm.windowSize)
+    thDists.push_back(-gm.windowSize);
+  std::vector<std::vector<int32_t>> b0(static_cast<size_t>(blockSize));
+  std::vector<std::vector<int32_t>> bw(static_cast<size_t>(blockSize));
+  std::vector<std::vector<int32_t>> bv(static_cast<size_t>(blockSize));
+  populateBlocks(b0, gm.cur, gm.numCur, gm.mbs, thDists, mn, lpuN);
+  populateBlocks(bw, gm.world, gm.num, gm.mbs, thDists, mn, lpuN);
+  populateBlocks(bv, gm.vehicle, gm.num, gm.mbs, thDists, mn, lpuN);
+  isWorld.assign(size_t(blockSize), 1);
+  for (int i = 0; i < blockSize; i++) {
+    if (b0[size_t(i)].empty()
+        || (bw[size_t(i)].empty() && bv[size_t(i)].empty()))
+      continue;
+    double costWorld =
+      windowCost(bw[size_t(i)], b0[size_t(i)], gm.windowSize);
+    double costVehicle =
+      windowCost(bv[size_t(i)], b0[size_t(i)], gm.windowSize);
+    if (bw[size_t(i)].empty() || costWorld >= costVehicle)
+      isWorld[size_t(i)] = 0;
+  }
+}
+
+}  // namespace cuboidgm
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -762,7 +1008,8 @@ static int encode_octree_impl(
   std::vector<int32_t>* ts_order = nullptr,    // point permutation out
   void** ts_coder = nullptr,       // trisoup: live coder handoff
   int stream_cnt_minus1 = 0,       // gbh.geom_stream_cnt_minus1
-  AngParams* ang = nullptr) {      // angular octree mode
+  AngParams* ang = nullptr,        // angular octree mode
+  const CuboidGm* gm = nullptr) {  // cuboid-partition global motion
   GeomParams gp;
   std::memcpy(&gp, gp_arr, sizeof gp);
   const int neighbour_avail_boundary_log2 = gp.neighAvailBoundaryLog2;
@@ -776,6 +1023,25 @@ static int encode_octree_impl(
   aec.chunked = gp.cabacBypassStream != 0;
   aec.init();
   aec.bypassNoUpdate = gp.bypassNoUpdate != 0;
+
+  // cuboid GM: decide + signal the per-LPU isWorld flags, then
+  // replace the predictor with the compensated concatenation
+  // (encodeCuboidGlobalMotion, motionWip.cpp:283-356)
+  std::vector<int32_t> gmPred;
+  if (gm) {
+    int32_t mn[3];
+    int lpuN[3];
+    int blockSize = cuboidgm::lpuGrid(*gm, mn, lpuN);
+    std::vector<uint8_t> isWorld;
+    cuboidgm::decideIsWorld(*gm, mn, lpuN, blockSize, isWorld);
+    uint16_t ctxIsWorld = 0x8000;
+    for (int i = 0; i < blockSize; i++)
+      aec.bit(&ctxIsWorld, isWorld[size_t(i)]);
+    cuboidgm::compensate(*gm, isWorld, mn, lpuN, gmPred);
+    ref_positions = gmPred.data();
+    num_ref = int(gmPred.size() / 3);
+  }
+
   RefOctreeCtx ctx;
   ctx.resetMaps(gp.planarEnabled != 0);
 
@@ -997,6 +1263,11 @@ static int encode_octree_impl(
         if (predOccRaw && node0.mispred <= 5)
           effPredOcc = predOccRaw;
       }
+      // reference planes from the (gated) predicted occupancy
+      // (setPlanesFromOccupancy, geometry_octree_encoder.cpp:2291-2294)
+      NodePlanar planarRef;
+      if (num_ref > 0)
+        planesFromOccupancy(effPredOcc, planarRef);
 
       // atlas refresh (mirrors the decoder exactly)
       if (useAtlas) {
@@ -1122,13 +1393,22 @@ static int encode_octree_impl(
         for (int k = 0; k < 3; k++)
           planarEligible[k] =
             planarEligible[k] && ((codedAxesCurLvl >> (2 - k)) & 1);
+        // inter PCM eligibility (geometry_octree_encoder.cpp:2383-2391)
+        planar.allowPCM = num_ref > 0 && effPredOcc != 0
+          && (planarEligible[0] || planarEligible[1]
+              || planarEligible[2]);
+        planar.isPreDirMatch = true;
+        for (int k = 0; k < 3; k++)
+          planar.eligible[k] = planarEligible[k];
+        planar.lastDirIdx =
+          planarEligible[2] ? 2 : (planarEligible[1] ? 1 : 0);
         if (planarEligible[0] || planarEligible[1]
             || planarEligible[2])
           determinePlanarIntraEnc(
             aec, ctx, planarState, gp, dynObuf, planarEligible,
             posInParent, gnp, node0.pos, node0.siblingOccupancy,
             occupancy, planar, contextAngle, contextAnglePhiX,
-            contextAnglePhiY);
+            contextAnglePhiY, num_ref > 0 ? &planarRef : nullptr);
       }
 
       // inferred direct coding (encodeDirectPosition,
@@ -1299,10 +1579,19 @@ static int encode_octree_impl(
           child.mispred = uint8_t(fail < 255 ? fail : 255);
         }
         child.idcmEligible = 0;
-        if (num_ref == 0) {  // intra eligibility only (scope)
-          bool elig = idcmEligibleIntra(
-            gp.idcmMode, nodeMaxDimLog2, gnp.pattern,
-            node0.numSiblingsPlus1, numOccupied);
+        {
+          // isDirectModeEligible[_Inter]
+          // (geometry_octree_encoder.cpp:2577-2590)
+          bool elig;
+          if (num_ref > 0 && !ang)
+            elig = idcmEligibleInter(
+              gp.idcmMode, nodeMaxDimLog2, gnp.pattern,
+              node0.numSiblingsPlus1, numOccupied, effPredOcc != 0);
+          else
+            elig = idcmEligibleIntra(
+              gp.idcmMode, nodeMaxDimLog2, gnp.pattern,
+              node0.numSiblingsPlus1, numOccupied, effPredOcc != 0,
+              ang != nullptr);
           if (elig) {
             elig = (idcmEnableMask & 1) != 0;
             idcmEnableMask = rotr32(idcmEnableMask, 1);
@@ -1370,7 +1659,8 @@ static int decode_octree_impl(
   std::vector<int32_t>* ts_leaves = nullptr,  // trisoup: origins out
   void** ts_coder = nullptr,       // trisoup: live coder handoff
   int stream_cnt_minus1 = 0,       // gbh.geom_stream_cnt_minus1
-  AngParams* ang = nullptr) {      // angular octree mode
+  AngParams* ang = nullptr,        // angular octree mode
+  const CuboidGm* gm = nullptr) {  // cuboid-partition global motion
   GeomParams gp;
   std::memcpy(&gp, gp_arr, sizeof gp);
   const int neighbour_avail_boundary_log2 = gp.neighAvailBoundaryLog2;
@@ -1384,6 +1674,23 @@ static int decode_octree_impl(
   aec.chunked = gp.cabacBypassStream != 0;
   aec.init(aec_buf, size_t(aec_len));
   aec.bypassNoUpdate = gp.bypassNoUpdate != 0;
+
+  // cuboid GM: the per-LPU isWorld flags lead the arithmetic stream
+  // (decodeCuboidGlobalMotion, motionWip.cpp:357-388); the
+  // compensated concatenation replaces the caller's predictor
+  std::vector<int32_t> gmPred;
+  if (gm) {
+    int32_t mn[3];
+    int lpuN[3];
+    int blockSize = cuboidgm::lpuGrid(*gm, mn, lpuN);
+    std::vector<uint8_t> isWorld(size_t(blockSize), 0);
+    uint16_t ctxIsWorld = 0x8000;
+    for (int i = 0; i < blockSize; i++)
+      isWorld[size_t(i)] = uint8_t(aec.bit(&ctxIsWorld));
+    cuboidgm::compensate(*gm, isWorld, mn, lpuN, gmPred);
+    ref_positions = gmPred.data();
+    num_ref = int(gmPred.size() / 3);
+  }
 
   RefOctreeCtx ctx;
   ctx.resetMaps(gp.planarEnabled != 0);
@@ -1559,6 +1866,49 @@ static int decode_octree_impl(
         gnp.pattern = uint8_t(neighPatternFromOccupancy(
           posInParent, node0.siblingOccupancy));
 
+      // compensated-reference partition -> child prediction; the
+      // reference performs this counting sort at the top of the node
+      // (geometry_octree_decoder.cpp:1808-1861) so the predicted
+      // planes can steer the planar decode below
+      int rcounts[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+      int roffs[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+      int predOccRaw = 0;
+      int effPredOcc = 0;
+      if (num_ref > 0 && node0.rend > node0.rstart) {
+        for (int32_t p = node0.rstart; p < node0.rend; p++) {
+          const int32_t* pt = &ref_positions[rorder[size_t(p)] * 3];
+          int b = (!!(pt[2] & probe[2])) | (!!(pt[1] & probe[1]) << 1)
+            | (!!(pt[0] & probe[0]) << 2);
+          rcounts[b]++;
+        }
+        int racc = node0.rstart;
+        for (int b = 0; b < 8; b++) {
+          roffs[b] = racc;
+          racc += rcounts[b];
+        }
+        int w[8];
+        std::memcpy(w, roffs, sizeof w);
+        for (int32_t p = node0.rstart; p < node0.rend; p++) {
+          const int32_t* pt = &ref_positions[rorder[size_t(p)] * 3];
+          int b = (!!(pt[2] & probe[2])) | (!!(pt[1] & probe[1]) << 1)
+            | (!!(pt[0] & probe[0]) << 2);
+          rscratch[size_t(w[b]++)] = rorder[size_t(p)];
+        }
+        std::memcpy(&rorder[size_t(node0.rstart)],
+                    &rscratch[size_t(node0.rstart)],
+                    sizeof(int32_t)
+                      * size_t(node0.rend - node0.rstart));
+        for (int b = 0; b < 8; b++)
+          if (rcounts[b]) predOccRaw |= 1 << b;
+        if (predOccRaw && node0.mispred <= 5)
+          effPredOcc = predOccRaw;
+      }
+      // reference planes from the (gated) predicted occupancy
+      // (setPlanesFromOccupancy, geometry_octree_decoder.cpp:1870-1872)
+      NodePlanar planarRef;
+      if (num_ref > 0)
+        planesFromOccupancy(effPredOcc, planarRef);
+
       // planar_disabled_idcm_angular: the IDCM flag is decoded
       // BEFORE planar and suppresses it
       // (geometry_octree_decoder.cpp:1925-1932)
@@ -1623,12 +1973,22 @@ static int decode_octree_impl(
         for (int k = 0; k < 3; k++)
           planarEligible[k] =
             planarEligible[k] && ((codedAxesCurLvl >> (2 - k)) & 1);
+        // inter PCM eligibility (geometry_octree_decoder.cpp:1990-1996)
+        planar.allowPCM = num_ref > 0 && effPredOcc != 0
+          && (planarEligible[0] || planarEligible[1]
+              || planarEligible[2]);
+        planar.isPreDirMatch = true;
+        for (int k = 0; k < 3; k++)
+          planar.eligible[k] = planarEligible[k];
+        planar.lastDirIdx =
+          planarEligible[2] ? 2 : (planarEligible[1] ? 1 : 0);
         if (planarEligible[0] || planarEligible[1]
             || planarEligible[2])
           determinePlanarIntraDec(
             aec, ctx, planarState, gp, dynObuf, planarEligible,
             posInParent, gnp, node0.pos, node0.siblingOccupancy,
-            planar, contextAngle, contextAnglePhiX, contextAnglePhiY);
+            planar, contextAngle, contextAnglePhiX, contextAnglePhiY,
+            num_ref > 0 ? &planarRef : nullptr);
       }
 
       // inferred direct coding (decodeDirectPosition,
@@ -1756,42 +2116,6 @@ static int decode_octree_impl(
       if (planar.planarMode & 4)
         planarMask[2] = (planar.planePosBits & 4) ? 0x55 : 0xaa;
 
-      // compensated-reference partition -> child prediction
-      // (mirrors the encoder; geometry_octree_decoder.cpp inter)
-      int rcounts[8] = {0, 0, 0, 0, 0, 0, 0, 0};
-      int roffs[8] = {0, 0, 0, 0, 0, 0, 0, 0};
-      int predOccRaw = 0;
-      int effPredOcc = 0;
-      if (num_ref > 0 && node0.rend > node0.rstart) {
-        for (int32_t p = node0.rstart; p < node0.rend; p++) {
-          const int32_t* pt = &ref_positions[rorder[size_t(p)] * 3];
-          int b = (!!(pt[2] & probe[2])) | (!!(pt[1] & probe[1]) << 1)
-            | (!!(pt[0] & probe[0]) << 2);
-          rcounts[b]++;
-        }
-        int racc = node0.rstart;
-        for (int b = 0; b < 8; b++) {
-          roffs[b] = racc;
-          racc += rcounts[b];
-        }
-        int w[8];
-        std::memcpy(w, roffs, sizeof w);
-        for (int32_t p = node0.rstart; p < node0.rend; p++) {
-          const int32_t* pt = &ref_positions[rorder[size_t(p)] * 3];
-          int b = (!!(pt[2] & probe[2])) | (!!(pt[1] & probe[1]) << 1)
-            | (!!(pt[0] & probe[0]) << 2);
-          rscratch[size_t(w[b]++)] = rorder[size_t(p)];
-        }
-        std::memcpy(&rorder[size_t(node0.rstart)],
-                    &rscratch[size_t(node0.rstart)],
-                    sizeof(int32_t)
-                      * size_t(node0.rend - node0.rstart));
-        for (int b = 0; b < 8; b++)
-          if (rcounts[b]) predOccRaw |= 1 << b;
-        if (predOccRaw && node0.mispred <= 5)
-          effPredOcc = predOccRaw;
-      }
-
       uint32_t occupancy = decodeOccupancy(
         aec, ctx, gnp, planarMask[0], planarMask[1], planarMask[2],
         planar.planarPossible & 1, planar.planarPossible & 2,
@@ -1855,10 +2179,19 @@ static int decode_octree_impl(
           child.mispred = uint8_t(fail);
         }
         child.idcmEligible = 0;
-        if (num_ref == 0) {  // intra eligibility only (scope)
-          bool elig = idcmEligibleIntra(
-            gp.idcmMode, nodeMaxDimLog2, gnp.pattern,
-            node0.numSiblingsPlus1, numOccupied);
+        {
+          // isDirectModeEligible[_Inter]
+          // (geometry_octree_decoder.cpp:2173-2186)
+          bool elig;
+          if (num_ref > 0 && !ang)
+            elig = idcmEligibleInter(
+              gp.idcmMode, nodeMaxDimLog2, gnp.pattern,
+              node0.numSiblingsPlus1, numOccupied, effPredOcc != 0);
+          else
+            elig = idcmEligibleIntra(
+              gp.idcmMode, nodeMaxDimLog2, gnp.pattern,
+              node0.numSiblingsPlus1, numOccupied, effPredOcc != 0,
+              ang != nullptr);
           if (elig) {
             elig = (idcmEnableMask & 1) != 0;
             idcmEnableMask = rotr32(idcmEnableMask, 1);
@@ -1993,6 +2326,62 @@ extern "C" int tmc13ref_decode_octree_inter(
   return decode_octree_impl(aec_buf, aec_len, coded_axis_list,
                             num_levels, num_points, ref_positions,
                             num_ref, gp_arr, out_pos, out_cap);
+}
+
+// cuboid-partition GM variants (gbh.lpu_type == 1): the caller hands
+// the previous frame twice — untouched ("vehicle") and with the Q16
+// global motion applied ("world"), both in slice-GLOBAL coordinates;
+// the per-LPU selection flags ride the brick's arithmetic stream
+extern "C" int tmc13ref_decode_octree_inter_gm(
+  const uint8_t* aec_buf, int aec_len,
+  const int32_t* coded_axis_list, int num_levels, int num_points,
+  const int32_t* ref_vehicle, const int32_t* ref_world, int num_ref,
+  const int32_t* motion_block_size, const int32_t* box_origin,
+  const int32_t* gp_arr, int32_t* out_pos, int out_cap) {
+  CuboidGm gm;
+  gm.vehicle = ref_vehicle;
+  gm.world = ref_world;
+  gm.num = num_ref;
+  for (int k = 0; k < 3; k++) {
+    gm.mbs[k] = motion_block_size[k];
+    gm.boxOrigin[k] = box_origin[k];
+  }
+  return decode_octree_impl(aec_buf, aec_len, coded_axis_list,
+                            num_levels, num_points, nullptr, 0,
+                            gp_arr, out_pos, out_cap, 0, 0, 0,
+                            nullptr, nullptr, 0, nullptr, &gm);
+}
+
+extern "C" int tmc13ref_encode_octree_inter_gm(
+  const int32_t* positions, int num_points,   // slice-local STV
+  const int32_t* ref_vehicle, const int32_t* ref_world, int num_ref,
+  const int32_t* motion_block_size, const int32_t* box_origin,
+  int window_size,
+  const int32_t* coded_axis_list, int num_levels,
+  const int32_t* gp_arr, uint8_t* out_buf, int out_cap) {
+  CuboidGm gm;
+  gm.vehicle = ref_vehicle;
+  gm.world = ref_world;
+  gm.num = num_ref;
+  gm.windowSize = window_size;
+  for (int k = 0; k < 3; k++) {
+    gm.mbs[k] = motion_block_size[k];
+    gm.boxOrigin[k] = box_origin[k];
+  }
+  // the block-selection cost compares against the current cloud in
+  // slice-GLOBAL coordinates (encodeCuboidGlobalMotion operates
+  // before the origin shift)
+  std::vector<int32_t> curGlobal(size_t(num_points) * 3);
+  for (int i = 0; i < num_points; i++)
+    for (int k = 0; k < 3; k++)
+      curGlobal[size_t(i) * 3 + size_t(k)] =
+        positions[i * 3 + k] + box_origin[k];
+  gm.cur = curGlobal.data();
+  gm.numCur = num_points;
+  return encode_octree_impl(positions, num_points, nullptr, 0,
+                            coded_axis_list, num_levels, gp_arr,
+                            out_buf, out_cap, 0, nullptr, nullptr,
+                            nullptr, 0, nullptr, &gm);
 }
 
 // trisoup brick, phase 1: decode the node octree down to the trisoup

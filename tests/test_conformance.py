@@ -1488,3 +1488,75 @@ def test_cabac_bypass_attr_and_predgeom(tmp_path):
     mine = refdec.decode_stream(pbit.read_bytes())[0]
     want = ply.read(str(pref)).positions.astype(np.int64)
     assert np.array_equal(mine, want)
+
+
+# ---------------------------------------------------------------------------
+# octree inter interop: decode tmc3 multi-frame inter streams
+# (interPredictionEnabled + global motion) bit-exact
+# ---------------------------------------------------------------------------
+
+
+def _inter_seq_frames(n_frames=3):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", ".."))
+    from scripts.gen_clouds import make_lidar_frame
+    frames = []
+    for i in range(n_frames):
+        pos, _ = make_lidar_frame(i, n_lasers=16, steps=600,
+                                  ego_speed=2.0)
+        frames.append(np.unique(pos >> 6, axis=0))   # 12-bit grid
+    return frames
+
+
+@pytest.mark.parametrize("variant,extra", [
+    ("gm-cuboid", ["--globalMotionEnabled=1", "--lpuType=1"]),
+    ("gm-cuboid-idcm",
+     ["--globalMotionEnabled=1", "--lpuType=1",
+      "--inferredDirectCodingMode=3"]),
+    ("no-gm", ["--globalMotionEnabled=0"]),
+])
+def test_octree_inter_decode_bit_exact(tmp_path, variant, extra):
+    """tmc3-encode a 3-frame inter sequence (octree, planar on,
+    per-LPU cuboid global motion riding the brick's arithmetic
+    stream) and decode it bit-exactly (geometry_octree_decoder.cpp
+    :1673-1691, motionWip.cpp:357-388)."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    frames = _inter_seq_frames()
+    for i, pos in enumerate(frames):
+        ply.write(ply.PlyCloud(positions=pos.astype(np.float64)),
+                  str(tmp_path / f"f_{i:04d}.ply"), ascii=True)
+    bit = tmp_path / f"{variant}.bin"
+    subprocess.run(
+        [TMC3, "--mode=0",
+         f"--uncompressedDataPath={tmp_path}/f_%04d.ply",
+         f"--compressedStreamPath={bit}",
+         "--frameCount=3", "--randomAccessPeriod=8",
+         "--interPredictionEnabled=1",
+         "--positionQuantizationScale=1",
+         "--mergeDuplicatedPoints=1",
+         "--neighbourAvailBoundaryLog2=8",
+         "--disableAttributeCoding=1", "--angularEnabled=0", *extra],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={tmp_path}/{variant}._%04d.ply",
+         "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    mine = refdec.decode_stream(bit.read_bytes())
+    assert len(mine) == 3
+    saw_inter = False
+    from mpeg_pcc_tmc13_tpu.conformance import ref_hls
+    sps = gps = None
+    for t, p in ref_hls.iter_ref_tlv(bit.read_bytes()):
+        if t == ref_hls.T_SPS:
+            sps = ref_hls.parse_sps(p)
+        elif t == ref_hls.T_GPS:
+            gps = ref_hls.parse_gps(p)
+        elif t == ref_hls.T_GEOM_BRICK:
+            saw_inter |= ref_hls.parse_gbh(sps, gps, p).inter_prediction
+    assert saw_inter, "sequence never used inter prediction"
+    for i in range(3):
+        want = ply.read(
+            str(tmp_path / f"{variant}._{i:04d}.ply")
+        ).positions.astype(np.int64)
+        np.testing.assert_array_equal(mine[i], want)
