@@ -69,6 +69,83 @@ def _encode_brick_native(positions: np.ndarray, axes: np.ndarray,
     return out[:n].tobytes()
 
 
+def _encode_brick_native_inter(positions: np.ndarray,
+                               axes: np.ndarray,
+                               gps: ref_hls.RefGps,
+                               gbh: "ref_hls.RefGbh",
+                               ref_global: np.ndarray,
+                               origin: np.ndarray,
+                               motion_window_size: int,
+                               min_pos: np.ndarray,
+                               bypass_no_update: bool = False,
+                               cabac_bypass: bool = False) -> bytes:
+    """Encode one inter octree brick (encodeGeometryOctree inter path,
+    geometry_octree_encoder.cpp:1875-1894).  ``ref_global`` is the
+    previous frame's reconstruction in slice-global STV; with cuboid
+    GM the per-LPU flags are coded natively ahead of the octree."""
+    lib = _load()
+    c = ctypes
+    pos32 = np.ascontiguousarray(positions, dtype=np.int32)
+    gp = geom_params_array(gps, bypass_no_update,
+                           cabac_bypass=cabac_bypass)
+    cap = max(int(pos32.shape[0] * 16 + (1 << 16)), 1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+
+    def p32(a):
+        return a.ctypes.data_as(c.POINTER(c.c_int32))
+
+    if gps.global_motion and gbh.lpu_type == 1:
+        from .decoder import apply_global_motion_q16
+        vehicle = np.ascontiguousarray(ref_global, dtype=np.int32)
+        world = np.ascontiguousarray(
+            apply_global_motion_q16(ref_global, gbh.gm_matrix,
+                                    gbh.gm_trans, min_pos),
+            dtype=np.int32)
+        mbs = np.asarray(gbh.motion_block_size, dtype=np.int32)
+        org = np.ascontiguousarray(origin, dtype=np.int32)
+        if not hasattr(lib.tmc13ref_encode_octree_inter_gm,
+                       "_configured"):
+            lib.tmc13ref_encode_octree_inter_gm.argtypes = [
+                c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32),
+                c.POINTER(c.c_uint8), c.c_int]
+            lib.tmc13ref_encode_octree_inter_gm.restype = c.c_int
+            lib.tmc13ref_encode_octree_inter_gm._configured = True
+        n = lib.tmc13ref_encode_octree_inter_gm(
+            p32(pos32), pos32.shape[0],
+            p32(vehicle), p32(world), int(vehicle.shape[0]),
+            p32(mbs), p32(org), int(motion_window_size),
+            p32(axes), len(axes), p32(gp),
+            out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+    else:
+        # no GM (or road/obj, compensated by the caller): slice-local
+        # predictor handed straight to the octree
+        pred = np.ascontiguousarray(
+            ref_global.astype(np.int64) - origin[None, :],
+            dtype=np.int32)
+        if not hasattr(lib.tmc13ref_encode_octree_inter,
+                       "_configured"):
+            lib.tmc13ref_encode_octree_inter.argtypes = [
+                c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32),
+                c.POINTER(c.c_uint8), c.c_int]
+            lib.tmc13ref_encode_octree_inter.restype = c.c_int
+            lib.tmc13ref_encode_octree_inter._configured = True
+        n = lib.tmc13ref_encode_octree_inter(
+            p32(pos32), pos32.shape[0],
+            p32(pred), int(pred.shape[0]),
+            p32(axes), len(axes), p32(gp),
+            out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+    if n < 0:
+        raise RuntimeError(f"refcodec inter encode failed rc={n}")
+    return bytes(out[:n])
+
+
 def _encode_brick_native_ang(positions: np.ndarray, axes: np.ndarray,
                              gps: ref_hls.RefGps,
                              bypass_no_update: bool = False,
@@ -117,6 +194,170 @@ def _encode_brick_native_ang(positions: np.ndarray, axes: np.ndarray,
     if n < 0:
         raise RuntimeError(f"refcodec angular encode failed rc={n}")
     return out[:n].tobytes()
+
+
+def _round_half_inf(x: float) -> int:
+    """roundIntegerHalfInf (motionWip.cpp:458): half away from zero."""
+    return int(x + 0.5) if x >= 0 else -int(-x + 0.5)
+
+
+def search_global_motion(cur_global: np.ndarray,
+                         ref_global: np.ndarray,
+                         max_root_dim_log2: int, bsize: int,
+                         th_dist: int = 1000,
+                         thresh=(0, 0)):
+    """Port of the reference's internal LMS global-motion search
+    (SearchGlobalMotion, motionWip.cpp:555-650): pick likely-world
+    points of the current frame near predictor-occupied cubes, L1-map
+    ~100 samples onto the predictor, trim outliers, solve one least-
+    squares affine in doubles with the same Gauss pivoting, and
+    quantise to the Q16 gm_matrix/gm_trans written in the GBH.
+    Inputs are slice-global integer clouds."""
+    max_bb = (1 << max_root_dim_log2) - 1
+    bn = (max_bb // bsize + 1) if max_bb % bsize else (max_bb // bsize)
+    size = bn * bn * bn
+    region = np.zeros(size, dtype=bool)
+    ref = ref_global.astype(np.int64)
+    refd = ref.astype(np.float64)
+    # mark cubes around predictor points (PopulatePCLikelyWorld cubic
+    # branch; double division truncates toward zero)
+    for dm in (th_dist, -th_dist):
+        xi = np.trunc((refd[:, 0] + dm) / bsize).astype(np.int64)
+        okx = (xi >= 0) & (xi < bn)
+        for dn in (th_dist, -th_dist):
+            yi = np.trunc((refd[:, 1] + dn) / bsize).astype(np.int64)
+            oky = okx & (yi >= 0) & (yi < bn)
+            for dk in (th_dist, -th_dist):
+                zi = np.trunc((refd[:, 2] + dk) / bsize) \
+                    .astype(np.int64)
+                ok = oky & (zi >= 0) & (zi < bn)
+                region[((xi[ok] * bn + yi[ok]) * bn + zi[ok])] = True
+    cur = cur_global.astype(np.int64)
+    curd = cur.astype(np.float64)
+    ci = np.trunc(curd / bsize).astype(np.int64)
+    idx = (ci[:, 0] * bn + ci[:, 1]) * bn + ci[:, 2]
+    # NB: the reference guards only idx >= size (out-of-grid x/y can
+    # alias in-range indices and that aliasing is normative)
+    inb = (idx >= 0) & (idx < size)
+    keep = np.zeros(len(cur), dtype=bool)
+    keep[inb] = region[idx[inb]]
+    top_z, bottom_z = int(thresh[0]), int(thresh[1])
+    keep &= (cur[:, 2] < bottom_z) | (cur[:, 2] > top_z)
+    pcw = cur[keep]
+
+    mat = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+           [0.0, 0.0, 1.0], [0.0, 0.0, 0.0]]
+    if len(pcw) and len(ref):
+        jump = 1 + len(pcw) // 100
+        targets = pcw[0::jump]
+        # map_reference: exact L1 NN over the full predictor
+        nn = np.empty(len(targets), dtype=np.int64)
+        dmin = np.empty(len(targets), dtype=np.int64)
+        for t in range(len(targets)):
+            d = np.abs(ref - targets[t][None, :]).sum(axis=1)
+            nn[t] = int(np.argmin(d))     # first minimum, like <
+            dmin[t] = int(d[nn[t]])
+        mean_m = int(dmin.sum())
+        sel = dmin * len(targets) <= 2 * mean_m
+        p1 = ref[nn[sel]]                 # pcWorldRef
+        p2 = targets[sel]                 # pcWorldTarget
+        if len(p1):
+            mat = _lms3d(p1, p2, max_bb)
+    # quantizeGlobalMotion (motionWip.cpp:389-404); the GBH stores
+    # the TRANSPOSE of the LMS matrix rows
+    scale = 1 << 16
+    q = [[0] * 3 for _ in range(4)]
+    for l in range(4):
+        for c in range(3):
+            if l == c:
+                q[l][c] = _round_half_inf(
+                    (mat[l][c] - 1.0) * scale) + scale
+            elif l < 3:
+                q[l][c] = _round_half_inf(mat[l][c] * scale)
+            else:
+                q[l][c] = _round_half_inf(mat[l][c])
+    gm_matrix = [0] * 9
+    for i in range(3):
+        for j in range(3):
+            gm_matrix[3 * i + j] = q[j][i]
+    gm_trans = (q[3][0], q[3][1], q[3][2])
+    return tuple(gm_matrix), gm_trans
+
+
+def _lms3d(p1: np.ndarray, p2: np.ndarray, max_bb: int):
+    """LMS3D (motionWip.cpp:513-647) in doubles with the reference's
+    exact accumulation and pivoting order."""
+    mv_unity = float(max_bb >> 4)
+    m = [[0.0] * 4 for _ in range(4)]
+    for row in p1:
+        px, py, pz = float(row[0]), float(row[1]), float(row[2])
+        m[0][0] += px * px
+        m[0][1] += px * py
+        m[0][2] += px * pz
+        m[0][3] += px * mv_unity
+        m[1][1] += py * py
+        m[1][2] += py * pz
+        m[1][3] += py * mv_unity
+        m[2][2] += pz * pz
+        m[2][3] += pz * mv_unity
+        m[3][3] += mv_unity * mv_unity
+    m[1][0] = m[0][1]
+    m[2][0] = m[0][2]
+    m[2][1] = m[1][2]
+    m[3][0] = m[0][3]
+    m[3][1] = m[1][3]
+    m[3][2] = m[2][3]
+    inv = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0],
+           [0, 0, 0, 1.0]]
+    for pivot in range(3):
+        vp = m[pivot][pivot]
+        for l in range(pivot + 1, 4):
+            f = -m[l][pivot] / vp
+            for c in range(4):
+                m[l][c] += m[pivot][c] * f
+                inv[l][c] += inv[pivot][c] * f
+    for pivot in range(3, 0, -1):
+        vp = m[pivot][pivot]
+        for l in range(pivot - 1, -1, -1):
+            f = -m[l][pivot] / vp
+            for c in range(4):
+                m[l][c] += m[pivot][c] * f
+                inv[l][c] += inv[pivot][c] * f
+    for pivot in range(4):
+        f = 1.0 / m[pivot][pivot]
+        for c in range(4):
+            inv[pivot][c] *= f
+    r = [[0.0] * 3 for _ in range(4)]
+    for i in range(len(p1)):
+        rx, ry, rz = (float(p1[i][0]), float(p1[i][1]),
+                      float(p1[i][2]))
+        tx, ty, tz = (float(p2[i][0]), float(p2[i][1]),
+                      float(p2[i][2]))
+        r[0][0] += tx * rx
+        r[1][0] += tx * ry
+        r[2][0] += tx * rz
+        r[3][0] += tx * mv_unity
+        r[0][1] += ty * rx
+        r[1][1] += ty * ry
+        r[2][1] += ty * rz
+        r[3][1] += ty * mv_unity
+        r[0][2] += tz * rx
+        r[1][2] += tz * ry
+        r[2][2] += tz * rz
+        r[3][2] += tz * mv_unity
+    t = [[0.0] * 3 for _ in range(4)]
+    for l in range(4):
+        for c in range(3):
+            t[l][c] = (inv[l][0] * r[0][c] + inv[l][1] * r[1][c]
+                       + inv[l][2] * r[2][c] + inv[l][3] * r[3][c])
+    for c in range(3):
+        t[3][c] *= mv_unity
+    # lambda = 1: penalisation terms cancel; initial GM is identity,
+    # so the composed matrix IS t (deformation) + t[3] (translation)
+    return [[t[0][0], t[0][1], t[0][2]],
+            [t[1][0], t[1][1], t[1][2]],
+            [t[2][0], t[2][1], t[2][2]],
+            [t[3][0], t[3][1], t[3][2]]]
 
 
 def _ceillog2(x: int) -> int:
@@ -792,12 +1033,23 @@ def encode_frames(frames, unique_points: bool = True,
                   lasers_z=None,
                   lasers_num_phi=None,
                   predgeom: bool = False,
-                  cabac_bypass: bool = False) -> bytes:
+                  cabac_bypass: bool = False,
+                  inter: bool = False,
+                  global_motion: bool = True,
+                  random_access_period: int = 8,
+                  motion_block_size=(0, 0, 4096),
+                  motion_window_size: int = 512,
+                  gm_th_dist: int = 1000) -> bytes:
     """Encode a sequence of XYZ integer clouds into one reference-
     syntax TLV stream (SPS + GPS once, then per-slice geometry
     bricks).  Clouds above the slice level limit (reference
     encoder.cpp:1023, 1.1M points) are split along the Morton order
     with per-slice origins.
+
+    With ``inter`` every non-random-access frame is coded against the
+    previous frame's reconstruction, with the reference's internal
+    LMS global-motion search and the cuboid LPU partition (lpuType 1,
+    the reference's working configuration) when ``global_motion``.
 
     ``colors``/``reflectances`` are optional per-frame lists of values
     already in the internal coding representation (GBR order, or
@@ -810,7 +1062,9 @@ def encode_frames(frames, unique_points: bool = True,
     attr_frames = colors if colors is not None else reflectances
     have_attrs = attr_frames is not None
 
-    frame_ctr_bits = max((len(frames) - 1).bit_length(), 1)
+    # one bit indicates frame boundaries (encoder.cpp:731-733; more
+    # only under bi-prediction)
+    frame_ctr_bits = 1
     # sequence bounding box: auto-derived from the first frame and
     # recorded in the SPS; slice origins are coded relative to it
     # (encoder.cpp:118-156, autoSeqBbox, global scale 1)
@@ -900,19 +1154,43 @@ def encode_frames(frames, unique_points: bool = True,
         gps.predgeom_max_pred_index = 3
         gps.predgeom_radius_threshold = 2048 >> gps.radius_inv_scale_log2
         gps.resr_qphi_threshold_present = False
+    if inter:
+        if trisoup_node_size_log2 or predgeom or angular:
+            raise NotImplementedError(
+                "inter emission outside the octree tool set")
+        if have_attrs:
+            raise NotImplementedError("attributes with inter bricks")
+        sps.inter_frame_prediction_enabled = True
+        gps.inter_prediction = True
+        gps.global_motion = global_motion
+        # sanitiser: multiple planar is disabled under inter
+        # (TMC3.cpp:1763-1764)
+        gps.multiple_planar = False
     ts_log2 = trisoup_node_size_log2
-    out = [ref_hls.write_ref_tlv(ref_hls.T_SPS, ref_hls.write_sps(sps)),
-           ref_hls.write_ref_tlv(ref_hls.T_GPS, ref_hls.write_gps(gps))]
-    if aps is not None:
-        out.append(ref_hls.write_ref_tlv(ref_hls.T_APS,
-                                         ref_hls.write_aps(aps)))
-    slice_id = 0
+    out = []
+    # inter frame chaining: previous frame's reconstruction in
+    # slice-global STV (the encoder-side _refFrameSeq store)
+    ref_cloud: Optional[np.ndarray] = None
     for ctr, cloud in enumerate(frames):
+        # slice ids restart at each frame (encoder.cpp _sliceId
+        # reset in compress())
+        slice_id = 0
+        # the reference writes all parameter sets before EVERY frame
+        # (encoder.cpp:332-337)
+        out.append(ref_hls.write_ref_tlv(ref_hls.T_SPS,
+                                         ref_hls.write_sps(sps)))
+        out.append(ref_hls.write_ref_tlv(ref_hls.T_GPS,
+                                         ref_hls.write_gps(gps)))
+        if aps is not None:
+            out.append(ref_hls.write_ref_tlv(ref_hls.T_APS,
+                                             ref_hls.write_aps(aps)))
+        frame_stv = []        # this frame's reconstruction (global)
         pos = np.asarray(cloud, dtype=np.int64) - seq_origin
         if pos.size and pos.min() < 0:
             # later frames may undershoot the first frame's bbox; the
-            # coded coordinate system must stay non-negative
-            pos = pos - pos.min(axis=0).clip(max=0)
+            # reference CLAMPS to the coding box (quantizePositionsUniq
+            # clampBox [0, INT32_MAX), encoder.cpp:1558-1561)
+            pos = np.maximum(pos, 0)
         av = (np.asarray(attr_frames[ctr]) if have_attrs else None)
         if av is not None and av.ndim == 1:
             av = av[:, None]
@@ -989,6 +1267,48 @@ def encode_frames(frames, unique_points: bool = True,
             else:
                 axes = np.asarray(qtbt_axis_list(root, qtbt),
                                   dtype=np.int32)
+                code_inter = (inter
+                              and (ctr % random_access_period != 0)
+                              and ref_cloud is not None)
+                if code_inter:
+                    gbh = ref_hls.RefGbh(
+                        gps_id=0, slice_id=slice_id, slice_tag=0,
+                        frame_ctr_lsb=(ctr
+                                       & ((1 << frame_ctr_bits) - 1)),
+                        geom_box_log2_scale=0,
+                        box_origin_stv=tuple(int(v) for v in origin),
+                        tree_lvl_coded_axis_list=list(axes),
+                        num_points=int(part.shape[0]),
+                        inter_prediction=True)
+                    if global_motion:
+                        # internal LMS: min position pinned to zero
+                        # (encoder applyGlobalMotion kInternalLMSGMSrc)
+                        gbh.min_zero_origin = True
+                        gbh.lpu_type = 1
+                        gbh.motion_block_size = tuple(
+                            int(v) for v in motion_block_size)
+                        gbh.gm_matrix, gbh.gm_trans = \
+                            search_global_motion(
+                                part, ref_cloud, max(root),
+                                bsize=gbh.motion_block_size[2],
+                                th_dist=gm_th_dist)
+                    aec = _encode_brick_native_inter(
+                        local, axes, gps, gbh, ref_cloud,
+                        origin.astype(np.int64), motion_window_size,
+                        np.zeros(3, dtype=np.int64),
+                        bypass_no_update=bypass_no_update,
+                        cabac_bypass=cabac_bypass)
+                    brick = ref_hls.write_gbh(sps, gps, gbh, aec)
+                    out.append(ref_hls.write_ref_tlv(
+                        ref_hls.T_GEOM_BRICK, brick))
+                    from . import decoder as refdec
+                    gbh_p = ref_hls.parse_gbh(sps, gps, brick)
+                    dec = refdec.decode_geometry_brick(
+                        sps, gps, gbh_p, brick, ref_cloud=ref_cloud)
+                    frame_stv.append(dec.astype(np.int64)
+                                     + origin[None, :])
+                    slice_id += 1
+                    continue
                 aec = _encode_brick_native(
                     local, axes, gps, bypass_no_update=bypass_no_update,
                     cabac_bypass=cabac_bypass)
@@ -1002,6 +1322,13 @@ def encode_frames(frames, unique_points: bool = True,
             brick = ref_hls.write_gbh(sps, gps, gbh, aec)
             out.append(ref_hls.write_ref_tlv(ref_hls.T_GEOM_BRICK,
                                              brick))
+            if inter:
+                from . import decoder as refdec
+                gbh_p = ref_hls.parse_gbh(sps, gps, brick)
+                dec = refdec.decode_geometry_brick(sps, gps, gbh_p,
+                                                   brick)
+                frame_stv.append(dec.astype(np.int64)
+                                 + origin[None, :])
             if apart is not None:
                 # attributes follow their geometry slice, coded at
                 # the DECODED positions in decode order
@@ -1064,6 +1391,8 @@ def encode_frames(frames, unique_points: bool = True,
                 out.append(ref_hls.write_ref_tlv(ref_hls.T_ATTR_BRICK,
                                                  abrick))
             slice_id += 1
+        if inter and frame_stv:
+            ref_cloud = np.concatenate(frame_stv, axis=0)
     return b"".join(out)
 
 

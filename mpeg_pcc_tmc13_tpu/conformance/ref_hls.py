@@ -787,7 +787,15 @@ def write_gps(g: RefGps) -> bytes:
             and g.inferred_direct_coding_mode):
         w.u1(g.planar_disabled_idcm_angular)
     if not g.predgeom_enabled or g.angular_enabled:
-        w.u1(0)                  # interPredictionEnabled
+        w.u1(g.inter_prediction)
+    if g.inter_prediction:
+        w.u1(g.global_motion)
+        if g.predgeom_enabled:
+            w.ue(g.inter_azim_scale_log2)
+            w.u1(g.resampling_enabled)
+        w.ue(1 if g.bi_prediction else 0)
+        if g.bi_prediction:
+            w.u1(g.frame_merge)
     if g.predgeom_enabled and g.angular_enabled:
         # NB: the reference's missing-brace layout (io_hls.cpp:739-748)
         w.u1(g.residual2_disabled)
@@ -873,6 +881,35 @@ def write_gbh(sps: RefSps, gps: RefGps, h: RefGbh,
             w.un(3, h.pgeom_resid_abs_log2_bits[k])
         if gps.angular_enabled:
             w.ue(h.pgeom_min_radius)
+    if gps.inter_prediction:
+        w.u1(h.inter_prediction)
+    if gps.bi_prediction:
+        w.u1(h.bi_prediction)
+    if h.inter_prediction and gps.global_motion:
+        # global-motion fields (io_hls.cpp:1430-1476)
+        if gps.predgeom_enabled:
+            w.u1(h.inter_frame_ref_gmc)
+        if not gps.predgeom_enabled or h.inter_frame_ref_gmc:
+            for i in range(4):
+                for j in range(3):
+                    if i == 3:
+                        w.se(h.gm_trans[j])
+                    elif i == j:
+                        w.se(h.gm_matrix[3 * i + j] - 65536)
+                    else:
+                        w.se(h.gm_matrix[3 * i + j])
+        if h.bi_prediction:
+            raise NotImplementedError("bi-prediction GM fields")
+        if not gps.predgeom_enabled:
+            w.ue(h.lpu_type)
+            w.u1(h.min_zero_origin)
+            if h.lpu_type != 0:
+                for v in h.motion_block_size:
+                    w.ue(v)
+        if gps.predgeom_enabled or not h.lpu_type:
+            if not gps.predgeom_enabled or h.inter_frame_ref_gmc:
+                w.se(h.gm_thresh[0])
+                w.se(h.gm_thresh[1])
     head = w.get_bytes()
 
     foot = RefBitWriter()

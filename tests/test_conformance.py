@@ -1560,3 +1560,35 @@ def test_octree_inter_decode_bit_exact(tmp_path, variant, extra):
             str(tmp_path / f"{variant}._{i:04d}.ply")
         ).positions.astype(np.int64)
         np.testing.assert_array_equal(mine[i], want)
+
+
+@pytest.mark.parametrize("variant,gm,extra", [
+    ("gm", True, ["--globalMotionEnabled=1", "--lpuType=1"]),
+    ("nogm", False, ["--globalMotionEnabled=0"]),
+])
+def test_octree_inter_encode_byte_identical(tmp_path, variant, gm,
+                                            extra):
+    """Inter emission: our 3-frame inter stream (octree, planar,
+    internal-LMS cuboid global motion) is byte-identical to the tmc3
+    binary's (SearchGlobalMotion port, motionWip.cpp:555-650)."""
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    frames = _inter_seq_frames()
+    for i, pos in enumerate(frames):
+        ply.write(ply.PlyCloud(positions=pos.astype(np.float64)),
+                  str(tmp_path / f"f_{i:04d}.ply"), ascii=True)
+    bit = tmp_path / f"{variant}.bin"
+    subprocess.run(
+        [TMC3, "--mode=0",
+         f"--uncompressedDataPath={tmp_path}/f_%04d.ply",
+         f"--compressedStreamPath={bit}",
+         "--frameCount=3", "--randomAccessPeriod=8",
+         "--interPredictionEnabled=1",
+         "--positionQuantizationScale=1",
+         "--mergeDuplicatedPoints=1",
+         "--neighbourAvailBoundaryLog2=8",
+         "--disableAttributeCoding=1", "--angularEnabled=0", *extra],
+        check=True, capture_output=True)
+    ours = refenc.encode_frames(
+        frames, unique_points=True, planar=True, qtbt=True,
+        inter=True, global_motion=gm, random_access_period=8)
+    assert ours == bit.read_bytes()
