@@ -551,6 +551,9 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
         frames, unique_points=p.merge_duplicated_points,
         planar=p.planar_enabled, qtbt=cfg.qtbt_enabled,
         idcm=p.idcm_mode,
+        inter=p.inter_prediction,
+        global_motion=p.global_motion,
+        random_access_period=max(p.random_access_period, 1),
         predgeom=(p.geometry_codec == hls.GeometryCodecType.PREDICTIVE),
         angular=bool(p.angular_enabled and p.laser_theta),
         angular_head=tuple(p.angular_origin or (0, 0, 0)),

@@ -1592,3 +1592,35 @@ def test_octree_inter_encode_byte_identical(tmp_path, variant, gm,
         frames, unique_points=True, planar=True, qtbt=True,
         inter=True, global_motion=gm, random_access_period=8)
     assert ours == bit.read_bytes()
+
+
+def test_inter_cli_full_stream_identity(tmp_path):
+    """--refSyntax=1 with --interPredictionEnabled emits a multi-frame
+    stream byte-identical to the tmc3 binary's (per-frame parameter
+    sets, internal LMS global motion, cuboid LPU flags)."""
+    import sys
+    frames = _inter_seq_frames()
+    for i, pos in enumerate(frames):
+        ply.write(ply.PlyCloud(positions=pos.astype(np.float64)),
+                  str(tmp_path / f"icli_{i:04d}.ply"), ascii=True)
+    common = ["--frameCount=3", "--randomAccessPeriod=8",
+              "--interPredictionEnabled=1", "--globalMotionEnabled=1",
+              "--lpuType=1", "--positionQuantizationScale=1",
+              "--mergeDuplicatedPoints=1", "--planarEnabled=1",
+              "--inferredDirectCodingMode=0",
+              "--neighbourAvailBoundaryLog2=8",
+              "--disableAttributeCoding=1", "--angularEnabled=0"]
+    bt = tmp_path / "icli_t.bin"
+    bo = tmp_path / "icli_o.bin"
+    subprocess.run(
+        [TMC3, "--mode=0",
+         f"--uncompressedDataPath={tmp_path}/icli_%04d.ply",
+         f"--compressedStreamPath={bt}", *common],
+        check=True, capture_output=True)
+    subprocess.run(
+        [sys.executable, "-m", "mpeg_pcc_tmc13_tpu.runtime.cli",
+         "--mode=0",
+         f"--uncompressedDataPath={tmp_path}/icli_%04d.ply",
+         f"--compressedStreamPath={bo}", "--refSyntax=1", *common],
+        check=True, capture_output=True)
+    assert bt.read_bytes() == bo.read_bytes()
