@@ -127,8 +127,6 @@ def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         unsupported.append("cabac bypass stream with multiple streams")
     if gps.angular_enabled and gps.trisoup_enabled:
         unsupported.append("angular trisoup")
-    if gps.angular_enabled and gps.z_compensation:
-        unsupported.append("z compensation")
     if gps.scaling_enabled:
         unsupported.append("in-tree scaling")
     if not gps.bitwise_occupancy:
@@ -150,6 +148,37 @@ def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         unsupported.append("entropy continuation")
     if unsupported:
         raise UnsupportedTool(", ".join(unsupported))
+
+
+def compensate_z(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
+                 positions_stv: np.ndarray, num: int,
+                 den: int) -> np.ndarray:
+    """Lidar ground-height z revision applied at output when
+    geom_z_compensation_enabled_flag is set (compensateZCoordinate,
+    geometry_octree.cpp:781-850) via the native port.  Returns the
+    scaled (x num/den) compensated STV cloud."""
+    lib = _load()
+    c = ctypes
+    if not hasattr(lib.tmc13ref_compensate_z, "_configured"):
+        lib.tmc13ref_compensate_z.argtypes = [
+            c.POINTER(c.c_int32), c.c_int, c.c_int, c.c_int,
+            c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int]
+        lib.tmc13ref_compensate_z.restype = None
+        lib.tmc13ref_compensate_z._configured = True
+    pos = np.ascontiguousarray(positions_stv, dtype=np.int32).copy()
+    org = np.asarray(ref_hls.from_xyz(
+        sps.geometry_axis_order, list(gps.angular_origin)),
+        dtype=np.int32)
+    th = np.ascontiguousarray(gps.angular_theta, dtype=np.int32)
+    zl = np.ascontiguousarray(gps.angular_z, dtype=np.int32)
+    lib.tmc13ref_compensate_z(
+        pos.ctypes.data_as(c.POINTER(c.c_int32)), int(pos.shape[0]),
+        num, den,
+        org.ctypes.data_as(c.POINTER(c.c_int32)),
+        th.ctypes.data_as(c.POINTER(c.c_int32)),
+        zl.ctypes.data_as(c.POINTER(c.c_int32)), int(th.shape[0]))
+    return pos
 
 
 def _gm_min_pos(sps: ref_hls.RefSps,
@@ -756,7 +785,25 @@ def decode_stream(data: bytes, want_attrs: bool = False):
     def flush():
         nonlocal ref_cloud
         if cur_slices:
-            frames.append(np.concatenate(cur_slices, axis=0))
+            gps0 = next(iter(gps_map.values())) if gps_map else None
+            if (gps0 is not None and gps0.z_compensation
+                    and gps0.angular_enabled):
+                # z compensation runs on the accumulated STV cloud at
+                # output (decoder.cpp compensateZ; scale-1 scope:
+                # num/den = 1000/1, output unit reverts the 1000)
+                acc = np.ascontiguousarray(
+                    np.concatenate(cur_slices_stv, axis=0),
+                    dtype=np.int32)
+                comp = compensate_z(sps, gps0, acc, num=1000, den=1)
+                xyz = np.stack(
+                    ref_hls.to_xyz(sps.geometry_axis_order,
+                                   [comp[:, 0], comp[:, 1],
+                                    comp[:, 2]]),
+                    axis=1).astype(np.float64) / 1000.0
+                xyz += np.asarray(sps.bbox_origin, dtype=np.float64)
+                frames.append(xyz)
+            else:
+                frames.append(np.concatenate(cur_slices, axis=0))
             if cur_attrs and len(cur_attrs) == len(cur_slices):
                 attr_frames.append(np.concatenate(cur_attrs, axis=0))
             else:

@@ -2328,6 +2328,75 @@ extern "C" int tmc13ref_decode_octree_inter(
                             num_ref, gp_arr, out_pos, out_cap);
 }
 
+// exact LUT-based divApprox defined in refpredgeom.cc (same .so)
+extern "C" int64_t tmc13_div_approx(int64_t a, uint64_t b,
+                                    int32_t log2Scale);
+
+// z-coordinate compensation (geom_z_compensation_enabled_flag): the
+// lidar ground-height revision applied to the decoded cloud at
+// output (compensateZCoordinate, geometry_octree.cpp:781-850).
+// positions are slice-accumulated STV ints; num/den is the ply scale
+// fraction (decoder.cpp compensateZ: 1000/seqGeomScale, reduced).
+extern "C" void tmc13ref_compensate_z(
+  int32_t* positions, int n, int num, int den,
+  const int32_t* angular_origin,
+  const int32_t* theta_laser, const int32_t* z_laser,
+  int num_lasers) {
+  auto divApprox = [](int64_t a, uint64_t b, int32_t log2Scale)
+    -> int64_t {
+    return tmc13_div_approx(a, b, log2Scale);
+  };
+  int minDelta = INT32_MAX;
+  for (int i = 1; i < num_lasers; i++)
+    minDelta = std::min(
+      minDelta, std::abs(theta_laser[i] - theta_laser[i - 1]));
+  minDelta >>= 1;
+  for (int i = 0; i < n; i++) {
+    int64_t pos[3];
+    for (int j = 0; j < 3; j++) {
+      if (den == 1)
+        pos[j] = int64_t(positions[i * 3 + j] - angular_origin[j])
+          * num;
+      else
+        pos[j] = divApprox(
+          int64_t(positions[i * 3 + j] - angular_origin[j]) * num,
+          uint64_t(den), 0);
+    }
+    int64_t r2 = pos[0] * pos[0] + pos[1] * pos[1];
+    int64_t r3 = angularcore::isqrt(
+      uint64_t(r2 + pos[2] * pos[2]));
+    int64_t r = angularcore::isqrt(uint64_t(r2));
+    int theta32 = int((pos[2] * int64_t(angularcore::irsqrt(
+      uint64_t(r2)))) >> 22);
+    // upper_bound over [theta+1, theta+numLasers-1)
+    const int32_t* end = theta_laser + num_lasers - 1;
+    const int32_t* it = std::upper_bound(
+      theta_laser + 1, end, theta32);
+    if (theta32 - *(it - 1) <= *it - theta32)
+      --it;
+    int laserIndex = int(it - theta_laser);
+    int64_t zL = den == 1
+      ? int64_t(z_laser[laserIndex]) * num
+      : divApprox(int64_t(z_laser[laserIndex]) * num,
+                  uint64_t(den), 0);
+    int64_t zC =
+      ((r * theta_laser[laserIndex] - (zL << 15)) + (1 << 17)) >> 18;
+    bool c1 = ((r3 * minDelta * den + (1 << 17)) >> 18) > num;
+    bool c2 = std::llabs(pos[2] - zC) * den < num;
+    if (c1 && c2)
+      pos[2] = zC;
+    for (int j = 0; j < 3; j++) {
+      if (den == 1)
+        positions[i * 3 + j] =
+          int32_t(pos[j] + int64_t(angular_origin[j]) * num);
+      else
+        positions[i * 3 + j] = int32_t(
+          pos[j] + divApprox(int64_t(angular_origin[j]) * num,
+                             uint64_t(den), 0));
+    }
+  }
+}
+
 // cuboid-partition GM variants (gbh.lpu_type == 1): the caller hands
 // the previous frame twice — untouched ("vehicle") and with the Q16
 // global motion applied ("world"), both in slice-GLOBAL coordinates;

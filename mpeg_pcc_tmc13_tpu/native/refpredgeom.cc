@@ -108,6 +108,13 @@ static inline int64_t divApprox(int64_t a, uint64_t b, int32_t log2Scale) {
   return (invB * a) >> (log2InvScale - log2Scale);
 }
 
+// shared entry for other translation units in this .so (refcodec's
+// z-compensation needs the exact LUT-based division)
+extern "C" int64_t tmc13_div_approx(int64_t a, uint64_t b,
+                                    int32_t log2Scale) {
+  return divApprox(a, b, log2Scale);
+}
+
 // recipApprox (PCCMath.h:742-763), NIter = 1
 static inline int64_t recipApprox(int64_t b, int32_t& log2Scale) {
   int log2ScaleOffset = 0;

@@ -1624,3 +1624,47 @@ def test_inter_cli_full_stream_identity(tmp_path):
          f"--compressedStreamPath={bo}", "--refSyntax=1", *common],
         check=True, capture_output=True)
     assert bt.read_bytes() == bo.read_bytes()
+
+
+def test_z_compensation_decode_exact(tmp_path):
+    """zCompensationEnabled: the lidar ground-height z revision
+    applied at decoder output (compensateZCoordinate,
+    geometry_octree.cpp:781-850) matches the reference binary's PLY
+    including the mm-domain fixed-point revision."""
+    import sys
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", "..",
+                                    "scripts"))
+    from gen_clouds import make_lidar_frame, _hdl64_elevations
+    pos, _ = make_lidar_frame(0, n_lasers=4, steps=900)
+    pos = np.unique(pos, axis=0)
+    src = tmp_path / "z.ply"
+    bit = tmp_path / "z.bin"
+    dec = tmp_path / "z.dec.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    theta = ",".join(
+        f"{t:.6f}" for t in np.tan(_hdl64_elevations(4)))
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", "--zCompensationEnabled=1",
+         "--positionQuantizationScale=1", "--mergeDuplicatedPoints=1",
+         "--disableAttributeCoding=1", "--angularEnabled=1",
+         "--planarEnabled=1", "--inferredDirectCodingMode=0",
+         "--neighbourAvailBoundaryLog2=8", "--numLasers=4",
+         "--lidarHeadPosition=131072,131072,131072",
+         f"--lasersTheta={theta}", "--lasersZ=0,0,0,0",
+         "--lasersNumPhiPerTurn=2000,2000,2000,2000"],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={dec}", "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    mine = np.asarray(refdec.decode_stream(bit.read_bytes())[0],
+                      dtype=np.float64)
+    want = ply.read(str(dec)).positions
+    assert mine.shape == want.shape
+    np.testing.assert_allclose(mine, want, atol=1e-9)
+    # the revision must actually fire (fractional z in the output)
+    assert (np.abs(mine[:, 2] - np.round(mine[:, 2])) > 1e-9).sum() \
+        > len(mine) // 2
