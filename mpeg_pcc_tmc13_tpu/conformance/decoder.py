@@ -138,8 +138,6 @@ def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         # bi-prediction, angular inter and non-octree inter bricks
         if gps.predgeom_enabled or gps.trisoup_enabled:
             unsupported.append("non-octree inter brick")
-        if gps.angular_enabled:
-            unsupported.append("angular inter")
         if gbh.bi_prediction:
             unsupported.append("bi-prediction")
         if gbh.geom_stream_cnt_minus1:
@@ -437,6 +435,89 @@ def decode_predgeom_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
     return out.astype(np.int64)
 
 
+def _slice_angular_origin(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
+                          gbh: ref_hls.RefGbh) -> np.ndarray:
+    """gbh.geomAngularOrigin (hls.h:658): slice-local lidar head."""
+    if gps.slice_angular_origin_present:
+        return np.asarray(gbh.angular_origin_stv, dtype=np.int64)
+    return (np.asarray(ref_hls.from_xyz(
+        sps.geometry_axis_order, list(gps.angular_origin)),
+        dtype=np.int64)
+        - np.asarray(gbh.box_origin_stv, dtype=np.int64))
+
+
+def _ang_flags(gps: ref_hls.RefGps) -> int:
+    return (int(gps.octree_angular_extension)
+            | (int(gps.planar_disabled_idcm_angular) << 1)
+            | (int(gps.inter_idcm) << 2)
+            | (int(gps.one_point_alone_laser_beam) << 3))
+
+
+def _decode_brick_inter_ang(sps, gps, gbh, aec_arr, aec, axes, gp,
+                            out, ref_cloud) -> np.ndarray:
+    """Angular octree inter brick: compensated predictor + laser
+    tables through the native combined entry."""
+    lib = _load()
+    c = ctypes
+
+    def p32(a):
+        return a.ctypes.data_as(c.POINTER(c.c_int32))
+
+    org = np.ascontiguousarray(
+        _slice_angular_origin(sps, gps, gbh), dtype=np.int32)
+    th = np.ascontiguousarray(gps.angular_theta, dtype=np.int32)
+    zl = np.ascontiguousarray(gps.angular_z, dtype=np.int32)
+    np_ = np.ascontiguousarray(gps.angular_num_phi, dtype=np.int32)
+    if not hasattr(lib.tmc13ref_decode_octree_inter_ang,
+                   "_configured"):
+        lib.tmc13ref_decode_octree_inter_ang.argtypes = [
+            c.POINTER(c.c_uint8), c.c_int,
+            c.POINTER(c.c_int32), c.c_int, c.c_int,
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.c_int]
+        lib.tmc13ref_decode_octree_inter_ang.restype = c.c_int
+        lib.tmc13ref_decode_octree_inter_ang._configured = True
+    if gps.global_motion and gbh.lpu_type == 1:
+        vehicle = np.ascontiguousarray(ref_cloud, dtype=np.int32)
+        world = np.ascontiguousarray(
+            apply_global_motion_q16(
+                ref_cloud, gbh.gm_matrix, gbh.gm_trans,
+                _gm_min_pos(sps, gbh)), dtype=np.int32)
+        mbs = np.asarray(gbh.motion_block_size, dtype=np.int32)
+        borg = np.asarray(gbh.box_origin_stv, dtype=np.int32)
+        n = lib.tmc13ref_decode_octree_inter_ang(
+            aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
+            p32(axes), len(axes), gbh.num_points,
+            p32(vehicle), p32(world), int(vehicle.shape[0]),
+            p32(mbs), p32(borg), p32(gp),
+            p32(org), th.shape[0], p32(th), p32(zl), p32(np_),
+            _ang_flags(gps),
+            out.ctypes.data_as(c.POINTER(c.c_int32)), gbh.num_points)
+    else:
+        pred = np.ascontiguousarray(
+            compensate_predictor(sps, gps, gbh, ref_cloud),
+            dtype=np.int32)
+        n = lib.tmc13ref_decode_octree_inter_ang(
+            aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
+            p32(axes), len(axes), gbh.num_points,
+            p32(pred), None, int(pred.shape[0]),
+            None, None, p32(gp),
+            p32(org), th.shape[0], p32(th), p32(zl), p32(np_),
+            _ang_flags(gps),
+            out.ctypes.data_as(c.POINTER(c.c_int32)), gbh.num_points)
+    if n < 0:
+        raise RuntimeError(f"refcodec inter-ang decode failed rc={n}")
+    if n != gbh.num_points:
+        raise RuntimeError(
+            f"decoded {n} points, footer says {gbh.num_points}")
+    return out.astype(np.int64)
+
+
 def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
                           gbh: ref_hls.RefGbh,
                           payload: bytes,
@@ -464,6 +545,10 @@ def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         if ref_cloud is None:
             raise RuntimeError(
                 "inter brick without a reference frame")
+        if gps.angular_enabled:
+            return _decode_brick_inter_ang(sps, gps, gbh, aec_arr,
+                                           aec, axes, gp, out,
+                                           ref_cloud)
         if gps.global_motion and gbh.lpu_type == 1:
             # cuboid partition: flags ride the AEC, decoded natively
             vehicle = np.ascontiguousarray(ref_cloud, dtype=np.int32)
@@ -557,8 +642,7 @@ def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         th = np.ascontiguousarray(gps.angular_theta, dtype=np.int32)
         zl = np.ascontiguousarray(gps.angular_z, dtype=np.int32)
         np_ = np.ascontiguousarray(gps.angular_num_phi, dtype=np.int32)
-        ang_flags = (int(gps.octree_angular_extension)
-                     | (int(gps.planar_disabled_idcm_angular) << 1))
+        ang_flags = _ang_flags(gps)
         n = lib.tmc13ref_decode_octree_intra_ang(
             aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
             axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),

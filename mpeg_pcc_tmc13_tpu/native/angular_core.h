@@ -237,6 +237,8 @@ struct AngParams {
   bool enabled = false;
   bool extension = true;     // gps.octree_angular_extension_flag
   bool planarDisabledIdcmAngular = false;
+  bool interIdcm = false;    // gps.geom_inter_idcm_enabled_flag
+  bool onePointAlone = false;  // gps.one_point_alone_laser_beam_flag
   int32_t origin[3] = {0, 0, 0};
   int numLasers = 0;
   const int32_t* thetaLaser = nullptr;
@@ -245,6 +247,7 @@ struct AngParams {
   int deltaAngle = 128 << 18;
   std::vector<int> phiBuffer;
   std::vector<int> prevThetaRes;   // _prevLaserIndexResidual
+  std::vector<int> prevThetaResInter;  // _prevLaserInterIndexResidual
 
   void init(const int32_t* origin3, int nl, const int32_t* theta,
             const int32_t* z, const int32_t* nphi) {
@@ -262,8 +265,69 @@ struct AngParams {
     phiBuffer.assign(size_t(nl), int(0x80000000));
     // index 255 is reachable only on malformed streams; size for it
     prevThetaRes.assign(256, 0);
+    prevThetaResInter.assign(256, 0);
   }
 };
+
+// IsThetaPhiEligible (geometry_octree.cpp:559-635), node qp == 0
+// scope: the angular IDCM-eligibility decision used when
+// one_point_alone_laser_beam_flag is set; updates laserIndex like the
+// planar context derivation
+static inline void isThetaPhiEligible(
+  AngParams& ang, uint8_t& laserIndex, const int32_t nodePosQ[3],
+  const int nodeSizeLog2[3], bool& thetaEligible,
+  bool& phiEligible) {
+  thetaEligible = false;
+  phiEligible = false;
+  int32_t nodePos[3], midNode[3];
+  for (int k = 0; k < 3; k++) {
+    nodePos[k] = nodePosQ[k] << nodeSizeLog2[k];
+    midNode[k] = (1 << nodeSizeLog2[k]) >> 1;
+  }
+  int32_t posLidar[3];
+  for (int k = 0; k < 3; k++)
+    posLidar[k] = nodePos[k] - ang.origin[k];
+  uint64_t xLidar =
+    uint64_t(std::abs(((int64_t(posLidar[0]) + midNode[0]) << 8) - 128));
+  uint64_t yLidar =
+    uint64_t(std::abs(((int64_t(posLidar[1]) + midNode[1]) << 8) - 128));
+  uint64_t rL1 = (xLidar + yLidar) >> 1;
+  uint64_t deltaAngleR = uint64_t(ang.deltaAngle) * rL1;
+  if (ang.numLasers > 1 && deltaAngleR <= (uint64_t(midNode[2]) << 26))
+    return;
+  thetaEligible = true;
+
+  uint64_t r2 = xLidar * xLidar + yLidar * yLidar;
+  uint64_t rInv = irsqrt(r2);
+  int64_t zLidar = ((int64_t(posLidar[2]) + midNode[2]) << 1) - 1;
+  int64_t theta = zLidar * int64_t(rInv);
+  int theta32 = int(theta >= 0 ? theta >> 15 : -((-theta) >> 15));
+
+  int laser = laserIndex;
+  if (ang.numLasers == 1)
+    laser = 0;
+  else if (laser == 255
+           || deltaAngleR <= (uint64_t(midNode[2]) << 28)) {
+    const int32_t* beg = ang.thetaLaser;
+    const int32_t* end = beg + ang.numLasers - 1;
+    const int32_t* it = std::upper_bound(beg + 1, end, theta32);
+    if (theta32 - *(it - 1) <= *it - theta32)
+      --it;
+    laser = int(it - beg);
+    laserIndex = uint8_t(laser);
+  }
+
+  int xMid = posLidar[0] + midNode[0];
+  int yMid = posLidar[1] + midNode[1];
+  int phiNode = iatan2(yMid, xMid);
+  int phiNode0 = std::abs(xMid) < std::abs(yMid)
+    ? iatan2(yMid, posLidar[0])
+    : iatan2(posLidar[1], xMid);
+  uint64_t deltaPhi = uint64_t(std::abs(phiNode - phiNode0)) << 1;
+  if (deltaPhi > uint64_t(ang.phiZi.delta[size_t(laser)]))
+    return;
+  phiEligible = true;
+}
 
 // determineContextAngleForPlanar (geometry_octree.cpp:682-800), node
 // qp == 0 scope.  Returns contextAngle (z) or -1; fills the azimuthal

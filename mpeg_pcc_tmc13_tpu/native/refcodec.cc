@@ -372,7 +372,7 @@ static void decodePointPositionAngularRef(
   ArithDec& aec, RefOctreeCtx& ctx, AngParams& ang,
   const int sizeRem[3], const int32_t nodePosS[3],
   const int32_t posNodeLidar[3], int nodeLaserIdx, int predLaserIdx,
-  int32_t delta[3]) {
+  int32_t delta[3], bool enableInter = false) {
   using angularcore::iatan2;
   using angularcore::irsqrt;
   using angularcore::isqrt;
@@ -392,11 +392,17 @@ static void decodePointPositionAngularRef(
   posXyz[directAxis] =
     nodePosS[directAxis] + delta[directAxis] - ang.origin[directAxis];
 
-  int resLaser =
-    decodeThetaResRef(aec, ctx.idcm, ang.prevThetaRes[nodeLaserIdx]);
+  int resLaser = decodeThetaResRef(
+    aec, ctx.idcm,
+    enableInter ? ang.prevThetaResInter[nodeLaserIdx]
+                : ang.prevThetaRes[nodeLaserIdx]);
   int laserIdx = predLaserIdx + resLaser;
-  if (ang.extension)
-    ang.prevThetaRes[nodeLaserIdx] = resLaser;
+  if (ang.extension) {
+    if (enableInter)
+      ang.prevThetaResInter[nodeLaserIdx] = resLaser;
+    else
+      ang.prevThetaRes[nodeLaserIdx] = resLaser;
+  }
   if (laserIdx < 0 || laserIdx >= ang.numLasers)
     laserIdx = std::min(std::max(laserIdx, 0), ang.numLasers - 1);
 
@@ -556,7 +562,8 @@ static void encodePointPositionAngularRef(
   ArithEnc& aec, RefOctreeCtx& ctx, AngParams& ang,
   const NodePlanar& planar, const int sizeRem[3],
   const int32_t posNodeLidarIn[3], const int32_t pos[3],
-  int nodeLaserIdx) {
+  int nodeLaserIdx, bool enableInter = false,
+  const int32_t* predPoint = nullptr) {
   using angularcore::iatan2;
   using angularcore::irsqrt;
   using angularcore::isqrt;
@@ -581,6 +588,18 @@ static void encodePointPositionAngularRef(
 
   int laserIdx;
   int predLaserIdx = nodeLaserIdx;
+  if (enableInter && predPoint) {
+    // inter IDCM: the laser prediction comes from the reference
+    // point (encodePointPositionAngular, encoder :1536-1546)
+    int32_t pr[3] = {predPoint[0] - ang.origin[0],
+                     predPoint[1] - ang.origin[1],
+                     predPoint[2] - ang.origin[2]};
+    if (ang.extension)
+      predLaserIdx = findLaserPrecise(pr, ang.thetaLaser, ang.zLaser,
+                                      ang.numLasers);
+    else
+      predLaserIdx = findLaser(pr, ang.thetaLaser, ang.numLasers);
+  }
   {
     int32_t p3[3] = {pos[0] - ang.origin[0], pos[1] - ang.origin[1],
                      pos[2] - ang.origin[2]};
@@ -594,9 +613,15 @@ static void encodePointPositionAngularRef(
 
   int resLaser = laserIdx - predLaserIdx;
   encodeThetaResRef(aec, ctx.idcm, resLaser,
-                    ang.prevThetaRes[nodeLaserIdx]);
-  if (ang.extension)
-    ang.prevThetaRes[nodeLaserIdx] = resLaser;
+                    enableInter
+                      ? ang.prevThetaResInter[nodeLaserIdx]
+                      : ang.prevThetaRes[nodeLaserIdx]);
+  if (ang.extension) {
+    if (enableInter)
+      ang.prevThetaResInter[nodeLaserIdx] = resLaser;
+    else
+      ang.prevThetaRes[nodeLaserIdx] = resLaser;
+  }
 
   const int thInterp = 1 << 13;
   int phiNode = iatan2(posXyz[1], posXyz[0]);
@@ -988,6 +1013,42 @@ static void decideIsWorld(const CuboidGm& gm, const int32_t mn[3],
 
 }  // namespace cuboidgm
 
+// inter IDCM prediction mode (canInterFrameEncodeDirectPosition,
+// geometry_octree.h:965-1007); may overwrite the node's IDCM
+// eligibility when one_point_alone_laser_beam_flag is set
+enum class DMode { kUnavailable, kTwoPoints, kAllPointSame };
+
+template<typename NodeT>
+static DMode canInterDirectPositionRef(
+  AngParams& ang, NodeT& node0, const int nodeSizeLog2[3],
+  const int32_t* ref_positions, const std::vector<int32_t>& rorder,
+  bool uniquePoints) {
+  if (ang.onePointAlone) {
+    bool thetaElig = false, phiElig = false;
+    angularcore::isThetaPhiEligible(ang, node0.laserIndex, node0.pos,
+                                    nodeSizeLog2, thetaElig, phiElig);
+    node0.idcmEligible = uint8_t(
+      uniquePoints ? (thetaElig && phiElig)
+                   : (thetaElig || phiElig));
+  }
+  int numPoints = node0.rend - node0.rstart;
+  if (numPoints > 10)
+    return DMode::kUnavailable;
+  bool allEq = numPoints > 1 && !uniquePoints;
+  const int32_t* p0 =
+    allEq ? &ref_positions[rorder[size_t(node0.rstart)] * 3] : nullptr;
+  for (int32_t i = node0.rstart + 1; allEq && i < node0.rend; i++) {
+    const int32_t* pi = &ref_positions[rorder[size_t(i)] * 3];
+    allEq &= p0[0] == pi[0] && p0[1] == pi[1] && p0[2] == pi[2];
+  }
+  if (allEq)
+    return DMode::kAllPointSame;
+  if (numPoints > 2)            // MAX_NUM_DM_LEAF_POINTS
+    return DMode::kUnavailable;
+  return DMode::kTwoPoints;
+}
+
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -1315,6 +1376,18 @@ static int encode_octree_impl(
         gnp.pattern = uint8_t(neighPatternFromOccupancy(
           posInParent, node0.siblingOccupancy));
 
+      // inter IDCM prediction mode; with one_point_alone it also
+      // overrides the node's eligibility
+      // (geometry_octree_encoder.cpp:2296-2304)
+      DMode predMode = DMode::kUnavailable;
+      if (ang && ang->interIdcm) {
+        int nszIdcm[3] = {lvlSize[0][depth], lvlSize[1][depth],
+                          lvlSize[2][depth]};
+        predMode = canInterDirectPositionRef(
+          *ang, node0, nszIdcm, ref_positions, rorder,
+          unique_points != 0);
+      }
+
       // IDCM mode decision (canEncodeDirectPosition,
       // geometry_octree.h:995); with planar_disabled_idcm_angular the
       // flag is coded BEFORE planar and suppresses it
@@ -1479,11 +1552,33 @@ static int encode_octree_impl(
                   probe, ang->thetaLaser, ang->zLaser, ang->numLasers)
               : angularcore::findLaser(probe, ang->thetaLaser,
                                        ang->numLasers);
+            // inter IDCM prediction set (encodeDirectPosition
+            // :2432-2436 + :2456-2470)
+            int numPredFramePoints =
+              predMode == DMode::kAllPointSame
+                ? 1 : node0.rend - node0.rstart;
+            numPredFramePoints =
+              numPredFramePoints < numCoded ? numPredFramePoints
+                                            : numCoded;
+            const bool canInterPred = ang->interIdcm
+              && predMode != DMode::kUnavailable
+              && numPredFramePoints > 0;
             for (int i = 0; i < numCoded; i++) {
               int32_t p3[3] = {pts[i][0], pts[i][1], pts[i][2]};
+              const int32_t* predPt = nullptr;
+              int32_t predBuf[3];
+              if (canInterPred) {
+                int predIdx = numPredFramePoints == 2 ? i : 0;
+                const int32_t* pp = &ref_positions[
+                  rorder[size_t(node0.rstart + predIdx)] * 3];
+                predBuf[0] = pp[0];
+                predBuf[1] = pp[1];
+                predBuf[2] = pp[2];
+                predPt = predBuf;
+              }
               encodePointPositionAngularRef(
                 aec, ctx, *ang, planar, sizeRem, posNodeLidar, p3,
-                estLaser);
+                estLaser, canInterPred, predPt);
             }
           } else {
           if (numCoded == 2 && gp.jointTwoPointIdcm) {
@@ -1909,6 +2004,18 @@ static int decode_octree_impl(
       if (num_ref > 0)
         planesFromOccupancy(effPredOcc, planarRef);
 
+      // inter IDCM prediction mode; with one_point_alone it also
+      // overrides the node's eligibility
+      // (geometry_octree_decoder.cpp:1909-1915)
+      DMode predMode = DMode::kUnavailable;
+      if (ang && ang->interIdcm) {
+        int nszIdcm[3] = {lvlSize[0][depth], lvlSize[1][depth],
+                          lvlSize[2][depth]};
+        predMode = canInterDirectPositionRef(
+          *ang, node0, nszIdcm, ref_positions, rorder,
+          unique_points != 0);
+      }
+
       // planar_disabled_idcm_angular: the IDCM flag is decoded
       // BEFORE planar and suppresses it
       // (geometry_octree_decoder.cpp:1925-1932)
@@ -2047,10 +2154,36 @@ static int decode_octree_impl(
                   probe, ang->thetaLaser, ang->zLaser, ang->numLasers)
               : angularcore::findLaser(probe, ang->thetaLaser,
                                        ang->numLasers);
+            // inter IDCM prediction set (decodeDirectPosition
+            // :1370-1403)
+            int numPredFramePoints =
+              predMode == DMode::kAllPointSame
+                ? 1 : node0.rend - node0.rstart;
+            numPredFramePoints =
+              numPredFramePoints < numPts ? numPredFramePoints
+                                          : numPts;
+            const bool canInterPred = ang->interIdcm
+              && predMode != DMode::kUnavailable
+              && numPredFramePoints > 0;
             for (int i = 0; i < numPts; i++) {
+              int predLaserIdx = laserIdx;
+              if (canInterPred) {
+                int predIdx = numPredFramePoints == 2 ? i : 0;
+                const int32_t* pp = &ref_positions[
+                  rorder[size_t(node0.rstart + predIdx)] * 3];
+                int32_t pr[3] = {pp[0] - ang->origin[0],
+                                 pp[1] - ang->origin[1],
+                                 pp[2] - ang->origin[2]};
+                predLaserIdx = ang->extension
+                  ? angularcore::findLaserPrecise(
+                      pr, ang->thetaLaser, ang->zLaser,
+                      ang->numLasers)
+                  : angularcore::findLaser(pr, ang->thetaLaser,
+                                           ang->numLasers);
+              }
               decodePointPositionAngularRef(
                 aec, ctx, *ang, sizeRem, nodePosS, posNodeLidar,
-                laserIdx, laserIdx, delta[i]);
+                laserIdx, predLaserIdx, delta[i], canInterPred);
               for (int k = 0; k < 3; k++)
                 lastPos[k] = delta[i][k] + nodePosS[k];
               if (processed >= out_cap)
@@ -2509,9 +2642,94 @@ extern "C" int tmc13ref_decode_octree_intra_ang(
   ang.init(ang_origin, num_lasers, theta_laser, z_laser, num_phi);
   ang.extension = (ang_flags & 1) != 0;
   ang.planarDisabledIdcmAngular = (ang_flags & 2) != 0;
+  ang.interIdcm = (ang_flags & 4) != 0;
+  ang.onePointAlone = (ang_flags & 8) != 0;
   return decode_octree_impl(aec_buf, aec_len, coded_axis_list,
                             num_levels, num_points, nullptr, 0,
                             gp_arr, out_pos, out_cap, 0, 0, 0,
+                            nullptr, nullptr, 0, &ang);
+}
+
+// angular octree inter: compensated predictor + laser tables; with
+// motion_block_size non-null the cuboid LPU flags lead the stream
+extern "C" int tmc13ref_decode_octree_inter_ang(
+  const uint8_t* aec_buf, int aec_len,
+  const int32_t* coded_axis_list, int num_levels, int num_points,
+  const int32_t* ref_vehicle, const int32_t* ref_world, int num_ref,
+  const int32_t* motion_block_size, const int32_t* box_origin,
+  const int32_t* gp_arr,
+  const int32_t* ang_origin, int num_lasers,
+  const int32_t* theta_laser, const int32_t* z_laser,
+  const int32_t* num_phi, int ang_flags,
+  int32_t* out_pos, int out_cap) {
+  AngParams ang;
+  ang.init(ang_origin, num_lasers, theta_laser, z_laser, num_phi);
+  ang.extension = (ang_flags & 1) != 0;
+  ang.planarDisabledIdcmAngular = (ang_flags & 2) != 0;
+  ang.interIdcm = (ang_flags & 4) != 0;
+  ang.onePointAlone = (ang_flags & 8) != 0;
+  if (motion_block_size) {
+    CuboidGm gm;
+    gm.vehicle = ref_vehicle;
+    gm.world = ref_world;
+    gm.num = num_ref;
+    for (int k = 0; k < 3; k++) {
+      gm.mbs[k] = motion_block_size[k];
+      gm.boxOrigin[k] = box_origin[k];
+    }
+    return decode_octree_impl(aec_buf, aec_len, coded_axis_list,
+                              num_levels, num_points, nullptr, 0,
+                              gp_arr, out_pos, out_cap, 0, 0, 0,
+                              nullptr, nullptr, 0, &ang, &gm);
+  }
+  return decode_octree_impl(aec_buf, aec_len, coded_axis_list,
+                            num_levels, num_points, ref_vehicle,
+                            num_ref, gp_arr, out_pos, out_cap, 0, 0,
+                            0, nullptr, nullptr, 0, &ang);
+}
+
+extern "C" int tmc13ref_encode_octree_inter_ang(
+  const int32_t* positions, int num_points,
+  const int32_t* ref_vehicle, const int32_t* ref_world, int num_ref,
+  const int32_t* motion_block_size, const int32_t* box_origin,
+  int window_size,
+  const int32_t* coded_axis_list, int num_levels,
+  const int32_t* gp_arr,
+  const int32_t* ang_origin, int num_lasers,
+  const int32_t* theta_laser, const int32_t* z_laser,
+  const int32_t* num_phi, int ang_flags,
+  uint8_t* out_buf, int out_cap) {
+  AngParams ang;
+  ang.init(ang_origin, num_lasers, theta_laser, z_laser, num_phi);
+  ang.extension = (ang_flags & 1) != 0;
+  ang.planarDisabledIdcmAngular = (ang_flags & 2) != 0;
+  ang.interIdcm = (ang_flags & 4) != 0;
+  ang.onePointAlone = (ang_flags & 8) != 0;
+  if (motion_block_size) {
+    CuboidGm gm;
+    gm.vehicle = ref_vehicle;
+    gm.world = ref_world;
+    gm.num = num_ref;
+    gm.windowSize = window_size;
+    for (int k = 0; k < 3; k++) {
+      gm.mbs[k] = motion_block_size[k];
+      gm.boxOrigin[k] = box_origin[k];
+    }
+    std::vector<int32_t> curGlobal(size_t(num_points) * 3);
+    for (int i = 0; i < num_points; i++)
+      for (int k = 0; k < 3; k++)
+        curGlobal[size_t(i) * 3 + size_t(k)] =
+          positions[i * 3 + k] + box_origin[k];
+    gm.cur = curGlobal.data();
+    gm.numCur = num_points;
+    return encode_octree_impl(positions, num_points, nullptr, 0,
+                              coded_axis_list, num_levels, gp_arr,
+                              out_buf, out_cap, 0, nullptr, nullptr,
+                              nullptr, 0, &ang, &gm);
+  }
+  return encode_octree_impl(positions, num_points, ref_vehicle,
+                            num_ref, coded_axis_list, num_levels,
+                            gp_arr, out_buf, out_cap, 0, nullptr,
                             nullptr, nullptr, 0, &ang);
 }
 
@@ -2527,6 +2745,8 @@ extern "C" int tmc13ref_encode_octree_intra_ang(
   ang.init(ang_origin, num_lasers, theta_laser, z_laser, num_phi);
   ang.extension = (ang_flags & 1) != 0;
   ang.planarDisabledIdcmAngular = (ang_flags & 2) != 0;
+  ang.interIdcm = (ang_flags & 4) != 0;
+  ang.onePointAlone = (ang_flags & 8) != 0;
   return encode_octree_impl(positions, num_points, nullptr, 0,
                             coded_axis_list, num_levels, gp_arr,
                             out_buf, out_cap, 0, nullptr, nullptr,

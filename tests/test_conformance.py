@@ -1668,3 +1668,65 @@ def test_z_compensation_decode_exact(tmp_path):
     # the revision must actually fire (fractional z in the output)
     assert (np.abs(mine[:, 2] - np.round(mine[:, 2])) > 1e-9).sum() \
         > len(mine) // 2
+
+
+@pytest.mark.parametrize("variant,extra,npt", [
+    ("plain", [], 2000),
+    ("idcm", ["--inferredDirectCodingMode=1",
+              "--planarModeIdcmUse=32"], 2000),
+    ("idcm-alone", ["--inferredDirectCodingMode=1",
+                    "--planarModeIdcmUse=32"], 4000),
+])
+def test_angular_inter_decode_bit_exact(tmp_path, variant, extra,
+                                        npt):
+    """Angular octree inter (the CTC cat3 configuration): external
+    global motion, cuboid LPU flags in the arithmetic stream, laser-
+    conditioned planar with inter reference planes, and the inter
+    IDCM predictor machinery (canInterFrameEncodeDirectPosition +
+    IsThetaPhiEligible when one-point-alone) decode bit-exactly.
+    NB: the reference binary itself crashes on synthetic coarse
+    clouds with this tool set, so the repo's realistic lidar frames
+    are used."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", "..",
+                                    "scripts"))
+    from gen_clouds import _hdl64_elevations
+    data_dir = os.path.join(os.path.dirname(TMC3), "..", "..", "data")
+    if not os.path.exists(os.path.join(data_dir, "lidar_0001.ply")):
+        pytest.skip("lidar sequence not available")
+    theta = ",".join(
+        f"{t:.6f}" for t in np.tan(_hdl64_elevations(64)))
+    zeros = ",".join(["0"] * 64)
+    npts = ",".join([str(npt)] * 64)
+    gm = tmp_path / "gm.txt"
+    gm.write_text("1 0 0 0 1 0 0 0 1 0 0 0 2200 1800\n" * 2)
+    bit = tmp_path / f"ai_{variant}.bin"
+    subprocess.run(
+        [TMC3, "--mode=0",
+         f"--uncompressedDataPath={data_dir}/lidar_%04d.ply",
+         f"--compressedStreamPath={bit}",
+         "--frameCount=2", "--randomAccessPeriod=8",
+         "--interPredictionEnabled=1", "--globalMotionEnabled=1",
+         "--lpuType=1", f"--motionVectorPath={gm}",
+         "--positionQuantizationScale=0.125",
+         "--mergeDuplicatedPoints=1",
+         "--neighbourAvailBoundaryLog2=8",
+         "--disableAttributeCoding=1", "--angularEnabled=1",
+         "--planarEnabled=1", "--planarBufferDisabled=1",
+         "--numLasers=64", "--lidarHeadPosition=16384,16384,16384",
+         f"--lasersTheta={theta}", f"--lasersZ={zeros}",
+         f"--lasersNumPhiPerTurn={npts}", *extra],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={tmp_path}/ai_{variant}_%04d.ply",
+         "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    mine = refdec.decode_stream(bit.read_bytes())
+    assert len(mine) == 2
+    for i in range(2):
+        want = ply.read(
+            str(tmp_path / f"ai_{variant}_{i:04d}.ply")
+        ).positions.astype(np.int64)
+        np.testing.assert_array_equal(np.asarray(mine[i]) * 8, want)
