@@ -52,8 +52,7 @@ _ACCEPTED_REFERENCE_OPTIONS = {
     "attrInterPredTranslationThresh", "attrSphericalMaxLog2",
     "dist2PercentileEstimate",
     "enableGroundPartition", "externalScale", "frameMergeEnabled",
-    "globalMotionBlockSize", "globalMotionSrcType",
-    "globalMotionWindowSize", "gmThresholdHistScale",
+    "globalMotionSrcType", "gmThresholdHistScale",
     "gmThresholdLeftScale", "gmThresholdMaxZ", "gmThresholdMinZ",
     "gmThresholdRightScale", "interAzimScaleLog2",
     "interIDCMPredEnabled", "interLodSearchRange",
@@ -346,6 +345,13 @@ class Config:
                 p.lpu_size_log2 = max(opt.to_int(value), 2)
             elif name == "motionVectorPath":
                 p.motion_file = value.strip()
+            elif name == "globalMotionBlockSize":
+                # reference: comma list per axis (TMC3.cpp:1167-1171)
+                vals = [int(v) for v in value.split(",")]
+                vals = (vals + [0, 0, 0])[:3]
+                p.motion_block_size = tuple(vals)
+            elif name == "globalMotionWindowSize":
+                p.motion_window_size = opt.to_int(value)
             elif name == "skipOctreeLayers":
                 self.skip_octree_layers = opt.to_int(value)
             elif name == "decodeMaxPoints":
@@ -554,6 +560,12 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
         inter=p.inter_prediction,
         global_motion=p.global_motion,
         random_access_period=max(p.random_access_period, 1),
+        motion_block_size=tuple(
+            max(64, int(round(v * p.geom_scale_num / p.geom_scale_den)))
+            if v > 0 else 0 for v in p.motion_block_size),
+        motion_window_size=max(2, int(round(
+            p.motion_window_size * p.geom_scale_num
+            / p.geom_scale_den))),
         predgeom=(p.geometry_codec == hls.GeometryCodecType.PREDICTIVE),
         angular=bool(p.angular_enabled and p.laser_theta),
         angular_head=tuple(p.angular_origin or (0, 0, 0)),

@@ -174,6 +174,11 @@ class EncoderParams:
     random_access_period: int = 1     # 1 = all-intra
     global_motion: bool = False
     motion_file: Optional[str] = None
+    # cuboid-LPU geometry (reference globalMotionBlockSize /
+    # globalMotionWindowSize, TMC3.cpp:1167-1174, scaled per
+    # deriveMotionParams at encode time)
+    motion_block_size: tuple = (0, 0, 4096)
+    motion_window_size: int = 512
     # bi-directional prediction (reference biPredictionEnabled /
     # biPredictionPeriod, TMC3.cpp:1126-1139): hierarchical GOF of
     # bi_period frames, B frames referencing both coded neighbours
