@@ -78,11 +78,14 @@ def _encode_brick_native_inter(positions: np.ndarray,
                                motion_window_size: int,
                                min_pos: np.ndarray,
                                bypass_no_update: bool = False,
-                               cabac_bypass: bool = False) -> bytes:
+                               cabac_bypass: bool = False,
+                               ang_origin=None) -> bytes:
     """Encode one inter octree brick (encodeGeometryOctree inter path,
     geometry_octree_encoder.cpp:1875-1894).  ``ref_global`` is the
     previous frame's reconstruction in slice-global STV; with cuboid
-    GM the per-LPU flags are coded natively ahead of the octree."""
+    GM the per-LPU flags are coded natively ahead of the octree.
+    ``ang_origin`` (slice-local lidar head) selects the angular
+    tool-set entry."""
     lib = _load()
     c = ctypes
     pos32 = np.ascontiguousarray(positions, dtype=np.int32)
@@ -93,6 +96,61 @@ def _encode_brick_native_inter(positions: np.ndarray,
 
     def p32(a):
         return a.ctypes.data_as(c.POINTER(c.c_int32))
+
+    if ang_origin is not None:
+        from .decoder import apply_global_motion_q16
+        use_gm = gps.global_motion and gbh.lpu_type == 1
+        vehicle = np.ascontiguousarray(ref_global, dtype=np.int32)
+        if use_gm:
+            world = np.ascontiguousarray(
+                apply_global_motion_q16(ref_global, gbh.gm_matrix,
+                                        gbh.gm_trans, min_pos),
+                dtype=np.int32)
+            mbs = np.asarray(gbh.motion_block_size, dtype=np.int32)
+        else:
+            # no GM: slice-local predictor, no LPU flags
+            vehicle = np.ascontiguousarray(
+                ref_global.astype(np.int64) - origin[None, :],
+                dtype=np.int32)
+            world = vehicle
+            mbs = None
+        org32 = np.ascontiguousarray(ang_origin, dtype=np.int32)
+        borg = np.ascontiguousarray(origin, dtype=np.int32)
+        th = np.ascontiguousarray(gps.angular_theta, dtype=np.int32)
+        zl = np.ascontiguousarray(gps.angular_z, dtype=np.int32)
+        np_ = np.ascontiguousarray(gps.angular_num_phi,
+                                   dtype=np.int32)
+        flags = (int(gps.octree_angular_extension)
+                 | (int(gps.planar_disabled_idcm_angular) << 1)
+                 | (int(gps.inter_idcm) << 2)
+                 | (int(gps.one_point_alone_laser_beam) << 3))
+        if not hasattr(lib.tmc13ref_encode_octree_inter_ang,
+                       "_configured"):
+            lib.tmc13ref_encode_octree_inter_ang.argtypes = [
+                c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32),
+                c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+                c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_uint8), c.c_int]
+            lib.tmc13ref_encode_octree_inter_ang.restype = c.c_int
+            lib.tmc13ref_encode_octree_inter_ang._configured = True
+        n = lib.tmc13ref_encode_octree_inter_ang(
+            p32(pos32), pos32.shape[0],
+            p32(vehicle), p32(world), int(vehicle.shape[0]),
+            p32(mbs) if mbs is not None else None,
+            p32(borg), int(motion_window_size),
+            p32(axes), len(axes), p32(gp),
+            p32(org32), th.shape[0], p32(th), p32(zl), p32(np_),
+            flags,
+            out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+        if n < 0:
+            raise RuntimeError(
+                f"refcodec inter-ang encode failed rc={n}")
+        return bytes(out[:n])
 
     if gps.global_motion and gbh.lpu_type == 1:
         from .decoder import apply_global_motion_q16
@@ -179,7 +237,9 @@ def _encode_brick_native_ang(positions: np.ndarray, axes: np.ndarray,
     zl = np.ascontiguousarray(gps.angular_z, dtype=np.int32)
     nph = np.ascontiguousarray(gps.angular_num_phi, dtype=np.int32)
     flags = (int(gps.octree_angular_extension)
-             | (int(gps.planar_disabled_idcm_angular) << 1))
+             | (int(gps.planar_disabled_idcm_angular) << 1)
+             | (int(gps.inter_idcm) << 2)
+             | (int(gps.one_point_alone_laser_beam) << 3))
     cap = max(int(pos32.shape[0] * 16 + (1 << 16)), 1 << 16)
     out = np.empty(cap, dtype=np.uint8)
     n = lib.tmc13ref_encode_octree_intra_ang(
@@ -199,6 +259,31 @@ def _encode_brick_native_ang(positions: np.ndarray, axes: np.ndarray,
 def _round_half_inf(x: float) -> int:
     """roundIntegerHalfInf (motionWip.cpp:458): half away from zero."""
     return int(x + 0.5) if x >= 0 else -int(-x + 0.5)
+
+
+def parse_motion_file(path: str, qs: float = 1.0):
+    """External per-frame global-motion files: 14 floats per frame
+    (3x3 matrix, translation, two z thresholds), quantised like the
+    reference (MotionParameters::parseFile, geometry_params.h:69-108:
+    Q16 matrix with the diagonal coded around 65536; translation and
+    thresholds scaled by the coding scale).  Returns
+    [(gm_matrix9, gm_trans3, gm_thresh2), ...]."""
+    vals = [float(v) for v in open(path).read().split()]
+    rows = []
+    for i in range(len(vals) // 14):
+        v = vals[i * 14:(i + 1) * 14]
+        mat = []
+        for j in range(9):
+            if j % 3 == j // 3:
+                mat.append(
+                    _round_half_inf((v[j] - 1.0) * 65536) + 65536)
+            else:
+                mat.append(_round_half_inf(v[j] * 65536))
+        trans = tuple(_round_half_inf(v[9 + k] * qs) for k in range(3))
+        thresh = (_round_half_inf(v[12] * qs),
+                  _round_half_inf(v[13] * qs))
+        rows.append((tuple(mat), trans, thresh))
+    return rows
 
 
 def search_global_motion(cur_global: np.ndarray,
@@ -1039,7 +1124,9 @@ def encode_frames(frames, unique_points: bool = True,
                   random_access_period: int = 8,
                   motion_block_size=(0, 0, 4096),
                   motion_window_size: int = 512,
-                  gm_th_dist: int = 1000) -> bytes:
+                  gm_th_dist: int = 1000,
+                  motion_params=None,
+                  z_compensation: bool = False) -> bytes:
     """Encode a sequence of XYZ integer clouds into one reference-
     syntax TLV stream (SPS + GPS once, then per-slice geometry
     bricks).  Clouds above the slice level limit (reference
@@ -1155,9 +1242,14 @@ def encode_frames(frames, unique_points: bool = True,
         gps.predgeom_radius_threshold = 2048 >> gps.radius_inv_scale_log2
         gps.resr_qphi_threshold_present = False
     if inter:
-        if trisoup_node_size_log2 or predgeom or angular:
+        if trisoup_node_size_log2 or predgeom:
             raise NotImplementedError(
                 "inter emission outside the octree tool set")
+        if angular and global_motion and motion_params is None:
+            raise NotImplementedError(
+                "angular inter emission needs an external motion "
+                "file (the reference's internal-LMS + angular path "
+                "needs content-specific gmThreshold bounds)")
         if have_attrs:
             raise NotImplementedError("attributes with inter bricks")
         sps.inter_frame_prediction_enabled = True
@@ -1166,6 +1258,15 @@ def encode_frames(frames, unique_points: bool = True,
         # sanitiser: multiple planar is disabled under inter
         # (TMC3.cpp:1763-1764)
         gps.multiple_planar = False
+        if angular:
+            # interIDCMPredEnabled default (TMC3.cpp:1038-1040) and
+            # the one-point-alone derivation from the first frame's
+            # point count vs the total phi slots (encoder.cpp:171-186)
+            gps.inter_idcm = True
+            max_per_turn = sum(gps.angular_num_phi) or 1
+            gps.one_point_alone_laser_beam = (
+                len(frames[0]) / float(max_per_turn) < 2)
+            gps.z_compensation = bool(z_compensation)
     ts_log2 = trisoup_node_size_log2
     out = []
     # inter frame chaining: previous frame's reconstruction in
@@ -1258,6 +1359,56 @@ def encode_frames(frames, unique_points: bool = True,
                 axes = np.asarray(qtbt_axis_list(
                     root, qtbt, angular_tweak=True, ang_max_v=8,
                     ang_max_diff_z=1), dtype=np.int32)
+                code_inter = (inter
+                              and (ctr % random_access_period != 0)
+                              and ref_cloud is not None)
+                if code_inter:
+                    gbh = ref_hls.RefGbh(
+                        gps_id=0, slice_id=slice_id, slice_tag=0,
+                        frame_ctr_lsb=(ctr
+                                       & ((1 << frame_ctr_bits) - 1)),
+                        geom_box_log2_scale=0,
+                        box_origin_stv=tuple(int(v) for v in origin),
+                        tree_lvl_coded_axis_list=list(axes),
+                        num_points=int(part.shape[0]),
+                        inter_prediction=True)
+                    # external GM (kExternalGMSrc): per-frame file row,
+                    # minimum position = seq bbox origin
+                    # (encoder applyGlobalMotion :1779-1796)
+                    min_pos = np.zeros(3, dtype=np.int64)
+                    if global_motion:
+                        gbh.lpu_type = 1
+                        gbh.motion_block_size = tuple(
+                            int(v) for v in motion_block_size)
+                        row = motion_params[
+                            min(ctr - 1, len(motion_params) - 1)]
+                        gbh.gm_matrix, gbh.gm_trans, gbh.gm_thresh = \
+                            row
+                        gbh.min_zero_origin = False
+                        min_pos = np.asarray(ref_hls.from_xyz(
+                            sps.geometry_axis_order,
+                            list(sps.bbox_origin)), dtype=np.int64)
+                    org_ang = (np.asarray(ref_hls.from_xyz(
+                        1, list(gps.angular_origin)), dtype=np.int64)
+                        - origin)
+                    aec = _encode_brick_native_inter(
+                        local, axes, gps, gbh, ref_cloud,
+                        origin.astype(np.int64), motion_window_size,
+                        min_pos,
+                        bypass_no_update=bypass_no_update,
+                        cabac_bypass=cabac_bypass,
+                        ang_origin=org_ang)
+                    brick = ref_hls.write_gbh(sps, gps, gbh, aec)
+                    out.append(ref_hls.write_ref_tlv(
+                        ref_hls.T_GEOM_BRICK, brick))
+                    from . import decoder as refdec
+                    gbh_p = ref_hls.parse_gbh(sps, gps, brick)
+                    dec = refdec.decode_geometry_brick(
+                        sps, gps, gbh_p, brick, ref_cloud=ref_cloud)
+                    frame_stv.append(dec.astype(np.int64)
+                                     + origin[None, :])
+                    slice_id += 1
+                    continue
                 aec = _encode_brick_native_ang(
                     local, axes, gps,
                     bypass_no_update=bypass_no_update,
@@ -1280,22 +1431,36 @@ def encode_frames(frames, unique_points: bool = True,
                         tree_lvl_coded_axis_list=list(axes),
                         num_points=int(part.shape[0]),
                         inter_prediction=True)
+                    min_pos = np.zeros(3, dtype=np.int64)
                     if global_motion:
-                        # internal LMS: min position pinned to zero
-                        # (encoder applyGlobalMotion kInternalLMSGMSrc)
-                        gbh.min_zero_origin = True
                         gbh.lpu_type = 1
                         gbh.motion_block_size = tuple(
                             int(v) for v in motion_block_size)
-                        gbh.gm_matrix, gbh.gm_trans = \
-                            search_global_motion(
-                                part, ref_cloud, max(root),
-                                bsize=gbh.motion_block_size[2],
-                                th_dist=gm_th_dist)
+                        if motion_params is not None:
+                            # external GM file (kExternalGMSrc):
+                            # min position = seq bbox origin
+                            row = motion_params[
+                                min(ctr - 1, len(motion_params) - 1)]
+                            (gbh.gm_matrix, gbh.gm_trans,
+                             gbh.gm_thresh) = row
+                            gbh.min_zero_origin = False
+                            min_pos = np.asarray(ref_hls.from_xyz(
+                                sps.geometry_axis_order,
+                                list(sps.bbox_origin)),
+                                dtype=np.int64)
+                        else:
+                            # internal LMS: min position pinned to
+                            # zero (applyGlobalMotion kInternalLMS)
+                            gbh.min_zero_origin = True
+                            gbh.gm_matrix, gbh.gm_trans = \
+                                search_global_motion(
+                                    part, ref_cloud, max(root),
+                                    bsize=gbh.motion_block_size[2],
+                                    th_dist=gm_th_dist)
                     aec = _encode_brick_native_inter(
                         local, axes, gps, gbh, ref_cloud,
                         origin.astype(np.int64), motion_window_size,
-                        np.zeros(3, dtype=np.int64),
+                        min_pos,
                         bypass_no_update=bypass_no_update,
                         cabac_bypass=cabac_bypass)
                     brick = ref_hls.write_gbh(sps, gps, gbh, aec)

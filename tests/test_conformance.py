@@ -1730,3 +1730,54 @@ def test_angular_inter_decode_bit_exact(tmp_path, variant, extra,
             str(tmp_path / f"ai_{variant}_{i:04d}.ply")
         ).positions.astype(np.int64)
         np.testing.assert_array_equal(np.asarray(mine[i]) * 8, want)
+
+
+def test_angular_inter_encode_byte_identical(tmp_path):
+    """Angular inter EMISSION: a 3-frame angular octree inter stream
+    (external global-motion file, cuboid LPU, IDCM mode 3, inter IDCM
+    prediction) is byte-identical to the tmc3 binary's.  NB: with
+    inferredDirectCodingMode=0 the reference encoder uses its
+    planar_disabled_idcm_angular default internally but cannot signal
+    it (the GPS write is gated on idcm>0), so its own decoder desyncs
+    on such streams -- that self-inconsistent corner is excluded."""
+    import sys
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", "..",
+                                    "scripts"))
+    from gen_clouds import _hdl64_elevations
+    frames = _inter_seq_frames()
+    for i, pos in enumerate(frames):
+        ply.write(ply.PlyCloud(positions=pos.astype(np.float64)),
+                  str(tmp_path / f"aie_{i:04d}.ply"), ascii=True)
+    gm = tmp_path / "gm.txt"
+    gm.write_text("1 0 0 0 1 0 0 0 1 0 0 0 2200 1800\n" * 3)
+    theta_v = list(np.tan(_hdl64_elevations(16)))
+    theta = ",".join(f"{t:.6f}" for t in theta_v)
+    zeros = ",".join(["0"] * 16)
+    npt = ",".join(["2000"] * 16)
+    bit = tmp_path / "aie.bin"
+    subprocess.run(
+        [TMC3, "--mode=0",
+         f"--uncompressedDataPath={tmp_path}/aie_%04d.ply",
+         f"--compressedStreamPath={bit}",
+         "--frameCount=3", "--randomAccessPeriod=8",
+         "--interPredictionEnabled=1", "--globalMotionEnabled=1",
+         "--lpuType=1", f"--motionVectorPath={gm}",
+         "--inferredDirectCodingMode=3",
+         "--positionQuantizationScale=1", "--mergeDuplicatedPoints=1",
+         "--neighbourAvailBoundaryLog2=8",
+         "--disableAttributeCoding=1", "--angularEnabled=1",
+         "--planarEnabled=1", "--numLasers=16",
+         "--lidarHeadPosition=2048,2048,2048",
+         f"--lasersTheta={theta}", f"--lasersZ={zeros}",
+         f"--lasersNumPhiPerTurn={npt}"],
+        check=True, capture_output=True)
+    mp = refenc.parse_motion_file(str(gm), qs=1.0)
+    ours = refenc.encode_frames(
+        frames, unique_points=True, planar=True, qtbt=True,
+        inter=True, global_motion=True, random_access_period=8,
+        motion_params=mp, angular=True, idcm=3,
+        angular_head=(2048, 2048, 2048),
+        lasers_theta=theta_v, lasers_z=[0] * 16,
+        lasers_num_phi=[2000] * 16)
+    assert ours == bit.read_bytes()
