@@ -779,15 +779,66 @@ def _decode_predlift_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
     return out
 
 
+def attr_coding_positions(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
+                          gbh: ref_hls.RefGbh, aps: ref_hls.RefAps,
+                          slice_local: np.ndarray) -> np.ndarray:
+    """Positions the attribute coder operates on when
+    aps.spherical_coord_flag is set: the slice-local decoded cloud
+    converted to (radius, azimuth, laser), offset to the bbox minimum
+    and scaled by the per-axis APS weights (decoder.cpp:900-918,
+    coordinate_conversion.cpp convertXyzToRpl + offsetAndScale)."""
+    lib = _load()
+    c = ctypes
+    if not hasattr(lib.tmc13ref_xyz_to_rpl, "_configured"):
+        lib.tmc13ref_xyz_to_rpl.argtypes = [
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32)]
+        lib.tmc13ref_xyz_to_rpl.restype = None
+        lib.tmc13ref_xyz_to_rpl._configured = True
+    pos32 = np.ascontiguousarray(slice_local, dtype=np.int32)
+    org = np.ascontiguousarray(
+        _slice_angular_origin(sps, gps, gbh), dtype=np.int32)
+    th = np.ascontiguousarray(gps.angular_theta, dtype=np.int32)
+    rpl = np.empty_like(pos32)
+    mn = np.empty(3, dtype=np.int32)
+    lib.tmc13ref_xyz_to_rpl(
+        pos32.ctypes.data_as(c.POINTER(c.c_int32)),
+        int(pos32.shape[0]),
+        org.ctypes.data_as(c.POINTER(c.c_int32)),
+        th.ctypes.data_as(c.POINTER(c.c_int32)), int(th.shape[0]),
+        rpl.ctypes.data_as(c.POINTER(c.c_int32)),
+        mn.ctypes.data_as(c.POINTER(c.c_int32)))
+    if aps.attr_inter_prediction:
+        # inter keeps a frame-stable origin (minPos = 0 unless the
+        # reference frame shifted); intra-only scope here
+        mn = np.zeros(3, dtype=np.int32)
+    w = np.asarray(aps.attr_coord_scale, dtype=np.int64)
+    scaled = ((rpl.astype(np.int64) - mn[None, :].astype(np.int64))
+              * w[None, :] + (1 << 7)) >> 8
+    return scaled
+
+
 def decode_attr_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
                       abh: ref_hls.RefAbh, payload: bytes,
-                      positions_stv: np.ndarray) -> np.ndarray:
+                      positions_stv: np.ndarray,
+                      gps: Optional[ref_hls.RefGps] = None,
+                      gbh: Optional[ref_hls.RefGbh] = None,
+                      slice_local: Optional[np.ndarray] = None
+                      ) -> np.ndarray:
     """Decode one intra RAHT attribute brick against the slice's
     decoded positions (slice-local STV + slice origin, decode order).
     Returns attributes aligned with `positions_stv` rows, mirroring
     AttributeDecoder::decodeColorsRaht / decodeReflectancesRaht
     (/root/reference/tmc3/AttributeDecoder.cpp:528-674: morton sort,
     entropy decode, uraht inverse, clip, scatter by packed index)."""
+    if aps.spherical_coord:
+        if gps is None or gbh is None or slice_local is None:
+            raise UnsupportedTool(
+                "spherical attribute coords need the geometry slice")
+        positions_stv = attr_coding_positions(sps, gps, gbh, aps,
+                                              slice_local)
     if aps.attr_encoding in (ref_hls.ATTR_PRED, ref_hls.ATTR_LIFT):
         return _decode_predlift_brick(sps, aps, abh, payload,
                                       positions_stv)
@@ -861,6 +912,9 @@ def decode_stream(data: bytes, want_attrs: bool = False):
     # slice-global STV positions of the last geometry brick, for
     # attribute decode (decoder.cpp:921-922 adds _sliceOrigin)
     last_slice_pos: Optional[np.ndarray] = None
+    last_slice_local: Optional[np.ndarray] = None
+    last_gbh = None
+    last_gps = None
     # previous frame's reconstruction for inter prediction
     # (storeCurrentCloudAsRef, decoder.cpp:165-172: the accumulated
     # slice-global STV cloud)
@@ -920,6 +974,8 @@ def decode_stream(data: bytes, want_attrs: bool = False):
                                      dtype=np.int64)
             cur_slices_stv.append(pos)
             last_slice_pos = pos
+            last_slice_local = local
+            last_gbh, last_gps = gbh_ids, gps
             xyz = np.stack(
                 ref_hls.to_xyz(sps.geometry_axis_order,
                                [pos[:, 0], pos[:, 1], pos[:, 2]]),
@@ -932,7 +988,9 @@ def decode_stream(data: bytes, want_attrs: bool = False):
                 sps, aps_map[payload[0] >> 4], payload)
             aps = aps_map[abh_ids.aps_id]
             attrs = decode_attr_brick(sps, aps, abh_ids, payload,
-                                      last_slice_pos)
+                                      last_slice_pos,
+                                      gps=last_gps, gbh=last_gbh,
+                                      slice_local=last_slice_local)
             cur_attrs.append(attrs)
         elif t == ref_hls.T_FRAME_BOUNDARY:
             flush()

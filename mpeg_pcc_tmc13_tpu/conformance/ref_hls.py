@@ -947,6 +947,7 @@ class RefAps:
     raht_prediction_threshold1: int = 0
     raw_attr_variable_len: bool = False
     spherical_coord: bool = False
+    attr_coord_scale: Tuple[int, int, int] = (0, 0, 0)
     integer_haar: bool = False
     attr_inter_prediction: bool = False
     raht_extension: bool = False
@@ -1063,7 +1064,10 @@ def parse_aps(data: bytes) -> RefAps:
     if not scalable_lifting:
         a.spherical_coord = bool(bs.u1())
     if a.spherical_coord:
-        raise NotImplementedError("attribute interop: spherical coords")
+        # per-axis scale weights, 5-bit length prefix
+        # (io_hls.cpp:1219-1224)
+        a.attr_coord_scale = tuple(
+            bs.un(bs.un(5) + 1) for _ in range(3))
 
     aps_extension = bool(bs.u1())
     if aps_extension:
@@ -1246,7 +1250,12 @@ def write_aps(a: RefAps) -> bytes:
         if a.raht_prediction_enabled:
             w.ue(a.raht_prediction_threshold0)
             w.ue(a.raht_prediction_threshold1)
-    w.u1(0)                          # spherical_coord_flag
+    w.u1(a.spherical_coord)
+    if a.spherical_coord:
+        for v in a.attr_coord_scale:
+            nb = max(int(v).bit_length(), 1)
+            w.un(5, nb - 1)
+            w.un(nb, int(v))
     w.u1(1)                          # aps_extension_flag
     if a.attr_encoding == ATTR_RAHT:
         w.u1(a.integer_haar)

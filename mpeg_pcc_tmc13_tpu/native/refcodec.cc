@@ -2465,6 +2465,37 @@ extern "C" int tmc13ref_decode_octree_inter(
 extern "C" int64_t tmc13_div_approx(int64_t a, uint64_t b,
                                     int32_t log2Scale);
 
+// spherical attribute coordinates (aps.spherical_coord_flag): the
+// reference converts the decoded slice-local positions to
+// (radius, azimuth, laser) before attribute coding
+// (convertXyzToRpl, coordinate_conversion.cpp:45-69).  Returns the
+// converted positions; min/out give the pre-scale bbox minimum.
+extern "C" void tmc13ref_xyz_to_rpl(
+  const int32_t* positions, int n,
+  const int32_t* laser_origin,
+  const int32_t* theta_laser, int num_lasers,
+  int32_t* out_rpl, int32_t* out_min) {
+  out_min[0] = out_min[1] = out_min[2] = INT32_MAX;
+  for (int i = 0; i < n; i++) {
+    int32_t pos[3] = {positions[i * 3 + 0] - laser_origin[0],
+                      positions[i * 3 + 1] - laser_origin[1],
+                      positions[i * 3 + 2] - laser_origin[2]};
+    int laser = angularcore::findLaser(pos, theta_laser, num_lasers);
+    int64_t xL = int64_t(pos[0]) << 8;
+    int64_t yL = int64_t(pos[1]) << 8;
+    int32_t r = int32_t(
+      angularcore::isqrt(uint64_t(xL * xL + yL * yL)) >> 8);
+    int32_t phi = int32_t(
+      (angularcore::iatan2(int(yL), int(xL)) + 3294199) >> 8);
+    out_rpl[i * 3 + 0] = r;
+    out_rpl[i * 3 + 1] = phi;
+    out_rpl[i * 3 + 2] = laser;
+    for (int k = 0; k < 3; k++)
+      if (out_rpl[i * 3 + k] < out_min[k])
+        out_min[k] = out_rpl[i * 3 + k];
+  }
+}
+
 // z-coordinate compensation (geom_z_compensation_enabled_flag): the
 // lidar ground-height revision applied to the decoded cloud at
 // output (compensateZCoordinate, geometry_octree.cpp:781-850).

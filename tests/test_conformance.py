@@ -1781,3 +1781,57 @@ def test_angular_inter_encode_byte_identical(tmp_path):
         lasers_theta=theta_v, lasers_z=[0] * 16,
         lasers_num_phi=[2000] * 16)
     assert ours == bit.read_bytes()
+
+
+@pytest.mark.parametrize("tt", [0, 1, 2])
+def test_spherical_coord_attr_decode_bit_exact(tmp_path, tt):
+    """aps.spherical_coord_flag (the CTC lidar attribute setting):
+    the decoded slice is converted to (radius, azimuth, laser) and
+    scaled by the APS weights before attribute coding
+    (convertXyzToRpl + offsetAndScale, coordinate_conversion.cpp);
+    RAHT (0), predicting (1) and lifting (2) reflectance bricks all
+    decode bit-exactly."""
+    import sys
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", "..",
+                                    "scripts"))
+    from gen_clouds import make_lidar_frame, _hdl64_elevations
+    pos, refl = make_lidar_frame(0, n_lasers=16, steps=600)
+    pos = pos >> 6
+    _, first = np.unique(pos, axis=0, return_index=True)
+    first.sort()
+    src = tmp_path / "sph.ply"
+    bit = tmp_path / "sph.bin"
+    dec = tmp_path / "sph.dec.ply"
+    ply.write(ply.PlyCloud(positions=pos[first].astype(np.float64),
+                           reflectances=refl[first].astype(np.uint16)),
+              str(src), ascii=True)
+    theta = ",".join(
+        f"{t:.6f}" for t in np.tan(_hdl64_elevations(16)))
+    zeros = ",".join(["0"] * 16)
+    npt = ",".join(["2000"] * 16)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}",
+         "--positionQuantizationScale=1", "--mergeDuplicatedPoints=1",
+         "--neighbourAvailBoundaryLog2=8", "--angularEnabled=1",
+         "--planarEnabled=1", "--inferredDirectCodingMode=0",
+         "--numLasers=16", "--lidarHeadPosition=2048,2048,2048",
+         f"--lasersTheta={theta}", f"--lasersZ={zeros}",
+         f"--lasersNumPhiPerTurn={npt}",
+         f"--transformType={tt}", "--qp=34", "--bitdepth=8",
+         "--spherical_coord_flag=1", "--attribute=reflectance"],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={dec}", "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    frames, attrs = refdec.decode_stream(bit.read_bytes(),
+                                         want_attrs=True)
+    ref = ply.read(str(dec))
+    np.testing.assert_array_equal(ref.positions.astype(np.int64),
+                                  frames[0])
+    assert attrs[0] is not None
+    np.testing.assert_array_equal(
+        ref.reflectances.astype(np.int64),
+        attrs[0][:, 0].astype(np.int64))
