@@ -825,8 +825,8 @@ def decode_attr_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
                       positions_stv: np.ndarray,
                       gps: Optional[ref_hls.RefGps] = None,
                       gbh: Optional[ref_hls.RefGbh] = None,
-                      slice_local: Optional[np.ndarray] = None
-                      ) -> np.ndarray:
+                      slice_local: Optional[np.ndarray] = None,
+                      attr_ref=None) -> np.ndarray:
     """Decode one intra RAHT attribute brick against the slice's
     decoded positions (slice-local STV + slice origin, decode order).
     Returns attributes aligned with `positions_stv` rows, mirroring
@@ -876,13 +876,61 @@ def decode_attr_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
     n = len(codes_sorted)
     out = np.empty((n, dims), dtype=np.int32)
     c = ctypes
-    rc = lib.tmc13ref_decode_raht_attr(
-        aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
-        codes_sorted.ctypes.data_as(c.POINTER(c.c_int64)), n, dims,
-        qp_arr.ctypes.data_as(c.POINTER(c.c_int32)), len(layers),
-        bitdepth,
-        params.ctypes.data_as(c.POINTER(c.c_int32)),
-        out.ctypes.data_as(c.POINTER(c.c_int32)))
+    if (aps.attr_inter_prediction and abh.enable_attr_inter_pred
+            and attr_ref is not None):
+        # inter-RAHT: previous frame's attribute cloud at coding
+        # positions, morton-sorted (AttributeDecoder.cpp:570-593)
+        ref_pos, ref_attr = attr_ref
+        from ..utils import morton as _morton
+        ref_codes = _morton.encode(
+            np.ascontiguousarray(ref_pos, dtype=np.int64))
+        rorder = np.argsort(ref_codes, kind="stable")
+        ref_codes = np.ascontiguousarray(ref_codes[rorder])
+        ref_vals = np.ascontiguousarray(
+            np.asarray(ref_attr, dtype=np.int32)[rorder].reshape(-1))
+        iparams = np.asarray(
+            [aps.raht_inter_depth_minus1 + 1,
+             1 if aps.raht_send_inter_filters else 0,
+             aps.raht_inter_skip_layers,
+             1 if aps.raht_enable_code_layer else 0,
+             len(abh.raht_filter_taps),
+             len(abh.raht_attr_layer_code_mode)], dtype=np.int32)
+        taps = np.asarray(abh.raht_filter_taps or [0], dtype=np.int32)
+        modes = np.asarray(abh.raht_attr_layer_code_mode or [0],
+                           dtype=np.int32)
+        if not hasattr(lib.tmc13ref_decode_raht_attr_inter,
+                       "_configured"):
+            lib.tmc13ref_decode_raht_attr_inter.argtypes = [
+                c.POINTER(c.c_uint8), c.c_int,
+                c.POINTER(c.c_int64), c.c_int, c.c_int,
+                c.POINTER(c.c_int32), c.c_int, c.c_int,
+                c.POINTER(c.c_int32),
+                c.POINTER(c.c_int64), c.POINTER(c.c_int32), c.c_int,
+                c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+                c.POINTER(c.c_int32), c.POINTER(c.c_int32)]
+            lib.tmc13ref_decode_raht_attr_inter.restype = c.c_int
+            lib.tmc13ref_decode_raht_attr_inter._configured = True
+        rc = lib.tmc13ref_decode_raht_attr_inter(
+            aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
+            codes_sorted.ctypes.data_as(c.POINTER(c.c_int64)), n, dims,
+            qp_arr.ctypes.data_as(c.POINTER(c.c_int32)), len(layers),
+            bitdepth,
+            params.ctypes.data_as(c.POINTER(c.c_int32)),
+            ref_codes.ctypes.data_as(c.POINTER(c.c_int64)),
+            ref_vals.ctypes.data_as(c.POINTER(c.c_int32)),
+            int(ref_codes.shape[0]),
+            iparams.ctypes.data_as(c.POINTER(c.c_int32)),
+            taps.ctypes.data_as(c.POINTER(c.c_int32)),
+            modes.ctypes.data_as(c.POINTER(c.c_int32)),
+            out.ctypes.data_as(c.POINTER(c.c_int32)))
+    else:
+        rc = lib.tmc13ref_decode_raht_attr(
+            aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
+            codes_sorted.ctypes.data_as(c.POINTER(c.c_int64)), n, dims,
+            qp_arr.ctypes.data_as(c.POINTER(c.c_int32)), len(layers),
+            bitdepth,
+            params.ctypes.data_as(c.POINTER(c.c_int32)),
+            out.ctypes.data_as(c.POINTER(c.c_int32)))
     if rc != 0:
         raise RuntimeError(f"refattr decode failed rc={rc}")
 
@@ -915,14 +963,21 @@ def decode_stream(data: bytes, want_attrs: bool = False):
     last_slice_local: Optional[np.ndarray] = None
     last_gbh = None
     last_gps = None
+    # attribute inter prediction reference (previous frame's coding
+    # positions + decoded attributes)
+    attr_ref = None
+    next_attr_ref = None
     # previous frame's reconstruction for inter prediction
     # (storeCurrentCloudAsRef, decoder.cpp:165-172: the accumulated
     # slice-global STV cloud)
     ref_cloud: Optional[np.ndarray] = None
 
     def flush():
-        nonlocal ref_cloud
+        nonlocal ref_cloud, attr_ref, next_attr_ref
         if cur_slices:
+            if next_attr_ref is not None:
+                attr_ref = next_attr_ref
+                next_attr_ref = None
             gps0 = next(iter(gps_map.values())) if gps_map else None
             if (gps0 is not None and gps0.z_compensation
                     and gps0.angular_enabled):
@@ -990,8 +1045,20 @@ def decode_stream(data: bytes, want_attrs: bool = False):
             attrs = decode_attr_brick(sps, aps, abh_ids, payload,
                                       last_slice_pos,
                                       gps=last_gps, gbh=last_gbh,
-                                      slice_local=last_slice_local)
+                                      slice_local=last_slice_local,
+                                      attr_ref=attr_ref)
             cur_attrs.append(attrs)
+            if aps.attr_inter_prediction:
+                # this brick's attribute cloud becomes the next
+                # frame's reference (decoder.cpp:956-968: positions
+                # in the attribute coding domain + decoded values)
+                if aps.spherical_coord:
+                    ref_pos_attr = attr_coding_positions(
+                        sps, last_gps, last_gbh, aps,
+                        last_slice_local)
+                else:
+                    ref_pos_attr = last_slice_pos
+                next_attr_ref = (ref_pos_attr, attrs)
         elif t == ref_hls.T_FRAME_BOUNDARY:
             flush()
             cur_ctr = None

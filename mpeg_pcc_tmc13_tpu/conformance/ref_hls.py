@@ -950,6 +950,11 @@ class RefAps:
     attr_coord_scale: Tuple[int, int, int] = (0, 0, 0)
     integer_haar: bool = False
     attr_inter_prediction: bool = False
+    raht_inter_depth_minus1: int = 0
+    raht_send_inter_filters: bool = False
+    raht_inter_skip_layers: int = 0
+    raht_enable_code_layer: bool = False
+    attr_inter_pred_search_range: int = 0
     raht_extension: bool = False
     raht_subnode_prediction: bool = False
     raht_prediction_weights: Optional[List[int]] = None
@@ -1080,8 +1085,14 @@ def parse_aps(data: bytes) -> RefAps:
                 for _ in range(a.num_pred_nearest_neighbours_minus1 + 1)]
         a.attr_inter_prediction = bool(bs.u1())
         if a.attr_inter_prediction:
-            raise NotImplementedError(
-                "attribute interop: attribute inter prediction")
+            # inter-RAHT controls (io_hls.cpp:1246-1255)
+            if a.attr_encoding == ATTR_RAHT:
+                a.raht_inter_depth_minus1 = bs.ue()
+                a.raht_send_inter_filters = bool(bs.u1())
+                a.raht_inter_skip_layers = bs.ue()
+                a.raht_enable_code_layer = bool(bs.u1())
+            else:
+                a.attr_inter_pred_search_range = bs.ue()
         if (a.attr_encoding in (ATTR_PRED, ATTR_LIFT)
                 and not scalable_lifting
                 and not num_detail_levels_minus1):
@@ -1113,6 +1124,10 @@ class RefAbh:
     layer_qp_delta_luma: Optional[List[int]] = None
     layer_qp_delta_chroma: Optional[List[int]] = None
     attr_dist2_delta: int = 0
+    enable_attr_inter_pred: bool = False
+    disable_attr_inter_pred_ref2: bool = False
+    raht_filter_taps: List[int] = field(default_factory=list)
+    raht_attr_layer_code_mode: List[int] = field(default_factory=list)
     lcp_coeffs: Optional[List[int]] = None
     icp_coeffs: Optional[List[Tuple[int, int, int]]] = None
     header_bytes: int = 0
@@ -1175,8 +1190,18 @@ def parse_abh(sps: RefSps, aps: RefAps, data: bytes) -> RefAbh:
             "attribute interop: RAHT AC coefficient QP offsets")
 
     if aps.attr_inter_prediction:
-        raise NotImplementedError(
-            "attribute interop: attribute inter prediction")
+        # per-slice inter enable + RAHT filter taps / layer modes
+        # (parseAbh, io_hls.cpp:1994-2022)
+        h.enable_attr_inter_pred = bool(bs.u1())
+        h.disable_attr_inter_pred_ref2 = bool(bs.u1())
+        if h.enable_attr_inter_pred and aps.raht_send_inter_filters:
+            n_filters = bs.ue()
+            h.raht_filter_taps = [bs.se() for _ in range(n_filters)]
+        if (aps.raht_enable_code_layer and h.enable_attr_inter_pred
+                and aps.attr_encoding == ATTR_RAHT):
+            n_depth = bs.ue()
+            h.raht_attr_layer_code_mode = [bs.u1()
+                                           for _ in range(n_depth)]
 
     bs.byte_align()
     h.header_bytes = bs.tell_bytes()

@@ -853,10 +853,31 @@ static const int kLUTlog[16] = {0,   256, 406, 512, 594, 662, 719,  768,
                                 812, 850, 886, 918, 947, 975, 1000, 1024};
 static const int kLUTbins[11] = {1, 2, 3, 5, 5, 7, 7, 9, 9, 11, 11};
 
+// inter-RAHT reference set + controls (AttributeInterPredParams
+// paramsForInterRAHT, PCCTMC3Common.h:236-276): the previous frame's
+// attribute cloud at coding positions builds a second tree whose
+// transform-domain coefficients predict the current layer
+struct InterRaht {
+  const int64_t* refMorton = nullptr;  // ascending
+  const int32_t* refAttrs = nullptr;   // refCount * numAttrs
+  int refCount = 0;
+  int treeDepthLimit = 1;       // raht_inter_prediction_depth_minus1+1
+  bool enableFilterEstimation = false;  // raht_send_inter_filters
+  int skipInitLayers = 0;       // raht_inter_skip_layers
+  bool enableCodeLayer = false;  // raht_enable_code_layer
+  const int32_t* filterTaps = nullptr;  // abh quantised residues
+  int numFilterTaps = 0;
+  const int32_t* layerCodeMode = nullptr;  // abh per-depth modes
+  int numLayerModes = 0;
+};
+
+static const int64_t kFixedFilterTaps[7] = {128, 128, 128, 127,
+                                            125, 121, 115};
+
 static void urahtProcess(
   bool isEncoder, const PredParams& pp, const QpSet& qpset, int numPoints,
   int numAttrs, const int64_t* positions, int32_t* attributes,
-  int32_t* coeffBuf) {
+  int32_t* coeffBuf, const InterRaht* inter = nullptr) {
   int32_t* coeffBufItK[3] = {
     coeffBuf,
     coeffBuf + numPoints,
@@ -906,6 +927,31 @@ static void urahtProcess(
   weightsHf.reserve(numPoints);
   attrsHf.reserve(numPoints * numAttrs);
 
+  // inter reference tree (RAHT.cpp:1064-1115)
+  bool enableACInterPred = inter != nullptr && inter->refCount > 0;
+  const int treeDepthLimit = inter ? inter->treeDepthLimit : 0;
+  std::vector<UNode> weightsLf_ref, weightsHf_ref;
+  std::vector<int> attrsLf_ref, attrsHf_ref;
+  std::vector<int> levelHfPos_ref;
+  if (enableACInterPred) {
+    weightsLf_ref.reserve(inter->refCount);
+    attrsLf_ref.reserve(size_t(inter->refCount) * numAttrs);
+    for (int i = 0; i < inter->refCount; i++) {
+      UNode n;
+      n.pos = inter->refMorton[i];
+      n.weight = 1;
+      n.qp[0] = 0;
+      n.qp[1] = 0;
+      n.occupancy = 0;
+      n.firstChild = n.lastChild = 0;
+      weightsLf_ref.push_back(n);
+      for (int k = 0; k < numAttrs; k++)
+        attrsLf_ref.push_back(inter->refAttrs[i * numAttrs + k]);
+    }
+    weightsHf_ref.reserve(inter->refCount);
+    attrsHf_ref.reserve(size_t(inter->refCount) * numAttrs);
+  }
+
   // ascend
   std::vector<int> levelHfPos;
   int numDupNodes = numPoints;
@@ -919,6 +965,21 @@ static void urahtProcess(
     } else {
       numNodes = reduceLevel(level, numNodes, numAttrs, &weightsLf,
                              &weightsHf, &attrsLf, &attrsHf, pp.haar);
+    }
+  }
+
+  if (enableACInterPred) {
+    for (int level = 0, numNodes = int(weightsLf_ref.size());
+         numNodes > 1; level++) {
+      levelHfPos_ref.push_back(int(weightsHf_ref.size()));
+      if (level == 0)
+        numNodes = reduceUnique(numNodes, numAttrs, &weightsLf_ref,
+                                &weightsHf_ref, &attrsLf_ref,
+                                &attrsHf_ref, pp.haar);
+      else
+        numNodes = reduceLevel(level, numNodes, numAttrs,
+                               &weightsLf_ref, &weightsHf_ref,
+                               &attrsLf_ref, &attrsHf_ref, pp.haar);
     }
   }
 
@@ -937,9 +998,17 @@ static void urahtProcess(
   // descend
   weightsLf.resize(1);
   attrsLf.resize(numAttrs);
+  if (enableACInterPred) {
+    weightsLf_ref.resize(1);
+    attrsLf_ref.resize(numAttrs);
+  }
 
   int sumNodes = 0;
-  for (int level = int(levelHfPos.size()) - 1, isFirst = 1; level > 0;
+  int treeDepth = 0;
+  int depth = 0;
+  for (int level = int(levelHfPos.size()) - 1,
+           level_ref = int(levelHfPos_ref.size()) - 1, isFirst = 1;
+       level > 0;
        /*nop*/) {
     int numNodes = int(weightsHf.size()) - levelHfPos[level];
     sumNodes += numNodes;
@@ -950,13 +1019,41 @@ static void urahtProcess(
     weightsHf.resize(levelHfPos[level]);
     attrsHf.resize(levelHfPos[level] * numAttrs);
 
+    // inter reference expansion tracks the current level until the
+    // ref tree or the depth budget runs out (RAHT.cpp:1177-1194)
+    if (level_ref <= 0)
+      enableACInterPred = false;
+    if (treeDepth >= treeDepthLimit)
+      enableACInterPred = false;
+    if (enableACInterPred) {
+      int numNodes_ref =
+        int(weightsHf_ref.size()) - levelHfPos_ref[level_ref];
+      weightsLf_ref.resize(weightsLf_ref.size() + numNodes_ref);
+      attrsLf_ref.resize(attrsLf_ref.size() + numNodes_ref * numAttrs);
+      expandLevel(level_ref, numNodes_ref, numAttrs, &weightsLf_ref,
+                  &weightsHf_ref, &attrsLf_ref, &attrsHf_ref, pp.haar);
+      weightsHf_ref.resize(levelHfPos_ref[level_ref]);
+      attrsHf_ref.resize(levelHfPos_ref[level_ref] * numAttrs);
+    }
+    const bool enableACRDOInterPred =
+      inter && inter->enableCodeLayer && enableACInterPred;
+
     level--;
+    level_ref--;
     if (level % 3) continue;
     if (sumNodes == 0) continue;
 
     bool inheritDc = !isFirst;
     bool enablePredictionInLvl = inheritDc && pp.predictionEnabled;
     isFirst = 0;
+
+    // decode-side layer mode (RAHT.cpp:1254-1261)
+    bool curLevelEnableACInterPred = false;
+    if (enablePredictionInLvl && enableACRDOInterPred) {
+      int mode = depth < (inter ? inter->numLayerModes : 0)
+        ? inter->layerCodeMode[depth] : 0;
+      curLevelEnableACInterPred = mode != 0;
+    }
 
     if (enablePredictionInLvl) {
       for (auto& ele : weightsParent) ele.occupancy = 0;
@@ -975,6 +1072,30 @@ static void urahtProcess(
     // select quantiser according to transform layer
     qpLayer = std::min(qpLayer + 1, int(qpset.layers.size()) - 1);
 
+    // inter filter tap for this layer: fixed table or the quantised
+    // residues signalled in the ABH (RAHT.cpp:1268-1305)
+    int64_t interFilterTap = 128;
+    if (inter) {
+      if (!inter->enableFilterEstimation && enableACInterPred
+          && treeDepth < treeDepthLimit) {
+        int fi = treeDepth < 7 ? treeDepth : 6;
+        interFilterTap = kFixedFilterTaps[fi];
+      }
+      const bool parseTap = !isEncoder && inter->enableFilterEstimation
+        && treeDepth < inter->numFilterTaps + inter->skipInitLayers
+        && treeDepth >= inter->skipInitLayers;
+      if (parseTap) {
+        const int zeroQp[2] = {0, 0};
+        Quant q[2];
+        qpset.quantizers(qpLayer, zeroQp, q);
+        int idx = treeDepth - inter->skipInitLayers;
+        int64_t rec = divExp2RoundHalfUp(
+          q[0].scale(inter->filterTaps[idx]),
+          kFixedPointAttributeShift);
+        interFilterTap = 128 - rec;
+      }
+    }
+
     // previous reconstruction -> attrRecParent
     std::swap(attrRec, attrRecParent);
     std::swap(attrRecUs, attrRecParentUs);
@@ -984,14 +1105,47 @@ static void urahtProcess(
     int weightsParentIt = 0;
     int numGrandParentNeighIt = 0;
 
-    for (int i = 0, iLast, iEnd = int(weightsLf.size()); i < iEnd;
-         i = iLast) {
+    for (int i = 0, j = 0, iLast, jLast,
+             iEnd = int(weightsLf.size()),
+             jEnd = int(weightsLf_ref.size());
+         i < iEnd; i = iLast) {
       FP transformBuf[6][8] = {};
       FP(*transformPredBuf)[8] = &transformBuf[numAttrs];
+      FP transformInterPredBuf[3][8] = {};
       int weights[8 + 8 + 8 + 8] = {};
+      int weights_ref[8 + 8 + 8 + 8] = {};
       int nodeQp[8][2] = {};
       uint8_t occupancy = 0;
       int nodeCnt = 0;
+
+      // inter node alignment: advance the ref cursor to the sibling
+      // group at the same position (RAHT.cpp:1316-1334)
+      bool interNode = false;
+      if (curLevelEnableACInterPred
+          || (enableACInterPred && !enablePredictionInLvl)) {
+        const int64_t cur_pos = weightsLf[i].pos >> (level + 3);
+        int64_t ref_pos = weightsLf_ref[j].pos >> (level_ref + 3);
+        while (j < jEnd - 1 && cur_pos > ref_pos) {
+          j++;
+          ref_pos = weightsLf_ref[j].pos >> (level_ref + 3);
+        }
+        if (cur_pos == ref_pos)
+          interNode = true;
+      }
+      if (interNode) {
+        for (jLast = j; jLast < jEnd; jLast++) {
+          if (jLast > j
+              && !isSibling(weightsLf_ref[jLast].pos,
+                            weightsLf_ref[j].pos, level_ref + 3))
+            break;
+          int nodeIdx = int((weightsLf_ref[jLast].pos >> level_ref)
+                            & 0x7);
+          weights_ref[nodeIdx] = weightsLf_ref[jLast].weight;
+          for (int k = 0; k < numAttrs; k++)
+            transformInterPredBuf[k][nodeIdx] =
+              FP::fromInt(attrsLf_ref[jLast * numAttrs + k]);
+        }
+      }
 
       for (iLast = i; iLast < iEnd; iLast++) {
         int nextNode =
@@ -1012,13 +1166,16 @@ static void urahtProcess(
       }
 
       mkWeightTree(weights);
+      mkWeightTree(weights_ref);
 
       if (!inheritDc) {
-        for (int j = i, nodeIdx = 0; nodeIdx < 8; nodeIdx++) {
+        for (int jj = i, nodeIdx = 0; nodeIdx < 8; nodeIdx++) {
           if (!weights[nodeIdx]) continue;
-          numParentNeigh[j++] = 19;
+          numParentNeigh[jj++] = 19;
         }
       }
+      if (pp.rahtExtension && nodeCnt == 1)
+        interNode = false;
 
       // intra prediction
       bool enablePrediction = enablePredictionInLvl;
@@ -1061,6 +1218,24 @@ static void urahtProcess(
       }
 
       if (!pp.haar) {
+        // normalise the inter reference block; the decoder drops the
+        // intra prediction for inter nodes (RAHT.cpp:1448-1466)
+        if (interNode) {
+          for (int childIdx = 0; childIdx < 8; childIdx++) {
+            if (weights_ref[childIdx] <= 1) continue;
+            FP rsqrtWeight;
+            uint64_t w = uint64_t(weights_ref[childIdx]);
+            int shift = w > 1024 ? ilog2(w - 1) >> 1 : 0;
+            rsqrtWeight.val =
+              int64_t(irsqrt(w) >> (40 - shift - kFracBits));
+            for (int k = 0; k < numAttrs; k++) {
+              transformInterPredBuf[k][childIdx].val >>= shift;
+              transformInterPredBuf[k][childIdx] *= rsqrtWeight;
+            }
+          }
+          if (!isEncoder)
+            enablePrediction = false;
+        }
         // normalise summed (encoder) and predicted values
         for (int childIdx = 0; childIdx < 8; childIdx++) {
           if (weights[childIdx] <= 1) continue;
@@ -1086,7 +1261,9 @@ static void urahtProcess(
       }
 
       // forward transform: encoder transforms sums (and prediction);
-      // decoder transforms prediction only (RAHT.cpp:1500-1549)
+      // decoder transforms prediction only (RAHT.cpp:1500-1549); for
+      // inter nodes the (filtered) reference block replaces the
+      // transform-domain prediction
       if (pp.haar) {
         if (isEncoder && enablePrediction)
           fwdTransformBlock222<HaarKernel>(2 * numAttrs, transformBuf,
@@ -1097,6 +1274,17 @@ static void urahtProcess(
         else if (enablePrediction)
           fwdTransformBlock222<HaarKernel>(numAttrs, transformPredBuf,
                                            weights);
+        if (interNode) {
+          fwdTransformBlock222<HaarKernel>(numAttrs,
+                                           transformInterPredBuf,
+                                           weights_ref);
+          for (int childIdx = 0; childIdx < 8; childIdx++)
+            for (int k = 0; k < numAttrs; k++)
+              // NB: integer haar is not compatible with the filter
+              transformPredBuf[k][childIdx].val =
+                transformInterPredBuf[k][childIdx].val;
+          enablePrediction = true;
+        }
       } else {
         if (isEncoder && enablePrediction)
           fwdTransformBlock222<RahtKernel>(2 * numAttrs, transformBuf,
@@ -1107,6 +1295,20 @@ static void urahtProcess(
         else if (enablePrediction)
           fwdTransformBlock222<RahtKernel>(numAttrs, transformPredBuf,
                                            weights);
+        if (interNode) {
+          fwdTransformBlock222<RahtKernel>(numAttrs,
+                                           transformInterPredBuf,
+                                           weights_ref);
+          for (int childIdx = 0; childIdx < 8; childIdx++)
+            for (int k = 0; k < numAttrs; k++) {
+              int64_t refVal = transformInterPredBuf[k][childIdx].val;
+              int64_t filteredVal =
+                (inter && treeDepth < inter->skipInitLayers)
+                ? refVal : (refVal * interFilterTap) >> 7;
+              transformPredBuf[k][childIdx].val = filteredVal;
+            }
+          enablePrediction = true;
+        }
       }
 
       // per-coefficient (scanBlock order, RAHT.cpp:776-795):
@@ -1245,8 +1447,11 @@ static void urahtProcess(
       }
     }
 
+    if (enablePredictionInLvl && enableACRDOInterPred)
+      ++depth;
     sumNodes = 0;
     weightsParent = weightsLf;
+    treeDepth++;
   }
 
   // process duplicate points at level 0 (RAHT.cpp:1839-1965)
@@ -1448,6 +1653,90 @@ int tmc13ref_decode_raht_attr(
   std::vector<int32_t> attributes(size_t(numAttrs) * voxelCount, 0);
   urahtProcess(false, pp, qpset, voxelCount, numAttrs, mortonSorted,
                attributes.data(), coefficients.data());
+
+  const int32_t clipMax = (1 << bitdepth) - 1;
+  for (int n = 0; n < voxelCount * numAttrs; n++)
+    attrsOut[n] = std::min(std::max(attributes[n], 0), clipMax);
+
+  return 0;
+}
+
+// Decode one INTER RAHT attribute brick: like
+// tmc13ref_decode_raht_attr but with the previous frame's attribute
+// cloud (morton-sorted coding positions + reconstructed values) as
+// the transform-domain reference (AttributeInterPredParams
+// paramsForInterRAHT; RAHT.cpp inter paths).
+//   iparams: [0] raht_inter_prediction_depth_minus1+1
+//            [1] raht_send_inter_filters  [2] raht_inter_skip_layers
+//            [3] raht_enable_code_layer
+//            [4] num filter taps          [5] num layer modes
+int tmc13ref_decode_raht_attr_inter(
+  const uint8_t* payload, int payload_len, const int64_t* mortonSorted,
+  int voxelCount, int numAttrs, const int32_t* qpLayers, int numQpLayers,
+  int bitdepth, const int32_t* params,
+  const int64_t* refMorton, const int32_t* refAttrs, int refCount,
+  const int32_t* iparams, const int32_t* filterTaps,
+  const int32_t* layerModes, int32_t* attrsOut) {
+  using namespace refattr;
+
+  if (numAttrs != 1 && numAttrs != 3) return -1;
+  if (voxelCount <= 0) return -2;
+
+  PredParams pp;
+  pp.predictionEnabled = params[0] != 0;
+  pp.haar = params[1] != 0;
+  pp.threshold0 = params[2];
+  pp.threshold1 = params[3];
+  pp.subnodePrediction = params[4] != 0;
+  pp.searchRange = params[5];
+  pp.rahtExtension = params[6] != 0;
+  for (int i = 0; i < 19; i++) pp.predWeightParent[i] = params[8 + i];
+  for (int i = 0; i < 12; i++) pp.predWeightChild[i] = params[27 + i];
+
+  QpSet qpset;
+  qpset.maxQp = 51 + 6 * (bitdepth - 8);
+  for (int l = 0; l < numQpLayers; l++)
+    qpset.layers.push_back({qpLayers[2 * l], qpLayers[2 * l + 1]});
+
+  ArithDec aec;
+  aec.chunked = params[39] != 0;
+  aec.init(payload, size_t(payload_len));
+  aec.bypassNoUpdate = params[7] != 0;
+  AttrCtx ctx;
+  ctx.init();
+
+  std::vector<int32_t> coefficients(size_t(numAttrs) * voxelCount, 0);
+  int zeroRunRem = 0;
+  for (int n = 0; n < voxelCount; ++n) {
+    if (--zeroRunRem < 0) zeroRunRem = decodeRunLength(aec, ctx);
+    if (numAttrs == 1) {
+      int32_t value = 0;
+      if (!zeroRunRem) value = decodeScalar(aec, ctx);
+      coefficients[n] = value;
+    } else {
+      int32_t values[3] = {};
+      if (!zeroRunRem) decodeTriplet(aec, ctx, values);
+      for (int d = 0; d < 3; ++d)
+        coefficients[voxelCount * d + n] = values[d];
+    }
+  }
+
+  InterRaht inter;
+  inter.refMorton = refMorton;
+  inter.refAttrs = refAttrs;
+  inter.refCount = refCount;
+  inter.treeDepthLimit = iparams[0];
+  inter.enableFilterEstimation = iparams[1] != 0;
+  inter.skipInitLayers = iparams[2];
+  inter.enableCodeLayer = iparams[3] != 0;
+  inter.numFilterTaps = iparams[4];
+  inter.numLayerModes = iparams[5];
+  inter.filterTaps = filterTaps;
+  inter.layerCodeMode = layerModes;
+
+  std::vector<int32_t> attributes(size_t(numAttrs) * voxelCount, 0);
+  urahtProcess(false, pp, qpset, voxelCount, numAttrs, mortonSorted,
+               attributes.data(), coefficients.data(), &inter);
 
   const int32_t clipMax = (1 << bitdepth) - 1;
   for (int n = 0; n < voxelCount * numAttrs; n++)

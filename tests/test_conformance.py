@@ -1835,3 +1835,118 @@ def test_spherical_coord_attr_decode_bit_exact(tmp_path, tt):
     np.testing.assert_array_equal(
         ref.reflectances.astype(np.int64),
         attrs[0][:, 0].astype(np.int64))
+
+
+def _inter_attr_frames(tmp_path):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", "..",
+                                    "scripts"))
+    from gen_clouds import make_lidar_frame
+    for i in range(3):
+        pos, refl = make_lidar_frame(i, n_lasers=16, steps=600,
+                                     ego_speed=2.0)
+        pos = pos >> 6
+        _, first = np.unique(pos, axis=0, return_index=True)
+        first.sort()
+        ply.write(
+            ply.PlyCloud(positions=pos[first].astype(np.float64),
+                         reflectances=refl[first].astype(np.uint16)),
+            str(tmp_path / f"ia_{i:04d}.ply"), ascii=True)
+
+
+@pytest.mark.parametrize("variant,extra", [
+    ("codelayer", []),
+    ("filters", ["--rahtInterSendFilters=1"]),
+])
+def test_inter_raht_attr_decode_bit_exact(tmp_path, variant, extra):
+    """Inter-RAHT attributes: the previous frame's attribute cloud
+    predicts the current RAHT layers in the transform domain
+    (paramsForInterRAHT, RAHT.cpp inter paths) — per-layer code modes,
+    fixed and ABH-signalled filter taps; reflectance bricks decode
+    bit-exactly across a 3-frame inter sequence."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    _inter_attr_frames(tmp_path)
+    bit = tmp_path / f"ia_{variant}.bin"
+    subprocess.run(
+        [TMC3, "--mode=0",
+         f"--uncompressedDataPath={tmp_path}/ia_%04d.ply",
+         f"--compressedStreamPath={bit}",
+         "--frameCount=3", "--randomAccessPeriod=8",
+         "--interPredictionEnabled=1", "--globalMotionEnabled=1",
+         "--lpuType=1", "--positionQuantizationScale=1",
+         "--mergeDuplicatedPoints=1", "--planarEnabled=1",
+         "--inferredDirectCodingMode=0",
+         "--neighbourAvailBoundaryLog2=8", "--angularEnabled=0",
+         "--transformType=0", "--qp=34", "--bitdepth=8",
+         "--attributeInterPredictionEnabled=1", *extra,
+         "--attribute=reflectance"],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={tmp_path}/ia_{variant}_%04d.ply",
+         "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    frames, attrs = refdec.decode_stream(bit.read_bytes(),
+                                         want_attrs=True)
+    for i in range(3):
+        ref = ply.read(str(tmp_path / f"ia_{variant}_{i:04d}.ply"))
+        np.testing.assert_array_equal(ref.positions.astype(np.int64),
+                                      np.asarray(frames[i]))
+        assert attrs[i] is not None
+        np.testing.assert_array_equal(
+            ref.reflectances.astype(np.int64),
+            attrs[i][:, 0].astype(np.int64))
+
+
+def test_inter_raht_attr_ctc_combo_decode(tmp_path):
+    """The full CTC cat3 inter shape: angular octree inter geometry
+    (external GM, cuboid LPU, IDCM 3) + spherical-coordinate
+    inter-RAHT reflectance with estimated filters decodes
+    bit-exactly."""
+    import sys
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", "..",
+                                    "scripts"))
+    from gen_clouds import _hdl64_elevations
+    _inter_attr_frames(tmp_path)
+    gm = tmp_path / "gm.txt"
+    gm.write_text("1 0 0 0 1 0 0 0 1 0 0 0 2200 1800\n" * 3)
+    theta = ",".join(
+        f"{t:.6f}" for t in np.tan(_hdl64_elevations(16)))
+    zeros = ",".join(["0"] * 16)
+    npt = ",".join(["2000"] * 16)
+    bit = tmp_path / "ia_ctc.bin"
+    subprocess.run(
+        [TMC3, "--mode=0",
+         f"--uncompressedDataPath={tmp_path}/ia_%04d.ply",
+         f"--compressedStreamPath={bit}",
+         "--frameCount=3", "--randomAccessPeriod=8",
+         "--interPredictionEnabled=1", "--globalMotionEnabled=1",
+         "--lpuType=1", f"--motionVectorPath={gm}",
+         "--positionQuantizationScale=1", "--mergeDuplicatedPoints=1",
+         "--planarEnabled=1", "--inferredDirectCodingMode=3",
+         "--neighbourAvailBoundaryLog2=8", "--angularEnabled=1",
+         "--numLasers=16", "--lidarHeadPosition=2048,2048,2048",
+         f"--lasersTheta={theta}", f"--lasersZ={zeros}",
+         f"--lasersNumPhiPerTurn={npt}",
+         "--transformType=0", "--qp=34", "--bitdepth=8",
+         "--attributeInterPredictionEnabled=1",
+         "--rahtInterSendFilters=1", "--spherical_coord_flag=1",
+         "--rahtInterPredictionDepthMinus1=7",
+         "--attribute=reflectance"],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={tmp_path}/ia_ctc_%04d.ply",
+         "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    frames, attrs = refdec.decode_stream(bit.read_bytes(),
+                                         want_attrs=True)
+    for i in range(3):
+        ref = ply.read(str(tmp_path / f"ia_ctc_{i:04d}.ply"))
+        np.testing.assert_array_equal(ref.positions.astype(np.int64),
+                                      np.asarray(frames[i]))
+        assert attrs[i] is not None
+        np.testing.assert_array_equal(
+            ref.reflectances.astype(np.int64),
+            attrs[i][:, 0].astype(np.int64))
