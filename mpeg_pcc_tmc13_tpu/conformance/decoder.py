@@ -726,11 +726,15 @@ def _predlift_params(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
 
 def _decode_predlift_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
                            abh: ref_hls.RefAbh, payload: bytes,
-                           positions_stv: np.ndarray) -> np.ndarray:
-    """Decode one intra predicting/lifting attribute brick, mirroring
+                           positions_stv: np.ndarray,
+                           attr_ref=None) -> np.ndarray:
+    """Decode one predicting/lifting attribute brick, mirroring
     AttributeDecoder::decode{Reflectances,Colors}{Pred,Lift}
     (/root/reference/tmc3/AttributeDecoder.cpp:328-861) through the
-    native normative port (native/refpredlift.cc)."""
+    native normative port (native/refpredlift.cc).  With attribute
+    inter prediction active (abh.enableAttrInterPred), the previous
+    frame's attribute-coordinate cloud joins the LoD candidate pool
+    after bbox filtering (decoder.cpp:926-947)."""
     lib = _load()
     c = ctypes
     if not hasattr(lib.tmc13ref_decode_predlift, "_configured"):
@@ -741,6 +745,11 @@ def _decode_predlift_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
             c.POINTER(c.c_uint8), c.c_int, c.POINTER(c.c_int32)]
         lib.tmc13ref_decode_predlift.restype = c.c_int
         lib.tmc13ref_decode_predlift._configured = True
+        lib.tmc13ref_decode_predlift_inter.argtypes = (
+            lib.tmc13ref_decode_predlift.argtypes
+            + [c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int,
+               c.c_int])
+        lib.tmc13ref_decode_predlift_inter.restype = c.c_int
 
     dims = sps.attr_dims[abh.sps_attr_idx]
     layers = ref_hls.derive_layer_qps(aps, abh)
@@ -769,11 +778,43 @@ def _decode_predlift_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
     def p32(a):
         return a.ctypes.data_as(c.POINTER(c.c_int32))
 
-    rc = lib.tmc13ref_decode_predlift(
-        p32(pos32), n, p32(params), p32(periods), p32(qp_arr),
-        p32(lcp), p32(icp),
-        aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
-        p32(out))
+    inter_on = (aps.attr_inter_prediction and abh.enable_attr_inter_pred
+                and attr_ref is not None)
+    if inter_on:
+        # referencePointCloud = previous frame's attribute-coordinate
+        # cloud filtered to the current frame's bounding box,
+        # order-preserving (decoder.cpp:928-947)
+        ref_pos, ref_attr = attr_ref
+        ref_pos = np.asarray(ref_pos, dtype=np.int64)
+        ref_attr = np.asarray(ref_attr, dtype=np.int32).reshape(
+            ref_pos.shape[0], -1)
+        lo = pos32.min(axis=0).astype(np.int64)
+        hi = pos32.max(axis=0).astype(np.int64)
+        keep = np.all((ref_pos >= lo[None, :]) & (ref_pos <= hi[None, :]),
+                      axis=1)
+        rpos = np.ascontiguousarray(ref_pos[keep], dtype=np.int32)
+        rattr = np.ascontiguousarray(ref_attr[keep].reshape(-1),
+                                     dtype=np.int32)
+        nref = int(rpos.shape[0])
+        if nref:
+            rc = lib.tmc13ref_decode_predlift_inter(
+                p32(pos32), n, p32(params), p32(periods), p32(qp_arr),
+                p32(lcp), p32(icp),
+                aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
+                p32(out), p32(rpos), p32(rattr), nref,
+                int(aps.attr_inter_pred_search_range))
+        else:
+            rc = lib.tmc13ref_decode_predlift(
+                p32(pos32), n, p32(params), p32(periods), p32(qp_arr),
+                p32(lcp), p32(icp),
+                aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
+                p32(out))
+    else:
+        rc = lib.tmc13ref_decode_predlift(
+            p32(pos32), n, p32(params), p32(periods), p32(qp_arr),
+            p32(lcp), p32(icp),
+            aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
+            p32(out))
     if rc < 0:
         raise RuntimeError(f"refpredlift decode failed rc={rc}")
     return out
@@ -841,7 +882,7 @@ def decode_attr_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
                                               slice_local)
     if aps.attr_encoding in (ref_hls.ATTR_PRED, ref_hls.ATTR_LIFT):
         return _decode_predlift_brick(sps, aps, abh, payload,
-                                      positions_stv)
+                                      positions_stv, attr_ref)
     if aps.attr_encoding != ref_hls.ATTR_RAHT:
         raise UnsupportedTool("non-RAHT attribute brick")
     lib = _load()

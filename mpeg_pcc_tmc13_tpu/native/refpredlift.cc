@@ -135,13 +135,25 @@ static inline int64_t divApprox(int64_t a, uint64_t b, int32_t log2Scale) {
 
 // mortonAddr (PCCMath.h:605-626): x at bit 3k+2, y at 3k+1, z at 3k
 static inline int64_t mortonAddr(const V3& p) {
-  int64_t a = 0;
-  for (int b = 0; b < 21; b++) {
-    a |= int64_t((p.d[0] >> b) & 1) << (3 * b + 2);
-    a |= int64_t((p.d[1] >> b) & 1) << (3 * b + 1);
-    a |= int64_t((p.d[2] >> b) & 1) << (3 * b);
+  // PCCMath.h:606-620: three byte-table levels interleaving bits
+  // 0..23 of each axis' two's complement — for NEGATIVE coordinates
+  // (spherical azimuth under inter prediction keeps minPos = 0) the
+  // sign bits land in the upper fields and the int64 accumulate
+  // wraps; both behaviours are normatively visible via the sort
+  uint64_t a = 0;
+  for (int lvl = 2; lvl >= 0; lvl--) {
+    const uint32_t xb = uint32_t(p.d[0] >> (8 * lvl)) & 0xFF;
+    const uint32_t yb = uint32_t(p.d[1] >> (8 * lvl)) & 0xFF;
+    const uint32_t zb = uint32_t(p.d[2] >> (8 * lvl)) & 0xFF;
+    uint64_t m = 0;
+    for (int b = 0; b < 8; b++) {
+      m |= uint64_t((xb >> b) & 1) << (3 * b + 2);
+      m |= uint64_t((yb >> b) & 1) << (3 * b + 1);
+      m |= uint64_t((zb >> b) & 1) << (3 * b);
+    }
+    a = (a << 24) | m;
   }
-  return a;
+  return int64_t(a);
 }
 
 // morton3dAdd (PCCMisc.h:244-256)
@@ -260,6 +272,7 @@ struct NeighInfo {
   uint64_t weight = 0;
   uint32_t predictorIndex = 0;
   uint32_t pointIndex = 0;
+  bool interFrameRef = false;  // neighbour lives in the reference frame
 };
 
 struct Predictor {
@@ -308,16 +321,27 @@ struct Predictor {
     }
   }
 
-  // PCCPredictor::blendWeights (PCCTMC3Common.h:639-695), intra form
+  // PCCPredictor::blendWeights (PCCTMC3Common.h:639-695); with inter
+  // prediction the neighbour positions resolve by pointIndex against
+  // the current or reference cloud
   void blendWeights(const std::vector<V3>& positions,
-                    const std::vector<uint32_t>& indexes) {
+                    const std::vector<uint32_t>& indexes,
+                    bool interRef = false,
+                    const std::vector<V3>* positionsRef = nullptr) {
     if (neighborCount != 3) return;
     int w0 = int(neighbors[0].weight);
     int w1 = int(neighbors[1].weight);
     int w2 = int(neighbors[2].weight);
-    const V3& n0 = positions[indexes[neighbors[0].predictorIndex]];
-    const V3& n1 = positions[indexes[neighbors[1].predictorIndex]];
-    const V3& n2 = positions[indexes[neighbors[2].predictorIndex]];
+    const V3* np[3];
+    for (int i = 0; i < 3; i++)
+      np[i] = interRef
+        ? (neighbors[i].interFrameRef
+             ? &(*positionsRef)[neighbors[i].pointIndex]
+             : &positions[neighbors[i].pointIndex])
+        : &positions[indexes[neighbors[i].predictorIndex]];
+    const V3& n0 = *np[0];
+    const V3& n1 = *np[1];
+    const V3& n2 = *np[2];
     const int d = 10, bb = 1, cc = 5;
     int64_t dist01 = norm2(sub(n0, n1));
     int64_t dist02 = norm2(sub(n0, n2));
@@ -349,26 +373,33 @@ struct NNState {
   int32_t localIndexes[6];
   int64_t minDistances[6];
   int32_t index2;
+  bool interRef;       // inter machinery active (localRef tracked)
+  bool localRef[6];    // candidate came from the reference frame
   void init() {
     for (int k = 0; k < 6; k++) {
       localIndexes[k] = -1;
       minDistances[k] = std::numeric_limits<int64_t>::max();
+      localRef[k] = false;
     }
     index2 = 3;
+    interRef = false;
   }
 };
 
 // updateNearestNeighByDistanceAndDistribution (:944-1024)
 static void updateNNDist(const V3& p0, const V3& p1, int32_t index,
-                         NNState& st) {
+                         NNState& st, bool predRef = false) {
   auto& localIndexes = st.localIndexes;
   auto& minDistances = st.minDistances;
+  auto& localRef = st.localRef;
+  const bool interRef = st.interRef;
   int64_t d = norm1(sub(p0, p1));
   if (d > minDistances[2]) {
     // nothing
   } else if (d < minDistances[0]) {
     if (localIndexes[2] != -1) {
       localIndexes[st.index2] = localIndexes[2];
+      if (interRef) localRef[st.index2] = localRef[2];
       ++st.index2;
     }
     minDistances[2] = minDistances[1];
@@ -377,33 +408,49 @@ static void updateNNDist(const V3& p0, const V3& p1, int32_t index,
     localIndexes[2] = localIndexes[1];
     localIndexes[1] = localIndexes[0];
     localIndexes[0] = index;
+    if (interRef) {
+      localRef[2] = localRef[1];
+      localRef[1] = localRef[0];
+      localRef[0] = predRef;
+    }
   } else if (d < minDistances[1]) {
     if (localIndexes[2] != -1) {
       localIndexes[st.index2] = localIndexes[2];
+      if (interRef) localRef[st.index2] = localRef[2];
       ++st.index2;
     }
     minDistances[2] = minDistances[1];
     minDistances[1] = d;
     localIndexes[2] = localIndexes[1];
     localIndexes[1] = index;
+    if (interRef) {
+      localRef[2] = localRef[1];
+      localRef[1] = predRef;
+    }
   } else if (d < minDistances[2]) {
     if (localIndexes[2] != -1) {
       localIndexes[st.index2] = localIndexes[2];
+      if (interRef) localRef[st.index2] = localRef[2];
       ++st.index2;
     }
     minDistances[2] = d;
     localIndexes[2] = index;
+    if (interRef) localRef[2] = predRef;
   } else if (localIndexes[5] == -1) {
     localIndexes[st.index2] = index;
+    if (interRef) localRef[st.index2] = predRef;
     ++st.index2;
   }
   if (st.index2 == 6) st.index2 = 3;
 }
 
 // updateNearestNeigh (:1026-1077)
-static void updateNN(const V3& p0, const V3& p1, int32_t index, NNState& st) {
+static void updateNN(const V3& p0, const V3& p1, int32_t index, NNState& st,
+                     bool predRef = false) {
   auto& localIndexes = st.localIndexes;
   auto& minDistances = st.minDistances;
+  auto& localRef = st.localRef;
+  const bool interRef = st.interRef;
   int64_t d = norm1(sub(p0, p1));
   if (d >= minDistances[2]) {
     // nothing
@@ -414,32 +461,58 @@ static void updateNN(const V3& p0, const V3& p1, int32_t index, NNState& st) {
     localIndexes[2] = localIndexes[1];
     localIndexes[1] = localIndexes[0];
     localIndexes[0] = index;
+    if (interRef) {
+      localRef[2] = localRef[1];
+      localRef[1] = localRef[0];
+      localRef[0] = predRef;
+    }
   } else if (d < minDistances[1]) {
     minDistances[2] = minDistances[1];
     minDistances[1] = d;
     localIndexes[2] = localIndexes[1];
     localIndexes[1] = index;
+    if (interRef) {
+      localRef[2] = localRef[1];
+      localRef[1] = predRef;
+    }
   } else {
     minDistances[2] = d;
     localIndexes[2] = index;
+    if (interRef) localRef[2] = predRef;
   }
 }
 
 // ...WithCheck variants (:1079-1146)
 static void updateNNDistCheck(const V3& p0, const V3& p1, int32_t index,
-                              NNState& st) {
+                              NNState& st, bool predRef = false) {
   const auto& li = st.localIndexes;
-  if (index == li[0] || index == li[1] || index == li[2] || index == li[3]
-      || index == li[4] || index == li[5])
+  const auto& lr = st.localRef;
+  if (st.interRef) {
+    if ((index == li[0] && predRef == lr[0])
+        || (index == li[1] && predRef == lr[1])
+        || (index == li[2] && predRef == lr[2])
+        || (index == li[3] && predRef == lr[3])
+        || (index == li[4] && predRef == lr[4])
+        || (index == li[5] && predRef == lr[5]))
+      return;
+  } else if (index == li[0] || index == li[1] || index == li[2]
+             || index == li[3] || index == li[4] || index == li[5])
     return;
-  updateNNDist(p0, p1, index, st);
+  updateNNDist(p0, p1, index, st, predRef);
 }
 
 static void updateNNCheck(const V3& p0, const V3& p1, int32_t index,
-                          NNState& st) {
+                          NNState& st, bool predRef = false) {
   const auto& li = st.localIndexes;
-  if (index == li[0] || index == li[1] || index == li[2]) return;
-  updateNN(p0, p1, index, st);
+  const auto& lr = st.localRef;
+  if (st.interRef) {
+    if ((index == li[0] && predRef == lr[0])
+        || (index == li[1] && predRef == lr[1])
+        || (index == li[2] && predRef == lr[2]))
+      return;
+  } else if (index == li[0] || index == li[1] || index == li[2])
+    return;
+  updateNN(p0, p1, index, st, predRef);
 }
 
 // aps/abh parameters relevant to the intra predlift path
@@ -673,7 +746,15 @@ static void computeNearestNeighbors(
   int32_t endIndex, int32_t lodIndex, std::vector<uint32_t>& indexes,
   std::vector<Predictor>& predictors,
   std::vector<uint32_t>& pointIndexToPredictorIndex, int32_t& predIndex,
-  MortonIndexMap3d& atlas, const std::vector<V3>& biasedPos) {
+  MortonIndexMap3d& atlas, const std::vector<V3>& biasedPos,
+  // attribute inter prediction (PCCTMC3Common.h:1147+ inter form):
+  // the whole sorted reference cloud joins the candidate pool at
+  // every LoD (the reference LoD index array is the identity)
+  bool interRef = false,
+  const std::vector<PackedVoxel>* packedVoxelRef = nullptr,
+  const std::vector<V3>* biasedPosRefP = nullptr,
+  MortonIndexMap3d* interAtlasP = nullptr,
+  int32_t interSearchRange = 0) {
   constexpr int32_t searchRangeNear = 2;
   constexpr int32_t bucketSizeLog2 = 5;
   constexpr int32_t bucketSize = 1 << bucketSizeLog2;
@@ -686,9 +767,16 @@ static void computeNearestNeighbors(
 
   const int32_t retainedSize = int32_t(retained.size());
   const int32_t indexesSize = endIndex - startIndex;
-  const auto rangeInterLod = pp.interLodSearchRange;
-  const auto rangeIntraLod = pp.intraLodSearchRange;
+  // with inter prediction both search ranges take the ABH value
+  const auto rangeInterLod =
+    interRef ? interSearchRange : pp.interLodSearchRange;
+  const auto rangeIntraLod =
+    interRef ? interSearchRange : pp.intraLodSearchRange;
   const bool dist = pp.predictionWithDistribution != 0;
+  const int32_t interAtlasBits =
+    interRef ? 3 * interAtlasP->cubeSizeLog2() : 0;
+  const int32_t interAtlasBoundaryBit =
+    std::min(63, shiftBits3 + interAtlasBits);
 
   static const uint8_t kNeighOffset[27] = {
     7, 3, 5, 6, 35, 21, 14, 28, 42, 49, 12, 10, 17, 20,
@@ -711,6 +799,23 @@ static void computeNearestNeighbors(
     hIntraBBoxes.update();
   }
 
+  // reference-side hierarchy over the whole sorted ref cloud
+  const int32_t indexesSizeRef =
+    interRef ? int32_t(packedVoxelRef->size()) : 0;
+  BoxHierarchy hIntraBBoxesRef;
+  if (interRef) {
+    hIntraBBoxesRef.resize(indexesSizeRef);
+    for (int32_t i = 0; i < indexesSizeRef; ++i)
+      hIntraBBoxesRef.insert((*biasedPosRefP)[size_t(i)], i);
+    hIntraBBoxesRef.update();
+  }
+  int jRef = 0;
+  std::vector<int32_t> neighborInterIndexes;
+  neighborInterIndexes.reserve(64);
+  int64_t curInterAtlasId = -1;
+  int64_t lastInterMortonCodeShift3 = -1;
+  int64_t cubeInterIndex = 0;
+
   const auto bucketSize0Log2 = hBBoxes.bucketSizeLog2(0);
   const auto bucketSize1Log2 = hBBoxes.bucketSizeLog2(1);
   const auto bucketSize2Log2 = hBBoxes.bucketSizeLog2(2);
@@ -723,6 +828,7 @@ static void computeNearestNeighbors(
   for (int32_t i = startIndex, j = 0; i < endIndex; ++i) {
     NNState st;
     st.init();
+    st.interRef = interRef;
     auto& localIndexes = st.localIndexes;
     auto& minDistances = st.minDistances;
 
@@ -970,6 +1076,161 @@ static void computeNearestNeighbors(
       }
     }
 
+    // inter-frame candidates (PCCTMC3Common.h:1606-1795): a 27-cube
+    // atlas pass over the reference cloud, then forward/backward
+    // Morton windows of attrInterPredSearchRange around the cursor
+    if (interRef) {
+      const auto& packedVoxelRefV = *packedVoxelRef;
+      const auto& biasedPosRef = *biasedPosRefP;
+      auto& interAtlas = *interAtlasP;
+      const int64_t interPointAtlasId = mortonCode >> interAtlasBoundaryBit;
+      if (curInterAtlasId != interPointAtlasId) {
+        curInterAtlasId = interPointAtlasId;
+        interAtlas.clearUpdates();
+        while (cubeInterIndex < indexesSizeRef
+               && (packedVoxelRefV[size_t(cubeInterIndex)].mortonCode
+                   >> interAtlasBoundaryBit)
+                 == curInterAtlasId) {
+          interAtlas.set(
+            packedVoxelRefV[size_t(cubeInterIndex)].mortonCode >> shiftBits3,
+            int32_t(cubeInterIndex));
+          ++cubeInterIndex;
+        }
+      }
+      if (lastInterMortonCodeShift3 != mortonCodeShiftBits3) {
+        lastInterMortonCodeShift3 = mortonCodeShiftBits3;
+        const auto basePosition =
+          morton3dAdd(uint64_t(mortonCodeShiftBits3), uint64_t(-1ll));
+        neighborInterIndexes.resize(0);
+        for (int32_t n = 0; n < 27; ++n) {
+          const auto neighbMortonCode =
+            morton3dAdd(basePosition, kNeighOffset[n]);
+          // NB: the reference shifts by the INTRA atlas width here
+          // (PCCTMC3Common.h:1629 uses atlasBits, not interAtlasBits),
+          // which starves the inter atlas pass at fine LoDs — the
+          // quirk is normatively visible and mirrored
+          if (int64_t(neighbMortonCode >> atlasBits) != curInterAtlasId)
+            continue;
+          const auto range = interAtlas.get(int64_t(neighbMortonCode));
+          for (int32_t k = range.start; k < range.end; ++k)
+            neighborInterIndexes.push_back(k);
+        }
+      }
+      for (const auto k : neighborInterIndexes) {
+        if (dist)
+          updateNNDist(bpoint, biasedPosRef[size_t(k)], k, st, true);
+        else
+          updateNN(bpoint, biasedPosRef[size_t(k)], k, st, true);
+      }
+
+      if (indexesSizeRef > 0) {
+        while (jRef < indexesSizeRef - 1
+               && mortonCode > packedVoxelRefV[size_t(jRef)].mortonCode)
+          ++jRef;
+        const int32_t k0_ref =
+          std::min(indexesSizeRef - 1, std::max(0, jRef));
+        const int32_t k1_ref = std::min(
+          indexesSizeRef - 1, std::max(0, k0_ref + interSearchRange));
+
+        // forward window k0_ref..k1_ref
+        {
+          const int32_t b21 = k1_ref >> bucketSize2Log2;
+          const int32_t b20 = k0_ref >> bucketSize2Log2;
+          const int32_t b11 = k1_ref >> bucketSize1Log2;
+          const int32_t b10 = k0_ref >> bucketSize1Log2;
+          const int32_t b01 = k1_ref >> bucketSize0Log2;
+          const int32_t b00 = k0_ref >> bucketSize0Log2;
+          for (int32_t b2 = b20; b2 <= b21; ++b2) {
+            if (localIndexes[2] != -1
+                && hIntraBBoxesRef.box(b2, 2).getDist1(bpoint)
+                  >= minDistances[2])
+              continue;
+            const auto alignedIndex1 = b2 << bucketSizeLog2;
+            const auto start1 = std::max(b10, alignedIndex1);
+            const auto end1 = std::min(b11, alignedIndex1 + bucketSizeMinus1);
+            for (int32_t b1 = start1; b1 <= end1; ++b1) {
+              if (localIndexes[2] != -1
+                  && hIntraBBoxesRef.box(b1, 1).getDist1(bpoint)
+                    >= minDistances[2])
+                continue;
+              const auto alignedIndex0 = b1 << bucketSizeLog2;
+              const auto start0 = std::max(b00, alignedIndex0);
+              const auto end0 =
+                std::min(b01, alignedIndex0 + bucketSizeMinus1);
+              for (int32_t b0 = start0; b0 <= end0; ++b0) {
+                if (localIndexes[2] != -1
+                    && hIntraBBoxesRef.box(b0, 0).getDist1(bpoint)
+                      >= minDistances[2])
+                  continue;
+                const int32_t alignedIndex = b0 << bucketSizeLog2;
+                const int32_t h0 = std::max(k0_ref, alignedIndex);
+                const int32_t h1 =
+                  std::min(k1_ref, alignedIndex + bucketSizeMinus1);
+                for (int32_t k = h0; k <= h1; ++k) {
+                  if (dist)
+                    updateNNDist(bpoint, biasedPosRef[size_t(k)], k, st,
+                                 true);
+                  else
+                    updateNN(bpoint, biasedPosRef[size_t(k)], k, st, true);
+                }
+              }
+            }
+          }
+        }
+
+        // backward window k1_ref_left..k0_ref_left (reference iterates
+        // the reversed bucket bounds ascending — mirrored exactly)
+        const int32_t k0_ref_left =
+          std::min(indexesSizeRef - 1, std::max(0, jRef - 1));
+        const int32_t k1_ref_left = std::min(
+          indexesSizeRef - 1, std::max(0, k0_ref_left - interSearchRange));
+        {
+          const int32_t b21 = k1_ref_left >> bucketSize2Log2;
+          const int32_t b20 = k0_ref_left >> bucketSize2Log2;
+          const int32_t b11 = k1_ref_left >> bucketSize1Log2;
+          const int32_t b10 = k0_ref_left >> bucketSize1Log2;
+          const int32_t b01 = k1_ref_left >> bucketSize0Log2;
+          const int32_t b00 = k0_ref_left >> bucketSize0Log2;
+          for (int32_t b2 = b21; b2 <= b20; ++b2) {
+            if (localIndexes[2] != -1
+                && hIntraBBoxesRef.box(b2, 2).getDist1(bpoint)
+                  >= minDistances[2])
+              continue;
+            const auto alignedIndex1 = b2 << bucketSizeLog2;
+            const auto start1 = std::max(b11, alignedIndex1);
+            const auto end1 = std::min(b10, alignedIndex1 + bucketSizeMinus1);
+            for (int32_t b1 = start1; b1 <= end1; ++b1) {
+              if (localIndexes[2] != -1
+                  && hIntraBBoxesRef.box(b1, 1).getDist1(bpoint)
+                    >= minDistances[2])
+                continue;
+              const auto alignedIndex0 = b1 << bucketSizeLog2;
+              const auto start0 = std::max(b01, alignedIndex0);
+              const auto end0 =
+                std::min(b00, alignedIndex0 + bucketSizeMinus1);
+              for (int32_t b0 = start0; b0 <= end0; ++b0) {
+                if (localIndexes[2] != -1
+                    && hIntraBBoxesRef.box(b0, 0).getDist1(bpoint)
+                      >= minDistances[2])
+                  continue;
+                const int32_t alignedIndex = b0 << bucketSizeLog2;
+                const int32_t h0 = std::max(k1_ref_left, alignedIndex);
+                const int32_t h1 =
+                  std::min(k0_ref_left, alignedIndex + bucketSizeMinus1);
+                for (int32_t k = h0; k <= h1; ++k) {
+                  if (dist)
+                    updateNNDist(bpoint, biasedPosRef[size_t(k)], k, st,
+                                 true);
+                  else
+                    updateNN(bpoint, biasedPosRef[size_t(k)], k, st, true);
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+
     predictor.neighborCount = uint32_t(std::min(
       pp.numPredNearestNeighboursMinus1 + 1,
       (localIndexes[0] != -1) + (localIndexes[1] != -1)
@@ -981,16 +1242,19 @@ static void computeNearestNeighbors(
       const int neighborCount1 = 3 + (localIndexes[3] != -1)
         + (localIndexes[4] != -1) + (localIndexes[5] != -1);
 
+      auto& localRef = st.localRef;
       for (int m = 3; m < neighborCount1; m++)
         if (minDistances[m] == std::numeric_limits<int64_t>::max())
-          minDistances[m] =
-            norm1(sub(bpoint, biasedPos[size_t(localIndexes[m])]));
+          minDistances[m] = localRef[m]
+            ? norm1(sub(bpoint, (*biasedPosRefP)[size_t(localIndexes[m])]))
+            : norm1(sub(bpoint, biasedPos[size_t(localIndexes[m])]));
 
       for (int m = 3; m < neighborCount1; m++)
         for (int l = m + 1; l < neighborCount1; l++)
           if (minDistances[l] < minDistances[m]) {
             std::swap(localIndexes[l], localIndexes[m]);
             std::swap(minDistances[l], minDistances[m]);
+            std::swap(localRef[l], localRef[m]);
           }
 
       bool replaceFlag = true;
@@ -1006,7 +1270,9 @@ static void computeNearestNeighbors(
             break;
 
         for (int h = 0; h < numend1; ++h)
-          dir[h] = getDir(sub(biasedPos[size_t(localIndexes[h])], bpoint));
+          dir[h] = localRef[h]
+            ? getDir(sub((*biasedPosRefP)[size_t(localIndexes[h])], bpoint))
+            : getDir(sub(biasedPos[size_t(localIndexes[h])], bpoint));
 
         int replaceIdx = -1;
         if (dir[1] == 7 - dir[0] || dir[2] == 7 - dir[0]
@@ -1051,17 +1317,27 @@ static void computeNearestNeighbors(
               }
           }
         }
-        if (replaceIdx >= 0)
+        if (replaceIdx >= 0) {
           localIndexes[2] = localIndexes[replaceIdx];
+          localRef[2] = localRef[replaceIdx];
+        }
       }
     }
 
     for (uint32_t h = 0; h < predictor.neighborCount; ++h) {
       auto& neigh = predictor.neighbors[h];
-      neigh.predictorIndex =
-        uint32_t(packedVoxel[size_t(localIndexes[h])].index);
-      neigh.weight = uint64_t(
-        norm2(sub(biasedPos[size_t(localIndexes[h])], bpoint)));
+      neigh.interFrameRef = st.localRef[h];
+      if (interRef && neigh.interFrameRef) {
+        neigh.predictorIndex =
+          uint32_t((*packedVoxelRef)[size_t(localIndexes[h])].index);
+        neigh.weight = uint64_t(
+          norm2(sub((*biasedPosRefP)[size_t(localIndexes[h])], bpoint)));
+      } else {
+        neigh.predictorIndex =
+          uint32_t(packedVoxel[size_t(localIndexes[h])].index);
+        neigh.weight = uint64_t(
+          norm2(sub(biasedPos[size_t(localIndexes[h])], bpoint)));
+      }
     }
 
     // (scalable-lifting neighbour pruning skipped: out of scope)
@@ -1083,7 +1359,7 @@ static void computeNearestNeighbors(
 // updatePredictors (PCCTMC3Common.h:2279-2298, intra)
 static void updatePredictors(
   const std::vector<uint32_t>& pointIndexToPredictorIndex,
-  std::vector<Predictor>& predictors) {
+  std::vector<Predictor>& predictors, int frameDistance = 0) {
   for (auto& predictor : predictors) {
     if (predictor.neighborCount < 2) {
       predictor.neighbors[0].weight = 1;
@@ -1094,8 +1370,13 @@ static void updatePredictors(
     for (uint32_t k = 0; k < predictor.neighborCount; ++k) {
       auto& neighbor = predictor.neighbors[k];
       neighbor.pointIndex = neighbor.predictorIndex;
-      neighbor.predictorIndex =
-        pointIndexToPredictorIndex[neighbor.predictorIndex];
+      // inter neighbours keep the raw reference point index; their
+      // distance-weight is biased by the frame distance (:2287-2294)
+      if (neighbor.interFrameRef)
+        neighbor.weight += uint64_t(frameDistance);
+      else
+        neighbor.predictorIndex =
+          pointIndexToPredictorIndex[neighbor.predictorIndex];
     }
   }
 }
@@ -1110,7 +1391,13 @@ struct Lods {
 
 static void buildPredictorsFast(
   const PlParams& pp, const int32_t* samplingPeriods,
-  const std::vector<V3>& positions, Lods& lods) {
+  const std::vector<V3>& positions, Lods& lods,
+  // inter prediction: the sorted reference cloud joins the candidate
+  // pool at every LoD (PCCTMC3Common.h:2352-2423)
+  const std::vector<V3>* positionsRef = nullptr,
+  int32_t interSearchRange = 0, int frameDistance = 1,
+  std::vector<PackedVoxel>* packedVoxelRefOut = nullptr) {
+  const bool interRef = positionsRef != nullptr;
   const int32_t pointCount = int32_t(positions.size());
 
   std::vector<PackedVoxel> packedVoxel = std::vector<PackedVoxel>(size_t(pointCount));
@@ -1138,6 +1425,36 @@ static void buildPredictorsFast(
                              p.d[2] * pp.lodNeighBias.d[2]}};
   }
 
+  // reference-frame pyramid: sorted once, never subsampled
+  std::vector<PackedVoxel> packedVoxelRef;
+  std::vector<V3> biasedPosRef;
+  if (interRef) {
+    const int32_t pointCountRef = int32_t(positionsRef->size());
+    packedVoxelRef.resize(size_t(pointCountRef));
+    for (int32_t n = 0; n < pointCountRef; n++) {
+      packedVoxelRef[size_t(n)].position = (*positionsRef)[size_t(n)];
+      packedVoxelRef[size_t(n)].mortonCode =
+        mortonAddr((*positionsRef)[size_t(n)]);
+      packedVoxelRef[size_t(n)].index = n;
+    }
+    if (!pp.canonicalPointOrder && !pp.maxPointsPerSortLog2Plus1) {
+      std::sort(packedVoxelRef.begin(), packedVoxelRef.end());
+    } else if (pp.maxPointsPerSortLog2Plus1 > 1) {
+      int maxPtsPerSort = 1 << (pp.maxPointsPerSortLog2Plus1 - 1);
+      for (int32_t i = 0; i < pointCount; i += maxPtsPerSort) {
+        int32_t iEnd = std::min(i + maxPtsPerSort, pointCount);
+        std::sort(packedVoxelRef.begin() + i, packedVoxelRef.begin() + iEnd);
+      }
+    }
+    biasedPosRef.resize(size_t(pointCountRef));
+    for (int32_t n = 0; n < pointCountRef; n++) {
+      const auto& q = packedVoxelRef[size_t(n)].position;
+      biasedPosRef[size_t(n)] = {{q.d[0] * pp.lodNeighBias.d[0],
+                                  q.d[1] * pp.lodNeighBias.d[1],
+                                  q.d[2] * pp.lodNeighBias.d[2]}};
+    }
+  }
+
   std::vector<uint32_t> retained, input, pointIndexToPredictorIndex;
   pointIndexToPredictorIndex.resize(size_t(pointCount));
   retained.reserve(size_t(pointCount));
@@ -1157,6 +1474,13 @@ static void buildPredictorsFast(
   atlas.resize(log2CubeSize);
   atlas.init();
 
+  // inter prediction atlas is 8x finer (interLog2CubeSize = 3)
+  MortonIndexMap3d interAtlas;
+  if (interRef) {
+    interAtlas.resize(3);
+    interAtlas.init();
+  }
+
   const int maxNumDetailLevels = pp.maxNumDetailLevels();
   int32_t predIndex = pointCount;
   for (int32_t lodIndex = 0;
@@ -1173,7 +1497,8 @@ static void buildPredictorsFast(
     computeNearestNeighbors(
       pp, packedVoxel, retained, startIndex, endIndex, lodIndex,
       lods.indexes, lods.predictors, pointIndexToPredictorIndex, predIndex,
-      atlas, biasedPos);
+      atlas, biasedPos, interRef, &packedVoxelRef, &biasedPosRef,
+      &interAtlas, interSearchRange);
 
     if (!retained.empty())
       lods.numPointsInLod.push_back(uint32_t(retained.size()));
@@ -1181,18 +1506,25 @@ static void buildPredictorsFast(
     std::swap(retained, input);
   }
   std::reverse(lods.indexes.begin(), lods.indexes.end());
-  updatePredictors(pointIndexToPredictorIndex, lods.predictors);
+  updatePredictors(pointIndexToPredictorIndex, lods.predictors,
+                   interRef ? frameDistance : 0);
+  if (packedVoxelRefOut) packedVoxelRefOut->swap(packedVoxelRef);
   std::reverse(lods.numPointsInLod.begin(), lods.numPointsInLod.end());
 }
 
 // AttributeLods::generate tail (AttributeCommon.cpp:66-72)
 static void generateLods(const PlParams& pp, const int32_t* samplingPeriods,
-                         const std::vector<V3>& positions, Lods& lods) {
-  buildPredictorsFast(pp, samplingPeriods, positions, lods);
+                         const std::vector<V3>& positions, Lods& lods,
+                         const std::vector<V3>* positionsRef = nullptr,
+                         int32_t interSearchRange = 0) {
+  buildPredictorsFast(pp, samplingPeriods, positions, lods, positionsRef,
+                      interSearchRange);
+  const bool interRef = positionsRef != nullptr;
   for (auto& predictor : lods.predictors) {
     predictor.computeWeights();
     if (pp.attrEncoding == 1 && pp.predWeightBlending)
-      predictor.blendWeights(positions, lods.indexes);
+      predictor.blendWeights(positions, lods.indexes, interRef,
+                             positionsRef);
   }
 }
 
@@ -1204,7 +1536,7 @@ static void generateLods(const PlParams& pp, const int32_t* samplingPeriods,
 // (PCCTMC3Common.h:895-924, the predicting transform's variant)
 static void computeQuantWeightsPred(
   const std::vector<Predictor>& predictors, const int neighWeight[3],
-  std::vector<uint64_t>& quantWeights) {
+  std::vector<uint64_t>& quantWeights, bool interRef = false) {
   const size_t pointCount = predictors.size();
   quantWeights.assign(pointCount, 1ull << kFixedPointWeightShift);
   for (size_t i = 0; i < pointCount; ++i) {
@@ -1212,6 +1544,7 @@ static void computeQuantWeightsPred(
     const auto& predictor = predictors[predictorIndex];
     const auto currentQuantWeight = quantWeights[predictorIndex];
     for (uint32_t j = 0; j < predictor.neighborCount; ++j) {
+      if (interRef && predictor.neighbors[j].interFrameRef) continue;
       const size_t neighborPredIndex = predictor.neighbors[j].predictorIndex;
       quantWeights[neighborPredIndex] += divExp2RoundHalfInfU(
         uint64_t(neighWeight[j]) * currentQuantWeight,
@@ -1223,7 +1556,7 @@ static void computeQuantWeightsPred(
 // PCCComputeQuantizationWeights (PCCTMC3Common.h:828-857, lifting)
 static void computeQuantWeightsLift(
   const std::vector<Predictor>& predictors,
-  std::vector<uint64_t>& quantWeights) {
+  std::vector<uint64_t>& quantWeights, bool interRef = false) {
   const size_t pointCount = predictors.size();
   quantWeights.assign(pointCount, 1ull << kFixedPointWeightShift);
   for (size_t i = 0; i < pointCount; ++i) {
@@ -1231,6 +1564,7 @@ static void computeQuantWeightsLift(
     const auto& predictor = predictors[predictorIndex];
     const auto currentQuantWeight = quantWeights[predictorIndex];
     for (uint32_t j = 0; j < predictor.neighborCount; ++j) {
+      if (interRef && predictor.neighbors[j].interFrameRef) continue;
       const size_t neighborPredIndex = predictor.neighbors[j].predictorIndex;
       quantWeights[neighborPredIndex] += divExp2RoundHalfInfU(
         predictor.neighbors[j].weight * currentQuantWeight,
@@ -1242,7 +1576,9 @@ static void computeQuantWeightsLift(
 // PCCLiftPredict (PCCTMC3Common.h:717-756); T = int64 x dims
 static void liftPredict(
   const std::vector<Predictor>& predictors, size_t startIndex,
-  size_t endIndex, bool direct, std::vector<int64_t>& attributes, int dims) {
+  size_t endIndex, bool direct, std::vector<int64_t>& attributes, int dims,
+  bool interRef = false,
+  const std::vector<int64_t>* attributesRef = nullptr) {
   const size_t predictorCount = endIndex - startIndex;
   for (size_t index = 0; index < predictorCount; ++index) {
     const size_t predictorIndex = predictorCount - index - 1 + startIndex;
@@ -1250,6 +1586,13 @@ static void liftPredict(
     for (int c = 0; c < dims; c++) {
       int64_t predicted = 0;
       for (uint32_t i = 0; i < predictor.neighborCount; ++i) {
+        if (interRef && predictor.neighbors[i].interFrameRef) {
+          // reference attributes indexed by raw reference point index
+          const size_t refIdx = predictor.neighbors[i].pointIndex;
+          predicted += int64_t(predictor.neighbors[i].weight)
+            * (*attributesRef)[refIdx * size_t(dims) + size_t(c)];
+          continue;
+        }
         const size_t neighborPredIndex =
           predictor.neighbors[i].predictorIndex;
         predicted += int64_t(predictor.neighbors[i].weight)
@@ -1267,7 +1610,8 @@ static void liftPredict(
 static void liftUpdate(
   const std::vector<Predictor>& predictors,
   const std::vector<uint64_t>& quantizationWeights, size_t startIndex,
-  size_t endIndex, bool direct, std::vector<int64_t>& attributes, int dims) {
+  size_t endIndex, bool direct, std::vector<int64_t>& attributes, int dims,
+  bool interRef = false) {
   std::vector<uint64_t> updateWeights(startIndex, 0);
   std::vector<int64_t> updates(startIndex * size_t(dims), 0);
   const size_t predictorCount = endIndex - startIndex;
@@ -1276,6 +1620,7 @@ static void liftUpdate(
     const auto& predictor = predictors[predictorIndex];
     const auto currentQuantWeight = quantizationWeights[predictorIndex];
     for (uint32_t i = 0; i < predictor.neighborCount; ++i) {
+      if (interRef && predictor.neighbors[i].interFrameRef) continue;
       const size_t neighborPredIndex = predictor.neighbors[i].predictorIndex;
       const uint64_t weight = divExp2RoundHalfInfU(
         predictor.neighbors[i].weight * currentQuantWeight,
@@ -1435,22 +1780,33 @@ static int32_t decodeScalar(ArithDec& aec, AttrCtx& ctx) {
 
 static void predictAttr(
   const Predictor& predictor, const std::vector<int32_t>& attrs, int dims,
-  const std::vector<uint32_t>& indexes, int64_t predicted[3]) {
+  const std::vector<uint32_t>& indexes, int64_t predicted[3],
+  bool interRef = false,
+  const std::vector<int32_t>* attrsRef = nullptr) {
+  // with inter prediction both frames resolve by raw pointIndex
+  // (PCCTMC3Common.h:556-586)
   for (int k = 0; k < dims; k++) predicted[k] = 0;
   if (int(predictor.predMode) > int(predictor.neighborCount)) {
     // nop: zero prediction
   } else if (predictor.predMode > 0) {
+    const auto& nb = predictor.neighbors[predictor.predMode - 1];
+    const std::vector<int32_t>& src =
+      (interRef && nb.interFrameRef) ? *attrsRef : attrs;
     const uint32_t pi =
-      indexes[predictor.neighbors[predictor.predMode - 1].predictorIndex];
+      interRef ? nb.pointIndex : indexes[nb.predictorIndex];
     for (int k = 0; k < dims; k++)
-      predicted[k] = attrs[size_t(pi) * size_t(dims) + size_t(k)];
+      predicted[k] = src[size_t(pi) * size_t(dims) + size_t(k)];
   } else {
     for (uint32_t i = 0; i < predictor.neighborCount; ++i) {
-      const uint32_t pi = indexes[predictor.neighbors[i].predictorIndex];
-      const uint32_t w = uint32_t(predictor.neighbors[i].weight);
+      const auto& nb = predictor.neighbors[i];
+      const std::vector<int32_t>& src =
+        (interRef && nb.interFrameRef) ? *attrsRef : attrs;
+      const uint32_t pi =
+        interRef ? nb.pointIndex : indexes[nb.predictorIndex];
+      const uint32_t w = uint32_t(nb.weight);
       for (int k = 0; k < dims; k++)
         predicted[k] +=
-          int64_t(w) * attrs[size_t(pi) * size_t(dims) + size_t(k)];
+          int64_t(w) * src[size_t(pi) * size_t(dims) + size_t(k)];
     }
     for (int k = 0; k < dims; k++)
       predicted[k] = divExp2RoundHalfInf(predicted[k],
@@ -1461,16 +1817,20 @@ static void predictAttr(
 static bool predModeEligible(
   const PlParams& pp, const Predictor& predictor,
   const std::vector<int32_t>& attrs, int dims,
-  const std::vector<uint32_t>& indexes) {
+  const std::vector<uint32_t>& indexes, bool interRef = false,
+  const std::vector<int32_t>* attrsRef = nullptr) {
   if (predictor.neighborCount <= 1 || !pp.maxNumDirectPredictors)
     return false;
   int64_t maxDiff = 0;
   for (int k = 0; k < dims; k++) {
     int64_t mn = 0, mx = 0;
     for (uint32_t i = 0; i < predictor.neighborCount; ++i) {
-      const int64_t v = attrs[
-        size_t(indexes[predictor.neighbors[i].predictorIndex])
-        * size_t(dims) + size_t(k)];
+      const auto& nb = predictor.neighbors[i];
+      const std::vector<int32_t>& srcA =
+        (interRef && nb.interFrameRef) ? *attrsRef : attrs;
+      const size_t pi =
+        interRef ? nb.pointIndex : indexes[nb.predictorIndex];
+      const int64_t v = srcA[pi * size_t(dims) + size_t(k)];
       if (i == 0 || v < mn) mn = v;
       if (i == 0 || v > mx) mx = v;
     }
@@ -1592,22 +1952,42 @@ static void plparams_from(const int32_t* p, PlParams& pp) {
 }
 
 // returns number of values written (npts*dims) or <0 on error
-extern "C" int tmc13ref_decode_predlift(
+static int decode_predlift_impl(
   const int32_t* positions, int npts, const int32_t* params,
   const int32_t* sampling_periods, const int32_t* layer_qps,
   const int32_t* lcp_coeffs, const int32_t* icp_coeffs,
-  const uint8_t* aec_buf, int aec_len, int32_t* out_attrs) {
+  const uint8_t* aec_buf, int aec_len, int32_t* out_attrs,
+  // attribute inter prediction (abh.enableAttrInterPred): previous
+  // frame's attribute-coordinate cloud, already bbox-filtered
+  // (decoder.cpp:926-947); nref = 0 disables
+  const int32_t* ref_positions, const int32_t* ref_attrs, int nref,
+  int inter_search_range) {
   PlParams pp;
   plparams_from(params, pp);
   const int dims = pp.dims;
+  const bool interRef = nref > 0;
+  if (interRef && dims != 1)
+    return -3;  // reference supports inter predlift for scalars only
 
   std::vector<V3> positionsV = std::vector<V3>(size_t(npts));
   for (int i = 0; i < npts; i++)
     positionsV[size_t(i)] = {{positions[i * 3], positions[i * 3 + 1],
                               positions[i * 3 + 2]}};
 
+  std::vector<V3> positionsRefV = std::vector<V3>(size_t(std::max(nref, 0)));
+  std::vector<int32_t> attrsRef(size_t(std::max(nref, 0)) * size_t(dims));
+  for (int i = 0; i < nref; i++) {
+    positionsRefV[size_t(i)] = {{ref_positions[i * 3],
+                                 ref_positions[i * 3 + 1],
+                                 ref_positions[i * 3 + 2]}};
+    for (int k = 0; k < dims; k++)
+      attrsRef[size_t(i) * size_t(dims) + size_t(k)] =
+        ref_attrs[i * dims + k];
+  }
+
   Lods lods;
-  generateLods(pp, sampling_periods, positionsV, lods);
+  generateLods(pp, sampling_periods, positionsV, lods,
+               interRef ? &positionsRefV : nullptr, inter_search_range);
 
   QpSet qpSet;
   qpSet.maxQp = 51 + 6 * (pp.bitdepth - 8);
@@ -1633,7 +2013,8 @@ extern "C" int tmc13ref_decode_predlift(
     // predicting transform (AttributeDecoder.cpp:328-392 refl,
     // :446-527 colour)
     std::vector<uint64_t> quantWeights;
-    computeQuantWeightsPred(predictors, pp.quantNeighWeight, quantWeights);
+    computeQuantWeightsPred(predictors, pp.quantNeighWeight, quantWeights,
+                            interRef);
 
     std::vector<int32_t> attrs(pointCount * size_t(dims), 0);
     int zeroRunRem = 0;
@@ -1659,10 +2040,12 @@ extern "C" int tmc13ref_decode_predlift(
       if (dims == 1) {
         int32_t attValue0 = 0;
         if (!zeroRunRem) attValue0 = decodeScalar(aec, ctx);
-        if (predModeEligible(pp, predictor, attrs, dims, indexes))
+        if (predModeEligible(pp, predictor, attrs, dims, indexes,
+                             interRef, &attrsRef))
           decodePredModeRefl(pp, attValue0, predictor);
         int64_t predicted[3];
-        predictAttr(predictor, attrs, dims, indexes, predicted);
+        predictAttr(predictor, attrs, dims, indexes, predicted, interRef,
+                    &attrsRef);
         int64_t qStep = quant[0].stepSize();
         int64_t weight =
           std::min(int64_t(quantWeights[predictorIndex]), qStep)
@@ -1712,9 +2095,15 @@ extern "C" int tmc13ref_decode_predlift(
     // lifting transform (AttributeDecoder.cpp:679-773 colour,
     // :775-861 refl)
     std::vector<uint64_t> weights;
-    computeQuantWeightsLift(predictors, weights);
+    computeQuantWeightsLift(predictors, weights, interRef);
     const size_t lodCount = numPointsInLod.size();
     std::vector<int64_t> vals(pointCount * size_t(dims), 0);
+
+    // reference attributes enter the lift in fixed point
+    // (AttributeDecoder.cpp:803-812)
+    std::vector<int64_t> valsRef(attrsRef.size());
+    for (size_t i = 0; i < attrsRef.size(); i++)
+      valsRef[i] = int64_t(attrsRef[i]) << kFixedPointAttributeShift;
 
     int lod = 0;
     int64_t lastCompPredCoeff = 0;
@@ -1767,8 +2156,9 @@ extern "C" int tmc13ref_decode_predlift(
       const size_t startIndex = numPointsInLod[lodIndex - 1];
       const size_t endIndex = numPointsInLod[lodIndex];
       liftUpdate(predictors, weights, startIndex, endIndex, false, vals,
-                 dims);
-      liftPredict(predictors, startIndex, endIndex, false, vals, dims);
+                 dims, interRef);
+      liftPredict(predictors, startIndex, endIndex, false, vals, dims,
+                  interRef, &valsRef);
     }
 
     for (size_t f = 0; f < pointCount; ++f) {
@@ -1783,6 +2173,31 @@ extern "C" int tmc13ref_decode_predlift(
   }
 
   return -2;
+}
+
+extern "C" int tmc13ref_decode_predlift(
+  const int32_t* positions, int npts, const int32_t* params,
+  const int32_t* sampling_periods, const int32_t* layer_qps,
+  const int32_t* lcp_coeffs, const int32_t* icp_coeffs,
+  const uint8_t* aec_buf, int aec_len, int32_t* out_attrs) {
+  return decode_predlift_impl(
+    positions, npts, params, sampling_periods, layer_qps, lcp_coeffs,
+    icp_coeffs, aec_buf, aec_len, out_attrs, nullptr, nullptr, 0, 0);
+}
+
+// inter-frame form: ref cloud in attribute coordinates + its decoded
+// attributes (decoder.cpp:817-947)
+extern "C" int tmc13ref_decode_predlift_inter(
+  const int32_t* positions, int npts, const int32_t* params,
+  const int32_t* sampling_periods, const int32_t* layer_qps,
+  const int32_t* lcp_coeffs, const int32_t* icp_coeffs,
+  const uint8_t* aec_buf, int aec_len, int32_t* out_attrs,
+  const int32_t* ref_positions, const int32_t* ref_attrs, int nref,
+  int inter_search_range) {
+  return decode_predlift_impl(
+    positions, npts, params, sampling_periods, layer_qps, lcp_coeffs,
+    icp_coeffs, aec_buf, aec_len, out_attrs, ref_positions, ref_attrs,
+    nref, inter_search_range);
 }
 
 // ---------------------------------------------------------------------------

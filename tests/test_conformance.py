@@ -1898,6 +1898,112 @@ def test_inter_raht_attr_decode_bit_exact(tmp_path, variant, extra):
             attrs[i][:, 0].astype(np.int64))
 
 
+@pytest.mark.parametrize("variant,extra", [
+    ("pred", ["--transformType=1"]),
+    ("lift", ["--transformType=2"]),
+    ("pred-nodist",
+     ["--transformType=1", "--predictionWithDistributionEnabled=0"]),
+    ("pred-blend", ["--transformType=1", "--predWeightBlending=1"]),
+    ("pred-mode", ["--transformType=1",
+                   "--adaptivePredictionThreshold=64"]),
+    ("lift-sr32", ["--transformType=2", "--attrInterPredSearchRange=32"]),
+])
+def test_predlift_inter_attr_decode_bit_exact(tmp_path, variant, extra):
+    """Predicting/lifting attribute inter prediction: the previous
+    frame's attribute cloud joins the LoD nearest-neighbour pool
+    (PCCTMC3Common.h:1606-1795 inter searches, :2279-2298 frame-
+    distance weights; decoder.cpp:926-947 bbox-filtered reference) —
+    reflectance bricks decode bit-exactly across a 3-frame inter
+    sequence for both transforms, with and without distribution-aware
+    neighbours, weight blending, direct modes and a narrowed search
+    range."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    _inter_attr_frames(tmp_path)
+    bit = tmp_path / f"pl_{variant}.bin"
+    subprocess.run(
+        [TMC3, "--mode=0",
+         f"--uncompressedDataPath={tmp_path}/ia_%04d.ply",
+         f"--compressedStreamPath={bit}",
+         "--frameCount=3", "--randomAccessPeriod=8",
+         "--interPredictionEnabled=1", "--globalMotionEnabled=1",
+         "--lpuType=1", "--positionQuantizationScale=1",
+         "--mergeDuplicatedPoints=1", "--planarEnabled=1",
+         "--inferredDirectCodingMode=0",
+         "--neighbourAvailBoundaryLog2=8", "--angularEnabled=0",
+         "--qp=34", "--bitdepth=8",
+         "--attributeInterPredictionEnabled=1", *extra,
+         "--attribute=reflectance"],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={tmp_path}/pl_{variant}_%04d.ply",
+         "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    frames, attrs = refdec.decode_stream(bit.read_bytes(),
+                                         want_attrs=True)
+    for i in range(3):
+        ref = ply.read(str(tmp_path / f"pl_{variant}_{i:04d}.ply"))
+        np.testing.assert_array_equal(ref.positions.astype(np.int64),
+                                      np.asarray(frames[i]))
+        np.testing.assert_array_equal(
+            ref.reflectances.astype(np.int64),
+            attrs[i][:, 0].astype(np.int64))
+
+
+@pytest.mark.parametrize("tt", [1, 2])
+def test_predlift_inter_spherical_decode_bit_exact(tmp_path, tt):
+    """CTC cat3 shape with pred/lift attributes: angular inter octree
+    geometry (external GM) + spherical-coordinate reflectance with
+    attribute inter prediction decodes bit-exactly.  Covers the
+    reference's inter-atlas quirk (PCCTMC3Common.h:1629 shifts the
+    neighbour id by the INTRA atlas width)."""
+    import sys
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", "..",
+                                    "scripts"))
+    from gen_clouds import _hdl64_elevations
+    _inter_attr_frames(tmp_path)
+    gm = tmp_path / "gm.txt"
+    gm.write_text("1 0 0 0 1 0 0 0 1 0 0 0 2200 1800\n" * 3)
+    theta = ",".join(
+        f"{t:.6f}" for t in np.tan(_hdl64_elevations(16)))
+    zeros = ",".join(["0"] * 16)
+    npt = ",".join(["2000"] * 16)
+    bit = tmp_path / f"pls_{tt}.bin"
+    subprocess.run(
+        [TMC3, "--mode=0",
+         f"--uncompressedDataPath={tmp_path}/ia_%04d.ply",
+         f"--compressedStreamPath={bit}",
+         "--frameCount=3", "--randomAccessPeriod=8",
+         "--interPredictionEnabled=1", "--globalMotionEnabled=1",
+         "--lpuType=1", f"--motionVectorPath={gm}",
+         "--positionQuantizationScale=1", "--mergeDuplicatedPoints=1",
+         "--planarEnabled=1", "--inferredDirectCodingMode=3",
+         "--neighbourAvailBoundaryLog2=8", "--angularEnabled=1",
+         "--numLasers=16", "--lidarHeadPosition=2048,2048,2048",
+         f"--lasersTheta={theta}", f"--lasersZ={zeros}",
+         f"--lasersNumPhiPerTurn={npt}",
+         f"--transformType={tt}", "--qp=34", "--bitdepth=8",
+         "--attributeInterPredictionEnabled=1",
+         "--spherical_coord_flag=1",
+         "--attribute=reflectance"],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={tmp_path}/pls_{tt}_%04d.ply",
+         "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    frames, attrs = refdec.decode_stream(bit.read_bytes(),
+                                         want_attrs=True)
+    for i in range(3):
+        ref = ply.read(str(tmp_path / f"pls_{tt}_{i:04d}.ply"))
+        np.testing.assert_array_equal(ref.positions.astype(np.int64),
+                                      np.asarray(frames[i]))
+        np.testing.assert_array_equal(
+            ref.reflectances.astype(np.int64),
+            attrs[i][:, 0].astype(np.int64))
+
+
 def test_inter_raht_attr_ctc_combo_decode(tmp_path):
     """The full CTC cat3 inter shape: angular octree inter geometry
     (external GM, cuboid LPU, IDCM 3) + spherical-coordinate
