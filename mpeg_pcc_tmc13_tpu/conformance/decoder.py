@@ -136,8 +136,8 @@ def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         # LPU partition codes motion flags in the arithmetic stream
         # (decodeCuboidGlobalMotion) and stays out of scope, as do
         # bi-prediction, angular inter and non-octree inter bricks
-        if gps.predgeom_enabled or gps.trisoup_enabled:
-            unsupported.append("non-octree inter brick")
+        if gps.trisoup_enabled:
+            unsupported.append("trisoup inter brick")
         if gbh.bi_prediction:
             unsupported.append("bi-prediction")
         if gbh.geom_stream_cnt_minus1:
@@ -392,11 +392,16 @@ def predgeom_params_array(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
 
 def decode_predgeom_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
                           gbh: ref_hls.RefGbh,
-                          payload: bytes) -> np.ndarray:
+                          payload: bytes,
+                          pg_ref=None,
+                          sph_out: Optional[list] = None) -> np.ndarray:
     """Decode one tmc3 predictive-geometry brick
     (decodePredictiveGeometry, /root/reference/tmc3/
     geometry_predictive_decoder.cpp:735-756) via the native
-    conformance port (native/refpredgeom.cc)."""
+    conformance port (native/refpredgeom.cc).  ``pg_ref`` is the
+    native RefSph handle for inter prediction (refFrameSph); the
+    reconstructed spherical positions are appended to ``sph_out`` and
+    inserted into the reference chain (decoder.cpp:750-752)."""
     lib = _load()
     c = ctypes
     if not hasattr(lib.tmc13ref_decode_predgeom, "_configured"):
@@ -406,6 +411,16 @@ def decode_predgeom_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
             c.POINTER(c.c_int32)]
         lib.tmc13ref_decode_predgeom.restype = c.c_int
         lib.tmc13ref_decode_predgeom._configured = True
+        lib.tmc13ref_decode_predgeom_inter.argtypes = [
+            c.POINTER(c.c_uint8), c.c_int, c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_void_p]
+        lib.tmc13ref_decode_predgeom_inter.restype = c.c_int
+        lib.tmc13ref_pgref_set_inter.argtypes = [c.c_void_p, c.c_int]
+        lib.tmc13ref_pgref_set_inter.restype = None
+        lib.tmc13ref_pgref_insert.argtypes = [
+            c.c_void_p, c.POINTER(c.c_int32), c.c_int]
+        lib.tmc13ref_pgref_insert.restype = None
     # slice-local lidar head (gbh.geomAngularOrigin, hls.h:658)
     if gps.slice_angular_origin_present:
         origin = np.asarray(gbh.angular_origin_stv, dtype=np.int64)
@@ -424,9 +439,24 @@ def decode_predgeom_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
     def p32(a):
         return a.ctypes.data_as(c.POINTER(c.c_int32))
 
-    n = lib.tmc13ref_decode_predgeom(
-        aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
-        p32(params), p32(th), p32(zl), gbh.num_points, p32(out))
+    if pg_ref is not None:
+        # gbh.interPredictionEnabledFlag gates the brick; an intra
+        # brick also clears the previous-frame maps (decoder.cpp:722)
+        lib.tmc13ref_pgref_set_inter(
+            pg_ref, 1 if gbh.inter_prediction else 0)
+        out_sph = np.empty((gbh.num_points, 3), dtype=np.int32)
+        n = lib.tmc13ref_decode_predgeom_inter(
+            aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
+            p32(params), p32(th), p32(zl), gbh.num_points, p32(out),
+            p32(out_sph), pg_ref)
+        if n >= 0:
+            lib.tmc13ref_pgref_insert(pg_ref, p32(out_sph), n)
+            if sph_out is not None:
+                sph_out.append(out_sph[:max(n, 0)].astype(np.int64))
+    else:
+        n = lib.tmc13ref_decode_predgeom(
+            aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
+            p32(params), p32(th), p32(zl), gbh.num_points, p32(out))
     if n < 0:
         raise RuntimeError(f"refpredgeom decode failed rc={n}")
     if n != gbh.num_points:
@@ -521,15 +551,18 @@ def _decode_brick_inter_ang(sps, gps, gbh, aec_arr, aec, axes, gp,
 def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
                           gbh: ref_hls.RefGbh,
                           payload: bytes,
-                          ref_cloud: Optional[np.ndarray] = None
+                          ref_cloud: Optional[np.ndarray] = None,
+                          pg_ref=None,
+                          sph_out: Optional[list] = None
                           ) -> np.ndarray:
     """Decode one octree geometry brick to slice-local STV grid
     positions in the reference's decode order.  ``ref_cloud`` is the
     previous frame's reconstruction (slice-global STV, decode order)
-    for inter bricks."""
+    for inter bricks; ``pg_ref`` the predgeom refFrameSph handle."""
     _check_supported(sps, gps, gbh)
     if gps.predgeom_enabled:
-        return decode_predgeom_brick(sps, gps, gbh, payload)
+        return decode_predgeom_brick(sps, gps, gbh, payload, pg_ref,
+                                     sph_out)
     if gps.trisoup_enabled:
         return decode_trisoup_brick(sps, gps, gbh, payload)
     lib = _load()
@@ -867,14 +900,20 @@ def decode_attr_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
                       gps: Optional[ref_hls.RefGps] = None,
                       gbh: Optional[ref_hls.RefGbh] = None,
                       slice_local: Optional[np.ndarray] = None,
-                      attr_ref=None) -> np.ndarray:
+                      attr_ref=None,
+                      positions_override: Optional[np.ndarray]
+                      = None) -> np.ndarray:
     """Decode one intra RAHT attribute brick against the slice's
     decoded positions (slice-local STV + slice origin, decode order).
     Returns attributes aligned with `positions_stv` rows, mirroring
     AttributeDecoder::decodeColorsRaht / decodeReflectancesRaht
     (/root/reference/tmc3/AttributeDecoder.cpp:528-674: morton sort,
     entropy decode, uraht inverse, clip, scatter by packed index)."""
-    if aps.spherical_coord:
+    if positions_override is not None:
+        # predgeom reuses its reconstructed spherical positions
+        # (decoder.cpp:881-899) — already offset and scaled
+        positions_stv = positions_override
+    elif aps.spherical_coord:
         if gps is None or gbh is None or slice_local is None:
             raise UnsupportedTool(
                 "spherical attribute coords need the geometry slice")
@@ -1012,6 +1051,12 @@ def decode_stream(data: bytes, want_attrs: bool = False):
     # (storeCurrentCloudAsRef, decoder.cpp:165-172: the accumulated
     # slice-global STV cloud)
     ref_cloud: Optional[np.ndarray] = None
+    # predictive-geometry inter reference (refFrameSph handle,
+    # decoder.cpp:603-645) + per-slice spherical reconstructions
+    pg_ref = None
+    last_slice_sph: Optional[np.ndarray] = None
+    # predgeom spherical attribute minPos chain (decoder.cpp:885-899)
+    pg_attr_min_ref: Optional[np.ndarray] = None
 
     def flush():
         nonlocal ref_cloud, attr_ref, next_attr_ref
@@ -1060,12 +1105,70 @@ def decode_stream(data: bytes, want_attrs: bool = False):
         elif t == ref_hls.T_GEOM_BRICK:
             gbh_ids = ref_hls.parse_gbh(
                 sps, gps_map[payload[0] >> 4], payload)
+            gps = gps_map[gbh_ids.gps_id]
+            first_slice_in_frame = (
+                cur_ctr is None or gbh_ids.frame_ctr_lsb != cur_ctr)
             if cur_ctr is not None and gbh_ids.frame_ctr_lsb != cur_ctr:
                 flush()
+            if gps.predgeom_enabled and gps.inter_prediction:
+                lib = _load()
+                c = ctypes
+                if pg_ref is None:
+                    if not hasattr(lib.tmc13ref_pgref_create,
+                                   "_configured"):
+                        lib.tmc13ref_pgref_create.argtypes = [
+                            c.c_int, c.c_int, c.c_int, c.c_int]
+                        lib.tmc13ref_pgref_create.restype = c.c_void_p
+                        lib.tmc13ref_pgref_set_motion.argtypes = [
+                            c.c_void_p, c.c_int, c.c_int, c.c_int,
+                            c.POINTER(c.c_int32), c.POINTER(c.c_int32)]
+                        lib.tmc13ref_pgref_set_motion.restype = None
+                        lib.tmc13ref_pgref_update_frame.argtypes = [
+                            c.c_void_p, c.c_int, c.c_int, c.c_int,
+                            c.POINTER(c.c_int32), c.POINTER(c.c_int32)]
+                        lib.tmc13ref_pgref_update_frame.restype = None
+                        lib.tmc13ref_pgref_create._configured = True
+                    pg_ref = lib.tmc13ref_pgref_create(
+                        gps.inter_azim_scale_log2,
+                        max(len(gps.angular_theta), 1),
+                        1 if gps.global_motion else 0,
+                        1 if gps.resampling_enabled else 0)
+                    pg_first_frame = True
+                else:
+                    pg_first_frame = False
+                if first_slice_in_frame and not pg_first_frame:
+                    # decoder.cpp:640-645: refresh the motion params
+                    # from the new frame's GBH, then rotate the
+                    # reference maps
+                    if gps.global_motion:
+                        mat = np.asarray(gbh_ids.gm_matrix,
+                                         dtype=np.int32)
+                        trn = np.asarray(gbh_ids.gm_trans,
+                                         dtype=np.int32)
+                        lib.tmc13ref_pgref_set_motion(
+                            pg_ref,
+                            1 if gbh_ids.inter_frame_ref_gmc else 0,
+                            int(gbh_ids.gm_thresh[0]),
+                            int(gbh_ids.gm_thresh[1]),
+                            mat.ctypes.data_as(c.POINTER(c.c_int32)),
+                            trn.ctypes.data_as(c.POINTER(c.c_int32)))
+                    th = np.ascontiguousarray(
+                        gps.angular_theta or [0], dtype=np.int32)
+                    zl = np.ascontiguousarray(
+                        gps.angular_z or [0], dtype=np.int32)
+                    lib.tmc13ref_pgref_update_frame(
+                        pg_ref, gps.radius_inv_scale_log2,
+                        gps.azimuth_scale_log2_minus11 + 12,
+                        max(len(gps.angular_theta), 1),
+                        th.ctypes.data_as(c.POINTER(c.c_int32)),
+                        zl.ctypes.data_as(c.POINTER(c.c_int32)))
             cur_ctr = gbh_ids.frame_ctr_lsb
-            gps = gps_map[gbh_ids.gps_id]
+            sph_box: list = []
             local = decode_geometry_brick(sps, gps, gbh_ids, payload,
-                                          ref_cloud=ref_cloud)
+                                          ref_cloud=ref_cloud,
+                                          pg_ref=pg_ref,
+                                          sph_out=sph_box)
+            last_slice_sph = sph_box[0] if sph_box else None
             pos = local + np.asarray(gbh_ids.box_origin_stv,
                                      dtype=np.int64)
             cur_slices_stv.append(pos)
@@ -1083,17 +1186,48 @@ def decode_stream(data: bytes, want_attrs: bool = False):
             abh_ids = ref_hls.parse_abh(
                 sps, aps_map[payload[0] >> 4], payload)
             aps = aps_map[abh_ids.aps_id]
+            attr_pos = None
+            if (aps.spherical_coord and last_gps is not None
+                    and last_gps.predgeom_enabled):
+                # predgeom reuses _posSph; the offset minimum chains
+                # across frames under attribute inter prediction and
+                # the stored reference shifts with it
+                # (decoder.cpp:881-899)
+                if last_slice_sph is None:
+                    raise UnsupportedTool(
+                        "predgeom spherical attrs need the "
+                        "spherical reconstruction")
+                sph = last_slice_sph.astype(np.int64)
+                min_pos = sph.min(axis=0)
+                w = np.asarray(aps.attr_coord_scale, dtype=np.int64)
+                if (aps.attr_inter_prediction
+                        and abh_ids.enable_attr_inter_pred
+                        and pg_attr_min_ref is not None):
+                    min_pos = np.minimum(min_pos, pg_attr_min_ref)
+                    shift = pg_attr_min_ref - min_pos
+                    if np.any(shift != 0) and attr_ref is not None:
+                        sgn = np.sign(shift)
+                        scal = ((np.abs(shift) * w) >> 8) * sgn
+                        attr_ref = (
+                            np.asarray(attr_ref[0], dtype=np.int64)
+                            + scal[None, :], attr_ref[1])
+                pg_attr_min_ref = min_pos
+                attr_pos = ((sph - min_pos[None, :]) * w[None, :]
+                            + (1 << 7)) >> 8
             attrs = decode_attr_brick(sps, aps, abh_ids, payload,
                                       last_slice_pos,
                                       gps=last_gps, gbh=last_gbh,
                                       slice_local=last_slice_local,
-                                      attr_ref=attr_ref)
+                                      attr_ref=attr_ref,
+                                      positions_override=attr_pos)
             cur_attrs.append(attrs)
             if aps.attr_inter_prediction:
                 # this brick's attribute cloud becomes the next
                 # frame's reference (decoder.cpp:956-968: positions
                 # in the attribute coding domain + decoded values)
-                if aps.spherical_coord:
+                if attr_pos is not None:
+                    ref_pos_attr = attr_pos
+                elif aps.spherical_coord:
                     ref_pos_attr = attr_coding_positions(
                         sps, last_gps, last_gbh, aps,
                         last_slice_local)

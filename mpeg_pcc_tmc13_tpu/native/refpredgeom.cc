@@ -37,6 +37,8 @@
 #include <vector>
 
 #include "obuf_core.h"
+#include "angular_core.h"
+#include <map>
 
 namespace refpg {
 
@@ -313,6 +315,227 @@ struct CartToSph {
   }
 };
 
+// CartesianToSphericalSimple (geometry_predictive.h:341-381): isqrt
+// radius, iatan2 azimuth with the fixed-point affine remap, nearest
+// laser by elevation error (no +-2 refinement)
+struct CartToSphSimple {
+  SphToCart s2c;
+  int log2ScaleRadius, twoPiLog2, numLasers;
+  const int32_t *tanThetaLaser, *zLaser;
+  static const int log2ScaleZ = 3;
+  static const int log2ScaleTheta = 20;
+
+  V3 operator()(const V3& xyz) const {
+    const int64_t xLaser = int64_t(xyz[0]) << 8;
+    const int64_t yLaser = int64_t(xyz[1]) << 8;
+    const int64_t r0 =
+      int64_t(angularcore::isqrt(
+        uint64_t(xLaser * xLaser + yLaser * yLaser))) >> 8;
+    int32_t thetaIdx = 0;
+    int32_t minError = std::numeric_limits<int32_t>::max();
+    for (int idx = 0; idx < numLasers; ++idx) {
+      int64_t z = divExp2RoundHalfInf(
+        int64_t(tanThetaLaser[idx]) * r0 << 2, log2ScaleTheta - log2ScaleZ);
+      int64_t z1 = divExp2RoundHalfInf(z - zLaser[idx], log2ScaleZ);
+      int32_t err = int32_t(std::abs(z1 - xyz[2]));
+      if (err < minError) {
+        thetaIdx = idx;
+        minError = err;
+      }
+    }
+    const int azimLog2 = twoPiLog2 - 1;
+    const int64_t tanElevAng =
+      angularcore::iatan2(int(yLaser), int(xLaser));
+    const int sh = 44 - azimLog2;
+    const int64_t off = int64_t(1) << (sh - 1);
+    int64_t phi0 =
+      (((tanElevAng + 3294199) * 5340354 + off) >> sh) - (1 << azimLog2);
+    return {{int32_t(divExp2RoundHalfUp(r0, log2ScaleRadius)),
+             int32_t(phi0), thetaIdx}};
+  }
+};
+
+static inline int64_t divExp2RoundHalfInfPosShift(int64_t s, unsigned shift,
+                                                  int64_t s0) {
+  // PCCMath.h:703-707
+  return s >= 0 ? (s0 + s) >> shift : -((s0 - s) >> shift);
+}
+
+// ---------------------------------------------------------------------------
+// reference-frame spherical predictor (PredGeomPredictor,
+// geometry_predictive.h:398-644; single reference, no bi-prediction)
+// ---------------------------------------------------------------------------
+
+struct RefSph {
+  int azimScaleLog2 = 0;
+  int numLasers = 0;
+  bool globalMotionEnabled = false;
+  bool resampling = false;
+  bool interEnabled = false;
+  bool movingState = false;             // gbh.interFrameRefGmcFlag
+  int thresh0 = 0, thresh1 = 0;         // gm_thresh.{first,second}
+  int64_t gmMatrix[9] = {65536, 0, 0, 0, 65536, 0, 0, 0, 65536};
+  int32_t gmTrans[3] = {0, 0, 0};
+  // per-laser azimuth-keyed maps: previous frame, motion-compensated
+  // previous frame, current frame (accumulating)
+  std::vector<std::map<int, V3>> refPointVals, refPointValsGlob,
+    refPointValsCur;
+
+  void init(int azimLog2, int nLasers, bool gmEnabled, bool resamp) {
+    if (numLasers) return;  // already initialised (reference :403-416)
+    azimScaleLog2 = azimLog2;
+    numLasers = nLasers;
+    globalMotionEnabled = gmEnabled;
+    resampling = resamp;
+    refPointVals.resize(size_t(nLasers));
+    refPointValsGlob.resize(size_t(nLasers));
+    refPointValsCur.resize(size_t(nLasers));
+  }
+
+  int computePhiQuantized(int val) const {
+    int offset = azimScaleLog2 ? (1 << (azimScaleLog2 - 1)) : 0;
+    return val >= 0 ? (val + offset) >> azimScaleLog2
+                    : -((-val + offset) >> azimScaleLog2);
+  }
+
+  void insert(const V3* pts, int n) {
+    for (int i = 0; i < n; i++) {
+      const V3& pt = pts[i];
+      // std::map::insert keeps the FIRST entry on key collision
+      refPointValsCur[size_t(pt[2])].insert(
+        {computePhiQuantized(pt[1]), pt});
+    }
+  }
+
+  void clearRefFrame() {
+    for (auto& m : refPointVals) m.clear();
+  }
+
+  // getInterPred (:425-449): even refNodeIdx takes the first point
+  // past the current azimuth, odd the second; idx > 1 reads the
+  // motion-compensated map
+  bool getInterPred(int currAzim, int currLaserId, int refNodeIdx,
+                    V3* out) const {
+    const auto& refPic =
+      (refNodeIdx > 1) ? refPointValsGlob : refPointVals;
+    const auto& refPoints = refPic[size_t(currLaserId)];
+    const bool nextPred = !(refNodeIdx & 0x1);
+    if (refPoints.empty()) return false;
+    const auto quantizedPhi = computePhiQuantized(currAzim);
+    auto idx = refPoints.upper_bound(quantizedPhi);
+    if (idx == refPoints.end()) return false;
+    if (nextPred) {
+      *out = idx->second;
+      return true;
+    }
+    idx = refPoints.upper_bound(idx->first);
+    if (idx == refPoints.end()) return false;
+    *out = idx->second;
+    return true;
+  }
+
+  // updateFrame (:501-607): motion-compensate the accumulated current
+  // frame into the global map (cartesian round trip through the
+  // simple converter), optional radius resampling when moving, then
+  // rotate current -> previous
+  void updateFrame(const SphToCart& s2c, const CartToSphSimple& c2s) {
+    if (globalMotionEnabled) {
+      for (auto& m : refPointValsGlob) m.clear();
+      for (int laserId = 0; laserId < numLasers; laserId++) {
+        for (auto& ptIter : refPointValsCur[size_t(laserId)]) {
+          V3 pt = s2c(ptIter.second);
+          if (pt[2] > thresh0 || pt[2] < thresh1) {
+            V3 p = pt;
+            for (int k = 0; k < 3; k++) {
+              int64_t x = divExp2RoundHalfInfPosShift(
+                gmMatrix[3 * k + 0] * p[0] + gmMatrix[3 * k + 1] * p[1]
+                  + gmMatrix[3 * k + 2] * p[2],
+                16, int64_t(1) << 15) + gmTrans[k];
+              pt[k] = int32_t(x);
+            }
+            pt = c2s(pt);
+          } else
+            pt = ptIter.second;
+          const int phiQ = computePhiQuantized(pt[1]);
+          auto& lane = refPointValsGlob[size_t(pt[2])];
+          auto it = lane.find(phiQ);
+          if (it == lane.end())
+            lane.insert({phiQ, pt});
+          else if (it->second[0] > pt[0])
+            it->second = pt;
+        }
+      }
+
+      if (movingState) {
+        if (resampling) {
+          for (int laserId = 0; laserId < numLasers; laserId++) {
+            auto& ptsZero = refPointValsCur[size_t(laserId)];
+            auto& ptsGlob = refPointValsGlob[size_t(laserId)];
+            for (auto& ptIter : ptsZero) {
+              V3 ptA{{0, 0, 0}}, ptB{{0, 0, 0}};
+              auto& pt = ptIter.second;
+              const int phiQ = computePhiQuantized(pt[1]);
+              auto hit = ptsGlob.find(phiQ);
+              if (hit != ptsGlob.end()) {
+                const auto& colPt = hit->second;
+                ptA = colPt;
+                if (colPt[1] < pt[1]) {
+                  auto idx = ptsGlob.upper_bound(phiQ);
+                  ptB = (idx == ptsGlob.end()) ? ptA : idx->second;
+                } else if (colPt[1] > pt[1]) {
+                  auto idx = ptsGlob.lower_bound(phiQ);
+                  ptB = (idx == ptsGlob.begin()) ? ptA
+                                                 : std::prev(idx)->second;
+                } else
+                  ptB = ptA;
+              } else {
+                auto idx = ptsGlob.upper_bound(phiQ);
+                auto idx1 = idx;
+                if (idx != ptsGlob.begin()) idx1 = std::prev(idx);
+                if (idx == ptsGlob.end()) idx = idx1;
+                if (idx == ptsGlob.end()) continue;  // empty map guard
+                ptA = idx->second;
+                ptB = idx1->second;
+              }
+              int64_t delAzim = ptA[1] - ptB[1];
+              int64_t delRad = ptA[0] - ptB[0];
+              if (!delAzim || !delRad)
+                pt[0] = ptA[0];
+              else {
+                const int64_t nr = delRad * (pt[1] - ptA[1]);
+                const int64_t dr = delAzim;
+                const bool sign =
+                  ((nr > 0 && dr > 0) || (nr < 0 && dr < 0)) ? 0 : 1;
+                pt[0] = int32_t(
+                  ptA[0]
+                  + (1 - 2 * int(sign))
+                    * ((std::abs(nr) + (std::abs(dr) >> 1))
+                       / std::abs(dr)));
+              }
+            }
+          }
+        }
+      } else {
+        // not moving: the compensated map is replaced by the OLD
+        // previous frame (reference :597-599, a normative quirk)
+        for (int laserId = 0; laserId < numLasers; laserId++)
+          refPointValsGlob[size_t(laserId)] =
+            std::move(refPointVals[size_t(laserId)]);
+      }
+
+      for (int laserId = 0; laserId < numLasers; laserId++)
+        refPointVals[size_t(laserId)] =
+          std::move(refPointValsCur[size_t(laserId)]);
+      for (auto& m : refPointValsCur) m.clear();
+    } else {
+      for (int laserId = 0; laserId < numLasers; laserId++)
+        refPointVals[size_t(laserId)] =
+          std::move(refPointValsCur[size_t(laserId)]);
+      for (auto& m : refPointValsCur) m.clear();
+    }
+  }
+};
+
 // ---------------------------------------------------------------------------
 // context state (PredGeomContexts, geometry_predictive.h:84-136); all
 // probabilities start at 0x8000 like AdaptiveBitModel
@@ -346,6 +569,9 @@ struct PGCtx {
   uint16_t resPhiPre[3][4];
   uint16_t resPhiSuf[3][4];
   uint16_t resRSign[3][2][8];
+  uint16_t interFlag[32];
+  uint16_t refNodeIdx[3];
+  uint16_t refDirFlag;
 
   bool prevInterFlag = false;
   bool precSignR = false;
@@ -413,6 +639,7 @@ struct Decoder {
   std::vector<int32_t> stack;
   std::vector<int32_t> parentOf;
   bool bad = false;              // corrupt-payload flag (guards only)
+  RefSph* refSph = nullptr;      // inter prediction reference (may be null)
 
   // bounded single-context exp-Golomb (same robustness guard as
   // decodeEgPS; the shared ArithDec::exp_golomb has no bound)
@@ -485,71 +712,99 @@ struct Decoder {
     return residual;
   }
 
-  int32_t decodePhiMultiplier(int predIdx) {
+  int32_t decodePhiMultiplier(int predIdx, bool interFlag = false,
+                              int refNodeIdx = 0) {
     if (!g.angular) return 0;
-    int ctxL = predIdx ? 1 : 0;
-    if (!ad.bit(&c.phiGtN[0][ctxL][0])) return 0;
+    int ctxL =
+      interFlag ? (refNodeIdx > 1 ? 1 : 0) : (predIdx ? 1 : 0);
+    int ci = interFlag ? 1 : 0;
+    if (!ad.bit(&c.phiGtN[ci][ctxL][0])) return 0;
     int value = 1;
-    value += ad.bit(&c.phiGtN[0][ctxL][1]);
+    value += ad.bit(&c.phiGtN[ci][ctxL][1]);
     if (value == 1) {
-      int s = ad.bit(&c.signPhi[0][ctxL]);
+      int s = ad.bit(&c.signPhi[ci][ctxL]);
       return s ? -1 : 1;
     }
-    uint16_t* ctxs = &c.residualPhi[0][ctxL][0] - 1;
+    uint16_t* ctxs = &c.residualPhi[ci][ctxL][0] - 1;
     value = 1;
     for (int n = 3; n > 0; n--)
       value = (value << 1) | ad.bit(&ctxs[value]);
     value ^= 1 << 3;
-    if (value == 7) value += int(expGolomb0(&c.egPhi[0][ctxL]));
-    int s = ad.bit(&c.signPhi[0][ctxL]);
+    if (value == 7) value += int(expGolomb0(&c.egPhi[ci][ctxL]));
+    int s = ad.bit(&c.signPhi[ci][ctxL]);
     return s ? -(value + 2) : (value + 2);
+  }
+
+  bool decodeInterFlag(uint8_t interFlagBuffer) {
+    return ad.bit(&c.interFlag[interFlagBuffer & 0x1F]) != 0;
+  }
+
+  int decodeRefNodeIdx(bool globalMotionEnabled) {
+    int refNodeIdx = 0;
+    if (globalMotionEnabled) refNodeIdx = ad.bit(&c.refNodeIdx[0]);
+    refNodeIdx =
+      (refNodeIdx << 1) + ad.bit(&c.refNodeIdx[1 + refNodeIdx]);
+    return refNodeIdx;
   }
 
   bool decodeEndOfTreesFlag() { return ad.bit(&c.endOfTrees); }
 
-  int32_t decodeResPhi(int predIdx) {
-    int ctxL = predIdx ? 1 : 0;
-    if (!ad.bit(&c.resPhiGTZero[0][ctxL])) return 0;
+  int32_t decodeResPhi(int predIdx, bool interFlag = false,
+                       int refNodeIdx = 0) {
+    int ci = interFlag ? 1 : 0;
+    int ctxL =
+      interFlag ? (refNodeIdx > 1 ? 1 : 0) : (predIdx ? 1 : 0);
+    if (!ad.bit(&c.resPhiGTZero[ci][ctxL])) return 0;
     int absVal = 1;
-    absVal += ad.bit(&c.resPhiGTOne[0][ctxL]);
+    absVal += ad.bit(&c.resPhiGTOne[ci][ctxL]);
+    int egk = interFlag ? (refNodeIdx > 1 ? 2 : 1) : 0;
     if (absVal == 2)
-      absVal += decodeEgPS(ad, 1, c.resPhiPre[0], 4, c.resPhiSuf[0], 4, &bad);
-    int sign = ad.bit(&c.resPhiSign[ctxL][c.resPhiOldSign]);
-    c.resPhiOldSign = sign ? 1 : 0;
+      absVal += decodeEgPS(ad, 1, c.resPhiPre[egk], 4, c.resPhiSuf[egk], 4,
+                           &bad);
+    int sign = ad.bit(&c.resPhiSign[ctxL][ci ? 4 : c.resPhiOldSign]);
+    c.resPhiOldSign = interFlag ? (refNodeIdx > 1 ? 3 : 2) : (sign ? 1 : 0);
     return sign ? -absVal : absVal;
   }
 
-  int32_t decodeResR(int multiplier, int predIdx) {
-    int ctxL = predIdx ? 1 : 0;
-    int ctxLR = ctxL + (std::abs(multiplier) > g.thQphi ? 2 : 0);
-    if (!ad.bit(&c.resRGTZero[0][ctxLR])) return 0;
+  int32_t decodeResR(int multiplier, int predIdx, bool interFlag = false,
+                     int refNodeIdx = 0) {
+    const int ci = interFlag ? 1 : 0;
+    int ctxL =
+      interFlag ? (refNodeIdx > 1 ? 1 : 0) : (predIdx ? 1 : 0);
+    int ctxLR = ctxL
+      + (interFlag ? (std::abs(multiplier) > 2 ? 2 : 0)
+                   : (std::abs(multiplier) > g.thQphi ? 2 : 0));
+    if (!ad.bit(&c.resRGTZero[ci][ctxLR])) return 0;
     int absVal = 1;
-    absVal += ad.bit(&c.resRGTOne[0][ctxLR]);
-    if (absVal == 2) absVal += ad.bit(&c.resRGTTwo[0][ctxLR]);
+    absVal += ad.bit(&c.resRGTOne[ci][ctxLR]);
+    if (absVal == 2) absVal += ad.bit(&c.resRGTTwo[ci][ctxLR]);
     if (absVal == 3)
-      absVal += decodeEgPS(ad, 2, c.resRPre[0][ctxLR], 10,
-                           c.resRSuf[0][ctxLR], 10, &bad);
+      absVal += decodeEgPS(ad, 2, c.resRPre[ci][ctxLR], 10,
+                           c.resRSuf[ci][ctxLR], 10, &bad);
     int ctxR = (c.precAzimuthStepDelta ? 4 : 0) + (multiplier ? 2 : 0)
       + (c.precSignR ? 1 : 0);
-    int sign = ad.bit(&c.resRSign[c.prevInterFlag ? 1 : 0][ctxL][ctxR]);
+    int sign = ad.bit(
+      &c.resRSign[ci ? 2 : (c.prevInterFlag ? 1 : 0)][ctxL][ctxR]);
     c.precSignR = sign;
     c.precAzimuthStepDelta = multiplier;
-    c.prevInterFlag = false;
+    c.prevInterFlag = interFlag;
     return sign ? -absVal : absVal;
   }
 
   V3 decodeResidual(int mode, int multiplier, int rPred, int* azimuthSpeed,
-                    int predIdx) {
+                    int predIdx, bool interFlag = false,
+                    int refNodeIdx = 0) {
     V3 residual;
+    const int ci = interFlag ? 1 : 0;
     *azimuthSpeed = g.azimuthSpeed;
     int k = 0;
     if (g.azimuthScaling) {
-      residual[0] = decodeResR(multiplier, predIdx);
+      residual[0] = decodeResR(multiplier, predIdx, interFlag, refNodeIdx);
       int r = (rPred + residual[0]) << 3;
       int64_t speedTimesR = int64_t(g.azimuthSpeed) * r;
       int phiBound =
         int(divExp2RoundHalfInf(speedTimesR, g.twoPiLog2 + 1));
-      residual[1] = decodeResPhi(predIdx);
+      residual[1] = decodeResPhi(predIdx, interFlag, refNodeIdx);
       if (r && !phiBound) {
         const int32_t pi = 1 << (g.twoPiLog2 - 1);
         int32_t speedTimesR32 = int32_t(speedTimesR);
@@ -565,11 +820,11 @@ struct Decoder {
         residual[k] = 0;
         continue;
       }
-      if (!ad.bit(&c.resGt0[0][k])) {
+      if (!ad.bit(&c.resGt0[ci][k])) {
         residual[k] = 0;
         continue;
       }
-      uint16_t* ctxs = &c.numBits[0][ctxIdx][k][0] - 1;
+      uint16_t* ctxs = &c.numBits[ci][ctxIdx][k][0] - 1;
       int32_t nb = 1;
       for (int n = 0; n < g.residBits[k]; n++)
         nb = (nb << 1) | ad.bit(&ctxs[nb]);
@@ -584,7 +839,7 @@ struct Decoder {
         for (int i = 0; i < nb; ++i) res += ad.bypass() << i;
       }
       int sign = 0;
-      if (mode || k) sign = ad.bit(&c.sign[0][k]);
+      if (mode || k) sign = ad.bit(&c.sign[ci][k]);
       residual[k] = sign ? -res : res;
     }
     return residual;
@@ -596,14 +851,20 @@ struct Decoder {
   // crash here; resilience is this repo's standard, not the spec's).
   int decodeTree(V3* outA, V3* outB, int cap) {
     int nodeCount = 0;
+    int prevNodeIdx = -1;
+    uint8_t interFlagBuffer = 0;
     stack.push_back(-1);
 
     std::array<std::array<int, 2>, 8> preds = {};
     const int NPred = g.maxPredIdx + 1;
+    const bool frameMoving = refSph && refSph->interEnabled
+      && refSph->movingState;
 
     while (!stack.empty()) {
       int parentNodeIdx = stack.back();
       stack.pop_back();
+      const bool isInterEnabled =
+        refSph && refSph->interEnabled && prevNodeIdx >= 0;
 
       if (nodeCount >= cap) {
         stack.clear();
@@ -624,18 +885,48 @@ struct Decoder {
         return -1;
       }
 
+      bool interFlag = false;
+      int refNodeIdx = 0;
+      if (isInterEnabled) interFlag = decodeInterFlag(interFlagBuffer);
+      if (interFlag)
+        refNodeIdx = decodeRefNodeIdx(refSph->globalMotionEnabled);
+
       int mode = 1;
       int predIdx = 0;
-      if (g.azimuthScaling)
-        predIdx = decodePredIdx();
-      else
-        mode = decodePredMode();
-      int qphi = decodePhiMultiplier(predIdx);
+      if (!interFlag) {
+        if (g.azimuthScaling)
+          predIdx = decodePredIdx();
+        else
+          mode = decodePredMode();
+      }
+      int qphi = decodePhiMultiplier(predIdx, interFlag, refNodeIdx);
 
       // makePredicter + GPredicter::predict
       // (geometry_predictive.h:149-242)
       V3 pred{{0, 0, 0}};
-      {
+      if (interFlag && prevNodeIdx != -1) {
+        // inter branch (geometry_predictive_decoder.cpp:585-606)
+        const V3 prevPos = outA[prevNodeIdx];
+        const V3 parentPos =
+          parentNodeIdx >= 0 ? outA[parentNodeIdx] : V3{{0, 0, 0}};
+        if (!refSph->getInterPred(prevPos[1], prevPos[2], refNodeIdx,
+                                  &pred)) {
+          bad = true;
+          stack.clear();
+          return -1;
+        }
+        if (refNodeIdx > 1 && frameMoving) {
+          const int deltaPhi = pred[1] - parentPos[1];
+          pred[1] = parentPos[1];
+          if (deltaPhi >= (g.azimuthSpeed >> 1)
+              || deltaPhi <= -(g.azimuthSpeed >> 1)) {
+            int qphi0 = int(divApprox(
+              int64_t(deltaPhi) + (g.azimuthSpeed >> 1), g.azimuthSpeed,
+              0));
+            pred[1] += qphi0 * g.azimuthSpeed;
+          }
+        }
+      } else {
         int m = mode == 0 ? 1 : mode;  // None treated as Delta for walk
         int32_t index[3] = {-1, -1, -1};
         int walk = curNodeIdx;
@@ -687,7 +978,7 @@ struct Decoder {
 
       int azimuthSpeed;
       V3 residual = decodeResidual(mode, qphi, pred[0], &azimuthSpeed,
-                                   predIdx);
+                                   predIdx, interFlag, refNodeIdx);
       if (bad) {
         stack.clear();
         return -1;
@@ -723,7 +1014,10 @@ struct Decoder {
       outA[curNodeIdx] = pos;
 
       if (g.azimuthScaling) {
-        bool flagNewObject = std::abs(residual[0]) > g.thObj;
+        bool flagNewObject =
+          (interFlag ? std::abs(pos[0] - preds[0][0])
+                     : std::abs(residual[0]))
+          > g.thObj;
         int predBIdx = flagNewObject ? NPred - 1 : predIdx;
         for (int i = predBIdx; i > 0; i--) preds[i] = preds[i - 1];
         preds[0][0] = pos[0];
@@ -731,6 +1025,11 @@ struct Decoder {
       }
 
       if (g.angular) {
+        if (pos[2] < 0 || pos[2] >= g.numLasers) {
+          bad = true;
+          stack.clear();
+          return -1;
+        }
         if (!g.residual2Disabled)
           residual = decodeResidual2();
         else
@@ -747,6 +1046,10 @@ struct Decoder {
       }
 
       for (int i = 0; i < numChildren; i++) stack.push_back(curNodeIdx);
+
+      prevNodeIdx = curNodeIdx;
+      interFlagBuffer =
+        uint8_t((interFlagBuffer << 1) | (interFlag ? 1 : 0));
     }
     return nodeCount;
   }
@@ -1312,10 +1615,12 @@ extern "C" {
 // Decode one predictive-geometry AEC payload.  Returns the number of
 // points written to out (slice-local stv, decode order), or negative
 // on error.  out must hold numPoints * 3 int32.
-int tmc13ref_decode_predgeom(const uint8_t* buf, int len,
-                             const int32_t* params, const int32_t* theta,
-                             const int32_t* zlaser, int numPoints,
-                             int32_t* out) {
+static int decode_predgeom_impl(const uint8_t* buf, int len,
+                                const int32_t* params,
+                                const int32_t* theta,
+                                const int32_t* zlaser, int numPoints,
+                                int32_t* out, int32_t* out_sph,
+                                refpg::RefSph* ref) {
   using namespace refpg;
   Decoder d;
   d.g = PGParams::from(params);
@@ -1323,6 +1628,7 @@ int tmc13ref_decode_predgeom(const uint8_t* buf, int len,
   d.ad.init(buf, size_t(len));
   d.ad.bypassNoUpdate = d.g.bypassNoUpdate != 0;
   d.s2c = SphToCart{d.g.rInvLog2, d.g.twoPiLog2, theta, zlaser};
+  d.refSph = ref;
   d.parentOf.assign(numPoints, -1);
   d.stack.reserve(1024);
 
@@ -1342,7 +1648,84 @@ int tmc13ref_decode_predgeom(const uint8_t* buf, int len,
 
   if (d.g.angular)
     std::memcpy(out, b.data(), size_t(pointCount) * sizeof(V3));
+  if (out_sph && d.g.angular)
+    std::memcpy(out_sph, a.data(), size_t(pointCount) * sizeof(V3));
   return pointCount;
+}
+
+int tmc13ref_decode_predgeom(const uint8_t* buf, int len,
+                             const int32_t* params, const int32_t* theta,
+                             const int32_t* zlaser, int numPoints,
+                             int32_t* out) {
+  return decode_predgeom_impl(buf, len, params, theta, zlaser, numPoints,
+                              out, nullptr, nullptr);
+}
+
+// ---------------------------------------------------------------------------
+// inter prediction reference handle (PredGeomPredictor lifecycle,
+// decoder.cpp:603-645 + :719-752)
+// ---------------------------------------------------------------------------
+
+void* tmc13ref_pgref_create(int azimScaleLog2, int numLasers,
+                            int globalMotionEnabled, int resampling) {
+  auto* r = new refpg::RefSph();
+  r->init(azimScaleLog2, numLasers, globalMotionEnabled != 0,
+          resampling != 0);
+  return r;
+}
+
+void tmc13ref_pgref_free(void* h) {
+  delete static_cast<refpg::RefSph*>(h);
+}
+
+// gbh.interFrameRefGmcFlag + gm fields (matrix already 65536-scaled)
+void tmc13ref_pgref_set_motion(void* h, int movingState, int thresh0,
+                               int thresh1, const int32_t* matrix9,
+                               const int32_t* trans3) {
+  auto* r = static_cast<refpg::RefSph*>(h);
+  r->movingState = movingState != 0;
+  r->thresh0 = thresh0;
+  r->thresh1 = thresh1;
+  for (int i = 0; i < 9; i++) r->gmMatrix[i] = matrix9[i];
+  for (int i = 0; i < 3; i++) r->gmTrans[i] = trans3[i];
+}
+
+// first slice of each frame after the first (decoder.cpp:633/645)
+void tmc13ref_pgref_update_frame(void* h, int rInvLog2, int twoPiLog2,
+                                 int numLasers, const int32_t* theta,
+                                 const int32_t* zlaser) {
+  using namespace refpg;
+  auto* r = static_cast<RefSph*>(h);
+  SphToCart s2c{rInvLog2, twoPiLog2, theta, zlaser};
+  CartToSphSimple c2s{s2c, rInvLog2, twoPiLog2, numLasers, theta, zlaser};
+  r->updateFrame(s2c, c2s);
+}
+
+// per-brick: gbh.interPredictionEnabledFlag (decoder.cpp:719-723)
+void tmc13ref_pgref_set_inter(void* h, int interEnabled) {
+  auto* r = static_cast<refpg::RefSph*>(h);
+  r->interEnabled = interEnabled != 0;
+  if (!r->interEnabled) r->clearRefFrame();
+}
+
+// after each brick decode: current slice's spherical positions
+// (decoder.cpp:750-752)
+void tmc13ref_pgref_insert(void* h, const int32_t* pos_sph, int n) {
+  static_cast<refpg::RefSph*>(h)->insert(
+    reinterpret_cast<const refpg::V3*>(pos_sph), n);
+}
+
+// inter-capable decode: also returns the reconstructed spherical
+// positions (for the ref chain and spherical attribute coding)
+int tmc13ref_decode_predgeom_inter(const uint8_t* buf, int len,
+                                   const int32_t* params,
+                                   const int32_t* theta,
+                                   const int32_t* zlaser, int numPoints,
+                                   int32_t* out, int32_t* out_sph,
+                                   void* ref) {
+  return decode_predgeom_impl(buf, len, params, theta, zlaser, numPoints,
+                              out, out_sph,
+                              static_cast<refpg::RefSph*>(ref));
 }
 
 // Encode a predictive-geometry AEC payload for the angular tool set,

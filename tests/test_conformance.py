@@ -2004,6 +2004,110 @@ def test_predlift_inter_spherical_decode_bit_exact(tmp_path, tt):
             attrs[i][:, 0].astype(np.int64))
 
 
+def _predgeom_inter_encode(tmp_path, name, extra, gm_line=None):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..", "..",
+                                    "scripts"))
+    from gen_clouds import _hdl64_elevations
+    _inter_attr_frames(tmp_path)
+    gm = tmp_path / "pgm.txt"
+    gm.write_text((gm_line or
+                   "1 0 0 0 1 0 0 0 1 0 0 0 2200 1800\n") * 3)
+    theta = ",".join(
+        f"{t:.6f}" for t in np.tan(_hdl64_elevations(16)))
+    zeros = ",".join(["0"] * 16)
+    npt = ",".join(["2000"] * 16)
+    bit = tmp_path / f"{name}.bin"
+    subprocess.run(
+        [TMC3, "--mode=0",
+         f"--uncompressedDataPath={tmp_path}/ia_%04d.ply",
+         f"--compressedStreamPath={bit}",
+         "--frameCount=3", "--randomAccessPeriod=8",
+         "--interPredictionEnabled=1", "--globalMotionEnabled=1",
+         f"--motionVectorPath={gm}",
+         "--positionQuantizationScale=1", "--geomTreeType=1",
+         "--angularEnabled=1", "--numLasers=16",
+         "--lidarHeadPosition=2048,2048,2048",
+         f"--lasersTheta={theta}", f"--lasersZ={zeros}",
+         f"--lasersNumPhiPerTurn={npt}", *extra],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={tmp_path}/{name}_%04d.ply",
+         "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    return bit
+
+
+@pytest.mark.parametrize("variant,extra,gm", [
+    ("plain", ["--disableAttributeCoding=1",
+               "--mergeDuplicatedPoints=1"], None),
+    ("resample", ["--disableAttributeCoding=1",
+                  "--mergeDuplicatedPoints=1",
+                  "--resamplingEnabled=1"], None),
+    ("azim2", ["--disableAttributeCoding=1",
+               "--mergeDuplicatedPoints=1",
+               "--interAzimScaleLog2=2"], None),
+    ("notmoving", ["--disableAttributeCoding=1",
+                   "--mergeDuplicatedPoints=1"],
+     "1 0 0 0 1 0 0 0 1 0 0 0 0 0\n"),
+    ("dups", ["--disableAttributeCoding=1",
+              "--mergeDuplicatedPoints=0"], None),
+    ("rap2", ["--disableAttributeCoding=1",
+              "--mergeDuplicatedPoints=1",
+              "--randomAccessPeriod=2"], None),
+])
+def test_predgeom_inter_decode_bit_exact(tmp_path, variant, extra, gm):
+    """Predictive-geometry inter prediction (refFrameSph): per-laser
+    azimuth-keyed reference maps, inter flag / ref node index coding,
+    global-motion compensation of the spherical reference with the
+    moving/not-moving frame states, resampling, and the re-intra
+    reset (geometry_predictive_decoder.cpp:496-692,
+    geometry_predictive.h:398-644) — 3-frame sequences decode
+    bit-exactly.  NB the reference encoder segfaults on predgeom
+    inter without an external motion file (empty
+    perFrameMovingStatus, geometry_params.h:145), so all variants
+    drive it with one."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    bit = _predgeom_inter_encode(tmp_path, f"pg_{variant}", extra, gm)
+    frames = refdec.decode_stream(bit.read_bytes())
+    for i in range(3):
+        ref = ply.read(str(tmp_path / f"pg_{variant}_{i:04d}.ply"))
+        np.testing.assert_array_equal(ref.positions.astype(np.int64),
+                                      np.asarray(frames[i]))
+
+
+@pytest.mark.parametrize("variant,extra", [
+    ("raht", ["--transformType=0", "--spherical_coord_flag=1",
+              "--rahtInterPredictionDepthMinus1=7"]),
+    ("pred", ["--transformType=1", "--spherical_coord_flag=1"]),
+    ("lift", ["--transformType=2", "--spherical_coord_flag=1"]),
+    ("cart-raht", ["--transformType=0",
+                   "--rahtInterPredictionDepthMinus1=7"]),
+])
+def test_predgeom_inter_attr_decode_bit_exact(tmp_path, variant, extra):
+    """Predgeom inter geometry + attribute inter prediction: the
+    attribute coder reuses the reconstructed spherical positions
+    (_posSph) with a cross-frame offset-minimum chain that also
+    shifts the stored reference cloud (decoder.cpp:881-899) —
+    RAHT / predicting / lifting reflectance decode bit-exactly."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    bit = _predgeom_inter_encode(
+        tmp_path, f"pga_{variant}",
+        ["--mergeDuplicatedPoints=1", "--qp=34", "--bitdepth=8",
+         "--attributeInterPredictionEnabled=1", *extra,
+         "--attribute=reflectance"])
+    frames, attrs = refdec.decode_stream(bit.read_bytes(),
+                                         want_attrs=True)
+    for i in range(3):
+        ref = ply.read(str(tmp_path / f"pga_{variant}_{i:04d}.ply"))
+        np.testing.assert_array_equal(ref.positions.astype(np.int64),
+                                      np.asarray(frames[i]))
+        np.testing.assert_array_equal(
+            ref.reflectances.astype(np.int64),
+            attrs[i][:, 0].astype(np.int64))
+
+
 def test_inter_raht_attr_ctc_combo_decode(tmp_path):
     """The full CTC cat3 inter shape: angular octree inter geometry
     (external GM, cuboid LPU, IDCM 3) + spherical-coordinate
