@@ -1032,7 +1032,7 @@ def encode_stream(positions: np.ndarray,
         av = np.asarray(attr_vals, dtype=np.int32)[src_row]
         if av.ndim == 1:
             av = av[:, None]
-        attr_aec, _ = encode_attr_brick_native(
+        attr_aec, _, _, _ = encode_attr_brick_native(
             sps, aps, dec_pos, av)
         abrick = ref_hls.write_abh(aps, 0, 0, attr_aec)
         stream += ref_hls.write_ref_tlv(ref_hls.T_ATTR_BRICK, abrick)
@@ -1041,10 +1041,13 @@ def encode_stream(positions: np.ndarray,
 
 
 def encode_attr_brick_native(sps, aps, positions_stv: np.ndarray,
-                             attrs: np.ndarray):
+                             attrs: np.ndarray, attr_ref=None):
     """RAHT-encode attributes aligned to decode-order positions.
     Returns (AEC payload bytes, reconstructed attributes in the same
-    row order)."""
+    row order, layer code modes, quantised filter taps).  With
+    ``attr_ref`` (previous frame's coding positions + reconstructed
+    attributes) the encoder runs the reference's per-layer inter/intra
+    RDO and filter estimation (RAHT.cpp encoder inter paths)."""
     from ..utils import morton
     from .decoder import _load
 
@@ -1058,6 +1061,15 @@ def encode_attr_brick_native(sps, aps, positions_stv: np.ndarray,
             c.POINTER(c.c_uint8), c.c_int]
         lib.tmc13ref_encode_raht_attr.restype = c.c_int
         lib.tmc13ref_encode_raht_attr._configured = True
+        lib.tmc13ref_encode_raht_attr_inter.argtypes = [
+            c.POINTER(c.c_int64), c.c_int, c.c_int,
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int,
+            c.c_int, c.POINTER(c.c_int32),
+            c.POINTER(c.c_int64), c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.POINTER(c.c_uint8), c.c_int]
+        lib.tmc13ref_encode_raht_attr_inter.restype = c.c_int
 
     dims = attrs.shape[1]
     bitdepth = sps.attr_bitdepths[0]
@@ -1086,18 +1098,54 @@ def encode_attr_brick_native(sps, aps, positions_stv: np.ndarray,
     rec = np.empty((n, dims), dtype=np.int32)
     cap = n * dims * 8 + 4096
     out = np.empty(cap, dtype=np.uint8)
-    rc = lib.tmc13ref_encode_raht_attr(
-        codes_sorted.ctypes.data_as(c.POINTER(c.c_int64)), n, dims,
-        attrs_sorted.ctypes.data_as(c.POINTER(c.c_int32)),
-        qp_arr.ctypes.data_as(c.POINTER(c.c_int32)), len(layers),
-        bitdepth, params.ctypes.data_as(c.POINTER(c.c_int32)),
-        rec.ctypes.data_as(c.POINTER(c.c_int32)),
-        out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+    modes_out = taps_out = None
+    if attr_ref is not None:
+        ref_pos, ref_attr = attr_ref
+        rcodes = morton.encode(np.ascontiguousarray(ref_pos,
+                                                    dtype=np.int64))
+        rorder = np.argsort(rcodes, kind="stable")
+        rcodes_s = np.ascontiguousarray(rcodes[rorder])
+        rattr_s = np.ascontiguousarray(
+            np.asarray(ref_attr, dtype=np.int32)[rorder].reshape(-1))
+        iparams = np.asarray(
+            [aps.raht_inter_depth_minus1 + 1,
+             1 if aps.raht_send_inter_filters else 0,
+             aps.raht_inter_skip_layers,
+             1 if aps.raht_enable_code_layer else 0, 0, 0],
+            dtype=np.int32)
+        modes = np.zeros(64, dtype=np.int32)
+        taps = np.zeros(64, dtype=np.int32)
+        counts = np.zeros(2, dtype=np.int32)
+        rc = lib.tmc13ref_encode_raht_attr_inter(
+            codes_sorted.ctypes.data_as(c.POINTER(c.c_int64)), n, dims,
+            attrs_sorted.ctypes.data_as(c.POINTER(c.c_int32)),
+            qp_arr.ctypes.data_as(c.POINTER(c.c_int32)), len(layers),
+            bitdepth, params.ctypes.data_as(c.POINTER(c.c_int32)),
+            rcodes_s.ctypes.data_as(c.POINTER(c.c_int64)),
+            rattr_s.ctypes.data_as(c.POINTER(c.c_int32)),
+            int(rcodes_s.shape[0]),
+            iparams.ctypes.data_as(c.POINTER(c.c_int32)),
+            modes.ctypes.data_as(c.POINTER(c.c_int32)),
+            taps.ctypes.data_as(c.POINTER(c.c_int32)),
+            counts.ctypes.data_as(c.POINTER(c.c_int32)),
+            rec.ctypes.data_as(c.POINTER(c.c_int32)),
+            out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+        if rc >= 0:
+            modes_out = [int(v) for v in modes[:counts[0]]]
+            taps_out = [int(v) for v in taps[:counts[1]]]
+    else:
+        rc = lib.tmc13ref_encode_raht_attr(
+            codes_sorted.ctypes.data_as(c.POINTER(c.c_int64)), n, dims,
+            attrs_sorted.ctypes.data_as(c.POINTER(c.c_int32)),
+            qp_arr.ctypes.data_as(c.POINTER(c.c_int32)), len(layers),
+            bitdepth, params.ctypes.data_as(c.POINTER(c.c_int32)),
+            rec.ctypes.data_as(c.POINTER(c.c_int32)),
+            out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
     if rc < 0:
         raise RuntimeError(f"refattr encode failed rc={rc}")
     rec_out = np.empty_like(rec)
     rec_out[order] = rec
-    return bytes(out[:rc]), rec_out
+    return bytes(out[:rc]), rec_out, modes_out, taps_out
 
 
 def encode_frames(frames, unique_points: bool = True,
@@ -1250,8 +1298,11 @@ def encode_frames(frames, unique_points: bool = True,
                 "angular inter emission needs an external motion "
                 "file (the reference's internal-LMS + angular path "
                 "needs content-specific gmThreshold bounds)")
-        if have_attrs:
-            raise NotImplementedError("attributes with inter bricks")
+        if (have_attrs and aps is not None
+                and aps.attr_inter_prediction
+                and aps.attr_encoding != ref_hls.ATTR_RAHT):
+            raise NotImplementedError(
+                "attribute inter emission outside RAHT")
         sps.inter_frame_prediction_enabled = True
         gps.inter_prediction = True
         gps.global_motion = global_motion
@@ -1272,7 +1323,11 @@ def encode_frames(frames, unique_points: bool = True,
     # inter frame chaining: previous frame's reconstruction in
     # slice-global STV (the encoder-side _refFrameSeq store)
     ref_cloud: Optional[np.ndarray] = None
+    # attribute inter reference chain: previous frame's attr coding
+    # positions + closed-loop reconstruction (encoder.cpp:1468-1484)
+    attr_ref_chain = None
     for ctr, cloud in enumerate(frames):
+        next_attr_chain = []
         # slice ids restart at each frame (encoder.cpp _sliceId
         # reset in compress())
         slice_id = 0
@@ -1322,6 +1377,96 @@ def encode_frames(frames, unique_points: bool = True,
                 continue
             origin = part.min(axis=0)
             local = part - origin
+
+            def _emit_attr(dec_pos, _origin=origin, _local=local,
+                           _apart=apart, _slice_id_ref=None):
+                # attributes follow their geometry slice, coded at the
+                # DECODED positions in decode order (decoder.cpp:921-2)
+                # on the slice-origin-ADDED positions (encoder.cpp:1210)
+                attr_pos = dec_pos.astype(np.int64) + _origin
+                if ts_log2:
+                    from ..models.pointcloud import PointCloud
+                    from ..ops import recolour as rc
+                    dt = (np.uint8 if attr_bitdepth <= 8
+                          else np.uint16)
+                    src_cloud = PointCloud(
+                        positions=_local.astype(np.int64),
+                        colors=(_apart.astype(dt)
+                                if _apart.shape[1] == 3 else None),
+                        reflectances=(_apart[:, 0].astype(dt)
+                                      if _apart.shape[1] == 1
+                                      else None))
+                    tgt = rc.recolour(src_cloud,
+                                      dec_pos.astype(np.int64))
+                    aslice = (tgt.colors if _apart.shape[1] == 3
+                              else tgt.reflectances[:, None])
+                    aslice = np.asarray(aslice, dtype=np.int32)
+                else:
+                    k_dec = ((dec_pos[:, 0].astype(np.int64) << 42)
+                             | (dec_pos[:, 1].astype(np.int64) << 21)
+                             | dec_pos[:, 2].astype(np.int64))
+                    k_src = ((_local[:, 0] << 42)
+                             | (_local[:, 1] << 21) | _local[:, 2])
+                    os_ = np.argsort(k_src)
+                    src_row = os_[np.searchsorted(k_src[os_], k_dec)]
+                    aslice = _apart[src_row].astype(np.int32)
+                if aps.attr_encoding == ref_hls.ATTR_RAHT:
+                    # abh.enableAttrInterPred for RAHT = the frame is
+                    # coded inter (encoder.cpp:1096-1099)
+                    frame_inter = (inter and aps.attr_inter_prediction
+                                   and ctr % random_access_period != 0
+                                   and attr_ref_chain is not None)
+                    # per-slice dist2 estimate rides the ABH under
+                    # inter even for RAHT (encoder.cpp:1199-1206)
+                    d2d = 0
+                    if frame_inter:
+                        pos_ = dec_pos.astype(np.int64)
+                        n_ = pos_.shape[0]
+                        if n_ >= 2:
+                            dists = []
+                            for idx in range(0, n_, 100):
+                                k0 = max(0, idx - 128)
+                                k1 = min(n_ - 1, idx + 128)
+                                w_ = pos_[k0:k1 + 1] - pos_[idx]
+                                dd = (w_ * w_).sum(axis=1)
+                                dd[idx - k0] = np.iinfo(np.int64).max
+                                dists.append(int(dd.min()))
+                            dists = np.asarray(dists, dtype=np.int64)
+                            pq = int(np.floor(len(dists) * 0.85))
+                            d2v = int(np.partition(dists, pq)[pq])
+                            shift = 0
+                            while (3 << (shift << 1)) < d2v and shift < 20:
+                                shift += 1
+                            d2d = shift - aps.dist2
+                    (attr_aec, arec, amodes,
+                     ataps) = encode_attr_brick_native(
+                        sps, aps, attr_pos, aslice,
+                        attr_ref=(attr_ref_chain if frame_inter
+                                  else None))
+                    abrick = ref_hls.write_abh(
+                        aps, 0, slice_id, attr_aec,
+                        dist2_delta=d2d,
+                        enable_inter=frame_inter,
+                        raht_filter_taps=ataps,
+                        raht_layer_modes=amodes)
+                    if aps.attr_inter_prediction:
+                        next_attr_chain.append((attr_pos, arec))
+                else:
+                    (attr_aec, lcp, icp, _rec,
+                     d2d) = encode_attr_brick_predlift(
+                        sps, aps, attr_pos, aslice)
+                    dims_ = aslice.shape[1]
+                    abrick = ref_hls.write_abh(
+                        aps, 0, slice_id, attr_aec, dims=dims_,
+                        lcp_coeffs=(lcp if aps.last_component_prediction
+                                    and dims_ == 3 else None),
+                        icp_coeffs=(icp
+                                    if aps.inter_component_prediction
+                                    and dims_ != 1 else None),
+                        dist2_delta=d2d)
+                out.append(ref_hls.write_ref_tlv(ref_hls.T_ATTR_BRICK,
+                                                 abrick))
+
             whd = local.max(axis=0) + 1
             root = [max(_ceillog2(max(2, int(v))), ts_log2)
                     for v in whd]
@@ -1407,6 +1552,8 @@ def encode_frames(frames, unique_points: bool = True,
                         sps, gps, gbh_p, brick, ref_cloud=ref_cloud)
                     frame_stv.append(dec.astype(np.int64)
                                      + origin[None, :])
+                    if apart is not None:
+                        _emit_attr(dec)
                     slice_id += 1
                     continue
                 aec = _encode_brick_native_ang(
@@ -1472,6 +1619,8 @@ def encode_frames(frames, unique_points: bool = True,
                         sps, gps, gbh_p, brick, ref_cloud=ref_cloud)
                     frame_stv.append(dec.astype(np.int64)
                                      + origin[None, :])
+                    if apart is not None:
+                        _emit_attr(dec)
                     slice_id += 1
                     continue
                 aec = _encode_brick_native(
@@ -1495,69 +1644,18 @@ def encode_frames(frames, unique_points: bool = True,
                 frame_stv.append(dec.astype(np.int64)
                                  + origin[None, :])
             if apart is not None:
-                # attributes follow their geometry slice, coded at
-                # the DECODED positions in decode order
-                # (decoder.cpp:921-922)
                 from . import decoder as refdec
                 gbh_p = ref_hls.parse_gbh(sps, gps, brick)
                 dec_pos = refdec.decode_geometry_brick(
                     sps, gps, gbh_p, brick)
-                # attributes are coded on the slice-origin-ADDED
-                # positions (encoder.cpp:1210 pointCloud += sliceOrigin
-                # before attributeCoding) - the Morton order that
-                # drives RAHT/LoD depends on the absolute coordinates
-                attr_pos = dec_pos.astype(np.int64) + origin
-                if ts_log2:
-                    # lossy geometry: recolour source attrs onto the
-                    # reconstruction (transferAttributes)
-                    from ..models.pointcloud import PointCloud
-                    from ..ops import recolour as rc
-                    dt = (np.uint8 if attr_bitdepth <= 8
-                          else np.uint16)
-                    src_cloud = PointCloud(
-                        positions=local.astype(np.int64),
-                        colors=(apart.astype(dt)
-                                if apart.shape[1] == 3 else None),
-                        reflectances=(apart[:, 0].astype(dt)
-                                      if apart.shape[1] == 1
-                                      else None))
-                    tgt = rc.recolour(src_cloud,
-                                      dec_pos.astype(np.int64))
-                    aslice = (tgt.colors if apart.shape[1] == 3
-                              else tgt.reflectances[:, None])
-                    aslice = np.asarray(aslice, dtype=np.int32)
-                else:
-                    k_dec = ((dec_pos[:, 0].astype(np.int64) << 42)
-                             | (dec_pos[:, 1].astype(np.int64) << 21)
-                             | dec_pos[:, 2].astype(np.int64))
-                    k_src = ((local[:, 0] << 42) | (local[:, 1] << 21)
-                             | local[:, 2])
-                    os_ = np.argsort(k_src)
-                    src_row = os_[np.searchsorted(k_src[os_], k_dec)]
-                    aslice = apart[src_row].astype(np.int32)
-                if aps.attr_encoding == ref_hls.ATTR_RAHT:
-                    attr_aec, _ = encode_attr_brick_native(
-                        sps, aps, attr_pos, aslice)
-                    abrick = ref_hls.write_abh(aps, 0, slice_id,
-                                               attr_aec)
-                else:
-                    (attr_aec, lcp, icp, _rec,
-                     d2d) = encode_attr_brick_predlift(
-                        sps, aps, attr_pos, aslice)
-                    dims_ = aslice.shape[1]
-                    abrick = ref_hls.write_abh(
-                        aps, 0, slice_id, attr_aec, dims=dims_,
-                        lcp_coeffs=(lcp if aps.last_component_prediction
-                                    and dims_ == 3 else None),
-                        icp_coeffs=(icp
-                                    if aps.inter_component_prediction
-                                    and dims_ != 1 else None),
-                        dist2_delta=d2d)
-                out.append(ref_hls.write_ref_tlv(ref_hls.T_ATTR_BRICK,
-                                                 abrick))
+                _emit_attr(dec_pos)
             slice_id += 1
         if inter and frame_stv:
             ref_cloud = np.concatenate(frame_stv, axis=0)
+        if next_attr_chain:
+            attr_ref_chain = (
+                np.concatenate([p for p, _ in next_attr_chain], axis=0),
+                np.concatenate([a for _, a in next_attr_chain], axis=0))
     return b"".join(out)
 
 
@@ -1569,12 +1667,14 @@ def derive_default_aps(attr_encoding: int, attr_qp: int = 34,
                        lod_sampling_periods=None,
                        dist2: int = 0,
                        inter_component_prediction: bool = False,
-                       last_component_prediction: bool = False
+                       last_component_prediction: bool = False,
+                       attr_inter_prediction: bool = False,
+                       raht_send_inter_filters: bool = False
                        ) -> "ref_hls.RefAps":
     """tmc3-default APS for RAHT/PRED/LIFT (option defaults
     TMC3.cpp:1290-1400; sanitizer encoder.cpp:765-830, TMC3.cpp:1878)."""
     if attr_encoding == ref_hls.ATTR_RAHT:
-        return ref_hls.RefAps(
+        a = ref_hls.RefAps(
             aps_id=0, sps_id=0, attr_encoding=ref_hls.ATTR_RAHT,
             init_qp_minus4=attr_qp - 4,
             chroma_qp_offset=attr_qp_chroma_offset,
@@ -1584,6 +1684,14 @@ def derive_default_aps(attr_encoding: int, attr_qp: int = 34,
             raht_subnode_prediction=True,
             raht_prediction_weights=[9, 3, 1, 5, 2],
             raht_prediction_search_range=1100000)
+        if attr_inter_prediction:
+            # tmc3 inter-attribute defaults (TMC3.cpp:1453-1476)
+            a.attr_inter_prediction = True
+            a.raht_inter_depth_minus1 = 15
+            a.raht_send_inter_filters = raht_send_inter_filters
+            a.raht_inter_skip_layers = 3
+            a.raht_enable_code_layer = True
+        return a
     pred = attr_encoding == ref_hls.ATTR_PRED
     ndl = num_detail_levels_minus1
     max_lvls = ndl + 1

@@ -1288,7 +1288,16 @@ def write_aps(a: RefAps) -> bytes:
         for v in (a.quant_neigh_weight
                   or [0] * (a.num_pred_nearest_neighbours_minus1 + 1)):
             w.ue(v)
-    w.u1(0)                          # attrInterPredictionEnabled
+    w.u1(a.attr_inter_prediction)
+    if a.attr_inter_prediction:
+        # inter-RAHT controls (io_hls.cpp:1246-1255)
+        if a.attr_encoding == ATTR_RAHT:
+            w.ue(a.raht_inter_depth_minus1)
+            w.u1(a.raht_send_inter_filters)
+            w.ue(a.raht_inter_skip_layers)
+            w.u1(a.raht_enable_code_layer)
+        else:
+            w.ue(a.attr_inter_pred_search_range)
     if (a.attr_encoding in (ATTR_PRED, ATTR_LIFT)
             and not a.num_detail_levels_minus1):
         w.ue(a.max_points_per_sort_log2_plus1)
@@ -1315,7 +1324,10 @@ def se_w(w: RefBitWriter, v: int):
 def write_abh(aps: RefAps, sps_attr_idx: int, geom_slice_id: int,
               aec_payload: bytes, dims: int = 3,
               lcp_coeffs=None, icp_coeffs=None,
-              dist2_delta: int = 0) -> bytes:
+              dist2_delta: int = 0,
+              enable_inter: bool = False,
+              raht_filter_taps=None,
+              raht_layer_modes=None) -> bytes:
     """Attribute brick = ABH (parseAbh mirror, intra scope) + AEC
     payload.  ``lcp_coeffs``/``icp_coeffs`` are the encoder-derived
     per-LoD coefficient lists (delta-coded, io_hls.cpp:1780-1810)."""
@@ -1345,4 +1357,22 @@ def write_abh(aps: RefAps, sps_attr_idx: int, geom_slice_id: int,
     w.u1(0)                          # attr_layer_qp_present_flag
     w.ue(0)                          # attr_num_regions
     w.u1(0)                          # raht_ac_coeff_qp_offset_present
+    if aps.attr_inter_prediction:
+        # per-slice inter enable + RAHT filter taps / layer modes
+        # (writeAbh, io_hls.cpp:1994-2022)
+        w.u1(1 if enable_inter else 0)
+        # !biPredEncodeParams.movingState2 — always 1 without
+        # bi-prediction (encoder.cpp:1105)
+        w.u1(1)
+        if enable_inter and aps.raht_send_inter_filters:
+            taps = list(raht_filter_taps or [])
+            w.ue(len(taps))
+            for v in taps:
+                se_w(w, v)
+        if (aps.raht_enable_code_layer and enable_inter
+                and aps.attr_encoding == ATTR_RAHT):
+            modes = list(raht_layer_modes or [])
+            w.ue(len(modes))
+            for v in modes:
+                w.u1(1 if v else 0)
     return w.get_bytes() + aec_payload

@@ -33,6 +33,7 @@
 
 #include <algorithm>
 #include <array>
+#include <cmath>
 #include <cassert>
 #include <cstdint>
 #include <cstring>
@@ -641,20 +642,31 @@ static const int kDivisors[64] = {
   728,   712,   697,   683,  669,  655,  643,  630,  618,  607,  596,
   585,   575,   565,   555,  546,  537,  529,  520,  512};
 
+// dual-track form (RAHT.cpp:421-593): with the encoder's per-layer
+// inter/intra RDO the intra track re-derives child-neighbour values
+// from its own reconstruction; parent contributions are shared
 static void intraDcPred(
   int numAttrs, const int parentNeighIdx[19], const int childNeighIdx[12][8],
   int occupancy, const std::vector<int64_t>& attrRecParent,
   const std::vector<int64_t>& attrRec, FP predBuf[][8],
-  const PredParams& pp, int64_t& limitLow, int64_t& limitHigh) {
+  const PredParams& pp, int64_t& limitLow, int64_t& limitHigh,
+  const std::vector<int64_t>* intraAttrRec = nullptr,
+  FP (*intraPredBuf)[8] = nullptr) {
   static const uint8_t predMasks[19] = {255, 240, 204, 170, 192, 160, 136,
                                         3,   5,   15,  17,  51,  85,  10,
                                         34,  12,  68,  48,  80};
+  const bool dualTrack = intraPredBuf != nullptr;
   int weightSum[8] = {-1, -1, -1, -1, -1, -1, -1, -1};
   for (int k = 0; k < numAttrs; k++)
     for (int j = 0; j < 8; j++) predBuf[k][j].val = 0;
+  if (dualTrack)
+    for (int k = 0; k < numAttrs; k++)
+      for (int j = 0; j < 8; j++) intraPredBuf[k][j].val = 0;
 
   int64_t neighValue[3];
   int64_t childNeighValue[3];
+  int64_t intraChildNeighValue[3];
+  (void)intraChildNeighValue;
 
   const int parentOnlyCheckMaxIdx = pp.subnodePrediction ? 7 : 19;
   for (int i = 0; i < parentOnlyCheckMaxIdx; i++) {
@@ -679,7 +691,10 @@ static void intraDcPred(
     for (int j = 0; mask; j++, mask >>= 1) {
       if (mask & 1) {
         weightSum[j] += pp.predWeightParent[i];
-        for (int k = 0; k < numAttrs; k++) predBuf[k][j].val += neighValue[k];
+        for (int k = 0; k < numAttrs; k++) {
+          predBuf[k][j].val += neighValue[k];
+          if (dualTrack) intraPredBuf[k][j].val += neighValue[k];
+        }
       }
     }
   }
@@ -713,10 +728,24 @@ static void intraDcPred(
             }
             for (int k = 0; k < numAttrs; k++)
               predBuf[k][j].val += childNeighValue[k];
+            if (dualTrack) {
+              int icbase = numAttrs * childNeighIdx[i][j];
+              for (int k = 0; k < numAttrs; k++) {
+                if (pp.rahtExtension)
+                  intraChildNeighValue[k] = (*intraAttrRec)[icbase + k]
+                    * pp.predWeightChild[i];
+                else
+                  intraChildNeighValue[k] = (*intraAttrRec)[icbase + k]
+                    * (int64_t(pp.predWeightChild[i]) << kFracBits);
+                intraPredBuf[k][j].val += intraChildNeighValue[k];
+              }
+            }
           } else {
             weightSum[j] += pp.predWeightParent[7 + i];
-            for (int k = 0; k < numAttrs; k++)
+            for (int k = 0; k < numAttrs; k++) {
               predBuf[k][j].val += neighValue[k];
+              if (dualTrack) intraPredBuf[k][j].val += neighValue[k];
+            }
           }
         }
       }
@@ -727,11 +756,18 @@ static void intraDcPred(
   for (int i = 0; i < 8; i++, occupancy >>= 1) {
     if (occupancy & 1) {
       div.val = kDivisors[weightSum[i]];
-      for (int k = 0; k < numAttrs; k++) predBuf[k][i] *= div;
+      for (int k = 0; k < numAttrs; k++) {
+        predBuf[k][i] *= div;
+        if (dualTrack) intraPredBuf[k][i] *= div;
+      }
       if (pp.haar) {
-        for (int k = 0; k < numAttrs; k++)
+        for (int k = 0; k < numAttrs; k++) {
           predBuf[k][i].val =
             (predBuf[k][i].val >> kFracBits) << kFracBits;
+          if (dualTrack)
+            intraPredBuf[k][i].val =
+              (intraPredBuf[k][i].val >> kFracBits) << kFracBits;
+        }
       }
     }
   }
@@ -869,15 +905,197 @@ struct InterRaht {
   int numFilterTaps = 0;
   const int32_t* layerCodeMode = nullptr;  // abh per-depth modes
   int numLayerModes = 0;
+  // encoder outputs (filled by urahtProcess when isEncoder):
+  std::vector<int32_t> encLayerModes;   // attr_layer_code_mode
+  std::vector<int32_t> encFilterTaps;   // quantised residue taps
 };
 
 static const int64_t kFixedFilterTaps[7] = {128, 128, 128, 127,
                                             125, 121, 115};
 
+// PCCRAHTACCoefficientEntropyEstimate (RAHT.h:71-97, RAHT.cpp:53-92):
+// the encoder's layer-RDO cost model
+struct CostEst {
+  static const unsigned scaleRes = 1u << 20;
+  static const unsigned windowLog2 = 6;
+  int probResGt0[3];
+  int probResGt1[3];
+  double sumCostBits;
+  CostEst() {
+    for (int k = 0; k < 3; k++)
+      probResGt0[k] = probResGt1[k] = int(scaleRes >> 1);
+    sumCostBits = 0.;
+  }
+  void updateCostBits(int32_t value, int k) {
+    int log2scaleRes = ilog2(uint64_t(scaleRes));
+    double bits = 0;
+    bits += value ? log2scaleRes - std::log2(double(probResGt0[k]))
+                  : log2scaleRes
+                    - std::log2(double(scaleRes - probResGt0[k]));
+    int mag = std::abs(value);
+    if (mag) {
+      bits += mag > 1 ? log2scaleRes - std::log2(double(probResGt1[k]))
+                      : log2scaleRes
+                        - std::log2(double(scaleRes - probResGt1[k]));
+      bits += 1;  // sign
+      if (mag > 1) bits += 2.0 * std::log2(mag - 1.0) + 1.0;  // EG0
+    }
+    sumCostBits += bits;
+  }
+  void resStatUpdate(int32_t value, int k) {
+    probResGt0[k] += value
+      ? int(scaleRes - probResGt0[k]) >> windowLog2
+      : -(probResGt0[k] >> windowLog2);
+    if (value)
+      probResGt1[k] += std::abs(value) > 1
+        ? int(scaleRes - probResGt1[k]) >> windowLog2
+        : -(probResGt1[k] >> windowLog2);
+  }
+  double costBits() const { return sumCostBits; }
+  void resetCostBits() { sumCostBits = 0.; }
+};
+
+// getFilterTap (RAHT.cpp:805-847): 128*crosscorr/autocorr by repeated
+// subtraction + binary search
+static int getFilterTap(int64_t autocorr, int64_t crosscorr) {
+  if (crosscorr == 0) return 0;
+  bool isneg = crosscorr < 0;
+  crosscorr = std::abs(crosscorr);
+  if (crosscorr == autocorr) return isneg ? -128 : 128;
+  int tapint = 0, tapfrac = 0;
+  while (crosscorr >= autocorr) {
+    crosscorr -= autocorr;
+    tapint += 128;
+  }
+  if (crosscorr == 0) return isneg ? -tapint : tapint;
+  int mn = 0, mx = 128;
+  while (mn < mx - 1) {
+    int mid = (mn + mx) >> 1;
+    int64_t midval = (mid * autocorr) >> 7;
+    if (crosscorr == midval) {
+      tapfrac = mid;
+      return isneg ? -(tapint + tapfrac) : (tapint + tapfrac);
+    } else if (crosscorr < midval) {
+      mx = mid;
+    } else {
+      mn = mid;
+    }
+  }
+  tapfrac = mn;
+  return isneg ? -(tapint + tapfrac) : (tapint + tapfrac);
+}
+
+// estimate_layer_filter (RAHT.cpp:849-975): per-layer correlation of
+// transform-domain reference vs current DC-normalised coefficients
+static int estimateLayerFilter(
+  const std::vector<UNode>& weightsLf, const std::vector<UNode>& weightsLf_ref,
+  const std::vector<int>& attrsLf, const std::vector<int>& attrsLf_ref,
+  int level, int level_ref, int numAttrs, bool inheritDc,
+  bool rahtExtension) {
+  int64_t autocorr = 0, crosscorr = 0;
+  int layerFilter = 128;
+  for (int i = 0, j = 0, iLast, jLast, iEnd = int(weightsLf.size()),
+           jEnd = int(weightsLf_ref.size());
+       i < iEnd; i = iLast) {
+    FP transformBuf[6][8] = {};
+    FP transformInterPredBuf[3][8] = {};
+    int weights[8 + 8 + 8 + 8] = {};
+    int nodeCnt = 0;
+    int weights_ref[8 + 8 + 8 + 8] = {};
+    bool interNode = false;
+
+    const int64_t cur_pos = weightsLf[i].pos >> (level + 3);
+    int64_t ref_pos = j < jEnd - 1
+      ? weightsLf_ref[j].pos >> (level_ref + 3)
+      : 0x7FFFFFFFFFFFFFFFLL;
+    while (j < jEnd - 1 && cur_pos > ref_pos) {
+      j++;
+      ref_pos = weightsLf_ref[j].pos >> (level_ref + 3);
+    }
+    if (cur_pos == ref_pos) interNode = true;
+
+    if (interNode) {
+      for (jLast = j; jLast < jEnd; jLast++) {
+        if (jLast > j
+            && !isSibling(weightsLf_ref[jLast].pos, weightsLf_ref[j].pos,
+                          level_ref + 3))
+          break;
+        int nodeIdx = int((weightsLf_ref[jLast].pos >> level_ref) & 0x7);
+        weights_ref[nodeIdx] = weightsLf_ref[jLast].weight;
+        for (int k = 0; k < numAttrs; k++)
+          transformInterPredBuf[k][nodeIdx] =
+            FP::fromInt(attrsLf_ref[jLast * numAttrs + k]);
+      }
+    }
+
+    for (iLast = i; iLast < iEnd; iLast++) {
+      if (iLast > i
+          && !isSibling(weightsLf[iLast].pos, weightsLf[i].pos, level + 3))
+        break;
+      int nodeIdx = int((weightsLf[iLast].pos >> level) & 0x7);
+      weights[nodeIdx] = weightsLf[iLast].weight;
+      if (rahtExtension) nodeCnt++;
+      for (int k = 0; k < numAttrs; k++)
+        transformBuf[k][nodeIdx] =
+          FP::fromInt(attrsLf[iLast * numAttrs + k]);
+    }
+
+    mkWeightTree(weights);
+    mkWeightTree(weights_ref);
+
+    if (rahtExtension && nodeCnt == 1) interNode = false;
+
+    if (interNode) {
+      for (int childIdx = 0; childIdx < 8; childIdx++) {
+        if (weights_ref[childIdx] <= 1) continue;
+        FP rsqrtWeight;
+        uint64_t w = uint64_t(weights_ref[childIdx]);
+        int shift = w > 1024 ? ilog2(w - 1) >> 1 : 0;
+        rsqrtWeight.val = int64_t(irsqrt(w) >> (40 - shift - kFracBits));
+        for (int k = 0; k < numAttrs; k++) {
+          transformInterPredBuf[k][childIdx].val >>= shift;
+          transformInterPredBuf[k][childIdx] *= rsqrtWeight;
+        }
+      }
+    }
+
+    for (int childIdx = 0; childIdx < 8; childIdx++) {
+      if (weights[childIdx] <= 1) continue;
+      FP rsqrtWeight;
+      uint64_t w = uint64_t(weights[childIdx]);
+      int shift = w > 1024 ? ilog2(w - 1) >> 1 : 0;
+      rsqrtWeight.val = int64_t(irsqrt(w) >> (40 - shift - kFracBits));
+      for (int k = 0; k < numAttrs; k++) {
+        transformBuf[k][childIdx].val >>= shift;
+        transformBuf[k][childIdx] *= rsqrtWeight;
+      }
+    }
+
+    if (interNode) {
+      fwdTransformBlock222<RahtKernel>(numAttrs, transformBuf, weights);
+      fwdTransformBlock222<RahtKernel>(numAttrs, transformInterPredBuf,
+                                       weights_ref);
+      for (int s = 0; s < 8; s++) {
+        int idx = kRahtScanOrder[s];
+        if (s > 0 && !weights[24 + idx]) continue;
+        if (inheritDc && !idx) continue;
+        int shiftbits = kFracBits;
+        int64_t refVal = transformInterPredBuf[0][idx].val;
+        if (refVal) {
+          autocorr += (refVal * refVal) >> shiftbits;
+          crosscorr += (refVal * transformBuf[0][idx].val) >> shiftbits;
+        }
+      }
+    }
+  }
+  if (autocorr) layerFilter = getFilterTap(autocorr, crosscorr);
+  return layerFilter;
+}
+
 static void urahtProcess(
   bool isEncoder, const PredParams& pp, const QpSet& qpset, int numPoints,
   int numAttrs, const int64_t* positions, int32_t* attributes,
-  int32_t* coeffBuf, const InterRaht* inter = nullptr) {
+  int32_t* coeffBuf, InterRaht* inter = nullptr) {
   int32_t* coeffBufItK[3] = {
     coeffBuf,
     coeffBuf + numPoints,
@@ -995,6 +1213,24 @@ static void urahtProcess(
   int qpLayer = 0;
   int trainZeros = 0;  // RDOQ zero-run state (RAHT.cpp:1160)
 
+  // encoder per-layer inter/intra RDO: a parallel intra track
+  // (RAHT.cpp:1123-1164)
+  const bool encRDO =
+    isEncoder && inter && inter->enableCodeLayer && enableACInterPred;
+  std::vector<int64_t> intraAttrRec, intraAttrRecUs;
+  std::vector<int32_t> intraACCoeffcients;
+  if (encRDO) {
+    intraAttrRec.resize(size_t(numPoints) * numAttrs);
+    intraAttrRecUs.resize(size_t(numPoints) * numAttrs);
+    intraACCoeffcients.resize(size_t(numPoints) * numAttrs);
+  }
+  int intraTrainZeros = 0;
+  CostEst curEstimate, intraEstimate;
+  if (isEncoder && inter) {
+    inter->encLayerModes.clear();
+    inter->encFilterTaps.clear();
+  }
+
   // descend
   weightsLf.resize(1);
   attrsLf.resize(numAttrs);
@@ -1047,13 +1283,28 @@ static void urahtProcess(
     bool enablePredictionInLvl = inheritDc && pp.predictionEnabled;
     isFirst = 0;
 
-    // decode-side layer mode (RAHT.cpp:1254-1261)
+    // layer mode: the encoder RUNS BOTH tracks and decides at the
+    // layer end; the decoder reads abh.attr_layer_code_mode
+    // (RAHT.cpp:1254-1262)
     bool curLevelEnableACInterPred = false;
-    if (enablePredictionInLvl && enableACRDOInterPred) {
+    if (isEncoder) {
+      curLevelEnableACInterPred =
+        enablePredictionInLvl && enableACRDOInterPred;
+    } else if (enablePredictionInLvl && enableACRDOInterPred) {
       int mode = depth < (inter ? inter->numLayerModes : 0)
         ? inter->layerCodeMode[depth] : 0;
       curLevelEnableACInterPred = mode != 0;
     }
+
+    int32_t* intraCoeffBufItK[3] = {
+      intraACCoeffcients.data(),
+      intraACCoeffcients.data() + sumNodes,
+      intraACCoeffcients.data() + sumNodes * 2,
+    };
+    int32_t* intraCoeffBufItBeginK[3] = {
+      intraCoeffBufItK[0], intraCoeffBufItK[1], intraCoeffBufItK[2]};
+    int32_t* coeffBufItBeginK[3] = {
+      coeffBufItK[0], coeffBufItK[1], coeffBufItK[2]};
 
     if (enablePredictionInLvl) {
       for (auto& ele : weightsParent) ele.occupancy = 0;
@@ -1072,14 +1323,33 @@ static void urahtProcess(
     // select quantiser according to transform layer
     qpLayer = std::min(qpLayer + 1, int(qpset.layers.size()) - 1);
 
-    // inter filter tap for this layer: fixed table or the quantised
-    // residues signalled in the ABH (RAHT.cpp:1268-1305)
+    // inter filter tap for this layer: fixed table, encoder-side
+    // estimation, or the quantised residues signalled in the ABH
+    // (RAHT.cpp:1268-1305)
     int64_t interFilterTap = 128;
     if (inter) {
       if (!inter->enableFilterEstimation && enableACInterPred
           && treeDepth < treeDepthLimit) {
         int fi = treeDepth < 7 ? treeDepth : 6;
         interFilterTap = kFixedFilterTaps[fi];
+      }
+      const bool estimateTap = isEncoder && inter->enableFilterEstimation
+        && enableACInterPred && treeDepth < treeDepthLimit
+        && treeDepth >= inter->skipInitLayers;
+      if (estimateTap) {
+        int origFilterTap = estimateLayerFilter(
+          weightsLf, weightsLf_ref, attrsLf, attrsLf_ref, level,
+          level_ref, numAttrs, inheritDc, pp.rahtExtension);
+        int residueFilterTap = 128 - origFilterTap;
+        const int zeroQp[2] = {0, 0};
+        Quant q[2];
+        qpset.quantizers(qpLayer, zeroQp, q);
+        int64_t quantizedResFilterTap = q[0].quantize(
+          int64_t(residueFilterTap) << kFixedPointAttributeShift);
+        int64_t rec = divExp2RoundHalfUp(
+          q[0].scale(quantizedResFilterTap), kFixedPointAttributeShift);
+        inter->encFilterTaps.push_back(int32_t(quantizedResFilterTap));
+        interFilterTap = 128 - rec;
       }
       const bool parseTap = !isEncoder && inter->enableFilterEstimation
         && treeDepth < inter->numFilterTaps + inter->skipInitLayers
@@ -1112,6 +1382,8 @@ static void urahtProcess(
       FP transformBuf[6][8] = {};
       FP(*transformPredBuf)[8] = &transformBuf[numAttrs];
       FP transformInterPredBuf[3][8] = {};
+      FP transformIntraBuf[3][8] = {};
+      FP transformIntraPredBuf[3][8] = {};
       int weights[8 + 8 + 8 + 8] = {};
       int weights_ref[8 + 8 + 8 + 8] = {};
       int nodeQp[8][2] = {};
@@ -1203,7 +1475,11 @@ static void urahtProcess(
             int64_t limitLow = 0, limitHigh = 0;
             intraDcPred(numAttrs, parentNeighIdx, childNeighIdx, occupancy,
                         attrRecParent, attrRec, transformPredBuf, pp,
-                        limitLow, limitHigh);
+                        limitLow, limitHigh,
+                        (isEncoder && curLevelEnableACInterPred)
+                          ? &intraAttrRec : nullptr,
+                        (isEncoder && curLevelEnableACInterPred)
+                          ? transformIntraPredBuf : nullptr);
           }
         }
         for (int j = i, nodeIdx = 0; nodeIdx < 8; nodeIdx++) {
@@ -1216,6 +1492,9 @@ static void urahtProcess(
         weightsParentIt++;
         numGrandParentNeighIt++;
       }
+
+      const bool enableIntraPrediction =
+        curLevelEnableACInterPred && enablePrediction;
 
       if (!pp.haar) {
         // normalise the inter reference block; the decoder drops the
@@ -1257,6 +1536,10 @@ static void urahtProcess(
             for (int k = 0; k < numAttrs; k++)
               transformPredBuf[k][childIdx] *= sqrtWeight;
           }
+          if (isEncoder && enableIntraPrediction) {
+            for (int k = 0; k < numAttrs; k++)
+              transformIntraPredBuf[k][childIdx] *= sqrtWeight;
+          }
         }
       }
 
@@ -1285,6 +1568,9 @@ static void urahtProcess(
                 transformInterPredBuf[k][childIdx].val;
           enablePrediction = true;
         }
+        if (isEncoder && enableIntraPrediction)
+          fwdTransformBlock222<HaarKernel>(numAttrs, transformIntraPredBuf,
+                                           weights);
       } else {
         if (isEncoder && enablePrediction)
           fwdTransformBlock222<RahtKernel>(2 * numAttrs, transformBuf,
@@ -1309,7 +1595,16 @@ static void urahtProcess(
             }
           enablePrediction = true;
         }
+        if (isEncoder && enableIntraPrediction)
+          fwdTransformBlock222<RahtKernel>(numAttrs, transformIntraPredBuf,
+                                           weights);
       }
+
+      // intra track keeps the pre-subtraction coefficients
+      // (RAHT.cpp:1556-1557)
+      if (isEncoder && curLevelEnableACInterPred)
+        std::copy_n(&transformBuf[0][0], 8 * numAttrs,
+                    &transformIntraBuf[0][0]);
 
       // per-coefficient (scanBlock order, RAHT.cpp:776-795):
       //  - encoder: subtract prediction, RDOQ, quantise, write
@@ -1323,17 +1618,25 @@ static void urahtProcess(
           if (inheritDc && !idx) continue;
 
           bool flagRDOQ = false;
+          bool intraFlagRDOQ = false;
           if (isEncoder) {
             if (enablePrediction) {
               for (int k = 0; k < numAttrs; k++)
                 transformBuf[k][idx] -= transformPredBuf[k][idx];
             }
-            // RDOQ zero-row decision (RAHT.cpp:1576-1667)
+            if (enableIntraPrediction) {
+              for (int k = 0; k < numAttrs; k++)
+                transformIntraBuf[k][idx] -= transformIntraPredBuf[k][idx];
+            }
+            // RDOQ zero-row decision, both tracks (RAHT.cpp:1576-1667)
             if (!pp.haar) {
               int64_t Dist2 = 0;
               int Ratecoeff = 0;
               int64_t lambda0 = 0;
               int64_t sumCoeff = 0;
+              int64_t intraDist2 = 0;
+              int intraRatecoeff = 0;
+              int64_t intraSumCoeff = 0;
               int qoff0[2] = {nodeQp[idx][0], nodeQp[idx][1]};
               Quant q0[2];
               qpset.quantizers(qpLayer, qoff0, q0);
@@ -1347,6 +1650,15 @@ static void urahtProcess(
                 sumCoeff += a;
                 Ratecoeff += a < 15 ? kLUTlog[a] : kLUTlog[15];
                 if (!k) lambda0 = qq.scale(1);
+                if (curLevelEnableACInterPred) {
+                  int64_t intraCoeff = transformIntraBuf[k][idx].round();
+                  intraDist2 += intraCoeff * intraCoeff;
+                  int64_t iQ =
+                    qq.quantize(intraCoeff << kFixedPointAttributeShift);
+                  int64_t ia = iQ < 0 ? -iQ : iQ;
+                  intraSumCoeff += ia;
+                  intraRatecoeff += ia < 15 ? kLUTlog[ia] : kLUTlog[15];
+                }
               }
               const int64_t lambda =
                 lambda0 * lambda0 * (numAttrs == 1 ? 25 : 35);
@@ -1366,10 +1678,33 @@ static void urahtProcess(
                 Rate += (Ratecoeff + 128) >> 8;
                 flagRDOQ = (Dist2 << 26) < lambda * Rate;
               }
+              if (curLevelEnableACInterPred && intraSumCoeff < 3) {
+                int intraRate =
+                  kLUTbins[intraTrainZeros > 10 ? 10 : intraTrainZeros];
+                if (intraTrainZeros > 10) {
+                  int temp = intraTrainZeros - 11;
+                  temp += 1;
+                  int a = 0;
+                  while (temp) {
+                    a++;
+                    temp >>= 1;
+                  }
+                  intraRate += 2 * a - 1;
+                  intraRate += 2;
+                }
+                intraRate += (intraRatecoeff + 128) >> 8;
+                intraFlagRDOQ = (intraDist2 << 26) < lambda * intraRate;
+              }
               if (flagRDOQ || sumCoeff == 0)
                 trainZeros++;
               else
                 trainZeros = 0;
+              if (curLevelEnableACInterPred) {
+                if (intraFlagRDOQ || intraSumCoeff == 0)
+                  intraTrainZeros++;
+                else
+                  intraTrainZeros = 0;
+              }
             }
           }
 
@@ -1380,11 +1715,26 @@ static void urahtProcess(
             const Quant& qq = q[std::min(k, 1)];
             if (isEncoder) {
               if (flagRDOQ) transformBuf[k][idx].val = 0;
+              if (intraFlagRDOQ) transformIntraBuf[k][idx].val = 0;
               int64_t coeff = transformBuf[k][idx].round();
               coeff = qq.quantize(coeff << kFixedPointAttributeShift);
+              if (curLevelEnableACInterPred)
+                curEstimate.updateCostBits(int32_t(coeff), k);
               *coeffBufItK[k]++ = int32_t(coeff);
               transformPredBuf[k][idx] += FP::fromInt(divExp2RoundHalfUp(
                 qq.scale(coeff), kFixedPointAttributeShift));
+              if (curLevelEnableACInterPred) {
+                curEstimate.resStatUpdate(int32_t(coeff), k);
+                int64_t intraCoeff = transformIntraBuf[k][idx].round();
+                intraCoeff =
+                  qq.quantize(intraCoeff << kFixedPointAttributeShift);
+                intraEstimate.updateCostBits(int32_t(intraCoeff), k);
+                *intraCoeffBufItK[k]++ = int32_t(intraCoeff);
+                transformIntraPredBuf[k][idx] +=
+                  FP::fromInt(divExp2RoundHalfUp(
+                    qq.scale(intraCoeff), kFixedPointAttributeShift));
+                intraEstimate.resStatUpdate(int32_t(intraCoeff), k);
+              }
             } else {
               int64_t coeff = *coeffBufItK[k]++;
               transformPredBuf[k][idx] += FP::fromInt(divExp2RoundHalfUp(
@@ -1405,23 +1755,41 @@ static void urahtProcess(
             transformPredBuf[k][0].val = val << (15 - 2);
           else
             transformPredBuf[k][0].val = -((-val) << (15 - 2));
+          if (isEncoder && curLevelEnableACInterPred)
+            transformIntraPredBuf[k][0].val = transformPredBuf[k][0].val;
         }
       }
 
-      if (pp.haar)
+      if (pp.haar) {
         invTransformBlock222<HaarKernel>(numAttrs, transformPredBuf, weights);
-      else
+        if (isEncoder && curLevelEnableACInterPred)
+          invTransformBlock222<HaarKernel>(numAttrs, transformIntraPredBuf,
+                                           weights);
+      } else {
         invTransformBlock222<RahtKernel>(numAttrs, transformPredBuf, weights);
+        if (isEncoder && curLevelEnableACInterPred)
+          invTransformBlock222<RahtKernel>(numAttrs, transformIntraPredBuf,
+                                           weights);
+      }
 
       for (int j = i, nodeIdx = 0; nodeIdx < 8; nodeIdx++) {
         if (!weights[nodeIdx]) continue;
+        const bool dual = isEncoder && curLevelEnableACInterPred;
         for (int k = 0; k < numAttrs; k++) {
           if (pp.rahtExtension) {
             attrRecUs[j * numAttrs + k] = transformPredBuf[k][nodeIdx].val;
+            if (dual)
+              intraAttrRecUs[j * numAttrs + k] =
+                transformIntraPredBuf[k][nodeIdx].val;
           } else {
             FP temp = transformPredBuf[k][nodeIdx];
             temp.val <<= 2;
             attrRecUs[j * numAttrs + k] = temp.round();
+            if (dual) {
+              temp = transformIntraPredBuf[k][nodeIdx];
+              temp.val <<= 2;
+              intraAttrRecUs[j * numAttrs + k] = temp.round();
+            }
           }
         }
         // scale values for next level
@@ -1435,6 +1803,10 @@ static void urahtProcess(
             for (int k = 0; k < numAttrs; k++) {
               transformPredBuf[k][nodeIdx].val >>= shift;
               transformPredBuf[k][nodeIdx] *= rsqrtWeight;
+              if (dual) {
+                transformIntraPredBuf[k][nodeIdx].val >>= shift;
+                transformIntraPredBuf[k][nodeIdx] *= rsqrtWeight;
+              }
             }
           }
         }
@@ -1442,9 +1814,36 @@ static void urahtProcess(
           attrRec[j * numAttrs + k] = pp.rahtExtension
             ? transformPredBuf[k][nodeIdx].val
             : transformPredBuf[k][nodeIdx].round();
+          if (dual)
+            intraAttrRec[j * numAttrs + k] = pp.rahtExtension
+              ? transformIntraPredBuf[k][nodeIdx].val
+              : transformIntraPredBuf[k][nodeIdx].round();
         }
         j++;
       }
+    }
+
+    // layer-end inter/intra decision (RAHT.cpp:1810-1833): pick the
+    // cheaper track, copy its coefficients/reconstruction forward
+    if (isEncoder && curLevelEnableACInterPred) {
+      double curCost = curEstimate.costBits();
+      double intraCost = intraEstimate.costBits();
+      if (intraCost < curCost) {
+        for (int k = 0; k < numAttrs; ++k)
+          std::copy_n(intraCoeffBufItBeginK[k], sumNodes,
+                      coeffBufItBeginK[k]);
+        std::swap(intraAttrRec, attrRec);
+        std::swap(intraAttrRecUs, attrRecUs);
+        curEstimate = intraEstimate;
+        inter->encLayerModes.push_back(0);
+        trainZeros = intraTrainZeros;
+      } else {
+        intraEstimate = curEstimate;
+        inter->encLayerModes.push_back(1);
+        intraTrainZeros = trainZeros;
+      }
+      curEstimate.resetCostBits();
+      intraEstimate.resetCostBits();
     }
 
     if (enablePredictionInLvl && enableACRDOInterPred)
@@ -1789,6 +2188,113 @@ int tmc13ref_encode_raht_attr(
 
   // entropy encode (zero-run over rows,
   // AttributeEncoder.cpp:1346-1362 / :1489-1505)
+  obufcore::ArithEnc aec;
+  aec.chunked = params[39] != 0;
+  aec.init();
+  aec.bypassNoUpdate = params[7] != 0;
+  AttrCtx ctx;
+  ctx.init();
+
+  int zeroRun = 0;
+  for (int n = 0; n < voxelCount; ++n) {
+    if (numAttrs == 1) {
+      int32_t v = coefficients[n];
+      if (!v) {
+        ++zeroRun;
+      } else {
+        encodeRunLength(aec, ctx, zeroRun);
+        encodeScalar(aec, ctx, v);
+        zeroRun = 0;
+      }
+    } else {
+      int32_t v0 = coefficients[n];
+      int32_t v1 = coefficients[voxelCount + n];
+      int32_t v2 = coefficients[2 * voxelCount + n];
+      if (!v0 && !v1 && !v2) {
+        ++zeroRun;
+      } else {
+        encodeRunLength(aec, ctx, zeroRun);
+        encodeTriplet(aec, ctx, v0, v1, v2);
+        zeroRun = 0;
+      }
+    }
+  }
+  if (zeroRun) encodeRunLength(aec, ctx, zeroRun);
+  aec.flush();
+
+  if (int(aec.out.size()) > payloadCap) return -3;
+  std::copy(aec.out.begin(), aec.out.end(), payloadOut);
+
+  const int32_t clipMax = (1 << bitdepth) - 1;
+  for (int n = 0; n < voxelCount * numAttrs; n++)
+    attrsRec[n] = std::min(std::max(attributes[n], 0), clipMax);
+
+  return int(aec.out.size());
+}
+
+// Encode one INTER RAHT attribute brick: like tmc13ref_encode_raht_attr
+// with the previous frame's reconstructed attribute cloud as the
+// transform-domain reference.  The encoder's per-layer inter/intra RDO
+// (raht_enable_code_layer) runs both coding tracks and keeps the
+// cheaper one; with raht_send_inter_filters the per-layer taps are
+// estimated and their quantised residues returned for the ABH.
+//   iparams: as the decode entry ([4]/[5] ignored)
+//   outModes/outTaps: caller buffers (>= 64 each); counts returned in
+//   outCounts[0]/outCounts[1]
+int tmc13ref_encode_raht_attr_inter(
+  const int64_t* mortonSorted, int voxelCount, int numAttrs,
+  const int32_t* attrsIn, const int32_t* qpLayers, int numQpLayers,
+  int bitdepth, const int32_t* params,
+  const int64_t* refMorton, const int32_t* refAttrs, int refCount,
+  const int32_t* iparams, int32_t* outModes, int32_t* outTaps,
+  int32_t* outCounts, int32_t* attrsRec,
+  uint8_t* payloadOut, int payloadCap) {
+  using namespace refattr;
+
+  if (numAttrs != 1 && numAttrs != 3) return -1;
+  if (voxelCount <= 0) return -2;
+
+  PredParams pp;
+  pp.predictionEnabled = params[0] != 0;
+  pp.haar = params[1] != 0;
+  pp.threshold0 = params[2];
+  pp.threshold1 = params[3];
+  pp.subnodePrediction = params[4] != 0;
+  pp.searchRange = params[5];
+  pp.rahtExtension = params[6] != 0;
+  for (int i = 0; i < 19; i++) pp.predWeightParent[i] = params[8 + i];
+  for (int i = 0; i < 12; i++) pp.predWeightChild[i] = params[27 + i];
+
+  QpSet qpset;
+  qpset.maxQp = 51 + 6 * (bitdepth - 8);
+  for (int l = 0; l < numQpLayers; l++)
+    qpset.layers.push_back({qpLayers[2 * l], qpLayers[2 * l + 1]});
+
+  InterRaht inter;
+  inter.refMorton = refMorton;
+  inter.refAttrs = refAttrs;
+  inter.refCount = refCount;
+  inter.treeDepthLimit = iparams[0];
+  inter.enableFilterEstimation = iparams[1] != 0;
+  inter.skipInitLayers = iparams[2];
+  inter.enableCodeLayer = iparams[3] != 0;
+
+  std::vector<int32_t> attributes(attrsIn,
+                                  attrsIn + size_t(numAttrs) * voxelCount);
+  std::vector<int32_t> coefficients(size_t(numAttrs) * voxelCount, 0);
+  urahtProcess(true, pp, qpset, voxelCount, numAttrs, mortonSorted,
+               attributes.data(), coefficients.data(), &inter);
+
+  if (int(inter.encLayerModes.size()) > 64
+      || int(inter.encFilterTaps.size()) > 64)
+    return -4;
+  for (size_t i = 0; i < inter.encLayerModes.size(); i++)
+    outModes[i] = inter.encLayerModes[i];
+  for (size_t i = 0; i < inter.encFilterTaps.size(); i++)
+    outTaps[i] = inter.encFilterTaps[i];
+  outCounts[0] = int32_t(inter.encLayerModes.size());
+  outCounts[1] = int32_t(inter.encFilterTaps.size());
+
   obufcore::ArithEnc aec;
   aec.chunked = params[39] != 0;
   aec.init();

@@ -605,7 +605,10 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
             inter_component_prediction=(
                 attr_cfg.inter_component_prediction),
             last_component_prediction=(
-                attr_cfg.last_component_prediction))
+                attr_cfg.last_component_prediction),
+            attr_inter_prediction=attr_cfg.inter_pred,
+            raht_send_inter_filters=getattr(
+                attr_cfg, "raht_send_inter_filters", False))
                   if attr_cfg else None))
     # record the coding scale in the SPS-equivalent position: our
     # decoder descales by sps.seq_scale (tmc3 treats it as seq unit)

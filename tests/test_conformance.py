@@ -549,7 +549,7 @@ def test_raht_attr_encode_byte_identical_to_tmc3(tmp_path):
     os_ = np.argsort(sk)
     rows = os_[np.searchsorted(sk[os_], key(gx))]
     gbr = col[rows].astype(np.int32)[:, [1, 2, 0]]
-    mine, _ = refenc.encode_attr_brick_native(sps, aps, geom, gbr)
+    mine, _, _, _ = refenc.encode_attr_brick_native(sps, aps, geom, gbr)
     assert mine == ref_aec
 
 
@@ -2106,6 +2106,54 @@ def test_predgeom_inter_attr_decode_bit_exact(tmp_path, variant, extra):
         np.testing.assert_array_equal(
             ref.reflectances.astype(np.int64),
             attrs[i][:, 0].astype(np.int64))
+
+
+@pytest.mark.parametrize("variant,extra", [
+    ("codelayer", []),
+    ("filters", ["--rahtInterSendFilters=1"]),
+])
+def test_inter_raht_attr_encode_byte_identical(tmp_path, variant, extra):
+    """Inter-RAHT attribute EMISSION: the encoder's per-layer
+    inter/intra RDO (dual coding tracks with the reference's entropy
+    cost model, RAHT.cpp:1123-1833) and per-layer filter estimation
+    (estimate_layer_filter binary search) produce full 3-frame streams
+    byte-identical to the reference binary's — parameter sets,
+    geometry and attribute bricks including the ABH layer modes,
+    quantised filter taps and the inter dist2 estimate."""
+    from mpeg_pcc_tmc13_tpu.conformance import ref_hls
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    _inter_attr_frames(tmp_path)
+    bit = tmp_path / f"ie_{variant}.bin"
+    subprocess.run(
+        [TMC3, "--mode=0",
+         f"--uncompressedDataPath={tmp_path}/ia_%04d.ply",
+         f"--compressedStreamPath={bit}",
+         "--frameCount=3", "--randomAccessPeriod=8",
+         "--interPredictionEnabled=1", "--globalMotionEnabled=1",
+         "--lpuType=1", "--positionQuantizationScale=1",
+         "--mergeDuplicatedPoints=1", "--planarEnabled=1",
+         "--inferredDirectCodingMode=0",
+         "--neighbourAvailBoundaryLog2=8", "--angularEnabled=0",
+         "--transformType=0", "--qp=34", "--bitdepth=8",
+         "--attributeInterPredictionEnabled=1", *extra,
+         "--attribute=reflectance"],
+        check=True, capture_output=True)
+    ref_stream = bit.read_bytes()
+    aps = None
+    for t, payload in ref_hls.iter_ref_tlv(ref_stream):
+        if t == ref_hls.T_APS:
+            aps = ref_hls.parse_aps(payload)
+            break
+    frames, refls = [], []
+    for i in range(3):
+        c = ply.read(str(tmp_path / f"ia_{i:04d}.ply"))
+        frames.append(c.positions.astype(np.int64))
+        refls.append(c.reflectances.astype(np.int64))
+    ours = refenc.encode_frames(
+        frames, unique_points=True, planar=True, qtbt=True,
+        reflectances=refls, attr_aps=aps, attr_bitdepth=8,
+        inter=True, global_motion=True, random_access_period=8)
+    assert ours == ref_stream
 
 
 def test_inter_raht_attr_ctc_combo_decode(tmp_path):
