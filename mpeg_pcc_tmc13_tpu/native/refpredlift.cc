@@ -2861,3 +2861,307 @@ extern "C" int tmc13ref_encode_predlift(
     std::copy(attrs.begin(), attrs.end(), recon_out);
   return int(aec.out.size());
 }
+
+// ---------------------------------------------------------------------------
+// inter brick encode (attribute inter prediction emission)
+//
+// The reference encodes non-RAHT attribute inter frames as one full
+// pass with the previous frame's attribute cloud in the LoD pool
+// (encodeReflectancesPred/Lift with attrInterPredParams,
+// AttributeEncoder.cpp:750-854 / :1544-1648) and, when
+// attrInterIntraSliceRDO is set, a complete second intra pass on a
+// copy of the cloud; the cheaper stream wins and decides
+// abh.enableAttrInterPred (AttributeEncoder.cpp:500-577).  Scalar
+// (reflectance) only, like the reference's inter predlift scope.
+// ---------------------------------------------------------------------------
+
+// one scalar predicting-transform pass; intra when attrsRef is null.
+// Returns the attrInterIntraSliceRDO distortion accumulation
+// (AttributeEncoder.cpp:825-827) when trackDist.
+static double encodeScalarPredPass(
+  const PlParams& pp, const QpSet& qpSet, Lods& lods,
+  std::vector<int32_t>& attrs, ArithEnc& aec, AttrCtx& ctx,
+  bool interRef, const std::vector<int32_t>* attrsRef, bool trackDist) {
+  const size_t pointCount = lods.indexes.size();
+  const int64_t clipMax = (1ll << pp.bitdepth) - 1;
+  const auto& numPointsInLod = lods.numPointsInLod;
+  const auto& indexes = lods.indexes;
+  auto& predictors = lods.predictors;
+  const int availPredModes =
+    pp.maxNumDirectPredictors + !pp.directAvgPredictorDisabled;
+  ResStat rs;
+  rs.reset();
+  double dist = 0.;
+
+  std::vector<uint64_t> quantWeights;
+  computeQuantWeightsPred(predictors, pp.quantNeighWeight, quantWeights,
+                          interRef);
+
+  std::vector<int32_t> residual0s(pointCount);
+  std::vector<int> zerorun;
+  int zeroRunAcc = 0;
+  int quantLayer = 0;
+  for (size_t predictorIndex = 0; predictorIndex < pointCount;
+       ++predictorIndex) {
+    if (predictorIndex == numPointsInLod[size_t(quantLayer)])
+      quantLayer = std::min(int(qpSet.layers.size()) - 1, quantLayer + 1);
+    const uint32_t pointIndex = indexes[predictorIndex];
+    Quant quant[2];
+    qpSet.quantizers(quantLayer, quant);
+    auto& predictor = predictors[predictorIndex];
+    predictor.predMode = 0;
+
+    const bool eligible = predModeEligible(pp, predictor, attrs, 1, indexes,
+                                           interRef, attrsRef);
+    const int64_t attrValue = attrs[size_t(pointIndex)];
+    if (eligible) {
+      // decidePredModeRefl (AttributeEncoder.cpp:663-717); under inter
+      // the direct candidates resolve by raw pointIndex against the
+      // current or reference cloud (:695-702)
+      int startpredIndex = pp.directAvgPredictorDisabled;
+      predictor.predMode = int8_t(startpredIndex);
+      int64_t attrPred[3];
+      predictAttr(predictor, attrs, 1, indexes, attrPred, interRef,
+                  attrsRef);
+      int64_t resQ = quant[0].quantize(
+        (attrValue - attrPred[0]) << kFixedPointAttributeShift);
+      int mode = predictor.predMode - pp.directAvgPredictorDisabled;
+      double best_score = rs.bitsPtRefl(int32_t(resQ), mode, availPredModes);
+      for (int i = startpredIndex; i < int(predictor.neighborCount); i++) {
+        if (i == pp.maxNumDirectPredictors) break;
+        const auto& nb = predictor.neighbors[i];
+        const int64_t ap = interRef
+          ? int64_t(nb.interFrameRef ? (*attrsRef)[nb.pointIndex]
+                                     : attrs[nb.pointIndex])
+          : int64_t(attrs[size_t(indexes[nb.predictorIndex])]);
+        resQ = quant[0].quantize(
+          (attrValue - ap) << kFixedPointAttributeShift);
+        mode = i + !pp.directAvgPredictorDisabled;
+        double score = rs.bitsPtRefl(int32_t(resQ), mode, availPredModes);
+        if (score < best_score) {
+          best_score = score;
+          predictor.predMode = int8_t(i + 1);
+        }
+      }
+    }
+    int64_t attrPred[3];
+    predictAttr(predictor, attrs, 1, indexes, attrPred, interRef, attrsRef);
+    int64_t qStep = quant[0].stepSize();
+    int64_t weight =
+      std::min(int64_t(quantWeights[predictorIndex]), qStep)
+      >> kFixedPointWeightShift;
+    const int64_t delta = quant[0].quantize(
+      ((attrValue - attrPred[0]) * weight) << kFixedPointAttributeShift);
+    int32_t attValue0 = int32_t(delta);
+    int64_t reconstructedDelta = divExp2RoundHalfUp(
+      quant[0].scale(delta), kFixedPointAttributeShift);
+    reconstructedDelta /= weight;
+    if (eligible)
+      encodePredModeRefl(pp, predictor.predMode, attValue0);
+    const int64_t recon = attrPred[0] + reconstructedDelta;
+    const int32_t reconC =
+      int32_t(std::min(std::max(recon, int64_t(0)), clipMax));
+    if (trackDist)
+      dist += double(std::abs(int64_t(reconC) - attrValue));
+    attrs[size_t(pointIndex)] = reconC;
+    if (!attValue0) ++zeroRunAcc;
+    else { zerorun.push_back(zeroRunAcc); zeroRunAcc = 0; }
+    residual0s[predictorIndex] = attValue0;
+    rs.updateRefl(attValue0);
+  }
+  if (zeroRunAcc) zerorun.push_back(zeroRunAcc);
+
+  int runIdx = 0;
+  int zeroRunRem = 0;
+  for (size_t predictorIndex = 0; predictorIndex < pointCount;
+       ++predictorIndex) {
+    if (--zeroRunRem < 0) {
+      zeroRunRem = zerorun[size_t(runIdx++)];
+      encodeRunLength(aec, ctx, zeroRunRem);
+    }
+    if (!zeroRunRem)
+      encodeScalar(aec, ctx, residual0s[predictorIndex]);
+  }
+  return dist;
+}
+
+// one scalar lifting-transform pass (encodeReflectancesLift,
+// AttributeEncoder.cpp:1544-1648); intra when attrsRef is null
+static double encodeScalarLiftPass(
+  const PlParams& pp, const QpSet& qpSet, Lods& lods,
+  std::vector<int32_t>& attrs, ArithEnc& aec, AttrCtx& ctx,
+  bool interRef, const std::vector<int32_t>* attrsRef, bool trackDist) {
+  const size_t pointCount = lods.indexes.size();
+  const int64_t clipMax = (1ll << pp.bitdepth) - 1;
+  const auto& numPointsInLod = lods.numPointsInLod;
+  const auto& indexes = lods.indexes;
+  auto& predictors = lods.predictors;
+
+  std::vector<uint64_t> weights;
+  computeQuantWeightsLift(predictors, weights, interRef);
+  const size_t lodCount = numPointsInLod.size();
+  std::vector<int64_t> vals(pointCount);
+  for (size_t index = 0; index < pointCount; ++index)
+    vals[index] = int64_t(attrs[size_t(indexes[index])])
+      << kFixedPointAttributeShift;
+  std::vector<int64_t> valsRef;
+  if (interRef) {
+    valsRef.resize(attrsRef->size());
+    for (size_t i = 0; i < attrsRef->size(); i++)
+      valsRef[i] = int64_t((*attrsRef)[i]) << kFixedPointAttributeShift;
+  }
+
+  for (size_t i = 0; i + 1 < lodCount; ++i) {
+    const size_t lodIndex = lodCount - i - 1;
+    const size_t startIndex = numPointsInLod[lodIndex - 1];
+    const size_t endIndex = numPointsInLod[lodIndex];
+    liftPredict(predictors, startIndex, endIndex, true, vals, 1, interRef,
+                interRef ? &valsRef : nullptr);
+    liftUpdate(predictors, weights, startIndex, endIndex, true, vals, 1,
+               interRef);
+  }
+
+  int zeroRun = 0;
+  int quantLayer = 0;
+  for (size_t predictorIndex = 0; predictorIndex < pointCount;
+       ++predictorIndex) {
+    if (predictorIndex == numPointsInLod[size_t(quantLayer)])
+      quantLayer = std::min(int(qpSet.layers.size()) - 1, quantLayer + 1);
+    Quant quant[2];
+    qpSet.quantizers(quantLayer, quant);
+    const int64_t iQuantWeight =
+      int64_t(tmc13ref_irsqrt(weights[predictorIndex]));
+    const int64_t quantWeight = int64_t(
+      (weights[predictorIndex] * uint64_t(iQuantWeight) + (1ull << 39))
+      >> 40);
+    auto& v = vals[predictorIndex];
+    const int64_t delta = quant[0].quantize(v * quantWeight);
+    const int64_t reconstructedDelta = quant[0].scale(delta);
+    v = divExp2RoundHalfInf(reconstructedDelta * iQuantWeight, 40);
+    if (!delta) ++zeroRun;
+    else {
+      encodeRunLength(aec, ctx, zeroRun);
+      encodeScalar(aec, ctx, int32_t(delta));
+      zeroRun = 0;
+    }
+  }
+  if (zeroRun) encodeRunLength(aec, ctx, zeroRun);
+
+  // reconstruct + RDO distortion (AttributeEncoder.cpp:1627-1647)
+  for (size_t lodIndex = 1; lodIndex < lodCount; ++lodIndex) {
+    const size_t startIndex = numPointsInLod[lodIndex - 1];
+    const size_t endIndex = numPointsInLod[lodIndex];
+    liftUpdate(predictors, weights, startIndex, endIndex, false, vals, 1,
+               interRef);
+    liftPredict(predictors, startIndex, endIndex, false, vals, 1, interRef,
+                interRef ? &valsRef : nullptr);
+  }
+  double dist = 0.;
+  for (size_t f = 0; f < pointCount; ++f) {
+    const int64_t orig = attrs[size_t(indexes[f])];
+    const int64_t v =
+      divExp2RoundHalfInf(vals[f], kFixedPointAttributeShift);
+    const int32_t reconC =
+      int32_t(std::min(std::max(v, int64_t(0)), clipMax));
+    if (trackDist)
+      dist += double(std::abs(int64_t(reconC) - orig));
+    attrs[size_t(indexes[f])] = reconC;
+  }
+  return dist;
+}
+
+// Emits the winning pass; *out_enable_inter receives the final
+// abh.enableAttrInterPred.  slice_rdo mirrors attrInterIntraSliceRDO.
+extern "C" int tmc13ref_encode_predlift_inter(
+  const int32_t* positions, int npts, const int32_t* params,
+  const int32_t* sampling_periods, const int32_t* layer_qps,
+  const int32_t* attrs_in,
+  const int32_t* ref_positions, const int32_t* ref_attrs, int nref,
+  int inter_search_range, int slice_rdo,
+  uint8_t* aec_out, int cap, int32_t* recon_out,
+  int32_t* out_enable_inter) {
+  PlParams pp;
+  plparams_from(params, pp);
+  if (pp.dims != 1)
+    return -3;  // reference inter predlift is scalar-only
+  if (pp.attrEncoding != 1 && pp.attrEncoding != 2) return -2;
+
+  std::vector<V3> positionsV = std::vector<V3>(size_t(npts));
+  for (int i = 0; i < npts; i++)
+    positionsV[size_t(i)] = {{positions[i * 3], positions[i * 3 + 1],
+                              positions[i * 3 + 2]}};
+  std::vector<V3> positionsRefV =
+    std::vector<V3>(size_t(std::max(nref, 0)));
+  std::vector<int32_t> attrsRef(size_t(std::max(nref, 0)), 0);
+  for (int i = 0; i < nref; i++) {
+    positionsRefV[size_t(i)] = {{ref_positions[i * 3],
+                                 ref_positions[i * 3 + 1],
+                                 ref_positions[i * 3 + 2]}};
+    attrsRef[size_t(i)] = ref_attrs[i];
+  }
+
+  QpSet qpSet;
+  qpSet.maxQp = 51 + 6 * (pp.bitdepth - 8);
+  qpSet.fixedPointQpOffset =
+    pp.attrEncoding == 2 ? (kFixedPointWeightShift / 2) * 6 : 0;
+  for (int l = 0; l < pp.qpLayersCount; l++)
+    qpSet.layers.push_back({layer_qps[2 * l], layer_qps[2 * l + 1]});
+
+  // inter pass
+  Lods lodsInter;
+  generateLods(pp, sampling_periods, positionsV, lodsInter, &positionsRefV,
+               inter_search_range);
+  ArithEnc aecInter;
+  aecInter.chunked = pp.chunked != 0;
+  aecInter.init();
+  aecInter.bypassNoUpdate = pp.bypassNoUpdate != 0;
+  AttrCtx ctxInter;
+  ctxInter.init();
+  std::vector<int32_t> attrsInter(attrs_in, attrs_in + npts);
+  const bool trackDist = slice_rdo != 0;
+  const double distInter = pp.attrEncoding == 1
+    ? encodeScalarPredPass(pp, qpSet, lodsInter, attrsInter, aecInter,
+                           ctxInter, true, &attrsRef, trackDist)
+    : encodeScalarLiftPass(pp, qpSet, lodsInter, attrsInter, aecInter,
+                           ctxInter, true, &attrsRef, trackDist);
+  aecInter.flush();
+
+  bool useInter = true;
+  ArithEnc aecIntra;
+  std::vector<int32_t> attrsIntra;
+  if (slice_rdo) {
+    // full second intra pass on a copy of the original cloud
+    // (AttributeEncoder.cpp:498-503, :517-544 pred / :550-577 lift)
+    Lods lodsIntra;
+    generateLods(pp, sampling_periods, positionsV, lodsIntra);
+    aecIntra.chunked = pp.chunked != 0;
+    aecIntra.init();
+    aecIntra.bypassNoUpdate = pp.bypassNoUpdate != 0;
+    AttrCtx ctxIntra;
+    ctxIntra.init();
+    attrsIntra.assign(attrs_in, attrs_in + npts);
+    const double distIntra = pp.attrEncoding == 1
+      ? encodeScalarPredPass(pp, qpSet, lodsIntra, attrsIntra, aecIntra,
+                             ctxIntra, false, nullptr, true)
+      : encodeScalarLiftPass(pp, qpSet, lodsIntra, attrsIntra, aecIntra,
+                             ctxIntra, false, nullptr, true);
+    aecIntra.flush();
+    // AttributeInterPredParams::setLambda (PCCTMC3Common.h:286-289);
+    // NB qpMinus4 / 3 is C++ integer division
+    const int qpMinus4 = pp.initQp - 4;
+    const double lambda = std::sqrt(0.85 * std::pow(2., qpMinus4 / 3));
+    const double costInter =
+      distInter + lambda * double(aecInter.out.size());
+    const double costIntra =
+      distIntra + lambda * double(aecIntra.out.size());
+    if (costInter > costIntra) useInter = false;
+  }
+
+  ArithEnc& aec = useInter ? aecInter : aecIntra;
+  std::vector<int32_t>& attrs = useInter ? attrsInter : attrsIntra;
+  if (int(aec.out.size()) > cap) return -4;
+  std::copy(aec.out.begin(), aec.out.end(), aec_out);
+  if (recon_out) std::copy(attrs.begin(), attrs.end(), recon_out);
+  if (out_enable_inter) *out_enable_inter = useInter ? 1 : 0;
+  return int(aec.out.size());
+}
