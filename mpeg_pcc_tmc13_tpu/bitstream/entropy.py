@@ -84,6 +84,12 @@ def _load_native() -> Optional[ctypes.CDLL]:
     lib.rcd_occupancy.argtypes = [c.c_void_p, u16p, i32p, u8p, c.c_int64]
     lib.rce_occ_sym.argtypes = [c.c_void_p, u16p, i32p, u8p, c.c_int64]
     lib.rcd_occ_sym.argtypes = [c.c_void_p, u16p, i32p, u8p, c.c_int64]
+    lib.rce_occ_stream.argtypes = [c.c_void_p, u16p, u8p, c.c_int64,
+                                   c.c_int32]
+    lib.rce_occ_stream.restype = c.c_int64
+    lib.rcd_occ_stream.argtypes = [c.c_void_p, u16p, u8p, c.c_int64,
+                                   c.c_int32]
+    lib.rcd_occ_stream.restype = c.c_int64
     lib.sym_contexts_init.argtypes = [u16p, c.c_int64]
     lib.rce_residuals.argtypes = [c.c_void_p, u16p, i32p, c.c_int64,
                                   c.c_int32, c.c_int32]
@@ -954,6 +960,18 @@ class _NativeEncoder:
                          _ptr(b, ctypes.c_int32), _ptr(o, ctypes.c_uint8),
                          len(b))
 
+    def occ_stream(self, ctx, occ_bytes, depth):
+        """Encode a whole level-major occupancy byte stream in one
+        native call; PARENT contexts are derived from the stream
+        itself (entropy.cc rce_occ_stream).  Returns nodes consumed."""
+        o = _as(occ_bytes, np.uint8)
+        rc = _LIB.rce_occ_stream(self._h, _ptr(ctx, ctypes.c_uint16),
+                                 _ptr(o, ctypes.c_uint8), len(o), depth)
+        if rc != len(o):
+            raise ValueError(
+                f"occ_stream: inconsistent stream ({rc} != {len(o)})")
+        return int(rc)
+
     def octree(self, ctx, leaf_codes_sorted, depth, mode,
                use_sym=False):
         """Full-tree occupancy coding in one native call (octree.cc).
@@ -1099,6 +1117,19 @@ class _NativeDecoder:
                          _ptr(b, ctypes.c_int32), _ptr(out, ctypes.c_uint8),
                          len(b))
         return out
+
+    def occ_stream(self, ctx, cap, depth):
+        """Decode a whole level-major occupancy byte stream in one
+        native call (entropy.cc rcd_occ_stream).  Returns the occ
+        bytes of all levels; PARENT contexts derived on the fly."""
+        out = np.zeros(max(cap, 1), dtype=np.uint8)
+        n = int(_LIB.rcd_occ_stream(self._h,
+                                    _ptr(ctx, ctypes.c_uint16),
+                                    _ptr(out, ctypes.c_uint8),
+                                    len(out), depth))
+        if n < 0:
+            raise ValueError(f"occ_stream decode exceeds capacity {cap}")
+        return out[:n]
 
     def octree(self, ctx, cap, depth, mode, use_sym=False):
         """Full-tree occupancy decode -> sorted unique leaf codes."""

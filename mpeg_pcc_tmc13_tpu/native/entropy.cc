@@ -1027,47 +1027,104 @@ void sym_contexts_init(uint16_t* ctx, int64_t num_bases) {
   }
 }
 
+static inline void enc_one_sym(RcEncoder* e, uint16_t* t, int s) {
+  uint32_t total = t[kSymN - 1];
+  uint32_t cum = fen_prefix(t, s);
+  uint32_t f = fen_prefix(t, s + 1) - cum;
+  uint32_t r = e->range / total;
+  e->low += (uint64_t)r * cum;
+  e->range = r * f;
+  while (e->range < kTopValue) {
+    e->shift_low();
+    e->range <<= 8;
+  }
+  fen_add(t, s, kSymInc);
+  if (total + kSymInc >= kSymLimit) sym_rescale(t);
+}
+
+static inline int dec_one_sym(RcDecoder* d, uint16_t* t) {
+  uint32_t total = t[kSymN - 1];
+  uint32_t r = d->range / total;
+  uint32_t dv = d->code / r;
+  if (dv >= total) dv = total - 1;
+  uint32_t cum;
+  int s = fen_find(t, dv, &cum);
+  uint32_t f = fen_prefix(t, s + 1) - cum;
+  d->code -= r * cum;
+  d->range = r * f;
+  while (d->range < kTopValue) {
+    d->range <<= 8;
+    d->code = (d->code << 8) | d->next_byte();
+  }
+  fen_add(t, s, kSymInc);
+  if (total + kSymInc >= kSymLimit) sym_rescale(t);
+  return s;
+}
+
 void rce_occ_sym(RcEncoder* e, uint16_t* ctx, const int32_t* base_ctx,
                  const uint8_t* occ, int64_t n) {
-  for (int64_t i = 0; i < n; ++i) {
-    uint16_t* t = &ctx[(int64_t)base_ctx[i] * kSymN];
-    int s = occ[i];
-    uint32_t total = t[kSymN - 1];
-    uint32_t cum = fen_prefix(t, s);
-    uint32_t f = fen_prefix(t, s + 1) - cum;
-    uint32_t r = e->range / total;
-    e->low += (uint64_t)r * cum;
-    e->range = r * f;
-    while (e->range < kTopValue) {
-      e->shift_low();
-      e->range <<= 8;
+  for (int64_t i = 0; i < n; ++i)
+    enc_one_sym(e, &ctx[(int64_t)base_ctx[i] * kSymN], occ[i]);
+}
+
+// ---- fused occupancy-stream coding (device-pipeline host stage) ---------
+//
+// The TPU encoder analysis ships ONLY the per-level occupancy bytes
+// (1 B per tree node, level-major, children in Morton order).  The
+// PARENT-mode context base of a node — (child_octant << 8) |
+// parent_occupancy — is fully derivable from earlier bytes of the same
+// stream, so the whole host entropy stage is one native call with no
+// per-level glue.  Mirrors models/geometry_octree.encode
+// (ctx_mode=CTX_MODE_PARENT) byte for byte.
+
+int64_t rce_occ_stream(RcEncoder* e, uint16_t* ctx, const uint8_t* occ,
+                       int64_t total, int32_t depth) {
+  if (total < 1 || depth < 1) return -1;
+  enc_one_sym(e, &ctx[0], occ[0]);  // root: base 0
+  int64_t pstart = 0, pn = 1, pos = 1;
+  for (int l = 1; l < depth; ++l) {
+    int64_t cur = pos;
+    for (int64_t p = pstart; p < pstart + pn; ++p) {
+      uint32_t P = occ[p];
+      for (int b = 0; b < 8; ++b) {
+        if (!((P >> b) & 1)) continue;
+        if (pos >= total) return -1;
+        int64_t base = ((int64_t)b << 8) | P;
+        enc_one_sym(e, &ctx[base * kSymN], occ[pos++]);
+      }
     }
-    fen_add(t, s, kSymInc);
-    if (total + kSymInc >= kSymLimit) sym_rescale(t);
+    pstart = cur;
+    pn = pos - cur;
   }
+  return pos;
+}
+
+int64_t rcd_occ_stream(RcDecoder* d, uint16_t* ctx, uint8_t* occ,
+                       int64_t cap, int32_t depth) {
+  if (cap < 1 || depth < 1) return -1;
+  occ[0] = (uint8_t)dec_one_sym(d, &ctx[0]);
+  int64_t pstart = 0, pn = 1, pos = 1;
+  for (int l = 1; l < depth; ++l) {
+    int64_t cur = pos;
+    for (int64_t p = pstart; p < pstart + pn; ++p) {
+      uint32_t P = occ[p];
+      for (int b = 0; b < 8; ++b) {
+        if (!((P >> b) & 1)) continue;
+        if (pos >= cap) return -1;
+        int64_t base = ((int64_t)b << 8) | P;
+        occ[pos++] = (uint8_t)dec_one_sym(d, &ctx[base * kSymN]);
+      }
+    }
+    pstart = cur;
+    pn = pos - cur;
+  }
+  return pos;
 }
 
 void rcd_occ_sym(RcDecoder* d, uint16_t* ctx, const int32_t* base_ctx,
                  uint8_t* occ, int64_t n) {
-  for (int64_t i = 0; i < n; ++i) {
-    uint16_t* t = &ctx[(int64_t)base_ctx[i] * kSymN];
-    uint32_t total = t[kSymN - 1];
-    uint32_t r = d->range / total;
-    uint32_t dv = d->code / r;
-    if (dv >= total) dv = total - 1;
-    uint32_t cum;
-    int s = fen_find(t, dv, &cum);
-    uint32_t f = fen_prefix(t, s + 1) - cum;
-    d->code -= r * cum;
-    d->range = r * f;
-    while (d->range < kTopValue) {
-      d->range <<= 8;
-      d->code = (d->code << 8) | d->next_byte();
-    }
-    occ[i] = (uint8_t)s;
-    fen_add(t, s, kSymInc);
-    if (total + kSymInc >= kSymLimit) sym_rescale(t);
-  }
+  for (int64_t i = 0; i < n; ++i)
+    occ[i] = (uint8_t)dec_one_sym(d, &ctx[(int64_t)base_ctx[i] * kSymN]);
 }
 
 }  // extern "C"

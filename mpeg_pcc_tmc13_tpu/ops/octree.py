@@ -324,6 +324,102 @@ def encode_analysis_packed(leaf_codes_sorted: jnp.ndarray, depth: int,
     return compact, counts
 
 
+@partial(jax.jit, static_argnames=("depth", "cap"))
+def encode_occ_u8(leaf_codes_sorted: jnp.ndarray, depth: int, cap: int):
+    """Occupancy-only encoder analysis with tight on-device packing.
+
+    The production device pipeline ships ONLY the per-level occupancy
+    bytes to the host — 1 byte per tree node instead of the 4-byte
+    (ctx|occ) packing — because the PARENT-mode context base of every
+    node is derivable from earlier bytes of the same stream (the host
+    entropy stage does that in native code, entropy.cc rce_occ_stream).
+    This keeps the host link traffic at its information-theoretic floor
+    for the wavefront split (SURVEY.md §7.3).
+
+    Input: (N,) sorted leaf Morton codes (duplicates allowed).
+    Returns (occ_u8 (cap,), counts (depth,) int32): level-major
+    occupancy bytes, valid entries first; only the first sum(counts)
+    bytes matter.  cap must be >= the total node count (caller sizes it
+    ~2.5*N and retries larger on overflow; counts.sum() tells).
+    """
+    c = leaf_codes_sorted
+    n = c.shape[0]
+    depth_i = jnp.int64(depth)
+
+    def body(l, carry):
+        occ_out, mask_out = carry
+        shift_node = 3 * (depth_i - l)
+        cl = c >> shift_node
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), cl[1:] != cl[:-1]])
+        seg = jnp.cumsum(first) - 1
+        child = (c >> (shift_node - 3)) & 7
+        onehot = jax.nn.one_hot(child, 8, dtype=jnp.int32)
+        occ_counts = jax.ops.segment_sum(onehot, seg, num_segments=n)
+        occ = (jnp.sum(
+            jnp.where(occ_counts > 0, 1, 0)
+            * (1 << jnp.arange(8, dtype=jnp.int32))[None, :], axis=-1)
+        ).astype(jnp.int32)
+        occ_rows = occ[seg]
+        occ_out = occ_out.at[l].set(jnp.where(first, occ_rows, 0))
+        mask_out = mask_out.at[l].set(first)
+        return occ_out, mask_out
+
+    init = (jnp.zeros((depth, n), jnp.int32),
+            jnp.zeros((depth, n), bool))
+    occ_out, mask_out = jax.lax.fori_loop(0, depth, body, init)
+    flat = occ_out.reshape(-1)
+    valid = mask_out.reshape(-1)
+    # stable sort by ~valid keeps (level, row) order among valid rows
+    perm = jnp.argsort(jnp.logical_not(valid), stable=True)
+    k = min(cap, depth * n)
+    compact = flat[perm[:k]].astype(jnp.uint8)
+    if k < cap:
+        compact = jnp.pad(compact, (0, cap - k))
+    counts = jnp.sum(mask_out, axis=1).astype(jnp.int32)
+    return compact, counts
+
+
+@partial(jax.jit, static_argnames=("depth", "nmax"))
+def decode_expand_stream(occ_u8: jnp.ndarray, counts: jnp.ndarray,
+                         depth: int, nmax: int):
+    """Decoder expansion straight from the packed level-major occupancy
+    byte stream (the exact layout the host entropy stage produces, so
+    no per-level host reshaping touches the h2d path).
+
+    occ_u8: (cap,) uint8 level-major occupancy bytes (padding past
+    sum(counts) ignored); counts: (depth,) int32 per-level node counts.
+    nmax: static leaf capacity.  Returns (codes (nmax,) int64 padded
+    with I64_MAX, leaf_count).
+    """
+    cap = occ_u8.shape[0]
+    offs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)]).astype(jnp.int32)
+    slots = jnp.arange(8, dtype=jnp.int64)
+    row = jnp.arange(nmax)
+
+    def body(l, carry):
+        nodes, cnt = carry
+        idx = jnp.minimum(offs[l] + row, cap - 1)
+        occ = jnp.where(row < counts[l], occ_u8[idx], 0).astype(jnp.int64)
+        m = (((occ[:, None] >> slots[None, :]) & 1) > 0) \
+            & (row < cnt)[:, None]
+        child = (nodes[:, None] << 3) | slots[None, :]
+        flat_m = m.reshape(-1)
+        flat_c = child.reshape(-1)
+        pos = jnp.cumsum(flat_m) - 1
+        dest = jnp.where(flat_m, pos, nmax)     # nmax = discard slot
+        out = jnp.full(nmax + 1, _I64_MAX, dtype=jnp.int64)
+        out = out.at[dest].set(flat_c, mode="drop")
+        return out[:nmax], flat_m.sum()
+
+    nodes0 = jnp.full(nmax, _I64_MAX, dtype=jnp.int64)
+    nodes0 = nodes0.at[0].set(0)
+    nodes, cnt = jax.lax.fori_loop(0, depth, body,
+                                   (nodes0, jnp.int64(1)))
+    return nodes, cnt
+
+
 @partial(jax.jit, static_argnames=("level_dims",))
 def decode_level_jax(node_codes: jnp.ndarray, valid: jnp.ndarray,
                      level_dims: int):

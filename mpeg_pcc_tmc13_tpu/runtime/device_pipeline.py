@@ -1,0 +1,172 @@
+"""Device-in-the-loop geometry pipeline: overlapped slices.
+
+The production TPU encode splits each frame into S contiguous Morton
+slices and runs a three-stage pipeline per slice:
+
+  1. device: full-depth octree analysis -> level-major occupancy bytes
+     (ops.octree.encode_occ_u8; one byte per tree node, the wavefront
+     split of SURVEY.md §7.3),
+  2. link:   asynchronous device->host copy of the packed bytes
+     (jax.Array.copy_to_host_async, so later slices stream while the
+     host codes earlier ones),
+  3. host:   one native call per slice entropy-codes the whole stream
+     with PARENT contexts derived from the stream itself
+     (entropy.cc rce_occ_stream; contexts continue across slices like
+     tmc3's entropy continuation, hls entropy_continuation_enabled).
+
+Decode mirrors it: the host entropy stage is self-sufficient (each
+slice's byte stream is self-delimiting: the root byte's popcount sizes
+the next level, and so on), occupancy bytes stream host->device, and
+ops.octree.decode_expand_stream rebuilds the leaf codes entirely on
+device, where they can feed the device attribute stages without
+positions ever landing on the host.
+
+Counterpart of the reference's per-slice encode loop
+(encoder.cpp:924-1308) restructured for an accelerator + narrow host
+link; slices are the concurrency surface the bitstream already has
+(SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..bitstream import entropy
+from ..ops import octree as ops
+
+
+def _split_padded(codes_sorted: np.ndarray, num_slices: int):
+    """Split sorted codes into equal fixed-shape chunks (pad = repeat of
+    the chunk's last code; duplicates collapse at the leaf level)."""
+    n = codes_sorted.size
+    per = -(-n // num_slices)
+    chunks = np.empty((num_slices, per), dtype=np.int64)
+    for s in range(num_slices):
+        c = codes_sorted[s * per:(s + 1) * per]
+        chunks[s, :c.size] = c
+        chunks[s, c.size:] = c[-1] if c.size else 0
+    return chunks
+
+
+@dataclass
+class PipelineStats:
+    wall_s: float = 0.0
+    host_entropy_s: float = 0.0
+    link_bytes: int = 0
+    num_slices: int = 0
+    node_counts: List[int] = field(default_factory=list)
+
+
+def encode_pipelined(codes_sorted: np.ndarray, depth: int,
+                     enc, ctx, num_slices: int = 8,
+                     cap_factor: float = 2.5,
+                     device_codes: Optional[list] = None,
+                     stats: Optional[PipelineStats] = None) -> None:
+    """Encode sorted unique leaf codes through the device pipeline.
+
+    enc/ctx: entropy.RangeEncoder + OctreeContexts (occupancy_sym
+    memory); contexts continue across slices, producing ONE stream that
+    decode_pipelined (or any rcd_occ_stream caller) reads back.
+    device_codes: optional pre-staged per-slice device arrays (the
+    production setup keeps geometry device-resident between stages);
+    when None the chunks are uploaded here.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if device_codes is None:
+        chunks = _split_padded(codes_sorted, num_slices)
+        device_codes = [jax.device_put(jnp.asarray(chunks[s]))
+                        for s in range(num_slices)]
+        jax.block_until_ready(device_codes)
+    per = device_codes[0].shape[0]
+    cap = max(64, int(per * cap_factor)) & ~63
+
+    t0 = time.perf_counter()
+    # stage 1: dispatch all slices (async on device)
+    pending = [ops.encode_occ_u8(dc, depth, cap) for dc in device_codes]
+    # stage 2: queue all device->host copies
+    for occ, counts in pending:
+        counts.copy_to_host_async()
+        occ.copy_to_host_async()
+    # stage 3: host entropy per slice, in stream order
+    t_host = 0.0
+    link = 0
+    ncounts = []
+    for occ, counts in pending:
+        cnt = np.asarray(counts)
+        total = int(cnt.sum())
+        if total > cap:   # undersized budget: redo this slice larger
+            big = max(64, int(total * 1.25)) & ~63
+            occ, counts = ops.encode_occ_u8(
+                device_codes[len(ncounts)], depth, big)
+            cnt = np.asarray(counts)
+        occ_h = np.asarray(occ)[:total]
+        link += occ_h.nbytes + cnt.nbytes
+        th = time.perf_counter()
+        enc.occ_stream(ctx.occupancy_sym, occ_h, depth)
+        t_host += time.perf_counter() - th
+        ncounts.append(total)
+    if stats is not None:
+        stats.wall_s = time.perf_counter() - t0
+        stats.host_entropy_s = t_host
+        stats.link_bytes = link
+        stats.num_slices = num_slices
+        stats.node_counts = ncounts
+
+
+def decode_pipelined(dec, ctx, depth: int, num_slices: int,
+                     per_slice_points: int,
+                     stats: Optional[PipelineStats] = None):
+    """Decode a pipelined stream back to per-slice leaf codes ON DEVICE.
+
+    Returns a list of (codes_device (nmax,) int64 padded with INT64_MAX,
+    count_device) per slice — left on device so the attribute stages can
+    consume them without a host round trip.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    nmax = per_slice_points
+    # host decode uses the worst-case node bound (the stream is
+    # self-delimiting, so the true total is known only afterwards);
+    # the h2d transfer is then padded to a half-slice bucket, which
+    # bounds both the waste (< nmax/2 bytes) and the number of
+    # distinct compiled expand kernels (<= 2 * depth)
+    host_cap = depth * nmax + 64
+    bucket = max(64, nmax // 2)
+    t0 = time.perf_counter()
+    t_host = 0.0
+    link = 0
+    outs = []
+    for _ in range(num_slices):
+        th = time.perf_counter()
+        occ = dec.occ_stream(ctx.occupancy_sym, host_cap, depth)
+        t_host += time.perf_counter() - th
+        # per-level counts from the self-delimiting stream
+        counts = np.zeros(depth, dtype=np.int32)
+        pos, ln = 0, 1
+        pops = np.unpackbits(occ[:, None], axis=1).sum(axis=1)
+        for l in range(depth):
+            counts[l] = ln
+            nxt = int(pops[pos:pos + ln].sum())
+            pos += ln
+            ln = nxt
+        cap = -(-occ.size // bucket) * bucket
+        pad = np.zeros(cap, dtype=np.uint8)
+        pad[:occ.size] = occ
+        link += pad.nbytes + counts.nbytes
+        occ_d = jax.device_put(jnp.asarray(pad))          # async h2d
+        cnt_d = jax.device_put(jnp.asarray(counts))
+        outs.append(ops.decode_expand_stream(occ_d, cnt_d, depth, nmax))
+    jax.block_until_ready(outs)
+    if stats is not None:
+        stats.wall_s = time.perf_counter() - t0
+        stats.host_entropy_s = t_host
+        stats.link_bytes = link
+        stats.num_slices = num_slices
+    return outs
