@@ -55,6 +55,8 @@ class RefBitReader:
         length = 0
         while not self.u1():
             length += 1
+            if length > 64:   # corrupt/foreign payload: all-zero tail
+                raise ValueError("corrupt ue(v)")
         return ((1 << length) | self.un(length)) - 1
 
     def se(self) -> int:
@@ -185,6 +187,8 @@ def parse_sps(data: bytes) -> RefSps:
     s.global_scale_fp_bits = bs.ue()
     s.global_scale_rem = bs.un(s.global_scale_fp_bits)
     s.num_attrs = bs.ue()
+    if s.num_attrs > 255:    # foreign/corrupt payload guard
+        raise ValueError("implausible attribute count")
     for _ in range(s.num_attrs):
         s.attr_dims.append(bs.ue() + 1)   # attr_num_dimensions_minus1
         bs.ue()                           # attr_instance_id

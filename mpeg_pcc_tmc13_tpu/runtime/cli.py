@@ -125,8 +125,10 @@ class Config:
         self.cabac_bypass = False
         self.params = EncoderParams()
         self.disable_attributes = False
-        # reference-syntax (tmc3-interoperable) codec path
-        self.ref_syntax = False
+        # reference-syntax (tmc3-interoperable) codec path.
+        # None = unset: encode defaults to the native syntax; decode
+        # auto-detects the family from the stream's SPS payload.
+        self.ref_syntax = None
         self.qtbt_enabled = True
         self.ignored: List[str] = []
         # recognised reference options recorded without behavioural
@@ -814,9 +816,46 @@ def main(argv: Optional[List[str]] = None) -> int:
         if cfg.ref_syntax:
             return encode_sequence_ref_syntax(cfg)
         return encode_sequence(cfg)
+    if cfg.ref_syntax is None:
+        cfg.ref_syntax = detect_ref_syntax(cfg.compressed_path)
     if cfg.ref_syntax:
         return decode_sequence_ref_syntax(cfg)
     return decode_sequence(cfg)
+
+
+def detect_ref_syntax(path) -> bool:
+    """Syntax-family detection from the stream itself.
+
+    Both families are TLV-framed (io_tlv.cpp framing); the SPS payload
+    bit layout differs and each parser rejects the other's with a
+    bounds error, so decode needs no --refSyntax flag (reference
+    decoder dispatch: decoder.cpp:302-418).  Native syntax wins an
+    (unobserved) ambiguous double-parse."""
+    import io as _io
+
+    from ..bitstream import hls, tlv
+    from ..conformance import ref_hls
+    try:
+        head = open(path, "rb").read(1 << 16)
+    except OSError:
+        return False
+    try:
+        for buf in tlv.iter_tlv(_io.BytesIO(head)):
+            if buf.type == tlv.PayloadType.SEQUENCE_PARAMETER_SET:
+                hls.SequenceParameterSet.parse(buf.data)
+                return False
+            break   # SPS is the first unit in well-formed streams
+    except Exception:
+        pass
+    try:
+        for t, pl in ref_hls.iter_ref_tlv(head):
+            if t == ref_hls.T_SPS:
+                ref_hls.parse_sps(pl)
+                return True
+            break
+    except Exception:
+        pass
+    return False
 
 
 if __name__ == "__main__":

@@ -177,3 +177,36 @@ def test_ctc_cfg_generator(tmp_path, sample_ply):
                      f"--reconstructedDataPath={rec}"]) == 0
     from mpeg_pcc_tmc13_tpu.utils import ply as _ply
     assert _ply.read(str(rec)).count > 0
+
+
+def test_decode_autodetects_syntax_family(tmp_path, sample_ply):
+    """mode=1 without --refSyntax must decode BOTH syntax families
+    (reference decoder dispatch, decoder.cpp:302-418; the framework
+    detects the family from the SPS payload)."""
+    in_ply, pos, _ = sample_ply
+    for flags, name in ((["--refSyntax=1", "--disableAttributeCoding=1"],
+                         "ref"),
+                        (["--disableAttributeCoding=1"], "native")):
+        out_bin = tmp_path / f"{name}.bin"
+        rec_ply = tmp_path / f"{name}_rec.ply"
+        assert cli.main([f"--uncompressedDataPath={in_ply}",
+                         f"--compressedStreamPath={out_bin}",
+                         "--mode=0"] + flags) == 0
+        # decode with NO syntax flag
+        assert cli.main(["--mode=1",
+                         f"--compressedStreamPath={out_bin}",
+                         f"--reconstructedDataPath={rec_ply}"]) == 0
+        rec = ply.read(str(rec_ply))
+        uniq = np.unique(pos.astype(np.int64), axis=0)
+        got = rec.positions.astype(np.int64)
+        got = got[np.lexsort(got.T)]
+        np.testing.assert_array_equal(uniq[np.lexsort(uniq.T)], got)
+
+
+def test_detect_ref_syntax_on_garbage(tmp_path):
+    p = tmp_path / "junk.bin"
+    p.write_bytes(b"\x00\x00\x00\x00\x07" + b"\xff" * 7)
+    assert cli.detect_ref_syntax(str(p)) in (True, False)  # no hang/crash
+    p2 = tmp_path / "empty.bin"
+    p2.write_bytes(b"")
+    assert cli.detect_ref_syntax(str(p2)) is False
