@@ -42,11 +42,19 @@ Subpackages
 
 from __future__ import annotations
 
-import jax
+import os
+import sys
 
 # The codec is integer/fixed-point throughout (reference FixedPoint.h:44,
 # PCCMath.h).  Geometry precision runs to 21 bits/axis => 63-bit Morton
-# codes, so 64-bit integer support is required.
-jax.config.update("jax_enable_x64", True)
+# codes, so 64-bit integer support is required.  jax itself is imported
+# lazily: the host-only paths (CLI startup, entropy stage, conformance
+# codecs) never pay the ~1.5 s jax import, which would otherwise
+# dominate whole-CLI latency on small frames (reference tmc3 starts in
+# milliseconds, TMC3.cpp:220).
+if "jax" in sys.modules:
+    sys.modules["jax"].config.update("jax_enable_x64", True)
+else:
+    os.environ.setdefault("JAX_ENABLE_X64", "true")
 
 from .version import __version__  # noqa: E402,F401

@@ -1174,7 +1174,10 @@ def encode_frames(frames, unique_points: bool = True,
                   motion_window_size: int = 512,
                   gm_th_dist: int = 1000,
                   motion_params=None,
-                  z_compensation: bool = False) -> bytes:
+                  z_compensation: bool = False,
+                  attr_slice_rdo: bool = False,
+                  attr_inter_translation_threshold: float = 1000.0
+                  ) -> bytes:
     """Encode a sequence of XYZ integer clouds into one reference-
     syntax TLV stream (SPS + GPS once, then per-slice geometry
     bricks).  Clouds above the slice level limit (reference
@@ -1300,9 +1303,12 @@ def encode_frames(frames, unique_points: bool = True,
                 "needs content-specific gmThreshold bounds)")
         if (have_attrs and aps is not None
                 and aps.attr_inter_prediction
-                and aps.attr_encoding != ref_hls.ATTR_RAHT):
+                and aps.attr_encoding != ref_hls.ATTR_RAHT
+                and colors is not None):
             raise NotImplementedError(
-                "attribute inter emission outside RAHT")
+                "pred/lift attribute inter emission is scalar-only "
+                "(the reference's inter candidates exist only for "
+                "reflectance, AttributeEncoder.cpp:695-702)")
         sps.inter_frame_prediction_enabled = True
         gps.inter_prediction = True
         gps.global_motion = global_motion
@@ -1378,6 +1384,12 @@ def encode_frames(frames, unique_points: bool = True,
             origin = part.min(axis=0)
             local = part - origin
 
+            # pred/lift attribute inter gating: the frame must be
+            # "non-moving" under the coded global motion
+            # (checkMovingState, encoder.cpp:1469-1496); filled in by
+            # the inter geometry paths below once the GM is known
+            frame_state = {"moving_ok": False}
+
             def _emit_attr(dec_pos, _origin=origin, _local=local,
                            _apart=apart, _slice_id_ref=None):
                 # attributes follow their geometry slice, coded at the
@@ -1452,18 +1464,40 @@ def encode_frames(frames, unique_points: bool = True,
                     if aps.attr_inter_prediction:
                         next_attr_chain.append((attr_pos, arec))
                 else:
-                    (attr_aec, lcp, icp, _rec,
-                     d2d) = encode_attr_brick_predlift(
-                        sps, aps, attr_pos, aslice)
                     dims_ = aslice.shape[1]
-                    abrick = ref_hls.write_abh(
-                        aps, 0, slice_id, attr_aec, dims=dims_,
-                        lcp_coeffs=(lcp if aps.last_component_prediction
-                                    and dims_ == 3 else None),
-                        icp_coeffs=(icp
-                                    if aps.inter_component_prediction
-                                    and dims_ != 1 else None),
-                        dist2_delta=d2d)
+                    # abh.enableAttrInterPred for pred/lift =
+                    # movingState (encoder.cpp:1096-1099)
+                    frame_inter = (inter and aps.attr_inter_prediction
+                                   and ctr % random_access_period != 0
+                                   and attr_ref_chain is not None
+                                   and frame_state["moving_ok"]
+                                   and dims_ == 1)
+                    if frame_inter:
+                        # inter candidates + optional two-pass slice
+                        # RDO (AttributeEncoder.cpp:498-580)
+                        (attr_aec, d2d, en_inter,
+                         arec) = encode_attr_brick_predlift_inter(
+                            sps, aps, attr_pos, aslice,
+                            attr_ref_chain, attr_slice_rdo)
+                        lcp = icp = None
+                        abrick = ref_hls.write_abh(
+                            aps, 0, slice_id, attr_aec, dims=dims_,
+                            dist2_delta=d2d, enable_inter=en_inter)
+                    else:
+                        (attr_aec, lcp, icp, arec,
+                         d2d) = encode_attr_brick_predlift(
+                            sps, aps, attr_pos, aslice)
+                        abrick = ref_hls.write_abh(
+                            aps, 0, slice_id, attr_aec, dims=dims_,
+                            lcp_coeffs=(lcp
+                                        if aps.last_component_prediction
+                                        and dims_ == 3 else None),
+                            icp_coeffs=(icp
+                                        if aps.inter_component_prediction
+                                        and dims_ != 1 else None),
+                            dist2_delta=d2d)
+                    if aps.attr_inter_prediction:
+                        next_attr_chain.append((attr_pos, arec))
                 out.append(ref_hls.write_ref_tlv(ref_hls.T_ATTR_BRICK,
                                                  abrick))
 
@@ -1533,6 +1567,12 @@ def encode_frames(frames, unique_points: bool = True,
                         min_pos = np.asarray(ref_hls.from_xyz(
                             sps.geometry_axis_order,
                             list(sps.bbox_origin)), dtype=np.int64)
+                    frame_state["moving_ok"] = _check_moving_state(
+                        getattr(gbh, "gm_matrix", [65536, 0, 0, 0,
+                                                   65536, 0, 0, 0,
+                                                   65536]),
+                        getattr(gbh, "gm_trans", (0, 0, 0)),
+                        attr_inter_translation_threshold)
                     org_ang = (np.asarray(ref_hls.from_xyz(
                         1, list(gps.angular_origin)), dtype=np.int64)
                         - origin)
@@ -1604,6 +1644,12 @@ def encode_frames(frames, unique_points: bool = True,
                                     part, ref_cloud, max(root),
                                     bsize=gbh.motion_block_size[2],
                                     th_dist=gm_th_dist)
+                    frame_state["moving_ok"] = _check_moving_state(
+                        getattr(gbh, "gm_matrix", [65536, 0, 0, 0,
+                                                   65536, 0, 0, 0,
+                                                   65536]),
+                        getattr(gbh, "gm_trans", (0, 0, 0)),
+                        attr_inter_translation_threshold)
                     aec = _encode_brick_native_inter(
                         local, axes, gps, gbh, ref_cloud,
                         origin.astype(np.int64), motion_window_size,
@@ -1736,6 +1782,135 @@ def derive_default_aps(attr_encoding: int, attr_qp: int = 34,
         prediction_with_distribution=True)
 
 
+def _check_moving_state(gm_matrix, gm_trans, translation_threshold,
+                        frame_distance: int = 1) -> bool:
+    """checkMovingState (encoder.cpp:1475-1493): pred/lift attribute
+    inter prediction is enabled only when the coded global motion is
+    below small rotation/translation thresholds."""
+    import math
+    scale = 65536.0
+    thr1 = 0.1 / frame_distance
+    thr1_tan = math.tan(math.pi * thr1 / 180)
+    thr1_sin = math.sin(math.pi * thr1 / 180)
+    mat = list(gm_matrix)
+    rx = abs((mat[5] / scale) / (1.0 + mat[8] / scale))
+    ry = abs(mat[2] / scale)
+    rz = abs((mat[1] / scale) / (1.0 + mat[0] / scale))
+    sx, sy, sz = (abs(v) for v in gm_trans)
+    thr2 = translation_threshold
+    return (rx < thr1_tan and ry < thr1_sin and rz < thr1_tan
+            and sx < thr2 and sy < thr2 and sz < thr2)
+
+
+def _estimate_dist2_delta(positions_stv: np.ndarray, aps) -> int:
+    """Per-slice dist2 refinement (estimateDist2,
+    AttributeEncoder.cpp:1685-1720; call site encoder.cpp:1204 with
+    samplingPeriod 100, searchRange 128, percentile 0.85)."""
+    pos = np.asarray(positions_stv, dtype=np.int64)
+    n_ = pos.shape[0]
+    if n_ < 2:
+        return 0
+    dists = []
+    for idx in range(0, n_, 100):
+        k0 = max(0, idx - 128)
+        k1 = min(n_ - 1, idx + 128)
+        w = pos[k0:k1 + 1] - pos[idx]
+        d2 = (w * w).sum(axis=1)
+        d2[idx - k0] = np.iinfo(np.int64).max
+        dists.append(int(d2.min()))
+    dists = np.asarray(dists, dtype=np.int64)
+    p = int(np.floor(len(dists) * 0.85))
+    d2v = int(np.partition(dists, p)[p])
+    shift = 0
+    while (3 << (shift << 1)) < d2v and shift < 20:
+        shift += 1
+    return shift - aps.dist2
+
+
+def encode_attr_brick_predlift_inter(sps, aps, positions_stv, attrs,
+                                     attr_ref, slice_rdo: bool):
+    """Predicting/lifting inter-frame attribute encode (reflectance),
+    byte-identical to the reference: the previous frame's attribute
+    cloud joins the LoD candidate pool after bbox filtering
+    (decoder.cpp:926-947 mirrored encoder-side), and with
+    ``slice_rdo`` the two-pass inter/intra slice RDO picks the cheaper
+    coding (AttributeEncoder.cpp:498-580, attrInterIntraSliceRDO).
+    Returns (payload bytes, dist2_delta, enable_inter, recon)."""
+    from .decoder import _load, _predlift_params
+    lib = _load()
+    c = ctypes
+    if not hasattr(lib.tmc13ref_encode_predlift_inter, "_configured"):
+        lib.tmc13ref_encode_predlift_inter.argtypes = [
+            c.POINTER(c.c_int32), c.c_int, c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int,
+            c.c_int, c.c_int,
+            c.POINTER(c.c_uint8), c.c_int, c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32)]
+        lib.tmc13ref_encode_predlift_inter.restype = c.c_int
+        lib.tmc13ref_encode_predlift_inter._configured = True
+
+    def p32(a):
+        return a.ctypes.data_as(c.POINTER(c.c_int32))
+
+    abh_stub = ref_hls.RefAbh()
+    # dist2 delta rides the ABH whenever inter prediction is active
+    # (encoder.cpp:1201)
+    abh_stub.attr_dist2_delta = _estimate_dist2_delta(positions_stv, aps)
+    abh_stub.enable_attr_inter_pred = True
+    layers = ref_hls.derive_layer_qps(aps, abh_stub)
+    qp_arr = np.asarray(layers, dtype=np.int32).reshape(-1)
+    params = _predlift_params(sps, aps, abh_stub, len(layers))
+
+    nper = max(aps.num_detail_levels_minus1, 1)
+    periods = np.zeros(nper, dtype=np.int32)
+    if aps.lod_sampling_periods:
+        periods[:len(aps.lod_sampling_periods)] = aps.lod_sampling_periods
+
+    pos32 = np.ascontiguousarray(positions_stv, dtype=np.int32)
+    n = int(pos32.shape[0])
+    av = np.ascontiguousarray(attrs, dtype=np.int32)
+    if av.ndim != 2 or av.shape[1] != 1:
+        raise NotImplementedError("inter predlift is scalar-only")
+
+    # reference cloud: bbox-filtered, order-preserving (same filter as
+    # the decoder so both sides see the identical candidate pool)
+    ref_pos, ref_attr = attr_ref
+    ref_pos = np.asarray(ref_pos, dtype=np.int64)
+    ref_attr = np.asarray(ref_attr, dtype=np.int32).reshape(
+        ref_pos.shape[0], -1)
+    lo = pos32.min(axis=0).astype(np.int64)
+    hi = pos32.max(axis=0).astype(np.int64)
+    keep = np.all((ref_pos >= lo[None, :]) & (ref_pos <= hi[None, :]),
+                  axis=1)
+    rpos = np.ascontiguousarray(ref_pos[keep], dtype=np.int32)
+    rattr = np.ascontiguousarray(ref_attr[keep].reshape(-1),
+                                 dtype=np.int32)
+    nref = int(rpos.shape[0])
+    if nref == 0:
+        # empty candidate pool: the reference falls back to intra
+        payload, lcp, icp, recon, d2d = encode_attr_brick_predlift(
+            sps, aps, positions_stv, attrs)
+        return payload, d2d, False, recon
+
+    recon = np.empty_like(av)
+    cap = n * 16 + (1 << 16)
+    buf = np.empty(cap, dtype=np.uint8)
+    enable = np.zeros(1, dtype=np.int32)
+    nb = lib.tmc13ref_encode_predlift_inter(
+        p32(pos32), n, p32(params), p32(periods), p32(qp_arr),
+        p32(av.reshape(-1)),
+        p32(rpos), p32(rattr), nref,
+        int(aps.attr_inter_pred_search_range), 1 if slice_rdo else 0,
+        buf.ctypes.data_as(c.POINTER(c.c_uint8)), cap,
+        p32(recon.reshape(-1)), p32(enable))
+    if nb < 0:
+        raise RuntimeError(f"refpredlift inter encode rc={nb}")
+    return (buf[:nb].tobytes(), abh_stub.attr_dist2_delta,
+            bool(enable[0]), recon)
+
+
 def encode_attr_brick_predlift(sps, aps, positions_stv: np.ndarray,
                                attrs: np.ndarray):
     """Predicting/lifting-encode attributes aligned to decode-order
@@ -1760,27 +1935,8 @@ def encode_attr_brick_predlift(sps, aps, positions_stv: np.ndarray,
 
     abh_stub = ref_hls.RefAbh()
     if aps.slice_dist2_deltas_present:
-        # per-slice dist2 refinement (estimateDist2,
-        # AttributeEncoder.cpp:1685-1720; call site encoder.cpp:1204
-        # with samplingPeriod 100, searchRange 128, percentile 0.85)
-        pos = np.asarray(positions_stv, dtype=np.int64)
-        n_ = pos.shape[0]
-        if n_ >= 2:
-            dists = []
-            for idx in range(0, n_, 100):
-                k0 = max(0, idx - 128)
-                k1 = min(n_ - 1, idx + 128)
-                w = pos[k0:k1 + 1] - pos[idx]
-                d2 = (w * w).sum(axis=1)
-                d2[idx - k0] = np.iinfo(np.int64).max
-                dists.append(int(d2.min()))
-            dists = np.asarray(dists, dtype=np.int64)
-            p = int(np.floor(len(dists) * 0.85))
-            d2v = int(np.partition(dists, p)[p])
-            shift = 0
-            while (3 << (shift << 1)) < d2v and shift < 20:
-                shift += 1
-            abh_stub.attr_dist2_delta = shift - aps.dist2
+        abh_stub.attr_dist2_delta = _estimate_dist2_delta(
+            positions_stv, aps)
     layers = ref_hls.derive_layer_qps(aps, abh_stub)
     qp_arr = np.asarray(layers, dtype=np.int32).reshape(-1)
     from .decoder import _predlift_params as _pp

@@ -2557,8 +2557,11 @@ extern "C" int tmc13ref_encode_predlift(
           int64_t resQ = quant[0].quantize(
             (attrValue - attrPred[0]) << kFixedPointAttributeShift);
           int mode = predictor.predMode - pp.directAvgPredictorDisabled;
-          double best_score =
-            rs.bitsPtRefl(int32_t(resQ), mode, availPredModes);
+          // the reference stores the (double) bit estimate in an
+          // int64_t, so equal-integer-part ties keep the earlier mode
+          // (AttributeEncoder.cpp:689) — truncate to stay bug-compatible
+          int64_t best_score = int64_t(
+            rs.bitsPtRefl(int32_t(resQ), mode, availPredModes));
           for (int i = startpredIndex;
                i < int(predictor.neighborCount); i++) {
             if (i == pp.maxNumDirectPredictors) break;
@@ -2567,8 +2570,8 @@ extern "C" int tmc13ref_encode_predlift(
             resQ = quant[0].quantize(
               (attrValue - ap) << kFixedPointAttributeShift);
             mode = i + !pp.directAvgPredictorDisabled;
-            double score =
-              rs.bitsPtRefl(int32_t(resQ), mode, availPredModes);
+            int64_t score = int64_t(
+              rs.bitsPtRefl(int32_t(resQ), mode, availPredModes));
             if (score < best_score) {
               best_score = score;
               predictor.predMode = int8_t(i + 1);
@@ -2926,7 +2929,10 @@ static double encodeScalarPredPass(
       int64_t resQ = quant[0].quantize(
         (attrValue - attrPred[0]) << kFixedPointAttributeShift);
       int mode = predictor.predMode - pp.directAvgPredictorDisabled;
-      double best_score = rs.bitsPtRefl(int32_t(resQ), mode, availPredModes);
+      // int64_t like the reference (AttributeEncoder.cpp:689): ties on
+      // the integer part keep the earlier mode
+      int64_t best_score = int64_t(
+        rs.bitsPtRefl(int32_t(resQ), mode, availPredModes));
       for (int i = startpredIndex; i < int(predictor.neighborCount); i++) {
         if (i == pp.maxNumDirectPredictors) break;
         const auto& nb = predictor.neighbors[i];
@@ -2937,7 +2943,8 @@ static double encodeScalarPredPass(
         resQ = quant[0].quantize(
           (attrValue - ap) << kFixedPointAttributeShift);
         mode = i + !pp.directAvgPredictorDisabled;
-        double score = rs.bitsPtRefl(int32_t(resQ), mode, availPredModes);
+        int64_t score = int64_t(
+          rs.bitsPtRefl(int32_t(resQ), mode, availPredModes));
         if (score < best_score) {
           best_score = score;
           predictor.predMode = int8_t(i + 1);
@@ -3147,9 +3154,11 @@ extern "C" int tmc13ref_encode_predlift_inter(
                              ctxIntra, false, nullptr, true);
     aecIntra.flush();
     // AttributeInterPredParams::setLambda (PCCTMC3Common.h:286-289);
-    // NB qpMinus4 / 3 is C++ integer division
+    // NB qpMinus4 / 3 is C++ integer division; pow(x, 0.5) exactly as
+    // the reference (sqrt is correctly rounded, pow need not be — a
+    // last-ulp difference could flip a near-tie pass decision)
     const int qpMinus4 = pp.initQp - 4;
-    const double lambda = std::sqrt(0.85 * std::pow(2., qpMinus4 / 3));
+    const double lambda = std::pow(0.85 * std::pow(2., qpMinus4 / 3), 0.5);
     const double costInter =
       distInter + lambda * double(aecInter.out.size());
     const double costIntra =

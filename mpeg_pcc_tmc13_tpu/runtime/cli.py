@@ -48,8 +48,7 @@ _ACCEPTED_REFERENCE_OPTIONS = {
     # (b) encoder-internal / tuning knobs without a counterpart in
     # this framework's redesign
     "QPShiftStep", "aps_slice_qp_deltas_present_flag",
-    "attrInterIntraSliceRDO", "attrInterPredSearchRange",
-    "attrInterPredTranslationThresh", "attrSphericalMaxLog2",
+    "attrInterPredSearchRange", "attrSphericalMaxLog2",
     "dist2PercentileEstimate",
     "enableGroundPartition", "externalScale", "frameMergeEnabled",
     "globalMotionSrcType", "gmThresholdHistScale",
@@ -129,6 +128,8 @@ class Config:
         # None = unset: encode defaults to the native syntax; decode
         # auto-detects the family from the stream's SPS payload.
         self.ref_syntax = None
+        self.attr_slice_rdo = False
+        self.attr_inter_translation_threshold = 1000.0
         self.qtbt_enabled = True
         self.ignored: List[str] = []
         # recognised reference options recorded without behavioural
@@ -386,6 +387,13 @@ class Config:
                 self._pending_attr[name] = value
             elif name == "attributeInterPredictionEnabled":
                 self._pending_attr["attrInterPredictionEnabled"] = value
+            elif name == "attrInterIntraSliceRDO":
+                # two-pass inter/intra slice decision for pred/lift
+                # (AttributeEncoder.cpp:498-580)
+                self.attr_slice_rdo = opt.to_bool(value)
+            elif name == "attrInterPredTranslationThresh":
+                self.attr_inter_translation_threshold = \
+                    float(value)
             elif name == "max_num_direct_predictors":
                 self._pending_attr["maxNumDirectPredictors"] = value
             elif name in _ACCEPTED_REFERENCE_OPTIONS:
@@ -593,6 +601,9 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
                           if attr_cfg else 1),
         bypass_no_update=cfg.bypass_no_update,
         cabac_bypass=cfg.cabac_bypass,
+        attr_slice_rdo=cfg.attr_slice_rdo,
+        attr_inter_translation_threshold=(
+            cfg.attr_inter_translation_threshold),
         attr_aps=(refenc.derive_default_aps(
             {hls.AttributeEncoding.RAHT: 0,
              hls.AttributeEncoding.PRED: 1,
