@@ -90,6 +90,8 @@ def _load_native() -> Optional[ctypes.CDLL]:
     lib.rcd_occ_stream.argtypes = [c.c_void_p, u16p, u8p, c.c_int64,
                                    c.c_int32]
     lib.rcd_occ_stream.restype = c.c_int64
+    lib.occ_huff_table.argtypes = [u8p, u16p]
+    lib.occ_unpack.argtypes = [u8p, u8p, c.c_int64]
     lib.sym_contexts_init.argtypes = [u16p, c.c_int64]
     lib.rce_residuals.argtypes = [c.c_void_p, u16p, i32p, c.c_int64,
                                   c.c_int32, c.c_int32]

@@ -1099,6 +1099,58 @@ int64_t rce_occ_stream(RcEncoder* e, uint16_t* ctx, const uint8_t* occ,
   return pos;
 }
 
+// ---- occupancy link code (device->host byte-stream compression) ---------
+//
+// The device link packer emits each occupancy byte as a static
+// canonical prefix code (MSB-first within the bit stream, bits packed
+// little-endian into uint32 words to match the XLA scatter layout).
+// This is LINK compression only — the adaptive range coder above is
+// what lands in the bitstream; the static code merely narrows the
+// host-link bytes toward the occupancy entropy (~4.5 bits/byte).
+
+#include "occ_code.inc"
+
+void occ_huff_table(uint8_t* lens_out, uint16_t* codes_out) {
+  for (int i = 0; i < 256; ++i) {
+    lens_out[i] = kOccCodeLen[i];
+    codes_out[i] = kOccCode[i];
+  }
+}
+
+// decode `n` symbols from the packed little-endian-u32 bit stream
+void occ_unpack(const uint8_t* packed, uint8_t* out, int64_t n) {
+  // 12-bit canonical decode LUT: peek -> (symbol, length)
+  static uint16_t lut[1 << 12];
+  static bool init = false;
+  if (!init) {
+    for (int s = 0; s < 256; ++s) {
+      int len = kOccCodeLen[s];
+      // codes are canonical MSB-aligned within their length; the
+      // packer emits the bits LSB-first (bit i of the reversed code
+      // at stream position i), so the LUT indexes the next 12 stream
+      // bits directly
+      uint32_t rev = 0;
+      for (int b = 0; b < len; ++b)
+        rev |= ((kOccCode[s] >> (len - 1 - b)) & 1u) << b;
+      for (uint32_t hi = 0; hi < (1u << (12 - len)); ++hi)
+        lut[rev | (hi << len)] = (uint16_t)((s << 4) | len);
+    }
+    init = true;
+  }
+  uint64_t bitpos = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t byte = bitpos >> 3;
+    int sh = (int)(bitpos & 7);
+    uint32_t win = (uint32_t)packed[byte]
+                   | ((uint32_t)packed[byte + 1] << 8)
+                   | ((uint32_t)packed[byte + 2] << 16);
+    uint32_t peek = (win >> sh) & 0xFFF;
+    uint16_t e = lut[peek];
+    out[i] = (uint8_t)(e >> 4);
+    bitpos += e & 0xF;
+  }
+}
+
 int64_t rcd_occ_stream(RcDecoder* d, uint16_t* ctx, uint8_t* occ,
                        int64_t cap, int32_t depth) {
   if (cap < 1 || depth < 1) return -1;

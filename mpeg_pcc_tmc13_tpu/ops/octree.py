@@ -380,6 +380,98 @@ def encode_occ_u8(leaf_codes_sorted: jnp.ndarray, depth: int, cap: int):
     return compact, counts
 
 
+def _occ_code_tables():
+    """(lens (256,) int32, rev_codes (256,) int64) of the static link
+    code, read from the native library (the single source of truth,
+    native/occ_code.inc).  Codes are bit-reversed for LSB-first
+    emission into little-endian uint32 words."""
+    if not hasattr(_occ_code_tables, "_cache"):
+        import ctypes as _ct
+
+        from ..bitstream import entropy as _ent
+        lens = np.zeros(256, dtype=np.uint8)
+        codes = np.zeros(256, dtype=np.uint16)
+        _ent._LIB.occ_huff_table(
+            lens.ctypes.data_as(_ct.POINTER(_ct.c_uint8)),
+            codes.ctypes.data_as(_ct.POINTER(_ct.c_uint16)))
+        rev = np.zeros(256, dtype=np.int64)
+        for s in range(256):
+            ln, c = int(lens[s]), int(codes[s])
+            r = 0
+            for b in range(ln):
+                r |= ((c >> (ln - 1 - b)) & 1) << b
+            rev[s] = r
+        _occ_code_tables._cache = (lens.astype(np.int32), rev)
+    return _occ_code_tables._cache
+
+
+@partial(jax.jit, static_argnames=("depth", "cap", "cap_packed"))
+def encode_occ_packed_hdr(leaf_codes_sorted: jnp.ndarray, depth: int,
+                          cap: int, cap_packed: int):
+    """encode_occ_u8 + on-device link compression.
+
+    The level-major occupancy bytes are emitted through the static
+    canonical prefix code (native/occ_code.inc, ~4.6 bits/byte) packed
+    LSB-first into little-endian uint32 words — a fully vectorised
+    variable-length bit packer: per-symbol bit offsets by cumsum, each
+    code scattered as (lo, hi) word contributions whose bits are
+    disjoint, so scatter-ADD is scatter-OR.  This narrows the
+    device->host link toward the occupancy entropy; the host unpacks
+    natively (entropy.cc occ_unpack) before the adaptive range coder.
+
+    Returns a (4*depth + 4 + cap_packed,) uint8 buffer:
+    [depth uint32 node counts | uint32 total_bits | packed bits].
+    If total_bits > 8*cap_packed - 24 the packed region is invalid
+    (unpacker overreads 2 bytes) and the caller must fall back to the
+    raw path for this slice.
+    """
+    lens_np, rev_np = _occ_code_tables()
+    compact, counts = encode_occ_u8(leaf_codes_sorted, depth, cap)
+    total = jnp.sum(counts)
+    idx = jnp.arange(cap)
+    mask = idx < total
+    sym = compact.astype(jnp.int32)
+    lens = jnp.where(mask, jnp.asarray(lens_np)[sym], 0)
+    offs = jnp.cumsum(lens) - lens
+    rev = jnp.where(mask, jnp.asarray(rev_np)[sym], 0)
+    word = offs >> 5
+    bit = (offs & 31).astype(jnp.int64)
+    lo = (rev << bit) & 0xFFFFFFFF
+    hi = rev >> (32 - bit)
+    nwords = cap_packed // 4
+    acc = jnp.zeros(nwords + 1, dtype=jnp.int64)
+    acc = acc.at[word].add(lo, mode="drop")
+    acc = acc.at[word + 1].add(hi, mode="drop")
+    words = acc[:nwords].astype(jnp.uint32)
+    total_bits = jnp.sum(lens).astype(jnp.uint32)
+    sh = jnp.asarray([0, 8, 16, 24], jnp.uint32)
+    cnt_u8 = jax.lax.shift_right_logical(
+        counts[:, None].astype(jnp.uint32), sh[None, :],
+    ).astype(jnp.uint8).reshape(-1)
+    tb_u8 = jax.lax.shift_right_logical(
+        total_bits[None, None], sh[None, :]).astype(jnp.uint8).reshape(-1)
+    pk_u8 = jax.lax.shift_right_logical(
+        words[:, None], sh[None, :]).astype(jnp.uint8).reshape(-1)
+    return jnp.concatenate([cnt_u8, tb_u8, pk_u8])
+
+
+@partial(jax.jit, static_argnames=("depth", "cap"))
+def encode_occ_u8_hdr(leaf_codes_sorted: jnp.ndarray, depth: int,
+                      cap: int):
+    """encode_occ_u8 with the per-level counts packed into the buffer
+    head, so the host needs ONE fixed-shape fetch per slice (each
+    device->host round trip costs ~ms through a narrow host link).
+
+    Returns a (4*depth + cap,) uint8 array: depth little-endian uint32
+    node counts, then the level-major occupancy bytes."""
+    compact, counts = encode_occ_u8(leaf_codes_sorted, depth, cap)
+    cnt_u8 = jax.lax.shift_right_logical(
+        counts[:, None].astype(jnp.uint32),
+        jnp.asarray([0, 8, 16, 24], jnp.uint32)[None, :],
+    ).astype(jnp.uint8).reshape(-1)
+    return jnp.concatenate([cnt_u8, compact])
+
+
 @partial(jax.jit, static_argnames=("depth", "nmax"))
 def decode_expand_stream(occ_u8: jnp.ndarray, counts: jnp.ndarray,
                          depth: int, nmax: int):

@@ -63,7 +63,9 @@ class PipelineStats:
 
 def encode_pipelined(codes_sorted: np.ndarray, depth: int,
                      enc, ctx, num_slices: int = 8,
-                     cap_factor: float = 2.5,
+                     cap_factor: float = 2.3,
+                     packed_link: bool = True,
+                     packed_cap_factor: float = 1.6,
                      device_codes: Optional[list] = None,
                      stats: Optional[PipelineStats] = None) -> None:
     """Encode sorted unique leaf codes through the device pipeline.
@@ -74,7 +76,12 @@ def encode_pipelined(codes_sorted: np.ndarray, depth: int,
     device_codes: optional pre-staged per-slice device arrays (the
     production setup keeps geometry device-resident between stages);
     when None the chunks are uploaded here.
+    packed_link: compress the device->host bytes with the static
+    occupancy prefix code (ops.octree.encode_occ_packed_hdr); the
+    bitstream is identical either way.
     """
+    import ctypes as ct
+
     import jax
     import jax.numpy as jnp
 
@@ -85,30 +92,56 @@ def encode_pipelined(codes_sorted: np.ndarray, depth: int,
         jax.block_until_ready(device_codes)
     per = device_codes[0].shape[0]
     cap = max(64, int(per * cap_factor)) & ~63
+    cap_packed = max(64, int(per * packed_cap_factor)) & ~63
+    lib = entropy._LIB
 
     t0 = time.perf_counter()
     # stage 1: dispatch all slices (async on device)
-    pending = [ops.encode_occ_u8(dc, depth, cap) for dc in device_codes]
+    if packed_link:
+        pending = [ops.encode_occ_packed_hdr(dc, depth, cap, cap_packed)
+                   for dc in device_codes]
+    else:
+        pending = [ops.encode_occ_u8_hdr(dc, depth, cap)
+                   for dc in device_codes]
     # stage 2: queue all device->host copies
-    for occ, counts in pending:
-        counts.copy_to_host_async()
-        occ.copy_to_host_async()
-    # stage 3: host entropy per slice, in stream order
+    for buf in pending:
+        buf.copy_to_host_async()
+    # stage 3: host entropy per slice, in stream order (counts ride
+    # the same buffer: one fetch per slice)
     t_host = 0.0
     link = 0
     ncounts = []
-    for occ, counts in pending:
-        cnt = np.asarray(counts)
+    for si, buf in enumerate(pending):
+        h = np.asarray(buf)
+        cnt = h[:4 * depth].view(np.uint32)
         total = int(cnt.sum())
-        if total > cap:   # undersized budget: redo this slice larger
-            big = max(64, int(total * 1.25)) & ~63
-            occ, counts = ops.encode_occ_u8(
-                device_codes[len(ncounts)], depth, big)
-            cnt = np.asarray(counts)
-        occ_h = np.asarray(occ)[:total]
-        link += occ_h.nbytes + cnt.nbytes
+        occ = None
+        if packed_link:
+            total_bits = int(h[4 * depth:4 * depth + 4]
+                             .view(np.uint32)[0])
+            ok = (total <= cap
+                  and total_bits <= 8 * cap_packed - 24)
+            if ok:
+                packed = np.ascontiguousarray(h[4 * depth + 4:])
+                occ = np.empty(total, dtype=np.uint8)
+                lib.occ_unpack(
+                    packed.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+                    occ.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+                    total)
+        else:
+            if total <= cap:
+                occ = h[4 * depth:4 * depth + total]
+        if occ is None:
+            # undersized budget: redo this slice through the raw path
+            big = max(64, int(max(total, cap) * 1.25)) & ~63
+            h = np.asarray(ops.encode_occ_u8_hdr(
+                device_codes[si], depth, big))
+            cnt = h[:4 * depth].view(np.uint32)
+            total = int(cnt.sum())
+            occ = h[4 * depth:4 * depth + total]
+        link += h.nbytes
         th = time.perf_counter()
-        enc.occ_stream(ctx.occupancy_sym, occ_h, depth)
+        enc.occ_stream(ctx.occupancy_sym, occ, depth)
         t_host += time.perf_counter() - th
         ncounts.append(total)
     if stats is not None:

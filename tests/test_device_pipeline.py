@@ -141,3 +141,61 @@ def test_pipeline_undersized_cap_retries():
     rec = np.concatenate([np.asarray(nodes)[:int(np.asarray(cnt))]
                           for nodes, cnt in outs])
     assert np.array_equal(rec, uniq)
+
+
+def test_packed_link_roundtrip():
+    """Device link packer (static prefix code) -> native unpacker is
+    lossless for arbitrary occupancy byte values."""
+    import ctypes as ct
+
+    import jax.numpy as jnp
+    depth = 6
+    uniq = _cloud(3000, depth, seed=9)
+    levels = ops.build_levels_np(uniq, depth, ops.CTX_MODE_PARENT)
+    occ_all = np.concatenate([l["occ"] for l in levels])
+    total = occ_all.size
+    cap = 4 * uniq.size
+    cap_packed = 2 * uniq.size
+    h = np.asarray(ops.encode_occ_packed_hdr(
+        jnp.asarray(uniq), depth, cap, cap_packed))
+    cnt = h[:4 * depth].view(np.uint32)
+    assert int(cnt.sum()) == total
+    total_bits = int(h[4 * depth:4 * depth + 4].view(np.uint32)[0])
+    lens, _ = ops._occ_code_tables()
+    assert total_bits == int(lens[occ_all].sum())
+    packed = np.ascontiguousarray(h[4 * depth + 4:])
+    out = np.empty(total, dtype=np.uint8)
+    entropy._LIB.occ_unpack(
+        packed.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        out.ctypes.data_as(ct.POINTER(ct.c_uint8)), total)
+    assert np.array_equal(out, occ_all)
+
+
+def test_pipeline_packed_vs_raw_identical_stream():
+    depth = 7
+    uniq = _cloud(5000, depth, seed=11)
+    streams = []
+    for packed in (True, False):
+        enc = entropy.RangeEncoder()
+        ctx = go.OctreeContexts()
+        dp.encode_pipelined(uniq, depth, enc, ctx, num_slices=4,
+                            packed_link=packed)
+        streams.append(enc.get_bytes())
+    assert streams[0] == streams[1]
+
+
+def test_pipeline_packed_overflow_falls_back():
+    depth = 7
+    uniq = _cloud(4000, depth, seed=13)
+    enc = entropy.RangeEncoder()
+    ctx = go.OctreeContexts()
+    # absurdly small packed budget: every slice takes the raw retry
+    dp.encode_pipelined(uniq, depth, enc, ctx, num_slices=2,
+                        packed_link=True, packed_cap_factor=0.05)
+    per = -(-uniq.size // 2)
+    dec = entropy.RangeDecoder(enc.get_bytes())
+    ctx2 = go.OctreeContexts()
+    outs = dp.decode_pipelined(dec, ctx2, depth, 2, per)
+    rec = np.concatenate([np.asarray(nodes)[:int(np.asarray(cnt))]
+                          for nodes, cnt in outs])
+    assert np.array_equal(rec, uniq)
