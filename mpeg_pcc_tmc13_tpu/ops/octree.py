@@ -370,10 +370,15 @@ def encode_occ_u8(leaf_codes_sorted: jnp.ndarray, depth: int, cap: int):
     occ_out, mask_out = jax.lax.fori_loop(0, depth, body, init)
     flat = occ_out.reshape(-1)
     valid = mask_out.reshape(-1)
-    # stable sort by ~valid keeps (level, row) order among valid rows
-    perm = jnp.argsort(jnp.logical_not(valid), stable=True)
+    # gather-based stream compaction: position of the i-th valid row
+    # by binary search on the inclusive cumsum (sorts and scatters are
+    # the two ops XLA:TPU serialises; cumsum + searchsorted + gather
+    # all tile onto the vector unit)
     k = min(cap, depth * n)
-    compact = flat[perm[:k]].astype(jnp.uint8)
+    cums = jnp.cumsum(valid.astype(jnp.int32))
+    idx = jnp.searchsorted(cums, jnp.arange(1, k + 1, dtype=jnp.int32))
+    idx = jnp.minimum(idx, depth * n - 1)
+    compact = flat[idx].astype(jnp.uint8)
     if k < cap:
         compact = jnp.pad(compact, (0, cap - k))
     counts = jnp.sum(mask_out, axis=1).astype(jnp.int32)
@@ -439,9 +444,14 @@ def encode_occ_packed_hdr(leaf_codes_sorted: jnp.ndarray, depth: int,
     lo = (rev << bit) & 0xFFFFFFFF
     hi = rev >> (32 - bit)
     nwords = cap_packed // 4
-    acc = jnp.zeros(nwords + 1, dtype=jnp.int64)
-    acc = acc.at[word].add(lo, mode="drop")
-    acc = acc.at[word + 1].add(hi, mode="drop")
+    # word indices are monotone (offs is a cumsum), so the two
+    # scatter-ORs are sorted segment reductions — the form XLA:TPU
+    # vectorises (an unsorted scatter serialises)
+    acc = jax.ops.segment_sum(lo, word, num_segments=nwords + 1,
+                              indices_are_sorted=True)
+    acc = acc + jax.ops.segment_sum(hi, word + 1,
+                                    num_segments=nwords + 1,
+                                    indices_are_sorted=True)
     words = acc[:nwords].astype(jnp.uint32)
     total_bits = jnp.sum(lens).astype(jnp.uint32)
     sh = jnp.asarray([0, 8, 16, 24], jnp.uint32)
@@ -499,11 +509,15 @@ def decode_expand_stream(occ_u8: jnp.ndarray, counts: jnp.ndarray,
         child = (nodes[:, None] << 3) | slots[None, :]
         flat_m = m.reshape(-1)
         flat_c = child.reshape(-1)
-        pos = jnp.cumsum(flat_m) - 1
-        dest = jnp.where(flat_m, pos, nmax)     # nmax = discard slot
-        out = jnp.full(nmax + 1, _I64_MAX, dtype=jnp.int64)
-        out = out.at[dest].set(flat_c, mode="drop")
-        return out[:nmax], flat_m.sum()
+        # gather-based compaction (see encode_occ_u8): i-th set bit
+        # found by searchsorted on the inclusive cumsum
+        cums = jnp.cumsum(flat_m.astype(jnp.int32))
+        src = jnp.searchsorted(cums,
+                               jnp.arange(1, nmax + 1, dtype=jnp.int32))
+        src = jnp.minimum(src, 8 * nmax - 1)
+        new_cnt = cums[-1].astype(jnp.int64)
+        out = jnp.where(row < new_cnt, flat_c[src], _I64_MAX)
+        return out, new_cnt
 
     nodes0 = jnp.full(nmax, _I64_MAX, dtype=jnp.int64)
     nodes0 = nodes0.at[0].set(0)
