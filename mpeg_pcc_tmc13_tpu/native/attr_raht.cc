@@ -12,16 +12,21 @@
 // Counterpart of the reference uraht_process (RAHT.cpp:977) with the
 // sweep/pair redesign documented in ops/raht.py.
 //
-// Performance structure (round 4): the 18-neighbour search that
-// dominated earlier rounds (open-addressing hash probes, ~80% of
-// encode time) is replaced by *neighbour inheritance*: the neighbours
-// of a node at level d+1 are always children of {its parent} union
-// {its parent's 18 neighbours} at level d, and children of a node are
-// a contiguous run in the Morton-sorted level array.  Maintaining an
-// explicit per-level neighbour-index table turns every lookup into a
-// bounded scan of a tiny sorted run (usually 1-4 entries, same cache
-// line) instead of a random hash probe.  The leaf level never serves
-// as a parent, so no table is ever built for the largest level.
+// Performance structure (round 4): all three of a group's dyadic
+// sweeps pair nodes *within one parent's 2x2x2 block* (two nodes of
+// different parents never share code>>1), so the whole group
+// transform — forward on the prediction, residual against the truth
+// ACs, and the inverse that reconstructs the children — runs as ONE
+// pass over parents with the 12-butterfly network held in registers,
+// instead of six full-array sweep rewrites.  Per-sweep output order
+// is preserved exactly (blocks ascend in Morton order; in-block pairs
+// ascend in merged-code order), so the zrow stream is unchanged.
+// The 18-neighbour search is *inherited*: the neighbour of a child at
+// offset j is a child of {its parent} union {its parent's neighbours}
+// (kParentDir), found by octant-mask rank instead of any search.
+// Neighbour tables are stored packed (presence mask + indices of
+// present neighbours only), cutting table traffic ~4x on sparse
+// levels where most of the 18 slots are empty.
 
 #include <algorithm>
 #include <cmath>
@@ -58,141 +63,6 @@ extern "C" void rcd_zrow(RcDecoder* d, uint16_t* ctx, int32_t* vals,
 namespace {
 
 constexpr int kMaxComp = 3;
-
-// ---- sweep structure (ops/raht.py merge_structure) ----------------
-//
-// Pairing structure is stored for every sweep; full code/weight
-// vectors are only kept at group boundaries (every 3rd sweep), which
-// is all the prediction stage reads.
-
-struct SweepPairs {
-  int64_t m = 0;                   // rows before merging
-  std::vector<int32_t> pair_first; // indices i pairing with i+1
-  std::vector<double> a, b;        // butterfly coefficients per pair
-};
-
-struct LevelCodes {
-  std::vector<int64_t> codes;      // Morton codes at this tree level
-  std::vector<int64_t> w;          // subtree weights
-};
-
-// levels[k]: codes after 3*k sweeps (levels[0] = input leaves,
-// levels[depth] = root).
-static void build_sweeps(const int64_t* leaf_codes, int64_t n,
-                         int depth, std::vector<SweepPairs>& sweeps,
-                         std::vector<LevelCodes>& levels) {
-  PROF(0);
-  sweeps.resize(3 * depth);
-  levels.resize(depth + 1);
-  levels[0].codes.assign(leaf_codes, leaf_codes + n);
-  levels[0].w.assign(n, 1);
-  std::vector<int64_t> codes = levels[0].codes;
-  std::vector<int64_t> w = levels[0].w;
-  std::vector<int64_t> nc, nw;
-  for (int s = 0; s < 3 * depth; ++s) {
-    SweepPairs& sw = sweeps[s];
-    int64_t m = (int64_t)codes.size();
-    sw.m = m;
-    for (int64_t i = 0; i + 1 < m; ++i) {
-      if ((codes[i] >> 1) == (codes[i + 1] >> 1)) {
-        sw.pair_first.push_back((int32_t)i);
-        double w1 = (double)w[i];
-        double w2 = (double)w[i + 1];
-        double rs = std::sqrt(w1 + w2);
-        sw.a.push_back(std::sqrt(w1) / rs);
-        sw.b.push_back(std::sqrt(w2) / rs);
-        ++i;  // pairs never overlap (strictly increasing codes)
-      }
-    }
-    // next level: merge pairs
-    nc.clear();
-    nw.clear();
-    nc.reserve(m);
-    nw.reserve(m);
-    for (int64_t i = 0; i < m; ++i) {
-      if (i + 1 < m && (codes[i] >> 1) == (codes[i + 1] >> 1)) {
-        nc.push_back(codes[i] >> 1);
-        nw.push_back(w[i] + w[i + 1]);
-        ++i;
-      } else {
-        nc.push_back(codes[i] >> 1);
-        nw.push_back(w[i]);
-      }
-    }
-    codes.swap(nc);
-    w.swap(nw);
-    if ((s + 1) % 3 == 0) {
-      LevelCodes& lv = levels[(s + 1) / 3];
-      lv.codes = codes;
-      lv.w = w;
-    }
-  }
-}
-
-// forward one sweep: vals (m x C) -> acs (npairs x C); vals becomes
-// the kept rows (m' x C).  `scratch` is reused across calls.
-static void sweep_forward(const SweepPairs& sw, std::vector<double>& vals,
-                          int C, std::vector<double>& acs,
-                          std::vector<double>& scratch) {
-  PROF(1);
-  int64_t m = sw.m;
-  int64_t np = (int64_t)sw.pair_first.size();
-  acs.resize(np * C);
-  scratch.resize((m - np) * C);
-  double* out = scratch.data();
-  const double* in = vals.data();
-  int64_t p = 0, o = 0;
-  for (int64_t i = 0; i < m; ++i) {
-    if (p < np && sw.pair_first[p] == (int32_t)i) {
-      double a = sw.a[p], b = sw.b[p];
-      for (int c = 0; c < C; ++c) {
-        double v1 = in[i * C + c], v2 = in[(i + 1) * C + c];
-        out[o + c] = a * v1 + b * v2;
-        acs[p * C + c] = -b * v1 + a * v2;
-      }
-      ++i;
-      ++p;
-      o += C;
-    } else {
-      for (int c = 0; c < C; ++c) out[o + c] = in[i * C + c];
-      o += C;
-    }
-  }
-  vals.swap(scratch);
-  vals.resize(o);
-}
-
-// inverse one sweep: vals (m' x C) + acs -> fine rows (m x C)
-static void sweep_inverse(const SweepPairs& sw, std::vector<double>& vals,
-                          int C, const std::vector<double>& acs,
-                          std::vector<double>& scratch) {
-  PROF(2);
-  int64_t m = sw.m;
-  int64_t np = (int64_t)sw.pair_first.size();
-  scratch.resize(m * C);
-  double* out = scratch.data();
-  const double* in = vals.data();
-  int64_t p = 0, src = 0;
-  for (int64_t i = 0; i < m; ++i) {
-    if (p < np && sw.pair_first[p] == (int32_t)i) {
-      double a = sw.a[p], b = sw.b[p];
-      for (int c = 0; c < C; ++c) {
-        double dc = in[src * C + c];
-        double ac = acs[p * C + c];
-        out[i * C + c] = a * dc - b * ac;
-        out[(i + 1) * C + c] = b * dc + a * ac;
-      }
-      ++i;
-      ++src;
-      ++p;
-    } else {
-      for (int c = 0; c < C; ++c) out[i * C + c] = in[src * C + c];
-      ++src;
-    }
-  }
-  vals.swap(scratch);
-  vals.resize(m * C);
-}
 
 // ---- quantisation (models/attr_raht.py) ----------------------------
 
@@ -291,7 +161,7 @@ static void rdoq_rows(const std::vector<double>& rows, int64_t m, int C,
   train_io = (last_nz < 0) ? train_io + m : (m - 1 - last_nz);
 }
 
-// ---- 19-neighbour prediction (ops/raht.py predict_children) --------
+// ---- 19-neighbour prediction tables ---------------------------------
 
 static const int kNbrOff[18][3] = {
     {+1, 0, 0}, {-1, 0, 0}, {0, +1, 0}, {0, -1, 0}, {0, 0, +1},
@@ -315,25 +185,26 @@ struct PredParams {
   double w_self, w_face, w_edge;
 };
 
-// octants touched by each neighbour offset, precomputed from touch_tab
-struct TouchList {
-  int8_t oct[18][4];
-  int8_t cnt[18];
-  TouchList() {
-    for (int j = 0; j < 18; ++j) {
-      cnt[j] = 0;
-      for (int o = 0; o < 8; ++o)
-        if (touch_tab(o, j)) oct[j][cnt[j]++] = (int8_t)o;
+// per-octant list of touching offsets, ascending j (the numpy spec
+// accumulates offset-by-offset in ascending j, so per-octant sums in
+// ascending j reproduce its FP order exactly)
+struct OctJTab {
+  int8_t j[8][8];
+  int8_t cnt[8];
+  OctJTab() {
+    for (int o = 0; o < 8; ++o) {
+      cnt[o] = 0;
+      for (int jj = 0; jj < 18; ++jj)
+        if (touch_tab(o, jj)) j[o][cnt[o]++] = (int8_t)jj;
     }
   }
 };
-static const TouchList kTouch;
+static const OctJTab kOctJ;
 
 // kParentDir[o][j]: for a child in octant o taking neighbour offset j,
 // the offset index (0..17) of the *parent-level* cell holding that
 // neighbour, or 18 when it is a sibling (same parent).
-// kChildOct[o][j]: the octant of that neighbour within its parent
-// ((o_a + d_a) mod 2 per axis).
+// kParentDir.oct[o][j]: the octant of that neighbour within its parent.
 struct ParentDirTab {
   int8_t dir[8][18];
   int8_t oct[8][18];
@@ -364,134 +235,297 @@ struct ParentDirTab {
 };
 static const ParentDirTab kParentDir;
 
-// Per-group prediction + neighbour-table inheritance.
-//
-// parents: codes (mp), recon DC values (mp x C), weights, 18-neighbour
-// index table nbr_p (mp x 18, -1 = absent).  children: codes (mc),
-// weights.  grand (mp) or null.  Outputs pred (mc x C), child_counts
-// (mc), and (when build_child_tab) nbr_c (mc x 18) for the next group.
-struct PredScratch {
-  std::vector<double> pf;        // parent means
-  std::vector<int64_t> cstart;   // child run start per parent
-  std::vector<int32_t> idx8;     // mp x 8: child index per octant
+// kCellJ[o][d]: for a child at octant o, the neighbour offsets j whose
+// target lives in parent-level cell d (d = 0..17 parent neighbour
+// offsets, 18 = own parent), with the target's octant.  Inverts
+// kParentDir so table inheritance iterates only the parent's PRESENT
+// cells (sparse levels have 2-4 of 19) instead of all 18 offsets.
+struct CellJTab {
+  struct Ent {
+    int8_t j, to;
+  };
+  Ent ent[8][19][8];
+  int8_t cnt[8][19];
+  CellJTab() {
+    std::memset(cnt, 0, sizeof(cnt));
+    for (int o = 0; o < 8; ++o)
+      for (int j = 0; j < 18; ++j) {
+        int d = kParentDir.dir[o][j];
+        ent[o][d][cnt[o][d]++] = {(int8_t)j, kParentDir.oct[o][j]};
+      }
+  }
+};
+static const CellJTab kCellJ;
+
+// ---- level pyramid ---------------------------------------------------
+
+// levels[k]: nodes after k octree merges (levels[0] = leaves,
+// levels[depth] = roots).  cstart/occm on level k (k>=1) describe its
+// children in level k-1: children of node i are rows
+// [cstart[i], cstart[i+1]) and occm[i] has bit o set iff octant o is
+// occupied.
+struct Level {
+  std::vector<int64_t> codes;
+  std::vector<int32_t> w;        // subtree weights
+  std::vector<int32_t> cstart;   // size m+1
+  std::vector<uint8_t> occm;
 };
 
-static void predict_children(const std::vector<int64_t>& pcodes,
-                             const std::vector<double>& recon,
-                             const std::vector<int64_t>& pw,
-                             const std::vector<int64_t>& ccodes,
-                             const std::vector<int64_t>& cw,
-                             int C,
-                             const std::vector<int64_t>* grand,
-                             const PredParams& pp,
-                             const std::vector<int32_t>& nbr_p,
-                             bool build_child_tab,
-                             std::vector<double>& pred,
-                             std::vector<int64_t>& child_counts,
-                             std::vector<int32_t>& nbr_c,
-                             PredScratch& ws) {
-  PROF(3);
-  int64_t mp = (int64_t)pcodes.size();
-  int64_t mc = (int64_t)ccodes.size();
-  pred.assign(mc * C, 0.0);
-  child_counts.assign(mc, 0);
-  if (mc == 0) return;
-
-  // parent means pf = recon / sqrt(w) (explicit division: the numpy
-  // spec divides, and a reciprocal multiply differs in the last ulp)
-  ws.pf.resize(mp * C);
-  double* pf = ws.pf.data();
-  for (int64_t i = 0; i < mp; ++i) {
-    double sw = std::sqrt((double)pw[i]);
-    for (int c = 0; c < C; ++c) pf[i * C + c] = recon[i * C + c] / sw;
+static void build_levels(const int64_t* leaf_codes, int64_t n, int depth,
+                         std::vector<Level>& levels) {
+  PROF(0);
+  levels.resize(depth + 1);
+  levels[0].codes.assign(leaf_codes, leaf_codes + n);
+  levels[0].w.assign(n, 1);
+  for (int k = 1; k <= depth; ++k) {
+    const Level& f = levels[k - 1];
+    Level& p = levels[k];
+    int64_t m = (int64_t)f.codes.size();
+    p.codes.reserve(m);
+    p.w.reserve(m);
+    p.cstart.reserve(m + 1);
+    p.occm.reserve(m);
+    int64_t i = 0;
+    while (i < m) {
+      int64_t pc = f.codes[i] >> 3;
+      int32_t wsum = 0;
+      uint8_t msk = 0;
+      int64_t lo = i;
+      do {
+        wsum += f.w[i];
+        msk |= (uint8_t)(1u << (f.codes[i] & 7));
+        ++i;
+      } while (i < m && (f.codes[i] >> 3) == pc);
+      p.codes.push_back(pc);
+      p.w.push_back(wsum);
+      p.cstart.push_back((int32_t)lo);
+      p.occm.push_back(msk);
+    }
+    p.cstart.push_back((int32_t)m);
   }
+}
 
-  // pass A: child runs per parent (children of parent i are a
-  // contiguous run in the sorted child array) + per-parent octant
-  // index table
-  bool need_idx8 = build_child_tab;
-  if (need_idx8) ws.idx8.assign(mp * 8, -1);
-  ws.cstart.resize(mp + 1);
+// ---- in-block butterfly network --------------------------------------
+//
+// One parent's 2x2x2 block: up to 8 child rows (ascending octant).
+// The three dyadic sweeps of the group act entirely inside the block:
+// stage z pairs octants (o, o|1), stage y pairs the resulting (x,y)
+// cells, stage x pairs the two x cells.  a/b use the exact expressions
+// of the numpy spec (a = sqrt(w1)/sqrt(w1+w2) with rs computed first).
+//
+// BlockPlan precomputes, per occupancy mask, which cells pair at each
+// stage; weights/coefficients depend on the data so they stay runtime.
+
+struct BlockState {
+  // cell values/weights at the current stage, keyed 0..7 (stage z in),
+  // 0..3 (xy), 0..1 (x)
+  double v[8][kMaxComp];
+  int32_t w[8];
+  bool occ[8];
+};
+
+// forward one block through the 3 sweeps.  cnt_out[s] = pairs emitted
+// at stage s; ac rows are written to acs[s] + cur[s]*C and cur advanced.
+template <int C>
+static inline void block_forward(BlockState& st, double* acs[3],
+                                 int64_t cur[3]) {
+  // stage z: octants (o, o|1) -> xy cells
+  for (int xy = 0; xy < 4; ++xy) {
+    int o0 = xy * 2, o1 = xy * 2 + 1;
+    bool p0 = st.occ[o0], p1 = st.occ[o1];
+    if (p0 && p1) {
+      double w1 = (double)st.w[o0], w2 = (double)st.w[o1];
+      double rs = std::sqrt(w1 + w2);
+      double a = std::sqrt(w1) / rs, b = std::sqrt(w2) / rs;
+      double* out = acs[0] + cur[0] * C;
+      for (int c = 0; c < C; ++c) {
+        double v1 = st.v[o0][c], v2 = st.v[o1][c];
+        st.v[xy][c] = a * v1 + b * v2;
+        out[c] = -b * v1 + a * v2;
+      }
+      ++cur[0];
+      st.w[xy] = st.w[o0] + st.w[o1];
+      st.occ[xy] = true;
+    } else if (p0 || p1) {
+      int o = p0 ? o0 : o1;
+      if (xy != o)
+        for (int c = 0; c < C; ++c) st.v[xy][c] = st.v[o][c];
+      st.w[xy] = st.w[o];
+      st.occ[xy] = true;
+    } else {
+      st.occ[xy] = false;
+    }
+  }
+  // stage y: xy cells (x,0),(x,1) -> x cells
+  for (int x = 0; x < 2; ++x) {
+    int c0 = x * 2, c1 = x * 2 + 1;
+    bool p0 = st.occ[c0], p1 = st.occ[c1];
+    if (p0 && p1) {
+      double w1 = (double)st.w[c0], w2 = (double)st.w[c1];
+      double rs = std::sqrt(w1 + w2);
+      double a = std::sqrt(w1) / rs, b = std::sqrt(w2) / rs;
+      double* out = acs[1] + cur[1] * C;
+      for (int c = 0; c < C; ++c) {
+        double v1 = st.v[c0][c], v2 = st.v[c1][c];
+        st.v[x][c] = a * v1 + b * v2;
+        out[c] = -b * v1 + a * v2;
+      }
+      ++cur[1];
+      st.w[x] = st.w[c0] + st.w[c1];
+      st.occ[x] = true;
+    } else if (p0 || p1) {
+      int o = p0 ? c0 : c1;
+      if (x != o)
+        for (int c = 0; c < C; ++c) st.v[x][c] = st.v[o][c];
+      st.w[x] = st.w[o];
+      st.occ[x] = true;
+    } else {
+      st.occ[x] = false;
+    }
+  }
+  // stage x: cells 0,1 -> block DC at cell 0
+  if (st.occ[0] && st.occ[1]) {
+    double w1 = (double)st.w[0], w2 = (double)st.w[1];
+    double rs = std::sqrt(w1 + w2);
+    double a = std::sqrt(w1) / rs, b = std::sqrt(w2) / rs;
+    double* out = acs[2] + cur[2] * C;
+    for (int c = 0; c < C; ++c) {
+      double v1 = st.v[0][c], v2 = st.v[1][c];
+      double dc = a * v1 + b * v2;
+      out[c] = -b * v1 + a * v2;
+      st.v[0][c] = dc;
+    }
+    ++cur[2];
+  } else if (st.occ[1]) {
+    for (int c = 0; c < C; ++c) st.v[0][c] = st.v[1][c];
+  }
+}
+
+// inverse one block: dc (parent recon) + per-stage AC rows -> child
+// values in st.v[oct].  occm/weights describe the block's children.
+template <int C>
+static inline void block_inverse(const uint8_t occm, const int32_t* cw,
+                                 const double* dc,
+                                 const double* acs[3], int64_t cur[3],
+                                 BlockState& st) {
+  // rebuild cell weights bottom-up (cheap integer work)
+  int32_t wz[4];
+  bool oz[4];
+  int32_t woct[8];
   {
-    int64_t pi = 0;
-    ws.cstart[0] = 0;
-    for (int64_t i = 0; i < mc; ++i) {
-      if (i > 0 && (ccodes[i] >> 3) != (ccodes[i - 1] >> 3)) {
-        ++pi;
-        ws.cstart[pi] = i;
-      }
-      if (need_idx8)
-        ws.idx8[pi * 8 + (int)(ccodes[i] & 7)] = (int32_t)i;
-    }
-    ws.cstart[mp] = mc;
+    int k = 0;
+    for (int o = 0; o < 8; ++o)
+      woct[o] = (occm >> o) & 1 ? cw[k++] : 0;
   }
-  if (build_child_tab) nbr_c.resize(mc * 18);
+  for (int xy = 0; xy < 4; ++xy) {
+    wz[xy] = woct[xy * 2] + woct[xy * 2 + 1];
+    oz[xy] = wz[xy] != 0;
+  }
+  int32_t wx[2] = {wz[0] + wz[1], wz[2] + wz[3]};
+  bool ox[2] = {wx[0] != 0, wx[1] != 0};
 
-  // pass B (fused parent-major): neighbour read, ratio test, octant
-  // accumulation into a register-resident 8xC block, then the
-  // prediction output and the child-level neighbour-table inheritance
-  // for this parent's children — no level-sized accumulator arrays.
-  // For a given (parent, octant) cell contributions are added in
-  // ascending offset order j — the same FP summation order as the
-  // numpy spec's offset-by-offset accumulation.
-  for (int64_t i = 0; i < mp; ++i) {
-    double pv = pf[i * C + 0];
-    const int32_t* nb = &nbr_p[i * 18];
-    double s_oct[8 * kMaxComp] = {0.0};
-    double w_oct[8] = {0.0};
-    int64_t cnt = 1;
-    for (int j = 0; j < 18; ++j) {
-      int32_t idx = nb[j];
-      if (idx < 0) continue;
-      ++cnt;
-      const double* v = &pf[(int64_t)idx * C];
-      double nv = v[0];
-      if (!(10 * nv > 2 * pv && 10 * nv < 25 * pv)) continue;
-      double wj = j < 6 ? pp.w_face : pp.w_edge;
-      for (int t = 0; t < kTouch.cnt[j]; ++t) {
-        int o = kTouch.oct[j][t];
-        double* so = &s_oct[o * C];
-        for (int c = 0; c < C; ++c) so[c] += v[c] * wj;
-        w_oct[o] += wj;
-      }
+  // stage x inverse: dc -> x cells
+  if (ox[0] && ox[1]) {
+    double w1 = (double)wx[0], w2 = (double)wx[1];
+    double rs = std::sqrt(w1 + w2);
+    double a = std::sqrt(w1) / rs, b = std::sqrt(w2) / rs;
+    const double* ac = acs[2] + cur[2] * C;
+    ++cur[2];
+    for (int c = 0; c < C; ++c) {
+      st.v[0][c] = a * dc[c] - b * ac[c];
+      st.v[1][c] = b * dc[c] + a * ac[c];
     }
-    bool en = cnt >= pp.t1;
-    if (grand) en = en && (*grand)[i] >= pp.t0;
-
-    int64_t clo = ws.cstart[i], chi = ws.cstart[i + 1];
-    for (int64_t k = clo; k < chi; ++k) {
-      int o = (int)(ccodes[k] & 7);
-      child_counts[k] = cnt;
-      if (en) {
-        double wsum = pp.w_self + w_oct[o];
-        double sw = std::sqrt((double)cw[k]);
-        for (int c = 0; c < C; ++c) {
-          double acc = pf[i * C + c] * pp.w_self + s_oct[o * C + c];
-          pred[k * C + c] = (acc / wsum) * sw;
-        }
+  } else {
+    int x = ox[0] ? 0 : 1;
+    for (int c = 0; c < C; ++c) st.v[x][c] = dc[c];
+  }
+  // stage y inverse: x cells -> xy cells (descend x=1 first so cell 1
+  // isn't clobbered; output cells 0..3 never collide with inputs 0..1
+  // except xy=0/1 which are handled after reads)
+  double xv[2][kMaxComp];
+  for (int x = 0; x < 2; ++x)
+    if (ox[x])
+      for (int c = 0; c < C; ++c) xv[x][c] = st.v[x][c];
+  for (int x = 0; x < 2; ++x) {
+    if (!ox[x]) {
+      st.occ[x * 2] = st.occ[x * 2 + 1] = false;
+      continue;
+    }
+    int c0 = x * 2, c1 = x * 2 + 1;
+    bool p0 = oz[c0], p1 = oz[c1];
+    if (p0 && p1) {
+      double w1 = (double)wz[c0], w2 = (double)wz[c1];
+      double rs = std::sqrt(w1 + w2);
+      double a = std::sqrt(w1) / rs, b = std::sqrt(w2) / rs;
+      const double* ac = acs[1] + cur[1] * C;
+      ++cur[1];
+      for (int c = 0; c < C; ++c) {
+        st.v[c0][c] = a * xv[x][c] - b * ac[c];
+        st.v[c1][c] = b * xv[x][c] + a * ac[c];
       }
-      if (!build_child_tab) continue;
-      // inherit the child's neighbour table: the neighbour of a child
-      // (octant o, offset j) is the child at octant kChildOct[o][j]
-      // of the parent-level cell kParentDir[o][j] — two table loads,
-      // no search, no Morton arithmetic.  Out-of-bounds targets are
-      // exactly the ones whose parent-level cell is absent
-      // (nbr_p == -1): a sibling lookup never leaves the parent cell,
-      // and any other child offset crosses the same parent boundary
-      // its parent offset does.
-      int32_t* out = &nbr_c[k * 18];
-      const int8_t* pdir = kParentDir.dir[o];
-      const int8_t* poct = kParentDir.oct[o];
-      for (int j = 0; j < 18; ++j) {
-        int pd = pdir[j];
-        int64_t gp = pd == 18 ? i : nb[pd];
-        out[j] = gp < 0 ? -1 : ws.idx8[gp * 8 + poct[j]];
+    } else {
+      int cc = p0 ? c0 : c1;
+      for (int c = 0; c < C; ++c) st.v[cc][c] = xv[x][c];
+    }
+    st.occ[c0] = p0;
+    st.occ[c1] = p1;
+  }
+  // stage z inverse: xy cells -> octants (descend xy=3..0; write
+  // octants 6,7 before reading cell 3 is safe as reads go first)
+  double zv[4][kMaxComp];
+  for (int xy = 0; xy < 4; ++xy)
+    if (oz[xy])
+      for (int c = 0; c < C; ++c) zv[xy][c] = st.v[xy][c];
+  for (int xy = 0; xy < 4; ++xy) {
+    if (!oz[xy]) continue;
+    int o0 = xy * 2, o1 = xy * 2 + 1;
+    bool p0 = (occm >> o0) & 1, p1 = (occm >> o1) & 1;
+    if (p0 && p1) {
+      double w1 = (double)woct[o0], w2 = (double)woct[o1];
+      double rs = std::sqrt(w1 + w2);
+      double a = std::sqrt(w1) / rs, b = std::sqrt(w2) / rs;
+      const double* ac = acs[0] + cur[0] * C;
+      ++cur[0];
+      for (int c = 0; c < C; ++c) {
+        st.v[o0][c] = a * zv[xy][c] - b * ac[c];
+        st.v[o1][c] = b * zv[xy][c] + a * ac[c];
       }
+    } else {
+      int o = p0 ? o0 : o1;
+      for (int c = 0; c < C; ++c) st.v[o][c] = zv[xy][c];
     }
   }
 }
 
-// quant + rdoq + zrow encode one batch; returns dequantised rows
+// number of AC rows a block emits per stage, from its occupancy mask
+static inline void block_pair_counts(uint8_t occm, int cnt[3]) {
+  int z = 0, y = 0, x = 0;
+  int xym = 0;
+  for (int xy = 0; xy < 4; ++xy) {
+    int o0 = (occm >> (xy * 2)) & 1, o1 = (occm >> (xy * 2 + 1)) & 1;
+    if (o0 && o1) ++z;
+    if (o0 || o1) xym |= 1 << xy;
+  }
+  for (int xx = 0; xx < 2; ++xx) {
+    int c0 = (xym >> (xx * 2)) & 1, c1 = (xym >> (xx * 2 + 1)) & 1;
+    if (c0 && c1) ++y;
+  }
+  int xm0 = (xym & 3) != 0, xm1 = (xym & 12) != 0;
+  if (xm0 && xm1) ++x;
+  cnt[0] = z;
+  cnt[1] = y;
+  cnt[2] = x;
+}
+
+// ---- packed neighbour tables -----------------------------------------
+
+struct NbrPacked {
+  std::vector<uint32_t> mask;   // 18-bit presence per node
+  std::vector<int32_t> idx;     // packed indices of present neighbours
+};
+
+// ---- quant + rdoq + zrow encode one batch ----------------------------
+
 struct QuantScratch {
   std::vector<uint8_t> flag;
   std::vector<int32_t> q;
@@ -522,6 +556,398 @@ static void quant_encode_batch(RcEncoder* enc, uint16_t* zrow_ctx,
   rce_zrow(enc, zrow_ctx, ws.q.data(), m, C);
 }
 
+// ---- the top-down group engine ----------------------------------------
+//
+// Shared by encoder and decoder; `Residuals` supplies acs_rec rows per
+// stage given acs_pred rows (encoder: quantise truth-pred; decoder:
+// read stream).  The group pass:
+//   pass 1 (per parent): expand packed neighbour list, counts/enable,
+//     per-child prediction (child-major with a per-parent ratio-test
+//     mask), forward network on the prediction -> acs_pred rows,
+//     child table inheritance for the next group.
+//   residual stage (per sweep): quantise+code / read+dequantise.
+//   pass 2 (per parent): inverse network from parent recon + acs_rec
+//     -> child recon rows.
+
+struct GroupCtx {
+  // outputs of pass 1
+  std::vector<double> acs_pred[3];
+  int64_t npairs[3];
+  std::vector<double> pf;          // parent means
+  std::vector<uint8_t> counts_c;   // child neighbourhood counts
+  NbrPacked nbr_c;                 // child packed tables
+  std::vector<double> recon_c;     // pass-2 output
+};
+
+template <int C>
+static void group_pass1(const Level& P, const Level& Ch,
+                        const std::vector<double>& recon_p,
+                        const NbrPacked& nbr_p,
+                        const std::vector<uint8_t>* grand,
+                        const PredParams& pp, bool build_child_tab,
+                        GroupCtx& g) {
+  PROF(3);
+  int64_t mp = (int64_t)P.codes.size();
+  int64_t mc = (int64_t)Ch.codes.size();
+
+  // parent means pf = recon / sqrt(w) (explicit division: the numpy
+  // spec divides, and a reciprocal multiply differs in the last ulp)
+  g.pf.resize(mp * C);
+  double* pf = g.pf.data();
+  for (int64_t i = 0; i < mp; ++i) {
+    double sw = std::sqrt((double)P.w[i]);
+    for (int c = 0; c < C; ++c) pf[i * C + c] = recon_p[i * C + c] / sw;
+  }
+
+  // AC row counts per stage (prefix over parents not needed: single
+  // sequential pass with 3 cursors)
+  int64_t tot[3] = {0, 0, 0};
+  for (int64_t i = 0; i < mp; ++i) {
+    int cnt3[3];
+    block_pair_counts(P.occm[i], cnt3);
+    tot[0] += cnt3[0];
+    tot[1] += cnt3[1];
+    tot[2] += cnt3[2];
+  }
+  for (int s = 0; s < 3; ++s) {
+    g.acs_pred[s].resize(tot[s] * C);
+    g.npairs[s] = tot[s];
+  }
+  g.counts_c.resize(mc);
+  if (build_child_tab) {
+    g.nbr_c.mask.resize(mc);
+    g.nbr_c.idx.clear();
+    g.nbr_c.idx.reserve(mc * 4);
+  }
+
+  double* acs[3] = {g.acs_pred[0].data(), g.acs_pred[1].data(),
+                    g.acs_pred[2].data()};
+  int64_t cur[3] = {0, 0, 0};
+  int64_t nbr_cursor = 0;
+  BlockState st;
+  int32_t nb[19];
+  for (int64_t i = 0; i < mp; ++i) {
+    // expand packed neighbour list
+    uint32_t msk = nbr_p.mask[i];
+    {
+      for (int j = 0; j < 18; ++j) nb[j] = -1;
+      uint32_t m2 = msk;
+      while (m2) {
+        int j = __builtin_ctz(m2);
+        m2 &= m2 - 1;
+        nb[j] = nbr_p.idx[nbr_cursor++];
+      }
+    }
+    int cnt = 1 + __builtin_popcount(msk);
+    bool en = cnt >= pp.t1;
+    if (grand) en = en && (*grand)[i] >= pp.t0;
+
+    int32_t clo = P.cstart[i], chi = P.cstart[i + 1];
+    uint8_t occm = P.occm[i];
+
+    // ratio-test mask + per-offset weighted values (parent-major),
+    // then child-major octant sums in ascending-j order (numpy FP
+    // order: s_oct accumulated from 0 offset-by-offset, w_self term
+    // added afterwards)
+    if (en) {
+      double pv = pf[i * C + 0];
+      uint32_t keep = 0;
+      {
+        uint32_t m2 = msk;
+        while (m2) {
+          int j = __builtin_ctz(m2);
+          m2 &= m2 - 1;
+          double nv = pf[(int64_t)nb[j] * C + 0];
+          if (10 * nv > 2 * pv && 10 * nv < 25 * pv) keep |= 1u << j;
+        }
+      }
+      int k = 0;
+      for (int32_t ci = clo; ci < chi; ++ci, ++k) {
+        int o = (int)(Ch.codes[ci] & 7);
+        double s[kMaxComp] = {0.0};
+        double w_oct = 0.0;
+        for (int t = 0; t < kOctJ.cnt[o]; ++t) {
+          int j = kOctJ.j[o][t];
+          if (!((keep >> j) & 1)) continue;
+          double wj = j < 6 ? pp.w_face : pp.w_edge;
+          const double* v = &pf[(int64_t)nb[j] * C];
+          for (int c = 0; c < C; ++c) s[c] += v[c] * wj;
+          w_oct += wj;
+        }
+        double wsum = pp.w_self + w_oct;
+        double sw = std::sqrt((double)Ch.w[ci]);
+        for (int c = 0; c < C; ++c) {
+          double acc = pf[i * C + c] * pp.w_self + s[c];
+          st.v[o][c] = (acc / wsum) * sw;
+        }
+      }
+      for (int o = 0; o < 8; ++o) st.occ[o] = (occm >> o) & 1;
+      {
+        int kk = 0;
+        for (int o = 0; o < 8; ++o)
+          st.w[o] = st.occ[o] ? Ch.w[clo + kk++] : 0;
+      }
+      block_forward<C>(st, acs, cur);
+    } else {
+      // prediction identically zero: the butterfly of zeros is zeros
+      int cnt3[3];
+      block_pair_counts(occm, cnt3);
+      for (int s = 0; s < 3; ++s) {
+        std::memset(acs[s] + cur[s] * C, 0,
+                    sizeof(double) * cnt3[s] * C);
+        cur[s] += cnt3[s];
+      }
+    }
+
+    // child counts + packed table inheritance.  Iterate the parent's
+    // PRESENT cells only (self + its neighbours): per cell, the child
+    // offsets landing in it come from the static kCellJ lists.  The
+    // per-cell occupancy/base loads are hoisted out of the child loop.
+    for (int32_t ci = clo; ci < chi; ++ci)
+      g.counts_c[ci] = (uint8_t)(cnt < 255 ? cnt : 255);
+    if (build_child_tab) {
+      // present cells for this parent: self (18) + mask bits
+      int cells[20];
+      int32_t cell_base[20];
+      uint8_t cell_occ[20];
+      int ncell = 0;
+      {
+        uint32_t m2 = msk;
+        while (m2) {
+          int d = __builtin_ctz(m2);
+          m2 &= m2 - 1;
+          int32_t gp = nb[d];
+          cells[ncell] = d;
+          cell_base[ncell] = P.cstart[gp];
+          cell_occ[ncell] = P.occm[gp];
+          ++ncell;
+        }
+        cells[ncell] = 18;
+        cell_base[ncell] = clo;
+        cell_occ[ncell] = occm;
+        ++ncell;
+      }
+      for (int32_t ci = clo; ci < chi; ++ci) {
+        int o = (int)(Ch.codes[ci] & 7);
+        uint32_t cmask = 0;
+        int32_t tmp[18];
+        for (int e = 0; e < ncell; ++e) {
+          int d = cells[e];
+          uint8_t gm = cell_occ[e];
+          int32_t base = cell_base[e];
+          int kc = kCellJ.cnt[o][d];
+          for (int t = 0; t < kc; ++t) {
+            int j = kCellJ.ent[o][d][t].j;
+            int to = kCellJ.ent[o][d][t].to;
+            if (!((gm >> to) & 1)) continue;
+            cmask |= 1u << j;
+            tmp[j] = base + __builtin_popcount(gm & ((1u << to) - 1));
+          }
+        }
+        g.nbr_c.mask[ci] = cmask;
+        uint32_t m2 = cmask;
+        while (m2) {
+          int j = __builtin_ctz(m2);
+          m2 &= m2 - 1;
+          g.nbr_c.idx.push_back(tmp[j]);
+        }
+      }
+    }
+  }
+}
+
+template <int C>
+static void group_pass2(const Level& P, const Level& Ch,
+                        const std::vector<double>& recon_p,
+                        const std::vector<double> acs_rec[3],
+                        std::vector<double>& recon_c) {
+  PROF(2);
+  int64_t mp = (int64_t)P.codes.size();
+  int64_t mc = (int64_t)Ch.codes.size();
+  recon_c.resize(mc * C);
+  const double* acs[3] = {acs_rec[0].data(), acs_rec[1].data(),
+                          acs_rec[2].data()};
+  int64_t cur[3] = {0, 0, 0};
+  BlockState st;
+  for (int64_t i = 0; i < mp; ++i) {
+    int32_t clo = P.cstart[i], chi = P.cstart[i + 1];
+    block_inverse<C>(P.occm[i], &Ch.w[clo], &recon_p[i * C], acs, cur,
+                     st);
+    int k = 0;
+    for (int32_t ci = clo; ci < chi; ++ci, ++k) {
+      int o = (int)(Ch.codes[ci] & 7);
+      for (int c = 0; c < C; ++c) recon_c[ci * C + c] = st.v[o][c];
+    }
+  }
+}
+
+// bottom-up truth transform (encoder): fills acs_true[3*depth] and
+// returns root DCs.
+template <int C>
+static void truth_forward(const std::vector<Level>& levels, int depth,
+                          const int64_t* values,
+                          std::vector<std::vector<double>>& acs_true,
+                          std::vector<double>& root) {
+  PROF(1);
+  int64_t n = (int64_t)levels[0].codes.size();
+  std::vector<double> vals(n * C), nxt;
+  for (int64_t i = 0; i < n * C; ++i) vals[i] = (double)values[i];
+  for (int k = 1; k <= depth; ++k) {
+    const Level& P = levels[k];
+    const Level& Ch = levels[k - 1];
+    int64_t mp = (int64_t)P.codes.size();
+    int64_t tot[3] = {0, 0, 0};
+    for (int64_t i = 0; i < mp; ++i) {
+      int cnt3[3];
+      block_pair_counts(P.occm[i], cnt3);
+      tot[0] += cnt3[0];
+      tot[1] += cnt3[1];
+      tot[2] += cnt3[2];
+    }
+    double* acs[3];
+    for (int s = 0; s < 3; ++s) {
+      acs_true[3 * (k - 1) + s].resize(tot[s] * C);
+      acs[s] = acs_true[3 * (k - 1) + s].data();
+    }
+    int64_t cur[3] = {0, 0, 0};
+    nxt.resize(mp * C);
+    BlockState st;
+    for (int64_t i = 0; i < mp; ++i) {
+      int32_t clo = P.cstart[i], chi = P.cstart[i + 1];
+      uint8_t occm = P.occm[i];
+      int k2 = 0;
+      for (int o = 0; o < 8; ++o) {
+        bool p = (occm >> o) & 1;
+        st.occ[o] = p;
+        if (p) {
+          int32_t ci = clo + k2;
+          for (int c = 0; c < C; ++c) st.v[o][c] = vals[ci * C + c];
+          st.w[o] = Ch.w[ci];
+          ++k2;
+        } else {
+          st.w[o] = 0;
+        }
+      }
+      (void)chi;
+      block_forward<C>(st, acs, cur);
+      for (int c = 0; c < C; ++c) nxt[i * C + c] = st.v[0][c];
+    }
+    vals.swap(nxt);
+  }
+  root = vals;
+}
+
+template <int C>
+static int encode_impl(RcEncoder* enc, uint16_t* zrow_ctx,
+                       const int64_t* leaf_codes, int64_t n, int depth,
+                       const int64_t* values, const double* steps,
+                       const PredParams& pp) {
+  std::vector<Level> levels;
+  build_levels(leaf_codes, n, depth, levels);
+
+  std::vector<std::vector<double>> acs_true(3 * depth);
+  std::vector<double> root;
+  truth_forward<C>(levels, depth, values, acs_true, root);
+
+  int64_t train = 0;
+  QuantScratch qws;
+  std::vector<double> recon;
+  {
+    int64_t m = (int64_t)root.size() / C;
+    quant_encode_batch(enc, zrow_ctx, root, m, C, steps,
+                       /*rdoq=*/false, train, recon, qws);
+  }
+
+  GroupCtx g;
+  std::vector<uint8_t> grand;
+  NbrPacked nbr_p;
+  nbr_p.mask.assign(levels[depth].codes.size(), 0);
+  std::vector<double> res, deq;
+  std::vector<double> acs_rec[3];
+  for (int gi = 0; gi < depth; ++gi) {
+    const Level& P = levels[depth - gi];
+    const Level& Ch = levels[depth - gi - 1];
+    group_pass1<C>(P, Ch, recon, nbr_p,
+                   gi > 0 ? &grand : nullptr, pp,
+                   /*build_child_tab=*/gi + 1 < depth, g);
+    grand.swap(g.counts_c);
+    nbr_p.mask.swap(g.nbr_c.mask);
+    nbr_p.idx.swap(g.nbr_c.idx);
+
+    int g_lo = 3 * (depth - 1 - gi);
+    for (int s = 0; s < 3; ++s) {
+      const std::vector<double>& tr = acs_true[g_lo + s];
+      const std::vector<double>& pr = g.acs_pred[s];
+      int64_t m = g.npairs[s];
+      res.resize(m * C);
+      for (int64_t i = 0; i < m * C; ++i) res[i] = tr[i] - pr[i];
+      quant_encode_batch(enc, zrow_ctx, res, m, C, steps,
+                         /*rdoq=*/true, train, deq, qws);
+      acs_rec[s].resize(m * C);
+      for (int64_t i = 0; i < m * C; ++i)
+        acs_rec[s][i] = pr[i] + deq[i];
+      acs_true[g_lo + s].clear();
+      acs_true[g_lo + s].shrink_to_fit();
+    }
+    group_pass2<C>(P, Ch, recon, acs_rec, g.recon_c);
+    recon.swap(g.recon_c);
+  }
+  return 0;
+}
+
+template <int C>
+static int decode_impl(RcDecoder* dec, uint16_t* zrow_ctx,
+                       const int64_t* leaf_codes, int64_t n, int depth,
+                       int64_t* out_values, const double* steps,
+                       const PredParams& pp) {
+  std::vector<Level> levels;
+  build_levels(leaf_codes, n, depth, levels);
+
+  int64_t n_roots = (int64_t)levels[depth].codes.size();
+  std::vector<double> recon(n_roots * C);
+  {
+    std::vector<int32_t> q(n_roots * C);
+    rcd_zrow(dec, zrow_ctx, q.data(), n_roots, C);
+    for (int64_t i = 0; i < n_roots * C; ++i)
+      recon[i] = dequant1(q[i], steps[i % C]);
+  }
+
+  GroupCtx g;
+  std::vector<uint8_t> grand;
+  NbrPacked nbr_p;
+  nbr_p.mask.assign(n_roots, 0);
+  std::vector<int32_t> q;
+  std::vector<double> acs_rec[3];
+  for (int gi = 0; gi < depth; ++gi) {
+    const Level& P = levels[depth - gi];
+    const Level& Ch = levels[depth - gi - 1];
+    group_pass1<C>(P, Ch, recon, nbr_p,
+                   gi > 0 ? &grand : nullptr, pp,
+                   /*build_child_tab=*/gi + 1 < depth, g);
+    grand.swap(g.counts_c);
+    nbr_p.mask.swap(g.nbr_c.mask);
+    nbr_p.idx.swap(g.nbr_c.idx);
+
+    for (int s = 0; s < 3; ++s) {
+      int64_t m = g.npairs[s];
+      q.resize(m * C);
+      rcd_zrow(dec, zrow_ctx, q.data(), m, C);
+      acs_rec[s].resize(m * C);
+      const std::vector<double>& pr = g.acs_pred[s];
+      for (int64_t i = 0; i < m; ++i)
+        for (int c = 0; c < C; ++c)
+          acs_rec[s][i * C + c] =
+              pr[i * C + c] + dequant1(q[i * C + c], steps[c]);
+    }
+    group_pass2<C>(P, Ch, recon, acs_rec, g.recon_c);
+    recon.swap(g.recon_c);
+  }
+  // round-half-even like np.round
+  for (int64_t i = 0; i < n * C; ++i)
+    out_values[i] = (int64_t)std::nearbyint(recon[i]);
+  return 0;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -536,80 +962,20 @@ extern "C" int raht_encode_predicted(
     int64_t t0, int64_t t1,
     int32_t w_self, int32_t w_face, int32_t w_edge) {
   if (ncomp < 1 || ncomp > kMaxComp || n <= 0 || depth < 1) return -1;
-  const int C = ncomp;
   double steps[kMaxComp];
-  for (int c = 0; c < C; ++c) steps[c] = (double)steps_q16[c];
+  for (int c = 0; c < ncomp; ++c) steps[c] = (double)steps_q16[c];
   PredParams pp{t0, t1, (double)w_self, (double)w_face, (double)w_edge};
-
-  std::vector<SweepPairs> sweeps;
-  std::vector<LevelCodes> levels;
-  build_sweeps(leaf_codes, n, depth, sweeps, levels);
-  int n_sweeps = 3 * depth;
-
-  // bottom-up: true ACs per sweep
-  std::vector<double> vals(values, values + n * C);
-  std::vector<double> scratch;
-  std::vector<std::vector<double>> acs_true(n_sweeps);
-  for (int s = 0; s < n_sweeps; ++s)
-    sweep_forward(sweeps[s], vals, C, acs_true[s], scratch);
-
-  // root
-  int64_t train = 0;
-  std::vector<double> recon;
-  QuantScratch qws;
-  {
-    int64_t m = (int64_t)vals.size() / C;
-    std::vector<double> root = vals;
-    quant_encode_batch(enc, zrow_ctx, root, m, C, steps,
-                       /*rdoq=*/false, train, recon, qws);
+  switch (ncomp) {
+    case 1:
+      return encode_impl<1>(enc, zrow_ctx, leaf_codes, n, depth, values,
+                            steps, pp);
+    case 2:
+      return encode_impl<2>(enc, zrow_ctx, leaf_codes, n, depth, values,
+                            steps, pp);
+    default:
+      return encode_impl<3>(enc, zrow_ctx, leaf_codes, n, depth, values,
+                            steps, pp);
   }
-
-  std::vector<int64_t> grand;
-  bool have_grand = false;
-  // neighbour table for the current parent level; the top level is a
-  // single root cell with no neighbours
-  std::vector<int32_t> nbr_p(levels[depth].codes.size() * 18, -1);
-  std::vector<int32_t> nbr_c;
-  PredScratch pws;
-  std::vector<double> pred, pv;
-  std::vector<int64_t> counts;
-  std::vector<std::vector<double>> acs_pred(3), acs_rec(3);
-  std::vector<double> res, deq;
-  for (int g = 0; g < depth; ++g) {
-    const LevelCodes& child_lv = levels[depth - 1 - g];
-    const LevelCodes& parent_lv = levels[depth - g];
-    int g_lo = 3 * (depth - 1 - g);
-
-    predict_children(parent_lv.codes, recon, parent_lv.w,
-                     child_lv.codes, child_lv.w, C,
-                     have_grand ? &grand : nullptr, pp, nbr_p,
-                     /*build_child_tab=*/g + 1 < depth, pred, counts,
-                     nbr_c, pws);
-    grand.swap(counts);
-    have_grand = true;
-    nbr_p.swap(nbr_c);
-
-    // transform the prediction through the group's 3 sweeps
-    pv = pred;
-    for (int s = 0; s < 3; ++s)
-      sweep_forward(sweeps[g_lo + s], pv, C, acs_pred[s], scratch);
-    // residuals: quantise + code + reconstruct ACs
-    for (int s = 0; s < 3; ++s) {
-      int64_t m = (int64_t)acs_pred[s].size() / C;
-      res.resize(m * C);
-      for (int64_t i = 0; i < m * C; ++i)
-        res[i] = acs_true[g_lo + s][i] - acs_pred[s][i];
-      quant_encode_batch(enc, zrow_ctx, res, m, C, steps,
-                         /*rdoq=*/true, train, deq, qws);
-      acs_rec[s].resize(m * C);
-      for (int64_t i = 0; i < m * C; ++i)
-        acs_rec[s][i] = acs_pred[s][i] + deq[i];
-    }
-    // group inverse: recon (coarse) + acs_rec -> child recon
-    for (int s = 2; s >= 0; --s)
-      sweep_inverse(sweeps[g_lo + s], recon, C, acs_rec[s], scratch);
-  }
-  return 0;
 }
 
 extern "C" int raht_decode_predicted(
@@ -620,66 +986,18 @@ extern "C" int raht_decode_predicted(
     int64_t t0, int64_t t1,
     int32_t w_self, int32_t w_face, int32_t w_edge) {
   if (ncomp < 1 || ncomp > kMaxComp || n <= 0 || depth < 1) return -1;
-  const int C = ncomp;
   double steps[kMaxComp];
-  for (int c = 0; c < C; ++c) steps[c] = (double)steps_q16[c];
+  for (int c = 0; c < ncomp; ++c) steps[c] = (double)steps_q16[c];
   PredParams pp{t0, t1, (double)w_self, (double)w_face, (double)w_edge};
-
-  std::vector<SweepPairs> sweeps;
-  std::vector<LevelCodes> levels;
-  build_sweeps(leaf_codes, n, depth, sweeps, levels);
-
-  // root
-  int64_t n_roots = (int64_t)levels[depth].codes.size();
-  std::vector<double> recon(n_roots * C);
-  {
-    std::vector<int32_t> q(n_roots * C);
-    rcd_zrow(dec, zrow_ctx, q.data(), n_roots, C);
-    for (int64_t i = 0; i < n_roots * C; ++i)
-      recon[i] = dequant1(q[i], steps[i % C]);
+  switch (ncomp) {
+    case 1:
+      return decode_impl<1>(dec, zrow_ctx, leaf_codes, n, depth,
+                            out_values, steps, pp);
+    case 2:
+      return decode_impl<2>(dec, zrow_ctx, leaf_codes, n, depth,
+                            out_values, steps, pp);
+    default:
+      return decode_impl<3>(dec, zrow_ctx, leaf_codes, n, depth,
+                            out_values, steps, pp);
   }
-
-  std::vector<int64_t> grand;
-  bool have_grand = false;
-  std::vector<int32_t> nbr_p(n_roots * 18, -1);
-  std::vector<int32_t> nbr_c;
-  PredScratch pws;
-  std::vector<double> scratch, pred, pv;
-  std::vector<int64_t> counts;
-  std::vector<std::vector<double>> acs_pred(3), acs_rec(3);
-  std::vector<int32_t> q;
-  for (int g = 0; g < depth; ++g) {
-    const LevelCodes& child_lv = levels[depth - 1 - g];
-    const LevelCodes& parent_lv = levels[depth - g];
-    int g_lo = 3 * (depth - 1 - g);
-
-    predict_children(parent_lv.codes, recon, parent_lv.w,
-                     child_lv.codes, child_lv.w, C,
-                     have_grand ? &grand : nullptr, pp, nbr_p,
-                     /*build_child_tab=*/g + 1 < depth, pred, counts,
-                     nbr_c, pws);
-    grand.swap(counts);
-    have_grand = true;
-    nbr_p.swap(nbr_c);
-
-    pv = pred;
-    for (int s = 0; s < 3; ++s)
-      sweep_forward(sweeps[g_lo + s], pv, C, acs_pred[s], scratch);
-    for (int s = 0; s < 3; ++s) {
-      int64_t m = (int64_t)acs_pred[s].size() / C;
-      q.resize(m * C);
-      rcd_zrow(dec, zrow_ctx, q.data(), m, C);
-      acs_rec[s].resize(m * C);
-      for (int64_t i = 0; i < m; ++i)
-        for (int c = 0; c < C; ++c)
-          acs_rec[s][i * C + c] =
-              acs_pred[s][i * C + c] + dequant1(q[i * C + c], steps[c]);
-    }
-    for (int s = 2; s >= 0; --s)
-      sweep_inverse(sweeps[g_lo + s], recon, C, acs_rec[s], scratch);
-  }
-  // round-half-even like np.round
-  for (int64_t i = 0; i < n * C; ++i)
-    out_values[i] = (int64_t)std::nearbyint(recon[i]);
-  return 0;
 }
