@@ -99,6 +99,11 @@ def _cap(v: float) -> float:
     return float(v) if v < 512 else np.inf
 
 
+# native/recolour.cc transfer core (bit-equal to the numpy stages);
+# tests flip this off to exercise the numpy spec on the same KNN sets
+_NATIVE_TRANSFER = True
+
+
 def _knn_float(sorted_int_pos: np.ndarray, sorted_codes: np.ndarray,
                order: np.ndarray, qf: np.ndarray, k: int, window: int,
                chunk: int = 1 << 16):
@@ -215,6 +220,54 @@ def recolour(source: PointCloud, target_positions: np.ndarray,
     r_tgt = 1.0 / nt
     sr = int(p.search_range)
 
+    def _transfer_native(a, bitdepth_max):
+        """native/recolour.cc mirror of the numpy stages below —
+        identical IEEE-double ops in the same order (incl. numpy's
+        pairwise summation for the forward weight row), so outputs are
+        bit-equal.  Covers the CTC surface (inactive attribute caps)."""
+        from ..bitstream import entropy as _ent
+        if _ent._LIB is None or not _NATIVE_TRANSFER \
+                or np.isfinite(cap_af) \
+                or np.isfinite(cap_ab) or a.ndim > 2 \
+                or (a.ndim == 2 and a.shape[1] > 3):
+            return None
+        import ctypes as _ct
+        lib = _ent._LIB
+        if not hasattr(lib.recolour_core, "_configured"):
+            lib.recolour_core.argtypes = [
+                _ct.POINTER(_ct.c_int64), _ct.c_int64, _ct.c_int32,
+                _ct.POINTER(_ct.c_int64), _ct.POINTER(_ct.c_double),
+                _ct.c_int64, _ct.c_int32,
+                _ct.POINTER(_ct.c_int64), _ct.POINTER(_ct.c_double),
+                _ct.c_int32, _ct.c_double, _ct.c_double, _ct.c_double,
+                _ct.c_double, _ct.c_int32, _ct.c_int32, _ct.c_double,
+                _ct.POINTER(_ct.c_int64)]
+            lib.recolour_core.restype = _ct.c_int
+            lib.recolour_core._configured = True
+        flat = np.ascontiguousarray(
+            a.reshape(a.shape[0], -1), dtype=np.int64)
+        c = flat.shape[1]
+        fi = np.ascontiguousarray(fwd_idx, dtype=np.int64)
+        fd = np.ascontiguousarray(fwd_d2, dtype=np.float64)
+        bi = np.ascontiguousarray(bwd_idx, dtype=np.int64)
+        bd = np.ascontiguousarray(bwd_d2, dtype=np.float64)
+        out = np.empty((nt, c), dtype=np.int64)
+        flags = ((1 if p.use_dist_weighted_avg_fwd else 0)
+                 | (2 if p.use_dist_weighted_avg_bwd else 0)
+                 | (4 if p.skip_avg_if_identical_fwd else 0))
+        pp = lambda arr, t: arr.ctypes.data_as(_ct.POINTER(t))
+        rc = lib.recolour_core(
+            pp(flat, _ct.c_int64), ns, c,
+            pp(fi, _ct.c_int64), pp(fd, _ct.c_double), nt, fwd_idx.shape[1],
+            pp(bi, _ct.c_int64), pp(bd, _ct.c_double), bwd_idx.shape[1],
+            cap_gf if np.isfinite(cap_gf) else 1e300,
+            cap_gb if np.isfinite(cap_gb) else 1e300,
+            float(p.dist_offset_fwd), float(p.dist_offset_bwd),
+            flags, sr, bitdepth_max, pp(out, _ct.c_int64))
+        if rc != 0:
+            return None
+        return out.astype(a.dtype).reshape((nt,) + a.shape[1:])
+
     def transfer(attr):
         if attr is None:
             return None
@@ -225,6 +278,9 @@ def recolour(source: PointCloud, target_positions: np.ndarray,
             bitdepth_max = float((1 << (8 * a.dtype.itemsize)) - 1)
         else:
             bitdepth_max = 65535.0
+        nat = _transfer_native(a, bitdepth_max)
+        if nat is not None:
+            return nat
         flat = a.reshape(a.shape[0], -1).astype(np.float64)
         c = flat.shape[1]
 
