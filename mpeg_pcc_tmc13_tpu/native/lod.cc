@@ -182,3 +182,84 @@ void knn_float(const int64_t* sorted_pos,    // (ns,3) in code order
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// integer-domain LoD predictor search (ops/lod.py knn_predictors):
+// per query, candidates are the Morton-window ranks
+// [max(0, ins-window), min(nr, ins+window)) of the level's sorted
+// candidate array (identical to the numpy clip + adjacent-duplicate
+// suppression), optionally truncated at own_rank for the intra-LoD
+// chain.  Top-k by squared distance, ties to the lower rank (stable).
+// Weights mirror the numpy Q16 law: floor(inv/s * 65536 + 0.5) with
+// inv = 1/max(d2, 0.25) and s the row sum (0 -> 1).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void lod_knn_topk(const int64_t* r_codes, const int64_t* r_pos,
+                  const int64_t* r_map, int64_t nr,
+                  const int64_t* q_codes, const int64_t* q_pos,
+                  int64_t nq, const int64_t* own_rank,
+                  int k, int window,
+                  int64_t* out_nbr, int64_t* out_w) {
+  if (nq <= 0 || k <= 0) return;
+  std::vector<int64_t> best_d(k), best_i(k);
+  for (int64_t i = 0; i < nq; ++i) {
+    int64_t lo = 0, hi = nr;
+    const int64_t qc = q_codes[i];
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if (r_codes[mid] < qc) lo = mid + 1; else hi = mid;
+    }
+    int64_t c0 = lo - window < 0 ? 0 : lo - window;
+    int64_t c1 = lo + window > nr ? nr : lo + window;
+    if (own_rank && own_rank[i] < c1) c1 = own_rank[i];
+    int filled = 0;
+    const int64_t qx = q_pos[i * 3], qy = q_pos[i * 3 + 1],
+                  qz = q_pos[i * 3 + 2];
+    for (int64_t c = c0; c < c1; ++c) {
+      int64_t dx = r_pos[c * 3] - qx;
+      int64_t dy = r_pos[c * 3 + 1] - qy;
+      int64_t dz = r_pos[c * 3 + 2] - qz;
+      int64_t d2 = dx * dx + dy * dy + dz * dz;
+      if (filled < k) {
+        int j = filled++;
+        while (j > 0 && best_d[j - 1] > d2) {
+          best_d[j] = best_d[j - 1];
+          best_i[j] = best_i[j - 1];
+          --j;
+        }
+        best_d[j] = d2;
+        best_i[j] = c;
+      } else if (d2 < best_d[k - 1]) {
+        int j = k - 1;
+        while (j > 0 && best_d[j - 1] > d2) {
+          best_d[j] = best_d[j - 1];
+          best_i[j] = best_i[j - 1];
+          --j;
+        }
+        best_d[j] = d2;
+        best_i[j] = c;
+      }
+    }
+    double inv[16];
+    double s = 0.0;
+    for (int j = 0; j < k; ++j) {
+      if (j < filled) {
+        double dd = (double)best_d[j];
+        inv[j] = 1.0 / (dd > 0.25 ? dd : 0.25);
+      } else {
+        inv[j] = 0.0;
+      }
+      s += inv[j];
+    }
+    if (s == 0.0) s = 1.0;
+    for (int j = 0; j < k; ++j) {
+      out_nbr[i * k + j] = j < filled ? r_map[best_i[j]] : -1;
+      out_w[i * k + j] =
+          (int64_t)std::floor(inv[j] / s * 65536.0 + 0.5);
+    }
+  }
+}
+
+}  // extern "C"

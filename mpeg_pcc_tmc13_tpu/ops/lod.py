@@ -177,24 +177,62 @@ def knn_predictors(positions: np.ndarray, levels: np.ndarray,
         positions = positions.astype(np.int64)
     num_levels = int(levels.max()) + 1 if n else 0
 
+    # one global code sort; every level's candidate set is a filtered
+    # subset of it (a stable filter of a stably-sorted array equals
+    # the per-level stable sort the spec describes)
+    order_all = np.argsort(codes, kind="stable")
+    lev_sorted = aug_levels[order_all]
+
+    from ..bitstream import entropy as _ent
+    native = _ent._LIB is not None
+    if native:
+        import ctypes as _ct
+        _lib = _ent._LIB
+        if not hasattr(_lib.lod_knn_topk, "_configured"):
+            _lib.lod_knn_topk.argtypes = [_ct.POINTER(_ct.c_int64)] * 3 \
+                + [_ct.c_int64] + [_ct.POINTER(_ct.c_int64)] * 2 \
+                + [_ct.c_int64, _ct.POINTER(_ct.c_int64), _ct.c_int,
+                   _ct.c_int, _ct.POINTER(_ct.c_int64),
+                   _ct.POINTER(_ct.c_int64)]
+            _lib.lod_knn_topk._configured = True
+
     for l in range(num_levels):
         q_idx = m + np.nonzero(levels == l)[0]
         if l == 0 and not m:
             if not intra_lod0:
                 continue        # level 0 codes raw (reference default)
             # intra-level: predict from preceding level-0 points
-            r_idx = q_idx
+            r_idx = q_idx[np.argsort(codes[q_idx], kind="stable")]
             intra = True
         else:
-            r_rows = np.nonzero(aug_levels < l)[0]
-            # candidate codes must be sorted for the window search;
-            # ref and current rows interleave, so order by code
-            r_idx = r_rows[np.argsort(codes[r_rows], kind="stable")]
+            r_idx = order_all[lev_sorted < l]
             intra = False
         if q_idx.size == 0 or r_idx.size == 0:
             continue
         r_codes = codes[r_idx]
         pos_r = positions[r_idx].astype(np.int64)
+        if native:
+            import ctypes as _ct
+            own = None
+            if intra:
+                own = np.ascontiguousarray(
+                    np.searchsorted(r_idx, q_idx), dtype=np.int64)
+            rc = np.ascontiguousarray(r_codes)
+            rp = np.ascontiguousarray(pos_r)
+            rm = np.ascontiguousarray(r_idx, dtype=np.int64)
+            qc = np.ascontiguousarray(codes[q_idx])
+            qp = np.ascontiguousarray(positions[q_idx], dtype=np.int64)
+            nbr_l = np.empty((q_idx.size, k), dtype=np.int64)
+            w_l = np.empty((q_idx.size, k), dtype=np.int64)
+            p = lambda a: a.ctypes.data_as(_ct.POINTER(_ct.c_int64))
+            _lib.lod_knn_topk(
+                p(rc), p(rp), p(rm), r_idx.size, p(qc), p(qp),
+                q_idx.size,
+                p(own) if own is not None else None, k, window,
+                p(nbr_l), p(w_l))
+            nbr[q_idx - m] = nbr_l
+            wq[q_idx - m] = w_l
+            continue
         ins = np.searchsorted(r_codes, codes[q_idx])
         # window of candidate ranks around the insertion point
         # (ascending within each row, so a stable sort on distance
