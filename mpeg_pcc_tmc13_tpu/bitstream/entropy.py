@@ -140,6 +140,14 @@ def _load_native() -> Optional[ctypes.CDLL]:
         c.c_void_p, u16p, i64p, c.c_int64, c.c_int32, i64p, c.c_int32,
         i32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32, c.c_int32]
     lib.raht_decode_predicted.restype = c.c_int32
+    lib.raht_encode_fp.argtypes = [
+        c.c_void_p, u16p, i64p, c.c_int64, c.c_int32, i64p, c.c_int32,
+        i32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32, c.c_int32]
+    lib.raht_encode_fp.restype = c.c_int32
+    lib.raht_decode_fp.argtypes = [
+        c.c_void_p, u16p, i64p, c.c_int64, c.c_int32, i64p, c.c_int32,
+        i32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32, c.c_int32]
+    lib.raht_decode_fp.restype = c.c_int32
     lib.rce_trisoup_verts2.argtypes = [c.c_void_p, u16p, u8p, i32p,
                                        i64p, i32p, u16p, u8p, u8p,
                                        u8p, u8p, c.c_int64, c.c_int]

@@ -326,6 +326,9 @@ class AttributeParameterSet:
     # RAHT-specific
     raht_prediction_enabled: bool = True
     raht_integer_haar: bool = False
+    # fixed-point RAHT (ops/raht_fp.py): integer transform executable
+    # bit-identically on host and device
+    raht_fixed_point: bool = False
     # transform-domain prediction sparsity thresholds + neighbourhood
     # weights (reference rahtPredictionThreshold0/1,
     # rahtPredictionWeights w0..w2 = self/face/edge; TMC3.cpp:1299)
@@ -374,6 +377,7 @@ class AttributeParameterSet:
                 w.write_ue(int(v))
         w.write_ue(self.lod_sampling_period - 2)
         w.write_bit(self.raht_integer_haar)
+        w.write_bit(self.raht_fixed_point)
         w.write_bit(self.scalable_lifting_enabled)
         w.write_bit(self.spherical_coord_enabled)
         w.write_bit(self.inter_prediction_enabled)
@@ -404,6 +408,7 @@ class AttributeParameterSet:
             a.raht_pred_weights = tuple(r.read_ue() for _ in range(3))
         a.lod_sampling_period = r.read_ue() + 2
         a.raht_integer_haar = bool(r.read_bit())
+        a.raht_fixed_point = bool(r.read_bit())
         a.scalable_lifting_enabled = bool(r.read_bit())
         a.spherical_coord_enabled = bool(r.read_bit())
         a.inter_prediction_enabled = bool(r.read_bit())

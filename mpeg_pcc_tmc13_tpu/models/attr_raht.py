@@ -242,6 +242,40 @@ def encode(values: np.ndarray, positions: np.ndarray,
             arr[flag] = 0
         return arr
 
+    if (aps.raht_fixed_point and aps.raht_prediction_enabled
+            and not haar and uniq.size > 1
+            and _ref_pyramid(ref, aps, depth, haar) is None
+            and not lcp_on):
+        # fixed-point mode (ops/raht_fp.py): deterministic integers,
+        # identical streams from numpy / native C++ / device kernels
+        from ..ops import raht_fp
+
+        def emit(q, tag):
+            enc.zrow_residuals(ctx.zrow, q.astype(np.int32))
+
+        if _native_fastpath_ok(enc, aps, abh, haar, ncomp, steps) \
+                and hasattr(entropy._LIB, "raht_encode_fp"):
+            import ctypes as _ct
+            t0, t1 = aps.raht_pred_threshold0, aps.raht_pred_threshold1
+            ws, wf, we = aps.raht_pred_weights
+            codes_c = np.ascontiguousarray(uniq, dtype=np.int64)
+            vals_c = np.ascontiguousarray(uvals, dtype=np.int64)
+            steps_c = np.asarray(steps, dtype=np.int32)
+            rc = entropy._LIB.raht_encode_fp(
+                enc._h, entropy._ptr(ctx.zrow, _ct.c_uint16),
+                entropy._ptr(codes_c, _ct.c_int64), uniq.size, depth,
+                entropy._ptr(vals_c, _ct.c_int64), ncomp,
+                entropy._ptr(steps_c, _ct.c_int32),
+                t0, t1, ws, wf, we)
+            if rc == 0:
+                return enc.get_bytes()
+        raht_fp.forward_predicted_fp(
+            uniq, uvals, depth, step_at,
+            thresholds=(aps.raht_pred_threshold0,
+                        aps.raht_pred_threshold1),
+            weights=aps.raht_pred_weights, emit=emit)
+        return enc.get_bytes()
+
     if aps.raht_prediction_enabled and uniq.size > 1:
         ref_pyr = _ref_pyramid(ref, aps, depth, haar)
         if ref_pyr is None and _native_fastpath_ok(
@@ -323,6 +357,41 @@ def decode(data: bytes, positions: np.ndarray,
     lcp_on = (aps.last_component_prediction_enabled and ncomp == 3
               and abh is not None and len(abh.lcp_coeffs) > 0)
     lcp_idx = [0]
+
+    if (aps.raht_fixed_point and aps.raht_prediction_enabled
+            and not haar and n > 1
+            and _ref_pyramid(ref, aps, depth, haar) is None
+            and not lcp_on):
+        from ..ops import raht_fp
+        if _native_fastpath_ok(dec, aps, abh, haar, ncomp, steps) \
+                and hasattr(entropy._LIB, "raht_decode_fp"):
+            import ctypes as _ct
+            t0, t1 = aps.raht_pred_threshold0, aps.raht_pred_threshold1
+            ws, wf, we = aps.raht_pred_weights
+            codes_c = np.ascontiguousarray(uniq, dtype=np.int64)
+            out_c = np.zeros((n, ncomp), dtype=np.int64)
+            steps_c = np.asarray(steps, dtype=np.int32)
+            rc = entropy._LIB.raht_decode_fp(
+                dec._h, entropy._ptr(ctx.zrow, _ct.c_uint16),
+                entropy._ptr(codes_c, _ct.c_int64), n, depth,
+                entropy._ptr(out_c, _ct.c_int64), ncomp,
+                entropy._ptr(steps_c, _ct.c_int32),
+                t0, t1, ws, wf, we)
+            if rc == 0:
+                out = out_c[inv]
+                return out[:, 0] if ncomp == 1 else out
+
+        def read_q_fp(count, tag):
+            return dec.zrow_residuals(ctx.zrow, count,
+                                      ncomp).astype(np.int64)
+
+        vals = raht_fp.inverse_predicted_fp(
+            uniq, depth, read_q_fp, step_at, ncomp,
+            thresholds=(aps.raht_pred_threshold0,
+                        aps.raht_pred_threshold1),
+            weights=aps.raht_pred_weights)
+        out = vals[inv]
+        return out[:, 0] if ncomp == 1 else out
 
     if aps.raht_prediction_enabled and n > 1:
         ref_pyr = _ref_pyramid(ref, aps, depth, haar)

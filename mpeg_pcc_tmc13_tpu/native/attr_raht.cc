@@ -948,11 +948,637 @@ static int decode_impl(RcDecoder* dec, uint16_t* zrow_ctx,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// fixed-point mode (ops/raht_fp.py): all-integer closed loop, identical
+// streams from numpy / this engine / the device kernel.  Values carry
+// F=13 fractional bits (int64), butterfly and sqrt-scale coefficients
+// are Q15 integer square roots.  Same block structure as the float
+// engine above; no RDOQ (the fp spec omits it).
+// ---------------------------------------------------------------------------
+
+constexpr int kF = 13;
+constexpr int64_t kHalfF = 1 << 12;
+constexpr int kQA = 15;
+constexpr int64_t kQAH = 1 << 14;
+
+static inline int64_t fdiv(int64_t a, int64_t b) {  // floor div, b > 0
+  int64_t q = a / b, r = a % b;
+  return (r != 0 && r < 0) ? q - 1 : q;
+}
+
+static inline int64_t isqrt64(int64_t x) {
+  // mirrors ops/raht_fp.py isqrt64: f64 seed truncated, 2 corrections
+  int64_t y = (int64_t)std::sqrt((double)x);
+  for (int it = 0; it < 2; ++it) {
+    if ((y + 1) * (y + 1) <= x) ++y;
+    if (y * y > x) --y;
+  }
+  return y < 0 ? 0 : y;
+}
+
+static inline int64_t sqrt_q15(int64_t w) { return isqrt64(w << 30); }
+
+static inline void ab_q15(int64_t w1, int64_t w2, int64_t& a,
+                          int64_t& b) {
+  int64_t ws = w1 + w2;
+  a = isqrt64((w1 << 30) / ws);
+  b = isqrt64((w2 << 30) / ws);
+}
+
+struct BlockStateI {
+  int64_t v[8][kMaxComp];
+  int64_t w[8];
+  bool occ[8];
+};
+
+template <int C>
+static inline void block_forward_fp(BlockStateI& st, int64_t* acs[3],
+                                    int64_t cur[3]) {
+  for (int xy = 0; xy < 4; ++xy) {
+    int o0 = xy * 2, o1 = xy * 2 + 1;
+    bool p0 = st.occ[o0], p1 = st.occ[o1];
+    if (p0 && p1) {
+      int64_t a, b;
+      ab_q15(st.w[o0], st.w[o1], a, b);
+      int64_t* out = acs[0] + cur[0] * C;
+      for (int c = 0; c < C; ++c) {
+        int64_t v1 = st.v[o0][c], v2 = st.v[o1][c];
+        st.v[xy][c] = (a * v1 + b * v2 + kQAH) >> kQA;
+        out[c] = (a * v2 - b * v1 + kQAH) >> kQA;
+      }
+      ++cur[0];
+      st.w[xy] = st.w[o0] + st.w[o1];
+      st.occ[xy] = true;
+    } else if (p0 || p1) {
+      int o = p0 ? o0 : o1;
+      if (xy != o)
+        for (int c = 0; c < C; ++c) st.v[xy][c] = st.v[o][c];
+      st.w[xy] = st.w[o];
+      st.occ[xy] = true;
+    } else {
+      st.occ[xy] = false;
+    }
+  }
+  for (int x = 0; x < 2; ++x) {
+    int c0 = x * 2, c1 = x * 2 + 1;
+    bool p0 = st.occ[c0], p1 = st.occ[c1];
+    if (p0 && p1) {
+      int64_t a, b;
+      ab_q15(st.w[c0], st.w[c1], a, b);
+      int64_t* out = acs[1] + cur[1] * C;
+      for (int c = 0; c < C; ++c) {
+        int64_t v1 = st.v[c0][c], v2 = st.v[c1][c];
+        st.v[x][c] = (a * v1 + b * v2 + kQAH) >> kQA;
+        out[c] = (a * v2 - b * v1 + kQAH) >> kQA;
+      }
+      ++cur[1];
+      st.w[x] = st.w[c0] + st.w[c1];
+      st.occ[x] = true;
+    } else if (p0 || p1) {
+      int o = p0 ? c0 : c1;
+      if (x != o)
+        for (int c = 0; c < C; ++c) st.v[x][c] = st.v[o][c];
+      st.w[x] = st.w[o];
+      st.occ[x] = true;
+    } else {
+      st.occ[x] = false;
+    }
+  }
+  if (st.occ[0] && st.occ[1]) {
+    int64_t a, b;
+    ab_q15(st.w[0], st.w[1], a, b);
+    int64_t* out = acs[2] + cur[2] * C;
+    for (int c = 0; c < C; ++c) {
+      int64_t v1 = st.v[0][c], v2 = st.v[1][c];
+      int64_t dc = (a * v1 + b * v2 + kQAH) >> kQA;
+      out[c] = (a * v2 - b * v1 + kQAH) >> kQA;
+      st.v[0][c] = dc;
+    }
+    ++cur[2];
+  } else if (st.occ[1]) {
+    for (int c = 0; c < C; ++c) st.v[0][c] = st.v[1][c];
+  }
+}
+
+template <int C>
+static inline void block_inverse_fp(const uint8_t occm,
+                                    const int32_t* cw,
+                                    const int64_t* dc,
+                                    const int64_t* acs[3],
+                                    int64_t cur[3], BlockStateI& st) {
+  int64_t woct[8];
+  {
+    int k = 0;
+    for (int o = 0; o < 8; ++o)
+      woct[o] = (occm >> o) & 1 ? (int64_t)cw[k++] : 0;
+  }
+  int64_t wz[4];
+  bool oz[4];
+  for (int xy = 0; xy < 4; ++xy) {
+    wz[xy] = woct[xy * 2] + woct[xy * 2 + 1];
+    oz[xy] = wz[xy] != 0;
+  }
+  int64_t wx[2] = {wz[0] + wz[1], wz[2] + wz[3]};
+  bool ox[2] = {wx[0] != 0, wx[1] != 0};
+
+  if (ox[0] && ox[1]) {
+    int64_t a, b;
+    ab_q15(wx[0], wx[1], a, b);
+    const int64_t* ac = acs[2] + cur[2] * C;
+    ++cur[2];
+    for (int c = 0; c < C; ++c) {
+      st.v[0][c] = (a * dc[c] - b * ac[c] + kQAH) >> kQA;
+      st.v[1][c] = (b * dc[c] + a * ac[c] + kQAH) >> kQA;
+    }
+  } else {
+    int x = ox[0] ? 0 : 1;
+    for (int c = 0; c < C; ++c) st.v[x][c] = dc[c];
+  }
+  int64_t xv[2][kMaxComp];
+  for (int x = 0; x < 2; ++x)
+    if (ox[x])
+      for (int c = 0; c < C; ++c) xv[x][c] = st.v[x][c];
+  for (int x = 0; x < 2; ++x) {
+    if (!ox[x]) continue;
+    int c0 = x * 2, c1 = x * 2 + 1;
+    bool p0 = oz[c0], p1 = oz[c1];
+    if (p0 && p1) {
+      int64_t a, b;
+      ab_q15(wz[c0], wz[c1], a, b);
+      const int64_t* ac = acs[1] + cur[1] * C;
+      ++cur[1];
+      for (int c = 0; c < C; ++c) {
+        st.v[c0][c] = (a * xv[x][c] - b * ac[c] + kQAH) >> kQA;
+        st.v[c1][c] = (b * xv[x][c] + a * ac[c] + kQAH) >> kQA;
+      }
+    } else {
+      int cc = p0 ? c0 : c1;
+      for (int c = 0; c < C; ++c) st.v[cc][c] = xv[x][c];
+    }
+  }
+  int64_t zv[4][kMaxComp];
+  for (int xy = 0; xy < 4; ++xy)
+    if (oz[xy])
+      for (int c = 0; c < C; ++c) zv[xy][c] = st.v[xy][c];
+  for (int xy = 0; xy < 4; ++xy) {
+    if (!oz[xy]) continue;
+    int o0 = xy * 2, o1 = xy * 2 + 1;
+    bool p0 = (occm >> o0) & 1, p1 = (occm >> o1) & 1;
+    if (p0 && p1) {
+      int64_t a, b;
+      ab_q15(woct[o0], woct[o1], a, b);
+      const int64_t* ac = acs[0] + cur[0] * C;
+      ++cur[0];
+      for (int c = 0; c < C; ++c) {
+        st.v[o0][c] = (a * zv[xy][c] - b * ac[c] + kQAH) >> kQA;
+        st.v[o1][c] = (b * zv[xy][c] + a * ac[c] + kQAH) >> kQA;
+      }
+    } else {
+      int o = p0 ? o0 : o1;
+      for (int c = 0; c < C; ++c) st.v[o][c] = zv[xy][c];
+    }
+  }
+}
+
+static inline int32_t quant_fp1(int64_t res, int64_t step) {
+  int64_t a = res < 0 ? -res : res;
+  int64_t q = (24 * a + step) / (3 * step);
+  return (int32_t)(res < 0 ? -q : q);
+}
+
+static inline int64_t dequant_fp1(int32_t q, int64_t step) {
+  int64_t a = q < 0 ? -(int64_t)q : (int64_t)q;
+  int64_t d = (a * step + 4) >> 3;
+  return q < 0 ? -d : d;
+}
+
+// group pass 1, fixed point: prediction + forward network on it.
+// Same neighbour-table logic as the float engine.
+template <int C>
+struct GroupCtxI {
+  std::vector<int64_t> acs_pred[3];
+  int64_t npairs[3];
+  std::vector<int64_t> pf;
+  std::vector<uint8_t> counts_c;
+  NbrPacked nbr_c;
+  std::vector<int64_t> recon_c;
+};
+
+template <int C>
+static void group_pass1_fp(const Level& P, const Level& Ch,
+                           const std::vector<int64_t>& recon_p,
+                           const NbrPacked& nbr_p,
+                           const std::vector<uint8_t>* grand,
+                           const PredParams& pp, bool build_child_tab,
+                           GroupCtxI<C>& g) {
+  PROF(3);
+  int64_t mp = (int64_t)P.codes.size();
+  int64_t mc = (int64_t)Ch.codes.size();
+
+  g.pf.resize(mp * C);
+  int64_t* pf = g.pf.data();
+  for (int64_t i = 0; i < mp; ++i) {
+    int64_t sw = sqrt_q15(P.w[i]);
+    for (int c = 0; c < C; ++c)
+      pf[i * C + c] = fdiv(recon_p[i * C + c] << kQA, sw);
+  }
+
+  int64_t tot[3] = {0, 0, 0};
+  for (int64_t i = 0; i < mp; ++i) {
+    int cnt3[3];
+    block_pair_counts(P.occm[i], cnt3);
+    tot[0] += cnt3[0];
+    tot[1] += cnt3[1];
+    tot[2] += cnt3[2];
+  }
+  for (int s = 0; s < 3; ++s) {
+    g.acs_pred[s].resize(tot[s] * C);
+    g.npairs[s] = tot[s];
+  }
+  g.counts_c.resize(mc);
+  if (build_child_tab) {
+    g.nbr_c.mask.resize(mc);
+    g.nbr_c.idx.clear();
+    g.nbr_c.idx.reserve(mc * 4);
+  }
+
+  const int64_t iw_self = (int64_t)pp.w_self;
+  const int64_t iw_face = (int64_t)pp.w_face;
+  const int64_t iw_edge = (int64_t)pp.w_edge;
+
+  int64_t* acs[3] = {g.acs_pred[0].data(), g.acs_pred[1].data(),
+                     g.acs_pred[2].data()};
+  int64_t cur[3] = {0, 0, 0};
+  int64_t nbr_cursor = 0;
+  BlockStateI st;
+  int32_t nb[19];
+  for (int64_t i = 0; i < mp; ++i) {
+    uint32_t msk = nbr_p.mask[i];
+    {
+      for (int j = 0; j < 18; ++j) nb[j] = -1;
+      uint32_t m2 = msk;
+      while (m2) {
+        int j = __builtin_ctz(m2);
+        m2 &= m2 - 1;
+        nb[j] = nbr_p.idx[nbr_cursor++];
+      }
+    }
+    int cnt = 1 + __builtin_popcount(msk);
+    bool en = cnt >= pp.t1;
+    if (grand) en = en && (*grand)[i] >= pp.t0;
+
+    int32_t clo = P.cstart[i], chi = P.cstart[i + 1];
+    uint8_t occm = P.occm[i];
+
+    if (en) {
+      int64_t pv = pf[i * C + 0];
+      uint32_t keep = 0;
+      {
+        uint32_t m2 = msk;
+        while (m2) {
+          int j = __builtin_ctz(m2);
+          m2 &= m2 - 1;
+          int64_t nv = pf[(int64_t)nb[j] * C + 0];
+          if (10 * nv > 2 * pv && 10 * nv < 25 * pv) keep |= 1u << j;
+        }
+      }
+      int k = 0;
+      for (int32_t ci = clo; ci < chi; ++ci, ++k) {
+        int o = (int)(Ch.codes[ci] & 7);
+        int64_t s[kMaxComp] = {0};
+        int64_t w_oct = 0;
+        for (int t = 0; t < kOctJ.cnt[o]; ++t) {
+          int j = kOctJ.j[o][t];
+          if (!((keep >> j) & 1)) continue;
+          int64_t wj = j < 6 ? iw_face : iw_edge;
+          const int64_t* v = &pf[(int64_t)nb[j] * C];
+          for (int c = 0; c < C; ++c) s[c] += v[c] * wj;
+          w_oct += wj;
+        }
+        int64_t wsum = iw_self + w_oct;
+        int64_t sw = sqrt_q15(Ch.w[ci]);
+        for (int c = 0; c < C; ++c) {
+          int64_t pm = fdiv(pf[i * C + c] * iw_self + s[c], wsum);
+          st.v[o][c] = (pm * sw + kQAH) >> kQA;
+        }
+      }
+      for (int o = 0; o < 8; ++o) st.occ[o] = (occm >> o) & 1;
+      {
+        int kk = 0;
+        for (int o = 0; o < 8; ++o)
+          st.w[o] = st.occ[o] ? (int64_t)Ch.w[clo + kk++] : 0;
+      }
+      block_forward_fp<C>(st, acs, cur);
+    } else {
+      int cnt3[3];
+      block_pair_counts(occm, cnt3);
+      for (int s = 0; s < 3; ++s) {
+        std::memset(acs[s] + cur[s] * C,
+                    0, sizeof(int64_t) * cnt3[s] * C);
+        cur[s] += cnt3[s];
+      }
+    }
+
+    for (int32_t ci = clo; ci < chi; ++ci)
+      g.counts_c[ci] = (uint8_t)(cnt < 255 ? cnt : 255);
+    if (build_child_tab) {
+      int cells[20];
+      int32_t cell_base[20];
+      uint8_t cell_occ[20];
+      int ncell = 0;
+      {
+        uint32_t m2 = msk;
+        while (m2) {
+          int d = __builtin_ctz(m2);
+          m2 &= m2 - 1;
+          int32_t gp = nb[d];
+          cells[ncell] = d;
+          cell_base[ncell] = P.cstart[gp];
+          cell_occ[ncell] = P.occm[gp];
+          ++ncell;
+        }
+        cells[ncell] = 18;
+        cell_base[ncell] = clo;
+        cell_occ[ncell] = occm;
+        ++ncell;
+      }
+      for (int32_t ci = clo; ci < chi; ++ci) {
+        int o = (int)(Ch.codes[ci] & 7);
+        uint32_t cmask = 0;
+        int32_t tmp[18];
+        for (int e = 0; e < ncell; ++e) {
+          int d = cells[e];
+          uint8_t gm = cell_occ[e];
+          int32_t base = cell_base[e];
+          int kc = kCellJ.cnt[o][d];
+          for (int t = 0; t < kc; ++t) {
+            int j = kCellJ.ent[o][d][t].j;
+            int to = kCellJ.ent[o][d][t].to;
+            if (!((gm >> to) & 1)) continue;
+            cmask |= 1u << j;
+            tmp[j] = base + __builtin_popcount(gm & ((1u << to) - 1));
+          }
+        }
+        g.nbr_c.mask[ci] = cmask;
+        uint32_t m2 = cmask;
+        while (m2) {
+          int j = __builtin_ctz(m2);
+          m2 &= m2 - 1;
+          g.nbr_c.idx.push_back(tmp[j]);
+        }
+      }
+    }
+  }
+}
+
+template <int C>
+static void group_pass2_fp(const Level& P, const Level& Ch,
+                           const std::vector<int64_t>& recon_p,
+                           const std::vector<int64_t> acs_rec[3],
+                           std::vector<int64_t>& recon_c) {
+  PROF(2);
+  int64_t mp = (int64_t)P.codes.size();
+  int64_t mc = (int64_t)Ch.codes.size();
+  recon_c.resize(mc * C);
+  const int64_t* acs[3] = {acs_rec[0].data(), acs_rec[1].data(),
+                           acs_rec[2].data()};
+  int64_t cur[3] = {0, 0, 0};
+  BlockStateI st;
+  for (int64_t i = 0; i < mp; ++i) {
+    int32_t clo = P.cstart[i], chi = P.cstart[i + 1];
+    block_inverse_fp<C>(P.occm[i], &Ch.w[clo], &recon_p[i * C], acs,
+                        cur, st);
+    for (int32_t ci = clo; ci < chi; ++ci) {
+      int o = (int)(Ch.codes[ci] & 7);
+      for (int c = 0; c < C; ++c) recon_c[ci * C + c] = st.v[o][c];
+    }
+  }
+}
+
+template <int C>
+static void truth_forward_fp(const std::vector<Level>& levels,
+                             int depth, const int64_t* values,
+                             std::vector<std::vector<int64_t>>& acs_true,
+                             std::vector<int64_t>& root) {
+  PROF(1);
+  int64_t n = (int64_t)levels[0].codes.size();
+  std::vector<int64_t> vals(n * C), nxt;
+  for (int64_t i = 0; i < n * C; ++i) vals[i] = values[i] << kF;
+  for (int k = 1; k <= depth; ++k) {
+    const Level& P = levels[k];
+    const Level& Ch = levels[k - 1];
+    int64_t mp = (int64_t)P.codes.size();
+    int64_t tot[3] = {0, 0, 0};
+    for (int64_t i = 0; i < mp; ++i) {
+      int cnt3[3];
+      block_pair_counts(P.occm[i], cnt3);
+      tot[0] += cnt3[0];
+      tot[1] += cnt3[1];
+      tot[2] += cnt3[2];
+    }
+    int64_t* acs[3];
+    for (int s = 0; s < 3; ++s) {
+      acs_true[3 * (k - 1) + s].resize(tot[s] * C);
+      acs[s] = acs_true[3 * (k - 1) + s].data();
+    }
+    int64_t cur[3] = {0, 0, 0};
+    nxt.resize(mp * C);
+    BlockStateI st;
+    for (int64_t i = 0; i < mp; ++i) {
+      int32_t clo = P.cstart[i];
+      uint8_t occm = P.occm[i];
+      int k2 = 0;
+      for (int o = 0; o < 8; ++o) {
+        bool p = (occm >> o) & 1;
+        st.occ[o] = p;
+        if (p) {
+          int32_t ci = clo + k2;
+          for (int c = 0; c < C; ++c) st.v[o][c] = vals[ci * C + c];
+          st.w[o] = Ch.w[ci];
+          ++k2;
+        } else {
+          st.w[o] = 0;
+        }
+      }
+      block_forward_fp<C>(st, acs, cur);
+      for (int c = 0; c < C; ++c) nxt[i * C + c] = st.v[0][c];
+    }
+    vals.swap(nxt);
+  }
+  root = vals;
+}
+
+template <int C>
+static int encode_impl_fp(RcEncoder* enc, uint16_t* zrow_ctx,
+                          const int64_t* leaf_codes, int64_t n,
+                          int depth, const int64_t* values,
+                          const int64_t* steps, const PredParams& pp) {
+  std::vector<Level> levels;
+  build_levels(leaf_codes, n, depth, levels);
+  std::vector<std::vector<int64_t>> acs_true(3 * depth);
+  std::vector<int64_t> root;
+  truth_forward_fp<C>(levels, depth, values, acs_true, root);
+
+  std::vector<int32_t> q;
+  std::vector<int64_t> recon;
+  auto quant_batch = [&](std::vector<int64_t>& rows) {
+    PROF(4);
+    int64_t m = (int64_t)rows.size() / C;
+    q.resize(m * C);
+    recon.resize(m * C);
+    for (int64_t i = 0; i < m; ++i)
+      for (int c = 0; c < C; ++c) {
+        int32_t qq = quant_fp1(rows[i * C + c], steps[c]);
+        q[i * C + c] = qq;
+        recon[i * C + c] = dequant_fp1(qq, steps[c]);
+      }
+    rce_zrow(enc, zrow_ctx, q.data(), m, C);
+  };
+
+  quant_batch(root);
+  std::vector<int64_t> recon_lvl = recon;
+
+  GroupCtxI<C> g;
+  std::vector<uint8_t> grand;
+  NbrPacked nbr_p;
+  nbr_p.mask.assign(levels[depth].codes.size(), 0);
+  std::vector<int64_t> res;
+  std::vector<int64_t> acs_rec[3];
+  for (int gi = 0; gi < depth; ++gi) {
+    const Level& P = levels[depth - gi];
+    const Level& Ch = levels[depth - gi - 1];
+    group_pass1_fp<C>(P, Ch, recon_lvl, nbr_p,
+                      gi > 0 ? &grand : nullptr, pp,
+                      gi + 1 < depth, g);
+    grand.swap(g.counts_c);
+    nbr_p.mask.swap(g.nbr_c.mask);
+    nbr_p.idx.swap(g.nbr_c.idx);
+
+    int g_lo = 3 * (depth - 1 - gi);
+    for (int s = 0; s < 3; ++s) {
+      const std::vector<int64_t>& tr = acs_true[g_lo + s];
+      const std::vector<int64_t>& pr = g.acs_pred[s];
+      int64_t m = g.npairs[s];
+      res.resize(m * C);
+      for (int64_t i = 0; i < m * C; ++i) res[i] = tr[i] - pr[i];
+      quant_batch(res);
+      acs_rec[s].resize(m * C);
+      for (int64_t i = 0; i < m * C; ++i)
+        acs_rec[s][i] = pr[i] + recon[i];
+      acs_true[g_lo + s].clear();
+      acs_true[g_lo + s].shrink_to_fit();
+    }
+    group_pass2_fp<C>(P, Ch, recon_lvl, acs_rec, g.recon_c);
+    recon_lvl.swap(g.recon_c);
+  }
+  return 0;
+}
+
+template <int C>
+static int decode_impl_fp(RcDecoder* dec, uint16_t* zrow_ctx,
+                          const int64_t* leaf_codes, int64_t n,
+                          int depth, int64_t* out_values,
+                          const int64_t* steps, const PredParams& pp) {
+  std::vector<Level> levels;
+  build_levels(leaf_codes, n, depth, levels);
+
+  int64_t n_roots = (int64_t)levels[depth].codes.size();
+  std::vector<int64_t> recon(n_roots * C);
+  std::vector<int32_t> q;
+  {
+    q.resize(n_roots * C);
+    rcd_zrow(dec, zrow_ctx, q.data(), n_roots, C);
+    for (int64_t i = 0; i < n_roots * C; ++i)
+      recon[i] = dequant_fp1(q[i], steps[i % C]);
+  }
+
+  GroupCtxI<C> g;
+  std::vector<uint8_t> grand;
+  NbrPacked nbr_p;
+  nbr_p.mask.assign(n_roots, 0);
+  std::vector<int64_t> acs_rec[3];
+  for (int gi = 0; gi < depth; ++gi) {
+    const Level& P = levels[depth - gi];
+    const Level& Ch = levels[depth - gi - 1];
+    group_pass1_fp<C>(P, Ch, recon, nbr_p,
+                      gi > 0 ? &grand : nullptr, pp,
+                      gi + 1 < depth, g);
+    grand.swap(g.counts_c);
+    nbr_p.mask.swap(g.nbr_c.mask);
+    nbr_p.idx.swap(g.nbr_c.idx);
+
+    for (int s = 0; s < 3; ++s) {
+      int64_t m = g.npairs[s];
+      q.resize(m * C);
+      rcd_zrow(dec, zrow_ctx, q.data(), m, C);
+      acs_rec[s].resize(m * C);
+      const std::vector<int64_t>& pr = g.acs_pred[s];
+      for (int64_t i = 0; i < m; ++i)
+        for (int c = 0; c < C; ++c)
+          acs_rec[s][i * C + c] =
+              pr[i * C + c] + dequant_fp1(q[i * C + c], steps[c]);
+    }
+    group_pass2_fp<C>(P, Ch, recon, acs_rec, g.recon_c);
+    recon.swap(g.recon_c);
+  }
+  for (int64_t i = 0; i < n * C; ++i)
+    out_values[i] = (recon[i] + kHalfF) >> kF;
+  return 0;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
 // entry points
 // ---------------------------------------------------------------------------
+
+extern "C" int raht_encode_fp(
+    RcEncoder* enc, uint16_t* zrow_ctx,
+    const int64_t* leaf_codes, int64_t n, int depth,
+    const int64_t* values, int ncomp,
+    const int32_t* steps_q16,
+    int64_t t0, int64_t t1,
+    int32_t w_self, int32_t w_face, int32_t w_edge) {
+  if (ncomp < 1 || ncomp > kMaxComp || n <= 0 || depth < 1) return -1;
+  int64_t steps[kMaxComp];
+  for (int c = 0; c < ncomp; ++c) steps[c] = steps_q16[c];
+  PredParams pp{t0, t1, (double)w_self, (double)w_face, (double)w_edge};
+  switch (ncomp) {
+    case 1:
+      return encode_impl_fp<1>(enc, zrow_ctx, leaf_codes, n, depth,
+                               values, steps, pp);
+    case 2:
+      return encode_impl_fp<2>(enc, zrow_ctx, leaf_codes, n, depth,
+                               values, steps, pp);
+    default:
+      return encode_impl_fp<3>(enc, zrow_ctx, leaf_codes, n, depth,
+                               values, steps, pp);
+  }
+}
+
+extern "C" int raht_decode_fp(
+    RcDecoder* dec, uint16_t* zrow_ctx,
+    const int64_t* leaf_codes, int64_t n, int depth,
+    int64_t* out_values, int ncomp,
+    const int32_t* steps_q16,
+    int64_t t0, int64_t t1,
+    int32_t w_self, int32_t w_face, int32_t w_edge) {
+  if (ncomp < 1 || ncomp > kMaxComp || n <= 0 || depth < 1) return -1;
+  int64_t steps[kMaxComp];
+  for (int c = 0; c < ncomp; ++c) steps[c] = steps_q16[c];
+  PredParams pp{t0, t1, (double)w_self, (double)w_face, (double)w_edge};
+  switch (ncomp) {
+    case 1:
+      return decode_impl_fp<1>(dec, zrow_ctx, leaf_codes, n, depth,
+                               out_values, steps, pp);
+    case 2:
+      return decode_impl_fp<2>(dec, zrow_ctx, leaf_codes, n, depth,
+                               out_values, steps, pp);
+    default:
+      return decode_impl_fp<3>(dec, zrow_ctx, leaf_codes, n, depth,
+                               out_values, steps, pp);
+  }
+}
 
 extern "C" int raht_encode_predicted(
     RcEncoder* enc, uint16_t* zrow_ctx,

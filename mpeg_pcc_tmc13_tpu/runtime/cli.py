@@ -363,6 +363,7 @@ class Config:
                 self.max_lod_levels = opt.to_int(value)
             # ---- sticky attribute params ----
             elif name in ("qp", "bitdepth", "transformType", "integerHaar",
+                          "rahtFixedPoint",
                           "qpChromaOffset", "attrScale", "attrOffset",
                           "defaultValue", "colourMatrix", "dist2",
                           "attrInterPredictionEnabled",
@@ -422,6 +423,8 @@ class Config:
                     qp=int(a.get("qp", "4")),
                     qp_chroma_offset=int(a.get("qpChromaOffset", "0")),
                     raht_integer_haar=opt.to_bool(a.get("integerHaar", "0")),
+                    raht_fixed_point=opt.to_bool(
+                        a.get("rahtFixedPoint", "1")),
                     cicp_matrix=cicp,
                     attr_scale=int(a.get("attrScale", "1")),
                     attr_offset=int(a.get("attrOffset", "0")),

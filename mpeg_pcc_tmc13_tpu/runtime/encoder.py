@@ -38,6 +38,10 @@ class AttributeConfig:
     qp: int = 4
     qp_chroma_offset: int = 0
     raht_integer_haar: bool = False
+    # fixed-point RAHT (ops/raht_fp.py): deterministic integer
+    # transform, identical streams from host and device backends.
+    # Default ON for the native syntax (RD equals the float mode)
+    raht_fixed_point: bool = True
     # colourMatrix (reference TMC3.cpp:1270): 0 identity, 8 YCgCo-R.
     # YCgCo-R is exactly reversible => default for transform coding.
     cicp_matrix: int = 8
@@ -343,6 +347,8 @@ class FrameEncoder:
                 aps_id=i, attr_encoding=ac.encoding, init_qp=ac.qp,
                 chroma_qp_offset=ac.qp_chroma_offset,
                 raht_integer_haar=ac.raht_integer_haar,
+                raht_fixed_point=(ac.raht_fixed_point
+                                  and not ac.raht_integer_haar),
                 raht_prediction_enabled=ac.raht_prediction,
                 dist2=ac.dist2,
                 lod_levels=ac.lod_levels,
