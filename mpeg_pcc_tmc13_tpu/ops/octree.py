@@ -295,6 +295,74 @@ def encode_analysis_jax(leaf_codes_sorted: jnp.ndarray, depth: int,
     }
 
 
+@partial(jax.jit, static_argnames=("depth",))
+def encode_analysis_inter_jax(leaf_codes_sorted: jnp.ndarray, depth: int,
+                              ref_codes_sorted: jnp.ndarray,
+                              ref_count: jnp.ndarray):
+    """Inter-frame encoder analysis: per-level occupancy + predOcc
+    contexts from a motion-compensated reference (the device form of
+    pred_occupancy_np; reference predOccupancy contextualisation,
+    geometry_octree_encoder.cpp:1875-1918).
+
+    ref_codes_sorted: (M,) sorted reference leaf codes, padded past
+    ref_count with INT64_MAX so padded slots never match.  Output
+    layout matches encode_analysis_jax with ctx_base =
+    (child_octant << 8) | pred_byte.
+    """
+    c = leaf_codes_sorted
+    r = ref_codes_sorted
+    n = c.shape[0]
+    m = r.shape[0]
+    depth_i = jnp.int64(depth)
+
+    def body(l, carry):
+        occ_out, base_out, mask_out, code_out = carry
+        shift_node = 3 * (depth_i - l)
+        cl = c >> shift_node
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), cl[1:] != cl[:-1]])
+        seg = jnp.cumsum(first) - 1
+        child = (c >> (shift_node - 3)) & 7
+        onehot = jax.nn.one_hot(child, 8, dtype=jnp.int32)
+        occ_counts = jax.ops.segment_sum(onehot, seg, num_segments=n)
+        occ = (jnp.sum(
+            jnp.where(occ_counts > 0, 1, 0)
+            * (1 << jnp.arange(8, dtype=jnp.int32))[None, :], axis=-1)
+        ).astype(jnp.int32)
+        occ_rows = occ[seg]
+
+        # reference children at level l+1 (monotone shift keeps order)
+        rl = r >> (shift_node - 3)
+        queries = (cl[:, None] << 3) | jnp.arange(8, dtype=jnp.int64)
+        idx = jnp.searchsorted(rl, queries.reshape(-1))
+        idx = jnp.minimum(idx, m - 1)
+        hit = ((rl[idx] == queries.reshape(-1))
+               & (idx < ref_count)).reshape(n, 8)
+        pred = jnp.sum(
+            hit.astype(jnp.int32)
+            * (1 << jnp.arange(8, dtype=jnp.int32))[None, :], axis=1)
+        base = ((((cl & 7).astype(jnp.int32)) << 8) | pred)
+
+        occ_out = occ_out.at[l].set(jnp.where(first, occ_rows, 0))
+        base_out = base_out.at[l].set(jnp.where(first, base, 0))
+        mask_out = mask_out.at[l].set(first)
+        code_out = code_out.at[l].set(cl)
+        return (occ_out, base_out, mask_out, code_out)
+
+    init = (jnp.zeros((depth, n), jnp.int32),
+            jnp.zeros((depth, n), jnp.int32),
+            jnp.zeros((depth, n), bool),
+            jnp.zeros((depth, n), jnp.int64))
+    occ_out, base_out, mask_out, code_out = jax.lax.fori_loop(
+        0, depth, body, init)
+    return {
+        "occ": occ_out,
+        "ctx_base": base_out,
+        "node_mask": mask_out,
+        "node_code": code_out,
+    }
+
+
 @partial(jax.jit, static_argnames=("depth", "mode"))
 def encode_analysis_packed(leaf_codes_sorted: jnp.ndarray, depth: int,
                            mode: int = CTX_MODE_NEIGH):

@@ -289,6 +289,46 @@ def _compact(acz, acy, acx, p):
     return z, y, x
 
 
+def isqrt64_dev(x):
+    """Device floor(sqrt(x)) for int64, identical to raht_fp.isqrt64
+    (f64 seed truncated + two integer corrections)."""
+    jnp = _jnp()
+    y = jnp.sqrt(x.astype(jnp.float64)).astype(jnp.int64)
+    for _ in range(2):
+        y = jnp.where((y + 1) * (y + 1) <= x, y + 1, y)
+        y = jnp.where(y * y > x, y - 1, y)
+    return jnp.maximum(y, 0)
+
+
+def fwd_blocks_int(blk_v, blk_w):
+    """Compiled integer block butterfly with ON-DEVICE coefficients.
+
+    blk_v (B, 8, C) int64 Q13 values, blk_w (B, 8) int64 subtree
+    weights (0 = empty slot).  Returns (dc (B, C), acz (B,4,C),
+    acy (B,2,C), acx (B,1,C)) — the mesh-compiled attribute stage
+    (no Pallas, no interpret mode; plain XLA integer ops)."""
+    jnp = _jnp()
+
+    def stage(v, w):
+        v0, v1 = v[:, 0::2], v[:, 1::2]
+        w0, w1 = w[:, 0::2], w[:, 1::2]
+        both = (w0 > 0) & (w1 > 0)
+        ws = jnp.maximum(w0 + w1, 1)
+        a = isqrt64_dev((w0 << 30) // ws)[..., None]
+        b = isqrt64_dev((w1 << 30) // ws)[..., None]
+        dc = (a * v0 + b * v1 + QAH) >> QA
+        ac = (a * v1 - b * v0 + QAH) >> QA
+        single = jnp.where((w0 > 0)[..., None], v0, v1)
+        out = jnp.where(both[..., None], dc, single)
+        ac = jnp.where(both[..., None], ac, 0)
+        return out, ac, w0 + w1
+
+    vz, acz, wz = stage(blk_v, blk_w)
+    vy, acy, wy = stage(vz, wz)
+    vx, acx, wx = stage(vy, wy)
+    return vx[:, 0], acz, acy, acx
+
+
 # ---- jitted per-level steps (shapes are static per frame level; the
 # jit cache holds one entry per level size) -----------------------------
 

@@ -80,6 +80,31 @@ def sharded_encode_analysis(slice_codes, depth: int, mesh: Mesh,
     return f(slice_codes)
 
 
+def sharded_encode_analysis_inter(slice_codes, depth: int,
+                                  slice_ref_codes, ref_counts,
+                                  mesh: Mesh, axis: str = "slices"):
+    """Inter-frame sharded analysis: per-slice occupancy + predOcc
+    contexts from each slice's motion-compensated reference block
+    (device form of the reference predOccupancy path,
+    geometry_octree_encoder.cpp:1875-1918).
+
+    slice_ref_codes (S, M): sorted reference codes per slice, padded
+    with INT64_MAX past ref_counts[s].
+    """
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), P(axis)),
+             out_specs={k: P(axis, None, None) for k in
+                        ("occ", "ctx_base", "node_mask", "node_code")},
+             check_rep=False)
+    def run(block, refs, rc):
+        return jax.vmap(
+            lambda c, r, k: ops.encode_analysis_inter_jax(
+                c, depth, r, k))(block, refs, rc)
+
+    return jax.jit(run)(slice_codes, slice_ref_codes, ref_counts)
+
+
 def partition_codes_padded(codes_sorted: np.ndarray, n_slices: int):
     """Host-side: split sorted codes into S contiguous, padded rows."""
     n = codes_sorted.shape[0]
@@ -122,6 +147,33 @@ def sharded_raht_blocks(vals, weights, mesh: Mesh, axis: str = "slices",
                 mask.reshape(ls, b, 8))
 
     return jax.jit(run, static_argnums=())(vals, weights)
+
+
+def sharded_raht_fp_blocks(vals, weights, mesh: Mesh,
+                           axis: str = "slices"):
+    """Fixed-point RAHT block stage COMPILED on the mesh.
+
+    vals (S, B, 8, C) int64 Q13 block values, weights (S, B, 8) int64:
+    each device runs the integer butterfly network
+    (ops.raht_fp_device.fwd_blocks_int — plain XLA, no interpret mode)
+    on its slices.  Returns (dc (S,B,C), acz, acy, acx) with the slice
+    axis preserved; bit-identical to the host fp spec."""
+    from ..ops import raht_fp_device as fpd
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None, None, None), P(axis, None, None)),
+             out_specs=(P(axis, None, None), P(axis, None, None, None),
+                        P(axis, None, None, None),
+                        P(axis, None, None, None)),
+             check_rep=False)
+    def run(v, w):
+        ls, b, _, c = v.shape
+        dc, az, ay, ax = fpd.fwd_blocks_int(
+            v.reshape(-1, 8, c), w.reshape(-1, 8))
+        return (dc.reshape(ls, b, c), az.reshape(ls, b, 4, c),
+                ay.reshape(ls, b, 2, c), ax.reshape(ls, b, 1, c))
+
+    return jax.jit(run)(vals, weights)
 
 
 def sharded_slice_codec_roundtrip(codes_sorted: np.ndarray, depth: int,

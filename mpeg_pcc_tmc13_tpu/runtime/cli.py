@@ -331,6 +331,8 @@ class Config:
                 p.bytewise_occupancy = opt.to_bool(value)
             elif name == "geomEngine":   # framework-specific
                 p.engine = value.strip()
+            elif name == "shardDevices":  # framework-specific
+                p.shard_devices = opt.to_int(value)
             elif name == "interPredictionEnabled":
                 p.inter_prediction = opt.to_bool(value)
             elif name == "randomAccessPeriod":

@@ -138,6 +138,10 @@ class EncoderParams:
     # levels in separate, independently-decodable entropy streams
     num_entropy_streams: int = 1
     entropy_continuation: bool = False
+    # device-sharded slice encode: round-robin each slice worker's
+    # device placement over the first N jax devices (multi-chip form
+    # of parallel_slices; SURVEY.md §2.9 TPU-equivalents)
+    shard_devices: int = 0
     # carry adapted contexts into inter frames (reference
     # InterEntropyContinuationEnabled, TMC3.cpp)
     inter_entropy_continuation: bool = False
@@ -641,7 +645,8 @@ class FrameEncoder:
                 sel = inb & ~own
                 if sel.any():
                     pads[i] = allp[sel]
-        use_par = (p.parallel_slices > 1 and len(slices) > 1
+        use_par = ((p.parallel_slices > 1 or p.shard_devices > 1)
+                   and len(slices) > 1
                    and not p.entropy_continuation and not keep_ctx)
         if use_par:
             # slice-parallel encode: with fresh contexts per slice the
@@ -656,6 +661,11 @@ class FrameEncoder:
             import copy as _copy
             base_id = self._slice_id
 
+            shard_devs = None
+            if p.shard_devices > 1:
+                import jax
+                shard_devs = jax.devices()[:p.shard_devices]
+
             def work(i):
                 w = _copy.copy(self)
                 w._geom_ctx = None       # forces fresh contexts
@@ -663,14 +673,24 @@ class FrameEncoder:
                 w._geom_acc = []
                 w._slice_id = base_id + i
                 bufs = []
-                w._compress_slice(slices[i], frame_ctr_lsb,
-                                  bufs.append, ctr=ctr, refs=refs,
-                                  keep_ctx=False,
-                                  pad_positions=pads[i])
+
+                def run():
+                    w._compress_slice(slices[i], frame_ctr_lsb,
+                                      bufs.append, ctr=ctr, refs=refs,
+                                      keep_ctx=False,
+                                      pad_positions=pads[i])
+                if shard_devs is not None:
+                    import jax
+                    with jax.default_device(
+                            shard_devs[i % len(shard_devs)]):
+                        run()
+                else:
+                    run()
                 return bufs, w._attr_acc, w._geom_acc
 
             with cf.ThreadPoolExecutor(
-                    max_workers=p.parallel_slices) as ex:
+                    max_workers=max(p.parallel_slices,
+                                    p.shard_devices, 2)) as ex:
                 results = list(ex.map(work, range(len(slices))))
             for bufs, aacc, gacc in results:
                 for b in bufs:
