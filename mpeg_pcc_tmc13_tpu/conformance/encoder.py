@@ -931,8 +931,6 @@ def encode_stream(positions: np.ndarray,
         if not angular:
             raise NotImplementedError(
                 "refSyntax predgeom requires the angular tool set")
-        if attr_vals is not None:
-            raise NotImplementedError("attributes with predgeom bricks")
         gps.predgeom_enabled = True
         gps.planar_enabled = False
         gps.inferred_direct_coding_mode = 0
@@ -947,8 +945,6 @@ def encode_stream(positions: np.ndarray,
         gps.resr_qphi_threshold_present = False
 
     if ts_log2:
-        if attr_vals is not None:
-            raise NotImplementedError("attributes with trisoup bricks")
         aec, tfields, recon = _encode_trisoup_brick_native(
             stv, axes, gps, ts_log2, bypass_no_update=bypass_no_update)
         gbh = ref_hls.RefGbh(
@@ -1024,14 +1020,31 @@ def encode_stream(positions: np.ndarray,
         gbh_parsed = ref_hls.parse_gbh(sps, gps, brick)
         dec_pos = refdec.decode_geometry_brick(sps, gps, gbh_parsed,
                                                brick)
-        k_dec = ((dec_pos[:, 0] << 42) | (dec_pos[:, 1] << 21)
-                 | dec_pos[:, 2])
-        k_src = (stv[:, 0] << 42) | (stv[:, 1] << 21) | stv[:, 2]
-        os_ = np.argsort(k_src)
-        src_row = os_[np.searchsorted(k_src[os_], k_dec)]
-        av = np.asarray(attr_vals, dtype=np.int32)[src_row]
-        if av.ndim == 1:
-            av = av[:, None]
+        av0 = np.asarray(attr_vals, dtype=np.int32)
+        if av0.ndim == 1:
+            av0 = av0[:, None]
+        if ts_log2:
+            # lossy geometry: recolour onto the reconstruction
+            # (reference transferAttributes, pointset_processing.cpp)
+            from ..models.pointcloud import PointCloud
+            from ..ops import recolour as rc
+            src_cloud = PointCloud(
+                positions=stv.astype(np.int64),
+                colors=(av0.astype(np.uint16)
+                        if av0.shape[1] == 3 else None),
+                reflectances=(av0[:, 0].astype(np.uint16)
+                              if av0.shape[1] == 1 else None))
+            tgt = rc.recolour(src_cloud, dec_pos.astype(np.int64))
+            av = np.asarray(tgt.colors if av0.shape[1] == 3
+                            else tgt.reflectances[:, None],
+                            dtype=np.int32)
+        else:
+            k_dec = ((dec_pos[:, 0] << 42) | (dec_pos[:, 1] << 21)
+                     | dec_pos[:, 2])
+            k_src = (stv[:, 0] << 42) | (stv[:, 1] << 21) | stv[:, 2]
+            os_ = np.argsort(k_src)
+            src_row = os_[np.searchsorted(k_src[os_], k_dec)]
+            av = av0[src_row]
         attr_aec, _, _, _ = encode_attr_brick_native(
             sps, aps, dec_pos, av)
         abrick = ref_hls.write_abh(aps, 0, 0, attr_aec)
@@ -1278,8 +1291,6 @@ def encode_frames(frames, unique_points: bool = True,
         if not angular:
             raise NotImplementedError(
                 "refSyntax predgeom requires the angular tool set")
-        if colors is not None or reflectances is not None:
-            raise NotImplementedError("attributes with predgeom bricks")
         gps.predgeom_enabled = True
         gps.planar_enabled = False
         gps.inferred_direct_coding_mode = 0

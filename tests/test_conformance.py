@@ -2339,3 +2339,142 @@ def test_predlift_inter_attr_encode_active_byte_identical(
         inter=True, global_motion=True, random_access_period=8,
         attr_slice_rdo="--attrInterIntraSliceRDO=1" in extra)
     assert ours == ref_stream
+
+
+# ---- attribute x geometry-codec matrix (encoder.cpp:924-1308: the
+# reference codes attributes after ANY geometry codec) -----------------
+
+def test_trisoup_attr_decode_bit_exact(tmp_path):
+    """tmc3 trisoup + RAHT colour stream: our decoder reproduces
+    positions AND attributes exactly."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    xx, yy = np.meshgrid(np.arange(128), np.arange(128))
+    zz = np.rint(40 + 30 * np.sin(xx / 17.0) * np.cos(yy / 23.0))
+    pos = np.stack([xx.ravel(), yy.ravel(), zz.ravel()],
+                   axis=1).astype(np.int64)
+    col = ((pos * np.array([3, 5, 7])) % 256).astype(np.uint16)
+    src = tmp_path / "tsa.ply"
+    bit = tmp_path / "tsa.bin"
+    dec = tmp_path / "tsa.dec.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64),
+                           colors=col), str(src), ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", "--trisoupNodeSizeLog2=2",
+         "--transformType=0", "--qp=34", "--mergeDuplicatedPoints=1",
+         "--attribute=color", "--convertPlyColourspace=1"],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={dec}", "--outputBinaryPly=0",
+         "--convertPlyColourspace=0"],
+        check=True, capture_output=True)
+    frames, attrs = refdec.decode_stream(bit.read_bytes(),
+                                         want_attrs=True)
+    ref = ply.read(str(dec))
+    np.testing.assert_array_equal(frames[0],
+                                  ref.positions.astype(np.int64))
+    np.testing.assert_array_equal(attrs[0][:, [2, 0, 1]],
+                                  ref.colors.astype(np.int32))
+
+
+def test_trisoup_attr_emit_tmc3_decodable(tmp_path):
+    """Our trisoup brick + recoloured RAHT attribute brick: the tmc3
+    binary decodes the stream to exactly our encoder's
+    reconstruction (both geometry and attributes)."""
+    from mpeg_pcc_tmc13_tpu.conformance import (decoder as refdec,
+                                                encoder as refenc,
+                                                ref_hls)
+    xx, yy = np.meshgrid(np.arange(96), np.arange(96))
+    zz = np.rint(30 + 22 * np.cos(xx / 13.0) * np.sin(yy / 19.0))
+    pos = np.stack([xx.ravel(), yy.ravel(), zz.ravel()],
+                   axis=1).astype(np.int64)
+    col = ((pos * np.array([5, 3, 2])) % 256).astype(np.int32)
+    aps = refenc.derive_default_aps(ref_hls.ATTR_RAHT, attr_qp=34)
+    stream = refenc.encode_frames(
+        [pos], unique_points=True, trisoup_node_size_log2=2,
+        colors=[col], attr_aps=aps, attr_cicp_matrix=1)
+    frames, attrs = refdec.decode_stream(stream, want_attrs=True)
+    bit = tmp_path / "tso.bin"
+    dec = tmp_path / "tso.dec.ply"
+    bit.write_bytes(stream)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={dec}", "--outputBinaryPly=0",
+         "--convertPlyColourspace=0"],
+        check=True, capture_output=True)
+    ref = ply.read(str(dec))
+    np.testing.assert_array_equal(frames[0],
+                                  ref.positions.astype(np.int64))
+    np.testing.assert_array_equal(attrs[0][:, [2, 0, 1]],
+                                  ref.colors.astype(np.int32))
+
+
+def test_predgeom_attr_decode_bit_exact(tmp_path):
+    """tmc3 predgeom + predlift reflectance: decode bit-exact."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    pos = _lidar_cloud()
+    refl = ((pos @ np.array([3, 5, 7])) % 256).astype(np.uint16)
+    src = tmp_path / "pga.ply"
+    bit = tmp_path / "pga.bin"
+    dec = tmp_path / "pga.dec.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64),
+                           reflectances=refl), str(src), ascii=True)
+    opts = [o for o in _predgeom_opts()
+            if o != "--disableAttributeCoding=1"]
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", *opts,
+         "--mergeDuplicatedPoints=1", "--transformType=2", "--qp=34",
+         "--attribute=reflectance"],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={dec}", "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    frames, attrs = refdec.decode_stream(bit.read_bytes(),
+                                         want_attrs=True)
+    ref = ply.read(str(dec))
+    np.testing.assert_array_equal(frames[0],
+                                  ref.positions.astype(np.int64))
+    np.testing.assert_array_equal(attrs[0][:, 0],
+                                  ref.reflectances.astype(np.int32))
+
+
+def test_predgeom_attr_encode_byte_identical(tmp_path):
+    """Our predgeom brick + predlift reflectance brick: the whole
+    stream equals tmc3's byte for byte (lossless predgeom -> exact
+    source mapping; APS parsed back from tmc3's own stream)."""
+    from mpeg_pcc_tmc13_tpu.conformance import (encoder as refenc,
+                                                ref_hls)
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(TMC3), "..",
+                                     "..", "scripts"))
+    from gen_clouds import _hdl64_elevations
+    pos = _lidar_cloud()
+    refl = ((pos @ np.array([3, 5, 7])) % 256).astype(np.uint16)
+    src = tmp_path / "pgb.ply"
+    bit = tmp_path / "pgb.bin"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64),
+                           reflectances=refl), str(src), ascii=True)
+    opts = [o for o in _predgeom_opts()
+            if o != "--disableAttributeCoding=1"]
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", *opts,
+         "--mergeDuplicatedPoints=1", "--transformType=2", "--qp=34",
+         "--attribute=reflectance"],
+        check=True, capture_output=True)
+    ref = bit.read_bytes()
+    aps = None
+    for t, p in ref_hls.iter_ref_tlv(ref):
+        if t == ref_hls.T_APS:
+            aps = ref_hls.parse_aps(p)
+    theta = np.tan(_hdl64_elevations(16))
+    head = 1 << 13
+    stream = refenc.encode_frames(
+        [pos], unique_points=True, predgeom=True, angular=True,
+        angular_head=(head, head, head), lasers_theta=list(theta),
+        lasers_z=[0.0] * 16, lasers_num_phi=[2000] * 16,
+        reflectances=[refl.astype(np.int32)], attr_aps=aps)
+    assert stream == ref
