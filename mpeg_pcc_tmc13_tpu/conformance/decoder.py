@@ -129,8 +129,12 @@ def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         unsupported.append("angular trisoup")
     if gps.scaling_enabled:
         unsupported.append("in-tree scaling")
-    if not gps.bitwise_occupancy:
-        unsupported.append("bytewise occupancy coder")
+    # gps.bitwise_occupancy == 0: accepted.  The DualLut bytewise
+    # occupancy coder is vestigial in this reference version — the
+    # array is initialised (geometry_octree_decoder.cpp:282) but no
+    # occupancy call site dispatches on _useBitwiseOccupancyCoder, so
+    # the stream's occupancy coding is the normal bitwise path (with
+    # planar disabled by the option sanitizer, TMC3.cpp:1727-1731).
     if gbh.inter_prediction:
         # octree inter with road/object GM is supported; the cuboid
         # LPU partition codes motion flags in the arithmetic stream

@@ -789,7 +789,8 @@ def encode_stream(positions: np.ndarray,
                   lasers_z=None,
                   lasers_num_phi=None,
                   predgeom: bool = False,
-                  cabac_bypass: bool = False) -> bytes:
+                  cabac_bypass: bool = False,
+                  bitwise_occupancy: bool = True) -> bytes:
     """Encode one frame of non-negative integer XYZ positions into a
     complete reference-syntax TLV stream (SPS + GPS + geometry brick,
     plus APS + RAHT attribute brick when colors/reflectances given).
@@ -880,9 +881,13 @@ def encode_stream(positions: np.ndarray,
         idcm_rate_minus1=31 if idcm else 0,
         neighbour_avail_boundary_log2_minus1=(
             neighbour_avail_boundary_log2 - 1),
+        # bitwise_occupancy=0 signals the (vestigial) DualLut bytewise
+        # coder; this reference version never dispatches on it, so the
+        # brick is the normal bitwise coding with planar off
+        # (TMC3.cpp:1727-1731 sanitizer)
+        bitwise_occupancy=bitwise_occupancy,
         adjacent_child_contextualization=(
             adjacent_child_contextualization),
-        bitwise_occupancy=True,
         planar_enabled=planar,
         # CTC planar configuration (thresholds from TMC3.cpp defaults;
         # depth eligibility + dynamic OBUF + multiple planar as the

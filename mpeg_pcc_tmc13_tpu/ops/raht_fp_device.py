@@ -459,11 +459,10 @@ class DeviceFpRaht:
             acs_true.append((z, y, x))
         root = cur                                   # (n_roots, C)
 
-        q = _quant(root, self.steps)
-        emit(np.asarray(q, dtype=np.int32))
-        recon = _dequant(q, self.steps)
+        q_root = _quant(root, self.steps)
+        recon = _dequant(q_root, self.steps)
         grand = jnp.zeros((self.n_roots,), jnp.int64)
-        pending = []
+        pending = [q_root]
         for gi in range(self.depth):
             g = self.depth - 1 - gi                  # plan index
             tz, ty, tx = acs_true[g]
@@ -471,13 +470,19 @@ class DeviceFpRaht:
                 recon, grand, tz, ty, tx, self.steps, self.plans[g],
                 t0=self.t0, t1=self.t1, weights=self.weights,
                 have_grand=gi > 0)
-            pending.append((qz, qy, qx))
-        # drain q rows to the host entropy stage in coded order (the
-        # device queue keeps computing ahead while earlier levels code)
-        for qz, qy, qx in pending:
-            emit(np.asarray(qz, dtype=np.int32))
-            emit(np.asarray(qy, dtype=np.int32))
-            emit(np.asarray(qx, dtype=np.int32))
+            pending.extend((qz, qy, qx))
+        # ONE device->host transfer: the tunnel's per-transfer latency
+        # dwarfs the bytes, so the coded-order q batches are fused on
+        # device and split back on the host
+        C = pending[0].shape[-1]
+        flat = jnp.concatenate(
+            [p.astype(jnp.int32).reshape(-1) for p in pending])
+        host = np.asarray(flat)
+        off = 0
+        for p in pending:
+            m = p.shape[0]
+            emit(host[off:off + m * C].reshape(m, C))
+            off += m * C
         return recon
 
     def decode(self, read_q, ncomp: int):

@@ -2478,3 +2478,40 @@ def test_predgeom_attr_encode_byte_identical(tmp_path):
         lasers_z=[0.0] * 16, lasers_num_phi=[2000] * 16,
         reflectances=[refl.astype(np.int32)], attr_aps=aps)
     assert stream == ref
+
+
+def test_bytewise_occupancy_flag_interop(tmp_path):
+    """bitwiseOccupancyCoding=0 streams: the DualLut bytewise coder is
+    vestigial in this reference version (initialised at
+    geometry_octree_decoder.cpp:282 but never dispatched), so the
+    brick is ordinary bitwise coding with planar sanitised off
+    (TMC3.cpp:1727-1731).  Decode tmc3's stream bit-exact AND emit a
+    byte-identical one."""
+    from mpeg_pcc_tmc13_tpu.conformance import (decoder as refdec,
+                                                encoder as refenc)
+    rng = np.random.default_rng(5)
+    pos = np.unique(rng.integers(0, 256, (4000, 3)).astype(np.int64),
+                    axis=0)
+    src = tmp_path / "bw.ply"
+    bit = tmp_path / "bw.bin"
+    dec = tmp_path / "bw.dec.ply"
+    ply.write(ply.PlyCloud(positions=pos.astype(np.float64)), str(src),
+              ascii=True)
+    subprocess.run(
+        [TMC3, "--mode=0", f"--uncompressedDataPath={src}",
+         f"--compressedStreamPath={bit}", "--bitwiseOccupancyCoding=0",
+         "--mergeDuplicatedPoints=1", "--disableAttributeCoding=1"],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={dec}", "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    frames, _ = refdec.decode_stream(bit.read_bytes(), want_attrs=True)
+    ref = ply.read(str(dec))
+    np.testing.assert_array_equal(frames[0],
+                                  ref.positions.astype(np.int64))
+    stream = refenc.encode_stream(
+        pos, planar=False, neighbour_avail_boundary_log2=1,
+        adjacent_child_contextualization=False,
+        bitwise_occupancy=False)
+    assert stream == bit.read_bytes()
