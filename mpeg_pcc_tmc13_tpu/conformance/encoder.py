@@ -1194,7 +1194,13 @@ def encode_frames(frames, unique_points: bool = True,
                   motion_params=None,
                   z_compensation: bool = False,
                   attr_slice_rdo: bool = False,
-                  attr_inter_translation_threshold: float = 1000.0
+                  attr_inter_translation_threshold: float = 1000.0,
+                  adjacent_child: bool = True,
+                  bitwise_occupancy: bool = True,
+                  neighbour_avail_boundary_log2: int = 8,
+                  secondary_residual_disabled: bool = False,
+                  azimuth_quantization: bool = True,
+                  gps_overrides=None, aps_overrides=None,
                   ) -> bytes:
     """Encode a sequence of XYZ integer clouds into one reference-
     syntax TLV stream (SPS + GPS once, then per-slice geometry
@@ -1255,12 +1261,16 @@ def encode_frames(frames, unique_points: bool = True,
             ref_hls.ATTR_RAHT, attr_qp=attr_qp,
             attr_qp_chroma_offset=attr_qp_chroma_offset,
             integer_haar=integer_haar)
+    if not bitwise_occupancy:
+        # bytewise occupancy: planar sanitised off (TMC3.cpp:1727-31)
+        planar = False
     gps = ref_hls.RefGps(
         gps_id=0, sps_id=0, geom_box_log2_scale_present=True,
         qtbt_enabled=qtbt, unique_points=unique_points,
-        neighbour_avail_boundary_log2_minus1=7,
-        adjacent_child_contextualization=True,
-        bitwise_occupancy=True,
+        neighbour_avail_boundary_log2_minus1=(
+            neighbour_avail_boundary_log2 - 1),
+        adjacent_child_contextualization=adjacent_child,
+        bitwise_occupancy=bitwise_occupancy,
         planar_enabled=planar,
         planar_threshold0=77, planar_threshold1=99,
         planar_threshold2=113,
@@ -1308,6 +1318,8 @@ def encode_frames(frames, unique_points: bool = True,
         gps.predgeom_max_pred_index = 3
         gps.predgeom_radius_threshold = 2048 >> gps.radius_inv_scale_log2
         gps.resr_qphi_threshold_present = False
+        gps.residual2_disabled = bool(secondary_residual_disabled)
+        gps.azimuth_scaling_enabled = bool(azimuth_quantization)
     if inter:
         if trisoup_node_size_log2 or predgeom:
             raise NotImplementedError(
@@ -1340,6 +1352,17 @@ def encode_frames(frames, unique_points: bool = True,
             gps.one_point_alone_laser_beam = (
                 len(frames[0]) / float(max_per_turn) < 2)
             gps.z_compensation = bool(z_compensation)
+    # user overrides of syntax fields the engines honor (CLI option
+    # surface: runtime/cli.py _REF_APS_OPTIONS/_REF_GPS_OPTIONS)
+    for f, v in (gps_overrides or {}).items():
+        setattr(gps, f, v)
+    if gps_overrides and "radius_inv_scale_log2" in gps_overrides \
+            and "predgeom_radius_threshold" not in gps_overrides \
+            and gps.predgeom_enabled:
+        gps.predgeom_radius_threshold = 2048 >> gps.radius_inv_scale_log2
+    for f, v in (aps_overrides or {}).items():
+        if aps is not None:
+            setattr(aps, f, v)
     ts_log2 = trisoup_node_size_log2
     out = []
     # inter frame chaining: previous frame's reconstruction in

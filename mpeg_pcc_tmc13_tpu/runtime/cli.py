@@ -35,45 +35,77 @@ from .encoder import AttributeConfig, EncoderParams, FrameEncoder
 # no normative effect on this framework's design, (c) harness/metric
 # options that belong to the experiment scripts.  Each name's
 # disposition is documented in docs/OPTIONS.md.
+# reference options that map 1:1 onto RefAps/RefGps syntax fields the
+# conformance engines honor (packed into the native params arrays:
+# decoder.py _predlift_params / RAHT params / predgeom_params_array).
+_REF_APS_OPTIONS = {
+    "rahtPredictionSearchRange": ("raht_prediction_search_range", int),
+    "rahtSubnodePredictionEnabled": ("raht_subnode_prediction",
+                                     lambda v: bool(int(v))),
+    "rahtExtension": ("raht_extension", lambda v: bool(int(v))),
+    "rahtEnableCodeLayer": ("raht_enable_code_layer",
+                            lambda v: bool(int(v))),
+    "rahtInterPredictionDepthMinus1": ("raht_inter_depth_minus1", int),
+    "rahtInterSendFilters": ("raht_send_inter_filters",
+                             lambda v: bool(int(v))),
+    "rahtInterSkipFilteringLayers": ("raht_inter_skip_layers", int),
+    "attrInterPredSearchRange": ("attr_inter_pred_search_range", int),
+    "interLodSearchRange": ("inter_lod_search_range", int),
+    "intraLodSearchRange": ("intra_lod_search_range", int),
+    "canonical_point_order_flag": ("canonical_point_order",
+                                   lambda v: bool(int(v))),
+    "predWeightBlending": ("pred_weight_blending",
+                           lambda v: bool(int(v))),
+    "predictionWithDistributionEnabled": (
+        "prediction_with_distribution", lambda v: bool(int(v))),
+    "max_points_per_sort_log2_plus1": (
+        "max_points_per_sort_log2_plus1", int),
+    "lod_neigh_bias": ("lod_neigh_bias", lambda v: tuple(
+        int(x) for x in v.replace(",", " ").split())),
+    "quantNeighWeight": ("quant_neigh_weight", lambda v: [
+        int(x) for x in v.replace(",", " ").split()]),
+}
+_REF_GPS_OPTIONS = {
+    "positionAzimuthScaleLog2": ("azimuth_scale_log2_minus11",
+                                 lambda v: int(v) - 11),
+    "positionAzimuthSpeed": ("azimuth_speed_minus1",
+                             lambda v: int(v) - 1),
+    "positionRadiusInvScaleLog2": ("radius_inv_scale_log2", int),
+    "predGeomMaxPredIdx": ("predgeom_max_pred_index", int),
+    "predGeomRadiusPredThreshold": ("predgeom_radius_threshold", int),
+    "jointTwoPointIdcm": ("joint_2pt_idcm", lambda v: bool(int(v))),
+    "planarBufferDisabled": ("planar_buffer_disabled",
+                             lambda v: bool(int(v))),
+    "interIDCMPredEnabled": ("inter_idcm", lambda v: bool(int(v))),
+    "octreeAngularExtension": ("octree_angular_extension",
+                               lambda v: bool(int(v))),
+    "disable_planar_IDCM_angluar": ("planar_disabled_idcm_angular",
+                                    lambda v: bool(int(v))),
+}
+
 _ACCEPTED_REFERENCE_OPTIONS = {
     # (a) defaults already provided
-    "adjacentChildContextualization", "bitwiseOccupancyCoding",
-    "neighborsProc", "rahtExtension", "rahtSubnodePredictionEnabled",
-    "rahtPredictionSearchRange", "canonical_point_order_flag",
-    "enforceLevelLimits", "planarModeIdcmUse", "planarBufferDisabled",
-    "disable_planar_IDCM_angluar", "intra_pred_max_node_size_log2",
+    "neighborsProc", "enforceLevelLimits", "planarModeIdcmUse", "intra_pred_max_node_size_log2",
     "positionQuantisationMethod", "deriveGMThreshold",
     "trisoup_sampling_value", "safeTrisoupPartionning",
     "autoSeqBbox",
     # (b) encoder-internal / tuning knobs without a counterpart in
     # this framework's redesign
     "QPShiftStep", "aps_slice_qp_deltas_present_flag",
-    "attrInterPredSearchRange", "attrSphericalMaxLog2",
+    "attrSphericalMaxLog2",
     "dist2PercentileEstimate",
     "enableGroundPartition", "externalScale", "frameMergeEnabled",
     "globalMotionSrcType", "gmThresholdHistScale",
     "gmThresholdLeftScale", "gmThresholdMaxZ", "gmThresholdMinZ",
     "gmThresholdRightScale", "interAzimScaleLog2",
-    "interIDCMPredEnabled", "interLodSearchRange",
-    "intraLodPredictionSkipLayers", "intraLodSearchRange",
-    "jointTwoPointIdcm", "lodDecimator", "lod_neigh_bias",
-    "max_neigh_range", "max_points_per_sort_log2_plus1",
-    "nodeUniqueDSE", "octreeAngularExtension",
-    "pointCountMetadata", "positionAzimuthScaleLog2",
-    "positionAzimuthSpeed", "positionBaseQpFreqLog2",
+    "intraLodPredictionSkipLayers", "lodDecimator", "max_neigh_range", "nodeUniqueDSE", "pointCountMetadata", "positionBaseQpFreqLog2",
     "positionIdcmQp", "positionQpMultiplierLog2",
     "positionQuantizationScaleAdjustsDist2",
-    "positionRadiusInvScaleLog2", "positionSliceQpFreqLog2",
-    "positionSliceQpOffset", "predGeomAzimuthQuantization",
-    "predGeomAzimuthSortPrecision", "predGeomMaxPredIdx",
-    "predGeomMaxPredIdxTested", "predGeomRadiusPredThreshold",
-    "predGeomTreePtsMax", "predWeightBlending", "predictionPeriod",
-    "predictionWithDistributionEnabled", "quantNeighWeight",
-    "rahtEnableCodeLayer", "rahtInterPredictionDepthMinus1",
-    "rahtInterSendFilters", "rahtInterSkipFilteringLayers",
+    "positionSliceQpFreqLog2",
+    "positionSliceQpOffset", "predGeomAzimuthSortPrecision", "predGeomMaxPredIdxTested", "predGeomTreePtsMax", "predictionPeriod",
     "resRContextQphiThreshold",
     "resRContextQphiThresholdPresentFlag", "resamplingEnabled",
-    "secondaryResidualDisabled", "sortInputByAzimuth",
+    "sortInputByAzimuth",
     "spherical_coord_flag", "trisoupAdaptiveHaloEnabled",
     "trisoupFineRayTracingEnabled", "trisoupImprovedEncoderEnabled",
     "trisoupNonCubicNodeFarFromOriginSideEnabled",
@@ -129,6 +161,13 @@ class Config:
         # auto-detects the family from the stream's SPS payload.
         self.ref_syntax = None
         self.attr_slice_rdo = False
+        self.adjacent_child = True
+        self.bitwise_occ = True
+        self.secondary_residual_disabled = False
+        self.azimuth_quantization = True
+        self.neighbour_avail_log2 = 8
+        self.ref_aps_overrides: Dict[str, object] = {}
+        self.ref_gps_overrides: Dict[str, object] = {}
         self.attr_inter_translation_threshold = 1000.0
         self.qtbt_enabled = True
         self.ignored: List[str] = []
@@ -327,6 +366,8 @@ class Config:
             elif name == "neighbourAvailBoundaryLog2":
                 # reference semantics: 0 disables the neighbour atlas
                 p.neighbour_context = opt.to_int(value) > 0
+                # refSyntax GPS: tmc3 stores minus1=0 when disabled
+                self.neighbour_avail_log2 = max(opt.to_int(value), 1)
             elif name == "bytewiseOccupancyCoder":  # framework-specific
                 p.bytewise_occupancy = opt.to_bool(value)
             elif name == "geomEngine":   # framework-specific
@@ -390,6 +431,20 @@ class Config:
                 self._pending_attr[name] = value
             elif name == "attributeInterPredictionEnabled":
                 self._pending_attr["attrInterPredictionEnabled"] = value
+            elif name == "adjacentChildContextualization":
+                self.adjacent_child = opt.to_bool(value)
+            elif name == "bitwiseOccupancyCoding":
+                self.bitwise_occ = opt.to_bool(value)
+            elif name == "secondaryResidualDisabled":
+                self.secondary_residual_disabled = opt.to_bool(value)
+            elif name == "predGeomAzimuthQuantization":
+                self.azimuth_quantization = opt.to_bool(value)
+            elif name in _REF_APS_OPTIONS:
+                f, conv = _REF_APS_OPTIONS[name]
+                self.ref_aps_overrides[f] = conv(value)
+            elif name in _REF_GPS_OPTIONS:
+                f, conv = _REF_GPS_OPTIONS[name]
+                self.ref_gps_overrides[f] = conv(value)
             elif name == "attrInterIntraSliceRDO":
                 # two-pass inter/intra slice decision for pred/lift
                 # (AttributeEncoder.cpp:498-580)
@@ -515,7 +570,17 @@ def _cloud_to_ply(cloud: PointCloud) -> ply.PlyCloud:
     )
 
 
+def _notice_accepted(cfg: Config) -> None:
+    """Reference options recorded without behavioural change get one
+    visible notice per run (silent acceptance would hide non-default
+    CTC variants behaving differently from tmc3)."""
+    if cfg.accepted:
+        names = ", ".join(sorted(cfg.accepted))
+        print(f"NOTE: options recorded without effect: {names}")
+
+
 def encode_sequence_ref_syntax(cfg: Config) -> int:
+    _notice_accepted(cfg)
     """Encode to the reference (tmc3-decodable) syntax via the
     bit-exact conformance engine (geometry only)."""
     from ..conformance import encoder as refenc
@@ -609,6 +674,13 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
         attr_slice_rdo=cfg.attr_slice_rdo,
         attr_inter_translation_threshold=(
             cfg.attr_inter_translation_threshold),
+        adjacent_child=cfg.adjacent_child,
+        bitwise_occupancy=cfg.bitwise_occ,
+        neighbour_avail_boundary_log2=cfg.neighbour_avail_log2,
+        secondary_residual_disabled=cfg.secondary_residual_disabled,
+        azimuth_quantization=cfg.azimuth_quantization,
+        gps_overrides=cfg.ref_gps_overrides,
+        aps_overrides=cfg.ref_aps_overrides,
         attr_aps=(refenc.derive_default_aps(
             {hls.AttributeEncoding.RAHT: 0,
              hls.AttributeEncoding.PRED: 1,
@@ -727,6 +799,7 @@ def decode_sequence_ref_syntax(cfg: Config) -> int:
 
 
 def encode_sequence(cfg: Config) -> int:
+    _notice_accepted(cfg)
     from ..bitstream.tlv import PayloadType
     from ..utils.timing import Stopwatch
     enc = FrameEncoder(cfg.params)
