@@ -85,7 +85,7 @@ _REF_GPS_OPTIONS = {
 
 _ACCEPTED_REFERENCE_OPTIONS = {
     # (a) defaults already provided
-    "neighborsProc", "enforceLevelLimits", "planarModeIdcmUse", "intra_pred_max_node_size_log2",
+    "neighborsProc", "enforceLevelLimits", "intra_pred_max_node_size_log2",
     "positionQuantisationMethod", "deriveGMThreshold",
     "trisoup_sampling_value", "safeTrisoupPartionning",
     "autoSeqBbox",
@@ -178,11 +178,25 @@ class Config:
         self.seq_origin = None
         self.seq_bbox_whd = None
         self.recolour_window = 8
+        # options the user actually supplied (CLI or cfg file); any
+        # other option keeps a default, which under --refSyntax=1 is
+        # pinned to tmc3's option-table default (TMC3.cpp:632-1553)
+        # by _apply_ref_syntax_defaults so a zero-flag encode matches
+        # tmc3 byte for byte
+        self.explicit: set = set()
+        # per --attribute snapshot of which sticky attribute options
+        # the user set (parallel to params.attributes)
+        self.attr_explicit: List[set] = []
+        # reference planarModeIdcmUse (geom_idcm_rate = value,
+        # signalled minus 1); -1 = unset, which disables IDCM mode 1
+        # (sanitizeEncoderOpts, TMC3.cpp:1666-1669)
+        self.planar_idcm_use = -1
         # sticky per-attribute pending state (reference TMC3.cpp:1247)
         self._pending_attr: Dict[str, str] = {}
 
     def apply(self, name: str, value: str):
         p = self.params
+        self.explicit.add(name)
         try:
             if name == "mode":
                 self.mode = opt.to_int(value)
@@ -328,6 +342,10 @@ class Config:
             elif name == "inferredDirectCodingMode":
                 p.idcm = opt.to_int(value) > 0
                 p.idcm_mode = opt.to_int(value)
+            elif name == "planarModeIdcmUse":
+                # reference geom_idcm_rate (signalled minus 1);
+                # <1 disables IDCM mode 1 (TMC3.cpp:1666-1669)
+                self.planar_idcm_use = opt.to_int(value)
             elif name == "geometry_axis_order":
                 p.axis_order = hls.AxisOrder(opt.to_int(value))
             elif name == "positionBaseQp":
@@ -463,6 +481,9 @@ class Config:
                 self.accepted[name] = value
             elif name == "attribute":
                 a = self._pending_attr
+                # remember which per-attribute options were explicit so
+                # --refSyntax=1 can pin the rest to tmc3's defaults
+                self.attr_explicit.append(set(a.keys()))
                 enc_t = _TRANSFORM_TYPES[int(a.get("transformType", "0"))]
                 # reference default is BT.709 (TMC3.cpp:1270
                 # ColourMatrix::kBt709); the lossless CTC cfgs override
@@ -577,6 +598,48 @@ def _notice_accepted(cfg: Config) -> None:
     if cfg.accepted:
         names = ", ".join(sorted(cfg.accepted))
         print(f"NOTE: options recorded without effect: {names}")
+
+
+# tmc3 encoder option-table defaults (TMC3.cpp:632-1553) that differ
+# from this framework's native-syntax defaults.  Under --refSyntax=1
+# any option the user did not set is pinned to the tmc3 default so a
+# zero-flag encode is byte-identical to a zero-flag tmc3 encode.
+_TMC3_ENCODE_DEFAULTS = (
+    ("planarEnabled", "1"),                    # TMC3.cpp:898
+    ("neighbourAvailBoundaryLog2", "0"),       # TMC3.cpp:872
+    ("adjacentChildContextualization", "1"),   # TMC3.cpp:890
+    ("inferredDirectCodingMode", "1"),         # TMC3.cpp:878
+    ("partitionMethod", "4"),                  # TMC3.cpp:781
+    ("sliceMinPoints", "550000"),              # TMC3.cpp:808
+    ("qtbtEnabled", "1"),                      # TMC3.cpp:849
+    ("maxNumQtBtBeforeOt", "4"),               # TMC3.cpp:853
+)
+
+
+def _apply_ref_syntax_defaults(cfg: Config) -> None:
+    """Pin unset options to tmc3's defaults and replay the relevant
+    sanitizeEncoderOpts rules (TMC3.cpp:1624-2060) so --refSyntax=1
+    with no extra flags emits tmc3's zero-flag stream."""
+    for name, value in _TMC3_ENCODE_DEFAULTS:
+        if name not in cfg.explicit:
+            cfg.apply(name, value)
+    p = cfg.params
+    # planarModeIdcmUse defaults to -1: IDCM mode 1 is disabled
+    # (TMC3.cpp:1666-1669); modes >1 force the rate to full
+    if cfg.planar_idcm_use < 1 and p.idcm_mode == 1:
+        p.idcm_mode = 0
+        p.idcm = False
+    # the occupancy atlas gates adjacent-child contextualization
+    # (TMC3.cpp:2013-2023); neighbour_avail_log2 is clamped to 1
+    # (minus1=0) when the atlas is disabled
+    if cfg.neighbour_avail_log2 <= 1:
+        cfg.adjacent_child = False
+    # tmc3's per-attribute transformType default is Pred
+    # (TMC3.cpp:1290 AttributeEncoding::kPredictingTransform)
+    for i, a in enumerate(p.attributes):
+        if (i < len(cfg.attr_explicit)
+                and "transformType" not in cfg.attr_explicit[i]):
+            a.encoding = hls.AttributeEncoding.PRED
 
 
 def encode_sequence_ref_syntax(cfg: Config) -> int:
@@ -903,6 +966,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             print("error: uncompressedDataPath required", file=sys.stderr)
             return 1
         if cfg.ref_syntax:
+            _apply_ref_syntax_defaults(cfg)
             return encode_sequence_ref_syntax(cfg)
         return encode_sequence(cfg)
     if cfg.ref_syntax is None:
@@ -931,8 +995,15 @@ def detect_ref_syntax(path) -> bool:
     try:
         for buf in tlv.iter_tlv(_io.BytesIO(head)):
             if buf.type == tlv.PayloadType.SEQUENCE_PARAMETER_SET:
-                hls.SequenceParameterSet.parse(buf.data)
-                return False
+                s = hls.SequenceParameterSet.parse(buf.data)
+                # a foreign SPS can parse "successfully" into garbage;
+                # require plausible field ranges before accepting the
+                # stream as native syntax
+                if (0 <= s.sps_id < 16
+                        and 0 < s.frame_ctr_bits <= 32
+                        and s.geom_scale_num > 0
+                        and s.geom_scale_den > 0):
+                    return False
             break   # SPS is the first unit in well-formed streams
     except Exception:
         pass

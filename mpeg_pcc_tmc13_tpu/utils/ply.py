@@ -109,7 +109,18 @@ def read(path, position_names=("x", "y", "z")) -> PlyCloud:
         else:
             if fmt == "binary_big_endian":
                 np_dtype = np_dtype.newbyteorder(">")
-            buf = f.read(np_dtype.itemsize * count)
+            buf = f.read()
+            # tmc3 quirk: frameindex is declared uint8 but written as
+            # 2 bytes (reference ply.cpp:133,180-182); detect by size
+            if ("frameindex" in names and count
+                    and np_dtype["frameindex"].itemsize == 1
+                    and len(buf) >= (np_dtype.itemsize + 1) * count):
+                props = [(n, "uint16" if n == "frameindex" else t)
+                         for n, t in props]
+                np_dtype = np.dtype(
+                    [(n, _PLY_DTYPES[t]) for n, t in props])
+                if fmt == "binary_big_endian":
+                    np_dtype = np_dtype.newbyteorder(">")
             arr = np.frombuffer(buf, dtype=np_dtype, count=count)
             rec = {n: arr[n] for n in names}
 
@@ -141,54 +152,60 @@ def write(
     path,
     ascii: bool = False,
     position_names=("x", "y", "z"),
-    position_is_float: bool = True,
+    position_is_float: bool = True,  # accepted for compat; container
+                                     # always matches tmc3 (see below)
 ):
-    """Write a PlyCloud (reference ply::write, ply.cpp:88).
+    """Write a PlyCloud, container byte-identical to tmc3's ply::write
+    (reference ply.cpp:88-186):
 
-    The reference writes colours in g,b,r order on disk (ply.cpp:127-129);
-    we match that so byte-identical comparison against tmc3 output works.
+    * binary positions are always ``float64`` doubles; ascii declares
+      ``property float`` and prints fixed 5-decimal values
+      (``std::fixed << setprecision(5)``, ply.cpp:141),
+    * colours on disk in g,b,r order (ply.cpp:127-129),
+    * an empty ``element face 0`` + its list property precede
+      ``end_header`` (ply.cpp:136-137),
+    * frameindex is declared ``uint8`` but binary-written as 2 bytes —
+      a reference quirk we reproduce exactly (ply.cpp:133,180-182).
     """
     n = cloud.count
-    fields: list[tuple[str, str, np.ndarray]] = []
-    ptype = "float" if position_is_float else "float64"
-    pdt = "<f4" if position_is_float else "<f8"
+    # (name, header type, disk dtype, column)
+    pt = "float" if ascii else "float64"
+    fields: list[tuple[str, str, str, np.ndarray]] = []
     for i, pn in enumerate(position_names):
-        fields.append((pn, ptype, cloud.positions[:, i]))
+        fields.append((pn, pt, "<f8", cloud.positions[:, i]))
     if cloud.has_colors():
         # disk order: green, blue, red (ply.cpp:127-129)
-        fields.append(("green", "uchar", cloud.colors[:, 1]))
-        fields.append(("blue", "uchar", cloud.colors[:, 2]))
-        fields.append(("red", "uchar", cloud.colors[:, 0]))
+        fields.append(("green", "uchar", "u1", cloud.colors[:, 1]))
+        fields.append(("blue", "uchar", "u1", cloud.colors[:, 2]))
+        fields.append(("red", "uchar", "u1", cloud.colors[:, 0]))
     if cloud.has_reflectances():
-        fields.append(("refc", "uint16", cloud.reflectances))
+        fields.append(("refc", "uint16", "<u2", cloud.reflectances))
     if cloud.frame_indices is not None:
-        fields.append(("frameindex", "uint8", cloud.frame_indices))
+        fields.append(("frameindex", "uint8", "<u2", cloud.frame_indices))
 
     header = ["ply"]
     header.append(
         "format ascii 1.0" if ascii else "format binary_little_endian 1.0")
     header.append(f"element vertex {n}")
-    for name, t, _ in fields:
-        t_out = {"uchar": "uchar", "uint16": "uint16", "uint8": "uint8",
-                 "float": "float", "float64": "float64"}[t]
-        header.append(f"property {t_out} {name}")
+    for name, t, _, _ in fields:
+        header.append(f"property {t} {name}")
+    header.append("element face 0")
+    header.append("property list uint8 int32 vertex_index")
     header.append("end_header")
 
-    dtmap = {"uchar": "u1", "uint8": "u1", "uint16": "<u2",
-             "float": "<f4", "float64": "<f8"}
-    rec_dtype = np.dtype([(name, dtmap[t]) for name, t, _ in fields])
+    rec_dtype = np.dtype([(name, dt) for name, _, dt, _ in fields])
     rec = np.empty(n, dtype=rec_dtype)
-    for name, t, col in fields:
-        rec[name] = col.astype(np.dtype(dtmap[t]), copy=False)
+    for name, _, dt, col in fields:
+        rec[name] = col.astype(np.dtype(dt), copy=False)
 
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode("ascii"))
         if ascii:
             cols = []
-            for name, t, _ in fields:
+            for name, t, _, _ in fields:
                 c = rec[name]
                 if t in ("float", "float64"):
-                    cols.append(np.char.mod("%.12g", c))
+                    cols.append(np.char.mod("%.5f", c))
                 else:
                     cols.append(c.astype("U12"))
             lines = cols[0]
