@@ -436,6 +436,12 @@ class RefGbh:
     gm_matrix: Tuple[int, ...] = (65536, 0, 0, 0, 65536, 0, 0, 0, 65536)
     gm_trans: Tuple[int, int, int] = (0, 0, 0)
     gm_thresh: Tuple[int, int] = (0, 0)
+    # second reference's global motion under bi-prediction
+    # (hls.h gm_matrix2/gm_trans2/gm_thresh2, io_hls.cpp:1649-1680)
+    inter_frame_ref_gmc2: bool = False
+    gm_matrix2: Tuple[int, ...] = (65536, 0, 0, 0, 65536, 0, 0, 0, 65536)
+    gm_trans2: Tuple[int, int, int] = (0, 0, 0)
+    gm_thresh2: Tuple[int, int] = (0, 0)
     lpu_type: int = 0
     min_zero_origin: bool = False
     motion_block_size: Tuple[int, int, int] = (0, 0, 0)
@@ -562,7 +568,22 @@ def parse_gbh(sps: RefSps, gps: RefGps, data: bytes) -> RefGbh:
             h.gm_matrix = tuple(mat)
             h.gm_trans = tuple(trans)
         if h.bi_prediction:
-            raise NotImplementedError("bi-prediction GM fields")
+            # second-reference GM (io_hls.cpp:1649-1662): the gmc2
+            # flag is unconditional and the matrix follows regardless
+            h.inter_frame_ref_gmc2 = bool(bs.u1())
+            mat2 = [65536, 0, 0, 0, 65536, 0, 0, 0, 65536]
+            trans2 = [0, 0, 0]
+            for i in range(4):
+                for j in range(3):
+                    v = bs.se()
+                    if i == 3:
+                        trans2[j] = v
+                    elif i == j:
+                        mat2[3 * i + j] = 65536 + v
+                    else:
+                        mat2[3 * i + j] = v
+            h.gm_matrix2 = tuple(mat2)
+            h.gm_trans2 = tuple(trans2)
         if not gps.predgeom_enabled:
             h.lpu_type = bs.ue()
             h.min_zero_origin = bool(bs.u1())
@@ -571,6 +592,8 @@ def parse_gbh(sps: RefSps, gps: RefGps, data: bytes) -> RefGbh:
         if gps.predgeom_enabled or not h.lpu_type:
             if not gps.predgeom_enabled or h.inter_frame_ref_gmc:
                 h.gm_thresh = (bs.se(), bs.se())
+            if h.bi_prediction:
+                h.gm_thresh2 = (bs.se(), bs.se())
     bs.byte_align()
     h.header_bytes = bs.tell_bytes()
 
@@ -903,7 +926,16 @@ def write_gbh(sps: RefSps, gps: RefGps, h: RefGbh,
                     else:
                         w.se(h.gm_matrix[3 * i + j])
         if h.bi_prediction:
-            raise NotImplementedError("bi-prediction GM fields")
+            # second-reference GM (io_hls.cpp:1445-1457)
+            w.u1(h.inter_frame_ref_gmc2)
+            for i in range(4):
+                for j in range(3):
+                    if i == 3:
+                        w.se(h.gm_trans2[j])
+                    elif i == j:
+                        w.se(h.gm_matrix2[3 * i + j] - 65536)
+                    else:
+                        w.se(h.gm_matrix2[3 * i + j])
         if not gps.predgeom_enabled:
             w.ue(h.lpu_type)
             w.u1(h.min_zero_origin)
@@ -914,6 +946,9 @@ def write_gbh(sps: RefSps, gps: RefGps, h: RefGbh,
             if not gps.predgeom_enabled or h.inter_frame_ref_gmc:
                 w.se(h.gm_thresh[0])
                 w.se(h.gm_thresh[1])
+            if h.bi_prediction:
+                w.se(h.gm_thresh2[0])
+                w.se(h.gm_thresh2[1])
     head = w.get_bytes()
 
     foot = RefBitWriter()

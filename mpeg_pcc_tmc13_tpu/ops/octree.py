@@ -392,6 +392,25 @@ def encode_analysis_packed(leaf_codes_sorted: jnp.ndarray, depth: int,
     return compact, counts
 
 
+def _min_levels(c: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """Smallest level at which point i starts a new node.
+
+    For sorted codes, point i opens a node at every level l with
+    prefix(c[i], l) != prefix(c[i-1], l) — i.e. l >= depth - msb/3
+    where msb is the highest bit set in c[i] ^ c[i-1].  One int64 xor
+    + clz pass replaces the reference's per-level adjacent-prefix
+    comparisons (and the old kernel's depth x N sweeps).  Duplicates
+    (xor == 0) get depth+1: they are first at no level.  Point 0 gets
+    0 (it opens every level including the root).
+    """
+    x = c ^ jnp.concatenate([c[:1] ^ -1, c[:-1]])
+    hb = 63 - jax.lax.clz(x)                       # -1 when x == 0
+    minlev = (depth
+              - (hb - jnp.where(hb < 0, 2, 0)) // 3).astype(jnp.int32)
+    minlev = jnp.minimum(minlev, depth + 1)
+    return minlev.at[0].set(0)
+
+
 @partial(jax.jit, static_argnames=("depth", "cap"))
 def encode_occ_u8(leaf_codes_sorted: jnp.ndarray, depth: int, cap: int):
     """Occupancy-only encoder analysis with tight on-device packing.
@@ -404,6 +423,26 @@ def encode_occ_u8(leaf_codes_sorted: jnp.ndarray, depth: int, cap: int):
     This keeps the host link traffic at its information-theoretic floor
     for the wavefront split (SURVEY.md §7.3).
 
+    Fused single-pass formulation (round 5; the previous kernel did
+    O(depth·N) full-array sweeps plus a depth·N searchsorted
+    compaction and measured ~1 Mpt/s on chip):
+
+      1. one int64 xor+clz pass gives each point the smallest level at
+         which it opens a node (`_min_levels`),
+      2. a (depth, N) int32 cumsum gives per-level node ranks, whose
+         tails are the per-level counts — so every node's slot in the
+         level-major output stream is known in closed form,
+      3. ONE sorted segment-sum scatters each point's child-occupancy
+         bit contribution (masked to its first occurrence) straight
+         into the output byte stream.  Indices are globally
+         non-decreasing, the form XLA:TPU vectorises.
+
+    Everything after step 1 is int32: child octants come from the code
+    split at bit 30 (an octant boundary), so no int64 emulation rides
+    the (depth, N) sweep.  Replaces the per-node counting sort of
+    geometry_octree_encoder.cpp:2210 and the BFS level loop
+    (:2064-2152) with closed-form index math.
+
     Input: (N,) sorted leaf Morton codes (duplicates allowed).
     Returns (occ_u8 (cap,), counts (depth,) int32): level-major
     occupancy bytes, valid entries first; only the first sum(counts)
@@ -411,46 +450,33 @@ def encode_occ_u8(leaf_codes_sorted: jnp.ndarray, depth: int, cap: int):
     ~2.5*N and retries larger on overflow; counts.sum() tells).
     """
     c = leaf_codes_sorted
-    n = c.shape[0]
-    depth_i = jnp.int64(depth)
+    minlev = _min_levels(c, depth)
 
-    def body(l, carry):
-        occ_out, mask_out = carry
-        shift_node = 3 * (depth_i - l)
-        cl = c >> shift_node
-        first = jnp.concatenate(
-            [jnp.ones((1,), bool), cl[1:] != cl[:-1]])
-        seg = jnp.cumsum(first) - 1
-        child = (c >> (shift_node - 3)) & 7
-        onehot = jax.nn.one_hot(child, 8, dtype=jnp.int32)
-        occ_counts = jax.ops.segment_sum(onehot, seg, num_segments=n)
-        occ = (jnp.sum(
-            jnp.where(occ_counts > 0, 1, 0)
-            * (1 << jnp.arange(8, dtype=jnp.int32))[None, :], axis=-1)
-        ).astype(jnp.int32)
-        occ_rows = occ[seg]
-        occ_out = occ_out.at[l].set(jnp.where(first, occ_rows, 0))
-        mask_out = mask_out.at[l].set(first)
-        return occ_out, mask_out
+    lvec = jnp.arange(depth, dtype=jnp.int32)[:, None]       # (depth,1)
+    first = minlev[None, :] <= lvec                          # (depth,N)
+    seg = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
+    counts = seg[:, -1] + 1
+    offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    dest = offs[:, None] + seg                               # (depth,N)
 
-    init = (jnp.zeros((depth, n), jnp.int32),
-            jnp.zeros((depth, n), bool))
-    occ_out, mask_out = jax.lax.fori_loop(0, depth, body, init)
-    flat = occ_out.reshape(-1)
-    valid = mask_out.reshape(-1)
-    # gather-based stream compaction: position of the i-th valid row
-    # by binary search on the inclusive cumsum (sorts and scatters are
-    # the two ops XLA:TPU serialises; cumsum + searchsorted + gather
-    # all tile onto the vector unit)
-    k = min(cap, depth * n)
-    cums = jnp.cumsum(valid.astype(jnp.int32))
-    idx = jnp.searchsorted(cums, jnp.arange(1, k + 1, dtype=jnp.int32))
-    idx = jnp.minimum(idx, depth * n - 1)
-    compact = flat[idx].astype(jnp.uint8)
-    if k < cap:
-        compact = jnp.pad(compact, (0, cap - k))
-    counts = jnp.sum(mask_out, axis=1).astype(jnp.int32)
-    return compact, counts
+    # child octant of point i at level l+1 without int64 in the sweep:
+    # split the code at bit 30 (an octant boundary; depth <= 20 keeps
+    # the high word in 30 bits — deeper trees don't occur, levels are
+    # capped by the 63-bit Morton domain and tmc3's 21-bit coordinates)
+    shift = 3 * (depth - 1) - 3 * lvec                       # (depth,1)
+    clo = (c & ((1 << 30) - 1)).astype(jnp.int32)
+    chi = (c >> 30).astype(jnp.int32)
+    oct_lo = (clo[None, :] >> jnp.minimum(shift, 29)) & 7
+    oct_hi = (chi[None, :] >> jnp.maximum(shift - 30, 0)) & 7
+    octant = jnp.where(shift >= 30, oct_hi, oct_lo)
+    contrib = jnp.where(minlev[None, :] <= lvec + 1,
+                        (1 << octant).astype(jnp.int32), 0)
+
+    occ = jax.ops.segment_sum(contrib.reshape(-1), dest.reshape(-1),
+                              num_segments=cap,
+                              indices_are_sorted=True)
+    return occ.astype(jnp.uint8), counts
 
 
 def _occ_code_tables():
@@ -550,6 +576,40 @@ def encode_occ_u8_hdr(leaf_codes_sorted: jnp.ndarray, depth: int,
     return jnp.concatenate([cnt_u8, compact])
 
 
+def _expand_level(nodes: jnp.ndarray, occ: jnp.ndarray,
+                  nmax: int) -> tuple:
+    """One decoder level: nodes + occupancy bytes -> child codes.
+
+    Rank-based scatter (round 5; replaces a cumsum + searchsorted over
+    8·nmax): the output slot of child bit b of node j is
+    starts[j] + popcount(occ_j & low_mask(b)) — closed form, globally
+    non-decreasing over the flattened (node, bit) order, so ONE sorted
+    segment-sum places every child.  Invalid (unset) bits contribute 0
+    to the slot the next valid child owns; each slot receives exactly
+    one valid child code, so sum == value.
+
+    occ must already be zeroed past the node count.  Returns
+    (child_codes (nmax,) int64 padded with I64_MAX, new_count i32).
+    """
+    row = jnp.arange(nmax, dtype=jnp.int32)
+    bits = jnp.arange(8, dtype=jnp.int32)
+    occ32 = occ.astype(jnp.int32)
+    pops = jax.lax.population_count(occ32)
+    starts = jnp.cumsum(pops) - pops
+    new_cnt = starts[-1] + pops[-1]
+    rank = jax.lax.population_count(
+        occ32[:, None] & ((1 << bits) - 1)[None, :])      # (nmax,8)
+    dest = starts[:, None] + rank
+    valid = ((occ32[:, None] >> bits[None, :]) & 1) > 0
+    child = (nodes[:, None] << 3) | bits[None, :].astype(jnp.int64)
+    vals = jnp.where(valid, child, 0)
+    out = jax.ops.segment_sum(vals.reshape(-1), dest.reshape(-1),
+                              num_segments=nmax,
+                              indices_are_sorted=True)
+    out = jnp.where(row < new_cnt, out, _I64_MAX)
+    return out, new_cnt
+
+
 @partial(jax.jit, static_argnames=("depth", "nmax"))
 def decode_expand_stream(occ_u8: jnp.ndarray, counts: jnp.ndarray,
                          depth: int, nmax: int):
@@ -565,27 +625,14 @@ def decode_expand_stream(occ_u8: jnp.ndarray, counts: jnp.ndarray,
     cap = occ_u8.shape[0]
     offs = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)]).astype(jnp.int32)
-    slots = jnp.arange(8, dtype=jnp.int64)
-    row = jnp.arange(nmax)
+    row = jnp.arange(nmax, dtype=jnp.int32)
 
     def body(l, carry):
         nodes, cnt = carry
         idx = jnp.minimum(offs[l] + row, cap - 1)
-        occ = jnp.where(row < counts[l], occ_u8[idx], 0).astype(jnp.int64)
-        m = (((occ[:, None] >> slots[None, :]) & 1) > 0) \
-            & (row < cnt)[:, None]
-        child = (nodes[:, None] << 3) | slots[None, :]
-        flat_m = m.reshape(-1)
-        flat_c = child.reshape(-1)
-        # gather-based compaction (see encode_occ_u8): i-th set bit
-        # found by searchsorted on the inclusive cumsum
-        cums = jnp.cumsum(flat_m.astype(jnp.int32))
-        src = jnp.searchsorted(cums,
-                               jnp.arange(1, nmax + 1, dtype=jnp.int32))
-        src = jnp.minimum(src, 8 * nmax - 1)
-        new_cnt = cums[-1].astype(jnp.int64)
-        out = jnp.where(row < new_cnt, flat_c[src], _I64_MAX)
-        return out, new_cnt
+        occ = jnp.where(row < counts[l], occ_u8[idx], 0)
+        out, new_cnt = _expand_level(nodes, occ, nmax)
+        return out, new_cnt.astype(jnp.int64)
 
     nodes0 = jnp.full(nmax, _I64_MAX, dtype=jnp.int64)
     nodes0 = nodes0.at[0].set(0)
@@ -634,26 +681,16 @@ def decode_expand_jax(occ_levels: jnp.ndarray, counts: jnp.ndarray,
     int64 padded with I64_MAX, leaf_count).
     """
     n = occ_levels.shape[1]
-    slots = jnp.arange(8, dtype=jnp.int64)
-    row = jnp.arange(n)
+    row = jnp.arange(n, dtype=jnp.int32)
 
     def body(l, carry):
         nodes, cnt = carry
-        occ = occ_levels[l].astype(jnp.int64)
-        m = (((occ[:, None] >> slots[None, :]) & 1) > 0) \
-            & (row < cnt)[:, None]
-        child = (nodes[:, None] << 3) | slots[None, :]
-        flat_m = m.reshape(-1)
-        flat_c = child.reshape(-1)
-        pos = jnp.cumsum(flat_m) - 1
-        dest = jnp.where(flat_m, pos, n)     # n = discard slot
-        out = jnp.full(n + 1, _I64_MAX, dtype=jnp.int64)
-        out = out.at[dest].set(flat_c, mode="drop")
-        return out[:n], flat_m.sum()
+        occ = jnp.where(row < cnt, occ_levels[l], 0)
+        out, new_cnt = _expand_level(nodes, occ, n)
+        return out, new_cnt.astype(jnp.int64)
 
-    # occupancy bit k corresponds to child octant (7 - k)? No: the
-    # encoder's occupancy bit b is set when child (code<<3 | b) exists
-    # (level_occupancy_np), so slots map 1:1.
+    # occupancy bit b is set when child (code<<3 | b) exists
+    # (level_occupancy_np), so bits map 1:1 to octants.
     nodes0 = jnp.full(n, _I64_MAX, dtype=jnp.int64)
     nodes0 = nodes0.at[0].set(0)
     nodes, cnt = jax.lax.fori_loop(0, depth, body,

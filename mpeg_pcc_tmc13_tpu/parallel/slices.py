@@ -21,7 +21,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:                                    # jax >= 0.4.35 public API
+    from jax import shard_map as _shard_map
+    _CHECK_KW = "check_vma"
+except ImportError:                     # older: experimental module
+    from jax.experimental.shard_map import shard_map as _shard_map
+    _CHECK_KW = "check_rep"
+
+
+def shard_map(f=None, **kw):
+    """Version-portable shard_map (check_rep was renamed check_vma)."""
+    if "check_rep" in kw:
+        kw[_CHECK_KW] = kw.pop("check_rep")
+    return _shard_map(f, **kw) if f is not None else _shard_map(**kw)
 
 from ..ops import octree as ops
 
