@@ -175,6 +175,12 @@ class GeometryParameterSet:
     # reference-class occupancy compression (geometry_octree.h:328-613
     # redesign).  Intra, single-stream, unique-point slices only.
     obuf_engine: bool = False
+    # rANS engine: the brick's octree payload is a fully on-device
+    # K-lane interleaved rANS stream (ops/octree_rans.py) — analysis,
+    # context modelling AND entropy coding run on the accelerator; the
+    # host only moves the compressed bytes.  Intra, single-stream,
+    # unique-point slices only.
+    rans_engine: bool = False
     inferred_direct_coding_mode: int = 0   # 0=off (IDCM, later rounds)
     planar_mode_enabled: bool = False
     # OBUF-engine planar configuration (reference planarModeThreshold*,
@@ -234,6 +240,7 @@ class GeometryParameterSet:
             w.write_bit(self.planar_dynamic_obuf)
             w.write_ue(self.qtbt_max_before_ot)
             w.write_ue(self.qtbt_min_size_log2)
+        w.write_bit(self.rans_engine)
         w.write_ue(self.inferred_direct_coding_mode)
         w.write_bit(self.planar_mode_enabled)
         w.write_bit(self.qtbt_enabled)
@@ -280,6 +287,7 @@ class GeometryParameterSet:
             g.planar_dynamic_obuf = bool(r.read_bit())
             g.qtbt_max_before_ot = r.read_ue()
             g.qtbt_min_size_log2 = r.read_ue()
+        g.rans_engine = bool(r.read_bit())
         g.inferred_direct_coding_mode = r.read_ue()
         g.planar_mode_enabled = bool(r.read_bit())
         g.qtbt_enabled = bool(r.read_bit())

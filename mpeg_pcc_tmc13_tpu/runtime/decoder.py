@@ -186,6 +186,19 @@ class FrameDecoder:
         for ln in gbh.stream_lens:
             streams.append(data[pos:pos + ln])
             pos += ln
+        if (gps.rans_engine
+                and gps.codec_type == hls.GeometryCodecType.OCTREE
+                and not gbh.is_inter):
+            from ..models import geometry_rans
+            if self.skip_layers or self.max_points:
+                raise NotImplementedError(
+                    "scalable decode of rANS bricks")
+            local = geometry_rans.decode(
+                streams[-1], gbh.num_points, gbh.root_node_size_log2)
+            grid = _grid_positions(local, gbh)
+            self._slices.append(
+                _SliceState(positions=grid, local=local, gbh=gbh))
+            return
         if (gps.obuf_engine
                 and gps.codec_type == hls.GeometryCodecType.OCTREE):
             from ..models import geometry_obuf

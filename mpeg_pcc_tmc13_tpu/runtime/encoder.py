@@ -311,6 +311,17 @@ class FrameEncoder:
                 and p.geom_qp_shift == 0
                 and not p.geom_qp_regions
                 and p.num_entropy_streams <= 1),
+            rans_engine=(
+                p.engine == "rans"
+                and p.geometry_codec == hls.GeometryCodecType.OCTREE
+                and p.merge_duplicated_points
+                and not p.idcm and not p.planar_enabled
+                and p.geom_qp_shift == 0
+                and not p.geom_qp_regions
+                and p.geom_qp_octree_depth == 0
+                and p.geom_qp_octree_size_log2 == 0
+                and not p.inter_prediction
+                and p.num_entropy_streams <= 1),
             inferred_direct_coding_mode=1 if (
                 p.idcm and p.merge_duplicated_points) else 0,
             planar_mode_enabled=(
@@ -806,7 +817,7 @@ class FrameEncoder:
         enc = entropy.RangeEncoder()
         # 'obuf' is a brick-payload engine; the fallback paths (inter,
         # trisoup, multistream) use the auto-selected native engine
-        eng = "auto" if p.engine == "obuf" else p.engine
+        eng = "auto" if p.engine in ("obuf", "rans") else p.engine
         trisoup = (self.gps.codec_type == hls.GeometryCodecType.TRISOUP
                    and self.gps.trisoup_node_size_log2 > 0)
         multistream = (p.num_entropy_streams > 1 and gm is None
@@ -884,6 +895,14 @@ class FrameEncoder:
                 angular=self.gps.angular_enabled,
                 ref_positions=ref_pos, lasers=lasers,
                 origin=pg_origin)
+        elif self.gps.rans_engine:
+            # fully on-device brick: analysis + contexts + rANS
+            # entropy all run on the accelerator (models/geometry_rans)
+            from ..models import geometry_rans
+            payload = geometry_rans.encode(local, depth)
+            streams = [payload]
+            multistream = True   # stream is final; skip enc flush
+            order = np.argsort(morton_ops.encode(local), kind="stable")
         elif self.gps.obuf_engine:
             # inter bricks run through the OBUF engine with the
             # (GM + optional LPU)-compensated reference selecting the
