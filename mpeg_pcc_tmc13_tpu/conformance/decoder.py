@@ -53,6 +53,7 @@ def _load() -> ctypes.CDLL:
         c.c_int,
         c.POINTER(c.c_int32),
         c.POINTER(c.c_int32),
+        c.POINTER(c.c_int32),    # pointQp region offsets, nullable
     ]
     lib.tmc13ref_decode_raht_attr.restype = c.c_int
     lib.tmc13ref_decode_octree_trisoup.argtypes = [
@@ -788,6 +789,9 @@ def _decode_predlift_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
                c.c_int])
         lib.tmc13ref_decode_predlift_inter.restype = c.c_int
 
+    if getattr(abh, "qp_regions", None):
+        raise UnsupportedTool(
+            "region QP boxes with pred/lift bricks (RAHT only)")
     dims = sps.attr_dims[abh.sps_attr_idx]
     layers = ref_hls.derive_layer_qps(aps, abh)
     qp_arr = np.asarray(layers, dtype=np.int32).reshape(-1)
@@ -898,6 +902,27 @@ def attr_coding_positions(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
     return scaled
 
 
+def _point_region_qps(abh, positions_stv: np.ndarray,
+                      order: np.ndarray) -> Optional[np.ndarray]:
+    """Per-sorted-point (luma, chroma) region QP offsets, or None.
+
+    Mirrors QpSet::regionQpOffset (quantization.cpp:194-203) applied
+    per packed voxel (AttributeDecoder.cpp:562-565): a point inside
+    [origin, origin+size] (Box3::contains is max-INclusive,
+    PCCMath.h:469-474) of the single permitted region gets the
+    region's offset pair."""
+    if not getattr(abh, "qp_regions", None):
+        return None
+    pos = np.asarray(positions_stv, dtype=np.int64)[order]
+    out = np.zeros((pos.shape[0], 2), dtype=np.int32)
+    for origin, size, offs in reversed(abh.qp_regions):
+        o = np.asarray(origin, dtype=np.int64)
+        s = np.asarray(size, dtype=np.int64)
+        inside = np.all((pos >= o) & (pos <= o + s), axis=1)
+        out[inside] = np.asarray(offs, dtype=np.int32)
+    return np.ascontiguousarray(out.reshape(-1))
+
+
 def decode_attr_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
                       abh: ref_hls.RefAbh, payload: bytes,
                       positions_stv: np.ndarray,
@@ -962,6 +987,9 @@ def decode_attr_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
     c = ctypes
     if (aps.attr_inter_prediction and abh.enable_attr_inter_pred
             and attr_ref is not None):
+        if getattr(abh, "qp_regions", None):
+            raise UnsupportedTool(
+                "region QP boxes with inter RAHT bricks")
         # inter-RAHT: previous frame's attribute cloud at coding
         # positions, morton-sorted (AttributeDecoder.cpp:570-593)
         ref_pos, ref_attr = attr_ref
@@ -1008,13 +1036,16 @@ def decode_attr_brick(sps: ref_hls.RefSps, aps: ref_hls.RefAps,
             modes.ctypes.data_as(c.POINTER(c.c_int32)),
             out.ctypes.data_as(c.POINTER(c.c_int32)))
     else:
+        pqp = _point_region_qps(abh, positions_stv, order)
+        pqp_ptr = (pqp.ctypes.data_as(c.POINTER(c.c_int32))
+                   if pqp is not None else None)
         rc = lib.tmc13ref_decode_raht_attr(
             aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(aec),
             codes_sorted.ctypes.data_as(c.POINTER(c.c_int64)), n, dims,
             qp_arr.ctypes.data_as(c.POINTER(c.c_int32)), len(layers),
             bitdepth,
             params.ctypes.data_as(c.POINTER(c.c_int32)),
-            out.ctypes.data_as(c.POINTER(c.c_int32)))
+            out.ctypes.data_as(c.POINTER(c.c_int32)), pqp_ptr)
     if rc != 0:
         raise RuntimeError(f"refattr decode failed rc={rc}")
 

@@ -790,7 +790,8 @@ def encode_stream(positions: np.ndarray,
                   lasers_num_phi=None,
                   predgeom: bool = False,
                   cabac_bypass: bool = False,
-                  bitwise_occupancy: bool = True) -> bytes:
+                  bitwise_occupancy: bool = True,
+                  attr_qp_region=None) -> bytes:
     """Encode one frame of non-negative integer XYZ positions into a
     complete reference-syntax TLV stream (SPS + GPS + geometry brick,
     plus APS + RAHT attribute brick when colors/reflectances given).
@@ -1050,22 +1051,29 @@ def encode_stream(positions: np.ndarray,
             os_ = np.argsort(k_src)
             src_row = os_[np.searchsorted(k_src[os_], k_dec)]
             av = av0[src_row]
+        regions = [attr_qp_region] if attr_qp_region else None
         attr_aec, _, _, _ = encode_attr_brick_native(
-            sps, aps, dec_pos, av)
-        abrick = ref_hls.write_abh(aps, 0, 0, attr_aec)
+            sps, aps, dec_pos, av, qp_regions=regions)
+        abrick = ref_hls.write_abh(aps, 0, 0, attr_aec,
+                                   qp_regions=regions,
+                                   axis_order=axis_order)
         stream += ref_hls.write_ref_tlv(ref_hls.T_ATTR_BRICK, abrick)
 
     return stream
 
 
 def encode_attr_brick_native(sps, aps, positions_stv: np.ndarray,
-                             attrs: np.ndarray, attr_ref=None):
+                             attrs: np.ndarray, attr_ref=None,
+                             qp_regions=None):
     """RAHT-encode attributes aligned to decode-order positions.
     Returns (AEC payload bytes, reconstructed attributes in the same
     row order, layer code modes, quantised filter taps).  With
     ``attr_ref`` (previous frame's coding positions + reconstructed
     attributes) the encoder runs the reference's per-layer inter/intra
-    RDO and filter estimation (RAHT.cpp encoder inter paths)."""
+    RDO and filter estimation (RAHT.cpp encoder inter paths).
+    ``qp_regions``: optional region QP boxes in ABH form
+    [(origin_stv, size_stv, (off_luma, off_chroma))] — the caller must
+    also signal them via write_abh(qp_regions=...)."""
     from ..utils import morton
     from .decoder import _load
 
@@ -1076,7 +1084,8 @@ def encode_attr_brick_native(sps, aps, positions_stv: np.ndarray,
             c.POINTER(c.c_int64), c.c_int, c.c_int,
             c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int,
             c.c_int, c.POINTER(c.c_int32), c.POINTER(c.c_int32),
-            c.POINTER(c.c_uint8), c.c_int]
+            c.POINTER(c.c_uint8), c.c_int,
+            c.POINTER(c.c_int32)]    # pointQp region offsets, nullable
         lib.tmc13ref_encode_raht_attr.restype = c.c_int
         lib.tmc13ref_encode_raht_attr._configured = True
         lib.tmc13ref_encode_raht_attr_inter.argtypes = [
@@ -1152,13 +1161,23 @@ def encode_attr_brick_native(sps, aps, positions_stv: np.ndarray,
             modes_out = [int(v) for v in modes[:counts[0]]]
             taps_out = [int(v) for v in taps[:counts[1]]]
     else:
+        pqp_ptr = None
+        if qp_regions:
+            from .decoder import _point_region_qps
+
+            class _Abh:
+                pass
+            _a = _Abh()
+            _a.qp_regions = qp_regions
+            pqp = _point_region_qps(_a, positions_stv, order)
+            pqp_ptr = pqp.ctypes.data_as(c.POINTER(c.c_int32))
         rc = lib.tmc13ref_encode_raht_attr(
             codes_sorted.ctypes.data_as(c.POINTER(c.c_int64)), n, dims,
             attrs_sorted.ctypes.data_as(c.POINTER(c.c_int32)),
             qp_arr.ctypes.data_as(c.POINTER(c.c_int32)), len(layers),
             bitdepth, params.ctypes.data_as(c.POINTER(c.c_int32)),
             rec.ctypes.data_as(c.POINTER(c.c_int32)),
-            out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+            out.ctypes.data_as(c.POINTER(c.c_uint8)), cap, pqp_ptr)
     if rc < 0:
         raise RuntimeError(f"refattr encode failed rc={rc}")
     rec_out = np.empty_like(rec)

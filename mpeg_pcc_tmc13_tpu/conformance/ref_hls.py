@@ -197,7 +197,13 @@ def parse_sps(data: bytes) -> RefSps:
         if known:
             s.attr_labels.append(bs.ue())
         else:
-            raise NotImplementedError("oid attribute labels")
+            # oid label: X.690 subidentifier bytes behind a 1+7 bit
+            # length header (hls.h:81-95, io_hls.cpp:98-131 writeOid/
+            # readOid); stored as bytes to round-trip exactly
+            bs.un(1)                      # oid_reserved_zero_bit
+            oid_len = bs.un(7)
+            s.attr_labels.append(
+                bytes(bs.un(8) for _ in range(oid_len)))
         n_params = bs.ue()
         bs.byte_align()
         cicp_matrix = None
@@ -702,8 +708,16 @@ def write_sps(s: RefSps) -> bytes:
         w.ue(s.attr_dims[i] - 1)
         w.ue(0)                  # attr_instance_id
         w.ue(s.attr_bitdepths[i] - 1)
-        w.u1(1)                  # known attribute label
-        w.ue(s.attr_labels[i])
+        label = s.attr_labels[i]
+        if isinstance(label, (bytes, bytearray)):
+            w.u1(0)              # known_attribute_label_flag = 0: oid
+            w.un(1, 0)           # oid_reserved_zero_bit
+            w.un(7, len(label))
+            for b in label:
+                w.un(8, b)
+        else:
+            w.u1(1)              # known attribute label
+            w.ue(label)
         cicp = (s.attr_cicp_matrix[i]
                 if i < len(s.attr_cicp_matrix) else None)
         if cicp is not None:
@@ -1169,6 +1183,11 @@ class RefAbh:
     raht_attr_layer_code_mode: List[int] = field(default_factory=list)
     lcp_coeffs: Optional[List[int]] = None
     icp_coeffs: Optional[List[Tuple[int, int, int]]] = None
+    # region QP boxes (hls.h:954-966 QpRegion; <=1 region): each entry
+    # (origin_stv (3,), size_stv (3,), (qp_off_luma, qp_off_chroma))
+    qp_regions: List[Tuple[Tuple[int, int, int], Tuple[int, int, int],
+                           Tuple[int, int]]] = field(default_factory=list)
+    region_bits_minus1: int = -1
     header_bytes: int = 0
 
 
@@ -1221,8 +1240,23 @@ def parse_abh(sps: RefSps, aps: RefAps, data: bytes) -> RefAbh:
             h.layer_qp_delta_chroma.append(bs.se())
 
     num_regions = bs.ue()
+    if num_regions > 1:
+        raise ValueError("at most one QP region permitted "
+                         "(io_hls.cpp:1992 assert)")
     if num_regions:
-        raise NotImplementedError("attribute interop: region QP boxes")
+        h.region_bits_minus1 = bs.ue()
+        rb = h.region_bits_minus1 + 1
+        for _ in range(num_regions):
+            origin_xyz = tuple(bs.un(rb) for _ in range(3))
+            whd_xyz = tuple(bs.un(rb) for _ in range(3))
+            off0 = bs.se()
+            off1 = bs.se() if dims > 1 else 0
+            h.qp_regions.append((
+                tuple(from_xyz(sps.geometry_axis_order,
+                               list(origin_xyz))),
+                tuple(v + 1 for v in from_xyz(sps.geometry_axis_order,
+                                              list(whd_xyz))),
+                (off0, off1)))
 
     if bs.u1():                      # raht_ac_coeff_qp_offset_present
         raise NotImplementedError(
@@ -1366,7 +1400,8 @@ def write_abh(aps: RefAps, sps_attr_idx: int, geom_slice_id: int,
               dist2_delta: int = 0,
               enable_inter: bool = False,
               raht_filter_taps=None,
-              raht_layer_modes=None) -> bytes:
+              raht_layer_modes=None,
+              qp_regions=None, axis_order: int = 1) -> bytes:
     """Attribute brick = ABH (parseAbh mirror, intra scope) + AEC
     payload.  ``lcp_coeffs``/``icp_coeffs`` are the encoder-derived
     per-LoD coefficient lists (delta-coded, io_hls.cpp:1780-1810)."""
@@ -1394,7 +1429,23 @@ def write_abh(aps: RefAps, sps_attr_idx: int, geom_slice_id: int,
         se_w(w, 0)
         se_w(w, 0)
     w.u1(0)                          # attr_layer_qp_present_flag
-    w.ue(0)                          # attr_num_regions
+    regions = list(qp_regions or [])
+    w.ue(len(regions))               # attr_num_regions
+    if regions:
+        # writeAbh region block (io_hls.cpp:1834-1861); entries are
+        # (origin_stv, size_stv, (off_luma, off_chroma))
+        mx = max(max(o) for o, s, _ in regions)
+        mx = max(mx, max(max(s) for o, s, _ in regions))
+        rb = max(1, mx.bit_length())
+        w.ue(rb - 1)                 # attr_region_bits_minus1
+        for origin, size, offs in regions:
+            for v in to_xyz(axis_order, list(origin)):
+                w.un(rb, v)
+            for v in to_xyz(axis_order, [s - 1 for s in size]):
+                w.un(rb, v)
+            se_w(w, offs[0])
+            if dims > 1:
+                se_w(w, offs[1])
     w.u1(0)                          # raht_ac_coeff_qp_offset_present
     if aps.attr_inter_prediction:
         # per-slice inter enable + RAHT filter taps / layer modes

@@ -1095,7 +1095,8 @@ static int estimateLayerFilter(
 static void urahtProcess(
   bool isEncoder, const PredParams& pp, const QpSet& qpset, int numPoints,
   int numAttrs, const int64_t* positions, int32_t* attributes,
-  int32_t* coeffBuf, InterRaht* inter = nullptr) {
+  int32_t* coeffBuf, InterRaht* inter = nullptr,
+  const int32_t* pointQp = nullptr) {
   int32_t* coeffBufItK[3] = {
     coeffBuf,
     coeffBuf + numPoints,
@@ -1104,8 +1105,10 @@ static void urahtProcess(
 
   if (numPoints == 1) {
     Quant q[2];
-    const int zeroQp[2] = {0, 0};
-    qpset.quantizers(0, zeroQp, q);
+    // region QP offset of the lone point (RAHT.cpp:999)
+    const int soloQp[2] = {pointQp ? pointQp[0] : 0,
+                           pointQp ? pointQp[1] : 0};
+    qpset.quantizers(0, soloQp, q);
     for (int k = 0; k < numAttrs; k++) {
       const Quant& qq = q[std::min(k, 1)];
       if (isEncoder) {
@@ -1134,8 +1137,10 @@ static void urahtProcess(
     UNode n;
     n.pos = positions[i];
     n.weight = 1;
-    n.qp[0] = 0;  // no region QP boxes in the supported scope
-    n.qp[1] = 0;
+    // region QP box offsets ride the node merge in Q4
+    // (RAHT.cpp:1045-1056 regionQpShift; merge at :187)
+    n.qp[0] = pointQp ? pointQp[2 * i] << regionQpShift : 0;
+    n.qp[1] = pointQp ? pointQp[2 * i + 1] << regionQpShift : 0;
     n.occupancy = 0;
     n.firstChild = n.lastChild = 0;
     weightsLf.push_back(n);
@@ -2000,10 +2005,13 @@ extern "C" {
 //   attrsOut       voxelCount*numAttrs int32, sorted order
 //
 // Returns 0 on success, negative on unsupported input.
+//   pointQp        optional voxelCount*2 int32 region-QP offsets per
+//                  sorted point (luma, chroma), or NULL
 int tmc13ref_decode_raht_attr(
   const uint8_t* payload, int payload_len, const int64_t* mortonSorted,
   int voxelCount, int numAttrs, const int32_t* qpLayers, int numQpLayers,
-  int bitdepth, const int32_t* params, int32_t* attrsOut) {
+  int bitdepth, const int32_t* params, int32_t* attrsOut,
+  const int32_t* pointQp) {
   using namespace refattr;
 
   if (numAttrs != 1 && numAttrs != 3) return -1;
@@ -2051,7 +2059,7 @@ int tmc13ref_decode_raht_attr(
 
   std::vector<int32_t> attributes(size_t(numAttrs) * voxelCount, 0);
   urahtProcess(false, pp, qpset, voxelCount, numAttrs, mortonSorted,
-               attributes.data(), coefficients.data());
+               attributes.data(), coefficients.data(), nullptr, pointQp);
 
   const int32_t clipMax = (1 << bitdepth) - 1;
   for (int n = 0; n < voxelCount * numAttrs; n++)
@@ -2158,7 +2166,7 @@ int tmc13ref_encode_raht_attr(
   const int64_t* mortonSorted, int voxelCount, int numAttrs,
   const int32_t* attrsIn, const int32_t* qpLayers, int numQpLayers,
   int bitdepth, const int32_t* params, int32_t* attrsRec,
-  uint8_t* payloadOut, int payloadCap) {
+  uint8_t* payloadOut, int payloadCap, const int32_t* pointQp) {
   using namespace refattr;
 
   if (numAttrs != 1 && numAttrs != 3) return -1;
@@ -2184,7 +2192,7 @@ int tmc13ref_encode_raht_attr(
                                   attrsIn + size_t(numAttrs) * voxelCount);
   std::vector<int32_t> coefficients(size_t(numAttrs) * voxelCount, 0);
   urahtProcess(true, pp, qpset, voxelCount, numAttrs, mortonSorted,
-               attributes.data(), coefficients.data());
+               attributes.data(), coefficients.data(), nullptr, pointQp);
 
   // entropy encode (zero-run over rows,
   // AttributeEncoder.cpp:1346-1362 / :1489-1505)

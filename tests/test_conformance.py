@@ -2566,3 +2566,57 @@ def test_zero_flag_drop_in(tmp_path):
             check=True, capture_output=True)
         assert (hashlib.md5(md.read_bytes()).hexdigest()
                 == hashlib.md5(rd.read_bytes()).hexdigest()), extra
+
+
+def test_oid_attribute_label_roundtrip():
+    """oid (non-known) attribute labels survive SPS write->parse
+    byte-exactly (hls.h:81-95, io_hls.cpp:98-131 writeOid/readOid)."""
+    from mpeg_pcc_tmc13_tpu.conformance import ref_hls
+
+    sps = ref_hls.RefSps(
+        main_profile_compat=0, level=0, sps_id=0,
+        frame_ctr_bits=0, slice_tag_bits=0,
+        geometry_axis_order=1, bbox_origin=(0, 0, 0))
+    sps.num_attrs = 2
+    sps.attr_dims = [1, 3]
+    sps.attr_bitdepths = [8, 8]
+    # X.690 contents bytes of oid 1.2.840.113549 and a known colour
+    sps.attr_labels = [bytes([0x2A, 0x86, 0x48, 0x86, 0xF7, 0x0D]), 0]
+    sps.attr_cicp_matrix = [None, None]
+    payload = ref_hls.write_sps(sps)
+    back = ref_hls.parse_sps(payload)
+    assert back.attr_labels == sps.attr_labels
+    assert ref_hls.write_sps(back) == payload
+
+
+def test_region_qp_box_interop(tmp_path):
+    """Region QP boxes (hls.h:954-966, quantization.cpp:100-117,194-203;
+    RAHT per-node qp propagation RAHT.cpp:1045-1056,187): our streams
+    carrying one region decode identically in tmc3 and in our decoder,
+    and the region's offset demonstrably changes the coded payload."""
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    rng = np.random.default_rng(47)
+    pos = np.unique(rng.integers(0, 64, size=(3000, 3),
+                                 dtype=np.int64), axis=0)
+    gbr = ((pos * np.array([5, 3, 7])) % 256).astype(np.int32)
+    region = ((8, 8, 8), (24, 24, 24), (12, 0))
+    stream = refenc.encode_stream(pos, colors=gbr, attr_qp=28,
+                                  attr_qp_region=region)
+    base = refenc.encode_stream(pos, colors=gbr, attr_qp=28)
+    assert stream != base          # the region changes the payload
+
+    bit = tmp_path / "rqp.bin"
+    bit.write_bytes(stream)
+    dec = tmp_path / "rqp.dec.ply"
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={dec}", "--outputBinaryPly=0",
+         "--convertPlyColourspace=0"],
+        check=True, capture_output=True)
+    ref = ply.read(str(dec))
+    frames, attrs = refdec.decode_stream(stream, want_attrs=True)
+    np.testing.assert_array_equal(
+        frames[0], ref.positions.astype(np.int64))
+    np.testing.assert_array_equal(
+        attrs[0][:, [2, 0, 1]], ref.colors.astype(np.int32))
