@@ -343,8 +343,10 @@ def encode_analysis_inter_jax(leaf_codes_sorted: jnp.ndarray, depth: int,
             * (1 << jnp.arange(8, dtype=jnp.int32))[None, :], axis=1)
         base = ((((cl & 7).astype(jnp.int32)) << 8) | pred)
 
-        occ_out = occ_out.at[l].set(jnp.where(first, occ_rows, 0))
-        base_out = base_out.at[l].set(jnp.where(first, base, 0))
+        occ_out = occ_out.at[l].set(
+            jnp.where(first, occ_rows, 0).astype(jnp.int32))
+        base_out = base_out.at[l].set(
+            jnp.where(first, base, 0).astype(jnp.int32))
         mask_out = mask_out.at[l].set(first)
         code_out = code_out.at[l].set(cl)
         return (occ_out, base_out, mask_out, code_out)
@@ -576,36 +578,52 @@ def encode_occ_u8_hdr(leaf_codes_sorted: jnp.ndarray, depth: int,
     return jnp.concatenate([cnt_u8, compact])
 
 
+_NTH_SET_BIT = None
+
+
+def _nth_set_bit_table():
+    """(256, 8) int8: entry [b, r] = index of the r-th set bit of byte
+    b (garbage 0 past popcount).  Turns per-slot bit selection into one
+    table gather."""
+    global _NTH_SET_BIT
+    if _NTH_SET_BIT is None:
+        tab = np.zeros((256, 8), dtype=np.int8)
+        for b in range(256):
+            r = 0
+            for k in range(8):
+                if (b >> k) & 1:
+                    tab[b, r] = k
+                    r += 1
+        _NTH_SET_BIT = tab
+    return _NTH_SET_BIT
+
+
 def _expand_level(nodes: jnp.ndarray, occ: jnp.ndarray,
                   nmax: int) -> tuple:
     """One decoder level: nodes + occupancy bytes -> child codes.
 
-    Rank-based scatter (round 5; replaces a cumsum + searchsorted over
-    8·nmax): the output slot of child bit b of node j is
-    starts[j] + popcount(occ_j & low_mask(b)) — closed form, globally
-    non-decreasing over the flattened (node, bit) order, so ONE sorted
-    segment-sum places every child.  Invalid (unset) bits contribute 0
-    to the slot the next valid child owns; each slot receives exactly
-    one valid child code, so sum == value.
+    Gather formulation (round 5): on TPU a scatter — even a sorted
+    segment-sum — serialises (~100 M elem/s measured), while gathers
+    and cumsums run at HBM speed.  So instead of scattering each child
+    to its slot, every output SLOT gathers its source: slot k's parent
+    row j_k comes from one expansion of node rows by their popcounts
+    (jnp.repeat with a static total), its bit from the (256, 8)
+    nth-set-bit table at rank k - starts[j_k].
 
     occ must already be zeroed past the node count.  Returns
     (child_codes (nmax,) int64 padded with I64_MAX, new_count i32).
     """
     row = jnp.arange(nmax, dtype=jnp.int32)
-    bits = jnp.arange(8, dtype=jnp.int32)
     occ32 = occ.astype(jnp.int32)
     pops = jax.lax.population_count(occ32)
     starts = jnp.cumsum(pops) - pops
     new_cnt = starts[-1] + pops[-1]
-    rank = jax.lax.population_count(
-        occ32[:, None] & ((1 << bits) - 1)[None, :])      # (nmax,8)
-    dest = starts[:, None] + rank
-    valid = ((occ32[:, None] >> bits[None, :]) & 1) > 0
-    child = (nodes[:, None] << 3) | bits[None, :].astype(jnp.int64)
-    vals = jnp.where(valid, child, 0)
-    out = jax.ops.segment_sum(vals.reshape(-1), dest.reshape(-1),
-                              num_segments=nmax,
-                              indices_are_sorted=True)
+    src = jnp.repeat(jnp.arange(nmax, dtype=jnp.int32), pops,
+                     total_repeat_length=nmax)
+    rank = row - starts[src]
+    tab = jnp.asarray(_nth_set_bit_table())
+    bit = tab[occ32[src], jnp.clip(rank, 0, 7)].astype(jnp.int64)
+    out = (nodes[src] << 3) | bit
     out = jnp.where(row < new_cnt, out, _I64_MAX)
     return out, new_cnt
 

@@ -939,6 +939,10 @@ def decode_sequence(cfg: Config) -> int:
 
 def main(argv: Optional[List[str]] = None) -> int:
     print(f"mpeg_pcc_tmc13_tpu v{__version__} (TPU-native G-PCC)")
+    # persistent XLA cache: device engines cold-start in ms, not
+    # minutes, on remote/tunnelled accelerators
+    from ..utils.jaxcache import enable_compile_cache
+    enable_compile_cache()
     try:
         cfg = parse_command_line(sys.argv[1:] if argv is None else argv)
     except opt.OptionError as e:

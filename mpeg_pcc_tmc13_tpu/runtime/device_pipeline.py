@@ -1,25 +1,33 @@
-"""Device-in-the-loop geometry pipeline: overlapped slices.
+"""Device-in-the-loop geometry pipeline.
 
-The production TPU encode splits each frame into S contiguous Morton
-slices and runs a three-stage pipeline per slice:
+The production TPU encode runs a three-stage pipeline per slice (one
+slice = the whole frame on a single chip; S slices when sharding):
 
   1. device: full-depth octree analysis -> level-major occupancy bytes
      (ops.octree.encode_occ_u8; one byte per tree node, the wavefront
      split of SURVEY.md §7.3),
-  2. link:   asynchronous device->host copy of the packed bytes
-     (jax.Array.copy_to_host_async, so later slices stream while the
-     host codes earlier ones),
-  3. host:   one native call per slice entropy-codes the whole stream
-     with PARENT contexts derived from the stream itself
+  2. link:   two-step fetch — the counts header, then only the
+     size-bucketed used bytes (the link carries ~1.2 B/pt, the
+     occupancy payload, never the worst-case budget).  With multiple
+     slices a prefetch thread pulls slice s+1 while the host codes s,
+  3. host:   one native call per slice entropy-codes the stream with
+     PARENT contexts derived from the stream itself
      (entropy.cc rce_occ_stream; contexts continue across slices like
      tmc3's entropy continuation, hls entropy_continuation_enabled).
+
+The raw occupancy-byte link is the default: the on-device prefix-code
+packer (encode_occ_packed_hdr) saves ~0.5 B/pt but costs ~330 ms of
+XLA scatter-OR at 1 Mpt — measured, the wrong trade at any link speed
+this hardware sees; it remains available via packed_link=True and is
+bitstream-identical.
 
 Decode mirrors it: the host entropy stage is self-sufficient (each
 slice's byte stream is self-delimiting: the root byte's popcount sizes
 the next level, and so on), occupancy bytes stream host->device, and
 ops.octree.decode_expand_stream rebuilds the leaf codes entirely on
-device, where they can feed the device attribute stages without
-positions ever landing on the host.
+device — gather-formulated, since TPU scatters serialise — where they
+feed the device attribute stages without positions ever landing on
+the host.
 
 Counterpart of the reference's per-slice encode loop
 (encoder.cpp:924-1308) restructured for an accelerator + narrow host
@@ -103,34 +111,65 @@ def encode_pipelined(codes_sorted: np.ndarray, depth: int,
     else:
         pending = [ops.encode_occ_u8_hdr(dc, depth, cap)
                    for dc in device_codes]
-    # stage 2: queue all device->host copies
-    for buf in pending:
-        buf.copy_to_host_async()
-    # stage 3: host entropy per slice, in stream order (counts ride
-    # the same buffer: one fetch per slice)
-    t_host = 0.0
-    link = 0
-    ncounts = []
-    for si, buf in enumerate(pending):
-        h = np.asarray(buf)
-        cnt = h[:4 * depth].view(np.uint32)
-        total = int(cnt.sum())
+
+    fetched = [0]
+
+    def _fetch(buf):
+        """Two-step fetch of one slice: tiny counts header, then only
+        the pow2-bucketed used prefix — the link carries ~the
+        occupancy payload, not the budget.  Returns (occ, total) with
+        occ None when the slice overflowed its budget."""
         occ = None
         if packed_link:
-            total_bits = int(h[4 * depth:4 * depth + 4]
-                             .view(np.uint32)[0])
+            hdr_w = 4 * depth + 4
+            h = np.asarray(buf[:hdr_w])
+            cnt = h[:4 * depth].view(np.uint32)
+            total = int(cnt.sum())
+            total_bits = int(h[4 * depth:].view(np.uint32)[0])
+            fetched[0] += h.nbytes
             ok = (total <= cap
                   and total_bits <= 8 * cap_packed - 24)
             if ok:
-                packed = np.ascontiguousarray(h[4 * depth + 4:])
+                bucket = min(cap_packed,
+                             _pow2_bucket(total_bits // 8 + 4))
+                packed = np.asarray(buf[hdr_w:hdr_w + bucket])
+                fetched[0] += packed.nbytes
                 occ = np.empty(total, dtype=np.uint8)
                 lib.occ_unpack(
                     packed.ctypes.data_as(ct.POINTER(ct.c_uint8)),
                     occ.ctypes.data_as(ct.POINTER(ct.c_uint8)),
                     total)
         else:
+            h = np.asarray(buf[:4 * depth])
+            cnt = h.view(np.uint32)
+            total = int(cnt.sum())
+            fetched[0] += h.nbytes
             if total <= cap:
-                occ = h[4 * depth:4 * depth + total]
+                bucket = min(cap, _pow2_bucket(total))
+                body = np.asarray(
+                    buf[4 * depth:4 * depth + bucket])
+                fetched[0] += body.nbytes
+                occ = body[:total]
+        return occ, total
+
+    # stages 2+3 overlapped: a prefetch thread pulls slice s+1 through
+    # the link (np.asarray releases the GIL during the copy) while the
+    # main thread entropy-codes slice s
+    t_host = 0.0
+    ncounts = []
+    pool = None
+    nxt = None
+    if len(pending) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=1)
+        nxt = pool.submit(_fetch, pending[0])
+    for si, buf in enumerate(pending):
+        if nxt is not None:
+            occ, total = nxt.result()
+            if si + 1 < len(pending):
+                nxt = pool.submit(_fetch, pending[si + 1])
+        else:
+            occ, total = _fetch(buf)
         if occ is None:
             # undersized budget: redo this slice through the raw path
             big = max(64, int(max(total, cap) * 1.25)) & ~63
@@ -139,17 +178,35 @@ def encode_pipelined(codes_sorted: np.ndarray, depth: int,
             cnt = h[:4 * depth].view(np.uint32)
             total = int(cnt.sum())
             occ = h[4 * depth:4 * depth + total]
-        link += h.nbytes
+            fetched[0] += h.nbytes
         th = time.perf_counter()
         enc.occ_stream(ctx.occupancy_sym, occ, depth)
         t_host += time.perf_counter() - th
         ncounts.append(total)
+    if pool is not None:
+        pool.shutdown(wait=False)
+    link = fetched[0]
     if stats is not None:
         stats.wall_s = time.perf_counter() - t0
         stats.host_entropy_s = t_host
         stats.link_bytes = link
         stats.num_slices = num_slices
         stats.node_counts = ncounts
+
+
+def _pow2_bucket(n: int, floor: int = 64) -> int:
+    """Quarter-pow2 size bucket >= n: {1, 1.25, 1.5, 1.75} * 2^k.
+    Bounds fetch overshoot at 25% (a plain pow2 bucket wastes up to 2x
+    link bytes) while keeping the compiled slice-shape family small."""
+    b = floor
+    while b < n:
+        b <<= 1
+    if b > floor and b >= 8:
+        for eighths in (5, 6, 7):   # 0.625, 0.75, 0.875 * 2^k
+            c = eighths * (b >> 3)
+            if c >= n:
+                return c
+    return b
 
 
 def decode_pipelined(dec, ctx, depth: int, num_slices: int,
