@@ -277,6 +277,48 @@ def device_numbers(uniq, depth):
     except Exception as e:
         out["rans_error"] = str(e)[:80]
 
+    # device fixed-point RAHT attrs (the CLI-default integer spec,
+    # bit-identical to the numpy/native backends) on the resident
+    # geometry: plan staged once (ONE batched transfer), per-level
+    # integer kernels, ONE d2h of quantised rows; host does only the
+    # serial zrow range coding.  This is the attribute half of the
+    # device e2e (geometry half above).
+    try:
+        from mpeg_pcc_tmc13_tpu.models import attr_raht as am
+        from mpeg_pcc_tmc13_tpu.models import attributes as attr_model
+        from mpeg_pcc_tmc13_tpu.ops import raht_fp_device
+        colors = _colors_for(uniq, depth)
+        steps = [am.qp_to_step_q16(22)] * 3
+        t0 = time.perf_counter()
+        dfr = raht_fp_device.DeviceFpRaht(uniq, depth, steps)
+        out["device_attr_plan_s"] = round(time.perf_counter() - t0, 2)
+
+        def attr_enc():
+            enc = entropy.RangeEncoder()
+            actx = attr_model.AttributeContexts()
+            dfr.encode(colors, lambda q: enc.zrow_residuals(
+                actx.zrow, q.astype(np.int32)))
+            return enc.get_bytes()
+        apayload = attr_enc()                       # compile
+        t_ae = min(_timeit(attr_enc) for _ in range(2))
+        out["device_attr_encode_mpts"] = round(nn / t_ae / 1e6, 3)
+        out["device_attr_bpp"] = round(8 * len(apayload) / nn, 3)
+
+        def attr_dec():
+            dec = entropy.RangeDecoder(apayload)
+            actx = attr_model.AttributeContexts()
+            return np.asarray(dfr.decode(
+                lambda m: dec.zrow_residuals(actx.zrow, m, 3), 3))
+        vals = attr_dec()                           # compile
+        t_ad = min(_timeit(attr_dec) for _ in range(2))
+        out["device_attr_decode_mpts"] = round(nn / t_ad / 1e6, 3)
+        out["device_attr_ok"] = bool(vals.shape[0] == nn)
+        # the full device round trip: geometry + attributes both ways
+        out["_full_rt"] = nn / (t_e2e_enc + t_e2e_dec + t_ae + t_ad)  \
+            / 1e6
+    except Exception as e:
+        out["device_attr_error"] = str(e)[:100]
+
     # device RAHT forward (float analysis kernel) on resident geometry
     vals = _colors_for(uniq, depth).astype(np.float64)
     codes = np.sort(uniq)
@@ -325,9 +367,16 @@ def main():
     except Exception as e:          # no usable accelerator
         dev = {"device_error": str(e)[:100]}
 
-    # headline: device-in-the-loop geometry round trip; falls back to
-    # the host round trip only when no accelerator is usable
-    if "_rt" in dev:
+    # headline: the device-in-the-loop round trip.  Round 5 onward the
+    # headline covers geometry + colour attributes both ways (the
+    # CLI-default fixed-point RAHT on device); device_geom_rt_mpts
+    # keeps the rounds-1..4 geometry-only series comparable.  Falls
+    # back to the host round trip only when no accelerator is usable.
+    if "_full_rt" in dev:
+        dev["device_geom_rt_mpts"] = round(dev.pop("_rt"), 3)
+        headline = dev.pop("_full_rt")
+        metric = "device_e2e_roundtrip_throughput"
+    elif "_rt" in dev:
         headline = dev.pop("_rt")
         metric = "device_e2e_roundtrip_throughput"
     else:

@@ -410,34 +410,36 @@ class DeviceFpRaht:
                                         raht_fp._PRED_T1),
                  weights=(raht_fp._W_SELF, raht_fp._W_FACE,
                           raht_fp._W_EDGE)):
+        import jax
         import jax.numpy as jnp
         self.depth = depth
         self.t0, self.t1 = thresholds
         self.weights = weights
         self.steps = jnp.asarray(np.asarray(steps_q16, dtype=np.int64))
         host_plans = build_fp_plan(leaf_codes, depth, thresholds)
-        self.plans = []
+        host_trees = []
         for hp in host_plans:
-            self.plans.append({
-                "blk_gather": jnp.asarray(hp.blk_gather),
-                "pidx": jnp.asarray(hp.pidx.astype(np.int32)),
-                "oct": jnp.asarray(hp.oct),
-                "sw_c": jnp.asarray(hp.sw_c),
-                "sw_p": jnp.asarray(hp.sw_p),
-                "az": jnp.asarray(hp.az), "bz": jnp.asarray(hp.bz),
-                "vz": jnp.asarray(hp.vz), "sz": jnp.asarray(hp.sz),
-                "ay": jnp.asarray(hp.ay), "by": jnp.asarray(hp.by),
-                "vy": jnp.asarray(hp.vy), "sy": jnp.asarray(hp.sy),
-                "ax": jnp.asarray(hp.ax), "bx": jnp.asarray(hp.bx),
-                "vx": jnp.asarray(hp.vx), "sx": jnp.asarray(hp.sx),
-                "flat_z": jnp.asarray(hp.flat_z),
-                "flat_y": jnp.asarray(hp.flat_y),
-                "flat_x": jnp.asarray(hp.flat_x),
-                "nbr_idx": jnp.asarray(hp.nbr_idx),
-                "nbr_ok": jnp.asarray(hp.nbr_ok),
-                "cnt_p": jnp.asarray(hp.cnt_p),
-                "en_base": jnp.asarray(hp.en_base),
+            host_trees.append({
+                "blk_gather": hp.blk_gather,
+                "pidx": hp.pidx.astype(np.int32),
+                "oct": hp.oct,
+                "sw_c": hp.sw_c,
+                "sw_p": hp.sw_p,
+                "az": hp.az, "bz": hp.bz, "vz": hp.vz, "sz": hp.sz,
+                "ay": hp.ay, "by": hp.by, "vy": hp.vy, "sy": hp.sy,
+                "ax": hp.ax, "bx": hp.bx, "vx": hp.vx, "sx": hp.sx,
+                "flat_z": hp.flat_z,
+                "flat_y": hp.flat_y,
+                "flat_x": hp.flat_x,
+                "nbr_idx": hp.nbr_idx,
+                "nbr_ok": hp.nbr_ok,
+                "cnt_p": hp.cnt_p,
+                "en_base": hp.en_base,
             })
+        # ONE batched transfer for the whole plan pytree: per-array
+        # device_put costs a full link round trip each (~45 ms on a
+        # tunnelled host), and a depth-11 plan holds ~250 arrays
+        self.plans = jax.device_put(host_trees)
         self.pair_counts = [(hp.flat_z.size, hp.flat_y.size,
                              hp.flat_x.size) for hp in host_plans]
         self.n_roots = host_plans[-1].mp if host_plans else \
