@@ -161,9 +161,12 @@ def conditions():
 TMC3_EXTRA = ["--neighbourAvailBoundaryLog2=8", "--planarEnabled=1",
               "--convertPlyColourspace=1"]
 OURS_EXTRA = ["--convertPlyColourspace=1"]
-# the reference-syntax conformance path (geometry conditions only):
-# same contexts as tmc3 by construction
-OURS_REF_EXTRA = ["--refSyntax=1", "--planarEnabled=1"]
+# the reference-syntax conformance path: byte-identical streams by
+# construction, so it must receive the SAME tool flags as the tmc3
+# rows (since round 5 our refSyntax defaults equal tmc3's option-table
+# defaults, so any flag given only to tmc3 silently diverges the pair)
+OURS_REF_EXTRA = ["--refSyntax=1", "--neighbourAvailBoundaryLog2=8",
+                  "--planarEnabled=1", "--convertPlyColourspace=1"]
 # native syntax with the OBUF brick engine (reference-class occupancy
 # compression inside our own bitstream)
 OURS_OBUF_EXTRA = ["--geomEngine=obuf", "--planarEnabled=1",
