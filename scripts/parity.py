@@ -208,17 +208,21 @@ def codec_cmd(codec, tmc3_path):
 
 
 PARITY_SUMMARY = """
-## Headline (round 3)
+## Headline (round 5; octree-lossy + raht-lossy r01-r03 rows
+## regenerated with the round-5 engines, other rows round 3/4)
 
 * **Geometry**: the OBUF engine (`--geomEngine=obuf`) matches tmc3's
   bpp exactly (±1 byte) at every octree rate point — intra, lossy,
-  LiDAR, and inter+GM — at identical D1/D2; its encode now runs the
+  LiDAR, and inter+GM — at identical D1/D2; its encode runs the
   level-sweep engine (batched per-level analysis + thin token loop,
-  `native/obuf_ls.cc`): 3.2 Mpts/s single-core on the 1.22M cloud vs
-  the tmc3 binary's 0.89 end-to-end / 1.5 coding-only with matched
-  flags (engine-level numbers; table columns are whole-CLI rates).
+  `native/obuf_ls.cc`).  The round-3 raht-lossy r02 0.03 Mpts/s
+  outlier was a stale measurement: the regenerated row reads 1.41 vs
+  tmc3's 0.84 Mpts/s (1.68x) after the native recolour core and the
+  fixed-point-RAHT CLI default landed.
   The conformance engine (`--refSyntax=1`) produces byte-identical
-  tmc3 bitstreams both directions, now including IDCM.
+  tmc3 bitstreams both directions, now including IDCM; since round 5
+  its defaults equal tmc3's option-table defaults, so the harness
+  hands it the same tool flags as the tmc3 rows.
 * **D1/D2 PSNR**: exact parity at every lossy operating point.
 * **Predlift (LIFT)**: the deep LoD pyramid puts our total bpp BELOW
   tmc3 at every rate point (r04 attr 0.454 vs 2.101 bpp at +1.2 dB;
