@@ -143,8 +143,12 @@ def _check_supported(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
         # bi-prediction, angular inter and non-octree inter bricks
         if gps.trisoup_enabled:
             unsupported.append("trisoup inter brick")
-        if gbh.bi_prediction:
-            unsupported.append("bi-prediction")
+        if gbh.bi_prediction and (gps.global_motion
+                                  or gps.angular_enabled):
+            # B-frame bricks are supported for the plain octree tool
+            # set; GM per reference (gm_matrix2/gm_thresh2) and the
+            # angular bi-pred paths remain out of scope
+            unsupported.append("bi-prediction with GM/angular")
         if gbh.geom_stream_cnt_minus1:
             unsupported.append("inter with multiple entropy streams")
     if gbh.entropy_continuation:
@@ -558,12 +562,15 @@ def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
                           payload: bytes,
                           ref_cloud: Optional[np.ndarray] = None,
                           pg_ref=None,
-                          sph_out: Optional[list] = None
+                          sph_out: Optional[list] = None,
+                          ref2_cloud: Optional[np.ndarray] = None
                           ) -> np.ndarray:
     """Decode one octree geometry brick to slice-local STV grid
     positions in the reference's decode order.  ``ref_cloud`` is the
     previous frame's reconstruction (slice-global STV, decode order)
-    for inter bricks; ``pg_ref`` the predgeom refFrameSph handle."""
+    for inter bricks; ``pg_ref`` the predgeom refFrameSph handle;
+    ``ref2_cloud`` the second reference for B-frame bricks
+    (gbh.biPredictionEnabledFlag, decoder.cpp:730-733)."""
     _check_supported(sps, gps, gbh)
     if gps.predgeom_enabled:
         return decode_predgeom_brick(sps, gps, gbh, payload, pg_ref,
@@ -587,6 +594,47 @@ def decode_geometry_brick(sps: ref_hls.RefSps, gps: ref_hls.RefGps,
             return _decode_brick_inter_ang(sps, gps, gbh, aec_arr,
                                            aec, axes, gp, out,
                                            ref_cloud)
+        if gbh.bi_prediction:
+            if ref2_cloud is None:
+                raise RuntimeError(
+                    "B-frame brick without a second reference")
+            org = np.asarray(gbh.box_origin_stv, dtype=np.int64)
+            pred = np.ascontiguousarray(
+                ref_cloud.astype(np.int64) - org[None, :],
+                dtype=np.int32)
+            pred2 = np.ascontiguousarray(
+                ref2_cloud.astype(np.int64) - org[None, :],
+                dtype=np.int32)
+            if not hasattr(lib.tmc13ref_decode_octree_bipred,
+                           "_configured"):
+                lib.tmc13ref_decode_octree_bipred.argtypes = [
+                    c.POINTER(c.c_uint8), c.c_int,
+                    c.POINTER(c.c_int32), c.c_int, c.c_int,
+                    c.POINTER(c.c_int32), c.c_int,
+                    c.POINTER(c.c_int32), c.c_int,
+                    c.POINTER(c.c_int32),
+                    c.POINTER(c.c_int32), c.c_int]
+                lib.tmc13ref_decode_octree_bipred.restype = c.c_int
+                lib.tmc13ref_decode_octree_bipred._configured = True
+            n = lib.tmc13ref_decode_octree_bipred(
+                aec_arr.ctypes.data_as(c.POINTER(c.c_uint8)),
+                len(aec),
+                axes.ctypes.data_as(c.POINTER(c.c_int32)), len(axes),
+                gbh.num_points,
+                pred.ctypes.data_as(c.POINTER(c.c_int32)),
+                int(pred.shape[0]),
+                pred2.ctypes.data_as(c.POINTER(c.c_int32)),
+                int(pred2.shape[0]),
+                gp.ctypes.data_as(c.POINTER(c.c_int32)),
+                out.ctypes.data_as(c.POINTER(c.c_int32)),
+                gbh.num_points)
+            if n < 0:
+                raise RuntimeError(
+                    f"refcodec bipred decode failed rc={n}")
+            if n != gbh.num_points:
+                raise RuntimeError(
+                    f"decoded {n} points, footer says {gbh.num_points}")
+            return out.astype(np.int64)
         if gps.global_motion and gbh.lpu_type == 1:
             # cuboid partition: flags ride the AEC, decoded natively
             vehicle = np.ascontiguousarray(ref_cloud, dtype=np.int32)
@@ -1086,6 +1134,19 @@ def decode_stream(data: bytes, want_attrs: bool = False):
     # (storeCurrentCloudAsRef, decoder.cpp:165-172: the accumulated
     # slice-global STV cloud)
     ref_cloud: Optional[np.ndarray] = None
+    # bi-prediction (gps.biPredictionEnabledFlag == 1, IBBB GOF):
+    # refPointCloud2 = the last non-B frame's reconstruction
+    # (storeCurrentCloudAsBRef, decoder.cpp:176-192); frames are
+    # coded out of display order, so each finished frame is tagged
+    # with its reconstructed FrameCtr (framectr.h:61-75) and the
+    # output list is reordered at the end — the positions content is
+    # identical to outputGOFCurrentCloud's deferred-P-frame flow
+    # (decoder.cpp:210-224) because the deferred output IS
+    # refPointCloud2
+    ref2_stv: Optional[np.ndarray] = None
+    cur_is_b = False
+    frame_ctr_rec = 0
+    frame_nums: List[int] = []
     # predictive-geometry inter reference (refFrameSph handle,
     # decoder.cpp:603-645) + per-slice spherical reconstructions
     pg_ref = None
@@ -1094,7 +1155,7 @@ def decode_stream(data: bytes, want_attrs: bool = False):
     pg_attr_min_ref: Optional[np.ndarray] = None
 
     def flush():
-        nonlocal ref_cloud, attr_ref, next_attr_ref
+        nonlocal ref_cloud, attr_ref, next_attr_ref, ref2_stv
         if cur_slices:
             if next_attr_ref is not None:
                 attr_ref = next_attr_ref
@@ -1123,7 +1184,20 @@ def decode_stream(data: bytes, want_attrs: bool = False):
             else:
                 attr_frames.append(None)
             if sps is not None and sps.inter_frame_prediction_enabled:
-                ref_cloud = np.concatenate(cur_slices_stv, axis=0)
+                gps0 = (next(iter(gps_map.values()))
+                        if gps_map else None)
+                if gps0 is not None and gps0.bi_prediction:
+                    # storeCurrentCloudAsBRef (decoder.cpp:176-192):
+                    # a non-B frame's reconstruction becomes the
+                    # second reference; a B frame's becomes the first
+                    acc = np.concatenate(cur_slices_stv, axis=0)
+                    if cur_is_b:
+                        ref_cloud = acc
+                    else:
+                        ref2_stv = acc
+                else:
+                    ref_cloud = np.concatenate(cur_slices_stv, axis=0)
+            frame_nums.append(frame_ctr_rec)
             cur_slices.clear()
             cur_slices_stv.clear()
             cur_attrs.clear()
@@ -1198,11 +1272,31 @@ def decode_stream(data: bytes, want_attrs: bool = False):
                         th.ctypes.data_as(c.POINTER(c.c_int32)),
                         zl.ctypes.data_as(c.POINTER(c.c_int32)))
             cur_ctr = gbh_ids.frame_ctr_lsb
+            if first_slice_in_frame:
+                # FrameCtr reconstruction (framectr.h:61-75): the lsb
+                # window disambiguates the out-of-order GOF coding
+                bits = sps.frame_ctr_bits
+                window = (1 << bits) >> 1
+                cl = frame_ctr_rec & ((1 << bits) - 1)
+                cm = frame_ctr_rec >> bits
+                lsb = gbh_ids.frame_ctr_lsb
+                if lsb < cl and cl - lsb >= window:
+                    cm += 1
+                elif lsb > cl and lsb - cl > window:
+                    cm -= 1
+                frame_ctr_rec = (cm << bits) | lsb
+                if (gps.bi_prediction and not gbh_ids.bi_prediction
+                        and ref2_stv is not None):
+                    # a non-B frame predicts from the stored
+                    # refPointCloud2 (decoder.cpp:611-616)
+                    ref_cloud = ref2_stv
+            cur_is_b = bool(gbh_ids.bi_prediction)
             sph_box: list = []
-            local = decode_geometry_brick(sps, gps, gbh_ids, payload,
-                                          ref_cloud=ref_cloud,
-                                          pg_ref=pg_ref,
-                                          sph_out=sph_box)
+            local = decode_geometry_brick(
+                sps, gps, gbh_ids, payload, ref_cloud=ref_cloud,
+                pg_ref=pg_ref, sph_out=sph_box,
+                ref2_cloud=(ref2_stv if gbh_ids.bi_prediction
+                            else None))
             last_slice_sph = sph_box[0] if sph_box else None
             pos = local + np.asarray(gbh_ids.box_origin_stv,
                                      dtype=np.int64)
@@ -1273,6 +1367,13 @@ def decode_stream(data: bytes, want_attrs: bool = False):
             flush()
             cur_ctr = None
     flush()
+    if any(g.bi_prediction for g in gps_map.values()):
+        # display-order output (outputGOFCurrentCloud,
+        # decoder.cpp:210-224): reorder by the reconstructed FrameCtr
+        order = sorted(range(len(frames)), key=lambda i: frame_nums[i])
+        frames = [frames[i] for i in order]
+        attr_frames = [attr_frames[i] for i in order] \
+            if attr_frames else attr_frames
     if want_attrs:
         return frames, attr_frames
     return frames

@@ -204,6 +204,57 @@ def _encode_brick_native_inter(positions: np.ndarray,
     return bytes(out[:n])
 
 
+def _encode_brick_native_bipred(positions: np.ndarray,
+                                axes: np.ndarray,
+                                gps: ref_hls.RefGps,
+                                ref_global: np.ndarray,
+                                ref2_global: np.ndarray,
+                                origin: np.ndarray,
+                                bypass_no_update: bool = False,
+                                cabac_bypass: bool = False) -> bytes:
+    """Encode one B-frame octree brick against two references
+    (gbh.biPredictionEnabledFlag, geometry_octree_encoder.cpp:
+    1893-1920 with per-node predDir selection :2562-2576).  Both
+    references arrive in slice-global STV; without global motion the
+    predictors are the origin-shifted clouds (applyGlobalMotion
+    skipped, pointPredictorWorld[2] -= geomBoxOrigin)."""
+    lib = _load()
+    c = ctypes
+    pos32 = np.ascontiguousarray(positions, dtype=np.int32)
+    gp = geom_params_array(gps, bypass_no_update,
+                           cabac_bypass=cabac_bypass)
+    cap = max(int(pos32.shape[0] * 16 + (1 << 16)), 1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+
+    def p32(a):
+        return a.ctypes.data_as(c.POINTER(c.c_int32))
+
+    pred = np.ascontiguousarray(
+        ref_global.astype(np.int64) - origin[None, :], dtype=np.int32)
+    pred2 = np.ascontiguousarray(
+        ref2_global.astype(np.int64) - origin[None, :],
+        dtype=np.int32)
+    if not hasattr(lib.tmc13ref_encode_octree_bipred, "_configured"):
+        lib.tmc13ref_encode_octree_bipred.argtypes = [
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32), c.c_int,
+            c.POINTER(c.c_int32),
+            c.POINTER(c.c_uint8), c.c_int]
+        lib.tmc13ref_encode_octree_bipred.restype = c.c_int
+        lib.tmc13ref_encode_octree_bipred._configured = True
+    n = lib.tmc13ref_encode_octree_bipred(
+        p32(pos32), pos32.shape[0],
+        p32(pred), int(pred.shape[0]),
+        p32(pred2), int(pred2.shape[0]),
+        p32(axes), len(axes), p32(gp),
+        out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+    if n < 0:
+        raise RuntimeError(f"refcodec bipred encode failed rc={n}")
+    return bytes(out[:n])
+
+
 def _encode_brick_native_ang(positions: np.ndarray, axes: np.ndarray,
                              gps: ref_hls.RefGps,
                              bypass_no_update: bool = False,
@@ -1185,6 +1236,145 @@ def encode_attr_brick_native(sps, aps, positions_stv: np.ndarray,
     return bytes(out[:rc]), rec_out, modes_out, taps_out
 
 
+def bipred_coding_schedule(frame_count: int, random_access_period: int,
+                           period: int):
+    """The IBBB (biPredictionEnabledFlag=1) GOF coding order: a list
+    of (frame_index, code_as_b) in CODING order, mirroring
+    SequenceEncoder::compress + compressOneGOF (TMC3.cpp:2171-2358):
+    I/P frames land on multiples of biPredictionPeriod inside each
+    random-access GOF and are coded first; the frames between them
+    are B-frames coded against the surrounding I/P pair.  Without
+    global motion biPredictionEligibility is unconditionally true
+    (encoder.cpp:917-918)."""
+    schedule = []
+    pre_ip = -1
+    coded_gof = False
+    for gof_start in range(0, frame_count, random_access_period):
+        gof_size_p1 = (frame_count - gof_start
+                       if gof_start + random_access_period
+                       >= frame_count
+                       else random_access_period + 1)
+        ip = list(range(0, gof_size_p1, period))
+        if ip[-1] != gof_size_p1 - 1:
+            ip.append(gof_size_p1 - 1)
+        for i in range(1 if coded_gof else 0, len(ip)):
+            cur = ip[i] + gof_start
+            if pre_ip == -1:
+                schedule.append((cur, False))
+            else:
+                schedule.append((cur, False))
+                for f in range(pre_ip + 1, cur):
+                    schedule.append((f, True))
+            pre_ip = cur
+        coded_gof = True
+    return schedule
+
+
+def _encode_bipred_stream(frames, sps, gps, seq_origin,
+                          unique_points: bool, qtbt: bool,
+                          max_points_per_slice: int,
+                          random_access_period: int, period: int,
+                          bypass_no_update: bool,
+                          cabac_bypass: bool) -> bytes:
+    """Geometry-only bi-prediction (IBBB GOF) stream emission.
+
+    Reference-frame bookkeeping mirrors encoder.cpp: after a non-B
+    frame its reconstruction becomes predPointCloud2 (:578-580); at
+    the start of the next non-B frame _refFrame takes the previous
+    predPointCloud2 (:528-533); after a B frame its reconstruction
+    becomes _refFrame (:581-584).  B-frame bricks are coded against
+    (_refFrame, predPointCloud2) with per-node direction selection
+    (geometry_octree_encoder.cpp:1893-1920)."""
+    from . import decoder as refdec
+    from ..utils import morton as morton_mod
+
+    out = []
+    mask = (1 << sps.frame_ctr_bits) - 1
+    ref1 = None    # _refFrame.cloud (slice-global STV, decode order)
+    ref_ip = None  # biPredEncodeParams.predPointCloud2
+    for fnum, is_b in bipred_coding_schedule(
+            len(frames), random_access_period, period):
+        if not is_b and ref_ip is not None:
+            # start-of-compress reference swap (encoder.cpp:528-533)
+            ref1 = ref_ip
+        out.append(ref_hls.write_ref_tlv(ref_hls.T_SPS,
+                                         ref_hls.write_sps(sps)))
+        out.append(ref_hls.write_ref_tlv(ref_hls.T_GPS,
+                                         ref_hls.write_gps(gps)))
+        pos = np.asarray(frames[fnum], dtype=np.int64) - seq_origin
+        if pos.size and pos.min() < 0:
+            pos = np.maximum(pos, 0)
+        if unique_points:
+            codes_in = ((pos[:, 0] << 42) | (pos[:, 1] << 21)
+                        | pos[:, 2])
+            _, first = np.unique(codes_in, return_index=True)
+            first.sort()
+            pos = pos[first]
+        if pos.shape[0] > max_points_per_slice:
+            pos = pos[np.argsort(morton_mod.encode(pos))]
+        n_slices = -(-pos.shape[0] // max_points_per_slice)
+        per = -(-pos.shape[0] // max(n_slices, 1))
+        frame_stv = []
+        slice_id = 0
+        code_inter = (fnum % random_access_period != 0
+                      and ref1 is not None)
+        for s in range(max(n_slices, 1)):
+            part = pos[s * per:(s + 1) * per]
+            if part.shape[0] == 0:
+                continue
+            origin = part.min(axis=0)
+            local = part - origin
+            whd = local.max(axis=0) + 1
+            root = [max(_ceillog2(max(2, int(v))), 0) for v in whd]
+            if not qtbt:
+                root = [max(root)] * 3
+            axes = np.asarray(qtbt_axis_list(root, qtbt),
+                              dtype=np.int32)
+            gbh = ref_hls.RefGbh(
+                gps_id=0, slice_id=slice_id, slice_tag=0,
+                frame_ctr_lsb=fnum & mask,
+                geom_box_log2_scale=0,
+                box_origin_stv=tuple(int(v) for v in origin),
+                tree_lvl_coded_axis_list=list(axes),
+                num_points=int(part.shape[0]),
+                inter_prediction=code_inter,
+                bi_prediction=bool(is_b and code_inter))
+            if is_b and code_inter:
+                aec = _encode_brick_native_bipred(
+                    local, axes, gps, ref1, ref_ip,
+                    origin.astype(np.int64),
+                    bypass_no_update=bypass_no_update,
+                    cabac_bypass=cabac_bypass)
+            elif code_inter:
+                aec = _encode_brick_native_inter(
+                    local, axes, gps, gbh, ref1,
+                    origin.astype(np.int64), 0,
+                    np.zeros(3, dtype=np.int64),
+                    bypass_no_update=bypass_no_update,
+                    cabac_bypass=cabac_bypass)
+            else:
+                aec = _encode_brick_native(
+                    local, axes, gps,
+                    bypass_no_update=bypass_no_update,
+                    cabac_bypass=cabac_bypass)
+            brick = ref_hls.write_gbh(sps, gps, gbh, aec)
+            out.append(ref_hls.write_ref_tlv(ref_hls.T_GEOM_BRICK,
+                                             brick))
+            # closed-loop reconstruction for the reference chain
+            gbh_p = ref_hls.parse_gbh(sps, gps, brick)
+            dec = refdec.decode_geometry_brick(
+                sps, gps, gbh_p, brick, ref_cloud=ref1,
+                ref2_cloud=ref_ip if (is_b and code_inter) else None)
+            frame_stv.append(dec.astype(np.int64) + origin[None, :])
+            slice_id += 1
+        recon = np.concatenate(frame_stv, axis=0)
+        if is_b:
+            ref1 = recon        # encoder.cpp:581-584
+        else:
+            ref_ip = recon      # encoder.cpp:578-580
+    return b"".join(out)
+
+
 def encode_frames(frames, unique_points: bool = True,
                   planar: bool = True, qtbt: bool = True,
                   max_points_per_slice: int = 1_100_000,
@@ -1206,6 +1396,8 @@ def encode_frames(frames, unique_points: bool = True,
                   cabac_bypass: bool = False,
                   inter: bool = False,
                   global_motion: bool = True,
+                  bi_prediction: bool = False,
+                  bi_prediction_period: int = 2,
                   random_access_period: int = 8,
                   motion_block_size=(0, 0, 4096),
                   motion_window_size: int = 512,
@@ -1243,9 +1435,15 @@ def encode_frames(frames, unique_points: bool = True,
     attr_frames = colors if colors is not None else reflectances
     have_attrs = attr_frames is not None
 
-    # one bit indicates frame boundaries (encoder.cpp:731-733; more
-    # only under bi-prediction)
+    # one bit indicates frame boundaries (encoder.cpp:731-733); under
+    # bi-prediction enough bits to disambiguate the out-of-order GOF
+    # coding (encoder.cpp:734-741)
     frame_ctr_bits = 1
+    if bi_prediction:
+        bits = 1
+        while bi_prediction_period >> bits:
+            bits += 1
+        frame_ctr_bits = bits + 1
     # sequence bounding box: auto-derived from the first frame and
     # recorded in the SPS; slice origins are coded relative to it
     # (encoder.cpp:118-156, autoSeqBbox, global scale 1)
@@ -1339,10 +1537,25 @@ def encode_frames(frames, unique_points: bool = True,
         gps.resr_qphi_threshold_present = False
         gps.residual2_disabled = bool(secondary_residual_disabled)
         gps.azimuth_scaling_enabled = bool(azimuth_quantization)
+    if bi_prediction and not inter:
+        # sanitizer TMC3.cpp:1766-1768
+        bi_prediction = False
     if inter:
         if trisoup_node_size_log2 or predgeom:
             raise NotImplementedError(
                 "inter emission outside the octree tool set")
+        if bi_prediction:
+            if angular or global_motion:
+                raise NotImplementedError(
+                    "bi-prediction emission: plain octree tool set "
+                    "only (no GM/angular; biPredictionEligibility is "
+                    "unconditional without GM, encoder.cpp:917-918)")
+            if have_attrs:
+                # RAHT forces biPrediction off (TMC3.cpp:1910-1912);
+                # pred/lift B-frame attr references are out of scope
+                raise NotImplementedError(
+                    "bi-prediction emission is geometry-only")
+            gps.bi_prediction = 1
         if angular and global_motion and motion_params is None:
             raise NotImplementedError(
                 "angular inter emission needs an external motion "
@@ -1382,6 +1595,11 @@ def encode_frames(frames, unique_points: bool = True,
     for f, v in (aps_overrides or {}).items():
         if aps is not None:
             setattr(aps, f, v)
+    if inter and bi_prediction:
+        return _encode_bipred_stream(
+            frames, sps, gps, seq_origin, unique_points, qtbt,
+            max_points_per_slice, random_access_period,
+            bi_prediction_period, bypass_no_update, cabac_bypass)
     ts_log2 = trisoup_node_size_log2
     out = []
     # inter frame chaining: previous frame's reconstruction in

@@ -393,7 +393,9 @@ def parse_gps(data: bytes) -> RefGps:
             if g.predgeom_enabled:
                 g.inter_azim_scale_log2 = bs.ue()
                 g.resampling_enabled = bool(bs.u1())
-            g.bi_prediction = bool(bs.ue())
+            # biPredictionEnabledFlag: 0/1 (IBBB) or 2
+            # (hierarchical GOF) — keep the integer value
+            g.bi_prediction = bs.ue()
             if g.bi_prediction:
                 g.frame_merge = bool(bs.u1())
         if g.predgeom_enabled and g.angular_enabled:
@@ -834,7 +836,7 @@ def write_gps(g: RefGps) -> bytes:
         if g.predgeom_enabled:
             w.ue(g.inter_azim_scale_log2)
             w.u1(g.resampling_enabled)
-        w.ue(1 if g.bi_prediction else 0)
+        w.ue(int(g.bi_prediction))
         if g.bi_prediction:
             w.u1(g.frame_merge)
     if g.predgeom_enabled and g.angular_enabled:

@@ -2076,10 +2076,12 @@ static inline void decodeOrdered2ptPrefixIntra(
 struct Node {
   int32_t pos[3];
   int32_t rstart = 0, rend = 0;  // compensated-reference point range
+  int32_t rstart2 = 0, rend2 = 0;  // second reference (bi-prediction)
   uint8_t idcmEligible = 0;
   uint8_t siblingOccupancy;
   uint8_t numSiblingsPlus1;
   uint8_t mispred = 0;           // parent's prediction failures
+  uint8_t predDir = 0;           // bi-prediction: selected reference
   uint8_t laserIndex = 255;      // angular: inherited laser id
 };
 

@@ -1070,7 +1070,9 @@ static int encode_octree_impl(
   void** ts_coder = nullptr,       // trisoup: live coder handoff
   int stream_cnt_minus1 = 0,       // gbh.geom_stream_cnt_minus1
   AngParams* ang = nullptr,        // angular octree mode
-  const CuboidGm* gm = nullptr) {  // cuboid-partition global motion
+  const CuboidGm* gm = nullptr,    // cuboid-partition global motion
+  const int32_t* ref2_positions = nullptr,  // bi-prediction: 2nd ref
+  int num_ref2 = 0) {
   GeomParams gp;
   std::memcpy(&gp, gp_arr, sizeof gp);
   const int neighbour_avail_boundary_log2 = gp.neighAvailBoundaryLog2;
@@ -1156,9 +1158,11 @@ static int encode_octree_impl(
     int32_t pos[3];
     int32_t start, end;
     int32_t rstart, rend;        // compensated-reference point range
+    int32_t rstart2 = 0, rend2 = 0;  // second reference (bi-pred)
     uint8_t siblingOccupancy;
     uint8_t numSiblingsPlus1;
     uint8_t mispred;             // parent's prediction failures
+    uint8_t predDir = 0;         // bi-prediction: selected reference
     uint8_t idcmEligible = 0;
     uint8_t laserIndex = 255;    // angular: inherited laser id
   };
@@ -1176,6 +1180,16 @@ static int encode_octree_impl(
     for (int i = 0; i < num_ref; i++) rorder[size_t(i)] = i;
     rscratch.resize(size_t(num_ref));
   }
+  // bi-prediction: second compensated reference, its own point-range
+  // partition (pointPredictorWorld2, geometry_octree_encoder.cpp:
+  // 1896-1920, 2236-2249)
+  std::vector<int32_t> rorder2, rscratch2;
+  if (num_ref2 > 0) {
+    rorder2.resize(size_t(num_ref2));
+    for (int i = 0; i < num_ref2; i++) rorder2[size_t(i)] = i;
+    rscratch2.resize(size_t(num_ref2));
+  }
+  const bool enabledBiPred = num_ref2 > 0;
 
   std::vector<ENode> fifo;
   fifo.reserve(size_t(num_points) + 8);
@@ -1186,6 +1200,9 @@ static int encode_octree_impl(
   root.end = num_points;
   root.rstart = 0;
   root.rend = num_ref;
+  root.rstart2 = 0;
+  root.rend2 = num_ref2;
+  root.predDir = 0;
   root.siblingOccupancy = 0;
   root.numSiblingsPlus1 = 8;
   root.mispred = 0;
@@ -1289,40 +1306,63 @@ static int encode_octree_impl(
         }
 
       // compensated-reference partition -> child prediction
-      // (reference geometry_octree_encoder.cpp:2253-2291)
+      // (reference geometry_octree_encoder.cpp:2253-2291); under
+      // bi-prediction BOTH references are partitioned every node and
+      // the parent's predDir selects which one contextualises this
+      // node (geometry_octree_encoder.cpp:2156-2158, 2284-2285)
       int rcounts[8] = {0, 0, 0, 0, 0, 0, 0, 0};
       int roffs[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+      int rcounts2[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+      int roffs2[8] = {0, 0, 0, 0, 0, 0, 0, 0};
       int predOccRaw = 0;
+      int predOccRaw2 = 0;
       int effPredOcc = 0;
-      if (num_ref > 0 && node0.rend > node0.rstart) {
-        for (int32_t p = node0.rstart; p < node0.rend; p++) {
-          const int32_t* pt = &ref_positions[rorder[size_t(p)] * 3];
+      auto partRef = [&probe](const int32_t* refp,
+                              std::vector<int32_t>& ord,
+                              std::vector<int32_t>& scr,
+                              int32_t rs, int32_t re, int* cnts,
+                              int* offp) {
+        for (int32_t p = rs; p < re; p++) {
+          const int32_t* pt = &refp[ord[size_t(p)] * 3];
           int b = (!!(pt[2] & probe[2])) | (!!(pt[1] & probe[1]) << 1)
             | (!!(pt[0] & probe[0]) << 2);
-          rcounts[b]++;
+          cnts[b]++;
         }
-        int racc = node0.rstart;
+        int racc = rs;
         for (int b = 0; b < 8; b++) {
-          roffs[b] = racc;
-          racc += rcounts[b];
+          offp[b] = racc;
+          racc += cnts[b];
         }
         int w[8];
-        std::memcpy(w, roffs, sizeof w);
-        for (int32_t p = node0.rstart; p < node0.rend; p++) {
-          const int32_t* pt = &ref_positions[rorder[size_t(p)] * 3];
+        std::memcpy(w, offp, sizeof w);
+        for (int32_t p = rs; p < re; p++) {
+          const int32_t* pt = &refp[ord[size_t(p)] * 3];
           int b = (!!(pt[2] & probe[2])) | (!!(pt[1] & probe[1]) << 1)
             | (!!(pt[0] & probe[0]) << 2);
-          rscratch[size_t(w[b]++)] = rorder[size_t(p)];
+          scr[size_t(w[b]++)] = ord[size_t(p)];
         }
-        std::memcpy(&rorder[size_t(node0.rstart)],
-                    &rscratch[size_t(node0.rstart)],
-                    sizeof(int32_t)
-                      * size_t(node0.rend - node0.rstart));
+        if (re > rs)
+          std::memcpy(&ord[size_t(rs)], &scr[size_t(rs)],
+                      sizeof(int32_t) * size_t(re - rs));
+        int occ = 0;
         for (int b = 0; b < 8; b++)
-          if (rcounts[b]) predOccRaw |= 1 << b;
+          if (cnts[b]) occ |= 1 << b;
+        return occ;
+      };
+      if (num_ref > 0 && node0.rend > node0.rstart)
+        predOccRaw = partRef(ref_positions, rorder, rscratch,
+                             node0.rstart, node0.rend, rcounts, roffs);
+      if (enabledBiPred && node0.rend2 > node0.rstart2)
+        predOccRaw2 = partRef(ref2_positions, rorder2, rscratch2,
+                              node0.rstart2, node0.rend2, rcounts2,
+                              roffs2);
+      if (num_ref > 0) {
+        // predDir selects the contextualising reference
+        // (geometry_octree_encoder.cpp:2284-2285), then the
         // occupancyIsPredictable gate (:2287)
-        if (predOccRaw && node0.mispred <= 5)
-          effPredOcc = predOccRaw;
+        int sel = node0.predDir ? predOccRaw2 : predOccRaw;
+        if (sel && node0.mispred <= 5)
+          effPredOcc = sel;
       }
       // reference planes from the (gated) predicted occupancy
       // (setPlanesFromOccupancy, geometry_octree_encoder.cpp:2291-2294)
@@ -1640,6 +1680,20 @@ static int encode_octree_impl(
                           int(node0.pos[2] & mask), uint8_t(occupancy));
       }
 
+      // prediction-failure counts (geometry_octree_encoder.cpp:
+      // 2258-2283).  NB: the reference OVERWRITES predFailureCount
+      // with the parent-selected value after the first occupied
+      // child (:2573-2575), so later children's predDir tie-breaks
+      // see the mutated value — failCur models that exactly
+      int fail1 = 0;
+      int fail2 = 0;
+      for (int b = 0; b < 8; b++) {
+        fail1 += (!!(occupancy & (1 << b)))
+          != (!!(predOccRaw & (1 << b)));
+        fail2 += (!!(occupancy & (1 << b)))
+          != (!!(predOccRaw2 & (1 << b)));
+      }
+      int failCur = fail1;
       for (int i = 0; i < 8; i++) {
         if (!counts[i])
           continue;
@@ -1663,15 +1717,27 @@ static int encode_octree_impl(
         child.end = offs[i] + counts[i];
         child.rstart = roffs[i];
         child.rend = roffs[i] + rcounts[i];
+        child.rstart2 = roffs2[i];
+        child.rend2 = roffs2[i] + rcounts2[i];
         child.siblingOccupancy = uint8_t(occupancy);
         child.numSiblingsPlus1 = uint8_t(numOccupied);
         child.laserIndex = node0.laserIndex;
         {
-          int fail = 0;
-          for (int b = 0; b < 8; b++)
-            fail += (!!(occupancy & (1 << b)))
-              != (!!(predOccRaw & (1 << b)));
-          child.mispred = uint8_t(fail < 255 ? fail : 255);
+          // per-child reference selection under bi-prediction
+          // (geometry_octree_encoder.cpp:2562-2576): empty-side
+          // fallback, otherwise the fewer-failures side with the
+          // parent's direction breaking ties
+          child.predDir = node0.predDir;
+          if (enabledBiPred) {
+            if (!rcounts2[i])
+              child.predDir = 0;
+            else if (!rcounts[i])
+              child.predDir = 1;
+            else if (failCur != fail2)
+              child.predDir = uint8_t(failCur >= fail2);
+          }
+          failCur = node0.predDir ? fail2 : failCur;
+          child.mispred = uint8_t(failCur < 255 ? failCur : 255);
         }
         child.idcmEligible = 0;
         {
@@ -1755,7 +1821,9 @@ static int decode_octree_impl(
   void** ts_coder = nullptr,       // trisoup: live coder handoff
   int stream_cnt_minus1 = 0,       // gbh.geom_stream_cnt_minus1
   AngParams* ang = nullptr,        // angular octree mode
-  const CuboidGm* gm = nullptr) {  // cuboid-partition global motion
+  const CuboidGm* gm = nullptr,    // cuboid-partition global motion
+  const int32_t* ref2_positions = nullptr,  // bi-prediction: 2nd ref
+  int num_ref2 = 0) {
   GeomParams gp;
   std::memcpy(&gp, gp_arr, sizeof gp);
   const int neighbour_avail_boundary_log2 = gp.neighAvailBoundaryLog2;
@@ -1839,6 +1907,15 @@ static int decode_octree_impl(
     for (int i = 0; i < num_ref; i++) rorder[size_t(i)] = i;
     rscratch.resize(size_t(num_ref));
   }
+  // bi-prediction: second compensated reference
+  // (geometry_octree_decoder.cpp:1600-1604, 1693-1705)
+  std::vector<int32_t> rorder2, rscratch2;
+  if (num_ref2 > 0) {
+    rorder2.resize(size_t(num_ref2));
+    for (int i = 0; i < num_ref2; i++) rorder2[size_t(i)] = i;
+    rscratch2.resize(size_t(num_ref2));
+  }
+  const bool enabledBiPred = num_ref2 > 0;
 
   const uint32_t idcmMaskInit = mkIdcmEnableMask(gp);
   long numPointsCodedByIdcm = 0;
@@ -1850,6 +1927,9 @@ static int decode_octree_impl(
   root.pos[0] = root.pos[1] = root.pos[2] = 0;
   root.rstart = 0;
   root.rend = num_ref;
+  root.rstart2 = 0;
+  root.rend2 = num_ref2;
+  root.predDir = 0;
   root.siblingOccupancy = 0;
   root.numSiblingsPlus1 = 8;
   fifo.push_back(root);
@@ -1964,39 +2044,60 @@ static int decode_octree_impl(
       // compensated-reference partition -> child prediction; the
       // reference performs this counting sort at the top of the node
       // (geometry_octree_decoder.cpp:1808-1861) so the predicted
-      // planes can steer the planar decode below
+      // planes can steer the planar decode below.  Under
+      // bi-prediction BOTH references are partitioned and the
+      // parent's predDir selects the contextualising one
+      // (geometry_octree_decoder.cpp:1805-1850)
       int rcounts[8] = {0, 0, 0, 0, 0, 0, 0, 0};
       int roffs[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+      int rcounts2[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+      int roffs2[8] = {0, 0, 0, 0, 0, 0, 0, 0};
       int predOccRaw = 0;
+      int predOccRaw2 = 0;
       int effPredOcc = 0;
-      if (num_ref > 0 && node0.rend > node0.rstart) {
-        for (int32_t p = node0.rstart; p < node0.rend; p++) {
-          const int32_t* pt = &ref_positions[rorder[size_t(p)] * 3];
+      auto partRef = [&probe](const int32_t* refp,
+                              std::vector<int32_t>& ord,
+                              std::vector<int32_t>& scr,
+                              int32_t rs, int32_t re, int* cnts,
+                              int* offp) {
+        for (int32_t p = rs; p < re; p++) {
+          const int32_t* pt = &refp[ord[size_t(p)] * 3];
           int b = (!!(pt[2] & probe[2])) | (!!(pt[1] & probe[1]) << 1)
             | (!!(pt[0] & probe[0]) << 2);
-          rcounts[b]++;
+          cnts[b]++;
         }
-        int racc = node0.rstart;
+        int racc = rs;
         for (int b = 0; b < 8; b++) {
-          roffs[b] = racc;
-          racc += rcounts[b];
+          offp[b] = racc;
+          racc += cnts[b];
         }
         int w[8];
-        std::memcpy(w, roffs, sizeof w);
-        for (int32_t p = node0.rstart; p < node0.rend; p++) {
-          const int32_t* pt = &ref_positions[rorder[size_t(p)] * 3];
+        std::memcpy(w, offp, sizeof w);
+        for (int32_t p = rs; p < re; p++) {
+          const int32_t* pt = &refp[ord[size_t(p)] * 3];
           int b = (!!(pt[2] & probe[2])) | (!!(pt[1] & probe[1]) << 1)
             | (!!(pt[0] & probe[0]) << 2);
-          rscratch[size_t(w[b]++)] = rorder[size_t(p)];
+          scr[size_t(w[b]++)] = ord[size_t(p)];
         }
-        std::memcpy(&rorder[size_t(node0.rstart)],
-                    &rscratch[size_t(node0.rstart)],
-                    sizeof(int32_t)
-                      * size_t(node0.rend - node0.rstart));
+        if (re > rs)
+          std::memcpy(&ord[size_t(rs)], &scr[size_t(rs)],
+                      sizeof(int32_t) * size_t(re - rs));
+        int occ = 0;
         for (int b = 0; b < 8; b++)
-          if (rcounts[b]) predOccRaw |= 1 << b;
-        if (predOccRaw && node0.mispred <= 5)
-          effPredOcc = predOccRaw;
+          if (cnts[b]) occ |= 1 << b;
+        return occ;
+      };
+      if (num_ref > 0 && node0.rend > node0.rstart)
+        predOccRaw = partRef(ref_positions, rorder, rscratch,
+                             node0.rstart, node0.rend, rcounts, roffs);
+      if (enabledBiPred && node0.rend2 > node0.rstart2)
+        predOccRaw2 = partRef(ref2_positions, rorder2, rscratch2,
+                              node0.rstart2, node0.rend2, rcounts2,
+                              roffs2);
+      if (num_ref > 0) {
+        int sel = node0.predDir ? predOccRaw2 : predOccRaw;
+        if (sel && node0.mispred <= 5)
+          effPredOcc = sel;
       }
       // reference planes from the (gated) predicted occupancy
       // (setPlanesFromOccupancy, geometry_octree_decoder.cpp:1870-1872)
@@ -2268,6 +2369,19 @@ static int decode_octree_impl(
       for (int i = 0; i < 8; i++) numOccupied += (occupancy >> i) & 1;
       numSubnodes += numOccupied;
 
+      // prediction-failure counts (geometry_octree_decoder.cpp:
+      // 2087-2091).  The reference OVERWRITES predFailureCount with
+      // the parent-selected value after the first occupied child
+      // (:2169-2171) — failCur models that exactly
+      int fail1 = 0;
+      int fail2 = 0;
+      for (int b = 0; b < 8; b++) {
+        fail1 += (!!(occupancy & (1u << b)))
+          != (!!(predOccRaw & (1 << b)));
+        fail2 += (!!(occupancy & (1u << b)))
+          != (!!(predOccRaw2 & (1 << b)));
+      }
+      int failCur = fail1;
       for (int i = 0; i < 8; i++) {
         if (!((occupancy >> i) & 1))
           continue;
@@ -2301,15 +2415,25 @@ static int decode_octree_impl(
         child.pos[2] = cpos[2];
         child.rstart = roffs[i];
         child.rend = roffs[i] + rcounts[i];
+        child.rstart2 = roffs2[i];
+        child.rend2 = roffs2[i] + rcounts2[i];
         child.numSiblingsPlus1 = uint8_t(numOccupied);
         child.siblingOccupancy = uint8_t(occupancy);
         child.laserIndex = node0.laserIndex;
         {
-          int fail = 0;
-          for (int b = 0; b < 8; b++)
-            fail += (!!(occupancy & (1u << b)))
-              != (!!(predOccRaw & (1 << b)));
-          child.mispred = uint8_t(fail);
+          // per-child reference selection under bi-prediction
+          // (geometry_octree_decoder.cpp:2158-2170)
+          child.predDir = node0.predDir;
+          if (enabledBiPred) {
+            if (!rcounts2[i])
+              child.predDir = 0;
+            else if (!rcounts[i])
+              child.predDir = 1;
+            else if (failCur != fail2)
+              child.predDir = uint8_t(failCur >= fail2);
+          }
+          failCur = node0.predDir ? fail2 : failCur;
+          child.mispred = uint8_t(failCur);
         }
         child.idcmEligible = 0;
         {
@@ -2459,6 +2583,37 @@ extern "C" int tmc13ref_decode_octree_inter(
   return decode_octree_impl(aec_buf, aec_len, coded_axis_list,
                             num_levels, num_points, ref_positions,
                             num_ref, gp_arr, out_pos, out_cap);
+}
+
+// bi-prediction (gbh.biPredictionEnabledFlag): B-frame octree brick
+// coded against TWO compensated references with per-node direction
+// selection (geometry_octree_encoder.cpp:1893-1920, 2156-2176,
+// 2562-2576; decoder mirror geometry_octree_decoder.cpp:1599-1604,
+// 1805-1850, 2158-2170)
+extern "C" int tmc13ref_encode_octree_bipred(
+  const int32_t* positions, int num_points,
+  const int32_t* ref_positions, int num_ref,
+  const int32_t* ref2_positions, int num_ref2,
+  const int32_t* coded_axis_list, int num_levels,
+  const int32_t* gp_arr, uint8_t* out_buf, int out_cap) {
+  return encode_octree_impl(positions, num_points, ref_positions,
+                            num_ref, coded_axis_list, num_levels,
+                            gp_arr, out_buf, out_cap, 0, nullptr,
+                            nullptr, nullptr, 0, nullptr, nullptr,
+                            ref2_positions, num_ref2);
+}
+
+extern "C" int tmc13ref_decode_octree_bipred(
+  const uint8_t* aec_buf, int aec_len,
+  const int32_t* coded_axis_list, int num_levels, int num_points,
+  const int32_t* ref_positions, int num_ref,
+  const int32_t* ref2_positions, int num_ref2,
+  const int32_t* gp_arr, int32_t* out_pos, int out_cap) {
+  return decode_octree_impl(aec_buf, aec_len, coded_axis_list,
+                            num_levels, num_points, ref_positions,
+                            num_ref, gp_arr, out_pos, out_cap, 0, 0,
+                            0, nullptr, nullptr, 0, nullptr, nullptr,
+                            ref2_positions, num_ref2);
 }
 
 // exact LUT-based divApprox defined in refpredgeom.cc (same .so)

@@ -102,7 +102,7 @@ _ACCEPTED_REFERENCE_OPTIONS = {
     "positionIdcmQp", "positionQpMultiplierLog2",
     "positionQuantizationScaleAdjustsDist2",
     "positionSliceQpFreqLog2",
-    "positionSliceQpOffset", "predGeomAzimuthSortPrecision", "predGeomMaxPredIdxTested", "predGeomTreePtsMax", "predictionPeriod",
+    "positionSliceQpOffset", "predGeomAzimuthSortPrecision", "predGeomMaxPredIdxTested", "predGeomTreePtsMax",
     "resRContextQphiThreshold",
     "resRContextQphiThresholdPresentFlag", "resamplingEnabled",
     "sortInputByAzimuth",
@@ -400,7 +400,9 @@ class Config:
                 p.global_motion = opt.to_bool(value)
             elif name == "biPredictionEnabled":
                 p.bi_prediction = opt.to_int(value) > 0
-            elif name == "biPredictionPeriod":
+            elif name in ("biPredictionPeriod", "predictionPeriod"):
+                # tmc3 names this option predictionPeriod
+                # (TMC3.cpp:1137-1140)
                 p.bi_period = opt.to_int(value)
             elif name == "lpuType":
                 p.lpu_motion = True
@@ -613,6 +615,7 @@ _TMC3_ENCODE_DEFAULTS = (
     ("sliceMinPoints", "550000"),              # TMC3.cpp:808
     ("qtbtEnabled", "1"),                      # TMC3.cpp:849
     ("maxNumQtBtBeforeOt", "4"),               # TMC3.cpp:853
+    ("predictionPeriod", "1"),                 # TMC3.cpp:1137
 )
 
 
@@ -702,6 +705,8 @@ def encode_sequence_ref_syntax(cfg: Config) -> int:
         idcm=p.idcm_mode,
         inter=p.inter_prediction,
         global_motion=p.global_motion,
+        bi_prediction=bool(p.bi_prediction),
+        bi_prediction_period=max(p.bi_period, 1),
         random_access_period=max(p.random_access_period, 1),
         motion_block_size=tuple(
             max(64, int(round(v * p.geom_scale_num / p.geom_scale_den)))

@@ -1600,6 +1600,105 @@ def test_octree_inter_encode_byte_identical(tmp_path, variant, gm,
     assert ours == bit.read_bytes()
 
 
+_BIPRED_COMMON = [
+    "--randomAccessPeriod=8", "--interPredictionEnabled=1",
+    "--biPredictionEnabled=1", "--globalMotionEnabled=0",
+    "--positionQuantizationScale=1", "--mergeDuplicatedPoints=1",
+    "--neighbourAvailBoundaryLog2=8", "--disableAttributeCoding=1",
+    "--angularEnabled=0"]
+
+
+@pytest.mark.parametrize("n_frames,period", [
+    (3, 2),    # coding order 0, 2, 1(B)
+    (5, 2),    # 0, 2, 1(B), 4, 3(B): chained B refs across the GOF
+    (4, 3),    # 0, 3, 1(B), 2(B): two Bs sharing the backward ref
+])
+def test_bi_prediction_encode_byte_identical(tmp_path, n_frames,
+                                             period):
+    """Bi-prediction emission (biPredictionEnabled=1, the IBBB GOF
+    structure): our stream is byte-identical to tmc3's — B-frame
+    bricks coded against two references with per-node predDir
+    selection (geometry_octree_encoder.cpp:2562-2576) and the
+    out-of-order GOF schedule (TMC3.cpp:2268-2358)."""
+    from mpeg_pcc_tmc13_tpu.conformance import encoder as refenc
+    frames = _inter_seq_frames(n_frames)
+    for i, pos in enumerate(frames):
+        ply.write(ply.PlyCloud(positions=pos.astype(np.float64)),
+                  str(tmp_path / f"b_{i:04d}.ply"), ascii=True)
+    bit = tmp_path / "b.bin"
+    subprocess.run(
+        [TMC3, "--mode=0",
+         f"--uncompressedDataPath={tmp_path}/b_%04d.ply",
+         f"--compressedStreamPath={bit}",
+         f"--frameCount={n_frames}", f"--predictionPeriod={period}",
+         *_BIPRED_COMMON],
+        check=True, capture_output=True)
+    ours = refenc.encode_frames(
+        frames, unique_points=True, planar=True, qtbt=True,
+        inter=True, global_motion=False, bi_prediction=True,
+        bi_prediction_period=period, random_access_period=8)
+    assert ours == bit.read_bytes()
+
+
+def test_bi_prediction_decode_bit_exact(tmp_path):
+    """tmc3-encode a 5-frame bi-prediction sequence; our decoder
+    reproduces tmc3's own decoded frames bit-exactly IN DISPLAY ORDER
+    (outputGOFCurrentCloud's deferred-P-frame reorder,
+    decoder.cpp:210-224)."""
+    from mpeg_pcc_tmc13_tpu.conformance import decoder as refdec
+    frames = _inter_seq_frames(5)
+    for i, pos in enumerate(frames):
+        ply.write(ply.PlyCloud(positions=pos.astype(np.float64)),
+                  str(tmp_path / f"b_{i:04d}.ply"), ascii=True)
+    bit = tmp_path / "b.bin"
+    subprocess.run(
+        [TMC3, "--mode=0",
+         f"--uncompressedDataPath={tmp_path}/b_%04d.ply",
+         f"--compressedStreamPath={bit}",
+         "--frameCount=5", "--predictionPeriod=2", *_BIPRED_COMMON],
+        check=True, capture_output=True)
+    subprocess.run(
+        [TMC3, "--mode=1", f"--compressedStreamPath={bit}",
+         f"--reconstructedDataPath={tmp_path}/bdec_%04d.ply",
+         "--outputBinaryPly=0"],
+        check=True, capture_output=True)
+    mine = refdec.decode_stream(bit.read_bytes())
+    assert len(mine) == 5
+    for i in range(5):
+        want = ply.read(
+            str(tmp_path / f"bdec_{i:04d}.ply")).positions.astype(
+                np.int64)
+        assert mine[i].shape == want.shape
+        np.testing.assert_array_equal(mine[i], want)
+
+
+def test_bi_prediction_cli_stream_identity(tmp_path):
+    """--refSyntax=1 --biPredictionEnabled=1: the full CLI emits
+    tmc3's bi-prediction stream byte-identically (predictionPeriod
+    accepted under tmc3's option name, TMC3.cpp:1137)."""
+    import sys
+    frames = _inter_seq_frames(3)
+    for i, pos in enumerate(frames):
+        ply.write(ply.PlyCloud(positions=pos.astype(np.float64)),
+                  str(tmp_path / f"bc_{i:04d}.ply"), ascii=True)
+    bt = tmp_path / "bc_t.bin"
+    bo = tmp_path / "bc_o.bin"
+    common = ["--frameCount=3", "--predictionPeriod=2",
+              "--planarEnabled=1", *_BIPRED_COMMON]
+    subprocess.run(
+        [TMC3, "--mode=0",
+         f"--uncompressedDataPath={tmp_path}/bc_%04d.ply",
+         f"--compressedStreamPath={bt}", *common],
+        check=True, capture_output=True)
+    subprocess.run(
+        [sys.executable, "-m", "mpeg_pcc_tmc13_tpu.runtime.cli",
+         "--mode=0",
+         f"--uncompressedDataPath={tmp_path}/bc_%04d.ply",
+         f"--compressedStreamPath={bo}", "--refSyntax=1", *common],
+        check=True, capture_output=True)
+    assert bt.read_bytes() == bo.read_bytes()
+
+
 def test_inter_cli_full_stream_identity(tmp_path):
     """--refSyntax=1 with --interPredictionEnabled emits a multi-frame
     stream byte-identical to the tmc3 binary's (per-frame parameter
